@@ -1,0 +1,90 @@
+import duckdb
+import numpy as np
+import pytest
+
+from spapy_ray.kernels import cells
+
+
+def test_encode_decode_roundtrip():
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(-180, 180, 1000)
+    lat = rng.uniform(-90, 90, 1000)
+    for res in (0, 1, 5, 12, 26):
+        c = cells.encode(lon, lat, res)
+        x, y, r = cells.decode_xy(c)
+        assert (r == res).all()
+        ex, ey = cells.xy_for(lon, lat, res)
+        assert (x == ex).all() and (y == ey).all()
+
+
+def test_center_within_cell():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-90, 90, 200)
+    c = cells.encode(lon, lat, 10)
+    clon, clat = cells.cell_center(c)
+    # re-encoding the center gives the same cell
+    assert (cells.encode(clon, clat, 10) == c).all()
+    # cell size at res 10: 360/1024 x 180/1024
+    assert np.all(np.abs(clon - lon) <= 360 / 1024)
+    assert np.all(np.abs(clat - lat) <= 180 / 1024)
+
+
+def test_parent_contains():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    c12 = cells.encode(lon, lat, 12)
+    c7 = cells.encode(lon, lat, 7)
+    assert (cells.parent(c12, 7) == c7).all()
+
+
+def test_children_partition_parent():
+    c = cells.encode(np.array([12.3]), np.array([45.6]), 8)[0]
+    kids = cells.children(int(c))
+    assert len(kids) == 4
+    assert (cells.parent(kids, 8) == c).all()
+
+
+def test_ring_and_disk():
+    c = cells.encode(np.array([0.1]), np.array([0.1]), 6)[0]
+    r0 = cells.ring(int(c), 0)
+    assert list(r0) == [c]
+    r1 = cells.ring(int(c), 1)
+    assert len(r1) == 8
+    r2 = cells.ring(int(c), 2)
+    assert len(r2) == 16
+    d2 = cells.disk(int(c), 2)
+    assert len(d2) == 25
+    # all ring-1 cells are grid-adjacent to c
+    x0, y0, _ = cells.decode_xy(np.asarray([c]))
+    x, y, _ = cells.decode_xy(r1)
+    assert np.max(np.maximum(np.abs(x - x0[0]), np.abs(y - y0[0]))) == 1
+
+
+def test_ring_wraps_antimeridian():
+    c = cells.encode(np.array([-179.99]), np.array([0.0]), 5)[0]
+    r1 = cells.ring(int(c), 1)
+    assert len(r1) == 8  # wrapped in x, not clipped
+    x, y, _ = cells.decode_xy(r1)
+    assert 0 in x and (2**5 - 1) in x
+
+
+def test_ring_clips_poles():
+    c = cells.encode(np.array([0.0]), np.array([89.9]), 4)[0]
+    r1 = cells.ring(int(c), 1)
+    assert len(r1) == 5  # top row clipped
+
+
+def test_sql_expr_matches_numpy():
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(-90, 90, 300)
+    for res in (4, 9, 15):
+        expected = cells.encode(lon, lat, res)
+        con = duckdb.connect()
+        con.register("pts", __import__("pandas").DataFrame({"lon": lon, "lat": lat}))
+        got = con.execute(
+            f"SELECT {cells.sql_cell_expr('lon', 'lat', res)} AS c FROM pts"
+        ).fetchnumpy()["c"]
+        assert (got.astype(np.uint64) == expected).all()
