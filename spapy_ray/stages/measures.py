@@ -1,0 +1,62 @@
+"""Per-feature measures & dataset aggregates (SURVEY.md §2.5):
+area / length / bounds columns, dataset bounds fold, zone measure
+tables. Mirrors GetFeatureArea/GetFeatureLength/GetFeatureBounds
+(SpaVectors.py:690-724) and GetBounds (SpaVectors.py:754-782).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from spapy_ray.kernels import geom, wkb
+
+U = 10000  # fixed-point units per degree (zone layer convention)
+
+
+def fixed_point_multipolygon_area(mp, unit: int = U) -> float:
+    """Exact shoelace area for geometries whose vertices lie on a
+    1/unit grid: quantize to int64 and sum integer cross products, so
+    the result is bit-identical to the SQL oracle's closed-form
+    integer arithmetic (oracle.q_zone_bounds_area)."""
+    total = 0
+    for poly in mp:
+        for j, ring in enumerate(poly):
+            r = np.rint(np.asarray(ring, dtype=np.float64) * unit).astype(np.int64)
+            if len(r) > 1 and (r[0] == r[-1]).all():
+                r = r[:-1]
+            x, y = r[:, 0], r[:, 1]
+            s2 = int(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))  # 2*area
+            a = abs(s2)
+            total += a if j == 0 else -a
+    return (total / 2.0) / (unit * unit)
+
+
+def measure_wkb_table(table: pa.Table, geom_col: str = "geom_wkb",
+                      fixed_point: bool = True) -> pa.Table:
+    """Append minx/miny/maxx/maxy/area columns computed from WKB."""
+    geoms = table.column(geom_col).to_pylist()
+    n = len(geoms)
+    minx = np.empty(n); miny = np.empty(n)
+    maxx = np.empty(n); maxy = np.empty(n)
+    area = np.empty(n)
+    for i, g in enumerate(geoms):
+        mp = wkb.as_multipolygon(g)
+        minx[i], miny[i], maxx[i], maxy[i] = geom.multipolygon_bbox(mp)
+        area[i] = (fixed_point_multipolygon_area(mp) if fixed_point
+                   else geom.multipolygon_area(mp))
+    out = table
+    for name, arr in (("minx", minx), ("miny", miny), ("maxx", maxx),
+                      ("maxy", maxy), ("area", area)):
+        out = out.append_column(name, pa.array(arr))
+    return out
+
+
+def dataset_bounds(ds, cols=("lon", "lat")):
+    """Global bounds fold: partial per-block min/max + tiny final
+    aggregate (replaces the sequential fold of SpaVectors.py:754-782)."""
+    from ray.data.aggregate import Max, Min
+
+    x, y = cols
+    return ds.aggregate(Min(x, alias_name="minx"), Min(y, alias_name="miny"),
+                        Max(x, alias_name="maxx"), Max(y, alias_name="maxy"))

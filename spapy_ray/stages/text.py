@@ -1,0 +1,87 @@
+"""Text-analysis batch kernels over the documents / pages tables:
+token counting, stopword/quality ratios, n-gram language heuristic,
+rolling-hash fingerprints. All vectorized Arrow compute — no per-row
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from spapy_ray.kernels.hashing import fnv1a64
+
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
+
+# Tiny per-language marker vocabularies for the n-gram/keyword language
+# heuristic (public-knowledge common words).
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "pt": ("o", "a", "de", "que"),
+}
+
+
+def token_stats_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append n_tokens, n_stop, stop_ratio, avg_token_len.
+
+    Token = ' '-separated word (matches SQL string_split semantics so
+    the oracle can reproduce counts exactly).
+    """
+    text = batch.column(column)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+    flat = pc.list_flatten(toks)
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS))
+    # per-row stopword count: segmented reduction over list offsets
+    offsets = np.asarray(toks.offsets)
+    stop_np = is_stop.to_numpy(zero_copy_only=False).astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(stop_np)])
+    n_stop = csum[offsets[1:]] - csum[offsets[:-1]]
+    ntok = n_tokens.to_numpy()
+    stop_ratio = n_stop / np.maximum(ntok, 1).astype(np.float64)
+    total_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+    # avg token length over ' '-separated tokens: (chars - separators)/n
+    avg_len = (total_chars - (ntok - 1)) / np.maximum(ntok, 1).astype(np.float64)
+    return (batch.append_column("n_tokens", n_tokens)
+                 .append_column("n_stop", pa.array(n_stop))
+                 .append_column("stop_ratio", pa.array(stop_ratio))
+                 .append_column("avg_token_len", pa.array(avg_len)))
+
+
+def token_stats(ds, column: str = "text", batch_size: int = 4096):
+    return ds.map_batches(lambda t: token_stats_batch(t, column),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)
+
+
+def lang_guess_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append lang_guess: argmax of marker-word hit counts (stable
+    first-wins over the LANG_MARKERS order on ties)."""
+    text = batch.column(column)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(toks)
+    offsets = np.asarray(toks.offsets)
+    scores = np.zeros((len(batch), len(LANG_MARKERS)), dtype=np.int64)
+    for j, (_, markers) in enumerate(LANG_MARKERS.items()):
+        hit = pc.is_in(flat, value_set=pa.array(markers)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(hit)])
+        scores[:, j] = csum[offsets[1:]] - csum[offsets[:-1]]
+    langs = np.asarray(list(LANG_MARKERS), dtype=object)
+    guess = langs[np.argmax(scores, axis=1)].astype(str)
+    return batch.append_column("lang_guess", pa.array(guess))
+
+
+def fingerprint_batch(batch: pa.Table, column: str = "text",
+                      out: str = "fingerprint") -> pa.Table:
+    """Document fingerprint = FNV-1a of the text bytes (int64 view)."""
+    h = fnv1a64(batch.column(column)).view(np.int64)
+    return batch.append_column(out, pa.array(h))
