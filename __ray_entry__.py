@@ -52,4 +52,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_dedup_text": o.q_docs_dedup_text(),
         "suppliers_per_nation": o.q_suppliers_per_nation(),
         "ann_topk": o.q_ann_topk(),
+        "zonal_stats": o.q_zonal_stats(),
+        "raster_histogram": o.q_raster_histogram(),
+        "raster_minmax": o.q_raster_minmax(),
+        "raster_diff_stats": o.q_raster_diff_stats(),
     }

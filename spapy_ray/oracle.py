@@ -209,3 +209,52 @@ def q_ann_topk(k: int = 5, n_queries: int = 10) -> str:
         f"WHERE q.vec_id < {n_queries} AND e.vec_id <> q.vec_id "
         f"QUALIFY rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------- raster
+
+def _pixel_grid_cte() -> str:
+    """512x512 global pixel grid with exact-dyadic center coords and the
+    integer DEM surface (sql twin of sources.rasters; pixel_w=360/512
+    and pixel_h=-170/512 are exactly representable, so lon/lat are
+    bit-identical to the engine's float64 path)."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    return (
+        "grid AS (SELECT p % 512 AS px, p // 512 AS py, "
+        "-180.0 + ((p % 512) + 0.5) * 0.703125 AS lon, "
+        "85.0 + ((p // 512) + 0.5) * -0.33203125 AS lat, "
+        f"{sql_dem_int('(p % 512)', '(p // 512)', 0)} AS z, "
+        f"{sql_dem_int('(p % 512)', '(p // 512)', 1)} AS z2 "
+        "FROM range(262144) t(p))"
+    )
+
+
+def q_zonal_stats(num_zones: int = 200) -> str:
+    return (
+        f"WITH {_pixel_grid_cte()}, zones AS ({sql_zones_cte(num_zones)}) "
+        "SELECT z.zone_id, count(*)::BIGINT AS n_pixels, "
+        "sum(g.z)::BIGINT AS sum_z, min(g.z)::BIGINT AS min_z, "
+        "max(g.z)::BIGINT AS max_z "
+        "FROM grid g CROSS JOIN zones z "
+        f"WHERE {sql_pip_condition('g.lon', 'g.lat')} "
+        "GROUP BY z.zone_id"
+    )
+
+
+def q_raster_histogram() -> str:
+    return (f"WITH {_pixel_grid_cte()} "
+            "SELECT (z // 16)::BIGINT AS bin, count(*)::BIGINT AS n_pixels "
+            "FROM grid GROUP BY 1")
+
+
+def q_raster_minmax() -> str:
+    return (f"WITH {_pixel_grid_cte()} "
+            "SELECT min(z)::BIGINT AS min_z, max(z)::BIGINT AS max_z, "
+            "count(*)::BIGINT AS n_pixels FROM grid")
+
+
+def q_raster_diff_stats() -> str:
+    return (f"WITH {_pixel_grid_cte()} "
+            "SELECT sum(z - z2)::BIGINT AS sum_d, min(z - z2)::BIGINT AS min_d, "
+            "max(z - z2)::BIGINT AS max_d, count(*)::BIGINT AS n_pixels FROM grid")

@@ -37,7 +37,7 @@ def pages_dataset(sf_dir: str | None = None, n: int | None = None,
 
 def flagship_join(sf_dir: str | None = None, n: int | None = None,
                   num_zones: int = 200, include_html: bool = False,
-                  concurrency=None, batch_size: int = 8192,
+                  concurrency=None, batch_size: int = 32768,
                   left_columns: list[str] | None = None,
                   parallelism: int = -1):
     """pages → geocode → cell index → PIP join. Returns a lazy Dataset

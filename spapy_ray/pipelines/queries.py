@@ -9,6 +9,7 @@ hash-compare contract).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -197,3 +198,77 @@ QUERIES = {
     "suppliers_per_nation": q_suppliers_per_nation,
     "ann_topk": q_ann_topk,
 }
+
+
+# ---------------------------------------------------------------- raster
+
+def _dem(salt: int = 0):
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+
+    return synth_dem_dataset(DEM_META, kind="int", salt=salt), DEM_META
+
+
+def q_zonal_stats(sf_dir: str):
+    from spapy_ray.stages.raster import zonal_stats
+
+    ds, meta = _dem()
+    return zonal_stats(ds, zones_table(), meta, dtype="int32")
+
+
+def q_raster_histogram(sf_dir: str):
+    from spapy_ray.stages.raster import raster_histogram
+
+    ds, meta = _dem()
+    return raster_histogram(ds, dtype="int32", tile_size=meta.tile_size,
+                            nbins=16, lo=0.0, hi=256.0)
+
+
+def q_raster_minmax(sf_dir: str):
+    from spapy_ray.stages.raster import raster_minmax
+
+    ds, meta = _dem()
+    row = raster_minmax(ds, dtype="int32", tile_size=meta.tile_size)
+    out = pd.DataFrame([row])
+    out["min_z"] = out["min_z"].astype(np.int64)
+    out["max_z"] = out["max_z"].astype(np.int64)
+    out["n_pixels"] = out["n_pixels"].astype(np.int64)
+    return out
+
+
+def q_raster_diff_stats(sf_dir: str):
+    """raster ⊗ raster subtract via the tile-key co-partition join,
+    then global stats of the diff."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from spapy_ray.stages.raster import decode_tile, tile_binary_math
+
+    a, meta = _dem(0)
+    b, _ = _dem(1)
+    diff = tile_binary_math(a, b, "subtract", dtype="int32",
+                            tile_size=meta.tile_size)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sums, mins, maxs, cnts = [], [], [], []
+        for buf in t.column("data").to_pylist():
+            arr = decode_tile(buf, "int32", meta.tile_size).astype(np.int64)
+            sums.append(int(arr.sum()))
+            mins.append(int(arr.min()))
+            maxs.append(int(arr.max()))
+            cnts.append(int(arr.size))
+        return pa.table({"s": pa.array(sums, type=pa.int64()),
+                         "mn": pa.array(mins, type=pa.int64()),
+                         "mx": pa.array(maxs, type=pa.int64()),
+                         "c": pa.array(cnts, type=pa.int64())})
+
+    row = diff.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="sum_d"), Min("mn", alias_name="min_d"),
+        Max("mx", alias_name="max_d"), Sum("c", alias_name="n_pixels"))
+    return pd.DataFrame([row])
+
+
+QUERIES.update({
+    "zonal_stats": q_zonal_stats,
+    "raster_histogram": q_raster_histogram,
+    "raster_minmax": q_raster_minmax,
+    "raster_diff_stats": q_raster_diff_stats,
+})

@@ -39,7 +39,7 @@ M32 = 1 << 32
 def zone_params(z: int) -> dict:
     """Integer zone parameters (1e-4 deg units) — the single source of
     truth shared by the WKB builder and the SQL oracle."""
-    col, row = z % 20, z // 20
+    col, row = z % 20, (z // 20) % 10
     lon0 = -180 * U + col * 18 * U
     lat0 = -85 * U + row * 17 * U
     g = (z * MIX_A) % M32
@@ -99,7 +99,7 @@ def sql_zones_cte(num_zones: int = 200) -> str:
         "x0, y0, w, h, (w * 6 // 10) AS w2, (h * 6 // 10) AS h2, z % 4 AS shape "
         "FROM (SELECT z, "
         f"(-180 * {U} + (z % 20) * 18 * {U}) + ((z * {MIX_A}) % {M32}) % 30000 AS x0, "
-        f"(-85 * {U} + (z // 20) * 17 * {U}) + (((z * {MIX_A}) % {M32}) // 30000) % 30000 AS y0, "
+        f"(-85 * {U} + ((z // 20) % 10) * 17 * {U}) + (((z * {MIX_A}) % {M32}) // 30000) % 30000 AS y0, "
         f"6 * {U} + ((z * {MIX_W}) % {M32}) % 90000 + (CASE WHEN z % 7 = 3 THEN 15 * {U} ELSE 0 END) AS w, "
         f"5 * {U} + ((z * {MIX_H}) % {M32}) % 70000 AS h "
         f"FROM range({num_zones}) t(z))"

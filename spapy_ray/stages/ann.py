@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from spapy_ray.util import default_pool
 
 
 def _stack_embeddings(col) -> np.ndarray:
@@ -72,14 +73,18 @@ def cosine_topk(ds, query_ids: np.ndarray, query_matrix: np.ndarray,
     """
     import ray
 
+    from spapy_ray.util import cached_state
+
     qref = ray.put((np.asarray(query_ids, dtype=np.int64),
                     np.asarray(query_matrix, dtype=np.float64)))
-    cands = ds.map_batches(
-        CosineTopKScorer,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or (1, 4),
-    )
+    box = (qref,)
+
+    def _task(batch: pa.Table) -> pa.Table:
+        scorer = cached_state(box, lambda q: CosineTopKScorer(queries=q, k=k))
+        return scorer(batch)
+
+    cands = ds.map_batches(_task, batch_format="pyarrow",
+                           batch_size=batch_size, zero_copy_batch=True)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True],

@@ -30,7 +30,7 @@ def cell_index_batch(batch: pa.Table, cell_res: int = CELL_RES,
 
 
 def cell_index(ds, cell_res: int = CELL_RES, tile_res: int = TILE_RES,
-               batch_size: int = 8192):
+               batch_size: int = 32768):
     return ds.map_batches(
         lambda t: cell_index_batch(t, cell_res, tile_res),
         batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)

@@ -60,7 +60,7 @@ def geocode_batch(batch: pa.Table) -> pa.Table:
                 .append_column("geo_src", src)
 
 
-def geocode(ds, batch_size: int = 8192):
+def geocode(ds, batch_size: int = 32768):
     """Dataset stage. Stateless tasks; zero-copy Arrow batches."""
     return ds.map_batches(geocode_batch, batch_format="pyarrow",
                           batch_size=batch_size, zero_copy_batch=True)

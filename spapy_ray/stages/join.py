@@ -27,6 +27,7 @@ import pyarrow as pa
 
 from spapy_ray.kernels import geom, wkb
 from spapy_ray.kernels.strtree import STRtree
+from spapy_ray.util import default_pool
 
 
 class ZoneIndex:
@@ -78,43 +79,74 @@ class PIPJoin:
         self.keep_unmatched = keep_unmatched
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lon = batch.column("lon").to_numpy(zero_copy_only=False)
-        lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        pi, zi = self.index.query(lon, lat)
-        left = batch.select(self.left_columns) if self.left_columns else batch
-        if self.keep_unmatched:
-            unmatched = np.setdiff1d(np.arange(len(batch), dtype=np.int64), pi)
-            out_left = left.take(pa.array(np.concatenate([pi, unmatched])))
-            ztab = self.index.table.select(self.zone_columns)
-            matched_z = ztab.take(pa.array(zi))
-            null_z = pa.table({c: pa.nulls(len(unmatched), type=ztab.schema.field(c).type)
-                               for c in self.zone_columns})
-            zcols = pa.concat_tables([matched_z, null_z])
-        else:
-            out_left = left.take(pa.array(pi))
-            zcols = self.index.table.select(self.zone_columns).take(pa.array(zi))
-        out = out_left
-        for name in self.zone_columns:
-            out = out.append_column(name, zcols.column(name))
-        return out
+        return _join_batch(batch, self.index, self.left_columns,
+                           self.zone_columns, self.keep_unmatched)
+
+
+def _join_batch(batch: pa.Table, index: ZoneIndex,
+                left_columns: list[str] | None,
+                zone_columns: list[str], keep_unmatched: bool) -> pa.Table:
+    """The shared per-batch join body (used by both task and actor forms)."""
+    lon = batch.column("lon").to_numpy(zero_copy_only=False)
+    lat = batch.column("lat").to_numpy(zero_copy_only=False)
+    pi, zi = index.query(lon, lat)
+    left = batch.select(left_columns) if left_columns else batch
+    if keep_unmatched:
+        unmatched = np.setdiff1d(np.arange(len(batch), dtype=np.int64), pi)
+        out_left = left.take(pa.array(np.concatenate([pi, unmatched])))
+        ztab = index.table.select(zone_columns)
+        matched_z = ztab.take(pa.array(zi))
+        null_z = pa.table({c: pa.nulls(len(unmatched), type=ztab.schema.field(c).type)
+                           for c in zone_columns})
+        zcols = pa.concat_tables([matched_z, null_z])
+    else:
+        out_left = left.take(pa.array(pi))
+        zcols = index.table.select(zone_columns).take(pa.array(zi))
+    out = out_left
+    for name in zone_columns:
+        out = out.append_column(name, zcols.column(name))
+    return out
 
 
 def pip_join(ds, zones: pa.Table, left_columns: list[str] | None = None,
              zone_columns: list[str] | None = None, concurrency=None,
-             batch_size: int = 8192, keep_unmatched: bool = False):
-    """Broadcast PIP join stage over a Dataset with lon/lat columns."""
+             batch_size: int | None = 32768, keep_unmatched: bool = False,
+             use_actors: bool = False):
+    """Broadcast PIP join stage over a Dataset with lon/lat columns.
+
+    Default form: STATELESS tasks + per-worker cached ZoneIndex
+    (util.cached_state) — the broadcast state is still fetched once
+    and indexed once per worker process, but without paying actor-pool
+    process startup per pipeline (~7s for 32 actors, measured) and
+    with fully elastic parallelism. ``use_actors=True`` selects the
+    classic actor-pool form — right when state build is expensive
+    (big polygon layers, models) relative to the job.
+    """
     import ray
 
+    from spapy_ray.util import cached_state
+
     zones_ref = ray.put(zones)
-    return ds.map_batches(
-        PIPJoin,
-        fn_constructor_kwargs={
-            "zones_ref": zones_ref,
-            "left_columns": left_columns,
-            "zone_columns": zone_columns,
-            "keep_unmatched": keep_unmatched,
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or (1, 8),
-    )
+    zcols = zone_columns or [c for c in zones.column_names if c != "geom_wkb"]
+    if use_actors:
+        return ds.map_batches(
+            PIPJoin,
+            fn_constructor_kwargs={
+                "zones_ref": zones_ref,
+                "left_columns": left_columns,
+                "zone_columns": zcols,
+                "keep_unmatched": keep_unmatched,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or default_pool(),
+        )
+
+    box = (zones_ref,)
+
+    def _task(batch: pa.Table) -> pa.Table:
+        index = cached_state(box, ZoneIndex)
+        return _join_batch(batch, index, left_columns, zcols, keep_unmatched)
+
+    return ds.map_batches(_task, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)

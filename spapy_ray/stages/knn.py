@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from spapy_ray.kernels import geom, wkb
+from spapy_ray.util import default_pool
 
 
 def zone_anchors(zones: pa.Table) -> np.ndarray:
@@ -79,17 +80,32 @@ class KNNJoin:
 
 def knn_join_broadcast(ds, zones: pa.Table, k: int = 3,
                        left_columns: list[str] | None = None,
-                       concurrency=None, batch_size: int = 8192):
+                       concurrency=None, batch_size: int | None = 4096,
+                       use_actors: bool = False):
     import ray
 
+    from spapy_ray.util import cached_state
+
     zones_ref = ray.put(zones)
-    return ds.map_batches(
-        KNNJoin,
-        fn_constructor_kwargs={"zones_ref": zones_ref, "k": k,
-                               "left_columns": left_columns},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or (1, 8),
-    )
+    if use_actors:
+        return ds.map_batches(
+            KNNJoin,
+            fn_constructor_kwargs={"zones_ref": zones_ref, "k": k,
+                                   "left_columns": left_columns},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency or default_pool(),
+        )
+
+    box = (zones_ref,)
+
+    def _task(batch: pa.Table) -> pa.Table:
+        joiner = cached_state(
+            box, lambda zt: KNNJoin(zones_table=zt, k=k,
+                                    left_columns=left_columns))
+        return joiner(batch)
+
+    return ds.map_batches(_task, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)
 
 
 def knn_join_cells(points_ds, targets_ds, k: int = 3, res: int = 6,

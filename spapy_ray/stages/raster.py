@@ -1,0 +1,429 @@
+"""Raster operators over tile tables.
+
+Replaces the reference's per-band numpy ops + GDAL utilities
+(SpaRasters.Math SpaRasters.py:894-985, one-liners 1640-2073,
+Reclassify 1170-1217, Crop 1235-1282, GetMinMax 456-490, GetHistogram
+571-620) with tile-parallel Ray Data stages:
+
+- scalar / unary math, reclassify, crop  → stateless map_batches
+- raster ⊗ raster                        → co-partition groupby on
+                                           (tx, ty, band) (tile-key join)
+- min/max/histogram                      → per-tile partials + tiny
+                                           global aggregate
+- zonal stats (north rule)               → tile × zone PIP masks →
+                                           groupby(zone_id)
+- slope / hillshade (Horn 1981)          → 1-px halo exchange:
+                                           flat_map strips → groupby(tile)
+
+The nodata convention follows the reference: a mask of
+``data == nodata`` pixels is carried through ops and re-substituted on
+output (SpaRasters.py:105-107, 749-750, 817-819).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from spapy_ray.sources.rasters import RasterMeta
+from spapy_ray.util import default_pool
+
+# ---- operation table (reference one-liner set, SpaRasters.py:1640-2073)
+UNARY_OPS = {
+    "not": lambda a: (~(a.astype(bool))).astype(np.uint8),
+    "round": np.round, "floor": np.floor, "ceil": np.ceil,
+    "trunc": np.trunc, "ln": np.log,
+    # reference bug: Log computes natural log (SpaRasters.py:2006-2017);
+    # we implement the documented log10 — recorded in DIVERGENCES.md
+    "log": np.log10,
+    "exp": np.exp, "square": np.square, "sqrt": np.sqrt, "abs": np.abs,
+}
+BINARY_OPS = {
+    "add": np.add, "subtract": np.subtract, "multiply": np.multiply,
+    "divide": np.divide, "power": np.power,
+    "maximum": np.maximum, "minimum": np.minimum,
+    "equal": lambda a, b: np.equal(a, b).astype(np.uint8),
+    "not_equal": lambda a, b: np.not_equal(a, b).astype(np.uint8),
+    "less": lambda a, b: np.less(a, b).astype(np.uint8),
+    "greater": lambda a, b: np.greater(a, b).astype(np.uint8),
+    "less_equal": lambda a, b: np.less_equal(a, b).astype(np.uint8),
+    "greater_equal": lambda a, b: np.greater_equal(a, b).astype(np.uint8),
+    "and": lambda a, b: (a.astype(bool) & b.astype(bool)).astype(np.uint8),
+    "or": lambda a, b: (a.astype(bool) | b.astype(bool)).astype(np.uint8),
+}
+
+
+def decode_tile(buf: bytes, dtype: str, tile_size: int) -> np.ndarray:
+    a = np.frombuffer(buf, dtype=np.dtype(dtype).newbyteorder("<"))
+    n = len(a)
+    w = tile_size if n % tile_size == 0 else n
+    return a.reshape(n // w, w)
+
+
+def _map_tiles(ds, fn, dtype: str, tile_size: int, out_dtype: str | None = None):
+    """Apply ``fn(array) -> array`` to every tile (stateless tasks)."""
+    def _batch(t: pa.Table) -> pa.Table:
+        bufs = t.column("data").to_pylist()
+        out = [np.ascontiguousarray(fn(decode_tile(b, dtype, tile_size))).tobytes()
+               for b in bufs]
+        return t.set_column(t.schema.get_field_index("data"), "data",
+                            pa.array(out, type=pa.binary()))
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+def tile_math(ds, op: str, operand: float | None = None, *,
+              dtype: str, tile_size: int, nodata: float | None = None,
+              swap: bool = False):
+    """raster ⊗ scalar / unary math (reference Math dispatch,
+    SpaRasters.py:894-985; scalar/raster argument order normalized by
+    ``swap`` like the one-liners do)."""
+    if operand is None:
+        fn0 = UNARY_OPS[op]
+        fn = fn0
+    else:
+        b = operand
+        bop = BINARY_OPS[op]
+        fn = (lambda a: bop(b, a)) if swap else (lambda a: bop(a, b))
+    if nodata is None:
+        return _map_tiles(ds, fn, dtype, tile_size)
+
+    def masked(a: np.ndarray) -> np.ndarray:
+        m = a == nodata
+        r = fn(a)
+        r = r.astype(r.dtype, copy=True)
+        r[m] = nodata
+        return r
+
+    return _map_tiles(ds, masked, dtype, tile_size)
+
+
+def reclassify(ds, bounds: list[float], values: list[float], *,
+               dtype: str, tile_size: int):
+    """Range reclassify (SpaRasters.py:1170-1217): value v → values[i]
+    where bounds[i] <= v < bounds[i+1]; len(values) = len(bounds)-1."""
+    b = np.asarray(bounds, dtype=np.float64)
+    v = np.asarray(values)
+
+    def fn(a: np.ndarray) -> np.ndarray:
+        idx = np.clip(np.searchsorted(b, a, side="right") - 1, 0, len(v) - 1)
+        return v[idx].astype(a.dtype)
+
+    return _map_tiles(ds, fn, dtype, tile_size)
+
+
+def crop_aligned(ds, tx0: int, ty0: int, tx1: int, ty1: int):
+    """Tile-aligned crop: keep tiles in [tx0,tx1)x[ty0,ty1), rebase
+    tile coords to the crop origin (reference Crop / ExtractByPixels,
+    SpaRasters.py:1235-1282, restricted to tile multiples)."""
+    import pyarrow.compute as pc
+
+    def _batch(t: pa.Table) -> pa.Table:
+        tx = t.column("tx")
+        ty = t.column("ty")
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(tx, tx0), pc.less(tx, tx1)),
+            pc.and_(pc.greater_equal(ty, ty0), pc.less(ty, ty1)))
+        out = t.filter(mask)
+        out = out.set_column(out.schema.get_field_index("tx"), "tx",
+                             pc.subtract(out.column("tx"), tx0))
+        return out.set_column(out.schema.get_field_index("ty"), "ty",
+                              pc.subtract(out.column("ty"), ty0))
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+def tile_binary_math(ds_a, ds_b, op: str, *, dtype: str, tile_size: int):
+    """raster ⊗ raster: co-partition both tile tables on
+    (tx, ty, band) and apply the pair kernel per group. This is the
+    tile-key shuffle join (SURVEY.md §2.7) — at scale both sides hash
+    to the same partitions, no broadcast."""
+    fn = BINARY_OPS[op]
+
+    def tag(side: int):
+        def _t(t: pa.Table) -> pa.Table:
+            return t.append_column("side", pa.array(
+                np.full(len(t), side, dtype=np.int8)))
+        return _t
+
+    both = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1), batch_format="pyarrow"))
+
+    def pair(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("side", kind="stable")
+        if len(g) != 2:
+            raise ValueError(f"tile join expects 2 rows per key, got {len(g)}")
+        a = decode_tile(g["data"].iloc[0], dtype, tile_size)
+        b = decode_tile(g["data"].iloc[1], dtype, tile_size)
+        r = np.ascontiguousarray(fn(a, b))
+        return pd.DataFrame({"tx": [g["tx"].iloc[0]], "ty": [g["ty"].iloc[0]],
+                             "band": [g["band"].iloc[0]], "data": [r.tobytes()]})
+
+    return both.groupby(["tx", "ty", "band"]).map_groups(pair, batch_format="pandas")
+
+
+# ------------------------------------------------------- aggregates
+
+def raster_minmax(ds, *, dtype: str, tile_size: int, nodata: float | None = None):
+    """Global (min, max, n_pixels): per-tile partials → one aggregate
+    (replaces the pure-Python pixel loop, SpaRasters.py:456-490)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        mins, maxs, counts = [], [], []
+        for b in t.column("data").to_pylist():
+            a = decode_tile(b, dtype, tile_size)
+            if nodata is not None:
+                a = a[a != nodata]
+            mins.append(a.min() if a.size else None)
+            maxs.append(a.max() if a.size else None)
+            counts.append(int(a.size))
+        return pa.table({"tmin": pa.array(np.asarray(mins, dtype=np.float64)),
+                         "tmax": pa.array(np.asarray(maxs, dtype=np.float64)),
+                         "tcount": pa.array(counts, type=pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Min("tmin", alias_name="min_z"), Max("tmax", alias_name="max_z"),
+        Sum("tcount", alias_name="n_pixels"))
+
+
+def raster_histogram(ds, *, dtype: str, tile_size: int, nbins: int,
+                     lo: float, hi: float):
+    """Per-tile np.histogram partials with shared edges → vector-sum
+    reduce (replaces the 2-pass Python binning loop,
+    SpaRasters.py:571-620). Returns Dataset(bin, n_pixels)."""
+    from ray.data.aggregate import Sum
+
+    width = (hi - lo) / nbins
+
+    def partial(t: pa.Table) -> pa.Table:
+        bins_out, counts_out = [], []
+        for b in t.column("data").to_pylist():
+            a = decode_tile(b, dtype, tile_size).ravel()
+            idx = np.clip(((a - lo) / width).astype(np.int64), 0, nbins - 1)
+            c = np.bincount(idx, minlength=nbins)
+            nz = np.nonzero(c)[0]
+            bins_out.append(nz.astype(np.int64))
+            counts_out.append(c[nz].astype(np.int64))
+        return pa.table({"bin": pa.array(np.concatenate(bins_out)),
+                         "n": pa.array(np.concatenate(counts_out))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bin").aggregate(Sum("n", alias_name="n_pixels"))
+              .select_columns(["bin", "n_pixels"]))
+
+
+# ------------------------------------------------------- zonal stats
+
+class ZonalPartials:
+    """Actor: tile → per-zone partial (count, sum, min, max).
+
+    Zones broadcast once (ray.put → __init__); pixel centers from the
+    geotransform; membership via the same STRtree + ray-cast PIP as
+    the vector join — the north rule's "raster-to-vector zonal stats".
+    """
+
+    def __init__(self, zones_ref=None, zones_table=None,
+                 meta: RasterMeta = None, dtype: str = "int32"):
+        from spapy_ray.stages.join import ZoneIndex
+
+        if zones_table is None:
+            import ray
+            zones_table = ray.get(zones_ref)
+        self.index = ZoneIndex(zones_table)
+        self.meta = meta
+        self.dtype = dtype
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        meta = self.meta
+        zid, cnt, ssum, smin, smax = [], [], [], [], []
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for i, buf in enumerate(t.column("data").to_pylist()):
+            a = decode_tile(buf, self.dtype, meta.tile_size)
+            from spapy_ray.sources.rasters import tile_pixels
+
+            gx, gy = tile_pixels(meta, int(txs[i]), int(tys[i]))
+            lon, lat = meta.pixel_center_lonlat(gx.ravel(), gy.ravel())
+            pi, zi = self.index.query(lon, lat)
+            if len(pi) == 0:
+                continue
+            vals = a.ravel()[pi].astype(np.int64)
+            order = np.argsort(zi, kind="stable")
+            zi, vals = zi[order], vals[order]
+            uz, starts = np.unique(zi, return_index=True)
+            ends = np.append(starts[1:], len(zi))
+            for u, s, e in zip(uz, starts, ends):
+                zid.append(int(self.index.zone_ids[u]))
+                cnt.append(int(e - s))
+                ssum.append(int(vals[s:e].sum()))
+                smin.append(int(vals[s:e].min()))
+                smax.append(int(vals[s:e].max()))
+        return pa.table({"zone_id": pa.array(zid, type=pa.int64()),
+                         "n_pixels": pa.array(cnt, type=pa.int64()),
+                         "sum_z": pa.array(ssum, type=pa.int64()),
+                         "min_z": pa.array(smin, type=pa.int64()),
+                         "max_z": pa.array(smax, type=pa.int64())})
+
+
+def zonal_stats(ds, zones: pa.Table, meta: RasterMeta, *, dtype: str = "int32",
+                concurrency=None, batch_size: int = 16):
+    """tile table × zone polygons → per-zone (count, sum, min, max)."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from spapy_ray.util import cached_state
+
+    box = (ray.put(zones),)
+
+    def _task(t: pa.Table) -> pa.Table:
+        worker = cached_state(
+            box, lambda zt: ZonalPartials(zones_table=zt, meta=meta,
+                                          dtype=dtype))
+        return worker(t)
+
+    partials = ds.map_batches(_task, batch_format="pyarrow",
+                              batch_size=batch_size, zero_copy_batch=True)
+    return partials.groupby("zone_id").aggregate(
+        Sum("n_pixels", alias_name="n_pixels"),
+        Sum("sum_z", alias_name="sum_z"),
+        Min("min_z", alias_name="min_z"),
+        Max("max_z", alias_name="max_z"),
+    ).select_columns(["zone_id", "n_pixels", "sum_z", "min_z", "max_z"])
+
+
+# ------------------------------------------------------- halo stencils
+
+def _halo_fragments(t: pa.Table, meta: RasterMeta, dtype: str) -> pa.Table:
+    """Emit, per tile, its core + the 1-px strips its 8 neighbors need,
+    keyed by destination tile."""
+    out_tx, out_ty, out_dx, out_dy, out_data = [], [], [], [], []
+    txs = t.column("tx").to_numpy()
+    tys = t.column("ty").to_numpy()
+    for i, buf in enumerate(t.column("data").to_pylist()):
+        a = decode_tile(buf, dtype, meta.tile_size)
+        tx, ty = int(txs[i]), int(tys[i])
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                ntx, nty = tx + dx, ty + dy
+                if not (0 <= ntx < meta.tiles_x and 0 <= nty < meta.tiles_y):
+                    continue
+                # slice of *this* tile that neighbor (ntx,nty) needs
+                sl_x = slice(None) if dx == 0 else (slice(0, 1) if dx == 1 else slice(-1, None))
+                sl_y = slice(None) if dy == 0 else (slice(0, 1) if dy == 1 else slice(-1, None))
+                frag = np.ascontiguousarray(a[sl_y, sl_x])
+                out_tx.append(ntx)
+                out_ty.append(nty)
+                out_dx.append(-dx)      # position of this frag relative to dest
+                out_dy.append(-dy)
+                out_data.append(frag.tobytes())
+    return pa.table({
+        "tx": pa.array(out_tx, type=pa.int32()),
+        "ty": pa.array(out_ty, type=pa.int32()),
+        "dx": pa.array(out_dx, type=pa.int8()),
+        "dy": pa.array(out_dy, type=pa.int8()),
+        "data": pa.array(out_data, type=pa.binary()),
+    })
+
+
+def _assemble_padded(g: pd.DataFrame, meta: RasterMeta, dtype: str) -> np.ndarray:
+    """Fragments → (T+2)x(T+2) padded array, edges replicated where the
+    raster has no neighbor (Horn boundary convention)."""
+    T = meta.tile_size
+    pad = np.zeros((T + 2, T + 2), dtype=np.dtype(dtype))
+    core = None
+    for _, r in g.iterrows():
+        frag = np.frombuffer(r["data"], dtype=np.dtype(dtype).newbyteorder("<"))
+        dx, dy = int(r["dx"]), int(r["dy"])
+        if dx == 0 and dy == 0:
+            core = frag.reshape(T, T)
+            pad[1:T + 1, 1:T + 1] = core
+        elif dx == 0:
+            row = frag.reshape(1, T)
+            pad[0 if dy < 0 else T + 1, 1:T + 1] = row
+        elif dy == 0:
+            col = frag.reshape(T, 1)
+            pad[1:T + 1, 0 if dx < 0 else T + 1] = col[:, 0]
+        else:
+            pad[0 if dy < 0 else T + 1, 0 if dx < 0 else T + 1] = frag[0]
+    # replicate edges where no neighbor fragment arrived (raster border)
+    present = {(int(r["dx"]), int(r["dy"])) for _, r in g.iterrows()}
+    if (-1, 0) not in present:
+        pad[:, 0] = pad[:, 1]
+    if (1, 0) not in present:
+        pad[:, -1] = pad[:, -2]
+    if (0, -1) not in present:
+        pad[0, :] = pad[1, :]
+    if (0, 1) not in present:
+        pad[-1, :] = pad[-2, :]
+    # corners: always patch from adjacent edges if absent
+    for dx, dy in ((-1, -1), (1, -1), (-1, 1), (1, 1)):
+        if (dx, dy) not in present:
+            pad[0 if dy < 0 else -1, 0 if dx < 0 else -1] = \
+                pad[1 if dy < 0 else -2, 0 if dx < 0 else -1]
+    return pad
+
+
+def horn_slope_aspect(pad: np.ndarray, cellsize_x: float, cellsize_y: float):
+    """Horn (1981) 3x3 gradient on a padded array → (slope_rad, aspect_rad)
+    for the core region. Public formula, same as gdaldem slope."""
+    z = pad.astype(np.float64)
+    a = z[:-2, :-2]; b = z[:-2, 1:-1]; c = z[:-2, 2:]
+    d = z[1:-1, :-2];                  f = z[1:-1, 2:]
+    g = z[2:, :-2]; h = z[2:, 1:-1]; i = z[2:, 2:]
+    dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * cellsize_x)
+    dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8.0 * cellsize_y)
+    slope = np.arctan(np.hypot(dzdx, dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    return slope, aspect
+
+
+def hillshade_kernel(pad: np.ndarray, cellsize_x: float, cellsize_y: float,
+                     azimuth_deg: float = 315.0, altitude_deg: float = 45.0) -> np.ndarray:
+    """255-scaled illumination (SpaTopo.py:51-80 semantics)."""
+    slope, aspect = horn_slope_aspect(pad, cellsize_x, cellsize_y)
+    az = np.radians(360.0 - azimuth_deg + 90.0)
+    zen = np.radians(90.0 - altitude_deg)
+    shaded = (np.cos(zen) * np.cos(slope)
+              + np.sin(zen) * np.sin(slope) * np.cos(az - aspect))
+    return (255.0 * np.clip(shaded, 0.0, 1.0)).astype(np.float32)
+
+
+def stencil_op(ds, meta: RasterMeta, kernel, *, dtype: str = "float32",
+               out_dtype: str = "float32"):
+    """Generic 1-px halo stencil: fragments → groupby(tile) → kernel.
+
+    kernel(padded_array) -> core-sized array.
+    """
+    frags = ds.map_batches(lambda t: _halo_fragments(t, meta, dtype),
+                           batch_format="pyarrow")
+
+    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+        pad = _assemble_padded(g, meta, dtype)
+        out = np.ascontiguousarray(kernel(pad).astype(np.dtype(out_dtype)))
+        return pd.DataFrame({"tx": [g["tx"].iloc[0]], "ty": [g["ty"].iloc[0]],
+                             "band": [0], "data": [out.tobytes()]})
+
+    return frags.groupby(["tx", "ty"]).map_groups(per_tile, batch_format="pandas")
+
+
+def hillshade(ds, meta: RasterMeta, *, dtype: str = "float32",
+              azimuth_deg: float = 315.0, altitude_deg: float = 45.0):
+    cx = abs(meta.pixel_w)
+    cy = abs(meta.pixel_h)
+    return stencil_op(
+        ds, meta,
+        lambda pad: hillshade_kernel(pad, cx, cy, azimuth_deg, altitude_deg),
+        dtype=dtype)
+
+
+def slope_degrees(ds, meta: RasterMeta, *, dtype: str = "float32"):
+    cx = abs(meta.pixel_w)
+    cy = abs(meta.pixel_h)
+
+    def k(pad):
+        s, _ = horn_slope_aspect(pad, cx, cy)
+        return np.degrees(s).astype(np.float32)
+
+    return stencil_op(ds, meta, k, dtype=dtype)

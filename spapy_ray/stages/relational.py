@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from spapy_ray.util import default_pool
 
 
 class BroadcastHashJoin:
@@ -49,17 +50,34 @@ class BroadcastHashJoin:
 
 def broadcast_join(ds, small: pa.Table, key: str, small_key: str | None = None,
                    small_columns: list[str] | None = None,
-                   concurrency=None, batch_size: int = 16384):
+                   concurrency=None, batch_size: int | None = 16384,
+                   use_actors: bool = False):
     import ray
 
-    return ds.map_batches(
-        BroadcastHashJoin,
-        fn_constructor_kwargs={"small_ref": ray.put(small), "key": key,
-                               "small_key": small_key,
-                               "small_columns": small_columns},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or (1, 4),
-    )
+    from spapy_ray.util import cached_state
+
+    small_ref = ray.put(small)
+    if use_actors:
+        return ds.map_batches(
+            BroadcastHashJoin,
+            fn_constructor_kwargs={"small_ref": small_ref, "key": key,
+                                   "small_key": small_key,
+                                   "small_columns": small_columns},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency or default_pool(),
+        )
+
+    box = (small_ref,)
+
+    def _task(batch: pa.Table) -> pa.Table:
+        joiner = cached_state(
+            box, lambda st: BroadcastHashJoin(
+                small_table=st, key=key, small_key=small_key,
+                small_columns=small_columns))
+        return joiner(batch)
+
+    return ds.map_batches(_task, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)
 
 
 # --- SpaPy-style selections (SpaVectors.py:442-549) as fused filters.
