@@ -33,7 +33,20 @@ def zone_anchors(zones: pa.Table) -> np.ndarray:
     """
     out = np.empty((len(zones), 2), dtype=np.float64)
     for i, g in enumerate(zones.column("geom_wkb").to_pylist()):
-        minx, miny, maxx, maxy = geom.multipolygon_bbox(wkb.as_multipolygon(g))
+        t, v = wkb.decode(g)
+        if t == "Point":
+            out[i] = v
+            continue
+        if t == "Polygon":
+            mp = [v]
+        elif t == "MultiPolygon":
+            mp = v
+        else:  # LineString / MultiPoint / MultiLineString: bbox of coords
+            pts = np.vstack(v) if isinstance(v, list) else np.asarray(v)
+            out[i] = ((pts[:, 0].min() + pts[:, 0].max()) / 2.0,
+                      (pts[:, 1].min() + pts[:, 1].max()) / 2.0)
+            continue
+        minx, miny, maxx, maxy = geom.multipolygon_bbox(mp)
         out[i] = ((minx + maxx) / 2.0, (miny + maxy) / 2.0)
     return out
 

@@ -309,9 +309,11 @@ def _halo_fragments(t: pa.Table, meta: RasterMeta, dtype: str) -> pa.Table:
                 ntx, nty = tx + dx, ty + dy
                 if not (0 <= ntx < meta.tiles_x and 0 <= nty < meta.tiles_y):
                     continue
-                # slice of *this* tile that neighbor (ntx,nty) needs
-                sl_x = slice(None) if dx == 0 else (slice(0, 1) if dx == 1 else slice(-1, None))
-                sl_y = slice(None) if dy == 0 else (slice(0, 1) if dy == 1 else slice(-1, None))
+                # slice of *this* tile that neighbor (ntx,nty) needs:
+                # the east neighbor (dx=+1) sees my EASTERNMOST column
+                # as its west halo, and so on.
+                sl_x = slice(None) if dx == 0 else (slice(-1, None) if dx == 1 else slice(0, 1))
+                sl_y = slice(None) if dy == 0 else (slice(-1, None) if dy == 1 else slice(0, 1))
                 frag = np.ascontiguousarray(a[sl_y, sl_x])
                 out_tx.append(ntx)
                 out_ty.append(nty)
@@ -347,7 +349,12 @@ def _assemble_padded(g: pd.DataFrame, meta: RasterMeta, dtype: str) -> np.ndarra
             pad[1:T + 1, 0 if dx < 0 else T + 1] = col[:, 0]
         else:
             pad[0 if dy < 0 else T + 1, 0 if dx < 0 else T + 1] = frag[0]
-    # replicate edges where no neighbor fragment arrived (raster border)
+    # Replicate edges where no neighbor fragment arrived (raster
+    # border), matching np.pad(mode="edge") on the whole array.
+    # Columns FIRST, then rows: in a rectangular tile grid a corner
+    # fragment is missing iff an adjacent edge is missing, and this
+    # order makes the row/column replication fill every such corner
+    # with the correct value — no explicit corner handling.
     present = {(int(r["dx"]), int(r["dy"])) for _, r in g.iterrows()}
     if (-1, 0) not in present:
         pad[:, 0] = pad[:, 1]
@@ -357,11 +364,6 @@ def _assemble_padded(g: pd.DataFrame, meta: RasterMeta, dtype: str) -> np.ndarra
         pad[0, :] = pad[1, :]
     if (0, 1) not in present:
         pad[-1, :] = pad[-2, :]
-    # corners: always patch from adjacent edges if absent
-    for dx, dy in ((-1, -1), (1, -1), (-1, 1), (1, 1)):
-        if (dx, dy) not in present:
-            pad[0 if dy < 0 else -1, 0 if dx < 0 else -1] = \
-                pad[1 if dy < 0 else -2, 0 if dx < 0 else -1]
     return pad
 
 

@@ -1,0 +1,181 @@
+"""Vector transform stages, CRS transform stage, resumable manifest,
+cell-partitioned kNN — end-to-end over Ray (shared session)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from spapy_ray.kernels import geom, wkb
+from spapy_ray.sources.zones import zones_table
+
+
+def _zones_ds(n=40):
+    import ray.data as rd
+
+    return rd.from_arrow(zones_table(n))
+
+
+def test_buffer_points(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.vector_ops import buffer
+
+    pts = pa.table({
+        "pid": pa.array([0, 1]),
+        "geom_wkb": pa.array([wkb.encode_point(0.0, 0.0),
+                              wkb.encode_point(10.0, 5.0)], type=pa.binary()),
+    })
+    out = buffer(rd.from_arrow(pts), 2.0).to_pandas()
+    assert len(out) == 2
+    t, v = wkb.decode(out["geom_wkb"].iloc[0])
+    assert t == "Polygon"
+    a = abs(geom.ring_signed_area(v[0]))
+    assert 0.99 * np.pi * 4 < a < np.pi * 4
+
+
+def test_buffer_polygon_grows_area(ray_session):
+    from spapy_ray.stages.vector_ops import buffer, measures
+
+    src = measures(_zones_ds(10)).to_pandas()
+    out = measures(buffer(_zones_ds(10), 0.5)).to_pandas()
+    m = pd.merge(src, out, on="zone_id", suffixes=("_a", "_b"))
+    assert (m["area_b"] > m["area_a"]).all()
+
+
+def test_simplify_and_densify_roundtrip(ray_session):
+    from spapy_ray.stages.vector_ops import densify, simplify
+
+    dense = densify(_zones_ds(10), 0.2)
+    n_dense = sum(len(wkb.as_multipolygon(g)[0][0])
+                  for g in dense.to_pandas()["geom_wkb"])
+    n_src = sum(len(wkb.as_multipolygon(g)[0][0])
+                for g in _zones_ds(10).to_pandas()["geom_wkb"])
+    assert n_dense > 4 * n_src
+    # simplifying the densified rectangles recovers ~the corner count
+    simp = simplify(densify(_zones_ds(10), 0.2), 0.01).to_pandas()
+    for g, g0 in zip(simp["geom_wkb"], _zones_ds(10).to_pandas()["geom_wkb"]):
+        mp, mp0 = wkb.as_multipolygon(g), wkb.as_multipolygon(g0)
+        assert abs(geom.multipolygon_area(mp) - geom.multipolygon_area(mp0)) < 1e-6
+
+
+def test_centroid_and_hull(ray_session):
+    from spapy_ray.stages.vector_ops import centroid, convex_hull
+
+    cent = centroid(_zones_ds(8)).to_pandas()
+    for g in cent["geom_wkb"]:
+        t, v = wkb.decode(g)
+        assert t == "Point"
+    hull = convex_hull(_zones_ds(8)).to_pandas()
+    for g, g0 in zip(hull["geom_wkb"], _zones_ds(8).to_pandas()["geom_wkb"]):
+        t, v = wkb.decode(g)
+        assert t == "Polygon"
+        mp0 = wkb.as_multipolygon(g0)
+        assert geom.multipolygon_area([v]) >= geom.multipolygon_area(mp0) - 1e-9
+
+
+def test_split_features(ray_session):
+    from spapy_ray.stages.vector_ops import split_features
+
+    src = _zones_ds(40).to_pandas()
+    n_parts = sum(len(wkb.as_multipolygon(g)) for g in src["geom_wkb"])
+    out = split_features(_zones_ds(40)).to_pandas()
+    assert len(out) == n_parts
+    for g in out["geom_wkb"]:
+        assert wkb.decode(g)[0] == "Polygon"
+    # attributes replicated
+    assert set(out.columns) == set(src.columns)
+
+
+def test_transform_points_roundtrip(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.transform import transform_points
+
+    df = pd.DataFrame({"lon": np.linspace(-170, 170, 100),
+                       "lat": np.linspace(-80, 80, 100)})
+    ds = rd.from_pandas(df)
+    out = transform_points(ds, "epsg:3857").to_pandas()
+    assert {"x", "y"} <= set(out.columns)
+    back = transform_points(
+        rd.from_pandas(out.rename(columns={"x": "mx", "y": "my"})),
+        "epsg:3857", lon_col="mx", lat_col="my", x_col="lon2", y_col="lat2",
+        inverse=True).to_pandas()
+    assert np.allclose(back["lon2"], back["lon"], atol=1e-9)
+    assert np.allclose(back["lat2"], back["lat"], atol=1e-9)
+
+
+def test_transform_geoms(ray_session):
+    from spapy_ray.stages.transform import transform_geoms
+
+    out = transform_geoms(_zones_ds(6), "equirect").to_pandas()
+    for g in out["geom_wkb"]:
+        mp = wkb.as_multipolygon(g)
+        # projected coords are meters: far outside degree range
+        assert abs(mp[0][0]).max() > 1e5
+
+
+def test_manifest_write_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    from spapy_ray.state.manifest import (load_manifest, read_partitioned,
+                                          write_partitioned)
+
+    out = str(tmp_path / "tiles")
+    df = pd.DataFrame({"tile": np.repeat([1, 2, 3, 4], 25),
+                       "v": np.arange(100)})
+    m1 = write_partitioned(rd.from_pandas(df), out, "tile")
+    assert set(m1["partitions"]) == {"1", "2", "3", "4"}
+    total1 = sum(p["rows"] for p in m1["partitions"].values())
+    assert total1 == 100
+
+    # resume: delete one partition from the manifest, rerun → only that
+    # partition is rewritten (fingerprints of others unchanged)
+    m = load_manifest(out)
+    fp_before = {k: v["fingerprint"] for k, v in m["partitions"].items()}
+    del m["partitions"]["3"]
+    import json
+
+    with open(os.path.join(out, "_manifest.json"), "w") as f:
+        json.dump(m, f)
+    m2 = write_partitioned(rd.from_pandas(df), out, "tile")
+    assert set(m2["partitions"]) == {"1", "2", "3", "4"}
+    assert m2["partitions"]["3"]["fingerprint"] == fp_before["3"]
+
+    back = read_partitioned(out, "tile").to_pandas().sort_values("v")
+    assert np.array_equal(back["v"].to_numpy(), np.arange(100))
+
+
+def test_knn_cells_matches_broadcast(ray_session):
+    """Cell-partitioned kNN == broadcast kNN for points whose k-th
+    neighbor lies within the ring guarantee."""
+    import ray.data as rd
+
+    from spapy_ray.stages.knn import knn_join_broadcast, knn_join_cells
+
+    rng = np.random.default_rng(11)
+    n_t = 300
+    tdf = pd.DataFrame({"zone_id": np.arange(n_t),
+                        "lon": rng.uniform(-20, 20, n_t),
+                        "lat": rng.uniform(-20, 20, n_t)})
+    pdf = pd.DataFrame({"url": [f"p{i}" for i in range(500)],
+                        "lon": rng.uniform(-18, 18, 500),
+                        "lat": rng.uniform(-18, 18, 500)})
+    zt = pa.table({"zone_id": pa.array(tdf["zone_id"]),
+                   "geom_wkb": pa.array(
+                       [wkb.encode_point(x, y) for x, y in zip(tdf.lon, tdf.lat)],
+                       type=pa.binary())})
+    # broadcast reference (anchors == the points themselves)
+    bc = knn_join_broadcast(rd.from_pandas(pdf), zt, k=2,
+                            left_columns=["url"]).to_pandas()
+    cc = knn_join_cells(rd.from_pandas(pdf), rd.from_pandas(tdf), k=2,
+                        res=4, max_ring=2).to_pandas()
+    # ring guarantee at res 4: cell ~ 22.5 x 11.25 deg, ring 2 covers
+    # >= 2 cells in every direction — all neighbors found here
+    cc = cc.rename(columns={"key": "url"})
+    got = cc.sort_values(["url", "rank"]).reset_index()
+    exp = bc.sort_values(["url", "rank"]).reset_index()
+    assert len(got) == len(exp)
+    assert (got["zone_id"].to_numpy() == exp["zone_id"].to_numpy()).all()
