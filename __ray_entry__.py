@@ -56,4 +56,12 @@ def oracle_sql() -> dict[str, str]:
         "raster_histogram": o.q_raster_histogram(),
         "raster_minmax": o.q_raster_minmax(),
         "raster_diff_stats": o.q_raster_diff_stats(),
+        "split_zones": o.q_split_zones(),
+        "buffer_zone_bounds": o.q_buffer_zone_bounds(),
+        "project_equirect": o.q_project_equirect(),
+        "dedup_first_rows": o.q_dedup_first_rows(),
+        "events_hourly": o.q_events_hourly(),
+        "docs_lang_guess": o.q_docs_lang_guess(),
+        "reclassify_hist": o.q_reclassify_hist(),
+        "raster_crop_minmax": o.q_raster_crop_minmax(),
     }

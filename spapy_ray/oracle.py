@@ -258,3 +258,99 @@ def q_raster_diff_stats() -> str:
     return (f"WITH {_pixel_grid_cte()} "
             "SELECT sum(z - z2)::BIGINT AS sum_d, min(z - z2)::BIGINT AS min_d, "
             "max(z - z2)::BIGINT AS max_d, count(*)::BIGINT AS n_pixels FROM grid")
+
+
+# ------------------------------------------------- vector-op queries
+
+def q_split_zones(num_zones: int = 200) -> str:
+    """Part bboxes after Multi* explode: shape 3 zones contribute two
+    rows (their two disjoint rects), everything else its full bbox."""
+    return (
+        f"WITH zones AS ({sql_zones_cte(num_zones)}), parts AS ("
+        "SELECT zone_id, x0 AS a, y0 AS b, "
+        "CASE WHEN shape = 3 THEN x0 + w2 ELSE x0 + w END AS c, "
+        "CASE WHEN shape = 3 THEN y0 + h2 ELSE y0 + h END AS d FROM zones "
+        "UNION ALL "
+        "SELECT zone_id, x0 + w2 + 5000, y0 + h2 + 5000, x0 + w, y0 + h "
+        "FROM zones WHERE shape = 3) "
+        "SELECT zone_id, a::DOUBLE / 10000.0 AS minx, b::DOUBLE / 10000.0 AS miny, "
+        "c::DOUBLE / 10000.0 AS maxx, d::DOUBLE / 10000.0 AS maxy FROM parts"
+    )
+
+
+def q_buffer_zone_bounds(num_zones: int = 200, dist: float = 0.5) -> str:
+    """Buffered bbox = bbox ± dist exactly (edge-midpoint offsets; dist
+    dyadic so the double arithmetic is exact on both sides)."""
+    return (
+        f"WITH zones AS ({sql_zones_cte(num_zones)}) "
+        f"SELECT zone_id, (x0::DOUBLE / 10000.0) - {dist} AS minx, "
+        f"(y0::DOUBLE / 10000.0) - {dist} AS miny, "
+        f"((x0 + w)::DOUBLE / 10000.0) + {dist} AS maxx, "
+        f"((y0 + h)::DOUBLE / 10000.0) + {dist} AS maxy FROM zones"
+    )
+
+
+def q_project_equirect() -> str:
+    """Equirectangular projection: x = R * (lon * pi/180) with the same
+    double constant and multiply order as kernels.proj.equirect_forward."""
+    rad = "0.017453292519943295"  # repr(pi/180) as a double literal
+    return (
+        f"WITH {geo_cte()} "
+        f"SELECT url, warc_ts, 6378137.0 * (lon * {rad}) AS x, "
+        f"6378137.0 * (lat * {rad}) AS y FROM geo"
+    )
+
+
+def q_dedup_first_rows() -> str:
+    return (
+        f"WITH {pages_cte()} "
+        "SELECT url, warc_ts, lang FROM ("
+        "SELECT url, warc_ts, lang, "
+        "row_number() OVER (PARTITION BY url ORDER BY warc_ts) AS rn "
+        "FROM pages) WHERE rn = 1"
+    )
+
+
+def q_events_hourly() -> str:
+    return (
+        "SELECT user_id, epoch_us(ts) // 3600000000 AS hour, "
+        "count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
+def q_docs_lang_guess() -> str:
+    from spapy_ray.stages.text import LANG_MARKERS
+
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        quoted = "','".join(markers)
+        scores.append(
+            f"len(list_filter(string_split(text, ' '), w -> w IN ('{quoted}'))) AS s_{lang}")
+    langs = list(LANG_MARKERS)
+    # first-wins argmax over the LANG_MARKERS order == np.argmax ties
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return (f"SELECT doc_id, {case} AS lang_guess FROM "
+            f"(SELECT doc_id, {', '.join(scores)} FROM documents)")
+
+
+def q_reclassify_hist() -> str:
+    return (
+        f"WITH {_pixel_grid_cte()} "
+        "SELECT (CASE WHEN z < 64 THEN 1 WHEN z < 128 THEN 2 "
+        "WHEN z < 192 THEN 3 ELSE 4 END)::BIGINT AS class, "
+        "count(*)::BIGINT AS n_pixels FROM grid GROUP BY 1"
+    )
+
+
+def q_raster_crop_minmax() -> str:
+    return (
+        f"WITH {_pixel_grid_cte()} "
+        "SELECT min(z)::BIGINT AS min_z, max(z)::BIGINT AS max_z, "
+        "count(*)::BIGINT AS n_pixels FROM grid "
+        "WHERE px >= 128 AND px < 384 AND py >= 128 AND py < 384"
+    )

@@ -272,3 +272,162 @@ QUERIES.update({
     "raster_minmax": q_raster_minmax,
     "raster_diff_stats": q_raster_diff_stats,
 })
+
+
+# ------------------------------------------------- vector-op queries
+
+def q_split_zones(sf_dir: str):
+    """split_features over the zone layer → one row per part with its
+    exact bbox (validates Multi* explode + WKB + bbox, SURVEY §2.2)."""
+    import ray.data as rd
+
+    from spapy_ray.stages.measures import measure_wkb_table
+    from spapy_ray.stages.vector_ops import split_features
+
+    parts = split_features(rd.from_arrow(zones_table()))
+
+    def bounds(t: pa.Table) -> pa.Table:
+        return measure_wkb_table(t, "geom_wkb")
+
+    return parts.map_batches(bounds, batch_format="pyarrow") \
+        .select_columns(["zone_id", "minx", "miny", "maxx", "maxy"])
+
+
+def q_buffer_zone_bounds(sf_dir: str, dist: float = 0.5):
+    """buffer(zones, 0.5) → exact bbox growth of ±dist (edge-midpoint
+    offsets dominate the bbox; dyadic dist keeps doubles exact)."""
+    import ray.data as rd
+
+    from spapy_ray.stages.measures import measure_wkb_table
+    from spapy_ray.stages.vector_ops import buffer
+
+    buf = buffer(rd.from_arrow(zones_table()), dist)
+
+    def bounds(t: pa.Table) -> pa.Table:
+        return measure_wkb_table(t, "geom_wkb")
+
+    return buf.map_batches(bounds, batch_format="pyarrow") \
+        .select_columns(["zone_id", "minx", "miny", "maxx", "maxy"])
+
+
+def q_project_equirect(sf_dir: str):
+    """Geocoded pages projected to equirectangular meters (pure
+    multiplicative projection → bit-identical SQL twin)."""
+    from spapy_ray.stages.transform import transform_points
+
+    out = transform_points(_geo(sf_dir), "equirect")
+    return out.select_columns(["url", "warc_ts", "x", "y"])
+
+
+def q_zone_centroids(sf_dir: str):
+    """Area-weighted centroids from WKB (no SQL oracle — float
+    summation order differs from a closed form; rows-only check;
+    exactness is covered by pytest against known centroids)."""
+    import ray.data as rd
+
+    from spapy_ray.stages.vector_ops import centroid
+
+    cent = centroid(rd.from_arrow(zones_table()))
+
+    def pts(t: pa.Table) -> pa.Table:
+        from spapy_ray.kernels import wkb as _w
+
+        xs, ys = [], []
+        for g in t.column("geom_wkb").to_pylist():
+            _, (x, y) = _w.decode(g)
+            xs.append(x)
+            ys.append(y)
+        return pa.table({"zone_id": t.column("zone_id"),
+                         "cx": pa.array(xs), "cy": pa.array(ys)})
+
+    return cent.map_batches(pts, batch_format="pyarrow")
+
+
+def q_dedup_first_rows(sf_dir: str):
+    """Row-level dedup: per url keep the first-crawled row
+    (groupby + map_groups head(1) — the hash-partition + first form)."""
+    from spapy_ray.stages.dedup import dedup_first
+
+    ds = dedup_first(pages_dataset(sf_dir, include_html=False),
+                     key="url", order_col="warc_ts")
+    return ds.select_columns(["url", "warc_ts", "lang"])
+
+
+def q_events_hourly(sf_dir: str):
+    """Temporal bucket aggregate over the events table (integer hour
+    buckets keep both sides exact)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        hour = pc.divide(us, 3600000000)
+        return t.append_column("hour", hour)
+
+    out = ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby(["user_id", "hour"]).aggregate(
+            Count(alias_name="n_events"), Sum("value", alias_name="sum_value")) \
+        .to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    return out[["user_id", "hour", "n_events", "sum_value"]]
+
+
+def q_docs_lang_guess(sf_dir: str):
+    from spapy_ray.stages.text import lang_guess_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(lang_guess_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "lang_guess"])
+
+
+def q_reclassify_hist(sf_dir: str):
+    """reclassify the int DEM into 4 classes then count per class."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.raster import decode_tile, reclassify
+
+    ds, meta = _dem()
+    rc = reclassify(ds, bounds=[0, 64, 128, 192, 256], values=[1, 2, 3, 4],
+                    dtype="int32", tile_size=meta.tile_size)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cls, cnt = [], []
+        for buf in t.column("data").to_pylist():
+            a = decode_tile(buf, "int32", meta.tile_size).ravel()
+            c = np.bincount(a, minlength=5)
+            nz = np.nonzero(c)[0]
+            cls.append(nz.astype(np.int64))
+            cnt.append(c[nz].astype(np.int64))
+        return pa.table({"class": pa.array(np.concatenate(cls)),
+                         "n": pa.array(np.concatenate(cnt))})
+
+    return rc.map_batches(partial, batch_format="pyarrow") \
+        .groupby("class").aggregate(Sum("n", alias_name="n_pixels")) \
+        .select_columns(["class", "n_pixels"])
+
+
+def q_raster_crop_minmax(sf_dir: str):
+    """Tile-aligned crop then global min/max (crop + aggregate)."""
+    from spapy_ray.stages.raster import crop_aligned, raster_minmax
+
+    ds, meta = _dem()
+    cropped = crop_aligned(ds, 2, 2, 6, 6)
+    row = raster_minmax(cropped, dtype="int32", tile_size=meta.tile_size)
+    out = pd.DataFrame([row])
+    for c in ("min_z", "max_z", "n_pixels"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+QUERIES.update({
+    "split_zones": q_split_zones,
+    "buffer_zone_bounds": q_buffer_zone_bounds,
+    "project_equirect": q_project_equirect,
+    "zone_centroids": q_zone_centroids,
+    "dedup_first_rows": q_dedup_first_rows,
+    "events_hourly": q_events_hourly,
+    "docs_lang_guess": q_docs_lang_guess,
+    "reclassify_hist": q_reclassify_hist,
+    "raster_crop_minmax": q_raster_crop_minmax,
+})
