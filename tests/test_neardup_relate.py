@@ -1,0 +1,151 @@
+"""MinHash/LSH/SimHash near-dup + dataset relates/clip (shared Ray)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from spapy_ray.kernels import clip, geom, wkb
+from spapy_ray.sources.zones import zones_table
+
+
+def _docs_with_dups():
+    """60 docs: 20 base texts; docs 40..59 are near-dups of 0..19
+    (one token changed); plus exact dups of 0..4."""
+    rng = np.random.default_rng(13)
+    words = [f"w{i}" for i in range(200)]
+    base = [" ".join(rng.choice(words, 30)) for _ in range(20)]
+    texts = list(base)
+    texts += [" ".join(rng.choice(words, 30)) for _ in range(15)]  # 20..34 unique
+    texts += [base[i] for i in range(5)]                            # 35..39 exact dups
+    for i in range(20):                                             # 40..59 near dups
+        w = base[i].split(" ")
+        w[7] = "CHANGED"
+        texts.append(" ".join(w))
+    return pd.DataFrame({"key": [f"d{i}" for i in range(len(texts))],
+                         "text": texts})
+
+
+def test_minhash_identical_texts_same_signature(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.neardup import minhash_signatures
+
+    df = _docs_with_dups()
+    out = minhash_signatures(rd.from_pandas(df), num_hashes=8).to_pandas()
+    out = out.set_index("key")
+    for i in range(5):
+        a, b = out.loc[f"d{i}"], out.loc[f"d{35 + i}"]
+        for s in range(8):
+            assert a[f"sig{s}"] == b[f"sig{s}"]
+
+
+def test_lsh_finds_planted_near_dups(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.neardup import jaccard, near_dup_pairs
+
+    df = _docs_with_dups()
+    pairs = near_dup_pairs(rd.from_pandas(df), key_col="key",
+                           num_hashes=16, bands=8, threshold=0.7).to_pandas()
+    got = {frozenset(p) for p in zip(pairs["key_a"], pairs["key_b"])}
+    # every exact dup pair must be found (all bands collide)
+    for i in range(5):
+        assert frozenset((f"d{i}", f"d{35 + i}")) in got
+    # most planted near-dups (jaccard ~0.8) should be found
+    found_near = sum(frozenset((f"d{i}", f"d{40 + i}")) in got for i in range(20))
+    assert found_near >= 16
+    # no false positives below threshold
+    for a, b, j in zip(pairs["key_a"], pairs["key_b"], pairs["jacc"]):
+        ia, ib = int(a[1:]), int(b[1:])
+        ta = df.set_index("key").loc[a, "text"]
+        tb = df.set_index("key").loc[b, "text"]
+        assert jaccard(ta, tb) >= 0.7
+
+
+def test_simhash_near_dup_small_hamming(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.neardup import hamming64, simhash
+
+    df = _docs_with_dups()
+    out = simhash(rd.from_pandas(df)).to_pandas().set_index("key")
+    h = lambda k: np.array([out.loc[k, "simhash"]], dtype=np.uint64)
+    # exact dup: distance 0
+    assert hamming64(h("d0"), h("d35"))[0] == 0
+    # near dup: small distance; unrelated: larger
+    near = hamming64(h("d3"), h("d43"))[0]
+    far = hamming64(h("d3"), h("d25"))[0]
+    assert near < far
+
+
+def test_point_semi_anti_join(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.pipelines.flagship import pages_dataset
+    from spapy_ray.stages.geocode import geocode
+    from spapy_ray.stages.join import pip_join
+    from spapy_ray.stages.relate import point_semi_join
+
+    geo = geocode(pages_dataset(n=2000, include_html=False))
+    semi = point_semi_join(geo, zones_table()).to_pandas()
+    anti = point_semi_join(geo, zones_table(), anti=True).to_pandas()
+    assert len(semi) + len(anti) == 2000
+    joined = pip_join(geo, zones_table(), left_columns=["url", "warc_ts"],
+                      zone_columns=["zone_id"]).to_pandas()
+    assert set(semi["url"]) == set(joined["url"])
+    assert set(anti["url"]).isdisjoint(set(joined["url"]))
+
+
+def test_relate_exists_and_column(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.relate import relate_column, relate_exists
+
+    zds = rd.from_arrow(zones_table(20))
+    # a polygon covering everything intersects some zone
+    world = wkb.encode_polygon([clip.bbox_ring(-180, -85, 180, 85)])
+    assert relate_exists(zds, world, "intersects") is True
+    nowhere = wkb.encode_polygon([clip.bbox_ring(500, 500, 510, 510)])
+    assert relate_exists(zds, nowhere, "intersects") is False
+    col = relate_column(zds, world, "intersects").to_pandas()
+    assert col["intersects"].all()
+
+
+def test_clip_to_stage(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.relate import clip_to
+    from spapy_ray.stages.vector_ops import measures
+
+    box = wkb.encode_polygon([clip.bbox_ring(-50.0, -40.0, 60.0, 50.0)])
+    out = measures(clip_to(rd.from_arrow(zones_table(100)), box)).to_pandas()
+    assert len(out) > 0
+    assert (out["minx"] >= -50.0).all() and (out["maxx"] <= 60.0).all()
+    assert (out["miny"] >= -40.0).all() and (out["maxy"] <= 50.0).all()
+    # total clipped area equals sum over zones of (zone ∩ box) computed
+    # serially with the same kernel (stage == kernel composition)
+    total = 0.0
+    for g in zones_table(100).column("geom_wkb").to_pylist():
+        mp = wkb.as_multipolygon(g)
+        res = clip.clip_multipolygon_convex(mp, clip.bbox_ring(-50, -40, 60, 50))
+        if res:
+            total += geom.multipolygon_area(res)
+    assert out["area"].sum() == pytest.approx(total)
+
+
+def test_pip_join_cells_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.pipelines.flagship import pages_dataset
+    from spapy_ray.stages.geocode import geocode
+    from spapy_ray.stages.join import pip_join, pip_join_cells
+
+    geo = geocode(pages_dataset(n=3000, include_html=False))
+    bc = pip_join(geo, zones_table(), left_columns=["url"],
+                  zone_columns=["zone_id"]).to_pandas()
+    for salt in (1, 3):
+        cc = pip_join_cells(geo, rd.from_arrow(zones_table()), res=4,
+                            salt=salt).to_pandas()
+        assert set(zip(bc["url"], bc["zone_id"])) == \
+            set(zip(cc["pkey"], cc["zkey"]))
