@@ -66,4 +66,5 @@ def oracle_sql() -> dict[str, str]:
         "raster_crop_minmax": o.q_raster_crop_minmax(),
         "minhash_sigs": o.q_minhash_sigs(),
         "near_dup_docs": o.q_near_dup_docs(),
+        "events_sessions": o.q_events_sessions(),
     }

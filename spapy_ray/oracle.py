@@ -386,3 +386,9 @@ def q_near_dup_docs(threshold: float = 0.8) -> str:
         "FROM s a JOIN s b ON a.doc_id < b.doc_id) "
         f"SELECT key_a, key_b, jacc FROM p WHERE jacc >= {threshold}"
     )
+
+
+def q_events_sessions() -> str:
+    from spapy_ray.stages.sessions import sql_sessionize
+
+    return sql_sessionize()

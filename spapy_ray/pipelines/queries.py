@@ -463,3 +463,15 @@ def q_near_dup_docs(sf_dir: str, threshold: float = 0.8):
 
 
 QUERIES["near_dup_docs"] = q_near_dup_docs
+
+
+def q_events_sessions(sf_dir: str):
+    """Gap-based sessionization of the events log (30-min gap)."""
+    from spapy_ray.stages.sessions import sessionize
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return sessionize(ds).select_columns(
+        ["user_id", "session_start_us", "session_end_us", "n_events"])
+
+
+QUERIES["events_sessions"] = q_events_sessions

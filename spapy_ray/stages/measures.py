@@ -60,3 +60,29 @@ def dataset_bounds(ds, cols=("lon", "lat")):
     x, y = cols
     return ds.aggregate(Min(x, alias_name="minx"), Min(y, alias_name="miny"),
                         Max(x, alias_name="maxx"), Max(y, alias_name="maxy"))
+
+
+def dataset_convex_hull(ds, geom_col: str = "geom_wkb") -> np.ndarray:
+    """Convex hull of ALL features: per-block partial hulls (the only
+    points that can matter) → tiny driver-side final merge. The
+    distributed form of the reference's whole-dataset folds
+    (OverlayWithSelf-style accumulation, SpaVectors.py:1006-1038, for
+    the associative hull case)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        pts = []
+        for g in t.column(geom_col).to_pylist():
+            ty, v = wkb.decode(g)
+            if ty == "Point":
+                pts.append(np.asarray([v]))
+            elif ty in ("LineString", "MultiPoint"):
+                pts.append(np.asarray(v))
+            elif ty == "Polygon":
+                pts.append(np.vstack(v))
+            else:
+                pts.append(np.vstack([r for p in v for r in p]))
+        hull = geom.convex_hull(np.vstack(pts)) if pts else np.zeros((0, 2))
+        return pa.table({"x": pa.array(hull[:, 0]), "y": pa.array(hull[:, 1])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return geom.convex_hull(parts[["x", "y"]].to_numpy())

@@ -1,0 +1,65 @@
+"""Stream-shaped operators over the events log.
+
+Ray Data has no event-time windows (ray_guide: treat the input as an
+ordered, partitioned log); sessionization = groupby(user) + per-group
+sort + gap detection with numpy. The SQL oracle uses lag() window
+functions — both sides work on exact integer microseconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def sessionize(ds, gap_us: int = 1800_000_000, user_col: str = "user_id",
+               ts_col: str = "ts"):
+    """Gap-based sessions: a new session starts when the time since
+    the previous event of the same user exceeds ``gap_us``.
+
+    Returns one row per session: (user_id, session_start_us,
+    session_end_us, n_events). Partitioning contract: one group per
+    user (hash shuffle on user_col); within-group order established by
+    an explicit sort inside the group (driver order never matters).
+    """
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        col = g[ts_col]
+        if np.issubdtype(col.dtype, np.datetime64):
+            # normalize to microseconds regardless of pandas unit
+            col = pd.to_datetime(col).astype("datetime64[us]")
+        ts = np.sort(col.astype("int64").to_numpy())
+        if len(ts) == 0:
+            return pd.DataFrame({"user_id": [], "session_start_us": [],
+                                 "session_end_us": [], "n_events": []})
+        new = np.concatenate([[True], np.diff(ts) > gap_us])
+        sid = np.cumsum(new) - 1
+        n = sid[-1] + 1
+        starts = ts[new]
+        ends = np.maximum.reduceat(ts, np.nonzero(new)[0])
+        counts = np.bincount(sid, minlength=n)
+        return pd.DataFrame({
+            "user_id": np.full(n, g[user_col].iloc[0]),
+            "session_start_us": starts.astype(np.int64),
+            "session_end_us": ends.astype(np.int64),
+            "n_events": counts.astype(np.int64),
+        })
+
+    return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")
+
+
+def sql_sessionize(gap_us: int = 1800_000_000) -> str:
+    """DuckDB twin: lag() gap flags → running session ids → aggregate."""
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+        "flagged AS (SELECT user_id, us, "
+        "CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) "
+        f"> {gap_us} OR lag(us) OVER (PARTITION BY user_id ORDER BY us) "
+        "IS NULL THEN 1 ELSE 0 END AS new_session FROM e), "
+        "sess AS (SELECT user_id, us, "
+        "sum(new_session) OVER (PARTITION BY user_id ORDER BY us "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) "
+        "SELECT user_id, min(us)::BIGINT AS session_start_us, "
+        "max(us)::BIGINT AS session_end_us, count(*)::BIGINT AS n_events "
+        "FROM sess GROUP BY user_id, sid"
+    )

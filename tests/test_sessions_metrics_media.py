@@ -1,0 +1,138 @@
+"""Sessionization, metrics counters, multimodal plumbing, hull fold."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spapy_ray.kernels import geom
+
+
+def test_sessionize_known_sessions(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.sessions import sessionize
+
+    base = 1_600_000_000_000_000
+    rows = []
+    # user 1: 3 events close, gap, 2 events  -> 2 sessions
+    for off in (0, 60, 120, 4000, 4060):
+        rows.append({"user_id": 1, "ts": base + off * 1_000_000})
+    # user 2: single event -> 1 session
+    rows.append({"user_id": 2, "ts": base})
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    out = sessionize(rd.from_pandas(df), gap_us=1800 * 1_000_000).to_pandas()
+    out = out.sort_values(["user_id", "session_start_us"]).reset_index(drop=True)
+    assert len(out) == 3
+    u1 = out[out.user_id == 1]
+    assert list(u1["n_events"]) == [3, 2]
+    assert u1["session_end_us"].iloc[0] - u1["session_start_us"].iloc[0] == 120 * 1_000_000
+
+
+def test_metrics_counters(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.state import metrics
+
+    metrics.reset()
+
+    def halver(t):
+        return t.slice(0, len(t) // 2)
+
+    ds = rd.range(1000, override_num_blocks=4).map_batches(
+        metrics.counted("halver", halver), batch_format="pyarrow")
+    n = ds.count()
+    assert n == 500
+    import time
+
+    snap = {}
+    for _ in range(40):  # fire-and-forget increments need a beat
+        snap = metrics.snapshot()
+        if snap.get("halver", {}).get("rows_in") == 1000:
+            break
+        time.sleep(0.25)
+    assert snap["halver"]["rows_in"] == 1000
+    assert snap["halver"]["rows_out"] == 500
+    assert snap["halver"]["rows_dropped"] == 500
+
+
+def test_media_probe_and_embed(ray_session):
+    from spapy_ray.pipelines.flagship import pages_dataset
+    from spapy_ray.stages.multimodal import embed_media, probe_media
+
+    ds = pages_dataset(n=300, include_html=True)
+    meta = probe_media(ds, batch_size=64).to_pandas()
+    assert {"width", "height", "n_frames", "n_bytes"} <= set(meta.columns)
+    assert (meta["width"] >= 16).all() and (meta["width"] < 1936).all()
+    assert (meta["n_bytes"] > 0).all()
+    # deterministic: same payload -> same metadata
+    again = probe_media(pages_dataset(n=300, include_html=True),
+                        batch_size=64).to_pandas()
+    m = meta.sort_values("url").reset_index(drop=True)
+    a = again.sort_values("url").reset_index(drop=True)
+    assert (m["width"] == a["width"]).all()
+
+    emb = embed_media(pages_dataset(n=100, include_html=True),
+                      batch_size=32).to_pandas()
+    vecs = np.stack(emb["media_vec"].to_numpy())
+    assert vecs.shape == (100, 16)
+    assert vecs.min() >= 0.0 and vecs.max() <= 1.0
+
+
+def test_real_codec_stub_raises(ray_session):
+    from spapy_ray.stages.multimodal import MediaProbe, RealCodecStub
+
+    import pyarrow as pa
+
+    probe = MediaProbe(codec=RealCodecStub())
+    with pytest.raises(NotImplementedError, match="PIL / ffmpeg"):
+        probe(pa.table({"html": pa.array([b"x"], type=pa.binary())}))
+
+
+def test_dataset_convex_hull(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.sources.zones import zones_table
+    from spapy_ray.stages.measures import dataset_convex_hull
+    from spapy_ray.kernels import wkb
+
+    hull = dataset_convex_hull(rd.from_arrow(zones_table(80)))
+    assert geom.ring_signed_area(hull) > 0
+    # every zone vertex, nudged toward the cloud centroid, is inside
+    pts = np.vstack([
+        np.vstack([r for p in wkb.as_multipolygon(g) for r in p])
+        for g in zones_table(80).column("geom_wkb").to_pylist()])
+    cx, cy = pts.mean(axis=0)
+    px = pts[:, 0] + (cx - pts[:, 0]) * 1e-9
+    py = pts[:, 1] + (cy - pts[:, 1]) * 1e-9
+    assert geom.winding_number(px, py, hull).all()
+
+
+def test_ivf_ann_recall(ray_session):
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from spapy_ray.stages.ann import (_stack_embeddings, cosine_topk,
+                                      cosine_topk_ivf)
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 10)])
+    qids = qt.column("vec_id").to_numpy()
+    qmat = _stack_embeddings(qt.column("embedding"))
+    exact = cosine_topk(ds, qids, qmat, k=5).to_pandas()
+    ivf = cosine_topk_ivf(ds, qids, qmat, k=5, n_clusters=8,
+                          n_probe=6).to_pandas()
+    e = exact.groupby("qid")["vec_id"].apply(set)
+    v = ivf.groupby("qid")["vec_id"].apply(set)
+    recalls = [len(e[q] & v.get(q, set())) / len(e[q]) for q in e.index]
+    assert sum(recalls) / len(recalls) >= 0.8
+    # deterministic: rerun gives identical results
+    ivf2 = cosine_topk_ivf(ds, qids, qmat, k=5, n_clusters=8,
+                           n_probe=6).to_pandas()
+    a = ivf.sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = ivf2.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
