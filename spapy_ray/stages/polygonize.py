@@ -1,0 +1,193 @@
+"""Polygonize: contiguous same-value regions of a raster → components.
+
+The reference shells into gdal.Polygonize (SpaRasters.py:827-882) to
+get one polygon per contiguous same-value area with the value as an
+attribute. The distributed form here produces the same *partition* of
+the raster — a global component id per contiguous region plus its
+attributes (value, pixel count, bbox) — via:
+
+1. per-tile two-pass union-find labeling (stateless map_batches);
+2. border-strip exchange: each tile emits its edge pixels keyed by
+   the shared edge, one groupby pairs adjacent tiles' borders and
+   yields cross-tile (comp_a ~ comp_b) equivalences;
+3. a global union-find over the (small) equivalence list merges
+   components that span tiles, then per-component stats aggregate.
+
+Step 3 runs on the driver over O(cross-tile-adjacency) pairs — fine
+up to millions of border runs; the documented scale-out path is
+iterative min-label propagation over the same pair table. Polygon
+boundary *tracing* (ring extraction) is a round-3 item; the component
+partition + attributes are what the reference's downstream attribute
+joins consume (attr `band1`, SpaRasterVectors.py:36-47).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from spapy_ray.sources.rasters import RasterMeta
+from spapy_ray.stages.raster import decode_tile
+
+
+def label_tile(a: np.ndarray) -> np.ndarray:
+    """4-connected same-value components of one tile → int32 labels
+    (0..k-1). Two-pass union-find; pair collection vectorized."""
+    h, w = a.shape
+    idx = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    parent = np.arange(h * w, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x: int, y: int) -> None:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    hpairs = np.nonzero(a[:, 1:] == a[:, :-1])
+    for i, j in zip(*hpairs):
+        union(idx[i, j], idx[i, j + 1])
+    vpairs = np.nonzero(a[1:, :] == a[:-1, :])
+    for i, j in zip(*vpairs):
+        union(idx[i, j], idx[i + 1, j])
+    roots = np.array([find(int(x)) for x in range(h * w)], dtype=np.int64)
+    _, labels = np.unique(roots, return_inverse=True)
+    return labels.reshape(h, w).astype(np.int32)
+
+
+def _tile_outputs(tx: int, ty: int, a: np.ndarray, labels: np.ndarray):
+    """(stats rows, border rows) for one labeled tile."""
+    h, w = a.shape
+    flat_l = labels.ravel()
+    flat_v = a.ravel()
+    order = np.argsort(flat_l, kind="stable")
+    uniq, starts = np.unique(flat_l[order], return_index=True)
+    ends = np.append(starts[1:], len(flat_l))
+    ys, xs = np.divmod(np.arange(h * w, dtype=np.int64)[order], w)
+    stats = []
+    for u, s, e in zip(uniq, starts, ends):
+        stats.append((tx, ty, int(u), int(flat_v[order[s]]), int(e - s),
+                      int(xs[s:e].min()), int(ys[s:e].min()),
+                      int(xs[s:e].max()), int(ys[s:e].max())))
+    borders = []
+    # edge id convention: vertical edge between (tx,ty) and (tx+1,ty)
+    # is ("v", tx, ty); horizontal between (tx,ty) and (tx,ty+1) is
+    # ("h", tx, ty). Each tile emits its side of adjacent edges.
+    for kind, edge_tx, edge_ty, side, vals, labs in (
+            ("v", tx, ty, 0, a[:, -1], labels[:, -1]),        # my east col
+            ("v", tx - 1, ty, 1, a[:, 0], labels[:, 0]),      # my west col
+            ("h", tx, ty, 0, a[-1, :], labels[-1, :]),        # my south row
+            ("h", tx, ty - 1, 1, a[0, :], labels[0, :])):     # my north row
+        for pos in range(len(vals)):
+            borders.append((kind, edge_tx, edge_ty, side, pos,
+                            int(vals[pos]), tx, ty, int(labs[pos])))
+    return stats, borders
+
+
+def polygonize_components(ds, meta: RasterMeta, *, dtype: str = "int32"):
+    """→ pandas DataFrame: one row per global component
+    (component_id, value, n_pixels, minx, miny, maxx, maxy [pixel
+    coords], n_tiles)."""
+    T = meta.tile_size
+
+    def per_batch(t: pa.Table):
+        stats_rows, border_rows = [], []
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        for i, buf in enumerate(t.column("data").to_pylist()):
+            a = decode_tile(buf, dtype, T)
+            labels = label_tile(a)
+            s, b = _tile_outputs(int(txs[i]), int(tys[i]), a, labels)
+            stats_rows.extend(s)
+            border_rows.extend(b)
+        stats = pa.table({
+            "tx": pa.array([r[0] for r in stats_rows], type=pa.int32()),
+            "ty": pa.array([r[1] for r in stats_rows], type=pa.int32()),
+            "label": pa.array([r[2] for r in stats_rows], type=pa.int32()),
+            "value": pa.array([r[3] for r in stats_rows], type=pa.int64()),
+            "n_pixels": pa.array([r[4] for r in stats_rows], type=pa.int64()),
+            "minx": pa.array([r[5] for r in stats_rows], type=pa.int64()),
+            "miny": pa.array([r[6] for r in stats_rows], type=pa.int64()),
+            "maxx": pa.array([r[7] for r in stats_rows], type=pa.int64()),
+            "maxy": pa.array([r[8] for r in stats_rows], type=pa.int64()),
+            "kind": pa.array(["s"] * len(stats_rows)),
+        })
+        border = pa.table({
+            "ekind": pa.array([r[0] for r in border_rows]),
+            "etx": pa.array([r[1] for r in border_rows], type=pa.int32()),
+            "ety": pa.array([r[2] for r in border_rows], type=pa.int32()),
+            "side": pa.array([r[3] for r in border_rows], type=pa.int8()),
+            "pos": pa.array([r[4] for r in border_rows], type=pa.int32()),
+            "value": pa.array([r[5] for r in border_rows], type=pa.int64()),
+            "tx": pa.array([r[6] for r in border_rows], type=pa.int32()),
+            "ty": pa.array([r[7] for r in border_rows], type=pa.int32()),
+            "label": pa.array([r[8] for r in border_rows], type=pa.int32()),
+        })
+        return stats, border
+
+    # run once, caching both outputs per batch via two passes over the
+    # same (deterministic) input — simplest correct form
+    stats_ds = ds.map_batches(lambda t: per_batch(t)[0], batch_format="pyarrow")
+    border_ds = ds.map_batches(lambda t: per_batch(t)[1], batch_format="pyarrow")
+
+    def edge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"tx_a": [], "ty_a": [], "l_a": [],
+                                 "tx_b": [], "ty_b": [], "l_b": []})
+        m = a.merge(b, on="pos", suffixes=("_a", "_b"))
+        m = m[m["value_a"] == m["value_b"]]
+        out = m[["tx_a", "ty_a", "label_a", "tx_b", "ty_b", "label_b"]]
+        out = out.drop_duplicates()
+        out.columns = ["tx_a", "ty_a", "l_a", "tx_b", "ty_b", "l_b"]
+        return out
+
+    pairs = border_ds.groupby(["ekind", "etx", "ety"]).map_groups(
+        edge_pairs, batch_format="pandas").to_pandas()
+    stats = stats_ds.to_pandas()
+
+    # driver-side union-find over (tile, label) nodes
+    node = {}
+
+    def nid(tx, ty, lb):
+        key = (int(tx), int(ty), int(lb))
+        if key not in node:
+            node[key] = len(node)
+        return node[key]
+
+    for _, r in stats.iterrows():
+        nid(r["tx"], r["ty"], r["label"])
+    parent = list(range(len(node)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, r in pairs.iterrows():
+        ra = find(nid(r["tx_a"], r["ty_a"], r["l_a"]))
+        rb = find(nid(r["tx_b"], r["ty_b"], r["l_b"]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    stats["root"] = [find(nid(r["tx"], r["ty"], r["label"]))
+                     for _, r in stats.iterrows()]
+    # global pixel-coordinate bboxes
+    stats["gminx"] = stats["minx"] + stats["tx"] * T
+    stats["gminy"] = stats["miny"] + stats["ty"] * T
+    stats["gmaxx"] = stats["maxx"] + stats["tx"] * T
+    stats["gmaxy"] = stats["maxy"] + stats["ty"] * T
+    agg = stats.groupby("root").agg(
+        value=("value", "first"), n_pixels=("n_pixels", "sum"),
+        minx=("gminx", "min"), miny=("gminy", "min"),
+        maxx=("gmaxx", "max"), maxy=("gmaxy", "max"),
+        n_tiles=("tx", "count")).reset_index()
+    agg["component_id"] = np.arange(len(agg), dtype=np.int64)
+    return agg.drop(columns=["root"])

@@ -139,3 +139,137 @@ def test_slope_flat_is_zero(ray_session):
     out = slope_degrees(ds, meta, dtype="float32").to_pandas()
     got = _assemble(out, meta, "float32")
     assert np.allclose(got, 0.0)
+
+
+def test_tri_tpi_roughness_vs_whole_array(ray_session):
+    from spapy_ray.stages.raster import (roughness, roughness_kernel, tpi,
+                                         tpi_kernel, tri, tri_kernel)
+
+    meta = RasterMeta(width=128, height=128, tile_size=32,
+                      x_min=0.0, y_max=0.0, pixel_w=30.0, pixel_h=-30.0)
+    gx, gy = np.meshgrid(np.arange(meta.width), np.arange(meta.height))
+    full = dem_float_value(gx, gy)
+    pad = np.pad(full.astype(np.float64), 1, mode="edge")
+    ds = synth_dem_dataset(meta, kind="float")
+    for stage, kern in ((tri, tri_kernel), (tpi, tpi_kernel),
+                        (roughness, roughness_kernel)):
+        out = stage(synth_dem_dataset(meta, kind="float"), meta).to_pandas()
+        got = _assemble(out, meta, "float32")
+        assert np.allclose(got, kern(pad), rtol=1e-5, atol=1e-4)
+
+
+def test_aspect_flat_and_gradient(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+    from spapy_ray.stages.raster import aspect_degrees
+
+    meta = RasterMeta(width=64, height=64, tile_size=32, x_min=0, y_max=0,
+                      pixel_w=10.0, pixel_h=-10.0)
+    # plane rising to the east: aspect faces west (270 deg)
+    gx, gy = np.meshgrid(np.arange(64), np.arange(64))
+    plane = (gx * 2.0).astype(np.float32)
+    rows = [{"tx": tx, "ty": ty, "band": 0,
+             "data": np.ascontiguousarray(
+                 plane[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]).tobytes()}
+            for tx in range(2) for ty in range(2)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = aspect_degrees(ds, meta, dtype="float32").to_pandas()
+    got = _assemble(out, meta, "float32")
+    assert np.allclose(got[1:-1, 1:-1], 270.0, atol=1e-3)
+
+
+def test_resample_nearest_identity(ray_session):
+    """scale=1 nearest-neighbor resample is the identity."""
+    from spapy_ray.stages.raster import scale_raster
+
+    ds = synth_dem_dataset(SMALL, kind="int")
+    out, dst = scale_raster(ds, SMALL, 1.0, dtype="int32", method="nearest")
+    got = _assemble(out.to_pandas(), SMALL, "int32")
+    assert np.array_equal(got, _full_int(SMALL))
+
+
+def test_resample_downscale_matches_whole_array(ray_session):
+    """Distributed bilinear downscale == single whole-array bilinear
+    with the same mapping."""
+    from spapy_ray.stages.raster import resample_to_grid
+
+    src = RasterMeta(width=128, height=128, tile_size=32,
+                     x_min=0.0, y_max=0.0, pixel_w=1.0, pixel_h=-1.0)
+    dst = RasterMeta(width=64, height=64, tile_size=32,
+                     x_min=0.0, y_max=0.0, pixel_w=2.0, pixel_h=-2.0)
+    gx, gy = np.meshgrid(np.arange(src.width), np.arange(src.height))
+    full = dem_float_value(gx, gy).astype(np.float64)
+
+    out = resample_to_grid(synth_dem_dataset(src, kind="float"), src, dst,
+                           dtype="float32").to_pandas()
+    got = _assemble(out, dst, "float32")
+
+    # whole-array reference with identical mapping + clamping
+    pxs = np.arange(dst.width)
+    pys = np.arange(dst.height)
+    xs = (dst.x_min + (pxs + 0.5) * dst.pixel_w - src.x_min) / src.pixel_w - 0.5
+    ys = (dst.y_max + (pys + 0.5) * dst.pixel_h - src.y_max) / src.pixel_h - 0.5
+    gx2, gy2 = np.meshgrid(xs, ys)
+    x0 = np.clip(np.floor(gx2).astype(int), 0, src.width - 1)
+    y0 = np.clip(np.floor(gy2).astype(int), 0, src.height - 1)
+    x1 = np.clip(x0 + 1, 0, src.width - 1)
+    y1 = np.clip(y0 + 1, 0, src.height - 1)
+    fx = np.clip(gx2 - x0, 0, 1)
+    fy = np.clip(gy2 - y0, 0, 1)
+    exp = ((1 - fy) * ((1 - fx) * full[y0, x0] + fx * full[y0, x1])
+           + fy * ((1 - fx) * full[y1, x0] + fx * full[y1, x1]))
+    assert np.allclose(got, exp, rtol=1e-5, atol=1e-4)
+
+
+def test_resample_upscale_and_subgrid(ray_session):
+    """2x upscale then sample the coarse grid back: close to original
+    at matching centers; also a shifted sub-grid (crop semantics)."""
+    from spapy_ray.stages.raster import resample_to_grid, scale_raster
+
+    src = RasterMeta(width=64, height=64, tile_size=32, x_min=0.0, y_max=0.0,
+                     pixel_w=1.0, pixel_h=-1.0)
+    ds = synth_dem_dataset(src, kind="float")
+    up, up_meta = scale_raster(ds, src, 2.0, dtype="float32")
+    assert up_meta.width == 128
+    updf = up.to_pandas()
+    assert len(updf) == up_meta.tiles_x * up_meta.tiles_y
+    # sub-grid covering the center quarter at source resolution
+    dst = RasterMeta(width=32, height=32, tile_size=32, x_min=16.0,
+                     y_max=-16.0, pixel_w=1.0, pixel_h=-1.0)
+    out = resample_to_grid(ds, src, dst, dtype="float32",
+                           method="nearest").to_pandas()
+    got = _assemble(out, dst, "float32")
+    gx, gy = np.meshgrid(np.arange(src.width), np.arange(src.height))
+    full = dem_float_value(gx, gy)
+    assert np.array_equal(got, full[16:48, 16:48])
+
+
+def test_polygonize_components_vs_whole_array(ray_session):
+    """Cross-tile component merge == whole-array labeling."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from spapy_ray.stages.polygonize import label_tile, polygonize_components
+
+    # coarse-valued raster → large regions spanning tiles
+    meta = RasterMeta(width=96, height=96, tile_size=32, x_min=0, y_max=0,
+                      pixel_w=1.0, pixel_h=-1.0)
+    gx, gy = np.meshgrid(np.arange(96), np.arange(96))
+    full = ((np.sin(gx / 17.0) + np.cos(gy / 13.0)) * 1.5).astype(np.int32)
+    rows = [{"tx": tx, "ty": ty, "band": 0,
+             "data": np.ascontiguousarray(
+                 full[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]).tobytes()}
+            for tx in range(3) for ty in range(3)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    comp = polygonize_components(ds, meta, dtype="int32")
+
+    # whole-array reference labeling with the same kernel
+    ref_labels = label_tile(full)
+    ref_sizes = sorted(np.bincount(ref_labels.ravel()).tolist())
+    got_sizes = sorted(comp["n_pixels"].tolist())
+    assert got_sizes == ref_sizes
+    assert comp["n_pixels"].sum() == 96 * 96
+    # per-component value consistent with the raster
+    for _, r in comp.iterrows():
+        assert full[int(r["miny"]), :].min() <= r["value"] <= full.max()
