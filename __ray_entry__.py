@@ -67,4 +67,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sigs": o.q_minhash_sigs(),
         "near_dup_docs": o.q_near_dup_docs(),
         "events_sessions": o.q_events_sessions(),
+        "text_invariant": o.q_text_invariant(),
+        "overlay_box_areas": o.q_overlay_box_areas(),
     }

@@ -392,3 +392,41 @@ def q_events_sessions() -> str:
     from spapy_ray.stages.sessions import sql_sessionize
 
     return sql_sessionize()
+
+
+def q_text_invariant() -> str:
+    """Join rows grouped by url with the text FNV computed from the
+    INPUT pages spec — any byte change to text anywhere in the engine
+    pipeline breaks the hash equality. int64 view of the uint64 FNV
+    (engine .view(int64) == SQL wraparound subtraction)."""
+    fnv = sql_fnv1a("g.text")
+    i64 = (f"(CASE WHEN {fnv} >= 9223372036854775808::UBIGINT "
+           f"THEN ({fnv}::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT "
+           f"ELSE {fnv}::BIGINT END)")
+    return (
+        f"WITH {geo_zones_cte()} "
+        "SELECT g.url, "
+        f"min({i64}) AS text_fnv, count(*)::BIGINT AS n_rows "
+        "FROM geo g CROSS JOIN zones z "
+        f"WHERE {sql_pip_condition('g.lon', 'g.lat')} "
+        "GROUP BY g.url"
+    )
+
+
+def q_overlay_box_areas(num_zones: int = 200) -> str:
+    """Clamped-overlap integer arithmetic per zone shape vs the fixed
+    clip box — twin of the rectilinear overlay intersection."""
+    B = (-600000, -850000, 800000, -550000)  # OVERLAY_BOX in 1e-4 units
+
+    def ov(rx0, ry0, rx1, ry1):
+        return (f"(greatest(0, least({rx1}, {B[2]}) - greatest({rx0}, {B[0]})) * "
+                f"greatest(0, least({ry1}, {B[3]}) - greatest({ry0}, {B[1]})))")
+
+    a = (f"(CASE WHEN shape IN (0, 1) THEN {ov('x0', 'y0', 'x0 + w', 'y0 + h')} "
+         f"WHEN shape = 2 THEN {ov('x0', 'y0', 'x0 + w', 'y0 + h2')} + "
+         f"{ov('x0', 'y0 + h2', 'x0 + w2', 'y0 + h')} "
+         f"ELSE {ov('x0', 'y0', 'x0 + w2', 'y0 + h2')} + "
+         f"{ov('x0 + w2 + 5000', 'y0 + h2 + 5000', 'x0 + w', 'y0 + h')} END)")
+    return (f"WITH zones AS ({sql_zones_cte(num_zones)}) "
+            f"SELECT zone_id, {a}::DOUBLE / 100000000.0 AS inter_area "
+            f"FROM zones WHERE {a} > 0")

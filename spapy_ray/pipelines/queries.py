@@ -59,10 +59,9 @@ def q_pip_join(sf_dir: str):
 
 
 def q_zone_page_counts(sf_dir: str):
-    from ray.data.aggregate import Count
+    from spapy_ray.stages.relational import pre_aggregated_count
 
-    return _join(sf_dir).groupby("zone_id").aggregate(Count(alias_name="n_pages")) \
-                        .select_columns(["zone_id", "n_pages"])
+    return pre_aggregated_count(_join(sf_dir), "zone_id", alias="n_pages")
 
 
 def q_top_zones(sf_dir: str, k: int = 20):
@@ -72,10 +71,10 @@ def q_top_zones(sf_dir: str, k: int = 20):
 
 
 def q_tile_counts(sf_dir: str):
-    from ray.data.aggregate import Count
+    from spapy_ray.stages.relational import pre_aggregated_count
 
-    return cell_index(_geo(sf_dir)).groupby("tile") \
-        .aggregate(Count(alias_name="n_pages")).select_columns(["tile", "n_pages"])
+    return pre_aggregated_count(cell_index(_geo(sf_dir)), "tile",
+                                alias="n_pages")
 
 
 def q_dedup_pages(sf_dir: str):
@@ -475,3 +474,55 @@ def q_events_sessions(sf_dir: str):
 
 
 QUERIES["events_sessions"] = q_events_sessions
+
+
+def q_text_invariant(sf_dir: str):
+    """Per-url text fingerprint AFTER the full flagship pipeline
+    (synth -> geocode -> cell index -> PIP join): proves the
+    byte-identical-text-per-url invariant end-to-end against an
+    oracle that fingerprints the text straight from the input spec."""
+    from ray.data.aggregate import Count, Min
+
+    from spapy_ray.stages.dedup import add_text_hash
+    from spapy_ray.stages.join import pip_join
+
+    joined = pip_join(_geo(sf_dir), zones_table(),
+                      left_columns=["url", "text"], zone_columns=["zone_id"])
+    hashed = joined.map_batches(add_text_hash, batch_format="pyarrow")
+    return hashed.groupby("url").aggregate(
+        Min("text_hash", alias_name="text_fnv"),
+        Count(alias_name="n_rows")).select_columns(
+            ["url", "text_fnv", "n_rows"])
+
+
+QUERIES["text_invariant"] = q_text_invariant
+
+
+OVERLAY_BOX = (-60.0, -85.0, 80.0, -55.0)
+
+
+def q_overlay_box_areas(sf_dir: str):
+    """Per-zone intersection area with a fixed clip box via the
+    rectilinear overlay stage; areas recomputed from the output WKB in
+    exact fixed point so the SQL twin (integer clamped-overlap
+    arithmetic) matches bit-for-bit."""
+    import ray.data as rd
+
+    from spapy_ray.kernels import clip, wkb as _wkb
+    from spapy_ray.stages.measures import fixed_point_multipolygon_area
+    from spapy_ray.stages.overlay import overlay_with_geometry
+
+    box = _wkb.encode_polygon([clip.bbox_ring(*OVERLAY_BOX)])
+    out = overlay_with_geometry(rd.from_arrow(zones_table()), box,
+                                "intersection")
+
+    def exact_area(t: pa.Table) -> pa.Table:
+        areas = [fixed_point_multipolygon_area(_wkb.as_multipolygon(g))
+                 for g in t.column("geom_wkb").to_pylist()]
+        return pa.table({"zone_id": t.column("zone_id"),
+                         "inter_area": pa.array(areas, type=pa.float64())})
+
+    return out.map_batches(exact_area, batch_format="pyarrow")
+
+
+QUERIES["overlay_box_areas"] = q_overlay_box_areas
