@@ -149,3 +149,46 @@ def multipolygon_to_rects(mp) -> np.ndarray:
         raise ValueError("rectilinear input required")
     xs, ys, masks = _grid_masks([mp])
     return mask_to_rects(xs, ys, masks[0])
+
+
+def parity_rects(rect_sets: list[np.ndarray]) -> tuple[np.ndarray, float]:
+    """Region covered by an ODD number of rect sets — the associative
+    form of the reference's sequential symmetric-difference self-fold
+    (SpaVectors.py:1006-1038): XOR is associative, so
+    f0 △ f1 △ ... △ fn = odd-coverage(f0..fn)."""
+    allr = [r for r in rect_sets if len(r)]
+    if not allr:
+        return np.zeros((0, 4)), 0.0
+    flat = np.vstack(allr)
+    xs = np.unique(np.concatenate([flat[:, 0], flat[:, 2]]))
+    ys = np.unique(np.concatenate([flat[:, 1], flat[:, 3]]))
+    count = np.zeros((len(ys) - 1, len(xs) - 1), dtype=np.int64)
+    for rset in allr:
+        cover = np.zeros_like(count, dtype=bool)
+        for x0, y0, x1, y1 in rset:
+            xi0, xi1 = np.searchsorted(xs, x0), np.searchsorted(xs, x1)
+            yi0, yi1 = np.searchsorted(ys, y0), np.searchsorted(ys, y1)
+            cover[yi0:yi1, xi0:xi1] = True
+        count += cover
+    mask = (count % 2) == 1
+    dx = np.diff(xs)[None, :]
+    dy = np.diff(ys)[:, None]
+    return mask_to_rects(xs, ys, mask), float((mask * dx * dy).sum())
+
+
+def difference_fold_rects(first: np.ndarray,
+                          rest_sets: list[np.ndarray]) -> tuple[np.ndarray, float]:
+    """first \\ (union of rest) — the closed form of the reference's
+    sequential difference fold acc = (((f0 - f1) - f2) - ...)."""
+    rest, _ = union_rects(rest_sets)
+    if len(first) == 0:
+        return np.zeros((0, 4)), 0.0
+    if len(rest) == 0:
+        xs = np.unique(np.concatenate([first[:, 0], first[:, 2]]))
+        ys = np.unique(np.concatenate([first[:, 1], first[:, 3]]))
+        area = float(((first[:, 2] - first[:, 0])
+                      * (first[:, 3] - first[:, 1])).sum())
+        return first, area
+    mp_first = rects_to_multipolygon(first)
+    mp_rest = rects_to_multipolygon(rest)
+    return boolean_op(mp_first, mp_rest, "difference")

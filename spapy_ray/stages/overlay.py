@@ -105,3 +105,48 @@ def dataset_union(ds, geom_col: str = "geom_wkb"):
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return rl.union_rects([parts[["x0", "y0", "x1", "y1"]].to_numpy()])
+
+
+def dataset_symdiff(ds, geom_col: str = "geom_wkb"):
+    """OverlayWithSelf symmetric-difference fold: odd-coverage parity.
+
+    Needs per-feature coverage counts, so blocks emit their features'
+    rect sets tagged by a block-unique id; parity composes as
+    (sum of per-feature parities) mod 2 — here computed in one driver
+    pass over all feature rect sets (scale path: hierarchical parity
+    masks, same shape as dataset_union)."""
+    def lists(t: pa.Table) -> pa.Table:
+        import pickle
+
+        blobs = [pickle.dumps(
+            rl.multipolygon_to_rects(wkb.as_multipolygon(g)))
+            for g in t.column(geom_col).to_pylist()]
+        return pa.table({"rects": pa.array(blobs, type=pa.binary())})
+
+    import pickle
+
+    parts = ds.map_batches(lists, batch_format="pyarrow").to_pandas()
+    sets = [pickle.loads(b) for b in parts["rects"]]
+    return rl.parity_rects(sets)
+
+
+def dataset_difference_fold(ds, order_col: str, geom_col: str = "geom_wkb"):
+    """OverlayWithSelf difference fold in reference row order
+    (SpaVectors.py:1006-1038): acc = ((f0 - f1) - f2)... == the first
+    feature (by order_col) minus the union of all the rest — the
+    order-dependence collapses to ONE distinguished row, so the rest
+    is an associative union fold."""
+    import pickle
+
+    def lists(t: pa.Table) -> pa.Table:
+        blobs = [pickle.dumps(
+            rl.multipolygon_to_rects(wkb.as_multipolygon(g)))
+            for g in t.column(geom_col).to_pylist()]
+        return pa.table({"ord": t.column(order_col),
+                         "rects": pa.array(blobs, type=pa.binary())})
+
+    parts = ds.map_batches(lists, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values("ord", kind="stable").reset_index(drop=True)
+    first = pickle.loads(parts["rects"].iloc[0])
+    rest = [pickle.loads(b) for b in parts["rects"].iloc[1:]]
+    return rl.difference_fold_rects(first, rest)

@@ -141,3 +141,40 @@ def test_overlay_stages(ray_session):
             for g in zones_table(25).column("geom_wkb").to_pylist()]
     _, area_ref = rl.union_rects(sets)
     assert area == pytest.approx(area_ref)
+
+
+def test_self_folds_match_sequential_reference(ray_session):
+    """parity/difference folds == the reference's literal sequential
+    fold over features in row order (computed serially with the same
+    boolean kernel)."""
+    import ray.data as rd
+
+    from spapy_ray.stages.overlay import (dataset_difference_fold,
+                                          dataset_symdiff)
+
+    zt = zones_table(12)
+    geoms = [wkb.as_multipolygon(g) for g in zt.column("geom_wkb").to_pylist()]
+
+    # sequential symdiff fold (reference order)
+    acc = rl.multipolygon_to_rects(geoms[0])
+    for g in geoms[1:]:
+        mp_acc = rl.rects_to_multipolygon(acc) if len(acc) else []
+        if not mp_acc:
+            acc = rl.multipolygon_to_rects(g)
+            continue
+        acc, _ = rl.boolean_op(mp_acc, g, "symmetric_difference")
+    seq_area = float(((acc[:, 2] - acc[:, 0]) * (acc[:, 3] - acc[:, 1])).sum())
+    _, par_area = dataset_symdiff(rd.from_arrow(zt))
+    assert par_area == pytest.approx(seq_area)
+
+    # sequential difference fold
+    accd = rl.multipolygon_to_rects(geoms[0])
+    for g in geoms[1:]:
+        mp_acc = rl.rects_to_multipolygon(accd) if len(accd) else []
+        if not mp_acc:
+            break
+        accd, _ = rl.boolean_op(mp_acc, g, "difference")
+    seq_d = float(((accd[:, 2] - accd[:, 0]) * (accd[:, 3] - accd[:, 1])).sum()) \
+        if len(accd) else 0.0
+    _, fold_d = dataset_difference_fold(rd.from_arrow(zt), "zone_id")
+    assert fold_d == pytest.approx(seq_d)
