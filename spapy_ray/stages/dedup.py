@@ -17,16 +17,17 @@ from spapy_ray.kernels.hashing import fnv1a64
 
 def dedup_pages_agg(ds):
     """Aggregate form of url-dedup: one row per url with first-crawl
-    timestamp and copy count. Fully partial-aggregatable (no row
-    payload moves through the shuffle — only (url, min, count)
-    partials), which is the 100 TB-friendly formulation.
-    """
-    from ray.data.aggregate import Count, Min
+    timestamp and copy count, via the bucketed two-stage shuffle
+    (relational.bucketed_group_agg — 8x faster than a direct
+    high-cardinality groupby, BASELINE.md)."""
+    from spapy_ray.stages.relational import bucketed_group_agg
 
-    return ds.groupby("url").aggregate(
-        Min("warc_ts", alias_name="first_ts"),
-        Count(alias_name="n_copies"),
-    )
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("url", sort=False).agg(
+            first_ts=("warc_ts", "min"),
+            n_copies=("warc_ts", "size")).reset_index()
+
+    return bucketed_group_agg(ds, "url", local)
 
 
 def dedup_first(ds, key: str, order_col: str):
@@ -34,10 +35,13 @@ def dedup_first(ds, key: str, order_col: str):
     order_col (the reference-order "first", cf. stable row_id design
     in SURVEY.md §4). Hash-partition on key + per-group head(1).
     """
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col, kind="stable").head(1)
+    from spapy_ray.stages.relational import bucketed_group_agg
 
-    return ds.groupby(key).map_groups(first_row, batch_format="pandas")
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, kind="stable") \
+                .drop_duplicates(key, keep="first")
+
+    return bucketed_group_agg(ds, key, local)
 
 
 def add_text_hash(batch: pa.Table, column: str = "text",
@@ -55,11 +59,14 @@ def dedup_documents_by_text(ds):
     keep min doc_id + copy count. The hash column is computed in a
     vectorized map_batches BEFORE the shuffle so the groupby key is a
     fixed-width int, not the full text payload."""
-    from ray.data.aggregate import Count, Min
+    from spapy_ray.stages.relational import bucketed_group_agg
 
     hashed = ds.map_batches(add_text_hash, batch_format="pyarrow")
-    out = hashed.groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="min_doc_id"),
-        Count(alias_name="n_copies"),
-    )
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("text_hash", sort=False).agg(
+            min_doc_id=("doc_id", "min"),
+            n_copies=("doc_id", "size")).reset_index()
+
+    out = bucketed_group_agg(hashed, "text_hash", local)
     return out.select_columns(["min_doc_id", "n_copies"])

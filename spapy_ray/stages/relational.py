@@ -114,3 +114,43 @@ def pre_aggregated_count(ds, key: str, alias: str = "n"):
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(key).aggregate(Sum("_pc", alias_name=alias)) \
         .select_columns([key, alias])
+
+
+def _bucket_column(t: pa.Table, key: str, buckets: int) -> pa.Array:
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    col = t.column(key)
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        h = fnv1a64(col)
+    else:
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = v * np.uint64(0x9E3779B97F4A7C15)
+    return pa.array((h % np.uint64(buckets)).astype(np.int32))
+
+
+def bucketed_group_agg(ds, key: str, local_agg, buckets: int | None = None):
+    """Two-stage shuffle for HIGH-CARDINALITY groupby: hash rows into
+    a small number of buckets, shuffle on the tiny int bucket key,
+    then aggregate all of a bucket's keys locally with one pandas
+    groupby. Measured 8x faster than ray's direct groupby on 420k
+    string keys (BASELINE.md) because the all-to-all sort runs on B
+    distinct values instead of every key.
+
+    ``local_agg(df) -> df`` must do the complete per-key aggregation
+    for one bucket (each key lives in exactly one bucket, so local
+    results are final).
+    """
+    from spapy_ray.util import cluster_cpus
+
+    b = buckets or max(64, cluster_cpus() * 4)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", _bucket_column(t, key, b))
+
+    def per_bucket(g):
+        out = local_agg(g.drop(columns=["_bucket"]))
+        return out
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
