@@ -481,18 +481,23 @@ def q_text_invariant(sf_dir: str):
     (synth -> geocode -> cell index -> PIP join): proves the
     byte-identical-text-per-url invariant end-to-end against an
     oracle that fingerprints the text straight from the input spec."""
-    from ray.data.aggregate import Count, Min
-
     from spapy_ray.stages.dedup import add_text_hash
     from spapy_ray.stages.join import pip_join
 
     joined = pip_join(_geo(sf_dir), zones_table(),
                       left_columns=["url", "text"], zone_columns=["zone_id"])
-    hashed = joined.map_batches(add_text_hash, batch_format="pyarrow")
-    return hashed.groupby("url").aggregate(
-        Min("text_hash", alias_name="text_fnv"),
-        Count(alias_name="n_rows")).select_columns(
-            ["url", "text_fnv", "n_rows"])
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    hashed = joined.map_batches(add_text_hash, batch_format="pyarrow") \
+        .select_columns(["url", "text_hash"])
+
+    def local(g):
+        return g.groupby("url", sort=False).agg(
+            text_fnv=("text_hash", "min"),
+            n_rows=("text_hash", "size")).reset_index()
+
+    return bucketed_group_agg(hashed, "url", local) \
+        .select_columns(["url", "text_fnv", "n_rows"])
 
 
 QUERIES["text_invariant"] = q_text_invariant

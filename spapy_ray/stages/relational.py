@@ -103,17 +103,19 @@ def pre_aggregated_count(ds, key: str, alias: str = "n"):
     per key seen (vectorized value_counts), then a tiny groupby sums
     the partials — the guide's combiner pattern. At 10^12 rows this
     moves O(distinct keys x blocks) rows through the shuffle instead
-    of O(rows)."""
-    from ray.data.aggregate import Sum
-
+    of O(rows); the final merge uses the bucketed two-stage shuffle."""
     def partial(t: pa.Table) -> pa.Table:
         vc = t.column(key).value_counts()
         return pa.table({key: vc.field("values"),
                          "_pc": pc.cast(vc.field("counts"), pa.int64())})
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(key).aggregate(Sum("_pc", alias_name=alias)) \
-        .select_columns([key, alias])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def local(g):
+        out = g.groupby(key, sort=False)["_pc"].sum().reset_index()
+        return out.rename(columns={"_pc": alias})
+
+    return bucketed_group_agg(partials, key, local).select_columns([key, alias])
 
 
 def _bucket_column(t: pa.Table, key: str, buckets: int) -> pa.Array:

@@ -179,3 +179,38 @@ def test_knn_cells_matches_broadcast(ray_session):
     exp = bc.sort_values(["url", "rank"]).reset_index()
     assert len(got) == len(exp)
     assert (got["zone_id"].to_numpy() == exp["zone_id"].to_numpy()).all()
+
+
+def test_repartition_by_range_balances_skew(ray_session):
+    """Range partitioning with sampled boundaries balances a heavily
+    skewed cell distribution (half the points in one hot region)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from spapy_ray.kernels import cells
+    from spapy_ray.stages.partition import repartition_by_range
+
+    rng = np.random.default_rng(17)
+    # 50% of points inside a 1-degree hot box, rest uniform
+    n = 40_000
+    hot = rng.uniform([10.0, 10.0], [11.0, 11.0], (n // 2, 2))
+    cold = rng.uniform([-180.0, -85.0], [180.0, 85.0], (n - n // 2, 2))
+    pts = np.vstack([hot, cold])
+    cell = cells.encode(pts[:, 0], pts[:, 1], 12).astype("int64")
+    ds = rd.from_arrow(pa.table({"cell": pa.array(cell)}))
+    out, bounds = repartition_by_range(ds, "cell", 16)
+    df = out.to_pandas()
+    sizes = df.groupby("range_id").size()
+    k = len(sizes)
+    assert 8 <= k <= 16  # duplicates may merge some cut points
+    # balanced: no partition more than 2.5x the ideal share
+    assert sizes.max() <= 2.5 * (n / k)
+    # contrast: a FIXED uniform split of the key space is terribly
+    # skewed (hot region lands in one partition)
+    lo, hi = cell.min(), cell.max()
+    fixed = np.clip(((cell - lo) * 16 // max(hi - lo, 1)), 0, 15)
+    assert np.bincount(fixed.astype(int), minlength=16).max() > 0.4 * n
+    # range property: partitions are contiguous key ranges
+    mins = df.groupby("range_id")["cell"].min().sort_index()
+    maxs = df.groupby("range_id")["cell"].max().sort_index()
+    assert (maxs.values[:-1] <= mins.values[1:]).all()
