@@ -170,7 +170,12 @@ def run_scaling() -> dict:
     relative to what the hardware itself delivers."""
     here = os.path.abspath(__file__)
     n_docs = int(os.environ.get("GRAFT_SCALE_DOCS", str(4_000_000)))
-    n_lo = int(os.environ.get("GRAFT_SCALE_N", "8"))
+    # default N=4 -> 4N=16: both levels sit within this host's physical
+    # cores, so the nominal 4x is actually available to ANY engine;
+    # N=8 -> 32 spans the SMT threshold where the raw-multiprocessing
+    # hardware ceiling itself is ~0.71 (see BASELINE.md). Override with
+    # GRAFT_SCALE_N=8 to measure the SMT-spanning range.
+    n_lo = int(os.environ.get("GRAFT_SCALE_N", "4"))
     n_hi = 4 * n_lo
 
     def one(ncpu: int) -> dict:
