@@ -122,7 +122,9 @@ def knn_join_broadcast(ds, zones: pa.Table, k: int = 3,
 
 
 def knn_join_cells(points_ds, targets_ds, k: int = 3, res: int = 6,
-                   max_ring: int = 2, point_cols: tuple[str, str] = ("lon", "lat"),
+                   max_ring: int = 2, widen_passes: int = 2,
+                   _keep_coords: bool = False,
+                   point_cols: tuple[str, str] = ("lon", "lat"),
                    target_cols: tuple[str, str] = ("lon", "lat"),
                    point_key: str = "url", target_key: str = "zone_id"):
     """Cell-partitioned kNN for large x large: co-shuffle on quadkey.
@@ -130,11 +132,12 @@ def knn_join_cells(points_ds, targets_ds, k: int = 3, res: int = 6,
     Targets are replicated into every cell within ``max_ring`` of their
     home cell (flat_map), then one groupby(cell) co-partitions points
     with candidate targets and map_groups computes per-point top-k.
-    Points whose cell neighborhood holds < k targets fall back to a
-    driver-collected global pass (counted; rare when res is chosen so
-    E[targets per disk] >> k). The partitioning assumption — target
-    density roughly uniform at resolution ``res`` — is the documented
-    contract (SURVEY.md §2.6 kNN row).
+    Points whose cell neighborhood holds < k candidates are RERUN
+    through additional passes with a doubled ring (``widen_passes``
+    rounds); any still-unsatisfied leftovers keep their partial
+    results with ``n_cand`` reporting how many candidates they saw.
+    The partitioning assumption — target density roughly uniform at
+    resolution ``res`` — is the documented contract (SURVEY.md §2.6).
     """
     import pandas as pd
 
@@ -179,16 +182,43 @@ def knn_join_cells(points_ds, targets_ds, k: int = 3, res: int = 6,
     tagged_t = targets_ds.map_batches(replicate_targets, batch_format="pyarrow")
     both = tagged_p.union(tagged_t)
 
+    n_cells = 1 << res
+    cell_w = 360.0 / n_cells
+    cell_h = 180.0 / n_cells
+    full_cover = max_ring >= n_cells  # ring spans the whole grid
+
+    def _guarantee_m(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        """Conservative radius (m) within which the candidate set is
+        guaranteed complete: distance from each point to the edge of
+        its (2*max_ring+1)-cell replication box."""
+        cx = np.floor((lon + 180.0) / cell_w)
+        cy = np.floor((lat + 90.0) / cell_h)
+        x0 = (cx - max_ring) * cell_w - 180.0
+        x1 = (cx + max_ring + 1) * cell_w - 180.0
+        y0 = (cy - max_ring) * cell_h - 90.0
+        y1 = (cy + max_ring + 1) * cell_h - 90.0
+        dy = np.minimum(lat - y0, y1 - lat)
+        dx = np.minimum(lon - x0, x1 - lon)
+        cos_min = np.cos(np.radians(np.minimum(
+            np.maximum(np.abs(y0), np.abs(y1)), 89.9)))
+        return np.minimum(dy, dx * cos_min) * 111000.0
+
     def per_cell(g: pd.DataFrame) -> pd.DataFrame:
         pts = g[g["kind"] == 0]
         tgt = g[g["kind"] == 1]
         if len(pts) == 0:
-            return pd.DataFrame({"key": [], "zone_id": [], "rank": [],
-                                 "n_cand": []})
+            return pd.DataFrame({"key": pd.Series([], dtype=object),
+                                 "zone_id": pd.Series([], dtype=np.int64),
+                                 "rank": pd.Series([], dtype=np.int64),
+                                 "n_cand": pd.Series([], dtype=np.int64),
+                                 "exact": pd.Series([], dtype=bool),
+                                 "lon": pd.Series([], dtype=np.float64),
+                                 "lat": pd.Series([], dtype=np.float64)})
         nt = len(tgt)
         if nt == 0:
             return pd.DataFrame({"key": pts["key"], "zone_id": -1,
-                                 "rank": 0, "n_cand": 0})
+                                 "rank": 0, "n_cand": 0, "exact": False,
+                                 "lon": pts["lon"], "lat": pts["lat"]})
         tk = tgt["tkey"].to_numpy()
         order_t = np.argsort(tk, kind="stable")
         tk = tk[order_t]
@@ -198,12 +228,50 @@ def knn_join_cells(points_ds, targets_ds, k: int = 3, res: int = 6,
                              pts["lat"].to_numpy()[:, None],
                              tl[None, :], tb[None, :])
         kk = min(k, nt)
-        nearest = np.argsort(d, axis=1, kind="stable")[:, :kk]
+        order = np.argsort(d, axis=1, kind="stable")
+        nearest = order[:, :kk]
+        kth = np.take_along_axis(d, order[:, kk - 1:kk], axis=1)[:, 0]
+        plon = pts["lon"].to_numpy()
+        plat = pts["lat"].to_numpy()
+        if full_cover:
+            exact = np.ones(len(pts), dtype=bool) & (nt >= k)
+        else:
+            # exact iff the kth-nearest candidate is provably closer
+            # than anything outside the replication box
+            exact = (nt >= k) & (kth <= _guarantee_m(plon, plat))
         return pd.DataFrame({
             "key": np.repeat(pts["key"].to_numpy(), kk),
             "zone_id": tk[nearest.ravel()],
             "rank": np.tile(np.arange(1, kk + 1), len(pts)),
             "n_cand": nt,
+            "exact": np.repeat(exact, kk),
+            "lon": np.repeat(plon, kk),
+            "lat": np.repeat(plat, kk),
         })
 
-    return both.groupby("cell").map_groups(per_cell, batch_format="pandas")
+    out = both.groupby("cell").map_groups(per_cell, batch_format="pandas") \
+        .to_pandas()
+
+    # widening passes: points that saw < k candidates rerun with a
+    # doubled replication ring (only those points shuffle again)
+    ring = max_ring
+    for _ in range(widen_passes):
+        unsat = out[~out["exact"]]
+        if len(unsat) == 0:
+            break
+        sat = out[out["exact"]]
+        ring *= 2
+        import ray.data as rd
+
+        retry_pts = rd.from_pandas(
+            unsat.drop_duplicates("key")[["key", "lon", "lat"]]
+                 .rename(columns={"key": point_key}))
+        redo = knn_join_cells(retry_pts, targets_ds, k=k, res=res,
+                              max_ring=ring, widen_passes=0,
+                              _keep_coords=True,
+                              point_cols=("lon", "lat"),
+                              target_cols=target_cols,
+                              point_key=point_key, target_key=target_key)
+        redo_df = redo if isinstance(redo, pd.DataFrame) else redo.to_pandas()
+        out = pd.concat([sat, redo_df], ignore_index=True)
+    return out if _keep_coords else out.drop(columns=["lon", "lat"])

@@ -171,7 +171,7 @@ def test_knn_cells_matches_broadcast(ray_session):
     bc = knn_join_broadcast(rd.from_pandas(pdf), zt, k=2,
                             left_columns=["url"]).to_pandas()
     cc = knn_join_cells(rd.from_pandas(pdf), rd.from_pandas(tdf), k=2,
-                        res=4, max_ring=2).to_pandas()
+                        res=4, max_ring=2)
     # ring guarantee at res 4: cell ~ 22.5 x 11.25 deg, ring 2 covers
     # >= 2 cells in every direction — all neighbors found here
     cc = cc.rename(columns={"key": "url"})
@@ -214,3 +214,31 @@ def test_repartition_by_range_balances_skew(ray_session):
     mins = df.groupby("range_id")["cell"].min().sort_index()
     maxs = df.groupby("range_id")["cell"].max().sort_index()
     assert (maxs.values[:-1] <= mins.values[1:]).all()
+
+
+def test_knn_cells_widening_converges_to_exact(ray_session):
+    """Sparse-target stress: ring-widening + the distance-guarantee
+    check converge to EXACT broadcast results even when the initial
+    ring misses every target."""
+    import ray.data as rd
+
+    from spapy_ray.stages.knn import knn_join_broadcast, knn_join_cells
+
+    rng = np.random.default_rng(3)
+    tdf = pd.DataFrame({"zone_id": np.arange(5),
+                        "lon": rng.uniform(-150, 150, 5),
+                        "lat": rng.uniform(-60, 60, 5)})
+    pdf = pd.DataFrame({"url": [f"p{i}" for i in range(300)],
+                        "lon": rng.uniform(-170, 170, 300),
+                        "lat": rng.uniform(-80, 80, 300)})
+    cc = knn_join_cells(rd.from_pandas(pdf), rd.from_pandas(tdf), k=2,
+                        res=4, max_ring=1, widen_passes=6)
+    zt = pa.table({"zone_id": pa.array(tdf["zone_id"]),
+                   "geom_wkb": pa.array(
+                       [wkb.encode_point(x, y) for x, y in zip(tdf.lon, tdf.lat)],
+                       type=pa.binary())})
+    bc = knn_join_broadcast(rd.from_pandas(pdf), zt, k=2,
+                            left_columns=["url"]).to_pandas()
+    assert cc["exact"].all()
+    assert set(zip(cc["key"], cc["zone_id"])) == \
+        set(zip(bc["url"], bc["zone_id"]))
