@@ -69,4 +69,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": o.q_events_sessions(),
         "text_invariant": o.q_text_invariant(),
         "overlay_box_areas": o.q_overlay_box_areas(),
+        "revenue_by_nation": o.q_revenue_by_nation(),
     }

@@ -430,3 +430,14 @@ def q_overlay_box_areas(num_zones: int = 200) -> str:
     return (f"WITH zones AS ({sql_zones_cte(num_zones)}) "
             f"SELECT zone_id, {a}::DOUBLE / 100000000.0 AS inter_area "
             f"FROM zones WHERE {a} > 0")
+
+
+def q_revenue_by_nation() -> str:
+    return (
+        "SELECT n.n_name, "
+        "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+        "count(*)::BIGINT AS n_items "
+        "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name"
+    )

@@ -531,3 +531,42 @@ def q_overlay_box_areas(sf_dir: str):
 
 
 QUERIES["overlay_box_areas"] = q_overlay_box_areas
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """3-way join: lineitem ⋈ supplier ⋈ nation (both small sides
+    broadcast) → revenue per nation. The canonical star-schema shape:
+    the fact table streams, dimensions broadcast, no shuffle until the
+    final tiny groupby."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count, Sum
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    sup = sup.set_column(0, "s_suppkey", pc.cast(sup.column("s_suppkey"), pa.int64()))
+    sup = sup.set_column(1, "s_nationkey", pc.cast(sup.column("s_nationkey"), pa.int64()))
+    nat = nat.set_column(0, "n_nationkey", pc.cast(nat.column("n_nationkey"), pa.int64()))
+
+    def disc(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "revenue", pc.multiply(t.column("l_extendedprice"),
+                                   pc.subtract(pa.scalar(1.0),
+                                               t.column("l_discount"))))
+
+    j1 = broadcast_join(li.map_batches(disc, batch_format="pyarrow"),
+                        sup, key="l_suppkey", small_key="s_suppkey")
+    j2 = broadcast_join(j1, nat, key="s_nationkey", small_key="n_nationkey")
+    out = j2.groupby("n_name").aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Count(alias_name="n_items")).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out[["n_name", "revenue", "n_items"]]
+
+
+QUERIES["revenue_by_nation"] = q_revenue_by_nation

@@ -1,7 +1,10 @@
 """Table-level overlay ops: Intersection / Union / Difference /
 SymmetricDifference (reference methods + one-liners,
-SpaVectors.py:1043-1102, 1529-1613), on rectilinear geometry
-(kernels.rectilinear; general curved → round 3, DIVERGENCES #7).
+SpaVectors.py:1043-1102, 1529-1613). Boolean engine dispatch
+(kernels.booleans): exact rectilinear path for axis-parallel inputs
+(incl. all degenerate incidences), Greiner-Hormann for general-
+position curved inputs; symmetric_difference of curved multiparts is
+the remaining round-3 gap (DIVERGENCES #7).
 
 - overlay_with_geometry: dataset x single geometry (OverlayWithGeometry
   semantics, SpaVectors.py:939-962 — keep non-empty results, attrs
@@ -19,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from spapy_ray.kernels import geom, rectilinear as rl, wkb
+from spapy_ray.kernels.booleans import boolean_general, rings_to_multipolygon
 from spapy_ray.kernels.strtree import STRtree
 
 
@@ -30,10 +34,10 @@ def overlay_with_geometry(ds, other_wkb: bytes, op: str = "intersection",
     def _batch(t: pa.Table) -> pa.Table:
         keep, out, areas = [], [], []
         for i, g in enumerate(t.column(geom_col).to_pylist()):
-            rects, area = rl.boolean_op(wkb.as_multipolygon(g), other, op)
-            if len(rects):
+            rings, area = boolean_general(wkb.as_multipolygon(g), other, op)
+            if len(rings):
                 keep.append(i)
-                out.append(wkb.encode_multipolygon(rl.rects_to_multipolygon(rects)))
+                out.append(wkb.encode_multipolygon(rings_to_multipolygon(rings)))
                 areas.append(area)
         kept = t.take(pa.array(keep, type=pa.int64()))
         gi = kept.schema.get_field_index(geom_col)
@@ -70,11 +74,11 @@ def overlay_datasets(ds, right: pa.Table, op: str = "intersection",
         li, ri = tree.query_boxes(lboxes)
         keep_l, out_g, out_k, areas = [], [], [], []
         for a, b in zip(li, ri):
-            rects, area = rl.boolean_op(lgeoms[a], mps[b], op)
-            if len(rects):
+            rings, area = boolean_general(lgeoms[a], mps[b], op)
+            if len(rings):
                 keep_l.append(int(a))
                 out_g.append(wkb.encode_multipolygon(
-                    rl.rects_to_multipolygon(rects)))
+                    rings_to_multipolygon(rings)))
                 out_k.append(int(keys[b]))
                 areas.append(area)
         kept = t.take(pa.array(keep_l, type=pa.int64()))
