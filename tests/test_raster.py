@@ -273,3 +273,61 @@ def test_polygonize_components_vs_whole_array(ray_session):
     # per-component value consistent with the raster
     for _, r in comp.iterrows():
         assert full[int(r["miny"]), :].min() <= r["value"] <= full.max()
+
+
+def test_contour_cone_circles(ray_session):
+    """Distributed marching squares + stitching on a cone: contours
+    are single closed rings with circle circumference, equal to the
+    whole-array kernel."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from spapy_ray.stages.contour import contour, marching_squares_segments
+
+    meta = RasterMeta(width=128, height=128, tile_size=32, x_min=0.0,
+                      y_max=0.0, pixel_w=1.0, pixel_h=-1.0)
+    gx, gy = np.meshgrid(np.arange(128), np.arange(128))
+    z = (100.0 - np.hypot(gx - 63.5, gy - 63.5)).astype(np.float32)
+    rows = [{"tx": tx, "ty": ty, "band": 0,
+             "data": np.ascontiguousarray(
+                 z[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]).tobytes()}
+            for tx in range(4) for ty in range(4)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    lines = contour(ds, meta, [50.0, 80.0], dtype="float32")
+    assert len(lines) == 2
+    assert lines["closed"].all()
+    l50 = lines[lines.level == 50.0]["length"].iloc[0]
+    l80 = lines[lines.level == 80.0]["length"].iloc[0]
+    assert l50 == pytest.approx(2 * np.pi * 50, rel=0.01)
+    assert l80 == pytest.approx(2 * np.pi * 20, rel=0.01)
+    # distributed segment total == whole-array marching squares
+    segs = marching_squares_segments(z.astype(np.float64), 50.0,
+                                     0.5, -0.5, 1.0, -1.0)
+    whole = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1]).sum()
+    assert l50 == pytest.approx(whole, rel=1e-9)
+
+
+def test_contour_multiple_components(ray_session):
+    """Two separate peaks → two closed rings per level."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from spapy_ray.stages.contour import contour
+
+    meta = RasterMeta(width=64, height=64, tile_size=32, x_min=0.0,
+                      y_max=0.0, pixel_w=1.0, pixel_h=-1.0)
+    gx, gy = np.meshgrid(np.arange(64), np.arange(64))
+    z = (np.maximum(30 - np.hypot(gx - 16, gy - 32),
+                    30 - np.hypot(gx - 48, gy - 32))).astype(np.float32)
+    rows = [{"tx": tx, "ty": ty, "band": 0,
+             "data": np.ascontiguousarray(
+                 z[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]).tobytes()}
+            for tx in range(2) for ty in range(2)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    # 20.25 keeps the level off exact grid-corner values (z==level at
+    # a corner is the classic marching-squares degeneracy)
+    lines = contour(ds, meta, [20.25], dtype="float32")
+    assert len(lines) == 2
+    assert lines["closed"].all()
+    for _, r in lines.iterrows():
+        assert r["length"] == pytest.approx(2 * np.pi * 9.75, rel=0.02)
