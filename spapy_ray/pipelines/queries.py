@@ -570,3 +570,63 @@ def q_revenue_by_nation(sf_dir: str):
 
 
 QUERIES["revenue_by_nation"] = q_revenue_by_nation
+
+
+def q_contour_lines(sf_dir: str):
+    """Contour polylines over the float DEM (no SQL oracle —
+    marching squares isn't SQL-expressible; exactness covered in
+    pytest vs the whole-array kernel and analytic circle lengths)."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.contour import contour
+
+    ds = synth_dem_dataset(DEM_META, kind="float")
+    lines = contour(ds, DEM_META, [0.0, 80.0, 160.0], dtype="float32")
+    out = lines[["level", "line_id", "n_points", "closed"]].copy()
+    out["length"] = lines["length"].round(6)
+    return out
+
+
+def q_polygonize_components(sf_dir: str):
+    """Connected same-value components of the reclassified DEM
+    (rows-only; exactness covered in pytest vs whole-array labeling).
+    component_id is renumbered by (value, bbox) for stable output."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.polygonize import polygonize_components
+    from spapy_ray.stages.raster import reclassify
+
+    rc = reclassify(synth_dem_dataset(DEM_META, kind="int"),
+                    bounds=[0, 64, 128, 192, 256], values=[1, 2, 3, 4],
+                    dtype="int32", tile_size=DEM_META.tile_size)
+    comp = polygonize_components(rc, DEM_META, dtype="int32")
+    comp = comp.sort_values(["value", "minx", "miny", "maxx", "maxy",
+                             "n_pixels"]).reset_index(drop=True)
+    comp["component_id"] = np.arange(len(comp), dtype=np.int64)
+    return comp[["component_id", "value", "n_pixels",
+                 "minx", "miny", "maxx", "maxy", "n_tiles"]]
+
+
+def q_hillshade_stats(sf_dir: str):
+    """Hillshade over the float DEM reduced to per-tile means
+    (rows-only; kernel exactness covered in pytest vs the whole-array
+    Horn reference)."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.raster import decode_tile, hillshade
+
+    hs = hillshade(synth_dem_dataset(DEM_META, kind="float"), DEM_META,
+                   dtype="float32")
+
+    def stats(t: pa.Table) -> pa.Table:
+        means = [float(np.round(decode_tile(b, "float32",
+                                            DEM_META.tile_size).mean(), 4))
+                 for b in t.column("data").to_pylist()]
+        return pa.table({"tx": t.column("tx"), "ty": t.column("ty"),
+                         "mean_shade": pa.array(means, type=pa.float64())})
+
+    return hs.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES.update({
+    "contour_lines": q_contour_lines,
+    "polygonize_components": q_polygonize_components,
+    "hillshade_stats": q_hillshade_stats,
+})

@@ -152,18 +152,17 @@ def polygonize_components(ds, meta: RasterMeta, *, dtype: str = "int32"):
         edge_pairs, batch_format="pandas").to_pandas()
     stats = stats_ds.to_pandas()
 
-    # driver-side union-find over (tile, label) nodes
-    node = {}
+    # driver-side union-find over (tile, label) nodes — vectorized id
+    # assignment (factorize on packed keys), python only for the
+    # union loop over cross-tile pairs (O(border adjacencies))
+    def pack(tx, ty, lb):
+        return (tx.astype(np.int64) << 40) | (ty.astype(np.int64) << 20)             | lb.astype(np.int64)
 
-    def nid(tx, ty, lb):
-        key = (int(tx), int(ty), int(lb))
-        if key not in node:
-            node[key] = len(node)
-        return node[key]
-
-    for _, r in stats.iterrows():
-        nid(r["tx"], r["ty"], r["label"])
-    parent = list(range(len(node)))
+    keys = pack(stats["tx"].to_numpy(), stats["ty"].to_numpy(),
+                stats["label"].to_numpy())
+    codes, uniques = pd.factorize(keys)
+    lookup = {int(k): i for i, k in enumerate(uniques)}
+    parent = list(range(len(uniques)))
 
     def find(x):
         while parent[x] != x:
@@ -171,14 +170,17 @@ def polygonize_components(ds, meta: RasterMeta, *, dtype: str = "int32"):
             x = parent[x]
         return x
 
-    for _, r in pairs.iterrows():
-        ra = find(nid(r["tx_a"], r["ty_a"], r["l_a"]))
-        rb = find(nid(r["tx_b"], r["ty_b"], r["l_b"]))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+    if len(pairs):
+        pa_keys = pack(pairs["tx_a"].to_numpy(), pairs["ty_a"].to_numpy(),
+                       pairs["l_a"].to_numpy())
+        pb_keys = pack(pairs["tx_b"].to_numpy(), pairs["ty_b"].to_numpy(),
+                       pairs["l_b"].to_numpy())
+        for ka, kb in zip(pa_keys.tolist(), pb_keys.tolist()):
+            ra, rb = find(lookup[ka]), find(lookup[kb])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
 
-    stats["root"] = [find(nid(r["tx"], r["ty"], r["label"]))
-                     for _, r in stats.iterrows()]
+    stats["root"] = [find(int(c)) for c in codes]
     # global pixel-coordinate bboxes
     stats["gminx"] = stats["minx"] + stats["tx"] * T
     stats["gminy"] = stats["miny"] + stats["ty"] * T
