@@ -193,3 +193,144 @@ def polygonize_components(ds, meta: RasterMeta, *, dtype: str = "int32"):
         n_tiles=("tx", "count")).reset_index()
     agg["component_id"] = np.arange(len(agg), dtype=np.int64)
     return agg.drop(columns=["root"])
+
+
+# ---------------------------------------------------- boundary rings
+
+def _mask_boundary_segments(mask: np.ndarray, x_off: int, y_off: int) -> np.ndarray:
+    """Pixel-edge boundary segments of a binary mask, in global PIXEL
+    coordinates (corner lattice): exact GDAL-polygonize-style edges.
+    Vectorized: an edge exists wherever inside/outside flips."""
+    h, w = mask.shape
+    segs = []
+    pad = np.zeros((h + 2, w + 2), dtype=bool)
+    pad[1:-1, 1:-1] = mask
+    # vertical edges: between (i,j-1) and (i,j) when they differ
+    vdiff = pad[1:-1, 1:] != pad[1:-1, :-1]          # [h, w+1]
+    vi, vj = np.nonzero(vdiff)
+    if len(vi):
+        x = vj + x_off
+        segs.append(np.column_stack([x, vi + y_off, x, vi + y_off + 1]))
+    hdiff = pad[1:, 1:-1] != pad[:-1, 1:-1]          # [h+1, w]
+    hi, hj = np.nonzero(hdiff)
+    if len(hi):
+        y = hi + y_off
+        segs.append(np.column_stack([hj + x_off, y, hj + x_off + 1, y]))
+    return np.vstack(segs) if segs else np.zeros((0, 4))
+
+
+def polygonize_rings(ds, meta: RasterMeta, values: list[int], *,
+                     dtype: str = "int32"):
+    """Exact pixel-edge boundary rings per raster value (the geometry
+    half of gdal.Polygonize): per-tile vectorized boundary-segment
+    extraction (each tile owns its own pixels' edges; interior shared
+    edges cancel because both sides emit iff the flip is real) →
+    cross-tile ring stitching. Returns a DataFrame
+    (value, ring_id, n_points, area, closed, geom_wkb).
+
+    Note: a tile's edge ON the tile boundary needs the neighbor pixel
+    to decide the flip — handled with the 1-px halo fragments. Rings
+    follow even-odd semantics (holes appear as separate rings);
+    degree-4 corner vertices (8-connectivity pinch points) are chained
+    by first-match, a documented convention.
+    """
+    from spapy_ray.stages.contour import stitch_segments
+    from spapy_ray.stages.raster import _assemble_padded, _halo_fragments
+
+    frags = ds.map_batches(lambda t: _halo_fragments(t, meta, dtype),
+                           batch_format="pyarrow")
+    T = meta.tile_size
+
+    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+        pad = _assemble_padded(g, meta, dtype)
+        tx, ty = int(g["tx"].iloc[0]), int(g["ty"].iloc[0])
+        # raster borders: the replicated halo would suppress real
+        # boundary edges at the raster edge — mark outside explicitly
+        if tx == 0:
+            pad[:, 0] = -2**30
+        if ty == 0:
+            pad[0, :] = -2**30
+        if tx == meta.tiles_x - 1:
+            pad[:, -1] = -2**30
+        if ty == meta.tiles_y - 1:
+            pad[-1, :] = -2**30
+        rows = {"level": [], "x1": [], "y1": [], "x2": [], "y2": []}
+        core = pad[1:-1, 1:-1]
+        for v in values:
+            m = pad == v
+            # edges OWNED by this tile: those adjacent to a core pixel.
+            # Compute on the padded mask, then keep segments whose
+            # coordinates touch the core range.
+            segs = _mask_boundary_segments(m[1:-1, 1:-1], tx * T, ty * T)
+            # boundary flips against halo pixels:
+            west = (m[1:-1, 1] != m[1:-1, 0])
+            east = (m[1:-1, -2] != m[1:-1, -1])
+            north = (m[1, 1:-1] != m[0, 1:-1])
+            south = (m[-2, 1:-1] != m[-1, 1:-1])
+            extra = []
+            yy = np.nonzero(west)[0]
+            # segments on the west edge already emitted if flip vs
+            # outside-of-core; _mask_boundary_segments assumed outside
+            # is empty — fix: drop wrongly-emitted empty-halo edges and
+            # add halo-aware ones. Simplest correct form: recompute the
+            # four border columns of vdiff/hdiff with halo knowledge.
+            core_m = m[1:-1, 1:-1]
+            # west boundary edges (x = tx*T): flip between halo col and col 0
+            wfix = np.nonzero(m[1:-1, 0] != core_m[:, 0])[0]
+            wrong_w = np.nonzero(core_m[:, 0])[0]          # emitted iff col0 True
+            # rebuild: remove all x==tx*T segments, re-add from wfix where col0 or halo
+            keep = ~((segs[:, 0] == tx * T) & (segs[:, 2] == tx * T))
+            segs = segs[keep]
+            if len(wfix):
+                x = np.full(len(wfix), tx * T)
+                extra.append(np.column_stack([x, wfix + ty * T, x, wfix + ty * T + 1]))
+            efix = np.nonzero(m[1:-1, -1] != core_m[:, -1])[0]
+            keep = ~((segs[:, 0] == tx * T + core_m.shape[1])
+                     & (segs[:, 2] == tx * T + core_m.shape[1]))
+            segs = segs[keep]
+            if len(efix):
+                x = np.full(len(efix), tx * T + core_m.shape[1])
+                extra.append(np.column_stack([x, efix + ty * T, x, efix + ty * T + 1]))
+            nfix = np.nonzero(m[0, 1:-1] != core_m[0, :])[0]
+            keep = ~((segs[:, 1] == ty * T) & (segs[:, 3] == ty * T))
+            segs = segs[keep]
+            if len(nfix):
+                y = np.full(len(nfix), ty * T)
+                extra.append(np.column_stack([nfix + tx * T, y, nfix + tx * T + 1, y]))
+            sfix = np.nonzero(m[-1, 1:-1] != core_m[-1, :])[0]
+            keep = ~((segs[:, 1] == ty * T + core_m.shape[0])
+                     & (segs[:, 3] == ty * T + core_m.shape[0]))
+            segs = segs[keep]
+            if len(sfix):
+                y = np.full(len(sfix), ty * T + core_m.shape[0])
+                extra.append(np.column_stack([sfix + tx * T, y, sfix + tx * T + 1, y]))
+            if extra:
+                segs = np.vstack([segs] + extra)
+            # shared interior-tile edges: both neighbors would emit the
+            # same segment → dedupe by ownership: vertical edges at
+            # x == tx*T belong to the WEST tile unless tx==0; horizontal
+            # at y == ty*T to the NORTH tile unless ty==0
+            if tx > 0:
+                own = ~((segs[:, 0] == tx * T) & (segs[:, 2] == tx * T))
+                segs = segs[own]
+            if ty > 0:
+                own = ~((segs[:, 1] == ty * T) & (segs[:, 3] == ty * T))
+                segs = segs[own]
+            rows["level"].extend([v] * len(segs))
+            for kk, col in enumerate(("x1", "y1", "x2", "y2")):
+                rows[col].extend(segs[:, kk])
+        return pd.DataFrame(rows)
+
+    segs = frags.groupby(["tx", "ty"]).map_groups(
+        per_tile, batch_format="pandas").to_pandas()
+    lines = stitch_segments(segs, snap=0.5)
+    lines = lines.rename(columns={"level": "value", "line_id": "ring_id"})
+    # ring area via shoelace on the decoded linestrings
+    from spapy_ray.kernels import geom, wkb as _wkb
+
+    areas = []
+    for g_ in lines["geom_wkb"]:
+        _, coords = _wkb.decode(g_)
+        areas.append(abs(geom.ring_signed_area(np.asarray(coords))))
+    lines["area"] = areas
+    return lines

@@ -331,3 +331,33 @@ def test_contour_multiple_components(ray_session):
     assert lines["closed"].all()
     for _, r in lines.iterrows():
         assert r["length"] == pytest.approx(2 * np.pi * 9.75, rel=0.02)
+
+
+def test_polygonize_rings_exact_pixel_edges(ray_session):
+    """Boundary-ring extraction: a cross-tile rectangle with a hole
+    yields exactly two closed rings with pixel-exact perimeter/area."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from spapy_ray.stages.polygonize import polygonize_rings
+
+    meta = RasterMeta(width=64, height=64, tile_size=32, x_min=0, y_max=0,
+                      pixel_w=1, pixel_h=-1)
+    z = np.zeros((64, 64), dtype=np.int32)
+    z[20:44, 24:56] = 1
+    z[28:36, 32:40] = 0
+    rows = [{"tx": tx, "ty": ty, "band": 0,
+             "data": np.ascontiguousarray(
+                 z[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]).tobytes()}
+            for tx in range(2) for ty in range(2)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    rings = polygonize_rings(ds, meta, [1], dtype="int32")
+    assert len(rings) == 2
+    assert rings["closed"].all()
+    got = sorted(zip(rings["length"], rings["area"]))
+    assert got[0] == (32.0, 64.0)     # the hole
+    assert got[1] == (112.0, 768.0)   # the outer ring
+    # background value 0: outer boundary of the raster + rect + hole
+    rings0 = polygonize_rings(ds, meta, [0], dtype="int32")
+    assert rings0["closed"].all()
+    assert 64 * 4 in rings0["length"].tolist()  # raster frame ring
