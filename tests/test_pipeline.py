@@ -106,3 +106,19 @@ def test_dup_urls_have_identical_text(ray_session):
     # html embeds the text bytes
     row = tbl.iloc[0]
     assert row["text"].encode() in row["html"]
+
+
+def test_flagship_golden_hash(ray_session):
+    """Golden end-to-end gate (SURVEY §5): content hash of the sorted
+    sf0.001 flagship join output is pinned. Any change to synthesis,
+    geocoding, cell encoding, join semantics or zone geometry breaks
+    this hash — bump it ONLY with a reviewed semantic change."""
+    import hashlib
+
+    df = flagship_join("/root/testdata/sf0.001").to_pandas()
+    df = df.sort_values(["url", "warc_ts", "zone_id"]).reset_index(drop=True)
+    df["warc_ts"] = df["warc_ts"].astype("int64")
+    canon = df.to_csv(index=False, float_format="%.10g").encode()
+    assert len(df) == 1377
+    assert hashlib.sha256(canon).hexdigest() == \
+        "4fa3f69e4c140669954868076305963bffc462d6d4338bd532355c1f7ae07907"
