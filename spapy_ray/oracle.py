@@ -260,6 +260,44 @@ def q_raster_diff_stats() -> str:
             "max(z - z2)::BIGINT AS max_d, count(*)::BIGINT AS n_pixels FROM grid")
 
 
+def q_hillshade_stats() -> str:
+    """Whole-array twin of the distributed halo-stencil hillshade:
+    neighbor values come straight from the DEM closed form with
+    edge-clamped coordinates (== np.pad mode='edge'), the kernel is
+    the same trig-free algebra with the same embedded constants, and
+    the per-pixel result is quantized (floor(f32*16)) before the
+    per-tile integer sum — bit-exact end to end."""
+    from spapy_ray.sources.rasters import DEM_META, sql_dem_int
+    from spapy_ray.stages.raster import hillshade_constants
+
+    ca, sa, cz, sz = hillshade_constants()
+    cx = abs(DEM_META.pixel_w)   # 0.703125, exact dyadic
+    cy = abs(DEM_META.pixel_h)   # 0.33203125, exact dyadic
+
+    def cl(e: str) -> str:
+        return f"LEAST(GREATEST({e}, 0), 511)"
+
+    n = {k: sql_dem_int(cl(f"px + {dx}"), cl(f"py + {dy}"), 0)
+         for k, (dx, dy) in {"a": (-1, -1), "b": (0, -1), "c": (1, -1),
+                             "d": (-1, 0), "f": (1, 0),
+                             "g": (-1, 1), "h": (0, 1), "i": (1, 1)}.items()}
+    dzdx = (f"((({n['c']} + 2*{n['f']} + {n['i']}) - "
+            f"({n['a']} + 2*{n['d']} + {n['g']}))::DOUBLE / (8.0 * {cx!r}))")
+    dzdy = (f"((({n['g']} + 2*{n['h']} + {n['i']}) - "
+            f"({n['a']} + 2*{n['b']} + {n['c']}))::DOUBLE / (8.0 * {cy!r}))")
+    shade = (f"(({cz!r} + {sz!r} * ({ca!r} * (-dzdx) + {sa!r} * dzdy)) "
+             "/ sqrt(1.0 + dzdx*dzdx + dzdy*dzdy))")
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py FROM range(262144) t(p)), "
+        f"grad AS (SELECT px, py, {dzdx} AS dzdx, {dzdy} AS dzdy FROM px), "
+        f"sh AS (SELECT px, py, CAST(255.0 * LEAST(GREATEST({shade}, 0.0), 1.0) AS FLOAT) AS s32 FROM grad) "
+        "SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+        "sum(CAST(floor(CAST(s32 AS DOUBLE) * 16.0) AS BIGINT))::BIGINT AS sum_q, "
+        "count(*)::BIGINT AS n_px "
+        "FROM sh GROUP BY 1, 2"
+    )
+
+
 # ------------------------------------------------- vector-op queries
 
 def q_split_zones(num_zones: int = 200) -> str:
@@ -430,6 +468,37 @@ def q_overlay_box_areas(num_zones: int = 200) -> str:
     return (f"WITH zones AS ({sql_zones_cte(num_zones)}) "
             f"SELECT zone_id, {a}::DOUBLE / 100000000.0 AS inter_area "
             f"FROM zones WHERE {a} > 0")
+
+
+def q_zone_centroids(num_zones: int = 200) -> str:
+    """Closed-form area-weighted centroid per zone shape. Exact
+    integer shoelace sums (a2 = 2*area, cx6 = 6*int(x dA)) over the
+    rectangular decomposition, then the same float division tail as
+    the engine: double(cx6) / double(3*a2) / 10000. BIGINT is enough:
+    |cx6| < 4e17."""
+    # widths of shape-3's second rectangle
+    wb, hb = "(w - w2 - 5000)", "(h - h2 - 5000)"
+    a2 = ("(CASE WHEN shape IN (0, 1) THEN 2 * w * h "
+          "WHEN shape = 2 THEN 2 * (w * h2 + w2 * (h - h2)) "
+          f"ELSE 2 * (w2 * h2 + {wb} * {hb}) END)::BIGINT")
+    cx6 = ("(CASE WHEN shape IN (0, 1) THEN 3 * (2*x0 + w) * w * h "
+           "WHEN shape = 2 THEN 3 * ((2*x0 + w) * w * h2 "
+           "                       + (2*x0 + w2) * w2 * (h - h2)) "
+           f"ELSE 3 * ((2*x0 + w2) * w2 * h2 "
+           f"        + (2*x0 + w + w2 + 5000) * {wb} * {hb}) END)::BIGINT")
+    cy6 = ("(CASE WHEN shape IN (0, 1) THEN 3 * (2*y0 + h) * w * h "
+           "WHEN shape = 2 THEN 3 * ((2*y0 + h2) * w * h2 "
+           "                       + (2*y0 + h2 + h) * w2 * (h - h2)) "
+           f"ELSE 3 * ((2*y0 + h2) * w2 * h2 "
+           f"        + (2*y0 + h + h2 + 5000) * {wb} * {hb}) END)::BIGINT")
+    return (
+        f"WITH zones AS ({sql_zones_cte(num_zones)}), "
+        f"sums AS (SELECT zone_id, {a2} AS a2, {cx6} AS cx6, {cy6} AS cy6 FROM zones) "
+        "SELECT zone_id, "
+        "cx6::DOUBLE / (3 * a2)::DOUBLE / 10000.0 AS cx, "
+        "cy6::DOUBLE / (3 * a2)::DOUBLE / 10000.0 AS cy "
+        "FROM sums"
+    )
 
 
 def q_revenue_by_nation() -> str:

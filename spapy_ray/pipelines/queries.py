@@ -319,14 +319,14 @@ def q_project_equirect(sf_dir: str):
 
 
 def q_zone_centroids(sf_dir: str):
-    """Area-weighted centroids from WKB (no SQL oracle — float
-    summation order differs from a closed form; rows-only check;
-    exactness is covered by pytest against known centroids)."""
+    """Area-weighted centroids from WKB, fixed-point shoelace
+    accumulation → bit-identical to the closed-form SQL oracle
+    (oracle.q_zone_centroids)."""
     import ray.data as rd
 
     from spapy_ray.stages.vector_ops import centroid
 
-    cent = centroid(rd.from_arrow(zones_table()))
+    cent = centroid(rd.from_arrow(zones_table()), fixed_point=True)
 
     def pts(t: pa.Table) -> pa.Table:
         from spapy_ray.kernels import wkb as _w
@@ -606,21 +606,29 @@ def q_polygonize_components(sf_dir: str):
 
 
 def q_hillshade_stats(sf_dir: str):
-    """Hillshade over the float DEM reduced to per-tile means
-    (rows-only; kernel exactness covered in pytest vs the whole-array
-    Horn reference)."""
+    """Hillshade over the INT DEM (trig-free Horn kernel — every op
+    IEEE-deterministic), reduced to per-tile integer sums of
+    floor(shade * 16). Per-pixel float32 shade values are bit-exact
+    against the SQL twin (oracle.q_hillshade_stats), so the integer
+    quantization + sum match exactly — a full value-hash check of the
+    distributed halo-stencil path."""
     from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
     from spapy_ray.stages.raster import decode_tile, hillshade
 
-    hs = hillshade(synth_dem_dataset(DEM_META, kind="float"), DEM_META,
-                   dtype="float32")
+    hs = hillshade(synth_dem_dataset(DEM_META, kind="int"), DEM_META,
+                   dtype="int32")
 
     def stats(t: pa.Table) -> pa.Table:
-        means = [float(np.round(decode_tile(b, "float32",
-                                            DEM_META.tile_size).mean(), 4))
-                 for b in t.column("data").to_pylist()]
-        return pa.table({"tx": t.column("tx"), "ty": t.column("ty"),
-                         "mean_shade": pa.array(means, type=pa.float64())})
+        sums, counts = [], []
+        for b in t.column("data").to_pylist():
+            a = decode_tile(b, "float32", DEM_META.tile_size)
+            q = np.floor(a.astype(np.float64) * 16.0).astype(np.int64)
+            sums.append(int(q.sum()))
+            counts.append(int(q.size))
+        return pa.table({"tx": pc.cast(t.column("tx"), pa.int64()),
+                         "ty": pc.cast(t.column("ty"), pa.int64()),
+                         "sum_q": pa.array(sums, type=pa.int64()),
+                         "n_px": pa.array(counts, type=pa.int64())})
 
     return hs.map_batches(stats, batch_format="pyarrow")
 

@@ -32,6 +32,42 @@ def fixed_point_multipolygon_area(mp, unit: int = U) -> float:
     return (total / 2.0) / (unit * unit)
 
 
+def fixed_point_multipolygon_centroid(mp, unit: int = U) -> tuple[float, float]:
+    """Exact area-weighted centroid for geometries on a 1/unit grid.
+
+    Shoelace sums accumulated in arbitrary-precision Python ints
+    (signed: CCW exterior positive, CW holes negative), then a fixed
+    two-division float tail — so a closed-form SQL twin
+    (oracle.q_zone_centroids) matches bit-for-bit:
+
+        cx = double(cx6) / double(3 * a2) / unit
+
+    where a2 = 2*area and cx6 = 6*integral(x dA) are exact integers.
+    """
+    a2 = 0
+    cx6 = 0
+    cy6 = 0
+    for poly in mp:
+        for ring in poly:
+            r = np.rint(np.asarray(ring, dtype=np.float64) * unit).astype(np.int64)
+            if len(r) > 1 and (r[0] == r[-1]).all():
+                r = r[:-1]
+            xs = r[:, 0].tolist()
+            ys = r[:, 1].tolist()
+            n = len(xs)
+            for i in range(n):
+                j = (i + 1) % n
+                cr = xs[i] * ys[j] - xs[j] * ys[i]
+                a2 += cr
+                cx6 += (xs[i] + xs[j]) * cr
+                cy6 += (ys[i] + ys[j]) * cr
+    if a2 == 0:
+        pts = np.vstack([np.asarray(r, dtype=np.float64) for p in mp for r in p])
+        return float(pts[:, 0].mean()), float(pts[:, 1].mean())
+    return (float(cx6) / float(3 * a2) / unit,
+            float(cy6) / float(3 * a2) / unit)
+
+
 def measure_wkb_table(table: pa.Table, geom_col: str = "geom_wkb",
                       fixed_point: bool = True) -> pa.Table:
     """Append minx/miny/maxx/maxy/area columns computed from WKB."""

@@ -381,14 +381,40 @@ def horn_slope_aspect(pad: np.ndarray, cellsize_x: float, cellsize_y: float):
     return slope, aspect
 
 
+def hillshade_constants(azimuth_deg: float = 315.0,
+                        altitude_deg: float = 45.0):
+    """(ca, sa, cz, sz) — shared by the kernel and the SQL oracle so
+    both embed the exact same float64 constants."""
+    az = float(np.radians(360.0 - azimuth_deg + 90.0))
+    zen = float(np.radians(90.0 - altitude_deg))
+    import math
+    return math.cos(az), math.sin(az), math.cos(zen), math.sin(zen)
+
+
 def hillshade_kernel(pad: np.ndarray, cellsize_x: float, cellsize_y: float,
                      azimuth_deg: float = 315.0, altitude_deg: float = 45.0) -> np.ndarray:
-    """255-scaled illumination (SpaTopo.py:51-80 semantics)."""
-    slope, aspect = horn_slope_aspect(pad, cellsize_x, cellsize_y)
-    az = np.radians(360.0 - azimuth_deg + 90.0)
-    zen = np.radians(90.0 - altitude_deg)
-    shaded = (np.cos(zen) * np.cos(slope)
-              + np.sin(zen) * np.sin(slope) * np.cos(az - aspect))
+    """255-scaled Horn/gdaldem illumination.
+
+    NOTE (DIVERGENCES.md #11): this is gdaldem semantics, NOT the
+    reference's SpaTopo.py:51-80 Hillshade (which uses numpy.gradient
+    without cellsize and scales 255*(shaded+1)/2).
+
+    Trig-free algebraic form — with g = hypot(dzdx, dzdy):
+        cos(atan g) = 1/sqrt(1+g^2),  sin(atan g) = g/sqrt(1+g^2),
+        cos(az - aspect) = (ca*(-dzdx) + sa*dzdy)/g
+    so   shade = (cz + sz*(ca*(-dzdx) + sa*dzdy)) / sqrt(1+dzdx^2+dzdy^2).
+    Every op is IEEE-deterministic (* + / sqrt), which makes the whole
+    kernel bit-reproducible in SQL (oracle.q_hillshade_stats).
+    """
+    z = pad.astype(np.float64)
+    a = z[:-2, :-2]; b = z[:-2, 1:-1]; c = z[:-2, 2:]
+    d = z[1:-1, :-2];                  f = z[1:-1, 2:]
+    g = z[2:, :-2]; h = z[2:, 1:-1]; i = z[2:, 2:]
+    dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * cellsize_x)
+    dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8.0 * cellsize_y)
+    ca, sa, cz, sz = hillshade_constants(azimuth_deg, altitude_deg)
+    shaded = ((cz + sz * (ca * (-dzdx) + sa * dzdy))
+              / np.sqrt(1.0 + dzdx * dzdx + dzdy * dzdy))
     return (255.0 * np.clip(shaded, 0.0, 1.0)).astype(np.float32)
 
 

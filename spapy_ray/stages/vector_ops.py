@@ -126,8 +126,13 @@ def convex_hull(ds, geom_col: str = "geom_wkb"):
     return _map_geoms(ds, f, geom_col)
 
 
-def centroid(ds, geom_col: str = "geom_wkb"):
-    """Per-feature centroid → Point dataset (SpaVectors.py:871-894)."""
+def centroid(ds, geom_col: str = "geom_wkb", fixed_point: bool = False):
+    """Per-feature centroid → Point dataset (SpaVectors.py:871-894).
+
+    ``fixed_point=True`` switches polygon centroids to exact integer
+    shoelace accumulation on the 1e-4-degree grid (bit-identical to
+    the closed-form SQL oracle; see measures.fixed_point_multipolygon_centroid).
+    """
 
     def f(g: bytes):
         t, v = wkb.decode(g)
@@ -137,7 +142,11 @@ def centroid(ds, geom_col: str = "geom_wkb"):
             pts = np.asarray(v, dtype=np.float64)
             return wkb.encode_point(float(pts[:, 0].mean()), float(pts[:, 1].mean()))
         mp = [v] if t == "Polygon" else v
-        cx, cy = geom.multipolygon_centroid(mp)
+        if fixed_point:
+            from spapy_ray.stages.measures import fixed_point_multipolygon_centroid
+            cx, cy = fixed_point_multipolygon_centroid(mp)
+        else:
+            cx, cy = geom.multipolygon_centroid(mp)
         return wkb.encode_point(cx, cy)
 
     return _map_geoms(ds, f, geom_col)
