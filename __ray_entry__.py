@@ -72,4 +72,5 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": o.q_revenue_by_nation(),
         "zone_centroids": o.q_zone_centroids(),
         "hillshade_stats": o.q_hillshade_stats(),
+        "contour_lines": o.q_contour_lines(),
     }

@@ -298,6 +298,32 @@ def q_hillshade_stats() -> str:
     )
 
 
+def q_contour_lines() -> str:
+    """Topological twin of the distributed marching-squares +
+    stitching pipeline: a level-L contour crosses a pixel-adjacency
+    edge iff (z <= k) flips across it (levels are half-integers
+    k+0.5, so the test is an exact integer comparison); open
+    polylines terminate exactly at crossings on the raster border,
+    two terminals per line."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    z = sql_dem_int("x", "y", 0)
+    zr = sql_dem_int("(x + 1)", "y", 0)
+    zd = sql_dem_int("x", "(y + 1)", 0)
+    return (
+        "WITH lv(level, k) AS (VALUES (63.5, 63), (127.5, 127), (191.5, 191)), "
+        "he AS (SELECT p % 511 AS x, p // 511 AS y FROM range(261632) t(p)), "
+        "ve AS (SELECT p // 511 AS x, p % 511 AS y FROM range(261632) t(p)), "
+        f"hx AS (SELECT l.level, (CASE WHEN y = 0 OR y = 511 THEN 1 ELSE 0 END) AS bnd "
+        f"FROM he CROSS JOIN lv l WHERE ({z} <= l.k) <> ({zr} <= l.k)), "
+        f"vx AS (SELECT l.level, (CASE WHEN x = 0 OR x = 511 THEN 1 ELSE 0 END) AS bnd "
+        f"FROM ve CROSS JOIN lv l WHERE ({z} <= l.k) <> ({zd} <= l.k)), "
+        "allx AS (SELECT * FROM hx UNION ALL SELECT * FROM vx) "
+        "SELECT level, (sum(bnd) // 2)::BIGINT AS n_open_lines, "
+        "count(*)::BIGINT AS n_crossings FROM allx GROUP BY level"
+    )
+
+
 # ------------------------------------------------- vector-op queries
 
 def q_split_zones(num_zones: int = 200) -> str:

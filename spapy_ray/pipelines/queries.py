@@ -572,18 +572,55 @@ def q_revenue_by_nation(sf_dir: str):
 QUERIES["revenue_by_nation"] = q_revenue_by_nation
 
 
-def q_contour_lines(sf_dir: str):
-    """Contour polylines over the float DEM (no SQL oracle —
-    marching squares isn't SQL-expressible; exactness covered in
-    pytest vs the whole-array kernel and analytic circle lengths)."""
-    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
-    from spapy_ray.stages.contour import contour
+CONTOUR_LEVELS = [63.5, 127.5, 191.5]
 
-    ds = synth_dem_dataset(DEM_META, kind="float")
-    lines = contour(ds, DEM_META, [0.0, 80.0, 160.0], dtype="float32")
-    out = lines[["level", "line_id", "n_points", "closed"]].copy()
-    out["length"] = lines["length"].round(6)
-    return out
+
+def q_contour_lines(sf_dir: str):
+    """Contour over the INT DEM at half-integer levels (crossing
+    tests are exact integer comparisons), reduced to per-level
+    topological invariants the SQL twin derives from the generator
+    CTE: open-line count (= boundary crossings / 2) and total grid
+    crossings (= stitched vertices minus closed-loop closures). A
+    dropped/duplicated/mis-joined segment anywhere in the distributed
+    stitch breaks the counts. Geometry exactness is covered in pytest
+    (cone fixture vs whole-array kernel)."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.contour import contour_pieces, merge_open_pieces
+
+    ds = synth_dem_dataset(DEM_META, kind="int")
+    pieces = contour_pieces(ds, DEM_META, CONTOUR_LEVELS, dtype="int32",
+                            with_geometry=False).materialize()
+
+    # closed-in-tile loops: distributed partial aggregation
+    def closed_partial(t: pa.Table) -> pa.Table:
+        m = t.column("closed")
+        tt = t.filter(m)
+        return pa.table({
+            "level": tt.column("level"),
+            "crossings": pc.subtract(tt.column("n_points"), pa.scalar(1))})
+
+    closed_agg = pieces.map_batches(closed_partial, batch_format="pyarrow") \
+        .groupby("level").aggregate(Sum("crossings", alias_name="c")) \
+        .to_pandas()
+
+    # cross-tile fragments: small driver merge on exact edge ids
+    def open_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("closed")))
+
+    open_df = pieces.map_batches(open_only, batch_format="pyarrow").to_pandas()
+    merged = merge_open_pieces(open_df, with_geometry=False)
+
+    rows = []
+    for lv in CONTOUR_LEVELS:
+        mg = merged[merged["level"] == lv]
+        cr = int(closed_agg.loc[closed_agg["level"] == lv, "c"].sum())
+        cr += int((mg["n_points"] - mg["closed"].astype(int)).sum())
+        rows.append({"level": lv,
+                     "n_open_lines": int((~mg["closed"]).sum()),
+                     "n_crossings": cr})
+    return pd.DataFrame(rows)
 
 
 def q_polygonize_components(sf_dir: str):

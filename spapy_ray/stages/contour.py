@@ -1,15 +1,23 @@
 """Contour extraction (SpaTopoTools.Contour, SpaTopo.py:185-233 —
 gdal.ContourGenerate replacement): marching squares per tile with a
-1-px halo, then cross-tile polyline stitching.
+1-px halo, then polyline stitching.
+
+Distributed shape (round-2 rewrite):
 
 - segment generation is a vectorized marching-squares kernel over the
   padded tile (the same halo-exchange fragments as hillshade), each
   tile OWNING the cells whose top-left pixel it contains → no
   duplicate segments;
-- stitching chains segments into polylines by quantized-endpoint
-  matching. Segment volume is O(contour length), tiny next to the
-  raster, so the chain step runs on the driver; the scale path is a
-  groupby on quantized endpoints (documented).
+- every segment endpoint carries an EXACT integer grid-edge id
+  (kind, global px, py packed into one int64) — adjacent tiles derive
+  the identical id for a shared crossing, so stitching needs no
+  floating-point snap and cannot mis-join;
+- stitching runs LOCALLY inside the same per-tile map_groups: loops
+  contained in a tile close there; only chains that touch the tile
+  border leave the worker, as (endpoint-id, endpoint-id, n_points,
+  length, wkb) fragments;
+- the driver merges the small cross-tile fragment graph (O(border
+  crossings), not O(contour length)).
 
 Outputs one row per polyline: (level, line_id, n_points, length,
 closed, wkb LineString).
@@ -39,12 +47,27 @@ _CASES: dict[int, list[tuple[int, int]]] = {
     10: [(0, 1), (2, 3)],
 }
 
+_EDGE_SHIFT = 21              # grid coords < 2^21; id = kind<<42 | gx<<21 | gy
 
-def marching_squares_segments(z: np.ndarray, level: float,
-                              x0: float, y0: float,
-                              dx: float, dy: float) -> np.ndarray:
-    """Segments [k, 4] (x1,y1,x2,y2) for cells whose top-left corner is
-    in z[:-1, :-1]; corner (i,j) sits at (x0 + j*dx, y0 + i*dy)."""
+
+def _edge_id(kind: np.ndarray, gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Pack a grid-edge identity into int64. kind 0 = horizontal edge
+    between pixels (gx,gy)-(gx+1,gy); kind 1 = vertical edge between
+    (gx,gy)-(gx,gy+1). Exact — both tiles adjacent to a crossing
+    compute the same id."""
+    return ((kind.astype(np.int64) << (2 * _EDGE_SHIFT))
+            | (gx.astype(np.int64) << _EDGE_SHIFT) | gy.astype(np.int64))
+
+
+def marching_squares_segments_ids(z: np.ndarray, level: float,
+                                  x0: float, y0: float,
+                                  dx: float, dy: float,
+                                  col0: int = 0, row0: int = 0):
+    """Segments for cells whose top-left corner is in z[:-1, :-1].
+
+    Returns (segs [k,4] float xy pairs, ida [k], idb [k]) where
+    ida/idb are packed GLOBAL grid-edge ids of the two endpoints
+    (corner (i,j) of z = global pixel (col0+j, row0+i))."""
     zz = z.astype(np.float64)
     above = zz >= level
     tl = above[:-1, :-1]
@@ -55,7 +78,7 @@ def marching_squares_segments(z: np.ndarray, level: float,
             | (br.astype(np.int8) << 2) | (bl.astype(np.int8) << 3))
     ii, jj = np.nonzero((case != 0) & (case != 15))
     if len(ii) == 0:
-        return np.zeros((0, 4))
+        return np.zeros((0, 4)), np.zeros(0, np.int64), np.zeros(0, np.int64)
 
     zTL = zz[ii, jj]
     zTR = zz[ii, jj + 1]
@@ -67,14 +90,20 @@ def marching_squares_segments(z: np.ndarray, level: float,
         t = np.where(d != 0, (level - za) / np.where(d == 0, 1, d), 0.5)
         return np.clip(t, 0.0, 1.0)
 
-    # edge crossing coordinates per cell
+    gj = jj + col0
+    gi = ii + row0
+    # per-edge crossing coordinates and exact ids
     ex = {
-        0: (jj + interp(zTL, zTR), ii + 0.0),            # top
-        1: (jj + 1.0, ii + interp(zTR, zBR)),            # right
-        2: (jj + interp(zBL, zBR), ii + 1.0),            # bottom
-        3: (jj + 0.0, ii + interp(zTL, zBL)),            # left
+        0: (jj + interp(zTL, zTR), ii + 0.0,
+            _edge_id(np.zeros(len(ii)), gj, gi)),                 # top
+        1: (jj + 1.0, ii + interp(zTR, zBR),
+            _edge_id(np.ones(len(ii)), gj + 1, gi)),              # right
+        2: (jj + interp(zBL, zBR), ii + 1.0,
+            _edge_id(np.zeros(len(ii)), gj, gi + 1)),             # bottom
+        3: (jj + 0.0, ii + interp(zTL, zBL),
+            _edge_id(np.ones(len(ii)), gj, gi)),                  # left
     }
-    segs = []
+    segs, ida, idb = [], [], []
     cases = case[ii, jj]
     for c, pairs in _CASES.items():
         if not pairs:
@@ -88,18 +117,83 @@ def marching_squares_segments(z: np.ndarray, level: float,
             x2 = x0 + ex[e2][0][m] * dx
             y2 = y0 + ex[e2][1][m] * dy
             segs.append(np.column_stack([x1, y1, x2, y2]))
-    return np.vstack(segs) if segs else np.zeros((0, 4))
+            ida.append(ex[e1][2][m])
+            idb.append(ex[e2][2][m])
+    return (np.vstack(segs), np.concatenate(ida), np.concatenate(idb))
 
 
-def contour_segments(ds, meta: RasterMeta, levels: list[float], *,
-                     dtype: str = "float32"):
-    """Tile table → Dataset of contour segments (level, x1,y1,x2,y2)."""
+def marching_squares_segments(z: np.ndarray, level: float,
+                              x0: float, y0: float,
+                              dx: float, dy: float) -> np.ndarray:
+    """Back-compat wrapper: segments only."""
+    return marching_squares_segments_ids(z, level, x0, y0, dx, dy)[0]
+
+
+def _chain_local(segs: np.ndarray, ida: np.ndarray, idb: np.ndarray,
+                 with_geometry: bool = True):
+    """Chain segments into polylines by exact endpoint-id matching.
+
+    Returns list of (closed, n_points, length, end_id_a, end_id_b,
+    coords|None). Interior loops come out closed; open chains report
+    their terminal edge ids for cross-partition merging."""
+    n = len(segs)
+    seglen = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
+    la = ida.tolist()
+    lb = idb.tolist()
+    ll = seglen.tolist()
+    adj: dict[int, list] = {}
+    for i in range(n):
+        adj.setdefault(la[i], []).append((i, 0))
+        adj.setdefault(lb[i], []).append((i, 1))
+    used = bytearray(n)
+    out = []
+    for i in range(n):
+        if used[i]:
+            continue
+        ids = [la[i], lb[i]]
+        chain = [(i, True)]          # (segment index, forward?)
+        length = ll[i]
+        used[i] = 1
+        for end in (1, 0):
+            while ids[0] != ids[-1]:
+                key = ids[-1] if end == 1 else ids[0]
+                nxt = [e for e in adj.get(key, []) if not used[e[0]]]
+                if not nxt:
+                    break
+                j, side = nxt[0]
+                used[j] = 1
+                other = la[j] if side == 1 else lb[j]
+                length += ll[j]
+                if end == 1:
+                    ids.append(other)
+                    chain.append((j, side == 0))
+                else:
+                    ids.insert(0, other)
+                    chain.insert(0, (j, side == 1))
+        closed = ids[0] == ids[-1] and len(ids) > 2
+        if with_geometry:
+            pts = [(segs[j, :2], segs[j, 2:]) if fwd else
+                   (segs[j, 2:], segs[j, :2]) for j, fwd in chain]
+            arr = np.vstack([pts[0][0]] + [p[1] for p in pts])
+        else:
+            arr = None
+        out.append((closed, len(ids), length, ids[0], ids[-1], arr))
+    return out
+
+
+def contour_pieces(ds, meta: RasterMeta, levels: list[float], *,
+                   dtype: str = "float32", with_geometry: bool = True):
+    """Tile table → Dataset of locally-stitched contour pieces.
+
+    Columns: level f64, closed bool, n_points i64, length f64,
+    id_a i64, id_b i64 (terminal edge ids; -1 for closed pieces),
+    geom_wkb binary (empty if with_geometry=False)."""
     frags = ds.map_batches(lambda t: _halo_fragments(t, meta, dtype),
                            batch_format="pyarrow")
+    T = meta.tile_size
 
     def per_tile(g: pd.DataFrame) -> pd.DataFrame:
         pad = _assemble_padded(g, meta, dtype)
-        T = meta.tile_size
         tx, ty = int(g["tx"].iloc[0]), int(g["ty"].iloc[0])
         # cells owned: top-left corners = this tile's pixels → use
         # pad[1:T+2, 1:T+2] (core + one E/S halo row/col)
@@ -110,21 +204,112 @@ def contour_segments(ds, meta: RasterMeta, levels: list[float], *,
         z = z[:max_i, :max_j]
         x0 = meta.x_min + (tx * T + 0.5) * meta.pixel_w
         y0 = meta.y_max + (ty * T + 0.5) * meta.pixel_h
-        rows = {"level": [], "x1": [], "y1": [], "x2": [], "y2": []}
+        rows = {"level": [], "closed": [], "n_points": [], "length": [],
+                "id_a": [], "id_b": [], "geom_wkb": []}
         for lv in levels:
-            segs = marching_squares_segments(z, lv, x0, y0,
-                                             meta.pixel_w, meta.pixel_h)
-            rows["level"].extend([lv] * len(segs))
-            for k, col in enumerate(("x1", "y1", "x2", "y2")):
-                rows[col].extend(segs[:, k])
+            segs, ida, idb = marching_squares_segments_ids(
+                z, lv, x0, y0, meta.pixel_w, meta.pixel_h,
+                col0=tx * T, row0=ty * T)
+            for closed, npts, ln, ia, ib, arr in _chain_local(
+                    segs, ida, idb, with_geometry):
+                rows["level"].append(lv)
+                rows["closed"].append(closed)
+                rows["n_points"].append(npts)
+                rows["length"].append(ln)
+                rows["id_a"].append(-1 if closed else ia)
+                rows["id_b"].append(-1 if closed else ib)
+                rows["geom_wkb"].append(
+                    wkb.encode_linestring(arr) if arr is not None else b"")
         return pd.DataFrame(rows)
 
     return frags.groupby(["tx", "ty"]).map_groups(per_tile,
                                                   batch_format="pandas")
 
 
+def merge_open_pieces(df: pd.DataFrame, with_geometry: bool = True) -> pd.DataFrame:
+    """Driver-side merge of cross-tile open pieces (exact edge-id
+    adjacency; O(#fragments), fragments ≈ tile-border crossings).
+    Input/output columns as contour_pieces."""
+    out = {"level": [], "closed": [], "n_points": [], "length": [],
+           "id_a": [], "id_b": [], "geom_wkb": []}
+    for lv, g in df.groupby("level", sort=True):
+        ia = g["id_a"].to_numpy()
+        ib = g["id_b"].to_numpy()
+        npts = g["n_points"].to_numpy()
+        lens = g["length"].to_numpy()
+        wkbs = g["geom_wkb"].to_list()
+        n = len(g)
+        adj: dict[int, list] = {}
+        for i in range(n):
+            adj.setdefault(int(ia[i]), []).append((i, 0))
+            adj.setdefault(int(ib[i]), []).append((i, 1))
+        used = np.zeros(n, dtype=bool)
+
+        def piece_coords(i: int, forward: bool) -> np.ndarray:
+            arr = np.asarray(wkb.decode(wkbs[i])[1], dtype=np.float64)
+            return arr if forward else arr[::-1]
+
+        for i in range(n):
+            if used[i]:
+                continue
+            used[i] = True
+            ids = [int(ia[i]), int(ib[i])]
+            chain = [(i, True)]
+            total_pts = int(npts[i])
+            total_len = float(lens[i])
+            for end in (1, 0):
+                while ids[0] != ids[-1]:
+                    key = ids[-1] if end == 1 else ids[0]
+                    nxt = [e for e in adj.get(key, []) if not used[e[0]]]
+                    if not nxt:
+                        break
+                    j, side = nxt[0]
+                    used[j] = True
+                    # side==0 means we matched j's id_a → traverse forward
+                    other = int(ib[j]) if side == 0 else int(ia[j])
+                    total_pts += int(npts[j]) - 1     # shared junction point
+                    total_len += float(lens[j])
+                    if end == 1:
+                        ids.append(other)
+                        chain.append((j, side == 0))
+                    else:
+                        ids.insert(0, other)
+                        chain.insert(0, (j, side == 1))
+            closed = ids[0] == ids[-1]
+            out["level"].append(lv)
+            out["closed"].append(bool(closed))
+            out["n_points"].append(total_pts)
+            out["length"].append(total_len)
+            out["id_a"].append(-1 if closed else ids[0])
+            out["id_b"].append(-1 if closed else ids[-1])
+            if with_geometry:
+                parts = [piece_coords(j, fwd) for j, fwd in chain]
+                arr = np.vstack([parts[0]] + [p[1:] for p in parts[1:]])
+                out["geom_wkb"].append(wkb.encode_linestring(arr))
+            else:
+                out["geom_wkb"].append(b"")
+    return pd.DataFrame(out)
+
+
+def contour(ds, meta: RasterMeta, levels: list[float], *,
+            dtype: str = "float32") -> pd.DataFrame:
+    """Full contour op: distributed per-tile stitch → driver merge of
+    the border-fragment graph. Returns (level, line_id, n_points,
+    length, closed, geom_wkb), line_id numbered per level."""
+    pieces = contour_pieces(ds, meta, levels, dtype=dtype).to_pandas()
+    closed = pieces[pieces["closed"]]
+    merged = merge_open_pieces(pieces[~pieces["closed"]])
+    lines = pd.concat([closed, merged], ignore_index=True)
+    lines = lines.sort_values(["level", "n_points", "length"],
+                              kind="stable").reset_index(drop=True)
+    lines["line_id"] = lines.groupby("level").cumcount()
+    return lines[["level", "line_id", "n_points", "length", "closed",
+                  "geom_wkb"]]
+
+
 def stitch_segments(segs: pd.DataFrame, snap: float = 1e-9) -> pd.DataFrame:
-    """Segments → polylines by endpoint chaining (per level).
+    """Legacy whole-array stitcher on quantized float endpoints (used
+    by polygonize_rings where coords are exact corner-lattice ints).
 
     Returns (level, line_id, n_points, length, closed, geom_wkb).
     """
@@ -172,10 +357,3 @@ def stitch_segments(segs: pd.DataFrame, snap: float = 1e-9) -> pd.DataFrame:
                         "geom_wkb": wkb.encode_linestring(arr)})
             line_id += 1
     return pd.DataFrame(out)
-
-
-def contour(ds, meta: RasterMeta, levels: list[float], *,
-            dtype: str = "float32") -> pd.DataFrame:
-    """Full contour op: distributed segments → stitched polylines."""
-    segs = contour_segments(ds, meta, levels, dtype=dtype).to_pandas()
-    return stitch_segments(segs)
