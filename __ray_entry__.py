@@ -73,4 +73,6 @@ def oracle_sql() -> dict[str, str]:
         "zone_centroids": o.q_zone_centroids(),
         "hillshade_stats": o.q_hillshade_stats(),
         "contour_lines": o.q_contour_lines(),
+        "polygonize_components": o.q_polygonize_components(),
+        "polygonize_polygons": o.q_polygonize_polygons(),
     }

@@ -324,6 +324,70 @@ def q_contour_lines() -> str:
     )
 
 
+def _polygonize_cc_cte() -> str:
+    """Connected-component labeling of the reclassified DEM in pure
+    SQL: horizontal runs (window functions) → run-adjacency edges
+    (same value, overlapping x-range on adjacent rows) → min-label
+    propagation via a recursive CTE (the label only propagates to
+    nodes with larger ids, which is sufficient: the component minimum
+    is below every other node id on some path). Produces
+    comp(root, value, n_pixels, minx, miny, maxx, maxy, n_tiles)."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    v = f"(({sql_dem_int('(p % 512)', '(p // 512)', 0)}) // 64 + 1)"
+    return (
+        f"cells AS (SELECT p % 512 AS x, p // 512 AS y, {v} AS v FROM range(262144) t(p)), "
+        "marks AS (SELECT x, y, v, CASE WHEN lag(v) OVER (PARTITION BY y ORDER BY x) "
+        "IS DISTINCT FROM v THEN 1 ELSE 0 END AS brk FROM cells), "
+        "runsx AS (SELECT x, y, v, sum(brk) OVER (PARTITION BY y ORDER BY x "
+        "ROWS UNBOUNDED PRECEDING) AS rseq FROM marks), "
+        "runs AS (SELECT y, v, min(x) AS x0, max(x) AS x1, count(*) AS len, "
+        "y * 1024 + rseq AS rid FROM runsx GROUP BY y, rseq, v), "
+        "redges AS (SELECT a.rid AS src, b.rid AS dst FROM runs a JOIN runs b "
+        "ON b.y = a.y + 1 AND a.v = b.v AND a.x0 <= b.x1 AND b.x0 <= a.x1), "
+        "bedges AS (SELECT src, dst FROM redges UNION ALL SELECT dst AS src, src AS dst FROM redges), "
+        "cc AS (SELECT rid AS node, rid AS lab FROM runs "
+        "UNION SELECT e.dst AS node, cc.lab FROM cc JOIN bedges e ON e.src = cc.node "
+        "WHERE cc.lab < e.dst), "
+        "lab AS (SELECT node, min(lab) AS root FROM cc GROUP BY node), "
+        "tiles AS (SELECT DISTINCT l.root, (r.y // 64) AS tty, "
+        "unnest(generate_series(r.x0 // 64, r.x1 // 64)) AS ttx "
+        "FROM runs r JOIN lab l ON l.node = r.rid), "
+        "ntl AS (SELECT root, count(*) AS n_tiles FROM tiles GROUP BY root), "
+        "comp AS (SELECT l.root, min(r.v) AS value, sum(r.len)::BIGINT AS n_pixels, "
+        "min(r.x0)::BIGINT AS minx, min(r.y)::BIGINT AS miny, "
+        "max(r.x1)::BIGINT AS maxx, max(r.y)::BIGINT AS maxy, "
+        "min(n.n_tiles)::BIGINT AS n_tiles "
+        "FROM runs r JOIN lab l ON l.node = r.rid JOIN ntl n ON n.root = l.root "
+        "GROUP BY l.root)"
+    )
+
+
+_COMP_ORDER = "value, minx, miny, maxx, maxy, n_pixels, n_tiles"
+
+
+def q_polygonize_components() -> str:
+    return (
+        f"WITH RECURSIVE {_polygonize_cc_cte()} "
+        f"SELECT row_number() OVER (ORDER BY {_COMP_ORDER}) - 1 AS component_id, "
+        "value::BIGINT AS value, n_pixels, minx, miny, maxx, maxy, n_tiles "
+        "FROM comp"
+    )
+
+
+def q_polygonize_polygons() -> str:
+    """Twin of the ring-derived-area query: for a correct directed
+    boundary, the shoelace sum equals the pixel count, so the oracle
+    emits n_pixels as ring_area."""
+    return (
+        f"WITH RECURSIVE {_polygonize_cc_cte()} "
+        f"SELECT row_number() OVER (ORDER BY {_COMP_ORDER}) - 1 AS component_id, "
+        "value::BIGINT AS value, n_pixels, n_pixels AS ring_area, "
+        "minx, miny, maxx, maxy "
+        "FROM comp"
+    )
+
+
 # ------------------------------------------------- vector-op queries
 
 def q_split_zones(num_zones: int = 200) -> str:

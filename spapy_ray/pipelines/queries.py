@@ -623,23 +623,49 @@ def q_contour_lines(sf_dir: str):
     return pd.DataFrame(rows)
 
 
-def q_polygonize_components(sf_dir: str):
-    """Connected same-value components of the reclassified DEM
-    (rows-only; exactness covered in pytest vs whole-array labeling).
-    component_id is renumbered by (value, bbox) for stable output."""
+def _reclassified_dem():
     from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
-    from spapy_ray.stages.polygonize import polygonize_components
     from spapy_ray.stages.raster import reclassify
 
-    rc = reclassify(synth_dem_dataset(DEM_META, kind="int"),
-                    bounds=[0, 64, 128, 192, 256], values=[1, 2, 3, 4],
-                    dtype="int32", tile_size=DEM_META.tile_size)
-    comp = polygonize_components(rc, DEM_META, dtype="int32")
-    comp = comp.sort_values(["value", "minx", "miny", "maxx", "maxy",
-                             "n_pixels"]).reset_index(drop=True)
+    return reclassify(synth_dem_dataset(DEM_META, kind="int"),
+                      bounds=[0, 64, 128, 192, 256], values=[1, 2, 3, 4],
+                      dtype="int32", tile_size=DEM_META.tile_size), DEM_META
+
+
+_COMP_SORT = ["value", "minx", "miny", "maxx", "maxy", "n_pixels", "n_tiles"]
+
+
+def q_polygonize_components(sf_dir: str):
+    """Connected same-value components of the reclassified DEM.
+    component_id is renumbered by (value, bbox, size) for stable
+    output; the SQL twin labels via horizontal runs + a recursive-CTE
+    min-label propagation over the run-adjacency graph
+    (oracle.q_polygonize_components)."""
+    from spapy_ray.stages.polygonize import polygonize_components
+
+    rc, meta = _reclassified_dem()
+    comp = polygonize_components(rc, meta, dtype="int32")
+    comp = comp.sort_values(_COMP_SORT).reset_index(drop=True)
     comp["component_id"] = np.arange(len(comp), dtype=np.int64)
     return comp[["component_id", "value", "n_pixels",
                  "minx", "miny", "maxx", "maxy", "n_tiles"]]
+
+
+def q_polygonize_polygons(sf_dir: str):
+    """Components + ring-derived area: the signed shoelace sum over
+    each component's directed boundary edges (inside-on-left; exact
+    integers). For a correct boundary extraction ring_area equals
+    n_pixels — the oracle emits n_pixels for both columns, so any
+    dropped/misattributed boundary edge breaks the hash."""
+    from spapy_ray.stages.polygonize import polygonize_components
+
+    rc, meta = _reclassified_dem()
+    comp = polygonize_components(rc, meta, dtype="int32",
+                                 with_ring_area=True)
+    comp = comp.sort_values(_COMP_SORT).reset_index(drop=True)
+    comp["component_id"] = np.arange(len(comp), dtype=np.int64)
+    return comp[["component_id", "value", "n_pixels", "ring_area",
+                 "minx", "miny", "maxx", "maxy"]]
 
 
 def q_hillshade_stats(sf_dir: str):
@@ -673,5 +699,6 @@ def q_hillshade_stats(sf_dir: str):
 QUERIES.update({
     "contour_lines": q_contour_lines,
     "polygonize_components": q_polygonize_components,
+    "polygonize_polygons": q_polygonize_polygons,
     "hillshade_stats": q_hillshade_stats,
 })

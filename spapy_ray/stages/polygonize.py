@@ -4,21 +4,36 @@ The reference shells into gdal.Polygonize (SpaRasters.py:827-882) to
 get one polygon per contiguous same-value area with the value as an
 attribute. The distributed form here produces the same *partition* of
 the raster — a global component id per contiguous region plus its
-attributes (value, pixel count, bbox) — via:
+attributes (value, pixel count, bbox, tiles touched, ring-derived
+area) — via ONE pass over the tiles:
 
 1. per-tile two-pass union-find labeling (stateless map_batches);
-2. border-strip exchange: each tile emits its edge pixels keyed by
-   the shared edge, one groupby pairs adjacent tiles' borders and
-   yields cross-tile (comp_a ~ comp_b) equivalences;
+   the same pass emits, per batch, a single combined table holding
+   (a) per-(tile,label) stats rows, (b) border-pixel rows keyed by
+   the shared tile edge, and (c) per-(tile,label) boundary-edge
+   cross-product partial sums (the shoelace pieces of the component's
+   boundary rings, interior + raster-border edges);
+2. a groupby on the shared tile edge pairs adjacent tiles' borders,
+   yielding cross-tile (comp_a ~ comp_b) equivalences AND the
+   boundary cross-sum contributions of value-change edges that lie ON
+   tile seams;
 3. a global union-find over the (small) equivalence list merges
-   components that span tiles, then per-component stats aggregate.
+   components that span tiles; per-component stats and ring areas
+   aggregate from the partials.
 
 Step 3 runs on the driver over O(cross-tile-adjacency) pairs — fine
 up to millions of border runs; the documented scale-out path is
-iterative min-label propagation over the same pair table. Polygon
-boundary *tracing* (ring extraction) is a round-3 item; the component
-partition + attributes are what the reference's downstream attribute
-joins consume (attr `band1`, SpaRasterVectors.py:36-47).
+iterative min-label propagation over the same pair table (the SQL
+oracle q_polygonize_components does exactly that with a recursive
+CTE over horizontal runs).
+
+Ring-derived area: the boundary of a component is a set of directed
+pixel edges with the component on the left; the shoelace sum over
+directed edges is ring-decomposition-independent, so
+    area = -1/2 * sum(cross(tail, head))
+needs no ring tracing and equals n_pixels exactly for a correct
+boundary. `component_rings` does trace the actual rings (WKB) for
+the geometry-facing operator.
 """
 
 from __future__ import annotations
@@ -60,8 +75,8 @@ def label_tile(a: np.ndarray) -> np.ndarray:
     return labels.reshape(h, w).astype(np.int32)
 
 
-def _tile_outputs(tx: int, ty: int, a: np.ndarray, labels: np.ndarray):
-    """(stats rows, border rows) for one labeled tile."""
+def _tile_stats(tx: int, ty: int, a: np.ndarray, labels: np.ndarray):
+    """Per-(tile,label) rows: label, value, n_pixels, local bbox."""
     h, w = a.shape
     flat_l = labels.ravel()
     flat_v = a.ravel()
@@ -69,97 +84,212 @@ def _tile_outputs(tx: int, ty: int, a: np.ndarray, labels: np.ndarray):
     uniq, starts = np.unique(flat_l[order], return_index=True)
     ends = np.append(starts[1:], len(flat_l))
     ys, xs = np.divmod(np.arange(h * w, dtype=np.int64)[order], w)
-    stats = []
-    for u, s, e in zip(uniq, starts, ends):
-        stats.append((tx, ty, int(u), int(flat_v[order[s]]), int(e - s),
-                      int(xs[s:e].min()), int(ys[s:e].min()),
-                      int(xs[s:e].max()), int(ys[s:e].max())))
-    borders = []
-    # edge id convention: vertical edge between (tx,ty) and (tx+1,ty)
-    # is ("v", tx, ty); horizontal between (tx,ty) and (tx,ty+1) is
-    # ("h", tx, ty). Each tile emits its side of adjacent edges.
-    for kind, edge_tx, edge_ty, side, vals, labs in (
-            ("v", tx, ty, 0, a[:, -1], labels[:, -1]),        # my east col
-            ("v", tx - 1, ty, 1, a[:, 0], labels[:, 0]),      # my west col
-            ("h", tx, ty, 0, a[-1, :], labels[-1, :]),        # my south row
-            ("h", tx, ty - 1, 1, a[0, :], labels[0, :])):     # my north row
-        for pos in range(len(vals)):
-            borders.append((kind, edge_tx, edge_ty, side, pos,
-                            int(vals[pos]), tx, ty, int(labs[pos])))
-    return stats, borders
+    return {
+        "label": uniq.astype(np.int32),
+        "value": flat_v[order[starts]].astype(np.int64),
+        "n_pixels": (ends - starts).astype(np.int64),
+        "minx": np.minimum.reduceat(xs, starts),
+        "miny": np.minimum.reduceat(ys, starts),
+        "maxx": np.maximum.reduceat(xs, starts),
+        "maxy": np.maximum.reduceat(ys, starts),
+    }
 
 
-def polygonize_components(ds, meta: RasterMeta, *, dtype: str = "int32"):
-    """→ pandas DataFrame: one row per global component
-    (component_id, value, n_pixels, minx, miny, maxx, maxy [pixel
-    coords], n_tiles)."""
+def _tile_ringsums(tx: int, ty: int, a: np.ndarray, labels: np.ndarray,
+                   meta: RasterMeta):
+    """Per-label shoelace partial over interior value-change edges and
+    raster-border edges (tile-seam edges come from the border-pair
+    stage). Directed edges keep the component on the LEFT (y-down
+    pixel space), so signed area = -sum/2 (exact integers)."""
     T = meta.tile_size
+    h, w = a.shape
+    gx0, gy0 = tx * T, ty * T
+    nlab = int(labels.max()) + 1
+    acc = np.zeros(nlab, dtype=np.float64)
+    # vertical neighbor pairs (rows y, y+1) with different values
+    m = a[1:, :] != a[:-1, :]
+    if m.any():
+        yy, _ = np.nonzero(m)
+        yc = (gy0 + yy + 1).astype(np.float64)
+        acc += np.bincount(labels[:-1, :][m], weights=-yc, minlength=nlab)
+        acc += np.bincount(labels[1:, :][m], weights=yc, minlength=nlab)
+    # horizontal neighbor pairs (cols x, x+1)
+    m = a[:, 1:] != a[:, :-1]
+    if m.any():
+        _, xx = np.nonzero(m)
+        xc = (gx0 + xx + 1).astype(np.float64)
+        acc += np.bincount(labels[:, :-1][m], weights=-xc, minlength=nlab)
+        acc += np.bincount(labels[:, 1:][m], weights=xc, minlength=nlab)
+    # raster borders (no neighbor): top edge +y, bottom -(y+1),
+    # west +x, east -(x+1), in global coords
+    if ty == 0:
+        acc += np.bincount(labels[0, :], weights=np.full(w, float(gy0)),
+                           minlength=nlab)
+    if ty == meta.tiles_y - 1:
+        acc += np.bincount(labels[-1, :], weights=np.full(w, -float(gy0 + h)),
+                           minlength=nlab)
+    if tx == 0:
+        acc += np.bincount(labels[:, 0], weights=np.full(h, float(gx0)),
+                           minlength=nlab)
+    if tx == meta.tiles_x - 1:
+        acc += np.bincount(labels[:, -1], weights=np.full(h, -float(gx0 + w)),
+                           minlength=nlab)
+    nz = np.nonzero(acc)[0]
+    return nz.astype(np.int32), acc[nz].astype(np.int64)
 
-    def per_batch(t: pa.Table):
-        stats_rows, border_rows = [], []
-        txs = t.column("tx").to_numpy()
-        tys = t.column("ty").to_numpy()
-        for i, buf in enumerate(t.column("data").to_pylist()):
-            a = decode_tile(buf, dtype, T)
-            labels = label_tile(a)
-            s, b = _tile_outputs(int(txs[i]), int(tys[i]), a, labels)
-            stats_rows.extend(s)
-            border_rows.extend(b)
-        stats = pa.table({
-            "tx": pa.array([r[0] for r in stats_rows], type=pa.int32()),
-            "ty": pa.array([r[1] for r in stats_rows], type=pa.int32()),
-            "label": pa.array([r[2] for r in stats_rows], type=pa.int32()),
-            "value": pa.array([r[3] for r in stats_rows], type=pa.int64()),
-            "n_pixels": pa.array([r[4] for r in stats_rows], type=pa.int64()),
-            "minx": pa.array([r[5] for r in stats_rows], type=pa.int64()),
-            "miny": pa.array([r[6] for r in stats_rows], type=pa.int64()),
-            "maxx": pa.array([r[7] for r in stats_rows], type=pa.int64()),
-            "maxy": pa.array([r[8] for r in stats_rows], type=pa.int64()),
-            "kind": pa.array(["s"] * len(stats_rows)),
-        })
-        border = pa.table({
-            "ekind": pa.array([r[0] for r in border_rows]),
-            "etx": pa.array([r[1] for r in border_rows], type=pa.int32()),
-            "ety": pa.array([r[2] for r in border_rows], type=pa.int32()),
-            "side": pa.array([r[3] for r in border_rows], type=pa.int8()),
-            "pos": pa.array([r[4] for r in border_rows], type=pa.int32()),
-            "value": pa.array([r[5] for r in border_rows], type=pa.int64()),
-            "tx": pa.array([r[6] for r in border_rows], type=pa.int32()),
-            "ty": pa.array([r[7] for r in border_rows], type=pa.int32()),
-            "label": pa.array([r[8] for r in border_rows], type=pa.int32()),
-        })
-        return stats, border
 
-    # run once, caching both outputs per batch via two passes over the
-    # same (deterministic) input — simplest correct form
-    stats_ds = ds.map_batches(lambda t: per_batch(t)[0], batch_format="pyarrow")
-    border_ds = ds.map_batches(lambda t: per_batch(t)[1], batch_format="pyarrow")
+_COMBINED_FIELDS = [
+    ("kind", pa.string()), ("tx", pa.int32()), ("ty", pa.int32()),
+    ("label", pa.int32()), ("value", pa.int64()), ("n_pixels", pa.int64()),
+    ("minx", pa.int64()), ("miny", pa.int64()),
+    ("maxx", pa.int64()), ("maxy", pa.int64()),
+    ("ekind", pa.string()), ("etx", pa.int32()), ("ety", pa.int32()),
+    ("side", pa.int8()), ("pos", pa.int32()), ("cross", pa.int64()),
+]
 
-    def edge_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["side"] == 0]
-        b = g[g["side"] == 1]
-        if len(a) == 0 or len(b) == 0:
-            return pd.DataFrame({"tx_a": [], "ty_a": [], "l_a": [],
-                                 "tx_b": [], "ty_b": [], "l_b": []})
-        m = a.merge(b, on="pos", suffixes=("_a", "_b"))
-        m = m[m["value_a"] == m["value_b"]]
-        out = m[["tx_a", "ty_a", "label_a", "tx_b", "ty_b", "label_b"]]
-        out = out.drop_duplicates()
-        out.columns = ["tx_a", "ty_a", "l_a", "tx_b", "ty_b", "l_b"]
-        return out
 
-    pairs = border_ds.groupby(["ekind", "etx", "ety"]).map_groups(
-        edge_pairs, batch_format="pandas").to_pandas()
-    stats = stats_ds.to_pandas()
+def _combined_table(parts: list[dict]) -> pa.Table:
+    cols = {name: [] for name, _ in _COMBINED_FIELDS}
+    for p in parts:
+        n = len(p["kind"])
+        for name, typ in _COMBINED_FIELDS:
+            if name in p:
+                cols[name].extend(np.asarray(p[name]).tolist())
+            else:
+                fill = "" if typ == pa.string() else 0
+                cols[name].extend([fill] * n)
+    return pa.table({name: pa.array(cols[name], type=typ)
+                     for name, typ in _COMBINED_FIELDS})
 
-    # driver-side union-find over (tile, label) nodes — vectorized id
-    # assignment (factorize on packed keys), python only for the
-    # union loop over cross-tile pairs (O(border adjacencies))
-    def pack(tx, ty, lb):
-        return (tx.astype(np.int64) << 40) | (ty.astype(np.int64) << 20)             | lb.astype(np.int64)
 
-    keys = pack(stats["tx"].to_numpy(), stats["ty"].to_numpy(),
-                stats["label"].to_numpy())
+def _per_batch_combined(t: pa.Table, meta: RasterMeta, dtype: str) -> pa.Table:
+    """ONE labeling pass per tile → stats ('s'), border pixels ('b'),
+    ring partial sums ('r') in a single combined table."""
+    T = meta.tile_size
+    parts = []
+    txs = t.column("tx").to_numpy()
+    tys = t.column("ty").to_numpy()
+    for i, buf in enumerate(t.column("data").to_pylist()):
+        a = decode_tile(buf, dtype, T)
+        tx, ty = int(txs[i]), int(tys[i])
+        labels = label_tile(a)
+        h, w = a.shape
+        st = _tile_stats(tx, ty, a, labels)
+        n = len(st["label"])
+        parts.append({"kind": ["s"] * n, "tx": np.full(n, tx),
+                      "ty": np.full(n, ty), **st})
+        # border pixels: edge id convention — vertical edge between
+        # (tx,ty) and (tx+1,ty) is ("v", tx, ty); horizontal between
+        # (tx,ty) and (tx,ty+1) is ("h", tx, ty)
+        for ekind, etx, ety, side, vals, labs in (
+                ("v", tx, ty, 0, a[:, -1], labels[:, -1]),
+                ("v", tx - 1, ty, 1, a[:, 0], labels[:, 0]),
+                ("h", tx, ty, 0, a[-1, :], labels[-1, :]),
+                ("h", tx, ty - 1, 1, a[0, :], labels[0, :])):
+            k = len(vals)
+            parts.append({"kind": ["b"] * k, "tx": np.full(k, tx),
+                          "ty": np.full(k, ty),
+                          "label": labs.astype(np.int32),
+                          "value": vals.astype(np.int64),
+                          "ekind": [ekind] * k, "etx": np.full(k, etx),
+                          "ety": np.full(k, ety),
+                          "side": np.full(k, side, dtype=np.int8),
+                          "pos": np.arange(k, dtype=np.int32)})
+        rl, rc = _tile_ringsums(tx, ty, a, labels, meta)
+        parts.append({"kind": ["r"] * len(rl), "tx": np.full(len(rl), tx),
+                      "ty": np.full(len(rl), ty), "label": rl, "cross": rc})
+    return _combined_table(parts)
+
+
+def _edge_group(g: pd.DataFrame, T: int) -> pd.DataFrame:
+    """One shared tile edge → equivalence pairs ('p') for same-value
+    border pixels + seam ring contributions ('r') for value changes."""
+    a = g[g["side"] == 0]
+    b = g[g["side"] == 1]
+    empty = pd.DataFrame({
+        "kind": pd.Series([], dtype=str),
+        "tx": pd.Series([], dtype=np.int32), "ty": pd.Series([], dtype=np.int32),
+        "l_or_la": pd.Series([], dtype=np.int32),
+        "tx_b": pd.Series([], dtype=np.int32), "ty_b": pd.Series([], dtype=np.int32),
+        "l_b": pd.Series([], dtype=np.int32),
+        "cross": pd.Series([], dtype=np.int64)})
+    if len(a) == 0 or len(b) == 0:
+        return empty
+    m = a.merge(b, on="pos", suffixes=("_a", "_b"))
+    same = m[m["value_a"] == m["value_b"]]
+    eq = same[["tx_a", "ty_a", "label_a", "tx_b", "ty_b", "label_b"]] \
+        .drop_duplicates()
+    diff = m[m["value_a"] != m["value_b"]]
+    ek = g["ekind"].iloc[0]
+    etx, ety = int(g["etx"].iloc[0]), int(g["ety"].iloc[0])
+    # seam coordinate: X for vertical seams, Y for horizontal
+    c = (etx + 1) * T if ek == "v" else (ety + 1) * T
+    rows_p = pd.DataFrame({
+        "kind": "p", "tx": eq["tx_a"].to_numpy(), "ty": eq["ty_a"].to_numpy(),
+        "l_or_la": eq["label_a"].to_numpy(),
+        "tx_b": eq["tx_b"].to_numpy(), "ty_b": eq["ty_b"].to_numpy(),
+        "l_b": eq["label_b"].to_numpy(), "cross": 0})
+    out = rows_p
+    if len(diff):
+        # side 0 (west/north tile): its east/south edge → -c;
+        # side 1 (east/south tile): its west/top edge → +c.
+        # Per (tile,label) partial sums (dedup by summing counts).
+        d0 = diff.groupby(["tx_a", "ty_a", "label_a"]).size().reset_index(name="n")
+        d1 = diff.groupby(["tx_b", "ty_b", "label_b"]).size().reset_index(name="n")
+        rows_r = pd.DataFrame({
+            "kind": "r",
+            "tx": np.concatenate([d0["tx_a"].to_numpy(), d1["tx_b"].to_numpy()]),
+            "ty": np.concatenate([d0["ty_a"].to_numpy(), d1["ty_b"].to_numpy()]),
+            "l_or_la": np.concatenate([d0["label_a"].to_numpy(),
+                                       d1["label_b"].to_numpy()]),
+            "tx_b": 0, "ty_b": 0, "l_b": 0,
+            "cross": np.concatenate([-c * d0["n"].to_numpy(),
+                                     c * d1["n"].to_numpy()])})
+        out = pd.concat([rows_p, rows_r], ignore_index=True)
+    return out.astype({"tx": np.int32, "ty": np.int32, "l_or_la": np.int32,
+                       "tx_b": np.int32, "ty_b": np.int32, "l_b": np.int32,
+                       "cross": np.int64})
+
+
+def _pack(tx, ty, lb):
+    return ((np.asarray(tx).astype(np.int64) << 40)
+            | (np.asarray(ty).astype(np.int64) << 20)
+            | np.asarray(lb).astype(np.int64))
+
+
+def polygonize_components(ds, meta: RasterMeta, *, dtype: str = "int32",
+                          with_ring_area: bool = False):
+    """→ pandas DataFrame: one row per global component
+    (component_id, value, n_pixels, minx, miny, maxx, maxy [global
+    pixel coords], n_tiles [DISTINCT tiles touched], and ring_area
+    when requested)."""
+    T = meta.tile_size
+    combined = ds.map_batches(
+        lambda t: _per_batch_combined(t, meta, dtype),
+        batch_format="pyarrow").materialize()
+
+    import pyarrow.compute as pc
+
+    def _only(kind):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("kind"), kind))
+        return f
+
+    border_ds = combined.map_batches(_only("b"), batch_format="pyarrow")
+    pair_out = border_ds.groupby(["ekind", "etx", "ety"]).map_groups(
+        lambda g: _edge_group(g, T), batch_format="pandas").to_pandas()
+
+    def _sr(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("kind"), pa.array(["s", "r"])))
+
+    sr = combined.map_batches(_sr, batch_format="pyarrow").to_pandas()
+    stats = sr[sr["kind"] == "s"].reset_index(drop=True)
+    rings = sr[sr["kind"] == "r"]
+
+    # driver-side union-find over (tile, label) nodes; the scale-out
+    # path is iterative min-label propagation over the pair table
+    # (exactly what the SQL oracle's recursive CTE does over runs)
+    keys = _pack(stats["tx"], stats["ty"], stats["label"])
     codes, uniques = pd.factorize(keys)
     lookup = {int(k): i for i, k in enumerate(uniques)}
     parent = list(range(len(uniques)))
@@ -170,27 +300,39 @@ def polygonize_components(ds, meta: RasterMeta, *, dtype: str = "int32"):
             x = parent[x]
         return x
 
+    pairs = pair_out[pair_out["kind"] == "p"]
     if len(pairs):
-        pa_keys = pack(pairs["tx_a"].to_numpy(), pairs["ty_a"].to_numpy(),
-                       pairs["l_a"].to_numpy())
-        pb_keys = pack(pairs["tx_b"].to_numpy(), pairs["ty_b"].to_numpy(),
-                       pairs["l_b"].to_numpy())
+        pa_keys = _pack(pairs["tx"], pairs["ty"], pairs["l_or_la"])
+        pb_keys = _pack(pairs["tx_b"], pairs["ty_b"], pairs["l_b"])
         for ka, kb in zip(pa_keys.tolist(), pb_keys.tolist()):
             ra, rb = find(lookup[ka]), find(lookup[kb])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
 
     stats["root"] = [find(int(c)) for c in codes]
-    # global pixel-coordinate bboxes
-    stats["gminx"] = stats["minx"] + stats["tx"] * T
-    stats["gminy"] = stats["miny"] + stats["ty"] * T
-    stats["gmaxx"] = stats["maxx"] + stats["tx"] * T
-    stats["gmaxy"] = stats["maxy"] + stats["ty"] * T
+    stats["gminx"] = stats["minx"] + stats["tx"].astype(np.int64) * T
+    stats["gminy"] = stats["miny"] + stats["ty"].astype(np.int64) * T
+    stats["gmaxx"] = stats["maxx"] + stats["tx"].astype(np.int64) * T
+    stats["gmaxy"] = stats["maxy"] + stats["ty"].astype(np.int64) * T
+    stats["tile_key"] = (stats["tx"].to_numpy().astype(np.int64) << 20) \
+        | stats["ty"].to_numpy().astype(np.int64)
     agg = stats.groupby("root").agg(
         value=("value", "first"), n_pixels=("n_pixels", "sum"),
         minx=("gminx", "min"), miny=("gminy", "min"),
         maxx=("gmaxx", "max"), maxy=("gmaxy", "max"),
-        n_tiles=("tx", "count")).reset_index()
+        n_tiles=("tile_key", "nunique")).reset_index()
+
+    if with_ring_area:
+        ring_all = pd.concat(
+            [rings[["tx", "ty", "label", "cross"]],
+             pair_out[pair_out["kind"] == "r"].rename(
+                 columns={"l_or_la": "label"})[["tx", "ty", "label", "cross"]]],
+            ignore_index=True)
+        rk = _pack(ring_all["tx"], ring_all["ty"], ring_all["label"])
+        ring_all["root"] = [find(lookup[int(k)]) for k in rk]
+        rsum = ring_all.groupby("root")["cross"].sum()
+        agg["ring_area"] = (-agg["root"].map(rsum).fillna(0) // 2).astype(np.int64)
+
     agg["component_id"] = np.arange(len(agg), dtype=np.int64)
     return agg.drop(columns=["root"])
 
@@ -255,30 +397,13 @@ def polygonize_rings(ds, meta: RasterMeta, values: list[int], *,
         if ty == meta.tiles_y - 1:
             pad[-1, :] = -2**30
         rows = {"level": [], "x1": [], "y1": [], "x2": [], "y2": []}
-        core = pad[1:-1, 1:-1]
         for v in values:
             m = pad == v
-            # edges OWNED by this tile: those adjacent to a core pixel.
-            # Compute on the padded mask, then keep segments whose
-            # coordinates touch the core range.
             segs = _mask_boundary_segments(m[1:-1, 1:-1], tx * T, ty * T)
-            # boundary flips against halo pixels:
-            west = (m[1:-1, 1] != m[1:-1, 0])
-            east = (m[1:-1, -2] != m[1:-1, -1])
-            north = (m[1, 1:-1] != m[0, 1:-1])
-            south = (m[-2, 1:-1] != m[-1, 1:-1])
-            extra = []
-            yy = np.nonzero(west)[0]
-            # segments on the west edge already emitted if flip vs
-            # outside-of-core; _mask_boundary_segments assumed outside
-            # is empty — fix: drop wrongly-emitted empty-halo edges and
-            # add halo-aware ones. Simplest correct form: recompute the
-            # four border columns of vdiff/hdiff with halo knowledge.
             core_m = m[1:-1, 1:-1]
-            # west boundary edges (x = tx*T): flip between halo col and col 0
+            extra = []
+            # halo-aware rebuild of the four border columns/rows
             wfix = np.nonzero(m[1:-1, 0] != core_m[:, 0])[0]
-            wrong_w = np.nonzero(core_m[:, 0])[0]          # emitted iff col0 True
-            # rebuild: remove all x==tx*T segments, re-add from wfix where col0 or halo
             keep = ~((segs[:, 0] == tx * T) & (segs[:, 2] == tx * T))
             segs = segs[keep]
             if len(wfix):
@@ -306,10 +431,7 @@ def polygonize_rings(ds, meta: RasterMeta, values: list[int], *,
                 extra.append(np.column_stack([sfix + tx * T, y, sfix + tx * T + 1, y]))
             if extra:
                 segs = np.vstack([segs] + extra)
-            # shared interior-tile edges: both neighbors would emit the
-            # same segment → dedupe by ownership: vertical edges at
-            # x == tx*T belong to the WEST tile unless tx==0; horizontal
-            # at y == ty*T to the NORTH tile unless ty==0
+            # shared interior-tile edges: dedupe by ownership
             if tx > 0:
                 own = ~((segs[:, 0] == tx * T) & (segs[:, 2] == tx * T))
                 segs = segs[own]

@@ -273,6 +273,13 @@ def test_polygonize_components_vs_whole_array(ray_session):
     # per-component value consistent with the raster
     for _, r in comp.iterrows():
         assert full[int(r["miny"]), :].min() <= r["value"] <= full.max()
+    # directed-boundary shoelace area == pixel count, per component
+    comp2 = polygonize_components(ds, meta, dtype="int32",
+                                  with_ring_area=True)
+    assert (comp2["ring_area"] == comp2["n_pixels"]).all()
+    # distinct-tile counts: sum over components >= number of tiles
+    assert comp2["n_tiles"].max() <= 9
+    assert comp2["n_tiles"].sum() >= 9
 
 
 def test_contour_cone_circles(ray_session):
