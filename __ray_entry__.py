@@ -44,6 +44,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts": o.q_tile_counts(),
         "dedup_pages": o.q_dedup_pages(),
         "knn_zones": o.q_knn_zones(),
+        "knn_zones_cells": o.q_knn_zones_cells(),
         "zone_bounds_area": o.q_zone_bounds_area(),
         "select_zones": o.q_select_zones(),
         "lineitem_pricing": o.q_lineitem_pricing(),

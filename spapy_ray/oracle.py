@@ -140,6 +140,21 @@ def q_knn_zones(k: int = 3) -> str:
     )
 
 
+def q_knn_zones_cells(k: int = 3) -> str:
+    """Same exact kNN as q_knn_zones, keyed by url#epoch-us (the
+    cell-partitioned engine form carries a single point key)."""
+    cx = "((z.x0::DOUBLE / 10000.0) + ((z.x0 + z.w)::DOUBLE / 10000.0)) / 2.0"
+    cy = "((z.y0::DOUBLE / 10000.0) + ((z.y0 + z.h)::DOUBLE / 10000.0)) / 2.0"
+    dist = sql_haversine("g.lon", "g.lat", f"({cx})", f"({cy})")
+    return (
+        f"WITH {geo_zones_cte()} "
+        "SELECT g.url || '#' || epoch_us(g.warc_ts)::VARCHAR AS key, z.zone_id, "
+        f"row_number() OVER (PARTITION BY g.url, g.warc_ts ORDER BY {dist}, z.zone_id)::BIGINT AS rank "
+        "FROM geo g CROSS JOIN zones z "
+        f"QUALIFY rank <= {k}"
+    )
+
+
 def q_zone_bounds_area(num_zones: int = 200) -> str:
     area_u2 = ("(CASE WHEN shape IN (0, 1) THEN w * h "
                "WHEN shape = 2 THEN w * h2 + w2 * (h - h2) "

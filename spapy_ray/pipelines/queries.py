@@ -86,6 +86,34 @@ def q_knn_zones(sf_dir: str, k: int = 3):
                               left_columns=["url", "warc_ts"])
 
 
+def q_knn_zones_cells(sf_dir: str, k: int = 3):
+    """kNN join in the CELL-PARTITIONED (large x large) form: both
+    sides shuffled on quadkey, ring-replicated candidates, per-cell
+    top-k with the distance-guarantee exactness check + widening
+    passes. Output stays a Dataset end to end (only unsatisfied keys
+    visit the driver). The oracle is the same exact cross-join kNN as
+    knn_zones, keyed by url#epoch."""
+    import ray.data as rd
+
+    from spapy_ray.stages.knn import knn_join_cells, zone_anchors
+
+    zones = zones_table()
+    anchors = zone_anchors(zones)
+    targets = rd.from_arrow(pa.table({
+        "zone_id": zones.column("zone_id"),
+        "lon": pa.array(anchors[:, 0]), "lat": pa.array(anchors[:, 1])}))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column("warc_ts"), pa.int64()), pa.string())
+        key = pc.binary_join_element_wise(t.column("url"), us, "#")
+        return t.append_column("key", key)
+
+    pts = _geo(sf_dir).map_batches(keyed, batch_format="pyarrow")
+    out = knn_join_cells(pts, targets, k=k, res=4, max_ring=2,
+                         widen_passes=5, point_key="key")
+    return out.select_columns(["key", "zone_id", "rank"])
+
+
 def q_zone_bounds_area(sf_dir: str):
     out = measure_wkb_table(zones_table())
     return out.select(["zone_id", "name", "minx", "miny", "maxx", "maxy", "area"])
@@ -188,6 +216,7 @@ QUERIES = {
     "tile_counts": q_tile_counts,
     "dedup_pages": q_dedup_pages,
     "knn_zones": q_knn_zones,
+    "knn_zones_cells": q_knn_zones_cells,
     "zone_bounds_area": q_zone_bounds_area,
     "select_zones": q_select_zones,
     "lineitem_pricing": q_lineitem_pricing,

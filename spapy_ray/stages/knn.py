@@ -138,6 +138,10 @@ def knn_join_cells(points_ds, targets_ds, k: int = 3, res: int = 6,
     results with ``n_cand`` reporting how many candidates they saw.
     The partitioning assumption — target density roughly uniform at
     resolution ``res`` — is the documented contract (SURVEY.md §2.6).
+
+    Returns a ray.data.Dataset (key, zone_id, rank, n_cand, exact);
+    nothing output-sized ever touches the driver — only the
+    unsatisfied keys of each widening round do.
     """
     import pandas as pd
 
@@ -219,7 +223,7 @@ def knn_join_cells(points_ds, targets_ds, k: int = 3, res: int = 6,
             return pd.DataFrame({"key": pts["key"], "zone_id": -1,
                                  "rank": 0, "n_cand": 0, "exact": False,
                                  "lon": pts["lon"], "lat": pts["lat"]})
-        tk = tgt["tkey"].to_numpy()
+        tk = tgt["tkey"].to_numpy().astype(np.int64)   # nullable col → f64
         order_t = np.argsort(tk, kind="stable")
         tk = tk[order_t]
         tl = tgt["lon"].to_numpy()[order_t]
@@ -249,29 +253,41 @@ def knn_join_cells(points_ds, targets_ds, k: int = 3, res: int = 6,
             "lat": np.repeat(plat, kk),
         })
 
-    out = both.groupby("cell").map_groups(per_cell, batch_format="pandas") \
-        .to_pandas()
+    out = both.groupby("cell").map_groups(per_cell, batch_format="pandas")
 
     # widening passes: points that saw < k candidates rerun with a
-    # doubled replication ring (only those points shuffle again)
+    # doubled replication ring. The OUTPUT stays a Dataset end to end;
+    # only the unsatisfied point KEYS (bounded, usually a tiny tail)
+    # are collected to the driver to seed the retry.
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    def _sat(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("exact"))
+
+    def _unsat(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("exact"))) \
+            .select(["key", "lon", "lat"])
+
     ring = max_ring
     for _ in range(widen_passes):
-        unsat = out[~out["exact"]]
-        if len(unsat) == 0:
+        out = out.materialize()
+        unsat_df = out.map_batches(_unsat, batch_format="pyarrow") \
+            .to_pandas().drop_duplicates("key")
+        if len(unsat_df) == 0:
             break
-        sat = out[out["exact"]]
         ring *= 2
-        import ray.data as rd
-
+        sat_ds = out.map_batches(_sat, batch_format="pyarrow")
         retry_pts = rd.from_pandas(
-            unsat.drop_duplicates("key")[["key", "lon", "lat"]]
-                 .rename(columns={"key": point_key}))
+            unsat_df.rename(columns={"key": point_key}))
         redo = knn_join_cells(retry_pts, targets_ds, k=k, res=res,
                               max_ring=ring, widen_passes=0,
                               _keep_coords=True,
                               point_cols=("lon", "lat"),
                               target_cols=target_cols,
                               point_key=point_key, target_key=target_key)
-        redo_df = redo if isinstance(redo, pd.DataFrame) else redo.to_pandas()
-        out = pd.concat([sat, redo_df], ignore_index=True)
-    return out if _keep_coords else out.drop(columns=["lon", "lat"])
+        out = sat_ds.union(redo)
+    if not _keep_coords:
+        out = out.drop_columns(["lon", "lat"])
+    return out

@@ -171,7 +171,7 @@ def test_knn_cells_matches_broadcast(ray_session):
     bc = knn_join_broadcast(rd.from_pandas(pdf), zt, k=2,
                             left_columns=["url"]).to_pandas()
     cc = knn_join_cells(rd.from_pandas(pdf), rd.from_pandas(tdf), k=2,
-                        res=4, max_ring=2)
+                        res=4, max_ring=2).to_pandas()
     # ring guarantee at res 4: cell ~ 22.5 x 11.25 deg, ring 2 covers
     # >= 2 cells in every direction — all neighbors found here
     cc = cc.rename(columns={"key": "url"})
@@ -232,7 +232,7 @@ def test_knn_cells_widening_converges_to_exact(ray_session):
                         "lon": rng.uniform(-170, 170, 300),
                         "lat": rng.uniform(-80, 80, 300)})
     cc = knn_join_cells(rd.from_pandas(pdf), rd.from_pandas(tdf), k=2,
-                        res=4, max_ring=1, widen_passes=6)
+                        res=4, max_ring=1, widen_passes=6).to_pandas()
     zt = pa.table({"zone_id": pa.array(tdf["zone_id"]),
                    "geom_wkb": pa.array(
                        [wkb.encode_point(x, y) for x, y in zip(tdf.lon, tdf.lat)],
