@@ -507,11 +507,14 @@ def q_minhash_sigs(num_hashes: int = 4) -> str:
         "list_min(list_transform(sh, s -> "
         + sql_fnv1a(f"('{i}|' || s)") + f")) AS sig{i}"
         for i in range(num_hashes))
+    # degenerate case mirrored from the engine (minhash_batch): a
+    # document with < 3 tokens hashes its whole text as one shingle
     return (
         "SELECT doc_id, " + sigs + " FROM ("
-        "SELECT doc_id, list_transform(range(1, len(toks) - 1), "
-        "j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2]) AS sh "
-        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))"
+        "SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text] ELSE "
+        "list_transform(range(1, len(toks) - 1), "
+        "j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2]) END AS sh "
+        "FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))"
     )
 
 

@@ -59,20 +59,25 @@ def minhash_batch(batch: pa.Table, text_col: str = "text",
     shingles, starts, sh_counts, tok_counts = _shingle_array(text, shingle_n)
     ndocs = len(batch)
     out = batch
-    # reduceat segments over the flat shingle array
+    # fully-vectorized segmented min: interleaved [start, end) index
+    # pairs into np.minimum.reduceat (even slots are the real
+    # segments; odd slots cover the cross-document gap shingles and
+    # are discarded)
     seg_starts = starts.astype(np.int64)
-    seg_starts = np.minimum(seg_starts, max(len(shingles) - 1, 0))
     short = sh_counts == 0
+    nzi = np.nonzero(~short)[0]
+    idx = np.empty(2 * len(nzi), dtype=np.int64)
+    if len(nzi):
+        idx[0::2] = seg_starts[nzi]
+        idx[1::2] = seg_starts[nzi] + sh_counts[nzi]
     for i in range(num_hashes):
         prefix = f"{i}|"
         h_all = fnv1a64(pc.binary_join_element_wise(prefix, shingles, "")) \
             if len(shingles) else np.zeros(0, dtype=np.uint64)
         sig = np.full(ndocs, U64_MAX, dtype=np.uint64)
-        for d in range(ndocs):          # segmented min (short python loop
-            c = sh_counts[d]            # over docs; inner min vectorized)
-            if c > 0:
-                s = seg_starts[d]
-                sig[d] = h_all[s:s + c].min()
+        if len(nzi):
+            ix = idx[:-1] if idx[-1] >= len(h_all) else idx
+            sig[nzi] = np.minimum.reduceat(h_all, ix)[0::2]
         if short.any():
             sig[short] = fnv1a64(
                 pc.binary_join_element_wise(
@@ -102,8 +107,16 @@ def near_dup_pairs(ds, key_col: str, text_col: str = "text",
                    threshold: float = 0.8, shingle_n: int = 3):
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
-    shingle → minhash (map) → band rows (flat map) →
-    groupby(band, band_hash) → verified pairs (key_a < key_b, jacc).
+    shingle → minhash (map) → band rows (flat map, FIXED-WIDTH
+    columns only: band, bhash, key) → groupby(band, band_hash) →
+    candidate pairs → dedup → verify.
+
+    The banded shuffle never carries document text (at corpus scale
+    that would move bands× the corpus through the exchange);
+    verification re-fetches text for the candidate keys only — here
+    via an is_in filter + broadcast dict (candidate sets are tiny
+    relative to the corpus); the co-partitioned double-join on key is
+    the documented alternative when candidates outgrow a broadcast.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(ds, text_col, num_hashes, shingle_n)
@@ -112,9 +125,8 @@ def near_dup_pairs(ds, key_col: str, text_col: str = "text",
         n = len(t)
         sig_mat = np.column_stack([t.column(f"sig{i}").to_numpy()
                                    for i in range(num_hashes)])
-        out_band, out_hash, out_key, out_text = [], [], [], []
-        keys = t.column(key_col).to_pylist()
-        texts = t.column(text_col).to_pylist()
+        out_band, out_hash, out_key = [], [], []
+        keys = t.column(key_col)
         for b in range(bands):
             chunk = sig_mat[:, b * rows_per_band:(b + 1) * rows_per_band]
             # band hash: fnv over the band's signature bytes
@@ -124,44 +136,74 @@ def near_dup_pairs(ds, key_col: str, text_col: str = "text",
                     bh = (bh ^ chunk[:, c]) * np.uint64(0x100000001B3)
             out_band.append(np.full(n, b, dtype=np.int8))
             out_hash.append(bh.view(np.int64))
-            out_key.extend(keys)
-            out_text.extend(texts)
+            out_key.append(keys)
         return pa.table({
             "band": pa.array(np.concatenate(out_band)),
             "bhash": pa.array(np.concatenate(out_hash)),
-            "key": pa.array(out_key),
-            "text": pa.array(out_text),
+            "key": pa.concat_arrays([k.combine_chunks() if
+                                     isinstance(k, pa.ChunkedArray) else k
+                                     for k in out_key]),
         })
 
     banded = sigs.map_batches(band_rows, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"key_a": pd.Series([], dtype=object),
+                              "key_b": pd.Series([], dtype=object)})
         if len(g) < 2:
-            return pd.DataFrame({"key_a": pd.Series([], dtype=object),
-                                 "key_b": pd.Series([], dtype=object),
-                                 "jacc": pd.Series([], dtype=float)})
-        g = g.drop_duplicates("key").sort_values("key", kind="stable")
-        keys = g["key"].tolist()
-        texts = g["text"].tolist()
-        ka, kb, jc = [], [], []
+            return empty
+        keys = sorted(g["key"].unique().tolist())
+        if len(keys) < 2:
+            return empty
+        ka, kb = [], []
         for i in range(len(keys)):
             for j in range(i + 1, len(keys)):
-                jv = jaccard(texts[i], texts[j], shingle_n)
-                if jv >= threshold:
-                    ka.append(keys[i])
-                    kb.append(keys[j])
-                    jc.append(jv)
-        return pd.DataFrame({"key_a": ka, "key_b": kb, "jacc": jc})
+                ka.append(keys[i])
+                kb.append(keys[j])
+        return pd.DataFrame({"key_a": ka, "key_b": kb})
 
-    pairs = banded.groupby(["band", "bhash"]).map_groups(
+    cand = banded.groupby(["band", "bhash"]).map_groups(
         bucket_pairs, batch_format="pandas")
 
     # a pair can surface from several bands → dedup on (key_a, key_b)
     def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
 
-    return pairs.groupby(["key_a", "key_b"]).map_groups(
-        dedup_pair, batch_format="pandas")
+    cand = cand.groupby(["key_a", "key_b"]).map_groups(
+        dedup_pair, batch_format="pandas").materialize()
+
+    # candidate keys (small) → broadcast text lookup
+    import ray
+
+    from spapy_ray.util import cached_state
+
+    cand_keys = set()
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        cand_keys.update(b.column("key_a").to_pylist())
+        cand_keys.update(b.column("key_b").to_pylist())
+    keys_arr = pa.array(sorted(cand_keys))     # key's native type
+
+    def fetch_texts(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column(key_col), value_set=keys_arr)
+        tt = t.filter(m)
+        return pa.table({"key": tt.column(key_col),
+                         "text": tt.column(text_col)})
+
+    texts_df = ds.map_batches(fetch_texts, batch_format="pyarrow").to_pandas()
+    lookup_ref = ray.put(dict(zip(texts_df["key"], texts_df["text"])))
+    box = (lookup_ref,)
+
+    def verify(t: pa.Table) -> pa.Table:
+        lookup = cached_state(box, lambda d: d)
+        ka = t.column("key_a").to_pylist()
+        kb = t.column("key_b").to_pylist()
+        jc = np.array([jaccard(lookup[a], lookup[b], shingle_n)
+                       for a, b in zip(ka, kb)])
+        keep = jc >= threshold
+        out = t.filter(pa.array(keep))
+        return out.append_column("jacc", pa.array(jc[keep]))
+
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ simhash
