@@ -70,6 +70,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": o.q_events_sessions(),
         "text_invariant": o.q_text_invariant(),
         "overlay_box_areas": o.q_overlay_box_areas(),
+        "overlay_holes_areas": o.q_overlay_holes_areas(),
         "revenue_by_nation": o.q_revenue_by_nation(),
         "zone_centroids": o.q_zone_centroids(),
         "hillshade_stats": o.q_hillshade_stats(),

@@ -1,15 +1,13 @@
 """Unified boolean-op dispatcher over multipolygons.
 
 Routes to the exact rectilinear engine (kernels.rectilinear) when both
-operands are axis-parallel — which is also where degenerate incidences
-(shared edges, vertex-on-edge) live — and to Greiner–Hormann
-(kernels.ghclip) for general-position curved inputs. The two engines
-cover complementary ground:
-
-    rectilinear: any op, multiparts, holes, heavy degeneracy — exact
-    GH:          any op on simple single-ring pairs in general
-                 position; intersection extends to multiparts
-                 (pairwise decomposition is valid for ∩ only)
+operands are axis-parallel (integer-exact, fastest) and to the
+edge-classification overlay (kernels.edgeclass) for everything else —
+curved inputs with multiparts, holes, and degenerate incidences
+(shared edges, shared vertices, T-joints, collinear overlaps) all
+included. The round-1 DegenerateGeometry escape hatch is gone;
+Greiner–Hormann (kernels.ghclip) remains as an independently-tested
+reference kernel for simple general-position pairs.
 
 Returns (rings, area): ``rings`` with even-odd semantics (holes from
 containment differences are CW), ``area`` = Σ signed ring areas.
@@ -19,38 +17,30 @@ from __future__ import annotations
 
 import numpy as np
 
-from spapy_ray.kernels import geom, ghclip
+from spapy_ray.kernels import edgeclass, geom
 from spapy_ray.kernels import rectilinear as rl
+
+_OP_ALIASES = {"symmetric_difference": "symdiff"}     # edgeclass name
+_RL_ALIASES = {"symdiff": "symmetric_difference"}     # rectilinear name
 
 
 def _rings_area(rings) -> float:
     return float(sum(geom.ring_signed_area(r) for r in rings))
 
 
-def boolean_general(mp_a, mp_b, op: str):
-    """→ (rings: list[np.ndarray], area: float)."""
-    if rl.is_rectilinear(mp_a) and rl.is_rectilinear(mp_b):
-        rects, area = rl.boolean_op(mp_a, mp_b, op)
+def boolean_general(mp_a, mp_b, op: str, engine: str | None = None):
+    """→ (rings: list[np.ndarray], area: float).
+
+    ``engine``: None (auto: rectilinear when both operands are
+    axis-parallel, else edge-classification), or force "rectilinear" /
+    "edgeclass"."""
+    use_rl = (engine == "rectilinear" if engine is not None
+              else rl.is_rectilinear(mp_a) and rl.is_rectilinear(mp_b))
+    if use_rl:
+        rects, area = rl.boolean_op(mp_a, mp_b, _RL_ALIASES.get(op, op))
         rings = [p[0] for p in rl.rects_to_multipolygon(rects)]
         return rings, area
-    a_simple = len(mp_a) == 1 and len(mp_a[0]) == 1
-    b_simple = len(mp_b) == 1 and len(mp_b[0]) == 1
-    if a_simple and b_simple:
-        rings = ghclip.clip(mp_a[0][0], mp_b[0][0], op)
-        return rings, _rings_area(rings)
-    if op == "intersection":
-        # ∩ decomposes over disjoint parts; holes unsupported here
-        for mp in (mp_a, mp_b):
-            if any(len(p) > 1 for p in mp):
-                raise ghclip.DegenerateGeometry(
-                    "holes in general-position booleans: round 3")
-        rings = []
-        for pa_ in mp_a:
-            for pb in mp_b:
-                rings.extend(ghclip.clip(pa_[0], pb[0], "intersection"))
-        return rings, _rings_area(rings)
-    raise ghclip.DegenerateGeometry(
-        f"{op} of general-position MULTIpolygons: round 3")
+    return edgeclass.boolean_edges(mp_a, mp_b, _OP_ALIASES.get(op, op))
 
 
 def rings_to_multipolygon(rings):

@@ -578,6 +578,28 @@ def q_overlay_box_areas(num_zones: int = 200) -> str:
             f"FROM zones WHERE {a} > 0")
 
 
+def q_overlay_holes_areas(num_zones: int = 200) -> str:
+    """Clamped-overlap arithmetic for zones WITH a punched hole:
+    outer decomposition overlap minus hole overlap (the hole lies in
+    the first rectangle of every shape, so subtraction is exact)."""
+    B = (-600000, -850000, 800000, -550000)
+
+    def ov(rx0, ry0, rx1, ry1):
+        return (f"(greatest(0, least({rx1}, {B[2]}) - greatest({rx0}, {B[0]})) * "
+                f"greatest(0, least({ry1}, {B[3]}) - greatest({ry0}, {B[1]})))")
+
+    outer = (f"(CASE WHEN shape IN (0, 1) THEN {ov('x0', 'y0', 'x0 + w', 'y0 + h')} "
+             f"WHEN shape = 2 THEN {ov('x0', 'y0', 'x0 + w', 'y0 + h2')} + "
+             f"{ov('x0', 'y0 + h2', 'x0 + w2', 'y0 + h')} "
+             f"ELSE {ov('x0', 'y0', 'x0 + w2', 'y0 + h2')} + "
+             f"{ov('x0 + w2 + 5000', 'y0 + h2 + 5000', 'x0 + w', 'y0 + h')} END)")
+    hole = ov("x0 + 2*w//10", "y0 + 2*h2//10", "x0 + 4*w//10", "y0 + 6*h2//10")
+    a = f"({outer} - {hole})"
+    return (f"WITH zones AS ({sql_zones_cte(num_zones)}) "
+            f"SELECT zone_id, {a}::DOUBLE / 100000000.0 AS inter_area "
+            f"FROM zones WHERE {a} > 0")
+
+
 def q_zone_centroids(num_zones: int = 200) -> str:
     """Closed-form area-weighted centroid per zone shape. Exact
     integer shoelace sums (a2 = 2*area, cx6 = 6*int(x dA)) over the

@@ -562,6 +562,60 @@ def q_overlay_box_areas(sf_dir: str):
 QUERIES["overlay_box_areas"] = q_overlay_box_areas
 
 
+def zones_with_holes_table() -> pa.Table:
+    """Zone layer with a rectangular hole punched into every zone's
+    first part (hole = [x0+2w/10, x0+4w/10] x [y0+2h2/10, y0+6h2/10]
+    in fixed point — inside the first rectangle of every shape).
+    Built from the WKB geometry, not the generator parameters."""
+    from spapy_ray.kernels import wkb as _w
+    from spapy_ray.sources.zones import U, zone_params
+
+    zt = zones_table()
+    out = []
+    for i, g in enumerate(zt.column("geom_wkb").to_pylist()):
+        p = zone_params(i)
+        hx0 = p["x0"] + 2 * p["w"] // 10
+        hx1 = p["x0"] + 4 * p["w"] // 10
+        hy0 = p["y0"] + 2 * p["h2"] // 10
+        hy1 = p["y0"] + 6 * p["h2"] // 10
+        hole = np.array([[hx0, hy0], [hx0, hy1], [hx1, hy1], [hx1, hy0]],
+                        dtype=np.float64) / U                       # CW
+        mp = _w.as_multipolygon(g)
+        mp[0].append(hole)
+        out.append(_w.encode_multipolygon(mp))
+    return zt.set_column(zt.schema.get_field_index("geom_wkb"), "geom_wkb",
+                         pa.array(out, type=pa.binary()))
+
+
+def q_overlay_holes_areas(sf_dir: str):
+    """Multipart-with-holes zones ∩ clip box through the
+    edge-classification boolean kernel (forced — the inputs are
+    rectilinear, so this doubles as an exactness proof of the general
+    kernel against integer arithmetic): per-zone intersection area in
+    exact fixed point vs the clamped-overlap SQL twin."""
+    import ray.data as rd
+
+    from spapy_ray.kernels import clip, wkb as _wkb
+    from spapy_ray.stages.measures import fixed_point_multipolygon_area
+    from spapy_ray.stages.overlay import overlay_with_geometry
+
+    box = _wkb.encode_polygon([clip.bbox_ring(*OVERLAY_BOX)])
+    out = overlay_with_geometry(rd.from_arrow(zones_with_holes_table()), box,
+                                "intersection", engine="edgeclass")
+
+    def exact_area(t: pa.Table) -> pa.Table:
+        areas = [fixed_point_multipolygon_area(_wkb.as_multipolygon(g))
+                 for g in t.column("geom_wkb").to_pylist()]
+        tt = pa.table({"zone_id": t.column("zone_id"),
+                       "inter_area": pa.array(areas, type=pa.float64())})
+        return tt.filter(pc.greater(tt.column("inter_area"), 0.0))
+
+    return out.map_batches(exact_area, batch_format="pyarrow")
+
+
+QUERIES["overlay_holes_areas"] = q_overlay_holes_areas
+
+
 def q_revenue_by_nation(sf_dir: str):
     """3-way join: lineitem ⋈ supplier ⋈ nation (both small sides
     broadcast) → revenue per nation. The canonical star-schema shape:

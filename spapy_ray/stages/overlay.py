@@ -27,14 +27,16 @@ from spapy_ray.kernels.strtree import STRtree
 
 
 def overlay_with_geometry(ds, other_wkb: bytes, op: str = "intersection",
-                          geom_col: str = "geom_wkb"):
+                          geom_col: str = "geom_wkb",
+                          engine: str | None = None):
     """Per-feature boolean vs one geometry; empty results dropped."""
     other = wkb.as_multipolygon(other_wkb)
 
     def _batch(t: pa.Table) -> pa.Table:
         keep, out, areas = [], [], []
         for i, g in enumerate(t.column(geom_col).to_pylist()):
-            rings, area = boolean_general(wkb.as_multipolygon(g), other, op)
+            rings, area = boolean_general(wkb.as_multipolygon(g), other, op,
+                                          engine=engine)
             if len(rings):
                 keep.append(i)
                 out.append(wkb.encode_multipolygon(rings_to_multipolygon(rings)))

@@ -84,9 +84,17 @@ def test_dispatcher_gh_route_and_multipart_intersection():
     C = star(20, 20, 5, 1, 2, 13)
     rings2, area2 = boolean_general([[A], [C]], [[B]], "intersection")
     assert area2 == pytest.approx(area)
-    # multipart union in general position: round-3, raises
-    with pytest.raises(ghclip.DegenerateGeometry):
-        boolean_general([[A], [C]], [[B]], "union")
+    # multipart union/difference/symdiff in general position: the
+    # round-1 DegenerateGeometry escape is gone (kernels.edgeclass)
+    aA = abs(geom.ring_signed_area(A))
+    aC = abs(geom.ring_signed_area(C))
+    _, a_un = boolean_general([[A], [C]], [[B]], "union")
+    aB = abs(geom.ring_signed_area(B))
+    assert a_un == pytest.approx(aA + aC + aB - area2)
+    _, a_diff = boolean_general([[A], [C]], [[B]], "difference")
+    assert a_diff == pytest.approx(aA + aC - area2)
+    _, a_sym = boolean_general([[A], [C]], [[B]], "symmetric_difference")
+    assert a_sym == pytest.approx(a_un - area2)
 
 
 def test_overlay_stage_with_curved_geometry(ray_session):
