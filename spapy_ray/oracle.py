@@ -491,11 +491,14 @@ def q_reclassify_hist() -> str:
 
 
 def q_raster_crop_minmax() -> str:
+    from spapy_ray.pipelines.queries import CROP_WINDOW
+
+    px0, py0, px1, py1 = CROP_WINDOW
     return (
         f"WITH {_pixel_grid_cte()} "
         "SELECT min(z)::BIGINT AS min_z, max(z)::BIGINT AS max_z, "
         "count(*)::BIGINT AS n_pixels FROM grid "
-        "WHERE px >= 128 AND px < 384 AND py >= 128 AND py < 384"
+        f"WHERE px >= {px0} AND px < {px1} AND py >= {py0} AND py < {py1}"
     )
 
 

@@ -435,13 +435,20 @@ def q_reclassify_hist(sf_dir: str):
         .select_columns(["class", "n_pixels"])
 
 
+CROP_WINDOW = (37, 101, 333, 414)      # deliberately NOT tile-aligned
+
+
 def q_raster_crop_minmax(sf_dir: str):
-    """Tile-aligned crop then global min/max (crop + aggregate)."""
-    from spapy_ray.stages.raster import crop_aligned, raster_minmax
+    """Pixel-exact crop to a non-tile-aligned window, then global
+    min/max over the ragged tile table (crop fragments → groupby(dst
+    tile) assembly → aggregate)."""
+    from spapy_ray.stages.raster import crop_pixels, raster_minmax
 
     ds, meta = _dem()
-    cropped = crop_aligned(ds, 2, 2, 6, 6)
-    row = raster_minmax(cropped, dtype="int32", tile_size=meta.tile_size)
+    px0, py0, px1, py1 = CROP_WINDOW
+    cropped, cmeta = crop_pixels(ds, meta, px0, py0, px1, py1,
+                                 dtype="int32")
+    row = raster_minmax(cropped, dtype="int32", tile_size=cmeta.tile_size)
     out = pd.DataFrame([row])
     for c in ("min_z", "max_z", "n_pixels"):
         out[c] = out[c].astype(np.int64)

@@ -54,8 +54,16 @@ BINARY_OPS = {
 }
 
 
-def decode_tile(buf: bytes, dtype: str, tile_size: int) -> np.ndarray:
+def decode_tile(buf: bytes, dtype: str, tile_size: int,
+                h: int | None = None, w: int | None = None) -> np.ndarray:
+    """Tile bytes → 2-D array. Pass explicit (h, w) for ragged tiles
+    (crop output carries them as columns); without them the tile is
+    assumed FULL-WIDTH (w == tile_size), which holds for every
+    tile-aligned raster in the engine. A ragged-width tile decoded
+    without (h, w) would silently transpose — hence the contract."""
     a = np.frombuffer(buf, dtype=np.dtype(dtype).newbyteorder("<"))
+    if h is not None and w is not None:
+        return a.reshape(h, w)
     n = len(a)
     w = tile_size if n % tile_size == 0 else n
     return a.reshape(n // w, w)
@@ -92,7 +100,11 @@ def tile_math(ds, op: str, operand: float | None = None, *,
     def masked(a: np.ndarray) -> np.ndarray:
         m = a == nodata
         r = fn(a)
-        r = r.astype(r.dtype, copy=True)
+        # predicate/bool ops yield uint8 — promote so the nodata
+        # sentinel (often negative) is representable before
+        # re-substitution (ADVICE r1: OverflowError / modular wrap)
+        r = r.astype(np.result_type(r.dtype, np.min_scalar_type(nodata)),
+                     copy=True)
         r[m] = nodata
         return r
 
@@ -171,9 +183,14 @@ def raster_minmax(ds, *, dtype: str, tile_size: int, nodata: float | None = None
     from ray.data.aggregate import Max, Min, Sum
 
     def partial(t: pa.Table) -> pa.Table:
+        has_hw = "h" in t.schema.names and "w" in t.schema.names
+        hs = t.column("h").to_pylist() if has_hw else None
+        ws = t.column("w").to_pylist() if has_hw else None
         mins, maxs, counts = [], [], []
-        for b in t.column("data").to_pylist():
-            a = decode_tile(b, dtype, tile_size)
+        for i, b in enumerate(t.column("data").to_pylist()):
+            a = decode_tile(b, dtype, tile_size,
+                            hs[i] if has_hw else None,
+                            ws[i] if has_hw else None)
             if nodata is not None:
                 a = a[a != nodata]
             mins.append(a.min() if a.size else None)
@@ -644,3 +661,163 @@ def resample_to_match(ds_fine, meta_fine: RasterMeta, meta_coarse: RasterMeta,
     which raster⊗raster ops are plain tile-key joins."""
     return resample_to_grid(ds_fine, meta_fine, meta_coarse,
                             dtype=dtype, method=method)
+
+
+# ------------------------------------------------- pixel-exact crop
+
+def crop_pixels(ds, meta: RasterMeta, px0: int, py0: int, px1: int, py1: int,
+                *, dtype: str = "int32"):
+    """Pixel-exact crop to [px0,px1) x [py0,py1) (reference Crop /
+    ExtractByPixels, SpaRasters.py:1235-1282,1341-1388 — arbitrary
+    rects, not just tile multiples).
+
+    Distributed shape: each source tile slices its overlap with the
+    crop window and routes the fragment to the destination tile(s) it
+    lands in (the crop origin shifts the tiling, so one source tile
+    can feed up to 4 destination tiles); groupby(dst tile) assembles.
+    Output rows carry explicit (h, w) columns — edge tiles are ragged.
+
+    Returns (tile Dataset, RasterMeta of the cropped raster).
+    """
+    T = meta.tile_size
+    W, H = px1 - px0, py1 - py0
+    if W <= 0 or H <= 0:
+        raise ValueError("empty crop window")
+    out_meta = RasterMeta(
+        width=W, height=H, tile_size=T,
+        x_min=meta.x_min + px0 * meta.pixel_w,
+        y_max=meta.y_max + py0 * meta.pixel_h,
+        pixel_w=meta.pixel_w, pixel_h=meta.pixel_h,
+        nodata=meta.nodata, dtype=dtype)
+
+    def route(t: pa.Table) -> pa.Table:
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        cols = {"dtx": [], "dty": [], "ox": [], "oy": [],
+                "fh": [], "fw": [], "data": []}
+        for i, buf in enumerate(t.column("data").to_pylist()):
+            tx, ty = int(txs[i]), int(tys[i])
+            gx0, gy0 = tx * T, ty * T
+            a = decode_tile(buf, dtype, T)
+            th, tw = a.shape
+            # overlap of this tile with the crop window, global coords
+            ox0, ox1 = max(gx0, px0), min(gx0 + tw, px1)
+            oy0, oy1 = max(gy0, py0), min(gy0 + th, py1)
+            if ox0 >= ox1 or oy0 >= oy1:
+                continue
+            # destination tiles covered by the overlap
+            for dtx in range((ox0 - px0) // T, (ox1 - 1 - px0) // T + 1):
+                for dty in range((oy0 - py0) // T, (oy1 - 1 - py0) // T + 1):
+                    fx0 = max(ox0, px0 + dtx * T)
+                    fx1 = min(ox1, px0 + (dtx + 1) * T)
+                    fy0 = max(oy0, py0 + dty * T)
+                    fy1 = min(oy1, py0 + (dty + 1) * T)
+                    frag = a[fy0 - gy0:fy1 - gy0, fx0 - gx0:fx1 - gx0]
+                    cols["dtx"].append(dtx)
+                    cols["dty"].append(dty)
+                    cols["ox"].append(fx0 - px0 - dtx * T)   # offset in dst
+                    cols["oy"].append(fy0 - py0 - dty * T)
+                    cols["fh"].append(frag.shape[0])
+                    cols["fw"].append(frag.shape[1])
+                    cols["data"].append(np.ascontiguousarray(frag).tobytes())
+        return pa.table({
+            "dtx": pa.array(cols["dtx"], type=pa.int32()),
+            "dty": pa.array(cols["dty"], type=pa.int32()),
+            "ox": pa.array(cols["ox"], type=pa.int32()),
+            "oy": pa.array(cols["oy"], type=pa.int32()),
+            "fh": pa.array(cols["fh"], type=pa.int32()),
+            "fw": pa.array(cols["fw"], type=pa.int32()),
+            "data": pa.array(cols["data"], type=pa.binary()),
+        })
+
+    frags = ds.map_batches(route, batch_format="pyarrow")
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        dtx, dty = int(g["dtx"].iloc[0]), int(g["dty"].iloc[0])
+        h = min(T, H - dty * T)
+        w = min(T, W - dtx * T)
+        out = np.zeros((h, w), dtype=np.dtype(dtype))
+        if meta.nodata is not None:
+            out[:] = meta.nodata
+        for _, r in g.iterrows():
+            fh, fw = int(r["fh"]), int(r["fw"])
+            frag = np.frombuffer(r["data"],
+                                 dtype=np.dtype(dtype).newbyteorder("<")) \
+                .reshape(fh, fw)
+            out[int(r["oy"]):int(r["oy"]) + fh,
+                int(r["ox"]):int(r["ox"]) + fw] = frag
+        return pd.DataFrame({"tx": [dtx], "ty": [dty], "band": [0],
+                             "h": [h], "w": [w],
+                             "data": [np.ascontiguousarray(out).tobytes()]})
+
+    return frags.groupby(["dtx", "dty"]).map_groups(
+        assemble, batch_format="pandas"), out_meta
+
+
+def set_type(ds, *, dtype: str, tile_size: int, out_dtype: str):
+    """Dtype conversion tile op (reference SetType,
+    SpaRasters.py:546-560: gdal.Translate outputType — numpy astype
+    semantics: trunc toward zero for float→int, modular wrap for
+    narrowing ints)."""
+    def _batch(t: pa.Table) -> pa.Table:
+        has_hw = "h" in t.schema.names and "w" in t.schema.names
+        hs = t.column("h").to_pylist() if has_hw else None
+        ws = t.column("w").to_pylist() if has_hw else None
+        out = []
+        for i, b in enumerate(t.column("data").to_pylist()):
+            a = decode_tile(b, dtype, tile_size,
+                            hs[i] if has_hw else None,
+                            ws[i] if has_hw else None)
+            out.append(np.ascontiguousarray(
+                a.astype(np.dtype(out_dtype))).tobytes())
+        return t.set_column(t.schema.get_field_index("data"), "data",
+                            pa.array(out, type=pa.binary()))
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------- gdaldem color-relief
+
+DEFAULT_RELIEF_TABLE = [
+    # (elevation, r, g, b) — a public-domain hypsometric ramp
+    (0.0, 0, 97, 71),
+    (50.0, 16, 122, 47),
+    (100.0, 232, 215, 125),
+    (180.0, 161, 67, 0),
+    (250.0, 130, 30, 30),
+    (255.0, 255, 255, 255),
+]
+
+
+def color_relief(ds, *, dtype: str, tile_size: int,
+                 table=None):
+    """gdaldem color-relief (reference ColorRelief, SpaTopo.py:354
+    shells to `gdaldem color-relief`): piecewise-linear interpolation
+    of each (elevation → R,G,B) channel over a color table. One input
+    tile row → three uint8 band rows (band 0=R, 1=G, 2=B)."""
+    tab = table or DEFAULT_RELIEF_TABLE
+    elev = np.array([t[0] for t in tab], dtype=np.float64)
+    chans = [np.array([t[c] for t in tab], dtype=np.float64)
+             for c in (1, 2, 3)]
+
+    def _batch(t: pa.Table) -> pa.Table:
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        otx, oty, oband, odata = [], [], [], []
+        for i, b in enumerate(t.column("data").to_pylist()):
+            a = decode_tile(b, dtype, tile_size).astype(np.float64)
+            for band, ch in enumerate(chans):
+                v = np.interp(a, elev, ch)
+                odata.append(np.ascontiguousarray(
+                    np.rint(v).astype(np.uint8)).tobytes())
+                otx.append(int(txs[i]))
+                oty.append(int(tys[i]))
+                oband.append(band)
+        return pa.table({
+            "tx": pa.array(otx, type=pa.int32()),
+            "ty": pa.array(oty, type=pa.int32()),
+            "band": pa.array(oband, type=pa.int32()),
+            "data": pa.array(odata, type=pa.binary()),
+        })
+
+    return ds.map_batches(_batch, batch_format="pyarrow")

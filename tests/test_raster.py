@@ -368,3 +368,62 @@ def test_polygonize_rings_exact_pixel_edges(ray_session):
     rings0 = polygonize_rings(ds, meta, [0], dtype="int32")
     assert rings0["closed"].all()
     assert 64 * 4 in rings0["length"].tolist()  # raster frame ring
+
+
+def test_crop_pixels_non_aligned(ray_session):
+    """Pixel-exact crop: arbitrary window, ragged edge tiles with
+    explicit (h, w), values identical to numpy slicing."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset, \
+        dem_int_value, tile_pixels
+    from spapy_ray.stages.raster import crop_pixels, decode_tile, raster_minmax
+
+    ds = synth_dem_dataset(DEM_META, kind="int")
+    px0, py0, px1, py1 = 37, 101, 333, 414
+    cropped, cmeta = crop_pixels(ds, DEM_META, px0, py0, px1, py1,
+                                 dtype="int32")
+    assert (cmeta.width, cmeta.height) == (px1 - px0, py1 - py0)
+    gx, gy = np.meshgrid(np.arange(512), np.arange(512))
+    whole = dem_int_value(gx, gy)
+    want = whole[py0:py1, px0:px1]
+    got = np.zeros_like(want)
+    df = cropped.to_pandas()
+    T = cmeta.tile_size
+    for _, r in df.iterrows():
+        a = decode_tile(r["data"], "int32", T, int(r["h"]), int(r["w"]))
+        got[r["ty"] * T:r["ty"] * T + int(r["h"]),
+            r["tx"] * T:r["tx"] * T + int(r["w"])] = a
+    assert (got == want).all()
+    mm = raster_minmax(cropped, dtype="int32", tile_size=T)
+    assert mm["n_pixels"] == want.size
+    assert mm["min_z"] == want.min() and mm["max_z"] == want.max()
+
+
+def test_set_type_and_color_relief(ray_session):
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset, \
+        dem_int_value
+    from spapy_ray.stages.raster import (DEFAULT_RELIEF_TABLE, color_relief,
+                                         decode_tile, set_type)
+
+    ds = synth_dem_dataset(DEM_META, kind="int")
+    conv = set_type(ds, dtype="int32", tile_size=DEM_META.tile_size,
+                    out_dtype="uint8").to_pandas()
+    for _, r in conv.head(3).iterrows():
+        a = decode_tile(r["data"], "uint8", DEM_META.tile_size)
+        gx, gy = np.meshgrid(
+            np.arange(r["tx"] * 64, r["tx"] * 64 + 64),
+            np.arange(r["ty"] * 64, r["ty"] * 64 + 64))
+        assert (a == dem_int_value(gx, gy).astype(np.uint8)).all()
+
+    rel = color_relief(synth_dem_dataset(DEM_META, kind="int"),
+                       dtype="int32", tile_size=DEM_META.tile_size).to_pandas()
+    assert set(rel["band"]) == {0, 1, 2}
+    assert len(rel) == 3 * DEM_META.tiles_x * DEM_META.tiles_y
+    # spot-check one tile against np.interp on the whole tile
+    r0 = rel[(rel.tx == 2) & (rel.ty == 3) & (rel.band == 1)].iloc[0]
+    a = decode_tile(r0["data"], "uint8", DEM_META.tile_size)
+    gx, gy = np.meshgrid(np.arange(128, 192), np.arange(192, 256))
+    z = dem_int_value(gx, gy).astype(np.float64)
+    elev = np.array([t[0] for t in DEFAULT_RELIEF_TABLE])
+    gch = np.array([t[2] for t in DEFAULT_RELIEF_TABLE], dtype=np.float64)
+    want = np.rint(np.interp(z, elev, gch)).astype(np.uint8)
+    assert (a == want).all()
