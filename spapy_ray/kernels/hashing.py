@@ -77,13 +77,23 @@ def fnv1a64_scalar(s: str) -> int:
 def sql_fnv1a(expr: str) -> str:
     """DuckDB SQL computing fnv1a64 of a string expression → UBIGINT.
 
-    Sequential fold via list_reduce; 64-bit wraparound emulated with
-    HUGEINT multiply + mod 2**64 (product < 2**104 < 2**127, safe).
+    Folds over UTF-8 BYTES (codepoints expanded arithmetically), so
+    the twin matches :func:`fnv1a64` for all of Unicode — not just
+    ASCII (ADVICE r1). Sequential fold via list_reduce; 64-bit
+    wraparound emulated with HUGEINT multiply + mod 2**64 (product
+    < 2**104 < 2**127, safe).
     """
+    cps = (f"list_transform(range(1, length({expr}) + 1), "
+           f"i -> ord(substr({expr}, i, 1)))")
+    utf8 = (f"flatten(list_transform({cps}, c -> "
+            "CASE WHEN c < 128 THEN [c] "
+            "WHEN c < 2048 THEN [192 + c//64, 128 + c%64] "
+            "WHEN c < 65536 THEN [224 + c//4096, 128 + (c//64)%64, 128 + c%64] "
+            "ELSE [240 + c//262144, 128 + (c//4096)%64, 128 + (c//64)%64, "
+            "128 + c%64] END))")
     return (
         "list_reduce(list_prepend(14695981039346656037::UBIGINT, "
-        f"list_transform(range(1, length({expr}) + 1), "
-        f"i -> ord(substr({expr}, i, 1))::UBIGINT)), "
+        f"list_transform({utf8}, b -> b::UBIGINT)), "
         "(h, c) -> ((xor(h, c)::HUGEINT * 1099511628211::HUGEINT) "
         "% 18446744073709551616::HUGEINT)::UBIGINT)"
     )

@@ -43,3 +43,16 @@ def test_sql_fnv_matches():
     got = con.execute(f"SELECT {hashing.sql_fnv1a('s')} AS h FROM t").fetchnumpy()["h"]
     expected = np.array([hashing.fnv1a64_scalar(s) for s in strs], dtype=np.uint64)
     assert (got.astype(np.uint64) == expected).all()
+
+
+def test_sql_fnv_matches_unicode():
+    """The SQL twin folds over UTF-8 bytes — exact for non-ASCII too
+    (ADVICE r1: the round-1 twin hashed codepoints)."""
+    import duckdb
+
+    from spapy_ray.kernels.hashing import fnv1a64_scalar, sql_fnv1a
+
+    con = duckdb.connect()
+    for s in ["héllo wörld", "日本語テキスト", "emoji 🎉 test", "ünïcødé", ""]:
+        got = con.sql(f"SELECT {sql_fnv1a(repr(s))} AS h").fetchone()[0]
+        assert int(got) == fnv1a64_scalar(s), s

@@ -242,3 +242,50 @@ def test_knn_cells_widening_converges_to_exact(ray_session):
     assert cc["exact"].all()
     assert set(zip(cc["key"], cc["zone_id"])) == \
         set(zip(bc["url"], bc["zone_id"]))
+
+
+def test_vector_meta_roundtrip_and_row_values(ray_session, tmp_path):
+    """SURVEY §2.4 tail: CopyMetadata semantics survive two stages and
+    a parquet write/read round-trip; key-addressed Get/Set
+    AttributeValue (SpaVectors.py:224-238, 564-587)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+    from spapy_ray.sources.zones import zones_table
+    from spapy_ray.state.vmeta import (VectorMeta, get_attribute_value,
+                                       read_vector_parquet,
+                                       set_attribute_value,
+                                       write_vector_parquet)
+
+    vm = VectorMeta(crs="epsg:3857", geom_type="MultiPolygon",
+                    attribute_defs={"zone_id": "int:4", "name": "str:254"})
+    ds = rd.from_arrow(zones_table(20))
+
+    # two transform stages — companion metadata rides alongside
+    def stage1(t: pa.Table) -> pa.Table:
+        return t.append_column("lab2", pc.add(t.column("labelrank"), 1))
+
+    def stage2(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["area_class"])
+
+    out = ds.map_batches(stage1, batch_format="pyarrow") \
+            .map_batches(stage2, batch_format="pyarrow")
+    vm2 = VectorMeta()
+    vm2.copy_from(vm)
+    assert vm2.crs == "epsg:3857" and vm2.attribute_defs == vm.attribute_defs
+
+    path = str(tmp_path / "zones_meta")
+    write_vector_parquet(out, path, vm2)
+    ds3, vm3 = read_vector_parquet(path)
+    assert vm3 is not None
+    assert vm3.crs == "epsg:3857"
+    assert vm3.geom_type == "MultiPolygon"
+    assert vm3.attribute_defs == {"zone_id": "int:4", "name": "str:254"}
+    assert ds3.count() == 20
+
+    # row-level get/set
+    assert get_attribute_value(ds3, "zone_id", 7, "name") == "zone7"
+    upd = set_attribute_value(ds3, "zone_id", 7, "name", "renamed")
+    assert get_attribute_value(upd, "zone_id", 7, "name") == "renamed"
+    assert get_attribute_value(upd, "zone_id", 8, "name") == "zone8"
