@@ -82,8 +82,16 @@ def q_dedup_pages(sf_dir: str):
 
 
 def q_knn_zones(sf_dir: str, k: int = 3):
-    return knn_join_broadcast(_geo(sf_dir), zones_table(), k=k,
-                              left_columns=["url", "warc_ts"])
+    # The [batch x zones] distance stage is ~10x the per-row cost of
+    # the linear stages AND cache-sensitive; Ray bundles fused-map
+    # inputs to the chain's LARGEST batch_size, so the linear-stage
+    # default (32768) would split 600k rows into only ~19 tasks.
+    # 4096 measures fastest per-core (GEMM output stays in cache) and
+    # yields ~4 tasks/CPU.
+    geo = geocode(pages_dataset(sf_dir, include_html=False), batch_size=4096)
+    return knn_join_broadcast(geo, zones_table(), k=k,
+                              left_columns=["url", "warc_ts"],
+                              batch_size=4096)
 
 
 def q_knn_zones_cells(sf_dir: str, k: int = 3):

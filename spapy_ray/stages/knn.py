@@ -52,7 +52,21 @@ def zone_anchors(zones: pa.Table) -> np.ndarray:
 
 
 class KNNJoin:
-    """Actor-pool stage: batch of points → k nearest zone rows."""
+    """Actor-pool stage: batch of points → k nearest zone rows.
+
+    Two-phase exact kNN: candidate selection via a float32 GEMM on
+    unit-sphere vectors (chord distance is EXACTLY monotonic with the
+    great-circle angle, so dot-product order == haversine order up to
+    float rounding), then exact float64 haversine — the same formula
+    as the SQL oracle — on only k+8 candidates per point for the
+    final ranking. The margin of 8 absorbs f32 rounding in selection;
+    a true top-k zone would have to be displaced past 8 impostors
+    within ~1e-7 relative chord distance to be missed. This replaces
+    the memory-bound [n x z] float64 distance matrix (8 temporaries)
+    with one [n x z] float32 GEMM output — ~6x less memory traffic.
+    """
+
+    MARGIN = 8
 
     def __init__(self, zones_ref=None, zones_table: pa.Table | None = None,
                  k: int = 3, left_columns: list[str] | None = None):
@@ -64,24 +78,37 @@ class KNNJoin:
         self.zone_ids = zones_table.column("zone_id").to_numpy()
         anchors = zone_anchors(zones_table)
         self.alon, self.alat = anchors[:, 0], anchors[:, 1]
+        lam = np.radians(self.alon)
+        phi = np.radians(self.alat)
+        self.zvec = np.column_stack([
+            np.cos(phi) * np.cos(lam), np.cos(phi) * np.sin(lam),
+            np.sin(phi)]).astype(np.float32)          # [z, 3]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         n, z = len(lon), len(self.zone_ids)
         k = min(self.k, z)
-        # [n, z] distances; argpartition prunes, stable argsort of the
-        # pruned set reproduces ORDER BY (dist, zone_id).
-        d = geom.haversine_m(lon[:, None], lat[:, None],
-                             self.alon[None, :], self.alat[None, :])
-        if k < z:
-            part = np.argpartition(d, k - 1, axis=1)[:, :k]
-            part.sort(axis=1)                     # zone_id order within the k set
-            dk = np.take_along_axis(d, part, axis=1)
-            order = np.argsort(dk, axis=1, kind="stable")
-            nearest = np.take_along_axis(part, order, axis=1)
+        m = min(k + self.MARGIN, z)
+        if m < z:
+            lam = np.radians(lon).astype(np.float32)
+            phi = np.radians(lat).astype(np.float32)
+            cp = np.cos(phi)
+            pts = np.column_stack([cp * np.cos(lam), cp * np.sin(lam),
+                                   np.sin(phi)])      # [n, 3] f32
+            dots = pts @ self.zvec.T                  # [n, z] f32 GEMM
+            cand = np.argpartition(-dots, m - 1, axis=1)[:, :m]
+            cand.sort(axis=1)                         # zone_id order
+            d = geom.haversine_m(lon[:, None], lat[:, None],
+                                 self.alon[cand], self.alat[cand])
         else:
-            nearest = np.argsort(d, axis=1, kind="stable")[:, :k]
+            cand = np.broadcast_to(np.arange(z), (n, z))
+            d = geom.haversine_m(lon[:, None], lat[:, None],
+                                 self.alon[None, :], self.alat[None, :])
+        # stable argsort of zone_id-ordered candidates == SQL
+        # ORDER BY (dist, zone_id)
+        order = np.argsort(d, axis=1, kind="stable")[:, :k]
+        nearest = np.take_along_axis(cand, order, axis=1)
         left = batch.select(self.left_columns) if self.left_columns else batch
         idx = np.repeat(np.arange(n, dtype=np.int64), k)
         out = left.take(pa.array(idx))
