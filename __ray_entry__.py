@@ -66,6 +66,8 @@ def oracle_sql() -> dict[str, str]:
         "reclassify_hist": o.q_reclassify_hist(),
         "raster_crop_minmax": o.q_raster_crop_minmax(),
         "minhash_sigs": o.q_minhash_sigs(),
+        "simhash_docs": o.q_simhash_docs(),
+        "embed_top_pairs": o.q_embed_top_pairs(),
         "near_dup_docs": o.q_near_dup_docs(),
         "events_sessions": o.q_events_sessions(),
         "text_invariant": o.q_text_invariant(),

@@ -521,6 +521,36 @@ def q_minhash_sigs(num_hashes: int = 4) -> str:
     )
 
 
+def q_simhash_docs() -> str:
+    """Bit-exact SimHash twin: explode tokens, hash each with the
+    UTF-8 fnv1a fold, majority-vote each of the 64 bits, repack."""
+    th = sql_fnv1a("tok")
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents), "
+        f"h AS (SELECT doc_id, {th} AS th FROM toks), "
+        "bits AS (SELECT doc_id, b, "
+        "CASE WHEN sum(CASE WHEN (th >> b::INTEGER) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        "THEN 1 ELSE 0 END AS bit "
+        "FROM h CROSS JOIN range(64) t(b) GROUP BY doc_id, b) "
+        "SELECT doc_id, "
+        "sum((bit::HUGEINT * (1::HUGEINT << b::INTEGER)))::UBIGINT AS simhash "
+        "FROM bits GROUP BY doc_id"
+    )
+
+
+def q_embed_top_pairs(n_pairs: int = 20) -> str:
+    sim = ("list_cosine_similarity("
+           "list_transform(a.embedding, x -> x::DOUBLE), "
+           "list_transform(b.embedding, x -> x::DOUBLE))")
+    return (
+        "SELECT a.vec_id AS key_a, b.vec_id AS key_b, "
+        f"row_number() OVER (ORDER BY {sim} DESC, a.vec_id, b.vec_id)::BIGINT AS rank "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"QUALIFY rank <= {n_pairs}"
+    )
+
+
 def q_near_dup_docs(threshold: float = 0.8) -> str:
     """Exact all-pairs 3-shingle Jaccard — ground truth for the LSH
     near-dup pipeline (engine jaccard = |A∩B| / |A∪B| of distinct

@@ -488,6 +488,33 @@ def q_minhash_sigs(sf_dir: str, num_hashes: int = 4):
 QUERIES["minhash_sigs"] = q_minhash_sigs
 
 
+def q_simhash_docs(sf_dir: str):
+    """64-bit SimHash per document (near-dup family): per-bit
+    majority vote of token FNV hashes — deterministic, so the SQL
+    twin recomputes the identical bits."""
+    from spapy_ray.stages.neardup import simhash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash(ds).select_columns(["doc_id", "simhash"])
+
+
+QUERIES["simhash_docs"] = q_simhash_docs
+
+
+def q_embed_top_pairs(sf_dir: str, n_pairs: int = 20):
+    """Embedding-cosine near-dup, top-pairs form: the 20 most similar
+    embedding pairs (broadcast GEMM + block-local top-N; output is
+    rank-only so float summation order cannot break the hash — pair
+    cosines in the fixture are separated by >=1e-4)."""
+    from spapy_ray.stages.ann import top_similar_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return top_similar_pairs(ds, n_pairs=n_pairs, key_col="vec_id")
+
+
+QUERIES["embed_top_pairs"] = q_embed_top_pairs
+
+
 def q_near_dup_docs(sf_dir: str, threshold: float = 0.8):
     """MinHash-LSH near-duplicate pairs over documents, verified by
     exact 3-shingle Jaccard. The oracle computes ALL >= threshold

@@ -188,3 +188,66 @@ def cosine_topk_ivf(ds, query_ids: np.ndarray, query_matrix: np.ndarray,
         return g
 
     return cands.groupby("qid").map_groups(final, batch_format="pandas")
+
+
+# ------------------------------------------- all-pairs similarity
+
+def top_similar_pairs(ds, n_pairs: int = 20, key_col: str = "vec_id",
+                      vec_col: str = "embedding", batch_size: int = 4096):
+    """Embedding-cosine near-duplicate detection, top-pairs form: the
+    N most cosine-similar DISTINCT pairs over the whole table.
+
+    Scale shape: the (normalized id, matrix) pair is broadcast once
+    (ray.put), every batch computes a [block x all] GEMM against it
+    and keeps only pairs that could reach the global top-N (block-
+    local top-N), then one tiny final merge ranks exactly by
+    (sim desc, key_a, key_b). At corpus scale the broadcast side is
+    replaced by hyperplane-LSH banding (same shuffle shape as MinHash
+    LSH, stages/neardup.py) — documented scale path; the broadcast
+    form is exact and right for <= ~10^6 x small-dim tables.
+
+    Returns Dataset (key_a, key_b, rank), key_a < key_b.
+    """
+    import ray
+
+    from spapy_ray.util import cached_state
+
+    all_tbl = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")])
+    ids = all_tbl.column(key_col).to_numpy()
+    E = np.array(all_tbl.column(vec_col).to_pylist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    ref = ray.put((ids.astype(np.int64), En))
+    box = (ref,)
+
+    import ray.data as rd
+
+    def _block(t: pa.Table) -> pa.Table:
+        aid, mat = cached_state(box, lambda x: x)
+        bid = t.column(key_col).to_numpy().astype(np.int64)
+        B = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        sims = Bn @ mat.T                       # [block, all]
+        # keep i<j pairs only
+        ka, kb, sv = [], [], []
+        mask = bid[:, None] < aid[None, :]
+        flat = np.nonzero(mask)
+        s = sims[flat]
+        if len(s) > n_pairs:
+            top = np.argpartition(-s, n_pairs - 1)[:n_pairs]
+        else:
+            top = np.arange(len(s))
+        return pa.table({
+            "key_a": pa.array(bid[flat[0][top]]),
+            "key_b": pa.array(aid[flat[1][top]]),
+            "sim": pa.array(s[top]),
+        })
+
+    cands = ds.map_batches(_block, batch_format="pyarrow",
+                           batch_size=batch_size).to_pandas()
+    cands = cands.sort_values(["sim", "key_a", "key_b"],
+                              ascending=[False, True, True],
+                              kind="stable").head(n_pairs)
+    cands = cands.drop(columns=["sim"]).reset_index(drop=True)
+    cands["rank"] = np.arange(1, len(cands) + 1, dtype=np.int64)
+    return rd.from_pandas(cands)
