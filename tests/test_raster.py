@@ -427,3 +427,37 @@ def test_set_type_and_color_relief(ray_session):
     gch = np.array([t[2] for t in DEFAULT_RELIEF_TABLE], dtype=np.float64)
     want = np.rint(np.interp(z, elev, gch)).astype(np.uint8)
     assert (a == want).all()
+
+
+def test_component_rings_full_polygonize(ray_session):
+    """gdal.Polygonize parity: one multipolygon per component, holes
+    assigned, ring-derived area == pixel count for every component."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from spapy_ray.kernels import wkb
+    from spapy_ray.stages.polygonize import component_rings
+
+    meta = RasterMeta(width=64, height=64, tile_size=32, x_min=0, y_max=0,
+                      pixel_w=1, pixel_h=-1)
+    z = np.zeros((64, 64), dtype=np.int32)
+    z[20:44, 24:56] = 1
+    z[28:36, 32:40] = 0
+    rows = [{"tx": tx, "ty": ty, "band": 0,
+             "data": np.ascontiguousarray(
+                 z[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]).tobytes()}
+            for tx in range(2) for ty in range(2)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = component_rings(ds, meta, dtype="int32").sort_values("n_pixels")
+    assert len(out) == 3
+    assert (out["ring_area"] == out["n_pixels"]).all()
+    assert out["n_pixels"].tolist() == [64, 704, 3328]
+    assert out["n_rings"].tolist() == [1, 2, 2]        # island, donut, bg
+    # geometry: the donut decodes to exterior+hole; hole area 64
+    donut = out[out["n_pixels"] == 704].iloc[0]
+    mp = wkb.as_multipolygon(donut["geom_wkb"])
+    assert len(mp) == 1 and len(mp[0]) == 2
+    from spapy_ray.kernels import geom
+    ext, hole = mp[0]
+    assert abs(geom.ring_signed_area(ext)) == 768.0
+    assert abs(geom.ring_signed_area(hole)) == 64.0
