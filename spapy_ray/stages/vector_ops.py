@@ -36,13 +36,84 @@ def _map_geoms(ds, fn, geom_col: str = "geom_wkb"):
     return ds.map_batches(_batch, batch_format="pyarrow")
 
 
-def buffer(ds, dist: float, segments: int = 16, geom_col: str = "geom_wkb"):
+def _ring_buffer_shapes(ring: np.ndarray, dist: float, segments: int):
+    """Minkowski decomposition pieces of a ring's boundary fattening:
+    one 2*dist-wide rectangle per edge + one disc (segments-gon,
+    vertices ON the circle — the GEOS quad-segs convention) per
+    vertex."""
+    r = geom._close_open(np.asarray(ring, dtype=np.float64))
+    nxt = np.roll(r, -1, axis=0)
+    e = nxt - r
+    ln = np.hypot(e[:, 0], e[:, 1])
+    ln[ln == 0] = 1.0
+    nx, ny = e[:, 1] / ln, -e[:, 0] / ln
+    shapes = []
+    for i in range(len(r)):
+        p, q = r[i], nxt[i]
+        off = np.array([nx[i], ny[i]]) * dist
+        shapes.append([np.array([p + off, q + off, q - off, p - off])])
+        shapes.append([geom.buffer_point(r[i, 0], r[i, 1], dist, segments)])
+    return shapes
+
+
+def buffer_round(mp, dist: float, segments: int = 16):
+    """GEOS-parity round-join polygon buffer via boolean folds
+    (SpaVectors.py:790-818 wraps shapely .buffer; arcs discretized to
+    ``segments``-gons like GEOS quadrant segments):
+
+        dilate:  P ∪ (edge rectangles) ∪ (vertex discs)
+        erode:   P − (edge rectangles) − (vertex discs)
+
+    over every ring (exteriors and holes) through the general
+    edge-classification kernel. Exact up to arc discretization;
+    concave corners and self-overlap resolve through the union.
+    Returns (rings, area)."""
+    from spapy_ray.kernels.edgeclass import boolean_edges
+
+    shapes = []
+    for poly in mp:
+        for ring in poly:
+            shapes.extend(_ring_buffer_shapes(ring, abs(dist), segments))
+    cur = [list(p) for p in mp]
+    rings = None
+    op = "union" if dist >= 0 else "difference"
+    for s in shapes:
+        out_rings, _ = boolean_edges(cur, [s], op)
+        from spapy_ray.kernels.booleans import rings_to_multipolygon
+        cur = rings_to_multipolygon(out_rings)
+        rings = out_rings
+        if not cur:
+            break
+    area = float(sum(geom.ring_signed_area(r) for r in (rings or [])))
+    return (rings or []), area
+
+
+def buffer(ds, dist: float, segments: int = 16, geom_col: str = "geom_wkb",
+           method: str = "offset"):
     """Buffer (SpaVectors.py:790-818, one-liner 1433-1451).
 
-    Point → disc polygon; Polygon/MultiPolygon → vertex-offset
-    approximation (each ring densified then offset outward along
-    vertex normals) — documented approximation, exact for discs.
+    Point → disc polygon; Polygon/MultiPolygon →
+    - method="offset" (default): vertex-offset approximation (each
+      ring densified then offset outward along vertex normals) —
+      fast, documented approximation, exact for discs;
+    - method="round": GEOS-parity round joins via boolean folds
+      (buffer_round) — supports negative dist (erosion).
     """
+    if method == "round":
+        from spapy_ray.kernels.booleans import rings_to_multipolygon
+
+        def fr(g: bytes):
+            t, v = wkb.decode(g)
+            if t == "Point":
+                return wkb.encode_polygon([geom.buffer_point(v[0], v[1],
+                                                             dist, segments)])
+            mp = wkb.as_multipolygon(g)
+            rings, _ = buffer_round(mp, dist, segments)
+            if not rings:
+                return None
+            return wkb.encode_multipolygon(rings_to_multipolygon(rings))
+
+        return _map_geoms(ds, fr, geom_col)
 
     def f(g: bytes):
         t, v = wkb.decode(g)

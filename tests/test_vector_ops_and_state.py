@@ -289,3 +289,84 @@ def test_vector_meta_roundtrip_and_row_values(ray_session, tmp_path):
     upd = set_attribute_value(ds3, "zone_id", 7, "name", "renamed")
     assert get_attribute_value(upd, "zone_id", 7, "name") == "renamed"
     assert get_attribute_value(upd, "zone_id", 8, "name") == "zone8"
+
+
+def test_get_input_dispatch(ray_session, tmp_path):
+    """GetInput extension routing (SpaBase.py:131-155): parquet/csv/
+    json readers, raster dir round-trip with RasterMeta, dataset
+    pass-through, clear error for GDAL-needing formats."""
+    import pytest as _pytest
+
+    import ray.data as rd
+    from spapy_ray.sources.dispatch import get_input, write_raster
+    from spapy_ray.sources.rasters import DEM_META, RasterMeta, \
+        synth_dem_dataset
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    pq_path = str(tmp_path / "t.parquet")
+    csv_path = str(tmp_path / "t.csv")
+    df.to_parquet(pq_path)
+    df.to_csv(csv_path, index=False)
+    assert get_input(pq_path).count() == 3
+    assert get_input(csv_path).count() == 3
+    ds = rd.from_pandas(df)
+    assert get_input(ds) is ds
+    with _pytest.raises(NotImplementedError):
+        get_input("/x/y.shp")
+    with _pytest.raises(ValueError):
+        get_input("/x/y.xyz")
+
+    # raster round-trip
+    small = RasterMeta(width=64, height=64, tile_size=32, x_min=0.0,
+                       y_max=0.0, pixel_w=1.0, pixel_h=-1.0)
+    rdir = str(tmp_path / "rast")
+    write_raster(synth_dem_dataset(small, kind="int"), rdir, small)
+    ds2, meta2 = get_input(rdir)
+    assert meta2 == small
+    assert ds2.count() == 4
+
+
+def test_buffer_round_joins(ray_session):
+    """GEOS-parity round-join buffer (boolean-fold decomposition):
+    dilation matches the analytic round buffer to discretization
+    accuracy; erosion is exact for rectangles; concave corners
+    resolve through the union."""
+    from spapy_ray.kernels.booleans import rings_to_multipolygon
+    from spapy_ray.kernels.edgeclass import _pip_multipolygon
+    from spapy_ray.stages.vector_ops import buffer_round
+
+    sq = [[np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)]]
+    rings, area = buffer_round(sq, 2.0, segments=32)
+    mp = rings_to_multipolygon(rings)
+    rng = np.random.default_rng(0)
+    n = 200000
+    px = rng.uniform(-3, 13, n)
+    py = rng.uniform(-3, 13, n)
+    got = _pip_multipolygon(px, py, mp)
+    dx = np.maximum(np.maximum(0 - px, px - 10), 0)
+    dy = np.maximum(np.maximum(0 - py, py - 10), 0)
+    true = np.hypot(dx, dy) <= 2.0
+    assert (got == true).mean() >= 0.9999
+    # erosion: exact for rectilinear input
+    _, area2 = buffer_round(sq, -2.0, segments=32)
+    assert area2 == pytest.approx(36.0, abs=1e-9)
+    # concave L: area between offset lower bound and full-disc bound
+    L = [[np.array([[0, 0], [10, 0], [10, 4], [4, 4], [4, 10], [0, 10]],
+                   float)]]
+    _, areaL = buffer_round(L, 1.0, segments=32)
+    assert 64 + 40 - np.pi < areaL < 64 + 40 + np.pi
+    # stage route: method="round" through the Dataset API
+    import ray.data as rd
+
+    from spapy_ray.kernels import wkb as _wkb
+    from spapy_ray.stages.vector_ops import buffer
+
+    t = pa.table({"pid": pa.array([0]),
+                  "geom_wkb": pa.array([_wkb.encode_polygon(sq[0])],
+                                       type=pa.binary())})
+    out = buffer(rd.from_arrow(t), 2.0, segments=32,
+                 method="round").to_pandas()
+    mp2 = _wkb.as_multipolygon(out["geom_wkb"].iloc[0])
+    from spapy_ray.kernels import geom as _geom
+    a = sum(_geom.ring_signed_area(p[0]) for p in mp2)
+    assert a == pytest.approx(area, rel=1e-12)
