@@ -654,3 +654,109 @@ def component_rings(ds, meta: RasterMeta, *, dtype: str = "int32"):
                      how="left").drop(columns=["comp"])
     return out[["component_id", "value", "n_pixels", "ring_area",
                 "n_rings", "geom_wkb"]]
+
+
+# --------------------------- distributed component merge (scale path)
+
+def distributed_min_label(nodes_ds, pairs_ds, max_iters: int = 64):
+    """Hash-partitioned min-label propagation — the scale-out
+    replacement for the driver union-find when the cross-tile
+    component graph itself is too large for one machine.
+
+    nodes_ds: Dataset(node:int64)         (packed (tile,label) keys)
+    pairs_ds: Dataset(a:int64, b:int64)   (cross-tile equivalences)
+
+    Each iteration is two shuffles: (1) groupby(node) joins current
+    labels onto edge endpoints and emits (neighbor, label) messages,
+    (2) groupby(node) folds min(label). Terminates when an iteration
+    changes nothing (checked via a tiny per-iteration aggregate).
+    Converges in O(component diameter) iterations — the same
+    algorithm the SQL oracle runs as a recursive CTE.
+
+    Returns Dataset(node:int64, root:int64).
+    """
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "lab": t.column("node")})
+
+    labels = nodes_ds.map_batches(init_labels, batch_format="pyarrow") \
+        .materialize()
+
+    # symmetric edge list keyed by src
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([t.column("a").combine_chunks(),
+                                     t.column("b").combine_chunks()]),
+            "dst": pa.concat_arrays([t.column("b").combine_chunks(),
+                                     t.column("a").combine_chunks()])})
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    for _ in range(max_iters):
+        # tag and co-partition labels with edges on the node key
+        def tag_lab(t: pa.Table) -> pa.Table:
+            return pa.table({"key": t.column("node"),
+                             "other": t.column("node"),  # unused
+                             "lab": t.column("lab"),
+                             "kind": pa.array(np.zeros(len(t), dtype=np.int8))})
+
+        def tag_edge(t: pa.Table) -> pa.Table:
+            return pa.table({"key": t.column("src"),
+                             "other": t.column("dst"),
+                             "lab": pa.array(np.zeros(len(t), dtype=np.int64)),
+                             "kind": pa.array(np.ones(len(t), dtype=np.int8))})
+
+        both = labels.map_batches(tag_lab, batch_format="pyarrow").union(
+            edges.map_batches(tag_edge, batch_format="pyarrow"))
+
+        def emit_messages(g: pd.DataFrame) -> pd.DataFrame:
+            lab = int(g.loc[g["kind"] == 0, "lab"].min())
+            dsts = g.loc[g["kind"] == 1, "other"].to_numpy()
+            node = int(g["key"].iloc[0])
+            return pd.DataFrame({
+                "node": np.concatenate([[node], dsts]).astype(np.int64),
+                "lab": np.full(len(dsts) + 1, lab, dtype=np.int64)})
+
+        msgs = both.groupby("key").map_groups(emit_messages,
+                                              batch_format="pandas")
+        new_labels = msgs.groupby("node").aggregate(
+            Min("lab", alias_name="lab")).materialize()
+
+        # pointer doubling (lab <- lab[lab]): turns O(diameter)
+        # convergence into O(log diameter) rounds
+        def tag_lab2(t: pa.Table) -> pa.Table:
+            return pa.table({"key": t.column("node"),
+                             "other": t.column("node"),
+                             "lab": t.column("lab"),
+                             "kind": pa.array(np.zeros(len(t), dtype=np.int8))})
+
+        def tag_req(t: pa.Table) -> pa.Table:
+            # request m[lab] delivered back to node
+            return pa.table({"key": t.column("lab"),
+                             "other": t.column("node"),
+                             "lab": pa.array(np.zeros(len(t), dtype=np.int64)),
+                             "kind": pa.array(np.ones(len(t), dtype=np.int8))})
+
+        both2 = new_labels.map_batches(tag_lab2, batch_format="pyarrow") \
+            .union(new_labels.map_batches(tag_req, batch_format="pyarrow"))
+        msgs2 = both2.groupby("key").map_groups(emit_messages,
+                                                batch_format="pandas")
+        doubled = msgs2.groupby("node").aggregate(
+            Min("lab", alias_name="lab")).materialize()
+
+        # convergence: total label sum strictly decreases until fixed
+        old_sum = labels.aggregate(Sum("lab", alias_name="s"))["s"]
+        new_sum = doubled.aggregate(Sum("lab", alias_name="s"))["s"]
+        labels = doubled
+        if new_sum == old_sum:
+            break
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"), "root": t.column("lab")})
+
+    return labels.map_batches(rename, batch_format="pyarrow")

@@ -461,3 +461,45 @@ def test_component_rings_full_polygonize(ray_session):
     ext, hole = mp[0]
     assert abs(geom.ring_signed_area(ext)) == 768.0
     assert abs(geom.ring_signed_area(hole)) == 64.0
+
+
+def test_distributed_min_label_matches_union_find(ray_session):
+    """The scale-out component merge (hash-partitioned min-label
+    propagation) produces the same partition as the driver union-find
+    on a random cross-tile equivalence graph."""
+    import pandas as pd
+
+    import ray.data as rd
+    from spapy_ray.stages.polygonize import distributed_min_label
+
+    rng = np.random.default_rng(5)
+    n = 400
+    nodes = np.arange(n, dtype=np.int64) * 7 + 3     # arbitrary keys
+    # random sparse graph with several components incl. long chains
+    a = rng.integers(0, n, 300)
+    b = np.clip(a + rng.integers(1, 5, 300), 0, n - 1)
+    chain = np.arange(0, 50)                          # diameter ~50
+    pairs = pd.DataFrame({
+        "a": np.concatenate([nodes[a], nodes[chain[:-1]]]),
+        "b": np.concatenate([nodes[b], nodes[chain[1:]]])})
+    out = distributed_min_label(
+        rd.from_pandas(pd.DataFrame({"node": nodes})),
+        rd.from_pandas(pairs)).to_pandas()
+
+    # reference: driver union-find
+    parent = {int(k): int(k) for k in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(pairs["a"], pairs["b"]):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {int(k): find(int(k)) for k in nodes}
+    got = dict(zip(out["node"].astype(int), out["root"].astype(int)))
+    # same PARTITION (min-label roots are canonical for both)
+    assert got == want
