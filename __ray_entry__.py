@@ -70,6 +70,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_top_pairs": o.q_embed_top_pairs(),
         "near_dup_docs": o.q_near_dup_docs(),
         "events_sessions": o.q_events_sessions(),
+        "events_sliding": o.q_events_sliding(),
         "text_invariant": o.q_text_invariant(),
         "overlay_box_areas": o.q_overlay_box_areas(),
         "overlay_holes_areas": o.q_overlay_holes_areas(),

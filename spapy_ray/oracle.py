@@ -573,6 +573,18 @@ def q_events_sessions() -> str:
     return sql_sessionize()
 
 
+def q_events_sliding() -> str:
+    return (
+        "WITH ev AS (SELECT epoch_us(ts) AS us, event_type, value FROM events), "
+        "w AS (SELECT (us // 900000000 - j) * 900000000 AS window_start_us, "
+        "event_type, value FROM ev CROSS JOIN range(2) t(j) "
+        "WHERE us // 900000000 - j >= 0) "
+        "SELECT window_start_us, event_type, count(*)::BIGINT AS n_events, "
+        "round(sum(value), 2) AS sum_value "
+        "FROM w GROUP BY 1, 2"
+    )
+
+
 def q_text_invariant() -> str:
     """Join rows grouped by url with the text FNV computed from the
     INPUT pages spec — any byte change to text anywhere in the engine

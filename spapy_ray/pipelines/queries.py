@@ -547,6 +547,22 @@ def q_events_sessions(sf_dir: str):
 QUERIES["events_sessions"] = q_events_sessions
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate: 30-min windows every 15 min, counts
+    and value sums per (window, event_type). Flat-map window
+    assignment + one groupby — the streaming-window operator family
+    in shuffle form."""
+    from spapy_ray.stages.sessions import sliding_window_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = sliding_window_counts(ds).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    return out[["window_start_us", "event_type", "n_events", "sum_value"]]
+
+
+QUERIES["events_sliding"] = q_events_sliding
+
+
 def q_text_invariant(sf_dir: str):
     """Per-url text fingerprint AFTER the full flagship pipeline
     (synth -> geocode -> cell index -> PIP join): proves the

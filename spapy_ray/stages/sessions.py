@@ -63,3 +63,40 @@ def sql_sessionize(gap_us: int = 1800_000_000) -> str:
         "max(us)::BIGINT AS session_end_us, count(*)::BIGINT AS n_events "
         "FROM sess GROUP BY user_id, sid"
     )
+
+
+def sliding_window_counts(ds, width_us: int = 1800_000_000,
+                          slide_us: int = 900_000_000,
+                          ts_col: str = "ts", key_col: str = "event_type"):
+    """Sliding-window aggregate (streaming-window operator family):
+    count + value sum per (window, key) for windows
+    [w*slide, w*slide + width). Each event replicates into
+    width/slide windows inside map_batches (flat-map shape), then one
+    groupby folds — no per-event state, scales as a plain shuffle.
+
+    Returns Dataset (window_start_us, <key_col>, n_events, sum_value).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    k = width_us // slide_us
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column(ts_col), pa.int64()).to_numpy()
+        w0 = us // slide_us
+        parts = []
+        for j in range(k):
+            w = w0 - j
+            keep = w >= 0
+            idx = np.nonzero(keep)[0]
+            tt = t.take(pa.array(idx))
+            tt = tt.append_column(
+                "window_start_us", pa.array(w[idx] * slide_us))
+            parts.append(tt)
+        return pa.concat_tables(parts)
+
+    out = ds.map_batches(assign, batch_format="pyarrow")
+    return out.groupby(["window_start_us", key_col]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
