@@ -585,6 +585,21 @@ def q_events_sliding() -> str:
     )
 
 
+def q_events_asof() -> str:
+    """DuckDB native ASOF JOIN as the independent twin of the
+    groupby + merge_asof engine path."""
+    return (
+        "WITH p AS (SELECT event_id, ts, user_id FROM events "
+        "WHERE event_type = 'purchase'), "
+        "v AS (SELECT event_id, ts, user_id FROM events "
+        "WHERE event_type = 'view') "
+        "SELECT p.user_id, p.event_id AS purchase_event_id, "
+        "COALESCE(v.event_id, -1)::BIGINT AS view_event_id "
+        "FROM p ASOF LEFT JOIN v "
+        "ON p.user_id = v.user_id AND v.ts <= p.ts"
+    )
+
+
 def q_text_invariant() -> str:
     """Join rows grouped by url with the text FNV computed from the
     INPUT pages spec — any byte change to text anywhere in the engine

@@ -563,6 +563,37 @@ def q_events_sliding(sf_dir: str):
 QUERIES["events_sliding"] = q_events_sliding
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join: every purchase event attributed to the user's most
+    recent prior-or-simultaneous view event (classic event
+    attribution). Unmatched purchases report view_event_id -1 /
+    gap_us -1 to keep the output null-free for hashing."""
+    from spapy_ray.stages.sessions import asof_join
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def only(kind):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), kind)) \
+                .drop_columns(["event_type"])
+        return f
+
+    purchases = ds.map_batches(only("purchase"), batch_format="pyarrow")
+    views = _read(sf_dir, "events",
+                  columns=["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(only("view"), batch_format="pyarrow")
+    out = asof_join(purchases, views, by="user_id", on="ts",
+                    left_cols=["event_id"], right_cols=["event_id"]) \
+        .to_pandas()
+    out["view_event_id"] = out["event_id_r"].fillna(-1).astype(np.int64)
+    out = out.rename(columns={"event_id": "purchase_event_id"})
+    return out[["user_id", "purchase_event_id", "view_event_id"]]
+
+
+QUERIES["events_asof"] = q_events_asof
+
+
 def q_text_invariant(sf_dir: str):
     """Per-url text fingerprint AFTER the full flagship pipeline
     (synth -> geocode -> cell index -> PIP join): proves the

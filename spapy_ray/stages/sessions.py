@@ -100,3 +100,73 @@ def sliding_window_counts(ds, width_us: int = 1800_000_000,
     out = ds.map_batches(assign, batch_format="pyarrow")
     return out.groupby(["window_start_us", key_col]).aggregate(
         Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+
+
+def asof_join(left_ds, right_ds, *, by: str = "user_id", on: str = "ts",
+              left_cols: list[str] | None = None,
+              right_cols: list[str] | None = None, suffix: str = "_r"):
+    """Per-key as-of join (custom operator family, SURVEY §2.11):
+    each left row picks the LATEST right row with right.on <= left.on
+    within the same ``by`` key — the classic event-attribution /
+    point-in-time-lookup shape (DuckDB/kdb ASOF JOIN semantics,
+    direction=backward).
+
+    Distributed form: both sides projected onto one unified schema
+    (right value columns suffixed, absent side null-filled), ONE
+    groupby(by) co-partitions them, each group runs a sorted
+    two-pointer merge (pandas merge_asof). Per-key state is bounded
+    by that key's rows — the same contract as sessionize. Left rows
+    with no prior right row keep nulls in the suffixed columns.
+    """
+    import pyarrow as pa
+
+    def _arrow_types(ds):
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return {n: base.field(n).type for n in base.names}
+        # PandasBlockSchema: map numpy dtypes
+        return {n: pa.from_numpy_dtype(t) if t != object else pa.string()
+                for n, t in zip(base.names, base.types)}
+
+    ltypes_all = _arrow_types(left_ds)
+    rtypes_all = _arrow_types(right_ds)
+    lcols = left_cols or [c for c in ltypes_all if c not in (by, on)]
+    rcols = right_cols or [c for c in rtypes_all if c not in (by, on)]
+    ltypes = {c: ltypes_all[c] for c in lcols}
+    rtypes = {c: rtypes_all[c] for c in rcols}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.select([by, on] + lcols)
+        for c in rcols:
+            t = t.append_column(c + suffix, pa.nulls(len(t), type=rtypes[c]))
+        return t.append_column("side__", pa.array(
+            np.zeros(len(t), dtype=np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        out = t.select([by, on])
+        for c in lcols:
+            out = out.append_column(c, pa.nulls(len(t), type=ltypes[c]))
+        for c in rcols:
+            out = out.append_column(c + suffix, t.column(c))
+        return out.append_column("side__", pa.array(
+            np.ones(len(t), dtype=np.int8)))
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow"))
+
+    rnames = [c + suffix for c in rcols]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["side__"] == 0][[by, on] + lcols]             .sort_values(on, kind="stable")
+        rt = g[g["side__"] == 1][[on] + rnames]             .sort_values(on, kind="stable")
+        if len(lf) == 0:
+            return lf.assign(**{c: pd.Series([], dtype="float64")
+                                for c in rnames})
+        if len(rt) == 0:
+            out = lf.copy()
+            for c in rnames:
+                out[c] = np.nan
+            return out
+        return pd.merge_asof(lf, rt, on=on, direction="backward")
+
+    return both.groupby(by).map_groups(per_key, batch_format="pandas")

@@ -136,3 +136,48 @@ def test_ivf_ann_recall(ray_session):
     a = ivf.sort_values(["qid", "rank"]).reset_index(drop=True)
     b = ivf2.sort_values(["qid", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_asof_join_and_sliding_window(ray_session):
+    """asof_join == pandas merge_asof per user; sliding windows
+    replicate each event width/slide times."""
+    import pandas as pd
+
+    import ray.data as rd
+    from spapy_ray.stages.sessions import asof_join, sliding_window_counts
+
+    rng = np.random.default_rng(2)
+    n = 2000
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": pd.to_datetime("2024-01-01") +
+        pd.to_timedelta(np.sort(rng.integers(0, 86400_000, n)), unit="ms"),
+        "user_id": rng.integers(0, 20, n),
+        "value": rng.uniform(0, 10, n).round(2),
+        "kind": rng.choice(["a", "b"], n),
+    })
+    left = df[df["kind"] == "a"].drop(columns=["kind"])
+    right = df[df["kind"] == "b"].drop(columns=["kind"])
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    by="user_id", on="ts",
+                    left_cols=["event_id"], right_cols=["event_id"]) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    # reference: per-user pandas merge_asof
+    refs = []
+    for u, g in left.groupby("user_id"):
+        r = right[right["user_id"] == u]
+        m = pd.merge_asof(g.sort_values("ts"),
+                          r.sort_values("ts").drop(columns=["user_id"]),
+                          on="ts", direction="backward",
+                          suffixes=("", "_r"))
+        refs.append(m)
+    ref = pd.concat(refs).sort_values("event_id").reset_index(drop=True)
+    got = out["event_id_r"].fillna(-1).astype(int)
+    want = ref["event_id_r"].fillna(-1).astype(int)
+    assert (got.to_numpy() == want.to_numpy()).all()
+
+    sw = sliding_window_counts(
+        rd.from_pandas(df), width_us=3600_000_000, slide_us=1800_000_000,
+        key_col="kind").to_pandas()
+    assert sw["n_events"].sum() == 2 * n - \
+        (df["ts"].astype("int64") // 1800_000_000 == 0).sum()
