@@ -585,6 +585,23 @@ def q_events_sliding() -> str:
     )
 
 
+def q_events_campaigns() -> str:
+    from spapy_ray.pipelines.queries import (_CAMP_N, _CAMP_SLIDE_US,
+                                             _CAMP_WIDTH_US, _E0_US)
+
+    return (
+        f"WITH camp AS (SELECT c AS campaign_id, "
+        f"{_E0_US} + c * {_CAMP_SLIDE_US} AS lo, "
+        f"{_E0_US} + c * {_CAMP_SLIDE_US} + {_CAMP_WIDTH_US} AS hi "
+        f"FROM range({_CAMP_N}) t(c)), "
+        "ev AS (SELECT epoch_us(ts) AS us, value FROM events) "
+        "SELECT c.campaign_id, count(*)::BIGINT AS n_events, "
+        "round(sum(e.value), 2) AS sum_value "
+        "FROM ev e JOIN camp c ON c.lo <= e.us AND e.us < c.hi "
+        "GROUP BY c.campaign_id"
+    )
+
+
 def q_events_asof() -> str:
     """DuckDB native ASOF JOIN as the independent twin of the
     groupby + merge_asof engine path."""

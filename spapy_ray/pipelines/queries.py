@@ -593,6 +593,46 @@ def q_events_asof(sf_dir: str):
 
 QUERIES["events_asof"] = q_events_asof
 
+_E0_US = 1704067200 * 1_000_000          # 2024-01-01 epoch, us
+_CAMP_N, _CAMP_SLIDE_US, _CAMP_WIDTH_US = 40, 43_200_000_000, 64_800_000_000
+
+
+def campaigns_table() -> pa.Table:
+    """Deterministic overlapping time intervals (18h windows every
+    12h) — the broadcast small side of the range join."""
+    c = np.arange(_CAMP_N, dtype=np.int64)
+    return pa.table({
+        "campaign_id": pa.array(c),
+        "lo": pa.array(_E0_US + c * _CAMP_SLIDE_US),
+        "hi": pa.array(_E0_US + c * _CAMP_SLIDE_US + _CAMP_WIDTH_US),
+    })
+
+
+def q_events_campaigns(sf_dir: str):
+    """Range (non-equi) join: events into overlapping campaign
+    windows (broadcast interval side), then count + value sum per
+    campaign."""
+    from ray.data.aggregate import Count, Sum
+
+    from spapy_ray.stages.relational import interval_join
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def us(t: pa.Table) -> pa.Table:
+        return t.append_column("ts_us", pc.cast(t.column("ts"), pa.int64()))
+
+    joined = interval_join(ds.map_batches(us, batch_format="pyarrow"),
+                           campaigns_table(), on="ts_us",
+                           keep=["ts_us", "value"])
+    out = joined.groupby("campaign_id").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")) \
+        .to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    return out[["campaign_id", "n_events", "sum_value"]]
+
+
+QUERIES["events_campaigns"] = q_events_campaigns
+
 
 def q_text_invariant(sf_dir: str):
     """Per-url text fingerprint AFTER the full flagship pipeline

@@ -156,3 +156,43 @@ def bucketed_group_agg(ds, key: str, local_agg, buckets: int | None = None):
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def interval_join(ds, intervals: pa.Table, *, on: str,
+                  lo_col: str = "lo", hi_col: str = "hi",
+                  keep: list[str] | None = None):
+    """Range (non-equi) join: each row matches every interval with
+    lo <= row[on] < hi; overlapping intervals yield multiple output
+    rows (flat-map shape).
+
+    The interval side is broadcast (ray.put once, sorted-endpoint
+    arrays per worker); membership is vectorized searchsorted over
+    the interval START order plus an explicit hi check per candidate
+    — O(rows x avg overlap). The co-partitioned sort-merge form is
+    the documented alternative when the interval side is large.
+    """
+    import ray
+
+    from spapy_ray.util import cached_state
+
+    ref = ray.put(intervals)
+    box = (ref,)
+
+    def _task(t: pa.Table) -> pa.Table:
+        tbl = cached_state(box, lambda x: x)
+        lo = tbl.column(lo_col).to_numpy()
+        hi = tbl.column(hi_col).to_numpy()
+        v = t.column(on).to_numpy(zero_copy_only=False)
+        # [rows x intervals] membership, fully vectorized (the
+        # broadcast side is small by contract)
+        m = (lo[None, :] <= v[:, None]) & (v[:, None] < hi[None, :])
+        ri, ii = np.nonzero(m)
+        left = t.select(keep) if keep else t
+        out = left.take(pa.array(ri))
+        for name in tbl.schema.names:
+            if name in (lo_col, hi_col):
+                continue
+            out = out.append_column(name, tbl.column(name).take(pa.array(ii)))
+        return out
+
+    return ds.map_batches(_task, batch_format="pyarrow")
