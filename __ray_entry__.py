@@ -73,6 +73,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": o.q_events_sliding(),
         "events_asof": o.q_events_asof(),
         "events_campaigns": o.q_events_campaigns(),
+        "media_probe": o.q_media_probe(),
         "text_invariant": o.q_text_invariant(),
         "overlay_box_areas": o.q_overlay_box_areas(),
         "overlay_holes_areas": o.q_overlay_holes_areas(),

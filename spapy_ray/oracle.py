@@ -38,11 +38,14 @@ def pages_cte() -> str:
         f"(CASE WHEN {has_geo} THEN ' geo: ' || {sql_fixed5(lat5)} || ',' || {sql_fixed5(lon5)} "
         f"ELSE '' END) || ' consectetur adipiscing elit')"
     )
+    html = (f"('<html><head><title>page ' || {key}::VARCHAR || "
+            f"'</title></head><body>' || {text} || '</body></html>')")
     return (
         "pages AS (SELECT "
         f"'https://site' || ({key} % 1000)::VARCHAR || '.example/page' || {key}::VARCHAR AS url, "
         "TIMESTAMP '2020-01-01 00:00:00' + to_microseconds(i * 1000000) AS warc_ts, "
         f"{text} AS text, "
+        f"{html} AS html, "
         f"(['en','es','de','fr','pt'])[{key} % 5 + 1] AS lang "
         "FROM (SELECT row_number() OVER () - 1 AS i FROM lineitem) t)"
     )
@@ -582,6 +585,22 @@ def q_events_sliding() -> str:
         "SELECT window_start_us, event_type, count(*)::BIGINT AS n_events, "
         "round(sum(value), 2) AS sum_value "
         "FROM w GROUP BY 1, 2"
+    )
+
+
+def q_media_probe() -> str:
+    """Twin of the actor-pool media probe with the deterministic fake
+    codec: pseudo metadata = FNV arithmetic over the payload bytes
+    (html is ASCII, so character ops == byte ops)."""
+    h = sql_fnv1a("html")
+    return (
+        f"WITH {pages_cte()}, "
+        f"probe AS (SELECT url, warc_ts, {h} AS h, length(html) AS nb FROM pages) "
+        "SELECT url, warc_ts, "
+        "(h % 1920 + 16)::BIGINT AS width, "
+        "((h // 65536) % 1080 + 16)::BIGINT AS height, "
+        "((h // 4294967296) % 240 + 1)::BIGINT AS n_frames, "
+        "nb::BIGINT AS n_bytes FROM probe"
     )
 
 

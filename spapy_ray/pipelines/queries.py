@@ -634,6 +634,32 @@ def q_events_campaigns(sf_dir: str):
 QUERIES["events_campaigns"] = q_events_campaigns
 
 
+def q_media_probe(sf_dir: str):
+    """Multimodal plumbing end-to-end WITH a value oracle: binary
+    payload column (html) → actor-pool probe stage → typed metadata
+    columns. The codec is the deterministic fake (no image libs in
+    this environment — DIVERGENCES / stages.multimodal), whose
+    pseudo-metadata is pure FNV arithmetic, so the SQL twin
+    reconstructs it from the page spec."""
+    from spapy_ray.stages.multimodal import probe_media
+
+    ds = pages_dataset(sf_dir, include_html=True)
+    out = probe_media(ds, payload_col="html")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t.column("url"), "warc_ts": t.column("warc_ts"),
+            "width": pc.cast(t.column("width"), pa.int64()),
+            "height": pc.cast(t.column("height"), pa.int64()),
+            "n_frames": pc.cast(t.column("n_frames"), pa.int64()),
+            "n_bytes": pc.cast(t.column("n_bytes"), pa.int64())})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+QUERIES["media_probe"] = q_media_probe
+
+
 def q_text_invariant(sf_dir: str):
     """Per-url text fingerprint AFTER the full flagship pipeline
     (synth -> geocode -> cell index -> PIP join): proves the
