@@ -74,6 +74,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": o.q_events_asof(),
         "events_campaigns": o.q_events_campaigns(),
         "media_probe": o.q_media_probe(),
+        "events_props": o.q_events_props(),
         "text_invariant": o.q_text_invariant(),
         "overlay_box_areas": o.q_overlay_box_areas(),
         "overlay_holes_areas": o.q_overlay_holes_areas(),

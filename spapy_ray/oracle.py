@@ -588,6 +588,14 @@ def q_events_sliding() -> str:
     )
 
 
+def q_events_props() -> str:
+    return (
+        "SELECT event_type, count(*)::BIGINT AS n, "
+        "sum(regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1)::BIGINT)::BIGINT AS sum_k "
+        "FROM events GROUP BY event_type"
+    )
+
+
 def q_media_probe() -> str:
     """Twin of the actor-pool media probe with the deterministic fake
     codec: pseudo metadata = FNV arithmetic over the payload bytes

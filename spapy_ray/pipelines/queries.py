@@ -660,6 +660,24 @@ def q_media_probe(sf_dir: str):
 QUERIES["media_probe"] = q_media_probe
 
 
+def q_events_props(sf_dir: str):
+    """Semi-structured extraction: integer field k from the events
+    props JSON blob (vectorized regex), summed per event_type."""
+    from ray.data.aggregate import Count, Sum
+
+    from spapy_ray.stages.text import extract_json_int
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+    out = extract_json_int(ds, "props", "k", "k") \
+        .groupby("event_type").aggregate(
+            Count(alias_name="n"), Sum("k", alias_name="sum_k")).to_pandas()
+    out["sum_k"] = out["sum_k"].astype(np.int64)
+    return out[["event_type", "n", "sum_k"]]
+
+
+QUERIES["events_props"] = q_events_props
+
+
 def q_text_invariant(sf_dir: str):
     """Per-url text fingerprint AFTER the full flagship pipeline
     (synth -> geocode -> cell index -> PIP join): proves the

@@ -85,3 +85,23 @@ def fingerprint_batch(batch: pa.Table, column: str = "text",
     """Document fingerprint = FNV-1a of the text bytes (int64 view)."""
     h = fnv1a64(batch.column(column)).view(np.int64)
     return batch.append_column(out, pa.array(h))
+
+
+def extract_json_int(ds, column: str, field: str, out: str,
+                     batch_size: int = 32768):
+    """Semi-structured extraction: pull an integer field out of a
+    flat JSON string column with a vectorized Arrow regex (no
+    per-row Python). The common web-data shape: props blobs too
+    uniform to justify a full JSON parse."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pat = '"' + field + '":\\s*(?P<v>-?\\d+)'
+
+    def _b(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column(column), pat)
+        vals = pc.struct_field(ex, "v")
+        return t.append_column(out, pc.cast(vals, pa.int64()))
+
+    return ds.map_batches(_b, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)
