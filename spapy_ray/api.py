@@ -1,0 +1,300 @@
+"""Reference-named one-liner façade (API parity layer).
+
+The reference exposes its operators as module-level one-liners
+(`SpaVectors.Buffer(...)`, `SpaRasters.Add(...)`, `SpaTopo.Slope(...)`
+— see SpaVectors.py:1390-1640, SpaRasters.py:1640-2073,
+SpaTopo.py:258-396). This module provides the same names over the
+engine's Dataset-native stages so a reference user can port scripts
+mechanically:
+
+    vectors:  Dataset with a geom_wkb column (or a path — GetInput
+              routing applies)
+    rasters:  a :class:`Raster` handle = (tile Dataset, RasterMeta,
+              dtype) — the distributed stand-in for SpaDatasetRaster
+
+Everything returns lazily (Datasets / Raster handles); scalar
+one-liners mirror the reference's eager semantics only in signature.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from spapy_ray.sources.dispatch import get_input
+from spapy_ray.sources.rasters import RasterMeta
+
+
+class Raster(NamedTuple):
+    """Distributed raster handle (tile table + grid metadata)."""
+    ds: object
+    meta: RasterMeta
+    dtype: str = "int32"
+
+
+def Load(path):
+    """SpaBase.GetInput / SpaVectors.Load / SpaRasters.Load: raster
+    dirs come back as a Raster handle, everything else as a Dataset."""
+    out = get_input(path)
+    if isinstance(out, tuple):
+        ds, meta = out
+        return Raster(ds, meta, meta.dtype)
+    return out
+
+
+# ---------------------------------------------------------- vectors
+
+def _v(ds):
+    return get_input(ds)
+
+
+def Buffer(ds, dist, segments: int = 16, method: str = "offset"):
+    from spapy_ray.stages.vector_ops import buffer
+
+    return buffer(_v(ds), dist, segments=segments, method=method)
+
+
+def Simplify(ds, tolerance):
+    from spapy_ray.stages.vector_ops import simplify
+
+    return simplify(_v(ds), tolerance)
+
+
+def ConvexHull(ds):
+    from spapy_ray.stages.vector_ops import convex_hull
+
+    return convex_hull(_v(ds))
+
+
+def Centroid(ds):
+    from spapy_ray.stages.vector_ops import centroid
+
+    return centroid(_v(ds))
+
+
+def Densify(ds, max_distance=1.0):
+    from spapy_ray.stages.vector_ops import densify
+
+    return densify(_v(ds), max_distance)
+
+
+def SplitFeatures(ds):
+    from spapy_ray.stages.vector_ops import split_features
+
+    return split_features(_v(ds))
+
+
+def Clip(ds, MinX, MinY, MaxX, MaxY):
+    from spapy_ray.kernels import clip as _clip, wkb as _wkb
+    from spapy_ray.stages.relate import clip_to
+
+    box = _wkb.encode_polygon([_clip.bbox_ring(MinX, MinY, MaxX, MaxY)])
+    return clip_to(_v(ds), box)
+
+
+def _overlay(ds, other_wkb, op):
+    from spapy_ray.stages.overlay import overlay_with_geometry
+
+    return overlay_with_geometry(_v(ds), other_wkb, op)
+
+
+def Intersection(ds, other_wkb):
+    return _overlay(ds, other_wkb, "intersection")
+
+
+def Union(ds, other_wkb=None):
+    if other_wkb is None:          # self-fold (SpaVectors.py:1006-1038)
+        from spapy_ray.stages.overlay import dataset_union
+
+        return dataset_union(_v(ds))
+    return _overlay(ds, other_wkb, "union")
+
+
+def Difference(ds, other_wkb):
+    return _overlay(ds, other_wkb, "difference")
+
+
+def SymmetricDifference(ds, other_wkb):
+    return _overlay(ds, other_wkb, "symmetric_difference")
+
+
+def _predicate(name):
+    def f(ds, other_wkb, out=None):
+        from spapy_ray.stages.relate import relate_column
+
+        return relate_column(_v(ds), other_wkb, name, out=out)
+    f.__name__ = name
+    return f
+
+
+Intersects = _predicate("intersects")
+Touches = _predicate("touches")
+Disjoint = _predicate("disjoint")
+Overlaps = _predicate("overlaps")
+Contains = _predicate("contains")
+Crosses = _predicate("crosses")
+
+
+def Transform(ds, crs, **kw):
+    """SpaReferencing.Transform over point columns or geometries."""
+    from spapy_ray.stages.transform import transform_geoms
+
+    return transform_geoms(_v(ds), crs, **kw)
+
+
+# ---------------------------------------------------------- rasters
+
+def _math1(op):
+    def f(r: Raster, operand=None, swap=False):
+        from spapy_ray.stages.raster import tile_math
+
+        return Raster(tile_math(r.ds, op, operand, dtype=r.dtype,
+                                tile_size=r.meta.tile_size,
+                                nodata=r.meta.nodata, swap=swap),
+                      r.meta, r.dtype)
+    return f
+
+
+def _math2(op):
+    def f(a: Raster, b):
+        from spapy_ray.stages.raster import tile_binary_math, tile_math
+
+        if isinstance(b, Raster):
+            return Raster(tile_binary_math(a.ds, b.ds, op, dtype=a.dtype,
+                                           tile_size=a.meta.tile_size),
+                          a.meta, a.dtype)
+        return Raster(tile_math(a.ds, op, b, dtype=a.dtype,
+                                tile_size=a.meta.tile_size,
+                                nodata=a.meta.nodata),
+                      a.meta, a.dtype)
+    return f
+
+
+Add = _math2("add")
+Subtract = _math2("subtract")
+Multiply = _math2("multiply")
+Divide = _math2("divide")
+Power = _math2("power")
+Maximum = _math2("maximum")
+Minimum = _math2("minimum")
+Equal = _math2("equal")
+NotEqual = _math2("not_equal")
+LessThan = _math2("less")
+GreaterThan = _math2("greater")
+LessThanOrEqual = _math2("less_equal")
+GreaterThanOrEqual = _math2("greater_equal")
+And = _math2("and")
+Or = _math2("or")
+Not = _math1("not")
+RoundInteger = _math1("round")
+RoundFloor = _math1("floor")
+RoundCeiling = _math1("ceil")
+Truncate = _math1("trunc")
+NaturalLog = _math1("ln")
+Log = _math1("log")
+Exponential = _math1("exp")
+Square = _math1("square")
+SquareRoot = _math1("sqrt")
+AbsoluteValue = _math1("abs")
+
+
+def ReclassifyRange(r: Raster, bounds, values):
+    from spapy_ray.stages.raster import reclassify
+
+    return Raster(reclassify(r.ds, bounds, values, dtype=r.dtype,
+                             tile_size=r.meta.tile_size), r.meta, r.dtype)
+
+
+def NumpyCrop(r: Raster, px0, py0, px1, py1):
+    """Pixel-exact crop (SpaRasters.NumpyCrop / ExtractByPixels)."""
+    from spapy_ray.stages.raster import crop_pixels
+
+    ds, meta = crop_pixels(r.ds, r.meta, px0, py0, px1, py1, dtype=r.dtype)
+    return Raster(ds, meta, r.dtype)
+
+
+def SetType(r: Raster, out_dtype: str):
+    from spapy_ray.stages.raster import set_type
+
+    return Raster(set_type(r.ds, dtype=r.dtype,
+                           tile_size=r.meta.tile_size,
+                           out_dtype=out_dtype), r.meta, out_dtype)
+
+
+def Resample(r: Raster, zoom_factor, method: str = "bilinear"):
+    from spapy_ray.stages.raster import scale_raster
+
+    ds, meta = scale_raster(r.ds, r.meta, zoom_factor, dtype=r.dtype,
+                            method=method)
+    return Raster(ds, meta, r.dtype)
+
+
+def ResampleToMatch(fine: Raster, coarse: Raster, method: str = "bilinear"):
+    from spapy_ray.stages.raster import resample_to_match
+
+    return Raster(resample_to_match(fine.ds, fine.meta, coarse.meta,
+                                    dtype=fine.dtype, method=method),
+                  coarse.meta, fine.dtype)
+
+
+def GetMinMax(r: Raster):
+    from spapy_ray.stages.raster import raster_minmax
+
+    return raster_minmax(r.ds, dtype=r.dtype, tile_size=r.meta.tile_size,
+                         nodata=r.meta.nodata)
+
+
+def GetHistogram(r: Raster, nbins=16, lo=0.0, hi=256.0):
+    from spapy_ray.stages.raster import raster_histogram
+
+    return raster_histogram(r.ds, dtype=r.dtype,
+                            tile_size=r.meta.tile_size,
+                            nbins=nbins, lo=lo, hi=hi)
+
+
+def Polygonize(r: Raster):
+    """One multipolygon + value per component (gdal.Polygonize)."""
+    from spapy_ray.stages.polygonize import component_rings
+
+    return component_rings(r.ds, r.meta, dtype=r.dtype)
+
+
+# ------------------------------------------------------------- topo
+
+def _topo(fn_name, out_dtype="float32"):
+    def f(r: Raster, **kw):
+        import spapy_ray.stages.raster as rs
+
+        fn = getattr(rs, fn_name)
+        return Raster(fn(r.ds, r.meta, dtype=r.dtype, **kw), r.meta,
+                      out_dtype)
+    return f
+
+
+Hillshade = _topo("hillshade")
+Slope = _topo("slope_degrees")
+Aspect = _topo("aspect_degrees")
+TRI = _topo("tri")
+TPI = _topo("tpi")
+Roughness = _topo("roughness")
+
+
+def ColorRelief(r: Raster, table=None):
+    from spapy_ray.stages.raster import color_relief
+
+    return Raster(color_relief(r.ds, dtype=r.dtype,
+                               tile_size=r.meta.tile_size, table=table),
+                  r.meta, "uint8")
+
+
+def Contour(r: Raster, interval=100, base=0):
+    from spapy_ray.stages.contour import contour
+
+    import numpy as np
+
+    # reference signature: levels every `interval` from `base`
+    # (SpaTopo.py:340-352); derive the level list from the raster
+    # min/max
+    mm = GetMinMax(r)
+    levels = list(np.arange(base, float(mm["max_z"]) + interval, interval))
+    levels = [lv for lv in levels if lv >= float(mm["min_z"])]
+    return contour(r.ds, r.meta, levels, dtype=r.dtype)

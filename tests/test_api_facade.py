@@ -1,0 +1,72 @@
+"""Reference-named one-liner façade (spapy_ray.api): a SpaPy user's
+script shapes work over Datasets/Raster handles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from spapy_ray import api
+from spapy_ray.kernels import geom, wkb
+from spapy_ray.sources.rasters import RasterMeta, dem_int_value, \
+    synth_dem_dataset
+from spapy_ray.sources.zones import zones_table
+
+
+def test_vector_one_liners(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(zones_table(12))
+    assert api.Centroid(ds).count() == 12
+    assert api.Buffer(ds, 0.5).count() == 12
+    assert api.Simplify(api.Densify(ds, 0.5), 0.01).count() == 12
+    hull = api.ConvexHull(ds).to_pandas()
+    assert all(wkb.decode(g)[0] == "Polygon" for g in hull["geom_wkb"])
+    clipped = api.Clip(ds, -180, -85, 0, 0)
+    assert 0 < clipped.count() <= 12
+    box = wkb.encode_polygon([np.array(
+        [[-60, -85], [80, -85], [80, -55], [-60, -55]], float)])
+    inter = api.Intersection(ds, box).to_pandas()
+    assert (inter["overlay_area"] > 0).all()
+    flags = api.Intersects(ds, box).to_pandas()
+    assert set(inter["zone_id"]) == set(
+        flags[flags["intersects"]]["zone_id"])
+    # union self-fold returns a single-geometry result
+    u = api.Union(ds)
+    assert u is not None
+
+
+def test_raster_one_liners(ray_session):
+    meta = RasterMeta(width=128, height=128, tile_size=32, x_min=-180.0,
+                      y_max=85.0, pixel_w=360.0 / 128, pixel_h=-170.0 / 128)
+    r = api.Raster(synth_dem_dataset(meta, kind="int"), meta, "int32")
+    mm = api.GetMinMax(r)
+    assert mm["n_pixels"] == 128 * 128
+    r2 = api.Add(r, 100)
+    mm2 = api.GetMinMax(r2)
+    assert mm2["min_z"] == mm["min_z"] + 100
+    diff = api.Subtract(r, r)
+    mmd = api.GetMinMax(diff)
+    assert mmd["min_z"] == 0 and mmd["max_z"] == 0
+    cropped = api.NumpyCrop(r, 10, 20, 70, 90)
+    assert api.GetMinMax(cropped)["n_pixels"] == 60 * 70
+    b = api.SetType(r, "uint8")
+    assert b.dtype == "uint8"
+    hs = api.Hillshade(api.SetType(r, "float32"))
+    assert hs.ds.count() == 16
+    cr = api.ColorRelief(r)
+    assert cr.ds.count() == 3 * 16
+    comp = api.Polygonize(api.ReclassifyRange(
+        r, [0, 128, 256], [1, 2]))
+    assert (comp["ring_area"] == comp["n_pixels"]).all()
+
+
+def test_load_roundtrip(ray_session, tmp_path):
+    from spapy_ray.sources.dispatch import write_raster
+
+    meta = RasterMeta(width=64, height=64, tile_size=32, x_min=0.0,
+                      y_max=0.0, pixel_w=1.0, pixel_h=-1.0)
+    p = str(tmp_path / "r")
+    write_raster(synth_dem_dataset(meta, kind="int"), p, meta)
+    r = api.Load(p)
+    assert isinstance(r, api.Raster)
+    assert api.GetMinMax(r)["n_pixels"] == 64 * 64
