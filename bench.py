@@ -27,7 +27,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # that exercise distinct execution paths)
 BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  "dedup_pages", "lineitem_pricing", "docs_token_stats",
-                 "ann_topk"]
+                 "ann_topk",
+                 # round-2 additions
+                 "knn_zones_cells", "near_dup_docs", "polygonize_components",
+                 "contour_lines", "simhash_docs", "events_sliding",
+                 "media_probe"]
 
 
 def _consume(res) -> int:

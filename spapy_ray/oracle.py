@@ -507,11 +507,18 @@ def q_raster_crop_minmax() -> str:
 
 def q_minhash_sigs(num_hashes: int = 4) -> str:
     """MinHash signatures over documents: sig_i = min over 3-token
-    shingles of fnv1a64('{i}|' || shingle) — the exact twin of
-    stages.neardup.minhash_batch."""
+    shingles of mix(fnv1a64(shingle), i) — the exact twin of
+    stages.neardup.minhash_batch (hash once, per-seed integer mix)."""
+    from spapy_ray.stages.neardup import FNV_PRIME, minhash_mix_key
+
+    def mix(i: int) -> str:
+        k = minhash_mix_key(i)
+        return ("((xor(" + sql_fnv1a("s") + f", {k}::UBIGINT)::HUGEINT * "
+                f"{FNV_PRIME}::HUGEINT) % 18446744073709551616::HUGEINT)"
+                "::UBIGINT")
+
     sigs = ", ".join(
-        "list_min(list_transform(sh, s -> "
-        + sql_fnv1a(f"('{i}|' || s)") + f")) AS sig{i}"
+        f"list_min(list_transform(sh, s -> {mix(i)})) AS sig{i}"
         for i in range(num_hashes))
     # degenerate case mirrored from the engine (minhash_batch): a
     # document with < 3 tokens hashes its whole text as one shingle

@@ -46,12 +46,24 @@ def _shingle_array(text: pa.Array, n: int = 3):
     return shingles_all, starts, sh_counts, counts
 
 
+MINHASH_SEED = 0x9E3779B97F4A7C15
+FNV_PRIME = 0x100000001B3
+
+
+def minhash_mix_key(i: int) -> int:
+    return (MINHASH_SEED * (i + 1)) % (1 << 64)
+
+
 def minhash_batch(batch: pa.Table, text_col: str = "text",
                   num_hashes: int = 16, shingle_n: int = 3) -> pa.Table:
     """Append sig0..sig{k-1} uint64 MinHash columns.
 
-    sig_i(doc) = min over shingles s of fnv1a64(f"{i}|{s}") — the seed
-    is a string prefix so the SQL twin is a plain string concat.
+    sig_i(doc) = min over shingles s of mix(fnv1a64(s), i) with
+        mix(h, i) = ((h XOR K_i) * FNV_PRIME) mod 2^64,
+        K_i = golden-ratio constant * (i+1) mod 2^64.
+    Shingles are byte-hashed ONCE; per-seed variation is pure integer
+    arithmetic (16x less string hashing than seed-prefix concat), and
+    the SQL twin reproduces the same mix exactly.
     """
     text = batch.column(text_col)
     if isinstance(text, pa.ChunkedArray):
@@ -70,19 +82,21 @@ def minhash_batch(batch: pa.Table, text_col: str = "text",
     if len(nzi):
         idx[0::2] = seg_starts[nzi]
         idx[1::2] = seg_starts[nzi] + sh_counts[nzi]
-    for i in range(num_hashes):
-        prefix = f"{i}|"
-        h_all = fnv1a64(pc.binary_join_element_wise(prefix, shingles, "")) \
-            if len(shingles) else np.zeros(0, dtype=np.uint64)
-        sig = np.full(ndocs, U64_MAX, dtype=np.uint64)
-        if len(nzi):
-            ix = idx[:-1] if idx[-1] >= len(h_all) else idx
-            sig[nzi] = np.minimum.reduceat(h_all, ix)[0::2]
-        if short.any():
-            sig[short] = fnv1a64(
-                pc.binary_join_element_wise(
-                    prefix, pc.take(text, pa.array(np.nonzero(short)[0])), ""))
-        out = out.append_column(f"sig{i}", pa.array(sig))
+    h_base = fnv1a64(shingles) if len(shingles) else np.zeros(0, np.uint64)
+    h_short = fnv1a64(pc.take(text, pa.array(np.nonzero(short)[0]))) \
+        if short.any() else None
+    prime = np.uint64(FNV_PRIME)
+    with np.errstate(over="ignore"):
+        for i in range(num_hashes):
+            k = np.uint64(minhash_mix_key(i))
+            h_all = (h_base ^ k) * prime
+            sig = np.full(ndocs, U64_MAX, dtype=np.uint64)
+            if len(nzi):
+                ix = idx[:-1] if idx[-1] >= len(h_all) else idx
+                sig[nzi] = np.minimum.reduceat(h_all, ix)[0::2]
+            if h_short is not None:
+                sig[short] = (h_short ^ k) * prime
+            out = out.append_column(f"sig{i}", pa.array(sig))
     return out
 
 
@@ -145,16 +159,37 @@ def near_dup_pairs(ds, key_col: str, text_col: str = "text",
                                      for k in out_key]),
         })
 
-    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
+    def add_bucket_key(t: pa.Table) -> pa.Table:
+        bk = (t.column("bhash").to_numpy() * np.int64(8)
+              + t.column("band").to_numpy().astype(np.int64))
+        return t.append_column("bkey", pa.array(bk))
+
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow") \
+        .map_batches(add_bucket_key, batch_format="pyarrow").materialize()
+
+    # collision buckets first via a vectorized aggregate — a plain
+    # groupby().map_groups here would invoke Python once per bucket,
+    # and almost every bucket is a singleton (measured 20s of pure
+    # per-group overhead on 20k buckets)
+    from ray.data.aggregate import Count
+
+    counts = banded.groupby("bkey").aggregate(Count(alias_name="c"))
+
+    def hot_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("c"), 2)) \
+            .select(["bkey"])
+
+    hot = counts.map_batches(hot_only, batch_format="pyarrow").to_pandas()
+    hot_arr = pa.array(hot["bkey"].to_numpy())
+
+    def in_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("bkey"), value_set=hot_arr))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"key_a": pd.Series([], dtype=object),
-                              "key_b": pd.Series([], dtype=object)})
-        if len(g) < 2:
-            return empty
         keys = sorted(g["key"].unique().tolist())
         if len(keys) < 2:
-            return empty
+            return pd.DataFrame({"key_a": pd.Series([], dtype=object),
+                                 "key_b": pd.Series([], dtype=object)})
         ka, kb = [], []
         for i in range(len(keys)):
             for j in range(i + 1, len(keys)):
@@ -162,15 +197,21 @@ def near_dup_pairs(ds, key_col: str, text_col: str = "text",
                 kb.append(keys[j])
         return pd.DataFrame({"key_a": ka, "key_b": kb})
 
-    cand = banded.groupby(["band", "bhash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    cand = banded.map_batches(in_hot, batch_format="pyarrow") \
+        .groupby("bkey").map_groups(bucket_pairs, batch_format="pandas")
 
     # a pair can surface from several bands → dedup on (key_a, key_b)
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def pair_dedup_local(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["key_a", "key_b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    cand = cand.groupby(["key_a", "key_b"]).map_groups(
-        dedup_pair, batch_format="pandas").materialize()
+    cand = cand.map_batches(pair_dedup_local, batch_format="pyarrow") \
+        .groupby(["key_a", "key_b"]).aggregate(Count(alias_name="c__"))
+
+    def drop_c(t: pa.Table) -> pa.Table:
+        return t.select(["key_a", "key_b"])
+
+    cand = cand.map_batches(drop_c, batch_format="pyarrow").materialize()
 
     # candidate keys (small) → broadcast text lookup
     import ray
@@ -218,14 +259,22 @@ def simhash_batch(batch: pa.Table, text_col: str = "text",
     toks = pc.split_pattern(text, " ")
     offsets = np.asarray(toks.offsets)
     h = fnv1a64(toks.values)
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int32)
-    votes = 2 * bits - 1
-    csum = np.vstack([np.zeros((1, 64), dtype=np.int64),
-                      np.cumsum(votes, axis=0)])
-    seg = csum[offsets[1:]] - csum[offsets[:-1]]
-    sim = (seg > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64))
-    return batch.append_column(out, pa.array(sim.astype(np.uint64)))
+    starts = offsets[:-1].astype(np.int64)
+    counts = np.diff(offsets).astype(np.int64)
+    # per-bit segmented sums (np.add.reduceat) instead of a
+    # [tokens x 64] vote matrix — ~10x less memory traffic
+    sim = np.zeros(len(starts), dtype=np.uint64)
+    nz = counts > 0
+    idx = starts[nz]          # nonempty segments are contiguous in h
+    for b in range(64):
+        bits = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        if len(idx):
+            ones = np.add.reduceat(bits, idx)
+            # reduceat's final segment runs to the end, which is what
+            # we want since token segments are contiguous
+            votes = 2 * ones - counts[nz]
+            sim[nz] |= (votes > 0).astype(np.uint64) << np.uint64(b)
+    return batch.append_column(out, pa.array(sim))
 
 
 def simhash(ds, text_col: str = "text", batch_size: int | None = 4096):

@@ -658,7 +658,8 @@ def component_rings(ds, meta: RasterMeta, *, dtype: str = "int32"):
 
 # --------------------------- distributed component merge (scale path)
 
-def distributed_min_label(nodes_ds, pairs_ds, max_iters: int = 64):
+def distributed_min_label(nodes_ds, pairs_ds, max_iters: int = 64,
+                          buckets: int = 64):
     """Hash-partitioned min-label propagation — the scale-out
     replacement for the driver union-find when the cross-tile
     component graph itself is too large for one machine.
@@ -666,12 +667,13 @@ def distributed_min_label(nodes_ds, pairs_ds, max_iters: int = 64):
     nodes_ds: Dataset(node:int64)         (packed (tile,label) keys)
     pairs_ds: Dataset(a:int64, b:int64)   (cross-tile equivalences)
 
-    Each iteration is two shuffles: (1) groupby(node) joins current
-    labels onto edge endpoints and emits (neighbor, label) messages,
-    (2) groupby(node) folds min(label). Terminates when an iteration
-    changes nothing (checked via a tiny per-iteration aggregate).
-    Converges in O(component diameter) iterations — the same
-    algorithm the SQL oracle runs as a recursive CTE.
+    Each round: (1) a BUCKETED join (groupby on hash(node) % buckets,
+    vectorized pandas merge inside each bucket — never one Python
+    call per node) sends each node's current label across its edges,
+    (2) a min-fold per node, (3) a pointer-doubling bucketed join
+    (lab <- lab[lab]) for O(log diameter) convergence. Terminates
+    when a round changes nothing. This is the same algorithm the SQL
+    oracle runs as a recursive CTE.
 
     Returns Dataset(node:int64, root:int64).
     """
@@ -680,6 +682,8 @@ def distributed_min_label(nodes_ds, pairs_ds, max_iters: int = 64):
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
+    B = np.int64(buckets)
+
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("node"),
                          "lab": t.column("node")})
@@ -687,7 +691,6 @@ def distributed_min_label(nodes_ds, pairs_ds, max_iters: int = 64):
     labels = nodes_ds.map_batches(init_labels, batch_format="pyarrow") \
         .materialize()
 
-    # symmetric edge list keyed by src
     def sym(t: pa.Table) -> pa.Table:
         return pa.table({
             "src": pa.concat_arrays([t.column("a").combine_chunks(),
@@ -697,63 +700,66 @@ def distributed_min_label(nodes_ds, pairs_ds, max_iters: int = 64):
 
     edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
 
-    for _ in range(max_iters):
-        # tag and co-partition labels with edges on the node key
+    def _bucketed_send(lab_ds, req_ds, req_key: str, req_payload: str):
+        """For every request row, deliver (payload, lab[req_key]) —
+        a bucketed hash join: lab rows and request rows co-partition
+        on hash(key) % buckets; each bucket merges vectorized."""
         def tag_lab(t: pa.Table) -> pa.Table:
-            return pa.table({"key": t.column("node"),
-                             "other": t.column("node"),  # unused
+            k = t.column("node").to_numpy()
+            return pa.table({"bkt": pa.array((k % B).astype(np.int64)),
+                             "key": t.column("node"),
+                             "payload": t.column("node"),
                              "lab": t.column("lab"),
-                             "kind": pa.array(np.zeros(len(t), dtype=np.int8))})
-
-        def tag_edge(t: pa.Table) -> pa.Table:
-            return pa.table({"key": t.column("src"),
-                             "other": t.column("dst"),
-                             "lab": pa.array(np.zeros(len(t), dtype=np.int64)),
-                             "kind": pa.array(np.ones(len(t), dtype=np.int8))})
-
-        both = labels.map_batches(tag_lab, batch_format="pyarrow").union(
-            edges.map_batches(tag_edge, batch_format="pyarrow"))
-
-        def emit_messages(g: pd.DataFrame) -> pd.DataFrame:
-            lab = int(g.loc[g["kind"] == 0, "lab"].min())
-            dsts = g.loc[g["kind"] == 1, "other"].to_numpy()
-            node = int(g["key"].iloc[0])
-            return pd.DataFrame({
-                "node": np.concatenate([[node], dsts]).astype(np.int64),
-                "lab": np.full(len(dsts) + 1, lab, dtype=np.int64)})
-
-        msgs = both.groupby("key").map_groups(emit_messages,
-                                              batch_format="pandas")
-        new_labels = msgs.groupby("node").aggregate(
-            Min("lab", alias_name="lab")).materialize()
-
-        # pointer doubling (lab <- lab[lab]): turns O(diameter)
-        # convergence into O(log diameter) rounds
-        def tag_lab2(t: pa.Table) -> pa.Table:
-            return pa.table({"key": t.column("node"),
-                             "other": t.column("node"),
-                             "lab": t.column("lab"),
-                             "kind": pa.array(np.zeros(len(t), dtype=np.int8))})
+                             "kind": pa.array(np.zeros(len(t), np.int8))})
 
         def tag_req(t: pa.Table) -> pa.Table:
-            # request m[lab] delivered back to node
-            return pa.table({"key": t.column("lab"),
-                             "other": t.column("node"),
-                             "lab": pa.array(np.zeros(len(t), dtype=np.int64)),
-                             "kind": pa.array(np.ones(len(t), dtype=np.int8))})
+            k = t.column(req_key).to_numpy()
+            return pa.table({"bkt": pa.array((k % B).astype(np.int64)),
+                             "key": t.column(req_key),
+                             "payload": t.column(req_payload),
+                             "lab": pa.array(np.zeros(len(t), np.int64)),
+                             "kind": pa.array(np.ones(len(t), np.int8))})
 
-        both2 = new_labels.map_batches(tag_lab2, batch_format="pyarrow") \
-            .union(new_labels.map_batches(tag_req, batch_format="pyarrow"))
-        msgs2 = both2.groupby("key").map_groups(emit_messages,
-                                                batch_format="pandas")
-        doubled = msgs2.groupby("node").aggregate(
-            Min("lab", alias_name="lab")).materialize()
+        both = lab_ds.map_batches(tag_lab, batch_format="pyarrow").union(
+            req_ds.map_batches(tag_req, batch_format="pyarrow"))
 
-        # convergence: total label sum strictly decreases until fixed
+        def per_bucket(g: pa.Table) -> pa.Table:
+            df = g.to_pandas()
+            lab = df[df["kind"] == 0][["key", "lab"]]
+            req = df[df["kind"] == 1][["key", "payload"]]
+            m = req.merge(lab, on="key", how="inner")
+            return pa.table({"node": pa.array(m["payload"].to_numpy()),
+                             "lab": pa.array(m["lab"].to_numpy())})
+
+        return both.groupby("bkt").map_groups(per_bucket,
+                                              batch_format="pyarrow")
+
+    for _ in range(max_iters):
+        # (1) edge propagation: node's label delivered to each neighbor
+        prop = _bucketed_send(labels, edges, "src", "dst")
+        # keep block counts bounded: iterative groupbys otherwise
+        # multiply tiny blocks every round and per-block scheduling
+        # overhead snowballs (measured 2s -> 44s per round)
+        new_labels = prop.union(labels).groupby("node").aggregate(
+            Min("lab", alias_name="lab")).repartition(buckets // 8 or 1) \
+            .materialize()
+        # (2) pointer doubling to a fixpoint: lab <- min(lab, lab[lab])
+        # compresses 2^k hops after k inner steps — without the inner
+        # loop a long chain only shortens by ~2 per round
+        cur_sum = new_labels.aggregate(Sum("lab", alias_name="s"))["s"]
+        for _k in range(16):
+            dbl = _bucketed_send(new_labels, new_labels, "lab", "node")
+            new_labels = dbl.union(new_labels).groupby("node").aggregate(
+                Min("lab", alias_name="lab")).repartition(buckets // 8 or 1) \
+                .materialize()
+            nxt_sum = new_labels.aggregate(Sum("lab", alias_name="s"))["s"]
+            if nxt_sum == cur_sum:
+                break
+            cur_sum = nxt_sum
+
         old_sum = labels.aggregate(Sum("lab", alias_name="s"))["s"]
-        new_sum = doubled.aggregate(Sum("lab", alias_name="s"))["s"]
-        labels = doubled
-        if new_sum == old_sum:
+        labels = new_labels
+        if cur_sum == old_sum:
             break
 
     def rename(t: pa.Table) -> pa.Table:
