@@ -219,9 +219,18 @@ def knn_join_cells(points_ds, targets_ds, k: int = 3, res: int = 6,
     full_cover = max_ring >= n_cells  # ring spans the whole grid
 
     def _guarantee_m(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
-        """Conservative radius (m) within which the candidate set is
-        guaranteed complete: distance from each point to the edge of
-        its (2*max_ring+1)-cell replication box."""
+        """Safe lower bound (m) on the distance from each point to
+        anything OUTSIDE its (2*max_ring+1)-cell replication box:
+
+        - north/south edges: dlat * min-meridian-meters (110.5 km/deg
+          underestimates everywhere on the sphere);
+        - east/west meridian edges: the true min distance to a
+          meridian is R*asin(sin(dlon)*cos(lat)) >= R*sin(dlon)*
+          cos(lat) at the point's OWN latitude (asin(x) >= x).
+
+        Monotone in max_ring — the round-1 bound used the cos of the
+        box's FARTHEST latitude, so WIDENING the ring could SHRINK
+        the guarantee and re-queue points forever."""
         cx = np.floor((lon + 180.0) / cell_w)
         cy = np.floor((lat + 90.0) / cell_h)
         x0 = (cx - max_ring) * cell_w - 180.0
@@ -229,10 +238,11 @@ def knn_join_cells(points_ds, targets_ds, k: int = 3, res: int = 6,
         y0 = (cy - max_ring) * cell_h - 90.0
         y1 = (cy + max_ring + 1) * cell_h - 90.0
         dy = np.minimum(lat - y0, y1 - lat)
-        dx = np.minimum(lon - x0, x1 - lon)
-        cos_min = np.cos(np.radians(np.minimum(
-            np.maximum(np.abs(y0), np.abs(y1)), 89.9)))
-        return np.minimum(dy, dx * cos_min) * 111000.0
+        dx = np.minimum(np.minimum(lon - x0, x1 - lon), 90.0)
+        dy_m = dy * 110500.0
+        dx_m = 6371000.0 * np.sin(np.radians(dx)) * \
+            np.cos(np.radians(np.minimum(np.abs(lat), 89.9)))
+        return np.minimum(dy_m, dx_m)
 
     def per_cell(g: pd.DataFrame) -> pd.DataFrame:
         pts = g[g["kind"] == 0]
@@ -297,24 +307,32 @@ def knn_join_cells(points_ds, targets_ds, k: int = 3, res: int = 6,
         return t.filter(pc.invert(t.column("exact"))) \
             .select(["key", "lon", "lat"])
 
+    # Each round materializes only its OWN output (the first pass is
+    # output-sized, retries shrink geometrically); satisfied parts
+    # accumulate lazily and union once at the end — re-materializing
+    # the growing union every round measured 3x slower.
     ring = max_ring
+    sat_parts = []
+    current = out
     for _ in range(widen_passes):
-        out = out.materialize()
-        unsat_df = out.map_batches(_unsat, batch_format="pyarrow") \
+        current = current.materialize()
+        unsat_df = current.map_batches(_unsat, batch_format="pyarrow") \
             .to_pandas().drop_duplicates("key")
         if len(unsat_df) == 0:
             break
         ring *= 2
-        sat_ds = out.map_batches(_sat, batch_format="pyarrow")
+        sat_parts.append(current.map_batches(_sat, batch_format="pyarrow"))
         retry_pts = rd.from_pandas(
             unsat_df.rename(columns={"key": point_key}))
-        redo = knn_join_cells(retry_pts, targets_ds, k=k, res=res,
-                              max_ring=ring, widen_passes=0,
-                              _keep_coords=True,
-                              point_cols=("lon", "lat"),
-                              target_cols=target_cols,
-                              point_key=point_key, target_key=target_key)
-        out = sat_ds.union(redo)
+        current = knn_join_cells(retry_pts, targets_ds, k=k, res=res,
+                                 max_ring=ring, widen_passes=0,
+                                 _keep_coords=True,
+                                 point_cols=("lon", "lat"),
+                                 target_cols=target_cols,
+                                 point_key=point_key, target_key=target_key)
+    out = current
+    for p in sat_parts:
+        out = out.union(p)
     if not _keep_coords:
         out = out.drop_columns(["lon", "lat"])
     return out
