@@ -13,6 +13,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
 from spapy_ray.util import default_pool
 
 
@@ -251,3 +253,139 @@ def top_similar_pairs(ds, n_pairs: int = 20, key_col: str = "vec_id",
     cands = cands.drop(columns=["sim"]).reset_index(drop=True)
     cands["rank"] = np.arange(1, len(cands) + 1, dtype=np.int64)
     return rd.from_pandas(cands)
+
+
+# ---------------------------------------- hyperplane LSH (scale path)
+
+def hyperplane_signatures(ds, *, dim: int, n_bits: int = 64,
+                          key_col: str = "vec_id",
+                          vec_col: str = "embedding", seed: int = 0x5EED):
+    """Sign-random-projection signatures: bit b = sign(v . h_b) for a
+    deterministic (seeded) hyperplane matrix — P(bit match) =
+    1 - angle/pi, the cosine-LSH family. One GEMM per batch."""
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((dim, n_bits))
+    powers = np.uint64(1) << np.arange(n_bits, dtype=np.uint64)
+
+    def _b(t: pa.Table) -> pa.Table:
+        E = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        bits = (E @ H) > 0
+        sig = (bits.astype(np.uint64) * powers[None, :]).sum(axis=1,
+                                                             dtype=np.uint64)
+        return pa.table({"key": t.column(key_col), "sig": pa.array(sig)})
+
+    return ds.map_batches(_b, batch_format="pyarrow")
+
+
+def embed_near_dup_lsh(ds, *, dim: int, threshold: float = 0.85,
+                       n_bits: int = 64, bands: int = 8,
+                       key_col: str = "vec_id", vec_col: str = "embedding",
+                       seed: int = 0x5EED):
+    """Embedding near-dup at corpus scale: hyperplane signatures →
+    banded bucket shuffle (identical shape to MinHash LSH — only
+    fixed-width columns move) → exact-cosine verification of
+    candidate pairs via a key-indexed re-fetch. No all-pairs GEMM, no
+    full-matrix broadcast. Approximate (LSH recall measured in
+    tests); `top_similar_pairs` is the exact small-table form.
+
+    Returns Dataset (key_a, key_b, cos)."""
+    import ray
+
+    from spapy_ray.util import cached_state
+
+    rows_per_band = n_bits // bands
+    sigs = hyperplane_signatures(ds, dim=dim, n_bits=n_bits,
+                                 key_col=key_col, vec_col=vec_col,
+                                 seed=seed).materialize()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        sig = t.column("sig").to_numpy()
+        n = len(t)
+        mask = np.uint64((1 << rows_per_band) - 1)
+        parts_b, parts_h, keys = [], [], []
+        for b in range(bands):
+            bh = (sig >> np.uint64(b * rows_per_band)) & mask
+            parts_b.append(np.full(n, b, dtype=np.int8))
+            parts_h.append(bh.view(np.int64))
+            keys.append(t.column("key"))
+        return pa.table({
+            "bkey": pa.array(np.concatenate(parts_h) * np.int64(16)
+                             + np.concatenate(parts_b)),
+            "key": pa.concat_arrays([k.combine_chunks()
+                                     if isinstance(k, pa.ChunkedArray) else k
+                                     for k in keys])})
+
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Count
+
+    counts = banded.groupby("bkey").aggregate(Count(alias_name="c"))
+
+    def hot_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("c"), 2)).select(["bkey"])
+
+    hot = counts.map_batches(hot_only, batch_format="pyarrow").to_pandas()
+    hot_arr = pa.array(hot["bkey"].to_numpy())
+
+    def in_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("bkey"), value_set=hot_arr))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = sorted(g["key"].unique().tolist())
+        ka, kb = [], []
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                ka.append(keys[i])
+                kb.append(keys[j])
+        return pd.DataFrame({"key_a": ka, "key_b": kb})
+
+    cand = banded.map_batches(in_hot, batch_format="pyarrow") \
+        .groupby("bkey").map_groups(bucket_pairs, batch_format="pandas")
+
+    def pair_dedup_local(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["key_a", "key_b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = cand.map_batches(pair_dedup_local, batch_format="pyarrow") \
+        .groupby(["key_a", "key_b"]).aggregate(Count(alias_name="c__"))
+
+    def drop_c(t: pa.Table) -> pa.Table:
+        return t.select(["key_a", "key_b"])
+
+    cand = cand.map_batches(drop_c, batch_format="pyarrow").materialize()
+
+    # exact verification: fetch candidate vectors only
+    cand_keys = set()
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        cand_keys.update(b.column("key_a").to_pylist())
+        cand_keys.update(b.column("key_b").to_pylist())
+    if not cand_keys:
+        import ray.data as rd
+
+        return rd.from_items([])
+    keys_arr = pa.array(sorted(cand_keys))
+
+    def fetch(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column(key_col), value_set=keys_arr)
+        tt = t.filter(m)
+        return pa.table({"key": tt.column(key_col),
+                         "vec": tt.column(vec_col)})
+
+    vdf = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    lookup = {}
+    for k_, v in zip(vdf["key"], vdf["vec"]):
+        a = np.asarray(v, dtype=np.float64)
+        lookup[k_] = a / np.linalg.norm(a)
+    vref = ray.put(lookup)
+    box = (vref,)
+
+    def verify(t: pa.Table) -> pa.Table:
+        lk = cached_state(box, lambda d: d)
+        ka = t.column("key_a").to_pylist()
+        kb = t.column("key_b").to_pylist()
+        cos = np.array([float(lk[a] @ lk[b]) for a, b in zip(ka, kb)])
+        keep = cos >= threshold
+        out = t.filter(pa.array(keep))
+        return out.append_column("cos", pa.array(cos[keep]))
+
+    return cand.map_batches(verify, batch_format="pyarrow")

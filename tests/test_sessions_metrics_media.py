@@ -181,3 +181,39 @@ def test_asof_join_and_sliding_window(ray_session):
         key_col="kind").to_pandas()
     assert sw["n_events"].sum() == 2 * n - \
         (df["ts"].astype("int64") // 1800_000_000 == 0).sum()
+
+
+def test_hyperplane_lsh_recall(ray_session):
+    """Cosine-LSH near-dup: planted near-duplicate embedding pairs
+    (cos >= 0.9) are recovered with high recall and exact cosines;
+    no all-pairs work, only fixed-width columns in the shuffle."""
+    import pandas as pd
+
+    import ray.data as rd
+    from spapy_ray.stages.ann import embed_near_dup_lsh
+
+    rng = np.random.default_rng(9)
+    dim, n = 32, 800
+    base = rng.standard_normal((n, dim))
+    # plant 30 near-dup pairs: vec i+n = vec i + small noise
+    planted = base[:30] + 0.05 * rng.standard_normal((30, dim))
+    E = np.vstack([base, planted])
+    df = pd.DataFrame({"vec_id": np.arange(len(E)),
+                       "embedding": [list(map(float, v)) for v in E]})
+    out = embed_near_dup_lsh(rd.from_pandas(df), dim=dim,
+                             threshold=0.95, n_bits=64, bands=8) \
+        .to_pandas()
+    found = set(zip(out["key_a"], out["key_b"]))
+    want = set()
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    C = En @ En.T
+    iu = np.triu_indices(len(E), 1)
+    for i, j in zip(*iu):
+        if C[i, j] >= 0.95:
+            want.add((i, j))
+    assert len(want) >= 25          # the planted pairs survive
+    recall = len(found & want) / len(want)
+    assert recall >= 0.9
+    # verified cosines are exact
+    for _, r in out.iterrows():
+        assert r["cos"] >= 0.95
