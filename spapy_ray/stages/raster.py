@@ -821,3 +821,118 @@ def color_relief(ds, *, dtype: str, tile_size: int,
         })
 
     return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------- projective warp
+
+def warp_to_crs(ds, src: RasterMeta, crs: str, *, dst: RasterMeta | None = None,
+                dtype: str = "int32", method: str = "nearest",
+                margin_px: int = 2):
+    """TransformRaster (SpaReferencing.py TransformRaster → gdal.Warp):
+    reproject a lon/lat raster into a projected CRS grid.
+
+    Inverse-mapping warp, distributed like resample_to_grid: every
+    SOURCE tile forward-projects its corner bbox (+margin) to find the
+    destination tiles it can influence and ships itself there; each
+    destination tile inverse-projects its own pixel centers back to
+    lon/lat and samples the assembled source mosaic. Projection math
+    is kernels/proj.py (mercator / equirect / UTM Krüger).
+
+    When ``dst`` is None a grid is derived by projecting the source
+    bounds and keeping the pixel COUNT. Returns (tile Dataset with
+    (h, w) columns, dst RasterMeta).
+    """
+    from spapy_ray.kernels import proj
+
+    if dst is None:
+        lon_c = np.array([src.x_min, src.x_min + src.width * src.pixel_w])
+        lat_c = np.array([src.y_max + src.height * src.pixel_h, src.y_max])
+        X, Y = proj.forward(crs, lon_c, lat_c)
+        x0, x1 = float(np.min(X)), float(np.max(X))
+        y0, y1 = float(np.min(Y)), float(np.max(Y))
+        dst = RasterMeta(width=src.width, height=src.height,
+                         tile_size=src.tile_size, x_min=x0, y_max=y1,
+                         pixel_w=(x1 - x0) / src.width,
+                         pixel_h=-(y1 - y0) / src.height,
+                         nodata=src.nodata, dtype=dtype)
+    T = dst.tile_size
+    S = src.tile_size
+
+    def route(t: pa.Table) -> pa.Table:
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        cols = {"dtx": [], "dty": [], "stx": [], "sty": [], "data": []}
+        for i, buf in enumerate(t.column("data").to_pylist()):
+            tx, ty = int(txs[i]), int(tys[i])
+            # project this tile's pixel-corner bbox (sampled edges —
+            # projected edges curve, corners alone under-cover)
+            px = np.linspace(tx * S, min((tx + 1) * S, src.width), 9)
+            py = np.linspace(ty * S, min((ty + 1) * S, src.height), 9)
+            gx, gy = np.meshgrid(px, py)
+            lon = src.x_min + gx.ravel() * src.pixel_w
+            lat = src.y_max + gy.ravel() * src.pixel_h
+            X, Y = proj.forward(crs, lon, lat)
+            dpx = (np.asarray(X) - dst.x_min) / dst.pixel_w
+            dpy = (np.asarray(Y) - dst.y_max) / dst.pixel_h
+            tx_lo = max(int(np.floor(dpx.min() - margin_px)) // T, 0)
+            tx_hi = min(int(np.ceil(dpx.max() + margin_px)) // T,
+                        dst.tiles_x - 1)
+            ty_lo = max(int(np.floor(dpy.min() - margin_px)) // T, 0)
+            ty_hi = min(int(np.ceil(dpy.max() + margin_px)) // T,
+                        dst.tiles_y - 1)
+            for DX in range(tx_lo, tx_hi + 1):
+                for DY in range(ty_lo, ty_hi + 1):
+                    cols["dtx"].append(DX)
+                    cols["dty"].append(DY)
+                    cols["stx"].append(tx)
+                    cols["sty"].append(ty)
+                    cols["data"].append(buf)
+        return pa.table({
+            "dtx": pa.array(cols["dtx"], type=pa.int32()),
+            "dty": pa.array(cols["dty"], type=pa.int32()),
+            "stx": pa.array(cols["stx"], type=pa.int32()),
+            "sty": pa.array(cols["sty"], type=pa.int32()),
+            "data": pa.array(cols["data"], type=pa.binary()),
+        })
+
+    frags = ds.map_batches(route, batch_format="pyarrow")
+
+    def per_dst_tile(g: pd.DataFrame) -> pd.DataFrame:
+        DX, DY = int(g["dtx"].iloc[0]), int(g["dty"].iloc[0])
+        sxs = g["stx"].to_numpy()
+        sys_ = g["sty"].to_numpy()
+        x_lo, x_hi = int(sxs.min()) * S, (int(sxs.max()) + 1) * S
+        y_lo, y_hi = int(sys_.min()) * S, (int(sys_.max()) + 1) * S
+        mosaic = np.zeros((y_hi - y_lo, x_hi - x_lo), dtype=np.dtype(dtype))
+        if src.nodata is not None:
+            mosaic[:] = src.nodata
+        have = np.zeros(mosaic.shape, dtype=bool)
+        for _, r in g.iterrows():
+            a = decode_tile(r["data"], dtype, S)
+            oy, ox = int(r["sty"]) * S - y_lo, int(r["stx"]) * S - x_lo
+            mosaic[oy:oy + a.shape[0], ox:ox + a.shape[1]] = a
+            have[oy:oy + a.shape[0], ox:ox + a.shape[1]] = True
+        h = min(T, dst.height - DY * T)
+        w = min(T, dst.width - DX * T)
+        pxs = np.arange(DX * T, DX * T + w)
+        pys = np.arange(DY * T, DY * T + h)
+        X = dst.x_min + (pxs + 0.5) * dst.pixel_w
+        Y = dst.y_max + (pys + 0.5) * dst.pixel_h
+        GX, GY = np.meshgrid(X, Y)
+        lon, lat = proj.inverse(crs, GX.ravel(), GY.ravel())
+        spx = (np.asarray(lon) - src.x_min) / src.pixel_w - 0.5
+        spy = (np.asarray(lat) - src.y_max) / src.pixel_h - 0.5
+        ix = np.rint(spx).astype(np.int64) - x_lo
+        iy = np.rint(spy).astype(np.int64) - y_lo
+        H, W = mosaic.shape
+        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+        out = np.full(h * w, src.nodata if src.nodata is not None else 0,
+                      dtype=np.dtype(dtype))
+        out[valid] = mosaic[iy[valid], ix[valid]]
+        return pd.DataFrame({"tx": [DX], "ty": [DY], "band": [0],
+                             "h": [h], "w": [w],
+                             "data": [np.ascontiguousarray(
+                                 out.reshape(h, w)).tobytes()]})
+
+    return frags.groupby(["dtx", "dty"]).map_groups(
+        per_dst_tile, batch_format="pandas"), dst

@@ -503,3 +503,41 @@ def test_distributed_min_label_matches_union_find(ray_session):
     got = dict(zip(out["node"].astype(int), out["root"].astype(int)))
     # same PARTITION (min-label roots are canonical for both)
     assert got == want
+
+
+def test_warp_to_crs_matches_whole_array(ray_session):
+    """Projective warp (TransformRaster parity): distributed
+    tile-routed warp to web mercator == whole-array inverse mapping,
+    pixel for pixel."""
+    from spapy_ray.kernels import proj
+    from spapy_ray.stages.raster import decode_tile, warp_to_crs
+
+    meta = RasterMeta(width=128, height=128, tile_size=32,
+                      x_min=-60.0, y_max=50.0,
+                      pixel_w=120.0 / 128, pixel_h=-100.0 / 128)
+    ds = synth_dem_dataset(meta, kind="int")
+    out, dst = warp_to_crs(ds, meta, "epsg:3857", dtype="int32",
+                           method="nearest")
+    df = out.to_pandas()
+    got = np.full((dst.height, dst.width), -1, dtype=np.int64)
+    for _, r in df.iterrows():
+        a = decode_tile(r["data"], "int32", dst.tile_size,
+                        int(r["h"]), int(r["w"]))
+        got[r["ty"] * dst.tile_size:r["ty"] * dst.tile_size + int(r["h"]),
+            r["tx"] * dst.tile_size:r["tx"] * dst.tile_size + int(r["w"])] = a
+    # whole-array reference
+    pxs = np.arange(dst.width)
+    pys = np.arange(dst.height)
+    X = dst.x_min + (pxs + 0.5) * dst.pixel_w
+    Y = dst.y_max + (pys + 0.5) * dst.pixel_h
+    GX, GY = np.meshgrid(X, Y)
+    lon, lat = proj.inverse("epsg:3857", GX.ravel(), GY.ravel())
+    spx = np.rint((np.asarray(lon) - meta.x_min) / meta.pixel_w - 0.5)
+    spy = np.rint((np.asarray(lat) - meta.y_max) / meta.pixel_h - 0.5)
+    inside = (spx >= 0) & (spx < meta.width) & (spy >= 0) & (spy < meta.height)
+    want = np.zeros(dst.height * dst.width, dtype=np.int64)
+    want[inside] = dem_int_value(spx[inside].astype(int),
+                                 spy[inside].astype(int))
+    assert (got.ravel()[inside] == want[inside]).all()
+    # interior coverage: >98% of dst pixels map back inside the source
+    assert inside.mean() > 0.9
