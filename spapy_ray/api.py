@@ -286,6 +286,15 @@ def ColorRelief(r: Raster, table=None):
                   r.meta, "uint8")
 
 
+def TransformRaster(r: Raster, crs: str, method: str = "nearest"):
+    """SpaReferencing.TransformRaster (gdal.Warp): reproject to a
+    projected CRS grid."""
+    from spapy_ray.stages.raster import warp_to_crs
+
+    ds, meta = warp_to_crs(r.ds, r.meta, crs, dtype=r.dtype, method=method)
+    return Raster(ds, meta, r.dtype)
+
+
 def Contour(r: Raster, interval=100, base=0):
     from spapy_ray.stages.contour import contour
 
