@@ -75,6 +75,9 @@ def oracle_sql() -> dict[str, str]:
         "events_campaigns": o.q_events_campaigns(),
         "media_probe": o.q_media_probe(),
         "events_props": o.q_events_props(),
+        "hull_areas": o.q_hull_areas(),
+        "relate_flags": o.q_relate_flags(),
+        "simplify_areas": o.q_simplify_areas(),
         "text_invariant": o.q_text_invariant(),
         "overlay_box_areas": o.q_overlay_box_areas(),
         "overlay_holes_areas": o.q_overlay_holes_areas(),

@@ -595,6 +595,45 @@ def q_events_sliding() -> str:
     )
 
 
+def q_hull_areas(num_zones: int = 200) -> str:
+    a2 = ("(CASE WHEN shape IN (0, 1) THEN 2 * w * h "
+          "ELSE 2 * w * h - (w - w2) * (h - h2) END)::BIGINT")
+    return (f"WITH zones AS ({sql_zones_cte(num_zones)}) "
+            f"SELECT zone_id, {a2}::DOUBLE / 2.0 / 100000000.0 AS hull_area "
+            "FROM zones WHERE shape <> 3")
+
+
+def q_relate_flags(num_zones: int = 200) -> str:
+    """Closed-interval rect-part logic for intersects/within vs the
+    fixed box (touching counts as intersecting, as in the engine's
+    relate)."""
+    B = (-600000, -850000, 800000, -550000)
+
+    def hit(rx0, ry0, rx1, ry1):
+        return (f"(({rx0}) <= {B[2]} AND ({rx1}) >= {B[0]} AND "
+                f"({ry0}) <= {B[3]} AND ({ry1}) >= {B[1]})")
+
+    inter = (f"(CASE WHEN shape IN (0, 1) THEN {hit('x0', 'y0', 'x0 + w', 'y0 + h')} "
+             f"WHEN shape = 2 THEN {hit('x0', 'y0', 'x0 + w', 'y0 + h2')} OR "
+             f"{hit('x0', 'y0 + h2', 'x0 + w2', 'y0 + h')} "
+             f"ELSE {hit('x0', 'y0', 'x0 + w2', 'y0 + h2')} OR "
+             f"{hit('x0 + w2 + 5000', 'y0 + h2 + 5000', 'x0 + w', 'y0 + h')} END)")
+    within = (f"(x0 >= {B[0]} AND x0 + w <= {B[2]} AND "
+              f"y0 >= {B[1]} AND y0 + h <= {B[3]})")
+    return (f"WITH zones AS ({sql_zones_cte(num_zones)}) "
+            f"SELECT zone_id, {inter} AS intersects, {within} AS within "
+            "FROM zones")
+
+
+def q_simplify_areas(num_zones: int = 200) -> str:
+    area_u2 = ("(CASE WHEN shape IN (0, 1) THEN w * h "
+               "WHEN shape = 2 THEN w * h2 + w2 * (h - h2) "
+               "ELSE w2 * h2 + (w - w2 - 5000) * (h - h2 - 5000) END)")
+    return (f"WITH zones AS ({sql_zones_cte(num_zones)}) "
+            f"SELECT zone_id, {area_u2}::DOUBLE / 100000000.0 AS area "
+            "FROM zones")
+
+
 def q_events_props() -> str:
     return (
         "SELECT event_type, count(*)::BIGINT AS n, "

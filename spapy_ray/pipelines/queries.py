@@ -678,6 +678,76 @@ def q_events_props(sf_dir: str):
 QUERIES["events_props"] = q_events_props
 
 
+def q_hull_areas(sf_dir: str):
+    """Convex hull per zone (shapes 0-2; the multipart hull's closed
+    form is octagonal algebra, excluded) → exact fixed-point area.
+    Rect hull = rect; L-shape hull closes the notch with a diagonal,
+    area = w*h - (w-w2)(h-h2)/2."""
+    import ray.data as rd
+
+    from spapy_ray.kernels import wkb as _wkb
+    from spapy_ray.stages.measures import fixed_point_multipolygon_area
+    from spapy_ray.stages.vector_ops import convex_hull
+
+    zt = zones_table()
+    keep = [i for i in range(len(zt)) if i % 4 != 3]
+    ds = rd.from_arrow(zt.take(pa.array(keep, type=pa.int64())))
+    hull = convex_hull(ds)
+
+    def area(t: pa.Table) -> pa.Table:
+        areas = [fixed_point_multipolygon_area(_wkb.as_multipolygon(g))
+                 for g in t.column("geom_wkb").to_pylist()]
+        return pa.table({"zone_id": t.column("zone_id"),
+                         "hull_area": pa.array(areas, type=pa.float64())})
+
+    return hull.map_batches(area, batch_format="pyarrow")
+
+
+def q_relate_flags(sf_dir: str):
+    """Relate predicates as a driver query: per zone vs the fixed
+    box, intersects (closed intervals — touching counts) and within
+    (zone inside box). SQL twin decomposes each shape into rect
+    parts."""
+    import ray.data as rd
+
+    from spapy_ray.kernels import clip, wkb as _wkb
+    from spapy_ray.stages.relate import relate_column
+
+    box = _wkb.encode_polygon([clip.bbox_ring(*OVERLAY_BOX)])
+    ds = rd.from_arrow(zones_table())
+    out = relate_column(relate_column(ds, box, "intersects"),
+                        box, "within")
+    return out.select_columns(["zone_id", "intersects", "within"])
+
+
+def q_simplify_areas(sf_dir: str):
+    """Douglas-Peucker simplify preserves the zone corners (no
+    collinear vertices in the fixture), so fixed-point areas equal
+    the originals — the SQL twin is the closed-form area."""
+    import ray.data as rd
+
+    from spapy_ray.kernels import wkb as _wkb
+    from spapy_ray.stages.measures import fixed_point_multipolygon_area
+    from spapy_ray.stages.vector_ops import simplify
+
+    ds = simplify(rd.from_arrow(zones_table()), 0.01)
+
+    def area(t: pa.Table) -> pa.Table:
+        areas = [fixed_point_multipolygon_area(_wkb.as_multipolygon(g))
+                 for g in t.column("geom_wkb").to_pylist()]
+        return pa.table({"zone_id": t.column("zone_id"),
+                         "area": pa.array(areas, type=pa.float64())})
+
+    return ds.map_batches(area, batch_format="pyarrow")
+
+
+QUERIES.update({
+    "hull_areas": q_hull_areas,
+    "relate_flags": q_relate_flags,
+    "simplify_areas": q_simplify_areas,
+})
+
+
 def q_text_invariant(sf_dir: str):
     """Per-url text fingerprint AFTER the full flagship pipeline
     (synth -> geocode -> cell index -> PIP join): proves the
