@@ -149,17 +149,32 @@ _COMBINED_FIELDS = [
 
 
 def _combined_table(parts: list[dict]) -> pa.Table:
-    cols = {name: [] for name, _ in _COMBINED_FIELDS}
-    for p in parts:
-        n = len(p["kind"])
-        for name, typ in _COMBINED_FIELDS:
+    """Struct-of-arrays assembly (numpy concat per field, no python
+    list building — the combined table is ~half a million rows on the
+    512x512 noise DEM)."""
+    cols = {}
+    for name, typ in _COMBINED_FIELDS:
+        chunks = []
+        for p in parts:
+            n = len(p["kind"])
             if name in p:
-                cols[name].extend(np.asarray(p[name]).tolist())
+                v = p[name]
+                chunks.append(np.asarray(v) if not isinstance(v, list) else v)
+            elif typ == pa.string():
+                chunks.append([""] * n)
             else:
-                fill = "" if typ == pa.string() else 0
-                cols[name].extend([fill] * n)
-    return pa.table({name: pa.array(cols[name], type=typ)
-                     for name, typ in _COMBINED_FIELDS})
+                chunks.append(np.zeros(n, dtype=np.int64))
+        if typ == pa.string():
+            flat = []
+            for c in chunks:
+                flat.extend(c if isinstance(c, list) else c.tolist())
+            cols[name] = pa.array(flat, type=typ)
+        else:
+            arrs = [np.asarray(c) for c in chunks]
+            cols[name] = pa.array(
+                np.concatenate(arrs) if arrs else np.zeros(0, np.int64),
+                type=typ)
+    return pa.table(cols)
 
 
 def _per_batch_combined(t: pa.Table, meta: RasterMeta, dtype: str) -> pa.Table:
@@ -199,6 +214,20 @@ def _per_batch_combined(t: pa.Table, meta: RasterMeta, dtype: str) -> pa.Table:
         parts.append({"kind": ["r"] * len(rl), "tx": np.full(len(rl), tx),
                       "ty": np.full(len(rl), ty), "label": rl, "cross": rc})
     return _combined_table(parts)
+
+
+_EDGE_GROUP_SCHEMA = pa.schema([
+    ("kind", pa.string()), ("tx", pa.int32()), ("ty", pa.int32()),
+    ("l_or_la", pa.int32()), ("tx_b", pa.int32()), ("ty_b", pa.int32()),
+    ("l_b", pa.int32()), ("cross", pa.int64())])
+
+
+def _edge_group_arrow(g: pa.Table, T: int) -> pa.Table:
+    """Arrow wrapper (typed empty blocks keep Ray's size estimator
+    quiet and block types uniform)."""
+    out = _edge_group(g.to_pandas(), T)
+    return pa.Table.from_pandas(out, schema=_EDGE_GROUP_SCHEMA,
+                                preserve_index=False)
 
 
 def _edge_group(g: pd.DataFrame, T: int) -> pd.DataFrame:
@@ -280,7 +309,7 @@ def polygonize_components(ds, meta: RasterMeta, *, dtype: str = "int32",
 
     border_ds = combined.map_batches(_only("b"), batch_format="pyarrow")
     pair_out = border_ds.groupby(["ekind", "etx", "ety"]).map_groups(
-        lambda g: _edge_group(g, T), batch_format="pandas").to_pandas()
+        lambda g: _edge_group_arrow(g, T), batch_format="pyarrow").to_pandas()
 
     def _sr(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t.column("kind"), pa.array(["s", "r"])))
