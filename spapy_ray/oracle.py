@@ -595,6 +595,37 @@ def q_events_sliding() -> str:
     )
 
 
+def q_warp_equirect() -> str:
+    """Per-pixel twin of the distributed equirect warp: dst pixel
+    center (meters, embedded constants) → degrees(x/R) → nearest
+    source index → DEM closed form → per-tile sums. Every float op
+    (* / + degrees) is IEEE-deterministic and bit-identical between
+    numpy and DuckDB (verified)."""
+    from spapy_ray.kernels.proj import R_SPHERE
+    from spapy_ray.pipelines.queries import warp_dst_meta
+    from spapy_ray.sources.rasters import DEM_META, sql_dem_int
+
+    d = warp_dst_meta()
+    X = f"({d.x_min!r} + (px + 0.5) * {d.pixel_w!r})"
+    Y = f"({d.y_max!r} + (py + 0.5) * {d.pixel_h!r})"
+    lon = f"degrees({X} / {R_SPHERE!r})"
+    lat = f"degrees({Y} / {R_SPHERE!r})"
+    spx = f"(({lon} - {DEM_META.x_min!r}) / {DEM_META.pixel_w!r} - 0.5)"
+    spy = f"(({lat} - {DEM_META.y_max!r}) / {DEM_META.pixel_h!r} - 0.5)"
+    ix = f"CAST(round({spx}) AS BIGINT)"
+    iy = f"CAST(round({spy}) AS BIGINT)"
+    z = sql_dem_int(ix, iy, 0)
+    n = d.width * d.height
+    return (
+        f"WITH px AS (SELECT p % {d.width} AS px, p // {d.width} AS py "
+        f"FROM range({n}) t(p)) "
+        f"SELECT (px // {d.tile_size})::BIGINT AS tx, "
+        f"(py // {d.tile_size})::BIGINT AS ty, "
+        f"sum({z})::BIGINT AS sum_z, count(*)::BIGINT AS n_px "
+        "FROM px GROUP BY 1, 2"
+    )
+
+
 def q_hull_areas(num_zones: int = 200) -> str:
     a2 = ("(CASE WHEN shape IN (0, 1) THEN 2 * w * h "
           "ELSE 2 * w * h - (w - w2) * (h - h2) END)::BIGINT")

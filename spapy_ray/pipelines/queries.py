@@ -748,6 +748,60 @@ QUERIES.update({
 })
 
 
+def warp_dst_meta():
+    """Destination grid for the oracled warp query: equirect meters
+    over [-150,150]x[-80,80] at a resolution incommensurate with the
+    source DEM (300x200), so nearest-neighbor indices are nontrivial.
+    Constants are embedded verbatim into the SQL twin."""
+    from spapy_ray.kernels import proj
+    from spapy_ray.sources.rasters import RasterMeta
+
+    # deliberately incommensurate with the 0.703125-deg source grid
+    # (a round 300-deg/300-px window put nearest-neighbor fractions
+    # EXACTLY on .5, where np.rint half-even and SQL round half-away
+    # disagree)
+    x0 = float(proj.R_SPHERE * np.radians(-149.37))
+    x1 = float(proj.R_SPHERE * np.radians(150.89))
+    y1 = float(proj.R_SPHERE * np.radians(80.07))
+    y0 = float(proj.R_SPHERE * np.radians(-79.53))
+    return RasterMeta(width=307, height=211, tile_size=64,
+                      x_min=x0, y_max=y1,
+                      pixel_w=(x1 - x0) / 307, pixel_h=-(y1 - y0) / 211,
+                      dtype="int32")
+
+
+def q_warp_equirect(sf_dir: str):
+    """Projective warp through the full distributed machinery (route
+    by forward-projected footprints → inverse-project dst pixel
+    centers → nearest sample), reduced to per-tile integer sums. The
+    equirect chain is pure * / + degrees() arithmetic, which DuckDB
+    reproduces bit-for-bit, so the SQL twin recomputes every pixel."""
+    from spapy_ray.stages.raster import decode_tile, warp_to_crs
+
+    ds, meta = _dem()
+    dst = warp_dst_meta()
+    warped, dmeta = warp_to_crs(ds, meta, "equirect", dst=dst,
+                                dtype="int32", method="nearest")
+
+    def stats(t: pa.Table) -> pa.Table:
+        hs = t.column("h").to_pylist()
+        ws = t.column("w").to_pylist()
+        sums, counts = [], []
+        for i, b in enumerate(t.column("data").to_pylist()):
+            a = decode_tile(b, "int32", dmeta.tile_size, hs[i], ws[i])
+            sums.append(int(a.astype(np.int64).sum()))
+            counts.append(int(a.size))
+        return pa.table({"tx": pc.cast(t.column("tx"), pa.int64()),
+                         "ty": pc.cast(t.column("ty"), pa.int64()),
+                         "sum_z": pa.array(sums, type=pa.int64()),
+                         "n_px": pa.array(counts, type=pa.int64())})
+
+    return warped.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["warp_equirect"] = q_warp_equirect
+
+
 def q_text_invariant(sf_dir: str):
     """Per-url text fingerprint AFTER the full flagship pipeline
     (synth -> geocode -> cell index -> PIP join): proves the
