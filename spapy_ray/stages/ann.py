@@ -15,8 +15,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from spapy_ray.util import default_pool
-
 
 def _stack_embeddings(col) -> np.ndarray:
     """list<float> column → [n, d] float64 matrix (flat values reshape)."""

@@ -27,7 +27,6 @@ import pandas as pd
 import pyarrow as pa
 
 from spapy_ray.sources.rasters import RasterMeta
-from spapy_ray.util import default_pool
 
 # ---- operation table (reference one-liner set, SpaRasters.py:1640-2073)
 UNARY_OPS = {
