@@ -79,6 +79,7 @@ def oracle_sql() -> dict[str, str]:
         "relate_flags": o.q_relate_flags(),
         "simplify_areas": o.q_simplify_areas(),
         "warp_equirect": o.q_warp_equirect(),
+        "docs_rolling_fp": o.q_docs_rolling_fp(),
         "text_invariant": o.q_text_invariant(),
         "overlay_box_areas": o.q_overlay_box_areas(),
         "overlay_holes_areas": o.q_overlay_holes_areas(),

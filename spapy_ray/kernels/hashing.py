@@ -74,6 +74,20 @@ def fnv1a64_scalar(s: str) -> int:
     return h
 
 
+def sql_utf8_bytes(expr: str) -> str:
+    """DuckDB list of UTF-8 byte values for a string expression
+    (codepoints expanded arithmetically; shared by the fnv and
+    rolling-hash twins)."""
+    cps = (f"list_transform(range(1, length({expr}) + 1), "
+           f"i -> ord(substr({expr}, i, 1)))")
+    return (f"flatten(list_transform({cps}, c -> "
+            "CASE WHEN c < 128 THEN [c] "
+            "WHEN c < 2048 THEN [192 + c//64, 128 + c%64] "
+            "WHEN c < 65536 THEN [224 + c//4096, 128 + (c//64)%64, 128 + c%64] "
+            "ELSE [240 + c//262144, 128 + (c//4096)%64, 128 + (c//64)%64, "
+            "128 + c%64] END))")
+
+
 def sql_fnv1a(expr: str) -> str:
     """DuckDB SQL computing fnv1a64 of a string expression → UBIGINT.
 
@@ -83,14 +97,7 @@ def sql_fnv1a(expr: str) -> str:
     wraparound emulated with HUGEINT multiply + mod 2**64 (product
     < 2**104 < 2**127, safe).
     """
-    cps = (f"list_transform(range(1, length({expr}) + 1), "
-           f"i -> ord(substr({expr}, i, 1)))")
-    utf8 = (f"flatten(list_transform({cps}, c -> "
-            "CASE WHEN c < 128 THEN [c] "
-            "WHEN c < 2048 THEN [192 + c//64, 128 + c%64] "
-            "WHEN c < 65536 THEN [224 + c//4096, 128 + (c//64)%64, 128 + c%64] "
-            "ELSE [240 + c//262144, 128 + (c//4096)%64, 128 + (c//64)%64, "
-            "128 + c%64] END))")
+    utf8 = sql_utf8_bytes(expr)
     return (
         "list_reduce(list_prepend(14695981039346656037::UBIGINT, "
         f"list_transform({utf8}, b -> b::UBIGINT)), "

@@ -626,6 +626,26 @@ def q_warp_equirect() -> str:
     )
 
 
+def q_docs_rolling_fp() -> str:
+    """Twin of the rolling-hash fingerprint: min over 8-byte windows
+    of the polynomial hash (base 1000003, mod 2^64), whole-text hash
+    for docs shorter than a window."""
+    from spapy_ray.kernels.hashing import sql_utf8_bytes
+
+    fold = ("(h, c) -> ((h::HUGEINT * 1000003::HUGEINT + c::HUGEINT) "
+            "% 18446744073709551616::HUGEINT)::UBIGINT")
+    win = (f"list_min(list_transform(range(1, len(bs) - 6), i -> "
+           f"list_reduce(list_prepend(0::UBIGINT, "
+           f"list_transform(bs[i:i+7], x -> x::UBIGINT)), {fold})))")
+    whole = (f"list_reduce(list_prepend(0::UBIGINT, "
+             f"list_transform(bs, x -> x::UBIGINT)), {fold})")
+    return (
+        f"WITH b AS (SELECT doc_id, {sql_utf8_bytes('text')} AS bs FROM documents) "
+        f"SELECT doc_id, CASE WHEN len(bs) < 8 THEN {whole} ELSE {win} END AS rfp "
+        "FROM b"
+    )
+
+
 def q_hull_areas(num_zones: int = 200) -> str:
     a2 = ("(CASE WHEN shape IN (0, 1) THEN 2 * w * h "
           "ELSE 2 * w * h - (w - w2) * (h - h2) END)::BIGINT")

@@ -802,6 +802,20 @@ def q_warp_equirect(sf_dir: str):
 QUERIES["warp_equirect"] = q_warp_equirect
 
 
+def q_docs_rolling_fp(sf_dir: str):
+    """Winnowing-style rolling-hash fingerprint per document (min of
+    all 8-byte Rabin-Karp window hashes; vectorized modular-prefix
+    implementation). The SQL twin recomputes every window hash with
+    HUGEINT arithmetic over the UTF-8 byte list."""
+    from spapy_ray.stages.text import rolling_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return rolling_fingerprints(ds).select_columns(["doc_id", "rfp"])
+
+
+QUERIES["docs_rolling_fp"] = q_docs_rolling_fp
+
+
 def q_text_invariant(sf_dir: str):
     """Per-url text fingerprint AFTER the full flagship pipeline
     (synth -> geocode -> cell index -> PIP join): proves the

@@ -105,3 +105,68 @@ def extract_json_int(ds, column: str, field: str, out: str,
 
     return ds.map_batches(_b, batch_format="pyarrow", batch_size=batch_size,
                           zero_copy_batch=True)
+
+
+ROLL_B = np.uint64(1000003)            # odd -> invertible mod 2^64
+ROLL_W = 8                              # window bytes
+
+
+def rolling_fingerprint_batch(batch: pa.Table, column: str = "text",
+                              out: str = "rfp", window: int = ROLL_W,
+                              base: int = int(ROLL_B)) -> pa.Table:
+    """Rabin-Karp rolling-hash document fingerprint (winnowing-style):
+    min over all ``window``-byte windows of the polynomial hash
+    sum b_j * B^(w-1-j) mod 2^64. Fully vectorized via the modular
+    prefix trick: P_k = B^k * sum(b_j * Binv^(j+1)) so every window
+    hash is P_{i+w} - P_i * B^w with two array lookups — one pass
+    over the flat byte buffer, no per-window loop. Documents shorter
+    than the window fall back to the whole-text polynomial hash."""
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buffers = col.buffers()
+    flat = np.frombuffer(buffers[2], dtype=np.uint8)
+    off = np.frombuffer(buffers[1], dtype=np.int32)
+    starts = off[col.offset:col.offset + len(col)].astype(np.int64)
+    ends = off[col.offset + 1:col.offset + len(col) + 1].astype(np.int64)
+    n = len(flat)
+    B = np.uint64(base)
+    Binv = pow(base, -1, 1 << 64)
+    with np.errstate(over="ignore"):
+        ks = np.arange(n + 1, dtype=np.uint64)
+        # powers B^k and Binv^(k+1) mod 2^64 via wrapping cumprod
+        powB = np.ones(n + 1, dtype=np.uint64)
+        np.multiply.accumulate(np.full(n, B), out=powB[1:])
+        powI = np.empty(n, dtype=np.uint64)
+        np.multiply.accumulate(np.full(n, np.uint64(Binv)), out=powI)
+        terms = flat.astype(np.uint64) * powI
+        S = np.zeros(n + 1, dtype=np.uint64)
+        np.add.accumulate(terms, out=S[1:])
+        P = powB * S                              # prefix poly values
+        Bw = np.uint64(pow(base, window, 1 << 64))
+        lens = ends - starts
+        rfp = np.empty(len(starts), dtype=np.uint64)
+        long = lens >= window
+        # windows of long docs: h_i = P[i+w] - P[i]*B^w, i in
+        # [start, end-w]; segmented min via interleaved reduceat
+        if long.any():
+            h_all = P[window:] - P[:-window] * Bw   # h for start index i
+            st = starts[long]
+            ct = (lens[long] - window + 1)
+            idx = np.empty(2 * len(st), dtype=np.int64)
+            idx[0::2] = st
+            idx[1::2] = st + ct
+            ix = idx[:-1] if idx[-1] >= len(h_all) else idx
+            rfp[long] = np.minimum.reduceat(h_all, ix)[0::2]
+        short = ~long
+        if short.any():
+            for i in np.nonzero(short)[0]:
+                s, e = int(starts[i]), int(ends[i])
+                rfp[i] = P[e] - P[s] * np.uint64(pow(base, e - s, 1 << 64))
+    return batch.append_column(out, pa.array(rfp))
+
+
+def rolling_fingerprints(ds, column: str = "text", batch_size: int = 32768):
+    return ds.map_batches(
+        lambda t: rolling_fingerprint_batch(t, column),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
