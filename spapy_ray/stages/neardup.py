@@ -116,9 +116,30 @@ def jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(a & b) / max(len(a | b), 1)
 
 
+def _key_type(ds, key_col: str) -> pa.DataType:
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema) and key_col in base.names:
+        return base.field(key_col).type
+    return pa.string()
+
+
+def _empty_pairs(ds, key_col: str):
+    """Empty (key_a, key_b, jacc) result with the corpus key type —
+    a null-typed empty array would poison downstream is_in/joins."""
+    import ray as _ray
+
+    kt = _key_type(ds, key_col)
+    return _ray.data.from_arrow(pa.table({
+        "key_a": pa.array([], type=kt),
+        "key_b": pa.array([], type=kt),
+        "jacc": pa.array([], type=pa.float64())}))
+
+
 def near_dup_pairs(ds, key_col: str, text_col: str = "text",
                    num_hashes: int = 16, bands: int = 4,
-                   threshold: float = 0.8, shingle_n: int = 3):
+                   threshold: float = 0.8, shingle_n: int = 3,
+                   verify: str = "auto",
+                   broadcast_max_candidates: int = 200_000):
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
     shingle → minhash (map) → band rows (flat map, FIXED-WIDTH
@@ -127,10 +148,20 @@ def near_dup_pairs(ds, key_col: str, text_col: str = "text",
 
     The banded shuffle never carries document text (at corpus scale
     that would move bands× the corpus through the exchange);
-    verification re-fetches text for the candidate keys only — here
-    via an is_in filter + broadcast dict (candidate sets are tiny
-    relative to the corpus); the co-partitioned double-join on key is
-    the documented alternative when candidates outgrow a broadcast.
+    verification re-fetches text for the candidate keys only.  Two
+    verify paths:
+
+    - ``broadcast``: is_in filter on the corpus + ray.put'd
+      {key: text} dict — cheapest while the candidate set fits in
+      worker RAM.
+    - ``join``: co-partitioned double hash-join of the candidate
+      pairs against the (key, text) corpus projection — no driver
+      key collection, no broadcast; memory per worker bounded by
+      partition size, so it holds when candidates outgrow a
+      broadcast.
+
+    ``verify="auto"`` picks broadcast below
+    ``broadcast_max_candidates`` candidate pairs and join above.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(ds, text_col, num_hashes, shingle_n)
@@ -180,6 +211,11 @@ def near_dup_pairs(ds, key_col: str, text_col: str = "text",
             .select(["bkey"])
 
     hot = counts.map_batches(hot_only, batch_format="pyarrow").to_pandas()
+    if len(hot) == 0:
+        # duplicate-free corpus: no bucket has >=2 members (and the
+        # empty frame has no columns at all) — short-circuit with an
+        # empty, correctly-typed result (ADVICE r2)
+        return _empty_pairs(ds, key_col)
     hot_arr = pa.array(hot["bkey"].to_numpy())
 
     def in_hot(t: pa.Table) -> pa.Table:
@@ -213,6 +249,18 @@ def near_dup_pairs(ds, key_col: str, text_col: str = "text",
 
     cand = cand.map_batches(drop_c, batch_format="pyarrow").materialize()
 
+    n_cand = cand.count()
+    key_type = _key_type(ds, key_col)
+    if n_cand == 0:
+        return _empty_pairs(ds, key_col)
+
+    if verify == "auto":
+        verify = "broadcast" if n_cand <= broadcast_max_candidates else "join"
+
+    if verify == "join":
+        return _verify_pairs_join(ds, cand, key_col, text_col,
+                                  threshold, shingle_n)
+
     # candidate keys (small) → broadcast text lookup
     import ray
 
@@ -222,7 +270,7 @@ def near_dup_pairs(ds, key_col: str, text_col: str = "text",
     for b in cand.iter_batches(batch_format="pyarrow"):
         cand_keys.update(b.column("key_a").to_pylist())
         cand_keys.update(b.column("key_b").to_pylist())
-    keys_arr = pa.array(sorted(cand_keys))     # key's native type
+    keys_arr = pa.array(sorted(cand_keys), type=key_type)
 
     def fetch_texts(t: pa.Table) -> pa.Table:
         m = pc.is_in(t.column(key_col), value_set=keys_arr)
@@ -234,7 +282,7 @@ def near_dup_pairs(ds, key_col: str, text_col: str = "text",
     lookup_ref = ray.put(dict(zip(texts_df["key"], texts_df["text"])))
     box = (lookup_ref,)
 
-    def verify(t: pa.Table) -> pa.Table:
+    def verify_bc(t: pa.Table) -> pa.Table:
         lookup = cached_state(box, lambda d: d)
         ka = t.column("key_a").to_pylist()
         kb = t.column("key_b").to_pylist()
@@ -244,7 +292,49 @@ def near_dup_pairs(ds, key_col: str, text_col: str = "text",
         out = t.filter(pa.array(keep))
         return out.append_column("jacc", pa.array(jc[keep]))
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return cand.map_batches(verify_bc, batch_format="pyarrow")
+
+
+def _verify_pairs_join(ds, cand, key_col: str, text_col: str,
+                       threshold: float, shingle_n: int,
+                       num_partitions: int | None = None):
+    """Co-partitioned exact-Jaccard verify: hash-join the candidate
+    pairs against the (key, text) corpus projection twice — once per
+    pair side. Both sides shuffle on the key, so no driver key set,
+    no broadcast dict; per-worker memory is one partition of
+    (candidates x text), independent of total candidate count.
+
+    num_partitions defaults to cluster CPUs / 2: the join spawns one
+    aggregator actor per partition, so over-partitioning a small
+    cluster starves the pool (32 partitions on 4 CPUs deadlocks)."""
+    import ray as _ray
+
+    if num_partitions is None:
+        cpus = int(_ray.cluster_resources().get("CPU", 4)) \
+            if _ray.is_initialized() else 4
+        num_partitions = max(2, cpus // 2)
+
+    def corpus_side(kname: str, tname: str):
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table({kname: t.column(key_col),
+                             tname: t.column(text_col)})
+        return ds.map_batches(project, batch_format="pyarrow")
+
+    j1 = cand.join(corpus_side("key_a", "text_a__"), "inner",
+                   num_partitions, on=("key_a",))
+    j2 = j1.join(corpus_side("key_b", "text_b__"), "inner",
+                 num_partitions, on=("key_b",))
+
+    def verify_join(t: pa.Table) -> pa.Table:
+        ta = t.column("text_a__").to_pylist()
+        tb = t.column("text_b__").to_pylist()
+        jc = np.array([jaccard(a, b, shingle_n) for a, b in zip(ta, tb)]) \
+            if len(ta) else np.zeros(0)
+        keep = jc >= threshold
+        out = t.filter(pa.array(keep)).drop_columns(["text_a__", "text_b__"])
+        return out.append_column("jacc", pa.array(jc[keep]))
+
+    return j2.map_batches(verify_join, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ simhash

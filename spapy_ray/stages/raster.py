@@ -145,33 +145,70 @@ def crop_aligned(ds, tx0: int, ty0: int, tx1: int, ty1: int):
     return ds.map_batches(_batch, batch_format="pyarrow")
 
 
-def tile_binary_math(ds_a, ds_b, op: str, *, dtype: str, tile_size: int):
-    """raster ⊗ raster: co-partition both tile tables on
-    (tx, ty, band) and apply the pair kernel per group. This is the
+def tile_binary_math(ds_a, ds_b, op: str, *, dtype: str, tile_size: int,
+                     block: int = 8):
+    """raster ⊗ raster: co-partition both tile tables on a BLOCKED
+    tile key and pair vectorized inside each block. This is the
     tile-key shuffle join (SURVEY.md §2.7) — at scale both sides hash
-    to the same partitions, no broadcast."""
+    to the same partitions, no broadcast.
+
+    A direct ``groupby((tx, ty, band)).map_groups`` would invoke
+    Python once per 2-row group (~1 ms each — the near-singleton-key
+    anti-pattern, NOTES_r2); instead tiles bucket by the spatial
+    super-block ``(tx//block, ty//block, band)``, ONE groupby
+    co-locates both sides, and each group sorts + pairs its
+    ≤ 2·block² rows in one call. Per-group Python overhead amortizes
+    ~block²×; group payload stays bounded (block² tile pairs)
+    independent of raster size, and no ``count()`` of a derived
+    dataset is needed to size buckets."""
     fn = BINARY_OPS[op]
 
     def tag(side: int):
         def _t(t: pa.Table) -> pa.Table:
-            return t.append_column("side", pa.array(
+            tx = t.column("tx").to_numpy().astype(np.int64)
+            ty = t.column("ty").to_numpy().astype(np.int64)
+            band = t.column("band").to_numpy().astype(np.int64)
+            # pack (tx//block, ty//block, band) into one int64 key
+            bk = (((tx // block) << np.int64(24))
+                  ^ ((ty // block) << np.int64(4)) ^ band)
+            t = t.append_column("bk__", pa.array(bk))
+            return t.append_column("side__", pa.array(
                 np.full(len(t), side, dtype=np.int8)))
         return _t
 
     both = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
         ds_b.map_batches(tag(1), batch_format="pyarrow"))
 
-    def pair(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("side", kind="stable")
-        if len(g) != 2:
-            raise ValueError(f"tile join expects 2 rows per key, got {len(g)}")
-        a = decode_tile(g["data"].iloc[0], dtype, tile_size)
-        b = decode_tile(g["data"].iloc[1], dtype, tile_size)
-        r = np.ascontiguousarray(fn(a, b))
-        return pd.DataFrame({"tx": [g["tx"].iloc[0]], "ty": [g["ty"].iloc[0]],
-                             "band": [g["band"].iloc[0]], "data": [r.tobytes()]})
+    has_hw = "h" in ds_a.schema().names and "w" in ds_a.schema().names
 
-    return both.groupby(["tx", "ty", "band"]).map_groups(pair, batch_format="pandas")
+    def bucket_pair(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tx", "ty", "band", "side__"], kind="stable")
+        n = len(g)
+        keys = g[["tx", "ty", "band"]].to_numpy()
+        if n % 2 or not (keys[0::2] == keys[1::2]).all() \
+                or not (g["side__"].to_numpy()[0::2] == 0).all():
+            raise ValueError("tile join expects exactly one tile per "
+                             "side per (tx, ty, band) key")
+        data = g["data"].to_numpy()
+        hs = g["h"].to_numpy() if has_hw else None
+        ws = g["w"].to_numpy() if has_hw else None
+        out = []
+        for i in range(0, n, 2):
+            a = decode_tile(data[i], dtype, tile_size,
+                            hs[i] if has_hw else None,
+                            ws[i] if has_hw else None)
+            b = decode_tile(data[i + 1], dtype, tile_size,
+                            hs[i + 1] if has_hw else None,
+                            ws[i + 1] if has_hw else None)
+            out.append(np.ascontiguousarray(fn(a, b)).tobytes())
+        res = {"tx": keys[0::2, 0], "ty": keys[0::2, 1],
+               "band": keys[0::2, 2], "data": out}
+        if has_hw:
+            res["h"] = hs[0::2]
+            res["w"] = ws[0::2]
+        return pd.DataFrame(res)
+
+    return both.groupby("bk__").map_groups(bucket_pair, batch_format="pandas")
 
 
 # ------------------------------------------------------- aggregates

@@ -156,6 +156,19 @@ def asof_join(left_ds, right_ds, *, by: str = "user_id", on: str = "ts",
 
     rnames = [c + suffix for c in rcols]
 
+    def restore_left_dtypes(out: pd.DataFrame) -> pd.DataFrame:
+        # The unified-schema union null-fills left columns on right-side
+        # rows, so pandas upcasts int64 -> float64 in the group frame.
+        # After filtering back to left rows those nulls are gone; restore
+        # the original dtypes (right/suffixed columns may hold genuine
+        # no-match nulls and are left as produced, matching SQL ASOF).
+        for c, t in [(by, ltypes_all[by]), (on, ltypes_all[on])] + [
+                (c, ltypes[c]) for c in lcols]:
+            if (pa.types.is_integer(t) or pa.types.is_boolean(t)) \
+                    and out[c].notna().all():
+                out[c] = out[c].astype(t.to_pandas_dtype())
+        return out
+
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["side__"] == 0][[by, on] + lcols]             .sort_values(on, kind="stable")
         rt = g[g["side__"] == 1][[on] + rnames]             .sort_values(on, kind="stable")
@@ -166,7 +179,8 @@ def asof_join(left_ds, right_ds, *, by: str = "user_id", on: str = "ts",
             out = lf.copy()
             for c in rnames:
                 out[c] = np.nan
-            return out
-        return pd.merge_asof(lf, rt, on=on, direction="backward")
+            return restore_left_dtypes(out)
+        return restore_left_dtypes(
+            pd.merge_asof(lf, rt, on=on, direction="backward"))
 
     return both.groupby(by).map_groups(per_key, batch_format="pandas")

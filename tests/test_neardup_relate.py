@@ -63,6 +63,43 @@ def test_lsh_finds_planted_near_dups(ray_session):
         assert jaccard(ta, tb) >= 0.7
 
 
+def test_near_dup_join_verify_matches_broadcast(ray_session):
+    """The co-partitioned double-join verify path must return the
+    exact same pair set + jaccard values as the broadcast path."""
+    import ray.data as rd
+
+    from spapy_ray.stages.neardup import near_dup_pairs
+
+    df = _docs_with_dups()
+
+    def run(mode):
+        out = near_dup_pairs(rd.from_pandas(df), key_col="key",
+                             num_hashes=16, bands=8, threshold=0.7,
+                             verify=mode).to_pandas()
+        return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+    bc, jn = run("broadcast"), run("join")
+    assert len(bc) == len(jn) > 0
+    pd.testing.assert_frame_equal(bc, jn[bc.columns])
+
+
+def test_near_dup_empty_candidates_no_crash(ray_session):
+    """A duplicate-free corpus yields zero LSH candidates; the stage
+    must return an empty typed result, not ArrowTypeError (ADVICE r2)."""
+    import ray.data as rd
+
+    from spapy_ray.stages.neardup import near_dup_pairs
+
+    rng = np.random.default_rng(99)
+    words = [f"u{i}" for i in range(5000)]
+    texts = [" ".join(rng.choice(words, 30, replace=False)) for _ in range(40)]
+    df = pd.DataFrame({"key": [f"k{i}" for i in range(40)], "text": texts})
+    out = near_dup_pairs(rd.from_pandas(df), key_col="key",
+                         num_hashes=16, bands=4, threshold=0.9)
+    assert out.count() == 0
+    assert out.schema().names == ["key_a", "key_b", "jacc"]
+
+
 def test_simhash_near_dup_small_hamming(ray_session):
     import ray.data as rd
 
