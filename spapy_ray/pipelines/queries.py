@@ -503,13 +503,18 @@ QUERIES["simhash_docs"] = q_simhash_docs
 
 def q_embed_top_pairs(sf_dir: str, n_pairs: int = 20):
     """Embedding-cosine near-dup, top-pairs form: the 20 most similar
-    embedding pairs (broadcast GEMM + block-local top-N; output is
-    rank-only so float summation order cannot break the hash — pair
-    cosines in the fixture are separated by >=1e-4)."""
+    embedding pairs via the EXACT scale path — one Ray task per block
+    pair (bounded [chunk x chunk] GEMM, tie-safe local top-N), no
+    driver-side embedding matrix (VERDICT r2 #4; the LSH mode exists
+    for approximate high-similarity search but cannot recall low-
+    cosine 'most similar' pairs, so the exact query uses blockpair).
+    Output is rank-only so float summation order cannot break the
+    hash — pair cosines in the fixture are separated by >=1e-4."""
     from spapy_ray.stages.ann import top_similar_pairs
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return top_similar_pairs(ds, n_pairs=n_pairs, key_col="vec_id")
+    return top_similar_pairs(ds, n_pairs=n_pairs, key_col="vec_id",
+                             mode="blockpair")
 
 
 QUERIES["embed_top_pairs"] = q_embed_top_pairs
@@ -981,7 +986,8 @@ def q_contour_lines(sf_dir: str):
     from ray.data.aggregate import Sum
 
     from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
-    from spapy_ray.stages.contour import contour_pieces, merge_open_pieces
+    from spapy_ray.stages.contour import (contour_pieces,
+                                          merge_open_pieces_dist)
 
     ds = synth_dem_dataset(DEM_META, kind="int")
     pieces = contour_pieces(ds, DEM_META, CONTOUR_LEVELS, dtype="int32",
@@ -999,20 +1005,36 @@ def q_contour_lines(sf_dir: str):
         .groupby("level").aggregate(Sum("crossings", alias_name="c")) \
         .to_pandas()
 
-    # cross-tile fragments: small driver merge on exact edge ids
+    # cross-tile fragments: distributed chain merge (chains stitched
+    # inside hash(root) buckets — merge_open_pieces_dist), reduced to
+    # per-level invariants by a Dataset aggregate; the driver only
+    # sees per-level rows
     def open_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.invert(t.column("closed")))
 
-    open_df = pieces.map_batches(open_only, batch_format="pyarrow").to_pandas()
-    merged = merge_open_pieces(open_df, with_geometry=False)
+    merged_ds = merge_open_pieces_dist(
+        pieces.map_batches(open_only, batch_format="pyarrow"),
+        CONTOUR_LEVELS, DEM_META, with_geometry=False)
+
+    def merged_partial(t: pa.Table) -> pa.Table:
+        cl = t.column("closed").to_numpy()
+        npts = t.column("n_points").to_numpy()
+        return pa.table({
+            "level": t.column("level"),
+            "open1": pa.array((~cl).astype(np.int64)),
+            "cr": pa.array(npts - cl.astype(np.int64))})
+
+    magg = merged_ds.map_batches(merged_partial, batch_format="pyarrow") \
+        .groupby("level").aggregate(Sum("open1", alias_name="o"),
+                                    Sum("cr", alias_name="c2")).to_pandas()
 
     rows = []
     for lv in CONTOUR_LEVELS:
-        mg = merged[merged["level"] == lv]
         cr = int(closed_agg.loc[closed_agg["level"] == lv, "c"].sum())
-        cr += int((mg["n_points"] - mg["closed"].astype(int)).sum())
+        mrow = magg[magg["level"] == lv]
+        cr += int(mrow["c2"].sum())
         rows.append({"level": lv,
-                     "n_open_lines": int((~mg["closed"]).sum()),
+                     "n_open_lines": int(mrow["o"].sum()),
                      "n_crossings": cr})
     return pd.DataFrame(rows)
 
@@ -1038,7 +1060,12 @@ def q_polygonize_components(sf_dir: str):
     from spapy_ray.stages.polygonize import polygonize_components
 
     rc, meta = _reclassified_dem()
-    comp = polygonize_components(rc, meta, dtype="int32")
+    # merge="distributed" exercises the scale path (min-label
+    # propagation + Dataset joins) under the driver's value-hash
+    # oracle; "driver"/"auto" give the identical result (pytest
+    # asserts equality of the two paths)
+    comp = polygonize_components(rc, meta, dtype="int32",
+                                 merge="distributed")
     comp = comp.sort_values(_COMP_SORT).reset_index(drop=True)
     comp["component_id"] = np.arange(len(comp), dtype=np.int64)
     return comp[["component_id", "value", "n_pixels",
@@ -1055,7 +1082,7 @@ def q_polygonize_polygons(sf_dir: str):
 
     rc, meta = _reclassified_dem()
     comp = polygonize_components(rc, meta, dtype="int32",
-                                 with_ring_area=True)
+                                 with_ring_area=True, merge="distributed")
     comp = comp.sort_values(_COMP_SORT).reset_index(drop=True)
     comp["component_id"] = np.arange(len(comp), dtype=np.int64)
     return comp[["component_id", "value", "n_pixels", "ring_area",

@@ -17,9 +17,15 @@ import pyarrow.compute as pc
 
 
 def _stack_embeddings(col) -> np.ndarray:
-    """list<float> column → [n, d] float64 matrix (flat values reshape)."""
+    """list<float> / fixed_size_list<float> column → [n, d] float64
+    matrix via flat-buffer reshape — never a per-row to_pylist walk."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        values = np.asarray(col.values.to_numpy(zero_copy_only=False),
+                            dtype=np.float64)
+        return values.reshape(-1, d)
     values = np.asarray(col.values.to_numpy(zero_copy_only=False), dtype=np.float64)
     offsets = np.asarray(col.offsets)
     widths = np.diff(offsets)
@@ -193,55 +199,75 @@ def cosine_topk_ivf(ds, query_ids: np.ndarray, query_matrix: np.ndarray,
 # ------------------------------------------- all-pairs similarity
 
 def top_similar_pairs(ds, n_pairs: int = 20, key_col: str = "vec_id",
-                      vec_col: str = "embedding", batch_size: int = 4096):
+                      vec_col: str = "embedding", batch_size: int = 4096,
+                      mode: str = "auto",
+                      broadcast_max_rows: int = 1_000_000,
+                      lsh_threshold: float = 0.5):
     """Embedding-cosine near-duplicate detection, top-pairs form: the
     N most cosine-similar DISTINCT pairs over the whole table.
 
-    Scale shape: the (normalized id, matrix) pair is broadcast once
-    (ray.put), every batch computes a [block x all] GEMM against it
-    and keeps only pairs that could reach the global top-N (block-
-    local top-N), then one tiny final merge ranks exactly by
-    (sim desc, key_a, key_b). At corpus scale the broadcast side is
-    replaced by hyperplane-LSH banding (same shuffle shape as MinHash
-    LSH, stages/neardup.py) — documented scale path; the broadcast
-    form is exact and right for <= ~10^6 x small-dim tables.
+    Two paths, picked by ``mode``:
 
-    Returns Dataset (key_a, key_b, rank), key_a < key_b.
+    - ``broadcast`` (exact): the (normalized id, matrix) pair is
+      broadcast once (ray.put); every batch computes a
+      [block x all] GEMM and keeps only pairs that could reach the
+      global top-N — INCLUDING ties at the block cut, selected by the
+      full (sim desc, key_a, key_b) order, so results never depend on
+      block layout (ADVICE r2). Right for <= broadcast_max_rows
+      tables; the one driver-side matrix build is its documented
+      bound.
+    - ``lsh`` (scale path, no driver-side embedding matrix):
+      hyperplane-LSH banding generates candidate pairs, exact cosine
+      verifies them, and the verified set is ranked by
+      (cos desc, key_a, key_b). Exact whenever every true top-N pair
+      has cosine >= lsh_threshold and collides in some band (recall
+      measured in tests).
+
+    - ``blockpair`` (exact, no driver-side matrix): the table is
+      materialized into blocks; one Ray task per block PAIR computes
+      a bounded [chunk x chunk] GEMM and its tie-safe local top-N.
+      The driver holds only block refs and P² small candidate sets.
+      Exact all-pairs is inherently quadratic — this form removes
+      the single-machine matrix, not the N² work; use ``lsh`` when
+      an approximate high-similarity search is acceptable.
+
+    ``auto`` picks broadcast below broadcast_max_rows rows, else
+    blockpair. Returns Dataset (key_a, key_b, rank), key_a < key_b.
     """
     import ray
+    import ray.data as rd
 
     from spapy_ray.util import cached_state
+
+    if mode == "auto":
+        mode = "broadcast" if ds.count() <= broadcast_max_rows \
+            else "blockpair"
+    if mode == "lsh":
+        return _top_pairs_lsh(ds, n_pairs, key_col, vec_col, lsh_threshold)
+    if mode == "blockpair":
+        return _top_pairs_blockpair(ds, n_pairs, key_col, vec_col)
 
     all_tbl = pa.concat_tables(
         [b for b in ds.iter_batches(batch_format="pyarrow")])
     ids = all_tbl.column(key_col).to_numpy()
-    E = np.array(all_tbl.column(vec_col).to_pylist(), dtype=np.float64)
+    E = _stack_embeddings(all_tbl.column(vec_col))
     En = E / np.linalg.norm(E, axis=1, keepdims=True)
     ref = ray.put((ids.astype(np.int64), En))
     box = (ref,)
 
-    import ray.data as rd
-
     def _block(t: pa.Table) -> pa.Table:
         aid, mat = cached_state(box, lambda x: x)
         bid = t.column(key_col).to_numpy().astype(np.int64)
-        B = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        B = _stack_embeddings(t.column(vec_col))
         Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
         sims = Bn @ mat.T                       # [block, all]
-        # keep i<j pairs only
-        ka, kb, sv = [], [], []
+        # keep i<j pairs only; local top-N keeps ties at the cut
         mask = bid[:, None] < aid[None, :]
         flat = np.nonzero(mask)
-        s = sims[flat]
-        if len(s) > n_pairs:
-            top = np.argpartition(-s, n_pairs - 1)[:n_pairs]
-        else:
-            top = np.arange(len(s))
-        return pa.table({
-            "key_a": pa.array(bid[flat[0][top]]),
-            "key_b": pa.array(aid[flat[1][top]]),
-            "sim": pa.array(s[top]),
-        })
+        ka, kb, s = _topn_with_ties(bid[flat[0]], aid[flat[1]],
+                                    sims[flat], n_pairs)
+        return pa.table({"key_a": pa.array(ka), "key_b": pa.array(kb),
+                         "sim": pa.array(s)})
 
     cands = ds.map_batches(_block, batch_format="pyarrow",
                            batch_size=batch_size).to_pandas()
@@ -251,6 +277,119 @@ def top_similar_pairs(ds, n_pairs: int = 20, key_col: str = "vec_id",
     cands = cands.drop(columns=["sim"]).reset_index(drop=True)
     cands["rank"] = np.arange(1, len(cands) + 1, dtype=np.int64)
     return rd.from_pandas(cands)
+
+
+def _topn_with_ties(ka: np.ndarray, kb: np.ndarray, s: np.ndarray,
+                    n_pairs: int) -> tuple:
+    """Local top-n_pairs by (sim desc, key_a, key_b) INCLUDING ties at
+    the sim cut — a tied pair that wins the lexicographic global
+    order can never be dropped locally (ADVICE r2)."""
+    if len(s) <= n_pairs:
+        return ka, kb, s
+    cut = np.partition(-s, n_pairs - 1)[n_pairs - 1]
+    pool = np.nonzero(-s <= cut)[0]
+    order = np.lexsort((kb[pool], ka[pool], -s[pool]))[:n_pairs]
+    sel = pool[order]
+    return ka[sel], kb[sel], s[sel]
+
+
+def _top_pairs_blockpair(ds, n_pairs: int, key_col: str, vec_col: str,
+                         target_rows_per_block: int = 8192):
+    """Exact top-N similar pairs WITHOUT a driver-side embedding
+    matrix: normalize per block, materialize, then one Ray task per
+    unordered block pair (i <= j) does a [rows_i x rows_j] GEMM and a
+    tie-safe local top-N. Driver memory: block refs + P² candidate
+    frames of <= n_pairs rows. Peak worker memory: two blocks.
+
+    Raw Ray tasks are used because the Dataset API has no
+    cross-product operator; each task reads its two blocks zero-copy
+    from the object store."""
+    import ray
+    import ray.data as rd
+
+    def prep(t: pa.Table) -> pa.Table:
+        E = _stack_embeddings(t.column(vec_col))
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        flat = pa.array(En.reshape(-1))
+        return pa.table({
+            "key": pc.cast(t.column(key_col), pa.int64()),
+            "vec": pa.FixedSizeListArray.from_arrays(flat, E.shape[1]),
+        })
+
+    import ray as _r
+
+    cpus = int(_r.cluster_resources().get("CPU", 4)) \
+        if _r.is_initialized() else 4
+    n = ds.count()
+    # enough blocks that P(P+1)/2 tasks saturate the cluster, bounded
+    # by target block size (worker memory) and 64 (task-count blowup)
+    by_cpu = int(np.ceil(np.sqrt(2 * cpus)))
+    nblocks = max(1, min(64, max(-(-n // target_rows_per_block),
+                                 min(by_cpu, -(-n // 256)))))
+    mat = ds.map_batches(prep, batch_format="pyarrow") \
+        .repartition(nblocks).materialize()
+    refs = [r for bundle in mat.iter_internal_ref_bundles()
+            for r in bundle.block_refs]
+
+    @ray.remote
+    def pair_task(blk_a, blk_b, same: bool):
+        ta = blk_a if isinstance(blk_a, pa.Table) else blk_a.to_arrow()
+        tb = blk_b if isinstance(blk_b, pa.Table) else blk_b.to_arrow()
+        ida = ta.column("key").to_numpy()
+        idb = tb.column("key").to_numpy()
+        A = _stack_embeddings(ta.column("vec"))
+        Bm = _stack_embeddings(tb.column("vec"))
+        sims = A @ Bm.T
+        lo = np.minimum(ida[:, None], idb[None, :])
+        hi = np.maximum(ida[:, None], idb[None, :])
+        mask = ida[:, None] < idb[None, :] if same \
+            else ida[:, None] != idb[None, :]
+        ii, jj = np.nonzero(mask)
+        ka, kb, s = lo[ii, jj], hi[ii, jj], sims[ii, jj]
+        if not same:
+            # cross-block duplicates impossible (keys unique across
+            # blocks), but both (a,b) orderings never co-occur since
+            # each unordered block pair runs once
+            pass
+        ka, kb, s = _topn_with_ties(ka, kb, s, n_pairs)
+        return pd.DataFrame({"key_a": ka, "key_b": kb, "sim": s})
+
+    futs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            futs.append(pair_task.remote(refs[i], refs[j], i == j))
+    cands = pd.concat(ray.get(futs), ignore_index=True)
+    cands = cands.sort_values(["sim", "key_a", "key_b"],
+                              ascending=[False, True, True],
+                              kind="stable").head(n_pairs)
+    cands = cands.drop(columns=["sim"]).reset_index(drop=True)
+    cands["rank"] = np.arange(1, len(cands) + 1, dtype=np.int64)
+    return rd.from_pandas(cands)
+
+
+def _top_pairs_lsh(ds, n_pairs: int, key_col: str, vec_col: str,
+                   threshold: float):
+    """Top-N pair ranking over LSH-generated, exact-verified
+    candidates — no driver-side embedding matrix; the driver only
+    sees the verified (small) pair set."""
+    import ray.data as rd
+
+    first = ds.limit(1).to_pandas()
+    dim = len(first[vec_col].iloc[0])
+    pairs = embed_near_dup_lsh(ds, dim=dim, threshold=threshold,
+                               key_col=key_col, vec_col=vec_col) \
+        .to_pandas()
+    if len(pairs) == 0:
+        return rd.from_arrow(pa.table({
+            "key_a": pa.array([], type=pa.int64()),
+            "key_b": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64())}))
+    pairs = pairs.sort_values(["cos", "key_a", "key_b"],
+                              ascending=[False, True, True],
+                              kind="stable").head(n_pairs)
+    pairs = pairs.drop(columns=["cos"]).reset_index(drop=True)
+    pairs["rank"] = np.arange(1, len(pairs) + 1, dtype=np.int64)
+    return rd.from_pandas(pairs)
 
 
 # ---------------------------------------- hyperplane LSH (scale path)
@@ -266,7 +405,7 @@ def hyperplane_signatures(ds, *, dim: int, n_bits: int = 64,
     powers = np.uint64(1) << np.arange(n_bits, dtype=np.uint64)
 
     def _b(t: pa.Table) -> pa.Table:
-        E = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        E = _stack_embeddings(t.column(vec_col))
         bits = (E @ H) > 0
         sig = (bits.astype(np.uint64) * powers[None, :]).sum(axis=1,
                                                              dtype=np.uint64)
@@ -357,11 +496,20 @@ def embed_near_dup_lsh(ds, *, dim: int, threshold: float = 0.85,
     for b in cand.iter_batches(batch_format="pyarrow"):
         cand_keys.update(b.column("key_a").to_pylist())
         cand_keys.update(b.column("key_b").to_pylist())
+    key_type = pa.int64()
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema) and key_col in base.names:
+        key_type = base.field(key_col).type
     if not cand_keys:
         import ray.data as rd
 
-        return rd.from_items([])
-    keys_arr = pa.array(sorted(cand_keys))
+        return rd.from_arrow(pa.table({
+            "key_a": pa.array([], type=key_type),
+            "key_b": pa.array([], type=key_type),
+            "cos": pa.array([], type=pa.float64())}))
+    keys_arr = pa.array(sorted(cand_keys), type=key_type)
+
+    fetched = []
 
     def fetch(t: pa.Table) -> pa.Table:
         m = pc.is_in(t.column(key_col), value_set=keys_arr)
@@ -369,11 +517,13 @@ def embed_near_dup_lsh(ds, *, dim: int, threshold: float = 0.85,
         return pa.table({"key": tt.column(key_col),
                          "vec": tt.column(vec_col)})
 
-    vdf = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
-    lookup = {}
-    for k_, v in zip(vdf["key"], vdf["vec"]):
-        a = np.asarray(v, dtype=np.float64)
-        lookup[k_] = a / np.linalg.norm(a)
+    for b in ds.map_batches(fetch, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        if len(b):
+            V = _stack_embeddings(b.column("vec"))
+            fetched.append((b.column("key").to_numpy(zero_copy_only=False),
+                            V / np.linalg.norm(V, axis=1, keepdims=True)))
+    lookup = {k_: v for ks, vs in fetched for k_, v in zip(ks, vs)}
     vref = ray.put(lookup)
     box = (vref,)
 

@@ -232,6 +232,8 @@ def merge_open_pieces(df: pd.DataFrame, with_geometry: bool = True) -> pd.DataFr
     Input/output columns as contour_pieces."""
     out = {"level": [], "closed": [], "n_points": [], "length": [],
            "id_a": [], "id_b": [], "geom_wkb": []}
+    if len(df) == 0:            # empty-Dataset to_pandas has no columns
+        return pd.DataFrame(out)
     for lv, g in df.groupby("level", sort=True):
         ia = g["id_a"].to_numpy()
         ib = g["id_b"].to_numpy()
@@ -291,15 +293,181 @@ def merge_open_pieces(df: pd.DataFrame, with_geometry: bool = True) -> pd.DataFr
     return pd.DataFrame(out)
 
 
+def _contour_block(node: np.ndarray, G: int) -> np.ndarray:
+    """Level-tagged edge-id node → spatial block id at granularity G
+    pixels (node = edge_id << 6 | level_idx; edge_id packs gx, gy)."""
+    eid = node >> np.int64(6)
+    gx = (eid >> np.int64(_EDGE_SHIFT)) & np.int64((1 << _EDGE_SHIFT) - 1)
+    gy = eid & np.int64((1 << _EDGE_SHIFT) - 1)
+    return ((gx // G) << np.int64(_EDGE_SHIFT)) | (gy // G)
+
+
+def merge_open_pieces_dist(open_ds, levels: list[float], meta: RasterMeta,
+                           *, with_geometry: bool = True,
+                           buckets: int = 64):
+    """Distributed cross-tile chain merge: each open piece is an edge
+    between its two terminal grid-edge ids; chains = connected
+    components of that graph. Components come from the hierarchical
+    spatial merge (polygonize.spatial_min_label over pixel-space
+    blocks — piece spans are bounded by the tile size, so almost all
+    contract at the first level); every chain then lands wholly in
+    one hash(root) bucket where the existing driver merge algorithm
+    stitches it. Driver memory: O(1) — only Datasets flow.
+
+    Returns a Dataset with contour_pieces' columns, one row per
+    merged line."""
+    import pyarrow.compute as pc
+
+    from spapy_ray.stages.polygonize import spatial_min_label
+
+    if len(levels) > 64:
+        raise ValueError("level index packed into 6 bits (<=64 levels)")
+    lv_arr = np.asarray(sorted(levels), dtype=np.float64)
+
+    def add_node(t: pa.Table) -> pa.Table:
+        lv = t.column("level").to_numpy()
+        li = np.searchsorted(lv_arr, lv).astype(np.int64)
+        na = (t.column("id_a").to_numpy().astype(np.int64) << 6) | li
+        nb = (t.column("id_b").to_numpy().astype(np.int64) << 6) | li
+        t = t.append_column("node", pa.array(na))
+        return t.append_column("node_b", pa.array(nb))
+
+    pieces = open_ds.map_batches(add_node, batch_format="pyarrow") \
+        .materialize()
+
+    def as_pairs(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t.column("node"), "b": t.column("node_b")})
+
+    ext = max(meta.width, meta.height, 1)
+    # base block 8x the tile size: a piece spans at most one tile, so
+    # >98% of chain edges are internal at level 1; the payload of one
+    # block (open-chain terminals in an 8x8-tile region) stays small
+    roots = spatial_min_label(
+        pieces.map_batches(as_pairs, batch_format="pyarrow"), ext, ext,
+        base_block=max(8 * meta.tile_size, 16),
+        block_fn=_contour_block).materialize()
+
+    # stage 1: deliver each piece its chain root (bucketed hash join
+    # on the piece's node_a; missing root → singleton chain)
+    Bk = np.uint64(buckets)
+
+    def _hash(n: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return ((n.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                    % Bk).astype(np.int64)
+
+    def root_rows(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy().astype(np.int64)
+        z = len(t)
+        return pa.table({
+            "hbk": pa.array(_hash(n)),
+            "kind": pa.array(np.zeros(z, np.int8)),
+            "node": pa.array(n),
+            "root": t.column("root"),
+            "level": pa.array(np.zeros(z, np.float64)),
+            "closed": pa.array(np.zeros(z, np.bool_)),
+            "n_points": pa.array(np.zeros(z, np.int64)),
+            "length": pa.array(np.zeros(z, np.float64)),
+            "id_a": pa.array(np.zeros(z, np.int64)),
+            "id_b": pa.array(np.zeros(z, np.int64)),
+            "geom_wkb": pa.array([b""] * z, type=pa.binary()),
+        })
+
+    def piece_rows(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy().astype(np.int64)
+        z = len(t)
+        return pa.table({
+            "hbk": pa.array(_hash(n)),
+            "kind": pa.array(np.ones(z, np.int8)),
+            "node": pa.array(n),
+            "root": pa.array(np.zeros(z, np.int64)),
+            "level": t.column("level"),
+            "closed": pc.cast(t.column("closed"), pa.bool_()),
+            "n_points": pc.cast(t.column("n_points"), pa.int64()),
+            "length": t.column("length"),
+            "id_a": pc.cast(t.column("id_a"), pa.int64()),
+            "id_b": pc.cast(t.column("id_b"), pa.int64()),
+            "geom_wkb": t.column("geom_wkb"),
+        })
+
+    stage1 = roots.map_batches(root_rows, batch_format="pyarrow").union(
+        pieces.map_batches(piece_rows, batch_format="pyarrow"))
+
+    PIECE_COLS = ["level", "closed", "n_points", "length",
+                  "id_a", "id_b", "geom_wkb"]
+
+    def bucket_assign(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        lab = df[df["kind"] == 0][["node", "root"]]
+        pcs = df[df["kind"] == 1].drop(columns=["root"])
+        m = pcs.merge(lab, on="node", how="left")
+        m["root"] = m["root"].fillna(m["node"]).astype(np.int64)
+        out = m[["root"] + PIECE_COLS]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    assigned = stage1.groupby("hbk").map_groups(
+        bucket_assign, batch_format="pyarrow")
+
+    # stage 2: co-locate whole chains on hash(root); stitch per bucket
+    def tag_root(t: pa.Table) -> pa.Table:
+        r = t.column("root").to_numpy().astype(np.int64)
+        return t.append_column("hbk", pa.array(_hash(r)))
+
+    PIECE_SCHEMA = pa.schema(
+        [("level", pa.float64()), ("closed", pa.bool_()),
+         ("n_points", pa.int64()), ("length", pa.float64()),
+         ("id_a", pa.int64()), ("id_b", pa.int64()),
+         ("geom_wkb", pa.binary())])
+
+    def bucket_stitch(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()[PIECE_COLS]
+        out = merge_open_pieces(df, with_geometry=with_geometry)
+        if len(out) == 0:
+            return PIECE_SCHEMA.empty_table()
+        return pa.Table.from_pandas(
+            out, preserve_index=False).cast(PIECE_SCHEMA)
+
+    return assigned.map_batches(tag_root, batch_format="pyarrow") \
+        .groupby("hbk").map_groups(bucket_stitch, batch_format="pyarrow")
+
+
 def contour(ds, meta: RasterMeta, levels: list[float], *,
-            dtype: str = "float32") -> pd.DataFrame:
-    """Full contour op: distributed per-tile stitch → driver merge of
-    the border-fragment graph. Returns (level, line_id, n_points,
-    length, closed, geom_wkb), line_id numbered per level."""
-    pieces = contour_pieces(ds, meta, levels, dtype=dtype).to_pandas()
-    closed = pieces[pieces["closed"]]
-    merged = merge_open_pieces(pieces[~pieces["closed"]])
-    lines = pd.concat([closed, merged], ignore_index=True)
+            dtype: str = "float32", merge: str = "auto",
+            driver_max_pieces: int = 2_000_000) -> pd.DataFrame:
+    """Full contour op: distributed per-tile stitch → cross-tile merge
+    of the border-fragment graph. Returns (level, line_id, n_points,
+    length, closed, geom_wkb), line_id numbered per level.
+
+    ``merge``: "driver" (one pandas pass over all open fragments),
+    "distributed" (merge_open_pieces_dist — chains stitched inside
+    hash(root) buckets, driver only sees finished lines), or "auto"
+    (driver below ``driver_max_pieces`` open fragments)."""
+    pieces_ds = contour_pieces(ds, meta, levels, dtype=dtype).materialize()
+    import pyarrow.compute as pc
+
+    def open_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("closed")))
+
+    open_ds = pieces_ds.map_batches(open_only, batch_format="pyarrow")
+    if merge == "auto":
+        merge = "driver" if open_ds.count() <= driver_max_pieces \
+            else "distributed"
+
+    def closed_only(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("closed"))
+
+    closed = pieces_ds.map_batches(closed_only,
+                                   batch_format="pyarrow").to_pandas()
+    if merge == "distributed":
+        merged = merge_open_pieces_dist(open_ds, levels, meta).to_pandas()
+    else:
+        merged = merge_open_pieces(open_ds.to_pandas())
+    # empty-Dataset to_pandas drops columns — concat only real parts
+    parts = [p for p in (closed, merged) if len(p)]
+    if not parts:
+        return pd.DataFrame(columns=["level", "line_id", "n_points",
+                                     "length", "closed", "geom_wkb"])
+    lines = pd.concat(parts, ignore_index=True)
     lines = lines.sort_values(["level", "n_points", "length"],
                               kind="stable").reset_index(drop=True)
     lines["line_id"] = lines.groupby("level").cumcount()

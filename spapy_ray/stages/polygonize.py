@@ -288,13 +288,25 @@ def _pack(tx, ty, lb):
 
 def polygonize_components(ds, meta: RasterMeta, *, dtype: str = "int32",
                           with_ring_area: bool = False,
-                          return_mapping: bool = False):
+                          return_mapping: bool = False,
+                          merge: str = "auto",
+                          driver_max_nodes: int = 2_000_000):
     """→ pandas DataFrame: one row per global component
     (component_id, value, n_pixels, minx, miny, maxx, maxy [global
     pixel coords], n_tiles [DISTINCT tiles touched], and ring_area
     when requested). With ``return_mapping`` also returns the
     {packed (tx,ty,label) → component_id} dict that ties per-tile
-    local labels to global components (consumed by component_rings)."""
+    local labels to global components (consumed by component_rings).
+
+    ``merge`` selects the cross-tile label merge:
+    - ``"driver"``: union-find over (tile, label) nodes on the driver
+      — fastest while the node table fits one machine;
+    - ``"distributed"``: iterative min-label propagation + Dataset
+      joins/groupbys (distributed_min_label) — driver memory stays
+      O(components), independent of node count;
+    - ``"auto"``: driver below ``driver_max_nodes`` nodes, else
+      distributed.
+    """
     T = meta.tile_size
     combined = ds.map_batches(
         lambda t: _per_batch_combined(t, meta, dtype),
@@ -308,8 +320,19 @@ def polygonize_components(ds, meta: RasterMeta, *, dtype: str = "int32",
         return f
 
     border_ds = combined.map_batches(_only("b"), batch_format="pyarrow")
-    pair_out = border_ds.groupby(["ekind", "etx", "ety"]).map_groups(
-        lambda g: _edge_group_arrow(g, T), batch_format="pyarrow").to_pandas()
+    pair_ds = border_ds.groupby(["ekind", "etx", "ety"]).map_groups(
+        lambda g: _edge_group_arrow(g, T), batch_format="pyarrow")
+
+    if merge == "auto":
+        n_nodes = combined.map_batches(_only("s"), batch_format="pyarrow") \
+            .count()
+        merge = "driver" if n_nodes <= driver_max_nodes else "distributed"
+    if merge == "distributed":
+        return _components_distributed(
+            combined, pair_ds.materialize(), meta,
+            with_ring_area=with_ring_area, return_mapping=return_mapping)
+
+    pair_out = pair_ds.to_pandas()
 
     def _sr(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t.column("kind"), pa.array(["s", "r"])))
@@ -371,6 +394,413 @@ def polygonize_components(ds, meta: RasterMeta, *, dtype: str = "int32",
                                 agg["component_id"].tolist()))
         mapping = {int(k): root_to_comp[find(lookup[int(k)])]
                    for k in uniques}
+        return agg.drop(columns=["root"]), mapping
+    return agg.drop(columns=["root"])
+
+
+def _local_uf_min(x: np.ndarray, y: np.ndarray):
+    """Union-find over the pairs (x[i], y[i]) with union-by-min-index;
+    keys are sorted-unique so the root index is the MIN key of each
+    component. Returns (keys, min_label_per_key)."""
+    keys = np.unique(np.concatenate([x, y]))
+    xi = np.searchsorted(keys, x)
+    yi = np.searchsorted(keys, y)
+    parent = np.arange(len(keys), dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i, j in zip(xi.tolist(), yi.tolist()):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    roots = np.array([find(i) for i in range(len(keys))], dtype=np.int64)
+    return keys, keys[roots]
+
+
+def _node_block(node: np.ndarray, G: int) -> np.ndarray:
+    """Packed (tx, ty, label) node id → spatial super-block id at
+    granularity G tiles (matches _pack's bit layout)."""
+    tx = node >> np.int64(40)
+    ty = (node >> np.int64(20)) & np.int64(0xFFFFF)
+    return ((tx // G) << np.int64(21)) | (ty // G)
+
+
+def spatial_min_label(pairs_ds, tiles_x: int, tiles_y: int, *,
+                      base_block: int = 16, fan: int = 4,
+                      buckets: int = 64, block_fn=None):
+    """Hierarchical spatial connected-components over a tile-adjacency
+    pair table (nodes are packed (tx, ty, label) ids): per level,
+    edges INTERNAL to a G×G tile super-block are contracted with a
+    local union-find inside ONE groupby(block) pass; edges crossing
+    block boundaries defer to the next level (G *= fan). Per-bucket
+    payload is bounded by a block's border-component count and the
+    cross-level edge volume shrinks geometrically — the classic
+    hierarchical polygonize merge, log_fan(max_dim) rounds.
+
+    ``block_fn(node_array, G) -> int64 block ids`` generalizes the
+    node→space mapping (default: _node_block for packed tile nodes;
+    contour passes a pixel-coordinate unpacker). ``tiles_x/tiles_y``
+    are the spatial extent in block_fn's units.
+
+    Returns Dataset(node, root) for every node incident to a pair
+    whose root differs from itself (identity rows are implicit;
+    callers coalesce missing nodes to themselves).
+    """
+    import pyarrow.compute as pc
+
+    if block_fn is None:
+        block_fn = _node_block
+
+    levels = []
+    G = base_block
+    while True:
+        levels.append(G)
+        if G >= max(tiles_x, tiles_y, 1):
+            break
+        G *= fan
+
+    E = pairs_ds.materialize()
+    L = None                    # (node, lab) labels riding up levels
+    emitted = []
+    for li, G in enumerate(levels):
+        def tag_edges(t: pa.Table, G=G) -> pa.Table:
+            a = t.column("a").to_numpy().astype(np.int64)
+            b = t.column("b").to_numpy().astype(np.int64)
+            abk = block_fn(a, G)
+            bbk = block_fn(b, G)
+            internal = abk == bbk
+            return pa.table({
+                "bk": pa.array(np.where(internal, abk, np.int64(-1))),
+                "x": pa.array(a), "y": pa.array(b)})
+
+        tagged = E.map_batches(tag_edges, batch_format="pyarrow") \
+            .materialize()
+
+        def internal_only(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t.column("bk"), 0))
+
+        def external_only(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less(t.column("bk"), 0))
+            return pa.table({"a": t.column("x"), "b": t.column("y")})
+
+        parts = tagged.map_batches(internal_only, batch_format="pyarrow")
+        if L is not None:
+            def tag_labels(t: pa.Table, G=G) -> pa.Table:
+                n = t.column("node").to_numpy().astype(np.int64)
+                return pa.table({"bk": pa.array(block_fn(n, G)),
+                                 "x": t.column("node"),
+                                 "y": t.column("lab")})
+            parts = parts.union(
+                L.map_batches(tag_labels, batch_format="pyarrow"))
+
+        def bucket_uf(g: pa.Table) -> pa.Table:
+            keys, lab = _local_uf_min(g.column("x").to_numpy(),
+                                      g.column("y").to_numpy())
+            keep = lab != keys            # identity rows add nothing
+            return pa.table({"node": pa.array(keys[keep]),
+                             "lab": pa.array(lab[keep])})
+
+        out = parts.groupby("bk").map_groups(
+            bucket_uf, batch_format="pyarrow").materialize()
+        emitted.append(out)
+
+        if li == len(levels) - 1:
+            break
+        E = tagged.map_batches(external_only, batch_format="pyarrow") \
+            .materialize()
+        if E.count() == 0:
+            break
+
+        # labels needed next level: only nodes incident to a surviving
+        # external edge (bucketed semijoin keeps the ride-up volume
+        # proportional to the boundary skeleton, not all nodes)
+        def refs(t: pa.Table) -> pa.Table:
+            n = np.concatenate([t.column("a").to_numpy(),
+                                t.column("b").to_numpy()]).astype(np.int64)
+            return pa.table({"node": pa.array(n),
+                             "lab": pa.array(np.full(len(n), -1, np.int64)),
+                             "is_ref": pa.array(np.ones(len(n), np.int8))})
+
+        def labrows(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column("node"),
+                             "lab": t.column("lab"),
+                             "is_ref": pa.array(
+                                 np.zeros(len(t), np.int8))})
+
+        cand = out if L is None else out.union(
+            L.map_batches(lambda t: t.select(["node", "lab"]),
+                          batch_format="pyarrow"))
+        semi = E.map_batches(refs, batch_format="pyarrow").union(
+            cand.map_batches(labrows, batch_format="pyarrow"))
+
+        Bk = np.uint64(buckets)
+
+        def tag_hash(t: pa.Table) -> pa.Table:
+            n = t.column("node").to_numpy().astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = (n * np.uint64(0x9E3779B97F4A7C15)) % Bk
+            return t.append_column("hbk", pa.array(h.astype(np.int64)))
+
+        def per_bucket_semi(g: pa.Table) -> pa.Table:
+            df = g.to_pandas()
+            want = set(df.loc[df["is_ref"] == 1, "node"].tolist())
+            lb = df[(df["is_ref"] == 0) & df["node"].isin(want)]
+            if len(lb) == 0:
+                return pa.table({"node": pa.array([], type=pa.int64()),
+                                 "lab": pa.array([], type=pa.int64())})
+            # a node may carry labels from two levels; keep the min
+            m = lb.groupby("node", sort=False)["lab"].min().reset_index()
+            return pa.table({"node": pa.array(m["node"].to_numpy()),
+                             "lab": pa.array(m["lab"].to_numpy())})
+
+        L = semi.map_batches(tag_hash, batch_format="pyarrow") \
+            .groupby("hbk").map_groups(per_bucket_semi,
+                                       batch_format="pyarrow").materialize()
+
+    def _as_root(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"), "root": t.column("lab")})
+
+    if len(emitted) == 1:
+        return emitted[0].map_batches(_as_root, batch_format="pyarrow")
+
+    # resolve the label forest: parent chains are <= #levels deep
+    # (each level's emitted lab points to a node labeled at the same
+    # or a later level), so a FIXED ceil(log2(depth))+1 rounds of
+    # pointer doubling suffice — no convergence aggregates, no
+    # open-ended iteration (a generic min-label propagation here
+    # measured 8x the whole merge's cost in scheduling overhead)
+    import math
+
+    from ray.data.aggregate import Min as _Min
+
+    facts = emitted[0].union(*emitted[1:])
+    F = facts.groupby("node").aggregate(_Min("lab", alias_name="lab")) \
+        .repartition(max(buckets // 8, 1)).materialize()
+
+    Bk2 = np.uint64(buckets)
+
+    def _h(n: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return ((n.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                    % Bk2).astype(np.int64)
+
+    rounds = max(1, math.ceil(math.log2(len(emitted) + 2)))
+    for _ in range(rounds):
+        def tag_l(t: pa.Table) -> pa.Table:
+            n = t.column("node").to_numpy().astype(np.int64)
+            return pa.table({"hbk": pa.array(_h(n)),
+                             "key": t.column("node"),
+                             "payload": t.column("node"),
+                             "lab": t.column("lab"),
+                             "kind": pa.array(np.zeros(len(t), np.int8))})
+
+        def tag_r(t: pa.Table) -> pa.Table:
+            k = t.column("lab").to_numpy().astype(np.int64)
+            return pa.table({"hbk": pa.array(_h(k)),
+                             "key": t.column("lab"),
+                             "payload": t.column("node"),
+                             "lab": pa.array(np.zeros(len(t), np.int64)),
+                             "kind": pa.array(np.ones(len(t), np.int8))})
+
+        def dbl_bucket(g: pa.Table) -> pa.Table:
+            df = g.to_pandas()
+            lab = df[df["kind"] == 0][["key", "lab"]]
+            req = df[df["kind"] == 1][["key", "payload"]]
+            m = req.merge(lab, on="key", how="inner")
+            return pa.table({"node": pa.array(m["payload"].to_numpy()),
+                             "lab": pa.array(m["lab"].to_numpy())})
+
+        dbl = F.map_batches(tag_l, batch_format="pyarrow").union(
+            F.map_batches(tag_r, batch_format="pyarrow")) \
+            .groupby("hbk").map_groups(dbl_bucket, batch_format="pyarrow")
+        F = dbl.union(F).groupby("node").aggregate(
+            _Min("lab", alias_name="lab")) \
+            .repartition(max(buckets // 8, 1)).materialize()
+
+    return F.map_batches(_as_root, batch_format="pyarrow")
+
+
+def _components_distributed(combined, pair_ds, meta: RasterMeta, *,
+                            with_ring_area: bool, return_mapping: bool):
+    """Distributed cross-tile merge: hierarchical spatial min-label
+    (spatial_min_label) + ONE two-stage bucketed shuffle that fuses
+    the root join, per-component stats fold, distinct-tile count and
+    ring-area fold. Nothing O(nodes) ever lands on the driver — only
+    the final O(components) aggregate table (and the node→component
+    mapping when explicitly requested, which is inherently O(nodes))."""
+    import pyarrow.compute as pc
+
+    T = meta.tile_size
+    B = 64
+
+    def eq_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), "p"))
+        return pa.table({
+            "a": pa.array(_pack(t.column("tx").to_numpy(),
+                                t.column("ty").to_numpy(),
+                                t.column("l_or_la").to_numpy())),
+            "b": pa.array(_pack(t.column("tx_b").to_numpy(),
+                                t.column("ty_b").to_numpy(),
+                                t.column("l_b").to_numpy()))})
+
+    roots = spatial_min_label(
+        pair_ds.map_batches(eq_pairs, batch_format="pyarrow"),
+        meta.tiles_x, meta.tiles_y).materialize()
+
+    # ---- stage 1: bucket stats/roots/rings on hash(node); per bucket
+    # resolve each row's root (left merge, identity fallback) and fold
+    # PARTIAL per-root aggregates. kind: 0=stats 1=root 2=ring in,
+    # 0=agg-partial 1=tile-partial 2=ring-partial out.
+    ZERO8 = ("value", "n_pixels", "minx", "miny", "maxx", "maxy",
+             "tile_key", "cross")
+
+    def _wide(n: int, **cols) -> pa.Table:
+        base = {"kind": np.zeros(n, np.int8), "node": np.zeros(n, np.int64)}
+        base.update({c: np.zeros(n, np.int64) for c in ZERO8})
+        base.update(cols)
+        return pa.table({k: pa.array(v) for k, v in base.items()})
+
+    def stats_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), "s"))
+        tx = t.column("tx").to_numpy().astype(np.int64)
+        ty = t.column("ty").to_numpy().astype(np.int64)
+        return _wide(
+            len(t),
+            kind=np.zeros(len(t), np.int8),
+            node=_pack(tx, ty, t.column("label").to_numpy()),
+            value=t.column("value").to_numpy().astype(np.int64),
+            n_pixels=t.column("n_pixels").to_numpy().astype(np.int64),
+            minx=t.column("minx").to_numpy() + tx * T,
+            miny=t.column("miny").to_numpy() + ty * T,
+            maxx=t.column("maxx").to_numpy() + tx * T,
+            maxy=t.column("maxy").to_numpy() + ty * T,
+            tile_key=(tx << 20) | ty)
+
+    def root_rows(t: pa.Table) -> pa.Table:
+        return _wide(len(t),
+                     kind=np.ones(len(t), np.int8),
+                     node=t.column("node").to_numpy().astype(np.int64),
+                     value=t.column("root").to_numpy().astype(np.int64))
+
+    def ring_rows_tile(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), "r"))
+        return _wide(len(t),
+                     kind=np.full(len(t), 2, np.int8),
+                     node=_pack(t.column("tx").to_numpy(),
+                                t.column("ty").to_numpy(),
+                                t.column("label").to_numpy()),
+                     cross=t.column("cross").to_numpy().astype(np.int64))
+
+    def ring_rows_seam(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), "r"))
+        return _wide(len(t),
+                     kind=np.full(len(t), 2, np.int8),
+                     node=_pack(t.column("tx").to_numpy(),
+                                t.column("ty").to_numpy(),
+                                t.column("l_or_la").to_numpy()),
+                     cross=t.column("cross").to_numpy().astype(np.int64))
+
+    stage1 = combined.map_batches(stats_rows, batch_format="pyarrow") \
+        .union(roots.map_batches(root_rows, batch_format="pyarrow"))
+    if with_ring_area:
+        stage1 = stage1.union(
+            combined.map_batches(ring_rows_tile, batch_format="pyarrow"),
+            pair_ds.map_batches(ring_rows_seam, batch_format="pyarrow"))
+
+    def tag_node_hash(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (n * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(B)
+        return t.append_column("hbk", pa.array(h.astype(np.int64)))
+
+    def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["kind"] == 1][["node", "value"]] \
+            .rename(columns={"value": "root"})
+        st = g[g["kind"] == 0].merge(lab, on="node", how="left")
+        st["root"] = st["root"].fillna(st["node"]).astype(np.int64)
+        pagg = st.groupby("root", sort=False).agg(
+            value=("value", "first"), n_pixels=("n_pixels", "sum"),
+            minx=("minx", "min"), miny=("miny", "min"),
+            maxx=("maxx", "max"), maxy=("maxy", "max")).reset_index()
+        pagg["kind"] = np.int8(0)
+        tiles = st[["root", "tile_key"]].drop_duplicates()
+        tiles["kind"] = np.int8(1)
+        outs = [pagg, tiles]
+        rg = g[g["kind"] == 2]
+        if len(rg):
+            rg = rg[["node", "cross"]].merge(lab, on="node", how="left")
+            rg["root"] = rg["root"].fillna(rg["node"]).astype(np.int64)
+            rsum = rg.groupby("root", sort=False)["cross"].sum().reset_index()
+            rsum["kind"] = np.int8(2)
+            outs.append(rsum)
+        out = pd.concat(outs, ignore_index=True)
+        for c in ("value", "n_pixels", "minx", "miny", "maxx", "maxy",
+                  "tile_key", "cross"):
+            if c not in out:
+                out[c] = 0
+            out[c] = out[c].fillna(0).astype(np.int64)
+        return out[["kind", "root", "value", "n_pixels", "minx", "miny",
+                    "maxx", "maxy", "tile_key", "cross"]]
+
+    partials = stage1.map_batches(tag_node_hash, batch_format="pyarrow") \
+        .groupby("hbk").map_groups(bucket_partial, batch_format="pandas")
+
+    # ---- stage 2: bucket partials on hash(root); final fold per root
+    def tag_root_hash(t: pa.Table) -> pa.Table:
+        r = t.column("root").to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (r * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(B)
+        return t.append_column("hbk", pa.array(h.astype(np.int64)))
+
+    def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
+        ag = g[g["kind"] == 0].groupby("root", sort=False).agg(
+            value=("value", "first"), n_pixels=("n_pixels", "sum"),
+            minx=("minx", "min"), miny=("miny", "min"),
+            maxx=("maxx", "max"), maxy=("maxy", "max")).reset_index()
+        nt = g[g["kind"] == 1][["root", "tile_key"]].drop_duplicates() \
+            .groupby("root", sort=False).size().rename("n_tiles") \
+            .reset_index()
+        out = ag.merge(nt, on="root", how="left")
+        out["n_tiles"] = out["n_tiles"].fillna(0).astype(np.int64)
+        if with_ring_area:
+            rs = g[g["kind"] == 2].groupby("root", sort=False)["cross"] \
+                .sum().rename("csum").reset_index()
+            out = out.merge(rs, on="root", how="left")
+            out["ring_area"] = \
+                (-out["csum"].fillna(0) // 2).astype(np.int64)
+            out = out.drop(columns=["csum"])
+        return out
+
+    agg = partials.map_batches(tag_root_hash, batch_format="pyarrow") \
+        .groupby("hbk").map_groups(bucket_final, batch_format="pandas") \
+        .to_pandas()
+
+    agg = agg.sort_values("root", kind="stable").reset_index(drop=True)
+    agg["component_id"] = np.arange(len(agg), dtype=np.int64)
+    for c in ("value", "n_pixels", "minx", "miny", "maxx", "maxy", "n_tiles"):
+        agg[c] = agg[c].astype(np.int64)
+
+    if return_mapping:
+        root_to_comp = dict(zip(agg["root"].tolist(),
+                                agg["component_id"].tolist()))
+        rdf = roots.to_pandas()
+        rmap = dict(zip(rdf["node"].astype(np.int64),
+                        rdf["root"].astype(np.int64)))
+
+        def nodes_only(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("kind"), "s"))
+            return pa.table({"node": pa.array(_pack(
+                t.column("tx").to_numpy(), t.column("ty").to_numpy(),
+                t.column("label").to_numpy()))})
+
+        all_nodes = combined.map_batches(
+            nodes_only, batch_format="pyarrow").to_pandas()["node"]
+        mapping = {int(n): root_to_comp[int(rmap.get(int(n), int(n)))]
+                   for n in all_nodes}
         return agg.drop(columns=["root"]), mapping
     return agg.drop(columns=["root"])
 
@@ -713,13 +1143,6 @@ def distributed_min_label(nodes_ds, pairs_ds, max_iters: int = 64,
 
     B = np.int64(buckets)
 
-    def init_labels(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t.column("node"),
-                         "lab": t.column("node")})
-
-    labels = nodes_ds.map_batches(init_labels, batch_format="pyarrow") \
-        .materialize()
-
     def sym(t: pa.Table) -> pa.Table:
         return pa.table({
             "src": pa.concat_arrays([t.column("a").combine_chunks(),
@@ -728,6 +1151,26 @@ def distributed_min_label(nodes_ds, pairs_ds, max_iters: int = 64,
                                      t.column("a").combine_chunks()])})
 
     edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    # Restrict propagation to the EDGE-INDUCED subgraph: a node with no
+    # cross-partition edge is its own root and never needs a round of
+    # messaging. On tiled rasters that shrinks the iterated set from
+    # O(all components) to O(border-touching components) — typically
+    # 10-20x fewer rows per round.
+    from ray.data.aggregate import Count as _Count
+
+    def src_only(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("src")})
+
+    edge_nodes = edges.map_batches(src_only, batch_format="pyarrow") \
+        .groupby("node").aggregate(_Count(alias_name="c___"))
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "lab": t.column("node")})
+
+    labels = edge_nodes.map_batches(init_labels, batch_format="pyarrow") \
+        .materialize()
 
     def _bucketed_send(lab_ds, req_ds, req_key: str, req_payload: str):
         """For every request row, deliver (payload, lab[req_key]) —
@@ -763,35 +1206,49 @@ def distributed_min_label(nodes_ds, pairs_ds, max_iters: int = 64,
         return both.groupby("bkt").map_groups(per_bucket,
                                               batch_format="pyarrow")
 
+    old_sum = labels.aggregate(Sum("lab", alias_name="s"))["s"]
     for _ in range(max_iters):
-        # (1) edge propagation: node's label delivered to each neighbor
+        # one fused round: (1) edge propagation — each node's label
+        # delivered to its neighbors, min-fold; (2) ONE pointer
+        # doubling (lab <- min(lab, lab[lab])), min-fold. Doubling
+        # every round gives the same O(log diameter) convergence as an
+        # inner doubling loop, but at 2 Dataset executions per round
+        # instead of up to 17 — per-execution scheduling latency, not
+        # data volume, dominates below ~10^7 nodes. repartition keeps
+        # block counts bounded (iterative groupbys otherwise multiply
+        # tiny blocks; measured 2s -> 44s per round).
         prop = _bucketed_send(labels, edges, "src", "dst")
-        # keep block counts bounded: iterative groupbys otherwise
-        # multiply tiny blocks every round and per-block scheduling
-        # overhead snowballs (measured 2s -> 44s per round)
-        new_labels = prop.union(labels).groupby("node").aggregate(
+        half = prop.union(labels).groupby("node").aggregate(
             Min("lab", alias_name="lab")).repartition(buckets // 8 or 1) \
             .materialize()
-        # (2) pointer doubling to a fixpoint: lab <- min(lab, lab[lab])
-        # compresses 2^k hops after k inner steps — without the inner
-        # loop a long chain only shortens by ~2 per round
-        cur_sum = new_labels.aggregate(Sum("lab", alias_name="s"))["s"]
-        for _k in range(16):
-            dbl = _bucketed_send(new_labels, new_labels, "lab", "node")
-            new_labels = dbl.union(new_labels).groupby("node").aggregate(
-                Min("lab", alias_name="lab")).repartition(buckets // 8 or 1) \
-                .materialize()
-            nxt_sum = new_labels.aggregate(Sum("lab", alias_name="s"))["s"]
-            if nxt_sum == cur_sum:
-                break
-            cur_sum = nxt_sum
-
-        old_sum = labels.aggregate(Sum("lab", alias_name="s"))["s"]
-        labels = new_labels
+        dbl = _bucketed_send(half, half, "lab", "node")
+        labels = dbl.union(half).groupby("node").aggregate(
+            Min("lab", alias_name="lab")).repartition(buckets // 8 or 1) \
+            .materialize()
+        # convergence check runs on the materialized result — no
+        # recompute, one tiny aggregate
+        cur_sum = labels.aggregate(Sum("lab", alias_name="s"))["s"]
         if cur_sum == old_sum:
             break
+        old_sum = cur_sum
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("node"), "root": t.column("lab")})
 
-    return labels.map_batches(rename, batch_format="pyarrow")
+    edge_roots = labels.map_batches(rename, batch_format="pyarrow")
+
+    # non-edge nodes are their own root: left-join the full node set
+    # against the propagated labels and coalesce null -> identity
+    import ray as _ray
+
+    nparts = max(2, int(_ray.cluster_resources().get("CPU", 4)) // 2) \
+        if _ray.is_initialized() else 4
+    joined = nodes_ds.join(edge_roots, "left_outer", nparts, on=("node",))
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        node = t.column("node")
+        root = t.column("root")
+        return pa.table({"node": node,
+                         "root": pc.coalesce(root, node)})
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")

@@ -124,9 +124,19 @@ def rolling_fingerprint_batch(batch: pa.Table, column: str = "text",
     col = batch.column(column)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    # raw-buffer parse: offsets are int32 for string, int64 for
+    # large_string (Arrow auto-promotes big chunks) — reading the
+    # wrong width silently yields garbage fingerprints (ADVICE r2)
+    if pa.types.is_large_string(col.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(col.type):
+        off_dtype = np.int32
+    else:
+        raise TypeError(f"rolling_fingerprint expects a string column, "
+                        f"got {col.type}")
     buffers = col.buffers()
     flat = np.frombuffer(buffers[2], dtype=np.uint8)
-    off = np.frombuffer(buffers[1], dtype=np.int32)
+    off = np.frombuffer(buffers[1], dtype=off_dtype)
     starts = off[col.offset:col.offset + len(col)].astype(np.int64)
     ends = off[col.offset + 1:col.offset + len(col) + 1].astype(np.int64)
     n = len(flat)

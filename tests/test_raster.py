@@ -340,6 +340,47 @@ def test_contour_multiple_components(ray_session):
         assert r["length"] == pytest.approx(2 * np.pi * 9.75, rel=0.02)
 
 
+def test_contour_distributed_merge_equals_driver(ray_session):
+    """merge='distributed' (chain components via the hierarchical
+    spatial merge, stitched inside hash(root) buckets) must produce
+    the same line set — stats AND WKB geometry — as the driver merge,
+    on a saddle surface whose contours cross many tiles (forces
+    multi-piece open chains and several merge levels)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from spapy_ray.stages.contour import contour
+
+    T = 16
+    meta = RasterMeta(width=128, height=128, tile_size=T, x_min=0.0,
+                      y_max=0.0, pixel_w=1.0, pixel_h=-1.0)
+    gx, gy = np.meshgrid(np.arange(128), np.arange(128))
+    z = (np.sin(gx / 9.0) * np.cos(gy / 11.0) * 40 + 50).astype(np.float32)
+    rows = [{"tx": tx, "ty": ty, "band": 0,
+             "data": np.ascontiguousarray(
+                 z[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]).tobytes()}
+            for tx in range(8) for ty in range(8)]
+
+    def run(mode):
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        c = contour(ds, meta, [30.25, 50.25, 70.25], dtype="float32",
+                    merge=mode)
+        return c.sort_values(["level", "n_points", "length"],
+                             kind="stable").reset_index(drop=True)
+
+    a, b = run("driver"), run("distributed")
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(
+        a[["level", "n_points", "length", "closed"]],
+        b[["level", "n_points", "length", "closed"]])
+    # geometry: identical WKB multisets per level
+    for lv in (30.25, 50.25, 70.25):
+        ga = sorted(a.loc[a["level"] == lv, "geom_wkb"])
+        gb = sorted(b.loc[b["level"] == lv, "geom_wkb"])
+        assert ga == gb
+
+
 def test_polygonize_rings_exact_pixel_edges(ray_session):
     """Boundary-ring extraction: a cross-tile rectangle with a hole
     yields exactly two closed rings with pixel-exact perimeter/area."""
@@ -503,6 +544,101 @@ def test_distributed_min_label_matches_union_find(ray_session):
     got = dict(zip(out["node"].astype(int), out["root"].astype(int)))
     # same PARTITION (min-label roots are canonical for both)
     assert got == want
+
+
+def test_spatial_min_label_multilevel_matches_union_find(ray_session):
+    """Hierarchical spatial merge with a tiny base block (forces
+    several levels + the cross-level label forest resolution) equals
+    the driver union-find on a tile-adjacency graph."""
+    import pandas as pd
+
+    import ray.data as rd
+    from spapy_ray.stages.polygonize import _pack, spatial_min_label
+
+    rng = np.random.default_rng(11)
+    TX, TY = 12, 12
+    # nodes: one label per tile; edges between spatially ADJACENT
+    # tiles (the polygonize contract), random subset
+    coords = [(tx, ty) for tx in range(TX) for ty in range(TY)]
+    nodes = {c: int(_pack(np.array([c[0]]), np.array([c[1]]),
+                          np.array([c[0] * 31 + c[1]]))[0]) for c in coords}
+    pa_, pb_ = [], []
+    for tx, ty in coords:
+        for dx, dy in ((1, 0), (0, 1)):
+            nx, ny = tx + dx, ty + dy
+            if nx < TX and ny < TY and rng.random() < 0.45:
+                pa_.append(nodes[(tx, ty)])
+                pb_.append(nodes[(nx, ny)])
+    pairs = pd.DataFrame({"a": pa_, "b": pb_})
+    out = spatial_min_label(rd.from_pandas(pairs), TX, TY,
+                            base_block=2, fan=2).to_pandas()
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in zip(pa_, pb_):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {k: find(k) for k in parent}
+    got = dict(zip(out["node"].astype(int), out["root"].astype(int)))
+    # identity rows (node == root) are implicit on both sides — the
+    # stage's callers coalesce missing nodes to themselves
+    want_nonid = {k: v for k, v in want.items() if k != v}
+    got_nonid = {k: v for k, v in got.items() if k != v}
+    assert got_nonid == want_nonid
+
+
+def test_polygonize_distributed_equals_driver(ray_session):
+    """merge='distributed' (hierarchical spatial merge + bucketed
+    aggregation, no driver union-find) must equal merge='driver' on
+    components, ring areas and the node→component mapping."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from spapy_ray.stages.polygonize import polygonize_components
+
+    meta = RasterMeta(width=96, height=96, tile_size=32, x_min=0, y_max=0,
+                      pixel_w=1.0, pixel_h=-1.0)
+    gx, gy = np.meshgrid(np.arange(96), np.arange(96))
+    full = ((np.sin(gx / 17.0) + np.cos(gy / 13.0)) * 1.5).astype(np.int32)
+    rows = [{"tx": tx, "ty": ty, "band": 0,
+             "data": np.ascontiguousarray(
+                 full[ty * 32:(ty + 1) * 32,
+                      tx * 32:(tx + 1) * 32]).tobytes()}
+            for tx in range(3) for ty in range(3)]
+
+    def mk():
+        return rd.from_arrow(pa.Table.from_pylist(rows))
+
+    sort_cols = ["value", "minx", "miny", "maxx", "maxy", "n_pixels",
+                 "n_tiles"]
+
+    def run(mode):
+        comp, mapping = polygonize_components(
+            mk(), meta, dtype="int32", merge=mode, with_ring_area=True,
+            return_mapping=True)
+        comp = comp.sort_values(sort_cols).reset_index(drop=True)
+        comp["component_id"] = np.arange(len(comp), dtype=np.int64)
+        # mapping → partition of nodes (component numbering differs)
+        from collections import defaultdict
+        part = defaultdict(set)
+        for k, v in mapping.items():
+            part[v].add(k)
+        return comp, {frozenset(s) for s in part.values()}
+
+    cd_, pd_ = run("driver")
+    cc_, pc_ = run("distributed")
+    cols = sorted(cd_.columns)
+    pd.testing.assert_frame_equal(cd_[cols], cc_[cols])
+    assert pd_ == pc_
 
 
 def test_warp_to_crs_matches_whole_array(ray_session):

@@ -217,3 +217,60 @@ def test_hyperplane_lsh_recall(ray_session):
     # verified cosines are exact
     for _, r in out.iterrows():
         assert r["cos"] >= 0.95
+
+
+def test_top_pairs_blockpair_equals_broadcast(ray_session):
+    """The exact no-driver-matrix path (one GEMM task per block pair)
+    must return the same ranked pair list as the broadcast path."""
+    import pandas as pd
+
+    import ray.data as rd
+    from spapy_ray.stages.ann import top_similar_pairs
+
+    rng = np.random.default_rng(21)
+    dim, n = 16, 1200
+    E = rng.standard_normal((n, dim))
+    df = pd.DataFrame({"vec_id": np.arange(n),
+                       "embedding": [list(map(float, v)) for v in E]})
+
+    def run(mode):
+        return top_similar_pairs(
+            rd.from_pandas(df), n_pairs=15, key_col="vec_id",
+            mode=mode, batch_size=256).to_pandas()
+
+    bc, bp = run("broadcast"), run("blockpair")
+    pd.testing.assert_frame_equal(bc, bp)
+
+
+def test_topn_with_ties_selection_exact():
+    """Block-local top-N selection must keep ties at the sim cut so
+    chunked selection + merge equals the global (sim desc, key_a,
+    key_b) order for ANY chunking (ADVICE r2) — tested directly on
+    the selection kernel, since GEMM float jitter makes bit-exact
+    ties unobservable through the matmul path."""
+    import pandas as pd
+
+    from spapy_ray.stages.ann import _topn_with_ties
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    ka = rng.integers(0, 500, n)
+    kb = ka + rng.integers(1, 500, n)
+    # heavy ties: sims drawn from 40 distinct values
+    s = rng.choice(np.linspace(0.1, 0.9, 40), n)
+    N = 25
+
+    def rank(df):
+        return df.sort_values(["sim", "key_a", "key_b"],
+                              ascending=[False, True, True],
+                              kind="stable").head(N).reset_index(drop=True)
+
+    glob = rank(pd.DataFrame({"key_a": ka, "key_b": kb, "sim": s}))
+    for nchunks in (1, 3, 7, 50):
+        parts = []
+        for c in range(nchunks):
+            sl = slice(c * n // nchunks, (c + 1) * n // nchunks)
+            a, b, v = _topn_with_ties(ka[sl], kb[sl], s[sl], N)
+            parts.append(pd.DataFrame({"key_a": a, "key_b": b, "sim": v}))
+        merged = rank(pd.concat(parts, ignore_index=True))
+        pd.testing.assert_frame_equal(merged, glob)
