@@ -25,10 +25,20 @@ def entry() -> Any:
     return flagship_join("/root/testdata/sf0.001")
 
 
+# the round-2 driver hashed only the first 50 queries() entries,
+# leaving the 4 topo queries (declared last) unchecked; keep them at
+# the FRONT so every oracle lands inside any prefix cap
+_FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
+          "polygonize_polygons"]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from spapy_ray.pipelines.queries import QUERIES
 
-    return dict(QUERIES)
+    q = dict(QUERIES)
+    out = {k: q[k] for k in _FRONT if k in q}
+    out.update((k, v) for k, v in q.items() if k not in out)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -12,10 +12,15 @@ unchanged. The engine's equivalents are Dataset-producing readers:
                         RasterMeta
     ray.data.Dataset  → passed through (reference's non-str branch)
 
-Shapefiles/GeoTIFF need fiona/GDAL, which this environment
-deliberately excludes (SURVEY.md env constraint): those extensions
-raise with a clear message naming the integration point rather than
-silently misloading.
+    .shp              → native spec parser (sources/shapefile.py,
+                        no fiona) → WKB `geometry` + attribute table
+    .asc              → native AAIGrid parser (sources/aaigrid.py,
+                        no GDAL) → (tile Dataset, RasterMeta)
+
+GeoTIFF/HFA still need GDAL, which this environment deliberately
+excludes (SURVEY.md env constraint): those extensions raise with a
+clear message naming the integration point rather than silently
+misloading.
 """
 
 from __future__ import annotations
@@ -74,9 +79,21 @@ def get_input(source):
         return rd.read_csv(path)
     if ext in (".json", ".jsonl"):
         return rd.read_json(path)
-    if ext in (".shp", ".tif", ".tiff", ".img"):
+    if ext == ".shp":
+        # native spec parser — no fiona (sources/shapefile.py)
+        from spapy_ray.sources.shapefile import read_shapefile
+
+        tbl, _meta = read_shapefile(path)
+        return rd.from_arrow(tbl)
+    if ext == ".asc":
+        # native AAIGrid parser — no GDAL (sources/aaigrid.py)
+        from spapy_ray.sources.aaigrid import read_aaigrid
+
+        ds, meta, _nodata = read_aaigrid(path)
+        return ds, meta
+    if ext in (".tif", ".tiff", ".img"):
         raise NotImplementedError(
-            f"{ext} needs fiona/GDAL, which this environment excludes; "
-            "convert to parquet (vector table / raster tile dir) — see "
-            "sources/dispatch.py docstring for the integration point")
+            f"{ext} needs GDAL, which this environment excludes; "
+            "convert to parquet (raster tile dir) or AAIGrid (.asc) — "
+            "see sources/dispatch.py docstring for the integration point")
     raise ValueError(f"unrecognized input extension {ext!r} for {path!r}")

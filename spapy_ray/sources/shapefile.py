@@ -1,0 +1,372 @@
+"""Native ESRI Shapefile reader/writer — no fiona/GDAL.
+
+The reference's primary vector format is the Shapefile
+(SpaVectors.py:195-222 Load via fiona, 240-281 Save); this module
+implements the PUBLIC shapefile spec (ESRI whitepaper, 1998) directly
+so `GetInput("layer.shp")` works in an environment without GDAL:
+
+- .shp  geometry records (types: 0 Null, 1 Point, 3 PolyLine,
+        5 Polygon, 8 MultiPoint) → WKB `geometry` column
+- .shx  record index (written; not required for reading — records
+        are walked sequentially)
+- .dbf  dBase III attribute table → typed Arrow columns
+        (C→string, N/F with 0 decimals→int64, else float64, L→bool)
+- .prj  free-text CRS (stored/returned verbatim when present)
+
+Polygon ring semantics: the shapefile stores all rings of a polygon
+record in one part list — OUTER rings clockwise, holes
+counter-clockwise (signed-area test); holes attach to the outer ring
+that contains their first vertex. One outer ring → WKB Polygon,
+several → WKB MultiPolygon (the reference's shapely.geometry.shape
+produces the same shapes through fiona).
+
+Scale note: one .shp is a single sequential file (the format has no
+internal chunking), so reading is a driver-side parse into an Arrow
+table → `ray.data.from_arrow`. Big layers should be converted to
+parquet once (write_parquet) and read distributed afterwards; that is
+the same boundary the reference has (fiona loads everything into RAM).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from spapy_ray.kernels import wkb
+
+SHP_NULL, SHP_POINT, SHP_POLYLINE, SHP_POLYGON, SHP_MULTIPOINT = 0, 1, 3, 5, 8
+
+
+def _signed_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def _point_in_ring(pt: np.ndarray, ring: np.ndarray) -> bool:
+    x, y = float(pt[0]), float(pt[1])
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    cond = (y0 <= y) != (y1 <= y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+    return bool(np.count_nonzero(cond & (x < xi)) % 2)
+
+
+def _rings_to_wkb(rings: list[np.ndarray]) -> bytes:
+    """Shapefile part list → WKB (Multi)Polygon via orientation."""
+    outers, holes = [], []
+    for r in rings:
+        (outers if _signed_area(r) <= 0 else holes).append(r)
+    if not outers:                      # degenerate: treat all as outer
+        outers, holes = rings, []
+    polys = [[o] for o in outers]
+    for h in holes:
+        target = 0
+        for i, o in enumerate(outers):
+            if _point_in_ring(h[0], o):
+                target = i
+                break
+        polys[target].append(h)
+    if len(polys) == 1:
+        return wkb.encode_polygon(polys[0])
+    return wkb.encode_multipolygon(polys)
+
+
+def _parts_to_arrays(buf: bytes, off: int) -> list[np.ndarray]:
+    nparts, npoints = struct.unpack_from("<ii", buf, off)
+    off += 8
+    part_idx = np.frombuffer(buf, dtype="<i4", count=nparts, offset=off)
+    off += 4 * nparts
+    pts = np.frombuffer(buf, dtype="<f8", count=2 * npoints,
+                        offset=off).reshape(npoints, 2)
+    bounds = np.append(part_idx, npoints)
+    return [pts[bounds[i]:bounds[i + 1]].copy() for i in range(nparts)]
+
+
+def read_shp(path: str) -> tuple[list[bytes | None], int]:
+    """.shp → (list of WKB geometries (None for null shapes),
+    shapefile type code of the layer)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    code, = struct.unpack_from(">i", buf, 0)
+    if code != 9994:
+        raise ValueError(f"{path}: not a shapefile (magic {code})")
+    file_words, = struct.unpack_from(">i", buf, 24)
+    shp_type, = struct.unpack_from("<i", buf, 32)
+    out: list[bytes | None] = []
+    pos = 100
+    end = min(len(buf), file_words * 2)
+    while pos + 8 <= end:
+        _recno, nwords = struct.unpack_from(">ii", buf, pos)
+        pos += 8
+        rtype, = struct.unpack_from("<i", buf, pos)
+        body = pos + 4
+        if rtype == SHP_NULL:
+            out.append(None)
+        elif rtype == SHP_POINT:
+            x, y = struct.unpack_from("<dd", buf, body)
+            out.append(wkb.encode_point(x, y))
+        elif rtype == SHP_MULTIPOINT:
+            npts, = struct.unpack_from("<i", buf, body + 32)
+            pts = np.frombuffer(buf, dtype="<f8", count=2 * npts,
+                                offset=body + 36).reshape(npts, 2)
+            out.append(wkb.encode_multipoint(pts.copy()))
+        elif rtype in (SHP_POLYLINE, SHP_POLYGON):
+            parts = _parts_to_arrays(buf, body + 32)
+            if rtype == SHP_POLYLINE:
+                out.append(wkb.encode_linestring(parts[0]) if len(parts) == 1
+                           else wkb.encode_multilinestring(parts))
+            else:
+                out.append(_rings_to_wkb(parts))
+        else:
+            raise ValueError(f"unsupported shapefile shape type {rtype}")
+        pos += nwords * 2
+    return out, shp_type
+
+
+def read_dbf(path: str) -> pa.Table:
+    """dBase III attribute table → typed Arrow table."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    nrec, = struct.unpack_from("<i", buf, 4)
+    hdr_size, rec_size = struct.unpack_from("<hh", buf, 8)
+    fields = []
+    off = 32
+    while off < hdr_size - 1 and buf[off] != 0x0D:
+        name = buf[off:off + 11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(buf[off + 11])
+        flen = buf[off + 16]
+        fdec = buf[off + 17]
+        fields.append((name, ftype, flen, fdec))
+        off += 32
+    cols: dict[str, list] = {n: [] for n, *_ in fields}
+    pos = hdr_size
+    for _ in range(nrec):
+        if pos + rec_size > len(buf):
+            break
+        if buf[pos:pos + 1] == b"*":        # deleted record
+            pos += rec_size
+            continue
+        o = pos + 1
+        for name, ftype, flen, fdec in fields:
+            raw = buf[o:o + flen]
+            o += flen
+            s = raw.decode("latin-1").strip()
+            if ftype in ("N", "F"):
+                if not s or s == "*" * len(s):
+                    cols[name].append(None)
+                elif ftype == "N" and fdec == 0 and "." not in s:
+                    cols[name].append(int(s))
+                else:
+                    cols[name].append(float(s))
+            elif ftype == "L":
+                cols[name].append(None if s in ("", "?")
+                                  else s.upper() in ("T", "Y"))
+            else:
+                cols[name].append(s)
+        pos += rec_size
+    arrays = {}
+    for name, ftype, flen, fdec in fields:
+        if ftype in ("N", "F"):
+            typ = pa.int64() if (ftype == "N" and fdec == 0
+                                 and all(isinstance(v, (int, type(None)))
+                                         for v in cols[name])) \
+                else pa.float64()
+            arrays[name] = pa.array(cols[name], type=typ)
+        elif ftype == "L":
+            arrays[name] = pa.array(cols[name], type=pa.bool_())
+        else:
+            arrays[name] = pa.array(cols[name], type=pa.string())
+    return pa.table(arrays) if arrays else pa.table({})
+
+
+def read_shapefile(path: str) -> tuple[pa.Table, dict]:
+    """layer.shp → (Arrow table with `geometry` WKB + attributes,
+    metadata {"shp_type", "crs"})."""
+    geoms, shp_type = read_shp(path)
+    base = os.path.splitext(path)[0]
+    tbl = pa.table({"geometry": pa.array(geoms, type=pa.binary())})
+    dbf = base + ".dbf"
+    if os.path.exists(dbf):
+        at = read_dbf(dbf)
+        if at.num_rows == tbl.num_rows:
+            for name in at.column_names:
+                tbl = tbl.append_column(name, at.column(name))
+    crs = None
+    prj = base + ".prj"
+    if os.path.exists(prj):
+        with open(prj) as f:
+            crs = f.read().strip()
+    return tbl, {"shp_type": shp_type, "crs": crs}
+
+
+# ------------------------------------------------------------- writer
+
+def _orient(ring: np.ndarray, clockwise: bool) -> np.ndarray:
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) and not (r[0] == r[-1]).all():
+        r = np.vstack([r, r[:1]])
+    cw = _signed_area(r) <= 0
+    return r if cw == clockwise else r[::-1].copy()
+
+
+def _wkb_to_shp_record(buf: bytes | None) -> tuple[int, bytes]:
+    """WKB → (shape type, record body WITHOUT the 4-byte type)."""
+    if buf is None or len(buf) == 0:
+        return SHP_NULL, b""
+    t, v = wkb.decode(buf)
+    if t == "Point":
+        return SHP_POINT, struct.pack("<dd", v[0], v[1])
+    if t == "MultiPoint":
+        pts = np.asarray(v, dtype=np.float64)
+        bb = (pts[:, 0].min(), pts[:, 1].min(),
+              pts[:, 0].max(), pts[:, 1].max())
+        return SHP_MULTIPOINT, struct.pack("<4d", *bb) + \
+            struct.pack("<i", len(pts)) + \
+            np.ascontiguousarray(pts, dtype="<f8").tobytes()
+    if t in ("LineString", "MultiLineString"):
+        parts = [v] if t == "LineString" else v
+        return SHP_POLYLINE, _encode_parts(parts)
+    if t in ("Polygon", "MultiPolygon"):
+        polys = [v] if t == "Polygon" else v
+        rings = []
+        for poly in polys:
+            for i, r in enumerate(poly):
+                rings.append(_orient(r, clockwise=(i == 0)))
+        return SHP_POLYGON, _encode_parts(rings)
+    raise ValueError(f"unsupported geometry for shapefile: {t}")
+
+
+def _encode_parts(parts: list[np.ndarray]) -> bytes:
+    parts = [np.asarray(p, dtype=np.float64) for p in parts]
+    allp = np.vstack(parts)
+    bb = (allp[:, 0].min(), allp[:, 1].min(),
+          allp[:, 0].max(), allp[:, 1].max())
+    idx, acc = [], 0
+    for p in parts:
+        idx.append(acc)
+        acc += len(p)
+    return struct.pack("<4dii", *bb, len(parts), acc) + \
+        np.asarray(idx, dtype="<i4").tobytes() + \
+        np.ascontiguousarray(allp, dtype="<f8").tobytes()
+
+
+def _dbf_fields(tbl: pa.Table) -> list[tuple[str, str, int, int]]:
+    out = []
+    for name in tbl.column_names:
+        if name == "geometry":
+            continue
+        t = tbl.schema.field(name).type
+        nm = name[:10]
+        if pa.types.is_integer(t):
+            out.append((nm, "N", 18, 0))
+        elif pa.types.is_floating(t):
+            out.append((nm, "N", 19, 6))
+        elif pa.types.is_boolean(t):
+            out.append((nm, "L", 1, 0))
+        else:
+            vals = tbl.column(name).to_pylist()
+            w = max([len(str(v)) for v in vals if v is not None] + [1])
+            out.append((nm, "C", min(max(w, 1), 254), 0))
+    return out
+
+
+def write_shapefile(tbl: pa.Table, path: str, *, crs: str | None = None,
+                    geom_col: str = "geometry") -> None:
+    """Arrow table (WKB `geometry` + attribute columns) → .shp + .shx
+    + .dbf (+ .prj when crs given). All features must share one
+    shapefile type family (points / lines / polygons)."""
+    base = os.path.splitext(path)[0]
+    geoms = tbl.column(geom_col).to_pylist()
+    records = [_wkb_to_shp_record(g) for g in geoms]
+    layer_type = next((t for t, _ in records if t != SHP_NULL), SHP_NULL)
+    for t, _ in records:
+        if t not in (SHP_NULL, layer_type):
+            raise ValueError("mixed shapefile shape types in one layer")
+
+    # global bbox
+    xs, ys = [], []
+    for g in geoms:
+        if g:
+            _t, v = wkb.decode(g)
+            pts = _all_points(_t, v)
+            xs.extend((pts[:, 0].min(), pts[:, 0].max()))
+            ys.extend((pts[:, 1].min(), pts[:, 1].max()))
+    bbox = (min(xs), min(ys), max(xs), max(ys)) if xs else (0, 0, 0, 0)
+
+    shp_body, shx_body = [], []
+    offset_words = 50
+    for i, (t, body) in enumerate(records):
+        content = struct.pack("<i", t) + body
+        nwords = len(content) // 2
+        shp_body.append(struct.pack(">ii", i + 1, nwords) + content)
+        shx_body.append(struct.pack(">ii", offset_words, nwords))
+        offset_words += 4 + nwords
+
+    def header(total_words: int) -> bytes:
+        h = struct.pack(">i", 9994) + b"\x00" * 20 + \
+            struct.pack(">i", total_words) + \
+            struct.pack("<ii", 1000, layer_type) + \
+            struct.pack("<8d", *bbox, 0, 0, 0, 0)
+        assert len(h) == 100
+        return h
+
+    shp = b"".join(shp_body)
+    with open(base + ".shp", "wb") as f:
+        f.write(header((100 + len(shp)) // 2) + shp)
+    shx = b"".join(shx_body)
+    with open(base + ".shx", "wb") as f:
+        f.write(header((100 + len(shx)) // 2) + shx)
+
+    fields = _dbf_fields(tbl)
+    rec_size = 1 + sum(f[2] for f in fields)
+    hdr_size = 32 + 32 * len(fields) + 1
+    n = tbl.num_rows
+    with open(base + ".dbf", "wb") as f:
+        f.write(struct.pack("<B3Bihh", 0x03, 95, 7, 26, n,
+                            hdr_size, rec_size) + b"\x00" * 20)
+        for nm, ft, fl, fd in fields:
+            f.write(nm.encode("ascii").ljust(11, b"\x00") +
+                    ft.encode("ascii") + b"\x00" * 4 +
+                    bytes([fl, fd]) + b"\x00" * 14)
+        f.write(b"\x0d")
+        cols = {nm: tbl.column(orig).to_pylist()
+                for (nm, *_), orig in zip(
+                    fields, [c for c in tbl.column_names
+                             if c != geom_col])}
+        for i in range(n):
+            f.write(b" ")
+            for nm, ft, fl, fd in fields:
+                v = cols[nm][i]
+                if v is None:
+                    f.write(b" " * fl)
+                elif ft == "N" and fd == 0:
+                    f.write(f"{int(v):>{fl}d}".encode("ascii")[-fl:])
+                elif ft == "N":
+                    f.write(f"{float(v):>{fl}.{fd}f}".encode("ascii")[-fl:])
+                elif ft == "L":
+                    f.write(b"T" if v else b"F")
+                else:
+                    f.write(str(v).encode("latin-1")[:fl].ljust(fl, b" "))
+        f.write(b"\x1a")
+
+    if crs:
+        with open(base + ".prj", "w") as f:
+            f.write(crs)
+
+
+def _all_points(t: str, v) -> np.ndarray:
+    if t == "Point":
+        return np.asarray([v], dtype=np.float64)
+    if t in ("LineString", "MultiPoint"):
+        return np.asarray(v, dtype=np.float64)
+    if t == "MultiLineString":
+        return np.vstack(v)
+    if t == "Polygon":
+        return np.vstack(v)
+    if t == "MultiPolygon":
+        return np.vstack([r for poly in v for r in poly])
+    raise ValueError(t)

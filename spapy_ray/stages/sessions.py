@@ -23,29 +23,46 @@ def sessionize(ds, gap_us: int = 1800_000_000, user_col: str = "user_id",
     an explicit sort inside the group (driver order never matters).
     """
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        col = g[ts_col]
-        if np.issubdtype(col.dtype, np.datetime64):
-            # normalize to microseconds regardless of pandas unit
-            col = pd.to_datetime(col).astype("datetime64[us]")
-        ts = np.sort(col.astype("int64").to_numpy())
-        if len(ts) == 0:
+    import pyarrow as pa
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one hash bucket = many users, handled in ONE vectorized pass:
+        # sort by (user, ts); a session break is a gap > gap_us OR a
+        # user change. One Python call per bucket instead of per user
+        # (near-singleton map_groups anti-pattern, NOTES_r2).
+        if len(g) == 0:
             return pd.DataFrame({"user_id": [], "session_start_us": [],
                                  "session_end_us": [], "n_events": []})
-        new = np.concatenate([[True], np.diff(ts) > gap_us])
-        sid = np.cumsum(new) - 1
-        n = sid[-1] + 1
-        starts = ts[new]
-        ends = np.maximum.reduceat(ts, np.nonzero(new)[0])
-        counts = np.bincount(sid, minlength=n)
+        col = g[ts_col]
+        if np.issubdtype(col.dtype, np.datetime64):
+            col = pd.to_datetime(col).astype("datetime64[us]")
+        g = g.assign(_us=col.astype("int64")) \
+            .sort_values([user_col, "_us"], kind="stable")
+        ts = g["_us"].to_numpy()
+        u = g[user_col].to_numpy()
+        new = np.empty(len(ts), dtype=bool)
+        new[0] = True
+        new[1:] = (np.diff(ts) > gap_us) | (u[1:] != u[:-1])
+        starts_idx = np.nonzero(new)[0]
+        ends_idx = np.append(starts_idx[1:], len(ts))
         return pd.DataFrame({
-            "user_id": np.full(n, g[user_col].iloc[0]),
-            "session_start_us": starts.astype(np.int64),
-            "session_end_us": ends.astype(np.int64),
-            "n_events": counts.astype(np.int64),
+            "user_id": u[starts_idx],
+            "session_start_us": ts[starts_idx].astype(np.int64),
+            "session_end_us": ts[ends_idx - 1].astype(np.int64),
+            "n_events": (ends_idx - starts_idx).astype(np.int64),
         })
 
-    return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    from spapy_ray.stages.relational import _bucket_column
+    from spapy_ray.util import cluster_cpus
+
+    nbuckets = max(64, cluster_cpus() * 4)
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bkt__",
+                               _bucket_column(t, user_col, nbuckets))
+
+    return ds.map_batches(tag_bucket, batch_format="pyarrow") \
+        .groupby("bkt__").map_groups(per_bucket, batch_format="pandas")
 
 
 def sql_sessionize(gap_us: int = 1800_000_000) -> str:
@@ -169,9 +186,15 @@ def asof_join(left_ds, right_ds, *, by: str = "user_id", on: str = "ts",
                 out[c] = out[c].astype(t.to_pandas_dtype())
         return out
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["side__"] == 0][[by, on] + lcols]             .sort_values(on, kind="stable")
-        rt = g[g["side__"] == 1][[on] + rnames]             .sort_values(on, kind="stable")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # all keys of one hash bucket at once: merge_asof(by=...) runs
+        # the per-key backward search vectorized over the whole bucket
+        # — one Python call per ~thousands of keys instead of one per
+        # key (the near-singleton map_groups anti-pattern, NOTES_r2)
+        lf = g[g["side__"] == 0][[by, on] + lcols] \
+            .sort_values(on, kind="stable")
+        rt = g[g["side__"] == 1][[by, on] + rnames] \
+            .sort_values(on, kind="stable")
         if len(lf) == 0:
             return lf.assign(**{c: pd.Series([], dtype="float64")
                                 for c in rnames})
@@ -181,6 +204,16 @@ def asof_join(left_ds, right_ds, *, by: str = "user_id", on: str = "ts",
                 out[c] = np.nan
             return restore_left_dtypes(out)
         return restore_left_dtypes(
-            pd.merge_asof(lf, rt, on=on, direction="backward"))
+            pd.merge_asof(lf, rt, on=on, by=by, direction="backward"))
 
-    return both.groupby(by).map_groups(per_key, batch_format="pandas")
+    from spapy_ray.stages.relational import _bucket_column
+    from spapy_ray.util import cluster_cpus
+
+    nbuckets = max(64, cluster_cpus() * 4)
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bkt__",
+                               _bucket_column(t, by, nbuckets))
+
+    return both.map_batches(tag_bucket, batch_format="pyarrow") \
+        .groupby("bkt__").map_groups(per_bucket, batch_format="pandas")

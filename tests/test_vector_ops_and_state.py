@@ -311,8 +311,12 @@ def test_get_input_dispatch(ray_session, tmp_path):
     assert get_input(csv_path).count() == 3
     ds = rd.from_pandas(df)
     assert get_input(ds) is ds
-    with _pytest.raises(NotImplementedError):
+    # .shp is now a native reader (sources/shapefile.py) — a missing
+    # file is a plain file error, not an unsupported format
+    with _pytest.raises(FileNotFoundError):
         get_input("/x/y.shp")
+    with _pytest.raises(NotImplementedError):
+        get_input("/x/y.tif")
     with _pytest.raises(ValueError):
         get_input("/x/y.xyz")
 
