@@ -168,6 +168,55 @@ def _mp_ceiling(nprocs: int) -> float:
     return sum(res) / 5.0
 
 
+def run_raster_pairs() -> dict:
+    """raster ⊗ raster throughput on a >=10^5-tile synthetic pair
+    (VERDICT r2 #2 done-criterion): two GTxGT tile tables (32x32
+    float32 tiles) generated distributed, subtracted through
+    tile_binary_math's blocked co-partition join, consumed with
+    count(). Reports tiles/sec through the pair kernel."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from spapy_ray.stages.raster import tile_binary_math
+
+    GT = int(os.environ.get("GRAFT_RP_GRID", "320"))    # 320^2 = 102,400
+    T = 32
+
+    def make(side: int):
+        def gen(b: pa.Table) -> pa.Table:
+            ids = b.column("id").to_numpy()
+            tile = np.empty((len(ids), T * T), dtype="<f4")
+            tile[:] = (ids % 251 + side)[:, None]
+            return pa.table({
+                "tx": pa.array((ids % GT).astype(np.int64)),
+                "ty": pa.array((ids // GT).astype(np.int64)),
+                "band": pa.array(np.zeros(len(ids), np.int64)),
+                "data": pa.array([t.tobytes() for t in tile],
+                                 type=pa.binary())})
+        return rd.range(GT * GT).map_batches(gen, batch_format="pyarrow")
+
+    # warm-up on a small grid
+    t0 = time.time()
+    out = tile_binary_math(make(0), make(1), "subtract",
+                           dtype="float32", tile_size=T)
+    n = out.count()
+    dt = time.time() - t0
+    ray.shutdown()
+    return {"metric": "raster_pair_tiles_per_sec",
+            "value": round(n / dt, 1), "unit": "tiles/sec",
+            "tiles": n, "sec": round(dt, 2), "grid": GT,
+            "tile_size": T, "num_cpus": NUM_CPUS}
+
+
 def run_scaling() -> dict:
     """Same job at N and 4N CPUs in fresh processes (sandbox substitute
     for the N vs 4N node criterion; see BASELINE.md for the protocol).
@@ -216,6 +265,8 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         run_scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
+    elif "--raster-pairs" in sys.argv:
+        print(json.dumps(run_raster_pairs()))
     else:
         result = run_scaling() if "--scaling" in sys.argv else run_bench()
         print(json.dumps(result))

@@ -388,9 +388,14 @@ def _assemble_padded(g: pd.DataFrame, meta: RasterMeta, dtype: str) -> np.ndarra
     T = meta.tile_size
     pad = np.zeros((T + 2, T + 2), dtype=np.dtype(dtype))
     core = None
-    for _, r in g.iterrows():
-        frag = np.frombuffer(r["data"], dtype=np.dtype(dtype).newbyteorder("<"))
-        dx, dy = int(r["dx"]), int(r["dy"])
+    # column-wise access: iterrows costs ~50us/row of boxing and runs
+    # once per TILE in the hottest stencil assembly path (VERDICT r2 #5)
+    dxs = g["dx"].to_numpy()
+    dys = g["dy"].to_numpy()
+    datas = g["data"].to_numpy()
+    for k in range(len(g)):
+        frag = np.frombuffer(datas[k], dtype=np.dtype(dtype).newbyteorder("<"))
+        dx, dy = int(dxs[k]), int(dys[k])
         if dx == 0 and dy == 0:
             core = frag.reshape(T, T)
             pad[1:T + 1, 1:T + 1] = core
@@ -408,7 +413,7 @@ def _assemble_padded(g: pd.DataFrame, meta: RasterMeta, dtype: str) -> np.ndarra
     # fragment is missing iff an adjacent edge is missing, and this
     # order makes the row/column replication fill every such corner
     # with the correct value — no explicit corner handling.
-    present = {(int(r["dx"]), int(r["dy"])) for _, r in g.iterrows()}
+    present = set(zip(dxs.tolist(), dys.tolist()))
     if (-1, 0) not in present:
         pad[:, 0] = pad[:, 1]
     if (1, 0) not in present:
@@ -643,9 +648,10 @@ def resample_to_grid(ds, src: RasterMeta, dst: RasterMeta, *,
         x_lo, x_hi = sxs.min() * S, (sxs.max() + 1) * S
         y_lo, y_hi = sys_.min() * S, (sys_.max() + 1) * S
         mosaic = np.zeros((y_hi - y_lo, x_hi - x_lo), dtype=np.dtype(dtype))
-        for _, r in g.iterrows():
-            a = decode_tile(r["data"], dtype, S)
-            oy, ox = int(r["sty"]) * S - y_lo, int(r["stx"]) * S - x_lo
+        datas = g["data"].to_numpy()
+        for k in range(len(g)):
+            a = decode_tile(datas[k], dtype, S)
+            oy, ox = int(sys_[k]) * S - y_lo, int(sxs[k]) * S - x_lo
             mosaic[oy:oy + a.shape[0], ox:ox + a.shape[1]] = a
         # dst pixels of this tile
         pxs = np.arange(TX * T, min((TX + 1) * T, dst.width))
@@ -775,13 +781,18 @@ def crop_pixels(ds, meta: RasterMeta, px0: int, py0: int, px1: int, py1: int,
         out = np.zeros((h, w), dtype=np.dtype(dtype))
         if meta.nodata is not None:
             out[:] = meta.nodata
-        for _, r in g.iterrows():
-            fh, fw = int(r["fh"]), int(r["fw"])
-            frag = np.frombuffer(r["data"],
+        fhs = g["fh"].to_numpy()
+        fws = g["fw"].to_numpy()
+        oys = g["oy"].to_numpy()
+        oxs = g["ox"].to_numpy()
+        datas = g["data"].to_numpy()
+        for k in range(len(g)):
+            fh, fw = int(fhs[k]), int(fws[k])
+            frag = np.frombuffer(datas[k],
                                  dtype=np.dtype(dtype).newbyteorder("<")) \
                 .reshape(fh, fw)
-            out[int(r["oy"]):int(r["oy"]) + fh,
-                int(r["ox"]):int(r["ox"]) + fw] = frag
+            out[int(oys[k]):int(oys[k]) + fh,
+                int(oxs[k]):int(oxs[k]) + fw] = frag
         return pd.DataFrame({"tx": [dtx], "ty": [dty], "band": [0],
                              "h": [h], "w": [w],
                              "data": [np.ascontiguousarray(out).tobytes()]})
@@ -943,9 +954,10 @@ def warp_to_crs(ds, src: RasterMeta, crs: str, *, dst: RasterMeta | None = None,
         if src.nodata is not None:
             mosaic[:] = src.nodata
         have = np.zeros(mosaic.shape, dtype=bool)
-        for _, r in g.iterrows():
-            a = decode_tile(r["data"], dtype, S)
-            oy, ox = int(r["sty"]) * S - y_lo, int(r["stx"]) * S - x_lo
+        datas = g["data"].to_numpy()
+        for k in range(len(g)):
+            a = decode_tile(datas[k], dtype, S)
+            oy, ox = int(sys_[k]) * S - y_lo, int(sxs[k]) * S - x_lo
             mosaic[oy:oy + a.shape[0], ox:ox + a.shape[1]] = a
             have[oy:oy + a.shape[0], ox:ox + a.shape[1]] = True
         h = min(T, dst.height - DY * T)
