@@ -99,4 +99,8 @@ def oracle_sql() -> dict[str, str]:
         "contour_lines": o.q_contour_lines(),
         "polygonize_components": o.q_polygonize_components(),
         "polygonize_polygons": o.q_polygonize_polygons(),
+        "densify_counts": o.q_densify_counts(),
+        "clip_zones": o.q_clip_zones(),
+        "resample_nearest": o.q_resample_nearest(),
+        "dataset_bounds": o.q_dataset_bounds(),
     }

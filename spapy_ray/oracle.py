@@ -841,3 +841,93 @@ def q_revenue_by_nation() -> str:
         "JOIN nation n ON s.s_nationkey = n.n_nationkey "
         "GROUP BY n.n_name"
     )
+
+
+def q_densify_counts(num_zones: int = 200, max_seg: float = 0.07) -> str:
+    """Twin of queries.q_densify_counts: per-edge subdivision count
+    mirrors the engine's float ops in the SAME order — each endpoint
+    divided by U first, difference, then ceil(length / max_seg)."""
+    def e(a: str, b: str) -> str:
+        return (f"ceil(((({b})::DOUBLE / 10000.0) - "
+                f"(({a})::DOUBLE / 10000.0)) / {max_seg!r})::BIGINT")
+
+    def rect_v(xa: str, xb: str, ya: str, yb: str) -> str:
+        return f"(2 * {e(xa, xb)} + 2 * {e(ya, yb)} + 1)"
+
+    l_v = (f"({e('x0', 'x0 + w')} + {e('y0', 'y0 + h2')} + "
+           f"{e('x0 + w2', 'x0 + w')} + {e('y0 + h2', 'y0 + h')} + "
+           f"{e('x0', 'x0 + w2')} + {e('y0', 'y0 + h')} + 1)")
+    two_v = (f"({rect_v('x0', 'x0 + w2', 'y0', 'y0 + h2')} + "
+             f"{rect_v('x0 + w2 + 5000', 'x0 + w', 'y0 + h2 + 5000', 'y0 + h')})")
+    return (
+        f"WITH zones AS ({sql_zones_cte(num_zones)}) "
+        "SELECT zone_id, "
+        "(CASE WHEN shape = 3 THEN 2 ELSE 1 END)::BIGINT AS n_rings, "
+        f"(CASE WHEN shape IN (0, 1) THEN {rect_v('x0', 'x0 + w', 'y0', 'y0 + h')} "
+        f"WHEN shape = 2 THEN {l_v} ELSE {two_v} END)::BIGINT AS n_vertices "
+        "FROM zones"
+    )
+
+
+def q_clip_zones(num_zones: int = 200,
+                 box: tuple = (-600_000, -400_000, 600_000, 400_000)) -> str:
+    """Twin of queries.q_clip_zones: exact integer overlap of the
+    rectilinear zone parts with the clip box (1e-4-unit fixed point;
+    products are 1e-8 deg² units). Features whose clip is empty are
+    dropped, matching clip_to's keep-hits-only contract."""
+    bx0, by0, bx1, by1 = box
+
+    def ov(a: str, b: str, lo: int, hi: int) -> str:
+        return f"GREATEST(0, LEAST({b}, {hi}) - GREATEST({a}, {lo}))"
+
+    def rect(xa: str, xb: str, ya: str, yb: str) -> str:
+        return (f"({ov(xa, xb, bx0, bx1)} * {ov(ya, yb, by0, by1)})")
+
+    area = (f"(CASE WHEN shape IN (0, 1) THEN {rect('x0', 'x0 + w', 'y0', 'y0 + h')} "
+            f"WHEN shape = 2 THEN {rect('x0', 'x0 + w', 'y0', 'y0 + h2')} "
+            f"+ {rect('x0', 'x0 + w2', 'y0 + h2', 'y0 + h')} "
+            f"ELSE {rect('x0', 'x0 + w2', 'y0', 'y0 + h2')} "
+            f"+ {rect('x0 + w2 + 5000', 'x0 + w', 'y0 + h2 + 5000', 'y0 + h')} END)")
+    return (
+        f"WITH zones AS ({sql_zones_cte(num_zones)}), "
+        f"clipped AS (SELECT zone_id, {area}::BIGINT AS area_em8 FROM zones) "
+        "SELECT zone_id, area_em8 FROM clipped WHERE area_em8 > 0"
+    )
+
+
+def q_resample_nearest() -> str:
+    """Twin of queries.q_resample_nearest: recompute every dst pixel's
+    nearest source index with the engine's exact float op order. The
+    dst grid constants are exact binary doubles and the dst/src pixel
+    ratio is exactly 2.5 per axis, so index fractions alternate
+    between two values >=0.15 away from the round-half boundary —
+    DuckDB round() == np.rint for every pixel (verified numerically
+    for all indices)."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    W, H, T = 200, 200, 64
+    lon = "(-179.984375 + (px + 0.5) * 1.7578125)"
+    lat = "(84.96875 + (py + 0.5) * -0.830078125)"
+    xs = f"(({lon} - (-180.0)) / 0.703125 - 0.5)"
+    ys = f"(({lat} - 85.0) / (-0.33203125) - 0.5)"
+    ix = f"GREATEST(0, LEAST(511, round({xs})::BIGINT))"
+    iy = f"GREATEST(0, LEAST(511, round({ys})::BIGINT))"
+    z = sql_dem_int("ix", "iy", 0)
+    return (
+        f"WITH px AS (SELECT p % {W} AS px, p // {W} AS py "
+        f"FROM range({W * H}) t(p)), "
+        f"m AS (SELECT px, py, {ix} AS ix, {iy} AS iy FROM px), "
+        f"v AS (SELECT px // {T} AS tx, py // {T} AS ty, {z} AS z FROM m) "
+        "SELECT tx::BIGINT AS tx, ty::BIGINT AS ty, "
+        "sum(z)::BIGINT AS sum_z, count(*)::BIGINT AS n_px "
+        "FROM v GROUP BY tx, ty"
+    )
+
+
+def q_dataset_bounds() -> str:
+    """Twin of queries.q_dataset_bounds: min/max fold over the
+    geocoded coordinates (no arithmetic beyond the geocode CTE —
+    min/max of doubles is exact)."""
+    return (f"WITH {geo_cte()} "
+            "SELECT min(lon) AS minx, min(lat) AS miny, "
+            "max(lon) AS maxx, max(lat) AS maxy FROM geo")

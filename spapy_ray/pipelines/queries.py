@@ -971,6 +971,137 @@ def q_revenue_by_nation(sf_dir: str):
 QUERIES["revenue_by_nation"] = q_revenue_by_nation
 
 
+DENSIFY_MAX_SEG = 0.07
+
+
+def q_densify_counts(sf_dir: str):
+    """Densify every zone ring to <=0.07-degree segments, report the
+    per-feature ring + vertex counts. The SQL twin mirrors the
+    engine's per-edge ceil(length / max_seg) in the SAME float op
+    order (each coordinate divided by U first, then subtracted), so
+    the counts are bit-deterministic on both sides."""
+    import ray.data as rd
+
+    from spapy_ray.kernels import wkb as _wkb
+    from spapy_ray.stages.vector_ops import densify
+
+    dn = densify(rd.from_arrow(zones_table()), max_dist=DENSIFY_MAX_SEG)
+
+    def counts(t: pa.Table) -> pa.Table:
+        n_v, n_r = [], []
+        for g in t.column("geom_wkb").to_pylist():
+            tname, v = _wkb.decode(g)
+            mp = [v] if tname == "Polygon" else v
+            n_r.append(sum(len(poly) for poly in mp))
+            n_v.append(sum(len(r) for poly in mp for r in poly))
+        return pa.table({
+            "zone_id": pc.cast(t.column("zone_id"), pa.int64()),
+            "n_rings": pa.array(n_r, type=pa.int64()),
+            "n_vertices": pa.array(n_v, type=pa.int64())})
+
+    return dn.map_batches(counts, batch_format="pyarrow")
+
+
+QUERIES["densify_counts"] = q_densify_counts
+
+# clip box in 1e-4-degree integer units (shared with the SQL twin)
+CLIP_BOX = (-600_000, -400_000, 600_000, 400_000)
+
+
+def q_clip_zones(sf_dir: str):
+    """Clip every zone to a fixed bbox (Sutherland–Hodgman against a
+    convex ring), report the clipped area in integer 1e-8 deg² units.
+    The SQL twin computes the rectilinear overlap exactly in fixed
+    point; the engine's float shoelace is ~1e-11 accurate, 3 orders
+    below the 0.5-unit rounding threshold, so the integers match."""
+    import ray.data as rd
+
+    from spapy_ray.kernels import geom as _geom
+    from spapy_ray.kernels import wkb as _wkb
+    from spapy_ray.stages.relate import clip_to
+
+    bx0, by0, bx1, by1 = [c / 10000.0 for c in CLIP_BOX]
+    ring = np.array([[bx0, by0], [bx1, by0], [bx1, by1], [bx0, by1]])
+    out = clip_to(rd.from_arrow(zones_table()),
+                  _wkb.encode_polygon([ring]))
+
+    def areas(t: pa.Table) -> pa.Table:
+        em8 = []
+        for g in t.column("geom_wkb").to_pylist():
+            mp = _wkb.as_multipolygon(g)
+            em8.append(int(round(_geom.multipolygon_area(mp) * 1e8)))
+        return pa.table({
+            "zone_id": pc.cast(t.column("zone_id"), pa.int64()),
+            "area_em8": pa.array(em8, type=pa.int64())})
+
+    return out.map_batches(areas, batch_format="pyarrow")
+
+
+QUERIES["clip_zones"] = q_clip_zones
+
+
+# dst grid constants shared with the SQL twin — every value exactly
+# representable in binary (x_min offset 1/64, pixels 1.75 / -0.8125)
+# so the inverse-mapping arithmetic is bit-identical in DuckDB. The
+# dst/src pixel ratio is exactly 2.5 in both axes, so the source
+# index fractions alternate between two values bounded 0.15 away
+# from .5 — np.rint and DuckDB round() agree everywhere (verified
+# numerically for all 200 indices per axis).
+RESAMPLE_DST = dict(width=200, height=200, tile_size=64,
+                    x_min=-179.984375, y_max=84.96875,
+                    pixel_w=1.7578125, pixel_h=-0.830078125)
+
+
+def q_resample_nearest(sf_dir: str):
+    """Nearest-neighbor resample of the int DEM onto an offset coarser
+    grid (the reference's 'really slow' NearestNeighbor pixel loop,
+    SpaRasters.py:1390-1498, as the distributed inverse-mapping
+    route→mosaic→gather), reduced to per-tile integer sums. The SQL
+    twin recomputes every dst pixel's source index with the same
+    float ops."""
+    from spapy_ray.sources.rasters import DEM_META, RasterMeta, \
+        synth_dem_dataset
+    from spapy_ray.stages.raster import decode_tile, resample_to_grid
+
+    dst = RasterMeta(**RESAMPLE_DST)
+    out = resample_to_grid(synth_dem_dataset(DEM_META, kind="int"),
+                           DEM_META, dst, dtype="int32", method="nearest")
+
+    def stats(t: pa.Table) -> pa.Table:
+        txs = t.column("tx").to_pylist()
+        tys = t.column("ty").to_pylist()
+        sums, counts = [], []
+        for i, b in enumerate(t.column("data").to_pylist()):
+            h = min(dst.tile_size, dst.height - tys[i] * dst.tile_size)
+            w = min(dst.tile_size, dst.width - txs[i] * dst.tile_size)
+            a = decode_tile(b, "int32", dst.tile_size, h, w)
+            sums.append(int(a.astype(np.int64).sum()))
+            counts.append(int(a.size))
+        return pa.table({"tx": pc.cast(t.column("tx"), pa.int64()),
+                         "ty": pc.cast(t.column("ty"), pa.int64()),
+                         "sum_z": pa.array(sums, type=pa.int64()),
+                         "n_px": pa.array(counts, type=pa.int64())})
+
+    return out.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["resample_nearest"] = q_resample_nearest
+
+
+def q_dataset_bounds(sf_dir: str):
+    """Whole-dataset bounds fold over the geocoded pages (GetBounds,
+    SpaVectors.py:754-782 — a sequential feature loop there, a
+    partial+final min/max aggregate here)."""
+    from spapy_ray.stages.measures import dataset_bounds
+
+    row = dataset_bounds(_geo(sf_dir), cols=("lon", "lat"))
+    return pd.DataFrame([{k: float(row[k])
+                          for k in ("minx", "miny", "maxx", "maxy")}])
+
+
+QUERIES["dataset_bounds"] = q_dataset_bounds
+
+
 CONTOUR_LEVELS = [63.5, 127.5, 191.5]
 
 
