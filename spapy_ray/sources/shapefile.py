@@ -6,7 +6,7 @@ implements the PUBLIC shapefile spec (ESRI whitepaper, 1998) directly
 so `GetInput("layer.shp")` works in an environment without GDAL:
 
 - .shp  geometry records (types: 0 Null, 1 Point, 3 PolyLine,
-        5 Polygon, 8 MultiPoint) → WKB `geometry` column
+        5 Polygon, 8 MultiPoint) → WKB `geom_wkb` column
 - .shx  record index (written; not required for reading — records
         are walked sequentially)
 - .dbf  dBase III attribute table → typed Arrow columns
@@ -183,12 +183,15 @@ def read_dbf(path: str) -> pa.Table:
     return pa.table(arrays) if arrays else pa.table({})
 
 
-def read_shapefile(path: str) -> tuple[pa.Table, dict]:
-    """layer.shp → (Arrow table with `geometry` WKB + attributes,
-    metadata {"shp_type", "crs"})."""
+def read_shapefile(path: str, geom_col: str = "geom_wkb") \
+        -> tuple[pa.Table, dict]:
+    """layer.shp → (Arrow table with a WKB geometry column named
+    ``geom_col`` — default geom_wkb, the engine's convention, so the
+    loaded layer plugs straight into every vector stage — plus the
+    dBase attributes; metadata {"shp_type", "crs"})."""
     geoms, shp_type = read_shp(path)
     base = os.path.splitext(path)[0]
-    tbl = pa.table({"geometry": pa.array(geoms, type=pa.binary())})
+    tbl = pa.table({geom_col: pa.array(geoms, type=pa.binary())})
     dbf = base + ".dbf"
     if os.path.exists(dbf):
         at = read_dbf(dbf)
@@ -254,10 +257,11 @@ def _encode_parts(parts: list[np.ndarray]) -> bytes:
         np.ascontiguousarray(allp, dtype="<f8").tobytes()
 
 
-def _dbf_fields(tbl: pa.Table) -> list[tuple[str, str, int, int]]:
+def _dbf_fields(tbl: pa.Table, geom_col: str) \
+        -> list[tuple[str, str, int, int]]:
     out = []
     for name in tbl.column_names:
-        if name == "geometry":
+        if name == geom_col:
             continue
         t = tbl.schema.field(name).type
         nm = name[:10]
@@ -275,7 +279,7 @@ def _dbf_fields(tbl: pa.Table) -> list[tuple[str, str, int, int]]:
 
 
 def write_shapefile(tbl: pa.Table, path: str, *, crs: str | None = None,
-                    geom_col: str = "geometry") -> None:
+                    geom_col: str = "geom_wkb") -> None:
     """Arrow table (WKB `geometry` + attribute columns) → .shp + .shx
     + .dbf (+ .prj when crs given). All features must share one
     shapefile type family (points / lines / polygons)."""
@@ -321,7 +325,7 @@ def write_shapefile(tbl: pa.Table, path: str, *, crs: str | None = None,
     with open(base + ".shx", "wb") as f:
         f.write(header((100 + len(shx)) // 2) + shx)
 
-    fields = _dbf_fields(tbl)
+    fields = _dbf_fields(tbl, geom_col)
     rec_size = 1 + sum(f[2] for f in fields)
     hdr_size = 32 + 32 * len(fields) + 1
     n = tbl.num_rows

@@ -30,7 +30,7 @@ def test_shapefile_polygon_roundtrip(tmp_path):
     mp = wkb.encode_multipolygon([[_square(20, 0, 4)],
                                   [_square(30, 0, 5)]])
     tbl = pa.table({
-        "geometry": pa.array([poly, mp], type=pa.binary()),
+        "geom_wkb": pa.array([poly, mp], type=pa.binary()),
         "name": pa.array(["with-hole", "two-parts"]),
         "rank": pa.array([3, 17], type=pa.int64()),
         "score": pa.array([0.25, -1.5], type=pa.float64()),
@@ -48,17 +48,17 @@ def test_shapefile_polygon_roundtrip(tmp_path):
     # geometry: same ring structure (ring order/orientation normalized
     # through the shapefile CW-outer convention, so compare as sets of
     # vertex multisets per polygon)
-    g0 = wkb.decode(back.column("geometry")[0].as_py())
+    g0 = wkb.decode(back.column("geom_wkb")[0].as_py())
     assert g0[0] == "Polygon" and len(g0[1]) == 2
     assert {tuple(map(tuple, np.sort(r[:-1], axis=0))) for r in g0[1]} == \
         {tuple(map(tuple, np.sort(r[:-1], axis=0))) for r in [outer, hole]}
-    g1 = wkb.decode(back.column("geometry")[1].as_py())
+    g1 = wkb.decode(back.column("geom_wkb")[1].as_py())
     assert g1[0] == "MultiPolygon" and len(g1[1]) == 2
 
 
 def test_shapefile_points_lines_roundtrip(tmp_path):
     pts = pa.table({
-        "geometry": pa.array([wkb.encode_point(1.5, -2.5),
+        "geom_wkb": pa.array([wkb.encode_point(1.5, -2.5),
                               wkb.encode_point(3.25, 4.75)],
                              type=pa.binary()),
         "id": pa.array([1, 2], type=pa.int64())})
@@ -66,14 +66,14 @@ def test_shapefile_points_lines_roundtrip(tmp_path):
     shp.write_shapefile(pts, p1)
     back, meta = shp.read_shapefile(p1)
     assert meta["shp_type"] == shp.SHP_POINT
-    assert [wkb.decode(g.as_py()) for g in back.column("geometry")] == \
+    assert [wkb.decode(g.as_py()) for g in back.column("geom_wkb")] == \
         [("Point", (1.5, -2.5)), ("Point", (3.25, 4.75))]
 
     line = np.array([[0, 0], [1, 1], [2, 0.5]], dtype=np.float64)
     mls = [np.array([[5, 5], [6, 6]], dtype=np.float64),
            np.array([[7, 7], [8, 6], [9, 9]], dtype=np.float64)]
     lines = pa.table({
-        "geometry": pa.array([wkb.encode_linestring(line),
+        "geom_wkb": pa.array([wkb.encode_linestring(line),
                               wkb.encode_multilinestring(mls)],
                              type=pa.binary()),
         "id": pa.array([1, 2], type=pa.int64())})
@@ -81,9 +81,9 @@ def test_shapefile_points_lines_roundtrip(tmp_path):
     shp.write_shapefile(lines, p2)
     back2, meta2 = shp.read_shapefile(p2)
     assert meta2["shp_type"] == shp.SHP_POLYLINE
-    t0, v0 = wkb.decode(back2.column("geometry")[0].as_py())
+    t0, v0 = wkb.decode(back2.column("geom_wkb")[0].as_py())
     assert t0 == "LineString" and np.array_equal(v0, line)
-    t1, v1 = wkb.decode(back2.column("geometry")[1].as_py())
+    t1, v1 = wkb.decode(back2.column("geom_wkb")[1].as_py())
     assert t1 == "MultiLineString"
     assert all(np.array_equal(a, b) for a, b in zip(v1, mls))
 
@@ -102,7 +102,7 @@ def test_shapefile_reads_handwritten_golden(tmp_path):
         f.write(hdr + rec)
     tbl, meta = shp.read_shapefile(p)
     assert tbl.num_rows == 1
-    assert wkb.decode(tbl.column("geometry")[0].as_py()) == \
+    assert wkb.decode(tbl.column("geom_wkb")[0].as_py()) == \
         ("Point", (7.0, -3.0))
 
 
@@ -110,7 +110,7 @@ def test_get_input_dispatches_shp(ray_session, tmp_path):
     from spapy_ray.sources.dispatch import get_input
 
     tbl = pa.table({
-        "geometry": pa.array([wkb.encode_point(0.0, 0.0)],
+        "geom_wkb": pa.array([wkb.encode_point(0.0, 0.0)],
                              type=pa.binary()),
         "id": pa.array([42], type=pa.int64())})
     p = str(tmp_path / "d.shp")
@@ -162,3 +162,28 @@ def test_aaigrid_roundtrip(ray_session, tmp_path):
         a = decode_tile(r.data, "int32", T, r.h, r.w)
         got[r.ty * T:r.ty * T + r.h, r.tx * T:r.tx * T + r.w] = a
     assert np.array_equal(got, full)
+
+
+def test_shapefile_layer_flows_through_vector_stages(ray_session, tmp_path):
+    """A GetInput-loaded .shp plugs straight into the engine's vector
+    operators (geom_wkb convention): measure areas of the loaded
+    layer and buffer-free bounds must match the source squares."""
+    import ray.data as rd
+
+    from spapy_ray.sources.dispatch import get_input
+    from spapy_ray.stages.measures import measure_wkb_table
+
+    tbl = pa.table({
+        "geom_wkb": pa.array([wkb.encode_polygon([_square(0, 0, 10)]),
+                              wkb.encode_polygon([_square(5, 5, 2)])],
+                             type=pa.binary()),
+        "zone_id": pa.array([0, 1], type=pa.int64())})
+    p = str(tmp_path / "flow.shp")
+    shp.write_shapefile(tbl, p)
+    loaded = get_input(p)
+    measured = measure_wkb_table(
+        pa.Table.from_pandas(loaded.to_pandas(),
+                             preserve_index=False)).to_pandas()
+    m = measured.sort_values("zone_id").reset_index(drop=True)
+    assert list(m["area"]) == [100.0, 4.0]
+    assert list(m["maxx"]) == [10.0, 7.0]
