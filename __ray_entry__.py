@@ -103,4 +103,5 @@ def oracle_sql() -> dict[str, str]:
         "clip_zones": o.q_clip_zones(),
         "resample_nearest": o.q_resample_nearest(),
         "dataset_bounds": o.q_dataset_bounds(),
+        "terrain_stats": o.q_terrain_stats(),
     }

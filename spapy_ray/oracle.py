@@ -931,3 +931,34 @@ def q_dataset_bounds() -> str:
     return (f"WITH {geo_cte()} "
             "SELECT min(lon) AS minx, min(lat) AS miny, "
             "max(lon) AS maxx, max(lat) AS maxy FROM geo")
+
+
+def q_terrain_stats() -> str:
+    """Twin of queries.q_terrain_stats: per-pixel TRI/TPI/roughness
+    over the int DEM with edge-clamped neighbors — tri*8 = sum of the
+    8 absolute integer diffs, tpi*8 = 8c - neighbor sum, roughness =
+    window max - min. Pure integer arithmetic, bit-exact."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    def cl(e: str) -> str:
+        return f"LEAST(GREATEST({e}, 0), 511)"
+
+    offs = [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0),
+            (-1, 1), (0, 1), (1, 1)]
+    n = [sql_dem_int(cl(f"px + {dx}"), cl(f"py + {dy}"), 0)
+         for dx, dy in offs]
+    c = sql_dem_int("px", "py", 0)
+    tri8 = " + ".join(f"abs(({v}) - c)" for v in n)
+    nsum = " + ".join(f"({v})" for v in n)
+    g9 = ", ".join(["c"] + [f"({v})" for v in n])
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"v AS (SELECT px, py, {c} AS c FROM px), "
+        f"k AS (SELECT px // 64 AS tx, py // 64 AS ty, "
+        f"({tri8}) AS tri8, (8 * c - ({nsum})) AS tpi8, "
+        f"(GREATEST({g9}) - LEAST({g9})) AS rough FROM v) "
+        "SELECT tx::BIGINT AS tx, ty::BIGINT AS ty, "
+        "sum(tri8)::BIGINT AS sum_tri8, sum(tpi8)::BIGINT AS sum_tpi8, "
+        "sum(rough)::BIGINT AS sum_rough FROM k GROUP BY tx, ty"
+    )

@@ -1102,6 +1102,42 @@ def q_dataset_bounds(sf_dir: str):
 QUERIES["dataset_bounds"] = q_dataset_bounds
 
 
+def q_terrain_stats(sf_dir: str):
+    """TRI / TPI / roughness over the INT DEM (distributed 1-px halo
+    stencils), reduced to per-tile integer sums: tri*8 and tpi*8 are
+    exact integers (sum of 8 integer diffs / 8c - sum), roughness is
+    max-min of ints — the SQL twin is pure integer arithmetic with
+    edge-clamped neighbors, bit-exact by construction."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.raster import decode_tile, roughness, tpi, tri
+
+    T = DEM_META.tile_size
+
+    def tile_sums(ds_out, scale: int, name: str):
+        def stats(t: pa.Table) -> pa.Table:
+            sums = []
+            for b in t.column("data").to_pylist():
+                a = decode_tile(b, "float32", T).astype(np.float64)
+                sums.append(int(np.rint(a * scale).astype(np.int64).sum())
+                            if scale != 1 else
+                            int(np.rint(a).astype(np.int64).sum()))
+            return pa.table({"tx": pc.cast(t.column("tx"), pa.int64()),
+                             "ty": pc.cast(t.column("ty"), pa.int64()),
+                             name: pa.array(sums, type=pa.int64())})
+        return ds_out.map_batches(stats, batch_format="pyarrow").to_pandas()
+
+    dem = lambda: synth_dem_dataset(DEM_META, kind="int")   # noqa: E731
+    a = tile_sums(tri(dem(), DEM_META, dtype="int32"), 8, "sum_tri8")
+    b = tile_sums(tpi(dem(), DEM_META, dtype="int32"), 8, "sum_tpi8")
+    c = tile_sums(roughness(dem(), DEM_META, dtype="int32"), 1,
+                  "sum_rough")
+    out = a.merge(b, on=["tx", "ty"]).merge(c, on=["tx", "ty"])
+    return out[["tx", "ty", "sum_tri8", "sum_tpi8", "sum_rough"]]
+
+
+QUERIES["terrain_stats"] = q_terrain_stats
+
+
 CONTOUR_LEVELS = [63.5, 127.5, 191.5]
 
 
