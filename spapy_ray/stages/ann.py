@@ -417,13 +417,20 @@ def hyperplane_signatures(ds, *, dim: int, n_bits: int = 64,
 def embed_near_dup_lsh(ds, *, dim: int, threshold: float = 0.85,
                        n_bits: int = 64, bands: int = 8,
                        key_col: str = "vec_id", vec_col: str = "embedding",
-                       seed: int = 0x5EED):
+                       seed: int = 0x5EED, verify: str = "auto",
+                       broadcast_max_candidates: int = 200_000):
     """Embedding near-dup at corpus scale: hyperplane signatures →
     banded bucket shuffle (identical shape to MinHash LSH — only
     fixed-width columns move) → exact-cosine verification of
-    candidate pairs via a key-indexed re-fetch. No all-pairs GEMM, no
-    full-matrix broadcast. Approximate (LSH recall measured in
-    tests); `top_similar_pairs` is the exact small-table form.
+    candidate pairs. No all-pairs GEMM, no full-matrix broadcast.
+    Approximate (LSH recall measured in tests); `top_similar_pairs`
+    is the exact small-table form.
+
+    ``verify``: "broadcast" re-fetches candidate vectors into a
+    ray.put'd dict (cheapest while candidates fit worker RAM);
+    "join" double hash-joins the pair table against the (key, vec)
+    corpus projection — no driver key set, memory bounded per
+    partition; "auto" switches at ``broadcast_max_candidates``.
 
     Returns Dataset (key_a, key_b, cos)."""
     import ray
@@ -491,6 +498,12 @@ def embed_near_dup_lsh(ds, *, dim: int, threshold: float = 0.85,
 
     cand = cand.map_batches(drop_c, batch_format="pyarrow").materialize()
 
+    if verify == "auto":
+        verify = "broadcast" if cand.count() <= broadcast_max_candidates \
+            else "join"
+    if verify == "join":
+        return _verify_embed_join(ds, cand, key_col, vec_col, threshold)
+
     # exact verification: fetch candidate vectors only
     cand_keys = set()
     for b in cand.iter_batches(batch_format="pyarrow"):
@@ -527,7 +540,7 @@ def embed_near_dup_lsh(ds, *, dim: int, threshold: float = 0.85,
     vref = ray.put(lookup)
     box = (vref,)
 
-    def verify(t: pa.Table) -> pa.Table:
+    def verify_bc(t: pa.Table) -> pa.Table:
         lk = cached_state(box, lambda d: d)
         ka = t.column("key_a").to_pylist()
         kb = t.column("key_b").to_pylist()
@@ -536,4 +549,59 @@ def embed_near_dup_lsh(ds, *, dim: int, threshold: float = 0.85,
         out = t.filter(pa.array(keep))
         return out.append_column("cos", pa.array(cos[keep]))
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return cand.map_batches(verify_bc, batch_format="pyarrow")
+
+
+def _verify_embed_join(ds, cand, key_col: str, vec_col: str,
+                       threshold: float,
+                       num_partitions: int | None = None):
+    """Co-partitioned exact-cosine verify: double hash-join of the
+    candidate pairs against the (key, vec) corpus projection — no
+    driver key collection, per-worker memory bounded by one
+    partition of (candidates x vectors)."""
+    import ray as _ray
+
+    if num_partitions is None:
+        cpus = int(_ray.cluster_resources().get("CPU", 4)) \
+            if _ray.is_initialized() else 4
+        num_partitions = max(2, cpus // 2)
+
+    def corpus_side(kname: str, vname: str):
+        # acero hash joins reject list-typed payload columns — ship
+        # the vector as little-endian f8 bytes and reshape after
+        def project(t: pa.Table) -> pa.Table:
+            V = np.ascontiguousarray(
+                _stack_embeddings(t.column(vec_col)), dtype="<f8")
+            d = V.shape[1] if len(V) else 0
+            flat = V.tobytes()
+            bufs = [flat[i * 8 * d:(i + 1) * 8 * d] for i in range(len(V))]
+            return pa.table({kname: t.column(key_col),
+                             vname: pa.array(bufs, type=pa.binary())})
+        return ds.map_batches(project, batch_format="pyarrow")
+
+    j1 = cand.join(corpus_side("key_a", "vec_a__"), "inner",
+                   num_partitions, on=("key_a",))
+    j2 = j1.join(corpus_side("key_b", "vec_b__"), "inner",
+                 num_partitions, on=("key_b",))
+
+    def _unpack(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        buf = b"".join(col.to_pylist())
+        n = len(col)
+        return np.frombuffer(buf, dtype="<f8").reshape(n, -1)
+
+    def verify_join(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.drop_columns(["vec_a__", "vec_b__"]) \
+                .append_column("cos", pa.array([], type=pa.float64()))
+        A = _unpack(t.column("vec_a__"))
+        B = _unpack(t.column("vec_b__"))
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        cos = np.einsum("ij,ij->i", An, Bn)
+        keep = cos >= threshold
+        out = t.filter(pa.array(keep)).drop_columns(["vec_a__", "vec_b__"])
+        return out.append_column("cos", pa.array(cos[keep]))
+
+    return j2.map_batches(verify_join, batch_format="pyarrow")

@@ -290,7 +290,8 @@ def polygonize_components(ds, meta: RasterMeta, *, dtype: str = "int32",
                           with_ring_area: bool = False,
                           return_mapping: bool = False,
                           merge: str = "auto",
-                          driver_max_nodes: int = 2_000_000):
+                          driver_max_nodes: int = 2_000_000,
+                          as_dataset: bool = False):
     """→ pandas DataFrame: one row per global component
     (component_id, value, n_pixels, minx, miny, maxx, maxy [global
     pixel coords], n_tiles [DISTINCT tiles touched], and ring_area
@@ -330,7 +331,8 @@ def polygonize_components(ds, meta: RasterMeta, *, dtype: str = "int32",
     if merge == "distributed":
         return _components_distributed(
             combined, pair_ds.materialize(), meta,
-            with_ring_area=with_ring_area, return_mapping=return_mapping)
+            with_ring_area=with_ring_area, return_mapping=return_mapping,
+            as_dataset=as_dataset)
 
     pair_out = pair_ds.to_pandas()
 
@@ -625,7 +627,8 @@ def spatial_min_label(pairs_ds, tiles_x: int, tiles_y: int, *,
 
 
 def _components_distributed(combined, pair_ds, meta: RasterMeta, *,
-                            with_ring_area: bool, return_mapping: bool):
+                            with_ring_area: bool, return_mapping: bool,
+                            as_dataset: bool = False):
     """Distributed cross-tile merge: hierarchical spatial min-label
     (spatial_min_label) + ONE two-stage bucketed shuffle that fuses
     the root join, per-component stats fold, distinct-tile count and
@@ -775,10 +778,22 @@ def _components_distributed(combined, pair_ds, meta: RasterMeta, *,
             out = out.drop(columns=["csum"])
         return out
 
-    agg = partials.map_batches(tag_root_hash, batch_format="pyarrow") \
-        .groupby("hbk").map_groups(bucket_final, batch_format="pandas") \
-        .to_pandas()
+    final_ds = partials.map_batches(tag_root_hash, batch_format="pyarrow") \
+        .groupby("hbk").map_groups(bucket_final, batch_format="pandas")
 
+    if as_dataset:
+        # streaming form: one row per component, keyed by the stable
+        # min-node root (no global renumbering pass) — write_parquet /
+        # further stages consume it without ANY driver materialization
+        def keyed(t: pa.Table) -> pa.Table:
+            cols = {"component_key": t.column("root")}
+            for c in t.schema.names:
+                if c != "root":
+                    cols[c] = t.column(c)
+            return pa.table(cols)
+        return final_ds.map_batches(keyed, batch_format="pyarrow")
+
+    agg = final_ds.to_pandas()
     agg = agg.sort_values("root", kind="stable").reset_index(drop=True)
     agg["component_id"] = np.arange(len(agg), dtype=np.int64)
     for c in ("value", "n_pixels", "minx", "miny", "maxx", "maxy", "n_tiles"):

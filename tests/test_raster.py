@@ -721,3 +721,38 @@ def test_polygonize_distributed_driver_memory_bounded(ray_session):
     p_big = run(2048)         # 128 tile-cols → ~4096 nodes (8x)
     # allow generous constant noise; the point is NOT 8x growth
     assert p_big < 2.0 * p_small + 2_000_000
+
+
+def test_polygonize_as_dataset_matches_pandas(ray_session):
+    """as_dataset=True streams one row per component (keyed by the
+    stable min-node root) — contents must match the pandas form."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from spapy_ray.stages.polygonize import polygonize_components
+
+    meta = RasterMeta(width=96, height=96, tile_size=32, x_min=0, y_max=0,
+                      pixel_w=1.0, pixel_h=-1.0)
+    gx, gy = np.meshgrid(np.arange(96), np.arange(96))
+    full = ((np.sin(gx / 17.0) + np.cos(gy / 13.0)) * 1.5).astype(np.int32)
+    rows = [{"tx": tx, "ty": ty, "band": 0,
+             "data": np.ascontiguousarray(
+                 full[ty * 32:(ty + 1) * 32,
+                      tx * 32:(tx + 1) * 32]).tobytes()}
+            for tx in range(3) for ty in range(3)]
+
+    def mk():
+        return rd.from_arrow(pa.Table.from_pylist(rows))
+
+    df = polygonize_components(mk(), meta, dtype="int32",
+                               merge="distributed")
+    ds = polygonize_components(mk(), meta, dtype="int32",
+                               merge="distributed", as_dataset=True)
+    got = ds.to_pandas()
+    cols = ["value", "n_pixels", "minx", "miny", "maxx", "maxy", "n_tiles"]
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = got[cols].astype(a.dtypes.to_dict()).sort_values(cols) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert got["component_key"].is_unique

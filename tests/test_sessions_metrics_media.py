@@ -274,3 +274,34 @@ def test_topn_with_ties_selection_exact():
             parts.append(pd.DataFrame({"key_a": a, "key_b": b, "sim": v}))
         merged = rank(pd.concat(parts, ignore_index=True))
         pd.testing.assert_frame_equal(merged, glob)
+
+
+def test_embed_lsh_join_verify_matches_broadcast(ray_session):
+    """The co-partitioned join verify path must find the same pair
+    set as the broadcast path, with matching cosines (planted dups
+    sit far from the threshold, so ulp-level GEMM-order differences
+    cannot flip membership)."""
+    import pandas as pd
+
+    import ray.data as rd
+    from spapy_ray.stages.ann import embed_near_dup_lsh
+
+    rng = np.random.default_rng(9)
+    dim, n = 32, 400
+    base = rng.standard_normal((n, dim))
+    planted = base[:20] + 0.05 * rng.standard_normal((20, dim))
+    E = np.vstack([base, planted])
+    df = pd.DataFrame({"vec_id": np.arange(len(E)),
+                       "embedding": [list(map(float, v)) for v in E]})
+
+    def run(mode):
+        out = embed_near_dup_lsh(rd.from_pandas(df), dim=dim,
+                                 threshold=0.95, n_bits=64, bands=8,
+                                 verify=mode).to_pandas()
+        return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+    bc, jn = run("broadcast"), run("join")
+    assert len(bc) == len(jn) > 0
+    assert list(bc["key_a"]) == list(jn["key_a"])
+    assert list(bc["key_b"]) == list(jn["key_b"])
+    assert np.allclose(bc["cos"], jn["cos"], rtol=0, atol=1e-12)
