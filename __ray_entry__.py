@@ -26,10 +26,14 @@ def entry() -> Any:
 
 
 # the round-2 driver hashed only the first 50 queries() entries,
-# leaving the 4 topo queries (declared last) unchecked; keep them at
-# the FRONT so every oracle lands inside any prefix cap
+# leaving the 4 topo queries (declared last) unchecked; keep every
+# query that has never been driver-hash-verified — the topo 4, the
+# round-3 additions, and events_asof (round 2's dtype-fix row) — at
+# the FRONT so they land inside any prefix cap
 _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
-          "polygonize_polygons"]
+          "polygonize_polygons", "events_asof", "densify_counts",
+          "clip_zones", "resample_nearest", "dataset_bounds",
+          "terrain_stats"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -756,3 +756,27 @@ def test_polygonize_as_dataset_matches_pandas(ray_session):
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert got["component_key"].is_unique
+
+
+def test_binary_math_on_ragged_cropped_tiles(ray_session):
+    """raster ⊗ raster over pixel-exact crops whose edge tiles are
+    RAGGED (h/w columns) — the blocked pair join must decode with the
+    per-tile shapes, matching the whole-array computation."""
+    from spapy_ray.stages.raster import crop_pixels
+
+    a = synth_dem_dataset(SMALL, kind="int", salt=0)
+    b = synth_dem_dataset(SMALL, kind="int", salt=1)
+    # 70x45 crop: both dimensions off tile multiples → ragged edges
+    ca, _m1 = crop_pixels(a, SMALL, 10, 20, 80, 65, dtype="int32")
+    cb, _m2 = crop_pixels(b, SMALL, 10, 20, 80, 65, dtype="int32")
+    out = tile_binary_math(ca, cb, "subtract", dtype="int32",
+                           tile_size=32).to_pandas()
+    expected = (_full_int(SMALL, 0) - _full_int(SMALL, 1))[20:65, 10:80]
+    got = np.zeros_like(expected)
+    T = 32
+    for r in out.itertuples():
+        arr = decode_tile(r.data, "int32", T,
+                          getattr(r, "h", None), getattr(r, "w", None))
+        got[r.ty * T:r.ty * T + arr.shape[0],
+            r.tx * T:r.tx * T + arr.shape[1]] = arr
+    assert np.array_equal(got, expected)
