@@ -433,7 +433,8 @@ def merge_open_pieces_dist(open_ds, levels: list[float], meta: RasterMeta,
 
 def contour(ds, meta: RasterMeta, levels: list[float], *,
             dtype: str = "float32", merge: str = "auto",
-            driver_max_pieces: int = 2_000_000) -> pd.DataFrame:
+            driver_max_pieces: int = 2_000_000,
+            as_dataset: bool = False):
     """Full contour op: distributed per-tile stitch → cross-tile merge
     of the border-fragment graph. Returns (level, line_id, n_points,
     length, closed, geom_wkb), line_id numbered per level.
@@ -441,7 +442,12 @@ def contour(ds, meta: RasterMeta, levels: list[float], *,
     ``merge``: "driver" (one pandas pass over all open fragments),
     "distributed" (merge_open_pieces_dist — chains stitched inside
     hash(root) buckets, driver only sees finished lines), or "auto"
-    (driver below ``driver_max_pieces`` open fragments)."""
+    (driver below ``driver_max_pieces`` open fragments).
+
+    ``as_dataset=True`` (distributed merge only) streams the merged
+    lines as a Dataset WITHOUT the global per-level line_id numbering
+    pass — nothing lands on the driver; consumers write_parquet or
+    aggregate directly."""
     pieces_ds = contour_pieces(ds, meta, levels, dtype=dtype).materialize()
     import pyarrow.compute as pc
 
@@ -455,6 +461,13 @@ def contour(ds, meta: RasterMeta, levels: list[float], *,
 
     def closed_only(t: pa.Table) -> pa.Table:
         return t.filter(t.column("closed"))
+
+    if as_dataset:
+        if merge != "distributed":
+            raise ValueError("as_dataset requires merge='distributed'")
+        merged_ds = merge_open_pieces_dist(open_ds, levels, meta)
+        return pieces_ds.map_batches(
+            closed_only, batch_format="pyarrow").union(merged_ds)
 
     closed = pieces_ds.map_batches(closed_only,
                                    batch_format="pyarrow").to_pandas()

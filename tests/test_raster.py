@@ -780,3 +780,35 @@ def test_binary_math_on_ragged_cropped_tiles(ray_session):
         got[r.ty * T:r.ty * T + arr.shape[0],
             r.tx * T:r.tx * T + arr.shape[1]] = arr
     assert np.array_equal(got, expected)
+
+
+def test_contour_as_dataset_streams_same_lines(ray_session):
+    """contour(as_dataset=True) streams closed + merged lines with no
+    driver pass — same line multiset as the pandas form."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from spapy_ray.stages.contour import contour
+
+    T = 16
+    meta = RasterMeta(width=64, height=64, tile_size=T, x_min=0.0,
+                      y_max=0.0, pixel_w=1.0, pixel_h=-1.0)
+    gx, gy = np.meshgrid(np.arange(64), np.arange(64))
+    z = (np.sin(gx / 7.0) * np.cos(gy / 9.0) * 30 + 40).astype(np.float32)
+    rows = [{"tx": tx, "ty": ty, "band": 0,
+             "data": np.ascontiguousarray(
+                 z[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]).tobytes()}
+            for tx in range(4) for ty in range(4)]
+
+    def mk():
+        return rd.from_arrow(pa.Table.from_pylist(rows))
+
+    df = contour(mk(), meta, [25.25, 40.25], dtype="float32",
+                 merge="distributed")
+    ds = contour(mk(), meta, [25.25, 40.25], dtype="float32",
+                 merge="distributed", as_dataset=True).to_pandas()
+    key = ["level", "n_points", "length", "closed"]
+    a = df[key].sort_values(key).reset_index(drop=True)
+    b = ds[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    assert sorted(df["geom_wkb"]) == sorted(ds["geom_wkb"])
