@@ -31,7 +31,11 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # round-2 additions
                  "knn_zones_cells", "near_dup_docs", "polygonize_components",
                  "contour_lines", "simhash_docs", "events_sliding",
-                 "media_probe"]
+                 "media_probe",
+                 # round-3 additions (polygonize/contour above now run the
+                 # DISTRIBUTED merge paths — see BASELINE.md round-3 table)
+                 "events_asof", "embed_top_pairs", "terrain_stats",
+                 "resample_nearest"]
 
 
 def _consume(res) -> int:

@@ -573,24 +573,14 @@ def q_events_asof(sf_dir: str):
     recent prior-or-simultaneous view event (classic event
     attribution). Unmatched purchases report view_event_id -1 /
     gap_us -1 to keep the output null-free for hashing."""
-    from spapy_ray.stages.sessions import asof_join
+    from spapy_ray.stages.sessions import asof_join_split
 
     ds = _read(sf_dir, "events",
                columns=["event_id", "ts", "user_id", "event_type"])
-
-    def only(kind):
-        def f(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t.column("event_type"), kind)) \
-                .drop_columns(["event_type"])
-        return f
-
-    purchases = ds.map_batches(only("purchase"), batch_format="pyarrow")
-    views = _read(sf_dir, "events",
-                  columns=["event_id", "ts", "user_id", "event_type"]) \
-        .map_batches(only("view"), batch_format="pyarrow")
-    out = asof_join(purchases, views, by="user_id", on="ts",
-                    left_cols=["event_id"], right_cols=["event_id"]) \
-        .to_pandas()
+    out = asof_join_split(ds, by="user_id", on="ts",
+                          side_col="event_type", left_value="purchase",
+                          right_value="view", left_cols=["event_id"],
+                          right_cols=["event_id"]).to_pandas()
     out["view_event_id"] = out["event_id_r"].fillna(-1).astype(np.int64)
     out = out.rename(columns={"event_id": "purchase_event_id"})
     return out[["user_id", "purchase_event_id", "view_event_id"]]

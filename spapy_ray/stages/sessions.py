@@ -170,6 +170,58 @@ def asof_join(left_ds, right_ds, *, by: str = "user_id", on: str = "ts",
 
     both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow"))
+    return _asof_merge(both, by, on, lcols, rcols, ltypes_all, ltypes,
+                       suffix)
+
+
+def asof_join_split(ds, *, by: str, on: str, side_col: str,
+                    left_value, right_value,
+                    left_cols: list[str], right_cols: list[str],
+                    suffix: str = "_r"):
+    """As-of join where BOTH sides live in one log, discriminated by
+    ``side_col`` (the classic purchase←view attribution over a single
+    events table). Reads the source ONCE: a single map_batches splits
+    each batch into left/right unified-schema rows — `asof_join` on
+    two filtered branches of the same input would execute the source
+    read twice (Datasets share no DAG), a 2x source scan at corpus
+    scale."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    base = ds.schema().base_schema
+    types_all = {n: base.field(n).type for n in base.names}
+    ltypes = {c: types_all[c] for c in left_cols}
+    rtypes = {c: types_all[c] for c in right_cols}
+
+    def tag_both(t: pa.Table) -> pa.Table:
+        lt = t.filter(pc.equal(t.column(side_col), left_value))
+        rt = t.filter(pc.equal(t.column(side_col), right_value))
+        lout = lt.select([by, on] + left_cols)
+        for c in right_cols:
+            lout = lout.append_column(
+                c + suffix, pa.nulls(len(lt), type=rtypes[c]))
+        lout = lout.append_column("side__", pa.array(
+            np.zeros(len(lt), dtype=np.int8)))
+        rout = rt.select([by, on])
+        for c in left_cols:
+            rout = rout.append_column(c, pa.nulls(len(rt), type=ltypes[c]))
+        for c in right_cols:
+            rout = rout.append_column(c + suffix, rt.column(c))
+        rout = rout.append_column("side__", pa.array(
+            np.ones(len(rt), dtype=np.int8)))
+        return pa.concat_tables([lout, rout])
+
+    both = ds.map_batches(tag_both, batch_format="pyarrow")
+    return _asof_merge(both, by, on, left_cols, right_cols, types_all,
+                       ltypes, suffix)
+
+
+def _asof_merge(both, by: str, on: str, lcols: list[str],
+                rcols: list[str], ltypes_all: dict, ltypes: dict,
+                suffix: str):
+    """Shared tail of the as-of joins: hash-bucket the key, run one
+    vectorized merge_asof(by=...) per bucket, restore left dtypes."""
+    import pyarrow as pa
 
     rnames = [c + suffix for c in rcols]
 
