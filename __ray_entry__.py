@@ -33,7 +33,7 @@ def entry() -> Any:
 _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "polygonize_polygons", "events_asof", "densify_counts",
           "clip_zones", "resample_nearest", "dataset_bounds",
-          "terrain_stats"]
+          "terrain_stats", "docs_quality"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -108,4 +108,5 @@ def oracle_sql() -> dict[str, str]:
         "resample_nearest": o.q_resample_nearest(),
         "dataset_bounds": o.q_dataset_bounds(),
         "terrain_stats": o.q_terrain_stats(),
+        "docs_quality": o.q_docs_quality(),
     }

@@ -962,3 +962,17 @@ def q_terrain_stats() -> str:
         "sum(tri8)::BIGINT AS sum_tri8, sum(tpi8)::BIGINT AS sum_tpi8, "
         "sum(rough)::BIGINT AS sum_rough FROM k GROUP BY tx, ty"
     )
+
+
+def q_docs_quality() -> str:
+    """Twin of queries.q_docs_quality: RE2 character-class counts
+    (DuckDB regexp_replace) and the same int/int double division."""
+    punct = r"[!-/:-@\[-`{-~]"
+    return (
+        "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+        f"(length(text) - length(regexp_replace(text, '{punct}', '', 'g')))::BIGINT AS n_punct, "
+        "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digits, "
+        f"((length(text) - length(regexp_replace(text, '{punct}', '', 'g')))::DOUBLE "
+        "/ GREATEST(length(text), 1)::DOUBLE) AS punct_ratio "
+        "FROM documents"
+    )

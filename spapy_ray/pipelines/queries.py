@@ -146,27 +146,31 @@ def q_lineitem_pricing(sf_dir: str):
             "disc_price", pc.multiply(t.column("l_extendedprice"),
                                       pc.subtract(pa.scalar(1.0), t.column("l_discount"))))
 
-    out = ds.map_batches(disc, batch_format="pyarrow") \
-        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
-        ).to_pandas()
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    out = pre_aggregated_sums(
+        ds.map_batches(disc, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "l_extendedprice", "disc_price"],
+        count_alias="count_order").to_pandas()
+    out = out.rename(columns={"l_quantity": "sum_qty",
+                              "l_extendedprice": "sum_base_price",
+                              "disc_price": "sum_disc_price"})
     out["sum_base_price"] = out["sum_base_price"].round(2)
     out["sum_disc_price"] = out["sum_disc_price"].round(2)
-    return out
+    return out[["l_returnflag", "l_linestatus", "sum_qty",
+                "sum_base_price", "sum_disc_price", "count_order"]]
 
 
 def q_events_by_type(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from spapy_ray.stages.relational import pre_aggregated_sums
 
-    out = _read(sf_dir, "events", columns=["event_type", "value"]) \
-        .groupby("event_type").aggregate(
-            Count(alias_name="n_events"),
-            Sum("value", alias_name="sum_value")).to_pandas()
+    out = pre_aggregated_sums(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        ["event_type"], ["value"], count_alias="n_events").to_pandas()
+    out = out.rename(columns={"value": "sum_value"})
     out["sum_value"] = out["sum_value"].round(2)
-    return out
+    return out[["event_type", "n_events", "sum_value"]]
 
 
 def q_docs_token_stats(sf_dir: str):
@@ -1126,6 +1130,21 @@ def q_terrain_stats(sf_dir: str):
 
 
 QUERIES["terrain_stats"] = q_terrain_stats
+
+
+def q_docs_quality(sf_dir: str):
+    """Text-quality scoring over documents (training-data quality
+    family): char/punct/digit counts + punct ratio, all vectorized
+    Arrow RE2 — DuckDB runs RE2 too, so the class counts and the
+    int/int double division match bit-exactly."""
+    from spapy_ray.stages.text import quality_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return quality_stats(ds).select_columns(
+        ["doc_id", "n_chars", "n_punct", "n_digits", "punct_ratio"])
+
+
+QUERIES["docs_quality"] = q_docs_quality
 
 
 CONTOUR_LEVELS = [63.5, 127.5, 191.5]

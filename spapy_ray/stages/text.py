@@ -180,3 +180,32 @@ def rolling_fingerprints(ds, column: str = "text", batch_size: int = 32768):
     return ds.map_batches(
         lambda t: rolling_fingerprint_batch(t, column),
         batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
+def quality_stats_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Text-quality features (training-data quality scoring family):
+    character count, ASCII punctuation count, digit count and the
+    punctuation ratio. Both Arrow and DuckDB run RE2, so the regex
+    class counts match exactly and the ratio (same int inputs, one
+    double division) is bit-identical to the SQL twin."""
+    text = batch.column(column)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n_punct = pc.count_substring_regex(
+        text, r"[!-/:-@\[-`{-~]").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n_digit = pc.count_substring_regex(
+        text, r"[0-9]").to_numpy(zero_copy_only=False).astype(np.int64)
+    ratio = n_punct / np.maximum(n_chars, 1)
+    return batch.append_column("n_chars", pa.array(n_chars)) \
+        .append_column("n_punct", pa.array(n_punct)) \
+        .append_column("n_digits", pa.array(n_digit)) \
+        .append_column("punct_ratio", pa.array(ratio))
+
+
+def quality_stats(ds, column: str = "text", batch_size: int = 4096):
+    return ds.map_batches(lambda t: quality_stats_batch(t, column),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)
