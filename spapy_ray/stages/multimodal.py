@@ -29,22 +29,73 @@ from spapy_ray.kernels.hashing import fnv1a64
 from spapy_ray.util import default_pool
 
 
+_RSZ_MAGIC = b"RSZ1"
+
+
+def _as_bytes(payloads: list) -> list[bytes]:
+    """Accept str (text stand-in) or bytes payload columns."""
+    return [p.encode("utf-8") if isinstance(p, str) else p
+            for p in payloads]
+
+
 class DeterministicFakeCodec:
     """Stands in for an image/audio decoder: deterministic pseudo
-    metadata + features from the payload bytes."""
+    metadata + features from the payload bytes. Resized payloads are
+    tagged containers (RSZ1 + dims + source digest) so a probe AFTER
+    a resize reports the target dimensions — the real pipeline's
+    observable behavior, without pixels."""
 
     feature_dim = 16
 
     def decode_meta(self, payloads: list[bytes]) -> dict[str, np.ndarray]:
-        h = fnv1a64(pa.array([p.decode("latin1") for p in payloads]))
-        width = (h % np.uint64(1920) + np.uint64(16)).astype(np.int32)
-        height = ((h >> np.uint64(16)) % np.uint64(1080) + np.uint64(16)).astype(np.int32)
-        n_frames = ((h >> np.uint64(32)) % np.uint64(240) + np.uint64(1)).astype(np.int32)
+        import struct
+
+        payloads = _as_bytes(payloads)
+        n = len(payloads)
+        width = np.empty(n, dtype=np.int32)
+        height = np.empty(n, dtype=np.int32)
+        n_frames = np.empty(n, dtype=np.int32)
+        plain_idx = [i for i, p in enumerate(payloads)
+                     if not p.startswith(_RSZ_MAGIC)]
+        if plain_idx:
+            h = fnv1a64(pa.array([payloads[i].decode("latin1")
+                                  for i in plain_idx]))
+            width[plain_idx] = (h % np.uint64(1920) + np.uint64(16)) \
+                .astype(np.int32)
+            height[plain_idx] = ((h >> np.uint64(16)) % np.uint64(1080)
+                                 + np.uint64(16)).astype(np.int32)
+            n_frames[plain_idx] = ((h >> np.uint64(32)) % np.uint64(240)
+                                   + np.uint64(1)).astype(np.int32)
+        for i, p in enumerate(payloads):
+            if p.startswith(_RSZ_MAGIC):
+                w, hh, nf = struct.unpack_from("<iii", p, 4)
+                width[i], height[i], n_frames[i] = w, hh, nf
         size = np.array([len(p) for p in payloads], dtype=np.int64)
         return {"width": width, "height": height, "n_frames": n_frames,
                 "n_bytes": size}
 
+    def resize(self, payloads: list[bytes], width: int,
+               height: int) -> list[bytes]:
+        import struct
+
+        payloads = _as_bytes(payloads)
+        meta = self.decode_meta(payloads)
+        h = fnv1a64(pa.array([p.decode("latin1") for p in payloads]))
+        return [_RSZ_MAGIC
+                + struct.pack("<iii", width, height, int(meta["n_frames"][i]))
+                + struct.pack("<Q", int(h[i]))
+                for i in range(len(payloads))]
+
+    def extract_frames(self, payload: bytes,
+                       frame_idx: np.ndarray) -> list[bytes]:
+        import struct
+
+        payload, = _as_bytes([payload])
+        h = int(fnv1a64(pa.array([payload.decode("latin1")]))[0])
+        return [b"FRM1" + struct.pack("<iQ", int(i), h) for i in frame_idx]
+
     def features(self, payloads: list[bytes]) -> np.ndarray:
+        payloads = _as_bytes(payloads)
         h = fnv1a64(pa.array([p.decode("latin1") for p in payloads]))
         cols = []
         for i in range(self.feature_dim):
@@ -61,9 +112,12 @@ class RealCodecStub:
     def decode_meta(self, payloads):
         raise NotImplementedError(
             "real image/audio decode needs PIL / ffmpeg, not present in "
-            "this environment; plug a codec with decode_meta/features here")
+            "this environment; plug a codec with decode_meta/features/"
+            "resize/extract_frames here")
 
     features = decode_meta
+    resize = decode_meta
+    extract_frames = decode_meta
 
 
 class MediaProbe:
@@ -102,6 +156,60 @@ class MediaEmbed:
                                    pa.ListArray.from_arrays(offsets, flat))
 
 
+class MediaResize:
+    """Actor: payload column → resized-payload column. A probe on the
+    output reports the target (width, height) — the contract a real
+    PIL/ffmpeg resize satisfies."""
+
+    def __init__(self, codec=None, payload_col: str = "html",
+                 out_col: str = "resized", width: int = 224,
+                 height: int = 224):
+        self.codec = codec or DeterministicFakeCodec()
+        self.payload_col = payload_col
+        self.out_col = out_col
+        self.width = width
+        self.height = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        out = self.codec.resize(payloads, self.width, self.height)
+        return batch.append_column(self.out_col,
+                                   pa.array(out, type=pa.binary()))
+
+
+class FrameSampler:
+    """Actor, flat-map shape: each video payload expands into one row
+    per sampled frame (every ``stride``-th frame, capped at
+    ``max_frames``) with frame_idx + frame payload columns; the other
+    columns replicate. The output row count is data-dependent — the
+    canonical frame-sampling stage of a video training pipeline."""
+
+    def __init__(self, codec=None, payload_col: str = "html",
+                 stride: int = 30, max_frames: int = 8):
+        self.codec = codec or DeterministicFakeCodec()
+        self.payload_col = payload_col
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        meta = self.codec.decode_meta(payloads)
+        take_idx, frame_idx, frames = [], [], []
+        for i, p in enumerate(payloads):
+            idx = np.arange(0, int(meta["n_frames"][i]),
+                            self.stride)[:self.max_frames]
+            fr = self.codec.extract_frames(p, idx)
+            take_idx.extend([i] * len(idx))
+            frame_idx.extend(idx.tolist())
+            frames.extend(fr)
+        out = batch.drop_columns([self.payload_col]) \
+            .take(pa.array(take_idx, type=pa.int64()))
+        out = out.append_column("frame_idx",
+                                pa.array(frame_idx, type=pa.int32()))
+        return out.append_column("frame",
+                                 pa.array(frames, type=pa.binary()))
+
+
 def probe_media(ds, payload_col: str = "html", codec=None,
                 batch_size: int = 256, concurrency=None):
     """Metadata-probe stage. Small batches: payloads are fat."""
@@ -118,5 +226,31 @@ def embed_media(ds, payload_col: str = "html", codec=None,
     return ds.map_batches(
         MediaEmbed,
         fn_constructor_kwargs={"codec": codec, "payload_col": payload_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or default_pool())
+
+
+def resize_media(ds, payload_col: str = "html", codec=None,
+                 width: int = 224, height: int = 224,
+                 batch_size: int = 256, concurrency=None):
+    """Resize stage (actor pool; small batches — two payload copies
+    live per batch)."""
+    return ds.map_batches(
+        MediaResize,
+        fn_constructor_kwargs={"codec": codec, "payload_col": payload_col,
+                               "width": width, "height": height},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or default_pool())
+
+
+def sample_frames(ds, payload_col: str = "html", codec=None,
+                  stride: int = 30, max_frames: int = 8,
+                  batch_size: int = 64, concurrency=None):
+    """Frame-sampling stage (flat-map; output rows = sampled frames).
+    Smallest batches of the family — each input row fans out."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"codec": codec, "payload_col": payload_col,
+                               "stride": stride, "max_frames": max_frames},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency or default_pool())

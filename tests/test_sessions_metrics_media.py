@@ -305,3 +305,63 @@ def test_embed_lsh_join_verify_matches_broadcast(ray_session):
     assert list(bc["key_a"]) == list(jn["key_a"])
     assert list(bc["key_b"]) == list(jn["key_b"])
     assert np.allclose(bc["cos"], jn["cos"], rtol=0, atol=1e-12)
+
+
+def test_media_resize_and_frame_sampling(ray_session):
+    """Resize + frame-sample actor stages over the fake codec: a probe
+    AFTER resize reports the target dims; frame sampling fans each
+    payload out into min(ceil(n_frames/stride), max_frames) rows with
+    deterministic frame payloads."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from spapy_ray.stages.multimodal import (DeterministicFakeCodec,
+                                             probe_media, resize_media,
+                                             sample_frames)
+
+    df = pd.DataFrame({
+        "key": [f"m{i}" for i in range(40)],
+        "html": [f"payload-{i}-" + "x" * (i * 7 % 50) for i in range(40)]})
+    ds = rd.from_pandas(df)
+
+    resized = resize_media(ds, width=320, height=200)
+    probed = probe_media(resized, payload_col="resized").to_pandas()
+    assert (probed["width"] == 320).all()
+    assert (probed["height"] == 200).all()
+    # n_frames carries through the resize container
+    orig = probe_media(rd.from_pandas(df)).to_pandas() \
+        .set_index("key")["n_frames"]
+    got = probed.set_index("key")["n_frames"]
+    assert got.sort_index().equals(orig.sort_index())
+
+    frames = sample_frames(rd.from_pandas(df), stride=30,
+                           max_frames=4).to_pandas()
+    codec = DeterministicFakeCodec()
+    meta = codec.decode_meta([p.encode() for p in df["html"]])
+    want_rows = sum(min(len(range(0, int(nf), 30)), 4)
+                    for nf in meta["n_frames"])
+    assert len(frames) == want_rows
+    assert set(frames.columns) == {"key", "frame_idx", "frame"}
+    # per-key frame indices are 0, 30, 60...
+    g0 = frames[frames["key"] == "m0"].sort_values("frame_idx")
+    assert list(g0["frame_idx"]) == \
+        list(range(0, int(meta["n_frames"][0]), 30))[:4]
+    # frames deterministic: same payload → same bytes
+    f2 = sample_frames(rd.from_pandas(df), stride=30,
+                       max_frames=4).to_pandas()
+    a = frames.sort_values(["key", "frame_idx"]).reset_index(drop=True)
+    b = f2.sort_values(["key", "frame_idx"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_media_resize_stub_raises(ray_session):
+    import pandas as pd
+    import pytest as _pytest
+
+    import ray.data as rd
+    from spapy_ray.stages.multimodal import RealCodecStub, resize_media
+
+    ds = rd.from_pandas(pd.DataFrame({"html": ["x"]}))
+    with _pytest.raises(Exception):
+        resize_media(ds, codec=RealCodecStub()).to_pandas()
