@@ -307,3 +307,42 @@ def Contour(r: Raster, interval=100, base=0):
     levels = list(np.arange(base, float(mm["max_z"]) + interval, interval))
     levels = [lv for lv in levels if lv >= float(mm["min_z"])]
     return contour(r.ds, r.meta, levels, dtype=r.dtype)
+
+
+def Save(obj, path, *, crs: str | None = None, nodata: float | None = None):
+    """SpaVectors.Save / SpaRasters.Save (SpaVectors.py:240-281,
+    SpaRasters.py:752-824): route by extension —
+
+    - vector Dataset/Table + .shp  → native shapefile writer
+    - vector Dataset + .parquet / dir → write_parquet
+    - Raster + .asc → native AAIGrid writer
+    - Raster + dir  → tile-table parquet + _raster_meta.json
+
+    Writing a .shp collects the layer to the driver first (the format
+    is one sequential file — the same boundary fiona has); big layers
+    belong in parquet.
+    """
+    import os as _os
+
+    ext = _os.path.splitext(str(path))[1].lower()
+    if isinstance(obj, Raster):
+        if ext == ".asc":
+            from spapy_ray.sources.aaigrid import write_aaigrid
+
+            write_aaigrid(obj.ds, obj.meta, str(path), dtype=obj.dtype,
+                          nodata=nodata)
+            return
+        from spapy_ray.sources.dispatch import write_raster
+
+        write_raster(obj.ds, str(path), obj.meta)
+        return
+    if ext == ".shp":
+        import pyarrow as _pa
+
+        from spapy_ray.sources.shapefile import write_shapefile
+
+        tbl = obj if isinstance(obj, _pa.Table) else _pa.Table.from_pandas(
+            obj.to_pandas(), preserve_index=False)
+        write_shapefile(tbl, str(path), crs=crs)
+        return
+    obj.write_parquet(str(path))

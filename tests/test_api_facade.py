@@ -70,3 +70,36 @@ def test_load_roundtrip(ray_session, tmp_path):
     r = api.Load(p)
     assert isinstance(r, api.Raster)
     assert api.GetMinMax(r)["n_pixels"] == 64 * 64
+
+
+def test_save_facade_shapefile_and_aaigrid(ray_session, tmp_path):
+    """Save() routes vector layers to the native .shp writer and
+    rasters to AAIGrid, round-tripping through Load()."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from spapy_ray import api
+    from spapy_ray.kernels import wkb
+
+    tbl = pa.table({
+        "geom_wkb": pa.array([wkb.encode_point(1.0, 2.0)],
+                             type=pa.binary()),
+        "id": pa.array([7], type=pa.int64())})
+    p = str(tmp_path / "layer.shp")
+    api.Save(rd.from_arrow(tbl), p)
+    back = api.Load(p).to_pandas()
+    assert back["id"].tolist() == [7]
+
+    from spapy_ray.sources.rasters import RasterMeta
+
+    meta = RasterMeta(width=8, height=8, tile_size=8, x_min=0.0,
+                      y_max=8.0, pixel_w=1.0, pixel_h=-1.0)
+    a = np.arange(64, dtype=np.int32).reshape(8, 8)
+    ds = rd.from_arrow(pa.Table.from_pylist(
+        [{"tx": 0, "ty": 0, "band": 0, "data": a.tobytes()}]))
+    asc = str(tmp_path / "r.asc")
+    api.Save(api.Raster(ds, meta, "int32"), asc)
+    r2 = api.Load(asc)
+    mm = api.GetMinMax(r2)
+    assert (int(mm["min_z"]), int(mm["max_z"])) == (0, 63)
