@@ -1169,22 +1169,10 @@ def q_contour_lines(sf_dir: str):
     pieces = contour_pieces(ds, DEM_META, CONTOUR_LEVELS, dtype="int32",
                             with_geometry=False).materialize()
 
-    # closed-in-tile loops: distributed partial aggregation
-    def closed_partial(t: pa.Table) -> pa.Table:
-        m = t.column("closed")
-        tt = t.filter(m)
-        return pa.table({
-            "level": tt.column("level"),
-            "crossings": pc.subtract(tt.column("n_points"), pa.scalar(1))})
-
-    closed_agg = pieces.map_batches(closed_partial, batch_format="pyarrow") \
-        .groupby("level").aggregate(Sum("crossings", alias_name="c")) \
-        .to_pandas()
-
     # cross-tile fragments: distributed chain merge (chains stitched
-    # inside hash(root) buckets — merge_open_pieces_dist), reduced to
-    # per-level invariants by a Dataset aggregate; the driver only
-    # sees per-level rows
+    # inside hash(root) buckets — merge_open_pieces_dist); the closed-
+    # in-tile loop partials UNION with the merged-chain partials so
+    # ONE per-level aggregate folds both (one shuffle, not two)
     def open_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.invert(t.column("closed")))
 
@@ -1192,23 +1180,34 @@ def q_contour_lines(sf_dir: str):
         pieces.map_batches(open_only, batch_format="pyarrow"),
         CONTOUR_LEVELS, DEM_META, with_geometry=False)
 
+    def closed_partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(t.column("closed"))
+        n = len(tt)
+        return pa.table({
+            "level": tt.column("level"),
+            "open1": pa.array(np.zeros(n, np.int64)),
+            "cr": pa.array(pc.subtract(tt.column("n_points"),
+                                       pa.scalar(1)).to_numpy()
+                           .astype(np.int64))})
+
     def merged_partial(t: pa.Table) -> pa.Table:
         cl = t.column("closed").to_numpy()
         npts = t.column("n_points").to_numpy()
         return pa.table({
             "level": t.column("level"),
             "open1": pa.array((~cl).astype(np.int64)),
-            "cr": pa.array(npts - cl.astype(np.int64))})
+            "cr": pa.array((npts - cl.astype(np.int64)).astype(np.int64))})
 
-    magg = merged_ds.map_batches(merged_partial, batch_format="pyarrow") \
+    magg = pieces.map_batches(closed_partial, batch_format="pyarrow") \
+        .union(merged_ds.map_batches(merged_partial,
+                                     batch_format="pyarrow")) \
         .groupby("level").aggregate(Sum("open1", alias_name="o"),
                                     Sum("cr", alias_name="c2")).to_pandas()
 
     rows = []
     for lv in CONTOUR_LEVELS:
-        cr = int(closed_agg.loc[closed_agg["level"] == lv, "c"].sum())
         mrow = magg[magg["level"] == lv]
-        cr += int(mrow["c2"].sum())
+        cr = int(mrow["c2"].sum())
         rows.append({"level": lv,
                      "n_open_lines": int(mrow["o"].sum()),
                      "n_crossings": cr})
