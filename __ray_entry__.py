@@ -33,7 +33,8 @@ def entry() -> Any:
 _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "polygonize_polygons", "events_asof", "densify_counts",
           "clip_zones", "resample_nearest", "dataset_bounds",
-          "terrain_stats", "docs_quality"]
+          "terrain_stats", "docs_quality", "ann_topk_ivf",
+          "shp_roundtrip"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -109,4 +110,12 @@ def oracle_sql() -> dict[str, str]:
         "dataset_bounds": o.q_dataset_bounds(),
         "terrain_stats": o.q_terrain_stats(),
         "docs_quality": o.q_docs_quality(),
+        # IVF with n_probe == n_clusters prunes nothing → must equal
+        # the exact top-k; reusing the exact twin value-hashes the
+        # whole IVF machinery
+        "ann_topk_ivf": o.q_ann_topk(),
+        # .shp/.dbf round-trip is lossless for float64 coords + typed
+        # attrs; bounds/area of the reloaded layer == computing them
+        # on the original zones, i.e. the zone_bounds_area twin
+        "shp_roundtrip": o.q_zone_bounds_area(),
     }

@@ -536,8 +536,12 @@ def q_near_dup_docs(sf_dir: str, threshold: float = 0.8):
     def keyed(t: pa.Table) -> pa.Table:
         return t.append_column("key", t.column("doc_id"))
 
+    # verify="join" pins the corpus-scale co-partitioned double-join
+    # verify (no driver key set, no broadcast dict) under the value
+    # hash, same policy as the topo queries' merge="distributed"
     pairs = near_dup_pairs(ds.map_batches(keyed, batch_format="pyarrow"),
-                           key_col="key", threshold=threshold)
+                           key_col="key", threshold=threshold,
+                           verify="join")
     return pairs.select_columns(["key_a", "key_b", "jacc"])
 
 
@@ -1297,4 +1301,61 @@ QUERIES.update({
     "polygonize_components": q_polygonize_components,
     "polygonize_polygons": q_polygonize_polygons,
     "hillshade_stats": q_hillshade_stats,
+})
+
+
+def q_ann_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 10):
+    """The IVF ANN path (coarse quantizer + cluster pruning +
+    probe-set masking + per-query merge) pinned EXACT: with
+    n_probe == n_clusters every (cluster, query) cell is probed, so
+    the prune drops nothing and the result must equal the exact
+    brute-force top-k — the same SQL twin as ann_topk value-hashes
+    the whole IVF machinery (assignment, masking, merge). Normal use
+    sets n_probe << n_clusters (recall measured in pytest)."""
+    import pyarrow.parquet as pq
+
+    from spapy_ray.stages.ann import _stack_embeddings, cosine_topk_ivf
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", n_queries)])
+    qids = qt.column("vec_id").to_numpy()
+    qmat = _stack_embeddings(qt.column("embedding"))
+    return cosine_topk_ivf(ds, qids, qmat, k=k, n_clusters=16, n_probe=16)
+
+
+def q_shp_roundtrip(sf_dir: str):
+    """Native Shapefile I/O (sources/shapefile.py — public-spec
+    parser/writer, reference Load/Save: SpaVectors.py:195-281) pushed
+    through the driver's value-hash gate: the zone layer is written
+    to .shp/.shx/.dbf, read back, and measured. Coordinates are
+    float64 in the format, the CW-outer re-orientation only reverses
+    ring walks (|shoelace| invariant), and int64/string attributes
+    survive the dBase round-trip typed — so bounds + fixed-point area
+    of the reloaded layer must be BIT-IDENTICAL to computing them on
+    the original table (oracle: q_zone_bounds_area)."""
+    import os
+    import tempfile
+
+    from spapy_ray.sources import shapefile as shp
+    from spapy_ray.sources.zones import zones_table
+    from spapy_ray.stages.measures import measure_wkb_table
+
+    d = tempfile.mkdtemp(prefix="spapy_shp_")
+    try:
+        path = os.path.join(d, "zones.shp")
+        shp.write_shapefile(zones_table(), path, crs='LOCAL_CS["u2"]')
+        back, _meta = shp.read_shapefile(path)
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+    return measure_wkb_table(back).select(
+        ["zone_id", "name", "minx", "miny", "maxx", "maxy", "area"])
+
+
+QUERIES.update({
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "shp_roundtrip": q_shp_roundtrip,
 })
