@@ -34,7 +34,8 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "polygonize_polygons", "events_asof", "densify_counts",
           "clip_zones", "resample_nearest", "dataset_bounds",
           "terrain_stats", "docs_quality", "ann_topk_ivf",
-          "shp_roundtrip"]
+          "shp_roundtrip", "raster_math_stats", "asc_roundtrip",
+          "semi_pages", "anti_pages"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -118,4 +119,8 @@ def oracle_sql() -> dict[str, str]:
         # attrs; bounds/area of the reloaded layer == computing them
         # on the original zones, i.e. the zone_bounds_area twin
         "shp_roundtrip": o.q_zone_bounds_area(),
+        "raster_math_stats": o.q_raster_math_stats(),
+        "asc_roundtrip": o.q_asc_roundtrip(),
+        "semi_pages": o.q_semi_pages(),
+        "anti_pages": o.q_semi_pages(anti=True),
     }

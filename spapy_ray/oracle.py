@@ -976,3 +976,53 @@ def q_docs_quality() -> str:
         "/ GREATEST(length(text), 1)::DOUBLE) AS punct_ratio "
         "FROM documents"
     )
+
+
+def q_semi_pages(anti: bool = False) -> str:
+    """Twin of stages.relate.point_semi_join: keep pages whose
+    geocoded point lies in ANY zone (semi) / NO zone (anti)."""
+    ex = "NOT EXISTS" if anti else "EXISTS"
+    return (f"WITH {geo_zones_cte()} "
+            "SELECT g.url, g.warc_ts, g.lang FROM geo g "
+            f"WHERE {ex} (SELECT 1 FROM zones z WHERE "
+            f"{sql_pip_condition('g.lon', 'g.lat')})")
+
+
+def _tile_stats_select(val: str, src: str) -> str:
+    return (f"SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+            f"sum({val})::BIGINT AS sum_v, min({val})::BIGINT AS min_v, "
+            f"max({val})::BIGINT AS max_v, count(*)::BIGINT AS n_px "
+            f"FROM {src} GROUP BY 1, 2")
+
+
+def q_raster_math_stats() -> str:
+    """Twin of the tile_math chain in queries.q_raster_math_stats:
+    v*3 -> nodata-masked swap-subtract (0 stays 0, else 500-3v) ->
+    abs -> square -> minimum(40000), folded to per-tile int stats.
+    All steps are exact integer arithmetic in both engines."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    v = sql_dem_int("(p % 512)", "(p // 512)", 0)
+    return (
+        f"WITH grid AS (SELECT p % 512 AS px, p // 512 AS py, {v} AS v "
+        "FROM range(262144) t(p)), "
+        "s AS (SELECT px, py, least((CASE WHEN v = 0 THEN 0 ELSE "
+        "abs(500 - v * 3) END) * (CASE WHEN v = 0 THEN 0 ELSE "
+        "abs(500 - v * 3) END), 40000) AS r FROM grid) "
+        + _tile_stats_select("r", "s")
+    )
+
+
+def q_asc_roundtrip() -> str:
+    """Per-tile stats of the int DEM straight from the closed form —
+    the engine side must reproduce them THROUGH the .asc text file
+    (write_aaigrid -> read_aaigrid), so any format/parse/re-tile
+    error breaks the hash. z depends only on (px, py), not on the
+    geo transform, so the square-pixel meta needs no SQL mirror."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    v = sql_dem_int("(p % 512)", "(p // 512)", 0)
+    return (
+        f"WITH grid AS (SELECT p % 512 AS px, p // 512 AS py, {v} AS v "
+        "FROM range(262144) t(p)) " + _tile_stats_select("v", "grid")
+    )

@@ -1359,3 +1359,112 @@ QUERIES.update({
     "ann_topk_ivf": q_ann_topk_ivf,
     "shp_roundtrip": q_shp_roundtrip,
 })
+
+
+def _tile_int_stats(ds, dtype: str, tile_size: int):
+    """Per-tile integer stats (sum/min/max/count) over decoded tiles;
+    honors ragged (h, w) columns when present."""
+    from spapy_ray.stages.raster import decode_tile
+
+    def stats(t: pa.Table) -> pa.Table:
+        has_hw = "h" in t.schema.names and "w" in t.schema.names
+        hs = t.column("h").to_numpy() if has_hw else None
+        ws = t.column("w").to_numpy() if has_hw else None
+        sums, mins, maxs, ns = [], [], [], []
+        for i, b in enumerate(t.column("data").to_pylist()):
+            a = decode_tile(b, dtype, tile_size,
+                            int(hs[i]) if has_hw else None,
+                            int(ws[i]) if has_hw else None)
+            sums.append(int(a.sum(dtype=np.int64)))
+            mins.append(int(a.min()))
+            maxs.append(int(a.max()))
+            ns.append(int(a.size))
+        return pa.table({
+            "tx": pc.cast(t.column("tx"), pa.int64()),
+            "ty": pc.cast(t.column("ty"), pa.int64()),
+            "sum_v": pa.array(sums, type=pa.int64()),
+            "min_v": pa.array(mins, type=pa.int64()),
+            "max_v": pa.array(maxs, type=pa.int64()),
+            "n_px": pa.array(ns, type=pa.int64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_raster_math_stats(sf_dir: str):
+    """Scalar/unary raster-algebra chain (reference Math dispatch +
+    one-liners, SpaRasters.py:894-985): multiply(3) -> swap-subtract
+    500-a with nodata=0 masking -> abs -> square -> minimum(40000),
+    reduced to per-tile int stats. Every step is exact int32
+    arithmetic, so the CASE/least SQL twin value-hashes the whole op
+    table dispatch, the swap normalization and the nodata mask."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.raster import tile_math
+
+    T = DEM_META.tile_size
+    ds = synth_dem_dataset(DEM_META, kind="int")
+    ds = tile_math(ds, "multiply", 3, dtype="int32", tile_size=T)
+    ds = tile_math(ds, "subtract", 500, swap=True, nodata=0,
+                   dtype="int32", tile_size=T)
+    ds = tile_math(ds, "abs", dtype="int32", tile_size=T)
+    ds = tile_math(ds, "square", dtype="int32", tile_size=T)
+    ds = tile_math(ds, "minimum", 40000, dtype="int32", tile_size=T)
+    return _tile_int_stats(ds, "int32", T)
+
+
+QUERIES["raster_math_stats"] = q_raster_math_stats
+
+
+def q_asc_roundtrip(sf_dir: str):
+    """Native AAIGrid Save/Load (sources/aaigrid.py; reference writes
+    .asc via gdal's AAIGrid driver, SpaRasters.py:752-824) under the
+    value-hash gate: the int DEM on a square-pixel meta (AAIGrid has
+    one cellsize) is written to .asc text, read back, re-tiled and
+    reduced to per-tile stats against the closed-form pixel twin."""
+    import os
+    import shutil
+    import tempfile
+
+    from spapy_ray.sources.aaigrid import read_aaigrid, write_aaigrid
+    from spapy_ray.sources.rasters import RasterMeta, synth_dem_dataset
+
+    meta = RasterMeta(width=512, height=512, tile_size=64,
+                      x_min=0.0, y_max=128.0, pixel_w=0.25,
+                      pixel_h=-0.25)
+    d = tempfile.mkdtemp(prefix="spapy_asc_")
+    try:
+        path = os.path.join(d, "dem.asc")
+        write_aaigrid(synth_dem_dataset(meta, kind="int"), meta, path,
+                      dtype="int32")
+        # read_aaigrid parses on the driver (interchange format): the
+        # returned Dataset holds in-memory blocks, so the temp dir can
+        # go away before execution
+        back, bmeta, _ = read_aaigrid(path, tile_size=64)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert bmeta.width == meta.width and bmeta.pixel_w == meta.pixel_w
+    return _tile_int_stats(back, "int32", 64)
+
+
+QUERIES["asc_roundtrip"] = q_asc_roundtrip
+
+
+def q_semi_pages(sf_dir: str):
+    """Point-in-any-zone existence filter (semi join) — the
+    broadcast-small-side form of the reference's RelateWithDataset
+    OR-fold (SpaVectors.py:1148-1254) applied per row."""
+    from spapy_ray.stages.relate import point_semi_join
+
+    return point_semi_join(_geo(sf_dir), zones_table()) \
+        .select_columns(["url", "warc_ts", "lang"])
+
+
+def q_anti_pages(sf_dir: str):
+    """Complement of q_semi_pages: pages in NO zone (anti join)."""
+    from spapy_ray.stages.relate import point_semi_join
+
+    return point_semi_join(_geo(sf_dir), zones_table(), anti=True) \
+        .select_columns(["url", "warc_ts", "lang"])
+
+
+QUERIES["semi_pages"] = q_semi_pages
+QUERIES["anti_pages"] = q_anti_pages
