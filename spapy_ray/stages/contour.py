@@ -332,8 +332,10 @@ def merge_open_pieces_dist(open_ds, levels: list[float], meta: RasterMeta,
         t = t.append_column("node", pa.array(na))
         return t.append_column("node_b", pa.array(nb))
 
-    pieces = open_ds.map_batches(add_node, batch_format="pyarrow") \
-        .materialize()
+    # two consumers (as_pairs, piece_rows) but add_node is a cheap
+    # projection over the caller's already-materialized piece table —
+    # re-running it twice beats another execution barrier
+    pieces = open_ds.map_batches(add_node, batch_format="pyarrow")
 
     def as_pairs(t: pa.Table) -> pa.Table:
         return pa.table({"a": t.column("node"), "b": t.column("node_b")})
@@ -342,10 +344,12 @@ def merge_open_pieces_dist(open_ds, levels: list[float], meta: RasterMeta,
     # base block 8x the tile size: a piece spans at most one tile, so
     # >98% of chain edges are internal at level 1; the payload of one
     # block (open-chain terminals in an 8x8-tile region) stays small
+    # roots feeds exactly one consumer (root_rows) — stream it so the
+    # whole merge fuses into one execution with the stage-1 shuffle
     roots = spatial_min_label(
         pieces.map_batches(as_pairs, batch_format="pyarrow"), ext, ext,
         base_block=max(8 * meta.tile_size, 16),
-        block_fn=_contour_block).materialize()
+        block_fn=_contour_block)
 
     # stage 1: deliver each piece its chain root (bucketed hash join
     # on the piece's node_a; missing root → singleton chain)

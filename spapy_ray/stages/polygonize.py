@@ -329,8 +329,11 @@ def polygonize_components(ds, meta: RasterMeta, *, dtype: str = "int32",
             .count()
         merge = "driver" if n_nodes <= driver_max_nodes else "distributed"
     if merge == "distributed":
+        # pair_ds has ONE consumer (the root merge) unless ring areas
+        # also fold the seam crossings — only then pin it in memory
+        pin = pair_ds.materialize() if with_ring_area else pair_ds
         return _components_distributed(
-            combined, pair_ds.materialize(), meta,
+            combined, pin, meta,
             with_ring_area=with_ring_area, return_mapping=return_mapping,
             as_dataset=as_dataset)
 
@@ -465,7 +468,12 @@ def spatial_min_label(pairs_ds, tiles_x: int, tiles_y: int, *,
             break
         G *= fan
 
-    E = pairs_ds.materialize()
+    # single-level runs (small grids / huge base_block) consume every
+    # intermediate exactly once — skip the materialize barriers so the
+    # whole merge fuses into ONE streaming execution (each execution
+    # costs ~0.5-2 s of scheduling at sandbox scale)
+    single = len(levels) == 1
+    E = pairs_ds if single else pairs_ds.materialize()
     L = None                    # (node, lab) labels riding up levels
     emitted = []
     for li, G in enumerate(levels):
@@ -479,8 +487,9 @@ def spatial_min_label(pairs_ds, tiles_x: int, tiles_y: int, *,
                 "bk": pa.array(np.where(internal, abk, np.int64(-1))),
                 "x": pa.array(a), "y": pa.array(b)})
 
-        tagged = E.map_batches(tag_edges, batch_format="pyarrow") \
-            .materialize()
+        tagged = E.map_batches(tag_edges, batch_format="pyarrow")
+        if not single:
+            tagged = tagged.materialize()
 
         def internal_only(t: pa.Table) -> pa.Table:
             return t.filter(pc.greater_equal(t.column("bk"), 0))
@@ -507,7 +516,9 @@ def spatial_min_label(pairs_ds, tiles_x: int, tiles_y: int, *,
                              "lab": pa.array(lab[keep])})
 
         out = parts.groupby("bk").map_groups(
-            bucket_uf, batch_format="pyarrow").materialize()
+            bucket_uf, batch_format="pyarrow")
+        if not single:
+            out = out.materialize()
         emitted.append(out)
 
         if li == len(levels) - 1:
@@ -650,9 +661,13 @@ def _components_distributed(combined, pair_ds, meta: RasterMeta, *,
                                 t.column("ty_b").to_numpy(),
                                 t.column("l_b").to_numpy()))})
 
+    # roots feeds one consumer (root_rows) — stream it; the node→
+    # component mapping path reads it a second time, so pin it then
     roots = spatial_min_label(
         pair_ds.map_batches(eq_pairs, batch_format="pyarrow"),
-        meta.tiles_x, meta.tiles_y).materialize()
+        meta.tiles_x, meta.tiles_y)
+    if return_mapping:
+        roots = roots.materialize()
 
     # ---- stage 1: bucket stats/roots/rings on hash(node); per bucket
     # resolve each row's root (left merge, identity fallback) and fold
