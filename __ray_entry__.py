@@ -35,7 +35,7 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "clip_zones", "resample_nearest", "dataset_bounds",
           "terrain_stats", "docs_quality", "ann_topk_ivf",
           "shp_roundtrip", "raster_math_stats", "asc_roundtrip",
-          "semi_pages", "anti_pages"]
+          "semi_pages", "anti_pages", "events_quantiles"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -123,4 +123,5 @@ def oracle_sql() -> dict[str, str]:
         "asc_roundtrip": o.q_asc_roundtrip(),
         "semi_pages": o.q_semi_pages(),
         "anti_pages": o.q_semi_pages(anti=True),
+        "events_quantiles": o.q_events_quantiles(),
     }

@@ -1026,3 +1026,14 @@ def q_asc_roundtrip() -> str:
         f"WITH grid AS (SELECT p % 512 AS px, p // 512 AS py, {v} AS v "
         "FROM range(262144) t(p)) " + _tile_stats_select("v", "grid")
     )
+
+
+def q_events_quantiles() -> str:
+    """Twin of stages.quantiles.grouped_quantile (quantile_disc
+    semantics: exact element at 1-based rank max(1, ceil(q*n)))."""
+    parts = [
+        (f"SELECT event_type, {q} AS q, "
+         f"quantile_disc(value, {q}) AS value "
+         "FROM events GROUP BY event_type")
+        for q in (0.25, 0.5, 0.9)]
+    return " UNION ALL ".join(parts)

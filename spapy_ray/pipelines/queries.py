@@ -1468,3 +1468,21 @@ def q_anti_pages(sf_dir: str):
 
 QUERIES["semi_pages"] = q_semi_pages
 QUERIES["anti_pages"] = q_anti_pages
+
+
+def q_events_quantiles(sf_dir: str):
+    """Exact per-type percentiles of the event value (distributed
+    order statistics by histogram refinement — stages/quantiles.py;
+    the values never shuffle, only O(targets x bins) counter rows).
+    DuckDB quantile_disc twin, element-exact."""
+    from spapy_ray.stages.quantiles import grouped_quantile
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    # bins/max_collect pinned SMALL so the histogram-refinement
+    # rounds (the 100 TB path) run under the value-hash gate even at
+    # test scale; production defaults are bins=1024/max_collect=64k
+    return grouped_quantile(ds, "event_type", "value",
+                            [0.25, 0.5, 0.9], bins=16, max_collect=100)
+
+
+QUERIES["events_quantiles"] = q_events_quantiles

@@ -1,0 +1,61 @@
+"""grouped_quantile vs DuckDB quantile_disc on adversarial data."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _check(df: pd.DataFrame, qs, bins, max_collect, ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.quantiles import grouped_quantile
+
+    got = grouped_quantile(rd.from_pandas(df), "k", "v", qs,
+                           bins=bins, max_collect=max_collect)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(" UNION ALL ".join(
+        f"SELECT k, {q} AS q, quantile_disc(v, {q}) AS value "
+        "FROM t GROUP BY k" for q in qs)).df() \
+        .sort_values(["k", "q"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=True)
+
+
+def test_quantiles_uniform(ray_session):
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], size=20000),
+        "v": rng.normal(0.0, 100.0, size=20000)})
+    _check(df, [0.0, 0.25, 0.5, 0.9, 1.0], bins=8, max_collect=50,
+           ray_session=ray_session)
+
+
+def test_quantiles_heavy_ties(ray_session):
+    # one value makes up 90% of a group: the containing bin never
+    # shrinks by count, so refinement must terminate via the
+    # adjacent-float interval collapse, not via max_collect
+    rng = np.random.default_rng(11)
+    v = np.where(rng.random(30000) < 0.9, 42.5,
+                 rng.normal(0.0, 10.0, 30000))
+    df = pd.DataFrame({"k": rng.choice(["x", "y"], size=30000), "v": v})
+    _check(df, [0.25, 0.5, 0.9], bins=4, max_collect=20,
+           ray_session=ray_session)
+
+
+def test_quantiles_tiny_groups(ray_session):
+    df = pd.DataFrame({"k": ["a", "a", "b", "c", "c", "c"],
+                       "v": [5.0, 1.0, 2.0, 9.0, 7.0, 8.0]})
+    _check(df, [0.5, 0.9], bins=4, max_collect=2,
+           ray_session=ray_session)
+
+
+def test_quantiles_rejects_nulls(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.quantiles import grouped_quantile
+
+    df = pd.DataFrame({"k": ["a", "a"], "v": [1.0, None]})
+    with pytest.raises(Exception):
+        grouped_quantile(rd.from_pandas(df), "k", "v", [0.5])
