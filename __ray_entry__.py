@@ -35,7 +35,8 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "clip_zones", "resample_nearest", "dataset_bounds",
           "terrain_stats", "docs_quality", "ann_topk_ivf",
           "shp_roundtrip", "raster_math_stats", "asc_roundtrip",
-          "semi_pages", "anti_pages", "events_quantiles"]
+          "semi_pages", "anti_pages", "events_quantiles",
+          "events_distinct_users", "zone_top_pages", "sample_pages"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -124,4 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_pages": o.q_semi_pages(),
         "anti_pages": o.q_semi_pages(anti=True),
         "events_quantiles": o.q_events_quantiles(),
+        "events_distinct_users": o.q_events_distinct_users(),
+        "zone_top_pages": o.q_zone_top_pages(),
+        "sample_pages": o.q_sample_pages(),
     }

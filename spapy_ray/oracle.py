@@ -1037,3 +1037,25 @@ def q_events_quantiles() -> str:
          "FROM events GROUP BY event_type")
         for q in (0.25, 0.5, 0.9)]
     return " UNION ALL ".join(parts)
+
+
+def q_events_distinct_users() -> str:
+    return ("SELECT event_type, count(DISTINCT user_id)::BIGINT "
+            "AS n_users FROM events GROUP BY event_type")
+
+
+def q_zone_top_pages(k: int = 3) -> str:
+    """(url, warc_ts) is unique per page, so the (warc_ts DESC, url)
+    order is total and row_number is deterministic."""
+    return (
+        f"WITH {join_cte()} "
+        "SELECT zone_id, url, warc_ts, "
+        "row_number() OVER (PARTITION BY zone_id "
+        "ORDER BY warc_ts DESC, url)::BIGINT AS rank "
+        f"FROM joined QUALIFY rank <= {k}")
+
+
+def q_sample_pages() -> str:
+    return (f"WITH {pages_cte()} "
+            "SELECT url, warc_ts, lang FROM pages "
+            f"WHERE ({sql_fnv1a('url')} % 10) < 3")

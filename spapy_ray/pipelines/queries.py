@@ -1486,3 +1486,46 @@ def q_events_quantiles(sf_dir: str):
 
 
 QUERIES["events_quantiles"] = q_events_quantiles
+
+
+def q_events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT) per key through the pair-dedup bucket
+    shuffle (stages/relational.distinct_count) — raw rows never
+    shuffle, only distinct-per-block pairs."""
+    from spapy_ray.stages.relational import distinct_count
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return distinct_count(ds, "event_type", "user_id", alias="n_users")
+
+
+QUERIES["events_distinct_users"] = q_events_distinct_users
+
+
+def q_zone_top_pages(sf_dir: str, k: int = 3):
+    """Top-k rows per key (newest 3 pages per zone, url tiebreak)
+    via the combiner top-k (stages/relational.grouped_topk): each
+    block ships at most k rows per key; no global sort."""
+    from spapy_ray.stages.relational import grouped_topk
+
+    rows = _join(sf_dir).select_columns(["zone_id", "url", "warc_ts"])
+    out = grouped_topk(rows, "zone_id", "warc_ts", k,
+                       descending=True, tie_cols=["url"])
+    return out.select_columns(["zone_id", "url", "warc_ts", "rank"])
+
+
+QUERIES["zone_top_pages"] = q_zone_top_pages
+
+
+def q_sample_pages(sf_dir: str):
+    """Deterministic 30% hash sample keyed on url (group-consistent:
+    all copies of a url are kept or dropped together) — the
+    training-corpus downsampling primitive, twin-checked through the
+    same fnv1a fold DuckDB runs (kernels.hashing.sql_fnv1a)."""
+    from spapy_ray.stages.relational import hash_sample
+
+    return hash_sample(pages_dataset(sf_dir, include_html=False),
+                       "url", 3, 10) \
+        .select_columns(["url", "warc_ts", "lang"])
+
+
+QUERIES["sample_pages"] = q_sample_pages

@@ -221,3 +221,75 @@ def interval_join(ds, intervals: pa.Table, *, on: str,
         return out
 
     return ds.map_batches(_task, batch_format="pyarrow")
+
+
+def distinct_count(ds, key: str, distinct_col: str, alias: str = "n_distinct",
+                   buckets: int | None = None):
+    """COUNT(DISTINCT distinct_col) per key, exactly, without ever
+    shuffling raw rows: each batch first collapses to its distinct
+    (key, value) pairs (combiner), then the two-stage bucket shuffle
+    dedups pairs and counts per key — every pair lives in exactly one
+    hash(key) bucket, so per-bucket nunique is final. A single
+    mega-hot key would serialize into one bucket; salt the pair
+    (hash(key, value)) + a second fold if that ever binds."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, distinct_col]).to_pandas()
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    def local(g):
+        out = g.drop_duplicates().groupby(key, sort=False)[distinct_col] \
+            .size().reset_index(name=alias)
+        out[alias] = out[alias].astype(np.int64)
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_agg(parts, key, local, buckets=buckets) \
+        .select_columns([key, alias])
+
+
+def grouped_topk(ds, key: str, order_col: str, k: int, *,
+                 descending: bool = True, tie_cols: list[str] | None = None,
+                 rank_alias: str = "rank", buckets: int | None = None):
+    """Top-k rows PER KEY (the training-pipeline "best k docs per
+    domain" primitive) with deterministic total order
+    (order_col [desc], then tie_cols asc): every batch keeps only its
+    local per-key top-k (combiner — at most k x keys-seen rows leave
+    a block), then the hash(key) bucket shuffle finalizes per key.
+    Never a global sort; shuffle volume is O(k x keys x blocks)."""
+    tie = tie_cols or []
+
+    def _headk(df):
+        df = df.sort_values([order_col, *tie], kind="mergesort",
+                            ascending=[not descending] + [True] * len(tie))
+        return df.groupby(key, sort=False).head(k)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_headk(t.to_pandas()),
+                                    preserve_index=False)
+
+    def local(g):
+        out = _headk(g)
+        out[rank_alias] = out.groupby(key, sort=False).cumcount() + 1
+        out[rank_alias] = out[rank_alias].astype(np.int64)
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_agg(parts, key, local, buckets=buckets)
+
+
+def hash_sample(ds, col: str, num: int, den: int):
+    """Deterministic hash sampling: keep rows where
+    fnv1a64(col) % den < num. Consistent across runs, machines and
+    re-partitions (pure function of the value — no RNG state), and
+    GROUP-CONSISTENT: every row sharing the key is kept or dropped
+    together, so joins/dedup over the sample stay self-consistent.
+    SQL twin via kernels.hashing.sql_fnv1a."""
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    def _f(t: pa.Table) -> pa.Table:
+        h = fnv1a64(t.column(col))
+        return t.filter(pa.array((h % np.uint64(den))
+                                 < np.uint64(num)))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
