@@ -36,7 +36,8 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "terrain_stats", "docs_quality", "ann_topk_ivf",
           "shp_roundtrip", "raster_math_stats", "asc_roundtrip",
           "semi_pages", "anti_pages", "events_quantiles",
-          "events_distinct_users", "zone_top_pages", "sample_pages"]
+          "events_distinct_users", "zone_top_pages", "sample_pages",
+          "docs_bigrams"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -128,4 +129,5 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": o.q_events_distinct_users(),
         "zone_top_pages": o.q_zone_top_pages(),
         "sample_pages": o.q_sample_pages(),
+        "docs_bigrams": o.q_docs_bigrams(),
     }

@@ -1059,3 +1059,15 @@ def q_sample_pages() -> str:
     return (f"WITH {pages_cte()} "
             "SELECT url, warc_ts, lang FROM pages "
             f"WHERE ({sql_fnv1a('url')} % 10) < 3")
+
+
+def q_docs_bigrams(top: int = 50) -> str:
+    """Twin of stages.text.ngram_counts(n=2): 1-based list indexing,
+    range() excludes the end, so docs with < 2 tokens emit nothing —
+    matching the engine's doc-boundary mask."""
+    return (
+        "WITH g AS (SELECT unnest(list_transform(range(1, len(toks)), "
+        "j -> toks[j] || ' ' || toks[j + 1])) AS gram "
+        "FROM (SELECT string_split(text, ' ') AS toks FROM documents)) "
+        "SELECT gram, count(*)::BIGINT AS n FROM g GROUP BY gram "
+        f"ORDER BY n DESC, gram LIMIT {top}")

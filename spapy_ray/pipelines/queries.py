@@ -1529,3 +1529,16 @@ def q_sample_pages(sf_dir: str):
 
 
 QUERIES["sample_pages"] = q_sample_pages
+
+
+def q_docs_bigrams(sf_dir: str, top: int = 50):
+    """Top-50 corpus bigrams by (count desc, gram asc) — flat-buffer
+    shifted-slice gram construction + combiner counts + bucketed fold
+    (stages/text.ngram_counts)."""
+    from spapy_ray.stages.text import ngram_counts
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return ngram_counts(ds, n=2, top=top)
+
+
+QUERIES["docs_bigrams"] = q_docs_bigrams

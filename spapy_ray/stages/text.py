@@ -209,3 +209,54 @@ def quality_stats(ds, column: str = "text", batch_size: int = 4096):
     return ds.map_batches(lambda t: quality_stats_batch(t, column),
                           batch_format="pyarrow", batch_size=batch_size,
                           zero_copy_batch=True)
+
+
+def ngram_counts(ds, n: int = 2, column: str = "text", *,
+                 top: int | None = None, buckets: int | None = None):
+    """Corpus n-gram counts — the classic training-corpus statistic.
+
+    Per batch: ONE split_pattern, then grams are built from the flat
+    token buffer with n shifted zero-copy slices joined element-wise
+    (no per-row Python); grams straddling a document boundary are
+    masked out with a doc-id compare over the list offsets. Each
+    batch collapses to its (gram, count) partials (combiner), the
+    two-stage hash-bucket shuffle folds them exactly, and the
+    optional ``top`` applies a deterministic (count desc, gram asc)
+    sort+limit. Shuffle volume is O(distinct grams per block), never
+    O(tokens)."""
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t.column(column)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        m = len(flat)
+        w = m - (n - 1)
+        if w <= 0:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "_pc": pa.array([], type=pa.int64())})
+        offsets = np.asarray(toks.offsets)
+        lengths = offsets[1:] - offsets[:-1]
+        did = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        ok = did[:w] == did[n - 1:]
+        parts = [flat.slice(i, w) for i in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        grams = grams.filter(pa.array(ok))
+        vc = grams.value_counts()
+        return pa.table({"gram": vc.field("values"),
+                         "_pc": pc.cast(vc.field("counts"), pa.int64())})
+
+    def local(g):
+        out = g.groupby("gram", sort=False)["_pc"].sum().reset_index()
+        out = out.rename(columns={"_pc": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "gram", local, buckets=buckets).select_columns(["gram", "n"])
+    if top is None:
+        return counts
+    return counts.sort(["n", "gram"], descending=[True, False]).limit(top)

@@ -186,3 +186,26 @@ def test_pip_join_cells_matches_broadcast(ray_session):
                             salt=salt).to_pandas()
         assert set(zip(bc["url"], bc["zone_id"])) == \
             set(zip(cc["pkey"], cc["zkey"]))
+
+
+def test_ngram_counts_trigram_boundary_mask(ray_session):
+    """Trigrams never straddle documents; <n-token docs emit none."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.text import ngram_counts
+
+    df = pd.DataFrame({"text": [
+        "a b c d", "a b", "x", "", "b c d", "a b c"]})
+    got = ngram_counts(rd.from_pandas(df), n=3).to_pandas() \
+        .sort_values("gram").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        "WITH g AS (SELECT unnest(list_transform(range(1, len(toks) - 1), "
+        "j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2])) AS gram "
+        "FROM (SELECT string_split(text, ' ') AS toks FROM documents)) "
+        "SELECT gram, count(*)::BIGINT AS n FROM g GROUP BY gram "
+        "ORDER BY gram").df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
