@@ -293,3 +293,86 @@ def hash_sample(ds, col: str, num: int, den: int):
                                  < np.uint64(num)))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def approx_distinct_hll(ds, key: str, distinct_col: str, *, p: int = 12,
+                        alias: str = "n_approx"):
+    """Per-key approximate COUNT(DISTINCT) via HyperLogLog — the
+    mergeable-sketch form of :func:`distinct_count` for when even the
+    distinct (key, value) pair volume is too large to shuffle.
+
+    Each batch folds its values into one 2^p-byte register array per
+    key (vectorized: fnv1a64 → bucket = high p bits, rank = leading
+    zeros of the rest + 1, np.maximum.at) and emits (key, registers)
+    — a FIXED 2^p bytes per key per block regardless of row count.
+    One groupby(key) max-merges the registers (map_groups is fine:
+    group count == key count, not value count) and applies the
+    standard bias/linear-counting corrections. Expected relative
+    error ~= 1.04 / sqrt(2^p) (~1.6% at p=12).
+
+    Exactness is NOT claimed — pair it with distinct_count when the
+    answer must hash-match; pytest pins the error envelope."""
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    m = 1 << p
+    mask = np.uint64((1 << (64 - p)) - 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key).to_pandas().to_numpy()
+        col = t.column(distinct_col)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            h = fnv1a64(col)
+        else:
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = v * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)
+        # fnv1a avalanches its LOW bits only for short inputs; HLL
+        # splits the hash, so run a murmur3-style finalizer first
+        with np.errstate(over="ignore"):
+            h = h ^ (h >> np.uint64(33))
+            h = h * np.uint64(0xFF51AFD7ED558CCD)
+            h = h ^ (h >> np.uint64(33))
+            h = h * np.uint64(0xC4CEB9FE1A85EC53)
+            h = h ^ (h >> np.uint64(33))
+        bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h & mask
+        # rank = leading zeros within the low 64-p bits, + 1; rest==0
+        # maps to the max rank 64-p+1
+        nz = rest != 0
+        fl = np.zeros(len(rest), dtype=np.int64)
+        fl[nz] = np.frexp(rest[nz].astype(np.float64))[1]  # bit length
+        rank = np.where(nz, (64 - p) - fl + 1, (64 - p) + 1).astype(np.uint8)
+        out_k, out_r = [], []
+        import pandas as pd
+        for kv, idx in pd.Series(np.arange(len(keys))).groupby(keys).groups.items():
+            regs = np.zeros(m, dtype=np.uint8)
+            ii = np.asarray(idx)
+            np.maximum.at(regs, bucket[ii], rank[ii])
+            out_k.append(kv)
+            out_r.append(regs.tobytes())
+        return pa.table({key: pa.array(out_k),
+                         "regs": pa.array(out_r, type=pa.binary())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.uint8)
+        for b in g.column("regs").to_pylist():
+            np.maximum(regs, np.frombuffer(b, dtype=np.uint8), out=regs)
+        est = _hll_estimate(regs)
+        return pa.table({key: g.column(key).slice(0, 1),
+                         alias: pa.array([est], type=pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).map_groups(merge, batch_format="pyarrow")
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    """Standard HLL estimator with linear-counting small-range and
+    the large-range correction omitted (64-bit hash: collisions are
+    negligible below ~2^57 distincts)."""
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.ldexp(1.0, -regs.astype(np.int64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if raw <= 2.5 * m and zeros:
+        return int(round(m * np.log(m / zeros)))
+    return int(round(raw))

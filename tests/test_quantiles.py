@@ -59,3 +59,27 @@ def test_quantiles_rejects_nulls(ray_session):
     df = pd.DataFrame({"k": ["a", "a"], "v": [1.0, None]})
     with pytest.raises(Exception):
         grouped_quantile(rd.from_pandas(df), "k", "v", [0.5])
+
+
+def test_hll_approx_distinct_error_envelope(ray_session):
+    """HLL estimate within 5% (expected ~1.6% at p=12) of the exact
+    per-key distinct count, for string and int value columns."""
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import approx_distinct_hll
+
+    rng = np.random.default_rng(3)
+    n = 200_000
+    keys = rng.choice(["a", "b"], size=n)
+    # key a: ~50k distinct strings; key b: ~5k distinct
+    vals = np.where(keys == "a",
+                    rng.integers(0, 50_000, n),
+                    rng.integers(0, 5_000, n))
+    df = pd.DataFrame({"k": keys, "v": ("u" + pd.Series(vals).astype(str))})
+    exact = df.groupby("k")["v"].nunique()
+    got = approx_distinct_hll(
+        rd.from_pandas(df).repartition(16), "k", "v").to_pandas() \
+        .set_index("k")["n_approx"]
+    for k in ("a", "b"):
+        rel = abs(got[k] / exact[k] - 1.0)
+        assert rel < 0.05, (k, got[k], exact[k], rel)
