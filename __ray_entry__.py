@@ -37,7 +37,7 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "shp_roundtrip", "raster_math_stats", "asc_roundtrip",
           "semi_pages", "anti_pages", "events_quantiles",
           "events_distinct_users", "zone_top_pages", "sample_pages",
-          "docs_bigrams"]
+          "docs_bigrams", "overlay_grid"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -130,4 +130,5 @@ def oracle_sql() -> dict[str, str]:
         "zone_top_pages": o.q_zone_top_pages(),
         "sample_pages": o.q_sample_pages(),
         "docs_bigrams": o.q_docs_bigrams(),
+        "overlay_grid": o.q_overlay_grid(),
     }

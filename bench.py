@@ -35,7 +35,10 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # round-3 additions (polygonize/contour above now run the
                  # DISTRIBUTED merge paths — see BASELINE.md round-3 table)
                  "events_asof", "embed_top_pairs", "terrain_stats",
-                 "resample_nearest"]
+                 "resample_nearest",
+                 # round-3 session-2 additions
+                 "events_quantiles", "docs_bigrams", "zone_top_pages",
+                 "events_distinct_users"]
 
 
 def _consume(res) -> int:

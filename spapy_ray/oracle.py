@@ -1071,3 +1071,28 @@ def q_docs_bigrams(top: int = 50) -> str:
         "FROM (SELECT string_split(text, ' ') AS toks FROM documents)) "
         "SELECT gram, count(*)::BIGINT AS n FROM g GROUP BY gram "
         f"ORDER BY n DESC, gram LIMIT {top}")
+
+
+def q_overlay_grid(num_zones: int = 200) -> str:
+    """Zones x 12-box grid intersection areas by clamped-overlap
+    integer arithmetic over each shape's rectangle decomposition —
+    twin of the broadcast pairwise overlay (queries.q_overlay_grid)."""
+    def ov(rx0, ry0, rx1, ry1):
+        return (f"(greatest(0, least({rx1}, bx1) - greatest({rx0}, bx0)) * "
+                f"greatest(0, least({ry1}, by1) - greatest({ry0}, by0)))")
+
+    a = (f"(CASE WHEN shape IN (0, 1) THEN {ov('x0', 'y0', 'x0 + w', 'y0 + h')} "
+         f"WHEN shape = 2 THEN {ov('x0', 'y0', 'x0 + w', 'y0 + h2')} + "
+         f"{ov('x0', 'y0 + h2', 'x0 + w2', 'y0 + h')} "
+         f"ELSE {ov('x0', 'y0', 'x0 + w2', 'y0 + h2')} + "
+         f"{ov('x0 + w2 + 5000', 'y0 + h2 + 5000', 'x0 + w', 'y0 + h')} END)")
+    return (
+        f"WITH zones AS ({sql_zones_cte(num_zones)}), "
+        "boxes AS (SELECT b AS box_id, "
+        "(-1800000 + (b % 6) * 600000) AS bx0, "
+        "(-850000 + (b // 6) * 850000) AS by0, "
+        "(-1800000 + (b % 6) * 600000 + 600000) AS bx1, "
+        "(-850000 + (b // 6) * 850000 + 850000) AS by1 "
+        "FROM range(12) t(b)) "
+        f"SELECT zone_id, box_id, {a}::DOUBLE / 100000000.0 AS inter_area "
+        f"FROM zones CROSS JOIN boxes WHERE {a} > 0")

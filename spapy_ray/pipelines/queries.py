@@ -1478,11 +1478,12 @@ def q_events_quantiles(sf_dir: str):
     from spapy_ray.stages.quantiles import grouped_quantile
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
-    # bins/max_collect pinned SMALL so the histogram-refinement
-    # rounds (the 100 TB path) run under the value-hash gate even at
-    # test scale; production defaults are bins=1024/max_collect=64k
+    # bins/max_collect pinned so EXACTLY ONE histogram-refinement
+    # round (the 100 TB path) runs under the value-hash gate at every
+    # test scale (group sizes 200..20k: n/256 < 100 <= n); production
+    # defaults are bins=1024/max_collect=64k
     return grouped_quantile(ds, "event_type", "value",
-                            [0.25, 0.5, 0.9], bins=16, max_collect=100)
+                            [0.25, 0.5, 0.9], bins=256, max_collect=100)
 
 
 QUERIES["events_quantiles"] = q_events_quantiles
@@ -1542,3 +1543,51 @@ def q_docs_bigrams(sf_dir: str, top: int = 50):
 
 
 QUERIES["docs_bigrams"] = q_docs_bigrams
+
+
+def _grid_boxes_table() -> pa.Table:
+    """12 axis-aligned boxes (6x2 grid over the globe, integer
+    fixed-point bounds) — the broadcast right side of the
+    dataset x dataset overlay; SQL twin in oracle.q_overlay_grid."""
+    from spapy_ray.kernels import clip, wkb as _wkb
+    from spapy_ray.sources.zones import U
+
+    ids, geoms = [], []
+    for b in range(12):
+        x0 = -1800000 + (b % 6) * 600000
+        y0 = -850000 + (b // 6) * 850000
+        ids.append(b)
+        geoms.append(_wkb.encode_polygon([clip.bbox_ring(
+            x0 / U, y0 / U, (x0 + 600000) / U, (y0 + 850000) / U)]))
+    return pa.table({"box_id": pa.array(ids, type=pa.int64()),
+                     "geom_wkb": pa.array(geoms, type=pa.binary())})
+
+
+def q_overlay_grid(sf_dir: str):
+    """OverlayWithDataset (SpaVectors.py pairwise overlay surface):
+    zones x 12-box grid through the broadcast STRtree pair overlay
+    (stages/overlay.overlay_datasets); per-pair intersection area
+    recomputed from the OUTPUT WKB in exact fixed point, so the
+    clamped-overlap integer SQL twin matches bit-for-bit."""
+    import ray.data as rd
+
+    from spapy_ray.kernels import wkb as _wkb
+    from spapy_ray.stages.measures import fixed_point_multipolygon_area
+    from spapy_ray.stages.overlay import overlay_datasets
+
+    out = overlay_datasets(rd.from_arrow(zones_table()),
+                           _grid_boxes_table(), "intersection",
+                           right_key="box_id")
+
+    def exact_area(t: pa.Table) -> pa.Table:
+        areas = [fixed_point_multipolygon_area(_wkb.as_multipolygon(g))
+                 for g in t.column("geom_wkb").to_pylist()]
+        tt = pa.table({"zone_id": t.column("zone_id"),
+                       "box_id": t.column("right_box_id"),
+                       "inter_area": pa.array(areas, type=pa.float64())})
+        return tt.filter(pc.greater(tt.column("inter_area"), 0.0))
+
+    return out.map_batches(exact_area, batch_format="pyarrow")
+
+
+QUERIES["overlay_grid"] = q_overlay_grid
