@@ -1107,30 +1107,38 @@ def q_terrain_stats(sf_dir: str):
     max-min of ints — the SQL twin is pure integer arithmetic with
     edge-clamped neighbors, bit-exact by construction."""
     from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
-    from spapy_ray.stages.raster import decode_tile, roughness, tpi, tri
+    from spapy_ray.stages.raster import (decode_tile, roughness_kernel,
+                                         stencil_op_multi, tpi_kernel,
+                                         tri_kernel)
 
     T = DEM_META.tile_size
+    # all three stencils share one halo exchange + one groupby(tile)
+    # (stencil_op_multi) — three stencil_op calls would synthesize and
+    # shuffle the DEM three times
+    multi = stencil_op_multi(
+        synth_dem_dataset(DEM_META, kind="int"), DEM_META,
+        {"tri": tri_kernel, "tpi": tpi_kernel, "rough": roughness_kernel},
+        dtype="int32")
 
-    def tile_sums(ds_out, scale: int, name: str):
-        def stats(t: pa.Table) -> pa.Table:
+    SCALES = {"tri": ("sum_tri8", 8), "tpi": ("sum_tpi8", 8),
+              "rough": ("sum_rough", 1)}
+
+    def stats(t: pa.Table) -> pa.Table:
+        cols = {"tx": pc.cast(t.column("tx"), pa.int64()),
+                "ty": pc.cast(t.column("ty"), pa.int64())}
+        for key, (name, scale) in SCALES.items():
             sums = []
-            for b in t.column("data").to_pylist():
+            for b in t.column(f"data_{key}").to_pylist():
                 a = decode_tile(b, "float32", T).astype(np.float64)
                 sums.append(int(np.rint(a * scale).astype(np.int64).sum())
                             if scale != 1 else
                             int(np.rint(a).astype(np.int64).sum()))
-            return pa.table({"tx": pc.cast(t.column("tx"), pa.int64()),
-                             "ty": pc.cast(t.column("ty"), pa.int64()),
-                             name: pa.array(sums, type=pa.int64())})
-        return ds_out.map_batches(stats, batch_format="pyarrow").to_pandas()
+            cols[name] = pa.array(sums, type=pa.int64())
+        return pa.table(cols)
 
-    dem = lambda: synth_dem_dataset(DEM_META, kind="int")   # noqa: E731
-    a = tile_sums(tri(dem(), DEM_META, dtype="int32"), 8, "sum_tri8")
-    b = tile_sums(tpi(dem(), DEM_META, dtype="int32"), 8, "sum_tpi8")
-    c = tile_sums(roughness(dem(), DEM_META, dtype="int32"), 1,
-                  "sum_rough")
-    out = a.merge(b, on=["tx", "ty"]).merge(c, on=["tx", "ty"])
-    return out[["tx", "ty", "sum_tri8", "sum_tpi8", "sum_rough"]]
+    out = multi.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["tx", "ty"]).reset_index(drop=True)[
+        ["tx", "ty", "sum_tri8", "sum_tpi8", "sum_rough"]]
 
 
 QUERIES["terrain_stats"] = q_terrain_stats

@@ -560,6 +560,28 @@ def roughness(ds, meta: RasterMeta, *, dtype: str = "float32"):
     return stencil_op(ds, meta, roughness_kernel, dtype=dtype)
 
 
+def stencil_op_multi(ds, meta: RasterMeta, kernels: dict, *,
+                     dtype: str = "float32", out_dtype: str = "float32"):
+    """Several 1-px halo stencils over the SAME source in ONE pass:
+    one fragment exchange + one groupby(tile), each kernel applied to
+    the shared padded array. Output rows carry one ``data_<name>``
+    binary column per kernel. N independent stencil_op calls would
+    re-read the source and re-shuffle the halo N times."""
+    frags = ds.map_batches(lambda t: _halo_fragments(t, meta, dtype),
+                           batch_format="pyarrow")
+
+    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+        pad = _assemble_padded(g, meta, dtype)
+        row = {"tx": [g["tx"].iloc[0]], "ty": [g["ty"].iloc[0]], "band": [0]}
+        for name, kernel in kernels.items():
+            out = np.ascontiguousarray(kernel(pad).astype(np.dtype(out_dtype)))
+            row[f"data_{name}"] = [out.tobytes()]
+        return pd.DataFrame(row)
+
+    return frags.groupby(["tx", "ty"]).map_groups(per_tile,
+                                                  batch_format="pandas")
+
+
 def aspect_degrees(ds, meta: RasterMeta, *, dtype: str = "float32"):
     """Aspect in degrees clockwise from north (gdaldem convention)."""
     cx, cy = abs(meta.pixel_w), abs(meta.pixel_h)
