@@ -553,36 +553,27 @@ def embed_near_dup_lsh(ds, *, dim: int, threshold: float = 0.85,
 
 
 def _verify_embed_join(ds, cand, key_col: str, vec_col: str,
-                       threshold: float,
-                       num_partitions: int | None = None):
-    """Co-partitioned exact-cosine verify: double hash-join of the
-    candidate pairs against the (key, vec) corpus projection — no
-    driver key collection, per-worker memory bounded by one
-    partition of (candidates x vectors)."""
-    import ray as _ray
+                       threshold: float, buckets: int = 64):
+    """Co-partitioned exact-cosine verify: the candidate pairs pick
+    up both vectors through the union + bucketed-groupby co-partition
+    (relational.pair_payload_copartition) — no driver key collection,
+    no broadcast; per-worker memory is one bucket of
+    (candidates + vectors). Vectors ship as little-endian f8 bytes
+    (fixed-width binary payload) and reshape after."""
+    from spapy_ray.stages.relational import pair_payload_copartition
 
-    if num_partitions is None:
-        cpus = int(_ray.cluster_resources().get("CPU", 4)) \
-            if _ray.is_initialized() else 4
-        num_partitions = max(2, cpus // 2)
+    def project(t: pa.Table) -> pa.Table:
+        V = np.ascontiguousarray(
+            _stack_embeddings(t.column(vec_col)), dtype="<f8")
+        d = V.shape[1] if len(V) else 0
+        flat = V.tobytes()
+        bufs = [flat[i * 8 * d:(i + 1) * 8 * d] for i in range(len(V))]
+        return pa.table({"k": t.column(key_col),
+                         "payload": pa.array(bufs, type=pa.binary())})
 
-    def corpus_side(kname: str, vname: str):
-        # acero hash joins reject list-typed payload columns — ship
-        # the vector as little-endian f8 bytes and reshape after
-        def project(t: pa.Table) -> pa.Table:
-            V = np.ascontiguousarray(
-                _stack_embeddings(t.column(vec_col)), dtype="<f8")
-            d = V.shape[1] if len(V) else 0
-            flat = V.tobytes()
-            bufs = [flat[i * 8 * d:(i + 1) * 8 * d] for i in range(len(V))]
-            return pa.table({kname: t.column(key_col),
-                             vname: pa.array(bufs, type=pa.binary())})
-        return ds.map_batches(project, batch_format="pyarrow")
-
-    j1 = cand.join(corpus_side("key_a", "vec_a__"), "inner",
-                   num_partitions, on=("key_a",))
-    j2 = j1.join(corpus_side("key_b", "vec_b__"), "inner",
-                 num_partitions, on=("key_b",))
+    paired = pair_payload_copartition(
+        cand, ds.map_batches(project, batch_format="pyarrow"),
+        payload_col="payload", payload_type=pa.binary(), buckets=buckets)
 
     def _unpack(col) -> np.ndarray:
         if isinstance(col, pa.ChunkedArray):
@@ -593,15 +584,16 @@ def _verify_embed_join(ds, cand, key_col: str, vec_col: str,
 
     def verify_join(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return t.drop_columns(["vec_a__", "vec_b__"]) \
+            return t.drop_columns(["payload_a", "payload_b"]) \
                 .append_column("cos", pa.array([], type=pa.float64()))
-        A = _unpack(t.column("vec_a__"))
-        B = _unpack(t.column("vec_b__"))
+        A = _unpack(t.column("payload_a"))
+        B = _unpack(t.column("payload_b"))
         An = A / np.linalg.norm(A, axis=1, keepdims=True)
         Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
         cos = np.einsum("ij,ij->i", An, Bn)
         keep = cos >= threshold
-        out = t.filter(pa.array(keep)).drop_columns(["vec_a__", "vec_b__"])
+        out = t.filter(pa.array(keep)) \
+            .drop_columns(["payload_a", "payload_b"])
         return out.append_column("cos", pa.array(cos[keep]))
 
-    return j2.map_batches(verify_join, batch_format="pyarrow")
+    return paired.map_batches(verify_join, batch_format="pyarrow")

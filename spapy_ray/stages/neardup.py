@@ -297,44 +297,39 @@ def near_dup_pairs(ds, key_col: str, text_col: str = "text",
 
 def _verify_pairs_join(ds, cand, key_col: str, text_col: str,
                        threshold: float, shingle_n: int,
-                       num_partitions: int | None = None):
-    """Co-partitioned exact-Jaccard verify: hash-join the candidate
-    pairs against the (key, text) corpus projection twice — once per
-    pair side. Both sides shuffle on the key, so no driver key set,
-    no broadcast dict; per-worker memory is one partition of
-    (candidates x text), independent of total candidate count.
+                       buckets: int = 64):
+    """Co-partitioned exact-Jaccard verify with NO driver key set and
+    no broadcast: one union + groupby(hash-bucket) attaches the text
+    to each pair SIDE (the corpus projection shuffles once, on the
+    key bucket), a second bucket shuffle on key_a reunites the two
+    sides of each pair. Per-worker memory is one bucket of
+    (candidates + texts), independent of total candidate count.
 
-    num_partitions defaults to cluster CPUs / 2: the join spawns one
-    aggregator actor per partition, so over-partitioning a small
-    cluster starves the pool (32 partitions on 4 CPUs deadlocks)."""
-    import ray as _ray
+    This replaces two native Dataset.joins: same shuffle volume, but
+    plain groupby exchanges instead of two per-partition aggregator
+    actor pools (which cost ~2 s each to spin up at sandbox scale and
+    deadlock when num_partitions exceeds the CPU count)."""
+    from spapy_ray.stages.relational import pair_payload_copartition
 
-    if num_partitions is None:
-        cpus = int(_ray.cluster_resources().get("CPU", 4)) \
-            if _ray.is_initialized() else 4
-        num_partitions = max(2, cpus // 2)
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t.column(key_col),
+                         "payload": t.column(text_col)})
 
-    def corpus_side(kname: str, tname: str):
-        def project(t: pa.Table) -> pa.Table:
-            return pa.table({kname: t.column(key_col),
-                             tname: t.column(text_col)})
-        return ds.map_batches(project, batch_format="pyarrow")
+    paired = pair_payload_copartition(
+        cand, ds.map_batches(project, batch_format="pyarrow"),
+        payload_col="payload", payload_type=pa.string(), buckets=buckets)
 
-    j1 = cand.join(corpus_side("key_a", "text_a__"), "inner",
-                   num_partitions, on=("key_a",))
-    j2 = j1.join(corpus_side("key_b", "text_b__"), "inner",
-                 num_partitions, on=("key_b",))
-
-    def verify_join(t: pa.Table) -> pa.Table:
-        ta = t.column("text_a__").to_pylist()
-        tb = t.column("text_b__").to_pylist()
+    def verify(t: pa.Table) -> pa.Table:
+        ta = t.column("payload_a").to_pylist()
+        tb = t.column("payload_b").to_pylist()
         jc = np.array([jaccard(a, b, shingle_n) for a, b in zip(ta, tb)]) \
             if len(ta) else np.zeros(0)
         keep = jc >= threshold
-        out = t.filter(pa.array(keep)).drop_columns(["text_a__", "text_b__"])
+        out = t.filter(pa.array(keep)) \
+            .drop_columns(["payload_a", "payload_b"])
         return out.append_column("jacc", pa.array(jc[keep]))
 
-    return j2.map_batches(verify_join, batch_format="pyarrow")
+    return paired.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ simhash

@@ -376,3 +376,76 @@ def _hll_estimate(regs: np.ndarray) -> int:
     if raw <= 2.5 * m and zeros:
         return int(round(m * np.log(m / zeros)))
     return int(round(raw))
+
+
+def pair_payload_copartition(cand, corpus, *, payload_col: str,
+                             payload_type, buckets: int = 64):
+    """Attach a corpus payload to BOTH sides of a pair table without
+    native joins: cand(key_a, key_b) x corpus(k, <payload_col>) →
+    Dataset(key_a, key_b, payload_a, payload_b).
+
+    Stage 1 unions pair-side rows with the corpus projection and
+    groupbys ONE hash(key) bucket column — the corpus payload
+    shuffles exactly once; inner-merge semantics (pairs whose key is
+    absent drop). Stage 2 re-buckets on hash(key_a) so both completed
+    sides of a pair land in one group. Same shuffle volume as a
+    double hash join, but plain groupby exchanges instead of two
+    per-partition aggregator actor pools (~2 s spin-up each at
+    sandbox scale; deadlock-prone when partitions exceed CPUs)."""
+    def _cat(c):
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    def side_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        ka, kb = _cat(t.column("key_a")), _cat(t.column("key_b"))
+        tt = pa.table({
+            "k": pa.concat_arrays([ka, kb]),
+            "key_a": pa.concat_arrays([ka, ka]),
+            "key_b": pa.concat_arrays([kb, kb]),
+            "side": pa.array(np.concatenate([np.zeros(n, np.int8),
+                                             np.ones(n, np.int8)])),
+            "payload": pa.nulls(2 * n, type=payload_type),
+        })
+        return tt.append_column("hbk", _bucket_column(tt, "k", buckets))
+
+    def corpus_rows(t: pa.Table) -> pa.Table:
+        k = _cat(t.column("k"))
+        tt = pa.table({
+            "k": k,
+            "key_a": pa.nulls(len(t), type=k.type),
+            "key_b": pa.nulls(len(t), type=k.type),
+            "side": pa.array(np.full(len(t), -1, np.int8)),
+            "payload": t.column(payload_col),
+        })
+        return tt.append_column("hbk", _bucket_column(tt, "k", buckets))
+
+    stage1 = cand.map_batches(side_rows, batch_format="pyarrow").union(
+        corpus.map_batches(corpus_rows, batch_format="pyarrow"))
+
+    # Group-local merges stay in Arrow (pa.Table.join): a pandas
+    # round-trip would upcast int64 keys to float64 because the
+    # unioned table null-fills key_a/key_b on corpus rows.
+    def attach(g: pa.Table) -> pa.Table:
+        neg = pc.less(g.column("side"), 0)
+        payloads = g.filter(neg).select(["k", "payload"])
+        sides = g.filter(pc.invert(neg)).drop_columns(["payload", "hbk"])
+        m = sides.join(payloads, keys="k", join_type="inner")
+        return m.select(["key_a", "key_b", "side", "payload"])
+
+    attached = stage1.groupby("hbk").map_groups(attach,
+                                                batch_format="pyarrow")
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        return t.append_column("hbk", _bucket_column(t, "key_a", buckets))
+
+    def unite(g: pa.Table) -> pa.Table:
+        is_a = pc.equal(g.column("side"), 0)
+        a = g.filter(is_a).select(["key_a", "key_b", "payload"]) \
+            .rename_columns(["key_a", "key_b", "payload_a"])
+        b = g.filter(pc.invert(is_a)) \
+            .select(["key_a", "key_b", "payload"]) \
+            .rename_columns(["key_a", "key_b", "payload_b"])
+        return a.join(b, keys=["key_a", "key_b"], join_type="inner")
+
+    return attached.map_batches(tag_pair, batch_format="pyarrow") \
+        .groupby("hbk").map_groups(unite, batch_format="pyarrow")
