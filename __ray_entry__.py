@@ -37,7 +37,7 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "shp_roundtrip", "raster_math_stats", "asc_roundtrip",
           "semi_pages", "anti_pages", "events_quantiles",
           "events_distinct_users", "zone_top_pages", "sample_pages",
-          "docs_bigrams", "overlay_grid"]
+          "docs_bigrams", "overlay_grid", "tif_roundtrip"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -123,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "shp_roundtrip": o.q_zone_bounds_area(),
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
+        "tif_roundtrip": o.q_tif_roundtrip(),
         "semi_pages": o.q_semi_pages(),
         "anti_pages": o.q_semi_pages(anti=True),
         "events_quantiles": o.q_events_quantiles(),

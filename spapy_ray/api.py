@@ -316,6 +316,7 @@ def Save(obj, path, *, crs: str | None = None, nodata: float | None = None):
     - vector Dataset/Table + .shp  → native shapefile writer
     - vector Dataset + .parquet / dir → write_parquet
     - Raster + .asc → native AAIGrid writer
+    - Raster + .tif/.tiff → native tiled GeoTIFF writer
     - Raster + dir  → tile-table parquet + _raster_meta.json
 
     Writing a .shp collects the layer to the driver first (the format
@@ -330,6 +331,12 @@ def Save(obj, path, *, crs: str | None = None, nodata: float | None = None):
             from spapy_ray.sources.aaigrid import write_aaigrid
 
             write_aaigrid(obj.ds, obj.meta, str(path), dtype=obj.dtype,
+                          nodata=nodata)
+            return
+        if ext in (".tif", ".tiff"):
+            from spapy_ray.sources.geotiff import write_geotiff
+
+            write_geotiff(obj.ds, obj.meta, str(path), dtype=obj.dtype,
                           nodata=nodata)
             return
         from spapy_ray.sources.dispatch import write_raster

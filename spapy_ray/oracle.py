@@ -1028,6 +1028,20 @@ def q_asc_roundtrip() -> str:
     )
 
 
+def q_tif_roundtrip() -> str:
+    """Per-tile stats of the int DEM on the RAGGED 500x420 grid; the
+    engine side reproduces them through the tiled-GeoTIFF file
+    (write_geotiff -> read_geotiff), so tile padding/cropping,
+    deflate and tag parsing are all under the hash."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    v = sql_dem_int("(p % 500)", "(p // 500)", 0)
+    return (
+        f"WITH grid AS (SELECT p % 500 AS px, p // 500 AS py, {v} AS v "
+        "FROM range(210000) t(p)) " + _tile_stats_select("v", "grid")
+    )
+
+
 def q_events_quantiles() -> str:
     """Twin of stages.quantiles.grouped_quantile (quantile_disc
     semantics: exact element at 1-based rank max(1, ceil(q*n)))."""

@@ -1456,6 +1456,43 @@ def q_asc_roundtrip(sf_dir: str):
 QUERIES["asc_roundtrip"] = q_asc_roundtrip
 
 
+def q_tif_roundtrip(sf_dir: str):
+    """Native tiled GeoTIFF Save/Load (sources/geotiff.py; reference
+    routes .tif through gdal's GTiff driver, SpaRasters.py:752-871)
+    under the value-hash gate. The grid is deliberately RAGGED
+    (500x420 on 64-pixel tiles) with deflate compression and a
+    GDAL_NODATA tag, so edge-tile padding, crop-on-read, zlib and
+    the geo tags are all inside the hash: write → read → per-tile
+    stats vs the closed-form pixel twin."""
+    import os
+    import shutil
+    import tempfile
+
+    from spapy_ray.sources.geotiff import read_geotiff, write_geotiff
+    from spapy_ray.sources.rasters import RasterMeta, synth_dem_dataset
+
+    meta = RasterMeta(width=500, height=420, tile_size=64,
+                      x_min=-10.0, y_max=55.0, pixel_w=0.125,
+                      pixel_h=-0.125)
+    d = tempfile.mkdtemp(prefix="spapy_tif_")
+    try:
+        path = os.path.join(d, "dem.tif")
+        write_geotiff(synth_dem_dataset(meta, kind="int"), meta, path,
+                      dtype="int32", nodata=-9999)
+        back, bmeta, nodata = read_geotiff(path)
+        assert bmeta.width == meta.width and bmeta.pixel_w == meta.pixel_w
+        assert nodata == -9999
+        # the distributed tile fetch seeks into the file lazily —
+        # materialize the decoded stats before the temp dir goes away
+        out = _tile_int_stats(back, "int32", 64).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+QUERIES["tif_roundtrip"] = q_tif_roundtrip
+
+
 def q_semi_pages(sf_dir: str):
     """Point-in-any-zone existence filter (semi join) — the
     broadcast-small-side form of the reference's RelateWithDataset

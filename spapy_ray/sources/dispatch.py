@@ -91,9 +91,15 @@ def get_input(source):
 
         ds, meta, _nodata = read_aaigrid(path)
         return ds, meta
-    if ext in (".tif", ".tiff", ".img"):
+    if ext in (".tif", ".tiff"):
+        # native baseline GeoTIFF parser — no GDAL (sources/geotiff.py)
+        from spapy_ray.sources.geotiff import read_geotiff
+
+        ds, meta, _nodata = read_geotiff(path)
+        return ds, meta
+    if ext == ".img":
         raise NotImplementedError(
-            f"{ext} needs GDAL, which this environment excludes; "
-            "convert to parquet (raster tile dir) or AAIGrid (.asc) — "
-            "see sources/dispatch.py docstring for the integration point")
+            ".img (Erdas HFA) needs GDAL, which this environment "
+            "excludes; convert to GeoTIFF (.tif), AAIGrid (.asc) or a "
+            "parquet raster tile dir")
     raise ValueError(f"unrecognized input extension {ext!r} for {path!r}")

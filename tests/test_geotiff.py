@@ -1,0 +1,184 @@
+"""Native tiled GeoTIFF I/O (no GDAL).
+
+Reference parity target: SpaRasters.py:752-824 (Save via gdal GTiff)
+and SpaRasters.py:826-871 (Load). The writer/reader implement the
+public TIFF 6.0 + GeoTIFF 1.1 specs against the tile-table model; no
+independent TIFF library exists in this environment, so correctness
+rests on (a) pixel-exact round-trips through the engine, (b) a
+hand-packed stripped big-endian TIFF validating the reader against a
+known byte layout, and (c) the driver's tif_roundtrip value-hash
+query against the closed-form DEM twin."""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from spapy_ray.sources.geotiff import read_geotiff, write_geotiff
+from spapy_ray.sources.rasters import RasterMeta, synth_dem_dataset
+from spapy_ray.stages.raster import decode_tile
+
+RAGGED = RasterMeta(width=500, height=420, tile_size=64,
+                    x_min=-10.0, y_max=55.0, pixel_w=0.125,
+                    pixel_h=-0.125)
+
+
+def _assemble(ds, meta: RasterMeta, dtype: str) -> np.ndarray:
+    out = np.zeros((meta.height, meta.width), dtype=np.dtype(dtype))
+    df = ds.to_pandas()
+    has_hw = "h" in df.columns
+    T = meta.tile_size
+    for r in df.itertuples():
+        h = int(r.h) if has_hw else min(T, meta.height - r.ty * T)
+        w = int(r.w) if has_hw else min(T, meta.width - r.tx * T)
+        a = decode_tile(r.data, dtype, T, h, w)
+        out[r.ty * T:r.ty * T + h, r.tx * T:r.tx * T + w] = a
+    return out
+
+
+@pytest.mark.parametrize("dtype,kind,comp", [
+    ("int32", "int", "deflate"),
+    ("int32", "int", "none"),
+    ("float32", "float", "deflate"),
+])
+def test_geotiff_roundtrip_ragged(ray_session, tmp_path, dtype, kind, comp):
+    """Ragged grid (edge tiles in both axes) survives pixel-exactly,
+    and every geo tag comes back."""
+    ds = synth_dem_dataset(RAGGED, kind=kind)
+    p = str(tmp_path / "dem.tif")
+    write_geotiff(ds, RAGGED, p, dtype=dtype, nodata=-9999,
+                  compression=comp)
+    back, meta, nodata = read_geotiff(p)
+    assert (meta.width, meta.height, meta.tile_size) == (500, 420, 64)
+    assert meta.x_min == pytest.approx(-10.0, abs=0)
+    assert meta.y_max == pytest.approx(55.0, abs=0)
+    assert meta.pixel_w == pytest.approx(0.125, abs=0)
+    assert meta.pixel_h == pytest.approx(-0.125, abs=0)
+    assert nodata == -9999
+    A = _assemble(ds, RAGGED, dtype)
+    B = _assemble(back, meta, dtype)
+    assert (A == B).all()
+
+
+def test_geotiff_aligned_no_nodata(ray_session, tmp_path):
+    """Tile-aligned grid, no nodata tag: reader reports None."""
+    meta = RasterMeta(width=128, height=128, tile_size=64,
+                      x_min=0.0, y_max=32.0, pixel_w=0.25, pixel_h=-0.25)
+    ds = synth_dem_dataset(meta, kind="int")
+    p = str(tmp_path / "a.tif")
+    write_geotiff(ds, meta, p, dtype="int32")
+    back, bmeta, nodata = read_geotiff(p)
+    assert nodata is None
+    assert (_assemble(ds, meta, "int32")
+            == _assemble(back, bmeta, "int32")).all()
+
+
+def test_geotiff_reader_stripped_bigendian(ray_session, tmp_path):
+    """Hand-packed STRIPPED big-endian uint16 TIFF — bytes laid out
+    from the spec, independent of the writer — parses to the exact
+    pixel array and geo transform."""
+    H, W, RPS = 7, 5, 3
+    # build natively, byte-swap LAST (numpy arithmetic silently
+    # promotes >u2 back to native order)
+    arr = (np.arange(H * W, dtype=np.uint16) * 3 + 1) \
+        .reshape(H, W).astype(">u2")
+    strips = [arr[r0:r0 + RPS].tobytes() for r0 in range(0, H, RPS)]
+    offs, pos = [], 8
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    ifd_off = pos + (pos % 2)
+    entries = []
+
+    def ent(tag, ftype, vals, ext):
+        ch = {3: "H", 4: "I", 12: "d"}[ftype]
+        size = {3: 2, 4: 4, 12: 8}[ftype]
+        data = struct.pack(f">{len(vals)}{ch}", *vals)
+        if len(data) <= 4:
+            entries.append(struct.pack(">HHI", tag, ftype, len(vals))
+                           + data.ljust(4, b"\x00"))
+            return ext
+        entries.append(struct.pack(">HHII", tag, ftype, len(vals),
+                                   ext[0] + len(ext[1])))
+        return (ext[0], ext[1] + data)
+
+    # external area starts after IFD: 2 + n*12 + 4
+    n_ent = 9
+    ext = (ifd_off + 2 + n_ent * 12 + 4, b"")
+    ext = ent(256, 4, [W], ext)
+    ext = ent(257, 4, [H], ext)
+    ext = ent(258, 3, [16], ext)
+    ext = ent(259, 3, [1], ext)
+    ext = ent(273, 4, offs, ext)
+    ext = ent(278, 4, [RPS], ext)
+    ext = ent(279, 4, [len(s) for s in strips], ext)
+    ext = ent(33550, 12, [0.5, 0.5, 0.0], ext)
+    ext = ent(33922, 12, [0.0, 0.0, 0.0, 100.0, 200.0, 0.0], ext)
+    assert len(entries) == n_ent
+    buf = b"MM" + struct.pack(">HI", 42, ifd_off)
+    for s in strips:
+        buf += s
+    buf += b"\x00" * (ifd_off - len(buf))
+    buf += struct.pack(">H", n_ent) + b"".join(entries) \
+        + struct.pack(">I", 0) + ext[1]
+    p = str(tmp_path / "strip.tif")
+    with open(p, "wb") as f:
+        f.write(buf)
+
+    ds, meta, nodata = read_geotiff(p, tile_size=4)
+    assert (meta.width, meta.height) == (W, H)
+    assert meta.x_min == 100.0 and meta.y_max == 200.0
+    assert meta.pixel_w == 0.5 and meta.pixel_h == -0.5
+    assert nodata is None
+    got = _assemble(ds, meta, "uint16")
+    assert (got == arr.astype("=u2")).all()
+
+
+def test_geotiff_rejects_bigtiff_and_bad_magic(tmp_path):
+    p = str(tmp_path / "big.tif")
+    with open(p, "wb") as f:
+        f.write(b"II" + struct.pack("<H", 43) + b"\x00" * 12)
+    with pytest.raises(NotImplementedError, match="BigTIFF"):
+        read_geotiff(p)
+    with open(p, "wb") as f:
+        f.write(b"PK\x03\x04junk")
+    with pytest.raises(ValueError, match="not a TIFF"):
+        read_geotiff(p)
+
+
+def test_geotiff_missing_tiles_rejected(ray_session, tmp_path):
+    """A tile table with a hole cannot produce a valid file."""
+    import ray.data as rd
+
+    meta = RasterMeta(width=128, height=64, tile_size=64,
+                      x_min=0.0, y_max=16.0, pixel_w=0.25, pixel_h=-0.25)
+    one = pa.table({
+        "tx": pa.array([0], type=pa.int64()),
+        "ty": pa.array([0], type=pa.int64()),
+        "band": pa.array([0], type=pa.int64()),
+        "data": pa.array([np.zeros((64, 64), "<i4").tobytes()],
+                         type=pa.binary())})
+    with pytest.raises(ValueError, match="missing"):
+        write_geotiff(rd.from_arrow(one), meta, str(tmp_path / "x.tif"),
+                      dtype="int32")
+
+
+def test_geotiff_dispatch_and_save(ray_session, tmp_path):
+    """GetInput routes .tif to the native reader; api.Save routes a
+    Raster handle to the native writer."""
+    from spapy_ray import api
+    from spapy_ray.sources.dispatch import get_input
+
+    meta = RasterMeta(width=130, height=70, tile_size=64,
+                      x_min=3.0, y_max=9.0, pixel_w=0.1, pixel_h=-0.1)
+    ds = synth_dem_dataset(meta, kind="int")
+    p = str(tmp_path / "d.tif")
+    api.Save(api.Raster(ds=ds, meta=meta, dtype="int32"), p, nodata=0)
+    out = get_input(p)
+    assert isinstance(out, tuple)
+    back, bmeta = out
+    assert (bmeta.width, bmeta.height) == (130, 70)
+    assert (_assemble(ds, meta, "int32")
+            == _assemble(back, bmeta, "int32")).all()
