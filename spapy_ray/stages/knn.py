@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from spapy_ray.kernels import geom, wkb
 from spapy_ray.util import default_pool
@@ -76,7 +77,12 @@ class KNNJoin:
         self.k = k
         self.left_columns = left_columns
         self.zone_ids = zones_table.column("zone_id").to_numpy()
-        anchors = zone_anchors(zones_table)
+        if "geom_wkb" in zones_table.column_names:
+            anchors = zone_anchors(zones_table)
+        else:                     # plain (zone_id, lon, lat) anchor table
+            anchors = np.column_stack([
+                zones_table.column("lon").to_numpy(zero_copy_only=False),
+                zones_table.column("lat").to_numpy(zero_copy_only=False)])
         self.alon, self.alat = anchors[:, 0], anchors[:, 1]
         lam = np.radians(self.alon)
         phi = np.radians(self.alat)
@@ -148,12 +154,52 @@ def knn_join_broadcast(ds, zones: pa.Table, k: int = 3,
                           zero_copy_batch=True)
 
 
+def _knn_tail_broadcast(retry_pts, targets_ds, *, k: int, n_targets: int,
+                        point_key: str, target_key: str):
+    """Resolve a (small) unsat tail exactly against a broadcastable
+    target side: one KNNJoin GEMM pass, same (dist, zone_id)
+    tie-break as per_cell. Output schema matches the cell path so the
+    final union is seamless."""
+    import ray
+
+    tgt = targets_ds.to_pandas().sort_values(target_key)
+    ztab = pa.table({"zone_id": tgt[target_key].to_numpy().astype(np.int64),
+                     "lon": tgt["lon"].to_numpy(),
+                     "lat": tgt["lat"].to_numpy()})
+    ref = ray.put(ztab)
+    box = (ref,)
+
+    def _task(batch: pa.Table) -> pa.Table:
+        from spapy_ray.util import cached_state
+
+        joiner = cached_state(
+            box, lambda zt: KNNJoin(zones_table=zt, k=k,
+                                    left_columns=[point_key, "lon", "lat"]))
+        out = joiner(batch)
+        n = len(out)
+        if point_key != "key":
+            out = out.rename_columns(
+                ["key" if c == point_key else c for c in out.column_names])
+        return pa.table({
+            "key": out.column("key"),
+            "zone_id": pc.cast(out.column("zone_id"), pa.int64()),
+            "rank": pc.cast(out.column("rank"), pa.int64()),
+            "n_cand": pa.array(np.full(n, n_targets, dtype=np.int64)),
+            "exact": pa.array(np.ones(n, dtype=bool)),
+            "lon": out.column("lon"),
+            "lat": out.column("lat")})
+
+    return retry_pts.map_batches(_task, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+
 def knn_join_cells(points_ds, targets_ds, k: int = 3, res: int = 6,
                    max_ring: int = 2, widen_passes: int = 2,
                    _keep_coords: bool = False,
                    point_cols: tuple[str, str] = ("lon", "lat"),
                    target_cols: tuple[str, str] = ("lon", "lat"),
-                   point_key: str = "url", target_key: str = "zone_id"):
+                   point_key: str = "url", target_key: str = "zone_id",
+                   tail_broadcast_max: int = 200_000):
     """Cell-partitioned kNN for large x large: co-shuffle on quadkey.
 
     Targets are replicated into every cell within ``max_ring`` of their
@@ -169,6 +215,14 @@ def knn_join_cells(points_ds, targets_ds, k: int = 3, res: int = 6,
     Returns a ray.data.Dataset (key, zone_id, rank, n_cand, exact);
     nothing output-sized ever touches the driver — only the
     unsatisfied keys of each widening round do.
+
+    When a widening round is needed AND the target side turns out to
+    be broadcastable (count ≤ ``tail_broadcast_max``), the whole
+    unsat tail is finished exactly in ONE broadcast pass (the
+    KNNJoin GEMM kernel) instead of further ring-doubling shuffle
+    rounds — the common shape in practice (points huge, zones
+    modest). Targets larger than the bound keep the pure-shuffle
+    widening path.
     """
     import pandas as pd
 
@@ -296,8 +350,6 @@ def knn_join_cells(points_ds, targets_ds, k: int = 3, res: int = 6,
     # doubled replication ring. The OUTPUT stays a Dataset end to end;
     # only the unsatisfied point KEYS (bounded, usually a tiny tail)
     # are collected to the driver to seed the retry.
-    import pyarrow.compute as pc
-
     import ray.data as rd
 
     def _sat(t: pa.Table) -> pa.Table:
@@ -314,16 +366,31 @@ def knn_join_cells(points_ds, targets_ds, k: int = 3, res: int = 6,
     ring = max_ring
     sat_parts = []
     current = out
+    n_targets = None
     for _ in range(widen_passes):
         current = current.materialize()
         unsat_df = current.map_batches(_unsat, batch_format="pyarrow") \
             .to_pandas().drop_duplicates("key")
         if len(unsat_df) == 0:
             break
-        ring *= 2
+        if n_targets is None:
+            n_targets = targets_ds.count()
+        if n_targets == 0:        # nothing can satisfy the tail
+            break                 # (current keeps the zone_id=-1 rows)
         sat_parts.append(current.map_batches(_sat, batch_format="pyarrow"))
         retry_pts = rd.from_pandas(
             unsat_df.rename(columns={"key": point_key}))
+        if n_targets <= tail_broadcast_max:
+            # the unsat tail (geometrically shrinking) against a
+            # broadcastable target side: finish EXACTLY in one
+            # broadcast pass instead of 1-2 more ring-doubling
+            # shuffle rounds (each ~1-2 s of fixed scheduling at any
+            # scale, plus a full union+sort of the retry cells)
+            current = _knn_tail_broadcast(
+                retry_pts, targets_ds, k=k, n_targets=n_targets,
+                point_key=point_key, target_key=target_key)
+            break
+        ring *= 2
         current = knn_join_cells(retry_pts, targets_ds, k=k, res=res,
                                  max_ring=ring, widen_passes=0,
                                  _keep_coords=True,

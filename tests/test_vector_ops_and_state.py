@@ -181,6 +181,35 @@ def test_knn_cells_matches_broadcast(ray_session):
     assert (got["zone_id"].to_numpy() == exp["zone_id"].to_numpy()).all()
 
 
+def test_knn_tail_broadcast_matches_shuffle_widen(ray_session):
+    """Sparse targets at a fine resolution force widening; the
+    broadcast tail-resolve and the pure ring-doubling shuffle path
+    must produce identical (key, zone_id, rank) sets."""
+    import ray.data as rd
+
+    from spapy_ray.stages.knn import knn_join_cells
+
+    rng = np.random.default_rng(23)
+    n_t, n_p = 12, 300                      # 12 targets on a 64x64 grid
+    tdf = pd.DataFrame({"zone_id": np.arange(n_t),
+                        "lon": rng.uniform(-150, 150, n_t),
+                        "lat": rng.uniform(-60, 60, n_t)})
+    pdf = pd.DataFrame({"url": [f"p{i}" for i in range(n_p)],
+                        "lon": rng.uniform(-170, 170, n_p),
+                        "lat": rng.uniform(-75, 75, n_p)})
+
+    def run(tail_max):
+        out = knn_join_cells(rd.from_pandas(pdf), rd.from_pandas(tdf),
+                             k=3, res=6, max_ring=1, widen_passes=8,
+                             tail_broadcast_max=tail_max).to_pandas()
+        return set(zip(out["key"], out["zone_id"], out["rank"]))
+
+    via_broadcast = run(10_000)             # tail resolves by broadcast
+    via_shuffle = run(0)                    # pure ring-doubling rounds
+    assert via_broadcast == via_shuffle
+    assert len(via_broadcast) == n_p * 3
+
+
 def test_repartition_by_range_balances_skew(ray_session):
     """Range partitioning with sampled boundaries balances a heavily
     skewed cell distribution (half the points in one hot region)."""
@@ -315,8 +344,12 @@ def test_get_input_dispatch(ray_session, tmp_path):
     # file is a plain file error, not an unsupported format
     with _pytest.raises(FileNotFoundError):
         get_input("/x/y.shp")
-    with _pytest.raises(NotImplementedError):
+    # .tif is now a native reader (sources/geotiff.py) — a missing
+    # file is a plain file error; .img (HFA) stays env-blocked
+    with _pytest.raises(FileNotFoundError):
         get_input("/x/y.tif")
+    with _pytest.raises(NotImplementedError):
+        get_input("/x/y.img")
     with _pytest.raises(ValueError):
         get_input("/x/y.xyz")
 
