@@ -38,7 +38,9 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  "resample_nearest",
                  # round-3 session-2 additions
                  "events_quantiles", "docs_bigrams", "zone_top_pages",
-                 "events_distinct_users"]
+                 "events_distinct_users",
+                 # round-3 session-3 additions
+                 "tif_roundtrip", "dedup_clusters"]
 
 
 def _consume(res) -> int:

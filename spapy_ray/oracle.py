@@ -577,6 +577,31 @@ def q_near_dup_docs(threshold: float = 0.8) -> str:
     )
 
 
+def q_dedup_clusters(threshold: float = 0.8) -> str:
+    """Connected components over the exact all-pairs near-dup graph
+    (same pair SQL as q_near_dup_docs) via a recursive CTE: reach
+    closes each node over undirected edges, min(reachable) is the
+    component's canonical representative."""
+    return (
+        "WITH RECURSIVE "
+        "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), "
+        "j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2])) AS sh FROM t), "
+        "p AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b "
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+        "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
+        f"len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}), "
+        "e AS (SELECT key_a AS u, key_b AS v FROM p "
+        "UNION ALL SELECT key_b, key_a FROM p), "
+        "reach(n, r) AS ("
+        "SELECT u, u FROM e "
+        "UNION "
+        "SELECT e.u, reach.r FROM e JOIN reach ON reach.n = e.v) "
+        "SELECT n::BIGINT AS doc_id, min(r)::BIGINT AS cluster_rep "
+        "FROM reach GROUP BY n"
+    )
+
+
 def q_events_sessions() -> str:
     from spapy_ray.stages.sessions import sql_sessionize
 

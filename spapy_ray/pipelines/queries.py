@@ -548,6 +548,29 @@ def q_near_dup_docs(sf_dir: str, threshold: float = 0.8):
 QUERIES["near_dup_docs"] = q_near_dup_docs
 
 
+def q_dedup_clusters(sf_dir: str, threshold: float = 0.8):
+    """Cluster-level dedup: connected components over the verified
+    near-dup pair graph, each clustered doc mapped to its component's
+    minimum doc_id (the canonical representative). Components run
+    distributed hash-to-min (stages/components.py) with a
+    violated-edge convergence certificate; the oracle recomputes the
+    exact pair graph all-pairs and resolves components with a
+    recursive CTE."""
+    from spapy_ray.stages.neardup import near_dup_clusters
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return t.append_column("key", t.column("doc_id"))
+
+    return near_dup_clusters(ds.map_batches(keyed, batch_format="pyarrow"),
+                             key_col="key", threshold=threshold,
+                             verify="join")
+
+
+QUERIES["dedup_clusters"] = q_dedup_clusters
+
+
 def q_events_sessions(sf_dir: str):
     """Gap-based sessionization of the events log (30-min gap)."""
     from spapy_ray.stages.sessions import sessionize

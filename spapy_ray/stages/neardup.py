@@ -120,6 +120,19 @@ def _key_type(ds, key_col: str) -> pa.DataType:
     base = ds.schema().base_schema
     if isinstance(base, pa.Schema) and key_col in base.names:
         return base.field(key_col).type
+    # pandas-block datasets expose a PandasBlockSchema (names +
+    # numpy dtypes), not a pa.Schema — falling back to string there
+    # broke integer keys
+    names = getattr(base, "names", None)
+    types = getattr(base, "types", None)
+    if names and types is not None and key_col in names:
+        t = types[list(names).index(key_col)]
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            pass
     return pa.string()
 
 
@@ -330,6 +343,46 @@ def _verify_pairs_join(ds, cand, key_col: str, text_col: str,
         return out.append_column("jacc", pa.array(jc[keep]))
 
     return paired.map_batches(verify, batch_format="pyarrow")
+
+
+def near_dup_clusters(ds, key_col: str, text_col: str = "text",
+                      num_hashes: int = 16, bands: int = 4,
+                      threshold: float = 0.8, shingle_n: int = 3,
+                      verify: str = "auto", buckets: int = 64):
+    """Cluster-level dedup (the CCNet/RefinedWeb shape): verified
+    near-dup pairs → connected components → every clustered document
+    mapped to its cluster's canonical representative (minimum key).
+
+    Components run hash-to-min (stages/components.py) — near-dup
+    graphs hash node ids uniformly, so the tile-local hierarchical
+    merge (polygonize.spatial_min_label) has no locality to exploit
+    here. A downstream keep-filter is ``doc_id == cluster_rep`` plus
+    every unclustered document.
+
+    Requires an integer key column. Returns Dataset(doc_id,
+    cluster_rep) covering exactly the documents incident to at least
+    one >= threshold pair."""
+    from spapy_ray.stages.components import hash_to_min
+
+    pairs = near_dup_pairs(ds, key_col, text_col=text_col,
+                           num_hashes=num_hashes, bands=bands,
+                           threshold=threshold, shingle_n=shingle_n,
+                           verify=verify)
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pc.cast(t.column("key_a"), pa.int64()),
+            "b": pc.cast(t.column("key_b"), pa.int64())})
+
+    labels = hash_to_min(pairs.map_batches(as_edges,
+                                           batch_format="pyarrow"),
+                         buckets=buckets)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("v"),
+                         "cluster_rep": t.column("lab")})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ simhash
