@@ -37,7 +37,8 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "shp_roundtrip", "raster_math_stats", "asc_roundtrip",
           "semi_pages", "anti_pages", "events_quantiles",
           "events_distinct_users", "zone_top_pages", "sample_pages",
-          "docs_bigrams", "overlay_grid", "tif_roundtrip", "dedup_clusters"]
+          "docs_bigrams", "overlay_grid", "tif_roundtrip", "dedup_clusters",
+          "quality_filter"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),
         "dedup_clusters": o.q_dedup_clusters(),
+        "quality_filter": o.q_quality_filter(),
         "semi_pages": o.q_semi_pages(),
         "anti_pages": o.q_semi_pages(anti=True),
         "events_quantiles": o.q_events_quantiles(),

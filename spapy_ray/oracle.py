@@ -1003,6 +1003,22 @@ def q_docs_quality() -> str:
     )
 
 
+def q_quality_filter() -> str:
+    """Twin of queries.q_quality_filter: same RE2 class counts as
+    q_docs_quality, median length via quantile_disc (an exact
+    element, so the >= compare has no rounding slack), punct cap."""
+    punct = r"[!-/:-@\[-`{-~]"
+    ratio = (f"((length(text) - length(regexp_replace(text, '{punct}', "
+             "'', 'g')))::DOUBLE / GREATEST(length(text), 1)::DOUBLE)")
+    return (
+        f"WITH q AS (SELECT doc_id, length(text)::BIGINT AS n_chars, "
+        f"{ratio} AS punct_ratio FROM documents), "
+        "t AS (SELECT quantile_disc(n_chars, 0.5) AS thr FROM q) "
+        "SELECT doc_id, n_chars, punct_ratio FROM q, t "
+        "WHERE n_chars >= thr AND punct_ratio <= 0.2"
+    )
+
+
 def q_semi_pages(anti: bool = False) -> str:
     """Twin of stages.relate.point_semi_join: keep pages whose
     geocoded point lies in ANY zone (semi) / NO zone (anti)."""

@@ -1182,6 +1182,36 @@ def q_docs_quality(sf_dir: str):
 QUERIES["docs_quality"] = q_docs_quality
 
 
+def q_quality_filter(sf_dir: str):
+    """Percentile-based quality pruning — the canonical web-pipeline
+    shape (global statistic → broadcast threshold → filter): keep
+    documents whose length is at or above the corpus MEDIAN (exact
+    distributed quantile_disc — the threshold is an actual data
+    element, so the compare has no rounding slack) and whose
+    punctuation ratio stays under a constant cap. The stats table is
+    computed once, materialized narrow, and consumed by both the
+    quantile and the filter."""
+    from spapy_ray.stages.quantiles import global_quantile
+    from spapy_ray.stages.text import quality_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    stats = quality_stats(ds).select_columns(
+        ["doc_id", "n_chars", "punct_ratio"]).materialize()
+    thr = global_quantile(stats, "n_chars", [0.5])[0.5]
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("n_chars"),
+                                     pa.scalar(thr, pa.float64())),
+                    pc.less_equal(t.column("punct_ratio"),
+                                  pa.scalar(0.2, pa.float64())))
+        return t.filter(m)
+
+    return stats.map_batches(keep, batch_format="pyarrow")
+
+
+QUERIES["quality_filter"] = q_quality_filter
+
+
 CONTOUR_LEVELS = [63.5, 127.5, 191.5]
 
 

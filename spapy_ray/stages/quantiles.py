@@ -180,3 +180,18 @@ def grouped_quantile(ds, key_col: str, val_col: str, qs: list[float], *,
         "value": np.array([t["value"] for t in targets], dtype=np.float64),
     })
     return out.sort_values([key_col, "q"]).reset_index(drop=True)
+
+
+def global_quantile(ds, val_col: str, qs: list[float], *,
+                    bins: int = 1024, max_collect: int = 65536) -> dict:
+    """→ {q: value}: exact corpus-wide quantile_disc of ``val_col``
+    (the per-key machinery with one constant key — the values never
+    shuffle, only O(bins) counters per batch)."""
+    def const_key(t: pa.Table) -> pa.Table:
+        return pa.table({"k__": pa.array(np.zeros(len(t), np.int8)),
+                         val_col: t.column(val_col)})
+
+    tagged = ds.map_batches(const_key, batch_format="pyarrow")
+    out = grouped_quantile(tagged, "k__", val_col, qs, bins=bins,
+                           max_collect=max_collect)
+    return dict(zip(out["q"], out["value"]))
