@@ -38,7 +38,7 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "semi_pages", "anti_pages", "events_quantiles",
           "events_distinct_users", "zone_top_pages", "sample_pages",
           "docs_bigrams", "overlay_grid", "tif_roundtrip", "dedup_clusters",
-          "quality_filter"]
+          "quality_filter", "dist_join_counts"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -127,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "tif_roundtrip": o.q_tif_roundtrip(),
         "dedup_clusters": o.q_dedup_clusters(),
         "quality_filter": o.q_quality_filter(),
+        "dist_join_counts": o.q_dist_join_counts(),
         "semi_pages": o.q_semi_pages(),
         "anti_pages": o.q_semi_pages(anti=True),
         "events_quantiles": o.q_events_quantiles(),

@@ -1151,3 +1151,26 @@ def q_overlay_grid(num_zones: int = 200) -> str:
         "FROM range(12) t(b)) "
         f"SELECT zone_id, box_id, {a}::DOUBLE / 100000000.0 AS inter_area "
         f"FROM zones CROSS JOIN boxes WHERE {a} > 0")
+
+
+def q_dist_join_counts(radius_deg: float = 2.0) -> str:
+    """Twin of stages.distjoin.within_distance_count: per-point count
+    of OTHER points within r, exact int64 fixed-point predicate
+    dx5^2 + dy5^2 <= r5^2 (coords are exact multiples of 1e-5, so
+    round() recovers the integers). The lat5 band predicate is
+    redundant with the circle (|dlat5| <= r5) — it only steers DuckDB
+    into an IEJoin instead of a full cross product. count(*) - 1
+    drops the self-match, mirroring the engine's own-candidate-copy
+    subtraction."""
+    r5 = int(round(radius_deg * 1e5))
+    return (
+        f"WITH {geo_cte()}, "
+        "pts AS (SELECT url, warc_ts, "
+        "CAST(round(lat * 100000.0) AS BIGINT) AS lat5, "
+        "CAST(round(lon * 100000.0) AS BIGINT) AS lon5 FROM geo) "
+        "SELECT a.url, a.warc_ts, (count(*) - 1)::BIGINT AS n_neighbors "
+        "FROM pts a JOIN pts b "
+        f"ON b.lat5 BETWEEN a.lat5 - {r5} AND a.lat5 + {r5} "
+        "AND (a.lat5 - b.lat5) * (a.lat5 - b.lat5) "
+        f"+ (a.lon5 - b.lon5) * (a.lon5 - b.lon5) <= {r5 * r5} "
+        "GROUP BY a.url, a.warc_ts")

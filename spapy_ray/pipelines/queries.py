@@ -1689,3 +1689,18 @@ def q_overlay_grid(sf_dir: str):
 
 
 QUERIES["overlay_grid"] = q_overlay_grid
+
+
+def q_dist_join_counts(sf_dir: str, radius_deg: float = 2.0):
+    """Within-distance (range) self-join: for every geocoded page, the
+    number of other pages within 2 degrees (planar, exact fixed-point
+    predicate). Grid co-partition with cell width == radius, one
+    bucketed shuffle, per-cell numpy broadcast — the operator class
+    the brief names as "range join" (stages/distjoin.py)."""
+    from spapy_ray.stages.distjoin import within_distance_count
+
+    geo = _geo(sf_dir).select_columns(["url", "warc_ts", "lat", "lon"])
+    return within_distance_count(geo, radius_deg=radius_deg)
+
+
+QUERIES["dist_join_counts"] = q_dist_join_counts

@@ -1,0 +1,70 @@
+"""Within-distance (range) self-join: grid path vs brute force, and
+salted == unsalted exactness."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from spapy_ray.stages.distjoin import (within_distance_count,
+                                       within_distance_pairs_local)
+
+
+def _points(n: int, seed: int = 11) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    # trailing-5 fixed point like the pages fixture, clustered so
+    # cells are non-trivially occupied (some points share coords —
+    # zero-distance neighbors must count)
+    lat5 = (rng.integers(-850_000, 850_000, n) * 10 + 5)
+    lon5 = (rng.integers(-1_800_000, 1_800_000, n) * 10 + 5)
+    dup = rng.integers(0, n, n // 10)
+    lat5[:len(dup)] = lat5[dup]
+    lon5[:len(dup)] = lon5[dup]
+    return pa.table({
+        "pid": np.arange(n, dtype=np.int64),
+        "lat": lat5.astype(np.float64) / 1e5,
+        "lon": lon5.astype(np.float64) / 1e5,
+    })
+
+
+def _expected(t: pa.Table, radius_deg: float) -> pd.DataFrame:
+    r5 = int(round(radius_deg * 1e5))
+    lat5 = np.rint(t.column("lat").to_numpy() * 1e5).astype(np.int64)
+    lon5 = np.rint(t.column("lon").to_numpy() * 1e5).astype(np.int64)
+    i, _ = within_distance_pairs_local(lat5, lon5, r5)
+    counts = np.bincount(i, minlength=len(lat5)).astype(np.int64)
+    return pd.DataFrame({"pid": np.arange(len(lat5), dtype=np.int64),
+                         "n_neighbors": counts})
+
+
+def _run(t: pa.Table, radius_deg: float, **kw) -> pd.DataFrame:
+    import ray.data as rd
+
+    out = within_distance_count(rd.from_arrow(t), radius_deg=radius_deg,
+                                key_cols=("pid",), **kw)
+    return out.to_pandas().sort_values("pid").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("radius", [0.5, 2.0, 11.0])
+def test_grid_matches_bruteforce(ray_session, radius):
+    t = _points(400)
+    got = _run(t, radius)
+    exp = _expected(t, radius)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_salted_equals_unsalted(ray_session):
+    t = _points(400, seed=23)
+    base = _run(t, 2.0)
+    salted = _run(t, 2.0, salt=4)
+    pd.testing.assert_frame_equal(salted, base)
+    pd.testing.assert_frame_equal(base, _expected(t, 2.0))
+
+
+def test_isolated_points_get_zero(ray_session):
+    # two far-apart points: both rows present, counts 0
+    t = pa.table({"pid": np.array([0, 1], dtype=np.int64),
+                  "lat": [10.00005, -40.00005],
+                  "lon": [100.00005, -90.00005]})
+    got = _run(t, 1.0)
+    assert got["n_neighbors"].tolist() == [0, 0]
