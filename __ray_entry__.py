@@ -38,7 +38,7 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "semi_pages", "anti_pages", "events_quantiles",
           "events_distinct_users", "zone_top_pages", "sample_pages",
           "docs_bigrams", "overlay_grid", "tif_roundtrip", "dedup_clusters",
-          "quality_filter", "dist_join_counts"]
+          "quality_filter", "dist_join_counts", "geojson_roundtrip"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -122,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         # attrs; bounds/area of the reloaded layer == computing them
         # on the original zones, i.e. the zone_bounds_area twin
         "shp_roundtrip": o.q_zone_bounds_area(),
+        "geojson_roundtrip": o.q_zone_bounds_area(),
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),

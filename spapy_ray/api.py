@@ -343,13 +343,18 @@ def Save(obj, path, *, crs: str | None = None, nodata: float | None = None):
 
         write_raster(obj.ds, str(path), obj.meta)
         return
-    if ext == ".shp":
+    if ext in (".shp", ".geojson"):
         import pyarrow as _pa
-
-        from spapy_ray.sources.shapefile import write_shapefile
 
         tbl = obj if isinstance(obj, _pa.Table) else _pa.Table.from_pandas(
             obj.to_pandas(), preserve_index=False)
-        write_shapefile(tbl, str(path), crs=crs)
+        if ext == ".shp":
+            from spapy_ray.sources.shapefile import write_shapefile
+
+            write_shapefile(tbl, str(path), crs=crs)
+        else:
+            from spapy_ray.sources.geojson import write_geojson
+
+            write_geojson(tbl, str(path), crs=crs)
         return
     obj.write_parquet(str(path))

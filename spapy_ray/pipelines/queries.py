@@ -1704,3 +1704,33 @@ def q_dist_join_counts(sf_dir: str, radius_deg: float = 2.0):
 
 
 QUERIES["dist_join_counts"] = q_dist_join_counts
+
+
+def q_geojson_roundtrip(sf_dir: str):
+    """Native GeoJSON I/O (sources/geojson.py — RFC 7946, stdlib json;
+    reference Load/Save keeps fiona's driver, SpaVectors.py:208,263)
+    through the driver's value-hash gate: zones → .geojson → read
+    back → bounds + fixed-point area. JSON doubles use shortest-repr
+    serialization, so coordinates round-trip exactly and the result
+    must be BIT-IDENTICAL to measuring the original layer (oracle:
+    q_zone_bounds_area)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spapy_ray.sources import geojson as gj
+    from spapy_ray.sources.zones import zones_table
+    from spapy_ray.stages.measures import measure_wkb_table
+
+    d = tempfile.mkdtemp(prefix="spapy_gj_")
+    try:
+        path = os.path.join(d, "zones.geojson")
+        gj.write_geojson(zones_table(), path)
+        back, _meta = gj.read_geojson(path)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return measure_wkb_table(back).select(
+        ["zone_id", "name", "minx", "miny", "maxx", "maxy", "area"])
+
+
+QUERIES["geojson_roundtrip"] = q_geojson_roundtrip

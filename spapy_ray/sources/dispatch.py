@@ -79,6 +79,12 @@ def get_input(source):
         return rd.read_csv(path)
     if ext in (".json", ".jsonl"):
         return rd.read_json(path)
+    if ext == ".geojson":
+        # native RFC 7946 parser — no fiona (sources/geojson.py)
+        from spapy_ray.sources.geojson import read_geojson
+
+        tbl, _meta = read_geojson(path)
+        return rd.from_arrow(tbl)
     if ext == ".shp":
         # native spec parser — no fiona (sources/shapefile.py)
         from spapy_ray.sources.shapefile import read_shapefile
