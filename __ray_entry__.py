@@ -38,7 +38,8 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "semi_pages", "anti_pages", "events_quantiles",
           "events_distinct_users", "zone_top_pages", "sample_pages",
           "docs_bigrams", "overlay_grid", "tif_roundtrip", "dedup_clusters",
-          "quality_filter", "dist_join_counts", "geojson_roundtrip"]
+          "quality_filter", "dist_join_counts", "geojson_roundtrip",
+          "render_tiles"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         # on the original zones, i.e. the zone_bounds_area twin
         "shp_roundtrip": o.q_zone_bounds_area(),
         "geojson_roundtrip": o.q_zone_bounds_area(),
+        "render_tiles": o.q_render_tiles(),
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),

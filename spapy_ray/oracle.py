@@ -1174,3 +1174,25 @@ def q_dist_join_counts(radius_deg: float = 2.0) -> str:
         "AND (a.lat5 - b.lat5) * (a.lat5 - b.lat5) "
         f"+ (a.lon5 - b.lon5) * (a.lon5 - b.lon5) <= {r5 * r5} "
         "GROUP BY a.url, a.warc_ts")
+
+
+def q_render_tiles() -> str:
+    """Twin of stages.render.render_tiles: right-open class intervals
+    (searchsorted side='right' == CASE WHEN z < b ...), fixed RGB per
+    class, per-tile integer channel sums."""
+    from spapy_ray.stages.render import (DEFAULT_RENDER_BREAKS,
+                                         DEFAULT_RENDER_COLORS)
+
+    def chan(c: int) -> str:
+        b = DEFAULT_RENDER_BREAKS
+        cl = DEFAULT_RENDER_COLORS
+        parts = " ".join(f"WHEN z < {b[i]} THEN {cl[i][c]}"
+                         for i in range(len(b)))
+        return f"(CASE {parts} ELSE {cl[-1][c]} END)"
+
+    return (f"WITH {_pixel_grid_cte()} "
+            "SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+            f"sum({chan(0)})::BIGINT AS r_sum, "
+            f"sum({chan(1)})::BIGINT AS g_sum, "
+            f"sum({chan(2)})::BIGINT AS b_sum "
+            "FROM grid GROUP BY 1, 2")

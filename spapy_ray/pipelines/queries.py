@@ -1734,3 +1734,20 @@ def q_geojson_roundtrip(sf_dir: str):
 
 
 QUERIES["geojson_roundtrip"] = q_geojson_roundtrip
+
+
+def q_render_tiles(sf_dir: str):
+    """Tile rendering (SURVEY §2.9's engine-side form — SpaView/
+    SpaPlot's matplotlib drawing re-expressed as a tile-server stage,
+    stages/render.py): discrete color ramp over the DEM, per-tile
+    integer channel sums. The PNG bytes themselves are pytest-checked
+    (decode_png == classify_rgb); the driver hashes the channel sums,
+    whose CASE twin is exact."""
+    from spapy_ray.stages.render import render_tiles
+
+    ds, meta = _dem()
+    return render_tiles(ds, dtype="int32", tile_size=meta.tile_size,
+                        include_png=False)
+
+
+QUERIES["render_tiles"] = q_render_tiles
