@@ -40,7 +40,9 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  "events_quantiles", "docs_bigrams", "zone_top_pages",
                  "events_distinct_users",
                  # round-3 session-3 additions
-                 "tif_roundtrip", "dedup_clusters"]
+                 "tif_roundtrip", "dedup_clusters",
+                 # round-3 session-4 additions
+                 "dist_join_counts", "render_tiles"]
 
 
 def _consume(res) -> int:

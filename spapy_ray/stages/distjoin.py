@@ -176,6 +176,78 @@ def within_distance_count(ds, *, radius_deg: float,
     return folded.map_batches(drop_self, batch_format="pyarrow")
 
 
+def within_distance_pairs(ds, *, radius_deg: float, key_col: str,
+                          lat_col: str = "lat", lon_col: str = "lon",
+                          buckets: int | None = None,
+                          directed: bool = False):
+    """The pair-returning form of the range join: (key_a, key_b,
+    dist5sq) for every pair within ``radius_deg``; ``directed=False``
+    keeps each unordered pair once (key_a < key_b).
+
+    Same grid co-partition as within_distance_count — each candidate
+    copy meets each home point in exactly one cell, so pairs are
+    emitted exactly once per direction with no dedup shuffle. Output
+    is a Dataset (at 100 TB the pair set itself can be huge; it
+    streams straight to the consumer or a write)."""
+    r5 = int(round(radius_deg * 1e5))
+    if r5 <= 0:
+        raise ValueError("radius_deg must be >= 1e-5")
+    b = buckets or max(64, cluster_cpus() * 4)
+    r5sq = r5 * r5
+
+    def expand(t: pa.Table) -> pa.Table:
+        lat5 = _fixed5(t.column(lat_col))
+        lon5 = _fixed5(t.column(lon_col))
+        gx, gy = _grid(lat5, lon5, r5)
+        zero = np.zeros(len(lat5), dtype=np.int64)
+        parts = [pa.table({
+            key_col: t.column(key_col), "lat5": lat5, "lon5": lon5,
+            "_bucket": _bucket_of(_cell_of(gx, gy), zero, 1, b),
+            "_cell": _cell_of(gx, gy), "_home": np.ones(len(lat5), bool),
+        })]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                ncell = _cell_of(gx + dx, gy + dy)
+                parts.append(pa.table({
+                    key_col: t.column(key_col), "lat5": lat5, "lon5": lon5,
+                    "_bucket": _bucket_of(ncell, zero, 1, b),
+                    "_cell": ncell, "_home": np.zeros(len(lat5), bool),
+                }))
+        return pa.concat_tables(parts)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out: list[pd.DataFrame] = []
+        for _, g in df.groupby("_cell", sort=False):
+            home = g["_home"].to_numpy()
+            cand = ~home
+            if not home.any() or not cand.any():
+                continue
+            clat = g["lat5"].to_numpy()
+            clon = g["lon5"].to_numpy()
+            keys = g[key_col].to_numpy()
+            hlat, hlon, hkey = clat[home], clon[home], keys[home]
+            klat, klon, kkey = clat[cand], clon[cand], keys[cand]
+            step = max(1, 4_000_000 // len(klat))
+            for i in range(0, len(hlat), step):
+                dx = hlon[i:i + step, None] - klon[None, :]
+                dy = hlat[i:i + step, None] - klat[None, :]
+                d2 = dx * dx + dy * dy
+                hi, ki = np.nonzero(d2 <= r5sq)
+                ka, kb = hkey[i:i + step][hi], kkey[ki]
+                keep = ka != kb if directed else ka < kb
+                out.append(pd.DataFrame({
+                    "key_a": ka[keep], "key_b": kb[keep],
+                    "dist5sq": d2[hi, ki][keep].astype(np.int64)}))
+        if not out:
+            return pd.DataFrame({
+                "key_a": df[key_col].iloc[:0], "key_b": df[key_col].iloc[:0],
+                "dist5sq": pd.Series(dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    return ds.map_batches(expand, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def within_distance_pairs_local(lat5: np.ndarray, lon5: np.ndarray,
                                 r5: int) -> tuple[np.ndarray, np.ndarray]:
     """Brute-force O(n^2) exact pair index (i, j), i != j — the parity

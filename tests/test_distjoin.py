@@ -68,3 +68,29 @@ def test_isolated_points_get_zero(ray_session):
                   "lon": [100.00005, -90.00005]})
     got = _run(t, 1.0)
     assert got["n_neighbors"].tolist() == [0, 0]
+
+
+def test_pairs_match_bruteforce(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.distjoin import within_distance_pairs
+
+    t = _points(300, seed=5)
+    r5 = 200000
+    lat5 = np.rint(t.column("lat").to_numpy() * 1e5).astype(np.int64)
+    lon5 = np.rint(t.column("lon").to_numpy() * 1e5).astype(np.int64)
+    i, j = within_distance_pairs_local(lat5, lon5, r5)
+    exp_undir = {(min(a, b), max(a, b)) for a, b in zip(i, j)}
+    exp_dir = set(zip(i.tolist(), j.tolist()))
+
+    got = within_distance_pairs(rd.from_arrow(t), radius_deg=2.0,
+                                key_col="pid").to_pandas()
+    assert set(zip(got["key_a"], got["key_b"])) == exp_undir
+    assert len(got) == len(exp_undir)  # no duplicate emissions
+    dx = lon5[got["key_a"]] - lon5[got["key_b"]]
+    dy = lat5[got["key_a"]] - lat5[got["key_b"]]
+    assert (got["dist5sq"].to_numpy() == dx * dx + dy * dy).all()
+
+    gd = within_distance_pairs(rd.from_arrow(t), radius_deg=2.0,
+                               key_col="pid", directed=True).to_pandas()
+    assert set(zip(gd["key_a"], gd["key_b"])) == exp_dir
