@@ -1196,3 +1196,15 @@ def q_render_tiles() -> str:
             f"sum({chan(1)})::BIGINT AS g_sum, "
             f"sum({chan(2)})::BIGINT AS b_sum "
             "FROM grid GROUP BY 1, 2")
+
+
+def q_tile_pyramid(res_hi: int = 7, res_lo: int = 3) -> str:
+    """Twin of stages.cellindex.tile_pyramid: each level computed
+    INDEPENDENTLY from the raw points (no roll-up), so a hash match
+    certifies parent-truncation == direct coarse encode."""
+    levels = " UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS res, "
+        f"{sql_cell_expr('lon', 'lat', r)}::BIGINT AS tile, "
+        "count(*)::BIGINT AS n_pages FROM geo GROUP BY 2"
+        for r in range(res_lo, res_hi + 1))
+    return f"WITH {geo_cte()} {levels}"

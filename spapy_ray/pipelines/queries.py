@@ -1751,3 +1751,16 @@ def q_render_tiles(sf_dir: str):
 
 
 QUERIES["render_tiles"] = q_render_tiles
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Tile-count pyramid res 7..3 (stages/cellindex.tile_pyramid):
+    one combiner count at the fine level, one roll-up groupby for all
+    coarser levels. The oracle recomputes every level directly from
+    the raw points, so the hash check proves the roll-up identity."""
+    from spapy_ray.stages.cellindex import tile_pyramid
+
+    return tile_pyramid(_geo(sf_dir), res_hi=7, res_lo=3)
+
+
+QUERIES["tile_pyramid"] = q_tile_pyramid

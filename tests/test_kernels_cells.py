@@ -88,3 +88,33 @@ def test_sql_expr_matches_numpy():
             f"SELECT {cells.sql_cell_expr('lon', 'lat', res)} AS c FROM pts"
         ).fetchnumpy()["c"]
         assert (got.astype(np.uint64) == expected).all()
+
+
+def test_tile_pyramid_rollup_equals_direct(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.kernels import cells
+    from spapy_ray.stages.cellindex import tile_pyramid
+
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-180, 180, 5000)
+    lat = rng.uniform(-90, 90, 5000)
+    # grid-edge clipping cases
+    lon[:4] = [180.0, -180.0, 179.999999, 0.0]
+    lat[:4] = [90.0, -90.0, 0.0, 89.999999]
+    ds = rd.from_arrow(pa.table({"lon": lon, "lat": lat}))
+    got = tile_pyramid(ds, res_hi=6, res_lo=2).to_pandas() \
+        .sort_values(["res", "tile"]).reset_index(drop=True)
+    exp_parts = []
+    for r in range(2, 7):
+        t = cells.encode(lon, lat, r).astype("int64")
+        vc = pd.Series(t).value_counts().sort_index()
+        exp_parts.append(pd.DataFrame({
+            "res": np.int64(r), "tile": vc.index.to_numpy(),
+            "n_pages": vc.to_numpy().astype(np.int64)}))
+    exp = pd.concat(exp_parts, ignore_index=True) \
+        .sort_values(["res", "tile"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
