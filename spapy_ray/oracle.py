@@ -1208,3 +1208,21 @@ def q_tile_pyramid(res_hi: int = 7, res_lo: int = 3) -> str:
         "count(*)::BIGINT AS n_pages FROM geo GROUP BY 2"
         for r in range(res_lo, res_hi + 1))
     return f"WITH {geo_cte()} {levels}"
+
+
+def q_raster_overviews(levels: int = 3, tile_size: int = 64) -> str:
+    """Twin of stages.raster.raster_overviews: level-l pixel (bx, by)
+    = exact int64 sum of its 2^l x 2^l source block; per-tile
+    sum/min/max of those block sums."""
+    parts = []
+    for lv in range(1, levels + 1):
+        d = 1 << lv
+        parts.append(
+            f"SELECT {lv}::BIGINT AS level, "
+            f"(bx // {tile_size})::BIGINT AS tx, "
+            f"(by // {tile_size})::BIGINT AS ty, "
+            "sum(s)::BIGINT AS sum_v, min(s)::BIGINT AS min_v, "
+            "max(s)::BIGINT AS max_v FROM ("
+            f"SELECT px // {d} AS bx, py // {d} AS by, sum(z) AS s "
+            "FROM grid GROUP BY 1, 2) GROUP BY 1, 2, 3")
+    return f"WITH {_pixel_grid_cte()} " + " UNION ALL ".join(parts)

@@ -1764,3 +1764,36 @@ def q_tile_pyramid(sf_dir: str):
 
 
 QUERIES["tile_pyramid"] = q_tile_pyramid
+
+
+def q_raster_overviews(sf_dir: str):
+    """COG-style sum-overview pyramid (stages/raster.raster_overviews):
+    3 levels derived from ONE ancestor groupby; hashed as per-tile
+    integer stats of each overview level."""
+    from spapy_ray.stages.raster import raster_overviews
+
+    ds, meta = _dem()
+    ov = raster_overviews(ds, dtype="int32", tile_size=meta.tile_size,
+                          levels=3)
+    T = meta.tile_size
+
+    def stats(t: pa.Table) -> pa.Table:
+        sums, mins, maxs = [], [], []
+        for buf in t.column("data").to_pylist():
+            a = np.frombuffer(buf, dtype=np.int64).reshape(T, T)
+            sums.append(int(a.sum()))
+            mins.append(int(a.min()))
+            maxs.append(int(a.max()))
+        return pa.table({
+            "level": pc.cast(t.column("level"), pa.int64()),
+            "tx": pc.cast(t.column("tx"), pa.int64()),
+            "ty": pc.cast(t.column("ty"), pa.int64()),
+            "sum_v": pa.array(sums, type=pa.int64()),
+            "min_v": pa.array(mins, type=pa.int64()),
+            "max_v": pa.array(maxs, type=pa.int64()),
+        })
+
+    return ov.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["raster_overviews"] = q_raster_overviews

@@ -1006,3 +1006,75 @@ def warp_to_crs(ds, src: RasterMeta, crs: str, *, dst: RasterMeta | None = None,
 
     return frags.groupby(["dtx", "dty"]).map_groups(
         per_dst_tile, batch_format="pandas"), dst
+
+
+def raster_overviews(ds, *, dtype: str, tile_size: int, levels: int):
+    """COG-style overview pyramid: the level-l raster's pixel (bx, by)
+    is the exact int64 SUM of its 2^l x 2^l source block (GeoTIFF
+    overviews / gdaladdo, which the reference reaches through GDAL
+    file options; SpaRasters.py:752-824 Save). SUM, not mean: means
+    divide (float rounding, nodata weighting) — a sum pyramid is the
+    lossless integral form from which mean/density renders derive,
+    and it is exactly SQL-twinnable.
+
+    Scale shape (mirrors cellindex.tile_pyramid): ONE groupby on the
+    level-`levels` tile ancestor; each group assembles its
+    2^levels x 2^levels tile block and derives every level locally by
+    2x2 reshape-sums. Group memory is 4^levels x tile bytes — run
+    deep pyramids as two hops (e.g. 6 = 3 + 3) if that outgrows a
+    worker. Requires a full tile-aligned grid (crop/pad first).
+
+    Output rows: (level, tx, ty, band, data) with int64 tiles of the
+    SAME tile_size (the standard overview tiling: 4 source tiles
+    shrink into one quadrant, so tile counts per side halve each
+    level; side counts not divisible by 2^levels get zero-padded
+    blocks at the high edges, which only ever add empty quadrants).
+    """
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    S = 1 << levels
+
+    def tag(t: pa.Table) -> pa.Table:
+        tx = t.column("tx").to_numpy()
+        ty = t.column("ty").to_numpy()
+        root = (tx.astype(np.int64) >> levels) * (np.int64(1) << 32) \
+            + (ty.astype(np.int64) >> levels)
+        return t.append_column("_root", pa.array(root))
+
+    def per_root(df: pd.DataFrame) -> pd.DataFrame:
+        out_rows = {"level": [], "tx": [], "ty": [], "band": [],
+                    "data": []}
+        root = int(df["_root"].iloc[0])
+        rx, ry = root >> 32, root & 0xFFFFFFFF
+        for band, g in df.groupby("band", sort=False):
+            block = np.zeros((S * tile_size, S * tile_size),
+                             dtype=np.int64)
+            for tx, ty, buf in zip(g["tx"], g["ty"], g["data"]):
+                a = decode_tile(buf, dtype, tile_size).astype(np.int64)
+                ox, oy = (int(tx) - (rx << levels)) * tile_size, \
+                    (int(ty) - (ry << levels)) * tile_size
+                block[oy:oy + tile_size, ox:ox + tile_size] = a
+            cur = block
+            for lv in range(1, levels + 1):
+                h, w = cur.shape
+                cur = cur.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
+                ntiles = S >> lv  # tiles per side at this level (>= 1)
+                for j in range(ntiles):
+                    for i in range(ntiles):
+                        tile = cur[j * tile_size:(j + 1) * tile_size,
+                                   i * tile_size:(i + 1) * tile_size]
+                        out_rows["level"].append(lv)
+                        out_rows["tx"].append(rx * ntiles + i)
+                        out_rows["ty"].append(ry * ntiles + j)
+                        out_rows["band"].append(int(band))
+                        out_rows["data"].append(np.ascontiguousarray(
+                            tile).tobytes())
+        return pd.DataFrame({
+            "level": np.asarray(out_rows["level"], dtype=np.int32),
+            "tx": np.asarray(out_rows["tx"], dtype=np.int32),
+            "ty": np.asarray(out_rows["ty"], dtype=np.int32),
+            "band": np.asarray(out_rows["band"], dtype=np.int32),
+            "data": out_rows["data"]})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_root").map_groups(per_root, batch_format="pandas")

@@ -812,3 +812,38 @@ def test_contour_as_dataset_streams_same_lines(ray_session):
     b = ds[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b)
     assert sorted(df["geom_wkb"]) == sorted(ds["geom_wkb"])
+
+
+def test_raster_overviews_match_direct_blocksums(ray_session):
+    import numpy as np
+
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.raster import decode_tile, raster_overviews
+
+    meta = DEM_META
+    T = meta.tile_size
+    ds = synth_dem_dataset(meta, kind="int")
+    # reference: assemble the full raster, block-sum directly
+    full = np.zeros((meta.height, meta.width), dtype=np.int64)
+    for r in ds.take_all():
+        a = decode_tile(r["data"], "int32", T).astype(np.int64)
+        full[r["ty"] * T:(r["ty"] + 1) * T,
+             r["tx"] * T:(r["tx"] + 1) * T] = a
+
+    for levels in (1, 2):  # levels=1 → 16 roots: exercises rx, ry != 0
+        got = {(r["level"], r["tx"], r["ty"]):
+               np.frombuffer(r["data"], dtype=np.int64).reshape(T, T)
+               for r in raster_overviews(ds, dtype="int32", tile_size=T,
+                                         levels=levels).take_all()}
+        for lv in range(1, levels + 1):
+            d = 1 << lv
+            ov = full.reshape(meta.height // d, d,
+                              meta.width // d, d).sum(axis=(1, 3))
+            nt = ov.shape[0] // T
+            assert nt >= 1
+            for j in range(nt):
+                for i in range(nt):
+                    exp = ov[j * T:(j + 1) * T, i * T:(i + 1) * T]
+                    assert (got[(lv, i, j)] == exp).all(), (levels, lv, i, j)
+        assert len(got) == sum((meta.tiles_x >> lv) ** 2
+                               for lv in range(1, levels + 1))
