@@ -39,7 +39,8 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "events_distinct_users", "zone_top_pages", "sample_pages",
           "docs_bigrams", "overlay_grid", "tif_roundtrip", "dedup_clusters",
           "quality_filter", "dist_join_counts", "geojson_roundtrip",
-          "render_tiles", "tile_pyramid", "raster_overviews"]
+          "render_tiles", "tile_pyramid", "raster_overviews",
+          "sample_stratified"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "render_tiles": o.q_render_tiles(),
         "tile_pyramid": o.q_tile_pyramid(),
         "raster_overviews": o.q_raster_overviews(),
+        "sample_stratified": o.q_sample_stratified(),
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),

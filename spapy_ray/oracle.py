@@ -1226,3 +1226,14 @@ def q_raster_overviews(levels: int = 3, tile_size: int = 64) -> str:
             f"SELECT px // {d} AS bx, py // {d} AS by, sum(z) AS s "
             "FROM grid GROUP BY 1, 2) GROUP BY 1, 2, 3")
     return f"WITH {_pixel_grid_cte()} " + " UNION ALL ".join(parts)
+
+
+def q_sample_stratified() -> str:
+    """Twin of stages.relational.hash_sample_stratified with the
+    query's per-language rate table (pt falls to the default)."""
+    num = ("CASE lang WHEN 'fr' THEN 3 ELSE 1 END")
+    den = ("CASE lang WHEN 'en' THEN 2 WHEN 'es' THEN 4 "
+           "WHEN 'de' THEN 8 ELSE 16 END")
+    return (f"WITH {pages_cte()} "
+            "SELECT url, warc_ts, lang FROM pages "
+            f"WHERE ({sql_fnv1a('url')} % {den}) < {num}")

@@ -1797,3 +1797,20 @@ def q_raster_overviews(sf_dir: str):
 
 
 QUERIES["raster_overviews"] = q_raster_overviews
+
+
+def q_sample_stratified(sf_dir: str):
+    """Per-language deterministic downsampling (corpus rebalancing:
+    halve the dominant language, keep progressively more of the rare
+    ones) — stages/relational.hash_sample_stratified; same fnv1a fold
+    as the oracle, group-consistent on url."""
+    from spapy_ray.stages.relational import hash_sample_stratified
+
+    rates = {"en": (1, 2), "es": (1, 4), "de": (1, 8), "fr": (3, 16)}
+    return hash_sample_stratified(
+        pages_dataset(sf_dir, include_html=False), "url", "lang",
+        rates, default=(1, 16)) \
+        .select_columns(["url", "warc_ts", "lang"])
+
+
+QUERIES["sample_stratified"] = q_sample_stratified

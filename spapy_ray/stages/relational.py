@@ -295,6 +295,37 @@ def hash_sample(ds, col: str, num: int, den: int):
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+
+def hash_sample_stratified(ds, col: str, strata_col: str,
+                           rates: dict[str, tuple[int, int]],
+                           default: tuple[int, int] = (0, 1)):
+    """Per-stratum deterministic sampling: row kept iff
+    fnv1a64(col) % den_s < num_s for its stratum's (num, den) rate —
+    the corpus-rebalancing primitive (e.g. downsample dominant
+    languages, keep all of rare ones). Same group-consistency and
+    SQL-twin properties as hash_sample; the rate table is a tiny
+    broadcast closure, never a shuffle."""
+    import pandas as pd
+
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    keys = sorted(rates)
+    nums = np.array([rates[k][0] for k in keys], dtype=np.uint64)
+    dens = np.array([rates[k][1] for k in keys], dtype=np.uint64)
+
+    def _f(t: pa.Table) -> pa.Table:
+        h = fnv1a64(t.column(col))
+        s = t.column(strata_col).to_pandas()
+        idx = pd.Index(keys).get_indexer(s)
+        num = np.where(idx >= 0, nums[np.maximum(idx, 0)],
+                       np.uint64(default[0])).astype(np.uint64)
+        den = np.where(idx >= 0, dens[np.maximum(idx, 0)],
+                       np.uint64(default[1])).astype(np.uint64)
+        return t.filter(pa.array((h % den) < num))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def approx_distinct_hll(ds, key: str, distinct_col: str, *, p: int = 12,
                         alias: str = "n_approx"):
     """Per-key approximate COUNT(DISTINCT) via HyperLogLog — the

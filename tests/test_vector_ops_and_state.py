@@ -407,3 +407,33 @@ def test_buffer_round_joins(ray_session):
     from spapy_ray.kernels import geom as _geom
     a = sum(_geom.ring_signed_area(p[0]) for p in mp2)
     assert a == pytest.approx(area, rel=1e-12)
+
+
+def test_hash_sample_stratified_rates_and_consistency(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.kernels.hashing import fnv1a64
+    from spapy_ray.stages.relational import hash_sample_stratified
+
+    n = 4000
+    keys = pa.array([f"k{i % 1000}" for i in range(n)])
+    strata = pa.array([("a", "b", "c")[i % 3] for i in range(n)])
+    t = pa.table({"k": keys, "s": strata, "i": np.arange(n)})
+    rates = {"a": (1, 2), "b": (1, 4)}
+    got = hash_sample_stratified(rd.from_arrow(t), "k", "s", rates,
+                                 default=(1, 8)).to_pandas()
+    h = fnv1a64(keys).astype(np.uint64)
+    s = np.array(strata.to_pylist())
+    num = np.where(s == "a", 1, 1)
+    den = np.select([s == "a", s == "b"], [2, 4], default=8).astype(np.uint64)
+    exp = (h % den) < num
+    assert len(got) == int(exp.sum())
+    assert set(got["i"]) == set(np.arange(n)[exp])
+    # group consistency: every kept key is kept for ALL its rows
+    # within one stratum
+    kept = got.groupby(["k", "s"]).size()
+    full = pa.table({"k": keys, "s": strata}).to_pandas() \
+        .groupby(["k", "s"]).size()
+    assert all(full[idx] == c for idx, c in kept.items())
