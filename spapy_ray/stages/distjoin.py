@@ -66,6 +66,23 @@ def _bucket_of(cell: np.ndarray, sub: np.ndarray, salt: int, b: int) -> np.ndarr
     return (((k * _MIX) >> np.uint64(33)) % np.uint64(b)).astype(np.int64)
 
 
+def _neutral_column(col, n: int):
+    """A length-n column of col's type holding one repeated throwaway
+    value (empty string / the first element) — same schema, ~zero
+    payload bytes for variable-width types."""
+    typ = col.type
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.array([""] * n, type=typ)
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return pa.array([b""] * n, type=typ)
+    if n == 0 or len(col) == 0:
+        return col.slice(0, 0)
+    first = col.slice(0, 1)
+    if isinstance(first, pa.ChunkedArray):
+        first = first.combine_chunks()
+    return pa.concat_arrays([first] * n)
+
+
 def within_distance_count(ds, *, radius_deg: float,
                           key_cols: tuple[str, ...] = ("url", "warc_ts"),
                           lat_col: str = "lat", lon_col: str = "lon",
@@ -105,13 +122,14 @@ def within_distance_count(ds, *, radius_deg: float,
                 "_home": np.ones(n, dtype=bool),
             }))
         # candidate copies: 3x3 neighborhood, each point's copies all
-        # in ONE deterministic sub-bucket. Candidates carry their own
-        # key values (unused) rather than nulls: a null int64 key
-        # would force pandas to float64 inside map_groups and the
-        # output keys would come back upcast
+        # in ONE deterministic sub-bucket. Candidate key columns are
+        # typed CONSTANTS (not nulls — a null int64 key would force
+        # pandas to float64 inside map_groups and the output keys
+        # would come back upcast; not the real values — shipping the
+        # url string 9x was ~40% of the shuffle volume)
         csub = ((lat5.astype(np.uint64) * _MIX + lon5.astype(np.uint64))
                 % np.uint64(salt)).astype(np.int64)
-        keys = {k: t.column(k) for k in key_cols}
+        keys = {k: _neutral_column(t.column(k), n) for k in key_cols}
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 ncell = _cell_of(gx + dx, gy + dy)
@@ -125,32 +143,58 @@ def within_distance_count(ds, *, radius_deg: float,
         return pa.concat_tables(parts)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out_keys: list[pd.DataFrame] = []
+        # sort once, then walk (cell, sub) slices as raw numpy — a
+        # pandas groupby here builds one sub-DataFrame per cell
+        # (~1-2 ms each), which at ~10^4 occupied cells per dataset
+        # dominated the stage (33 s → ~4 s at sf0.1)
+        cell = df["_cell"].to_numpy()
+        sub = df["_sub"].to_numpy()
+        order = np.lexsort((sub, cell))
+        cell, sub = cell[order], sub[order]
+        lat = df["lat5"].to_numpy()[order]
+        lon = df["lon5"].to_numpy()[order]
+        home = df["_home"].to_numpy()[order]
+        change = (np.diff(cell) != 0) | (np.diff(sub) != 0)
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        ends = np.concatenate((starts[1:], [len(cell)]))
+        keep_pos: list[np.ndarray] = []
         out_counts: list[np.ndarray] = []
-        for _, g in df.groupby(["_cell", "_sub"], sort=False):
-            home = g["_home"].to_numpy()
-            if not home.any():
+        for s, e in zip(starts, ends):
+            hm = home[s:e]
+            if not hm.any():
                 continue
-            clat = g["lat5"].to_numpy()
-            clon = g["lon5"].to_numpy()
-            cand = ~home
-            hlat, hlon = clat[home], clon[home]
-            klat, klon = clat[cand], clon[cand]
-            counts = np.zeros(len(hlat), dtype=np.int64)
-            if len(klat):
+            cd = ~hm
+            counts = np.zeros(int(hm.sum()), dtype=np.int64)
+            if cd.any():
+                # compress duplicate coordinates on BOTH sides: equal
+                # points share one matrix row/column (weights on the
+                # candidate side, a gather on the home side) — ~2x in
+                # dense cells where dup urls pin many keys to one point
+                # bias to non-negative so the pack splits exactly
+                # (distances are offset-invariant)
+                pk = (lat[s:e] + np.int64(8_500_000)) * _STRIDE \
+                    + (lon[s:e] + np.int64(18_000_000))
+                hu, hidx = np.unique(pk[hm], return_inverse=True)
+                ku, w = np.unique(pk[cd], return_counts=True)
+                hlat, hlon = hu >> np.int64(32), hu & np.int64(0xFFFFFFFF)
+                klat, klon = ku >> np.int64(32), ku & np.int64(0xFFFFFFFF)
+                ucounts = np.zeros(len(hu), dtype=np.int64)
                 # chunk the [home x cand] matrix to ~4M int64 cells
-                step = max(1, 4_000_000 // len(klat))
-                for i in range(0, len(hlat), step):
+                step = max(1, 4_000_000 // len(ku))
+                for i in range(0, len(hu), step):
                     dx = hlon[i:i + step, None] - klon[None, :]
                     dy = hlat[i:i + step, None] - klat[None, :]
-                    counts[i:i + step] = (dx * dx + dy * dy <= r5sq).sum(axis=1)
-            out_keys.append(g.loc[g.index[home], key_cols])
+                    ucounts[i:i + step] = \
+                        ((dx * dx + dy * dy <= r5sq) * w).sum(axis=1)
+                counts = ucounts[hidx]
+            keep_pos.append(order[s:e][hm])
             out_counts.append(counts)
-        if not out_keys:
+        if not keep_pos:
             res = df.loc[df.index[:0], key_cols].copy()
             res[count_col] = pd.Series(dtype=np.int64)
             return res
-        res = pd.concat(out_keys, ignore_index=True)
+        res = df[key_cols].iloc[np.concatenate(keep_pos)] \
+            .reset_index(drop=True)
         res[count_col] = np.concatenate(out_counts)
         return res
 
@@ -216,17 +260,24 @@ def within_distance_pairs(ds, *, radius_deg: float, key_col: str,
         return pa.concat_tables(parts)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # numpy slice walk, same rationale as within_distance_count
+        cell = df["_cell"].to_numpy()
+        order = np.argsort(cell, kind="stable")
+        cell = cell[order]
+        lat = df["lat5"].to_numpy()[order]
+        lon = df["lon5"].to_numpy()[order]
+        home = df["_home"].to_numpy()[order]
+        keys = df[key_col].to_numpy()[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(cell)) + 1))
+        ends = np.concatenate((starts[1:], [len(cell)]))
         out: list[pd.DataFrame] = []
-        for _, g in df.groupby("_cell", sort=False):
-            home = g["_home"].to_numpy()
-            cand = ~home
-            if not home.any() or not cand.any():
+        for s, e in zip(starts, ends):
+            hm = home[s:e]
+            cd = ~hm
+            if not hm.any() or not cd.any():
                 continue
-            clat = g["lat5"].to_numpy()
-            clon = g["lon5"].to_numpy()
-            keys = g[key_col].to_numpy()
-            hlat, hlon, hkey = clat[home], clon[home], keys[home]
-            klat, klon, kkey = clat[cand], clon[cand], keys[cand]
+            hlat, hlon, hkey = lat[s:e][hm], lon[s:e][hm], keys[s:e][hm]
+            klat, klon, kkey = lat[s:e][cd], lon[s:e][cd], keys[s:e][cd]
             step = max(1, 4_000_000 // len(klat))
             for i in range(0, len(hlat), step):
                 dx = hlon[i:i + step, None] - klon[None, :]
