@@ -563,9 +563,12 @@ def q_dedup_clusters(sf_dir: str, threshold: float = 0.8):
     def keyed(t: pa.Table) -> pa.Table:
         return t.append_column("key", t.column("doc_id"))
 
+    # components_mode pinned "distributed" so the driver hash-checks
+    # the scale path (same policy as the polygonize queries); the
+    # library default is "auto" (driver closure below 2M edges)
     return near_dup_clusters(ds.map_batches(keyed, batch_format="pyarrow"),
                              key_col="key", threshold=threshold,
-                             verify="join")
+                             verify="join", components_mode="distributed")
 
 
 QUERIES["dedup_clusters"] = q_dedup_clusters

@@ -33,6 +33,26 @@ def _cat(c):
     return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
 
 
+def _min_label_closure(a: np.ndarray, b: np.ndarray) \
+        -> tuple[np.ndarray, np.ndarray]:
+    """Exact min-id component labels of an in-memory edge list —
+    vectorized min-propagation with pointer jumping until a fixed
+    point (no Python per-edge loop). Serves as the driver path for
+    small graphs and the per-bucket seed kernel for the distributed
+    path; the fixed point IS its convergence certificate."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[:len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, ia, lab[ib])
+        np.minimum.at(new, ib, lab[ia])
+        new = new[new]                      # pointer jump
+        if np.array_equal(new, lab):
+            return nodes, nodes[lab]
+        lab = new
+
+
 def _min_neighbor_round(edges, labels, buckets: int):
     """One propagation round: new_label(v) = min(label(v),
     min over neighbors u of label(u)); each output row carries
@@ -165,32 +185,64 @@ def _jump_round(labels, buckets: int):
     return both.groupby("hbk").map_groups(jump, batch_format="pyarrow")
 
 
-def hash_to_min(edges, *, buckets: int = 64, max_rounds: int = 32):
+def hash_to_min(edges, *, buckets: int = 64, max_rounds: int = 32,
+                mode: str = "auto", driver_max_edges: int = 2_000_000):
     """Edge Dataset(a, b) int64 → Dataset(v, lab): every node incident
     to an edge labeled with its component's MINIMUM node id.
 
-    Each round is min-neighbor propagation followed by a pointer
-    jump (lab(v) <- lab(lab(v))), so label depth halves per round and
-    convergence takes O(log diameter) rounds, not O(diameter).
-    Iterates until a round changes nothing — the quiescent round IS
-    the convergence certificate (changed == 0 implies the
-    neighbor-min step saw every edge's endpoints agree), so there is
-    no separate verification pass. ``max_rounds`` only guards a
-    pathological graph — it raises rather than returning unverified
-    labels."""
-    edges = edges.materialize()               # re-read every round
+    ``mode``: "distributed" always runs the propagation rounds;
+    "driver" collects the edges and solves with the vectorized
+    closure kernel (bounded by ``driver_max_edges``); "auto" picks
+    driver below the bound — the same threshold policy as
+    polygonize's merge="auto" (each distributed round costs ~4
+    Dataset executions of scheduling latency, which dwarfs microscopic
+    graphs; the oracled query pins "distributed" so the scale path
+    stays hash-checked).
 
-    def seed(t: pa.Table) -> pa.Table:
-        n = pa.concat_arrays([_cat(t.column("a")), _cat(t.column("b"))])
-        tt = pa.table({"v": n, "lab": n})
+    Distributed path: the seed runs the SAME closure kernel per edge
+    bucket (transitive closure within each bucket, min-reduced per
+    node), so rounds only reconcile ACROSS buckets; each round is
+    min-neighbor propagation + a pointer jump (lab(v) <- lab(lab(v))),
+    O(log diameter) rounds. Iterates until a round changes nothing —
+    the quiescent round IS the convergence certificate (changed == 0
+    implies every edge's endpoints agree), so there is no separate
+    verification pass. ``max_rounds`` only guards a pathological
+    graph — it raises rather than returning unverified labels."""
+    edges = edges.materialize()               # re-read every round
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        mode = "driver" if edges.count() <= driver_max_edges \
+            else "distributed"
+    if mode == "driver":
+        import ray.data as rd
+
+        df = edges.to_pandas()
+        v, lab = _min_label_closure(df["a"].to_numpy(),
+                                    df["b"].to_numpy())
+        return rd.from_arrow(pa.table({"v": v, "lab": lab}))
+
+    def bucket_edges(t: pa.Table) -> pa.Table:
+        return t.append_column("hbk0", _bucket_column(t, "a", buckets))
+
+    def local_closure(g: pa.Table) -> pa.Table:
+        v, lab = _min_label_closure(
+            g.column("a").to_numpy(zero_copy_only=False),
+            g.column("b").to_numpy(zero_copy_only=False))
+        tt = pa.table({"v": v, "lab": lab})
         return tt.append_column("hbk2", _bucket_column(tt, "v", buckets))
 
-    def dedup_nodes(g: pa.Table) -> pa.Table:
-        v = np.unique(g.column("v").to_numpy(zero_copy_only=False))
-        return pa.table({"v": pa.array(v), "lab": pa.array(v)})
+    def min_per_node(g: pa.Table) -> pa.Table:
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        lab = g.column("lab").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lab, v))
+        v, lab = v[order], lab[order]
+        first = np.concatenate(([0], np.flatnonzero(np.diff(v)) + 1))
+        return pa.table({"v": v[first], "lab": lab[first]})
 
-    labels = edges.map_batches(seed, batch_format="pyarrow") \
-        .groupby("hbk2").map_groups(dedup_nodes, batch_format="pyarrow")
+    labels = edges.map_batches(bucket_edges, batch_format="pyarrow") \
+        .groupby("hbk0").map_groups(local_closure, batch_format="pyarrow") \
+        .groupby("hbk2").map_groups(min_per_node, batch_format="pyarrow")
 
     # Without an explicit repartition the per-round union + sort
     # DOUBLES the block count every iteration (4 → 190 blocks in 6

@@ -348,7 +348,8 @@ def _verify_pairs_join(ds, cand, key_col: str, text_col: str,
 def near_dup_clusters(ds, key_col: str, text_col: str = "text",
                       num_hashes: int = 16, bands: int = 4,
                       threshold: float = 0.8, shingle_n: int = 3,
-                      verify: str = "auto", buckets: int = 64):
+                      verify: str = "auto", buckets: int = 64,
+                      components_mode: str = "auto"):
     """Cluster-level dedup (the CCNet/RefinedWeb shape): verified
     near-dup pairs → connected components → every clustered document
     mapped to its cluster's canonical representative (minimum key).
@@ -376,7 +377,7 @@ def near_dup_clusters(ds, key_col: str, text_col: str = "text",
 
     labels = hash_to_min(pairs.map_batches(as_edges,
                                            batch_format="pyarrow"),
-                         buckets=buckets)
+                         buckets=buckets, mode=components_mode)
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t.column("v"),

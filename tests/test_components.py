@@ -23,9 +23,11 @@ def _uf_reference(a, b):
     return {v: find(int(v)) for v in set(a.tolist()) | set(b.tolist())}
 
 
-def test_hash_to_min_random_graph(ray_session):
+@pytest.mark.parametrize("mode", ["driver", "distributed"])
+def test_hash_to_min_random_graph(ray_session, mode):
     """Near-critical random graph (long paths, many small comps)
-    matches a driver union-find exactly."""
+    matches a driver union-find exactly, on BOTH the driver-closure
+    and the distributed propagation paths."""
     import ray.data as rd
 
     from spapy_ray.stages.components import hash_to_min
@@ -37,7 +39,7 @@ def test_hash_to_min_random_graph(ray_session):
     a, b = a[keep] + 10_000, b[keep] + 10_000
     edges = rd.from_arrow(pa.table({"a": a.astype(np.int64),
                                     "b": b.astype(np.int64)}))
-    got = hash_to_min(edges).to_pandas()
+    got = hash_to_min(edges, mode=mode).to_pandas()
     assert dict(zip(got.v, got.lab)) == _uf_reference(a, b)
 
 
@@ -52,7 +54,7 @@ def test_hash_to_min_long_chain(ray_session):
     a = np.arange(n - 1, dtype=np.int64) + 500
     b = a + 1
     edges = rd.from_arrow(pa.table({"a": a, "b": b}))
-    got = hash_to_min(edges).to_pandas()
+    got = hash_to_min(edges, mode="distributed").to_pandas()
     assert len(got) == n
     assert (got.lab == 500).all()
 
@@ -67,7 +69,7 @@ def test_hash_to_min_multiblock_input(ray_session):
     a = np.array([1, 2, 3, 10, 11, 1, 2], dtype=np.int64)
     b = np.array([2, 3, 4, 11, 12, 2, 3], dtype=np.int64)
     edges = rd.from_arrow(pa.table({"a": a, "b": b})).repartition(5)
-    got = hash_to_min(edges).to_pandas()
+    got = hash_to_min(edges, mode="distributed").to_pandas()
     assert dict(zip(got.v, got.lab)) == _uf_reference(a, b)
 
 
@@ -109,7 +111,9 @@ def test_hash_to_min_raises_on_round_budget(ray_session):
 
     from spapy_ray.stages.components import hash_to_min
 
-    a = np.arange(30, dtype=np.int64)
-    edges = rd.from_arrow(pa.table({"a": a, "b": a + 1}))
+    # a long path spread over many buckets cannot reconcile across
+    # buckets in one round even with the local-closure seed
+    a = np.arange(300, dtype=np.int64) * 7  # break bucket locality
+    edges = rd.from_arrow(pa.table({"a": a, "b": a + 7}))
     with pytest.raises(RuntimeError, match="did not converge"):
-        hash_to_min(edges, max_rounds=1)
+        hash_to_min(edges, max_rounds=1, mode="distributed")
