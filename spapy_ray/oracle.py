@@ -1237,3 +1237,22 @@ def q_sample_stratified() -> str:
     return (f"WITH {pages_cte()} "
             "SELECT url, warc_ts, lang FROM pages "
             f"WHERE ({sql_fnv1a('url')} % {den}) < {num}")
+
+
+def q_rasterize_points(res: int = 9, tile_size: int = 64) -> str:
+    """Twin of stages.rasterize.rasterize_points: identical clipped
+    floor pixel mapping (sql_cell_expr's x/y arithmetic), row 0 =
+    north, per-tile count aggregates recomputed independently."""
+    n = 1 << res
+    x = (f"least(greatest(floor((lon + 180.0) / 360.0 * {n})::BIGINT,"
+         f" 0), {n - 1})")
+    y = (f"least(greatest(floor((lat + 90.0) / 180.0 * {n})::BIGINT,"
+         f" 0), {n - 1})")
+    return (
+        f"WITH {geo_cte()}, "
+        f"px AS (SELECT {x} AS x, {n - 1} - {y} AS py FROM geo), "
+        f"pcnt AS (SELECT x // {tile_size} AS tx, py // {tile_size} AS ty, "
+        "x, py, count(*) AS c FROM px GROUP BY 1, 2, 3, 4) "
+        "SELECT tx::BIGINT AS tx, ty::BIGINT AS ty, "
+        "sum(c)::BIGINT AS n_points, count(*)::BIGINT AS n_occupied, "
+        "max(c)::BIGINT AS max_px FROM pcnt GROUP BY 1, 2")

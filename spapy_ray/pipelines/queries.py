@@ -1817,3 +1817,34 @@ def q_sample_stratified(sf_dir: str):
 
 
 QUERIES["sample_stratified"] = q_sample_stratified
+
+
+def q_rasterize_points(sf_dir: str):
+    """Vector → raster (stages/rasterize.rasterize_points): per-pixel
+    point-density counts of the geocoded pages on the 512-pixel world
+    grid, hashed as per-tile (n_points, n_occupied, max_px)."""
+    from spapy_ray.stages.rasterize import rasterize_points
+
+    tiles, meta = rasterize_points(
+        _geo(sf_dir).select_columns(["lat", "lon"]), res=9, tile_size=64)
+    T = meta.tile_size
+
+    def stats(t: pa.Table) -> pa.Table:
+        pts, occ, mx = [], [], []
+        for buf in t.column("data").to_pylist():
+            a = np.frombuffer(buf, dtype=np.int32)
+            pts.append(int(a.sum()))
+            occ.append(int(np.count_nonzero(a)))
+            mx.append(int(a.max()))
+        return pa.table({
+            "tx": pc.cast(t.column("tx"), pa.int64()),
+            "ty": pc.cast(t.column("ty"), pa.int64()),
+            "n_points": pa.array(pts, type=pa.int64()),
+            "n_occupied": pa.array(occ, type=pa.int64()),
+            "max_px": pa.array(mx, type=pa.int64()),
+        })
+
+    return tiles.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["rasterize_points"] = q_rasterize_points

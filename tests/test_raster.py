@@ -847,3 +847,41 @@ def test_raster_overviews_match_direct_blocksums(ray_session):
                     assert (got[(lv, i, j)] == exp).all(), (levels, lv, i, j)
         assert len(got) == sum((meta.tiles_x >> lv) ** 2
                                for lv in range(1, levels + 1))
+
+
+def test_rasterize_points_pixels_and_composability(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.kernels import cells
+    from spapy_ray.stages.raster import decode_tile, raster_minmax
+    from spapy_ray.stages.rasterize import rasterize_points
+
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-180, 180, 20000)
+    lat = rng.uniform(-90, 90, 20000)
+    lon[:3] = [180.0, -180.0, 0.0]          # clip edges
+    lat[:3] = [90.0, -90.0, 0.0]
+    ds = rd.from_arrow(pa.table({"lon": lon, "lat": lat}))
+    tiles, meta = rasterize_points(ds, res=9, tile_size=64)
+    tiles = tiles.materialize()
+
+    # direct per-pixel truth
+    n = 512
+    x, y = cells.xy_for(lon, lat, 9)
+    py = (n - 1) - y
+    full = np.zeros((n, n), dtype=np.int64)
+    np.add.at(full, (py, x), 1)
+    got_total = 0
+    for r in tiles.take_all():
+        a = decode_tile(r["data"], "int32", 64)
+        exp = full[r["ty"] * 64:(r["ty"] + 1) * 64,
+                   r["tx"] * 64:(r["tx"] + 1) * 64]
+        assert (a == exp).all()
+        got_total += int(a.sum())
+    assert got_total == 20000
+
+    # composability: the density grid feeds existing raster stages
+    mm = raster_minmax(tiles, dtype="int32", tile_size=meta.tile_size)
+    assert mm["max_z"] == full.max()
