@@ -40,7 +40,7 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "docs_bigrams", "overlay_grid", "tif_roundtrip", "dedup_clusters",
           "quality_filter", "dist_join_counts", "geojson_roundtrip",
           "render_tiles", "tile_pyramid", "raster_overviews",
-          "sample_stratified", "rasterize_points"]
+          "sample_stratified", "rasterize_points", "domain_stats"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -130,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_overviews": o.q_raster_overviews(),
         "sample_stratified": o.q_sample_stratified(),
         "rasterize_points": o.q_rasterize_points(),
+        "domain_stats": o.q_domain_stats(),
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),

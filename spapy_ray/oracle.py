@@ -1256,3 +1256,22 @@ def q_rasterize_points(res: int = 9, tile_size: int = 64) -> str:
         "SELECT tx::BIGINT AS tx, ty::BIGINT AS ty, "
         "sum(c)::BIGINT AS n_points, count(*)::BIGINT AS n_occupied, "
         "max(c)::BIGINT AS max_px FROM pcnt GROUP BY 1, 2")
+
+
+def q_domain_stats() -> str:
+    """Twin of q_domain_stats: same RE2 pattern, group 2 = host.
+
+    NOTE the partial/fold decomposition is exact (not approximate):
+    url → host is functional, so distinct (host, url) pairs with
+    summed multiplicities reproduce count(*) and count(distinct url)
+    per host."""
+    from spapy_ray.stages.text import URL_PATTERN
+    import re
+
+    anon = re.sub(r"\?P<[a-z]+>", "", URL_PATTERN)
+    return (f"WITH {pages_cte()}, "
+            f"hosts AS (SELECT url, regexp_extract(url, '{anon}', 2) "
+            "AS host FROM pages) "
+            "SELECT host, count(*)::BIGINT AS n_pages, "
+            "count(DISTINCT url)::BIGINT AS n_urls "
+            "FROM hosts GROUP BY host")

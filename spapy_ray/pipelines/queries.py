@@ -1848,3 +1848,35 @@ def q_rasterize_points(sf_dir: str):
 
 
 QUERIES["rasterize_points"] = q_rasterize_points
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-domain corpus stats: host split from the url (ONE RE2 pass,
+    stages/text.url_parse) → pages per host + distinct urls per host.
+    Combiner shape: each batch collapses to its distinct (host, url)
+    pairs with row multiplicities, so raw rows never shuffle."""
+    from spapy_ray.stages.relational import bucketed_group_agg
+    from spapy_ray.stages.text import url_parse_batch
+
+    ds = pages_dataset(sf_dir, include_html=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t.column("url").value_counts()
+        urls = pa.table({"url": vc.field("values"),
+                         "_c": pc.cast(vc.field("counts"), pa.int64())})
+        return url_parse_batch(urls).select(["host", "url", "_c"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host", sort=False)
+        out = g.agg(n_pages=("_c", "sum"), n_urls=("url", "nunique")) \
+            .reset_index()
+        out["n_pages"] = out["n_pages"].astype(np.int64)
+        out["n_urls"] = out["n_urls"].astype(np.int64)
+        return out
+
+    return bucketed_group_agg(ds.map_batches(partial,
+                                             batch_format="pyarrow"),
+                              "host", fold)
+
+
+QUERIES["domain_stats"] = q_domain_stats

@@ -260,3 +260,32 @@ def ngram_counts(ds, n: int = 2, column: str = "text", *,
     if top is None:
         return counts
     return counts.sort(["n", "gram"], descending=[True, False]).limit(top)
+
+
+URL_PATTERN = (r"^(?P<scheme>[a-z][a-z0-9+.-]*)://(?P<host>[^/?#]*)"
+               r"(?P<path>[^?#]*)")
+
+
+def url_parse_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Append scheme/host/path columns split from ``url_col`` — ONE
+    vectorized RE2 pass (pc.extract_regex), the webtext URL primitive
+    (per-domain grouping, host-level dedup/sampling keys). Rows that
+    do not parse get empty strings (never nulls — downstream groupbys
+    and pandas conversions stay typed)."""
+    url = batch.column(url_col)
+    if isinstance(url, pa.ChunkedArray):
+        url = url.combine_chunks()
+    ext = pc.extract_regex(url, pattern=URL_PATTERN)
+    ok = pc.is_valid(ext)
+    empty = pa.scalar("", type=pa.string())
+    out = batch
+    for part in ("scheme", "host", "path"):
+        col = pc.if_else(ok, pc.struct_field(ext, part), empty)
+        out = out.append_column(part, col)
+    return out
+
+
+def url_parse(ds, url_col: str = "url", batch_size: int = 32768):
+    return ds.map_batches(
+        lambda t: url_parse_batch(t, url_col),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)

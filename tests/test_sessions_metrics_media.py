@@ -365,3 +365,19 @@ def test_media_resize_stub_raises(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"html": ["x"]}))
     with _pytest.raises(Exception):
         resize_media(ds, codec=RealCodecStub()).to_pandas()
+
+
+def test_url_parse_parts_and_unparseable(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.stages.text import url_parse
+
+    urls = ["https://a.example/path/x?q=1#f", "http://b.io", "not a url",
+            "ftp://files.example.org/pub/data.bin"]
+    out = url_parse(rd.from_arrow(pa.table({"url": urls}))).to_pandas()
+    assert out["scheme"].tolist() == ["https", "http", "", "ftp"]
+    assert out["host"].tolist() == ["a.example", "b.io", "",
+                                    "files.example.org"]
+    assert out["path"].tolist() == ["/path/x", "", "", "/pub/data.bin"]
+    assert out["url"].tolist() == urls  # passthrough untouched
