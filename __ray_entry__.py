@@ -40,7 +40,8 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "docs_bigrams", "overlay_grid", "tif_roundtrip", "dedup_clusters",
           "quality_filter", "dist_join_counts", "geojson_roundtrip",
           "render_tiles", "tile_pyramid", "raster_overviews",
-          "sample_stratified", "rasterize_points", "domain_stats"]
+          "sample_stratified", "rasterize_points", "domain_stats",
+          "bpe_tokens"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": o.q_sample_stratified(),
         "rasterize_points": o.q_rasterize_points(),
         "domain_stats": o.q_domain_stats(),
+        "bpe_tokens": o.q_bpe_tokens(),
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),

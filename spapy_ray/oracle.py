@@ -1275,3 +1275,15 @@ def q_domain_stats() -> str:
             "SELECT host, count(*)::BIGINT AS n_pages, "
             "count(DISTINCT url)::BIGINT AS n_urls "
             "FROM hosts GROUP BY host")
+
+
+def q_bpe_tokens() -> str:
+    """Twin of stages.text.bpe_token_count_batch — both engines run
+    RE2, so non-overlapping match counts agree exactly."""
+    from spapy_ray.stages.text import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    return (f"WITH {pages_cte()} "
+            "SELECT url, warc_ts, "
+            f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_bpe "
+            "FROM pages")

@@ -1880,3 +1880,19 @@ def q_domain_stats(sf_dir: str):
 
 
 QUERIES["domain_stats"] = q_domain_stats
+
+
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish pretoken counts per page (stages/text.BPE_PATTERN) —
+    the brief's 'token counting (whitespace + a BPE-ish regex)';
+    whitespace counting is docs_token_stats."""
+    from spapy_ray.stages.text import bpe_token_count_batch
+
+    ds = pages_dataset(sf_dir, include_html=False)
+    return ds.map_batches(
+        lambda t: bpe_token_count_batch(t).select(
+            ["url", "warc_ts", "n_bpe"]),
+        batch_format="pyarrow")
+
+
+QUERIES["bpe_tokens"] = q_bpe_tokens

@@ -289,3 +289,24 @@ def url_parse(ds, url_col: str = "url", batch_size: int = 32768):
     return ds.map_batches(
         lambda t: url_parse_batch(t, url_col),
         batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
+# GPT-2-style pretokenizer, restricted to RE2 (no lookahead, ASCII
+# classes): contraction suffixes, space-prefixed letter/digit runs,
+# space-prefixed punctuation runs, residual whitespace
+BPE_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+               r"| ?[^A-Za-z0-9\s]+|\s+")
+
+
+def bpe_token_count_batch(batch: pa.Table, column: str = "text",
+                          alias: str = "n_bpe") -> pa.Table:
+    """Append the BPE-ish pretoken count — the standard proxy for LLM
+    token budgets when no tokenizer model ships with the engine. One
+    vectorized RE2 count per batch; DuckDB's RE2 reproduces it via
+    len(regexp_extract_all(...)), so counts are oracle-exact."""
+    text = batch.column(column)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = pc.cast(pc.count_substring_regex(text, pattern=BPE_PATTERN),
+                pa.int64())
+    return batch.append_column(alias, n)

@@ -381,3 +381,18 @@ def test_url_parse_parts_and_unparseable(ray_session):
                                     "files.example.org"]
     assert out["path"].tolist() == ["/path/x", "", "", "/pub/data.bin"]
     assert out["url"].tolist() == urls  # passthrough untouched
+
+
+def test_bpe_token_count_known_values():
+    import pyarrow as pa
+
+    from spapy_ray.stages.text import bpe_token_count_batch
+
+    t = pa.table({"text": ["hello world", "it's 42 degrees!",
+                           "", "a,b..c  d"]})
+    out = bpe_token_count_batch(t)
+    # "hello"," world" = 2 ; "it","'s"," 42"," degrees","!" = 5
+    # "" = 0 ; "a",","  ,"b","..","c","  "?  -> "a" "," "b" ".." "c" "  d"->" "+"d":
+    #   'a' ',' 'b' '..' 'c' ' d' with '  d': ' ?[A-Za-z]+' eats ' d',
+    #   leaving one residual space -> 7
+    assert out.column("n_bpe").to_pylist() == [2, 5, 0, 7]
