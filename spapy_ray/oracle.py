@@ -1287,3 +1287,19 @@ def q_bpe_tokens() -> str:
             "SELECT url, warc_ts, "
             f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_bpe "
             "FROM pages")
+
+
+def q_docs_repetition() -> str:
+    """Twin of stages.text.repetition_stats_batch. Both sides split on
+    single spaces (split_pattern == string_split, '' → ['']) and the
+    final fractions are one IEEE double division each."""
+    return (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts "
+        "FROM documents), "
+        "tok AS (SELECT doc_id, unnest(ts) AS tok, len(ts) AS n "
+        "FROM toks), "
+        "cnt AS (SELECT doc_id, tok, max(n) AS n, count(*) AS c "
+        "FROM tok GROUP BY doc_id, tok) "
+        "SELECT doc_id, max(c)::DOUBLE / max(n) AS top_tok_frac, "
+        "count(*)::DOUBLE / max(n) AS distinct_ratio "
+        "FROM cnt GROUP BY doc_id")

@@ -1896,3 +1896,20 @@ def q_bpe_tokens(sf_dir: str):
 
 
 QUERIES["bpe_tokens"] = q_bpe_tokens
+
+
+def q_docs_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document
+    (stages/text.repetition_stats_batch): top-token fraction and
+    distinct-token ratio, one dictionary-encode + one lexsort per
+    batch."""
+    from spapy_ray.stages.text import repetition_stats_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: repetition_stats_batch(t).select(
+            ["doc_id", "top_tok_frac", "distinct_ratio"]),
+        batch_format="pyarrow")
+
+
+QUERIES["docs_repetition"] = q_docs_repetition

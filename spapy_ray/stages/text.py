@@ -310,3 +310,46 @@ def bpe_token_count_batch(batch: pa.Table, column: str = "text",
     n = pc.cast(pc.count_substring_regex(text, pattern=BPE_PATTERN),
                 pa.int64())
     return batch.append_column(alias, n)
+
+
+def repetition_stats_batch(batch: pa.Table, column: str = "text") \
+        -> pa.Table:
+    """Append Gopher-style repetition signals per document:
+
+    - ``top_tok_frac``  — occurrences of the most frequent token /
+      total tokens (1.0 for a fully repeated doc);
+    - ``distinct_ratio`` — distinct tokens / total tokens.
+
+    Fully vectorized: ONE dictionary-encode of the flat token stream
+    + ONE lexsort of (doc, code); per-doc max run lengths come from
+    boundary differences, no Python per doc. Empty docs get 0/0 → 0.
+    """
+    text = batch.column(column)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    flat = pc.list_flatten(toks)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ntok = np.diff(offsets)
+    doc = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
+    order = np.lexsort((codes, doc))
+    d, c = doc[order], codes[order]
+    # run boundaries of equal (doc, code)
+    new_run = np.concatenate(([True], (d[1:] != d[:-1])
+                              | (c[1:] != c[:-1])))
+    run_start = np.flatnonzero(new_run)
+    run_len = np.diff(np.concatenate((run_start, [len(d)])))
+    run_doc = d[run_start]
+    top = np.zeros(len(ntok), dtype=np.int64)
+    np.maximum.at(top, run_doc, run_len)
+    distinct = np.bincount(run_doc, minlength=len(ntok)).astype(np.int64)
+    denom = np.maximum(ntok, 1).astype(np.float64)
+    return (batch
+            .append_column("top_tok_frac",
+                           pa.array(top / denom))
+            .append_column("distinct_ratio",
+                           pa.array(distinct / denom)))

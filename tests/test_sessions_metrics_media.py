@@ -396,3 +396,17 @@ def test_bpe_token_count_known_values():
     #   'a' ',' 'b' '..' 'c' ' d' with '  d': ' ?[A-Za-z]+' eats ' d',
     #   leaving one residual space -> 7
     assert out.column("n_bpe").to_pylist() == [2, 5, 0, 7]
+
+
+def test_repetition_stats_known_values():
+    import numpy as np
+    import pyarrow as pa
+
+    from spapy_ray.stages.text import repetition_stats_batch
+
+    t = pa.table({"text": ["a a a a", "a b c d", "x x y", ""]})
+    out = repetition_stats_batch(t)
+    np.testing.assert_allclose(out.column("top_tok_frac").to_pylist(),
+                               [1.0, 0.25, 2 / 3, 1.0])  # '' → ['']
+    np.testing.assert_allclose(out.column("distinct_ratio").to_pylist(),
+                               [0.25, 1.0, 2 / 3, 1.0])
