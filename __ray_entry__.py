@@ -41,7 +41,7 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "quality_filter", "dist_join_counts", "geojson_roundtrip",
           "render_tiles", "tile_pyramid", "raster_overviews",
           "sample_stratified", "rasterize_points", "domain_stats",
-          "bpe_tokens", "docs_repetition"]
+          "bpe_tokens", "docs_repetition", "resample_match_diff"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -134,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": o.q_domain_stats(),
         "bpe_tokens": o.q_bpe_tokens(),
         "docs_repetition": o.q_docs_repetition(),
+        "resample_match_diff": o.q_resample_match_diff(),
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),

@@ -1303,3 +1303,31 @@ def q_docs_repetition() -> str:
         "SELECT doc_id, max(c)::DOUBLE / max(n) AS top_tok_frac, "
         "count(*)::DOUBLE / max(n) AS distinct_ratio "
         "FROM cnt GROUP BY doc_id")
+
+
+def q_resample_match_diff() -> str:
+    """Twin of queries.q_resample_match_diff: per coarse pixel, the
+    NN-mapped fine DEM value (identical float index arithmetic to
+    q_resample_nearest) minus the coarse-grid salt-1 DEM value —
+    integer-exact end to end."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    W, H, T = 200, 200, 64
+    lon = "(-179.984375 + (px + 0.5) * 1.7578125)"
+    lat = "(84.96875 + (py + 0.5) * -0.830078125)"
+    xs = f"(({lon} - (-180.0)) / 0.703125 - 0.5)"
+    ys = f"(({lat} - 85.0) / (-0.33203125) - 0.5)"
+    ix = f"GREATEST(0, LEAST(511, round({xs})::BIGINT))"
+    iy = f"GREATEST(0, LEAST(511, round({ys})::BIGINT))"
+    za = sql_dem_int("ix", "iy", 0)
+    zb = sql_dem_int("px", "py", 1)
+    return (
+        f"WITH px AS (SELECT p % {W} AS px, p // {W} AS py "
+        f"FROM range({W * H}) t(p)), "
+        f"m AS (SELECT px, py, {ix} AS ix, {iy} AS iy FROM px), "
+        f"v AS (SELECT px // {T} AS tx, py // {T} AS ty, "
+        f"{za} - {zb} AS d FROM m) "
+        "SELECT tx::BIGINT AS tx, ty::BIGINT AS ty, "
+        "sum(d)::BIGINT AS sum_d, min(d)::BIGINT AS min_d, "
+        "max(d)::BIGINT AS max_d, count(*)::BIGINT AS n_px "
+        "FROM v GROUP BY tx, ty")

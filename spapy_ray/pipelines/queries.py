@@ -1913,3 +1913,54 @@ def q_docs_repetition(sf_dir: str):
 
 
 QUERIES["docs_repetition"] = q_docs_repetition
+
+
+def q_resample_match_diff(sf_dir: str):
+    """ResampleToMatch end-to-end (SpaRasters.py:2088-2165: bring the
+    finer raster onto the coarser's grid, then raster⊗raster): the
+    fine DEM nearest-resampled onto the offset coarse grid, minus an
+    independent coarse-grid DEM (salt 1), through the tile-key pair
+    join, reduced to per-tile integer stats. One hash covers
+    resample_to_match + tile_binary_math composition."""
+    from spapy_ray.sources.rasters import DEM_META, RasterMeta, \
+        synth_dem_dataset
+    from spapy_ray.stages.raster import (decode_tile, resample_to_match,
+                                         tile_binary_math)
+
+    dst = RasterMeta(**RESAMPLE_DST)
+    a = resample_to_match(synth_dem_dataset(DEM_META, kind="int"),
+                          DEM_META, dst, dtype="int32", method="nearest")
+    b = synth_dem_dataset(dst, kind="int", salt=1)
+    diff = tile_binary_math(a, b, "subtract", dtype="int32",
+                            tile_size=dst.tile_size)
+
+    def stats(t: pa.Table) -> pa.Table:
+        txs = t.column("tx").to_pylist()
+        tys = t.column("ty").to_pylist()
+        hs = t.column("h").to_pylist() if "h" in t.column_names else None
+        ws = t.column("w").to_pylist() if "w" in t.column_names else None
+        sums, mins, maxs, cnts = [], [], [], []
+        for i, buf in enumerate(t.column("data").to_pylist()):
+            h = hs[i] if hs else min(dst.tile_size,
+                                     dst.height - tys[i] * dst.tile_size)
+            w = ws[i] if ws else min(dst.tile_size,
+                                     dst.width - txs[i] * dst.tile_size)
+            arr = decode_tile(buf, "int32", dst.tile_size, h, w) \
+                .astype(np.int64)
+            sums.append(int(arr.sum()))
+            mins.append(int(arr.min()))
+            maxs.append(int(arr.max()))
+            cnts.append(int(arr.size))
+        return pa.table({
+            "tx": pc.cast(t.column("tx"), pa.int64()),
+            "ty": pc.cast(t.column("ty"), pa.int64()),
+            "sum_d": pa.array(sums, type=pa.int64()),
+            "min_d": pa.array(mins, type=pa.int64()),
+            "max_d": pa.array(maxs, type=pa.int64()),
+            "n_px": pa.array(cnts, type=pa.int64()),
+        })
+
+    return diff.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["resample_match_diff"] = q_resample_match_diff
