@@ -41,7 +41,8 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "quality_filter", "dist_join_counts", "geojson_roundtrip",
           "render_tiles", "tile_pyramid", "raster_overviews",
           "sample_stratified", "rasterize_points", "domain_stats",
-          "bpe_tokens", "docs_repetition", "resample_match_diff"]
+          "bpe_tokens", "docs_repetition", "resample_match_diff",
+          "orders_lineitem_join"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": o.q_bpe_tokens(),
         "docs_repetition": o.q_docs_repetition(),
         "resample_match_diff": o.q_resample_match_diff(),
+        "orders_lineitem_join": o.q_orders_lineitem_join(),
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),

@@ -1331,3 +1331,9 @@ def q_resample_match_diff() -> str:
         "sum(d)::BIGINT AS sum_d, min(d)::BIGINT AS min_d, "
         "max(d)::BIGINT AS max_d, count(*)::BIGINT AS n_px "
         "FROM v GROUP BY tx, ty")
+
+
+def q_orders_lineitem_join() -> str:
+    return ("SELECT l_orderkey, l_linenumber, l_extendedprice, "
+            "o_orderpriority FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey")

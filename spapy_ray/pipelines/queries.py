@@ -1964,3 +1964,21 @@ def q_resample_match_diff(sf_dir: str):
 
 
 QUERIES["resample_match_diff"] = q_resample_match_diff
+
+
+def q_orders_lineitem_join(sf_dir: str):
+    """Big x big hash equijoin (stages/relational.hash_join): lineitem
+    x orders on the order key, one union + one bucket shuffle, no
+    broadcast bound and no native-join actor pools."""
+    from spapy_ray.stages.relational import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+    out = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    return out.select_columns(["l_orderkey", "l_linenumber",
+                               "l_extendedprice", "o_orderpriority"])
+
+
+QUERIES["orders_lineitem_join"] = q_orders_lineitem_join

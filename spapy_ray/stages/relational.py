@@ -480,3 +480,70 @@ def pair_payload_copartition(cand, corpus, *, payload_col: str,
 
     return attached.map_batches(tag_pair, batch_format="pyarrow") \
         .groupby("hbk").map_groups(unite, batch_format="pyarrow")
+
+
+def hash_join(left, right, *, on: str, right_on: str | None = None,
+              how: str = "inner", suffix: str = "_r",
+              buckets: int | None = None):
+    """General big x big equijoin as ONE union + one hash-bucket
+    groupby — no native Dataset.join (whose per-partition aggregator
+    actor pools spin up ~2 s each and deadlock when partitions exceed
+    CPUs; see pair_payload_copartition) and no broadcast bound.
+
+    Both sides are projected into one unified schema (each side
+    null-fills the other's columns) so the union sorts cleanly; each
+    bucket then converts its two sides to pandas SEPARATELY (a joint
+    frame would upcast null-filled int64 columns to float64) and
+    merges. Right columns colliding with left names get ``suffix``.
+    how: "inner" (typed-exact) or "left" (unmatched right columns
+    become nulls, with pandas' usual nullable upcasts)."""
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    from spapy_ray.util import cluster_cpus
+
+    rk = right_on or on
+    b = buckets or max(64, cluster_cpus() * 4)
+    lsch, rsch = left.schema(), right.schema()
+    lnames = list(lsch.names)
+    rmap = {c: (c + suffix if c in lnames else c) for c in rsch.names}
+    rnames = [rmap[c] for c in rsch.names]
+    fields = {**dict(zip(lsch.names, lsch.types)),
+              **{rmap[c]: t for c, t in zip(rsch.names, rsch.types)}}
+    allnames = lnames + [c for c in rnames if c not in lnames]
+
+    def unify(t: pa.Table, own: list[str], ren: dict | None,
+              key: str, side: int) -> pa.Table:
+        cols = {}
+        for c in allnames:
+            src = c
+            if ren is not None:
+                inv = {v: k for k, v in ren.items()}
+                src = inv.get(c, c)
+            if (ren is None and c in own) or \
+                    (ren is not None and src in own and ren[src] == c):
+                cols[c] = t.column(src)
+            else:
+                cols[c] = pa.nulls(len(t), type=fields[c])
+        tt = pa.table(cols)
+        tt = tt.append_column("_side",
+                              pa.array(np.full(len(t), side, np.int8)))
+        return tt.append_column("_hbk", _bucket_column(t, key, b))
+
+    def lrows(t: pa.Table) -> pa.Table:
+        return unify(t, lnames, None, on, 0)
+
+    def rrows(t: pa.Table) -> pa.Table:
+        return unify(t, list(rsch.names), rmap, rk, 1)
+
+    rkey_out = rmap[rk]
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        lmask = pc.equal(g.column("_side"), 0)
+        ldf = g.filter(lmask).select(lnames).to_pandas()
+        rdf = g.filter(pc.invert(lmask)).select(rnames).to_pandas()
+        out = ldf.merge(rdf, left_on=on, right_on=rkey_out, how=how)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    u = left.map_batches(lrows, batch_format="pyarrow").union(
+        right.map_batches(rrows, batch_format="pyarrow"))
+    return u.groupby("_hbk").map_groups(per_bucket, batch_format="pyarrow")

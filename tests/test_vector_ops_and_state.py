@@ -437,3 +437,30 @@ def test_hash_sample_stratified_rates_and_consistency(ray_session):
     full = pa.table({"k": keys, "s": strata}).to_pandas() \
         .groupby(["k", "s"]).size()
     assert all(full[idx] == c for idx, c in kept.items())
+
+
+def test_hash_join_inner_left_and_collisions(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import hash_join
+
+    left = pa.table({"k": np.array([1, 2, 2, 3, 5], dtype=np.int64),
+                     "v": ["a", "b", "c", "d", "e"]})
+    right = pa.table({"k": np.array([2, 3, 3, 4], dtype=np.int64),
+                      "v": ["X", "Y", "Z", "W"],
+                      "w": np.array([10, 20, 30, 40], dtype=np.int64)})
+    got = hash_join(rd.from_arrow(left), rd.from_arrow(right), on="k") \
+        .to_pandas().sort_values(["k", "v", "v_r"]).reset_index(drop=True)
+    exp = left.to_pandas().merge(
+        right.to_pandas(), on="k", how="inner", suffixes=("", "_r")) \
+        .sort_values(["k", "v", "v_r"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    assert got["k"].dtype == np.int64 and got["w"].dtype == np.int64
+
+    gl = hash_join(rd.from_arrow(left), rd.from_arrow(right), on="k",
+                   how="left").to_pandas()
+    assert len(gl) == 6  # 4 matches + unmatched k=1, k=5
+    assert gl.loc[gl["k"].isin([1, 5]), "v_r"].isna().all()
