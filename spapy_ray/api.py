@@ -358,3 +358,71 @@ def Save(obj, path, *, crs: str | None = None, nodata: float | None = None):
             write_geojson(tbl, str(path), crs=crs)
         return
     obj.write_parquet(str(path))
+
+
+# ---------------------------------------------------------------------
+# North-rule / pipeline one-liners beyond the reference surface
+# (kept thin: each delegates to its stage module, where the scale
+# notes live)
+
+def WithinDistanceCount(ds, radius_deg, **kw):
+    from spapy_ray.stages.distjoin import within_distance_count
+
+    return within_distance_count(ds, radius_deg=radius_deg, **kw)
+
+
+def WithinDistancePairs(ds, radius_deg, key_col, **kw):
+    from spapy_ray.stages.distjoin import within_distance_pairs
+
+    return within_distance_pairs(ds, radius_deg=radius_deg,
+                                 key_col=key_col, **kw)
+
+
+def HashJoin(left, right, on, **kw):
+    from spapy_ray.stages.relational import hash_join
+
+    return hash_join(left, right, on=on, **kw)
+
+
+def TilePyramid(geo_ds, **kw):
+    from spapy_ray.stages.cellindex import tile_pyramid
+
+    return tile_pyramid(geo_ds, **kw)
+
+
+def RasterOverviews(r: Raster, levels: int = 3):
+    from spapy_ray.stages.raster import raster_overviews
+
+    return raster_overviews(r.ds, dtype=r.dtype,
+                            tile_size=r.meta.tile_size, levels=levels)
+
+
+def RenderTiles(r: Raster, **kw):
+    from spapy_ray.stages.render import render_tiles
+
+    return render_tiles(r.ds, dtype=r.dtype,
+                        tile_size=r.meta.tile_size, **kw)
+
+
+def RasterizePoints(ds, **kw):
+    from spapy_ray.stages.rasterize import rasterize_points
+
+    return rasterize_points(ds, **kw)
+
+
+def UrlParse(ds, url_col: str = "url"):
+    from spapy_ray.stages.text import url_parse
+
+    return url_parse(ds, url_col=url_col)
+
+
+def SampleStratified(ds, col, strata_col, rates, **kw):
+    from spapy_ray.stages.relational import hash_sample_stratified
+
+    return hash_sample_stratified(ds, col, strata_col, rates, **kw)
+
+
+def NearDupClusters(ds, key_col, **kw):
+    from spapy_ray.stages.neardup import near_dup_clusters
+
+    return near_dup_clusters(ds, key_col, **kw)
