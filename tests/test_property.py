@@ -1,0 +1,131 @@
+"""Property-based kernel tests (hypothesis): inverses, parity with
+reference implementations, and closure invariants — pure kernels, no
+Ray session needed."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from spapy_ray.kernels import cells, wkb
+from spapy_ray.kernels.hashing import fnv1a64
+
+SET = settings(max_examples=60, deadline=None)
+
+finite_coord = st.floats(min_value=-1e6, max_value=1e6,
+                         allow_nan=False, allow_infinity=False)
+
+
+@SET
+@given(st.lists(st.tuples(finite_coord, finite_coord),
+                min_size=2, max_size=40))
+def test_wkb_linestring_roundtrip(pts):
+    arr = np.array(pts, dtype=np.float64)
+    t, v = wkb.decode(wkb.encode("LineString", arr))
+    assert t == "LineString"
+    assert np.array_equal(np.asarray(v), arr)
+
+
+@SET
+@given(st.lists(st.tuples(finite_coord, finite_coord),
+                min_size=3, max_size=20),
+       st.integers(0, 3))
+def test_wkb_polygon_roundtrip(ring_pts, extra_rings):
+    ring = np.array(ring_pts + ring_pts[:1], dtype=np.float64)
+    rings = [ring] + [ring * 0.5] * extra_rings
+    t, v = wkb.decode(wkb.encode("Polygon", rings))
+    assert t == "Polygon"
+    assert len(v) == len(rings)
+    for got, exp in zip(v, rings):
+        assert np.array_equal(np.asarray(got), exp)
+
+
+@SET
+@given(st.floats(min_value=-180, max_value=180, allow_nan=False),
+       st.floats(min_value=-90, max_value=90, allow_nan=False),
+       st.integers(1, 15), st.integers(0, 15))
+def test_cells_decode_inverse_and_parent_consistency(lon, lat, r, pr_raw):
+    pr = min(pr_raw, r)
+    c = cells.encode(np.array([lon]), np.array([lat]), r)
+    x, y, res = cells.decode_xy(c)
+    assert res[0] == r
+    assert np.array_equal(cells.encode_xy(x, y, r), c)
+    # parent truncation == direct encode at the coarser res
+    assert cells.parent(c, pr)[0] == \
+        cells.encode(np.array([lon]), np.array([lat]), pr)[0]
+
+
+def _fnv1a_ref(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+@SET
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=20))
+def test_fnv1a_matches_bytewise_reference(strs):
+    import pyarrow as pa
+
+    got = fnv1a64(pa.array(strs, type=pa.string()))
+    exp = np.array([_fnv1a_ref(s) for s in strs], dtype=np.uint64)
+    assert np.array_equal(np.asarray(got, dtype=np.uint64), exp)
+
+
+def _uf_ref(a, b):
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    return {int(v): find(int(v))
+            for v in set(a.tolist()) | set(b.tolist())}
+
+
+@SET
+@given(st.lists(st.tuples(st.integers(0, 60), st.integers(0, 60)),
+                min_size=1, max_size=120))
+def test_min_label_closure_matches_union_find(edges):
+    from spapy_ray.stages.components import _min_label_closure
+
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    v, lab = _min_label_closure(a, b)
+    assert dict(zip(v.tolist(), lab.tolist())) == _uf_ref(a, b)
+
+
+@SET
+@given(st.integers(1, 24), st.integers(1, 24), st.booleans(),
+       st.integers(0, 2**32 - 1))
+def test_png_roundtrip_random(h, w, rgba, seed):
+    from spapy_ray.stages.render import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 4 if rgba else 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@SET
+@given(st.lists(st.tuples(st.integers(-10**7, 10**7),
+                          st.integers(-10**7, 10**7)),
+                min_size=1, max_size=60),
+       st.integers(1, 5_000_000))
+def test_within_distance_local_symmetry(pts, r5):
+    from spapy_ray.stages.distjoin import within_distance_pairs_local
+
+    lat5 = np.array([p[0] for p in pts], dtype=np.int64)
+    lon5 = np.array([p[1] for p in pts], dtype=np.int64)
+    i, j = within_distance_pairs_local(lat5, lon5, r5)
+    pairs = set(zip(i.tolist(), j.tolist()))
+    # symmetric, irreflexive, and predicate-exact
+    assert all((b, a) in pairs for a, b in pairs)
+    assert all(a != b for a, b in pairs)
+    for a, b in pairs:
+        d2 = (lat5[a] - lat5[b]) ** 2 + (lon5[a] - lon5[b]) ** 2
+        assert d2 <= r5 * r5
