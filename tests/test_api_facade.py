@@ -103,3 +103,39 @@ def test_save_facade_shapefile_and_aaigrid(ray_session, tmp_path):
     r2 = api.Load(asc)
     mm = api.GetMinMax(r2)
     assert (int(mm["min_z"]), int(mm["max_z"])) == (0, 63)
+
+
+def test_north_rule_one_liners(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray import api
+
+    pts = pa.table({
+        "pid": np.arange(50, dtype=np.int64),
+        "lat": np.linspace(-40, 40, 50) + 0.00005,
+        "lon": np.linspace(-90, 90, 50) + 0.00005,
+    })
+    ds = rd.from_arrow(pts)
+    counts = api.WithinDistanceCount(ds, 5.0, key_cols=("pid",)).to_pandas()
+    assert len(counts) == 50 and (counts["n_neighbors"] >= 0).all()
+    pairs = api.WithinDistancePairs(ds, 5.0, "pid").to_pandas()
+    assert (pairs["key_a"] < pairs["key_b"]).all()
+
+    pyr = api.TilePyramid(ds, res_hi=4, res_lo=2).to_pandas()
+    assert set(pyr["res"]) == {2, 3, 4}
+    assert pyr.groupby("res")["n_pages"].sum().eq(50).all()
+
+    tiles, meta = api.RasterizePoints(ds, res=8, tile_size=64)
+    r = api.Raster(tiles, meta, "int32")
+    assert api.GetMinMax(r)["max_z"] >= 1
+
+    left = rd.from_arrow(pa.table({"k": [1, 2], "x": ["a", "b"]}))
+    right = rd.from_arrow(pa.table({"k": [2, 3], "y": [9, 9]}))
+    j = api.HashJoin(left, right, "k").to_pandas()
+    assert j["k"].tolist() == [2]
+
+    parsed = api.UrlParse(rd.from_arrow(pa.table(
+        {"url": ["https://h.example/p"]}))).to_pandas()
+    assert parsed["host"][0] == "h.example"
