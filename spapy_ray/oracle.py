@@ -1337,3 +1337,9 @@ def q_orders_lineitem_join() -> str:
     return ("SELECT l_orderkey, l_linenumber, l_extendedprice, "
             "o_orderpriority FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey")
+
+
+def q_customers_without_orders() -> str:
+    return ("SELECT c_custkey, c_name FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey AND o_orderstatus = 'F')")

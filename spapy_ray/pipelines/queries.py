@@ -1982,3 +1982,22 @@ def q_orders_lineitem_join(sf_dir: str):
 
 
 QUERIES["orders_lineitem_join"] = q_orders_lineitem_join
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Relational anti-join through hash_join(how='anti'): customers
+    with no FINISHED ('F') orders — the typed-exact left-only form of
+    the bucket equijoin (every customer has SOME order in the
+    fixture, so the right side is status-filtered to keep the result
+    non-trivial)."""
+    from spapy_ray.stages.relational import hash_join, select_where
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = select_where(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]),
+        "o_orderstatus", "==", "F").select_columns(["o_custkey"])
+    return hash_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                     how="anti")
+
+
+QUERIES["customers_without_orders"] = q_customers_without_orders

@@ -495,10 +495,12 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
     bucket then converts its two sides to pandas SEPARATELY (a joint
     frame would upcast null-filled int64 columns to float64) and
     merges. Right columns colliding with left names get ``suffix``.
-    how: "inner" (typed-exact) or "left" (unmatched right columns
-    become nulls, with pandas' usual nullable upcasts)."""
-    if how not in ("inner", "left"):
-        raise ValueError("how must be 'inner' or 'left'")
+    how: "inner" (typed-exact), "left" (unmatched right columns
+    become nulls, with pandas' usual nullable upcasts), "semi" /
+    "anti" (left rows with ≥1 / 0 key matches; left columns only,
+    typed-exact)."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError("how must be inner|left|semi|anti")
     from spapy_ray.util import cluster_cpus
 
     rk = right_on or on
@@ -539,8 +541,16 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
 
     def per_bucket(g: pa.Table) -> pa.Table:
         lmask = pc.equal(g.column("_side"), 0)
-        ldf = g.filter(lmask).select(lnames).to_pandas()
-        rdf = g.filter(pc.invert(lmask)).select(rnames).to_pandas()
+        lt = g.filter(lmask)
+        rt = g.filter(pc.invert(lmask))
+        if how in ("semi", "anti"):
+            keys = pc.unique(rt.column(rkey_out))
+            hit = pc.is_in(lt.column(on), value_set=keys)
+            if how == "anti":
+                hit = pc.invert(hit)
+            return lt.filter(hit).select(lnames)
+        ldf = lt.select(lnames).to_pandas()
+        rdf = rt.select(rnames).to_pandas()
         out = ldf.merge(rdf, left_on=on, right_on=rkey_out, how=how)
         return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -464,3 +464,22 @@ def test_hash_join_inner_left_and_collisions(ray_session):
                    how="left").to_pandas()
     assert len(gl) == 6  # 4 matches + unmatched k=1, k=5
     assert gl.loc[gl["k"].isin([1, 5]), "v_r"].isna().all()
+
+
+def test_hash_join_semi_anti(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import hash_join
+
+    left = pa.table({"k": np.array([1, 2, 3, 4], dtype=np.int64),
+                     "v": ["a", "b", "c", "d"]})
+    right = pa.table({"j": np.array([2, 3, 3], dtype=np.int64)})
+    semi = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                     on="k", right_on="j", how="semi").to_pandas()
+    anti = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                     on="k", right_on="j", how="anti").to_pandas()
+    assert sorted(semi["k"]) == [2, 3]          # no duplication
+    assert sorted(anti["k"]) == [1, 4]
+    assert semi["k"].dtype == np.int64
