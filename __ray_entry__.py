@@ -42,7 +42,8 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "render_tiles", "tile_pyramid", "raster_overviews",
           "sample_stratified", "rasterize_points", "domain_stats",
           "bpe_tokens", "docs_repetition", "resample_match_diff",
-          "orders_lineitem_join", "customers_without_orders"]
+          "orders_lineitem_join", "customers_without_orders",
+          "events_windows", "order_priority_revenue"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -138,6 +139,8 @@ def oracle_sql() -> dict[str, str]:
         "resample_match_diff": o.q_resample_match_diff(),
         "orders_lineitem_join": o.q_orders_lineitem_join(),
         "customers_without_orders": o.q_customers_without_orders(),
+        "events_windows": o.q_events_windows(),
+        "order_priority_revenue": o.q_order_priority_revenue(),
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),

@@ -1343,3 +1343,26 @@ def q_customers_without_orders() -> str:
     return ("SELECT c_custkey, c_name FROM customer "
             "WHERE NOT EXISTS (SELECT 1 FROM orders "
             "WHERE o_custkey = c_custkey AND o_orderstatus = 'F')")
+
+
+def q_events_windows() -> str:
+    return (
+        "SELECT user_id, event_id, "
+        "row_number() OVER w AS rn, "
+        "coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) AS delta_us, "
+        "max(value) OVER (PARTITION BY user_id "
+        "ORDER BY epoch_us(ts), event_id "
+        "ROWS UNBOUNDED PRECEDING) AS run_max_value "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"
+    )
+
+
+def q_order_priority_revenue() -> str:
+    return (
+        "SELECT o_orderpriority, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "count(*)::BIGINT AS n_items "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority"
+    )

@@ -2001,3 +2001,65 @@ def q_customers_without_orders(sf_dir: str):
 
 
 QUERIES["customers_without_orders"] = q_customers_without_orders
+
+
+def q_events_windows(sf_dir: str):
+    """Window functions over the events log: per user ordered by
+    (ts, event_id) — row_number, typed-exact delta_us (gap to the
+    previous event, first row 0), and the running max of value
+    (comparison-only cumulative, no float arithmetic). One hash-bucket
+    shuffle; Cython groupby transforms per bucket (stages/window.py)."""
+    from spapy_ray.stages.window import window_over
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return t.append_column("us", pc.cast(t.column("ts"), pa.int64())) \
+            .drop_columns(["ts"])
+
+    ev = ev.map_batches(to_us, batch_format="pyarrow")
+    return window_over(
+        ev, key_col="user_id", order_cols=["us", "event_id"],
+        ops=[("rn", "row_number", None),
+             ("delta_us", "delta", "us"),
+             ("run_max_value", "cummax", "value")],
+    ).drop_columns(["us"])
+
+
+QUERIES["events_windows"] = q_events_windows
+
+
+def q_order_priority_revenue(sf_dir: str):
+    """TPC-H-Q3-shaped chain: big x big equijoin (lineitem x orders
+    through relational.hash_join — union + ONE bucket shuffle), then
+    a discounted-revenue groupby over the 5 priority classes (partial
+    per-block Sum/Count, rounded to 2dp like every float-sum twin)."""
+    from ray.data.aggregate import Count, Sum
+
+    from spapy_ray.stages.relational import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                         "rev": rev})
+
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey") \
+        .map_batches(revenue, batch_format="pyarrow")
+    agg = joined.groupby("o_orderpriority").aggregate(
+        Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.set_column(t.column_names.index("revenue"), "revenue",
+                            pc.round(t.column("revenue"), 2))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["order_priority_revenue"] = q_order_priority_revenue

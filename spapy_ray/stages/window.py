@@ -1,0 +1,111 @@
+"""Generic per-key window operators (lag / lead / row_number /
+cumulative aggregates) over an event log.
+
+The reference engine has no window functions; this is part of the
+web-pipeline extension family (sessionize / sliding windows / as-of
+join live in stages/sessions.py). SQL twin: ``<fn>() OVER (PARTITION
+BY key ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``.
+
+Scale contract (same as sessionize, NOTES_r2/r3):
+- ONE hash-bucket shuffle on the key; a bucket holds many keys;
+- per bucket a single sort + pandas *groupby transforms*
+  (cumcount/shift/cumsum/cummax) — Cython kernels vectorized across
+  the whole bucket, NEVER a Python call per key (the near-singleton
+  map_groups anti-pattern);
+- per-key state is bounded by that key's rows; no global sort.
+
+Determinism: ``order_cols`` must be a UNIQUE ordering (include a
+tiebreak id column) — with ties, lag/lead/row_number are not a
+function of the data and can differ between engine and oracle runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# (out_name, kind, src) kinds understood by window_over
+KINDS = ("row_number", "lag", "lead", "cumsum", "cummax", "cummin",
+         "delta")
+
+
+def window_over(ds, *, key_col: str, order_cols: list[str],
+                ops: list[tuple[str, str, str | None]],
+                keep_cols: list[str] | None = None,
+                buckets: int | None = None):
+    """Evaluate window functions per ``key_col`` group ordered by
+    ``order_cols``.
+
+    ops: list of ``(out_name, kind, src_col)``:
+      - ``row_number``: 1-based position in the ordered group (int64;
+        src ignored);
+      - ``lag`` / ``lead``: previous / next value of src in the group
+        (first/last row per key → null; integer srcs upcast to
+        float64 through pandas, the usual nullable-shift caveat);
+      - ``cumsum`` / ``cummax`` / ``cummin``: running aggregate over
+        rows unbounded preceding (no nulls, src dtype preserved for
+        cummax/cummin — comparison only, no float arithmetic);
+      - ``delta``: ``src - lag(src)`` with the first row per key
+        coalesced to 0 and the src dtype restored — the typed-exact
+        form for integer gap/difference columns.
+
+    Returns a Dataset with ``[key_col, *order_cols, *keep_cols,
+    *out_names]`` rows (row order unspecified — downstream must not
+    rely on it, exactly like SQL).
+    """
+    import pyarrow as pa
+
+    for name, kind, _src in ops:
+        if kind not in KINDS:
+            raise ValueError(f"unknown window op kind {kind!r} ({name})")
+
+    keep = keep_cols or []
+    base_cols = [key_col] + list(order_cols) + list(keep)
+    # de-dup while preserving order (an order col may also be kept)
+    seen: dict[str, None] = {}
+    for c in base_cols:
+        seen.setdefault(c)
+    base_cols = list(seen)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: [] for c in base_cols
+                                 + [n for n, _, _ in ops]})
+        g = g.sort_values([key_col] + list(order_cols), kind="stable")
+        gb = g.groupby(key_col, sort=False)
+        out = g[base_cols].copy()
+        for name, kind, src in ops:
+            if kind == "row_number":
+                out[name] = gb.cumcount().to_numpy() + 1
+            elif kind == "lag":
+                out[name] = gb[src].shift(1).to_numpy()
+            elif kind == "lead":
+                out[name] = gb[src].shift(-1).to_numpy()
+            elif kind == "cumsum":
+                out[name] = gb[src].cumsum().to_numpy()
+            elif kind == "cummax":
+                out[name] = gb[src].cummax().to_numpy()
+            elif kind == "cummin":
+                out[name] = gb[src].cummin().to_numpy()
+            else:  # delta
+                base = g[src].to_numpy()
+                d = base - gb[src].shift(1).to_numpy()
+                first = np.isnan(d) if d.dtype.kind == "f" \
+                    else pd.isna(d)
+                d = np.where(first, 0, d)
+                if base.dtype.kind in "iu":
+                    d = d.astype(base.dtype)
+                out[name] = d
+        return out
+
+    from spapy_ray.stages.relational import _bucket_column
+    from spapy_ray.util import cluster_cpus
+
+    nbuckets = buckets or max(64, cluster_cpus() * 4)
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bkt__",
+                               _bucket_column(t, key_col, nbuckets))
+
+    return ds.map_batches(tag_bucket, batch_format="pyarrow") \
+        .groupby("bkt__").map_groups(per_bucket, batch_format="pandas")

@@ -1,0 +1,72 @@
+"""window_over vs a straightforward pandas ground truth."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _frame():
+    rng = np.random.default_rng(11)
+    n = 400
+    return pd.DataFrame({
+        "k": rng.integers(0, 23, n).astype(np.int64),
+        "o": np.arange(n, dtype=np.int64),          # unique order col
+        "v": rng.normal(size=n),
+        "i": rng.integers(-50, 50, n).astype(np.int64),
+    })
+
+
+def _truth(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.sort_values(["k", "o"], kind="stable")
+    gb = g.groupby("k", sort=False)
+    out = g[["k", "o"]].copy()
+    out["rn"] = gb.cumcount().to_numpy() + 1
+    out["lag_v"] = gb["v"].shift(1).to_numpy()
+    out["lead_v"] = gb["v"].shift(-1).to_numpy()
+    out["cs_v"] = gb["v"].cumsum().to_numpy()
+    out["cmin_i"] = gb["i"].cummin().to_numpy()
+    out["d_i"] = g["i"].to_numpy() - gb["i"].shift(1).to_numpy()
+    out["d_i"] = np.where(np.isnan(out["d_i"]), 0,
+                          out["d_i"]).astype(np.int64)
+    return out.sort_values("o").reset_index(drop=True)
+
+
+def test_window_over_all_kinds(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.window import window_over
+
+    df = _frame()
+    got = window_over(
+        rd.from_arrow(pa.Table.from_pandas(df)), key_col="k",
+        order_cols=["o"],
+        ops=[("rn", "row_number", None),
+             ("lag_v", "lag", "v"), ("lead_v", "lead", "v"),
+             ("cs_v", "cumsum", "v"), ("cmin_i", "cummin", "i"),
+             ("d_i", "delta", "i")],
+        buckets=7,
+    ).to_pandas().sort_values("o").reset_index(drop=True)
+    want = _truth(df)
+    assert list(got.columns) == list(want.columns)
+    # typed-exact where no nulls are possible
+    assert got["rn"].dtype == np.int64
+    assert got["d_i"].dtype == np.int64
+    assert got["cmin_i"].dtype == np.int64
+    for c in want.columns:
+        gv, wv = got[c].to_numpy(), want[c].to_numpy()
+        if gv.dtype.kind == "f":
+            assert np.array_equal(gv, wv, equal_nan=True), c
+        else:
+            assert np.array_equal(gv, wv), c
+
+
+def test_window_over_bad_kind(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.window import window_over
+
+    ds = rd.from_arrow(pa.table({"k": [1], "o": [1]}))
+    with pytest.raises(ValueError):
+        window_over(ds, key_col="k", order_cols=["o"],
+                    ops=[("x", "median", "o")])
