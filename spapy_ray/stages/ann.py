@@ -474,17 +474,13 @@ def embed_near_dup_lsh(ds, *, dim: int, threshold: float = 0.85,
     def in_hot(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t.column("bkey"), value_set=hot_arr))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        keys = sorted(g["key"].unique().tolist())
-        ka, kb = [], []
-        for i in range(len(keys)):
-            for j in range(i + 1, len(keys)):
-                ka.append(keys[i])
-                kb.append(keys[j])
-        return pd.DataFrame({"key_a": ka, "key_b": kb})
+    # candidate pairs within each collision bucket — same vectorized
+    # batched-by-size emission as the MinHash path (relational.py)
+    from spapy_ray.stages.relational import within_group_pairs
 
-    cand = banded.map_batches(in_hot, batch_format="pyarrow") \
-        .groupby("bkey").map_groups(bucket_pairs, batch_format="pandas")
+    cand = within_group_pairs(
+        banded.map_batches(in_hot, batch_format="pyarrow"),
+        "bkey", "key")
 
     def pair_dedup_local(t: pa.Table) -> pa.Table:
         df = t.to_pandas().drop_duplicates(["key_a", "key_b"])

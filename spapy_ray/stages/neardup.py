@@ -234,20 +234,14 @@ def near_dup_pairs(ds, key_col: str, text_col: str = "text",
     def in_hot(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t.column("bkey"), value_set=hot_arr))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        keys = sorted(g["key"].unique().tolist())
-        if len(keys) < 2:
-            return pd.DataFrame({"key_a": pd.Series([], dtype=object),
-                                 "key_b": pd.Series([], dtype=object)})
-        ka, kb = [], []
-        for i in range(len(keys)):
-            for j in range(i + 1, len(keys)):
-                ka.append(keys[i])
-                kb.append(keys[j])
-        return pd.DataFrame({"key_a": ka, "key_b": kb})
+    # candidate pairs within each collision bucket: batched-by-size
+    # vectorized emission, one shuffle (was a per-bucket map_groups
+    # with an O(k^2) Python loop — one Python call per hot bucket)
+    from spapy_ray.stages.relational import within_group_pairs
 
-    cand = banded.map_batches(in_hot, batch_format="pyarrow") \
-        .groupby("bkey").map_groups(bucket_pairs, batch_format="pandas")
+    cand = within_group_pairs(
+        banded.map_batches(in_hot, batch_format="pyarrow"),
+        "bkey", "key")
 
     # a pair can surface from several bands → dedup on (key_a, key_b)
     def pair_dedup_local(t: pa.Table) -> pa.Table:

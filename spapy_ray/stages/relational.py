@@ -557,3 +557,71 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
     u = left.map_batches(lrows, batch_format="pyarrow").union(
         right.map_batches(rrows, batch_format="pyarrow"))
     return u.groupby("_hbk").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def within_group_pairs(ds, group_col: str, key_col: str,
+                       out_a: str = "key_a", out_b: str = "key_b",
+                       buckets: int | None = None):
+    """All unordered key pairs (out_a < out_b) within each
+    ``group_col`` group — the LSH candidate-generation shape.
+
+    A ``groupby(group).map_groups(python pairs)`` here pays one Python
+    call per collision bucket (millions of hot buckets at corpus
+    scale) plus an O(k^2) Python loop inside each. Instead: ONE
+    hash-bucket shuffle on ``group_col`` (a bucket holds many
+    groups), then per bucket a single np.lexsort + segment walk where
+    pair emission is batched BY DISTINCT GROUP SIZE — one
+    ``np.triu_indices`` fancy-index per distinct k, applied to every
+    k-sized group in the bucket at once. Python iterations per bucket
+    == number of distinct group sizes (dozens), independent of group
+    count.
+
+    Duplicate (group, key) rows are collapsed; groups of one key emit
+    nothing. Within a group, keys are sorted ascending so out_a <
+    out_b deterministically (same contract as the loop it replaces).
+    """
+    import pandas as pd
+
+    from spapy_ray.util import cluster_cpus
+
+    nbuckets = buckets or max(64, cluster_cpus() * 4)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bkt__", _bucket_column(t, group_col, nbuckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g[group_col].to_numpy()
+        keys = g[key_col].to_numpy()
+        order = np.lexsort((keys, grp))
+        grp, keys = grp[order], keys[order]
+        if len(grp):
+            # collapse duplicate (group, key) rows (adjacent after sort)
+            keep = np.empty(len(grp), dtype=bool)
+            keep[0] = True
+            keep[1:] = (grp[1:] != grp[:-1]) | (keys[1:] != keys[:-1])
+            grp, keys = grp[keep], keys[keep]
+        n = len(grp)
+        empty = pd.DataFrame({out_a: keys[:0], out_b: keys[:0]})
+        if n < 2:
+            return empty
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = grp[1:] != grp[:-1]
+        starts = np.nonzero(new)[0]
+        lens = np.diff(np.append(starts, n))
+        outs_a, outs_b = [], []
+        for k in np.unique(lens):
+            if k < 2:
+                continue
+            iu0, iu1 = np.triu_indices(int(k), 1)
+            s = starts[lens == k]
+            outs_a.append(keys[(s[:, None] + iu0[None, :]).ravel()])
+            outs_b.append(keys[(s[:, None] + iu1[None, :]).ravel()])
+        if not outs_a:
+            return empty
+        return pd.DataFrame({out_a: np.concatenate(outs_a),
+                             out_b: np.concatenate(outs_b)})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bkt__").map_groups(per_bucket, batch_format="pandas")

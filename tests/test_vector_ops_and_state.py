@@ -483,3 +483,34 @@ def test_hash_join_semi_anti(ray_session):
     assert sorted(semi["k"]) == [2, 3]          # no duplication
     assert sorted(anti["k"]) == [1, 4]
     assert semi["k"].dtype == np.int64
+
+
+def test_within_group_pairs(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import within_group_pairs
+
+    rng = np.random.default_rng(3)
+    n = 600
+    grp = rng.integers(0, 80, n).astype(np.int64)  # sizes 0..~15
+    keys = np.array([f"k{int(v)}" for v in rng.integers(0, 300, n)])
+    ds = rd.from_arrow(pa.table({"g": grp, "key": keys}))
+    got = set(map(tuple, within_group_pairs(ds, "g", "key")
+                  .to_pandas()[["key_a", "key_b"]].to_numpy()))
+
+    want = set()
+    for g in np.unique(grp):
+        ks = sorted(set(keys[grp == g]))
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                want.add((ks[i], ks[j]))
+    assert got == want and len(want) > 500
+
+    # int keys keep their dtype; singleton groups emit nothing
+    ds2 = rd.from_arrow(pa.table({
+        "g": pa.array([1, 1, 2], pa.int64()),
+        "key": pa.array([7, 7, 9], pa.int64())}))  # dup (g,key) row
+    out2 = within_group_pairs(ds2, "g", "key").to_pandas()
+    assert len(out2) == 0
