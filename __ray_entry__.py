@@ -43,7 +43,8 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "sample_stratified", "rasterize_points", "domain_stats",
           "bpe_tokens", "docs_repetition", "resample_match_diff",
           "orders_lineitem_join", "customers_without_orders",
-          "events_windows", "order_priority_revenue"]
+          "events_windows", "order_priority_revenue",
+          "customer_order_balance"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -141,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": o.q_customers_without_orders(),
         "events_windows": o.q_events_windows(),
         "order_priority_revenue": o.q_order_priority_revenue(),
+        "customer_order_balance": o.q_customer_order_balance(),
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),

@@ -1366,3 +1366,16 @@ def q_order_priority_revenue() -> str:
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "GROUP BY o_orderpriority"
     )
+
+
+def q_customer_order_balance() -> str:
+    return (
+        "WITH f AS (SELECT o_custkey, count(*)::BIGINT AS n_f FROM orders "
+        "WHERE o_orderstatus = 'F' GROUP BY o_custkey), "
+        "p AS (SELECT o_custkey, count(*)::BIGINT AS n_p FROM orders "
+        "WHERE o_orderstatus = 'P' GROUP BY o_custkey) "
+        "SELECT coalesce(f.o_custkey, p.o_custkey) AS custkey, "
+        "coalesce(n_f, 0)::BIGINT AS n_f, "
+        "coalesce(n_p, 0)::BIGINT AS n_p "
+        "FROM f FULL OUTER JOIN p ON f.o_custkey = p.o_custkey"
+    )

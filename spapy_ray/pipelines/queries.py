@@ -2063,3 +2063,32 @@ def q_order_priority_revenue(sf_dir: str):
 
 
 QUERIES["order_priority_revenue"] = q_order_priority_revenue
+
+
+def q_customer_order_balance(sf_dir: str):
+    """Full-outer equijoin of two per-customer aggregates with
+    partially disjoint key sets (F-only and P-only customers exist on
+    both sides) — exercises hash_join(how="outer"); keys and counts
+    coalesced back to typed-exact int64."""
+    from ray.data.aggregate import Count
+
+    from spapy_ray.stages.relational import hash_join, select_where
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    f = select_where(orders, "o_orderstatus", "==", "F") \
+        .groupby("o_custkey").aggregate(Count(alias_name="n_f"))
+    p = select_where(orders, "o_orderstatus", "==", "P") \
+        .groupby("o_custkey").aggregate(Count(alias_name="n_p"))
+    j = hash_join(f, p, on="o_custkey", how="outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        ck = pc.cast(pc.coalesce(t.column("o_custkey"),
+                                 t.column("o_custkey_r")), pa.int64())
+        nf = pc.cast(pc.fill_null(t.column("n_f"), 0), pa.int64())
+        np_ = pc.cast(pc.fill_null(t.column("n_p"), 0), pa.int64())
+        return pa.table({"custkey": ck, "n_f": nf, "n_p": np_})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["customer_order_balance"] = q_customer_order_balance

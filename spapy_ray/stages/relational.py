@@ -495,12 +495,15 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
     bucket then converts its two sides to pandas SEPARATELY (a joint
     frame would upcast null-filled int64 columns to float64) and
     merges. Right columns colliding with left names get ``suffix``.
-    how: "inner" (typed-exact), "left" (unmatched right columns
-    become nulls, with pandas' usual nullable upcasts), "semi" /
+    how: "inner" (typed-exact), "left" / "outer" (unmatched rows
+    null-fill the other side's columns, with pandas' usual nullable
+    upcasts — coalesce downstream for typed-exact outputs), "semi" /
     "anti" (left rows with ≥1 / 0 key matches; left columns only,
-    typed-exact)."""
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError("how must be inner|left|semi|anti")
+    typed-exact). Bucket-local left/outer is globally correct: every
+    key lives in exactly one bucket, so a row unmatched in its bucket
+    is unmatched everywhere."""
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise ValueError("how must be inner|left|outer|semi|anti")
     from spapy_ray.util import cluster_cpus
 
     rk = right_on or on

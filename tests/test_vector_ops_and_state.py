@@ -514,3 +514,23 @@ def test_within_group_pairs(ray_session):
         "key": pa.array([7, 7, 9], pa.int64())}))  # dup (g,key) row
     out2 = within_group_pairs(ds2, "g", "key").to_pandas()
     assert len(out2) == 0
+
+
+def test_hash_join_outer(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import hash_join
+
+    left = pa.table({"k": np.array([1, 2, 3], dtype=np.int64),
+                     "v": ["a", "b", "c"]})
+    right = pa.table({"k": np.array([2, 4], dtype=np.int64),
+                      "w": np.array([20, 40], dtype=np.int64)})
+    out = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                    on="k", how="outer").to_pandas()
+    assert len(out) == 4  # 1 match + 2 left-only + 1 right-only
+    m = out.set_index(out["k"].fillna(out["k_r"]).astype(np.int64))
+    assert m.loc[2, "v"] == "b" and m.loc[2, "w"] == 20
+    assert pd.isna(m.loc[4, "v"])
+    assert m.loc[[1, 3], "w"].isna().all()
