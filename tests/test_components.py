@@ -111,9 +111,45 @@ def test_hash_to_min_raises_on_round_budget(ray_session):
 
     from spapy_ray.stages.components import hash_to_min
 
-    # a long path spread over many buckets cannot reconcile across
-    # buckets in one round even with the local-closure seed
+    # a long path spread over many buckets leaves a non-empty
+    # contracted graph after one level; driver_max_edges=0 disables
+    # the tail so the depth budget is the only way out
     a = np.arange(300, dtype=np.int64) * 7  # break bucket locality
     edges = rd.from_arrow(pa.table({"a": a, "b": a + 7}))
     with pytest.raises(RuntimeError, match="did not converge"):
-        hash_to_min(edges, max_rounds=1, mode="distributed")
+        hash_to_min(edges, max_rounds=1, mode="distributed",
+                    driver_max_edges=0)
+
+
+def test_hash_to_min_deep_contraction(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.components import hash_to_min
+
+    # driver_max_edges=0 disables the tail: contraction must run to an
+    # EMPTY contracted graph, exercising multi-level _apply_map resolve
+    rng = np.random.default_rng(5)
+    a = (np.arange(400, dtype=np.int64) * 7)     # long path, scattered
+    edges_p = np.stack([a, a + 7], axis=1)
+    extra = rng.integers(0, 4000, (150, 2)).astype(np.int64)  # noise
+    ed = np.vstack([edges_p, extra])
+    out = hash_to_min(
+        rd.from_arrow(pa.table({"a": ed[:, 0], "b": ed[:, 1]})),
+        mode="distributed", driver_max_edges=0).to_pandas()
+
+    # union-find truth
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in ed:
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    truth = {v: find(v) for v in set(ed.ravel().tolist())}
+    got = dict(zip(out["v"], out["lab"]))
+    assert got == truth
