@@ -42,7 +42,9 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # round-3 session-3 additions
                  "tif_roundtrip", "dedup_clusters",
                  # round-3 session-4 additions
-                 "dist_join_counts", "render_tiles"]
+                 "dist_join_counts", "render_tiles",
+                 # round-3 session-5 additions
+                 "orders_lineitem_join", "events_windows"]
 
 
 def _consume(res) -> int:
