@@ -1379,3 +1379,16 @@ def q_customer_order_balance() -> str:
         "coalesce(n_p, 0)::BIGINT AS n_p "
         "FROM f FULL OUTER JOIN p ON f.o_custkey = p.o_custkey"
     )
+
+
+def q_hh_domains() -> str:
+    """Twin of queries.q_hh_domains: in the no-truncation regime the
+    Misra-Gries estimates ARE the exact per-host counts."""
+    import re
+
+    from spapy_ray.stages.text import URL_PATTERN
+
+    anon = re.sub(r"\?P<[a-z]+>", "", URL_PATTERN)
+    return (f"WITH {pages_cte()} "
+            f"SELECT regexp_extract(url, '{anon}', 2) AS host, "
+            "count(*)::BIGINT AS est_count FROM pages GROUP BY host")

@@ -2092,3 +2092,26 @@ def q_customer_order_balance(sf_dir: str):
 
 
 QUERIES["customer_order_balance"] = q_customer_order_balance
+
+
+def q_hh_domains(sf_dir: str):
+    """Heavy hitters (Misra-Gries mergeable sketch) over page hosts,
+    pinned in its EXACTNESS regime (capacity 4096 >> 1000 distinct
+    hosts, so no truncation ever fires and the sketch counts equal the
+    exact groupby — the oracle). Rows shuffled: O(blocks x capacity),
+    never one per page. The approximate regime's guarantee
+    (freq > n/(capacity+1) survives; undercount <= n/(capacity+1)) is
+    pinned by pytest on a zipf corpus."""
+    from spapy_ray.stages.relational import heavy_hitters
+    from spapy_ray.stages.text import url_parse_batch
+
+    ds = pages_dataset(sf_dir, include_html=False)
+
+    def hosts(t: pa.Table) -> pa.Table:
+        return url_parse_batch(t.select(["url"])).select(["host"])
+
+    return heavy_hitters(ds.map_batches(hosts, batch_format="pyarrow"),
+                         "host", capacity=4096)
+
+
+QUERIES["hh_domains"] = q_hh_domains

@@ -628,3 +628,65 @@ def within_group_pairs(ds, group_col: str, key_col: str,
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("bkt__").map_groups(per_bucket, batch_format="pandas")
+
+
+def _mg_truncate(items: pa.Array, counts: np.ndarray, m: int):
+    """Misra-Gries truncation: if more than ``m`` counters survive,
+    subtract the (m+1)-th largest count from all and drop the
+    non-positive — at most ``m`` remain, and every decrement of d is
+    charged to >= m+1 counters, so the total undercount across a whole
+    run is <= n_rows/(m+1) (the classic guarantee)."""
+    if len(counts) <= m:
+        return items, counts
+    d = np.partition(counts, len(counts) - (m + 1))[len(counts) - (m + 1)]
+    keep = counts > d
+    idx = np.flatnonzero(keep)
+    return items.take(pa.array(idx)), counts[idx] - d
+
+
+def heavy_hitters(ds, col: str, capacity: int = 1024, fan: int = 32,
+                  est_col: str = "est_count"):
+    """Mergeable Misra-Gries frequent-items sketch over ``col`` —
+    the 100 TB way to get top domains/terms WITHOUT shuffling every
+    distinct key: each block collapses to <= ``capacity`` (item,
+    count) counters (vectorized value_counts + one np.partition), and
+    sketches tree-reduce through two fixed repartition levels. Rows
+    moved: O(blocks x capacity), independent of corpus size.
+
+    Guarantees (standard MG, preserved under arbitrary merge trees):
+    every item with true frequency > n/(capacity+1) survives, and
+    true_count - n/(capacity+1) <= est <= true_count. When no
+    truncation ever fires (capacity >= distinct items at every merge)
+    the counts are EXACT — the regime the oracled query pins.
+
+    Returns a one-block Dataset (col, est_col) sorted by
+    (est desc, item asc) for deterministic output."""
+    import pandas as pd
+
+    def block_sketch(t: pa.Table) -> pa.Table:
+        vc = t.column(col).value_counts()
+        items = vc.field("values")
+        counts = pc.cast(vc.field("counts"), pa.int64()).to_numpy()
+        items, counts = _mg_truncate(items, counts, capacity)
+        return pa.table({col: items, est_col: pa.array(counts)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({col: t.column(col).to_pandas(),
+                           est_col: t.column(est_col).to_numpy()})
+        g = df.groupby(col, sort=False, as_index=False)[est_col].sum()
+        items = pa.array(g[col].to_numpy())
+        items, counts = _mg_truncate(items, g[est_col].to_numpy(),
+                                     capacity)
+        return pa.table({col: items, est_col: pa.array(counts)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        order = np.lexsort((t.column(col).to_pandas().to_numpy(),
+                            -t.column(est_col).to_numpy()))
+        return t.take(pa.array(order))
+
+    s = ds.map_batches(block_sketch, batch_format="pyarrow")
+    s = s.repartition(fan).map_batches(merge, batch_format="pyarrow",
+                                       batch_size=None)
+    return s.repartition(1) \
+        .map_batches(merge, batch_format="pyarrow", batch_size=None) \
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -534,3 +534,51 @@ def test_hash_join_outer(ray_session):
     assert m.loc[2, "v"] == "b" and m.loc[2, "w"] == 20
     assert pd.isna(m.loc[4, "v"])
     assert m.loc[[1, 3], "w"].isna().all()
+
+
+def test_heavy_hitters_guarantees(ray_session):
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import heavy_hitters
+
+    rng = np.random.default_rng(17)
+    n = 60_000
+    vals = rng.zipf(1.3, n)                   # heavy-tailed frequencies
+    items = np.array([f"item{int(v)}" for v in vals])
+    truth = collections.Counter(items.tolist())
+    m = 64
+    out = heavy_hitters(
+        rd.from_arrow(pa.table({"k": items})).repartition(8),
+        "k", capacity=m).to_pandas()
+    assert len(out) <= m
+    est = dict(zip(out["k"], out["est_count"]))
+    bound = n / (m + 1)
+    # every true-heavy item survives; estimates never overcount and
+    # undercount at most n/(m+1)
+    for item, c in truth.items():
+        if c > bound:
+            assert item in est, (item, c)
+    for item, e in est.items():
+        assert truth[item] - bound <= e <= truth[item], (item, e)
+    # output ordering is deterministic: est desc, item asc
+    assert list(out["est_count"]) == sorted(out["est_count"], reverse=True)
+
+
+def test_heavy_hitters_exact_regime(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import heavy_hitters
+
+    items = np.repeat([f"x{i}" for i in range(20)],
+                      np.arange(1, 21))       # known exact counts
+    out = heavy_hitters(
+        rd.from_arrow(pa.table({"k": items})).repartition(6),
+        "k", capacity=100).to_pandas()
+    assert dict(zip(out["k"], out["est_count"])) == \
+        {f"x{i}": i + 1 for i in range(20)}
