@@ -1392,3 +1392,21 @@ def q_hh_domains() -> str:
     return (f"WITH {pages_cte()} "
             f"SELECT regexp_extract(url, '{anon}', 2) AS host, "
             "count(*)::BIGINT AS est_count FROM pages GROUP BY host")
+
+
+def q_label_centroids(scale: int = 1_000_000) -> str:
+    """Twin of ann.vector_group_mean: floor(x*scale + 0.5) fixed-point
+    quantization on both sides makes the partial sums exact integers,
+    so the final double division matches bit-for-bit. (This DuckDB
+    lacks UNNEST ... WITH ORDINALITY; generate_subscripts pairs each
+    unnested element with its position instead.)"""
+    return (
+        "WITH e AS (SELECT label, "
+        "(generate_subscripts(embedding, 1) - 1)::BIGINT AS dim_idx, "
+        f"CAST(floor(unnest(embedding)::DOUBLE * {scale} + 0.5) "
+        "AS BIGINT) AS q "
+        "FROM embeddings) "
+        "SELECT label, dim_idx, "
+        f"sum(q)::DOUBLE / (count(*)::DOUBLE * {scale}.0) AS mean_val "
+        "FROM e GROUP BY label, dim_idx"
+    )

@@ -2115,3 +2115,17 @@ def q_hh_domains(sf_dir: str):
 
 
 QUERIES["hh_domains"] = q_hh_domains
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids in exact fixed point
+    (ann.vector_group_mean): combiner partial sums, one tiny fold,
+    long-form (label, dim_idx, mean_val) bit-identical to the unnest
+    WITH ORDINALITY twin."""
+    from spapy_ray.stages.ann import vector_group_mean
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    return vector_group_mean(ds, group_col="label")
+
+
+QUERIES["label_centroids"] = q_label_centroids

@@ -593,3 +593,57 @@ def _verify_embed_join(ds, cand, key_col: str, vec_col: str,
         return out.append_column("cos", pa.array(cos[keep]))
 
     return paired.map_batches(verify_join, batch_format="pyarrow")
+
+
+def vector_group_mean(ds, group_col: str = "label",
+                      vec_col: str = "embedding",
+                      scale: int = 1_000_000):
+    """Per-group embedding centroids (class means) — the vector
+    AGGREGATE primitive (kmeans seeding, per-language/type centroids)
+    as one combiner pass + one tiny bucketed fold.
+
+    Components are quantized to exact int64 fixed point
+    (floor(x*scale + 0.5) — floor-plus-half on BOTH engine and SQL
+    sides sidesteps the np.rint/DuckDB-round half-even divergence,
+    NOTES_r3), so partial sums are order-independent and the final
+    mean (int sum / (n*scale), one double division of exact operands)
+    is bit-identical to the DuckDB unnest-WITH-ORDINALITY twin.
+
+    Each batch collapses to one (group, n, sums-payload) row per group
+    seen — O(groups x blocks) rows shuffle, never one per vector.
+    Returns long form (group_col, dim_idx, mean_val)."""
+    def partial(t: pa.Table) -> pa.Table:
+        V = _stack_embeddings(t.column(vec_col))
+        q = np.floor(V * scale + 0.5).astype(np.int64)
+        lab = t.column(group_col).to_numpy(zero_copy_only=False)
+        u, inv = np.unique(lab, return_inverse=True)
+        acc = np.zeros((len(u), q.shape[1]), dtype=np.int64)
+        np.add.at(acc, inv, q)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        payload = [acc[i].tobytes() for i in range(len(u))]
+        return pa.table({group_col: pa.array(u), "n": pa.array(cnt),
+                         "s": pa.array(payload, type=pa.binary())})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        labs, dims, means = [], [], []
+        for lab_val, grp in df.groupby(group_col, sort=False):
+            S = np.sum(np.stack([np.frombuffer(b, dtype=np.int64)
+                                 for b in grp["s"]]), axis=0)
+            n = int(grp["n"].sum())
+            d = len(S)
+            labs.append(np.full(d, lab_val,
+                                dtype=grp[group_col].dtype))
+            dims.append(np.arange(d, dtype=np.int64))
+            means.append(S.astype(np.float64) / float(n * scale))
+        if not labs:
+            return pd.DataFrame({group_col: [], "dim_idx": [],
+                                 "mean_val": []})
+        return pd.DataFrame({
+            group_col: np.concatenate(labs),
+            "dim_idx": np.concatenate(dims),
+            "mean_val": np.concatenate(means)})
+
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), group_col, fold)

@@ -410,3 +410,40 @@ def test_repetition_stats_known_values():
                                [1.0, 0.25, 2 / 3, 1.0])  # '' → ['']
     np.testing.assert_allclose(out.column("distinct_ratio").to_pylist(),
                                [0.25, 1.0, 2 / 3, 1.0])
+
+
+def test_vector_group_mean_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.stages.ann import vector_group_mean
+
+    rng = np.random.default_rng(31)
+    n, d = 300, 16
+    labs = rng.integers(0, 7, n).astype(np.int32)
+    V = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table({
+        "label": pa.array(labs),
+        "embedding": pa.array([row for row in V.tolist()],
+                              type=pa.list_(pa.float32()))})
+    out = vector_group_mean(rd.from_arrow(tbl).repartition(5),
+                            group_col="label") \
+        .to_pandas().sort_values(["label", "dim_idx"]).reset_index(drop=True)
+    # truth: same fixed-point arithmetic, single pass
+    q = np.floor(V.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+    rows = []
+    for lab in np.unique(labs):
+        m = labs == lab
+        s = q[m].sum(axis=0)
+        rows.append(pd.DataFrame({
+            "label": np.full(d, lab, dtype=np.int32),
+            "dim_idx": np.arange(d, dtype=np.int64),
+            "mean_val": s.astype(np.float64) / float(m.sum() * 1_000_000)}))
+    want = pd.concat(rows, ignore_index=True)
+    assert out["label"].dtype == want["label"].dtype
+    assert np.array_equal(out["mean_val"].to_numpy(),
+                          want["mean_val"].to_numpy())  # bit-exact
+    assert np.array_equal(out["dim_idx"].to_numpy(),
+                          want["dim_idx"].to_numpy())
