@@ -44,7 +44,8 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "bpe_tokens", "docs_repetition", "resample_match_diff",
           "orders_lineitem_join", "customers_without_orders",
           "events_windows", "order_priority_revenue",
-          "customer_order_balance", "hh_domains", "label_centroids"]
+          "customer_order_balance", "hh_domains", "label_centroids",
+          "cross_corpus_knn"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_balance": o.q_customer_order_balance(),
         "hh_domains": o.q_hh_domains(),
         "label_centroids": o.q_label_centroids(),
+        "cross_corpus_knn": o.q_cross_corpus_knn(),
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),

@@ -1410,3 +1410,16 @@ def q_label_centroids(scale: int = 1_000_000) -> str:
         f"sum(q)::DOUBLE / (count(*)::DOUBLE * {scale}.0) AS mean_val "
         "FROM e GROUP BY label, dim_idx"
     )
+
+
+def q_cross_corpus_knn(k: int = 3) -> str:
+    sim = ("list_cosine_similarity("
+           "list_transform(q.embedding, x -> x::DOUBLE), "
+           "list_transform(e.embedding, x -> x::DOUBLE))")
+    return (
+        "SELECT q.vec_id AS qid, e.vec_id AS vec_id, "
+        f"row_number() OVER (PARTITION BY q.vec_id ORDER BY {sim} DESC, "
+        "e.vec_id)::BIGINT AS rank "
+        "FROM embeddings q CROSS JOIN embeddings e "
+        f"WHERE q.label < 5 AND e.label >= 5 QUALIFY rank <= {k}"
+    )

@@ -2129,3 +2129,21 @@ def q_label_centroids(sf_dir: str):
 
 
 QUERIES["label_centroids"] = q_label_centroids
+
+
+def q_cross_corpus_knn(sf_dir: str, k: int = 3):
+    """Bipartite embedding kNN join (ann.knn_join_embeddings): each
+    label<5 vector retrieves its top-3 label>=5 vectors — block-pair
+    GEMM, block refs only on the driver, per-key merge of block-local
+    tie-exact top-ks."""
+    from spapy_ray.stages.ann import knn_join_embeddings
+    from spapy_ray.stages.relational import select_where
+
+    emb = _read(sf_dir, "embeddings",
+                columns=["vec_id", "embedding", "label"])
+    left = select_where(emb, "label", "<", 5)
+    right = select_where(emb, "label", ">=", 5)
+    return knn_join_embeddings(left, right, k=k)
+
+
+QUERIES["cross_corpus_knn"] = q_cross_corpus_knn

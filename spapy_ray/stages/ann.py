@@ -647,3 +647,97 @@ def vector_group_mean(ds, group_col: str = "label",
 
     return bucketed_group_agg(
         ds.map_batches(partial, batch_format="pyarrow"), group_col, fold)
+
+
+def knn_join_embeddings(left, right, *, k: int = 5,
+                        key_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        target_rows_per_block: int = 8192):
+    """Bipartite exact cosine kNN join: every LEFT vector retrieves
+    its top-k RIGHT vectors — the cross-corpus retrieval shape (query
+    log vs document index, new batch vs reference corpus).
+
+    Scale design: both sides normalize per block and materialize; one
+    Ray task per (left block, right block) pair runs a GEMM and emits
+    each left row's block-local top-k (global top-k per key ⊆ union
+    of block-local top-ks); a final groupby(key) merges partials. The
+    driver holds BLOCK REFS plus partial frames of <= rows x k — never
+    an embedding matrix.
+
+    Tie-exactness (ADVICE r2 theme): right rows are pre-sorted by key
+    inside each block, so a STABLE argsort of -sims realizes the
+    (sim desc, key asc) total order; selection pools k+64 candidates
+    by argpartition and falls back to a full stable row sort for the
+    rare rows whose pool boundary ties the k-th value.
+
+    Returns Dataset (qid, vec_id, rank), rank 1..k.
+    """
+    import ray
+    import ray.data as rd
+
+    def prep(t: pa.Table) -> pa.Table:
+        E = _stack_embeddings(t.column(vec_col))
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        flat = pa.array(En.reshape(-1))
+        return pa.table({
+            "key": pc.cast(t.column(key_col), pa.int64()),
+            "vec": pa.FixedSizeListArray.from_arrays(flat, E.shape[1]),
+        })
+
+    def blocks_of(ds):
+        n = max(1, ds.count())
+        nb = max(1, min(64, -(-n // target_rows_per_block)))
+        mat = ds.map_batches(prep, batch_format="pyarrow") \
+            .repartition(nb).materialize()
+        return [r for bundle in mat.iter_internal_ref_bundles()
+                for r in bundle.block_refs]
+
+    lrefs, rrefs = blocks_of(left), blocks_of(right)
+
+    @ray.remote
+    def pair_task(bl, br):
+        tl = bl if isinstance(bl, pa.Table) else bl.to_arrow()
+        tr = br if isinstance(br, pa.Table) else br.to_arrow()
+        qid = tl.column("key").to_numpy()
+        rid = tr.column("key").to_numpy()
+        order = np.argsort(rid, kind="stable")   # key-ascending columns
+        rid = rid[order]
+        A = _stack_embeddings(tl.column("vec"))
+        B = _stack_embeddings(tr.column("vec"))[order]
+        sims = A @ B.T
+        n, nb = sims.shape
+        kk = min(k, nb)
+        P = min(nb, kk + 64)
+        if P < nb:
+            part = np.argpartition(-sims, P - 1, axis=1)[:, :P]
+        else:
+            part = np.broadcast_to(np.arange(nb), (n, nb)).copy()
+        part.sort(axis=1)                        # id-ascending pool
+        pooled = np.take_along_axis(sims, part, axis=1)
+        ordp = np.argsort(-pooled, axis=1, kind="stable")[:, :kk]
+        sel = np.take_along_axis(part, ordp, axis=1)
+        sel_sims = np.take_along_axis(pooled, ordp, axis=1)
+        if P < nb:
+            # rows whose pool boundary ties the k-th value may miss an
+            # equal-sim smaller id outside the pool: full sort those
+            kth = sel_sims[:, -1]
+            bound = pooled.min(axis=1)
+            for r in np.flatnonzero(bound >= kth):
+                full = np.argsort(-sims[r], kind="stable")[:kk]
+                sel[r], sel_sims[r] = full, sims[r][full]
+        return pd.DataFrame({
+            "qid": np.repeat(qid, kk),
+            "vec_id": rid[sel].reshape(-1),
+            "sim": sel_sims.reshape(-1)})
+
+    futs = [pair_task.remote(bl, br) for bl in lrefs for br in rrefs]
+    cands = rd.from_pandas_refs(futs)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        g = g.drop(columns=["sim"])
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cands.groupby("qid").map_groups(final, batch_format="pandas")

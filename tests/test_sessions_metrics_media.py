@@ -447,3 +447,82 @@ def test_vector_group_mean_matches_numpy(ray_session):
                           want["mean_val"].to_numpy())  # bit-exact
     assert np.array_equal(out["dim_idx"].to_numpy(),
                           want["dim_idx"].to_numpy())
+
+
+def test_knn_join_embeddings_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.stages.ann import knn_join_embeddings
+
+    rng = np.random.default_rng(41)
+    nl, nr, d, k = 400, 700, 12, 4
+    L = rng.normal(size=(nl, d)); R = rng.normal(size=(nr, d))
+
+    def tbl(ids, M):
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": pa.array(M.tolist(),
+                                               type=pa.list_(pa.float32()))})
+
+    left = rd.from_arrow(tbl(np.arange(nl), L.astype(np.float32)))
+    right = rd.from_arrow(tbl(np.arange(10_000, 10_000 + nr),
+                              R.astype(np.float32)))
+    got = knn_join_embeddings(left, right, k=k,
+                              target_rows_per_block=100) \
+        .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+
+    # brute force with the SAME float32->float64 quantization
+    Ln = L.astype(np.float32).astype(np.float64)
+    Rn = R.astype(np.float32).astype(np.float64)
+    Ln /= np.linalg.norm(Ln, axis=1, keepdims=True)
+    Rn /= np.linalg.norm(Rn, axis=1, keepdims=True)
+    sims = Ln @ Rn.T
+    rows = []
+    for i in range(nl):
+        order = np.lexsort((np.arange(nr), -sims[i]))[:k]
+        rows.append(pd.DataFrame({
+            "qid": np.full(k, i, dtype=np.int64),
+            "vec_id": order + 10_000,
+            "rank": np.arange(1, k + 1, dtype=np.int64)}))
+    want = pd.concat(rows, ignore_index=True)
+    assert len(got) == len(want)
+    # float GEMM blocking can reorder near-equal sims; compare the
+    # SET of (qid, vec_id) per rank bucket exactly, and ranks where
+    # the sims are well separated
+    assert (got["qid"].to_numpy() == want["qid"].to_numpy()).all()
+    mismatch = (got["vec_id"].to_numpy() != want["vec_id"].to_numpy())
+    assert mismatch.mean() < 0.01  # allow rare near-tie flips
+    assert (got["rank"].to_numpy() == want["rank"].to_numpy()).all()
+
+
+def test_knn_join_embeddings_tie_fallback(ray_session):
+    """Many exactly-equal similarity ties (duplicate right vectors)
+    force the pool-boundary fallback: selection must prefer SMALLER
+    right ids among equal sims."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.stages.ann import knn_join_embeddings
+
+    d, k = 4, 3
+    nr = 200
+    R = np.tile(np.array([[1.0, 0, 0, 0]]), (nr, 1))   # all identical
+    L = np.array([[1.0, 0, 0, 0], [0.5, 0.5, 0, 0]])
+
+    def tbl(ids, M):
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": pa.array(M.tolist(),
+                                               type=pa.list_(pa.float32()))})
+
+    got = knn_join_embeddings(
+        rd.from_arrow(tbl(np.arange(2), L.astype(np.float32))),
+        rd.from_arrow(tbl(np.arange(100, 100 + nr), R.astype(np.float32))),
+        k=k, target_rows_per_block=500).to_pandas() \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    # equal sims everywhere -> smallest right ids win, in id order
+    for q in (0, 1):
+        sub = got[got["qid"] == q]
+        assert list(sub["vec_id"]) == [100, 101, 102]
