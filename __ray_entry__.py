@@ -45,7 +45,7 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "orders_lineitem_join", "customers_without_orders",
           "events_windows", "order_priority_revenue",
           "customer_order_balance", "hh_domains", "label_centroids",
-          "cross_corpus_knn"]
+          "cross_corpus_knn", "contamination_pairs"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -147,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "hh_domains": o.q_hh_domains(),
         "label_centroids": o.q_label_centroids(),
         "cross_corpus_knn": o.q_cross_corpus_knn(),
+        "contamination_pairs": o.q_contamination_pairs(),
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),

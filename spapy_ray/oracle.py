@@ -1423,3 +1423,19 @@ def q_cross_corpus_knn(k: int = 3) -> str:
         "FROM embeddings q CROSS JOIN embeddings e "
         f"WHERE q.label < 5 AND e.label >= 5 QUALIFY rank <= {k}"
     )
+
+
+def q_contamination_pairs(threshold: float = 0.8) -> str:
+    """Exact all-pairs cross-corpus 3-shingle Jaccard (even doc_ids x
+    odd doc_ids) — ground truth for the contamination LSH pipeline
+    (same shingle arithmetic as q_near_dup_docs)."""
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), "
+        "j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2])) AS sh FROM t), "
+        "p AS (SELECT a.doc_id AS key_left, b.doc_id AS key_right, "
+        "len(list_intersect(a.sh, b.sh))::DOUBLE / "
+        "len(list_distinct(list_concat(a.sh, b.sh))) AS jacc "
+        "FROM s a JOIN s b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1) "
+        f"SELECT key_left, key_right, jacc FROM p WHERE jacc >= {threshold}"
+    )

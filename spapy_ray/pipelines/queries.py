@@ -2147,3 +2147,31 @@ def q_cross_corpus_knn(sf_dir: str, k: int = 3):
 
 
 QUERIES["cross_corpus_knn"] = q_cross_corpus_knn
+
+
+def q_contamination_pairs(sf_dir: str, threshold: float = 0.8):
+    """Train/eval contamination check: near-dup pairs ACROSS the
+    even-doc_id corpus ("train") and odd-doc_id corpus ("eval") —
+    one banded LSH pass over the tagged union, candidates filtered
+    to cross-side before text verification
+    (neardup.cross_corpus_near_dup). Oracle: exact all-pairs cross
+    Jaccard."""
+    from spapy_ray.stages.neardup import cross_corpus_near_dup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(par: int):
+        def _f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.bit_wise_and(t.column("doc_id"), pa.scalar(1, pa.int64())),
+                pa.scalar(par, pa.int64()))
+            return t.filter(keep)
+        return _f
+
+    train = docs.map_batches(side(0), batch_format="pyarrow")
+    evals = docs.map_batches(side(1), batch_format="pyarrow")
+    return cross_corpus_near_dup(train, evals, key_col="doc_id",
+                                 threshold=threshold, verify="join")
+
+
+QUERIES["contamination_pairs"] = q_contamination_pairs

@@ -152,7 +152,8 @@ def near_dup_pairs(ds, key_col: str, text_col: str = "text",
                    num_hashes: int = 16, bands: int = 4,
                    threshold: float = 0.8, shingle_n: int = 3,
                    verify: str = "auto",
-                   broadcast_max_candidates: int = 200_000):
+                   broadcast_max_candidates: int = 200_000,
+                   pair_filter=None):
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
     shingle → minhash (map) → band rows (flat map, FIXED-WIDTH
@@ -254,7 +255,13 @@ def near_dup_pairs(ds, key_col: str, text_col: str = "text",
     def drop_c(t: pa.Table) -> pa.Table:
         return t.select(["key_a", "key_b"])
 
-    cand = cand.map_batches(drop_c, batch_format="pyarrow").materialize()
+    cand = cand.map_batches(drop_c, batch_format="pyarrow")
+    if pair_filter is not None:
+        # e.g. keep only cross-corpus pairs (contamination check) —
+        # applied BEFORE verification so filtered pairs never fetch
+        # their texts
+        cand = cand.map_batches(pair_filter, batch_format="pyarrow")
+    cand = cand.materialize()
 
     n_cand = cand.count()
     key_type = _key_type(ds, key_col)
@@ -423,3 +430,52 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         cnt += (x & np.uint64(1)).astype(np.int64)
         x >>= np.uint64(1)
     return cnt
+
+
+def cross_corpus_near_dup(left, right, key_col: str,
+                          text_col: str = "text",
+                          num_hashes: int = 16, bands: int = 4,
+                          threshold: float = 0.8, shingle_n: int = 3,
+                          verify: str = "auto"):
+    """Contamination / train-eval overlap detection: near-duplicate
+    pairs ACROSS two corpora (never within one) — the decontamination
+    step of a training-data pipeline, as ONE banded LSH pass over the
+    tagged union.
+
+    Both sides must have int64 keys; the side is encoded in the key's
+    low bit (key*2 + side) so the shared banding/bucketing machinery
+    needs no schema change, candidate pairs are filtered to
+    cross-side BEFORE text verification, and keys are decoded on the
+    way out. Returns Dataset (key_left, key_right, jacc).
+    """
+    def tag(side: int):
+        def _t(t: pa.Table) -> pa.Table:
+            k = pc.add(pc.multiply(pc.cast(t.column(key_col), pa.int64()),
+                                   pa.scalar(2, pa.int64())),
+                       pa.scalar(side, pa.int64()))
+            return pa.table({"key2": k, text_col: t.column(text_col)})
+        return _t
+
+    union = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        a = t.column("key_a").to_numpy()
+        b = t.column("key_b").to_numpy()
+        return t.filter(pa.array(((a ^ b) & 1) == 1))
+
+    pairs = near_dup_pairs(union, key_col="key2", text_col=text_col,
+                           num_hashes=num_hashes, bands=bands,
+                           threshold=threshold, shingle_n=shingle_n,
+                           verify=verify, pair_filter=cross_only)
+
+    def decode(t: pa.Table) -> pa.Table:
+        a = t.column("key_a").to_numpy()
+        b = t.column("key_b").to_numpy()
+        left_k = np.where(a & 1 == 0, a, b) >> 1
+        right_k = np.where(a & 1 == 0, b, a) >> 1
+        return pa.table({"key_left": pa.array(left_k.astype(np.int64)),
+                         "key_right": pa.array(right_k.astype(np.int64)),
+                         "jacc": t.column("jacc")})
+
+    return pairs.map_batches(decode, batch_format="pyarrow")
