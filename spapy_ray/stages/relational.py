@@ -484,7 +484,7 @@ def pair_payload_copartition(cand, corpus, *, payload_col: str,
 
 def hash_join(left, right, *, on: str, right_on: str | None = None,
               how: str = "inner", suffix: str = "_r",
-              buckets: int | None = None):
+              buckets: int | None = None, salt: int = 1):
     """General big x big equijoin as ONE union + one hash-bucket
     groupby — no native Dataset.join (whose per-partition aggregator
     actor pools spin up ~2 s each and deadlock when partitions exceed
@@ -501,9 +501,26 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
     "anti" (left rows with ≥1 / 0 key matches; left columns only,
     typed-exact). Bucket-local left/outer is globally correct: every
     key lives in exactly one bucket, so a row unmatched in its bucket
-    is unmatched everywhere."""
+    is unmatched everywhere.
+
+    ``salt`` (skew handling, the north rule's hot-key case): a single
+    hot key funnels its whole row volume into one bucket task. With
+    salt=k, LEFT rows scatter per-row over k sub-buckets and RIGHT
+    rows replicate into all k, so a hot bucket's probe volume splits
+    ~k ways at the cost of k× the (smaller) build side — put the
+    small side on the RIGHT when salting. Correct for
+    inner/left/semi/anti (each left row still sees every matching
+    right row in its sub-bucket); "outer" raises, because an
+    unmatched RIGHT row cannot be reconciled across sub-buckets
+    without a second shuffle."""
     if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError("how must be inner|left|outer|semi|anti")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    if salt > 1 and how == "outer":
+        raise ValueError("salt > 1 is not supported for how='outer' "
+                         "(right-unmatched rows would need a second "
+                         "cross-sub-bucket reconciliation shuffle)")
     from spapy_ray.util import cluster_cpus
 
     rk = right_on or on
@@ -532,7 +549,21 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
         tt = pa.table(cols)
         tt = tt.append_column("_side",
                               pa.array(np.full(len(t), side, np.int8)))
-        return tt.append_column("_hbk", _bucket_column(t, key, b))
+        hbk = _bucket_column(t, key, b).to_numpy().astype(np.int32)
+        if salt == 1:
+            return tt.append_column("_hbk", pa.array(hbk))
+        if side == 0:
+            # probe rows scatter per-row (NOT by key — the whole
+            # point is splitting one key's volume)
+            sub = np.arange(len(t), dtype=np.int32) % salt
+            return tt.append_column(
+                "_hbk", pa.array(hbk * np.int32(salt) + sub))
+        # build rows replicate into every sub-bucket
+        parts = []
+        for s in range(salt):
+            parts.append(tt.append_column(
+                "_hbk", pa.array(hbk * np.int32(salt) + np.int32(s))))
+        return pa.concat_tables(parts)
 
     def lrows(t: pa.Table) -> pa.Table:
         return unify(t, lnames, None, on, 0)

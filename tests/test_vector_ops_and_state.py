@@ -582,3 +582,44 @@ def test_heavy_hitters_exact_regime(ray_session):
         "k", capacity=100).to_pandas()
     assert dict(zip(out["k"], out["est_count"])) == \
         {f"x{i}": i + 1 for i in range(20)}
+
+
+def test_hash_join_salted_matches_unsalted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import hash_join
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    # one hot key carries half the probe volume (the skew case)
+    k = np.where(rng.random(n) < 0.5, 7,
+                 rng.integers(0, 500, n)).astype(np.int64)
+    left = pa.table({"k": k, "v": np.arange(n, dtype=np.int64)})
+    right = pa.table({"k": np.arange(0, 500, 2, dtype=np.int64),
+                      "w": np.arange(0, 500, 2, dtype=np.int64) * 10})
+
+    def run(how, salt):
+        out = hash_join(rd.from_arrow(left).repartition(4),
+                        rd.from_arrow(right), on="k",
+                        how=how, salt=salt).to_pandas()
+        cs = sorted(out.columns)
+        return out[cs].sort_values(cs, kind="stable") \
+            .reset_index(drop=True)
+
+    for how in ("inner", "left", "semi", "anti"):
+        a, b = run(how, 1), run(how, 4)
+        assert len(a) == len(b), how
+        for c in a.columns:
+            av = a[c].to_numpy()
+            bv = b[c].to_numpy()
+            if av.dtype.kind == "f":
+                assert np.array_equal(av, bv, equal_nan=True), (how, c)
+            else:
+                assert np.array_equal(av, bv), (how, c)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="outer"):
+        hash_join(rd.from_arrow(left), rd.from_arrow(right), on="k",
+                  how="outer", salt=2)
