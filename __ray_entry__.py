@@ -45,7 +45,8 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "orders_lineitem_join", "customers_without_orders",
           "events_windows", "order_priority_revenue",
           "customer_order_balance", "hh_domains", "label_centroids",
-          "cross_corpus_knn", "contamination_pairs"]
+          "cross_corpus_knn", "contamination_pairs",
+          "price_quantile_sketch"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": o.q_label_centroids(),
         "cross_corpus_knn": o.q_cross_corpus_knn(),
         "contamination_pairs": o.q_contamination_pairs(),
+        "price_quantile_sketch": o.q_price_quantile_sketch(),
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),

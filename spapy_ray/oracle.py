@@ -1439,3 +1439,14 @@ def q_contamination_pairs(threshold: float = 0.8) -> str:
         "FROM s a JOIN s b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1) "
         f"SELECT key_left, key_right, jacc FROM p WHERE jacc >= {threshold}"
     )
+
+
+def q_price_quantile_sketch() -> str:
+    """Twin of quantiles.quantile_sketch in the no-compaction regime:
+    quantile_disc at each q (same max(1, ceil(q*n)) rank rule the
+    exact grouped path verified numerically)."""
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    return " UNION ALL ".join(
+        f"SELECT {q}::DOUBLE AS q, "
+        f"quantile_disc(l_extendedprice, {q})::DOUBLE AS value "
+        "FROM lineitem" for q in qs)

@@ -2175,3 +2175,19 @@ def q_contamination_pairs(sf_dir: str, threshold: float = 0.8):
 
 
 QUERIES["contamination_pairs"] = q_contamination_pairs
+
+
+def q_price_quantile_sketch(sf_dir: str):
+    """One-pass mergeable quantile sketch (KLL-lite) over
+    l_extendedprice, pinned in its EXACTNESS regime (capacity 65536
+    >= 60k rows at the checked tiers, so nothing compacts and the
+    weighted walk IS quantile_disc). The approximate regime's rank
+    envelope is pinned by pytest."""
+    from spapy_ray.stages.quantiles import quantile_sketch
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return quantile_sketch(li, "l_extendedprice",
+                           qs=[0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+QUERIES["price_quantile_sketch"] = q_price_quantile_sketch

@@ -195,3 +195,111 @@ def global_quantile(ds, val_col: str, qs: list[float], *,
     out = grouped_quantile(tagged, "k__", val_col, qs, bins=bins,
                            max_collect=max_collect)
     return dict(zip(out["q"], out["value"]))
+
+
+# ------------------------------------------- mergeable quantile sketch
+
+def _compact_levels(levels: dict, k: int) -> dict:
+    """KLL-lite compaction: any level holding more than ``k`` values
+    sorts, keeps the even-index half, and promotes it one level up
+    (weight doubles). Deterministic (always the even offset): the
+    per-compaction rank drift is at most its weight, so total rank
+    error is bounded by sum of compacted weights ~ O(n/k) with log
+    depth — the pytest pins a generous envelope on random data."""
+    if not levels:
+        return {}
+    lv = 0
+    while True:
+        vals = levels.get(lv)
+        if vals is not None and len(vals) > k:
+            vals = np.sort(vals, kind="stable")
+            promoted = vals[0::2]
+            levels[lv] = vals[:0]
+            levels[lv + 1] = np.concatenate(
+                [levels.get(lv + 1, vals[:0]), promoted])
+        elif lv > max(levels.keys()):
+            return {l_: v for l_, v in levels.items() if len(v)}
+        lv += 1
+        if lv > 64:
+            raise RuntimeError("sketch compaction ran away")
+
+
+def _levels_to_table(levels: dict) -> "pa.Table":
+    import pyarrow as pa
+
+    lvs, vls = [], []
+    for l_, v in sorted(levels.items()):
+        lvs.append(np.full(len(v), l_, dtype=np.int8))
+        vls.append(v.astype(np.float64))
+    if not lvs:
+        return pa.table({"lvl": pa.array([], type=pa.int8()),
+                         "val": pa.array([], type=pa.float64())})
+    return pa.table({"lvl": pa.array(np.concatenate(lvs)),
+                     "val": pa.array(np.concatenate(vls))})
+
+
+def _table_to_levels(t) -> dict:
+    lv = t.column("lvl").to_numpy()
+    va = t.column("val").to_numpy()
+    return {int(l_): va[lv == l_] for l_ in np.unique(lv)}
+
+
+def quantile_sketch(ds, col: str, qs: list[float], *,
+                    capacity: int = 65536, fan: int = 32):
+    """One-pass mergeable quantile sketch (KLL-lite) over ``col`` —
+    the streaming complement to the exact histogram-refinement path
+    (grouped_quantile needs a second pass per refinement round; the
+    sketch folds in one tree reduce like heavy_hitters /
+    approx_distinct_hll).
+
+    Each block builds level buffers (level-i values weigh 2^i);
+    sketches tree-reduce through two fixed repartition levels; the
+    final task walks the weighted sorted values to DuckDB
+    ``quantile_disc`` ranks max(1, ceil(q*W)).
+
+    EXACT while nothing compacts (total rows <= capacity — the regime
+    the oracled query pins); beyond that, rank error is O(n/capacity)
+    with deterministic compaction (pytest envelope).
+
+    Returns a one-block Dataset (q, value)."""
+    import pyarrow as pa
+
+    def block_sketch(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        return _levels_to_table(_compact_levels({0: v}, capacity))
+
+    def merge(t: pa.Table) -> pa.Table:
+        return _levels_to_table(
+            _compact_levels(_table_to_levels(t), capacity))
+
+    def finish(t: pa.Table) -> pa.Table:
+        levels = _table_to_levels(t)
+        vals = np.concatenate([v for v in levels.values()]) \
+            if levels else np.array([], dtype=np.float64)
+        wts = np.concatenate(
+            [np.full(len(v), 1 << l_, dtype=np.int64)
+             for l_, v in levels.items()]) \
+            if levels else np.array([], dtype=np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        total = int(cum[-1]) if len(cum) else 0
+        out_q, out_v = [], []
+        for q in qs:
+            if total == 0:
+                continue
+            rank = max(1, int(np.ceil(q * total)))
+            i = int(np.searchsorted(cum, rank))
+            out_q.append(q)
+            out_v.append(vals[min(i, len(vals) - 1)])
+        return pa.table({"q": pa.array(np.array(out_q, dtype=np.float64)),
+                         "value": pa.array(np.array(out_v,
+                                                    dtype=np.float64))})
+
+    s = ds.map_batches(block_sketch, batch_format="pyarrow")
+    s = s.repartition(fan).map_batches(merge, batch_format="pyarrow",
+                                       batch_size=None)
+    return s.repartition(1) \
+        .map_batches(merge, batch_format="pyarrow", batch_size=None) \
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)

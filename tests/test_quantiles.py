@@ -83,3 +83,47 @@ def test_hll_approx_distinct_error_envelope(ray_session):
     for k in ("a", "b"):
         rel = abs(got[k] / exact[k] - 1.0)
         assert rel < 0.05, (k, got[k], exact[k], rel)
+
+
+def test_quantile_sketch_exact_regime(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.stages.quantiles import quantile_sketch
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(100, 20, 5000)
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    out = quantile_sketch(
+        rd.from_arrow(pa.table({"x": v})).repartition(6),
+        "x", qs, capacity=10_000).to_pandas()
+    sv = np.sort(v)
+    for q, got in zip(out["q"], out["value"]):
+        rank = max(1, int(np.ceil(q * len(sv))))
+        assert got == sv[rank - 1], q
+
+
+def test_quantile_sketch_approx_envelope(ray_session):
+    """Compaction regime: every estimated quantile's TRUE rank must
+    sit within a generous O(n/k * log) envelope of the target."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.stages.quantiles import quantile_sketch
+
+    rng = np.random.default_rng(19)
+    n, k = 200_000, 512
+    v = rng.zipf(1.5, n).astype(np.float64) + rng.random(n)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    out = quantile_sketch(
+        rd.from_arrow(pa.table({"x": v})).repartition(10),
+        "x", qs, capacity=k).to_pandas()
+    sv = np.sort(v)
+    budget = (n / k) * 24        # deterministic-compaction envelope
+    for q, got in zip(out["q"], out["value"]):
+        true_rank = np.searchsorted(sv, got, side="right")
+        target = max(1, int(np.ceil(q * n)))
+        assert abs(true_rank - target) <= budget, \
+            (q, int(true_rank), target)
