@@ -44,7 +44,9 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # round-3 session-4 additions
                  "dist_join_counts", "render_tiles",
                  # round-3 session-5 additions
-                 "orders_lineitem_join", "events_windows"]
+                 "orders_lineitem_join", "events_windows",
+                 "contamination_pairs", "cross_corpus_knn",
+                 "price_quantile_sketch"]
 
 
 def _consume(res) -> int:
