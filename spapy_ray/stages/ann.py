@@ -685,7 +685,11 @@ def knn_join_embeddings(left, right, *, k: int = 5,
         })
 
     def blocks_of(ds):
-        n = max(1, ds.count())
+        n = ds.count()
+        if n == 0:
+            # an empty side never runs prep, so its lone block would
+            # miss the prepped schema entirely
+            return []
         nb = max(1, min(64, -(-n // target_rows_per_block)))
         mat = ds.map_batches(prep, batch_format="pyarrow") \
             .repartition(nb).materialize()
@@ -693,6 +697,11 @@ def knn_join_embeddings(left, right, *, k: int = 5,
                 for r in bundle.block_refs]
 
     lrefs, rrefs = blocks_of(left), blocks_of(right)
+    if not lrefs or not rrefs:
+        return rd.from_arrow(pa.table({
+            "qid": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64())}))
 
     @ray.remote
     def pair_task(bl, br):
@@ -700,6 +709,10 @@ def knn_join_embeddings(left, right, *, k: int = 5,
         tr = br if isinstance(br, pa.Table) else br.to_arrow()
         qid = tl.column("key").to_numpy()
         rid = tr.column("key").to_numpy()
+        if len(qid) == 0 or len(rid) == 0:
+            return pd.DataFrame({"qid": np.array([], dtype=np.int64),
+                                 "vec_id": np.array([], dtype=np.int64),
+                                 "sim": np.array([], dtype=np.float64)})
         order = np.argsort(rid, kind="stable")   # key-ascending columns
         rid = rid[order]
         A = _stack_embeddings(tl.column("vec"))

@@ -692,6 +692,8 @@ def heavy_hitters(ds, col: str, capacity: int = 1024, fan: int = 32,
 
     Returns a one-block Dataset (col, est_col) sorted by
     (est desc, item asc) for deterministic output."""
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
     import pandas as pd
 
     def block_sketch(t: pa.Table) -> pa.Table:

@@ -526,3 +526,25 @@ def test_knn_join_embeddings_tie_fallback(ray_session):
     for q in (0, 1):
         sub = got[got["qid"] == q]
         assert list(sub["vec_id"]) == [100, 101, 102]
+
+
+def test_knn_join_embeddings_empty_sides(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spapy_ray.stages.ann import knn_join_embeddings
+
+    full = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                              type=pa.list_(pa.float32()))}))
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float32()))}))
+    for l_, r_ in ((empty, full), (full, empty), (empty, empty)):
+        out = knn_join_embeddings(l_, r_, k=2)
+        assert out.count() == 0
+        # assert schema on the Dataset (to_pandas drops columns of an
+        # empty Dataset — the known trap)
+        assert list(out.schema().names) == ["qid", "vec_id", "rank"]
