@@ -623,3 +623,45 @@ def test_hash_join_salted_matches_unsalted(ray_session):
     with _pt.raises(ValueError, match="outer"):
         hash_join(rd.from_arrow(left), rd.from_arrow(right), on="k",
                   how="outer", salt=2)
+
+
+def test_flagship_resume_end_to_end(ray_session, tmp_path):
+    """North-rule integration: the REAL flagship pipeline written as
+    tile-partitioned parquet with a manifest, crash-resumed — only the
+    missing partition is rewritten (other fingerprints unchanged),
+    and the reloaded table is row-identical, including byte-identical
+    text per url."""
+    import json
+
+    from spapy_ray.pipelines.flagship import flagship_join
+    from spapy_ray.state.manifest import (load_manifest, read_partitioned,
+                                          write_partitioned)
+
+    out = str(tmp_path / "join_tiles")
+    ds = flagship_join("/root/testdata/sf0.001")
+    m1 = write_partitioned(ds, out, "tile")
+    assert len(m1["partitions"]) > 3
+    before = read_partitioned(out, "tile").to_pandas() \
+        .sort_values(["url", "zone_id"]).reset_index(drop=True)
+
+    # crash simulation: one partition vanishes from the manifest
+    m = load_manifest(out)
+    victim = sorted(m["partitions"])[1]
+    fp_before = {k: v["fingerprint"] for k, v in m["partitions"].items()}
+    del m["partitions"][victim]
+    with open(os.path.join(out, "_manifest.json"), "w") as f:
+        json.dump(m, f)
+
+    m2 = write_partitioned(flagship_join("/root/testdata/sf0.001"),
+                           out, "tile")
+    assert set(m2["partitions"]) == set(fp_before)
+    for k, fp in fp_before.items():
+        if k != victim:
+            assert m2["partitions"][k]["fingerprint"] == fp, k
+
+    after = read_partitioned(out, "tile").to_pandas() \
+        .sort_values(["url", "zone_id"]).reset_index(drop=True)
+    assert len(after) == len(before)
+    assert (after["url"].to_numpy() == before["url"].to_numpy()).all()
+    assert (after["text"].to_numpy() == before["text"].to_numpy()).all()
+    assert (after["zone_id"].to_numpy() == before["zone_id"].to_numpy()).all()
