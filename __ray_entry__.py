@@ -46,7 +46,7 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "events_windows", "order_priority_revenue",
           "customer_order_balance", "hh_domains", "label_centroids",
           "cross_corpus_knn", "contamination_pairs",
-          "price_quantile_sketch"]
+          "price_quantile_sketch", "docs_pii_scrub"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -150,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_corpus_knn": o.q_cross_corpus_knn(),
         "contamination_pairs": o.q_contamination_pairs(),
         "price_quantile_sketch": o.q_price_quantile_sketch(),
+        "docs_pii_scrub": o.q_docs_pii_scrub(),
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),

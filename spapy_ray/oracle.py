@@ -1450,3 +1450,17 @@ def q_price_quantile_sketch() -> str:
         f"SELECT {q}::DOUBLE AS q, "
         f"quantile_disc(l_extendedprice, {q})::DOUBLE AS value "
         "FROM lineitem" for q in qs)
+
+
+def q_docs_pii_scrub() -> str:
+    """Twin of text.pii_scrub — identical RE2 patterns applied in the
+    same order through regexp_replace(..., 'g')."""
+    from spapy_ray.stages.text import PII_PATTERNS
+
+    expr = "text"
+    for tag, pat in PII_PATTERNS:
+        # DuckDB single-quoted strings are literal (no backslash
+        # processing) — only quotes need doubling
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{tag}', 'g')"
+    return f"SELECT doc_id, {expr} AS text FROM documents"

@@ -2191,3 +2191,18 @@ def q_price_quantile_sketch(sf_dir: str):
 
 
 QUERIES["price_quantile_sketch"] = q_price_quantile_sketch
+
+
+def q_docs_pii_scrub(sf_dir: str):
+    """PII redaction (C4/CCNet-style cleaning): emails, IPv4 literals
+    and phone-like numbers replaced with fixed tags — one RE2 pass per
+    class per batch (text.pii_scrub). Both engines run RE2, so the
+    scrubbed text is byte-identical to the regexp_replace twin.
+    Returns (doc_id, text)."""
+    from spapy_ray.stages.text import pii_scrub
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pii_scrub(ds)
+
+
+QUERIES["docs_pii_scrub"] = q_docs_pii_scrub

@@ -353,3 +353,36 @@ def repetition_stats_batch(batch: pa.Table, column: str = "text") \
                            pa.array(top / denom))
             .append_column("distinct_ratio",
                            pa.array(distinct / denom)))
+
+
+# --------------------------------------------------- PII redaction
+# The C4/CCNet-style cleaning step: emails, phone-like numbers and
+# IPv4 literals replaced with fixed tags. One RE2 pass per class per
+# batch (pc.replace_substring_regex); DuckDB's regexp_replace(...,
+# 'g') runs the SAME RE2 patterns, so scrubbed text is byte-identical
+# between engine and oracle.
+PII_PATTERNS = [
+    ("[EMAIL]", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("[IP]", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("[PHONE]", r"\+?\d{1,3}[-. ]\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{3,4}"),
+]
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text",
+                    out_col: str | None = None) -> pa.Table:
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    for tag, pat in PII_PATTERNS:
+        col = pc.replace_substring_regex(col, pattern=pat,
+                                         replacement=tag)
+    name = out_col or text_col
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, col)
+    return batch.append_column(name, col)
+
+
+def pii_scrub(ds, text_col: str = "text", batch_size: int = 32768):
+    return ds.map_batches(
+        lambda t: pii_scrub_batch(t, text_col),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
