@@ -46,7 +46,8 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "events_windows", "order_priority_revenue",
           "customer_order_balance", "hh_domains", "label_centroids",
           "cross_corpus_knn", "contamination_pairs",
-          "price_quantile_sketch", "docs_pii_scrub"]
+          "price_quantile_sketch", "docs_pii_scrub",
+          "dist_join_pairs"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -151,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_pairs": o.q_contamination_pairs(),
         "price_quantile_sketch": o.q_price_quantile_sketch(),
         "docs_pii_scrub": o.q_docs_pii_scrub(),
+        "dist_join_pairs": o.q_dist_join_pairs(),
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),

@@ -1464,3 +1464,24 @@ def q_docs_pii_scrub() -> str:
         p = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{tag}', 'g')"
     return f"SELECT doc_id, {expr} AS text FROM documents"
+
+
+def q_dist_join_pairs(radius_deg: float = 0.05) -> str:
+    """Twin of queries.q_dist_join_pairs — IEJoin band + exact int64
+    circle predicate, one row per unordered url pair (url_a < url_b;
+    duplicate-url row pairs drop on both sides identically)."""
+    r5 = int(round(radius_deg * 1e5))
+    return (
+        f"WITH {geo_cte()}, "
+        "pts AS (SELECT url, "
+        "CAST(round(lat * 100000.0) AS BIGINT) AS lat5, "
+        "CAST(round(lon * 100000.0) AS BIGINT) AS lon5 FROM geo) "
+        "SELECT a.url AS key_a, b.url AS key_b, "
+        "((a.lat5 - b.lat5) * (a.lat5 - b.lat5) "
+        "+ (a.lon5 - b.lon5) * (a.lon5 - b.lon5))::BIGINT AS dist5sq "
+        "FROM pts a JOIN pts b "
+        f"ON b.lat5 BETWEEN a.lat5 - {r5} AND a.lat5 + {r5} "
+        "AND a.url < b.url "
+        "AND (a.lat5 - b.lat5) * (a.lat5 - b.lat5) "
+        f"+ (a.lon5 - b.lon5) * (a.lon5 - b.lon5) <= {r5 * r5}"
+    )

@@ -2206,3 +2206,19 @@ def q_docs_pii_scrub(sf_dir: str):
 
 
 QUERIES["docs_pii_scrub"] = q_docs_pii_scrub
+
+
+def q_dist_join_pairs(sf_dir: str, radius_deg: float = 0.05):
+    """Pair-returning range join (distjoin.within_distance_pairs):
+    every unordered page pair within 0.05° plus its exact integer
+    squared distance — the join-output form of dist_join_counts
+    (same grid co-partition; pairs emit once per unordered pair by
+    the key_a < key_b rule on the url, which both sides share)."""
+    from spapy_ray.stages.distjoin import within_distance_pairs
+
+    geo = _geo(sf_dir).select_columns(["url", "lat", "lon"])
+    return within_distance_pairs(geo, radius_deg=radius_deg,
+                                 key_col="url")
+
+
+QUERIES["dist_join_pairs"] = q_dist_join_pairs
