@@ -1485,3 +1485,13 @@ def q_dist_join_pairs(radius_deg: float = 0.05) -> str:
         "AND (a.lat5 - b.lat5) * (a.lat5 - b.lat5) "
         f"+ (a.lon5 - b.lon5) * (a.lon5 - b.lon5) <= {r5 * r5}"
     )
+
+
+def q_events_rolling(width: int = 5) -> str:
+    return (
+        "SELECT user_id, event_id, "
+        "sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id "
+        f"ROWS BETWEEN {width - 1} PRECEDING AND CURRENT ROW)::BIGINT "
+        f"AS roll{width}_cents FROM events"
+    )

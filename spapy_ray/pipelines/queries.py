@@ -2222,3 +2222,32 @@ def q_dist_join_pairs(sf_dir: str, radius_deg: float = 0.05):
 
 
 QUERIES["dist_join_pairs"] = q_dist_join_pairs
+
+
+def q_events_rolling(sf_dir: str, width: int = 5):
+    """Framed rolling window: per user ordered by (ts, event_id), the
+    sum of the last 5 events' value-in-cents (exact int64 — value
+    quantized floor(v*100 + 0.5) on both sides so the segmented
+    cumsum-diff matches SQL's ROWS 4 PRECEDING sum bit-for-bit)."""
+    from spapy_ray.stages.window import window_over
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t.column("value"), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "us": us, "cents": cents})
+
+    ev = ev.map_batches(prep, batch_format="pyarrow")
+    return window_over(
+        ev, key_col="user_id", order_cols=["us", "event_id"],
+        ops=[(f"roll{width}_cents", f"rolling_sum:{width}", "cents")],
+    ).drop_columns(["us"])
+
+
+QUERIES["events_rolling"] = q_events_rolling

@@ -24,9 +24,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-# (out_name, kind, src) kinds understood by window_over
+# (out_name, kind, src) kinds understood by window_over; a framed
+# rolling sum is spelled "rolling_sum:<width>" (ROWS width-1 PRECEDING
+# AND CURRENT ROW)
 KINDS = ("row_number", "lag", "lead", "cumsum", "cummax", "cummin",
-         "delta")
+         "delta", "rolling_sum")
 
 
 def window_over(ds, *, key_col: str, order_cols: list[str],
@@ -47,7 +49,11 @@ def window_over(ds, *, key_col: str, order_cols: list[str],
         cummax/cummin — comparison only, no float arithmetic);
       - ``delta``: ``src - lag(src)`` with the first row per key
         coalesced to 0 and the src dtype restored — the typed-exact
-        form for integer gap/difference columns.
+        form for integer gap/difference columns;
+      - ``rolling_sum:<w>``: framed sum over ROWS w-1 PRECEDING AND
+        CURRENT ROW via a segmented cumsum-diff (typed-exact for
+        integer srcs; float srcs inherit cumsum association — use an
+        integer quantization when mirroring SQL).
 
     Returns a Dataset with ``[key_col, *order_cols, *keep_cols,
     *out_names]`` rows (row order unspecified — downstream must not
@@ -56,8 +62,11 @@ def window_over(ds, *, key_col: str, order_cols: list[str],
     import pyarrow as pa
 
     for name, kind, _src in ops:
-        if kind not in KINDS:
+        if kind.split(":")[0] not in KINDS:
             raise ValueError(f"unknown window op kind {kind!r} ({name})")
+        if kind.startswith("rolling_sum") and (":" not in kind or
+                                               int(kind.split(":")[1]) < 1):
+            raise ValueError(f"rolling_sum needs a width >= 1 ({name})")
 
     keep = keep_cols or []
     base_cols = [key_col] + list(order_cols) + list(keep)
@@ -87,6 +96,23 @@ def window_over(ds, *, key_col: str, order_cols: list[str],
                 out[name] = gb[src].cummax().to_numpy()
             elif kind == "cummin":
                 out[name] = gb[src].cummin().to_numpy()
+            elif kind.startswith("rolling_sum"):
+                # framed sum (ROWS w-1 PRECEDING AND CURRENT ROW),
+                # typed-exact for integer srcs: segmented cumsum-diff
+                # rs[i] = cs[i] - cs[lo-1], lo = max(i-w+1, seg_start)
+                w = int(kind.split(":")[1])
+                v = g[src].to_numpy()
+                keys_np = g[key_col].to_numpy()
+                seg_new = np.ones(len(v), dtype=bool)
+                seg_new[1:] = keys_np[1:] != keys_np[:-1]
+                seg_start = np.maximum.accumulate(
+                    np.where(seg_new, np.arange(len(v)), 0))
+                cs = np.concatenate(([0], np.cumsum(v)))
+                lo = np.maximum(np.arange(len(v)) - w + 1, seg_start)
+                rs = cs[np.arange(1, len(v) + 1)] - cs[lo]
+                if v.dtype.kind in "iu":
+                    rs = rs.astype(v.dtype)
+                out[name] = rs
             else:  # delta
                 base = g[src].to_numpy()
                 d = base - gb[src].shift(1).to_numpy()

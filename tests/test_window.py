@@ -70,3 +70,30 @@ def test_window_over_bad_kind(ray_session):
     with pytest.raises(ValueError):
         window_over(ds, key_col="k", order_cols=["o"],
                     ops=[("x", "median", "o")])
+
+
+def test_rolling_sum_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.window import window_over
+
+    df = _frame()
+    got = window_over(
+        rd.from_arrow(pa.Table.from_pandas(df)), key_col="k",
+        order_cols=["o"],
+        ops=[("r3", "rolling_sum:3", "i")], buckets=5,
+    ).to_pandas().sort_values("o").reset_index(drop=True)
+
+    g = df.sort_values(["k", "o"], kind="stable")
+    want = g.groupby("k", sort=False)["i"] \
+        .rolling(3, min_periods=1).sum().reset_index(level=0, drop=True)
+    want = want.loc[g.index]
+    g2 = g.assign(r3=want.astype(np.int64)).sort_values("o") \
+        .reset_index(drop=True)
+    assert got["r3"].dtype == np.int64      # typed-exact for int src
+    assert np.array_equal(got["r3"].to_numpy(), g2["r3"].to_numpy())
+
+    with pytest.raises(ValueError, match="width"):
+        window_over(rd.from_arrow(pa.table({"k": [1], "o": [1]})),
+                    key_col="k", order_cols=["o"],
+                    ops=[("x", "rolling_sum", "o")])
