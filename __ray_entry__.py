@@ -47,7 +47,7 @@ _FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
           "customer_order_balance", "hh_domains", "label_centroids",
           "cross_corpus_knn", "contamination_pairs",
           "price_quantile_sketch", "docs_pii_scrub",
-          "dist_join_pairs", "events_rolling"]
+          "dist_join_pairs", "events_rolling", "domain_caps"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -154,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pii_scrub": o.q_docs_pii_scrub(),
         "dist_join_pairs": o.q_dist_join_pairs(),
         "events_rolling": o.q_events_rolling(),
+        "domain_caps": o.q_domain_caps(),
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),

@@ -1495,3 +1495,21 @@ def q_events_rolling(width: int = 5) -> str:
         f"ROWS BETWEEN {width - 1} PRECEDING AND CURRENT ROW)::BIGINT "
         f"AS roll{width}_cents FROM events"
     )
+
+
+def q_domain_caps(k: int = 5) -> str:
+    """Twin of queries.q_domain_caps: row_number over the identical
+    (fnv1a(url) ASC, url ASC) order per host."""
+    import re
+
+    from spapy_ray.kernels.hashing import sql_fnv1a
+    from spapy_ray.stages.text import URL_PATTERN
+
+    anon = re.sub(r"\?P<[a-z]+>", "", URL_PATTERN)
+    return (f"WITH {pages_cte()}, "
+            f"h2 AS (SELECT regexp_extract(url, '{anon}', 2) AS host, "
+            f"url, {sql_fnv1a('url')} AS hv FROM pages) "
+            "SELECT host, url, row_number() OVER "
+            "(PARTITION BY host ORDER BY hv, url)::BIGINT AS rank "
+            f"FROM h2 QUALIFY rank <= {k}"
+    )

@@ -2251,3 +2251,30 @@ def q_events_rolling(sf_dir: str, width: int = 5):
 
 
 QUERIES["events_rolling"] = q_events_rolling
+
+
+def q_domain_caps(sf_dir: str, k: int = 5):
+    """Hot-domain downsampling: keep at most 5 pages per host, chosen
+    by deterministic fnv1a(url) order (RNG-free, reproducible across
+    runs/partitionings — the hash_sample philosophy applied per
+    group). grouped_topk combiner: at most k x hosts-seen rows leave
+    each block."""
+    from spapy_ray.kernels.hashing import fnv1a64
+    from spapy_ray.stages.relational import grouped_topk
+    from spapy_ray.stages.text import url_parse_batch
+
+    ds = pages_dataset(sf_dir, include_html=False)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = url_parse_batch(t.select(["url"]))
+        return pa.table({"host": t.column("host"),
+                         "url": t.column("url"),
+                         "hv": pa.array(fnv1a64(t.column("url")))})
+
+    capped = grouped_topk(ds.map_batches(prep, batch_format="pyarrow"),
+                          key="host", order_col="hv", k=k,
+                          descending=False, tie_cols=["url"])
+    return capped.select_columns(["host", "url", "rank"])
+
+
+QUERIES["domain_caps"] = q_domain_caps
