@@ -25,29 +25,36 @@ def entry() -> Any:
     return flagship_join("/root/testdata/sf0.001")
 
 
-# the round-2 driver hashed only the first 50 queries() entries,
-# leaving the 4 topo queries (declared last) unchecked; keep every
-# query that has never been driver-hash-verified — the topo 4, the
-# round-3 additions, and events_asof (round 2's dtype-fix row) — at
-# the FRONT so they land inside any prefix cap
-_FRONT = ["hillshade_stats", "contour_lines", "polygonize_components",
-          "polygonize_polygons", "events_asof", "densify_counts",
-          "clip_zones", "resample_nearest", "dataset_bounds",
-          "terrain_stats", "docs_quality", "ann_topk_ivf",
-          "shp_roundtrip", "raster_math_stats", "asc_roundtrip",
-          "semi_pages", "anti_pages", "events_quantiles",
-          "events_distinct_users", "zone_top_pages", "sample_pages",
-          "docs_bigrams", "overlay_grid", "tif_roundtrip", "dedup_clusters",
-          "quality_filter", "dist_join_counts", "geojson_roundtrip",
-          "render_tiles", "tile_pyramid", "raster_overviews",
-          "sample_stratified", "rasterize_points", "domain_stats",
-          "bpe_tokens", "docs_repetition", "resample_match_diff",
-          "orders_lineitem_join", "customers_without_orders",
-          "events_windows", "order_priority_revenue",
-          "customer_order_balance", "hh_domains", "label_centroids",
-          "cross_corpus_knn", "contamination_pairs",
-          "price_quantile_sketch", "docs_pii_scrub",
-          "dist_join_pairs", "events_rolling", "domain_caps"]
+# the driver hashes only the first 50 queries() entries per round.
+# Round-4 rotation (VERDICT r3 item 3): front-load the 50 queries
+# LEAST recently driver-verified — the 5 whose code paths changed
+# this round (raster halo rework + contour dataset-form) first, then
+# 45 of the 50 queries absent from CORRECTNESS_r03.json (last
+# driver-verified in r1/r2).  The 5 stale rows displaced to the back
+# (knn_zones_cells, dedup_first_rows, overlay_holes_areas,
+# events_sliding, text_invariant) share their entire code path with
+# a front-listed sibling and stay covered by the local
+# tools/check_correctness.py sweep.
+_FRONT = [
+    # changed paths this round — must be driver-re-verified
+    "terrain_stats", "resample_nearest", "resample_match_diff",
+    "rasterize_points", "contour_lines",
+    # stale since r1/r2 (absent from CORRECTNESS_r03.json)
+    "domain_caps", "pages", "geocode", "cell_index", "pip_join",
+    "zone_page_counts", "top_zones", "tile_counts", "dedup_pages",
+    "knn_zones", "zone_bounds_area", "select_zones",
+    "lineitem_pricing", "events_by_type", "docs_token_stats",
+    "docs_dedup_text", "suppliers_per_nation", "ann_topk",
+    "zonal_stats", "raster_histogram", "raster_minmax",
+    "raster_diff_stats", "split_zones", "buffer_zone_bounds",
+    "project_equirect", "zone_centroids", "events_hourly",
+    "docs_lang_guess", "reclassify_hist", "raster_crop_minmax",
+    "minhash_sigs", "simhash_docs", "embed_top_pairs",
+    "near_dup_docs", "events_sessions", "events_campaigns",
+    "media_probe", "events_props", "hull_areas", "relate_flags",
+    "simplify_areas", "warp_equirect", "docs_rolling_fp",
+    "overlay_box_areas", "revenue_by_nation",
+]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
