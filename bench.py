@@ -232,6 +232,67 @@ def run_raster_pairs() -> dict:
             "tile_size": T, "num_cpus": NUM_CPUS}
 
 
+def run_stencil() -> dict:
+    """Halo-stencil throughput on a >=10^5-tile synthetic DEM
+    (VERDICT r3 #1 done-criterion): a GTxGT single-band tile table
+    (32x32 float32) run through the super-block-bucketed
+    stencil_op_multi (slope via hillshade kernel + TRI + roughness off
+    ONE halo exchange), consumed with count(). Reports tiles/sec
+    through the stencil engine — the analogue of the raster-pairs
+    number."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from spapy_ray.sources.rasters import RasterMeta
+    from spapy_ray.stages.raster import (hillshade_kernel, roughness_kernel,
+                                         stencil_op_multi, tri_kernel)
+
+    GT = int(os.environ.get("GRAFT_ST_GRID", "320"))    # 320^2 = 102,400
+    T = 32
+    meta = RasterMeta(width=GT * T, height=GT * T, tile_size=T,
+                      x_min=-180.0, y_max=90.0,
+                      pixel_w=360.0 / (GT * T), pixel_h=-180.0 / (GT * T),
+                      dtype="float32")
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b.column("id").to_numpy()
+        base = (ids % 251).astype(np.float32)
+        ramp = np.add.outer(np.zeros(T, np.float32),
+                            np.arange(T, dtype=np.float32)).ravel()
+        tile = base[:, None] + ramp[None, :]
+        return pa.table({
+            "tx": pa.array((ids % GT).astype(np.int64)),
+            "ty": pa.array((ids // GT).astype(np.int64)),
+            "band": pa.array(np.zeros(len(ids), np.int64)),
+            "data": pa.array([np.ascontiguousarray(t).tobytes()
+                              for t in tile], type=pa.binary())})
+
+    ds = rd.range(GT * GT).map_batches(gen, batch_format="pyarrow")
+    kernels = {
+        "shade": lambda pad: hillshade_kernel(pad, abs(meta.pixel_w),
+                                              abs(meta.pixel_h)),
+        "tri": tri_kernel,
+        "rough": roughness_kernel,
+    }
+    t0 = time.time()
+    n = stencil_op_multi(ds, meta, kernels, dtype="float32").count()
+    dt = time.time() - t0
+    ray.shutdown()
+    return {"metric": "stencil_tiles_per_sec",
+            "value": round(n / dt, 1), "unit": "tiles/sec",
+            "tiles": n, "kernels": 3, "sec": round(dt, 2), "grid": GT,
+            "tile_size": T, "num_cpus": NUM_CPUS}
+
+
 def run_scaling() -> dict:
     """Same job at N and 4N CPUs in fresh processes (sandbox substitute
     for the N vs 4N node criterion; see BASELINE.md for the protocol).
@@ -282,6 +343,8 @@ if __name__ == "__main__":
         run_scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
     elif "--raster-pairs" in sys.argv:
         print(json.dumps(run_raster_pairs()))
+    elif "--stencil" in sys.argv:
+        print(json.dumps(run_stencil()))
     else:
         result = run_scaling() if "--scaling" in sys.argv else run_bench()
         print(json.dumps(result))

@@ -382,18 +382,58 @@ def _halo_fragments(t: pa.Table, meta: RasterMeta, dtype: str) -> pa.Table:
     })
 
 
+# ---- super-block bucketing helpers (VERDICT r3 #1) ----------------
+#
+# Every per-tile assembly below used to run as
+# ``groupby(["tx","ty"]).map_groups`` — one ~1 ms Python invocation
+# per 1-9-row group, the near-singleton-key anti-pattern that
+# tile_binary_math already fixed. The shared pattern now: tag rows
+# with a packed (tx//block, ty//block) super-block key, ONE groupby
+# co-locates each block's ~block² tiles, and a vectorized
+# lexsort + boundary-slice walk inside the bucket hands each tile's
+# rows to the assembly kernel as raw numpy slices. Per-group Python
+# overhead amortizes ~block²×; bucket payload stays bounded
+# (block² tiles + halos) independent of raster size.
+
+def _block_tagger(tx_col: str, ty_col: str, block: int):
+    """map_batches fn appending ``bk__`` = packed super-block key."""
+    def _tag(t: pa.Table) -> pa.Table:
+        tx = t.column(tx_col).to_numpy().astype(np.int64)
+        ty = t.column(ty_col).to_numpy().astype(np.int64)
+        bk = ((tx // block) << np.int64(32)) | (ty // block)
+        return t.append_column("bk__", pa.array(bk))
+    return _tag
+
+
+def _tile_runs(txs: np.ndarray, tys: np.ndarray):
+    """lexsort rows by (tx, ty) → (order, starts, ends) of the
+    per-tile runs in the sorted order. No pandas sub-frames, no
+    per-group hashing — the NOTES_r3 boundary-slice pattern."""
+    order = np.lexsort((tys, txs))
+    k = (txs[order].astype(np.int64) << np.int64(32)) \
+        | tys[order].astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    ends = np.r_[starts[1:], len(k)]
+    return order, starts, ends
+
+
 def _assemble_padded(g: pd.DataFrame, meta: RasterMeta, dtype: str) -> np.ndarray:
+    """Fragments → padded array (pandas-frame wrapper around
+    :func:`_assemble_padded_arrays`, kept for direct/test callers)."""
+    return _assemble_padded_arrays(
+        g["dx"].to_numpy(), g["dy"].to_numpy(), g["data"].to_numpy(),
+        meta, dtype)
+
+
+def _assemble_padded_arrays(dxs: np.ndarray, dys: np.ndarray,
+                            datas: np.ndarray, meta: RasterMeta,
+                            dtype: str) -> np.ndarray:
     """Fragments → (T+2)x(T+2) padded array, edges replicated where the
     raster has no neighbor (Horn boundary convention)."""
     T = meta.tile_size
     pad = np.zeros((T + 2, T + 2), dtype=np.dtype(dtype))
     core = None
-    # column-wise access: iterrows costs ~50us/row of boxing and runs
-    # once per TILE in the hottest stencil assembly path (VERDICT r2 #5)
-    dxs = g["dx"].to_numpy()
-    dys = g["dy"].to_numpy()
-    datas = g["data"].to_numpy()
-    for k in range(len(g)):
+    for k in range(len(dxs)):
         frag = np.frombuffer(datas[k], dtype=np.dtype(dtype).newbyteorder("<"))
         dx, dy = int(dxs[k]), int(dys[k])
         if dx == 0 and dy == 0:
@@ -476,22 +516,53 @@ def hillshade_kernel(pad: np.ndarray, cellsize_x: float, cellsize_y: float,
     return (255.0 * np.clip(shaded, 0.0, 1.0)).astype(np.float32)
 
 
+def _stencil_bucketed(ds, meta: RasterMeta, named_kernels: dict, *,
+                      dtype: str, out_dtype: str, block: int = 8):
+    """Shared engine for the 1-px halo stencils: fragments →
+    groupby(super-block) → per-tile boundary-slice walk → kernel(s).
+
+    Each output column ``name`` in ``named_kernels`` receives
+    ``kernel(padded_array)`` cast to ``out_dtype``; one row per tile."""
+    frags = ds.map_batches(lambda t: _halo_fragments(t, meta, dtype),
+                           batch_format="pyarrow")
+    tagged = frags.map_batches(_block_tagger("tx", "ty", block),
+                               batch_format="pyarrow")
+    names = list(named_kernels)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        txs = g["tx"].to_numpy()
+        tys = g["ty"].to_numpy()
+        order, starts, ends = _tile_runs(txs, tys)
+        txs, tys = txs[order], tys[order]
+        dxs = g["dx"].to_numpy()[order]
+        dys = g["dy"].to_numpy()[order]
+        datas = g["data"].to_numpy()[order]
+        cols = {n: [] for n in names}
+        for s, e in zip(starts, ends):
+            pad = _assemble_padded_arrays(dxs[s:e], dys[s:e], datas[s:e],
+                                          meta, dtype)
+            for n in names:
+                cols[n].append(np.ascontiguousarray(
+                    named_kernels[n](pad).astype(np.dtype(out_dtype)))
+                    .tobytes())
+        res = {"tx": txs[starts], "ty": tys[starts],
+               "band": np.zeros(len(starts), dtype=np.int64)}
+        res.update(cols)
+        return pd.DataFrame(res)
+
+    return tagged.groupby("bk__").map_groups(per_bucket,
+                                             batch_format="pandas")
+
+
 def stencil_op(ds, meta: RasterMeta, kernel, *, dtype: str = "float32",
-               out_dtype: str = "float32"):
-    """Generic 1-px halo stencil: fragments → groupby(tile) → kernel.
+               out_dtype: str = "float32", block: int = 8):
+    """Generic 1-px halo stencil: fragments → groupby(super-block) →
+    vectorized per-tile walk → kernel.
 
     kernel(padded_array) -> core-sized array.
     """
-    frags = ds.map_batches(lambda t: _halo_fragments(t, meta, dtype),
-                           batch_format="pyarrow")
-
-    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
-        pad = _assemble_padded(g, meta, dtype)
-        out = np.ascontiguousarray(kernel(pad).astype(np.dtype(out_dtype)))
-        return pd.DataFrame({"tx": [g["tx"].iloc[0]], "ty": [g["ty"].iloc[0]],
-                             "band": [0], "data": [out.tobytes()]})
-
-    return frags.groupby(["tx", "ty"]).map_groups(per_tile, batch_format="pandas")
+    return _stencil_bucketed(ds, meta, {"data": kernel}, dtype=dtype,
+                             out_dtype=out_dtype, block=block)
 
 
 def hillshade(ds, meta: RasterMeta, *, dtype: str = "float32",
@@ -561,25 +632,17 @@ def roughness(ds, meta: RasterMeta, *, dtype: str = "float32"):
 
 
 def stencil_op_multi(ds, meta: RasterMeta, kernels: dict, *,
-                     dtype: str = "float32", out_dtype: str = "float32"):
+                     dtype: str = "float32", out_dtype: str = "float32",
+                     block: int = 8):
     """Several 1-px halo stencils over the SAME source in ONE pass:
-    one fragment exchange + one groupby(tile), each kernel applied to
-    the shared padded array. Output rows carry one ``data_<name>``
-    binary column per kernel. N independent stencil_op calls would
-    re-read the source and re-shuffle the halo N times."""
-    frags = ds.map_batches(lambda t: _halo_fragments(t, meta, dtype),
-                           batch_format="pyarrow")
-
-    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
-        pad = _assemble_padded(g, meta, dtype)
-        row = {"tx": [g["tx"].iloc[0]], "ty": [g["ty"].iloc[0]], "band": [0]}
-        for name, kernel in kernels.items():
-            out = np.ascontiguousarray(kernel(pad).astype(np.dtype(out_dtype)))
-            row[f"data_{name}"] = [out.tobytes()]
-        return pd.DataFrame(row)
-
-    return frags.groupby(["tx", "ty"]).map_groups(per_tile,
-                                                  batch_format="pandas")
+    one fragment exchange + one super-block groupby, each kernel
+    applied to the shared padded array. Output rows carry one
+    ``data_<name>`` binary column per kernel. N independent
+    stencil_op calls would re-read the source and re-shuffle the halo
+    N times."""
+    return _stencil_bucketed(
+        ds, meta, {f"data_{name}": k for name, k in kernels.items()},
+        dtype=dtype, out_dtype=out_dtype, block=block)
 
 
 def aspect_degrees(ds, meta: RasterMeta, *, dtype: str = "float32"):
@@ -661,17 +724,15 @@ def resample_to_grid(ds, src: RasterMeta, dst: RasterMeta, *,
         })
 
     frags = ds.map_batches(route, batch_format="pyarrow")
+    tagged = frags.map_batches(_block_tagger("tx", "ty", 4),
+                               batch_format="pyarrow")
 
-    def per_dst_tile(g: pd.DataFrame) -> pd.DataFrame:
-        TX, TY = int(g["tx"].iloc[0]), int(g["ty"].iloc[0])
+    def sample_one(TX, TY, sxs, sys_, datas):
         # mosaic the contributing source tiles
-        sxs = g["stx"].to_numpy()
-        sys_ = g["sty"].to_numpy()
         x_lo, x_hi = sxs.min() * S, (sxs.max() + 1) * S
         y_lo, y_hi = sys_.min() * S, (sys_.max() + 1) * S
         mosaic = np.zeros((y_hi - y_lo, x_hi - x_lo), dtype=np.dtype(dtype))
-        datas = g["data"].to_numpy()
-        for k in range(len(g)):
+        for k in range(len(datas)):
             a = decode_tile(datas[k], dtype, S)
             oy, ox = int(sys_[k]) * S - y_lo, int(sxs[k]) * S - x_lo
             mosaic[oy:oy + a.shape[0], ox:ox + a.shape[1]] = a
@@ -698,12 +759,27 @@ def resample_to_grid(ds, src: RasterMeta, dst: RasterMeta, *,
             m = mosaic.astype(np.float64)
             out = ((1 - fy) * ((1 - fx) * m[y0, x0] + fx * m[y0, x1])
                    + fy * ((1 - fx) * m[y1, x0] + fx * m[y1, x1]))
-        out = np.ascontiguousarray(out.astype(np.dtype(odt)))
-        return pd.DataFrame({"tx": [TX], "ty": [TY], "band": [0],
-                             "data": [out.tobytes()]})
+        return np.ascontiguousarray(out.astype(np.dtype(odt)))
 
-    return frags.groupby(["tx", "ty"]).map_groups(per_dst_tile,
-                                                  batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        txs = g["tx"].to_numpy()
+        tys = g["ty"].to_numpy()
+        order, starts, ends = _tile_runs(txs, tys)
+        txs, tys = txs[order], tys[order]
+        sxs = g["stx"].to_numpy()[order]
+        sys_ = g["sty"].to_numpy()[order]
+        datas = g["data"].to_numpy()[order]
+        bufs = [sample_one(int(txs[s]), int(tys[s]),
+                           sxs[s:e], sys_[s:e], datas[s:e]).tobytes()
+                for s, e in zip(starts, ends)]
+        return pd.DataFrame({
+            "tx": txs[starts].astype(np.int64),
+            "ty": tys[starts].astype(np.int64),
+            "band": np.zeros(len(starts), dtype=np.int64),
+            "data": bufs})
+
+    return tagged.groupby("bk__").map_groups(per_bucket,
+                                             batch_format="pandas")
 
 
 def scale_raster(ds, src: RasterMeta, factor: float, *, dtype: str = "float32",
@@ -795,32 +871,47 @@ def crop_pixels(ds, meta: RasterMeta, px0: int, py0: int, px1: int, py1: int,
         })
 
     frags = ds.map_batches(route, batch_format="pyarrow")
+    tagged = frags.map_batches(_block_tagger("dtx", "dty", 8),
+                               batch_format="pyarrow")
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        dtx, dty = int(g["dtx"].iloc[0]), int(g["dty"].iloc[0])
-        h = min(T, H - dty * T)
-        w = min(T, W - dtx * T)
-        out = np.zeros((h, w), dtype=np.dtype(dtype))
-        if meta.nodata is not None:
-            out[:] = meta.nodata
-        fhs = g["fh"].to_numpy()
-        fws = g["fw"].to_numpy()
-        oys = g["oy"].to_numpy()
-        oxs = g["ox"].to_numpy()
-        datas = g["data"].to_numpy()
-        for k in range(len(g)):
-            fh, fw = int(fhs[k]), int(fws[k])
-            frag = np.frombuffer(datas[k],
-                                 dtype=np.dtype(dtype).newbyteorder("<")) \
-                .reshape(fh, fw)
-            out[int(oys[k]):int(oys[k]) + fh,
-                int(oxs[k]):int(oxs[k]) + fw] = frag
-        return pd.DataFrame({"tx": [dtx], "ty": [dty], "band": [0],
-                             "h": [h], "w": [w],
-                             "data": [np.ascontiguousarray(out).tobytes()]})
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dtxs = g["dtx"].to_numpy()
+        dtys = g["dty"].to_numpy()
+        order, starts, ends = _tile_runs(dtxs, dtys)
+        dtxs, dtys = dtxs[order], dtys[order]
+        fhs = g["fh"].to_numpy()[order]
+        fws = g["fw"].to_numpy()[order]
+        oys = g["oy"].to_numpy()[order]
+        oxs = g["ox"].to_numpy()[order]
+        datas = g["data"].to_numpy()[order]
+        o_h, o_w, bufs = [], [], []
+        for s, e in zip(starts, ends):
+            dtx, dty = int(dtxs[s]), int(dtys[s])
+            h = min(T, H - dty * T)
+            w = min(T, W - dtx * T)
+            out = np.zeros((h, w), dtype=np.dtype(dtype))
+            if meta.nodata is not None:
+                out[:] = meta.nodata
+            for k in range(s, e):
+                fh, fw = int(fhs[k]), int(fws[k])
+                frag = np.frombuffer(
+                    datas[k], dtype=np.dtype(dtype).newbyteorder("<")) \
+                    .reshape(fh, fw)
+                out[int(oys[k]):int(oys[k]) + fh,
+                    int(oxs[k]):int(oxs[k]) + fw] = frag
+            o_h.append(h)
+            o_w.append(w)
+            bufs.append(np.ascontiguousarray(out).tobytes())
+        return pd.DataFrame({
+            "tx": dtxs[starts].astype(np.int64),
+            "ty": dtys[starts].astype(np.int64),
+            "band": np.zeros(len(starts), dtype=np.int64),
+            "h": np.asarray(o_h, dtype=np.int64),
+            "w": np.asarray(o_w, dtype=np.int64),
+            "data": bufs})
 
-    return frags.groupby(["dtx", "dty"]).map_groups(
-        assemble, batch_format="pandas"), out_meta
+    return tagged.groupby("bk__").map_groups(
+        per_bucket, batch_format="pandas"), out_meta
 
 
 def set_type(ds, *, dtype: str, tile_size: int, out_dtype: str):
@@ -965,23 +1056,19 @@ def warp_to_crs(ds, src: RasterMeta, crs: str, *, dst: RasterMeta | None = None,
         })
 
     frags = ds.map_batches(route, batch_format="pyarrow")
+    tagged = frags.map_batches(_block_tagger("dtx", "dty", 4),
+                               batch_format="pyarrow")
 
-    def per_dst_tile(g: pd.DataFrame) -> pd.DataFrame:
-        DX, DY = int(g["dtx"].iloc[0]), int(g["dty"].iloc[0])
-        sxs = g["stx"].to_numpy()
-        sys_ = g["sty"].to_numpy()
+    def warp_one(DX, DY, sxs, sys_, datas):
         x_lo, x_hi = int(sxs.min()) * S, (int(sxs.max()) + 1) * S
         y_lo, y_hi = int(sys_.min()) * S, (int(sys_.max()) + 1) * S
         mosaic = np.zeros((y_hi - y_lo, x_hi - x_lo), dtype=np.dtype(dtype))
         if src.nodata is not None:
             mosaic[:] = src.nodata
-        have = np.zeros(mosaic.shape, dtype=bool)
-        datas = g["data"].to_numpy()
-        for k in range(len(g)):
+        for k in range(len(datas)):
             a = decode_tile(datas[k], dtype, S)
             oy, ox = int(sys_[k]) * S - y_lo, int(sxs[k]) * S - x_lo
             mosaic[oy:oy + a.shape[0], ox:ox + a.shape[1]] = a
-            have[oy:oy + a.shape[0], ox:ox + a.shape[1]] = True
         h = min(T, dst.height - DY * T)
         w = min(T, dst.width - DX * T)
         pxs = np.arange(DX * T, DX * T + w)
@@ -999,13 +1086,33 @@ def warp_to_crs(ds, src: RasterMeta, crs: str, *, dst: RasterMeta | None = None,
         out = np.full(h * w, src.nodata if src.nodata is not None else 0,
                       dtype=np.dtype(dtype))
         out[valid] = mosaic[iy[valid], ix[valid]]
-        return pd.DataFrame({"tx": [DX], "ty": [DY], "band": [0],
-                             "h": [h], "w": [w],
-                             "data": [np.ascontiguousarray(
-                                 out.reshape(h, w)).tobytes()]})
+        return h, w, np.ascontiguousarray(out.reshape(h, w)).tobytes()
 
-    return frags.groupby(["dtx", "dty"]).map_groups(
-        per_dst_tile, batch_format="pandas"), dst
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dtxs = g["dtx"].to_numpy()
+        dtys = g["dty"].to_numpy()
+        order, starts, ends = _tile_runs(dtxs, dtys)
+        dtxs, dtys = dtxs[order], dtys[order]
+        sxs = g["stx"].to_numpy()[order]
+        sys_ = g["sty"].to_numpy()[order]
+        datas = g["data"].to_numpy()[order]
+        o_h, o_w, bufs = [], [], []
+        for s, e in zip(starts, ends):
+            h, w, buf = warp_one(int(dtxs[s]), int(dtys[s]),
+                                 sxs[s:e], sys_[s:e], datas[s:e])
+            o_h.append(h)
+            o_w.append(w)
+            bufs.append(buf)
+        return pd.DataFrame({
+            "tx": dtxs[starts].astype(np.int64),
+            "ty": dtys[starts].astype(np.int64),
+            "band": np.zeros(len(starts), dtype=np.int64),
+            "h": np.asarray(o_h, dtype=np.int64),
+            "w": np.asarray(o_w, dtype=np.int64),
+            "data": bufs})
+
+    return tagged.groupby("bk__").map_groups(
+        per_bucket, batch_format="pandas"), dst
 
 
 def raster_overviews(ds, *, dtype: str, tile_size: int, levels: int):
@@ -1033,26 +1140,46 @@ def raster_overviews(ds, *, dtype: str, tile_size: int, levels: int):
     if levels < 1:
         raise ValueError("levels must be >= 1")
     S = 1 << levels
+    # bucket key is COARSER than the root ancestor when levels is
+    # shallow, so a levels=1 pyramid doesn't degenerate into 4-tile
+    # groups (the near-singleton anti-pattern); per-root work walks
+    # sorted runs inside the bucket.
+    L = max(levels, 3)
 
     def tag(t: pa.Table) -> pa.Table:
-        tx = t.column("tx").to_numpy()
-        ty = t.column("ty").to_numpy()
-        root = (tx.astype(np.int64) >> levels) * (np.int64(1) << 32) \
-            + (ty.astype(np.int64) >> levels)
-        return t.append_column("_root", pa.array(root))
+        tx = t.column("tx").to_numpy().astype(np.int64)
+        ty = t.column("ty").to_numpy().astype(np.int64)
+        bk = ((tx >> L) << np.int64(32)) | (ty >> L)
+        return t.append_column("bk__", pa.array(bk))
 
-    def per_root(df: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        txs = df["tx"].to_numpy().astype(np.int64)
+        tys = df["ty"].to_numpy().astype(np.int64)
+        bands = df["band"].to_numpy().astype(np.int64)
+        datas = df["data"].to_numpy()
+        rxs, rys = txs >> levels, tys >> levels
+        # runs of (root, band) in sorted order (no packed key — a
+        # packed int64 would cap tile-grid side lengths)
+        order = np.lexsort((bands, rys, rxs))
+        rx_o, ry_o, b_o = rxs[order], rys[order], bands[order]
+        changed = ((rx_o[1:] != rx_o[:-1]) | (ry_o[1:] != ry_o[:-1])
+                   | (b_o[1:] != b_o[:-1]))
+        starts = np.flatnonzero(np.r_[True, changed])
+        ends = np.r_[starts[1:], len(rx_o)]
+        txs, tys, bands, datas = (txs[order], tys[order], bands[order],
+                                  datas[order])
         out_rows = {"level": [], "tx": [], "ty": [], "band": [],
                     "data": []}
-        root = int(df["_root"].iloc[0])
-        rx, ry = root >> 32, root & 0xFFFFFFFF
-        for band, g in df.groupby("band", sort=False):
+        for s, e in zip(starts, ends):
+            rx, ry, band = int(txs[s]) >> levels, int(tys[s]) >> levels, \
+                int(bands[s])
             block = np.zeros((S * tile_size, S * tile_size),
                              dtype=np.int64)
-            for tx, ty, buf in zip(g["tx"], g["ty"], g["data"]):
-                a = decode_tile(buf, dtype, tile_size).astype(np.int64)
-                ox, oy = (int(tx) - (rx << levels)) * tile_size, \
-                    (int(ty) - (ry << levels)) * tile_size
+            for k in range(s, e):
+                a = decode_tile(datas[k], dtype, tile_size) \
+                    .astype(np.int64)
+                ox, oy = (int(txs[k]) - (rx << levels)) * tile_size, \
+                    (int(tys[k]) - (ry << levels)) * tile_size
                 block[oy:oy + tile_size, ox:ox + tile_size] = a
             cur = block
             for lv in range(1, levels + 1):
@@ -1066,7 +1193,7 @@ def raster_overviews(ds, *, dtype: str, tile_size: int, levels: int):
                         out_rows["level"].append(lv)
                         out_rows["tx"].append(rx * ntiles + i)
                         out_rows["ty"].append(ry * ntiles + j)
-                        out_rows["band"].append(int(band))
+                        out_rows["band"].append(band)
                         out_rows["data"].append(np.ascontiguousarray(
                             tile).tobytes())
         return pd.DataFrame({
@@ -1077,4 +1204,4 @@ def raster_overviews(ds, *, dtype: str, tile_size: int, levels: int):
             "data": out_rows["data"]})
 
     return ds.map_batches(tag, batch_format="pyarrow") \
-        .groupby("_root").map_groups(per_root, batch_format="pandas")
+        .groupby("bk__").map_groups(per_bucket, batch_format="pandas")
