@@ -188,13 +188,16 @@ def contour_pieces(ds, meta: RasterMeta, levels: list[float], *,
     Columns: level f64, closed bool, n_points i64, length f64,
     id_a i64, id_b i64 (terminal edge ids; -1 for closed pieces),
     geom_wkb binary (empty if with_geometry=False)."""
+    from spapy_ray.stages.raster import (_assemble_padded_arrays,
+                                         _block_tagger, _tile_runs)
+
     frags = ds.map_batches(lambda t: _halo_fragments(t, meta, dtype),
                            batch_format="pyarrow")
+    tagged = frags.map_batches(_block_tagger("tx", "ty", 8),
+                               batch_format="pyarrow")
     T = meta.tile_size
 
-    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
-        pad = _assemble_padded(g, meta, dtype)
-        tx, ty = int(g["tx"].iloc[0]), int(g["ty"].iloc[0])
+    def one_tile(tx, ty, pad, rows):
         # cells owned: top-left corners = this tile's pixels → use
         # pad[1:T+2, 1:T+2] (core + one E/S halo row/col)
         z = pad[1:T + 2, 1:T + 2]
@@ -204,8 +207,6 @@ def contour_pieces(ds, meta: RasterMeta, levels: list[float], *,
         z = z[:max_i, :max_j]
         x0 = meta.x_min + (tx * T + 0.5) * meta.pixel_w
         y0 = meta.y_max + (ty * T + 0.5) * meta.pixel_h
-        rows = {"level": [], "closed": [], "n_points": [], "length": [],
-                "id_a": [], "id_b": [], "geom_wkb": []}
         for lv in levels:
             segs, ida, idb = marching_squares_segments_ids(
                 z, lv, x0, y0, meta.pixel_w, meta.pixel_h,
@@ -220,10 +221,27 @@ def contour_pieces(ds, meta: RasterMeta, levels: list[float], *,
                 rows["id_b"].append(-1 if closed else ib)
                 rows["geom_wkb"].append(
                     wkb.encode_linestring(arr) if arr is not None else b"")
+
+    # super-block bucket + per-tile boundary-slice walk (the
+    # tile_binary_math pattern) — not groupby([tx,ty]).map_groups
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        txs = g["tx"].to_numpy()
+        tys = g["ty"].to_numpy()
+        order, starts, ends = _tile_runs(txs, tys)
+        txs, tys = txs[order], tys[order]
+        dxs = g["dx"].to_numpy()[order]
+        dys = g["dy"].to_numpy()[order]
+        datas = g["data"].to_numpy()[order]
+        rows = {"level": [], "closed": [], "n_points": [], "length": [],
+                "id_a": [], "id_b": [], "geom_wkb": []}
+        for s, e in zip(starts, ends):
+            pad = _assemble_padded_arrays(dxs[s:e], dys[s:e], datas[s:e],
+                                          meta, dtype)
+            one_tile(int(txs[s]), int(tys[s]), pad, rows)
         return pd.DataFrame(rows)
 
-    return frags.groupby(["tx", "ty"]).map_groups(per_tile,
-                                                  batch_format="pandas")
+    return tagged.groupby("bk__").map_groups(per_bucket,
+                                             batch_format="pandas")
 
 
 def merge_open_pieces(df: pd.DataFrame, with_geometry: bool = True) -> pd.DataFrame:
@@ -438,20 +456,29 @@ def merge_open_pieces_dist(open_ds, levels: list[float], meta: RasterMeta,
 def contour(ds, meta: RasterMeta, levels: list[float], *,
             dtype: str = "float32", merge: str = "auto",
             driver_max_pieces: int = 2_000_000,
-            as_dataset: bool = False):
+            as_dataset: bool = True):
     """Full contour op: distributed per-tile stitch → cross-tile merge
     of the border-fragment graph. Returns (level, line_id, n_points,
-    length, closed, geom_wkb), line_id numbered per level.
+    length, closed, geom_wkb), line_id numbered 0..n-1 per level.
+
+    ``as_dataset=True`` (the DEFAULT — VERDICT r3 #2) streams the
+    closed ∪ merged lines as a Dataset and assigns line_id through
+    ``window_over(row_number)`` partitioned by level, ordered by
+    (n_points, length, fnv1a(geom_wkb)) — no whole-line-table driver
+    materialization anywhere; consumers write_parquet or aggregate
+    directly. Forces merge="distributed" when merge="auto".
+
+    ``as_dataset=False`` keeps the small-output pandas form: driver
+    concat + stable sort + per-level cumcount. Its line_id tie order
+    is concat order, NOT the hash tiebreak — on ties the two forms
+    can number identical-stat lines differently (both are valid
+    0..n-1 numberings; SQL row_number has the same latitude).
 
     ``merge``: "driver" (one pandas pass over all open fragments),
     "distributed" (merge_open_pieces_dist — chains stitched inside
     hash(root) buckets, driver only sees finished lines), or "auto"
-    (driver below ``driver_max_pieces`` open fragments).
-
-    ``as_dataset=True`` (distributed merge only) streams the merged
-    lines as a Dataset WITHOUT the global per-level line_id numbering
-    pass — nothing lands on the driver; consumers write_parquet or
-    aggregate directly."""
+    (driver below ``driver_max_pieces`` open fragments; always
+    "distributed" in the dataset form)."""
     pieces_ds = contour_pieces(ds, meta, levels, dtype=dtype).materialize()
     import pyarrow.compute as pc
 
@@ -460,8 +487,11 @@ def contour(ds, meta: RasterMeta, levels: list[float], *,
 
     open_ds = pieces_ds.map_batches(open_only, batch_format="pyarrow")
     if merge == "auto":
-        merge = "driver" if open_ds.count() <= driver_max_pieces \
-            else "distributed"
+        if as_dataset:
+            merge = "distributed"
+        else:
+            merge = "driver" if open_ds.count() <= driver_max_pieces \
+                else "distributed"
 
     def closed_only(t: pa.Table) -> pa.Table:
         return t.filter(t.column("closed"))
@@ -469,9 +499,42 @@ def contour(ds, meta: RasterMeta, levels: list[float], *,
     if as_dataset:
         if merge != "distributed":
             raise ValueError("as_dataset requires merge='distributed'")
+        from spapy_ray.kernels.hashing import fnv1a64
+        from spapy_ray.stages.window import window_over
+
         merged_ds = merge_open_pieces_dist(open_ds, levels, meta)
-        return pieces_ds.map_batches(
+        lines = pieces_ds.map_batches(
             closed_only, batch_format="pyarrow").union(merged_ds)
+
+        def add_tie(t: pa.Table) -> pa.Table:
+            tie = fnv1a64(t.column("geom_wkb")).astype(np.int64)
+            return pa.table({
+                "level": t.column("level"),
+                "closed": t.column("closed"),
+                "n_points": t.column("n_points"),
+                "length": t.column("length"),
+                "geom_wkb": t.column("geom_wkb"),
+                "tie__": pa.array(tie),
+            })
+
+        numbered = window_over(
+            lines.map_batches(add_tie, batch_format="pyarrow"),
+            key_col="level", order_cols=["n_points", "length", "tie__"],
+            ops=[("line_id", "row_number", None)],
+            keep_cols=["closed", "geom_wkb"])
+
+        def finish(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "level": t.column("level"),
+                "line_id": pc.subtract(t.column("line_id"),
+                                       pa.scalar(1, pa.int64())),
+                "n_points": t.column("n_points"),
+                "length": t.column("length"),
+                "closed": t.column("closed"),
+                "geom_wkb": t.column("geom_wkb"),
+            })
+
+        return numbered.map_batches(finish, batch_format="pyarrow")
 
     closed = pieces_ds.map_batches(closed_only,
                                    batch_format="pyarrow").to_pandas()
