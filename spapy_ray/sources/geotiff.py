@@ -112,7 +112,11 @@ class _IFDWriter:
             else:
                 body += struct.pack("<HHII", tag, ftype, count,
                                     ext_base + len(ext))
-                ext += data
+                # TIFF 6.0 requires word-aligned field values: pad
+                # each external block to even length or every later
+                # offset goes odd (ADVICE r3 — odd-length ASCII like
+                # a GDAL_NODATA string)
+                ext += data + (b"\x00" if len(data) % 2 else b"")
         return struct.pack("<H", n) + body + struct.pack("<I", 0) + ext
 
 

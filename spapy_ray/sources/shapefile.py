@@ -266,7 +266,10 @@ def _dbf_fields(tbl: pa.Table, geom_col: str) \
         t = tbl.schema.field(name).type
         nm = name[:10]
         if pa.types.is_integer(t):
-            out.append((nm, "N", 18, 0))
+            # width 20 covers every int64 incl. the sign (ADVICE r3:
+            # an 18-char field silently left-truncates >=1e18 or
+            # negative 18-digit values)
+            out.append((nm, "N", 20, 0))
         elif pa.types.is_floating(t):
             out.append((nm, "N", 19, 6))
         elif pa.types.is_boolean(t):

@@ -213,8 +213,17 @@ def _compact_levels(levels: dict, k: int) -> dict:
         vals = levels.get(lv)
         if vals is not None and len(vals) > k:
             vals = np.sort(vals, kind="stable")
+            keep = vals[:0]
+            if len(vals) % 2:
+                # compact an EVEN count (ADVICE r3): promoting
+                # ceil(n/2) of an odd level inflates total sketch
+                # weight by one unit per compaction; hold one element
+                # back at this level (it keeps its exact weight) and
+                # halve the even remainder.
+                keep = vals[-1:]
+                vals = vals[:-1]
             promoted = vals[0::2]
-            levels[lv] = vals[:0]
+            levels[lv] = keep
             levels[lv + 1] = np.concatenate(
                 [levels.get(lv + 1, vals[:0]), promoted])
         elif lv > max(levels.keys()):

@@ -10,6 +10,7 @@ expressions, plus the scalar-key join the web-scale pipelines need
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from spapy_ray.util import default_pool
@@ -33,6 +34,16 @@ class BroadcastHashJoin:
         kv = small_table.column(self.small_key).to_numpy()
         order = np.argsort(kv, kind="stable")
         self.sorted_keys = kv[order]
+        # searchsorted resolves each probe key to ONE build row, so a
+        # duplicated build key would silently drop matches (ADVICE
+        # r3) — this is a lookup join by contract; use hash_join for
+        # one-to-many sides.
+        if len(self.sorted_keys) > 1 and \
+                (self.sorted_keys[1:] == self.sorted_keys[:-1]).any():
+            raise ValueError(
+                f"broadcast_join build side has duplicate "
+                f"{self.small_key!r} keys; it is a unique-key lookup "
+                f"join — use hash_join for one-to-many joins")
         self.order = order
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -578,14 +589,41 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
         lt = g.filter(lmask)
         rt = g.filter(pc.invert(lmask))
         if how in ("semi", "anti"):
-            keys = pc.unique(rt.column(rkey_out))
-            hit = pc.is_in(lt.column(on), value_set=keys)
+            # SQL EXISTS semantics on nullable keys (ADVICE r3):
+            # NULL never equals anything — drop nulls from the build
+            # set and force NULL probe keys to non-matching (so semi
+            # drops them and anti keeps them, like NOT EXISTS).
+            keys = pc.drop_null(pc.unique(rt.column(rkey_out)))
+            lk = lt.column(on)
+            hit = pc.and_(pc.fill_null(
+                pc.is_in(lk, value_set=keys), False), pc.is_valid(lk))
             if how == "anti":
                 hit = pc.invert(hit)
             return lt.filter(hit).select(lnames)
         ldf = lt.select(lnames).to_pandas()
         rdf = rt.select(rnames).to_pandas()
-        out = ldf.merge(rdf, left_on=on, right_on=rkey_out, how=how)
+        lnull = ldf[on].isna()
+        rnull = rdf[rkey_out].isna()
+        if not lnull.any() and not rnull.any():
+            out = ldf.merge(rdf, left_on=on, right_on=rkey_out, how=how)
+        else:
+            # pandas merge matches NaN keys to each other; SQL join
+            # predicates never match NULL (ADVICE r3). Join the
+            # non-null cores, then re-attach null-key rows as
+            # unmatched for the outer sides (merging against an empty
+            # frame keeps the merged dtypes identical to the core).
+            parts = [ldf[~lnull].merge(rdf[~rnull], left_on=on,
+                                       right_on=rkey_out, how=how)]
+            if how in ("left", "outer") and lnull.any():
+                parts.append(ldf[lnull].merge(
+                    rdf.iloc[0:0], left_on=on, right_on=rkey_out,
+                    how="left"))
+            if how == "outer" and rnull.any():
+                parts.append(ldf.iloc[0:0].merge(
+                    rdf[rnull], left_on=on, right_on=rkey_out,
+                    how="right"))
+            out = pd.concat(parts, ignore_index=True) if len(parts) > 1 \
+                else parts[0]
         return pa.Table.from_pandas(out, preserve_index=False)
 
     u = left.map_batches(lrows, batch_format="pyarrow").union(
