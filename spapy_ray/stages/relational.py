@@ -493,6 +493,44 @@ def pair_payload_copartition(cand, corpus, *, payload_col: str,
         .groupby("hbk").map_groups(unite, batch_format="pyarrow")
 
 
+def _salted_outer(left, right, *, on: str, right_on: str | None,
+                  suffix: str, buckets: int | None, salt: int):
+    """Full outer join with hot-key salting: salted LEFT join ∪
+    (right rows with no left-key match, null-filled on the left).
+
+    The anti pass probes the RIGHT side (the hot rows scatter) against
+    the distinct left keys (replicated ×salt but pre-deduped per batch
+    — bounded by key cardinality, not row count). Right-unmatched rows
+    convert through pandas with NaN left columns, matching the dtype
+    behavior of the unsalted bucket-local outer merge."""
+    rk = right_on or on
+    left_part = hash_join(left, right, on=on, right_on=rk, how="left",
+                          suffix=suffix, buckets=buckets, salt=salt)
+
+    def batch_keys(t: pa.Table) -> pa.Table:
+        return pa.table({on: pc.unique(pc.drop_null(t.column(on)))})
+
+    lkeys = left.map_batches(batch_keys, batch_format="pyarrow")
+    right_unmatched = hash_join(right, lkeys, on=rk, right_on=on,
+                                how="anti", buckets=buckets, salt=salt)
+
+    lsch, rsch = left.schema(), right.schema()
+    lnames = list(lsch.names)
+    rmap = {c: (c + suffix if c in lnames else c) for c in rsch.names}
+    allnames = lnames + [rmap[c] for c in rsch.names
+                         if rmap[c] not in lnames]
+
+    def as_joined(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().rename(columns=rmap)
+        for c in lnames:
+            if c not in df.columns:
+                df[c] = np.nan
+        return pa.Table.from_pandas(df[allnames], preserve_index=False)
+
+    return left_part.union(
+        right_unmatched.map_batches(as_joined, batch_format="pyarrow"))
+
+
 def hash_join(left, right, *, on: str, right_on: str | None = None,
               how: str = "inner", suffix: str = "_r",
               buckets: int | None = None, salt: int = 1):
@@ -520,18 +558,22 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
     rows replicate into all k, so a hot bucket's probe volume splits
     ~k ways at the cost of k× the (smaller) build side — put the
     small side on the RIGHT when salting. Correct for
-    inner/left/semi/anti (each left row still sees every matching
-    right row in its sub-bucket); "outer" raises, because an
-    unmatched RIGHT row cannot be reconciled across sub-buckets
-    without a second shuffle."""
+    inner/left/semi/anti in one shuffle (each left row still sees
+    every matching right row in its sub-bucket). ``outer`` + salt
+    runs as TWO salted passes (VERDICT r3 #5): a salted LEFT join
+    unioned with the right rows anti-joined against the distinct
+    left keys (per-batch pc.unique pre-aggregation keeps the
+    replicated build side tiny even when the probe side is hot) —
+    a right row replicated into k sub-buckets is globally unmatched
+    iff its key never occurs on the left, which the anti pass
+    decides exactly."""
     if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError("how must be inner|left|outer|semi|anti")
     if salt < 1:
         raise ValueError("salt must be >= 1")
     if salt > 1 and how == "outer":
-        raise ValueError("salt > 1 is not supported for how='outer' "
-                         "(right-unmatched rows would need a second "
-                         "cross-sub-bucket reconciliation shuffle)")
+        return _salted_outer(left, right, on=on, right_on=right_on,
+                             suffix=suffix, buckets=buckets, salt=salt)
     from spapy_ray.util import cluster_cpus
 
     rk = right_on or on

@@ -608,7 +608,13 @@ def test_hash_join_salted_matches_unsalted(ray_session):
         return out[cs].sort_values(cs, kind="stable") \
             .reset_index(drop=True)
 
-    for how in ("inner", "left", "semi", "anti"):
+    # outer: right keys 500..520 have no left match, and left key 7
+    # (the hot key) has no right match (odd) — both unmatched
+    # directions exercised through the salted two-pass form
+    right = pa.table({"k": np.arange(0, 522, 2, dtype=np.int64),
+                      "w": np.arange(0, 522, 2, dtype=np.int64) * 10})
+
+    for how in ("inner", "left", "semi", "anti", "outer"):
         a, b = run(how, 1), run(how, 4)
         assert len(a) == len(b), how
         for c in a.columns:
@@ -618,11 +624,6 @@ def test_hash_join_salted_matches_unsalted(ray_session):
                 assert np.array_equal(av, bv, equal_nan=True), (how, c)
             else:
                 assert np.array_equal(av, bv), (how, c)
-
-    import pytest as _pt
-    with _pt.raises(ValueError, match="outer"):
-        hash_join(rd.from_arrow(left), rd.from_arrow(right), on="k",
-                  how="outer", salt=2)
 
 
 def test_flagship_resume_end_to_end(ray_session, tmp_path):
