@@ -42,6 +42,8 @@ def _assemble(ds, meta: RasterMeta, dtype: str) -> np.ndarray:
     ("int32", "int", "deflate"),
     ("int32", "int", "none"),
     ("float32", "float", "deflate"),
+    ("int32", "int", "lzw"),
+    ("float32", "float", "lzw"),
 ])
 def test_geotiff_roundtrip_ragged(ray_session, tmp_path, dtype, kind, comp):
     """Ragged grid (edge tiles in both axes) survives pixel-exactly,
@@ -182,3 +184,92 @@ def test_geotiff_dispatch_and_save(ray_session, tmp_path):
     assert (bmeta.width, bmeta.height) == (130, 70)
     assert (_assemble(ds, meta, "int32")
             == _assemble(back, bmeta, "int32")).all()
+
+
+def test_lzw_codec_roundtrip():
+    """TIFF LZW encode→decode identity across regimes: short,
+    repetitive (deep table), random (no compression win), and long
+    enough to force every code-width bump AND a table clear."""
+    import numpy as np
+
+    from spapy_ray.sources.geotiff import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(3)
+    cases = [
+        b"",
+        b"a",
+        b"abababababababab" * 4,
+        bytes(rng.integers(0, 256, 500).astype(np.uint8)),
+        bytes(rng.integers(0, 4, 200_000).astype(np.uint8)),   # clears
+        bytes(rng.integers(0, 256, 60_000).astype(np.uint8)),  # 12-bit
+        (b"\x00" * 1000) + bytes(range(256)) * 8 + (b"\xff" * 1000),
+    ]
+    for raw in cases:
+        enc = lzw_encode(raw)
+        assert lzw_decode(enc) == raw
+    # repetitive data actually compresses
+    rep = b"spapy" * 10_000
+    assert len(lzw_encode(rep)) < len(rep) // 3
+    assert lzw_decode(lzw_encode(rep)) == rep
+
+
+def test_geotiff_stripped_lzw_predictor2(ray_session, tmp_path):
+    """Hand-packed STRIPPED little-endian uint8 TIFF with LZW
+    (compression 5) + horizontal-differencing predictor 2 — the
+    layout real-world GDAL LZW GeoTIFFs use — parses to the exact
+    pixel array."""
+    from spapy_ray.sources.geotiff import lzw_encode
+
+    H, W, RPS = 9, 7, 4
+    arr = ((np.arange(H * W, dtype=np.int64) * 37) % 251) \
+        .astype(np.uint8).reshape(H, W)
+    strips = []
+    for r0 in range(0, H, RPS):
+        rows = arr[r0:r0 + RPS].astype(np.uint8)
+        diff = rows.copy()
+        diff[:, 1:] = rows[:, 1:] - rows[:, :-1]     # predictor 2, wraps
+        strips.append(lzw_encode(diff.tobytes()))
+    offs, pos = [], 8
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    ifd_off = pos + (pos % 2)
+    entries = []
+
+    def ent(tag, ftype, vals, ext):
+        ch = {3: "H", 4: "I", 12: "d"}[ftype]
+        size = {3: 2, 4: 4, 12: 8}[ftype]
+        data = struct.pack(f"<{len(vals)}{ch}", *vals)
+        if len(data) <= 4:
+            entries.append(struct.pack("<HHI", tag, ftype, len(vals))
+                           + data.ljust(4, b"\x00"))
+            return ext
+        entries.append(struct.pack("<HHII", tag, ftype, len(vals),
+                                   ext[0] + len(ext[1])))
+        return (ext[0], ext[1] + data)
+
+    n_ent = 8
+    ext = (ifd_off + 2 + n_ent * 12 + 4, b"")
+    ext = ent(256, 4, [W], ext)
+    ext = ent(257, 4, [H], ext)
+    ext = ent(258, 3, [8], ext)
+    ext = ent(259, 3, [5], ext)          # LZW
+    ext = ent(273, 4, offs, ext)
+    ext = ent(278, 4, [RPS], ext)
+    ext = ent(279, 4, [len(s) for s in strips], ext)
+    ext = ent(317, 3, [2], ext)          # predictor 2
+    assert len(entries) == n_ent
+    buf = b"II" + struct.pack("<HI", 42, ifd_off)
+    for s in strips:
+        buf += s
+    buf += b"\x00" * (ifd_off - len(buf))
+    buf += struct.pack("<H", n_ent) + b"".join(entries) \
+        + struct.pack("<I", 0) + ext[1]
+    p = str(tmp_path / "lzwpred.tif")
+    with open(p, "wb") as f:
+        f.write(buf)
+
+    ds, meta, nodata = read_geotiff(p, tile_size=4)
+    assert (meta.width, meta.height) == (W, H)
+    got = _assemble(ds, meta, "uint8")
+    assert (got == arr).all()
