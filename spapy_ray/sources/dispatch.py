@@ -86,9 +86,20 @@ def get_input(source):
         tbl, _meta = read_geojson(path)
         return rd.from_arrow(tbl)
     if ext == ".shp":
-        # native spec parser — no fiona (sources/shapefile.py)
-        from spapy_ray.sources.shapefile import read_shapefile
+        # native spec parser — no fiona (sources/shapefile.py).
+        # Layers with a .shx companion above the cutoff stream
+        # distributed (workers seek-and-parse their record ranges);
+        # small layers take the driver parse (one task, no scheduling
+        # overhead).
+        import os as _os
 
+        from spapy_ray.sources.shapefile import (read_shapefile,
+                                                 read_shapefile_dataset)
+
+        if _os.path.getsize(path) > 32 * 1024 * 1024 and \
+                _os.path.exists(_os.path.splitext(path)[0] + ".shx"):
+            ds, _meta = read_shapefile_dataset(path)
+            return ds
         tbl, _meta = read_shapefile(path)
         return rd.from_arrow(tbl)
     if ext == ".asc":

@@ -187,3 +187,65 @@ def test_shapefile_layer_flows_through_vector_stages(ray_session, tmp_path):
     m = measured.sort_values("zone_id").reset_index(drop=True)
     assert list(m["area"]) == [100.0, 4.0]
     assert list(m["maxx"]) == [10.0, 7.0]
+
+
+def test_shapefile_streaming_dataset_matches_driver(ray_session, tmp_path):
+    """read_shapefile_dataset (.shx-indexed, workers seek-and-parse
+    their record ranges) returns the same rows as the driver-side
+    reader, and its driver-side allocations stay near-flat while the
+    layer grows 8x (VERDICT r3 #6)."""
+    import gc
+    import tracemalloc
+
+    import numpy as np
+    import pyarrow as pa
+
+    from spapy_ray.kernels import wkb as K
+    from spapy_ray.sources.shapefile import (read_shapefile,
+                                             read_shapefile_dataset,
+                                             write_shapefile)
+
+    def make(n, name):
+        rng = np.random.default_rng(5)
+        xs = rng.uniform(-170, 170, n)
+        ys = rng.uniform(-80, 80, n)
+        tbl = pa.table({
+            "geom_wkb": pa.array([K.encode_point(float(x), float(y))
+                                  for x, y in zip(xs, ys)],
+                                 type=pa.binary()),
+            "fid": pa.array(np.arange(n, dtype=np.int64)),
+            "w8": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+        })
+        p = str(tmp_path / f"{name}.shp")
+        write_shapefile(tbl, p)
+        return p
+
+    p = make(20_000, "small")
+    drv, meta_d = read_shapefile(p)
+    ds, meta_s = read_shapefile_dataset(p, batch_rows=4096)
+    got = ds.to_pandas().sort_values("fid").reset_index(drop=True)
+    want = drv.to_pandas().sort_values("fid").reset_index(drop=True)
+    assert meta_s["shp_type"] == meta_d["shp_type"]
+    assert list(got.columns) == list(want.columns)
+    assert got["fid"].equals(want["fid"])
+    assert got["w8"].equals(want["w8"])
+    assert (got["geom_wkb"] == want["geom_wkb"]).all()
+
+    # driver memory: 8x the features must not show up as ~8x driver
+    # allocations (the .shx index is the only per-feature driver state)
+    big = make(160_000, "big")
+
+    def peak(path, rows):
+        gc.collect()
+        tracemalloc.start()
+        ds, _ = read_shapefile_dataset(path, batch_rows=4096)
+        n = ds.count()
+        _, pk = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert n == rows
+        return pk
+
+    peak(p, 20_000)                       # warmup
+    p_small = min(peak(p, 20_000), peak(p, 20_000))
+    p_big = min(peak(big, 160_000), peak(big, 160_000))
+    assert p_big < 3.0 * p_small + 8_000_000
