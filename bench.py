@@ -91,11 +91,18 @@ def run_bench() -> dict:
     rows = _consume(flagship_join(SF_DIR))
     headline = time.time() - t0
 
+    # per-query minima over >=3 runs (VERDICT r3 #8: single samples
+    # made round-over-round regression detection meaningless on this
+    # co-tenant host — only best-of-N is comparable)
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
     per_query: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        _consume(QUERIES[name](SF_DIR))
-        per_query[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            _consume(QUERIES[name](SF_DIR))
+            best = min(best, time.time() - t0)
+        per_query[name] = round(best, 3)
 
     ray.shutdown()
     return {
@@ -103,6 +110,7 @@ def run_bench() -> dict:
         "value": round(headline, 3),
         "unit": "sec",
         "queries": per_query,
+        "query_reps": reps,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "docs": n_docs,

@@ -289,14 +289,23 @@ def hash_to_min(edges, *, buckets: int = 64, max_rounds: int = 32,
     ``max_rounds`` bounds the contraction depth — it raises rather
     than returning unresolved labels (depth is O(log) w.h.p. after the
     scramble; 32 is far beyond any real graph)."""
-    edges = edges.materialize()
     if mode not in ("auto", "driver", "distributed"):
         raise ValueError(f"unknown mode {mode!r}")
-    n_edges = edges.count()
-    if n_edges == 0:
-        return _empty_labels()
-    if mode == "auto":
-        mode = "driver" if n_edges <= driver_max_edges else "distributed"
+    if mode == "distributed":
+        # no input materialization or full count (VERDICT r3 #9: at
+        # 100-TB edge volume that is one whole extra pass) — level 0's
+        # seed shuffle IS the first pass over the edges; the empty
+        # case is decided by a bounded limit(1) probe
+        if edges.limit(1).count() == 0:
+            return _empty_labels()
+    else:
+        edges = edges.materialize()
+        n_edges = edges.count()          # metadata read (materialized)
+        if n_edges == 0:
+            return _empty_labels()
+        if mode == "auto":
+            mode = "driver" if n_edges <= driver_max_edges \
+                else "distributed"
     if mode == "driver":
         import ray.data as rd
 

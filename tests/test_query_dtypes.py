@@ -1,5 +1,7 @@
 """Dtype stability: every oracled query's pandas dtypes must equal
-its DuckDB oracle's dtypes at sf0.001.
+its DuckDB oracle's dtypes at sf0.001 AND sf0.01 (VERDICT r3 #7: an
+upcast that only bites when a group is empty at one scale must not
+hide in the untested scale).
 
 Round 2's only red driver row (events_asof) was exactly this class of
 bug — values identical, but a pandas null-fill upcast shipped an int64
@@ -13,12 +15,12 @@ import duckdb
 import pandas as pd
 import pytest
 
-SF = "/root/testdata/sf0.001"
+SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
-def _oracle_con():
+def _oracle_con(sf):
     con = duckdb.connect()
-    for p in glob.glob(f"{SF}/*.parquet"):
+    for p in glob.glob(f"{sf}/*.parquet"):
         t = os.path.basename(p)[:-8]
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
@@ -34,14 +36,15 @@ def _names():
     return sorted(set(qs) & set(osql))
 
 
+@pytest.mark.parametrize("sf", SCALES)
 @pytest.mark.parametrize("name", _names())
-def test_query_dtypes_match_oracle(name, ray_session):
+def test_query_dtypes_match_oracle(name, sf, ray_session):
     import __ray_entry__ as e
 
-    res = e.queries()[name](SF)
+    res = e.queries()[name](sf)
     if not isinstance(res, pd.DataFrame):
         res = res.to_pandas()
-    ora = _oracle_con().execute(e.oracle_sql()[name]).df()
+    ora = _oracle_con(sf).execute(e.oracle_sql()[name]).df()
     assert sorted(res.columns) == sorted(ora.columns), \
         f"{name}: column sets differ"
     got = {c: str(res[c].dtype) for c in res.columns}
