@@ -875,15 +875,17 @@ def polygonize_rings(ds, meta: RasterMeta, values: list[int], *,
     by first-match, a documented convention.
     """
     from spapy_ray.stages.contour import stitch_segments
-    from spapy_ray.stages.raster import _assemble_padded, _halo_fragments
+    from spapy_ray.stages.raster import (_assemble_padded_arrays,
+                                         _block_tagger, _halo_fragments,
+                                         _tile_runs)
 
     frags = ds.map_batches(lambda t: _halo_fragments(t, meta, dtype),
                            batch_format="pyarrow")
+    tagged = frags.map_batches(_block_tagger("tx", "ty", 8),
+                               batch_format="pyarrow")
     T = meta.tile_size
 
-    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
-        pad = _assemble_padded(g, meta, dtype)
-        tx, ty = int(g["tx"].iloc[0]), int(g["ty"].iloc[0])
+    def one_tile(pad, tx, ty, rows):
         # raster borders: the replicated halo would suppress real
         # boundary edges at the raster edge — mark outside explicitly
         if tx == 0:
@@ -894,7 +896,6 @@ def polygonize_rings(ds, meta: RasterMeta, values: list[int], *,
             pad[:, -1] = -2**30
         if ty == meta.tiles_y - 1:
             pad[-1, :] = -2**30
-        rows = {"level": [], "x1": [], "y1": [], "x2": [], "y2": []}
         for v in values:
             m = pad == v
             segs = _mask_boundary_segments(m[1:-1, 1:-1], tx * T, ty * T)
@@ -939,10 +940,26 @@ def polygonize_rings(ds, meta: RasterMeta, values: list[int], *,
             rows["level"].extend([v] * len(segs))
             for kk, col in enumerate(("x1", "y1", "x2", "y2")):
                 rows[col].extend(segs[:, kk])
+
+    # super-block bucket + per-tile walk (same shape as the raster
+    # halo family, r4) instead of one Python group per tile
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        txs = g["tx"].to_numpy()
+        tys = g["ty"].to_numpy()
+        order, starts, ends = _tile_runs(txs, tys)
+        txs, tys = txs[order], tys[order]
+        dxs = g["dx"].to_numpy()[order]
+        dys = g["dy"].to_numpy()[order]
+        datas = g["data"].to_numpy()[order]
+        rows = {"level": [], "x1": [], "y1": [], "x2": [], "y2": []}
+        for s, e in zip(starts, ends):
+            pad = _assemble_padded_arrays(dxs[s:e], dys[s:e], datas[s:e],
+                                          meta, dtype)
+            one_tile(pad, int(txs[s]), int(tys[s]), rows)
         return pd.DataFrame(rows)
 
-    segs = frags.groupby(["tx", "ty"]).map_groups(
-        per_tile, batch_format="pandas").to_pandas()
+    segs = tagged.groupby("bk__").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
     lines = stitch_segments(segs, snap=0.5)
     lines = lines.rename(columns={"level": "value", "line_id": "ring_id"})
     # ring area via shoelace on the decoded linestrings
