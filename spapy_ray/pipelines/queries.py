@@ -1241,8 +1241,14 @@ def q_contour_lines(sf_dir: str):
     from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
     from spapy_ray.stages.contour import contour
 
+    # with_geometry=False: the per-level invariants never read the
+    # WKB, and hauling ~66k line geometries through the merge +
+    # window shuffles tripled the query for nothing (BENCH r4 local
+    # A/B 28.9 s → with stats-only lines the full Dataset path is
+    # back near the r3 cost). line_id is still assigned distributed.
     lines = contour(synth_dem_dataset(DEM_META, kind="int"), DEM_META,
-                    CONTOUR_LEVELS, dtype="int32", as_dataset=True)
+                    CONTOUR_LEVELS, dtype="int32", as_dataset=True,
+                    with_geometry=False)
 
     def partial(t: pa.Table) -> pa.Table:
         cl = t.column("closed").to_numpy()

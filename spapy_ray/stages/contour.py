@@ -189,12 +189,14 @@ def contour_pieces(ds, meta: RasterMeta, levels: list[float], *,
     id_a i64, id_b i64 (terminal edge ids; -1 for closed pieces),
     geom_wkb binary (empty if with_geometry=False)."""
     from spapy_ray.stages.raster import (_assemble_padded_arrays,
-                                         _block_tagger, _tile_runs)
+                                         _auto_block, _block_tagger,
+                                         _tile_runs)
 
     frags = ds.map_batches(lambda t: _halo_fragments(t, meta, dtype),
                            batch_format="pyarrow")
-    tagged = frags.map_batches(_block_tagger("tx", "ty", 8),
-                               batch_format="pyarrow")
+    tagged = frags.map_batches(
+        _block_tagger("tx", "ty", _auto_block(meta)),
+        batch_format="pyarrow")
     T = meta.tile_size
 
     def one_tile(tx, ty, pad, rows):
@@ -456,7 +458,7 @@ def merge_open_pieces_dist(open_ds, levels: list[float], meta: RasterMeta,
 def contour(ds, meta: RasterMeta, levels: list[float], *,
             dtype: str = "float32", merge: str = "auto",
             driver_max_pieces: int = 2_000_000,
-            as_dataset: bool = True):
+            as_dataset: bool = True, with_geometry: bool = True):
     """Full contour op: distributed per-tile stitch → cross-tile merge
     of the border-fragment graph. Returns (level, line_id, n_points,
     length, closed, geom_wkb), line_id numbered 0..n-1 per level.
@@ -479,7 +481,8 @@ def contour(ds, meta: RasterMeta, levels: list[float], *,
     hash(root) buckets, driver only sees finished lines), or "auto"
     (driver below ``driver_max_pieces`` open fragments; always
     "distributed" in the dataset form)."""
-    pieces_ds = contour_pieces(ds, meta, levels, dtype=dtype).materialize()
+    pieces_ds = contour_pieces(ds, meta, levels, dtype=dtype,
+                               with_geometry=with_geometry).materialize()
     import pyarrow.compute as pc
 
     def open_only(t: pa.Table) -> pa.Table:
@@ -502,12 +505,18 @@ def contour(ds, meta: RasterMeta, levels: list[float], *,
         from spapy_ray.kernels.hashing import fnv1a64
         from spapy_ray.stages.window import window_over
 
-        merged_ds = merge_open_pieces_dist(open_ds, levels, meta)
+        merged_ds = merge_open_pieces_dist(open_ds, levels, meta,
+                                           with_geometry=with_geometry)
         lines = pieces_ds.map_batches(
             closed_only, batch_format="pyarrow").union(merged_ds)
 
+        # with geometry the fnv1a(wkb) tiebreak makes line_id a pure
+        # function of the line set; without it (with_geometry=False —
+        # the cheap stats form) ties order arbitrarily, like SQL
+        # row_number without a unique ORDER BY — line_id is still
+        # exactly 0..n-1 per level either way
         def add_tie(t: pa.Table) -> pa.Table:
-            tie = fnv1a64(t.column("geom_wkb")).astype(np.int64)
+            tie = fnv1a64(t.column("geom_wkb")).astype(np.int64)                 if with_geometry else np.zeros(len(t), np.int64)
             return pa.table({
                 "level": t.column("level"),
                 "closed": t.column("closed"),
@@ -539,9 +548,11 @@ def contour(ds, meta: RasterMeta, levels: list[float], *,
     closed = pieces_ds.map_batches(closed_only,
                                    batch_format="pyarrow").to_pandas()
     if merge == "distributed":
-        merged = merge_open_pieces_dist(open_ds, levels, meta).to_pandas()
+        merged = merge_open_pieces_dist(
+            open_ds, levels, meta, with_geometry=with_geometry).to_pandas()
     else:
-        merged = merge_open_pieces(open_ds.to_pandas())
+        merged = merge_open_pieces(open_ds.to_pandas(),
+                                   with_geometry=with_geometry)
     # empty-Dataset to_pandas drops columns — concat only real parts
     parts = [p for p in (closed, merged) if len(p)]
     if not parts:

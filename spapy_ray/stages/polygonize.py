@@ -876,13 +876,14 @@ def polygonize_rings(ds, meta: RasterMeta, values: list[int], *,
     """
     from spapy_ray.stages.contour import stitch_segments
     from spapy_ray.stages.raster import (_assemble_padded_arrays,
-                                         _block_tagger, _halo_fragments,
-                                         _tile_runs)
+                                         _auto_block, _block_tagger,
+                                         _halo_fragments, _tile_runs)
 
     frags = ds.map_batches(lambda t: _halo_fragments(t, meta, dtype),
                            batch_format="pyarrow")
-    tagged = frags.map_batches(_block_tagger("tx", "ty", 8),
-                               batch_format="pyarrow")
+    tagged = frags.map_batches(
+        _block_tagger("tx", "ty", _auto_block(meta)),
+        batch_format="pyarrow")
     T = meta.tile_size
 
     def one_tile(pad, tx, ty, rows):

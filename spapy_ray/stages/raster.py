@@ -395,6 +395,19 @@ def _halo_fragments(t: pa.Table, meta: RasterMeta, dtype: str) -> pa.Table:
 # overhead amortizes ~block²×; bucket payload stays bounded
 # (block² tiles + halos) independent of raster size.
 
+def _auto_block(meta: RasterMeta, cap: int = 8) -> int:
+    """Super-block side for per-tile bucketing: big enough to
+    amortize the ~1 ms per-group Python cost over ~block² tiles,
+    small enough that the raster still yields ≥ ~4 groups per CPU
+    (a fixed block=8 put a whole 8×8-tile sandbox raster into ONE
+    bucket and serialized it — measured 2.5× on contour pieces)."""
+    from spapy_ray.util import cluster_cpus
+
+    n = meta.tiles_x * meta.tiles_y
+    b = int(np.sqrt(max(1, n // (4 * cluster_cpus()))))
+    return max(1, min(cap, b))
+
+
 def _block_tagger(tx_col: str, ty_col: str, block: int):
     """map_batches fn appending ``bk__`` = packed super-block key."""
     def _tag(t: pa.Table) -> pa.Table:
@@ -517,12 +530,14 @@ def hillshade_kernel(pad: np.ndarray, cellsize_x: float, cellsize_y: float,
 
 
 def _stencil_bucketed(ds, meta: RasterMeta, named_kernels: dict, *,
-                      dtype: str, out_dtype: str, block: int = 8):
+                      dtype: str, out_dtype: str,
+                      block: int | None = None):
     """Shared engine for the 1-px halo stencils: fragments →
     groupby(super-block) → per-tile boundary-slice walk → kernel(s).
 
     Each output column ``name`` in ``named_kernels`` receives
     ``kernel(padded_array)`` cast to ``out_dtype``; one row per tile."""
+    block = block or _auto_block(meta)
     frags = ds.map_batches(lambda t: _halo_fragments(t, meta, dtype),
                            batch_format="pyarrow")
     tagged = frags.map_batches(_block_tagger("tx", "ty", block),
@@ -555,7 +570,7 @@ def _stencil_bucketed(ds, meta: RasterMeta, named_kernels: dict, *,
 
 
 def stencil_op(ds, meta: RasterMeta, kernel, *, dtype: str = "float32",
-               out_dtype: str = "float32", block: int = 8):
+               out_dtype: str = "float32", block: int | None = None):
     """Generic 1-px halo stencil: fragments → groupby(super-block) →
     vectorized per-tile walk → kernel.
 
@@ -633,7 +648,7 @@ def roughness(ds, meta: RasterMeta, *, dtype: str = "float32"):
 
 def stencil_op_multi(ds, meta: RasterMeta, kernels: dict, *,
                      dtype: str = "float32", out_dtype: str = "float32",
-                     block: int = 8):
+                     block: int | None = None):
     """Several 1-px halo stencils over the SAME source in ONE pass:
     one fragment exchange + one super-block groupby, each kernel
     applied to the shared padded array. Output rows carry one
@@ -724,8 +739,9 @@ def resample_to_grid(ds, src: RasterMeta, dst: RasterMeta, *,
         })
 
     frags = ds.map_batches(route, batch_format="pyarrow")
-    tagged = frags.map_batches(_block_tagger("tx", "ty", 4),
-                               batch_format="pyarrow")
+    tagged = frags.map_batches(
+        _block_tagger("tx", "ty", _auto_block(dst, cap=4)),
+        batch_format="pyarrow")
 
     def sample_one(TX, TY, sxs, sys_, datas):
         # mosaic the contributing source tiles
@@ -871,8 +887,9 @@ def crop_pixels(ds, meta: RasterMeta, px0: int, py0: int, px1: int, py1: int,
         })
 
     frags = ds.map_batches(route, batch_format="pyarrow")
-    tagged = frags.map_batches(_block_tagger("dtx", "dty", 8),
-                               batch_format="pyarrow")
+    tagged = frags.map_batches(
+        _block_tagger("dtx", "dty", _auto_block(out_meta)),
+        batch_format="pyarrow")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         dtxs = g["dtx"].to_numpy()
@@ -1056,8 +1073,9 @@ def warp_to_crs(ds, src: RasterMeta, crs: str, *, dst: RasterMeta | None = None,
         })
 
     frags = ds.map_batches(route, batch_format="pyarrow")
-    tagged = frags.map_batches(_block_tagger("dtx", "dty", 4),
-                               batch_format="pyarrow")
+    tagged = frags.map_batches(
+        _block_tagger("dtx", "dty", _auto_block(dst, cap=4)),
+        batch_format="pyarrow")
 
     def warp_one(DX, DY, sxs, sys_, datas):
         x_lo, x_hi = int(sxs.min()) * S, (int(sxs.max()) + 1) * S
