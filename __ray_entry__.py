@@ -166,6 +166,11 @@ def oracle_sql() -> dict[str, str]:
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),
         "dedup_clusters": o.q_dedup_clusters(),
+        # the streaming .shx-indexed reader and the LZW codec are
+        # lossless paths over the same payloads — they share the
+        # originals' closed-form twins
+        "shp_stream_roundtrip": o.q_zone_bounds_area(),
+        "tif_lzw_roundtrip": o.q_tif_roundtrip(),
         "quality_filter": o.q_quality_filter(),
         "dist_join_counts": o.q_dist_join_counts(),
         "semi_pages": o.q_semi_pages(),

@@ -2276,3 +2276,72 @@ def q_domain_caps(sf_dir: str, k: int = 5):
 
 
 QUERIES["domain_caps"] = q_domain_caps
+
+
+def q_shp_stream_roundtrip(sf_dir: str):
+    """.shx-indexed DISTRIBUTED shapefile ingest (VERDICT r3 #6,
+    sources/shapefile.read_shapefile_dataset: the driver reads only
+    the record index, workers seek-and-parse their .shp/.dbf ranges)
+    pushed through the value-hash gate: zones written to
+    .shp/.shx/.dbf, read back through the streaming reader with
+    batch_rows=64 (so the 200-feature layer really spans multiple
+    fetch tasks), measured. Same bit-exact twin as shp_roundtrip
+    (oracle: q_zone_bounds_area)."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+
+    from spapy_ray.sources import shapefile as shp
+    from spapy_ray.sources.zones import zones_table
+    from spapy_ray.stages.measures import measure_wkb_table
+
+    d = tempfile.mkdtemp(prefix="spapy_shps_")
+    try:
+        path = os.path.join(d, "zones.shp")
+        shp.write_shapefile(zones_table(), path, crs='LOCAL_CS["u2"]')
+        ds, _meta = shp.read_shapefile_dataset(path, batch_rows=64)
+        # workers seek into the files lazily — materialize the rows
+        # before the temp dir goes away
+        back = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return measure_wkb_table(back).select(
+        ["zone_id", "name", "minx", "miny", "maxx", "maxy", "area"])
+
+
+QUERIES["shp_stream_roundtrip"] = q_shp_stream_roundtrip
+
+
+def q_tif_lzw_roundtrip(sf_dir: str):
+    """GeoTIFF round-trip through the round-4 LZW codec (TIFF 6.0
+    §13 with the early-change width bump, sources/geotiff.py): same
+    ragged 500x420 grid and nodata tag as tif_roundtrip but
+    compression='lzw', so the codec's bit packing, width bumps and
+    table clears sit inside the value hash (oracle: the same
+    closed-form pixel twin as tif_roundtrip)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spapy_ray.sources.geotiff import read_geotiff, write_geotiff
+    from spapy_ray.sources.rasters import RasterMeta, synth_dem_dataset
+
+    meta = RasterMeta(width=500, height=420, tile_size=64,
+                      x_min=-10.0, y_max=55.0, pixel_w=0.125,
+                      pixel_h=-0.125)
+    d = tempfile.mkdtemp(prefix="spapy_lzw_")
+    try:
+        path = os.path.join(d, "dem.tif")
+        write_geotiff(synth_dem_dataset(meta, kind="int"), meta, path,
+                      dtype="int32", nodata=-9999, compression="lzw")
+        back, bmeta, nodata = read_geotiff(path)
+        assert bmeta.width == meta.width and nodata == -9999
+        out = _tile_int_stats(back, "int32", 64).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+QUERIES["tif_lzw_roundtrip"] = q_tif_lzw_roundtrip
