@@ -129,3 +129,24 @@ def test_within_distance_local_symmetry(pts, r5):
     for a, b in pairs:
         d2 = (lat5[a] - lat5[b]) ** 2 + (lon5[a] - lon5[b]) ** 2
         assert d2 <= r5 * r5
+
+
+@SET
+@given(st.binary(max_size=4096))
+def test_lzw_codec_roundtrip_property(data):
+    """TIFF LZW encode∘decode == identity on arbitrary bytes."""
+    from spapy_ray.sources.geotiff import lzw_decode, lzw_encode
+
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+@SET
+@given(st.integers(1, 4), st.integers(0, 255), st.integers(1, 64))
+def test_lzw_runs_compress_and_roundtrip(rep, byte, n):
+    """Runs compress below identity and still round-trip."""
+    from spapy_ray.sources.geotiff import lzw_decode, lzw_encode
+
+    data = bytes([byte]) * (n * 64 * rep)
+    enc = lzw_encode(data)
+    assert lzw_decode(enc) == data
+    assert len(enc) < len(data) + 8
