@@ -188,14 +188,12 @@ def contour_pieces(ds, meta: RasterMeta, levels: list[float], *,
     Columns: level f64, closed bool, n_points i64, length f64,
     id_a i64, id_b i64 (terminal edge ids; -1 for closed pieces),
     geom_wkb binary (empty if with_geometry=False)."""
-    from spapy_ray.stages.raster import (_assemble_padded_arrays,
-                                         _auto_block, _block_tagger,
-                                         _tile_runs)
+    from spapy_ray.stages.raster import (_auto_block, _block_mosaic_tiles,
+                                         _halo_block_rows)
 
-    frags = ds.map_batches(lambda t: _halo_fragments(t, meta, dtype),
-                           batch_format="pyarrow")
-    tagged = frags.map_batches(
-        _block_tagger("tx", "ty", _auto_block(meta)),
+    block = _auto_block(meta)
+    tagged = ds.map_batches(
+        lambda t: _halo_block_rows(t, meta, dtype, block),
         batch_format="pyarrow")
     T = meta.tile_size
 
@@ -224,22 +222,17 @@ def contour_pieces(ds, meta: RasterMeta, levels: list[float], *,
                 rows["geom_wkb"].append(
                     wkb.encode_linestring(arr) if arr is not None else b"")
 
-    # super-block bucket + per-tile boundary-slice walk (the
-    # tile_binary_math pattern) — not groupby([tx,ty]).map_groups
+    # block-mosaic halo exchange (raster.py r4): ~1.5 shuffle rows
+    # per tile instead of 9; per-tile pads are VIEWS of one mosaic
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        txs = g["tx"].to_numpy()
-        tys = g["ty"].to_numpy()
-        order, starts, ends = _tile_runs(txs, tys)
-        txs, tys = txs[order], tys[order]
-        dxs = g["dx"].to_numpy()[order]
-        dys = g["dy"].to_numpy()[order]
-        datas = g["data"].to_numpy()[order]
+        mosaic, tx0, ty0, tiles = _block_mosaic_tiles(g, meta, dtype,
+                                                      block)
         rows = {"level": [], "closed": [], "n_points": [], "length": [],
                 "id_a": [], "id_b": [], "geom_wkb": []}
-        for s, e in zip(starts, ends):
-            pad = _assemble_padded_arrays(dxs[s:e], dys[s:e], datas[s:e],
-                                          meta, dtype)
-            one_tile(int(txs[s]), int(tys[s]), pad, rows)
+        for tx, ty in tiles:
+            pad = mosaic[(ty - ty0) * T:(ty - ty0) * T + T + 2,
+                         (tx - tx0) * T:(tx - tx0) * T + T + 2]
+            one_tile(tx, ty, pad, rows)
         return pd.DataFrame(rows)
 
     return tagged.groupby("bk__").map_groups(per_bucket,

@@ -875,14 +875,12 @@ def polygonize_rings(ds, meta: RasterMeta, values: list[int], *,
     by first-match, a documented convention.
     """
     from spapy_ray.stages.contour import stitch_segments
-    from spapy_ray.stages.raster import (_assemble_padded_arrays,
-                                         _auto_block, _block_tagger,
-                                         _halo_fragments, _tile_runs)
+    from spapy_ray.stages.raster import (_auto_block, _block_mosaic_tiles,
+                                         _halo_block_rows)
 
-    frags = ds.map_batches(lambda t: _halo_fragments(t, meta, dtype),
-                           batch_format="pyarrow")
-    tagged = frags.map_batches(
-        _block_tagger("tx", "ty", _auto_block(meta)),
+    block = _auto_block(meta)
+    tagged = ds.map_batches(
+        lambda t: _halo_block_rows(t, meta, dtype, block),
         batch_format="pyarrow")
     T = meta.tile_size
 
@@ -942,21 +940,16 @@ def polygonize_rings(ds, meta: RasterMeta, values: list[int], *,
             for kk, col in enumerate(("x1", "y1", "x2", "y2")):
                 rows[col].extend(segs[:, kk])
 
-    # super-block bucket + per-tile walk (same shape as the raster
-    # halo family, r4) instead of one Python group per tile
+    # block-mosaic halo exchange (raster.py r4); one_tile MUTATES
+    # its pad (raster-border sentinel), so it gets a copy of the view
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        txs = g["tx"].to_numpy()
-        tys = g["ty"].to_numpy()
-        order, starts, ends = _tile_runs(txs, tys)
-        txs, tys = txs[order], tys[order]
-        dxs = g["dx"].to_numpy()[order]
-        dys = g["dy"].to_numpy()[order]
-        datas = g["data"].to_numpy()[order]
+        mosaic, tx0, ty0, tiles = _block_mosaic_tiles(g, meta, dtype,
+                                                      block)
         rows = {"level": [], "x1": [], "y1": [], "x2": [], "y2": []}
-        for s, e in zip(starts, ends):
-            pad = _assemble_padded_arrays(dxs[s:e], dys[s:e], datas[s:e],
-                                          meta, dtype)
-            one_tile(pad, int(txs[s]), int(tys[s]), rows)
+        for tx, ty in tiles:
+            pad = mosaic[(ty - ty0) * T:(ty - ty0) * T + T + 2,
+                         (tx - tx0) * T:(tx - tx0) * T + T + 2].copy()
+            one_tile(pad, tx, ty, rows)
         return pd.DataFrame(rows)
 
     segs = tagged.groupby("bk__").map_groups(

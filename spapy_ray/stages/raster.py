@@ -529,39 +529,156 @@ def hillshade_kernel(pad: np.ndarray, cellsize_x: float, cellsize_y: float,
     return (255.0 * np.clip(shaded, 0.0, 1.0)).astype(np.float32)
 
 
+# ---- block-mosaic halo exchange (round-4 rework #2) ---------------
+#
+# The original exchange emitted up to NINE fragment rows per tile
+# (core + 8 neighbor strips) — at 409,600 tiles that is 3.7M rows
+# through the sort shuffle and throughput collapsed superlinearly
+# (15.1k → 5.5k tiles/s at 4× the tiles). Tiles of one super-block
+# are co-located by construction, so interior halos never need to
+# travel: ship each CORE once (keyed by its own block) plus only the
+# 1-px strips that CROSS a block boundary (~0.5 extra rows/tile at
+# B=8), assemble ONE (B·T+2)² mosaic per bucket, and hand every
+# kernel its tile's pad as a zero-copy VIEW of the mosaic.
+
+def _halo_block_rows(t: pa.Table, meta: RasterMeta, dtype: str,
+                     block: int) -> pa.Table:
+    """Tile batch → core rows + cross-block halo strips, tagged with
+    the destination super-block key ``bk__``."""
+    txs = t.column("tx").to_numpy()
+    tys = t.column("ty").to_numpy()
+    out_bk, out_tx, out_ty, out_dx, out_dy, out_data = \
+        [], [], [], [], [], []
+    for i, buf in enumerate(t.column("data").to_pylist()):
+        tx, ty = int(txs[i]), int(tys[i])
+        own = ((tx // block) << 32) | (ty // block)
+        out_bk.append(own)
+        out_tx.append(tx)
+        out_ty.append(ty)
+        out_dx.append(0)
+        out_dy.append(0)
+        out_data.append(buf)                 # core ships unsliced
+        a = None
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                ntx, nty = tx + dx, ty + dy
+                if not (0 <= ntx < meta.tiles_x
+                        and 0 <= nty < meta.tiles_y):
+                    continue
+                nbk = ((ntx // block) << 32) | (nty // block)
+                if nbk == own:               # co-located: no traffic
+                    continue
+                if a is None:
+                    a = decode_tile(buf, dtype, meta.tile_size)
+                sl_x = slice(None) if dx == 0 else \
+                    (slice(-1, None) if dx == 1 else slice(0, 1))
+                sl_y = slice(None) if dy == 0 else \
+                    (slice(-1, None) if dy == 1 else slice(0, 1))
+                out_bk.append(nbk)
+                out_tx.append(tx)
+                out_ty.append(ty)
+                out_dx.append(dx)            # direction TOWARD dest
+                out_dy.append(dy)
+                out_data.append(np.ascontiguousarray(
+                    a[sl_y, sl_x]).tobytes())
+    return pa.table({
+        "bk__": pa.array(out_bk, type=pa.int64()),
+        "tx": pa.array(out_tx, type=pa.int32()),
+        "ty": pa.array(out_ty, type=pa.int32()),
+        "dx": pa.array(out_dx, type=pa.int8()),
+        "dy": pa.array(out_dy, type=pa.int8()),
+        "data": pa.array(out_data, type=pa.binary()),
+    })
+
+
+def _block_mosaic_tiles(g: pd.DataFrame, meta: RasterMeta, dtype: str,
+                        block: int):
+    """One bucket's rows → (mosaic with 1-px apron, tx0, ty0,
+    [(tx, ty), ...] core tiles). Each tile's padded array is
+    ``mosaic[(ty-ty0)*T:(ty-ty0)*T+T+2, (tx-tx0)*T:(tx-tx0)*T+T+2]``
+    — a view, no copy. Raster-exterior apron cells are edge-
+    replicated (columns first, then rows — same convention as
+    np.pad(mode='edge') and the per-tile assembler)."""
+    T = meta.tile_size
+    txs = g["tx"].to_numpy()
+    tys = g["ty"].to_numpy()
+    dxs = g["dx"].to_numpy()
+    dys = g["dy"].to_numpy()
+    datas = g["data"].to_numpy()
+    core = (dxs == 0) & (dys == 0)
+    ctx, cty = txs[core], tys[core]
+    bx, by = int(ctx[0]) // block, int(cty[0]) // block
+    tx0, ty0 = bx * block, by * block
+    nx = min(block, meta.tiles_x - tx0)
+    ny = min(block, meta.tiles_y - ty0)
+    dt = np.dtype(dtype)
+    mosaic = np.zeros((ny * T + 2, nx * T + 2), dtype=dt)
+    le = dt.newbyteorder("<")
+    for k in np.flatnonzero(core):
+        a = np.frombuffer(datas[k], dtype=le).reshape(T, T)
+        oy = (int(tys[k]) - ty0) * T + 1
+        ox = (int(txs[k]) - tx0) * T + 1
+        mosaic[oy:oy + T, ox:ox + T] = a
+    # incoming cross-block strips land at their global pixel coords
+    for k in np.flatnonzero(~core):
+        tx, ty = int(txs[k]), int(tys[k])
+        dx, dy = int(dxs[k]), int(dys[k])
+        gx0 = tx * T + (T - 1 if dx == 1 else 0)
+        gy0 = ty * T + (T - 1 if dy == 1 else 0)
+        w = 1 if dx != 0 else T
+        h = 1 if dy != 0 else T
+        frag = np.frombuffer(datas[k], dtype=le).reshape(h, w)
+        oy = gy0 - ty0 * T + 1
+        ox = gx0 - tx0 * T + 1
+        mosaic[oy:oy + h, ox:ox + w] = frag
+    # raster-exterior apron: edge replication, columns then rows
+    if tx0 == 0:
+        mosaic[:, 0] = mosaic[:, 1]
+    if tx0 + nx == meta.tiles_x:
+        mosaic[:, -1] = mosaic[:, -2]
+    if ty0 == 0:
+        mosaic[0, :] = mosaic[1, :]
+    if ty0 + ny == meta.tiles_y:
+        mosaic[-1, :] = mosaic[-2, :]
+    order = np.lexsort((cty, ctx))
+    tiles = [(int(ctx[j]), int(cty[j])) for j in order]
+    return mosaic, tx0, ty0, tiles
+
+
 def _stencil_bucketed(ds, meta: RasterMeta, named_kernels: dict, *,
                       dtype: str, out_dtype: str,
                       block: int | None = None):
-    """Shared engine for the 1-px halo stencils: fragments →
-    groupby(super-block) → per-tile boundary-slice walk → kernel(s).
+    """Shared engine for the 1-px halo stencils: block-mosaic halo
+    exchange → one mosaic per bucket → kernel(s) over per-tile pad
+    VIEWS.
 
     Each output column ``name`` in ``named_kernels`` receives
     ``kernel(padded_array)`` cast to ``out_dtype``; one row per tile."""
     block = block or _auto_block(meta)
-    frags = ds.map_batches(lambda t: _halo_fragments(t, meta, dtype),
-                           batch_format="pyarrow")
-    tagged = frags.map_batches(_block_tagger("tx", "ty", block),
-                               batch_format="pyarrow")
+    T = meta.tile_size
+    tagged = ds.map_batches(
+        lambda t: _halo_block_rows(t, meta, dtype, block),
+        batch_format="pyarrow")
     names = list(named_kernels)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        txs = g["tx"].to_numpy()
-        tys = g["ty"].to_numpy()
-        order, starts, ends = _tile_runs(txs, tys)
-        txs, tys = txs[order], tys[order]
-        dxs = g["dx"].to_numpy()[order]
-        dys = g["dy"].to_numpy()[order]
-        datas = g["data"].to_numpy()[order]
+        mosaic, tx0, ty0, tiles = _block_mosaic_tiles(g, meta, dtype,
+                                                      block)
         cols = {n: [] for n in names}
-        for s, e in zip(starts, ends):
-            pad = _assemble_padded_arrays(dxs[s:e], dys[s:e], datas[s:e],
-                                          meta, dtype)
+        o_tx = np.empty(len(tiles), dtype=np.int32)
+        o_ty = np.empty(len(tiles), dtype=np.int32)
+        for j, (tx, ty) in enumerate(tiles):
+            oy, ox = (ty - ty0) * T, (tx - tx0) * T
+            pad = mosaic[oy:oy + T + 2, ox:ox + T + 2]
+            o_tx[j], o_ty[j] = tx, ty
             for n in names:
                 cols[n].append(np.ascontiguousarray(
                     named_kernels[n](pad).astype(np.dtype(out_dtype)))
                     .tobytes())
-        res = {"tx": txs[starts], "ty": tys[starts],
-               "band": np.zeros(len(starts), dtype=np.int64)}
+        res = {"tx": o_tx, "ty": o_ty,
+               "band": np.zeros(len(tiles), dtype=np.int64)}
         res.update(cols)
         return pd.DataFrame(res)
 
