@@ -1082,7 +1082,8 @@ def component_rings(ds, meta: RasterMeta, *, dtype: str = "int32"):
     import ray
 
     from spapy_ray.kernels import wkb as _wkb
-    from spapy_ray.stages.raster import _assemble_padded, _halo_fragments
+    from spapy_ray.stages.raster import (_auto_block, _block_mosaic_tiles,
+                                         _halo_block_rows)
     from spapy_ray.util import cached_state
 
     comp, mapping = polygonize_components(ds, meta, dtype=dtype,
@@ -1091,35 +1092,49 @@ def component_rings(ds, meta: RasterMeta, *, dtype: str = "int32"):
     box = (mref,)
     T = meta.tile_size
     SENT = -2 ** 30
+    block = _auto_block(meta)
 
-    frags = ds.map_batches(lambda t: _halo_fragments(t, meta, dtype),
-                           batch_format="pyarrow")
+    tagged = ds.map_batches(
+        lambda t: _halo_block_rows(t, meta, dtype, block),
+        batch_format="pyarrow")
 
-    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+    # block-mosaic halo exchange (raster.py r4); raster-exterior
+    # sentinel painted once on the shared mosaic apron (same cells
+    # the assembler edge-replicates), pads stay zero-copy views
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         m = cached_state(box, lambda d: d)
-        pad = _assemble_padded(g, meta, dtype)
-        tx, ty = int(g["tx"].iloc[0]), int(g["ty"].iloc[0])
-        if tx == 0:
-            pad[:, 0] = SENT
-        if ty == 0:
-            pad[0, :] = SENT
-        if tx == meta.tiles_x - 1:
-            pad[:, -1] = SENT
-        if ty == meta.tiles_y - 1:
-            pad[-1, :] = SENT
-        labels = label_tile(pad[1:-1, 1:-1])
-        labs, e = _tile_directed_edges(pad, labels, tx, ty, T)
-        packed = _pack(np.full(len(labs), tx), np.full(len(labs), ty), labs)
-        comp_ids = np.array([m[int(k)] for k in packed], dtype=np.int64)
-        return pd.DataFrame({"comp": comp_ids,
-                             "x1": e[:, 0], "y1": e[:, 1],
-                             "x2": e[:, 2], "y2": e[:, 3]})
+        mosaic, tx0, ty0, tiles = _block_mosaic_tiles(g, meta, dtype,
+                                                      block)
+        if tx0 == 0:
+            mosaic[:, 0] = SENT
+        if ty0 == 0:
+            mosaic[0, :] = SENT
+        if tx0 + (mosaic.shape[1] - 2) // T == meta.tiles_x:
+            mosaic[:, -1] = SENT
+        if ty0 + (mosaic.shape[0] - 2) // T == meta.tiles_y:
+            mosaic[-1, :] = SENT
+        comps, e1, e2, e3, e4 = [], [], [], [], []
+        for tx, ty in tiles:
+            pad = mosaic[(ty - ty0) * T:(ty - ty0) * T + T + 2,
+                         (tx - tx0) * T:(tx - tx0) * T + T + 2]
+            labels = label_tile(pad[1:-1, 1:-1])
+            labs, e = _tile_directed_edges(pad, labels, tx, ty, T)
+            packed = _pack(np.full(len(labs), tx), np.full(len(labs), ty),
+                           labs)
+            comps.append(np.array([m[int(k)] for k in packed],
+                                  dtype=np.int64))
+            e1.append(e[:, 0]); e2.append(e[:, 1])
+            e3.append(e[:, 2]); e4.append(e[:, 3])
+        return pd.DataFrame({"comp": np.concatenate(comps),
+                             "x1": np.concatenate(e1),
+                             "y1": np.concatenate(e2),
+                             "x2": np.concatenate(e3),
+                             "y2": np.concatenate(e4)})
 
-    edges = frags.groupby(["tx", "ty"]).map_groups(per_tile,
-                                                   batch_format="pandas")
+    edges = tagged.groupby("bk__").map_groups(per_bucket,
+                                              batch_format="pandas")
 
-    def trace(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[["x1", "y1", "x2", "y2"]].to_numpy()
+    def trace_one(e: np.ndarray):
         rings = _trace_rings(e)
         signed = []
         for r in rings:
@@ -1141,15 +1156,41 @@ def component_rings(ds, meta: RasterMeta, *, dtype: str = "int32"):
                     polys[j].append(rings[i])
                     break
         mp = [polys[i] for i in exts]
-        return pd.DataFrame({
-            "comp": [int(g["comp"].iloc[0])],
-            "ring_area": [float(sum(signed))],
-            "n_rings": [len(rings)],
-            "geom_wkb": [_wkb.encode_multipolygon(mp)],
-        })
+        return (float(sum(signed)), len(rings),
+                _wkb.encode_multipolygon(mp))
 
-    traced = edges.groupby("comp").map_groups(trace,
-                                              batch_format="pandas").to_pandas()
+    # components hash-bucketed (~1k comps/bucket) — NOT one Python
+    # group per component; within a bucket a sort + run-boundary walk
+    # hands each component its edge slice
+    def hbk_tag(t: pa.Table) -> pa.Table:
+        c = t.column("comp").to_numpy().astype(np.uint64)
+        z = (c + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        hbk = ((z ^ (z >> np.uint64(31))) % np.uint64(256)).astype(np.int64)
+        return t.append_column("hbk", pa.array(hbk, type=pa.int64()))
+
+    def bucket_trace(g: pd.DataFrame) -> pd.DataFrame:
+        comps = g["comp"].to_numpy()
+        order = np.argsort(comps, kind="stable")
+        comps = comps[order]
+        e = g[["x1", "y1", "x2", "y2"]].to_numpy()[order]
+        bounds = np.flatnonzero(np.diff(comps)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(comps)]))
+        out_c, out_a, out_n, out_w = [], [], [], []
+        for s, en in zip(starts, ends):
+            area, n_rings, wkb_bytes = trace_one(e[s:en])
+            out_c.append(int(comps[s]))
+            out_a.append(area)
+            out_n.append(n_rings)
+            out_w.append(wkb_bytes)
+        return pd.DataFrame({"comp": out_c, "ring_area": out_a,
+                             "n_rings": out_n, "geom_wkb": out_w})
+
+    traced = edges.map_batches(hbk_tag, batch_format="pyarrow") \
+        .groupby("hbk").map_groups(bucket_trace,
+                                   batch_format="pandas").to_pandas()
     out = comp.merge(traced, left_on="component_id", right_on="comp",
                      how="left").drop(columns=["comp"])
     return out[["component_id", "value", "n_pixels", "ring_area",
