@@ -31,7 +31,6 @@ import pyarrow as pa
 
 from spapy_ray.kernels import wkb
 from spapy_ray.sources.rasters import RasterMeta
-from spapy_ray.stages.raster import _halo_fragments, _assemble_padded
 
 # marching-squares: for each case (bit0=TL, bit1=TR, bit2=BR, bit3=BL
 # above level) the crossed edge pairs. Edges: 0=top,1=right,2=bottom,3=left.

@@ -347,41 +347,7 @@ def zonal_stats(ds, zones: pa.Table, meta: RasterMeta, *, dtype: str = "int32",
 
 
 # ------------------------------------------------------- halo stencils
-
-def _halo_fragments(t: pa.Table, meta: RasterMeta, dtype: str) -> pa.Table:
-    """Emit, per tile, its core + the 1-px strips its 8 neighbors need,
-    keyed by destination tile."""
-    out_tx, out_ty, out_dx, out_dy, out_data = [], [], [], [], []
-    txs = t.column("tx").to_numpy()
-    tys = t.column("ty").to_numpy()
-    for i, buf in enumerate(t.column("data").to_pylist()):
-        a = decode_tile(buf, dtype, meta.tile_size)
-        tx, ty = int(txs[i]), int(tys[i])
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                ntx, nty = tx + dx, ty + dy
-                if not (0 <= ntx < meta.tiles_x and 0 <= nty < meta.tiles_y):
-                    continue
-                # slice of *this* tile that neighbor (ntx,nty) needs:
-                # the east neighbor (dx=+1) sees my EASTERNMOST column
-                # as its west halo, and so on.
-                sl_x = slice(None) if dx == 0 else (slice(-1, None) if dx == 1 else slice(0, 1))
-                sl_y = slice(None) if dy == 0 else (slice(-1, None) if dy == 1 else slice(0, 1))
-                frag = np.ascontiguousarray(a[sl_y, sl_x])
-                out_tx.append(ntx)
-                out_ty.append(nty)
-                out_dx.append(-dx)      # position of this frag relative to dest
-                out_dy.append(-dy)
-                out_data.append(frag.tobytes())
-    return pa.table({
-        "tx": pa.array(out_tx, type=pa.int32()),
-        "ty": pa.array(out_ty, type=pa.int32()),
-        "dx": pa.array(out_dx, type=pa.int8()),
-        "dy": pa.array(out_dy, type=pa.int8()),
-        "data": pa.array(out_data, type=pa.binary()),
-    })
-
-
+#
 # ---- super-block bucketing helpers (VERDICT r3 #1) ----------------
 #
 # Every per-tile assembly below used to run as
@@ -428,54 +394,6 @@ def _tile_runs(txs: np.ndarray, tys: np.ndarray):
     starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
     ends = np.r_[starts[1:], len(k)]
     return order, starts, ends
-
-
-def _assemble_padded(g: pd.DataFrame, meta: RasterMeta, dtype: str) -> np.ndarray:
-    """Fragments → padded array (pandas-frame wrapper around
-    :func:`_assemble_padded_arrays`, kept for direct/test callers)."""
-    return _assemble_padded_arrays(
-        g["dx"].to_numpy(), g["dy"].to_numpy(), g["data"].to_numpy(),
-        meta, dtype)
-
-
-def _assemble_padded_arrays(dxs: np.ndarray, dys: np.ndarray,
-                            datas: np.ndarray, meta: RasterMeta,
-                            dtype: str) -> np.ndarray:
-    """Fragments → (T+2)x(T+2) padded array, edges replicated where the
-    raster has no neighbor (Horn boundary convention)."""
-    T = meta.tile_size
-    pad = np.zeros((T + 2, T + 2), dtype=np.dtype(dtype))
-    core = None
-    for k in range(len(dxs)):
-        frag = np.frombuffer(datas[k], dtype=np.dtype(dtype).newbyteorder("<"))
-        dx, dy = int(dxs[k]), int(dys[k])
-        if dx == 0 and dy == 0:
-            core = frag.reshape(T, T)
-            pad[1:T + 1, 1:T + 1] = core
-        elif dx == 0:
-            row = frag.reshape(1, T)
-            pad[0 if dy < 0 else T + 1, 1:T + 1] = row
-        elif dy == 0:
-            col = frag.reshape(T, 1)
-            pad[1:T + 1, 0 if dx < 0 else T + 1] = col[:, 0]
-        else:
-            pad[0 if dy < 0 else T + 1, 0 if dx < 0 else T + 1] = frag[0]
-    # Replicate edges where no neighbor fragment arrived (raster
-    # border), matching np.pad(mode="edge") on the whole array.
-    # Columns FIRST, then rows: in a rectangular tile grid a corner
-    # fragment is missing iff an adjacent edge is missing, and this
-    # order makes the row/column replication fill every such corner
-    # with the correct value — no explicit corner handling.
-    present = set(zip(dxs.tolist(), dys.tolist()))
-    if (-1, 0) not in present:
-        pad[:, 0] = pad[:, 1]
-    if (1, 0) not in present:
-        pad[:, -1] = pad[:, -2]
-    if (0, -1) not in present:
-        pad[0, :] = pad[1, :]
-    if (0, 1) not in present:
-        pad[-1, :] = pad[-2, :]
-    return pad
 
 
 def horn_slope_aspect(pad: np.ndarray, cellsize_x: float, cellsize_y: float):
@@ -599,8 +517,8 @@ def _block_mosaic_tiles(g: pd.DataFrame, meta: RasterMeta, dtype: str,
     [(tx, ty), ...] core tiles). Each tile's padded array is
     ``mosaic[(ty-ty0)*T:(ty-ty0)*T+T+2, (tx-tx0)*T:(tx-tx0)*T+T+2]``
     — a view, no copy. Raster-exterior apron cells are edge-
-    replicated (columns first, then rows — same convention as
-    np.pad(mode='edge') and the per-tile assembler)."""
+    replicated, columns first then rows (the np.pad(mode='edge')
+    convention — Horn kernel boundary)."""
     T = meta.tile_size
     txs = g["tx"].to_numpy()
     tys = g["ty"].to_numpy()
