@@ -87,9 +87,14 @@ def run_bench() -> dict:
     # warm-up: small untimed run (JIT-ish costs, worker start, page cache)
     _consume(flagship_join(n=20_000))
 
-    t0 = time.time()
-    rows = _consume(flagship_join(SF_DIR))
-    headline = time.time() - t0
+    # headline best-of-N, same convention as the per-query rows (a
+    # single sample swings 2-3x with co-tenant load on this host)
+    reps0 = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    headline, rows = float("inf"), 0
+    for _ in range(reps0):
+        t0 = time.time()
+        rows = _consume(flagship_join(SF_DIR))
+        headline = min(headline, time.time() - t0)
 
     # per-query minima over >=3 runs (VERDICT r3 #8: single samples
     # made round-over-round regression detection meaningless on this

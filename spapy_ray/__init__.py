@@ -19,18 +19,15 @@ caller (driver / bench.py / test fixture).
 
 __version__ = "0.1.0"
 
-# Engine execution config: push-based shuffle pipelines the map and
-# reduce sides of sort/groupby exchanges instead of materializing the
-# whole sorted input first. Measured on this engine's own workloads
-# (round 4, within-window A/B at 32 cpus): halo exchange 22.3->12.4 s,
-# polygonize_components 10.5->7.9 s, dedup_pages 1.7->1.5 s, others
-# neutral (worst case orders_lineitem_join +0.2 s). Applied here so
-# every entry point (driver, bench, tests, user scripts) gets the
-# same engine, not a bench-only tune; harmless in worker processes.
-try:  # pragma: no cover - config plumbing
-    from ray.data import DataContext as _DC
-    from ray.data.context import ShuffleStrategy as _SS
-
-    _DC.get_current().shuffle_strategy = _SS.SORT_SHUFFLE_PUSH_BASED
-except Exception:  # ray absent / API drift: engine still works
-    pass
+# Engine execution config: the engine uses Ray Data's DEFAULT
+# (pull-based) sort shuffle. Push-based shuffle was enabled briefly in
+# round 4 when the halo exchange shipped 9 fragment rows/tile, where
+# it measured 22.3->12.4 s; after the block-mosaic exchange cut
+# shuffle volume 6x, an interleaved same-process A/B at 32 cpus
+# (best-of-3 per strategy, strategies alternated per run) showed
+# pull-based wins or ties 10/12 expensive queries — sum 54.3 s vs
+# 61.6 s (contamination_pairs 9.7 vs 13.0, near_dup_docs 4.8 vs 6.1,
+# dist_join_counts 4.7 vs 5.7) and the 102,400-tile stencil bench
+# 3.6-4.0 s vs 4.0-6.4 s. Small-per-row keyed exchanges don't
+# amortize push-based's extra pipelining machinery; revisit only for
+# genuinely multi-node, large-block shuffles.
