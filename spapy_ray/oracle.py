@@ -1513,3 +1513,56 @@ def q_domain_caps(k: int = 5) -> str:
             "(PARTITION BY host ORDER BY hv, url)::BIGINT AS rank "
             f"FROM h2 QUALIFY rank <= {k}"
     )
+
+
+def q_dbscan_clusters(eps_deg: float = 0.5, min_pts: int = 3) -> str:
+    """Twin of stages.cluster.dbscan_summary: neighbor counts over
+    distinct fixed-point coords (self included, multiplicities as
+    weights), core = cnt >= min_pts, clusters = recursive min-label
+    closure over the core eps-graph (min reachable pk == the
+    engine's canonical min core pk), border = nearest core by
+    (d2, pk), noise folded in as cluster -1."""
+    eps5 = int(round(eps_deg * 1e5))
+    e2 = eps5 * eps5
+    d2 = ("(a.lat5-b.lat5)*(a.lat5-b.lat5) + "
+          "(a.lon5-b.lon5)*(a.lon5-b.lon5)")
+    band = f"b.lat5 BETWEEN a.lat5 - {eps5} AND a.lat5 + {eps5}"
+    return (
+        f"WITH RECURSIVE {geo_cte()}, "
+        "pts AS (SELECT CAST(round(lat*100000.0) AS BIGINT) AS lat5, "
+        "CAST(round(lon*100000.0) AS BIGINT) AS lon5 "
+        "FROM geo WHERE lon >= -170.0), "
+        "coords AS (SELECT (lat5+8500000)*4294967296 + (lon5+18000000) "
+        "AS pk, lat5, lon5, count(*)::BIGINT AS w "
+        "FROM pts GROUP BY 1, 2, 3), "
+        "neigh AS (SELECT a.pk, a.lat5, a.lon5, a.w, "
+        "sum(b.w)::BIGINT AS cnt FROM coords a JOIN coords b "
+        f"ON {band} AND {d2} <= {e2} GROUP BY 1, 2, 3, 4), "
+        f"core AS (SELECT * FROM neigh WHERE cnt >= {min_pts}), "
+        "ep AS (SELECT a.pk AS u, b.pk AS v FROM core a JOIN core b "
+        f"ON a.pk <> b.pk AND {band} AND {d2} <= {e2}), "
+        "reach(n, r) AS (SELECT pk, pk FROM core "
+        "UNION SELECT ep.u, reach.r FROM ep JOIN reach ON reach.n = ep.v), "
+        "comp AS (SELECT n AS pk, min(r) AS cluster FROM reach GROUP BY n), "
+        "corelab AS (SELECT c.pk, c.lat5, c.lon5, c.w, comp.cluster, "
+        "0 AS role FROM core c JOIN comp ON comp.pk = c.pk), "
+        "bc AS (SELECT a.pk, a.lat5, a.lon5, a.w, b.pk AS cpk, "
+        f"{d2} AS d2 FROM neigh a JOIN core b "
+        f"ON a.cnt < {min_pts} AND {band} AND {d2} <= {e2}), "
+        "bpick AS (SELECT pk, lat5, lon5, w, cpk FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY pk ORDER BY d2, cpk) "
+        "AS rn FROM bc) WHERE rn = 1), "
+        "blab AS (SELECT b.pk, b.lat5, b.lon5, b.w, cl.cluster, "
+        "1 AS role FROM bpick b JOIN corelab cl ON cl.pk = b.cpk), "
+        "lab AS (SELECT * FROM corelab UNION ALL SELECT * FROM blab), "
+        "allr AS (SELECT * FROM lab UNION ALL "
+        "SELECT n.pk, n.lat5, n.lon5, n.w, -1 AS cluster, 2 AS role "
+        "FROM neigh n WHERE n.pk NOT IN (SELECT pk FROM lab)) "
+        "SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n_coords, "
+        "sum(w)::BIGINT AS n_points, "
+        "sum(CASE WHEN role = 0 THEN w ELSE 0 END)::BIGINT AS n_core, "
+        "sum(CASE WHEN role = 1 THEN w ELSE 0 END)::BIGINT AS n_border, "
+        "min(lat5)::BIGINT AS minlat5, min(lon5)::BIGINT AS minlon5, "
+        "max(lat5)::BIGINT AS maxlat5, max(lon5)::BIGINT AS maxlon5 "
+        "FROM allr GROUP BY cluster"
+    )

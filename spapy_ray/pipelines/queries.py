@@ -2345,3 +2345,32 @@ def q_tif_lzw_roundtrip(sf_dir: str):
 
 
 QUERIES["tif_lzw_roundtrip"] = q_tif_lzw_roundtrip
+
+
+def q_dbscan_clusters(sf_dir: str, eps_deg: float = 0.5,
+                      min_pts: int = 3):
+    """Distributed grid-DBSCAN (stages/cluster.py) over the geocoded
+    pages, excluding the url-fallback strip near -180 (it is one
+    giant eps-chain whose recursive-CTE twin would not terminate in
+    reasonable time; the engine itself handles it — pytest covers a
+    dense strip). Per-cluster integer aggregates + the noise row;
+    cluster ids are the canonical minimum core coordinate pack, so
+    engine and oracle agree without any renumbering convention.
+    components="distributed" pins the scale path (hash contraction)
+    under the driver's value hash, same policy as polygonize/
+    dedup_clusters."""
+    import pyarrow.compute as pc
+
+    from spapy_ray.stages.cluster import dbscan_summary
+
+    geo = _geo(sf_dir).select_columns(["lat", "lon"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("lon"), -170.0))
+
+    pts = geo.map_batches(keep, batch_format="pyarrow")
+    return dbscan_summary(pts, eps_deg=eps_deg, min_pts=min_pts,
+                          components="distributed")
+
+
+QUERIES["dbscan_clusters"] = q_dbscan_clusters
