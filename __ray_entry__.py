@@ -39,6 +39,7 @@ _FRONT = [
     # changed paths this round — must be driver-re-verified
     "terrain_stats", "resample_nearest", "resample_match_diff",
     "rasterize_points", "contour_lines", "dbscan_clusters",
+    "idw_raster",
     # stale since r1/r2 (absent from CORRECTNESS_r03.json)
     "domain_caps", "pages", "geocode", "cell_index", "pip_join",
     "zone_page_counts", "top_zones", "tile_counts", "dedup_pages",
@@ -53,7 +54,6 @@ _FRONT = [
     "near_dup_docs", "events_sessions", "events_campaigns",
     "media_probe", "events_props", "hull_areas", "relate_flags",
     "simplify_areas", "warp_equirect", "docs_rolling_fp",
-    "overlay_box_areas",
 ]
 
 
@@ -174,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": o.q_quality_filter(),
         "dist_join_counts": o.q_dist_join_counts(),
         "dbscan_clusters": o.q_dbscan_clusters(),
+        "idw_raster": o.q_idw_raster(),
         "semi_pages": o.q_semi_pages(),
         "anti_pages": o.q_semi_pages(anti=True),
         "events_quantiles": o.q_events_quantiles(),

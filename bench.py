@@ -46,7 +46,8 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # round-3 session-5 additions
                  "orders_lineitem_join", "events_windows",
                  "contamination_pairs", "cross_corpus_knn",
-                 "price_quantile_sketch", "dbscan_clusters"]
+                 "price_quantile_sketch", "dbscan_clusters",
+                 "idw_raster"]
 
 
 def _consume(res) -> int:

@@ -1566,3 +1566,35 @@ def q_dbscan_clusters(eps_deg: float = 0.5, min_pts: int = 3) -> str:
         "max(lat5)::BIGINT AS maxlat5, max(lon5)::BIGINT AS maxlon5 "
         "FROM allr GROUP BY cluster"
     )
+
+
+def q_idw_raster() -> str:
+    """Twin of stages.rasterize.idw_tile_stats on the 320x160
+    1-degree grid: per pixel center (exact fixed-point ints), integer
+    IDW weights 1e12 // (d2+1) over points within 2 degrees, per-tile
+    sums. Every operation is int64, so summation order is free."""
+    from spapy_ray.kernels.hashing import sql_fnv1a
+
+    r5 = 200000
+    d2 = ("(g.plat5-p.lat5)*(g.plat5-p.lat5) + "
+          "(g.plon5-p.lon5)*(g.plon5-p.lon5)")
+    w = f"(1000000000000 // ({d2} + 1))"
+    return (
+        f"WITH {geo_cte()}, "
+        "pts AS (SELECT CAST(round(lat*100000.0) AS BIGINT) AS lat5, "
+        "CAST(round(lon*100000.0) AS BIGINT) AS lon5, "
+        f"({sql_fnv1a('url')} % 256)::BIGINT AS v FROM geo), "
+        "grid AS (SELECT gx.range AS px, gy.range AS py, "
+        "(-16000000 + gx.range*100000 + 50000)::BIGINT AS plon5, "
+        "(8000000 - gy.range*100000 - 50000)::BIGINT AS plat5 "
+        "FROM range(320) gx, range(160) gy), "
+        "pix AS (SELECT g.px, g.py, "
+        f"sum({w} * p.v)::BIGINT AS num, "
+        f"sum({w})::BIGINT AS den "
+        "FROM grid g JOIN pts p "
+        f"ON p.lat5 BETWEEN g.plat5 - {r5} AND g.plat5 + {r5} "
+        f"AND {d2} <= {r5 * r5} GROUP BY 1, 2) "
+        "SELECT (px // 32)::BIGINT AS tx, (py // 32)::BIGINT AS ty, "
+        "sum(num)::BIGINT AS num_sum, sum(den)::BIGINT AS den_sum, "
+        "count(*)::BIGINT AS n_covered FROM pix GROUP BY 1, 2"
+    )

@@ -2374,3 +2374,33 @@ def q_dbscan_clusters(sf_dir: str, eps_deg: float = 0.5,
 
 
 QUERIES["dbscan_clusters"] = q_dbscan_clusters
+
+
+def q_idw_raster(sf_dir: str):
+    """Inverse-distance-weighted interpolation of a per-page integer
+    attribute (fnv1a(url) % 256) onto a 1-degree world grid
+    (stages/rasterize.idw_tile_stats): discrete integer weights
+    scale // (d2+1), exact int64 num/den per pixel, per-tile sums —
+    fully order-independent, so the per-pixel SQL twin hashes
+    identically. The reference has no interpolation operator at all;
+    this closes the classic points→surface gap (gdal_grid territory)
+    in the engine's fragment-shuffle shape."""
+    from spapy_ray.kernels.hashing import fnv1a64
+    from spapy_ray.sources.rasters import RasterMeta
+    from spapy_ray.stages.rasterize import idw_tile_stats
+
+    meta = RasterMeta(width=320, height=160, tile_size=32,
+                      x_min=-160.0, y_max=80.0,
+                      pixel_w=1.0, pixel_h=-1.0)
+    geo = _geo(sf_dir).select_columns(["url", "lat", "lon"])
+
+    def val(t: pa.Table) -> pa.Table:
+        v = (fnv1a64(t.column("url")) % np.uint64(256)).astype(np.int64)
+        return pa.table({"lat": t.column("lat"),
+                         "lon": t.column("lon"), "v": pa.array(v)})
+
+    pts = geo.map_batches(val, batch_format="pyarrow")
+    return idw_tile_stats(pts, meta, radius_deg=2.0, value_col="v")
+
+
+QUERIES["idw_raster"] = q_idw_raster

@@ -316,7 +316,6 @@ def dbscan_labels(ds, *, eps_deg: float, min_pts: int,
     import pyarrow.compute as pc
 
     from spapy_ray.stages.components import hash_to_min
-    from spapy_ray.stages.relational import bucketed_group_agg, hash_join
 
     eps5 = int(round(eps_deg * 1e5))
     if eps5 <= 0:
@@ -385,70 +384,102 @@ def dbscan_labels(ds, *, eps_deg: float, min_pts: int,
         .union(p2.map_batches(borders_only, batch_format="pyarrow")
                .map_batches(border_cells, batch_format="pyarrow"))
 
-    # resolve cell -> component label. Identity where unlabeled (a
-    # cell with no cross-cell edge is its own singleton component).
-    # inner ∪ anti instead of a LEFT join: cluster labels are 60-bit
-    # coordinate/cell packs, and a left join's NaN-filled unmatched
-    # rows would upcast them to float64 (> 2^53 loses bits).
-    hit = hash_join(members, labels, on="cell", right_on="v",
-                    how="inner", buckets=buckets)
-    miss = hash_join(members, labels, on="cell", right_on="v",
-                     how="anti", buckets=buckets)
+    # The label-resolution tail is THREE fused cogroup shuffles (an
+    # earlier form spent 6 hash_join/agg executions here — each
+    # inner+anti pair shuffled the same union twice; fusing halved
+    # the dbscan wall time at sf0.1). Inside each bucket the left
+    # merge uses pandas NULLABLE Int64 so the 60-bit cell/pk packs
+    # survive unmatched rows exactly (plain int64 would NaN-upcast
+    # to float64 and corrupt ids beyond 2^53).
+    b = buckets or max(64, cluster_cpus() * 4)
 
-    def pick_lab(t: pa.Table) -> pa.Table:
-        return pa.table({"pk": t.column("pk"),
-                         "role": t.column("role"),
-                         "lab": t.column("lab")})
+    def _hb(v: np.ndarray) -> np.ndarray:
+        return _hash_bucket(v, b)
 
-    def self_lab(t: pa.Table) -> pa.Table:
-        return pa.table({"pk": t.column("pk"),
-                         "role": t.column("role"),
-                         "lab": t.column("cell")})
-
-    resolved = hit.map_batches(pick_lab, batch_format="pyarrow") \
-        .union(miss.map_batches(self_lab, batch_format="pyarrow")) \
-        .materialize()        # two consumers: canon agg + final join
-
-    # canonical cluster id: min CORE pk per component
-    def cores_of(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t.column("role"), 0)) \
-            .select(["pk", "lab"])
-
-    def min_pk(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("lab", as_index=False, sort=False)["pk"].min()
-        return g.rename(columns={"pk": "cluster"})
-
-    canon = bucketed_group_agg(
-        resolved.map_batches(cores_of, batch_format="pyarrow"),
-        "lab", min_pk, buckets=buckets)
-
-    labeled = hash_join(resolved, canon, on="lab",
-                        buckets=buckets).materialize()
-
-    # attach labels back onto the distinct-coord table; coords with
-    # no label row are noise. Again inner ∪ anti (typed-exact) —
-    # a left join would float-upcast the 60-bit cluster ids.
-    with_lab = hash_join(cored, labeled.select_columns(
-        ["pk", "role", "cluster"]), on="pk", how="inner",
-        buckets=buckets)
-    noise = hash_join(cored, labeled.select_columns(["pk"]),
-                      on="pk", how="anti", buckets=buckets)
+    # shuffle 1 (key = cell): members ⟕ labels, identity fallback —
+    # a cell with no cross-cell edge is its own singleton component
+    def mem_rows(t: pa.Table) -> pa.Table:
+        cell = t.column("cell").to_numpy()
+        return pa.table({"hbk": pa.array(_hb(cell)),
+                         "kind": pa.array(np.ones(len(t), np.int8)),
+                         "cell": pa.array(cell),
+                         "pk": t.column("pk"),
+                         "role": pc.cast(t.column("role"), pa.int64())})
 
     def lab_rows(t: pa.Table) -> pa.Table:
-        return pa.table({"pk": t.column("pk"), "w": t.column("w"),
-                         "cnt": t.column("cnt"),
+        v = t.column("v").to_numpy()
+        z = len(t)
+        return pa.table({"hbk": pa.array(_hb(v)),
+                         "kind": pa.array(np.zeros(z, np.int8)),
+                         "cell": pa.array(v),
+                         "pk": t.column("lab"),
+                         "role": pa.array(np.zeros(z, np.int64))})
+
+    def resolve_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["kind"] == 0][["cell", "pk"]] \
+            .rename(columns={"pk": "lab"})
+        lab["lab"] = lab["lab"].astype("Int64")
+        m = df[df["kind"] == 1][["cell", "pk", "role"]] \
+            .merge(lab, on="cell", how="left")
+        m["lab"] = m["lab"].fillna(m["cell"]).astype(np.int64)
+        return m[["pk", "role", "lab"]]
+
+    resolved = members.map_batches(mem_rows, batch_format="pyarrow") \
+        .union(labels.map_batches(lab_rows, batch_format="pyarrow")) \
+        .groupby("hbk").map_groups(resolve_bucket, batch_format="pandas")
+
+    # shuffle 2 (key = lab): canonical min-core-pk per component,
+    # computed AND attached in one pass (all rows of a component are
+    # co-located, and every component holds >= 1 core)
+    def tag_lab(t: pa.Table) -> pa.Table:
+        lab = t.column("lab").to_numpy()
+        return t.append_column("hbk", pa.array(_hb(lab)))
+
+    def canon_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cores = df[df["role"] == 0]
+        canon = cores.groupby("lab", sort=False)["pk"].min()
+        df = df.assign(cluster=df["lab"].map(canon).astype(np.int64))
+        return df[["pk", "role", "cluster"]]
+
+    labeled = resolved.map_batches(tag_lab, batch_format="pyarrow") \
+        .groupby("hbk").map_groups(canon_bucket, batch_format="pandas")
+
+    # shuffle 3 (key = pk): attach labels to the distinct-coord
+    # table; coords with no label row are noise
+    def coord_rows(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy()
+        z = len(t)
+        return pa.table({"hbk": pa.array(_hb(pk)),
+                         "kind": pa.array(np.ones(z, np.int8)),
+                         "pk": pa.array(pk),
+                         "w": t.column("w"), "cnt": t.column("cnt"),
+                         "role": pa.array(np.zeros(z, np.int64)),
+                         "cluster": pa.array(np.zeros(z, np.int64))})
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy()
+        z = len(t)
+        return pa.table({"hbk": pa.array(_hb(pk)),
+                         "kind": pa.array(np.zeros(z, np.int8)),
+                         "pk": pa.array(pk),
+                         "w": pa.array(np.zeros(z, np.int64)),
+                         "cnt": pa.array(np.zeros(z, np.int64)),
                          "role": t.column("role"),
                          "cluster": t.column("cluster")})
 
-    def noise_rows(t: pa.Table) -> pa.Table:
-        n = len(t)
-        return pa.table({"pk": t.column("pk"), "w": t.column("w"),
-                         "cnt": t.column("cnt"),
-                         "role": pa.array(np.full(n, 2, np.int8)),
-                         "cluster": pa.array(np.full(n, -1, np.int64))})
+    def attach_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["kind"] == 0][["pk", "role", "cluster"]].copy()
+        lab["role"] = lab["role"].astype("Int64")
+        lab["cluster"] = lab["cluster"].astype("Int64")
+        m = df[df["kind"] == 1][["pk", "w", "cnt"]] \
+            .merge(lab, on="pk", how="left")
+        m["role"] = m["role"].fillna(2).astype(np.int8)
+        m["cluster"] = m["cluster"].fillna(-1).astype(np.int64)
+        return m[["pk", "w", "cnt", "role", "cluster"]]
 
-    return with_lab.map_batches(lab_rows, batch_format="pyarrow") \
-        .union(noise.map_batches(noise_rows, batch_format="pyarrow"))
+    return cored.map_batches(coord_rows, batch_format="pyarrow") \
+        .union(labeled.map_batches(label_rows, batch_format="pyarrow")) \
+        .groupby("hbk").map_groups(attach_bucket, batch_format="pandas")
 
 
 def dbscan(ds, *, eps_deg: float, min_pts: int,

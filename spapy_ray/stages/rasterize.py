@@ -87,3 +87,226 @@ def rasterize_points(ds, *, res: int = 9, tile_size: int = 64,
     tiles = ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
     return tiles, density_meta(res, tile_size)
+
+
+def _idw_frags(meta: RasterMeta, r5: int, b: int):
+    """Shared fragment router for the IDW stages: point batch →
+    one copy per raster tile whose pixel CENTERS the point can reach
+    (bbox test; the exact circle predicate runs inside the tile
+    kernel). All integer 1e-5 fixed-point arithmetic."""
+    T = meta.tile_size
+    x_min5 = int(round(meta.x_min * 1e5))
+    y_max5 = int(round(meta.y_max * 1e5))
+    pw5 = int(round(meta.pixel_w * 1e5))
+    ph5 = int(round(meta.pixel_h * 1e5))        # negative (north-up)
+    if pw5 % 2 or ph5 % 2:
+        raise ValueError("pixel size must be an even 1e-5 multiple "
+                         "so pixel centers are exact fixed-point")
+    ntx = (meta.width + T - 1) // T
+    nty = (meta.height + T - 1) // T
+
+    def frags(t: pa.Table, lat_col: str, lon_col: str,
+              v: np.ndarray) -> pa.Table:
+        from spapy_ray.stages.distjoin import _fixed5
+        lat5 = _fixed5(t.column(lat_col))
+        lon5 = _fixed5(t.column(lon_col))
+        # candidate pixel index range (centers within the r bbox),
+        # padded one pixel each side: the exact circle predicate in
+        # the tile kernel makes overcoverage free, undercoverage a bug
+        pxa = np.floor_divide(lon5 - r5 - x_min5 - pw5 // 2, pw5)
+        pxb = np.floor_divide(lon5 + r5 - x_min5 - pw5 // 2, pw5)
+        px0 = np.minimum(pxa, pxb) - 1
+        px1 = np.maximum(pxa, pxb) + 2
+        pya = np.floor_divide(lat5 - r5 - y_max5 - ph5 // 2, ph5)
+        pyb = np.floor_divide(lat5 + r5 - y_max5 - ph5 // 2, ph5)
+        py0 = np.minimum(pya, pyb) - 1
+        py1 = np.maximum(pya, pyb) + 2
+        tx0 = np.clip(px0 // T, 0, ntx - 1)
+        tx1 = np.clip((px1 - 1) // T, 0, ntx - 1)
+        ty0 = np.clip(py0 // T, 0, nty - 1)
+        ty1 = np.clip((py1 - 1) // T, 0, nty - 1)
+        inb = (px1 > 0) & (px0 < meta.width) \
+            & (py1 > 0) & (py0 < meta.height)
+        lat5, lon5, v = lat5[inb], lon5[inb], v[inb]
+        tx0, tx1, ty0, ty1 = tx0[inb], tx1[inb], ty0[inb], ty1[inb]
+        nx = (tx1 - tx0 + 1)
+        ny = (ty1 - ty0 + 1)
+        cnt = nx * ny
+        total = int(cnt.sum())
+        idx = np.repeat(np.arange(len(cnt)), cnt)
+        off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        txc = tx0[idx] + off // ny[idx]
+        tyc = ty0[idx] + off % ny[idx]
+        tkey = txc * np.int64(1 << 20) + tyc
+        hbk = ((tkey.astype(np.uint64) * _MIX) >> np.uint64(33)) \
+            % np.uint64(b)
+        return pa.table({"_tkey": pa.array(tkey),
+                         "_bucket": pa.array(hbk.astype(np.int64)),
+                         "lat5": pa.array(lat5[idx]),
+                         "lon5": pa.array(lon5[idx]),
+                         "v": pa.array(v[idx])})
+
+    return frags
+
+
+def _idw_tile(meta: RasterMeta, tx: int, ty: int, klat: np.ndarray,
+              klon: np.ndarray, kv: np.ndarray, r5: int, scale: int):
+    """num/den int64 grids for one tile: integer IDW weights
+    w = scale // (d2 + 1) for candidates with d2 <= r5^2."""
+    T = meta.tile_size
+    x_min5 = int(round(meta.x_min * 1e5))
+    y_max5 = int(round(meta.y_max * 1e5))
+    pw5 = int(round(meta.pixel_w * 1e5))
+    ph5 = int(round(meta.pixel_h * 1e5))
+    w_ = min(T, meta.width - tx * T)
+    h_ = min(T, meta.height - ty * T)
+    plon = x_min5 + (tx * T + np.arange(w_, dtype=np.int64)) * pw5 \
+        + pw5 // 2
+    plat = y_max5 + (ty * T + np.arange(h_, dtype=np.int64)) * ph5 \
+        + ph5 // 2
+    GLat = np.repeat(plat, w_)
+    GLon = np.tile(plon, h_)
+    num = np.zeros(h_ * w_, dtype=np.int64)
+    den = np.zeros(h_ * w_, dtype=np.int64)
+    r5sq = r5 * r5
+    step = max(1, 4_000_000 // max(1, len(klat)))
+    for i in range(0, len(GLat), step):
+        dx = GLon[i:i + step, None] - klon[None, :]
+        dy = GLat[i:i + step, None] - klat[None, :]
+        d2 = dx * dx + dy * dy
+        # int64 division is the expensive op and the radius circle
+        # covers ~(pi r^2 / tile area) of the matrix — divide only
+        # the within-radius cells (10x on sparse tiles), then fold
+        # them back with exact int64 scatter-adds
+        rows, cols = np.nonzero(d2 <= r5sq)
+        if len(rows):
+            w = scale // (d2[rows, cols] + 1)
+            np.add.at(num, i + rows, w * kv[cols])
+            np.add.at(den, i + rows, w)
+    return num.reshape(h_, w_), den.reshape(h_, w_)
+
+
+def idw_tile_stats(ds, meta: RasterMeta, *, radius_deg: float,
+                   value_col: str, lat_col: str = "lat",
+                   lon_col: str = "lon", scale: int = 10 ** 12,
+                   buckets: int | None = None):
+    """Inverse-distance-weighted interpolation of a point attribute
+    onto ``meta``'s pixel grid, reduced to per-tile INTEGER partials
+    (num_sum = Σ w·v, den_sum = Σ w, n_covered = pixels with a point
+    within r): exact, order-independent, oracle-hashable. Weights are
+    the discrete w = scale // (d2 + 1) with d in 1e-5-degree units —
+    pure int64 arithmetic end to end (the conventional 1/d^2 float
+    weight has no order-independent distributed sum). Tiles where no
+    pixel is covered are dropped.
+
+    Scale shape: one narrow fragment shuffle (each point ships ~28 B
+    to the few tiles its radius touches), bucketed on hash(tile);
+    per tile a chunked [pixels x candidates] int64 matrix."""
+    r5 = int(round(radius_deg * 1e5))
+    if r5 <= 0:
+        raise ValueError("radius_deg must be >= 1e-5")
+    if scale <= r5 * r5:
+        raise ValueError("scale must exceed r5^2 or far weights "
+                         "truncate to 0 inside the radius")
+    b = buckets or max(64, cluster_cpus() * 4)
+    frags = _idw_frags(meta, r5, b)
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return frags(t, lat_col, lon_col, v)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        tk = df["_tkey"].to_numpy()
+        order = np.argsort(tk, kind="stable")
+        tk = tk[order]
+        klat = df["lat5"].to_numpy()[order]
+        klon = df["lon5"].to_numpy()[order]
+        kv = df["v"].to_numpy()[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(tk)) + 1))
+        ends = np.concatenate((starts[1:], [len(tk)]))
+        txs, tys, nums, dens, covs = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            tx = int(tk[s]) // (1 << 20)
+            ty = int(tk[s]) % (1 << 20)
+            num, den = _idw_tile(meta, tx, ty, klat[s:e], klon[s:e],
+                                 kv[s:e], r5, scale)
+            cov = int((den > 0).sum())
+            if cov == 0:
+                continue          # bbox overlapped, circle missed
+            txs.append(tx)
+            tys.append(ty)
+            nums.append(int(num.sum()))
+            dens.append(int(den.sum()))
+            covs.append(cov)
+        return pd.DataFrame({
+            "tx": np.asarray(txs, dtype=np.int64),
+            "ty": np.asarray(tys, dtype=np.int64),
+            "num_sum": np.asarray(nums, dtype=np.int64),
+            "den_sum": np.asarray(dens, dtype=np.int64),
+            "n_covered": np.asarray(covs, dtype=np.int64)})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def idw_raster(ds, meta: RasterMeta, *, radius_deg: float,
+               value_col: str, lat_col: str = "lat",
+               lon_col: str = "lon", scale: int = 10 ** 12,
+               buckets: int | None = None):
+    """The raster form of :func:`idw_tile_stats`: (tile Dataset(tx,
+    ty, band, data float64 num/den; 0 where uncovered), meta with
+    dtype float64). Sparse-tile convention: tiles with no covered
+    pixel are absent. Feeds the standard raster stages (tile_math,
+    minmax, reclassify, rendering)."""
+    r5 = int(round(radius_deg * 1e5))
+    if r5 <= 0:
+        raise ValueError("radius_deg must be >= 1e-5")
+    b = buckets or max(64, cluster_cpus() * 4)
+    frags = _idw_frags(meta, r5, b)
+    T = meta.tile_size
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return frags(t, lat_col, lon_col, v)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        tk = df["_tkey"].to_numpy()
+        order = np.argsort(tk, kind="stable")
+        tk = tk[order]
+        klat = df["lat5"].to_numpy()[order]
+        klon = df["lon5"].to_numpy()[order]
+        kv = df["v"].to_numpy()[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(tk)) + 1))
+        ends = np.concatenate((starts[1:], [len(tk)]))
+        txs, tys, bufs = [], [], []
+        for s, e in zip(starts, ends):
+            tx = int(tk[s]) // (1 << 20)
+            ty = int(tk[s]) % (1 << 20)
+            num, den = _idw_tile(meta, tx, ty, klat[s:e], klon[s:e],
+                                 kv[s:e], r5, scale)
+            if not (den > 0).any():
+                continue
+            with np.errstate(divide="ignore", invalid="ignore"):
+                val = np.where(den > 0, num / np.maximum(den, 1), 0.0)
+            # ragged edge tiles pad to T x T (tile table convention)
+            if val.shape != (T, T):
+                full = np.zeros((T, T), dtype=np.float64)
+                full[:val.shape[0], :val.shape[1]] = val
+                val = full
+            txs.append(tx)
+            tys.append(ty)
+            bufs.append(np.ascontiguousarray(
+                val.astype(np.float64)).tobytes())
+        return pd.DataFrame({
+            "tx": np.asarray(txs, dtype=np.int32),
+            "ty": np.asarray(tys, dtype=np.int32),
+            "band": np.zeros(len(txs), dtype=np.int32),
+            "data": bufs})
+
+    import dataclasses
+    out_meta = dataclasses.replace(meta, dtype="float64")
+    tiles = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+    return tiles, out_meta
