@@ -39,7 +39,7 @@ _FRONT = [
     # changed paths this round — must be driver-re-verified
     "terrain_stats", "resample_nearest", "resample_match_diff",
     "rasterize_points", "contour_lines", "dbscan_clusters",
-    "idw_raster",
+    "idw_raster", "proximity_grid",
     # stale since r1/r2 (absent from CORRECTNESS_r03.json)
     "domain_caps", "pages", "geocode", "cell_index", "pip_join",
     "zone_page_counts", "top_zones", "tile_counts", "dedup_pages",
@@ -175,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "dist_join_counts": o.q_dist_join_counts(),
         "dbscan_clusters": o.q_dbscan_clusters(),
         "idw_raster": o.q_idw_raster(),
+        "proximity_grid": o.q_proximity_grid(),
         "semi_pages": o.q_semi_pages(),
         "anti_pages": o.q_semi_pages(anti=True),
         "events_quantiles": o.q_events_quantiles(),

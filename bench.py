@@ -47,7 +47,7 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  "orders_lineitem_join", "events_windows",
                  "contamination_pairs", "cross_corpus_knn",
                  "price_quantile_sketch", "dbscan_clusters",
-                 "idw_raster"]
+                 "idw_raster", "proximity_grid"]
 
 
 def _consume(res) -> int:

@@ -1598,3 +1598,28 @@ def q_idw_raster() -> str:
         "sum(num)::BIGINT AS num_sum, sum(den)::BIGINT AS den_sum, "
         "count(*)::BIGINT AS n_covered FROM pix GROUP BY 1, 2"
     )
+
+
+def q_proximity_grid() -> str:
+    """Twin of stages.rasterize.proximity_tile_stats: per pixel min
+    d2 over points within 2 degrees on the 320x160 1-degree grid,
+    per-tile (sum, min, count) — all int64."""
+    r5 = 200000
+    d2 = ("(g.plat5-p.lat5)*(g.plat5-p.lat5) + "
+          "(g.plon5-p.lon5)*(g.plon5-p.lon5)")
+    return (
+        f"WITH {geo_cte()}, "
+        "pts AS (SELECT CAST(round(lat*100000.0) AS BIGINT) AS lat5, "
+        "CAST(round(lon*100000.0) AS BIGINT) AS lon5 FROM geo), "
+        "grid AS (SELECT gx.range AS px, gy.range AS py, "
+        "(-16000000 + gx.range*100000 + 50000)::BIGINT AS plon5, "
+        "(8000000 - gy.range*100000 - 50000)::BIGINT AS plat5 "
+        "FROM range(320) gx, range(160) gy), "
+        "pix AS (SELECT g.px, g.py, "
+        f"min({d2})::BIGINT AS best FROM grid g JOIN pts p "
+        f"ON p.lat5 BETWEEN g.plat5 - {r5} AND g.plat5 + {r5} "
+        f"AND {d2} <= {r5 * r5} GROUP BY 1, 2) "
+        "SELECT (px // 32)::BIGINT AS tx, (py // 32)::BIGINT AS ty, "
+        "sum(best)::BIGINT AS d2_sum, min(best)::BIGINT AS d2_min, "
+        "count(*)::BIGINT AS n_covered FROM pix GROUP BY 1, 2"
+    )

@@ -2404,3 +2404,22 @@ def q_idw_raster(sf_dir: str):
 
 
 QUERIES["idw_raster"] = q_idw_raster
+
+
+def q_proximity_grid(sf_dir: str):
+    """Proximity raster (gdal_proximity's operator class — the
+    reference has no distance-grid op): per pixel of the 1-degree
+    world grid, the min squared fixed-point distance to any geocoded
+    page within 2 degrees; per-tile integer aggregates
+    (stages/rasterize.proximity_tile_stats). Exact int64 end to end."""
+    from spapy_ray.sources.rasters import RasterMeta
+    from spapy_ray.stages.rasterize import proximity_tile_stats
+
+    meta = RasterMeta(width=320, height=160, tile_size=32,
+                      x_min=-160.0, y_max=80.0,
+                      pixel_w=1.0, pixel_h=-1.0)
+    geo = _geo(sf_dir).select_columns(["lat", "lon"])
+    return proximity_tile_stats(geo, meta, radius_deg=2.0)
+
+
+QUERIES["proximity_grid"] = q_proximity_grid

@@ -103,3 +103,37 @@ def test_idw_rejects_odd_pixel_size(ray_session):
     with pytest.raises(ValueError):
         idw_tile_stats(ds, bad, radius_deg=0.1, value_col="v") \
             .to_pandas()
+
+
+def test_proximity_matches_brute(ray_session):
+    from spapy_ray.stages.rasterize import proximity_tile_stats
+    lat, lon, _ = points(21, 1200)
+    lat5 = np.round(lat * 1e5).astype(np.int64)
+    lon5 = np.round(lon * 1e5).astype(np.int64)
+    x_min5, y_max5, pw5, ph5 = -16000000, 8000000, 100000, -100000
+    plon = x_min5 + np.arange(320, dtype=np.int64) * pw5 + pw5 // 2
+    plat = y_max5 + np.arange(160, dtype=np.int64) * ph5 + ph5 // 2
+    SENT = np.iinfo(np.int64).max
+    BEST = np.full((160, 320), SENT, dtype=np.int64)
+    for yi in range(160):
+        dy = plat[yi] - lat5
+        dx = plon[None, :] - lon5[:, None]
+        d2 = dx * dx + (dy * dy)[:, None]
+        BEST[yi] = d2.min(axis=0)
+    BEST[BEST > R5 * R5] = SENT
+    ref = []
+    for ty in range(5):
+        for tx in range(10):
+            blk = BEST[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+            cov = blk < SENT
+            if cov.any():
+                ref.append((tx, ty, int(blk[cov].sum()),
+                            int(blk[cov].min()), int(cov.sum())))
+    ref = pd.DataFrame(ref, columns=["tx", "ty", "d2_sum", "d2_min",
+                                     "n_covered"]) \
+        .sort_values(["tx", "ty"]).reset_index(drop=True)
+    ds = rd.from_arrow(pa.table({"lat": lat, "lon": lon}))
+    got = proximity_tile_stats(ds, META, radius_deg=2.0) \
+        .to_pandas().sort_values(["tx", "ty"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[ref.columns].astype(np.int64), ref.astype(np.int64))
