@@ -176,6 +176,9 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_clusters": o.q_dbscan_clusters(),
         "idw_raster": o.q_idw_raster(),
         "proximity_grid": o.q_proximity_grid(),
+        "jaccard_pairs": o.q_jaccard_pairs(),
+        "embed_near_dup": o.q_embed_near_dup(),
+        "embed_near_dup_lsh": o.q_embed_near_dup_lsh(),
         "semi_pages": o.q_semi_pages(),
         "anti_pages": o.q_semi_pages(anti=True),
         "events_quantiles": o.q_events_quantiles(),

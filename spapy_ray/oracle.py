@@ -1623,3 +1623,43 @@ def q_proximity_grid() -> str:
         "sum(best)::BIGINT AS d2_sum, min(best)::BIGINT AS d2_min, "
         "count(*)::BIGINT AS n_covered FROM pix GROUP BY 1, 2"
     )
+
+
+def q_jaccard_pairs() -> str:
+    """Exact 3-shingle Jaccard for adjacent doc_id pairs (the
+    explicit-candidate form of the near-dup kernel). Same shingle
+    algebra as q_near_dup_docs; the last doc's pair drops via the
+    doc_id + 1 self-join, mirroring the engine's inner co-partition."""
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), "
+        "j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2])) AS sh FROM t) "
+        "SELECT a.doc_id AS key_a, b.doc_id AS key_b, "
+        "len(list_intersect(a.sh, b.sh))::DOUBLE / "
+        "len(list_distinct(list_concat(a.sh, b.sh))) AS jacc "
+        "FROM s a JOIN s b ON b.doc_id = a.doc_id + 1"
+    )
+
+
+def q_embed_near_dup(threshold: float = 0.45) -> str:
+    """All-pairs exact cosine >= threshold, cos quantized to 1e-6
+    micro-units (both engine and oracle compute in float64; the
+    fixture's nearest cosines are 2e-3 from the threshold)."""
+    sim = ("list_cosine_similarity("
+           "list_transform(a.embedding, x -> x::DOUBLE), "
+           "list_transform(b.embedding, x -> x::DOUBLE))")
+    return (
+        f"SELECT a.vec_id AS key_a, b.vec_id AS key_b, "
+        f"floor({sim} * 1e6)::BIGINT AS cos_u "
+        f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE {sim} >= {threshold}"
+    )
+
+
+def q_embed_near_dup_lsh() -> str:
+    """Ground truth for the LSH near-dup query: the corpus is
+    embeddings ∪ (vec_id + 100000 copy), so the only >= 0.99 pairs
+    are the 1:1 identity pairs (max non-identical fixture cosine is
+    0.51)."""
+    return ("SELECT vec_id AS key_a, vec_id + 100000 AS key_b "
+            "FROM embeddings")

@@ -2423,3 +2423,89 @@ def q_proximity_grid(sf_dir: str):
 
 
 QUERIES["proximity_grid"] = q_proximity_grid
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Exact n-gram (3-token-shingle) Jaccard for an explicit
+    candidate pair list — adjacent doc_ids here, standing in for any
+    externally supplied blocking key. The texts attach through ONE
+    co-partitioned payload shuffle (no broadcast, no driver key set);
+    jacc = |A∩B| / |A∪B| over distinct shingle sets is an exact
+    rational, bit-identical to the SQL twin."""
+    from spapy_ray.stages.neardup import pairwise_jaccard
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def cand(t: pa.Table) -> pa.Table:
+        return pa.table({"key_a": t.column("doc_id"),
+                         "key_b": pc.add(t.column("doc_id"), 1)})
+
+    # the last doc's (n-1, n) pair drops in BOTH paths: the engine's
+    # payload co-partition is inner on key existence, the oracle
+    # joins documents to itself on doc_id + 1
+    pairs = pairwise_jaccard(ds, ds.map_batches(cand,
+                                                batch_format="pyarrow"),
+                             key_col="doc_id")
+    return pairs.select_columns(["key_a", "key_b", "jacc"])
+
+
+QUERIES["jaccard_pairs"] = q_jaccard_pairs
+
+
+def q_embed_near_dup(sf_dir: str, threshold: float = 0.45):
+    """Embedding-cosine near-dup, exact brute-force baseline: every
+    unordered pair with cosine >= threshold via one GEMM task per
+    block pair (driver holds block refs only; result assembled with
+    from_pandas_refs). cos quantized to 1e-6 so the float column
+    hash-matches DuckDB's double cosine (both paths compute in
+    float64; the fixture's nearest cosines sit 2e-3 from the
+    threshold, so the pair set is ulp-robust)."""
+    from spapy_ray.stages.ann import cosine_threshold_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = cosine_threshold_pairs(ds, threshold=threshold)
+
+    def quant(t: pa.Table) -> pa.Table:
+        cos = np.asarray(t.column("cos").to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        return pa.table({
+            "key_a": t.column("key_a"),
+            "key_b": t.column("key_b"),
+            "cos_u": pa.array(np.floor(cos * 1e6).astype(np.int64))})
+
+    return pairs.map_batches(quant, batch_format="pyarrow")
+
+
+QUERIES["embed_near_dup"] = q_embed_near_dup
+
+
+def q_embed_near_dup_lsh(sf_dir: str, threshold: float = 0.99):
+    """Embedding-cosine near-dup, LSH-bucketed scale path: hyperplane
+    signatures → banded bucket shuffle → co-partitioned exact-cosine
+    verify (verify="join" pinned so the corpus-scale path is under
+    the value hash). The corpus is the embeddings table unioned with
+    a key-shifted byte-identical copy of itself: identical vectors
+    produce identical sign signatures, so every planted pair collides
+    in EVERY band — recall is deterministically 1, which is what
+    makes an exact oracle possible (the fixture's max non-identical
+    cosine is 0.51, far below the threshold). The approximate-recall
+    regime is pinned separately in tests/test_ann.py."""
+    from spapy_ray.stages.ann import embed_near_dup_lsh
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def shifted(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": pc.add(t.column("vec_id"), 100000),
+                         "embedding": t.column("embedding")})
+
+    both = ds.union(ds.map_batches(shifted, batch_format="pyarrow"))
+    first = ds.limit(1).to_pandas()
+    dim = len(first["embedding"].iloc[0])
+    pairs = embed_near_dup_lsh(both, dim=dim, threshold=threshold,
+                               verify="join")
+    # cos is ~1.0 up to summation ulp — not hashable; the pair SET is
+    # the assertion
+    return pairs.select_columns(["key_a", "key_b"])
+
+
+QUERIES["embed_near_dup_lsh"] = q_embed_near_dup_lsh

@@ -367,6 +367,67 @@ def _top_pairs_blockpair(ds, n_pairs: int, key_col: str, vec_col: str,
     return rd.from_pandas(cands)
 
 
+def cosine_threshold_pairs(ds, *, threshold: float,
+                           key_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           target_rows_per_block: int = 8192):
+    """Exact embedding-cosine near-dup: every unordered pair with
+    cosine >= threshold, via one Ray task per unordered block pair
+    (the brute-force baseline of the near-dup family; the LSH-bucketed
+    scale path is embed_near_dup_lsh). Same block machinery as
+    _top_pairs_blockpair, but tasks emit every qualifying pair and the
+    result is assembled with from_pandas_refs — the driver holds only
+    block refs, never a pair table.
+
+    Returns Dataset(key_a, key_b, cos) with key_a < key_b."""
+    import ray
+    import ray.data as rd
+
+    def prep(t: pa.Table) -> pa.Table:
+        E = _stack_embeddings(t.column(vec_col))
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        flat = pa.array(En.reshape(-1))
+        return pa.table({
+            "key": pc.cast(t.column(key_col), pa.int64()),
+            "vec": pa.FixedSizeListArray.from_arrays(flat, E.shape[1]),
+        })
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    n = ds.count()
+    by_cpu = int(np.ceil(np.sqrt(2 * cpus)))
+    nblocks = max(1, min(64, max(-(-n // target_rows_per_block),
+                                 min(by_cpu, -(-n // 256)))))
+    mat = ds.map_batches(prep, batch_format="pyarrow") \
+        .repartition(nblocks).materialize()
+    refs = [r for bundle in mat.iter_internal_ref_bundles()
+            for r in bundle.block_refs]
+
+    @ray.remote
+    def pair_task(blk_a, blk_b, same: bool):
+        ta = blk_a if isinstance(blk_a, pa.Table) else blk_a.to_arrow()
+        tb = blk_b if isinstance(blk_b, pa.Table) else blk_b.to_arrow()
+        ida = ta.column("key").to_numpy()
+        idb = tb.column("key").to_numpy()
+        A = _stack_embeddings(ta.column("vec"))
+        Bm = _stack_embeddings(tb.column("vec"))
+        sims = A @ Bm.T
+        mask = sims >= threshold
+        if same:
+            mask &= ida[:, None] < idb[None, :]
+        ii, jj = np.nonzero(mask)
+        ka = np.minimum(ida[ii], idb[jj])
+        kb = np.maximum(ida[ii], idb[jj])
+        return pd.DataFrame({"key_a": ka, "key_b": kb,
+                             "cos": sims[ii, jj]})
+
+    futs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            futs.append(pair_task.remote(refs[i], refs[j], i == j))
+    return rd.from_pandas_refs(futs)
+
+
 def _top_pairs_lsh(ds, n_pairs: int, key_col: str, vec_col: str,
                    threshold: float):
     """Top-N pair ranking over LSH-generated, exact-verified

@@ -346,6 +346,27 @@ def _verify_pairs_join(ds, cand, key_col: str, text_col: str,
     return paired.map_batches(verify, batch_format="pyarrow")
 
 
+def pairwise_jaccard(ds, cand, key_col: str, text_col: str = "text",
+                     shingle_n: int = 3, buckets: int = 64):
+    """Exact n-gram (token-shingle) Jaccard for an explicit pair list
+    — the direct dedup primitive when candidates come from elsewhere
+    (an external blocklist, a URL-normalized key, a prior LSH round)
+    rather than this module's own LSH banding.
+
+    ``cand`` is a Dataset(key_a, key_b); the texts are attached with
+    ONE co-partitioned payload shuffle (pair_payload_copartition —
+    no driver key set, no broadcast) and every pair is scored inside
+    its bucket. Pairs whose key is absent from the corpus drop
+    (inner semantics, same as a SQL join on key existence).
+
+    Returns Dataset(key_a, key_b, jacc) for ALL candidate pairs —
+    jacc = |A∩B| / |A∪B| over distinct shingle sets, an exact
+    rational of integer counts (bit-identical to its SQL twin)."""
+    return _verify_pairs_join(ds, cand, key_col, text_col,
+                              threshold=0.0, shingle_n=shingle_n,
+                              buckets=buckets)
+
+
 def near_dup_clusters(ds, key_col: str, text_col: str = "text",
                       num_hashes: int = 16, bands: int = 4,
                       threshold: float = 0.8, shingle_n: int = 3,

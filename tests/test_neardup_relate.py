@@ -209,3 +209,54 @@ def test_ngram_counts_trigram_boundary_mask(ray_session):
         "SELECT gram, count(*)::BIGINT AS n FROM g GROUP BY gram "
         "ORDER BY gram").df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_pairwise_jaccard_explicit_candidates(ray_session):
+    """pairwise_jaccard scores an explicit pair list exactly and
+    drops pairs whose key is absent (inner semantics)."""
+    import ray.data as rd
+
+    from spapy_ray.stages.neardup import jaccard, pairwise_jaccard
+
+    df = _docs_with_dups()
+    df["key"] = np.arange(len(df), dtype=np.int64)
+    ds = rd.from_pandas(df)
+    cand = rd.from_items([
+        {"key_a": 0, "key_b": 35},    # exact dup -> 1.0
+        {"key_a": 0, "key_b": 40},    # near dup
+        {"key_a": 0, "key_b": 21},    # unrelated
+        {"key_a": 0, "key_b": 999},   # absent key -> dropped
+    ])
+    out = pairwise_jaccard(ds, cand, key_col="key").to_pandas()
+    out = out.set_index(["key_a", "key_b"])["jacc"]
+    assert len(out) == 3 and (0, 999) not in out.index
+    assert out[(0, 35)] == 1.0
+    texts = df.set_index("key")["text"]
+    assert out[(0, 40)] == jaccard(texts[0], texts[40])
+    assert out[(0, 21)] == jaccard(texts[0], texts[21])
+
+
+def test_cosine_threshold_pairs_matches_bruteforce(ray_session):
+    """cosine_threshold_pairs == the numpy all-pairs set, across a
+    block boundary (repartition forces multiple block-pair tasks)."""
+    import ray.data as rd
+
+    from spapy_ray.stages.ann import cosine_threshold_pairs
+
+    rng = np.random.default_rng(7)
+    E = rng.standard_normal((300, 16))
+    E[150:] = E[:150] + rng.standard_normal((150, 16)) * 0.05  # planted
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = En @ En.T
+    iu = np.triu_indices(300, 1)
+    thr = 0.9
+    want = {(int(a), int(b)) for a, b in zip(*[x[S[iu] >= thr]
+            for x in (iu[0], iu[1])])}
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+        "embedding": pa.array(list(E.astype(np.float64)),
+                              type=pa.list_(pa.float64()))}))
+    got = cosine_threshold_pairs(ds, threshold=thr,
+                                 target_rows_per_block=64).to_pandas()
+    got_set = {(int(a), int(b)) for a, b in zip(got.key_a, got.key_b)}
+    assert got_set == want and len(want) >= 100
