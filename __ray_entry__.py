@@ -176,6 +176,9 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_clusters": o.q_dbscan_clusters(),
         "idw_raster": o.q_idw_raster(),
         "proximity_grid": o.q_proximity_grid(),
+        "voronoi_sites": o.q_voronoi_sites(),
+        "flow_direction": o.q_flow_direction(),
+        "kde_heatmap": o.q_kde_heatmap(),
         "jaccard_pairs": o.q_jaccard_pairs(),
         "embed_near_dup": o.q_embed_near_dup(),
         "embed_near_dup_lsh": o.q_embed_near_dup_lsh(),

@@ -1663,3 +1663,91 @@ def q_embed_near_dup_lsh() -> str:
     0.51)."""
     return ("SELECT vec_id AS key_a, vec_id + 100000 AS key_b "
             "FROM embeddings")
+
+
+def q_voronoi_sites() -> str:
+    """Twin of stages.voronoi.site_assignment_stats on the 8x8 world
+    lattice: nearest site by exact int64 fixed-point d2, ties to the
+    lowest site id, per-site count + floor-scaled d2 sum."""
+    return (
+        f"WITH {geo_cte()}, "
+        "pts AS (SELECT url, warc_ts, "
+        "CAST(round(lat*100000.0) AS BIGINT) AS lat5, "
+        "CAST(round(lon*100000.0) AS BIGINT) AS lon5 FROM geo), "
+        "sites AS (SELECT s.range AS site_id, "
+        "((s.range // 8) * 2125000 + 1062500 - 8500000)::BIGINT AS slat5, "
+        "((s.range % 8) * 4500000 + 2250000 - 18000000)::BIGINT AS slon5 "
+        "FROM range(64) s), "
+        "d AS (SELECT p.url, p.warc_ts, s.site_id, "
+        "(p.lat5 - s.slat5)*(p.lat5 - s.slat5) + "
+        "(p.lon5 - s.slon5)*(p.lon5 - s.slon5) AS d2, "
+        "row_number() OVER (PARTITION BY p.url, p.warc_ts "
+        "ORDER BY (p.lat5 - s.slat5)*(p.lat5 - s.slat5) + "
+        "(p.lon5 - s.slon5)*(p.lon5 - s.slon5), s.site_id) AS rn "
+        "FROM pts p CROSS JOIN sites s) "
+        "SELECT site_id, count(*)::BIGINT AS n_points, "
+        "sum(d2 // 10000)::BIGINT AS sum_d2q "
+        "FROM d WHERE rn = 1 GROUP BY site_id"
+    )
+
+
+def q_kde_heatmap() -> str:
+    """Twin of stages.rasterize.kde_tile_stats: per pixel the integer
+    quartic density Σ u², u = (r5² − d2) // kscale over points within
+    2°, per-tile sums on the 320x160 grid. Pixels whose density is 0
+    (every candidate at u = 0) are uncovered in both paths."""
+    r5 = 200000
+    ksc = 100000
+    d2 = ("(g.plat5-p.lat5)*(g.plat5-p.lat5) + "
+          "(g.plon5-p.lon5)*(g.plon5-p.lon5)")
+    u = f"(({r5 * r5} - ({d2})) // {ksc})"
+    return (
+        f"WITH {geo_cte()}, "
+        "pts AS (SELECT CAST(round(lat*100000.0) AS BIGINT) AS lat5, "
+        "CAST(round(lon*100000.0) AS BIGINT) AS lon5 FROM geo), "
+        "grid AS (SELECT gx.range AS px, gy.range AS py, "
+        "(-16000000 + gx.range*100000 + 50000)::BIGINT AS plon5, "
+        "(8000000 - gy.range*100000 - 50000)::BIGINT AS plat5 "
+        "FROM range(320) gx, range(160) gy), "
+        "pix AS (SELECT g.px, g.py, "
+        f"sum({u} * {u})::BIGINT AS wd "
+        "FROM grid g JOIN pts p "
+        f"ON p.lat5 BETWEEN g.plat5 - {r5} AND g.plat5 + {r5} "
+        f"AND {d2} <= {r5 * r5} GROUP BY 1, 2 "
+        f"HAVING sum({u} * {u}) > 0) "
+        "SELECT (px // 32)::BIGINT AS tx, (py // 32)::BIGINT AS ty, "
+        "sum(wd)::BIGINT AS w_sum, max(wd)::BIGINT AS w_max, "
+        "count(*)::BIGINT AS n_covered FROM pix GROUP BY 1, 2"
+    )
+
+
+def q_flow_direction() -> str:
+    """Twin of stages.raster.flow_direction: per pixel the D8 code
+    with integer 10/7 drop weighting, edge-clamped neighbors
+    (== np.pad mode='edge'), ties to the lowest code; per-tile
+    histogram of the 9 codes."""
+    from spapy_ray.sources.rasters import sql_dem_int
+    from spapy_ray.stages.raster import D8_OFFSETS
+
+    def cl(e: str) -> str:
+        return f"LEAST(GREATEST({e}, 0), 511)"
+
+    z = sql_dem_int("px", "py", 0)
+    wds = []
+    for (dy, dx, wt) in D8_OFFSETS:
+        n = sql_dem_int(cl(f"px + {dx}"), cl(f"py + {dy}"), 0)
+        wds.append(f"(({z}) - ({n})) * {wt}")
+    m = "GREATEST(" + ", ".join(f"wd{k + 1}" for k in range(8)) + ")"
+    case = "CASE WHEN " + m + " <= 0 THEN 0 " + " ".join(
+        f"WHEN wd{k + 1} = {m} THEN {k + 1}" for k in range(8)) + " END"
+    wd_cols = ", ".join(f"{e} AS wd{k + 1}" for k, e in enumerate(wds))
+    c_cols = ", ".join(
+        f"sum(CASE WHEN code = {k} THEN 1 ELSE 0 END)::BIGINT AS c{k}"
+        for k in range(9))
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py FROM range(262144) t(p)), "
+        f"wd AS (SELECT px, py, {wd_cols} FROM px), "
+        f"code AS (SELECT px, py, {case} AS code FROM wd) "
+        f"SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, {c_cols} "
+        "FROM code GROUP BY 1, 2"
+    )

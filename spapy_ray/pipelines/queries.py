@@ -2509,3 +2509,66 @@ def q_embed_near_dup_lsh(sf_dir: str, threshold: float = 0.99):
 
 
 QUERIES["embed_near_dup_lsh"] = q_embed_near_dup_lsh
+
+
+def q_voronoi_sites(sf_dir: str):
+    """Discrete-Voronoi nearest-site assignment: every geocoded page
+    assigned to the nearest of 64 deterministic lattice sites (exact
+    int64 fixed-point distance, ties → lowest site id), rolled up per
+    site (n_points, sum of d2 // 1e4). Broadcast pattern — no shuffle
+    for the assignment, combiner partials for the rollup."""
+    from spapy_ray.stages.voronoi import grid_sites, site_assignment_stats
+
+    sid, slat5, slon5 = grid_sites()
+    geo = _geo(sf_dir).select_columns(["lat", "lon"])
+    return site_assignment_stats(geo, sid, slat5, slon5)
+
+
+QUERIES["voronoi_sites"] = q_voronoi_sites
+
+
+def q_kde_heatmap(sf_dir: str):
+    """Integer quartic-kernel density heatmap of the geocoded pages
+    on the 320x160 1-degree grid (2-degree bandwidth), per-tile
+    (w_sum, w_max, n_covered) — exact int64 end to end, per-pixel
+    SQL twin."""
+    from spapy_ray.sources.rasters import RasterMeta
+    from spapy_ray.stages.rasterize import kde_tile_stats
+
+    meta = RasterMeta(width=320, height=160, tile_size=32,
+                      x_min=-160.0, y_max=80.0,
+                      pixel_w=1.0, pixel_h=-1.0)
+    geo = _geo(sf_dir).select_columns(["lat", "lon"])
+    return kde_tile_stats(geo, meta, radius_deg=2.0)
+
+
+QUERIES["kde_heatmap"] = q_kde_heatmap
+
+
+def q_flow_direction(sf_dir: str):
+    """D8 flow direction over the int DEM (one halo exchange), reduced
+    to a per-tile histogram of the 9 direction codes — 64 tiles x 9
+    exact integer counts, per-pixel SQL twin."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.raster import decode_tile, flow_direction
+
+    T = DEM_META.tile_size
+    dirs = flow_direction(synth_dem_dataset(DEM_META, kind="int"),
+                          DEM_META)
+
+    def hist(t: pa.Table) -> pa.Table:
+        cols = {"tx": pc.cast(t.column("tx"), pa.int64()),
+                "ty": pc.cast(t.column("ty"), pa.int64())}
+        counts = np.zeros((len(t), 9), dtype=np.int64)
+        for i, b in enumerate(t.column("data").to_pylist()):
+            codes = decode_tile(b, "int32", T).astype(np.int64)
+            counts[i] = np.bincount(codes.ravel(), minlength=9)
+        for k in range(9):
+            cols[f"c{k}"] = pa.array(counts[:, k])
+        return pa.table(cols)
+
+    out = dirs.map_batches(hist, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["tx", "ty"]).reset_index(drop=True)
+
+
+QUERIES["flow_direction"] = q_flow_direction

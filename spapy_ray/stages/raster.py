@@ -681,6 +681,39 @@ def roughness(ds, meta: RasterMeta, *, dtype: str = "float32"):
     return stencil_op(ds, meta, roughness_kernel, dtype=dtype)
 
 
+def d8_flow_kernel(pad: np.ndarray, *_args) -> np.ndarray:
+    """D8 steepest-descent flow direction (the gdaldem/TauDEM flow
+    operator class; absent from the reference). Codes 1..8 index the
+    fixed neighbor order E, SE, S, SW, W, NW, N, NE; 0 = pit/flat (no
+    strictly positive weighted drop). Drops are weighted 10 for
+    cardinal and 7 for diagonal neighbors — the integer approximation
+    of the 1/√2 diagonal-distance penalty that keeps every comparison
+    exact int64 and therefore bit-identical to the SQL twin (a float
+    1/√2 weighting has no such twin). Ties break to the LOWEST code
+    (np.argmax first-occurrence == SQL's ordered CASE chain)."""
+    z = pad.astype(np.int64)
+    h, w = pad.shape[0] - 2, pad.shape[1] - 2
+    c = z[1:-1, 1:-1]
+    wd = np.empty((8, h, w), dtype=np.int64)
+    for k, (dy, dx, wt) in enumerate(D8_OFFSETS):
+        wd[k] = (c - z[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]) * wt
+    best = wd.max(axis=0)
+    code = wd.argmax(axis=0).astype(np.int64) + 1
+    return np.where(best > 0, code, 0)
+
+
+# (dy, dx, weight): E SE S SW W NW N NE — codes 1..8 in this order
+D8_OFFSETS = ((0, 1, 10), (1, 1, 7), (1, 0, 10), (1, -1, 7),
+              (0, -1, 10), (-1, -1, 7), (-1, 0, 10), (-1, 1, 7))
+
+
+def flow_direction(ds, meta: RasterMeta, *, dtype: str = "int32"):
+    """Tile Dataset → D8 direction-code tiles (int32; one 1-px halo
+    exchange through the block-mosaic stencil engine)."""
+    return stencil_op(ds, meta, d8_flow_kernel, dtype=dtype,
+                      out_dtype="int32")
+
+
 def stencil_op_multi(ds, meta: RasterMeta, kernels: dict, *,
                      dtype: str = "float32", out_dtype: str = "float32",
                      block: int | None = None):

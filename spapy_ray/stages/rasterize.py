@@ -391,3 +391,94 @@ def proximity_tile_stats(ds, meta: RasterMeta, *, radius_deg: float,
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def kde_tile_stats(ds, meta: RasterMeta, *, radius_deg: float,
+                   kscale: int = 100_000, lat_col: str = "lat",
+                   lon_col: str = "lon", buckets: int | None = None):
+    """Kernel-density heatmap (the point-heatmap / KDE operator class,
+    absent from the reference): per pixel the integer quartic-kernel
+    density  Σ_points u², u = (r5² − d2) // kscale  for points with
+    d2 ≤ r5² — the discrete analogue of the Epanechnikov-squared
+    kernel (1 − (d/r)²)². Integer weights make the distributed sum
+    order-independent and exactly SQL-twinnable (the float Gaussian
+    has neither property). Reduced to per-tile aggregates
+    (w_sum = Σ pixel densities, w_max = hottest pixel, n_covered =
+    pixels with density > 0); pixels whose every candidate lands at
+    u = 0 count as uncovered in both engine and twin. Shares the IDW
+    fragment router: one narrow shuffle, bbox overcoverage, exact
+    circle predicate in the tile kernel. Uncovered tiles drop.
+
+    kscale bounds the per-point weight at (r5²//kscale)² — size it so
+    hot-cell pixel sums stay far from int64 (defaults give ≤1.6e11
+    per point, ~3e14 for a 2000-point urban pixel)."""
+    r5 = int(round(radius_deg * 1e5))
+    if r5 <= 0:
+        raise ValueError("radius_deg must be >= 1e-5")
+    if kscale <= 0 or (r5 * r5) // kscale <= 0:
+        raise ValueError("kscale must be positive and below r5^2")
+    b = buckets or max(64, cluster_cpus() * 4)
+    frags = _idw_frags(meta, r5, b)
+    T = meta.tile_size
+    x_min5 = int(round(meta.x_min * 1e5))
+    y_max5 = int(round(meta.y_max * 1e5))
+    pw5 = int(round(meta.pixel_w * 1e5))
+    ph5 = int(round(meta.pixel_h * 1e5))
+    r5sq = r5 * r5
+
+    def tag(t: pa.Table) -> pa.Table:
+        return frags(t, lat_col, lon_col,
+                     np.zeros(len(t), dtype=np.int64))
+
+    def _tile_kde(tx: int, ty: int, klat, klon) -> np.ndarray:
+        w_ = min(T, meta.width - tx * T)
+        h_ = min(T, meta.height - ty * T)
+        plon = x_min5 + (tx * T + np.arange(w_, dtype=np.int64)) \
+            * pw5 + pw5 // 2
+        plat = y_max5 + (ty * T + np.arange(h_, dtype=np.int64)) \
+            * ph5 + ph5 // 2
+        GLat = np.repeat(plat, w_)
+        GLon = np.tile(plon, h_)
+        dens = np.zeros(h_ * w_, dtype=np.int64)
+        step = max(1, 4_000_000 // max(1, len(klat)))
+        for i in range(0, len(GLat), step):
+            dx = GLon[i:i + step, None] - klon[None, :]
+            dy = GLat[i:i + step, None] - klat[None, :]
+            d2 = dx * dx + dy * dy
+            rows, cols = np.nonzero(d2 <= r5sq)
+            if len(rows):
+                u = (r5sq - d2[rows, cols]) // kscale
+                np.add.at(dens, i + rows, u * u)
+        return dens
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        tk = df["_tkey"].to_numpy()
+        order = np.argsort(tk, kind="stable")
+        tk = tk[order]
+        klat = df["lat5"].to_numpy()[order]
+        klon = df["lon5"].to_numpy()[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(tk)) + 1))
+        ends = np.concatenate((starts[1:], [len(tk)]))
+        txs, tys, sums, maxs, covs = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            tx = int(tk[s]) // (1 << 20)
+            ty = int(tk[s]) % (1 << 20)
+            dens = _tile_kde(tx, ty, klat[s:e], klon[s:e])
+            cov = dens > 0
+            ncov = int(cov.sum())
+            if ncov == 0:
+                continue
+            txs.append(tx)
+            tys.append(ty)
+            sums.append(int(dens.sum()))
+            maxs.append(int(dens.max()))
+            covs.append(ncov)
+        return pd.DataFrame({
+            "tx": np.asarray(txs, dtype=np.int64),
+            "ty": np.asarray(tys, dtype=np.int64),
+            "w_sum": np.asarray(sums, dtype=np.int64),
+            "w_max": np.asarray(maxs, dtype=np.int64),
+            "n_covered": np.asarray(covs, dtype=np.int64)})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")

@@ -1,0 +1,119 @@
+"""Nearest-site assignment, KDE heatmap, D8 flow direction."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _points(n=400, seed=3):
+    rng = np.random.default_rng(seed)
+    lat = np.round(rng.uniform(-80, 80, n), 5)
+    lon = np.round(rng.uniform(-170, 170, n), 5)
+    return pd.DataFrame({"lat": lat, "lon": lon})
+
+
+def test_nearest_site_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.voronoi import grid_sites, nearest_site
+
+    sid, slat5, slon5 = grid_sites()
+    df = _points()
+    out = nearest_site(rd.from_pandas(df), sid, slat5, slon5) \
+        .to_pandas().sort_values(["lat", "lon"]).reset_index(drop=True)
+    lat5 = np.rint(df["lat"].to_numpy() * 1e5).astype(np.int64)
+    lon5 = np.rint(df["lon"].to_numpy() * 1e5).astype(np.int64)
+    d2 = (lat5[:, None] - slat5[None, :]) ** 2 \
+        + (lon5[:, None] - slon5[None, :]) ** 2
+    want = pd.DataFrame({"lat": df["lat"], "lon": df["lon"],
+                         "site_id": sid[np.argmin(d2, axis=1)],
+                         "d2": d2.min(axis=1)}) \
+        .sort_values(["lat", "lon"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[want.columns], want)
+
+
+def test_site_assignment_stats_tie_breaks_low_id(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.voronoi import site_assignment_stats
+
+    # two sites equidistant from the point: (0,0) vs (6,8)-style tie
+    # via 3-4-5 scaling: point at (3,4), sites at (0,0) and (6,8)?
+    # d2 to (0,0) = 25, to (6,8) = 25 -> tie, lowest id wins
+    pts = pd.DataFrame({"lat": [3e-5], "lon": [4e-5]})
+    sid = np.array([0, 1], dtype=np.int64)
+    slat5 = np.array([0, 6], dtype=np.int64)
+    slon5 = np.array([0, 8], dtype=np.int64)
+    out = site_assignment_stats(rd.from_pandas(pts), sid, slat5, slon5,
+                                d2_div=1).to_pandas()
+    assert out["site_id"].tolist() == [0]
+    assert out["n_points"].tolist() == [1]
+    assert out["sum_d2q"].tolist() == [25]
+
+
+def test_kde_tile_stats_single_point(ray_session):
+    """One point: per-pixel densities recomputed brute force."""
+    import ray.data as rd
+
+    from spapy_ray.sources.rasters import RasterMeta
+    from spapy_ray.stages.rasterize import kde_tile_stats
+
+    meta = RasterMeta(width=32, height=32, tile_size=16,
+                      x_min=-16.0, y_max=16.0, pixel_w=1.0,
+                      pixel_h=-1.0)
+    pt = pd.DataFrame({"lat": [0.4], "lon": [-0.3]})
+    r5, ksc = 300000, 100000
+    out = kde_tile_stats(rd.from_pandas(pt), meta, radius_deg=3.0,
+                         kscale=ksc).to_pandas()
+    # brute force over all 1024 pixel centers
+    px = np.arange(32)
+    plon5 = -1600000 + px * 100000 + 50000
+    plat5 = 1600000 - px * 100000 - 50000
+    GLon, GLat = np.meshgrid(plon5, plat5)
+    d2 = (GLat - 40000) ** 2 + (GLon - (-30000)) ** 2
+    u = np.where(d2 <= r5 * r5, (r5 * r5 - d2) // ksc, 0)
+    dens = u * u
+    want = {}
+    for ty in range(2):
+        for tx in range(2):
+            blk = dens[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+            if (blk > 0).any():
+                want[(tx, ty)] = (int(blk.sum()), int(blk.max()),
+                                  int((blk > 0).sum()))
+    got = {(int(r.tx), int(r.ty)): (int(r.w_sum), int(r.w_max),
+                                    int(r.n_covered))
+           for r in out.itertuples()}
+    assert got == want and len(want) >= 2
+
+
+def test_d8_flow_kernel_bruteforce():
+    from spapy_ray.stages.raster import D8_OFFSETS, d8_flow_kernel
+
+    rng = np.random.default_rng(11)
+    z = rng.integers(0, 50, (10, 12)).astype(np.int32)
+    pad = np.pad(z, 1, mode="edge")
+    got = d8_flow_kernel(pad)
+    for y in range(10):
+        for x in range(12):
+            best, code = 0, 0
+            for k, (dy, dx, wt) in enumerate(D8_OFFSETS):
+                ny = min(max(y + dy, 0), 9)
+                nx = min(max(x + dx, 0), 11)
+                wd = (int(z[y, x]) - int(z[ny, nx])) * wt
+                if wd > best:
+                    best, code = wd, k + 1
+            assert got[y, x] == code, (y, x)
+
+
+def test_flow_direction_conserves_pixels(ray_session):
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.raster import decode_tile, flow_direction
+
+    dirs = flow_direction(synth_dem_dataset(DEM_META, kind="int"),
+                          DEM_META).to_pandas()
+    total = 0
+    for b in dirs["data"]:
+        codes = decode_tile(b, "int32", DEM_META.tile_size)
+        assert codes.min() >= 0 and codes.max() <= 8
+        total += codes.size
+    assert total == DEM_META.width * DEM_META.height
