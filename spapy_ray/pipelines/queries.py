@@ -2501,8 +2501,11 @@ def q_embed_near_dup_lsh(sf_dir: str, threshold: float = 0.99):
     both = ds.union(ds.map_batches(shifted, batch_format="pyarrow"))
     first = ds.limit(1).to_pandas()
     dim = len(first["embedding"].iloc[0])
+    # bands=4 -> 16-bit band hashes (65k buckets/band): random
+    # collisions scale as n^2/2^16 per band instead of n^2/2^8 —
+    # identical-vector recall is 1 for ANY banding (all bands match)
     pairs = embed_near_dup_lsh(both, dim=dim, threshold=threshold,
-                               verify="join")
+                               bands=4, verify="join")
     # cos is ~1.0 up to summation ulp — not hashable; the pair SET is
     # the assertion
     return pairs.select_columns(["key_a", "key_b"])

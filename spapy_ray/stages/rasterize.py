@@ -170,10 +170,19 @@ def _idw_tile(meta: RasterMeta, tx: int, ty: int, klat: np.ndarray,
     den = np.zeros(h_ * w_, dtype=np.int64)
     r5sq = r5 * r5
     step = max(1, 4_000_000 // max(1, len(klat)))
+    # chunk buffers allocated ONCE per tile and reused via out= —
+    # fresh [step x cand] allocations per chunk page-fault ~100x
+    # slower than the arithmetic under memory pressure
+    d2b = np.empty((min(step, len(GLat)), len(klat)), dtype=np.int64)
+    tb = np.empty_like(d2b)
     for i in range(0, len(GLat), step):
-        dx = GLon[i:i + step, None] - klon[None, :]
-        dy = GLat[i:i + step, None] - klat[None, :]
-        d2 = dx * dx + dy * dy
+        m = min(step, len(GLat) - i)
+        d2, tt = d2b[:m], tb[:m]
+        np.subtract(GLon[i:i + m, None], klon[None, :], out=d2)
+        np.multiply(d2, d2, out=d2)
+        np.subtract(GLat[i:i + m, None], klat[None, :], out=tt)
+        np.multiply(tt, tt, out=tt)
+        np.add(d2, tt, out=d2)
         # int64 division is the expensive op and the radius circle
         # covers ~(pi r^2 / tile area) of the matrix — divide only
         # the within-radius cells (10x on sparse tiles), then fold
@@ -314,7 +323,8 @@ def idw_raster(ds, meta: RasterMeta, *, radius_deg: float,
 
 def proximity_tile_stats(ds, meta: RasterMeta, *, radius_deg: float,
                          lat_col: str = "lat", lon_col: str = "lon",
-                         buckets: int | None = None):
+                         buckets: int | None = None,
+                         dedup_coords: bool = True):
     """Proximity grid (the gdal_proximity operator class, absent from
     the reference): per pixel the MINIMUM squared fixed-point distance
     to any input point within ``radius_deg``, reduced to per-tile
@@ -322,7 +332,9 @@ def proximity_tile_stats(ds, meta: RasterMeta, *, radius_deg: float,
     d2_min = min over the tile, n_covered) — exact int64 end to end,
     so the per-pixel SQL twin hashes identically. Shares the IDW
     fragment router (one narrow shuffle, bbox-overcovered, exact
-    circle predicate in the kernel). Uncovered tiles are dropped."""
+    circle predicate in the kernel). Uncovered tiles are dropped.
+    ``dedup_coords`` folds duplicate fixed-point coordinates before
+    the shuffle — exact for a min."""
     r5 = int(round(radius_deg * 1e5))
     if r5 <= 0:
         raise ValueError("radius_deg must be >= 1e-5")
@@ -336,9 +348,24 @@ def proximity_tile_stats(ds, meta: RasterMeta, *, radius_deg: float,
     SENT = np.iinfo(np.int64).max
     r5sq = r5 * r5
 
-    def tag(t: pa.Table) -> pa.Table:
-        return frags(t, lat_col, lon_col,
-                     np.zeros(len(t), dtype=np.int64))
+    if dedup_coords:
+        from spapy_ray.stages.cluster import distinct_coords, unpack5
+
+        src = distinct_coords(ds, lat_col=lat_col, lon_col=lon_col,
+                              buckets=b)
+
+        def tag(t: pa.Table) -> pa.Table:
+            lat5, lon5 = unpack5(t.column("pk").to_numpy())
+            pts = pa.table({lat_col: pa.array(lat5 / 1e5),
+                            lon_col: pa.array(lon5 / 1e5)})
+            return frags(pts, lat_col, lon_col,
+                         np.zeros(len(pts), dtype=np.int64))
+    else:
+        src = ds
+
+        def tag(t: pa.Table) -> pa.Table:
+            return frags(t, lat_col, lon_col,
+                         np.zeros(len(t), dtype=np.int64))
 
     def _tile_min(tx: int, ty: int, klat, klon) -> np.ndarray:
         w_ = min(T, meta.width - tx * T)
@@ -351,12 +378,20 @@ def proximity_tile_stats(ds, meta: RasterMeta, *, radius_deg: float,
         GLon = np.tile(plon, h_)
         best = np.full(h_ * w_, SENT, dtype=np.int64)
         step = max(1, 4_000_000 // max(1, len(klat)))
+        # once-per-tile chunk buffers (see _idw_tile)
+        d2b = np.empty((min(step, len(GLat)), len(klat)),
+                       dtype=np.int64)
+        tb = np.empty_like(d2b)
         for i in range(0, len(GLat), step):
-            dx = GLon[i:i + step, None] - klon[None, :]
-            dy = GLat[i:i + step, None] - klat[None, :]
-            d2 = dx * dx + dy * dy
-            np.minimum(best[i:i + step], d2.min(axis=1),
-                       out=best[i:i + step])
+            m = min(step, len(GLat) - i)
+            d2, tt = d2b[:m], tb[:m]
+            np.subtract(GLon[i:i + m, None], klon[None, :], out=d2)
+            np.multiply(d2, d2, out=d2)
+            np.subtract(GLat[i:i + m, None], klat[None, :], out=tt)
+            np.multiply(tt, tt, out=tt)
+            np.add(d2, tt, out=d2)
+            np.minimum(best[i:i + m], d2.min(axis=1),
+                       out=best[i:i + m])
         best[best > r5sq] = SENT
         return best
 
@@ -389,13 +424,14 @@ def proximity_tile_stats(ds, meta: RasterMeta, *, radius_deg: float,
             "d2_min": np.asarray(mins, dtype=np.int64),
             "n_covered": np.asarray(covs, dtype=np.int64)})
 
-    return ds.map_batches(tag, batch_format="pyarrow") \
+    return src.map_batches(tag, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def kde_tile_stats(ds, meta: RasterMeta, *, radius_deg: float,
                    kscale: int = 100_000, lat_col: str = "lat",
-                   lon_col: str = "lon", buckets: int | None = None):
+                   lon_col: str = "lon", buckets: int | None = None,
+                   dedup_coords: bool = True):
     """Kernel-density heatmap (the point-heatmap / KDE operator class,
     absent from the reference): per pixel the integer quartic-kernel
     density  Σ_points u², u = (r5² − d2) // kscale  for points with
@@ -411,7 +447,15 @@ def kde_tile_stats(ds, meta: RasterMeta, *, radius_deg: float,
 
     kscale bounds the per-point weight at (r5²//kscale)² — size it so
     hot-cell pixel sums stay far from int64 (defaults give ≤1.6e11
-    per point, ~3e14 for a 2000-point urban pixel)."""
+    per point, ~3e14 for a 2000-point urban pixel).
+
+    ``dedup_coords`` (default on) folds duplicate fixed-point
+    coordinates to one weighted candidate BEFORE the fragment
+    shuffle (stages.cluster.distinct_coords) — exact, because the
+    kernel depends only on the coordinate: dens += w·u². Web-page
+    corpora are duplicate-heavy (repeated urls geocode identically);
+    the hot-tile candidate count is what the kernel's cost scales
+    with."""
     r5 = int(round(radius_deg * 1e5))
     if r5 <= 0:
         raise ValueError("radius_deg must be >= 1e-5")
@@ -426,11 +470,29 @@ def kde_tile_stats(ds, meta: RasterMeta, *, radius_deg: float,
     ph5 = int(round(meta.pixel_h * 1e5))
     r5sq = r5 * r5
 
-    def tag(t: pa.Table) -> pa.Table:
-        return frags(t, lat_col, lon_col,
-                     np.zeros(len(t), dtype=np.int64))
+    if dedup_coords:
+        from spapy_ray.stages.cluster import distinct_coords, unpack5
 
-    def _tile_kde(tx: int, ty: int, klat, klon) -> np.ndarray:
+        dc = distinct_coords(ds, lat_col=lat_col, lon_col=lon_col,
+                             buckets=b)
+
+        def tag(t: pa.Table) -> pa.Table:
+            lat5, lon5 = unpack5(t.column("pk").to_numpy())
+            # /1e5 then rint(*1e5) round-trips exactly for |deg|<=180
+            pts = pa.table({lat_col: pa.array(lat5 / 1e5),
+                            lon_col: pa.array(lon5 / 1e5)})
+            w = t.column("w").to_numpy().astype(np.int64)
+            return frags(pts, lat_col, lon_col, w)
+
+        src = dc
+    else:
+        def tag(t: pa.Table) -> pa.Table:
+            return frags(t, lat_col, lon_col,
+                         np.ones(len(t), dtype=np.int64))
+
+        src = ds
+
+    def _tile_kde(tx: int, ty: int, klat, klon, kw) -> np.ndarray:
         w_ = min(T, meta.width - tx * T)
         h_ = min(T, meta.height - ty * T)
         plon = x_min5 + (tx * T + np.arange(w_, dtype=np.int64)) \
@@ -441,14 +503,22 @@ def kde_tile_stats(ds, meta: RasterMeta, *, radius_deg: float,
         GLon = np.tile(plon, h_)
         dens = np.zeros(h_ * w_, dtype=np.int64)
         step = max(1, 4_000_000 // max(1, len(klat)))
+        # once-per-tile chunk buffers (see _idw_tile)
+        d2b = np.empty((min(step, len(GLat)), len(klat)),
+                       dtype=np.int64)
+        tb = np.empty_like(d2b)
         for i in range(0, len(GLat), step):
-            dx = GLon[i:i + step, None] - klon[None, :]
-            dy = GLat[i:i + step, None] - klat[None, :]
-            d2 = dx * dx + dy * dy
+            m = min(step, len(GLat) - i)
+            d2, tt = d2b[:m], tb[:m]
+            np.subtract(GLon[i:i + m, None], klon[None, :], out=d2)
+            np.multiply(d2, d2, out=d2)
+            np.subtract(GLat[i:i + m, None], klat[None, :], out=tt)
+            np.multiply(tt, tt, out=tt)
+            np.add(d2, tt, out=d2)
             rows, cols = np.nonzero(d2 <= r5sq)
             if len(rows):
                 u = (r5sq - d2[rows, cols]) // kscale
-                np.add.at(dens, i + rows, u * u)
+                np.add.at(dens, i + rows, u * u * kw[cols])
         return dens
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -457,13 +527,14 @@ def kde_tile_stats(ds, meta: RasterMeta, *, radius_deg: float,
         tk = tk[order]
         klat = df["lat5"].to_numpy()[order]
         klon = df["lon5"].to_numpy()[order]
+        kw = df["v"].to_numpy()[order]
         starts = np.concatenate(([0], np.flatnonzero(np.diff(tk)) + 1))
         ends = np.concatenate((starts[1:], [len(tk)]))
         txs, tys, sums, maxs, covs = [], [], [], [], []
         for s, e in zip(starts, ends):
             tx = int(tk[s]) // (1 << 20)
             ty = int(tk[s]) % (1 << 20)
-            dens = _tile_kde(tx, ty, klat[s:e], klon[s:e])
+            dens = _tile_kde(tx, ty, klat[s:e], klon[s:e], kw[s:e])
             cov = dens > 0
             ncov = int(cov.sum())
             if ncov == 0:
@@ -480,5 +551,5 @@ def kde_tile_stats(ds, meta: RasterMeta, *, radius_deg: float,
             "w_max": np.asarray(maxs, dtype=np.int64),
             "n_covered": np.asarray(covs, dtype=np.int64)})
 
-    return ds.map_batches(tag, batch_format="pyarrow") \
+    return src.map_batches(tag, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")

