@@ -27,20 +27,22 @@ def entry() -> Any:
 
 # the driver hashes only the first 50 queries() entries per round.
 # Round-4 rotation (VERDICT r3 item 3): front-load the 50 queries
-# LEAST recently driver-verified — the 5 whose code paths changed
-# this round (raster halo rework + contour dataset-form) first, then
-# 45 of the 50 queries absent from CORRECTNESS_r03.json (last
-# driver-verified in r1/r2).  The 5 stale rows displaced to the back
-# (knn_zones_cells, dedup_first_rows, overlay_holes_areas,
-# events_sliding, text_invariant) share their entire code path with
-# a front-listed sibling and stay covered by the local
-# tools/check_correctness.py sweep.
+# LEAST recently driver-verified — never-verified additions and
+# changed code paths first, then rows absent from
+# CORRECTNESS_r03.json (last driver-verified in r1/r2).
 _FRONT = [
-    # changed paths this round — must be driver-re-verified
+    # new this round (never driver-verified) + changed paths —
+    # must be driver-verified first
+    "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
+    "voronoi_sites", "kde_heatmap", "flow_direction",
     "terrain_stats", "resample_nearest", "resample_match_diff",
     "rasterize_points", "contour_lines", "dbscan_clusters",
     "idw_raster", "proximity_grid",
-    # stale since r1/r2 (absent from CORRECTNESS_r03.json)
+    # stale since r1/r2 (absent from CORRECTNESS_r03.json); the
+    # seven displaced rows (events_props, hull_areas, relate_flags,
+    # simplify_areas, warp_equirect, docs_rolling_fp, media_probe)
+    # fold into the round-5 rotation and stay covered by the local
+    # tools/check_correctness.py sweep
     "domain_caps", "pages", "geocode", "cell_index", "pip_join",
     "zone_page_counts", "top_zones", "tile_counts", "dedup_pages",
     "knn_zones", "zone_bounds_area", "select_zones",
@@ -52,8 +54,6 @@ _FRONT = [
     "docs_lang_guess", "reclassify_hist", "raster_crop_minmax",
     "minhash_sigs", "simhash_docs", "embed_top_pairs",
     "near_dup_docs", "events_sessions", "events_campaigns",
-    "media_probe", "events_props", "hull_areas", "relate_flags",
-    "simplify_areas", "warp_equirect", "docs_rolling_fp",
 ]
 
 

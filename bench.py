@@ -47,7 +47,9 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  "orders_lineitem_join", "events_windows",
                  "contamination_pairs", "cross_corpus_knn",
                  "price_quantile_sketch", "dbscan_clusters",
-                 "idw_raster", "proximity_grid"]
+                 "idw_raster", "proximity_grid", "voronoi_sites",
+                 "kde_heatmap", "flow_direction", "jaccard_pairs",
+                 "embed_near_dup", "embed_near_dup_lsh"]
 
 
 def _consume(res) -> int:
