@@ -34,14 +34,15 @@ _FRONT = [
     # new this round (never driver-verified) + changed paths —
     # must be driver-verified first
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
-    "voronoi_sites", "kde_heatmap", "flow_direction",
+    "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
     "rasterize_points", "contour_lines", "dbscan_clusters",
     "idw_raster", "proximity_grid",
     # stale since r1/r2 (absent from CORRECTNESS_r03.json); the
     # seven displaced rows (events_props, hull_areas, relate_flags,
-    # simplify_areas, warp_equirect, docs_rolling_fp, media_probe)
-    # fold into the round-5 rotation and stay covered by the local
+    # simplify_areas, warp_equirect, docs_rolling_fp, media_probe,
+    # events_campaigns) fold into the round-5 rotation and stay
+    # covered by the local
     # tools/check_correctness.py sweep
     "domain_caps", "pages", "geocode", "cell_index", "pip_join",
     "zone_page_counts", "top_zones", "tile_counts", "dedup_pages",
@@ -53,7 +54,7 @@ _FRONT = [
     "project_equirect", "zone_centroids", "events_hourly",
     "docs_lang_guess", "reclassify_hist", "raster_crop_minmax",
     "minhash_sigs", "simhash_docs", "embed_top_pairs",
-    "near_dup_docs", "events_sessions", "events_campaigns",
+    "near_dup_docs", "events_sessions",
 ]
 
 
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity_grid": o.q_proximity_grid(),
         "voronoi_sites": o.q_voronoi_sites(),
         "flow_direction": o.q_flow_direction(),
+        "focal_majority": o.q_focal_majority(),
         "kde_heatmap": o.q_kde_heatmap(),
         "jaccard_pairs": o.q_jaccard_pairs(),
         "embed_near_dup": o.q_embed_near_dup(),

@@ -1751,3 +1751,39 @@ def q_flow_direction() -> str:
         f"SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, {c_cols} "
         "FROM code GROUP BY 1, 2"
     )
+
+
+def q_focal_majority() -> str:
+    """Twin of reclassify → stages.raster.focal_majority: per pixel
+    the 3x3 majority of the 4 reclassify classes (center included,
+    edge-clamped neighbors == np.pad mode='edge', ties to the lowest
+    class), per-tile class histogram."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    def cl(e: str) -> str:
+        return f"LEAST(GREATEST({e}, 0), 511)"
+
+    def cls(dx: int, dy: int) -> str:
+        z = sql_dem_int(cl(f"px + {dx}"), cl(f"py + {dy}"), 0)
+        return (f"(CASE WHEN ({z}) < 64 THEN 1 WHEN ({z}) < 128 THEN 2 "
+                f"WHEN ({z}) < 192 THEN 3 ELSE 4 END)")
+
+    window = [cls(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    ncols = ", ".join(
+        "(" + " + ".join(f"(w{i + 1} = {c})::INT" for i in range(9))
+        + f") AS n_{c}" for c in (1, 2, 3, 4))
+    wcols = ", ".join(f"{e} AS w{i + 1}" for i, e in enumerate(window))
+    m = "GREATEST(n_1, n_2, n_3, n_4)"
+    mode = ("CASE " + " ".join(
+        f"WHEN n_{c} = {m} THEN {c}" for c in (1, 2, 3, 4)) + " END")
+    hcols = ", ".join(
+        f"sum(CASE WHEN mode = {c} THEN 1 ELSE 0 END)::BIGINT AS n{c}"
+        for c in (1, 2, 3, 4))
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py FROM range(262144) t(p)), "
+        f"w AS (SELECT px, py, {wcols} FROM px), "
+        f"n AS (SELECT px, py, {ncols} FROM w), "
+        f"md AS (SELECT px, py, {mode} AS mode FROM n) "
+        f"SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, {hcols} "
+        "FROM md GROUP BY 1, 2"
+    )

@@ -2575,3 +2575,38 @@ def q_flow_direction(sf_dir: str):
 
 
 QUERIES["flow_direction"] = q_flow_direction
+
+
+def q_focal_majority(sf_dir: str):
+    """Reclassify the int DEM into 4 classes, then a 3x3 focal
+    majority (mode) filter — the classic post-classification
+    smoothing chain — reduced to per-tile class histograms. The
+    stencil reuses the reclassified TILE table directly (class tiles
+    in, class tiles out), so the chain is reclassify → one halo
+    exchange; ties to the lowest class in both engine and twin."""
+    from spapy_ray.stages.raster import (decode_tile, focal_majority,
+                                         reclassify)
+
+    ds, meta = _dem()
+    rc = reclassify(ds, bounds=[0, 64, 128, 192, 256],
+                    values=[1, 2, 3, 4], dtype="int32",
+                    tile_size=meta.tile_size)
+    fm = focal_majority(rc, meta, n_classes=5)
+    T = meta.tile_size
+
+    def hist(t: pa.Table) -> pa.Table:
+        cols = {"tx": pc.cast(t.column("tx"), pa.int64()),
+                "ty": pc.cast(t.column("ty"), pa.int64())}
+        counts = np.zeros((len(t), 5), dtype=np.int64)
+        for i, b in enumerate(t.column("data").to_pylist()):
+            cls = decode_tile(b, "int32", T).astype(np.int64)
+            counts[i] = np.bincount(cls.ravel(), minlength=5)
+        for k in range(1, 5):
+            cols[f"n{k}"] = pa.array(counts[:, k])
+        return pa.table(cols)
+
+    out = fm.map_batches(hist, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["tx", "ty"]).reset_index(drop=True)
+
+
+QUERIES["focal_majority"] = q_focal_majority

@@ -707,6 +707,33 @@ D8_OFFSETS = ((0, 1, 10), (1, 1, 7), (1, 0, 10), (1, -1, 7),
               (0, -1, 10), (-1, -1, 7), (-1, 0, 10), (-1, 1, 7))
 
 
+def focal_majority_kernel(pad: np.ndarray, n_classes: int) -> np.ndarray:
+    """3x3 focal mode (majority filter) for small-alphabet class
+    rasters — the standard post-classification smoothing op (gdal
+    sieve / ArcGIS FocalStatistics MAJORITY class; absent from the
+    reference). Center included in the window; ties break to the
+    LOWEST class value (argmax first occurrence == SQL's ordered CASE
+    chain). Classes must lie in [0, n_classes)."""
+    z = pad.astype(np.int64)
+    h, w = pad.shape[0] - 2, pad.shape[1] - 2
+    counts = np.zeros((n_classes, h, w), dtype=np.int16)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            win = z[dy:dy + h, dx:dx + w]
+            for c in range(n_classes):
+                counts[c] += win == c
+    return counts.argmax(axis=0)
+
+
+def focal_majority(ds, meta: RasterMeta, *, n_classes: int,
+                   dtype: str = "int32"):
+    """Class-tile Dataset → majority-filtered class tiles (int32),
+    one block-mosaic halo exchange."""
+    return stencil_op(ds, meta,
+                      lambda pad: focal_majority_kernel(pad, n_classes),
+                      dtype=dtype, out_dtype="int32")
+
+
 def flow_direction(ds, meta: RasterMeta, *, dtype: str = "int32"):
     """Tile Dataset → D8 direction-code tiles (int32; one 1-px halo
     exchange through the block-mosaic stencil engine)."""

@@ -37,9 +37,8 @@ def test_site_assignment_stats_tie_breaks_low_id(ray_session):
 
     from spapy_ray.stages.voronoi import site_assignment_stats
 
-    # two sites equidistant from the point: (0,0) vs (6,8)-style tie
-    # via 3-4-5 scaling: point at (3,4), sites at (0,0) and (6,8)?
-    # d2 to (0,0) = 25, to (6,8) = 25 -> tie, lowest id wins
+    # point (3,4) is d2=25 from BOTH (0,0) and (6,8) — exact tie,
+    # lowest site id must win
     pts = pd.DataFrame({"lat": [3e-5], "lon": [4e-5]})
     sid = np.array([0, 1], dtype=np.int64)
     slat5 = np.array([0, 6], dtype=np.int64)
@@ -117,3 +116,21 @@ def test_flow_direction_conserves_pixels(ray_session):
         assert codes.min() >= 0 and codes.max() <= 8
         total += codes.size
     assert total == DEM_META.width * DEM_META.height
+
+
+def test_focal_majority_kernel_bruteforce():
+    from spapy_ray.stages.raster import focal_majority_kernel
+
+    rng = np.random.default_rng(5)
+    z = rng.integers(0, 5, (9, 11)).astype(np.int32)
+    pad = np.pad(z, 1, mode="edge")
+    got = focal_majority_kernel(pad, 5)
+    for y in range(9):
+        for x in range(11):
+            cnt = np.zeros(5, dtype=int)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny = min(max(y + dy, 0), 8)
+                    nx = min(max(x + dx, 0), 10)
+                    cnt[z[ny, nx]] += 1
+            assert got[y, x] == int(np.argmax(cnt)), (y, x)
