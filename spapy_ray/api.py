@@ -426,3 +426,47 @@ def NearDupClusters(ds, key_col, **kw):
     from spapy_ray.stages.neardup import near_dup_clusters
 
     return near_dup_clusters(ds, key_col, **kw)
+
+
+def NearestSite(ds, site_ids, site_lat5, site_lon5, **kw):
+    from spapy_ray.stages.voronoi import nearest_site
+
+    return nearest_site(ds, site_ids, site_lat5, site_lon5, **kw)
+
+
+def KdeHeatmap(ds, meta, *, radius_deg, **kw):
+    from spapy_ray.stages.rasterize import kde_tile_stats
+
+    return kde_tile_stats(ds, meta, radius_deg=radius_deg, **kw)
+
+
+def FlowDirection(r: Raster):
+    from spapy_ray.stages.raster import flow_direction
+
+    return Raster(flow_direction(r.ds, r.meta, dtype=r.dtype), r.meta,
+                  "int32")
+
+
+def FocalMajority(r: Raster, n_classes: int):
+    from spapy_ray.stages.raster import focal_majority
+
+    return Raster(focal_majority(r.ds, r.meta, n_classes=n_classes,
+                                 dtype=r.dtype), r.meta, "int32")
+
+
+def PairwiseJaccard(ds, cand, key_col, **kw):
+    from spapy_ray.stages.neardup import pairwise_jaccard
+
+    return pairwise_jaccard(ds, cand, key_col, **kw)
+
+
+def EmbedNearDup(ds, *, threshold, exact: bool = False, **kw):
+    """Embedding-cosine near-dup: LSH scale path by default, exact
+    block-pair GEMM baseline with exact=True."""
+    if exact:
+        from spapy_ray.stages.ann import cosine_threshold_pairs
+
+        return cosine_threshold_pairs(ds, threshold=threshold, **kw)
+    from spapy_ray.stages.ann import embed_near_dup_lsh
+
+    return embed_near_dup_lsh(ds, threshold=threshold, **kw)

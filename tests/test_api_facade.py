@@ -139,3 +139,35 @@ def test_north_rule_one_liners(ray_session):
     parsed = api.UrlParse(rd.from_arrow(pa.table(
         {"url": ["https://h.example/p"]}))).to_pandas()
     assert parsed["host"][0] == "h.example"
+
+
+def test_final_r4_facade_one_liners(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray import api
+    from spapy_ray.stages.voronoi import grid_sites
+
+    meta = RasterMeta(width=64, height=64, tile_size=32, x_min=0.0,
+                      y_max=0.0, pixel_w=1.0, pixel_h=-1.0)
+    r = api.Raster(synth_dem_dataset(meta, kind="int"), meta)
+    fd = api.FlowDirection(r)
+    assert fd.ds.count() == 4 and fd.dtype == "int32"
+    fm = api.FocalMajority(api.ReclassifyRange(r, [0, 128, 256], [1, 2]),
+                           n_classes=3)
+    assert fm.ds.count() == 4
+
+    sid, slat5, slon5 = grid_sites()
+    pts = rd.from_pandas(pd.DataFrame(
+        {"lat": [10.0, -42.5], "lon": [3.25, 100.0]}))
+    ns = api.NearestSite(pts, sid, slat5, slon5).to_pandas()
+    assert len(ns) == 2 and ns["site_id"].between(0, 63).all()
+
+    emb = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(6, dtype=np.int64),
+        "embedding": [list(v) for v in np.tile(
+            np.eye(3), (2, 1)).astype(np.float64)]}))
+    ex = api.EmbedNearDup(emb, threshold=0.99, exact=True).to_pandas()
+    assert {(a, b) for a, b in zip(ex.key_a, ex.key_b)} == \
+        {(0, 3), (1, 4), (2, 5)}
