@@ -499,9 +499,11 @@ def embed_near_dup_lsh(ds, *, dim: int, threshold: float = 0.85,
     from spapy_ray.util import cached_state
 
     rows_per_band = n_bits // bands
+    # sigs feeds exactly one consumer (band_rows) — no materialize
+    # barrier; `banded` IS materialized because two stages read it
     sigs = hyperplane_signatures(ds, dim=dim, n_bits=n_bits,
                                  key_col=key_col, vec_col=vec_col,
-                                 seed=seed).materialize()
+                                 seed=seed)
 
     def band_rows(t: pa.Table) -> pa.Table:
         sig = t.column("sig").to_numpy()
@@ -520,28 +522,16 @@ def embed_near_dup_lsh(ds, *, dim: int, threshold: float = 0.85,
                                      if isinstance(k, pa.ChunkedArray) else k
                                      for k in keys])})
 
-    banded = sigs.map_batches(band_rows, batch_format="pyarrow").materialize()
-
-    from ray.data.aggregate import Count
-
-    counts = banded.groupby("bkey").aggregate(Count(alias_name="c"))
-
-    def hot_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t.column("c"), 2)).select(["bkey"])
-
-    hot = counts.map_batches(hot_only, batch_format="pyarrow").to_pandas()
-    hot_arr = pa.array(hot["bkey"].to_numpy())
-
-    def in_hot(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t.column("bkey"), value_set=hot_arr))
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
 
     # candidate pairs within each collision bucket — same vectorized
-    # batched-by-size emission as the MinHash path (relational.py)
+    # batched-by-size emission as the MinHash path (relational.py);
+    # one shuffle, singleton buckets emit nothing (no Count pre-pass,
+    # no driver-side hot-bucket list — see neardup.near_dup_pairs)
+    from ray.data.aggregate import Count
     from spapy_ray.stages.relational import within_group_pairs
 
-    cand = within_group_pairs(
-        banded.map_batches(in_hot, batch_format="pyarrow"),
-        "bkey", "key")
+    cand = within_group_pairs(banded, "bkey", "key")
 
     def pair_dedup_local(t: pa.Table) -> pa.Table:
         df = t.to_pandas().drop_duplicates(["key_a", "key_b"])

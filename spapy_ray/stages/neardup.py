@@ -210,39 +210,19 @@ def near_dup_pairs(ds, key_col: str, text_col: str = "text",
         return t.append_column("bkey", pa.array(bk))
 
     banded = sigs.map_batches(band_rows, batch_format="pyarrow") \
-        .map_batches(add_bucket_key, batch_format="pyarrow").materialize()
+        .map_batches(add_bucket_key, batch_format="pyarrow")
 
-    # collision buckets first via a vectorized aggregate — a plain
-    # groupby().map_groups here would invoke Python once per bucket,
-    # and almost every bucket is a singleton (measured 20s of pure
-    # per-group overhead on 20k buckets)
+    # candidate pairs within each collision bucket: ONE hash-bucket
+    # shuffle + batched-by-size vectorized emission; singleton
+    # buckets (almost all of them) die inside the segment walk at
+    # zero cost. An earlier version pre-filtered collision buckets
+    # through a Count aggregate — that added a second full shuffle
+    # AND a driver-side hot-bucket list (O(collision buckets) rows on
+    # the driver: a scale hazard), for no change in the pair set.
     from ray.data.aggregate import Count
-
-    counts = banded.groupby("bkey").aggregate(Count(alias_name="c"))
-
-    def hot_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t.column("c"), 2)) \
-            .select(["bkey"])
-
-    hot = counts.map_batches(hot_only, batch_format="pyarrow").to_pandas()
-    if len(hot) == 0:
-        # duplicate-free corpus: no bucket has >=2 members (and the
-        # empty frame has no columns at all) — short-circuit with an
-        # empty, correctly-typed result (ADVICE r2)
-        return _empty_pairs(ds, key_col)
-    hot_arr = pa.array(hot["bkey"].to_numpy())
-
-    def in_hot(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t.column("bkey"), value_set=hot_arr))
-
-    # candidate pairs within each collision bucket: batched-by-size
-    # vectorized emission, one shuffle (was a per-bucket map_groups
-    # with an O(k^2) Python loop — one Python call per hot bucket)
     from spapy_ray.stages.relational import within_group_pairs
 
-    cand = within_group_pairs(
-        banded.map_batches(in_hot, batch_format="pyarrow"),
-        "bkey", "key")
+    cand = within_group_pairs(banded, "bkey", "key")
 
     # a pair can surface from several bands → dedup on (key_a, key_b)
     def pair_dedup_local(t: pa.Table) -> pa.Table:
