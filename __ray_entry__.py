@@ -192,4 +192,5 @@ def oracle_sql() -> dict[str, str]:
         "sample_pages": o.q_sample_pages(),
         "docs_bigrams": o.q_docs_bigrams(),
         "overlay_grid": o.q_overlay_grid(),
+        "ngram_overlap": o.q_ngram_overlap(),
     }

@@ -1787,3 +1787,24 @@ def q_focal_majority() -> str:
         f"SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, {hcols} "
         "FROM md GROUP BY 1, 2"
     )
+
+
+def q_ngram_overlap(n: int = 8) -> str:
+    """Twin of stages.neardup.ngram_overlap_dups: distinct word
+    n-grams per doc (same FNV-1a hash as the engine, so even a
+    collision cannot diverge), each gram's min owner, per-doc fold
+    over grams first seen in an earlier doc."""
+    # NB: the position variable must not be named i/b/c/h — sql_fnv1a's
+    # inner lambda variables would shadow it inside the gram expression
+    gram = sql_fnv1a(f"array_to_string(w[gi:gi+{n - 1}], ' ')")
+    return (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w "
+        "FROM documents), "
+        f"grams AS (SELECT DISTINCT doc_id, {gram} AS h "
+        f"FROM toks, unnest(generate_series(1, len(w) - {n - 1})) t(gi)), "
+        "own AS (SELECT h, min(doc_id) AS own FROM grams GROUP BY h) "
+        "SELECT g.doc_id, count(*)::BIGINT AS n_dup_grams, "
+        "min(o.own) AS first_owner "
+        "FROM grams g JOIN own o USING (h) WHERE g.doc_id > o.own "
+        "GROUP BY g.doc_id"
+    )

@@ -2610,3 +2610,18 @@ def q_focal_majority(sf_dir: str):
 
 
 QUERIES["focal_majority"] = q_focal_majority
+
+
+def q_ngram_overlap(sf_dir: str):
+    """Substring-level exact dedup (Lee et al. exact-substring mode):
+    documents sharing any word 8-gram with a smaller doc_id, with the
+    count of duplicated distinct grams and the earliest owner. Three
+    bucket shuffles, no driver key set (stages/neardup.py)."""
+    from spapy_ray.stages.neardup import ngram_overlap_dups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_overlap_dups(ds, key_col="doc_id", text_col="text",
+                              n=8)
+
+
+QUERIES["ngram_overlap"] = q_ngram_overlap

@@ -480,3 +480,87 @@ def cross_corpus_near_dup(left, right, key_col: str,
                          "jacc": t.column("jacc")})
 
     return pairs.map_batches(decode, batch_format="pyarrow")
+
+
+def ngram_overlap_dups(ds, key_col: str = "doc_id",
+                       text_col: str = "text", *, n: int = 8,
+                       buckets: int | None = None):
+    """Exact SUBSTRING-level dedup (the "exact substring" mode of
+    training-data dedup, Lee et al. 2021, arXiv:2107.06499): a
+    document is flagged when any of its word ``n``-grams already
+    occurs in a document with a smaller key. The reference has no
+    dedup at all (SURVEY.md §2.10); this is the contamination-grade
+    complement to MinHash (whole-doc similarity) — it catches a
+    single copied paragraph inside an otherwise novel document.
+
+    Distributed shape (three bucket shuffles, no driver funnel):
+      1. one vectorized map over the corpus emits the DISTINCT
+         (key, fnv1a64(n-gram)) pairs of each document (a doc is one
+         row, so per-batch dedup is globally exact);
+      2. a hash(gram) bucket shuffle finds each gram's minimum owner
+         key and emits (key, owner) only for keys ABOVE the owner —
+         pre-filtering inside the bucket so only duplicated grams
+         travel on;
+      3. a hash(key) bucket shuffle folds per-document totals.
+
+    Documents with < n tokens have no n-gram and are never flagged
+    (mirrors the SQL twin's empty generate_series). Both the engine
+    and the twin hash grams with the same FNV-1a, so even a hash
+    collision (p ~ 2^-64) cannot cause a mismatch.
+
+    Returns Dataset(key_col, n_dup_grams, first_owner):
+    ``n_dup_grams`` = number of DISTINCT grams of this doc first seen
+    in an earlier doc, ``first_owner`` = smallest such owner key.
+    """
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    def grams(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sh_all, starts, sh_counts, _ = _shingle_array(text, n)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        total = int(sh_counts.sum())
+        if total == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64())})
+        h_all = fnv1a64(sh_all).view(np.int64)
+        docrep = np.repeat(np.arange(len(keys)), sh_counts)
+        seg0 = np.repeat(np.cumsum(sh_counts) - sh_counts, sh_counts)
+        flat = starts[docrep] + (np.arange(total) - seg0)
+        k = keys[docrep].astype(np.int64)
+        h = h_all[flat]
+        # distinct (key, h) within each doc (== globally: 1 doc/row)
+        o = np.lexsort((h, k))
+        k, h = k[o], h[o]
+        keep = np.empty(total, dtype=bool)
+        keep[0] = True
+        keep[1:] = (k[1:] != k[:-1]) | (h[1:] != h[:-1])
+        return pa.table({"key": pa.array(k[keep]),
+                         "h": pa.array(h[keep])})
+
+    def per_gram(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        k = g["key"].to_numpy()
+        o = np.lexsort((k, h))
+        h, k = h[o], k[o]
+        m = len(h)
+        newrun = np.empty(m, dtype=bool)
+        newrun[0] = True
+        newrun[1:] = h[1:] != h[:-1]
+        first_idx = np.maximum.accumulate(
+            np.where(newrun, np.arange(m), 0))
+        owner = k[first_idx]
+        dup = k > owner
+        return pd.DataFrame({"key": k[dup], "owner": owner[dup]})
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("key", sort=False).agg(
+            n_dup_grams=("owner", "size"),
+            first_owner=("owner", "min")).reset_index()
+        return out.rename(columns={"key": key_col})
+
+    pairs = bucketed_group_agg(
+        ds.map_batches(grams, batch_format="pyarrow"), "h", per_gram,
+        buckets=buckets)
+    return bucketed_group_agg(pairs, "key", per_doc, buckets=buckets)

@@ -260,3 +260,58 @@ def test_cosine_threshold_pairs_matches_bruteforce(ray_session):
                                  target_rows_per_block=64).to_pandas()
     got_set = {(int(a), int(b)) for a, b in zip(got.key_a, got.key_b)}
     assert got_set == want and len(want) >= 100
+
+
+def test_ngram_overlap_dups_brute_force_parity(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.neardup import ngram_overlap_dups
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=int(m)))
+             for m in rng.integers(2, 40, size=60)]
+    # plant: doc 50 copies a 10-token span of doc 3 inside noise
+    span = texts[3].split()[:10]
+    if len(span) >= 8:
+        texts[50] = " ".join(["zz1", "zz2", *span, "zz3"])
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)])
+    got = ngram_overlap_dups(ds, n=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # brute force
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[j:j + 4]) for j in range(len(w) - 3)}
+
+    owner: dict[str, int] = {}
+    for i, t in enumerate(texts):
+        for g in sorted(grams(t)):
+            owner.setdefault(g, i)
+    rows = []
+    for i, t in enumerate(texts):
+        dup = [owner[g] for g in grams(t) if owner[g] < i]
+        if dup:
+            rows.append({"doc_id": i, "n_dup_grams": len(dup),
+                         "first_owner": min(dup)})
+    exp = pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"))
+
+
+def test_ngram_overlap_short_docs_never_flagged(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.neardup import ngram_overlap_dups
+
+    ds = rd.from_items([{"doc_id": 0, "text": "a b c"},
+                        {"doc_id": 1, "text": "a b c"},
+                        {"doc_id": 2, "text": "a b c d e f g h"},
+                        {"doc_id": 3, "text": "a b c d e f g h"}])
+    out = ngram_overlap_dups(ds, n=8).to_pandas()
+    # docs 0/1 have < 8 tokens -> no gram; doc 3 duplicates doc 2's
+    # single 8-gram
+    assert out.to_dict("records") == [
+        {"doc_id": 3, "n_dup_grams": 1, "first_owner": 2}]
