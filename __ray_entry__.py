@@ -193,4 +193,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_bigrams": o.q_docs_bigrams(),
         "overlay_grid": o.q_overlay_grid(),
         "ngram_overlap": o.q_ngram_overlap(),
+        "tfidf_terms": o.q_tfidf_terms(),
     }

@@ -1808,3 +1808,23 @@ def q_ngram_overlap(n: int = 8) -> str:
         "FROM grams g JOIN own o USING (h) WHERE g.doc_id > o.own "
         "GROUP BY g.doc_id"
     )
+
+
+def q_tfidf_terms(k: int = 10, idf_scale: int = 1000) -> str:
+    """Twin of stages.text.tfidf_top_terms over documents grouped by
+    lang: integer-quantized idf ((N*scale)//df) so the score is exact
+    int64 on both sides."""
+    return (
+        "WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) "
+        "AS term FROM documents), "
+        "tf AS (SELECT lang, term, count(*)::BIGINT AS tf "
+        "FROM w GROUP BY 1, 2), "
+        "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df "
+        "FROM w GROUP BY 1), "
+        "sc AS (SELECT lang, term, tf, df, "
+        f"tf * (((SELECT count(*) FROM documents) * {idf_scale}) // df) "
+        "AS score FROM tf JOIN df USING (term)), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang "
+        "ORDER BY score DESC, term)::BIGINT AS rank FROM sc) "
+        f"SELECT lang, term, tf, df, score, rank FROM r WHERE rank <= {k}"
+    )

@@ -2625,3 +2625,18 @@ def q_ngram_overlap(sf_dir: str):
 
 
 QUERIES["ngram_overlap"] = q_ngram_overlap
+
+
+def q_tfidf_terms(sf_dir: str):
+    """Top-10 terms per language by integer-quantized tf-idf: one
+    corpus pass emits tf and df partials together, one term-bucket
+    shuffle finalizes both, grouped_topk picks the winners
+    (stages/text.tfidf_top_terms)."""
+    from spapy_ray.stages.text import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    n_docs = ds.count()  # parquet metadata, no data pass
+    return tfidf_top_terms(ds, n_docs, group_col="lang", k=10)
+
+
+QUERIES["tfidf_terms"] = q_tfidf_terms

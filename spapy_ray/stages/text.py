@@ -7,6 +7,7 @@ Python in the hot path.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -386,3 +387,78 @@ def pii_scrub(ds, text_col: str = "text", batch_size: int = 32768):
     return ds.map_batches(
         lambda t: pii_scrub_batch(t, text_col),
         batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
+def tfidf_top_terms(ds, n_docs: int, *, group_col: str = "lang",
+                    text_col: str = "text", k: int = 10,
+                    idf_scale: int = 1000, buckets: int | None = None):
+    """Top-k terms per group by tf-idf — the corpus-analysis op behind
+    domain/language keyword profiling (reference has no text analysis
+    at all; SURVEY.md §2.10 north-rule family).
+
+    tf(g, t)   = term occurrences within the group,
+    idf_q(t)   = (n_docs * idf_scale) // df(t)   (integer-quantized
+                 reciprocal idf — exact in int64, so the score is
+                 bit-identical to the SQL twin; a float log idf has
+                 no deterministic cross-engine twin),
+    score      = tf * idf_q.
+
+    Distributed shape: ONE pass over the corpus emits per-batch
+    partials for BOTH aggregates — (group, term, tf) counts and
+    (term, df) distinct-doc counts (each document is one row, so
+    per-batch distinct is globally exact) — tagged into one unified
+    table; ONE hash(term) bucket shuffle finalizes tf and df together
+    (term determines the bucket, so the tf⋈df join is bucket-local);
+    the per-group top-k runs through grouped_topk (combiner + bucket
+    shuffle, never a global sort).
+
+    ``n_docs`` is the corpus document count (metadata-cheap
+    ``ds.count()`` on a parquet read). Returns
+    Dataset(group_col, term, tf, df, score, rank), rank 1..k per
+    group ordered by (score desc, term asc).
+    """
+    from spapy_ray.stages.relational import bucketed_group_agg, \
+        grouped_topk
+
+    def partials(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        counts = np.diff(np.asarray(toks.offsets))
+        flat = toks.values
+        grp = t.column(group_col).to_numpy(zero_copy_only=False)
+        df_ = pd.DataFrame({
+            "term": flat.to_numpy(zero_copy_only=False),
+            "grp": np.repeat(grp, counts),
+            "doc": np.repeat(np.arange(len(t)), counts)})
+        tf = df_.groupby(["grp", "term"], sort=False).size() \
+            .reset_index(name="cnt")
+        tf["kind"] = np.int32(0)
+        dfc = df_.drop_duplicates(["term", "doc"]) \
+            .groupby("term", sort=False).size().reset_index(name="cnt")
+        dfc["kind"] = np.int32(1)
+        dfc["grp"] = ""
+        out = pd.concat([tf, dfc[["grp", "term", "cnt", "kind"]]],
+                        ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def per_term(g: pd.DataFrame) -> pd.DataFrame:
+        tf = g[g["kind"] == 0].groupby(["grp", "term"], sort=False)[
+            "cnt"].sum().reset_index(name="tf")
+        df_ = g[g["kind"] == 1].groupby("term", sort=False)[
+            "cnt"].sum().reset_index(name="df")
+        m = tf.merge(df_, on="term", how="inner")
+        idf_q = (np.int64(n_docs) * np.int64(idf_scale)) \
+            // m["df"].to_numpy(dtype=np.int64)
+        m["score"] = m["tf"].to_numpy(dtype=np.int64) * idf_q
+        m["tf"] = m["tf"].astype(np.int64)
+        m["df"] = m["df"].astype(np.int64)
+        return m.rename(columns={"grp": group_col})
+
+    scored = bucketed_group_agg(
+        ds.map_batches(partials, batch_format="pyarrow"), "term",
+        per_term, buckets=buckets)
+    return grouped_topk(scored, group_col, "score", k,
+                        descending=True, tie_cols=["term"],
+                        buckets=buckets)

@@ -27,3 +27,46 @@ def test_pii_scrub_planted(ray_session):
     joined = " ".join(got["text"])
     assert "[EMAIL]" in joined and "[IP]" in joined and "[PHONE]" in joined
     assert "@" not in joined and "192.168" not in joined
+
+
+def test_tfidf_top_terms_brute_force_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.text import tfidf_top_terms
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = [{"doc_id": i, "lang": ("en", "de")[i % 2],
+             "text": " ".join(rng.choice(vocab, size=int(m)))}
+            for i, m in enumerate(rng.integers(3, 30, size=40))]
+    ds = rd.from_items(rows)
+    got = tfidf_top_terms(ds, n_docs=40, group_col="lang", k=5,
+                          idf_scale=1000).to_pandas()
+    got = got.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+    # brute force
+    from collections import Counter
+    tf: Counter = Counter()
+    df_: Counter = Counter()
+    for r in rows:
+        toks = r["text"].split()
+        for t in toks:
+            tf[(r["lang"], t)] += 1
+        for t in set(toks):
+            df_[t] += 1
+    scored = [(lang, t, c, df_[t], c * ((40 * 1000) // df_[t]))
+              for (lang, t), c in tf.items()]
+    exp_rows = []
+    for lang in ("de", "en"):
+        grp = sorted([s for s in scored if s[0] == lang],
+                     key=lambda s: (-s[4], s[1]))[:5]
+        exp_rows += [{"lang": lang, "term": t, "tf": c, "df": d,
+                      "score": sc, "rank": i + 1}
+                     for i, (_, t, c, d, sc) in enumerate(grp)]
+    exp = pd.DataFrame(exp_rows).sort_values(["lang", "rank"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_dtype=False)
+    assert got["score"].dtype == np.int64
