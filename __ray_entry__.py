@@ -194,4 +194,5 @@ def oracle_sql() -> dict[str, str]:
         "overlay_grid": o.q_overlay_grid(),
         "ngram_overlap": o.q_ngram_overlap(),
         "tfidf_terms": o.q_tfidf_terms(),
+        "graph_pagerank": o.q_graph_pagerank(),
     }

@@ -1828,3 +1828,32 @@ def q_tfidf_terms(k: int = 10, idf_scale: int = 1000) -> str:
         "ORDER BY score DESC, term)::BIGINT AS rank FROM sc) "
         f"SELECT lang, term, tf, df, score, rank FROM r WHERE rank <= {k}"
     )
+
+
+def q_graph_pagerank(iterations: int = 4, r0: int = 1_000_000,
+                     num: int = 85, den: int = 100) -> str:
+    """Twin of stages.graph.pagerank on the customer–supplier graph:
+    one chained CTE per iteration, identical int64 floor arithmetic."""
+    base = r0 * (den - num) // den
+    ctes = [
+        "pairs AS (SELECT DISTINCT o_custkey * 2 AS a, "
+        "l_suppkey * 2 + 1 AS b "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "und AS (SELECT a AS src, b AS dst FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs)",
+        "deg AS (SELECT src, count(*)::BIGINT AS deg "
+        "FROM und GROUP BY 1)",
+        f"r0 AS (SELECT src AS node, {r0}::BIGINT AS r FROM deg)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"r{t} AS (SELECT u.dst AS node, "
+            f"({base} + ({num} * sum(r.r // d.deg)) // {den})::BIGINT "
+            f"AS r FROM und u JOIN r{t - 1} r ON r.node = u.src "
+            "JOIN deg d ON d.src = u.src GROUP BY u.dst)")
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' "
+        "END AS kind, node // 2 AS key, r AS pr "
+        f"FROM r{iterations}"
+    )

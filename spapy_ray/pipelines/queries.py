@@ -2640,3 +2640,39 @@ def q_tfidf_terms(sf_dir: str):
 
 
 QUERIES["tfidf_terms"] = q_tfidf_terms
+
+
+def q_graph_pagerank(sf_dir: str, iterations: int = 4):
+    """Fixed-point PageRank over the customer–supplier bipartite
+    graph (distinct o_custkey—l_suppkey pairs, doubled undirected):
+    the web link-graph quality-signal op, every iteration one
+    hash_join + one bucketed groupby, ranks a Dataset end to end
+    (stages/graph.py)."""
+    from spapy_ray.stages.graph import pagerank, undirected_edges
+    from spapy_ray.stages.relational import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    ol = hash_join(orders, li, on="o_orderkey", right_on="l_orderkey")
+
+    def ids(t: pa.Table) -> pa.Table:
+        c = pc.cast(t.column("o_custkey"), pa.int64())
+        s = pc.cast(t.column("l_suppkey"), pa.int64())
+        return pa.table({"a": pc.multiply(c, 2),
+                         "b": pc.add(pc.multiply(s, 2), 1)})
+
+    und = undirected_edges(ol.map_batches(ids, batch_format="pyarrow"),
+                           a_col="a", b_col="b")
+    pr = pagerank(und, iterations=iterations)
+
+    def decode(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        kind = np.where(node % 2 == 0, "customer", "supplier")
+        return pa.table({"kind": pa.array(kind),
+                         "key": pa.array(node // 2),
+                         "pr": t.column("pr")})
+
+    return pr.map_batches(decode, batch_format="pyarrow")
+
+
+QUERIES["graph_pagerank"] = q_graph_pagerank

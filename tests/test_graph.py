@@ -1,0 +1,57 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _rand_pairs(rng, n_a=25, n_b=8, m=60):
+    a = rng.integers(0, n_a, size=m) * 2
+    b = rng.integers(0, n_b, size=m) * 2 + 1
+    return pd.DataFrame({"a": a, "b": b})
+
+
+def _brute_pagerank(pairs: pd.DataFrame, iterations=4, r0=1_000_000,
+                    num=85, den=100):
+    und = pd.concat([
+        pairs.drop_duplicates().rename(columns={"a": "s", "b": "d"}),
+        pairs.drop_duplicates().rename(columns={"a": "d", "b": "s"})],
+        ignore_index=True)
+    nodes = np.sort(und["s"].unique())
+    deg = und.groupby("s").size().reindex(nodes).to_numpy()
+    r = np.full(len(nodes), r0, dtype=np.int64)
+    base = r0 * (den - num) // den
+    src_i = np.searchsorted(nodes, und["s"].to_numpy())
+    dst_i = np.searchsorted(nodes, und["d"].to_numpy())
+    for _ in range(iterations):
+        contrib = r[src_i] // deg[src_i]
+        s = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(s, dst_i, contrib)
+        r = base + num * s // den
+    return pd.DataFrame({"node": nodes, "pr": r})
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "join"])
+def test_pagerank_matches_brute_force(ray_session, mode):
+    import ray.data as rd
+
+    from spapy_ray.stages.graph import pagerank, undirected_edges
+
+    rng = np.random.default_rng(3)
+    pairs = _rand_pairs(rng)
+    und = undirected_edges(rd.from_pandas(pairs), a_col="a", b_col="b")
+    got = pagerank(und, iterations=4, mode=mode).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    exp = _brute_pagerank(pairs)
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  exp.astype("int64"))
+
+
+def test_pagerank_rank_mass_sensible(ray_session):
+    # a star graph: the hub ends with more rank than any leaf
+    import ray.data as rd
+
+    from spapy_ray.stages.graph import pagerank, undirected_edges
+
+    pairs = pd.DataFrame({"a": [0] * 6, "b": list(range(1, 7))})
+    und = undirected_edges(rd.from_pandas(pairs), a_col="a", b_col="b")
+    pr = pagerank(und, iterations=4).to_pandas().set_index("node")["pr"]
+    assert pr.loc[0] > pr.drop(0).max()
