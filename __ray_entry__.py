@@ -195,4 +195,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_overlap": o.q_ngram_overlap(),
         "tfidf_terms": o.q_tfidf_terms(),
         "graph_pagerank": o.q_graph_pagerank(),
+        "watershed": o.q_watershed(),
     }

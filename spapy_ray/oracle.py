@@ -1857,3 +1857,43 @@ def q_graph_pagerank(iterations: int = 4, r0: int = 1_000_000,
         "END AS kind, node // 2 AS key, r AS pr "
         f"FROM r{iterations}"
     )
+
+
+def q_watershed() -> str:
+    """Twin of stages.raster.watershed_stats: the same D8 code chain
+    as q_flow_direction, then a recursive walk down the pointer
+    forest to each cell's pit, grouped by pit."""
+    from spapy_ray.sources.rasters import sql_dem_int
+    from spapy_ray.stages.raster import D8_OFFSETS
+
+    def cl(e: str) -> str:
+        return f"LEAST(GREATEST({e}, 0), 511)"
+
+    z = sql_dem_int("px", "py", 0)
+    wds = []
+    for (dy, dx, wt) in D8_OFFSETS:
+        n = sql_dem_int(cl(f"px + {dx}"), cl(f"py + {dy}"), 0)
+        wds.append(f"(({z}) - ({n})) * {wt}")
+    m = "GREATEST(" + ", ".join(f"wd{k + 1}" for k in range(8)) + ")"
+    case = "CASE WHEN " + m + " <= 0 THEN 0 " + " ".join(
+        f"WHEN wd{k + 1} = {m} THEN {k + 1}" for k in range(8)) + " END"
+    wd_cols = ", ".join(f"{e} AS wd{k + 1}" for k, e in enumerate(wds))
+    nxt = "CASE code " + " ".join(
+        f"WHEN {k + 1} THEN node + {dy * 512 + dx}"
+        for k, (dy, dx, _) in enumerate(D8_OFFSETS)) + " ELSE node END"
+    return (
+        "WITH RECURSIVE "
+        "px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"wd AS (SELECT px, py, {wd_cols} FROM px), "
+        f"code AS (SELECT px, py, py * 512 + px AS node, {case} "
+        "AS code FROM wd), "
+        f"ptr AS (SELECT node, {nxt} AS nxt FROM code), "
+        "walk AS (SELECT node, nxt AS cur FROM ptr "
+        "UNION ALL SELECT w.node, p.nxt FROM walk w "
+        "JOIN ptr p ON p.node = w.cur WHERE p.nxt <> w.cur), "
+        "done AS (SELECT w.node, w.cur AS pit FROM walk w "
+        "JOIN ptr p ON p.node = w.cur WHERE p.nxt = w.cur) "
+        "SELECT (pit % 512)::BIGINT AS px, (pit // 512)::BIGINT AS py, "
+        "count(*)::BIGINT AS n_cells FROM done GROUP BY 1, 2"
+    )

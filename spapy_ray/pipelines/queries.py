@@ -2676,3 +2676,19 @@ def q_graph_pagerank(sf_dir: str, iterations: int = 4):
 
 
 QUERIES["graph_pagerank"] = q_graph_pagerank
+
+
+def q_watershed(sf_dir: str):
+    """D8 watershed delineation over the int DEM: flow_direction →
+    pointer forest → hash_to_min basin labels (distributed hash
+    contraction pinned) → pit semi-join + basin-size fold. 24,700
+    basins on the 512x512 surface; SQL twin is a recursive pointer
+    walk (strict descent ⇒ bounded recursion)."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.raster import watershed_stats
+
+    return watershed_stats(synth_dem_dataset(DEM_META, kind="int"),
+                           DEM_META, components_mode="distributed")
+
+
+QUERIES["watershed"] = q_watershed
