@@ -196,4 +196,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": o.q_tfidf_terms(),
         "graph_pagerank": o.q_graph_pagerank(),
         "watershed": o.q_watershed(),
+        "flow_accumulation": o.q_flow_accumulation(),
     }

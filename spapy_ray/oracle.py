@@ -1859,10 +1859,11 @@ def q_graph_pagerank(iterations: int = 4, r0: int = 1_000_000,
     )
 
 
-def q_watershed() -> str:
-    """Twin of stages.raster.watershed_stats: the same D8 code chain
-    as q_flow_direction, then a recursive walk down the pointer
-    forest to each cell's pit, grouped by pit."""
+def _sql_d8_walk() -> str:
+    """Shared CTE prefix for the hydrology twins: the same D8 code
+    chain as q_flow_direction, the pointer table, and the recursive
+    walk down the pointer forest (terminates because every D8 step
+    strictly decreases elevation)."""
     from spapy_ray.sources.rasters import sql_dem_int
     from spapy_ray.stages.raster import D8_OFFSETS
 
@@ -1891,9 +1892,35 @@ def q_watershed() -> str:
         f"ptr AS (SELECT node, {nxt} AS nxt FROM code), "
         "walk AS (SELECT node, nxt AS cur FROM ptr "
         "UNION ALL SELECT w.node, p.nxt FROM walk w "
-        "JOIN ptr p ON p.node = w.cur WHERE p.nxt <> w.cur), "
+        "JOIN ptr p ON p.node = w.cur WHERE p.nxt <> w.cur)"
+    )
+
+
+def q_watershed() -> str:
+    """Twin of stages.raster.watershed_stats: walk every cell to its
+    pit, group by pit."""
+    return (
+        f"{_sql_d8_walk()}, "
         "done AS (SELECT w.node, w.cur AS pit FROM walk w "
         "JOIN ptr p ON p.node = w.cur WHERE p.nxt = w.cur) "
         "SELECT (pit % 512)::BIGINT AS px, (pit // 512)::BIGINT AS py, "
         "count(*)::BIGINT AS n_cells FROM done GROUP BY 1, 2"
+    )
+
+
+def q_flow_accumulation() -> str:
+    """Twin of stages.raster.flow_accumulation_stats: acc(v) = 1 +
+    number of walk visits to v from OTHER cells (a pit's initial
+    self row is excluded — pits are not walkers in the engine),
+    folded per tile."""
+    return (
+        f"{_sql_d8_walk()}, "
+        "acc AS (SELECT cur AS node, count(*)::BIGINT AS c FROM walk "
+        "WHERE node <> cur GROUP BY cur), "
+        "cell AS (SELECT p.node, 1 + coalesce(a.c, 0) AS acc "
+        "FROM ptr p LEFT JOIN acc a ON a.node = p.node) "
+        "SELECT ((node % 512) // 64)::BIGINT AS tx, "
+        "((node // 512) // 64)::BIGINT AS ty, "
+        "count(*)::BIGINT AS n_cells, sum(acc)::BIGINT AS acc_sum, "
+        "max(acc)::BIGINT AS acc_max FROM cell GROUP BY 1, 2"
     )

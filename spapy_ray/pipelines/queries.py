@@ -2692,3 +2692,19 @@ def q_watershed(sf_dir: str):
 
 
 QUERIES["watershed"] = q_watershed
+
+
+def q_flow_accumulation(sf_dir: str):
+    """D8 flow accumulation per cell (upstream count incl. self),
+    basin-co-partitioned: pointer edges join their hash_to_min basin
+    label and each bucket walks all its complete basins' pointers
+    vectorized; per-tile (n_cells, acc_sum, acc_max) fold."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.raster import flow_accumulation_stats
+
+    return flow_accumulation_stats(
+        synth_dem_dataset(DEM_META, kind="int"), DEM_META,
+        components_mode="distributed")
+
+
+QUERIES["flow_accumulation"] = q_flow_accumulation

@@ -1353,37 +1353,10 @@ def watershed_stats(ds, meta: RasterMeta, *,
         hash_join
 
     dirs = flow_direction(ds, meta)
-    T = meta.tile_size
     W = meta.width
-    # code k -> (dy, dx); 0 -> self
-    dy_by_code = np.array([0] + [o[0] for o in D8_OFFSETS],
-                          dtype=np.int64)
-    dx_by_code = np.array([0] + [o[1] for o in D8_OFFSETS],
-                          dtype=np.int64)
-
-    def pointer_edges(t: pa.Table) -> pa.Table:
-        txs = t.column("tx").to_numpy(zero_copy_only=False)
-        tys = t.column("ty").to_numpy(zero_copy_only=False)
-        bufs = t.column("data").to_pylist()
-        outs_a = []
-        outs_b = []
-        for i in range(len(t)):
-            code = decode_tile(bufs[i], "int32", T).astype(np.int64)
-            h, w = code.shape
-            py0, px0 = int(tys[i]) * T, int(txs[i]) * T
-            py = py0 + np.arange(h, dtype=np.int64)[:, None]
-            px = px0 + np.arange(w, dtype=np.int64)[None, :]
-            node = py * W + px
-            nxt = node + dy_by_code[code] * W + dx_by_code[code]
-            outs_a.append(node.ravel())
-            outs_b.append(nxt.ravel())
-        return pa.table({"a": pa.array(np.concatenate(outs_a)),
-                         "b": pa.array(np.concatenate(outs_b))})
-
     # consumed twice (labeler + pit extraction) — materialize so the
     # halo-exchange stencil upstream runs once, not twice
-    edges = dirs.map_batches(pointer_edges,
-                             batch_format="pyarrow").materialize()
+    edges = _d8_pointer_edges(dirs, meta).materialize()
     labels = hash_to_min(edges, mode=components_mode, buckets=buckets
                          or 64)
     def pit_rows(t: pa.Table) -> pa.Table:
@@ -1412,3 +1385,120 @@ def watershed_stats(ds, meta: RasterMeta, *,
             "n_cells": t.column("n_cells").cast(pa.int64())})
 
     return joined.map_batches(decode, batch_format="pyarrow")
+
+
+def _d8_pointer_edges(dirs, meta: RasterMeta):
+    """D8 code tiles → global pointer rows Dataset(a=node, b=nxt);
+    pits emit self-edges (a == b). node = py*width + px. Edge cells
+    never point outside the raster (the stencil's edge-replicated
+    apron makes every outward drop 0)."""
+    T = meta.tile_size
+    W = meta.width
+    # code k -> (dy, dx); 0 -> self
+    dy_by_code = np.array([0] + [o[0] for o in D8_OFFSETS],
+                          dtype=np.int64)
+    dx_by_code = np.array([0] + [o[1] for o in D8_OFFSETS],
+                          dtype=np.int64)
+
+    def pointer_edges(t: pa.Table) -> pa.Table:
+        txs = t.column("tx").to_numpy(zero_copy_only=False)
+        tys = t.column("ty").to_numpy(zero_copy_only=False)
+        bufs = t.column("data").to_pylist()
+        outs_a = []
+        outs_b = []
+        for i in range(len(t)):
+            code = decode_tile(bufs[i], "int32", T).astype(np.int64)
+            h, w = code.shape
+            py0, px0 = int(tys[i]) * T, int(txs[i]) * T
+            py = py0 + np.arange(h, dtype=np.int64)[:, None]
+            px = px0 + np.arange(w, dtype=np.int64)[None, :]
+            node = py * W + px
+            nxt = node + dy_by_code[code] * W + dx_by_code[code]
+            outs_a.append(node.ravel())
+            outs_b.append(nxt.ravel())
+        return pa.table({"a": pa.array(np.concatenate(outs_a)),
+                         "b": pa.array(np.concatenate(outs_b))})
+
+    return dirs.map_batches(pointer_edges, batch_format="pyarrow")
+
+
+def flow_accumulation_stats(ds, meta: RasterMeta, *,
+                            components_mode: str = "distributed",
+                            buckets: int | None = None):
+    """D8 flow accumulation (upstream cell count per cell, itself
+    included — the TauDEM/gdaldem AccumulatedFlow class), reduced to
+    per-tile (n_cells, acc_sum, acc_max).
+
+    Distributed shape: basins are independent by definition, so the
+    accumulation is BASIN-CO-PARTITIONED — pointer edges join their
+    hash_to_min basin label, one hash(label) bucket shuffle colocates
+    every complete basin, and the per-bucket kernel walks ALL its
+    basins' pointers simultaneously (vectorized rounds = max path
+    length in the bucket, every step one np.add.at over the live
+    walkers). Partitioning assumption (documented): one basin fits a
+    task — true for pit-terminated D8 fields at any tile scale;
+    continental-river accumulation over a pit-filled DEM would need
+    the hierarchical tree-contraction variant instead.
+
+    Per-tile fold keyed by packed tile id; output
+    Dataset(tx, ty, n_cells, acc_sum, acc_max), all int64.
+    """
+    from spapy_ray.stages.components import hash_to_min
+    from spapy_ray.stages.relational import bucketed_group_agg, \
+        hash_join
+
+    dirs = flow_direction(ds, meta)
+    T = meta.tile_size
+    W = meta.width
+    tiles_x = meta.tiles_x
+
+    edges = _d8_pointer_edges(dirs, meta).materialize()
+    labels = hash_to_min(edges, mode=components_mode,
+                         buckets=buckets or 64)
+    lab_edges = hash_join(edges, labels, on="a", right_on="v",
+                          buckets=buckets)
+
+    def acc_local(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy(dtype=np.int64)
+        b = g["b"].to_numpy(dtype=np.int64)
+        order = np.argsort(a, kind="stable")
+        ns = a[order]
+        ptr = np.searchsorted(ns, b[order])
+        n = len(ns)
+        acc = np.ones(n, dtype=np.int64)
+        walkers = np.flatnonzero(ptr != np.arange(n))
+        cur = ptr[walkers]
+        while len(cur):
+            np.add.at(acc, cur, 1)
+            keep = ptr[cur] != cur
+            cur = ptr[cur[keep]]
+        px = ns % W
+        py = ns // W
+        tkey = (py // T) * tiles_x + (px // T)
+        df = pd.DataFrame({"tkey": tkey, "acc": acc})
+        out = df.groupby("tkey", sort=False)["acc"].agg(
+            ["size", "sum", "max"]).reset_index()
+        out.columns = ["tkey", "n_cells", "acc_sum", "acc_max"]
+        return out
+
+    partials = bucketed_group_agg(lab_edges.select_columns(
+        ["a", "b", "lab"]), "lab", acc_local, buckets=buckets)
+
+    def tile_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("tkey", sort=False).agg(
+            n_cells=("n_cells", "sum"), acc_sum=("acc_sum", "sum"),
+            acc_max=("acc_max", "max")).reset_index()
+
+    folded = bucketed_group_agg(partials, "tkey", tile_fold,
+                                buckets=buckets)
+
+    def decode(t: pa.Table) -> pa.Table:
+        tk = t.column("tkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tx": pa.array(tk % tiles_x),
+            "ty": pa.array(tk // tiles_x),
+            "n_cells": t.column("n_cells").cast(pa.int64()),
+            "acc_sum": t.column("acc_sum").cast(pa.int64()),
+            "acc_max": t.column("acc_max").cast(pa.int64())})
+
+    return folded.map_batches(decode, batch_format="pyarrow")
