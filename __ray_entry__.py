@@ -33,28 +33,32 @@ def entry() -> Any:
 _FRONT = [
     # new this round (never driver-verified) + changed paths —
     # must be driver-verified first
+    "ngram_overlap", "tfidf_terms", "graph_pagerank", "watershed",
+    "flow_accumulation",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
     "rasterize_points", "contour_lines", "dbscan_clusters",
     "idw_raster", "proximity_grid",
     # stale since r1/r2 (absent from CORRECTNESS_r03.json); the
-    # seven displaced rows (events_props, hull_areas, relate_flags,
+    # twelve displaced rows (events_props, hull_areas, relate_flags,
     # simplify_areas, warp_equirect, docs_rolling_fp, media_probe,
-    # events_campaigns) fold into the round-5 rotation and stay
-    # covered by the local
-    # tools/check_correctness.py sweep
+    # events_campaigns, raster_diff_stats, split_zones, events_hourly,
+    # reclassify_hist, raster_crop_minmax) fold into the round-5
+    # rotation and stay covered by the local
+    # tools/check_correctness.py sweep; fnv-hash-path rows (geocode,
+    # cell_index, pip_join, dedup_pages, minhash_sigs, simhash_docs,
+    # near_dup_docs, docs_dedup_text) stay FRONT because the FNV
+    # kernel was rewritten this session
     "domain_caps", "pages", "geocode", "cell_index", "pip_join",
     "zone_page_counts", "top_zones", "tile_counts", "dedup_pages",
     "knn_zones", "zone_bounds_area", "select_zones",
     "lineitem_pricing", "events_by_type", "docs_token_stats",
     "docs_dedup_text", "suppliers_per_nation", "ann_topk",
     "zonal_stats", "raster_histogram", "raster_minmax",
-    "raster_diff_stats", "split_zones", "buffer_zone_bounds",
-    "project_equirect", "zone_centroids", "events_hourly",
-    "docs_lang_guess", "reclassify_hist", "raster_crop_minmax",
-    "minhash_sigs", "simhash_docs", "embed_top_pairs",
-    "near_dup_docs", "events_sessions",
+    "buffer_zone_bounds", "project_equirect", "zone_centroids",
+    "docs_lang_guess", "minhash_sigs", "simhash_docs",
+    "embed_top_pairs", "near_dup_docs", "events_sessions",
 ]
 
 

@@ -49,7 +49,10 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  "price_quantile_sketch", "dbscan_clusters",
                  "idw_raster", "proximity_grid", "voronoi_sites",
                  "kde_heatmap", "flow_direction", "jaccard_pairs",
-                 "embed_near_dup", "embed_near_dup_lsh", "focal_majority"]
+                 "embed_near_dup", "embed_near_dup_lsh", "focal_majority",
+                 # round-4 session-5 additions
+                 "ngram_overlap", "tfidf_terms", "graph_pagerank",
+                 "watershed", "flow_accumulation"]
 
 
 def _consume(res) -> int:

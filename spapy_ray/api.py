@@ -470,3 +470,33 @@ def EmbedNearDup(ds, *, threshold, exact: bool = False, **kw):
     from spapy_ray.stages.ann import embed_near_dup_lsh
 
     return embed_near_dup_lsh(ds, threshold=threshold, **kw)
+
+
+def NgramOverlapDups(ds, key_col="doc_id", **kw):
+    from spapy_ray.stages.neardup import ngram_overlap_dups
+
+    return ngram_overlap_dups(ds, key_col, **kw)
+
+
+def TfidfTopTerms(ds, n_docs, **kw):
+    from spapy_ray.stages.text import tfidf_top_terms
+
+    return tfidf_top_terms(ds, n_docs, **kw)
+
+
+def PageRank(edges, **kw):
+    from spapy_ray.stages.graph import pagerank
+
+    return pagerank(edges, **kw)
+
+
+def Watershed(r: Raster, **kw):
+    from spapy_ray.stages.raster import watershed_stats
+
+    return watershed_stats(r.ds, r.meta, **kw)
+
+
+def FlowAccumulation(r: Raster, **kw):
+    from spapy_ray.stages.raster import flow_accumulation_stats
+
+    return flow_accumulation_stats(r.ds, r.meta, **kw)

@@ -171,3 +171,37 @@ def test_final_r4_facade_one_liners(ray_session):
     ex = api.EmbedNearDup(emb, threshold=0.99, exact=True).to_pandas()
     assert {(a, b) for a, b in zip(ex.key_a, ex.key_b)} == \
         {(0, 3), (1, 4), (2, 5)}
+
+
+def test_session5_facade_one_liners(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray import api
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "lang": ["en", "en", "de"],
+        "text": ["a b c d e f g h", "a b c d e f g h x", "q w e"]}))
+    nd = api.NgramOverlapDups(docs, n=8).to_pandas()
+    assert nd.to_dict("records") == [
+        {"doc_id": 1, "n_dup_grams": 1, "first_owner": 0}]
+
+    tf = api.TfidfTopTerms(docs, n_docs=3, k=2).to_pandas()
+    assert set(tf.columns) == {"lang", "term", "tf", "df", "score",
+                               "rank"}
+    assert (tf.groupby("lang")["rank"].max() <= 2).all()
+
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": [0, 1, 1, 2], "dst": [1, 0, 2, 1]}))
+    pr = api.PageRank(edges, iterations=2).to_pandas()
+    assert len(pr) == 3 and (pr["pr"] > 0).all()
+
+    meta = RasterMeta(width=64, height=64, tile_size=32, x_min=0.0,
+                      y_max=0.0, pixel_w=1.0, pixel_h=-1.0)
+    r = api.Raster(synth_dem_dataset(meta, kind="int"), meta)
+    ws = api.Watershed(r, components_mode="driver").to_pandas()
+    assert ws["n_cells"].sum() == 64 * 64
+    fa = api.FlowAccumulation(r, components_mode="driver").to_pandas()
+    assert fa["n_cells"].sum() == 64 * 64
+    assert (fa["acc_sum"] >= fa["n_cells"]).all()
