@@ -500,3 +500,9 @@ def FlowAccumulation(r: Raster, **kw):
     from spapy_ray.stages.raster import flow_accumulation_stats
 
     return flow_accumulation_stats(r.ds, r.meta, **kw)
+
+
+def DissolveUnionArea(ds, key_col, **kw):
+    from spapy_ray.stages.overlay import dissolve_union_area
+
+    return dissolve_union_area(ds, key_col, **kw)

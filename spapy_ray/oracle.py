@@ -1924,3 +1924,45 @@ def q_flow_accumulation() -> str:
         "count(*)::BIGINT AS n_cells, sum(acc)::BIGINT AS acc_sum, "
         "max(acc)::BIGINT AS acc_max FROM cell GROUP BY 1, 2"
     )
+
+
+def q_dissolve_area() -> str:
+    """Twin of stages.overlay.dissolve_union_area on zones grouped by
+    labelrank: decompose each zone shape into its covering boxes,
+    then the same x-slab sweep as the engine expressed with window
+    functions (exclusive running max of y1 per slab)."""
+    return (
+        f"WITH z AS ({sql_zones_cte()}), "
+        "boxes AS ("
+        "SELECT labelrank AS k, x0, y0, x0 + w AS x1, y0 + h AS y1 "
+        "FROM z WHERE shape IN (0, 1) "
+        "UNION ALL SELECT labelrank, x0, y0, x0 + w, y0 + h2 "
+        "FROM z WHERE shape = 2 "
+        "UNION ALL SELECT labelrank, x0, y0 + h2, x0 + w2, y0 + h "
+        "FROM z WHERE shape = 2 "
+        "UNION ALL SELECT labelrank, x0, y0, x0 + w2, y0 + h2 "
+        "FROM z WHERE shape = 3 "
+        "UNION ALL SELECT labelrank, x0 + w2 + 5000, y0 + h2 + 5000, "
+        "x0 + w, y0 + h FROM z WHERE shape = 3), "
+        "xs AS (SELECT DISTINCT k, x FROM "
+        "(SELECT k, x0 AS x FROM boxes "
+        "UNION SELECT k, x1 FROM boxes) t), "
+        "slabs AS (SELECT k, x AS xa, "
+        "lead(x) OVER (PARTITION BY k ORDER BY x) AS xb FROM xs), "
+        "sb AS (SELECT s.k, s.xa, s.xb, b.y0, b.y1 FROM slabs s "
+        "JOIN boxes b ON b.k = s.k AND b.x0 <= s.xa AND b.x1 >= s.xb "
+        "WHERE s.xb IS NOT NULL), "
+        "iv AS (SELECT k, xa, xb, y0, y1, max(y1) OVER "
+        "(PARTITION BY k, xa ORDER BY y0, y1 "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm "
+        "FROM sb), "
+        "contrib AS (SELECT k, xa, xb, "
+        "greatest(0, y1 - greatest(y0, coalesce(pm, y0))) AS c "
+        "FROM iv), "
+        "area AS (SELECT k, sum(c * (xb - xa))::BIGINT AS area_u "
+        "FROM contrib GROUP BY k), "
+        "zc AS (SELECT labelrank AS k, count(*)::BIGINT AS n_feats "
+        "FROM z GROUP BY 1) "
+        "SELECT zc.k AS labelrank, zc.n_feats, area.area_u "
+        "FROM zc JOIN area ON area.k = zc.k"
+    )

@@ -2708,3 +2708,23 @@ def q_flow_accumulation(sf_dir: str):
 
 
 QUERIES["flow_accumulation"] = q_flow_accumulation
+
+
+def q_dissolve_area(sf_dir: str):
+    """Dissolve-by-attribute (labelrank) union area: per-feature rect
+    decomposition → ONE hash(key) shuffle of (key, 4 int64) rows →
+    per-group vectorized x-slab sweep (O(P log P), no coordinate
+    mask grid). Exact 1e-8 deg² integers."""
+    import ray.data as rd
+
+    from spapy_ray.stages.overlay import dissolve_union_area
+
+    def with_key(t: pa.Table) -> pa.Table:
+        return t.select(["labelrank", "geom_wkb"])
+
+    ds = rd.from_arrow(zones_table()).map_batches(
+        with_key, batch_format="pyarrow")
+    return dissolve_union_area(ds, "labelrank")
+
+
+QUERIES["dissolve_area"] = q_dissolve_area

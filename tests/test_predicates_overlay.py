@@ -109,3 +109,48 @@ def test_clip_matches_pip_sampling():
     in_clip = geom.pip_ring(px, py, out)
     # boundary-grazing points can differ; tolerate none in practice
     assert (in_both == in_clip).mean() > 0.999
+
+
+def test_union_area_sweep_fuzz_vs_grid():
+    import numpy as np
+
+    from spapy_ray.stages.overlay import union_area_sweep
+
+    rng = np.random.default_rng(0)
+    for trial in range(100):
+        k = int(rng.integers(1, 40))
+        x0 = rng.integers(0, 100, k)
+        x1 = x0 + rng.integers(1, 40, k)
+        y0 = rng.integers(0, 100, k)
+        y1 = y0 + rng.integers(1, 40, k)
+        rects = np.stack([x0, y0, x1, y1], axis=1).astype(np.int64)
+        grid = np.zeros((160, 160), dtype=bool)
+        for a, b, c, d in rects:
+            grid[a:c, b:d] = True
+        assert union_area_sweep(rects) == int(grid.sum()), trial
+    assert union_area_sweep(np.empty((0, 4), dtype=np.int64)) == 0
+
+
+def test_dissolve_union_area_matches_mask_union(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from spapy_ray.kernels import rectilinear as rl, wkb as wkbk
+    from spapy_ray.sources.zones import zones_table
+    from spapy_ray.stages.overlay import dissolve_union_area
+
+    zt = zones_table()
+    got = dissolve_union_area(
+        rd.from_arrow(zt.select(["labelrank", "geom_wkb"])),
+        "labelrank").to_pandas().sort_values("labelrank") \
+        .reset_index(drop=True)
+    # independent oracle: the existing mask-grid union per group
+    lr = zt.column("labelrank").to_numpy()
+    for k in np.unique(lr):
+        sets = [rl.multipolygon_to_rects(wkbk.as_multipolygon(g))
+                for g, key in zip(zt.column("geom_wkb").to_pylist(),
+                                  lr) if key == k]
+        _, area = rl.union_rects(sets)
+        row = got[got["labelrank"] == k].iloc[0]
+        assert row["n_feats"] == len(sets)
+        assert abs(row["area_u"] / 1e8 - area) < 1e-6
