@@ -506,3 +506,9 @@ def DissolveUnionArea(ds, key_col, **kw):
     from spapy_ray.stages.overlay import dissolve_union_area
 
     return dissolve_union_area(ds, key_col, **kw)
+
+
+def FunnelCounts(ds, steps, **kw):
+    from spapy_ray.stages.sessions import funnel_counts
+
+    return funnel_counts(ds, steps, **kw)

@@ -1966,3 +1966,27 @@ def q_dissolve_area() -> str:
         "SELECT zc.k AS labelrank, zc.n_feats, area.area_u "
         "FROM zc JOIN area ON area.k = zc.k"
     )
+
+
+def q_events_funnel(steps: tuple = ("view", "click", "purchase")) \
+        -> str:
+    """Twin of stages.sessions.funnel_counts: chained per-user
+    first-occurrence CTEs with strict-after joins."""
+    ctes = [f"u1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            f"WHERE event_type = '{steps[0]}' GROUP BY 1)"]
+    for k in range(2, len(steps) + 1):
+        ctes.append(
+            f"u{k} AS (SELECT e.user_id, min(e.ts) AS t{k} "
+            f"FROM events e JOIN u{k - 1} p ON p.user_id = e.user_id "
+            f"WHERE e.event_type = '{steps[k - 1]}' "
+            f"AND e.ts > p.t{k - 1} GROUP BY 1)")
+    selects = [
+        f"SELECT 1::BIGINT AS stage, '{steps[0]}' AS step, "
+        "count(*)::BIGINT AS n_users, 0::BIGINT AS lag_us FROM u1"]
+    for k in range(2, len(steps) + 1):
+        selects.append(
+            f"SELECT {k}::BIGINT, '{steps[k - 1]}', count(*)::BIGINT, "
+            f"coalesce(sum(epoch_us(u{k}.t{k}) - epoch_us(u1.t1)), 0)"
+            f"::BIGINT FROM u{k} JOIN u1 USING (user_id)")
+    return ("WITH " + ", ".join(ctes) + " "
+            + " UNION ALL ".join(selects))

@@ -2728,3 +2728,18 @@ def q_dissolve_area(sf_dir: str):
 
 
 QUERIES["dissolve_area"] = q_dissolve_area
+
+
+def q_events_funnel(sf_dir: str):
+    """Sequential first-occurrence funnel view → click → purchase:
+    type-filtered projection, ONE user-bucket shuffle, per-step
+    vectorized stage resolution, trivial final fold
+    (stages/sessions.funnel_counts)."""
+    from spapy_ray.stages.sessions import funnel_counts
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+QUERIES["events_funnel"] = q_events_funnel

@@ -269,3 +269,91 @@ def _asof_merge(both, by: str, on: str, lcols: list[str],
 
     return both.map_batches(tag_bucket, batch_format="pyarrow") \
         .groupby("bkt__").map_groups(per_bucket, batch_format="pandas")
+
+
+def funnel_counts(ds, steps: list[str], *, user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  buckets: int | None = None):
+    """Sequential first-occurrence funnel (the product-analytics
+    "view → click → purchase" op; nothing like it in the reference):
+    a user reaches stage k when an event of type steps[k] occurs
+    STRICTLY AFTER the user's stage-(k-1) completion time, where
+    completion time is the earliest qualifying occurrence.
+
+    Distributed shape: one projection filters the log to the funnel's
+    event types (pre-shuffle narrowing), ONE hash(user) bucket shuffle
+    colocates each user's events, and each bucket resolves all its
+    users' stage times with per-step vectorized groupby-min passes
+    (len(steps) passes, no per-user Python). The per-bucket output is
+    len(steps) partial rows, so the final fold is trivially small.
+
+    Returns Dataset(stage, step, n_users, lag_us): users reaching
+    each stage and the summed microseconds from each user's stage-1
+    time to their stage-k completion (0 at stage 1) — exact int64.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    idx_of = {s: k for k, s in enumerate(steps)}
+
+    def project(t: pa.Table) -> pa.Table:
+        et = t.column(type_col)
+        mask = pc.is_in(et, value_set=pa.array(steps))
+        t = t.filter(mask)
+        et = t.column(type_col).to_pandas()
+        step_idx = et.map(idx_of).to_numpy(dtype=np.int64)
+        # normalize to MICROSECONDS regardless of source resolution
+        # (parquet fixtures are timestamp[us]; from_pandas inputs ns)
+        ts = t.column(ts_col).cast(pa.timestamp("us")) \
+            .cast(pa.int64())
+        return pa.table({"u": t.column(user_col).cast(pa.int64()),
+                         "k": pa.array(step_idx),
+                         "us": ts})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"stage": pd.Series([], dtype=np.int64),
+                                 "n_users": pd.Series([], dtype=np.int64),
+                                 "lag_us": pd.Series([], dtype=np.int64)})
+        rows = []
+        # per-user stage times, resolved step by step (vectorized
+        # groupby-min per step; users sharing the bucket fold together)
+        prev = None          # Series: user -> completion time so far
+        t1 = None
+        for k in range(len(steps)):
+            sel = g[g["k"] == k]
+            if prev is not None:
+                lim = sel["u"].map(prev)
+                sel = sel[lim.notna() & (sel["us"] > lim)]
+            tk = sel.groupby("u")["us"].min()
+            if k == 0:
+                t1 = tk
+                lag = np.int64(0)
+            else:
+                lag = (tk - t1.reindex(tk.index)).sum()
+            rows.append((k + 1, len(tk), int(lag)))
+            prev = tk
+        return pd.DataFrame(rows, columns=["stage", "n_users",
+                                           "lag_us"]) \
+            .astype(np.int64)
+
+    parts = bucketed_group_agg(
+        ds.map_batches(project, batch_format="pyarrow"), "u",
+        per_bucket, buckets=buckets)
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("stage", sort=True).agg(
+            n_users=("n_users", "sum"),
+            lag_us=("lag_us", "sum")).reset_index()
+        df["step"] = [steps[s - 1] for s in df["stage"]]
+        return pa.Table.from_pandas(
+            df[["stage", "step", "n_users", "lag_us"]],
+            preserve_index=False)
+
+    # the partial table is len(steps) x buckets rows — a driver-free
+    # single-block fold via repartition(1)
+    return parts.repartition(1).map_batches(fold,
+                                            batch_format="pyarrow",
+                                            batch_size=None)

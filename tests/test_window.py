@@ -97,3 +97,51 @@ def test_rolling_sum_matches_pandas(ray_session):
         window_over(rd.from_arrow(pa.table({"k": [1], "o": [1]})),
                     key_col="k", order_cols=["o"],
                     ops=[("x", "rolling_sum", "o")])
+
+
+def test_funnel_counts_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.sessions import funnel_counts
+
+    rng = np.random.default_rng(5)
+    n = 600
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.to_datetime(
+            rng.choice(10_000_000, size=n, replace=False), unit="us"),
+        "event_type": rng.choice(["a", "b", "c", "noise"], n),
+    })
+    got = funnel_counts(rd.from_pandas(ev), ["a", "b", "c"]) \
+        .to_pandas().sort_values("stage").reset_index(drop=True)
+
+    # brute force per user
+    stages = {1: [], 2: [], 3: []}
+    for u, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        t_prev = None
+        t1 = None
+        for k, s in enumerate(["a", "b", "c"]):
+            sel = g[g["event_type"] == s]
+            if t_prev is not None:
+                sel = sel[sel["ts"] > t_prev]
+            if len(sel) == 0:
+                break
+            tk = sel["ts"].min()
+            if k == 0:
+                t1 = tk
+            stages[k + 1].append(int((tk.value - t1.value) // 1000))
+            t_prev = tk
+    exp = pd.DataFrame({
+        "stage": [1, 2, 3],
+        "step": ["a", "b", "c"],
+        "n_users": [len(stages[k]) for k in (1, 2, 3)],
+        "lag_us": [int(sum(stages[k])) for k in (1, 2, 3)]})
+    pd.testing.assert_frame_equal(
+        got[["stage", "step", "n_users", "lag_us"]].astype(
+            {"stage": "int64", "n_users": "int64", "lag_us": "int64"}),
+        exp.astype({"stage": "int64", "n_users": "int64",
+                    "lag_us": "int64"}))
+    assert got["n_users"].is_monotonic_decreasing
