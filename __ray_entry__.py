@@ -35,6 +35,7 @@ _FRONT = [
     # must be driver-verified first
     "ngram_overlap", "tfidf_terms", "graph_pagerank", "watershed",
     "flow_accumulation", "dissolve_area", "events_funnel",
+    "events_retention",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
@@ -58,7 +59,6 @@ _FRONT = [
     "zonal_stats", "raster_histogram", "raster_minmax",
     "buffer_zone_bounds", "project_equirect", "zone_centroids",
     "docs_lang_guess", "minhash_sigs", "simhash_docs",
-    "near_dup_docs",
 ]
 
 
@@ -203,4 +203,5 @@ def oracle_sql() -> dict[str, str]:
         "flow_accumulation": o.q_flow_accumulation(),
         "dissolve_area": o.q_dissolve_area(),
         "events_funnel": o.q_events_funnel(),
+        "events_retention": o.q_events_retention(),
     }

@@ -512,3 +512,9 @@ def FunnelCounts(ds, steps, **kw):
     from spapy_ray.stages.sessions import funnel_counts
 
     return funnel_counts(ds, steps, **kw)
+
+
+def RetentionCohorts(ds, **kw):
+    from spapy_ray.stages.sessions import retention_cohorts
+
+    return retention_cohorts(ds, **kw)

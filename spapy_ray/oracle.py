@@ -1990,3 +1990,16 @@ def q_events_funnel(steps: tuple = ("view", "click", "purchase")) \
             f"::BIGINT FROM u{k} JOIN u1 USING (user_id)")
     return ("WITH " + ", ".join(ctes) + " "
             + " UNION ALL ".join(selects))
+
+
+def q_events_retention(period_us: int = 86_400_000_000) -> str:
+    """Twin of stages.sessions.retention_cohorts."""
+    return (
+        "WITH d AS (SELECT DISTINCT user_id, "
+        f"epoch_us(ts) // {period_us} AS day FROM events), "
+        "c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1) "
+        "SELECT c.cohort::BIGINT AS cohort_period, "
+        "(d.day - c.cohort)::BIGINT AS period_offset, "
+        "count(*)::BIGINT AS n_users "
+        "FROM d JOIN c USING (user_id) GROUP BY 1, 2"
+    )

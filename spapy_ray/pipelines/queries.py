@@ -2743,3 +2743,16 @@ def q_events_funnel(sf_dir: str):
 
 
 QUERIES["events_funnel"] = q_events_funnel
+
+
+def q_events_retention(sf_dir: str):
+    """Daily cohort retention matrix over the events log: distinct
+    (user, day) combiner, one user-bucket shuffle for cohort
+    resolution, small matrix fold (stages/sessions.retention_cohorts)."""
+    from spapy_ray.stages.sessions import retention_cohorts
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return retention_cohorts(ev)
+
+
+QUERIES["events_retention"] = q_events_retention

@@ -357,3 +357,63 @@ def funnel_counts(ds, steps: list[str], *, user_col: str = "user_id",
     return parts.repartition(1).map_batches(fold,
                                             batch_format="pyarrow",
                                             batch_size=None)
+
+
+def retention_cohorts(ds, *, period_us: int = 86_400_000_000,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      buckets: int | None = None):
+    """Cohort retention matrix (the product-analytics complement to
+    funnel_counts): users are cohorted by the period of their FIRST
+    event; each (cohort, offset) cell counts users active
+    ``offset`` periods after their cohort period.
+
+    Distributed shape: per-batch distinct (user, period) pairs
+    (combiner — at most periods-per-user rows leave a block), ONE
+    hash(user) bucket shuffle resolves each user's cohort and emits
+    per-bucket (cohort, offset) partial counts, and a final small
+    bucket fold sums the matrix (periods² cells).
+
+    Returns Dataset(cohort_period, period_offset, n_users), int64.
+    """
+    import pyarrow as pa
+
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    def project(t: pa.Table) -> pa.Table:
+        us = t.column(ts_col).cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = t.column(user_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        day = us // period_us
+        df = pd.DataFrame({"u": u, "d": day}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_user_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "d"])
+        cohort = g.groupby("u")["d"].transform("min")
+        out = pd.DataFrame({"cohort": cohort,
+                            "off": g["d"] - cohort})
+        return out.groupby(["cohort", "off"], sort=False).size() \
+            .reset_index(name="n")
+
+    parts = bucketed_group_agg(
+        ds.map_batches(project, batch_format="pyarrow"), "u",
+        per_user_bucket, buckets=buckets)
+
+    def pack(t: pa.Table) -> pa.Table:
+        c = t.column("cohort").to_numpy(zero_copy_only=False)
+        o = t.column("off").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "ck", pa.array(c * 1_000_000 + o))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("ck", sort=False)["n"].sum() \
+            .reset_index(name="n_users")
+        return pd.DataFrame({
+            "cohort_period": out["ck"] // 1_000_000,
+            "period_offset": out["ck"] % 1_000_000,
+            "n_users": out["n_users"].astype(np.int64)})
+
+    return bucketed_group_agg(
+        parts.map_batches(pack, batch_format="pyarrow"), "ck", fold,
+        buckets=buckets)

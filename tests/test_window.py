@@ -145,3 +145,34 @@ def test_funnel_counts_brute_force(ray_session):
         exp.astype({"stage": "int64", "n_users": "int64",
                     "lag_us": "int64"}))
     assert got["n_users"].is_monotonic_decreasing
+
+
+def test_retention_cohorts_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.sessions import retention_cohorts
+
+    rng = np.random.default_rng(9)
+    n = 500
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 30, n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 20 * 86_400_000_000, n), unit="us")})
+    got = retention_cohorts(rd.from_pandas(ev)).to_pandas() \
+        .sort_values(["cohort_period", "period_offset"]) \
+        .reset_index(drop=True)
+
+    df = ev.assign(day=ev["ts"].astype("int64") // 1000
+                   // 86_400_000_000).drop_duplicates(
+        ["user_id", "day"])
+    cohort = df.groupby("user_id")["day"].transform("min")
+    exp = pd.DataFrame({"cohort_period": cohort,
+                        "period_offset": df["day"] - cohort}) \
+        .groupby(["cohort_period", "period_offset"]).size() \
+        .reset_index(name="n_users") \
+        .sort_values(["cohort_period", "period_offset"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  exp.astype("int64"))
