@@ -35,7 +35,7 @@ _FRONT = [
     # must be driver-verified first
     "ngram_overlap", "tfidf_terms", "graph_pagerank", "watershed",
     "flow_accumulation", "dissolve_area", "events_funnel",
-    "events_retention",
+    "events_retention", "join_counts",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
@@ -58,7 +58,7 @@ _FRONT = [
     "docs_dedup_text", "suppliers_per_nation", "ann_topk",
     "zonal_stats", "raster_histogram", "raster_minmax",
     "buffer_zone_bounds", "project_equirect", "zone_centroids",
-    "docs_lang_guess", "minhash_sigs", "simhash_docs",
+    "docs_lang_guess", "minhash_sigs",
 ]
 
 
@@ -204,4 +204,5 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_area": o.q_dissolve_area(),
         "events_funnel": o.q_events_funnel(),
         "events_retention": o.q_events_retention(),
+        "join_counts": o.q_join_counts(),
     }

@@ -518,3 +518,9 @@ def RetentionCohorts(ds, **kw):
     from spapy_ray.stages.sessions import retention_cohorts
 
     return retention_cohorts(ds, **kw)
+
+
+def GridJoinCounts(geo, **kw):
+    from spapy_ray.stages.spatialstats import grid_join_counts
+
+    return grid_join_counts(geo, **kw)

@@ -2003,3 +2003,32 @@ def q_events_retention(period_us: int = 86_400_000_000) -> str:
         "count(*)::BIGINT AS n_users "
         "FROM d JOIN c USING (user_id) GROUP BY 1, 2"
     )
+
+
+def q_join_counts(nx: int = 360, ny: int = 170) -> str:
+    """Twin of stages.spatialstats.grid_join_counts (min_count=1):
+    distinct occupied cells, east/south self-joins for BB, the degree
+    identity for BW."""
+    n_pairs = (nx - 1) * ny + nx * (ny - 1)
+    return (
+        f"WITH {geo_cte()}, "
+        "pts AS (SELECT floor(lon + 180.0)::BIGINT AS gx, "
+        "floor(lat + 85.0)::BIGINT AS gy FROM geo), "
+        "b AS (SELECT DISTINCT gy * 360 + gx AS cell, gx, gy FROM pts "
+        f"WHERE gx BETWEEN 0 AND {nx - 1} "
+        f"AND gy BETWEEN 0 AND {ny - 1}), "
+        "bb AS (SELECT "
+        f"(SELECT count(*) FROM b a JOIN b c ON c.cell = a.cell + 1 "
+        f"WHERE a.gx < {nx - 1}) + "
+        f"(SELECT count(*) FROM b a JOIN b c ON c.cell = a.cell + {nx} "
+        f"WHERE a.gy < {ny - 1}) AS v), "
+        "deg AS (SELECT sum((gx > 0)::INT + "
+        f"(gx < {nx - 1})::INT + (gy > 0)::INT + "
+        f"(gy < {ny - 1})::INT)::BIGINT AS v FROM b) "
+        f"SELECT {nx * ny}::BIGINT AS n_cells, "
+        f"{n_pairs}::BIGINT AS n_pairs, "
+        "(SELECT count(*) FROM b)::BIGINT AS n_black, "
+        "bb.v::BIGINT AS bb, (deg.v - 2 * bb.v)::BIGINT AS bw, "
+        f"({n_pairs} - deg.v + bb.v)::BIGINT AS ww "
+        "FROM bb, deg"
+    )

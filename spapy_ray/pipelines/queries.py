@@ -2756,3 +2756,17 @@ def q_events_retention(sf_dir: str):
 
 
 QUERIES["events_retention"] = q_events_retention
+
+
+def q_join_counts(sf_dir: str):
+    """Rook join-count spatial autocorrelation of the geocoded-page
+    occupancy grid (1-degree world lattice): occupied-cell fold, black
+    cells probe their east/south neighbors through one small bucket
+    shuffle, BW from the degree identity (stages/spatialstats.py)."""
+    from spapy_ray.stages.spatialstats import grid_join_counts
+
+    geo = _geo(sf_dir).select_columns(["lat", "lon"])
+    return grid_join_counts(geo)
+
+
+QUERIES["join_counts"] = q_join_counts

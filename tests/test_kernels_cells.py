@@ -118,3 +118,43 @@ def test_tile_pyramid_rollup_equals_direct(ray_session):
     exp = pd.concat(exp_parts, ignore_index=True) \
         .sort_values(["res", "tile"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_grid_join_counts_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.spatialstats import grid_join_counts
+
+    rng = np.random.default_rng(2)
+    nx, ny = 12, 9
+    pts = pd.DataFrame({
+        "lon": rng.uniform(0, nx, 300) + 0.0,
+        "lat": rng.uniform(0, ny, 300) + 0.0})
+    got = grid_join_counts(rd.from_pandas(pts), nx=nx, ny=ny,
+                           x_min=0.0, y_min=0.0, min_count=2) \
+        .to_pandas().iloc[0]
+
+    grid = np.zeros((ny, nx), dtype=np.int64)
+    np.add.at(grid, (pts["lat"].astype(int), pts["lon"].astype(int)),
+              1)
+    black = grid >= 2
+    bb = bw = ww = 0
+    for y in range(ny):
+        for x in range(nx):
+            for dy, dx in ((0, 1), (1, 0)):
+                y2, x2 = y + dy, x + dx
+                if y2 >= ny or x2 >= nx:
+                    continue
+                pair = int(black[y, x]) + int(black[y2, x2])
+                if pair == 2:
+                    bb += 1
+                elif pair == 1:
+                    bw += 1
+                else:
+                    ww += 1
+    assert got["n_cells"] == nx * ny
+    assert got["n_pairs"] == bb + bw + ww
+    assert got["n_black"] == int(black.sum())
+    assert (got["bb"], got["bw"], got["ww"]) == (bb, bw, ww)
