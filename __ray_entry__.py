@@ -35,7 +35,7 @@ _FRONT = [
     # must be driver-verified first
     "ngram_overlap", "tfidf_terms", "graph_pagerank", "watershed",
     "flow_accumulation", "dissolve_area", "events_funnel",
-    "events_retention", "join_counts",
+    "events_retention", "join_counts", "docs_surprisal",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
@@ -58,7 +58,7 @@ _FRONT = [
     "docs_dedup_text", "suppliers_per_nation", "ann_topk",
     "zonal_stats", "raster_histogram", "raster_minmax",
     "buffer_zone_bounds", "project_equirect", "zone_centroids",
-    "docs_lang_guess", "minhash_sigs",
+    "docs_lang_guess",
 ]
 
 
@@ -205,4 +205,5 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": o.q_events_funnel(),
         "events_retention": o.q_events_retention(),
         "join_counts": o.q_join_counts(),
+        "docs_surprisal": o.q_docs_surprisal(),
     }

@@ -524,3 +524,9 @@ def GridJoinCounts(geo, **kw):
     from spapy_ray.stages.spatialstats import grid_join_counts
 
     return grid_join_counts(geo, **kw)
+
+
+def UnigramSurprisal(ds, **kw):
+    from spapy_ray.stages.text import unigram_surprisal
+
+    return unigram_surprisal(ds, **kw)

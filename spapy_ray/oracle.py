@@ -2032,3 +2032,16 @@ def q_join_counts(nx: int = 360, ny: int = 170) -> str:
         f"({n_pairs} - deg.v + bb.v)::BIGINT AS ww "
         "FROM bb, deg"
     )
+
+
+def q_docs_surprisal(scale: int = 1000) -> str:
+    """Twin of stages.text.unigram_surprisal."""
+    return (
+        "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "AS term FROM documents), "
+        "c AS (SELECT term, count(*)::BIGINT AS cnt FROM w GROUP BY 1), "
+        "tot AS (SELECT count(*)::BIGINT AS t FROM w) "
+        "SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+        f"sum((tot.t * {scale}) // cnt)::BIGINT AS surprisal "
+        "FROM w JOIN c USING (term), tot GROUP BY doc_id"
+    )

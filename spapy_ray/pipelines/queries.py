@@ -2770,3 +2770,16 @@ def q_join_counts(sf_dir: str):
 
 
 QUERIES["join_counts"] = q_join_counts
+
+
+def q_docs_surprisal(sf_dir: str):
+    """Unigram-LM surprisal quality score per document (integer-exact
+    perplexity-filter stand-in): one token-count fold, sorted-vocab
+    broadcast, pure scoring map (stages/text.unigram_surprisal)."""
+    from spapy_ray.stages.text import unigram_surprisal
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_surprisal(ds)
+
+
+QUERIES["docs_surprisal"] = q_docs_surprisal

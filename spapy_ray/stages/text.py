@@ -462,3 +462,89 @@ def tfidf_top_terms(ds, n_docs: int, *, group_col: str = "lang",
     return grouped_topk(scored, group_col, "score", k,
                         descending=True, tie_cols=["term"],
                         buckets=buckets)
+
+
+def unigram_surprisal(ds, *, key_col: str = "doc_id",
+                      text_col: str = "text", scale: int = 1000,
+                      buckets: int | None = None):
+    """Unigram-LM surprisal quality score per document — the
+    integer-exact stand-in for perplexity-based corpus filtering
+    (CCNet/KenLM-style): rare-token-heavy documents score high,
+    boilerplate scores low.
+
+        surprise(tok) = (N_total_tokens * scale) // count(tok)
+        score(doc)    = sum over the doc's tokens of surprise(tok)
+
+    The quantized reciprocal frequency keeps everything int64 (a
+    float log-prob has no bit-exact distributed sum), same design as
+    tfidf_top_terms' idf.
+
+    Distributed shape: one pass folds global token counts (per-batch
+    combiner + ONE term-bucket shuffle); the vocabulary is the SMALL
+    side (unique terms, not tokens) and is broadcast sorted via
+    ray.put — the same bound as zone/centroid/rank broadcasts; the
+    scoring pass is then a pure map (searchsorted + segmented
+    reduceat), no second shuffle.
+
+    Returns Dataset(key_col, n_tokens, surprisal), int64.
+    """
+    import ray
+
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        flat = toks.values
+        df_ = pd.DataFrame(
+            {"term": flat.to_numpy(zero_copy_only=False)})
+        out = df_.groupby("term", sort=False).size() \
+            .reset_index(name="cnt")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def count_local(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", sort=False)["cnt"].sum() \
+            .reset_index(name="cnt")
+
+    counts = bucketed_group_agg(
+        ds.map_batches(count_partial, batch_format="pyarrow"), "term",
+        count_local, buckets=buckets)
+    ct = pa.concat_tables(
+        [b for b in counts.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    terms = ct.column("term").to_numpy(zero_copy_only=False)
+    cnts = ct.column("cnt").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    order = np.argsort(terms)
+    terms = terms[order]
+    total = int(cnts.sum())
+    surprise = (np.int64(total) * np.int64(scale)) // cnts[order]
+    ref = ray.put((terms, surprise))
+
+    def score(t: pa.Table, _ref=ref) -> pa.Table:
+        vocab, sur = ray.get(_ref)
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        counts_per_doc = np.diff(np.asarray(toks.offsets))
+        idx = np.searchsorted(vocab, flat)
+        vals = sur[idx]
+        starts = np.concatenate(
+            ([0], np.cumsum(counts_per_doc)[:-1]))
+        tot = np.zeros(len(t), dtype=np.int64)
+        nz = counts_per_doc > 0
+        if nz.any():
+            # reduceat over the NON-EMPTY segment starts only: an
+            # empty doc's start can equal len(vals) (out of range),
+            # and empty docs contribute no values anyway
+            tot[nz] = np.add.reduceat(vals, starts[nz])
+        return pa.table({
+            key_col: t.column(key_col),
+            "n_tokens": pa.array(counts_per_doc.astype(np.int64)),
+            "surprisal": pa.array(tot)})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -70,3 +70,34 @@ def test_tfidf_top_terms_brute_force_parity(ray_session):
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_dtype=False)
     assert got["score"].dtype == np.int64
+
+
+def test_unigram_surprisal_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.text import unigram_surprisal
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(15)]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab, size=int(m)))}
+            for i, m in enumerate(rng.integers(1, 25, size=30))]
+    got = unigram_surprisal(rd.from_items(rows)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    from collections import Counter
+    cnt: Counter = Counter()
+    for r in rows:
+        cnt.update(r["text"].split())
+    total = sum(cnt.values())
+    exp_rows = []
+    for r in rows:
+        toks = r["text"].split()
+        exp_rows.append({
+            "doc_id": r["doc_id"], "n_tokens": len(toks),
+            "surprisal": sum((total * 1000) // cnt[t] for t in toks)})
+    exp = pd.DataFrame(exp_rows)
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  exp.astype("int64"))
