@@ -530,3 +530,9 @@ def UnigramSurprisal(ds, **kw):
     from spapy_ray.stages.text import unigram_surprisal
 
     return unigram_surprisal(ds, **kw)
+
+
+def EqualizeStats(r: Raster, **kw):
+    from spapy_ray.stages.raster import equalize_stats
+
+    return equalize_stats(r.ds, r.meta, **kw)

@@ -2045,3 +2045,29 @@ def q_docs_surprisal(scale: int = 1000) -> str:
         f"sum((tot.t * {scale}) // cnt)::BIGINT AS surprisal "
         "FROM w JOIN c USING (term), tot GROUP BY doc_id"
     )
+
+
+def q_raster_equalize(out_scale: int = 255) -> str:
+    """Twin of stages.raster.equalize_stats on the 512x512 int DEM:
+    value histogram → window-sum CDF → integer transfer → per-tile
+    (n, sum, min, max) of the equalized values."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    z = sql_dem_int("px", "py", 0)
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"pix AS (SELECT px, py, ({z})::BIGINT AS v FROM px), "
+        "hist AS (SELECT v, count(*)::BIGINT AS c FROM pix "
+        "GROUP BY v), "
+        "cdf AS (SELECT v, sum(c) OVER (ORDER BY v "
+        "ROWS UNBOUNDED PRECEDING)::BIGINT AS f FROM hist), "
+        "cmin AS (SELECT min(f) AS m FROM cdf), "
+        "eq AS (SELECT p.px, p.py, "
+        f"((cdf.f - cmin.m) * {out_scale}) // (262144 - cmin.m) AS e "
+        "FROM pix p JOIN cdf ON cdf.v = p.v, cmin) "
+        "SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+        "count(*)::BIGINT AS n_pixels, sum(e)::BIGINT AS eq_sum, "
+        "min(e)::BIGINT AS eq_min, max(e)::BIGINT AS eq_max "
+        "FROM eq GROUP BY 1, 2"
+    )

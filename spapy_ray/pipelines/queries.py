@@ -2783,3 +2783,18 @@ def q_docs_surprisal(sf_dir: str):
 
 
 QUERIES["docs_surprisal"] = q_docs_surprisal
+
+
+def q_raster_equalize(sf_dir: str):
+    """Global histogram equalization of the int DEM: one histogram
+    fold (256-row small side), transfer table broadcast, stateless
+    remap + per-tile stats (stages/raster.equalize_stats)."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.raster import equalize_stats
+
+    out = equalize_stats(synth_dem_dataset(DEM_META, kind="int"),
+                         DEM_META).to_pandas()
+    return out.sort_values(["tx", "ty"]).reset_index(drop=True)
+
+
+QUERIES["raster_equalize"] = q_raster_equalize

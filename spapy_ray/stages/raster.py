@@ -1502,3 +1502,74 @@ def flow_accumulation_stats(ds, meta: RasterMeta, *,
             "acc_max": t.column("acc_max").cast(pa.int64())})
 
     return folded.map_batches(decode, batch_format="pyarrow")
+
+
+def equalize_stats(ds, meta: RasterMeta, *, nbins: int = 256,
+                   lo: float = 0.0, hi: float = 256.0,
+                   out_scale: int = 255):
+    """Global histogram equalization (the gdaldem / ArcGIS Stretch
+    "histogram equalize" contrast op; the reference has only linear
+    scalar math, SpaRasters.py one-liners) over an integer-binned
+    raster, reduced to per-tile (n, eq_sum, eq_min, eq_max).
+
+        eq(v) = (cdf(v) - cdf_min) * out_scale // (N - cdf_min)
+
+    — the classic integer equalization transfer, exact in int64 and
+    bit-identical to a window-sum SQL twin. A constant raster
+    (N == cdf_min) maps to 0.
+
+    Distributed shape: one pass folds the global value histogram
+    (per-tile bincount partials through the existing
+    raster_histogram reduce — the histogram is nbins rows, the SMALL
+    side); the transfer table broadcasts via ray.put and the remap +
+    per-tile stats run in a single stateless map. Two passes over
+    the tiles, zero shuffles beyond the nbins-row histogram fold.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    hist = raster_histogram(ds, dtype=meta.dtype,
+                            tile_size=meta.tile_size, nbins=nbins,
+                            lo=lo, hi=hi).to_pandas()
+    counts = np.zeros(nbins, dtype=np.int64)
+    counts[hist["bin"].to_numpy(dtype=np.int64)] = \
+        hist["n_pixels"].to_numpy(dtype=np.int64)
+    cdf = np.cumsum(counts)
+    n_total = int(cdf[-1])
+    nz = np.nonzero(counts)[0]
+    cdf_min = int(cdf[nz[0]]) if len(nz) else 0
+    if n_total > cdf_min:
+        table = (cdf - cdf_min) * np.int64(out_scale) \
+            // np.int64(n_total - cdf_min)
+        table = np.clip(table, 0, out_scale)
+    else:
+        table = np.zeros(nbins, dtype=np.int64)
+    ref = ray.put(table)
+    width = (hi - lo) / nbins
+    T = meta.tile_size
+    dt = meta.dtype
+
+    def remap(t: pa.Table, _ref=ref) -> pa.Table:
+        tab = ray.get(_ref)
+        txs = pc.cast(t.column("tx"), pa.int64())
+        tys = pc.cast(t.column("ty"), pa.int64())
+        n = np.empty(len(t), dtype=np.int64)
+        s = np.empty(len(t), dtype=np.int64)
+        mn = np.empty(len(t), dtype=np.int64)
+        mx = np.empty(len(t), dtype=np.int64)
+        for i, b in enumerate(t.column("data").to_pylist()):
+            a = decode_tile(b, dt, T).ravel()
+            idx = np.clip(((a - lo) / width).astype(np.int64), 0,
+                          len(tab) - 1)
+            e = tab[idx]
+            n[i] = len(e)
+            s[i] = int(e.sum())
+            mn[i] = int(e.min())
+            mx[i] = int(e.max())
+        return pa.table({"tx": txs, "ty": tys,
+                         "n_pixels": pa.array(n),
+                         "eq_sum": pa.array(s),
+                         "eq_min": pa.array(mn),
+                         "eq_max": pa.array(mx)})
+
+    return ds.map_batches(remap, batch_format="pyarrow")

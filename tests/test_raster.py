@@ -950,3 +950,46 @@ def test_contour_dataset_driver_memory_bounded(ray_session):
     assert n_big > 4 * n_small             # the work really grew
     # an 8x line count must NOT appear as ~8x driver allocations
     assert p_big < 3.0 * p_small + 8_000_000
+
+
+def test_equalize_stats_bruteforce(ray_session):
+    from spapy_ray.stages.raster import equalize_stats
+
+    meta = SMALL
+    got = equalize_stats(synth_dem_dataset(meta, kind="int"), meta) \
+        .to_pandas().sort_values(["ty", "tx"]).reset_index(drop=True)
+
+    full = _full_int(meta).astype(np.int64)
+    counts = np.bincount(full.ravel(), minlength=256)
+    cdf = np.cumsum(counts)
+    cmin = int(cdf[np.nonzero(counts)[0][0]])
+    table = (cdf - cmin) * 255 // (full.size - cmin)
+    eq = table[full]
+    t = meta.tile_size
+    rows = []
+    for ty in range(meta.height // t):
+        for tx in range(meta.width // t):
+            e = eq[ty * t:(ty + 1) * t, tx * t:(tx + 1) * t]
+            rows.append((tx, ty, e.size, int(e.sum()),
+                         int(e.min()), int(e.max())))
+    import pandas as pd
+
+    exp = pd.DataFrame(rows, columns=["tx", "ty", "n_pixels",
+                                      "eq_sum", "eq_min", "eq_max"]) \
+        .sort_values(["ty", "tx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  exp.astype("int64"))
+
+
+def test_equalize_constant_raster_maps_to_zero(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.raster import equalize_stats
+
+    meta = RasterMeta(width=64, height=64, tile_size=32, x_min=0.0,
+                      y_max=0.0, pixel_w=1.0, pixel_h=-1.0)
+    buf = np.full((32, 32), 7, dtype=np.int32).tobytes()
+    rows = [{"tx": tx, "ty": ty, "band": 0, "data": buf}
+            for tx in range(2) for ty in range(2)]
+    out = equalize_stats(rd.from_items(rows), meta).to_pandas()
+    assert (out["eq_sum"] == 0).all() and (out["eq_max"] == 0).all()
