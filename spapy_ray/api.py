@@ -536,3 +536,9 @@ def EqualizeStats(r: Raster, **kw):
     from spapy_ray.stages.raster import equalize_stats
 
     return equalize_stats(r.ds, r.meta, **kw)
+
+
+def ZonalMajority(r: Raster, zones, **kw):
+    from spapy_ray.stages.raster import zonal_majority
+
+    return zonal_majority(r.ds, zones, r.meta, **kw)

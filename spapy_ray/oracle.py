@@ -2071,3 +2071,25 @@ def q_raster_equalize(out_scale: int = 255) -> str:
         "min(e)::BIGINT AS eq_min, max(e)::BIGINT AS eq_max "
         "FROM eq GROUP BY 1, 2"
     )
+
+
+def q_zonal_majority(num_zones: int = 200,
+                     class_width: int = 64) -> str:
+    """Twin of stages.raster.zonal_majority: per-pixel PIP membership
+    (same grid CTE as q_zonal_stats), class counts per zone, mode
+    with ties to the lowest class."""
+    return (
+        f"WITH {_pixel_grid_cte()}, zones AS ({sql_zones_cte(num_zones)}), "
+        "memb AS (SELECT z.zone_id, "
+        f"(g.z // {class_width} + 1)::BIGINT AS cls "
+        "FROM grid g CROSS JOIN zones z "
+        f"WHERE {sql_pip_condition('g.lon', 'g.lat')}), "
+        "cc AS (SELECT zone_id, cls, count(*)::BIGINT AS n "
+        "FROM memb GROUP BY 1, 2), "
+        "tot AS (SELECT zone_id, sum(n)::BIGINT AS n_pixels "
+        "FROM cc GROUP BY 1), "
+        "r AS (SELECT zone_id, cls, n, row_number() OVER "
+        "(PARTITION BY zone_id ORDER BY n DESC, cls) AS rn FROM cc) "
+        "SELECT r.zone_id, r.cls AS mode_class, r.n AS n_mode, "
+        "tot.n_pixels FROM r JOIN tot USING (zone_id) WHERE rn = 1"
+    )

@@ -2798,3 +2798,16 @@ def q_raster_equalize(sf_dir: str):
 
 
 QUERIES["raster_equalize"] = q_raster_equalize
+
+
+def q_zonal_majority(sf_dir: str):
+    """Zonal MAJORITY: modal 64-wide value class per zone polygon
+    (broadcast STRtree membership, per-tile class-count partials,
+    one zone-bucket shuffle; ties to the lowest class)."""
+    from spapy_ray.stages.raster import zonal_majority
+
+    ds, meta = _dem()
+    return zonal_majority(ds, zones_table(), meta, dtype="int32")
+
+
+QUERIES["zonal_majority"] = q_zonal_majority

@@ -1573,3 +1573,76 @@ def equalize_stats(ds, meta: RasterMeta, *, nbins: int = 256,
                          "eq_max": pa.array(mx)})
 
     return ds.map_batches(remap, batch_format="pyarrow")
+
+
+def zonal_majority(ds, zones: pa.Table, meta: RasterMeta, *,
+                   dtype: str = "int32", class_width: int = 64,
+                   batch_size: int = 16, buckets: int | None = None):
+    """Zonal MAJORITY (modal class per zone — ArcGIS ZonalStatistics
+    MAJORITY; the reference's zonal family stops at count/sum/min/
+    max): pixel values bucket into classes (v // class_width + 1),
+    per-tile per-zone class-count partials fold through ONE
+    hash(zone) bucket shuffle, and each zone's mode resolves locally
+    (ties to the LOWEST class, same ordered-CASE convention as
+    focal_majority).
+
+    Zones broadcast once (ray.put), membership via the shared
+    STRtree + ray-cast PIP. Returns Dataset(zone_id, mode_class,
+    n_mode, n_pixels), int64.
+    """
+    import ray
+
+    from spapy_ray.sources.rasters import tile_pixels
+    from spapy_ray.stages.join import ZoneIndex
+    from spapy_ray.stages.relational import bucketed_group_agg
+    from spapy_ray.util import cached_state
+
+    box = (ray.put(zones),)
+
+    def partial(t: pa.Table) -> pa.Table:
+        index = cached_state(box, ZoneIndex)
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        zid_out, cls_out, n_out = [], [], []
+        for i, buf in enumerate(t.column("data").to_pylist()):
+            a = decode_tile(buf, dtype, meta.tile_size)
+            gx, gy = tile_pixels(meta, int(txs[i]), int(tys[i]))
+            lon, lat = meta.pixel_center_lonlat(gx.ravel(), gy.ravel())
+            pi, zi = index.query(lon, lat)
+            if len(pi) == 0:
+                continue
+            cls = a.ravel()[pi].astype(np.int64) // class_width + 1
+            zid = index.zone_ids[zi].astype(np.int64)
+            key = zid * 100_000 + cls
+            u, c = np.unique(key, return_counts=True)
+            zid_out.append(u // 100_000)
+            cls_out.append(u % 100_000)
+            n_out.append(c.astype(np.int64))
+        if not zid_out:
+            return pa.table({"zone_id": pa.array([], pa.int64()),
+                             "cls": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"zone_id": pa.array(np.concatenate(zid_out)),
+                         "cls": pa.array(np.concatenate(cls_out)),
+                         "n": pa.array(np.concatenate(n_out))})
+
+    def per_zone(g: pd.DataFrame) -> pd.DataFrame:
+        cc = g.groupby(["zone_id", "cls"], sort=False)["n"].sum() \
+            .reset_index()
+        cc = cc.sort_values(["zone_id", "n", "cls"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        tot = cc.groupby("zone_id", sort=False)["n"].sum()
+        head = cc.drop_duplicates("zone_id", keep="first")
+        return pd.DataFrame({
+            "zone_id": head["zone_id"].to_numpy(dtype=np.int64),
+            "mode_class": head["cls"].to_numpy(dtype=np.int64),
+            "n_mode": head["n"].to_numpy(dtype=np.int64),
+            "n_pixels": tot.loc[head["zone_id"]].to_numpy(
+                dtype=np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size,
+                           zero_copy_batch=True)
+    return bucketed_group_agg(parts, "zone_id", per_zone,
+                              buckets=buckets)

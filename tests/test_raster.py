@@ -993,3 +993,35 @@ def test_equalize_constant_raster_maps_to_zero(ray_session):
             for tx in range(2) for ty in range(2)]
     out = equalize_stats(rd.from_items(rows), meta).to_pandas()
     assert (out["eq_sum"] == 0).all() and (out["eq_max"] == 0).all()
+
+
+def test_zonal_majority_bruteforce(ray_session):
+    import pandas as pd
+
+    from spapy_ray.sources.zones import zones_table
+    from spapy_ray.stages.raster import zonal_majority
+    from spapy_ray.stages.join import ZoneIndex
+
+    meta = SMALL
+    got = zonal_majority(synth_dem_dataset(meta, kind="int"),
+                         zones_table(50), meta).to_pandas() \
+        .sort_values("zone_id").reset_index(drop=True)
+
+    full = _full_int(meta).astype(np.int64)
+    py, px = np.mgrid[0:meta.height, 0:meta.width]
+    lon, lat = meta.pixel_center_lonlat(px.ravel(), py.ravel())
+    index = ZoneIndex(zones_table(50))
+    pi, zi = index.query(lon, lat)
+    cls = full.ravel()[pi] // 64 + 1
+    zid = index.zone_ids[zi]
+    df = pd.DataFrame({"zone_id": zid, "cls": cls})
+    rows = []
+    for z, g in df.groupby("zone_id"):
+        cc = g.groupby("cls").size().reset_index(name="n") \
+            .sort_values(["n", "cls"], ascending=[False, True])
+        rows.append((z, cc.iloc[0]["cls"], cc.iloc[0]["n"], len(g)))
+    exp = pd.DataFrame(rows, columns=["zone_id", "mode_class",
+                                      "n_mode", "n_pixels"]) \
+        .sort_values("zone_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  exp.astype("int64"))
