@@ -36,7 +36,7 @@ _FRONT = [
     "ngram_overlap", "tfidf_terms", "graph_pagerank", "watershed",
     "flow_accumulation", "dissolve_area", "events_funnel",
     "events_retention", "join_counts", "docs_surprisal",
-    "raster_equalize", "zonal_majority",
+    "raster_equalize", "zonal_majority", "embed_projection",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
@@ -58,7 +58,7 @@ _FRONT = [
     "lineitem_pricing", "events_by_type", "docs_token_stats",
     "docs_dedup_text", "suppliers_per_nation", "ann_topk",
     "zonal_stats", "raster_histogram", "raster_minmax",
-    "buffer_zone_bounds", "project_equirect",
+    "buffer_zone_bounds",
 ]
 
 
@@ -208,4 +208,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_surprisal": o.q_docs_surprisal(),
         "raster_equalize": o.q_raster_equalize(),
         "zonal_majority": o.q_zonal_majority(),
+        "embed_projection": o.q_embed_projection(),
     }

@@ -542,3 +542,9 @@ def ZonalMajority(r: Raster, zones, **kw):
     from spapy_ray.stages.raster import zonal_majority
 
     return zonal_majority(r.ds, zones, r.meta, **kw)
+
+
+def RandomProjection(ds, **kw):
+    from spapy_ray.stages.ann import random_projection
+
+    return random_projection(ds, **kw)

@@ -2093,3 +2093,26 @@ def q_zonal_majority(num_zones: int = 200,
         "SELECT r.zone_id, r.cls AS mode_class, r.n AS n_mode, "
         "tot.n_pixels FROM r JOIN tot USING (zone_id) WHERE rn = 1"
     )
+
+
+def q_embed_projection(in_dim: int = 64, out_dim: int = 8,
+                       quant: int = 1_000_000) -> str:
+    """Twin of stages.ann.random_projection: the same FNV-parity sign
+    matrix built from two ranges, quantized int64 inputs, exact sums.
+    (Position variables named ii/jj — sql_fnv1a's lambdas shadow
+    i/b/c/h.)"""
+    sgn = sql_fnv1a("'rp:' || ii::VARCHAR || ':' || jj::VARCHAR")
+    return (
+        "WITH el AS (SELECT vec_id, "
+        "generate_subscripts(embedding, 1) AS pos, "
+        "unnest(list_transform(embedding, "
+        f"x -> round(x::DOUBLE * {quant})::BIGINT)) AS e "
+        "FROM embeddings), "
+        f"sg AS (SELECT ii + 1 AS pos, jj AS j, "
+        f"CASE WHEN ({sgn}) % 2 = 1 THEN 1 ELSE -1 END AS s "
+        f"FROM (SELECT a.range AS ii, b.range AS jj "
+        f"FROM range({in_dim}) a, range({out_dim}) b) t) "
+        "SELECT el.vec_id, sg.j::BIGINT AS j, "
+        "sum(sg.s * el.e)::BIGINT AS y "
+        "FROM el JOIN sg ON sg.pos = el.pos GROUP BY 1, 2"
+    )

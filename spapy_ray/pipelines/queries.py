@@ -2811,3 +2811,16 @@ def q_zonal_majority(sf_dir: str):
 
 
 QUERIES["zonal_majority"] = q_zonal_majority
+
+
+def q_embed_projection(sf_dir: str):
+    """Signed random projection of the embeddings table to 8 dims
+    (stateless int64 GEMM per batch; FNV-parity sign matrix needs no
+    storage) — stages/ann.random_projection."""
+    from spapy_ray.stages.ann import random_projection
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return random_projection(ds)
+
+
+QUERIES["embed_projection"] = q_embed_projection

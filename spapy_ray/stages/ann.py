@@ -805,3 +805,46 @@ def knn_join_embeddings(left, right, *, k: int = 5,
         return g
 
     return cands.groupby("qid").map_groups(final, batch_format="pandas")
+
+
+def random_projection(ds, *, key_col: str = "vec_id",
+                      vec_col: str = "embedding", out_dim: int = 8,
+                      quant: int = 1_000_000):
+    """Signed random projection (Achlioptas/JL dimensionality
+    reduction — the hyperplane-LSH basis exposed as a first-class
+    embedding transform): y_j = Σ_i sign(i, j) · round(x_i · quant),
+    sign(i, j) = ±1 from the parity of fnv1a64("rp:i:j") — a pure
+    function of the coordinates, so the projection matrix needs no
+    storage, no broadcast, and has a bit-exact SQL twin (quantized
+    int64 inputs make the sum order-independent).
+
+    Stateless single map (one int64 GEMM per batch); returns the
+    LONG form Dataset(key_col, j, y) — out_dim rows per vector.
+    """
+    from spapy_ray.kernels.hashing import fnv1a64_scalar
+
+    sign_cache: dict[int, np.ndarray] = {}
+
+    def signs_for(d: int) -> np.ndarray:
+        m = sign_cache.get(d)
+        if m is None:
+            m = np.array([[1 if fnv1a64_scalar(f"rp:{i}:{j}") & 1
+                           else -1 for j in range(out_dim)]
+                          for i in range(d)], dtype=np.int64)
+            sign_cache[d] = m
+        return m
+
+    def project(t: pa.Table) -> pa.Table:
+        emb = _stack_embeddings(t.column(vec_col))
+        n, d = emb.shape
+        e_int = np.round(emb * quant).astype(np.int64)
+        y = e_int @ signs_for(d)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            key_col: pa.array(np.repeat(keys, out_dim)),
+            "j": pa.array(np.tile(np.arange(out_dim, dtype=np.int64),
+                                  n)),
+            "y": pa.array(y.ravel())})
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -315,3 +315,37 @@ def test_ngram_overlap_short_docs_never_flagged(ray_session):
     # single 8-gram
     assert out.to_dict("records") == [
         {"doc_id": 3, "n_dup_grams": 1, "first_owner": 2}]
+
+
+def test_random_projection_preserves_cosine_roughly(ray_session):
+    # JL property smoke: identical vectors project identically;
+    # orthogonal-ish vectors stay far. Plus exact brute parity.
+    import ray.data as rd
+
+    from spapy_ray.kernels.hashing import fnv1a64_scalar
+    from spapy_ray.stages.ann import random_projection
+
+    rng = np.random.default_rng(4)
+    emb = rng.normal(size=(40, 16)).astype(np.float32)
+    emb[7] = emb[3]
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(40, dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in emb]}))
+    got = random_projection(ds, out_dim=4).to_pandas() \
+        .sort_values(["vec_id", "j"]).reset_index(drop=True)
+
+    signs = np.array([[1 if fnv1a64_scalar(f"rp:{i}:{j}") & 1 else -1
+                       for j in range(4)] for i in range(16)],
+                     dtype=np.int64)
+    e_int = np.round(emb.astype(np.float64) * 1_000_000) \
+        .astype(np.int64)
+    y = e_int @ signs
+    exp = pd.DataFrame({
+        "vec_id": np.repeat(np.arange(40, dtype=np.int64), 4),
+        "j": np.tile(np.arange(4, dtype=np.int64), 40),
+        "y": y.ravel()})
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  exp.astype("int64"))
+    y3 = y[3]
+    y7 = y[7]
+    assert (y3 == y7).all()
