@@ -52,7 +52,8 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  "embed_near_dup", "embed_near_dup_lsh", "focal_majority",
                  # round-4 session-5 additions
                  "ngram_overlap", "tfidf_terms", "graph_pagerank",
-                 "watershed", "flow_accumulation"]
+                 "watershed", "flow_accumulation", "docs_surprisal",
+                 "zonal_majority"]
 
 
 def _consume(res) -> int:
