@@ -78,8 +78,14 @@ def _ranks_broadcast(eddeg_by_dst, nodes: np.ndarray, deg: np.ndarray,
             u, inv = np.unique(dst, return_inverse=True)
             s = np.zeros(len(u), dtype=np.int64)
             np.add.at(s, inv, contrib)
-            return pa.table({"node": pa.array(u),
-                             "r": pa.array(base + num * s // den)})
+            # guard the out-degree>=1 precondition: a dst that is not
+            # a known node (dangling target) must be DROPPED, not let
+            # an out-of-range searchsorted corrupt another node's slot
+            pos = np.searchsorted(nodes, u)
+            ok = (pos < len(nodes)) & (nodes[np.minimum(
+                pos, len(nodes) - 1)] == u)
+            return pa.table({"node": pa.array(u[ok]),
+                             "r": pa.array(base + num * s[ok] // den)})
 
         # batch_size=None → one batch per BLOCK, and every dst lives
         # wholly inside one block → the per-batch sums are final
