@@ -1465,6 +1465,12 @@ def flow_accumulation_stats(ds, meta: RasterMeta, *,
         ns = a[order]
         ptr = np.searchsorted(ns, b[order])
         n = len(ns)
+        # complete-basin invariant: every pointer target must live in
+        # this bucket (a silent searchsorted miss would corrupt acc)
+        if n and not (ns[np.minimum(ptr, n - 1)] == b[order]).all():
+            raise AssertionError(
+                "flow_accumulation bucket is missing pointer targets "
+                "— basin labels did not co-partition a full basin")
         acc = np.ones(n, dtype=np.int64)
         walkers = np.flatnonzero(ptr != np.arange(n))
         cur = ptr[walkers]
