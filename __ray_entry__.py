@@ -42,16 +42,17 @@ _FRONT = [
     "terrain_stats", "resample_nearest", "resample_match_diff",
     "rasterize_points", "contour_lines", "dbscan_clusters",
     "idw_raster", "proximity_grid",
-    # stale since r1/r2 (absent from CORRECTNESS_r03.json); the
-    # twelve displaced rows (events_props, hull_areas, relate_flags,
-    # simplify_areas, warp_equirect, docs_rolling_fp, media_probe,
-    # events_campaigns, raster_diff_stats, split_zones, events_hourly,
-    # reclassify_hist, raster_crop_minmax) fold into the round-5
-    # rotation and stay covered by the local
-    # tools/check_correctness.py sweep; fnv-hash-path rows (geocode,
-    # cell_index, pip_join, dedup_pages, minhash_sigs, simhash_docs,
-    # near_dup_docs, docs_dedup_text) stay FRONT because the FNV
-    # kernel was rewritten this session
+    # stale since r1/r2 (absent from CORRECTNESS_r03.json). Displaced
+    # into the round-5 rotation (all green in this session's local
+    # sweeps — full 117-query sf0.001 + front-50 sf0.01): events_props,
+    # hull_areas, relate_flags, simplify_areas, warp_equirect,
+    # docs_rolling_fp, media_probe, events_campaigns,
+    # raster_diff_stats, split_zones, events_hourly, reclassify_hist,
+    # raster_crop_minmax, minhash_sigs, simhash_docs, embed_top_pairs,
+    # near_dup_docs, events_sessions, docs_lang_guess, zone_centroids,
+    # project_equirect. fnv-hash-path rows (geocode, cell_index,
+    # pip_join, dedup_pages, docs_dedup_text, docs_token_stats) stay
+    # FRONT because the FNV kernel was rewritten this session.
     "domain_caps", "pages", "geocode", "cell_index", "pip_join",
     "zone_page_counts", "top_zones", "tile_counts", "dedup_pages",
     "knn_zones", "zone_bounds_area", "select_zones",
