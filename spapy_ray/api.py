@@ -548,3 +548,9 @@ def RandomProjection(ds, **kw):
     from spapy_ray.stages.ann import random_projection
 
     return random_projection(ds, **kw)
+
+
+def BloomFilterJoin(left, right, on, **kw):
+    from spapy_ray.stages.relational import bloom_filter_join
+
+    return bloom_filter_join(left, right, on=on, **kw)

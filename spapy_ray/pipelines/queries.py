@@ -2824,3 +2824,23 @@ def q_embed_projection(sf_dir: str):
 
 
 QUERIES["embed_projection"] = q_embed_projection
+
+
+def q_customers_bloom_anti(sf_dir: str):
+    """The customers_without_orders anti-join through the BLOOM
+    prefilter path (relational.bloom_filter_join): probe rows failing
+    the filter stream straight to output with no shuffle; only the
+    filter-passing minority runs the exact bucketed anti join. Same
+    SQL twin — exactness is unconditional (no false negatives)."""
+    from spapy_ray.stages.relational import bloom_filter_join, \
+        select_where
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = select_where(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]),
+        "o_orderstatus", "==", "F").select_columns(["o_custkey"])
+    return bloom_filter_join(cust, orders, on="c_custkey",
+                             right_on="o_custkey", how="anti")
+
+
+QUERIES["customers_bloom_anti"] = q_customers_bloom_anti

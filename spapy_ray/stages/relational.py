@@ -582,8 +582,22 @@ def hash_join(left, right, *, on: str, right_on: str | None = None,
     lnames = list(lsch.names)
     rmap = {c: (c + suffix if c in lnames else c) for c in rsch.names}
     rnames = [rmap[c] for c in rsch.names]
-    fields = {**dict(zip(lsch.names, lsch.types)),
-              **{rmap[c]: t for c, t in zip(rsch.names, rsch.types)}}
+
+    def _pa_type(t):
+        # a pandas-block dataset reports numpy dtypes / <class
+        # 'object'> instead of Arrow types — normalize so pa.nulls
+        # accepts them (same mapping as sessions.asof_join)
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.string() if t == object else pa.from_numpy_dtype(t)
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    fields = {**{n: _pa_type(t) for n, t in zip(lsch.names,
+                                                lsch.types)},
+              **{rmap[c]: _pa_type(t) for c, t in zip(rsch.names,
+                                                      rsch.types)}}
     allnames = lnames + [c for c in rnames if c not in lnames]
 
     def unify(t: pa.Table, own: list[str], ren: dict | None,
@@ -803,3 +817,116 @@ def heavy_hitters(ds, col: str, capacity: int = 1024, fan: int = 32,
     return s.repartition(1) \
         .map_batches(merge, batch_format="pyarrow", batch_size=None) \
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+_BLOOM_MIX2 = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def _bloom_hashes(col, k: int, m: int) -> np.ndarray:
+    """[k, n] Bloom bit positions via double hashing (h1 + i*h2) % m.
+    Same per-type base hash as _bucket_column, so strings and ints
+    both work."""
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        h1 = fnv1a64(col)
+    else:
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h1 = v * np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        h2 = (h1 * _BLOOM_MIX2) | np.uint64(1)
+        out = np.empty((k, len(h1)), dtype=np.int64)
+        for i in range(k):
+            out[i] = ((h1 + np.uint64(i) * h2) % np.uint64(m)) \
+                .astype(np.int64)
+    return out
+
+
+def bloom_filter_join(left, right, *, on: str,
+                      right_on: str | None = None, how: str = "semi",
+                      bits_log2: int = 23, k: int = 4,
+                      buckets: int | None = None, salt: int = 1):
+    """Semi/anti equijoin with a BLOOM PREFILTER on the probe side —
+    the shuffle-volume primitive for url-blocklist filtering /
+    contains-key checks at corpus scale. Exactness is preserved
+    unconditionally (a Bloom filter has no false negatives):
+
+      semi: probe rows failing the filter are DEFINITE non-matches
+            and drop before the shuffle; survivors run the exact
+            bucketed semi join (hash_join).
+      anti: failing rows are definite non-matches and stream
+            STRAIGHT TO OUTPUT with no shuffle at all; only the
+            (few) filter-passing rows run the exact anti join.
+
+    Only the k-bit membership test moves per probe row; the filter
+    itself is built distributedly (per-batch partial bitmaps,
+    OR-folded — 2^bits_log2 bits = 1 MiB at the default, the small
+    side) and broadcast via ray.put. NULL probe keys follow SQL
+    EXISTS semantics like hash_join: they never match (semi drops
+    them at the filter; anti emits them directly).
+    """
+    import ray
+
+    if how not in ("semi", "anti"):
+        raise ValueError("bloom prefilter applies to semi/anti only")
+    rk = right_on or on
+    m = 1 << bits_log2
+    words = m // 64
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        col = t.column(rk)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()
+        bm = np.zeros(words, dtype=np.uint64)
+        if len(col):
+            pos = _bloom_hashes(col, k, m).ravel()
+            np.bitwise_or.at(bm, pos // 64,
+                             np.uint64(1) << (pos % 64).astype(
+                                 np.uint64))
+        return pa.table({"bm": pa.array([bm.tobytes()],
+                                        type=pa.binary())})
+
+    bm = np.zeros(words, dtype=np.uint64)
+    for b_ in right.map_batches(bloom_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for blob in b_.column("bm").to_pylist():
+            np.bitwise_or(bm, np.frombuffer(blob, dtype=np.uint64),
+                          out=bm)
+    ref = ray.put(bm)
+
+    def probe_mask(t: pa.Table, _ref=ref) -> np.ndarray:
+        filt = ray.get(_ref)
+        col = t.column(on)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+        safe = col.fill_null(col[0]) if null_mask.any() and len(col) \
+            else col
+        pos = _bloom_hashes(safe, k, m)
+        hit = np.ones(len(t), dtype=bool)
+        for i in range(k):
+            w = filt[pos[i] // 64]
+            hit &= (w >> (pos[i] % 64).astype(np.uint64)) \
+                .astype(np.uint64) & np.uint64(1) > 0
+        hit[null_mask] = False          # NULL never matches
+        return hit
+
+    def keep_pass(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(probe_mask(t)))
+
+    if how == "semi":
+        survivors = left.map_batches(keep_pass,
+                                     batch_format="pyarrow")
+        return hash_join(survivors, right, on=on, right_on=right_on,
+                         how="semi", buckets=buckets, salt=salt)
+
+    def keep_fail(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(~probe_mask(t)))
+
+    definite = left.map_batches(keep_fail, batch_format="pyarrow")
+    maybe = left.map_batches(keep_pass, batch_format="pyarrow")
+    checked = hash_join(maybe, right, on=on, right_on=right_on,
+                        how="anti", buckets=buckets, salt=salt)
+    return definite.union(checked)

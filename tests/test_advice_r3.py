@@ -147,3 +147,45 @@ def test_dbf_int64_extremes_roundtrip(tmp_path):
     back, _meta = read_shapefile(p)
     assert sorted(back.column("big").to_pylist()) == \
         sorted([2 ** 63 - 1, -(2 ** 63) + 1, 123])
+
+
+def test_bloom_filter_join_matches_plain(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import bloom_filter_join, \
+        hash_join
+
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 500, 3000).astype("float64"),
+        "v": np.arange(3000)})
+    left.loc[::97, "k"] = np.nan          # null probe keys
+    right = pd.DataFrame({"k": rng.integers(0, 80, 200)})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    for how in ("semi", "anti"):
+        plain = hash_join(lds, rds, on="k", how=how).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        bloom = bloom_filter_join(lds, rds, on="k", how=how,
+                                  bits_log2=12).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        pd.testing.assert_frame_equal(bloom, plain)
+
+
+def test_bloom_filter_join_string_keys(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import bloom_filter_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"u": [f"url{i}" for i in range(100)]}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"u": [f"url{i}" for i in range(0, 100, 10)]}))
+    semi = bloom_filter_join(left, right, on="u", how="semi") \
+        .to_pandas()
+    anti = bloom_filter_join(left, right, on="u", how="anti") \
+        .to_pandas()
+    assert len(semi) == 10 and len(anti) == 90
+    assert set(semi["u"]) == {f"url{i}" for i in range(0, 100, 10)}
