@@ -554,3 +554,9 @@ def BloomFilterJoin(left, right, on, **kw):
     from spapy_ray.stages.relational import bloom_filter_join
 
     return bloom_filter_join(left, right, on=on, **kw)
+
+
+def HashSplit(ds, col, fractions, **kw):
+    from spapy_ray.stages.relational import hash_split
+
+    return hash_split(ds, col, fractions, **kw)

@@ -2116,3 +2116,14 @@ def q_embed_projection(in_dim: int = 64, out_dim: int = 8,
         "sum(sg.s * el.e)::BIGINT AS y "
         "FROM el JOIN sg ON sg.pos = el.pos GROUP BY 1, 2"
     )
+
+
+def q_dataset_split(den: int = 100) -> str:
+    """Twin of relational.hash_split 80/10/10 by url → per-(split,
+    lang) counts."""
+    h = f"({sql_fnv1a('url')} % {den})"
+    case = (f"CASE WHEN {h} < 80 THEN 'train' "
+            f"WHEN {h} < 90 THEN 'val' ELSE 'test' END")
+    return (f"WITH {pages_cte()} "
+            f"SELECT {case} AS split, lang, count(*)::BIGINT AS n_pages "
+            "FROM pages GROUP BY 1, 2")

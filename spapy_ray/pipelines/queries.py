@@ -2844,3 +2844,21 @@ def q_customers_bloom_anti(sf_dir: str):
 
 
 QUERIES["customers_bloom_anti"] = q_customers_bloom_anti
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment keyed by url
+    (group-consistent: duplicate urls cannot straddle splits), folded
+    to per-(split, lang) counts (relational.hash_split)."""
+    from ray.data.aggregate import Count
+
+    from spapy_ray.stages.relational import hash_split
+
+    pages = pages_dataset(sf_dir, include_html=False)
+    split = hash_split(pages, "url",
+                       {"train": 80, "val": 10, "test": 10})
+    return split.groupby(["split", "lang"]).aggregate(
+        Count(alias_name="n_pages"))
+
+
+QUERIES["dataset_split"] = q_dataset_split

@@ -930,3 +930,33 @@ def bloom_filter_join(left, right, *, on: str,
     checked = hash_join(maybe, right, on=on, right_on=right_on,
                         how="anti", buckets=buckets, salt=salt)
     return definite.union(checked)
+
+
+def hash_split(ds, col: str, fractions: dict[str, int], *,
+               den: int = 100, out: str = "split"):
+    """Deterministic train/val/test assignment — the dataset-split
+    primitive every training pipeline needs: row r goes to the split
+    whose cumulative band contains fnv1a64(r[col]) % den. Pure
+    function of the key (no RNG state) and GROUP-CONSISTENT like
+    hash_sample: all rows sharing the key land in the SAME split, so
+    a url's duplicates can never leak across train/test.
+
+    ``fractions`` maps split name → band width (must sum to ``den``),
+    iterated in insertion order. Stateless single map; appends the
+    ``out`` string column. SQL twin via kernels.hashing.sql_fnv1a +
+    an ordered CASE over the same cumulative bands.
+    """
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    if sum(fractions.values()) != den:
+        raise ValueError("fractions must sum to den")
+    names = list(fractions)
+    cuts = np.cumsum([fractions[n] for n in names]).astype(np.uint64)
+    labels = np.asarray(names, dtype=object)
+
+    def _f(t: pa.Table) -> pa.Table:
+        h = fnv1a64(t.column(col)) % np.uint64(den)
+        idx = np.searchsorted(cuts, h, side="right")
+        return t.append_column(out, pa.array(labels[idx].astype(str)))
+
+    return ds.map_batches(_f, batch_format="pyarrow")

@@ -189,3 +189,23 @@ def test_bloom_filter_join_string_keys(ray_session):
         .to_pandas()
     assert len(semi) == 10 and len(anti) == 90
     assert set(semi["u"]) == {f"url{i}" for i in range(0, 100, 10)}
+
+
+def test_hash_split_group_consistent_and_complete(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import hash_split
+
+    df = pd.DataFrame({"u": [f"k{i % 40}" for i in range(400)],
+                       "v": range(400)})
+    out = hash_split(rd.from_pandas(df), "u",
+                     {"train": 80, "val": 10, "test": 10}).to_pandas()
+    assert len(out) == 400
+    # group-consistency: one split per key
+    assert (out.groupby("u")["split"].nunique() == 1).all()
+    assert set(out["split"]) <= {"train", "val", "test"}
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(rd.from_pandas(df), "u", {"a": 50, "b": 49})
