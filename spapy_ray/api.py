@@ -560,3 +560,9 @@ def HashSplit(ds, col, fractions, **kw):
     from spapy_ray.stages.relational import hash_split
 
     return hash_split(ds, col, fractions, **kw)
+
+
+def GroupedMedian(ds, key, val, **kw):
+    from spapy_ray.stages.relational import grouped_median
+
+    return grouped_median(ds, key, val, **kw)

@@ -2127,3 +2127,19 @@ def q_dataset_split(den: int = 100) -> str:
     return (f"WITH {pages_cte()} "
             f"SELECT {case} AS split, lang, count(*)::BIGINT AS n_pages "
             "FROM pages GROUP BY 1, 2")
+
+
+def q_events_median() -> str:
+    """Twin of relational.grouped_median on events.value by type:
+    two FILTERed one-element sums — the odd case hits the same row
+    twice (= 2*median), the even case the two middles."""
+    return (
+        "WITH r AS (SELECT event_type, value, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY value) "
+        "- 1 AS rn, count(*) OVER (PARTITION BY event_type) AS n "
+        "FROM events) "
+        "SELECT event_type, max(n)::BIGINT AS n, "
+        "(sum(value) FILTER (rn = (n - 1) // 2) + "
+        "sum(value) FILTER (rn = n // 2)) AS median_x2 "
+        "FROM r GROUP BY event_type"
+    )

@@ -2862,3 +2862,16 @@ def q_dataset_split(sf_dir: str):
 
 
 QUERIES["dataset_split"] = q_dataset_split
+
+
+def q_events_median(sf_dir: str):
+    """Exact per-event-type median of value via the bucketed shuffle
+    (reported as median_x2 = the two middle elements' sum — parity-
+    free and float-exact; relational.grouped_median)."""
+    from spapy_ray.stages.relational import grouped_median
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_median(ev, "event_type", "value")
+
+
+QUERIES["events_median"] = q_events_median

@@ -960,3 +960,29 @@ def hash_split(ds, col: str, fractions: dict[str, int], *,
         return t.append_column(out, pa.array(labels[idx].astype(str)))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def grouped_median(ds, key: str, val: str, *,
+                   buckets: int | None = None):
+    """EXACT per-group median through the bucketed two-stage shuffle
+    (the sketch-free complement to the KLL quantile path): each key's
+    values sort inside its bucket and the median is reported as
+    ``median_x2`` = v[(n-1)//2] + v[n//2] — twice the median, exact
+    for both parities with ONE addition of two elements, so even a
+    float column is bit-identical to the SQL twin (the same two
+    doubles added in the same order; no interpolation-convention
+    ambiguity).
+
+    Returns Dataset(key, n, median_x2).
+    """
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, gg in g.groupby(key, sort=False):
+            v = np.sort(gg[val].to_numpy())
+            n = len(v)
+            rows.append((k, n, v[(n - 1) // 2] + v[n // 2]))
+        return pd.DataFrame(rows, columns=[key, "n", "median_x2"]) \
+            .astype({"n": np.int64})
+
+    return bucketed_group_agg(ds.select_columns([key, val]), key,
+                              local, buckets=buckets)

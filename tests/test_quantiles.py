@@ -127,3 +127,23 @@ def test_quantile_sketch_approx_envelope(ray_session):
         target = max(1, int(np.ceil(q * n)))
         assert abs(true_rank - target) <= budget, \
             (q, int(true_rank), target)
+
+
+def test_grouped_median_exact_both_parities(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import grouped_median
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "k": ["odd"] * 7 + ["even"] * 8,
+        "v": rng.normal(size=15)})
+    got = grouped_median(rd.from_pandas(df), "k", "v").to_pandas() \
+        .set_index("k")
+    for k, g in df.groupby("k"):
+        v = np.sort(g["v"].to_numpy())
+        n = len(v)
+        assert got.loc[k, "n"] == n
+        assert got.loc[k, "median_x2"] == v[(n - 1) // 2] + v[n // 2]
