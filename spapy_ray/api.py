@@ -566,3 +566,9 @@ def GroupedMedian(ds, key, val, **kw):
     from spapy_ray.stages.relational import grouped_median
 
     return grouped_median(ds, key, val, **kw)
+
+
+def StretchStats(r: Raster, **kw):
+    from spapy_ray.stages.raster import stretch_stats
+
+    return stretch_stats(r.ds, r.meta, **kw)

@@ -2143,3 +2143,30 @@ def q_events_median() -> str:
         "sum(value) FILTER (rn = n // 2)) AS median_x2 "
         "FROM r GROUP BY event_type"
     )
+
+
+def q_raster_stretch(p_lo: int = 2, p_hi: int = 98, den: int = 100,
+                     out_scale: int = 255) -> str:
+    """Twin of stages.raster.stretch_stats on the 512x512 int DEM."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    z = sql_dem_int("px", "py", 0)
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"pix AS (SELECT px, py, ({z})::BIGINT AS v FROM px), "
+        "hist AS (SELECT v, count(*)::BIGINT AS c FROM pix "
+        "GROUP BY v), "
+        "cdf AS (SELECT v, sum(c) OVER (ORDER BY v "
+        "ROWS UNBOUNDED PRECEDING)::BIGINT AS f FROM hist), "
+        f"b AS (SELECT (SELECT min(v) FROM cdf WHERE f * {den} >= "
+        f"262144 * {p_lo}) AS lo_bin, (SELECT min(v) FROM cdf WHERE "
+        f"f * {den} >= 262144 * {p_hi}) AS hi_bin), "
+        "eq AS (SELECT p.px, p.py, least(greatest("
+        f"(p.v - b.lo_bin) * {out_scale} // (b.hi_bin - b.lo_bin), "
+        f"0), {out_scale}) AS e FROM pix p, b) "
+        "SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+        "count(*)::BIGINT AS n_pixels, sum(e)::BIGINT AS eq_sum, "
+        "min(e)::BIGINT AS eq_min, max(e)::BIGINT AS eq_max "
+        "FROM eq GROUP BY 1, 2"
+    )

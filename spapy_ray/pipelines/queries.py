@@ -2875,3 +2875,18 @@ def q_events_median(sf_dir: str):
 
 
 QUERIES["events_median"] = q_events_median
+
+
+def q_raster_stretch(sf_dir: str):
+    """2-98 percentile linear stretch of the int DEM (integer clip
+    bounds from the global CDF, broadcast transfer table, per-tile
+    stats — stages/raster.stretch_stats)."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.raster import stretch_stats
+
+    out = stretch_stats(synth_dem_dataset(DEM_META, kind="int"),
+                        DEM_META).to_pandas()
+    return out.sort_values(["tx", "ty"]).reset_index(drop=True)
+
+
+QUERIES["raster_stretch"] = q_raster_stretch

@@ -1550,7 +1550,19 @@ def equalize_stats(ds, meta: RasterMeta, *, nbins: int = 256,
         table = np.clip(table, 0, out_scale)
     else:
         table = np.zeros(nbins, dtype=np.int64)
-    ref = ray.put(table)
+    return _transfer_remap_stats(ds, meta, table, lo=lo, hi=hi)
+
+
+def _transfer_remap_stats(ds, meta: RasterMeta, table: np.ndarray, *,
+                          lo: float, hi: float):
+    """Shared tail of the global-contrast family (equalize/stretch):
+    broadcast an int64 transfer table, remap every tile statelessly,
+    fold per-tile (n, sum, min, max) of the transferred values."""
+    import ray
+    import pyarrow.compute as pc
+
+    ref = ray.put(np.asarray(table, dtype=np.int64))
+    nbins = len(table)
     width = (hi - lo) / nbins
     T = meta.tile_size
     dt = meta.dtype
@@ -1566,7 +1578,7 @@ def equalize_stats(ds, meta: RasterMeta, *, nbins: int = 256,
         for i, b in enumerate(t.column("data").to_pylist()):
             a = decode_tile(b, dt, T).ravel()
             idx = np.clip(((a - lo) / width).astype(np.int64), 0,
-                          len(tab) - 1)
+                          nbins - 1)
             e = tab[idx]
             n[i] = len(e)
             s[i] = int(e.sum())
@@ -1579,6 +1591,39 @@ def equalize_stats(ds, meta: RasterMeta, *, nbins: int = 256,
                          "eq_max": pa.array(mx)})
 
     return ds.map_batches(remap, batch_format="pyarrow")
+
+
+def stretch_stats(ds, meta: RasterMeta, *, nbins: int = 256,
+                  lo: float = 0.0, hi: float = 256.0,
+                  p_lo: int = 2, p_hi: int = 98, den: int = 100,
+                  out_scale: int = 255):
+    """Percentile linear stretch (gdal_translate -scale with
+    percentile clip / ArcGIS Percent Clip stretch): clip bounds are
+    the smallest bins whose CDF reaches p_lo/p_hi percent (exact
+    integer conditions cdf*den >= N*p), then
+
+        e(v) = clip((bin(v) - lo_bin) * out_scale // span, 0, L)
+
+    — integer-exact end to end, same per-tile stats reduction and
+    SQL-twin structure as equalize_stats. A degenerate span (constant
+    raster) maps everything to 0."""
+    hist = raster_histogram(ds, dtype=meta.dtype,
+                            tile_size=meta.tile_size, nbins=nbins,
+                            lo=lo, hi=hi).to_pandas()
+    counts = np.zeros(nbins, dtype=np.int64)
+    counts[hist["bin"].to_numpy(dtype=np.int64)] =         hist["n_pixels"].to_numpy(dtype=np.int64)
+    cdf = np.cumsum(counts)
+    n_total = int(cdf[-1])
+    lo_bin = int(np.argmax(cdf * den >= n_total * p_lo))
+    hi_bin = int(np.argmax(cdf * den >= n_total * p_hi))
+    span = hi_bin - lo_bin
+    bins = np.arange(nbins, dtype=np.int64)
+    if span > 0:
+        table = np.clip((bins - lo_bin) * np.int64(out_scale)
+                        // np.int64(span), 0, out_scale)
+    else:
+        table = np.zeros(nbins, dtype=np.int64)
+    return _transfer_remap_stats(ds, meta, table, lo=lo, hi=hi)
 
 
 def zonal_majority(ds, zones: pa.Table, meta: RasterMeta, *,

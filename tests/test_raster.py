@@ -1025,3 +1025,33 @@ def test_zonal_majority_bruteforce(ray_session):
         .sort_values("zone_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"),
                                   exp.astype("int64"))
+
+
+def test_stretch_stats_bruteforce(ray_session):
+    import pandas as pd
+
+    from spapy_ray.stages.raster import stretch_stats
+
+    meta = SMALL
+    got = stretch_stats(synth_dem_dataset(meta, kind="int"), meta) \
+        .to_pandas().sort_values(["ty", "tx"]).reset_index(drop=True)
+
+    full = _full_int(meta).astype(np.int64)
+    counts = np.bincount(full.ravel(), minlength=256)
+    cdf = np.cumsum(counts)
+    n_tot = full.size
+    lo_bin = int(np.argmax(cdf * 100 >= n_tot * 2))
+    hi_bin = int(np.argmax(cdf * 100 >= n_tot * 98))
+    eq = np.clip((full - lo_bin) * 255 // (hi_bin - lo_bin), 0, 255)
+    t = meta.tile_size
+    rows = []
+    for ty in range(meta.height // t):
+        for tx in range(meta.width // t):
+            e = eq[ty * t:(ty + 1) * t, tx * t:(tx + 1) * t]
+            rows.append((tx, ty, e.size, int(e.sum()),
+                         int(e.min()), int(e.max())))
+    exp = pd.DataFrame(rows, columns=["tx", "ty", "n_pixels",
+                                      "eq_sum", "eq_min", "eq_max"]) \
+        .sort_values(["ty", "tx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  exp.astype("int64"))
