@@ -572,3 +572,9 @@ def StretchStats(r: Raster, **kw):
     from spapy_ray.stages.raster import stretch_stats
 
     return stretch_stats(r.ds, r.meta, **kw)
+
+
+def GroupedMadOutliers(ds, key, val, **kw):
+    from spapy_ray.stages.relational import grouped_mad_outliers
+
+    return grouped_mad_outliers(ds, key, val, **kw)

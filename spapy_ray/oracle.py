@@ -2170,3 +2170,34 @@ def q_raster_stretch(p_lo: int = 2, p_hi: int = 98, den: int = 100,
         "min(e)::BIGINT AS eq_min, max(e)::BIGINT AS eq_max "
         "FROM eq GROUP BY 1, 2"
     )
+
+
+def q_events_outliers(k: int = 3) -> str:
+    """Twin of relational.grouped_mad_outliers on events.value by
+    type: the two-middle FILTER trick applied twice (median, then
+    MAD of |2v - M2|), outliers = 2*D > k*MAD4."""
+    return (
+        "WITH r1 AS (SELECT event_type, value, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY value) "
+        "- 1 AS rn, count(*) OVER (PARTITION BY event_type) AS n "
+        "FROM events), "
+        "m1 AS (SELECT event_type, max(n)::BIGINT AS n, "
+        "(sum(value) FILTER (rn = (n - 1) // 2) + "
+        "sum(value) FILTER (rn = n // 2)) AS m2 FROM r1 "
+        "GROUP BY event_type), "
+        "d AS (SELECT e.event_type, abs(2 * e.value - m1.m2) AS dv "
+        "FROM events e JOIN m1 USING (event_type)), "
+        "r2 AS (SELECT event_type, dv, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY dv) "
+        "- 1 AS rn, count(*) OVER (PARTITION BY event_type) AS n "
+        "FROM d), "
+        "m2t AS (SELECT event_type, "
+        "(sum(dv) FILTER (rn = (n - 1) // 2) + "
+        "sum(dv) FILTER (rn = n // 2)) AS mad4 FROM r2 "
+        "GROUP BY event_type) "
+        "SELECT m1.event_type, m1.n, m1.m2 AS median_x2, "
+        "m2t.mad4 AS mad_x4, "
+        f"(SELECT count(*) FROM d WHERE d.event_type = m1.event_type "
+        f"AND 2 * d.dv > {k} * m2t.mad4)::BIGINT AS n_outliers "
+        "FROM m1 JOIN m2t USING (event_type)"
+    )

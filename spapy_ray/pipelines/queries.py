@@ -2890,3 +2890,17 @@ def q_raster_stretch(sf_dir: str):
 
 
 QUERIES["raster_stretch"] = q_raster_stretch
+
+
+def q_events_outliers(sf_dir: str):
+    """Robust per-type outlier counts (median/MAD, k=3) over
+    events.value — two exact distributed medians + one fold, all in
+    the bit-exact two-middle convention
+    (relational.grouped_mad_outliers)."""
+    from spapy_ray.stages.relational import grouped_mad_outliers
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_mad_outliers(ev, "event_type", "value", k=3)
+
+
+QUERIES["events_outliers"] = q_events_outliers

@@ -986,3 +986,74 @@ def grouped_median(ds, key: str, val: str, *,
 
     return bucketed_group_agg(ds.select_columns([key, val]), key,
                               local, buckets=buckets)
+
+
+def grouped_mad_outliers(ds, key: str, val: str, *, k: int = 3,
+                         buckets: int | None = None):
+    """Robust per-group outlier counts via median/MAD — the
+    quality-gate statistic that survives the heavy tails a mean/std
+    z-score drowns in. Everything is expressed in the two-middle
+    "x2" convention of grouped_median so float columns stay
+    bit-exact against the SQL twin:
+
+        M2   = v[(n-1)//2] + v[n//2]            (2 x median)
+        D    = |2·v − M2|                        (2 x |v − median|)
+        MAD4 = D[(n-1)//2] + D[n//2]             (4 x MAD)
+        outlier(v)  ⟺  2·D > k · MAD4           (⟺ |v−med| > k·MAD)
+
+    Three bucket shuffles (two medians + the outlier fold); the
+    per-key median/MAD tables are the SMALL side and broadcast via
+    ray.put between passes. Returns
+    Dataset(key, n, median_x2, mad_x4, n_outliers).
+    """
+    import ray
+
+    med = grouped_median(ds, key, val, buckets=buckets).to_pandas()
+    m2 = dict(zip(med[key], med["median_x2"]))
+    ref = ray.put(m2)
+
+    def dev(t: pa.Table, _ref=ref) -> pa.Table:
+        mm = ray.get(_ref)
+        v = t.column(val).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        keys = t.column(key).to_pandas()
+        m = keys.map(mm).to_numpy(dtype=np.float64)
+        return pa.table({key: t.column(key),
+                         "d": pa.array(np.abs(2.0 * v - m))})
+
+    devs = ds.select_columns([key, val]).map_batches(
+        dev, batch_format="pyarrow")
+    mad = grouped_median(devs, key, "d", buckets=buckets).to_pandas()
+    mad4 = dict(zip(mad[key], mad["median_x2"]))
+    ref2 = ray.put((m2, mad4))
+
+    def flag(t: pa.Table, _ref=ref2) -> pa.Table:
+        mm, aa = ray.get(_ref)
+        v = t.column(val).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        keys = t.column(key).to_pandas()
+        m = keys.map(mm).to_numpy(dtype=np.float64)
+        a = keys.map(aa).to_numpy(dtype=np.float64)
+        d = np.abs(2.0 * v - m)
+        out = (2.0 * d > k * a).astype(np.int64)
+        return pa.table({key: t.column(key), "o": pa.array(out)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key, sort=False)["o"].agg(["size", "sum"]) \
+            .reset_index()
+        out.columns = [key, "n", "n_outliers"]
+        return out.astype({"n": np.int64, "n_outliers": np.int64})
+
+    counts = bucketed_group_agg(
+        ds.select_columns([key, val]).map_batches(
+            flag, batch_format="pyarrow"), key, fold,
+        buckets=buckets)
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys = t.column(key).to_pandas()
+        return (t.append_column("median_x2", pa.array(
+            keys.map(m2).to_numpy(dtype=np.float64)))
+            .append_column("mad_x4", pa.array(
+                keys.map(mad4).to_numpy(dtype=np.float64))))
+
+    return counts.map_batches(attach, batch_format="pyarrow")

@@ -147,3 +147,34 @@ def test_grouped_median_exact_both_parities(ray_session):
         n = len(v)
         assert got.loc[k, "n"] == n
         assert got.loc[k, "median_x2"] == v[(n - 1) // 2] + v[n // 2]
+
+
+def test_grouped_mad_outliers_planted(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import grouped_mad_outliers
+
+    rng = np.random.default_rng(19)
+    base = rng.normal(0, 1, 200)
+    spikes = np.array([50.0, -60.0, 45.0])
+    df = pd.DataFrame({"k": "a",
+                       "v": np.concatenate([base, spikes])})
+    got = grouped_mad_outliers(rd.from_pandas(df), "k", "v", k=3) \
+        .to_pandas().iloc[0]
+    assert got["n"] == 203
+    # all three planted spikes flagged; the normal bulk mostly not
+    assert got["n_outliers"] >= 3
+    assert got["n_outliers"] < 30
+
+    # brute-force parity of the counting rule
+    v = np.sort(df["v"].to_numpy())
+    n = len(v)
+    m2 = v[(n - 1) // 2] + v[n // 2]
+    d = np.sort(np.abs(2 * df["v"].to_numpy() - m2))
+    mad4 = d[(n - 1) // 2] + d[n // 2]
+    exp = int((2 * np.abs(2 * df["v"].to_numpy() - m2)
+               > 3 * mad4).sum())
+    assert got["n_outliers"] == exp
+    assert got["median_x2"] == m2 and got["mad_x4"] == mad4
