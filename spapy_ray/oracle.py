@@ -2201,3 +2201,24 @@ def q_events_outliers(k: int = 3) -> str:
         f"AND 2 * d.dv > {k} * m2t.mad4)::BIGINT AS n_outliers "
         "FROM m1 JOIN m2t USING (event_type)"
     )
+
+
+def q_events_asof_fwd() -> str:
+    """Twin of the forward as-of attribution: for each view, the
+    user's EARLIEST purchase with ts >= view.ts (argmin by ts, ties
+    impossible — (user, ts) is unique in the fixture); unmatched
+    views report -1."""
+    return (
+        "WITH v AS (SELECT user_id, event_id, ts FROM events "
+        "WHERE event_type = 'view'), "
+        "p AS (SELECT user_id, event_id, ts FROM events "
+        "WHERE event_type = 'purchase'), "
+        "m AS (SELECT v.user_id, v.event_id AS view_event_id, "
+        "p.event_id AS p_id, row_number() OVER "
+        "(PARTITION BY v.user_id, v.event_id ORDER BY p.ts) AS rn "
+        "FROM v JOIN p ON p.user_id = v.user_id AND p.ts >= v.ts) "
+        "SELECT v.user_id, v.event_id AS view_event_id, "
+        "coalesce(m.p_id, -1)::BIGINT AS purchase_event_id "
+        "FROM v LEFT JOIN m ON m.view_event_id = v.event_id "
+        "AND m.rn = 1"
+    )

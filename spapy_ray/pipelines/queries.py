@@ -2904,3 +2904,27 @@ def q_events_outliers(sf_dir: str):
 
 
 QUERIES["events_outliers"] = q_events_outliers
+
+
+def q_events_asof_fwd(sf_dir: str):
+    """FORWARD as-of join: every view event attributed to the user's
+    next (earliest >= ts) purchase — the conversion-lookahead form of
+    event attribution (direction='forward' through the same
+    single-scan split as q_events_asof)."""
+    from spapy_ray.stages.sessions import asof_join_split
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    out = asof_join_split(ds, by="user_id", on="ts",
+                          side_col="event_type", left_value="view",
+                          right_value="purchase",
+                          left_cols=["event_id"],
+                          right_cols=["event_id"],
+                          direction="forward").to_pandas()
+    out["purchase_event_id"] = out["event_id_r"].fillna(-1) \
+        .astype(np.int64)
+    out = out.rename(columns={"event_id": "view_event_id"})
+    return out[["user_id", "view_event_id", "purchase_event_id"]]
+
+
+QUERIES["events_asof_fwd"] = q_events_asof_fwd

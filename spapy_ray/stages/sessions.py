@@ -121,7 +121,8 @@ def sliding_window_counts(ds, width_us: int = 1800_000_000,
 
 def asof_join(left_ds, right_ds, *, by: str = "user_id", on: str = "ts",
               left_cols: list[str] | None = None,
-              right_cols: list[str] | None = None, suffix: str = "_r"):
+              right_cols: list[str] | None = None, suffix: str = "_r",
+              direction: str = "backward"):
     """Per-key as-of join (custom operator family, SURVEY §2.11):
     each left row picks the LATEST right row with right.on <= left.on
     within the same ``by`` key — the classic event-attribution /
@@ -170,14 +171,18 @@ def asof_join(left_ds, right_ds, *, by: str = "user_id", on: str = "ts",
 
     both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow"))
+    if direction not in ("backward", "forward"):
+        # "nearest" is excluded deliberately: its tie convention is
+        # implementation-defined in pandas and has no exact SQL twin
+        raise ValueError("direction must be backward|forward")
     return _asof_merge(both, by, on, lcols, rcols, ltypes_all, ltypes,
-                       suffix)
+                       suffix, direction=direction)
 
 
 def asof_join_split(ds, *, by: str, on: str, side_col: str,
                     left_value, right_value,
                     left_cols: list[str], right_cols: list[str],
-                    suffix: str = "_r"):
+                    suffix: str = "_r", direction: str = "backward"):
     """As-of join where BOTH sides live in one log, discriminated by
     ``side_col`` (the classic purchase←view attribution over a single
     events table). Reads the source ONCE: a single map_batches splits
@@ -212,13 +217,15 @@ def asof_join_split(ds, *, by: str, on: str, side_col: str,
         return pa.concat_tables([lout, rout])
 
     both = ds.map_batches(tag_both, batch_format="pyarrow")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward|forward")
     return _asof_merge(both, by, on, left_cols, right_cols, types_all,
-                       ltypes, suffix)
+                       ltypes, suffix, direction=direction)
 
 
 def _asof_merge(both, by: str, on: str, lcols: list[str],
                 rcols: list[str], ltypes_all: dict, ltypes: dict,
-                suffix: str):
+                suffix: str, direction: str = "backward"):
     """Shared tail of the as-of joins: hash-bucket the key, run one
     vectorized merge_asof(by=...) per bucket, restore left dtypes."""
     import pyarrow as pa
@@ -256,7 +263,7 @@ def _asof_merge(both, by: str, on: str, lcols: list[str],
                 out[c] = np.nan
             return restore_left_dtypes(out)
         return restore_left_dtypes(
-            pd.merge_asof(lf, rt, on=on, by=by, direction="backward"))
+            pd.merge_asof(lf, rt, on=on, by=by, direction=direction))
 
     from spapy_ray.stages.relational import _bucket_column
     from spapy_ray.util import cluster_cpus

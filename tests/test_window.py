@@ -176,3 +176,41 @@ def test_retention_cohorts_brute_force(ray_session):
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"),
                                   exp.astype("int64"))
+
+
+def test_asof_forward_direction_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.sessions import asof_join
+
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame({
+        "user_id": rng.integers(0, 10, 80),
+        "ts": rng.choice(100_000, 80, replace=False).astype("int64"),
+        "lv": np.arange(80)})
+    right = pd.DataFrame({
+        "user_id": rng.integers(0, 10, 60),
+        "ts": rng.choice(100_000, 60, replace=False).astype("int64"),
+        "rv": np.arange(60)})
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    by="user_id", on="ts", left_cols=["lv"],
+                    right_cols=["rv"], direction="forward") \
+        .to_pandas().sort_values("lv").reset_index(drop=True)
+    exp_rv = []
+    for _, r in left.iterrows():
+        cand = right[(right["user_id"] == r["user_id"])
+                     & (right["ts"] >= r["ts"])]
+        exp_rv.append(np.nan if cand.empty
+                      else cand.sort_values("ts").iloc[0]["rv"])
+    assert len(got) == 80
+    a = got["rv_r"].to_numpy(dtype="float64")
+    b = np.asarray(exp_rv, dtype="float64")
+    assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                  by="user_id", on="ts", direction="nearest")
