@@ -39,6 +39,7 @@ _FRONT = [
     "raster_equalize", "zonal_majority", "embed_projection",
     "customers_bloom_anti", "dataset_split", "events_median",
     "raster_stretch", "events_outliers", "events_asof_fwd",
+    "bigram_pmi",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
@@ -59,7 +60,6 @@ _FRONT = [
     "zone_page_counts", "top_zones", "tile_counts", "dedup_pages",
     "knn_zones", "zone_bounds_area", "select_zones",
     "lineitem_pricing", "events_by_type", "docs_token_stats",
-    "docs_dedup_text",
 ]
 
 
@@ -216,4 +216,5 @@ def oracle_sql() -> dict[str, str]:
         "raster_stretch": o.q_raster_stretch(),
         "events_outliers": o.q_events_outliers(),
         "events_asof_fwd": o.q_events_asof_fwd(),
+        "bigram_pmi": o.q_bigram_pmi(),
     }

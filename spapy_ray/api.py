@@ -578,3 +578,9 @@ def GroupedMadOutliers(ds, key, val, **kw):
     from spapy_ray.stages.relational import grouped_mad_outliers
 
     return grouped_mad_outliers(ds, key, val, **kw)
+
+
+def BigramPmi(ds, **kw):
+    from spapy_ray.stages.text import bigram_pmi
+
+    return bigram_pmi(ds, **kw)

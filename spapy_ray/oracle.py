@@ -2222,3 +2222,27 @@ def q_events_asof_fwd() -> str:
         "FROM v LEFT JOIN m ON m.view_event_id = v.event_id "
         "AND m.rn = 1"
     )
+
+
+def q_bigram_pmi(k: int = 50, min_count: int = 5,
+                 quant: int = 1_000_000) -> str:
+    """Twin of stages.text.bigram_pmi: identical chained integer
+    floor ((c_ab*quant)//c_a*quant)//c_b, (score desc, gram asc)
+    order."""
+    return (
+        "WITH t AS (SELECT string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "g AS (SELECT unnest(list_transform(range(1, len(toks)), "
+        "j -> toks[j] || ' ' || toks[j + 1])) AS gram FROM t), "
+        "bg AS (SELECT gram, count(*)::BIGINT AS c_ab FROM g "
+        f"GROUP BY gram HAVING count(*) >= {min_count}), "
+        "w AS (SELECT unnest(toks) AS term FROM t), "
+        "u AS (SELECT term, count(*)::BIGINT AS c FROM w "
+        "GROUP BY term), "
+        "s AS (SELECT bg.gram, bg.c_ab, u1.c AS c_a, u2.c AS c_b, "
+        f"bg.c_ab * {quant} // u1.c * {quant} // u2.c AS score "
+        "FROM bg JOIN u u1 ON u1.term = string_split(bg.gram, ' ')[1] "
+        "JOIN u u2 ON u2.term = string_split(bg.gram, ' ')[2]) "
+        "SELECT gram, c_ab, c_a, c_b, score FROM s "
+        f"ORDER BY score DESC, gram LIMIT {k}"
+    )

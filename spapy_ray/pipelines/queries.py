@@ -2928,3 +2928,16 @@ def q_events_asof_fwd(sf_dir: str):
 
 
 QUERIES["events_asof_fwd"] = q_events_asof_fwd
+
+
+def q_bigram_pmi(sf_dir: str, k: int = 50):
+    """Top-50 collocations by quantized PMI lift over the documents
+    corpus (combiner-folded bigram + unigram counts, sorted-vocab
+    broadcast, deterministic sort+limit — stages/text.bigram_pmi)."""
+    from spapy_ray.stages.text import bigram_pmi
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return bigram_pmi(ds, k=k, min_count=5)
+
+
+QUERIES["bigram_pmi"] = q_bigram_pmi

@@ -548,3 +548,68 @@ def unigram_surprisal(ds, *, key_col: str = "doc_id",
             "surprisal": pa.array(tot)})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_pmi(ds, *, column: str = "text", k: int = 50,
+               min_count: int = 5, quant: int = 1_000_000,
+               buckets: int | None = None):
+    """Collocation extraction: top-k bigrams by quantized pointwise
+    association (the PMI-family corpus statistic behind phrase
+    mining / tokenizer-merge candidates). The score is the chained
+    integer floor
+
+        score = ((c_ab * quant) // c_a * quant) // c_b
+
+    — monotone in c_ab/(c_a·c_b) (unnormalized PMI lift), never
+    overflows (c_ab <= c_a caps the first factor at quant), and is
+    DEFINED as this exact expression so the SQL twin matches bit for
+    bit; a float log-PMI has no such twin.
+
+    Distributed shape: bigram and unigram counts each fold through
+    the existing combiner + bucket shuffle (ngram_counts); the
+    unigram table is the SMALL side (vocabulary) and broadcasts
+    sorted via ray.put; top-k is a deterministic
+    (score desc, gram asc) sort+limit over the min_count survivors.
+
+    Returns Dataset(gram, c_ab, c_a, c_b, score), k rows.
+    """
+    import ray
+
+    uni = ngram_counts(ds, n=1, column=column, buckets=buckets)
+    ut = pa.concat_tables(
+        [b for b in uni.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    terms = ut.column("gram").to_numpy(zero_copy_only=False)
+    cnts = ut.column("n").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    order = np.argsort(terms)
+    ref = ray.put((terms[order], cnts[order]))
+
+    big = ngram_counts(ds, n=2, column=column, buckets=buckets)
+
+    def score(t: pa.Table, _ref=ref) -> pa.Table:
+        vocab, vc = ray.get(_ref)
+        c_ab = t.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = c_ab >= min_count
+        t = t.filter(pa.array(keep))
+        c_ab = c_ab[keep]
+        grams = t.column("gram")
+        if isinstance(grams, pa.ChunkedArray):
+            grams = grams.combine_chunks()
+        parts = pc.split_pattern(grams, " ")
+        flat = parts.values.to_numpy(zero_copy_only=False)
+        w1 = flat[0::2]
+        w2 = flat[1::2]
+        c_a = vc[np.searchsorted(vocab, w1)]
+        c_b = vc[np.searchsorted(vocab, w2)]
+        sc = (c_ab * np.int64(quant)) // c_a * np.int64(quant) // c_b
+        return pa.table({"gram": t.column("gram"),
+                         "c_ab": pa.array(c_ab),
+                         "c_a": pa.array(c_a),
+                         "c_b": pa.array(c_b),
+                         "score": pa.array(sc)})
+
+    scored = big.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["score", "gram"],
+                       descending=[True, False]).limit(k)

@@ -101,3 +101,42 @@ def test_unigram_surprisal_brute_force(ray_session):
     exp = pd.DataFrame(exp_rows)
     pd.testing.assert_frame_equal(got.astype("int64"),
                                   exp.astype("int64"))
+
+
+def test_bigram_pmi_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.text import bigram_pmi
+
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i}" for i in range(10)]
+    texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(40)]
+    # plant a strong collocation
+    texts += [("qq zz " * 10).strip()] * 3
+    got = bigram_pmi(rd.from_items([{"text": t} for t in texts]),
+                     k=10, min_count=3).to_pandas()
+
+    from collections import Counter
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for t in texts:
+        toks = t.split(" ")          # literal split, like the engine
+        uni.update(toks)
+        big.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    rows = []
+    for g, c_ab in big.items():
+        if c_ab < 3:
+            continue
+        a, b = g.split()
+        rows.append((g, c_ab, uni[a], uni[b],
+                     c_ab * 1_000_000 // uni[a] * 1_000_000 // uni[b]))
+    exp = pd.DataFrame(rows, columns=["gram", "c_ab", "c_a", "c_b",
+                                      "score"]) \
+        .sort_values(["score", "gram"], ascending=[False, True]) \
+        .head(10).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"score": "int64"}),
+        exp.astype({"score": "int64"}), check_dtype=False)
+    assert got.iloc[0]["gram"] in ("qq zz", "zz qq")
