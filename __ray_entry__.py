@@ -39,7 +39,7 @@ _FRONT = [
     "raster_equalize", "zonal_majority", "embed_projection",
     "customers_bloom_anti", "dataset_split", "events_median",
     "raster_stretch", "events_outliers", "events_asof_fwd",
-    "bigram_pmi",
+    "bigram_pmi", "flow_length",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
@@ -59,7 +59,7 @@ _FRONT = [
     "domain_caps", "pages", "geocode", "cell_index", "pip_join",
     "zone_page_counts", "top_zones", "tile_counts", "dedup_pages",
     "knn_zones", "zone_bounds_area", "select_zones",
-    "lineitem_pricing", "events_by_type", "docs_token_stats",
+    "lineitem_pricing", "events_by_type",
 ]
 
 
@@ -217,4 +217,5 @@ def oracle_sql() -> dict[str, str]:
         "events_outliers": o.q_events_outliers(),
         "events_asof_fwd": o.q_events_asof_fwd(),
         "bigram_pmi": o.q_bigram_pmi(),
+        "flow_length": o.q_flow_length(),
     }

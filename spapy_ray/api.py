@@ -584,3 +584,9 @@ def BigramPmi(ds, **kw):
     from spapy_ray.stages.text import bigram_pmi
 
     return bigram_pmi(ds, **kw)
+
+
+def FlowLength(r: Raster, **kw):
+    from spapy_ray.stages.raster import flow_length_stats
+
+    return flow_length_stats(r.ds, r.meta, **kw)

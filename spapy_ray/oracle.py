@@ -2246,3 +2246,20 @@ def q_bigram_pmi(k: int = 50, min_count: int = 5,
         "SELECT gram, c_ab, c_a, c_b, score FROM s "
         f"ORDER BY score DESC, gram LIMIT {k}"
     )
+
+
+def q_flow_length() -> str:
+    """Twin of stages.raster.flow_length_stats: len(node) = number of
+    walk rows with node <> cur (strict descent never revisits, and a
+    pit's only row is its self row), per-tile fold."""
+    return (
+        f"{_sql_d8_walk()}, "
+        "lenc AS (SELECT node, count(*)::BIGINT AS l FROM walk "
+        "WHERE node <> cur GROUP BY node), "
+        "cell AS (SELECT p.node, coalesce(lenc.l, 0) AS l FROM ptr p "
+        "LEFT JOIN lenc ON lenc.node = p.node) "
+        "SELECT ((node % 512) // 64)::BIGINT AS tx, "
+        "((node // 512) // 64)::BIGINT AS ty, "
+        "count(*)::BIGINT AS n_cells, sum(l)::BIGINT AS len_sum, "
+        "max(l)::BIGINT AS len_max FROM cell GROUP BY 1, 2"
+    )

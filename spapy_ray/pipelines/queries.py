@@ -2941,3 +2941,17 @@ def q_bigram_pmi(sf_dir: str, k: int = 50):
 
 
 QUERIES["bigram_pmi"] = q_bigram_pmi
+
+
+def q_flow_length(sf_dir: str):
+    """D8 flow-path length per cell (steps to pit), basin-
+    co-partitioned walker rounds, per-tile (n, sum, max) fold —
+    stages/raster.flow_length_stats."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.raster import flow_length_stats
+
+    return flow_length_stats(synth_dem_dataset(DEM_META, kind="int"),
+                             DEM_META, components_mode="distributed")
+
+
+QUERIES["flow_length"] = q_flow_length

@@ -1697,3 +1697,80 @@ def zonal_majority(ds, zones: pa.Table, meta: RasterMeta, *,
                            zero_copy_batch=True)
     return bucketed_group_agg(parts, "zone_id", per_zone,
                               buckets=buckets)
+
+
+def flow_length_stats(ds, meta: RasterMeta, *,
+                      components_mode: str = "distributed",
+                      buckets: int | None = None):
+    """D8 flow-path length per cell (edge count to the pit — the
+    TauDEM Flow Path Length class), completing the hydrology family
+    (direction → watershed → accumulation → length). Same
+    basin-co-partitioned shape as flow_accumulation_stats: every
+    bucket advances all its basins' walkers together; rounds = max
+    path length in the bucket. Returns per-tile
+    Dataset(tx, ty, n_cells, len_sum, len_max), int64.
+    """
+    from spapy_ray.stages.components import hash_to_min
+    from spapy_ray.stages.relational import bucketed_group_agg, \
+        hash_join
+
+    dirs = flow_direction(ds, meta)
+    T = meta.tile_size
+    W = meta.width
+    tiles_x = meta.tiles_x
+
+    edges = _d8_pointer_edges(dirs, meta).materialize()
+    labels = hash_to_min(edges, mode=components_mode,
+                         buckets=buckets or 64)
+    lab_edges = hash_join(edges, labels, on="a", right_on="v",
+                          buckets=buckets)
+
+    def len_local(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy(dtype=np.int64)
+        b = g["b"].to_numpy(dtype=np.int64)
+        order = np.argsort(a, kind="stable")
+        ns = a[order]
+        ptr = np.searchsorted(ns, b[order])
+        n = len(ns)
+        if n and not (ns[np.minimum(ptr, n - 1)] == b[order]).all():
+            raise AssertionError(
+                "flow_length bucket is missing pointer targets")
+        steps = np.zeros(n, dtype=np.int64)
+        origin = np.flatnonzero(ptr != np.arange(n))
+        cur = ptr[origin]
+        steps[origin] = 1
+        while len(origin):
+            alive = ptr[cur] != cur
+            origin = origin[alive]
+            cur = ptr[cur[alive]]
+            steps[origin] += 1
+        px = ns % W
+        py = ns // W
+        tkey = (py // T) * tiles_x + (px // T)
+        df = pd.DataFrame({"tkey": tkey, "s": steps})
+        out = df.groupby("tkey", sort=False)["s"].agg(
+            ["size", "sum", "max"]).reset_index()
+        out.columns = ["tkey", "n_cells", "len_sum", "len_max"]
+        return out
+
+    partials = bucketed_group_agg(lab_edges.select_columns(
+        ["a", "b", "lab"]), "lab", len_local, buckets=buckets)
+
+    def tile_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("tkey", sort=False).agg(
+            n_cells=("n_cells", "sum"), len_sum=("len_sum", "sum"),
+            len_max=("len_max", "max")).reset_index()
+
+    folded = bucketed_group_agg(partials, "tkey", tile_fold,
+                                buckets=buckets)
+
+    def decode(t: pa.Table) -> pa.Table:
+        tk = t.column("tkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tx": pa.array(tk % tiles_x),
+            "ty": pa.array(tk // tiles_x),
+            "n_cells": t.column("n_cells").cast(pa.int64()),
+            "len_sum": t.column("len_sum").cast(pa.int64()),
+            "len_max": t.column("len_max").cast(pa.int64())})
+
+    return folded.map_batches(decode, batch_format="pyarrow")

@@ -228,3 +228,52 @@ def test_flow_accumulation_matches_bruteforce(ray_session):
     exp = exp.sort_values(["ty", "tx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[exp.columns].astype("int64"),
                                   exp.astype("int64"))
+
+
+def test_flow_length_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from spapy_ray.sources.rasters import (RasterMeta, dem_int_value,
+                                           synth_dem_dataset)
+    from spapy_ray.stages.raster import D8_OFFSETS, flow_length_stats
+
+    meta = RasterMeta(width=128, height=128, tile_size=32,
+                      x_min=-180.0, y_max=85.0,
+                      pixel_w=360.0 / 128, pixel_h=-170.0 / 128)
+    got = flow_length_stats(synth_dem_dataset(meta, kind="int"),
+                            meta, components_mode="driver") \
+        .to_pandas().sort_values(["ty", "tx"]).reset_index(drop=True)
+
+    W = H = 128
+    py, px = np.mgrid[0:H, 0:W]
+    z = dem_int_value(px.ravel(), py.ravel()).reshape(H, W) \
+        .astype(np.int64)
+    pad = np.pad(z, 1, mode="edge")
+    wd = np.empty((8, H, W), dtype=np.int64)
+    for k, (dy, dx, wt) in enumerate(D8_OFFSETS):
+        wd[k] = (z - pad[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]) * wt
+    code = np.where(wd.max(axis=0) > 0, wd.argmax(axis=0) + 1, 0)
+    nxt = (py * W + px).astype(np.int64)
+    for k, (dy, dx, _) in enumerate(D8_OFFSETS):
+        m = code == k + 1
+        nxt[m] = (py[m] + dy) * W + (px[m] + dx)
+    ptr = nxt.ravel()
+    steps = np.zeros(W * H, dtype=np.int64)
+    origin = np.flatnonzero(ptr != np.arange(W * H))
+    cur = ptr[origin]
+    steps[origin] = 1
+    while len(origin):
+        alive = ptr[cur] != cur
+        origin = origin[alive]
+        cur = ptr[cur[alive]]
+        steps[origin] += 1
+    n = np.arange(W * H)
+    df = pd.DataFrame({"tx": (n % W) // 32, "ty": (n // W) // 32,
+                       "s": steps})
+    exp = df.groupby(["tx", "ty"])["s"].agg(
+        ["size", "sum", "max"]).reset_index()
+    exp.columns = ["tx", "ty", "n_cells", "len_sum", "len_max"]
+    exp = exp.sort_values(["ty", "tx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns].astype("int64"),
+                                  exp.astype("int64"))
