@@ -40,6 +40,8 @@ _FRONT = [
     "customers_bloom_anti", "dataset_split", "events_median",
     "raster_stretch", "events_outliers", "events_asof_fwd",
     "bigram_pmi", "flow_length",
+    "events_transitions", "late_shipments", "returned_customers",
+    "nation_year_rollup", "table_checksum",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
@@ -218,4 +220,9 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_fwd": o.q_events_asof_fwd(),
         "bigram_pmi": o.q_bigram_pmi(),
         "flow_length": o.q_flow_length(),
+        "events_transitions": o.q_events_transitions(),
+        "late_shipments": o.q_late_shipments(),
+        "returned_customers": o.q_returned_customers(),
+        "nation_year_rollup": o.q_nation_year_rollup(),
+        "table_checksum": o.q_table_checksum(),
     }

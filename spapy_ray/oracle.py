@@ -2263,3 +2263,80 @@ def q_flow_length() -> str:
         "count(*)::BIGINT AS n_cells, sum(l)::BIGINT AS len_sum, "
         "max(l)::BIGINT AS len_max FROM cell GROUP BY 1, 2"
     )
+
+
+def q_events_transitions() -> str:
+    """Twin of sessions.transition_counts: lag() over
+    (user ORDER BY epoch_us(ts), event_id) — the same (ts, id) tie
+    order the engine sorts by inside each bucket."""
+    return (
+        "WITH o AS (SELECT user_id, event_type, "
+        "lag(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY epoch_us(ts), event_id) AS prev FROM events) "
+        "SELECT prev AS prev_type, event_type AS next_type, "
+        "count(*)::BIGINT AS n FROM o WHERE prev IS NOT NULL "
+        "GROUP BY 1, 2"
+    )
+
+
+def q_late_shipments(late_us: int = 30 * 86_400_000_000) -> str:
+    """Twin of queries.q_late_shipments (integer-microsecond
+    lateness, same strict > threshold)."""
+    return (
+        "SELECT o_orderpriority, "
+        "sum(CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate) "
+        f"> {late_us} THEN 1 ELSE 0 END)::BIGINT AS n_late, "
+        "count(*)::BIGINT AS n_items "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority"
+    )
+
+
+def q_returned_customers(k: int = 20) -> str:
+    """Twin of queries.q_returned_customers (TPC-H Q10 shape).
+    Ordering ties broken by custkey; revenue rounded to 2dp after
+    the full per-customer sum on both sides."""
+    return (
+        "SELECT o_custkey AS custkey, any_value(c_name) AS c_name, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "count(*)::BIGINT AS n_items "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE l_returnflag = 'R' "
+        "GROUP BY o_custkey "
+        "ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, "
+        f"o_custkey LIMIT {k}"
+    )
+
+
+def q_nation_year_rollup() -> str:
+    """Twin of relational.grouped_rollup over (nation, order year):
+    native GROUP BY ROLLUP with the engine's typed sentinels
+    coalesced in ('ALL'/-1; quantity integral by construction)."""
+    return (
+        "SELECT coalesce(n.n_name, 'ALL') AS n_name, "
+        "coalesce(year(o.o_orderdate), -1)::BIGINT AS year, "
+        "sum(l.l_quantity)::BIGINT AS sum_qty, "
+        "count(*)::BIGINT AS n_items "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "GROUP BY ROLLUP (n.n_name, year(o.o_orderdate))"
+    )
+
+
+def q_table_checksum(buckets: int = 64) -> str:
+    """Twin of relational.xor_fingerprint over documents keyed by
+    doc_id:text — per-row fnv converted to the int64 bit pattern,
+    bit_xor per hash bucket (XOR commutes, so any evaluation order
+    matches the engine's block partials)."""
+    fnv = sql_fnv1a("doc_id::VARCHAR || ':' || text")
+    i64 = (f"(CASE WHEN h >= 9223372036854775808::UBIGINT "
+           f"THEN (h::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT "
+           f"ELSE h::BIGINT END)")
+    return (
+        f"WITH t AS (SELECT ({fnv}) AS h FROM documents) "
+        f"SELECT (h % {buckets})::BIGINT AS bucket, "
+        f"bit_xor({i64}) AS fp, count(*)::BIGINT AS n_rows "
+        "FROM t GROUP BY 1"
+    )

@@ -2955,3 +2955,163 @@ def q_flow_length(sf_dir: str):
 
 
 QUERIES["flow_length"] = q_flow_length
+
+
+def q_events_transitions(sf_dir: str):
+    """First-order Markov transition matrix of the per-user event
+    sequence (prev_type -> next_type counts): one user shuffle,
+    per-bucket vectorized shift, combiner partials
+    (stages/sessions.transition_counts)."""
+    from spapy_ray.stages.sessions import transition_counts
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    return transition_counts(ev)
+
+
+QUERIES["events_transitions"] = q_events_transitions
+
+
+def q_late_shipments(sf_dir: str):
+    """Late-shipment rate per order priority (TPC-H Q12 shape over
+    the columns this schema carries): big x big hash_join on
+    orderkey, per-batch lateness flag in integer microseconds,
+    combiner-folded counts."""
+    from spapy_ray.stages.relational import hash_join, \
+        pre_aggregated_sums
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    late_us = 30 * 86_400_000_000
+
+    def flag(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t.column("l_shipdate"), pa.int64())
+        ordr = pc.cast(t.column("o_orderdate"), pa.int64())
+        late = pc.cast(
+            pc.greater(pc.subtract(ship, ordr), pa.scalar(late_us)),
+            pa.int64())
+        return pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                         "late": late})
+
+    out = pre_aggregated_sums(j.map_batches(flag, batch_format="pyarrow"),
+                              ["o_orderpriority"], ["late"],
+                              count_alias="n_items").to_pandas()
+    out["n_late"] = out["late"].astype(np.int64)
+    return out[["o_orderpriority", "n_late", "n_items"]]
+
+
+QUERIES["late_shipments"] = q_late_shipments
+
+
+def q_returned_customers(sf_dir: str, k: int = 20):
+    """Top-20 customers by returned-item revenue (TPC-H Q10 shape):
+    returnflag filter at the read -> per-order combiner partials ->
+    ONE hash_join with orders -> per-customer fold -> customer name
+    broadcast -> deterministic sort+limit."""
+    from ray.data.aggregate import Count, Sum
+
+    from spapy_ray.stages.relational import hash_join, select_where
+
+    li = select_where(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount",
+                       "l_returnflag"]),
+        "l_returnflag", "==", "R")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "rev": r})
+
+    j = hash_join(li.map_batches(rev, batch_format="pyarrow"), orders,
+                  on="l_orderkey", right_on="o_orderkey")
+    per_cust = j.groupby("o_custkey").aggregate(
+        Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    named = broadcast_join(per_cust, cust, key="o_custkey",
+                           small_key="c_custkey")
+    out = named.sort(["revenue", "o_custkey"],
+                     descending=[True, False]).limit(k).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    out = out.rename(columns={"o_custkey": "custkey"})
+    return out[["custkey", "c_name", "revenue", "n_items"]]
+
+
+QUERIES["returned_customers"] = q_returned_customers
+
+
+def q_nation_year_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (nation, order year) over shipped quantity:
+    the finest level is one combiner-folded shuffle; coarser levels
+    fold from that tiny base (relational.grouped_rollup). Sentinels
+    'ALL'/-1 stand in for SQL's rollup NULLs (typed-exact both
+    sides)."""
+    import pyarrow.parquet as pq
+
+    from spapy_ray.stages.relational import grouped_rollup, hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_quantity"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"])
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = sup.set_column(0, "s_suppkey",
+                         pc.cast(sup.column("s_suppkey"), pa.int64()))
+    sup = sup.set_column(1, "s_nationkey",
+                         pc.cast(sup.column("s_nationkey"), pa.int64()))
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nat = nat.set_column(0, "n_nationkey",
+                         pc.cast(nat.column("n_nationkey"), pa.int64()))
+
+    j = broadcast_join(j, sup, key="l_suppkey", small_key="s_suppkey")
+    j = broadcast_join(j, nat, key="s_nationkey", small_key="n_nationkey")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t.column("n_name"),
+            "year": pc.year(t.column("o_orderdate")),
+            "l_quantity": t.column("l_quantity")})
+
+    out = grouped_rollup(j.map_batches(proj, batch_format="pyarrow"),
+                         ["n_name", "year"], "l_quantity",
+                         sentinels={"n_name": "ALL", "year": -1},
+                         count_alias="n_items")
+    out["sum_qty"] = out["l_quantity"].round().astype(np.int64)
+    out["year"] = out["year"].astype(np.int64)
+    return out[["n_name", "year", "sum_qty", "n_items"]]
+
+
+QUERIES["nation_year_rollup"] = q_nation_year_rollup
+
+
+def q_table_checksum(sf_dir: str):
+    """Bucketed XOR fingerprint of the documents table keyed by
+    (doc_id, text) — the anti-entropy primitive for replica diff /
+    corruption localization (relational.xor_fingerprint)."""
+    from spapy_ray.stages.relational import xor_fingerprint
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rowstr(t: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pc.cast(t.column("doc_id"), pa.string()),
+            t.column("text"), ":")
+        return pa.table({"row": s})
+
+    return xor_fingerprint(
+        docs.map_batches(rowstr, batch_format="pyarrow"), "row")
+
+
+QUERIES["table_checksum"] = q_table_checksum

@@ -1057,3 +1057,70 @@ def grouped_mad_outliers(ds, key: str, val: str, *, k: int = 3,
                 keys.map(mad4).to_numpy(dtype=np.float64))))
 
     return counts.map_batches(attach, batch_format="pyarrow")
+
+
+def xor_fingerprint(ds, col: str, *, buckets: int = 64):
+    """Order-independent table fingerprint (anti-entropy / replica
+    diff): XOR-fold of per-row fnv1a64 hashes, bucketed by hash so a
+    mismatch localizes to 1/buckets of the key space. Two tables are
+    byte-identical on ``col`` (as multisets) iff every
+    (bucket, fp, n_rows) row matches. XOR partials collapse per block
+    (<= buckets rows each), a tiny groupby folds them — the exchange
+    never carries row data, so this costs one streaming pass at any
+    scale.
+    """
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = fnv1a64(t.column(col))
+        b = (h % np.uint64(buckets)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bs, hs = b[order], h[order]
+        starts = np.nonzero(np.r_[True, bs[1:] != bs[:-1]])[0]
+        fp = np.bitwise_xor.reduceat(hs, starts)
+        n = np.diff(np.append(starts, len(bs)))
+        return pa.table({"bucket": pa.array(bs[starts]),
+                         "fp": pa.array(fp.view(np.int64)),
+                         "n_rows": pa.array(n.astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.bitwise_xor.reduce(
+            g["fp"].to_numpy().astype(np.int64).view(np.uint64))
+        return pd.DataFrame({
+            "bucket": g["bucket"].iloc[:1].astype(np.int64).to_numpy(),
+            "fp": np.array([x], dtype=np.uint64).view(np.int64),
+            "n_rows": np.array([g["n_rows"].sum()], dtype=np.int64)})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+def grouped_rollup(ds, dims: list[str], sum_col: str, *,
+                   sentinels: dict, count_alias: str = "n"):
+    """GROUP BY ROLLUP re-expressed for a streaming engine: ONE
+    combiner-folded shuffle computes the finest (d1..dk) level; every
+    coarser prefix level is derived from that tiny base on the driver
+    (super-aggregates fold from sub-aggregates — never re-shuffled).
+    Rolled-up dimensions carry caller-chosen typed sentinels instead
+    of SQL NULLs (null int64 upcasts to float in pandas, NOTES_r2).
+
+    Returns a pandas frame (dims..., sum_col, count_alias) with one
+    row per rollup group. Base must be small (it is a full-grouped
+    aggregate); the input can be any size.
+    """
+    base = pre_aggregated_sums(ds, dims, [sum_col],
+                               count_alias=count_alias).to_pandas()
+    frames = [base[dims + [sum_col, count_alias]]]
+    for lvl in range(len(dims) - 1, -1, -1):
+        keep = dims[:lvl]
+        if keep:
+            g = base.groupby(keep, sort=False)[[sum_col, count_alias]] \
+                .sum().reset_index()
+        else:
+            g = base[[sum_col, count_alias]].sum().to_frame().T
+        for d in dims[lvl:]:
+            g[d] = sentinels[d]
+        frames.append(g[dims + [sum_col, count_alias]])
+    out = pd.concat(frames, ignore_index=True)
+    out[count_alias] = out[count_alias].astype(np.int64)
+    return out

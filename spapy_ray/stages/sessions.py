@@ -424,3 +424,61 @@ def retention_cohorts(ds, *, period_us: int = 86_400_000_000,
     return bucketed_group_agg(
         parts.map_batches(pack, batch_format="pyarrow"), "ck", fold,
         buckets=buckets)
+
+
+def transition_counts(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type", id_col: str = "event_id"):
+    """Markov transition counts over the per-user event sequence:
+    one row per (prev_type, next_type) ordered pair with its global
+    count — the first-order behavioural transition matrix (path
+    analysis; reference models this as sequential attribute iteration,
+    SpaPy.py SpaDatasetVector attribute walk).
+
+    Partitioning contract: ONE hash shuffle on user co-locates each
+    user's full history; inside a bucket the sequence is rebuilt with
+    a vectorized sort by (user, ts, id) and shifted ONCE — per-bucket
+    counts are combiner partials (<= n_types^2 rows per bucket) and a
+    tiny final groupby folds them. At 100 TB the exchange carries
+    O(buckets x types^2) rows, not the event log.
+    """
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.relational import _bucket_column
+    from spapy_ray.util import cluster_cpus
+
+    nbuckets = max(64, cluster_cpus() * 4)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bkt__", _bucket_column(t, user_col, nbuckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "prev_type": pd.Series([], dtype=object),
+            "next_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64)})
+        if len(g) < 2:
+            return empty
+        col = g[ts_col]
+        if np.issubdtype(col.dtype, np.datetime64):
+            col = pd.to_datetime(col).astype("datetime64[us]")
+        g = g.assign(_us=col.astype("int64")) \
+            .sort_values([user_col, "_us", id_col], kind="stable")
+        u = g[user_col].to_numpy()
+        et = g[type_col].to_numpy()
+        idx = np.nonzero(u[1:] == u[:-1])[0] + 1
+        if len(idx) == 0:
+            return empty
+        out = pd.DataFrame({"prev_type": et[idx - 1],
+                            "next_type": et[idx]}) \
+            .groupby(["prev_type", "next_type"], sort=False) \
+            .size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bkt__").map_groups(per_bucket, batch_format="pandas")
+    return parts.groupby(["prev_type", "next_type"]).aggregate(
+        Sum("n", alias_name="n"))
