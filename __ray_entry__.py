@@ -42,6 +42,8 @@ _FRONT = [
     "bigram_pmi", "flow_length",
     "events_transitions", "late_shipments", "returned_customers",
     "nation_year_rollup", "table_checksum",
+    "nation_year_cube", "events_pivot", "part_flag_balance",
+    "lineitem_corr", "events_iqr", "fuzzy_names",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
@@ -225,4 +227,10 @@ def oracle_sql() -> dict[str, str]:
         "returned_customers": o.q_returned_customers(),
         "nation_year_rollup": o.q_nation_year_rollup(),
         "table_checksum": o.q_table_checksum(),
+        "nation_year_cube": o.q_nation_year_cube(),
+        "events_pivot": o.q_events_pivot(),
+        "part_flag_balance": o.q_part_flag_balance(),
+        "lineitem_corr": o.q_lineitem_corr(),
+        "events_iqr": o.q_events_iqr(),
+        "fuzzy_names": o.q_fuzzy_names(),
     }

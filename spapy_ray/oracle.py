@@ -2340,3 +2340,99 @@ def q_table_checksum(buckets: int = 64) -> str:
         f"bit_xor({i64}) AS fp, count(*)::BIGINT AS n_rows "
         "FROM t GROUP BY 1"
     )
+
+
+def q_nation_year_cube() -> str:
+    """Twin of relational.grouped_cube over (nation, order year):
+    native GROUP BY CUBE with the engine's typed sentinels."""
+    return (
+        "SELECT coalesce(n.n_name, 'ALL') AS n_name, "
+        "coalesce(year(o.o_orderdate), -1)::BIGINT AS year, "
+        "sum(l.l_quantity)::BIGINT AS sum_qty, "
+        "count(*)::BIGINT AS n_items "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "GROUP BY CUBE (n.n_name, year(o.o_orderdate))"
+    )
+
+
+def q_events_pivot() -> str:
+    """Twin of relational.pivot_counts on events by user."""
+    labels = ["click", "error", "purchase", "signup", "view"]
+    cols = ", ".join(
+        f"count(*) FILTER (event_type = '{l}')::BIGINT AS n_{l}"
+        for l in labels)
+    return (f"SELECT user_id, {cols}, count(*)::BIGINT AS n_total "
+            "FROM events GROUP BY user_id")
+
+
+def q_part_flag_balance() -> str:
+    """Twin of relational.multiset_except: native EXCEPT ALL then a
+    count per surviving value."""
+    return (
+        "SELECT l_partkey, count(*)::BIGINT AS n FROM "
+        "(SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' "
+        "EXCEPT ALL "
+        "SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') "
+        "GROUP BY l_partkey"
+    )
+
+
+def q_lineitem_corr(q: int = 1_000_000) -> str:
+    """Twin of relational.grouped_corr_int: the same integer
+    sufficient statistics in HUGEINT, corr^2 floor-quantized —
+    no float division on either side."""
+    num = "(n::HUGEINT*sxy - sx::HUGEINT*sy)"
+    varx = "(n::HUGEINT*sxx - sx::HUGEINT*sx)"
+    vary = "(n::HUGEINT*syy - sy::HUGEINT*sy)"
+    return (
+        "WITH t AS (SELECT l_returnflag, l_linestatus, "
+        "round(l_discount*100)::BIGINT AS xi, "
+        "round(l_tax*100)::BIGINT AS yi FROM lineitem), "
+        "s AS (SELECT l_returnflag, l_linestatus, "
+        "count(*)::BIGINT AS n, sum(xi)::BIGINT AS sx, "
+        "sum(yi)::BIGINT AS sy, sum(xi*xi)::BIGINT AS sxx, "
+        "sum(yi*yi)::BIGINT AS syy, sum(xi*yi)::BIGINT AS sxy "
+        "FROM t GROUP BY 1, 2) "
+        "SELECT l_returnflag, l_linestatus, n, "
+        f"(CASE WHEN {num} > 0 THEN 1 WHEN {num} < 0 THEN -1 "
+        "ELSE 0 END)::BIGINT AS corr_sign, "
+        f"(CASE WHEN {varx} * {vary} > 0 THEN "
+        f"({num} * {num} * {q} // ({varx} * {vary}))::BIGINT "
+        "ELSE -1 END) AS corr2_q, "
+        "sx, sy, sxx, syy, sxy FROM s"
+    )
+
+
+def q_events_iqr() -> str:
+    """Twin of relational.grouped_quartiles: FILTER-by-rank picks of
+    the same two-element sums (q1 ranks (n-1)//4, n//4; q3 the
+    mirror ranks) — float-bit-exact."""
+    q1 = ("(sum(value) FILTER (rn = (n-1)//4) + "
+          "sum(value) FILTER (rn = n//4))")
+    q3 = ("(sum(value) FILTER (rn = n-1-n//4) + "
+          "sum(value) FILTER (rn = n-1-(n-1)//4))")
+    return (
+        "WITH r AS (SELECT event_type, value, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY value) "
+        "- 1 AS rn, count(*) OVER (PARTITION BY event_type) AS n "
+        "FROM events) "
+        f"SELECT event_type, max(n)::BIGINT AS n, {q1} AS q1_x2, "
+        f"{q3} AS q3_x2, {q3} - {q1} AS iqr_x2 "
+        "FROM r GROUP BY event_type"
+    )
+
+
+def q_fuzzy_names() -> str:
+    """Twin of text.fuzzy_vocab_pairs on customer names: quadratic
+    levenshtein self-join over the distinct-token table (the engine
+    side is the SymSpell candidate path — same result set)."""
+    return (
+        "WITH v AS (SELECT w, count(*)::BIGINT AS n FROM "
+        "(SELECT unnest(string_split(c_name, ' ')) AS w "
+        "FROM customer) GROUP BY w) "
+        "SELECT a.w AS w1, b.w AS w2, a.n AS n1, b.n AS n2 "
+        "FROM v a JOIN v b "
+        "ON a.w < b.w AND levenshtein(a.w, b.w) = 1"
+    )

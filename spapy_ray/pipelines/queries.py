@@ -3048,15 +3048,13 @@ def q_returned_customers(sf_dir: str, k: int = 20):
 QUERIES["returned_customers"] = q_returned_customers
 
 
-def q_nation_year_rollup(sf_dir: str):
-    """GROUP BY ROLLUP (nation, order year) over shipped quantity:
-    the finest level is one combiner-folded shuffle; coarser levels
-    fold from that tiny base (relational.grouped_rollup). Sentinels
-    'ALL'/-1 stand in for SQL's rollup NULLs (typed-exact both
-    sides)."""
+def _nation_year_qty(sf_dir: str):
+    """Shared base for rollup/cube: lineitem x orders hash join, then
+    supplier/nation broadcast lookups, projected to
+    (n_name, year, l_quantity)."""
     import pyarrow.parquet as pq
 
-    from spapy_ray.stages.relational import grouped_rollup, hash_join
+    from spapy_ray.stages.relational import hash_join
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey", "l_quantity"])
@@ -3084,7 +3082,18 @@ def q_nation_year_rollup(sf_dir: str):
             "year": pc.year(t.column("o_orderdate")),
             "l_quantity": t.column("l_quantity")})
 
-    out = grouped_rollup(j.map_batches(proj, batch_format="pyarrow"),
+    return j.map_batches(proj, batch_format="pyarrow")
+
+
+def q_nation_year_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (nation, order year) over shipped quantity:
+    the finest level is one combiner-folded shuffle; coarser levels
+    fold from that tiny base (relational.grouped_rollup). Sentinels
+    'ALL'/-1 stand in for SQL's rollup NULLs (typed-exact both
+    sides)."""
+    from spapy_ray.stages.relational import grouped_rollup
+
+    out = grouped_rollup(_nation_year_qty(sf_dir),
                          ["n_name", "year"], "l_quantity",
                          sentinels={"n_name": "ALL", "year": -1},
                          count_alias="n_items")
@@ -3115,3 +3124,102 @@ def q_table_checksum(sf_dir: str):
 
 
 QUERIES["table_checksum"] = q_table_checksum
+
+
+def q_nation_year_cube(sf_dir: str):
+    """GROUP BY CUBE (nation, order year): all four aggregation
+    levels folded from ONE combiner shuffle (relational.grouped_cube
+    over the shared rollup base)."""
+    from spapy_ray.stages.relational import grouped_cube
+
+    out = grouped_cube(_nation_year_qty(sf_dir),
+                       ["n_name", "year"], "l_quantity",
+                       sentinels={"n_name": "ALL", "year": -1},
+                       count_alias="n_items")
+    out["sum_qty"] = out["l_quantity"].round().astype(np.int64)
+    out["year"] = out["year"].astype(np.int64)
+    return out[["n_name", "year", "sum_qty", "n_items"]]
+
+
+QUERIES["nation_year_cube"] = q_nation_year_cube
+
+
+def q_events_pivot(sf_dir: str):
+    """Crosstab: one wide row per user with per-event-type counts
+    (relational.pivot_counts — one-hot inside map_batches, the
+    exchange is combiner-folded partials)."""
+    from spapy_ray.stages.relational import pivot_counts
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    labels = ["click", "error", "purchase", "signup", "view"]
+    return pivot_counts(ev, "user_id", "event_type", labels)
+
+
+QUERIES["events_pivot"] = q_events_pivot
+
+
+def q_part_flag_balance(sf_dir: str):
+    """EXCEPT ALL as a streaming bag difference: per part, how many
+    more 'R' (returned) lineitems than 'A' ones — positive rows only
+    (relational.multiset_except; pairs with table_checksum as the
+    localize step of replica reconciliation)."""
+    from spapy_ray.stages.relational import multiset_except
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_returnflag"])
+    a = li.filter(expr="l_returnflag == 'R'") \
+        .select_columns(["l_partkey"])
+    b = li.filter(expr="l_returnflag == 'A'") \
+        .select_columns(["l_partkey"])
+    return multiset_except(a, b, "l_partkey")
+
+
+QUERIES["part_flag_balance"] = q_part_flag_balance
+
+
+def q_lineitem_corr(sf_dir: str):
+    """EXACT grouped correlation (discount vs tax per
+    returnflag x linestatus) via integer sufficient statistics and a
+    floor-quantized corr^2 — overflow-free arbitrary-precision fold,
+    bit-identical to the HUGEINT SQL twin
+    (relational.grouped_corr_int)."""
+    from spapy_ray.stages.relational import grouped_corr_int
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus",
+                        "l_discount", "l_tax"])
+    return grouped_corr_int(li, ["l_returnflag", "l_linestatus"],
+                            "l_discount", "l_tax")
+
+
+QUERIES["lineitem_corr"] = q_lineitem_corr
+
+
+def q_events_iqr(sf_dir: str):
+    """Per-type exact quartiles/IQR in the parity-free x2 convention
+    (relational.grouped_quartiles — rank-pair picks, float-bit-exact
+    vs the FILTER-by-rank SQL twin)."""
+    from spapy_ray.stages.relational import grouped_quartiles
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quartiles(ev, "event_type", "value")
+
+
+QUERIES["events_iqr"] = q_events_iqr
+
+
+def q_fuzzy_names(sf_dir: str):
+    """Entity-resolution primitive: customer-name pairs at edit
+    distance exactly 1 (one-digit typos) via distributed SymSpell —
+    deletion-variant shuffle + vectorized verify
+    (text.fuzzy_vocab_pairs). The oracle twin is a quadratic
+    levenshtein self-join; the engine never compares beyond
+    shared-variant candidates."""
+    from spapy_ray.stages.text import fuzzy_vocab_pairs
+
+    cust = _read(sf_dir, "customer", columns=["c_name"])
+    out = fuzzy_vocab_pairs(cust, column="c_name").to_pandas()
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+QUERIES["fuzzy_names"] = q_fuzzy_names

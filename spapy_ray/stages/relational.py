@@ -1124,3 +1124,176 @@ def grouped_rollup(ds, dims: list[str], sum_col: str, *,
     out = pd.concat(frames, ignore_index=True)
     out[count_alias] = out[count_alias].astype(np.int64)
     return out
+
+
+def grouped_cube(ds, dims: list[str], sum_col: str, *,
+                 sentinels: dict, count_alias: str = "n"):
+    """GROUP BY CUBE for a streaming engine: like grouped_rollup but
+    every subset of ``dims`` (2^k levels) folds from the ONE
+    combiner-shuffled finest base — super-aggregates are derived on
+    the driver, never re-shuffled. Rolled-up dimensions carry typed
+    sentinels (SQL NULL upcasts int64 to float in pandas)."""
+    from itertools import combinations
+
+    base = pre_aggregated_sums(ds, dims, [sum_col],
+                               count_alias=count_alias).to_pandas()
+    frames = []
+    for k in range(len(dims), -1, -1):
+        for keep in combinations(dims, k):
+            keep = list(keep)
+            if len(keep) == len(dims):
+                g = base.copy()
+            elif keep:
+                g = base.groupby(keep, sort=False)[
+                    [sum_col, count_alias]].sum().reset_index()
+            else:
+                g = base[[sum_col, count_alias]].sum().to_frame().T
+            for d in dims:
+                if d not in keep:
+                    g[d] = sentinels[d]
+            frames.append(g[dims + [sum_col, count_alias]])
+    out = pd.concat(frames, ignore_index=True)
+    out[count_alias] = out[count_alias].astype(np.int64)
+    return out
+
+
+def pivot_counts(ds, key: str, label_col: str, labels: list[str],
+                 prefix: str = "n_"):
+    """Crosstab / PIVOT: one wide row per key with a count column per
+    label value. The one-hot expansion happens inside map_batches
+    (vectorized compare per label), so the exchange is the same
+    combiner-folded sum shuffle as pre_aggregated_sums — at 100 TB
+    the wide matrix never exists except as per-block partials.
+    Labels must be the (small) closed set of label_col values;
+    unseen labels yield zero columns, unexpected values are ignored.
+    """
+    cols = [prefix + l for l in labels]
+
+    def onehot(t: pa.Table) -> pa.Table:
+        lab = t.column(label_col)
+        out = {key: t.column(key)}
+        for l, c in zip(labels, cols):
+            out[c] = pc.cast(pc.equal(lab, pa.scalar(l)), pa.int64())
+        return pa.table(out)
+
+    return pre_aggregated_sums(
+        ds.map_batches(onehot, batch_format="pyarrow"), [key], cols,
+        count_alias=prefix + "total")
+
+
+def multiset_except(ds_a, ds_b, col: str, *, buckets: int | None = None,
+                    out: str = "n"):
+    """EXCEPT ALL as a streaming operator: per distinct value of
+    ``col``, emit max(0, count_a - count_b) (bag difference — the
+    "what actually differs" follow-up to xor_fingerprint's "something
+    differs"). Sides are weight-tagged (+1/-1) and unioned, then ONE
+    bucketed shuffle folds the signed counts; only positive rows
+    survive. Never materializes either side; exchange carries
+    (value, weight-partial) rows only.
+    """
+    def tag(w):
+        def _f(t: pa.Table) -> pa.Table:
+            df = t.select([col]).to_pandas()
+            g = df.groupby(col, sort=False).size().reset_index(name="w")
+            g["w"] = g["w"].astype(np.int64) * w
+            return pa.Table.from_pandas(g, preserve_index=False)
+        return _f
+
+    u = ds_a.map_batches(tag(1), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(-1), batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(col, sort=False)["w"].sum().reset_index(name=out)
+        s = s[s[out] > 0]
+        s[out] = s[out].astype(np.int64)
+        return s
+
+    return bucketed_group_agg(u, col, fold, buckets=buckets)
+
+
+def grouped_corr_int(ds, keys: list[str], x: str, y: str, *,
+                     scale_x: int = 100, scale_y: int = 100,
+                     q: int = 1_000_000):
+    """EXACT grouped correlation via integer sufficient statistics:
+    x, y are quantized to integers (caller-chosen decimal scale must
+    make them exact, e.g. 2-dp money x100), per-batch partials carry
+    (n, sx, sy, sxx, syy, sxy) in int64, a tiny groupby folds them,
+    and the final correlation is reported as a FLOOR-QUANTIZED square
+
+        corr2_q = (num^2 * q) // (varx * vary),  sign = sign(num)
+        num  = n*sxy - sx*sy
+        varx = n*sxx - sx^2,  vary = n*syy - sy^2
+
+    computed in arbitrary-precision Python int on the tiny folded
+    table — overflow-free at any scale, bit-identical to a HUGEINT
+    SQL twin (no float division anywhere). Returns a pandas frame
+    (keys..., n, corr_sign, corr2_q, plus the six statistics).
+    """
+    from ray.data.aggregate import Sum
+
+    stats = ["sx", "sy", "sxx", "syy", "sxy"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        xi = np.rint(df[x].to_numpy(dtype=np.float64) * scale_x) \
+            .astype(np.int64)
+        yi = np.rint(df[y].to_numpy(dtype=np.float64) * scale_y) \
+            .astype(np.int64)
+        d = df[keys].copy()
+        d["sx"], d["sy"] = xi, yi
+        d["sxx"], d["syy"], d["sxy"] = xi * xi, yi * yi, xi * yi
+        d["nn"] = np.int64(1)
+        g = d.groupby(keys, sort=False)[stats + ["nn"]].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    aggs = [Sum(c, alias_name=c) for c in stats] + \
+        [Sum("nn", alias_name="n")]
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(keys).aggregate(*aggs).to_pandas()
+
+    signs, c2 = [], []
+    for _, r in folded.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        num = n * int(r["sxy"]) - sx * sy
+        varx = n * int(r["sxx"]) - sx * sx
+        vary = n * int(r["syy"]) - sy * sy
+        den = varx * vary
+        signs.append(0 if num == 0 else (1 if num > 0 else -1))
+        c2.append((num * num * q) // den if den > 0 else -1)
+    folded["corr_sign"] = np.asarray(signs, dtype=np.int64)
+    folded["corr2_q"] = np.asarray(c2, dtype=np.int64)
+    folded["n"] = folded["n"].astype(np.int64)
+    return folded[keys + ["n", "corr_sign", "corr2_q"] + stats]
+
+
+def grouped_quartiles(ds, key: str, val: str, *,
+                      buckets: int | None = None):
+    """EXACT per-group quartiles in the parity-free x2 convention
+    (grouped_median generalized to any rank pair): with v sorted and
+    0-based,
+
+        q1_x2  = v[(n-1)//4] + v[n//4]
+        q3_x2  = v[n-1-n//4] + v[n-1-(n-1)//4]   (mirror ranks)
+        iqr_x2 = q3_x2 - q1_x2
+
+    The hi ranks mirror the lo ranks, so the statistic is symmetric
+    under negation; each is a one-addition pick of two elements —
+    float-bit-exact against the FILTER-by-rank SQL twin, no
+    interpolation convention. Returns Dataset(key, n, q1_x2, q3_x2,
+    iqr_x2) via the bucketed two-stage shuffle."""
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, gg in g.groupby(key, sort=False):
+            v = np.sort(gg[val].to_numpy())
+            n = len(v)
+            a1, a2 = (n - 1) // 4, n // 4
+            q1 = v[a1] + v[a2]
+            q3 = v[n - 1 - a2] + v[n - 1 - a1]
+            rows.append((k, n, q1, q3, q3 - q1))
+        return pd.DataFrame(
+            rows, columns=[key, "n", "q1_x2", "q3_x2", "iqr_x2"]) \
+            .astype({"n": np.int64})
+
+    return bucketed_group_agg(ds.select_columns([key, val]), key,
+                              local, buckets=buckets)

@@ -613,3 +613,141 @@ def bigram_pmi(ds, *, column: str = "text", k: int = 50,
     scored = big.map_batches(score, batch_format="pyarrow")
     return scored.sort(["score", "gram"],
                        descending=[True, False]).limit(k)
+
+
+def _lev1_verify(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized levenshtein(a,b)==1 check for candidate pairs
+    (object arrays of str). Covers the two SymSpell-candidate cases:
+    equal length (exactly one substitution) and length diff 1 (one
+    insertion/deletion: prefix-equal then shift-equal suffix)."""
+    n = len(a)
+    ok = np.zeros(n, dtype=bool)
+    if n == 0:
+        return ok
+    la = np.fromiter((len(s) for s in a), np.int64, n)
+    lb = np.fromiter((len(s) for s in b), np.int64, n)
+    L = int(max(la.max(), lb.max())) + 1
+    A = np.zeros((n, L), dtype=np.uint8)
+    B = np.zeros((n, L), dtype=np.uint8)
+    for i in range(n):  # bounded by candidate volume, not corpus
+        ba, bb = a[i].encode(), b[i].encode()
+        A[i, :len(ba)] = np.frombuffer(ba, np.uint8)
+        B[i, :len(bb)] = np.frombuffer(bb, np.uint8)
+    eq = la == lb
+    if eq.any():
+        ok[eq] = (A[eq] != B[eq]).sum(axis=1) == 1
+    d1 = np.abs(la - lb) == 1
+    if d1.any():
+        idx = np.nonzero(d1)[0]
+        # orient: X = longer, Y = shorter
+        swap = lb[idx] > la[idx]
+        X = np.where(swap[:, None], B[idx], A[idx])
+        Y = np.where(swap[:, None], A[idx], B[idx])
+        pe = np.cumprod(X == Y, axis=1).astype(bool)       # prefix equal
+        sh = X[:, 1:] == Y[:, :-1]
+        se = np.cumprod(sh[:, ::-1], axis=1)[:, ::-1].astype(bool)
+        # delete X[k]: prefix equal before k AND shifted suffix from k
+        cand = np.concatenate(
+            [np.ones((len(idx), 1), bool), pe[:, :-1]], axis=1)
+        ok[idx] = (cand[:, :-1] & se).any(axis=1)
+    return ok
+
+
+def fuzzy_vocab_pairs(ds, *, column: str = "text", min_count: int = 1,
+                      buckets: int | None = None):
+    """Spelling-variant pairs of the corpus vocabulary at edit
+    distance EXACTLY 1 — SymSpell symmetric-delete, distributed:
+
+    1. vocab extraction: one split per batch, per-batch partial
+       counts, bucketed fold -> (word, n) rows (the only stage that
+       touches the corpus; exchange carries distinct-word partials);
+    2. each vocab word emits its unique deletion-1 variants (and
+       itself), keyed by variant -> ONE bucketed shuffle co-locates
+       every word pair within edit distance 1 (candidates);
+    3. within a variant group, pairs are generated and verified with
+       the vectorized lev==1 check; a final bucketed dedup collapses
+       pairs that met in two variant groups.
+
+    Partitioning assumption (classic SymSpell caveat): a variant
+    group holds the words sharing one deletion — bounded by alphabet
+    x length in natural text, quadratic only under adversarial vocab.
+    Token = literal ' ' split (string_split semantics, empty tokens
+    count). Returns Dataset(w1, w2, n1, n2) with w1 < w2.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(t.column(column), " "))
+        df = pd.DataFrame({"w": toks.to_pandas()})
+        g = df.groupby("w", sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("w", sort=False)["c"].sum().reset_index(name="n")
+        s = s[s["n"] >= min_count]
+        s["n"] = s["n"].astype(np.int64)
+        return s
+
+    vocab = bucketed_group_agg(
+        ds.map_batches(tok_partial, batch_format="pyarrow"), "w",
+        fold, buckets=buckets)
+
+    def variants(t: pa.Table) -> pa.Table:
+        ws = t.column("w").to_pandas().to_numpy()
+        ns = t.column("n").to_numpy(zero_copy_only=False)
+        vs, vw, vn = [], [], []
+        for w, cn in zip(ws, ns):
+            seen = {w}
+            for i in range(len(w)):
+                seen.add(w[:i] + w[i + 1:])
+            for v in seen:
+                vs.append(v)
+                vw.append(w)
+                vn.append(cn)
+        return pa.table({"v": pa.array(vs, pa.string()),
+                         "w": pa.array(vw, pa.string()),
+                         "n": pa.array(np.asarray(vn, np.int64))})
+
+    def pair_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "pk": pd.Series([], dtype=object),
+            "w1": pd.Series([], dtype=object),
+            "w2": pd.Series([], dtype=object),
+            "n1": pd.Series([], dtype=np.int64),
+            "n2": pd.Series([], dtype=np.int64)})
+        frames = [empty]
+        for _, gg in g.groupby("v", sort=False):
+            m = len(gg)
+            if m < 2:
+                continue
+            w = gg["w"].to_numpy()
+            cn = gg["n"].to_numpy()
+            ii, jj = np.triu_indices(m, k=1)
+            lo = np.minimum(w[ii], w[jj])
+            hi = np.maximum(w[ii], w[jj])
+            nlo = np.where(w[ii] <= w[jj], cn[ii], cn[jj])
+            nhi = np.where(w[ii] <= w[jj], cn[jj], cn[ii])
+            keep = _lev1_verify(lo, hi)
+            if keep.any():
+                frames.append(pd.DataFrame({
+                    "pk": np.char.add(np.char.add(
+                        lo[keep].astype(str), "|"),
+                        hi[keep].astype(str)).astype(object),
+                    "w1": lo[keep], "w2": hi[keep],
+                    "n1": nlo[keep].astype(np.int64),
+                    "n2": nhi[keep].astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = bucketed_group_agg(
+        vocab.map_batches(variants, batch_format="pyarrow"), "v",
+        pair_group, buckets=buckets)
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("pk").drop(columns=["pk"])
+
+    return bucketed_group_agg(pairs, "pk", dedup, buckets=buckets)

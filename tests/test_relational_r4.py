@@ -119,3 +119,170 @@ def test_grouped_rollup_vs_pandas(ray_session):
     truth = truth.sort_values(["a", "b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         out[["a", "b", "v", "n"]], truth[["a", "b", "v", "n"]])
+
+
+def test_grouped_cube_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import grouped_cube
+
+    rng = np.random.default_rng(6)
+    n = 600
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], n),
+        "b": rng.integers(0, 3, n).astype(np.int64),
+        "v": rng.integers(0, 50, n).astype(np.int64),
+    })
+    out = grouped_cube(rd.from_pandas(df), ["a", "b"], "v",
+                       sentinels={"a": "ALL", "b": -1})
+    out["v"] = out["v"].astype(np.int64)
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+
+    def agg(keys):
+        if keys:
+            g = df.groupby(keys, as_index=False).agg(
+                v=("v", "sum"), n=("v", "size"))
+        else:
+            g = pd.DataFrame({"v": [df["v"].sum()], "n": [len(df)]})
+        for c, s in (("a", "ALL"), ("b", -1)):
+            if c not in keys:
+                g[c] = s
+        return g[["a", "b", "v", "n"]]
+
+    truth = pd.concat(
+        [agg(["a", "b"]), agg(["a"]), agg(["b"]), agg([])],
+        ignore_index=True).sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+    truth["n"] = truth["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(out[["a", "b", "v", "n"]], truth)
+
+
+def test_pivot_counts_vs_crosstab(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import pivot_counts
+
+    rng = np.random.default_rng(8)
+    n = 800
+    labels = ["p", "q", "r"]
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype(np.int64),
+        "lab": rng.choice(labels, n),
+    })
+    out = pivot_counts(rd.from_pandas(df), "k", "lab", labels) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    ct = pd.crosstab(df["k"], df["lab"]).reindex(
+        columns=labels, fill_value=0)
+    truth = ct.rename(columns={l: f"n_{l}" for l in labels}) \
+        .reset_index().rename_axis(None, axis=1)
+    truth["n_total"] = ct.sum(axis=1).to_numpy()
+    for c in truth.columns:
+        truth[c] = truth[c].astype(np.int64)
+    pd.testing.assert_frame_equal(out, truth)
+
+
+def test_multiset_except_vs_counter(ray_session):
+    import ray.data as rd
+    from collections import Counter
+
+    from spapy_ray.stages.relational import multiset_except
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 50, 700).astype(np.int64)
+    b = rng.integers(0, 50, 600).astype(np.int64)
+    out = multiset_except(
+        rd.from_pandas(pd.DataFrame({"v": a})),
+        rd.from_pandas(pd.DataFrame({"v": b})), "v") \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    diff = Counter(a.tolist()) - Counter(b.tolist())
+    truth = pd.DataFrame(
+        {"v": sorted(diff), "n": [diff[k] for k in sorted(diff)]}) \
+        .astype(np.int64)
+    pd.testing.assert_frame_equal(out, truth)
+
+
+def test_grouped_corr_int_exact(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import grouped_corr_int
+
+    rng = np.random.default_rng(10)
+    n = 500
+    df = pd.DataFrame({
+        "g": rng.choice(["u", "w"], n),
+        "x": rng.integers(0, 200, n) / 100.0,
+    })
+    # y correlated with x in group u, anti in group w
+    noise = rng.integers(-20, 21, n) / 100.0
+    df["y"] = np.where(df["g"] == "u", df["x"], 2.0 - df["x"]) + noise
+    df["y"] = np.round(df["y"], 2)
+    out = grouped_corr_int(rd.from_pandas(df), ["g"], "x", "y") \
+        .sort_values("g").reset_index(drop=True)
+    for _, r in out.iterrows():
+        gg = df[df["g"] == r["g"]]
+        xi = np.rint(gg["x"] * 100).astype(np.int64)
+        yi = np.rint(gg["y"] * 100).astype(np.int64)
+        nn = len(gg)
+        num = nn * int((xi * yi).sum()) - int(xi.sum()) * int(yi.sum())
+        varx = nn * int((xi * xi).sum()) - int(xi.sum()) ** 2
+        vary = nn * int((yi * yi).sum()) - int(yi.sum()) ** 2
+        assert r["corr_sign"] == (0 if num == 0 else
+                                  (1 if num > 0 else -1))
+        assert r["corr2_q"] == (num * num * 1_000_000) // (varx * vary)
+        # the quantized corr^2 tracks the float corr
+        cf = num / np.sqrt(varx * vary)
+        assert abs(r["corr2_q"] / 1e6 - cf * cf) < 1e-5
+    assert out.loc[out["g"] == "u", "corr_sign"].iloc[0] == 1
+    assert out.loc[out["g"] == "w", "corr_sign"].iloc[0] == -1
+
+
+def test_grouped_quartiles_convention(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import grouped_quartiles
+
+    rng = np.random.default_rng(12)
+    for n in (4, 5, 7, 101):
+        v = rng.normal(size=n)
+        df = pd.DataFrame({"g": ["a"] * n, "v": v})
+        out = grouped_quartiles(rd.from_pandas(df), "g", "v") \
+            .to_pandas()
+        s = np.sort(v)
+        a1, a2 = (n - 1) // 4, n // 4
+        assert out["q1_x2"].iloc[0] == s[a1] + s[a2]
+        assert out["q3_x2"].iloc[0] == s[n - 1 - a2] + s[n - 1 - a1]
+        assert out["iqr_x2"].iloc[0] == \
+            (s[n - 1 - a2] + s[n - 1 - a1]) - (s[a1] + s[a2])
+
+
+def test_lev1_verify_kernel():
+    from spapy_ray.stages.text import _lev1_verify
+
+    a = np.array(["cat", "cat", "cat", "abc", "aaa", "ab", "x", "x",
+                  "same"], dtype=object)
+    b = np.array(["bat", "cart", "at", "bca", "aa", "ba", "xy", "yx",
+                  "same"], dtype=object)
+    exp = np.array([True, True, True, False, True, False, True, True,
+                    False])
+    assert (_lev1_verify(a, b) == exp).all()
+
+
+def test_fuzzy_vocab_pairs_synthetic(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.text import fuzzy_vocab_pairs
+
+    # vocabulary with a known distance-1 structure
+    docs = pd.DataFrame({"text": [
+        "alpha alpho beta betta gamma",
+        "alpha beta delta gamma gamma",
+        "alpha salpha beta",
+    ]})
+    out = fuzzy_vocab_pairs(rd.from_pandas(docs)).to_pandas()
+    pairs = set(zip(out["w1"], out["w2"]))
+    assert ("alpha", "alpho") in pairs
+    assert ("beta", "betta") in pairs
+    assert ("alpha", "salpha") in pairs
+    assert ("alpha", "beta") not in pairs
+    row = out[(out["w1"] == "alpha") & (out["w2"] == "alpho")].iloc[0]
+    assert row["n1"] == 3 and row["n2"] == 1
