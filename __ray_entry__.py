@@ -43,7 +43,7 @@ _FRONT = [
     "events_transitions", "late_shipments", "returned_customers",
     "nation_year_rollup", "table_checksum",
     "nation_year_cube", "events_pivot", "part_flag_balance",
-    "lineitem_corr", "events_iqr", "fuzzy_names",
+    "lineitem_corr", "events_iqr", "fuzzy_names", "cust_triangles",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
@@ -233,4 +233,5 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_corr": o.q_lineitem_corr(),
         "events_iqr": o.q_events_iqr(),
         "fuzzy_names": o.q_fuzzy_names(),
+        "cust_triangles": o.q_cust_triangles(),
     }

@@ -2436,3 +2436,25 @@ def q_fuzzy_names() -> str:
         "FROM v a JOIN v b "
         "ON a.w < b.w AND levenshtein(a.w, b.w) = 1"
     )
+
+
+def q_cust_triangles() -> str:
+    """Twin of graph.triangle_stats on the same-day co-order graph:
+    canonical edge CTE, degree CTE, and the 3-way canonical-order
+    self-join (each triangle matched exactly once)."""
+    return (
+        "WITH e AS (SELECT DISTINCT a.o_custkey AS lo, "
+        "b.o_custkey AS hi FROM orders a JOIN orders b "
+        "ON a.o_orderdate = b.o_orderdate "
+        "AND a.o_custkey < b.o_custkey), "
+        "d AS (SELECT v, count(*)::BIGINT AS deg FROM "
+        "(SELECT lo AS v FROM e UNION ALL SELECT hi FROM e) "
+        "GROUP BY v) "
+        "SELECT (SELECT count(*) FROM d)::BIGINT AS n_vertices, "
+        "(SELECT count(*) FROM e)::BIGINT AS n_edges, "
+        "(SELECT sum(deg * (deg - 1) // 2) FROM d)::BIGINT "
+        "AS n_wedges, "
+        "(SELECT count(*) FROM e e1 JOIN e e2 ON e1.hi = e2.lo "
+        "JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)::BIGINT "
+        "AS n_triangles"
+    )

@@ -3223,3 +3223,22 @@ def q_fuzzy_names(sf_dir: str):
 
 
 QUERIES["fuzzy_names"] = q_fuzzy_names
+
+
+def q_cust_triangles(sf_dir: str):
+    """Triangle census of the same-day co-order customer graph:
+    pair generation is within_group_pairs over order date, the count
+    is the degree-oriented distributed wedge join
+    (graph.triangle_stats). Returns one row
+    (n_vertices, n_edges, n_wedges, n_triangles)."""
+    from spapy_ray.stages.graph import triangle_stats
+    from spapy_ray.stages.relational import within_group_pairs
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderdate", "o_custkey"])
+    pairs = within_group_pairs(orders, "o_orderdate", "o_custkey",
+                               out_a="a", out_b="b")
+    return triangle_stats(pairs)
+
+
+QUERIES["cust_triangles"] = q_cust_triangles

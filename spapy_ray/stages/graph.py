@@ -212,3 +212,194 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
                          "pr": t.column("r")})
 
     return ranks.map_batches(rename, batch_format="pyarrow")
+
+
+def triangle_stats(pairs, *, a_col: str = "a", b_col: str = "b",
+                   mode: str = "broadcast",
+                   buckets: int | None = None):
+    """Distributed triangle counting via the degree-oriented wedge
+    join (the MapReduce-classic node-iterator++, Suri & Vassilvitskii
+    2011 — public algorithm):
+
+    1. canonical distinct edge set (lo < hi, self-loops dropped):
+       ONE bucketed dedup on the packed edge key; materialized once
+       and reused by every later stage.
+    2. degrees per vertex: per-block partials + bucketed fold. The
+       degree VECTOR is the small side (nodes, not edges — the same
+       ~1e8-node broadcast bound pagerank's rank vector uses).
+    3. each edge is oriented from its (deg, id)-smaller endpoint to
+       the larger, so every out-neighborhood is O(sqrt(m)) — the
+       wedge volume is bounded by m^1.5 even on power-law graphs
+       (the hot-key guard: a celebrity vertex only ever RECEIVES
+       edges, it never fans out).
+    4. wedges = within_group_pairs over the oriented source: each
+       triangle appears as EXACTLY ONE wedge (the orientation DAG of
+       a triangle has one out-degree-2 vertex).
+    5. closing check — mode="broadcast" (default): the packed edge
+       key set (8 B/edge) is ray.put ONCE and each wedge batch counts
+       its closing edges in place with a searchsorted membership test,
+       so the exchange carries one integer per bucket and the m^1.5
+       wedge stream never leaves the task (3.0e9-wedge sandbox graph:
+       shuffle path DNF, broadcast path minutes). mode="shuffle"
+       keeps wedges distributed (wedge partial-counts and the edge
+       set meet in ONE bucketed shuffle on the closing key) for edge
+       sets beyond driver memory (~1e9 edges).
+
+    Vertices must be non-negative int64 < 2^31 (packed closing key).
+    Returns a one-row pandas frame
+    (n_vertices, n_edges, n_wedges, n_triangles) where n_wedges is
+    the unordered-path count sum C(deg, 2) — so the global clustering
+    coefficient is 3 * n_triangles / n_wedges on either side.
+    """
+    import ray
+
+    from spapy_ray.stages.relational import (bucketed_group_agg,
+                                             within_group_pairs)
+
+    SHIFT = np.int64(1) << np.int64(32)
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t.column(b_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        if len(lo) and (lo.min() < 0 or hi.max() >= (1 << 31)):
+            raise ValueError("vertex ids must be in [0, 2^31)")
+        return pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
+                         "ck": pa.array(lo * SHIFT + hi)})
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("ck")
+
+    edges = bucketed_group_agg(
+        pairs.map_batches(canon, batch_format="pyarrow"), "ck",
+        dedup, buckets=buckets).materialize()
+    n_edges = edges.count()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate([
+            t.column("lo").to_numpy(zero_copy_only=False),
+            t.column("hi").to_numpy(zero_copy_only=False)])
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def deg_fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("v", sort=False)["c"].sum().reset_index(
+            name="deg")
+        s["deg"] = s["deg"].astype(np.int64)
+        return s
+
+    degs = bucketed_group_agg(
+        edges.map_batches(deg_partial, batch_format="pyarrow"), "v",
+        deg_fold, buckets=buckets).to_pandas().sort_values("v")
+    nodes = degs["v"].to_numpy(dtype=np.int64)
+    deg = degs["deg"].to_numpy(dtype=np.int64)
+    n_vertices = len(nodes)
+    n_wedges = int((deg.astype(object) * (deg - 1) // 2).sum())
+    dref = ray.put((nodes, deg))
+
+    def orient(t: pa.Table, _ref=dref) -> pa.Table:
+        nv, dv = ray.get(_ref)
+        lo = t.column("lo").to_numpy(zero_copy_only=False)
+        hi = t.column("hi").to_numpy(zero_copy_only=False)
+        dl = dv[np.searchsorted(nv, lo)]
+        dh = dv[np.searchsorted(nv, hi)]
+        lo_first = (dl < dh) | ((dl == dh) & (lo < hi))
+        return pa.table({
+            "src": pa.array(np.where(lo_first, lo, hi)),
+            "dst": pa.array(np.where(lo_first, hi, lo))})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+
+    if mode == "broadcast":
+        # the packed edge-key set is 8 bytes/edge (36 MB at 4.5M
+        # edges; ~1e9 edges before this bound bites — beyond that use
+        # mode="shuffle") — ship it ONCE and count closing edges
+        # inside wedge generation: the exchange carries one int per
+        # bucket instead of the m^1.5 wedge stream.
+        eks = np.sort(np.concatenate(
+            [b.column("ck").to_numpy(zero_copy_only=False)
+             for b in edges.select_columns(["ck"])
+             .iter_batches(batch_format="pyarrow", batch_size=None)]
+        )) if n_edges else np.empty(0, dtype=np.int64)
+        eref = ray.put(eks)
+
+        def count_bucket(g: pd.DataFrame, _ref=eref) -> pd.DataFrame:
+            ek = ray.get(_ref)
+            grp = g["src"].to_numpy()
+            keys = g["dst"].to_numpy()
+            order = np.lexsort((keys, grp))
+            grp, keys = grp[order], keys[order]
+            new = np.empty(len(grp), dtype=bool)
+            if len(grp):
+                new[0] = True
+                new[1:] = grp[1:] != grp[:-1]
+            starts = np.nonzero(new)[0]
+            lens = np.diff(np.append(starts, len(grp)))
+            total = 0
+            for k in np.unique(lens):
+                if k < 2:
+                    continue
+                iu0, iu1 = np.triu_indices(int(k), 1)
+                s = starts[lens == k]
+                # chunk the fancy-index so a big size-class stays
+                # within a bounded pair buffer
+                step = max(1, 4_000_000 // max(1, len(iu0)))
+                for c0 in range(0, len(s), step):
+                    sc = s[c0:c0 + step]
+                    wl = keys[(sc[:, None] + iu0[None, :]).ravel()]
+                    wh = keys[(sc[:, None] + iu1[None, :]).ravel()]
+                    ck = wl * SHIFT + wh
+                    pos = np.searchsorted(ek, ck)
+                    pos[pos >= len(ek)] = len(ek) - 1 if len(ek) else 0
+                    total += int((ek[pos] == ck).sum()) if len(ek) \
+                        else 0
+            return pd.DataFrame({"t": np.array([total],
+                                               dtype=np.int64)})
+
+        tri = bucketed_group_agg(oriented, "src", count_bucket,
+                                 buckets=buckets).to_pandas()
+    else:
+        wedges = within_group_pairs(
+            oriented, "src", "dst", out_a="wlo", out_b="whi",
+            buckets=buckets)
+
+        def wedge_partial(t: pa.Table) -> pa.Table:
+            ck = t.column("wlo").to_numpy(zero_copy_only=False) \
+                * SHIFT \
+                + t.column("whi").to_numpy(zero_copy_only=False)
+            u2, c = np.unique(ck, return_counts=True)
+            return pa.table({"ck": pa.array(u2),
+                             "nw": pa.array(c.astype(np.int64)),
+                             "is_edge": pa.array(
+                                 np.zeros(len(u2), dtype=np.int64))})
+
+        def edge_side(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({"ck": t.column("ck"),
+                             "nw": pa.array(np.zeros(n,
+                                                     dtype=np.int64)),
+                             "is_edge": pa.array(
+                                 np.ones(n, dtype=np.int64))})
+
+        u = wedges.map_batches(wedge_partial, batch_format="pyarrow") \
+            .union(edges.select_columns(["ck"]).map_batches(
+                edge_side, batch_format="pyarrow"))
+
+        def close_fold(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby("ck", sort=False)[["nw", "is_edge"]].sum()
+            t = int(s.loc[s["is_edge"] > 0, "nw"].sum())
+            return pd.DataFrame({"t": np.array([t], dtype=np.int64)})
+
+        tri = bucketed_group_agg(u, "ck", close_fold,
+                                 buckets=buckets).to_pandas()
+    n_triangles = int(tri["t"].sum())
+    return pd.DataFrame({
+        "n_vertices": np.array([n_vertices], dtype=np.int64),
+        "n_edges": np.array([n_edges], dtype=np.int64),
+        "n_wedges": np.array([n_wedges], dtype=np.int64),
+        "n_triangles": np.array([n_triangles], dtype=np.int64)})

@@ -286,3 +286,50 @@ def test_fuzzy_vocab_pairs_synthetic(ray_session):
     assert ("alpha", "beta") not in pairs
     row = out[(out["w1"] == "alpha") & (out["w2"] == "alpho")].iloc[0]
     assert row["n1"] == 3 and row["n2"] == 1
+
+
+def test_triangle_stats_modes_vs_brute(ray_session):
+    import ray.data as rd
+    from itertools import combinations
+
+    from spapy_ray.stages.graph import triangle_stats
+
+    rng = np.random.default_rng(21)
+    n_v, n_e = 60, 400
+    a = rng.integers(0, n_v, n_e).astype(np.int64)
+    b = rng.integers(0, n_v, n_e).astype(np.int64)
+    pairs = pd.DataFrame({"a": a, "b": b})
+
+    edges = set()
+    for x, y in zip(a, b):
+        if x != y:
+            edges.add((min(x, y), max(x, y)))
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    tri = sum(1 for x, y, z in combinations(sorted(adj), 3)
+              if y in adj[x] and z in adj[x] and z in adj[y])
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+
+    for mode in ("broadcast", "shuffle"):
+        out = triangle_stats(rd.from_pandas(pairs), mode=mode)
+        assert out["n_vertices"].iloc[0] == len(adj)
+        assert out["n_edges"].iloc[0] == len(edges)
+        assert out["n_wedges"].iloc[0] == wedges
+        assert out["n_triangles"].iloc[0] == tri, mode
+
+
+def test_triangle_stats_known_graph(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.graph import triangle_stats
+
+    # K4 plus a pendant: C(4,3)=4 triangles
+    pairs = pd.DataFrame({
+        "a": np.array([0, 0, 0, 1, 1, 2, 3], dtype=np.int64),
+        "b": np.array([1, 2, 3, 2, 3, 3, 4], dtype=np.int64)})
+    out = triangle_stats(rd.from_pandas(pairs))
+    assert out["n_triangles"].iloc[0] == 4
+    assert out["n_edges"].iloc[0] == 7
+    assert out["n_vertices"].iloc[0] == 5
