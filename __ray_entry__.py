@@ -44,6 +44,7 @@ _FRONT = [
     "nation_year_rollup", "table_checksum",
     "nation_year_cube", "events_pivot", "part_flag_balance",
     "lineitem_corr", "events_iqr", "fuzzy_names", "cust_triangles",
+    "embed_quantize",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
@@ -234,4 +235,5 @@ def oracle_sql() -> dict[str, str]:
         "events_iqr": o.q_events_iqr(),
         "fuzzy_names": o.q_fuzzy_names(),
         "cust_triangles": o.q_cust_triangles(),
+        "embed_quantize": o.q_embed_quantize(),
     }

@@ -2458,3 +2458,23 @@ def q_cust_triangles() -> str:
         "JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)::BIGINT "
         "AS n_triangles"
     )
+
+
+def q_embed_quantize() -> str:
+    """Twin of ann.quantize_int8_stats: identical float64 op order
+    (cast ::DOUBLE before arithmetic — FLOAT list math diverges)."""
+    return (
+        "WITH x AS (SELECT vec_id, "
+        "generate_subscripts(embedding, 1) AS gi, "
+        "unnest(embedding)::DOUBLE AS v FROM embeddings), "
+        "mm AS (SELECT gi, min(v) AS mn, max(v) AS mx FROM x "
+        "GROUP BY gi), "
+        "c AS (SELECT vec_id, CASE WHEN mx > mn THEN "
+        "least(greatest(floor(((v - mn) * 255.0) / (mx - mn)), 0), "
+        "255) ELSE 0 END::BIGINT AS code "
+        "FROM x JOIN mm USING (gi)) "
+        "SELECT vec_id, sum(code)::BIGINT AS code_sum, "
+        "min(code)::BIGINT AS code_min, "
+        "max(code)::BIGINT AS code_max, count(*)::BIGINT AS dim "
+        "FROM c GROUP BY vec_id"
+    )

@@ -3242,3 +3242,17 @@ def q_cust_triangles(sf_dir: str):
 
 
 QUERIES["cust_triangles"] = q_cust_triangles
+
+
+def q_embed_quantize(sf_dir: str):
+    """Int8 embedding quantization summary per vector
+    (ann.quantize_int8_stats: per-dim min/max fold pass + broadcast
+    quantize pass, float64 op-order matched to the SQL twin)."""
+    from spapy_ray.stages.ann import quantize_int8_stats
+
+    emb = _read(sf_dir, "embeddings",
+                columns=["vec_id", "embedding"])
+    return quantize_int8_stats(emb)
+
+
+QUERIES["embed_quantize"] = q_embed_quantize

@@ -21,6 +21,10 @@ def _stack_embeddings(col) -> np.ndarray:
     matrix via flat-buffer reshape — never a per-row to_pylist walk."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if isinstance(col.type, pa.ExtensionType):
+        # Ray's ArrowTensorArray (from_pandas over ndarray cells)
+        return np.asarray(col.to_numpy(zero_copy_only=False),
+                          dtype=np.float64)
     if pa.types.is_fixed_size_list(col.type):
         d = col.type.list_size
         values = np.asarray(col.values.to_numpy(zero_copy_only=False),
@@ -848,3 +852,62 @@ def random_projection(ds, *, key_col: str = "vec_id",
             "y": pa.array(y.ravel())})
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def quantize_int8_stats(ds, *, vec_col: str = "embedding",
+                        key_col: str = "vec_id"):
+    """Linear int8 (0..255) embedding quantization — the storage/
+    bandwidth compression step before ANN at corpus scale (4x over
+    float32, 8x over float64). Two streaming passes:
+
+    1. per-dimension global min/max: each block folds to ONE
+       (2 x d)-float partial; the driver reduces a blocks-count pile
+       of 1 KB rows (never the vectors);
+    2. codes = clamp(floor(((v - mn) * 255.0) / (mx - mn)), 0, 255)
+       per element with the (d)-sized bounds broadcast once. The
+       expression is evaluated in float64 in EXACTLY this operation
+       order so the codes are bit-identical to the SQL twin
+       (DuckDB list elements must be cast ::DOUBLE first — FLOAT
+       list arithmetic diverges, NOTES_r3). Constant dimensions
+       (mx == mn) quantize to 0.
+
+    Returns Dataset(key, code_sum, code_min, code_max, dim) — the
+    per-vector code summary (hash-checkable without shipping the
+    code lists; the codes themselves stay inside the pipeline for a
+    downstream ANN stage to consume).
+    """
+    import ray
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        m = _stack_embeddings(t.column(vec_col))
+        return pa.table({
+            "mn": pa.array(m.min(axis=0)),
+            "mx": pa.array(m.max(axis=0)),
+            "i": pa.array(np.arange(m.shape[1], dtype=np.int64))})
+
+    parts = ds.select_columns([vec_col]).map_batches(
+        mm_partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("i", sort=True)
+    mn = g["mn"].min().to_numpy(dtype=np.float64)
+    mx = g["mx"].max().to_numpy(dtype=np.float64)
+    ref = ray.put((mn, mx))
+
+    def quant(t: pa.Table, _ref=ref) -> pa.Table:
+        lo, hi = ray.get(_ref)
+        m = _stack_embeddings(t.column(vec_col))
+        span = hi - lo
+        safe = np.where(span > 0, span, 1.0)
+        codes = np.floor(((m - lo[None, :]) * 255.0) / safe[None, :])
+        codes = np.clip(codes, 0, 255)
+        codes[:, span <= 0] = 0
+        codes = codes.astype(np.int64)
+        return pa.table({
+            key_col: t.column(key_col),
+            "code_sum": pa.array(codes.sum(axis=1)),
+            "code_min": pa.array(codes.min(axis=1)),
+            "code_max": pa.array(codes.max(axis=1)),
+            "dim": pa.array(np.full(len(codes), m.shape[1],
+                                    dtype=np.int64))})
+
+    return ds.select_columns([key_col, vec_col]).map_batches(
+        quant, batch_format="pyarrow")

@@ -333,3 +333,33 @@ def test_triangle_stats_known_graph(ray_session):
     assert out["n_triangles"].iloc[0] == 4
     assert out["n_edges"].iloc[0] == 7
     assert out["n_vertices"].iloc[0] == 5
+
+
+def test_quantize_int8_stats_reconstruction(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.ann import quantize_int8_stats
+
+    rng = np.random.default_rng(30)
+    n, d = 200, 16
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    m[:, 3] = 7.0  # constant dim -> code 0
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(m)})
+    out = quantize_int8_stats(rd.from_pandas(df)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+    mm = m.astype(np.float64)
+    lo, hi = mm.min(axis=0), mm.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    codes = np.clip(np.floor(((mm - lo) * 255.0) / span), 0, 255)
+    codes[:, hi <= lo] = 0
+    codes = codes.astype(np.int64)
+    assert (out["code_sum"].to_numpy() == codes.sum(axis=1)).all()
+    assert (out["code_min"].to_numpy() == codes.min(axis=1)).all()
+    assert (out["code_max"].to_numpy() == codes.max(axis=1)).all()
+    assert (out["dim"] == d).all()
+    # codes reconstruct within one quantization step
+    rec = lo + (codes + 0.5) * span / 255.0
+    err = np.abs(rec - mm)[:, span > 0]
+    assert err.max() <= (span.max() / 255.0)
