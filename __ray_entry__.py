@@ -44,7 +44,8 @@ _FRONT = [
     "nation_year_rollup", "table_checksum",
     "nation_year_cube", "events_pivot", "part_flag_balance",
     "lineitem_corr", "events_iqr", "fuzzy_names", "cust_triangles",
-    "embed_quantize",
+    "embed_quantize", "view_purchase_overlap", "user_last_event",
+    "priority_flag_chi2",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
@@ -236,4 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_names": o.q_fuzzy_names(),
         "cust_triangles": o.q_cust_triangles(),
         "embed_quantize": o.q_embed_quantize(),
+        "view_purchase_overlap": o.q_view_purchase_overlap(),
+        "user_last_event": o.q_user_last_event(),
+        "priority_flag_chi2": o.q_priority_flag_chi2(),
     }

@@ -2478,3 +2478,48 @@ def q_embed_quantize() -> str:
         "max(code)::BIGINT AS code_max, count(*)::BIGINT AS dim "
         "FROM c GROUP BY vec_id"
     )
+
+
+def q_view_purchase_overlap() -> str:
+    """Twin of relational.multiset_intersect: native INTERSECT ALL
+    then a count per surviving value."""
+    return (
+        "SELECT user_id, count(*)::BIGINT AS n FROM "
+        "(SELECT user_id FROM events WHERE event_type = 'view' "
+        "INTERSECT ALL "
+        "SELECT user_id FROM events WHERE event_type = 'purchase') "
+        "GROUP BY user_id"
+    )
+
+
+def q_user_last_event() -> str:
+    """Twin of grouped_topk k=1 keep-latest: row_number over
+    (ts DESC, event_id ASC); ts reported as epoch microseconds
+    (engine casts timestamp[us] to int64)."""
+    return (
+        "WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS ts, "
+        "event_type, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY epoch_us(ts) DESC, event_id) AS rn FROM events) "
+        "SELECT user_id, event_id, ts, event_type FROM r "
+        "WHERE rn = 1"
+    )
+
+
+def q_priority_flag_chi2(q: int = 1_000_000) -> str:
+    """Twin of relational.chi2_assoc: HUGEINT contingency margins and
+    the same floor-quantized per-cell statistic."""
+    return (
+        "WITH j AS (SELECT o.o_orderpriority, l.l_returnflag "
+        "FROM lineitem l JOIN orders o "
+        "ON l.l_orderkey = o.o_orderkey), "
+        "cell AS (SELECT o_orderpriority, l_returnflag, "
+        "count(*)::BIGINT AS o FROM j GROUP BY 1, 2), "
+        "m AS (SELECT o_orderpriority, l_returnflag, o, "
+        "sum(o) OVER ()::HUGEINT AS N, "
+        "sum(o) OVER (PARTITION BY o_orderpriority)::HUGEINT AS ra, "
+        "sum(o) OVER (PARTITION BY l_returnflag)::HUGEINT AS cb "
+        "FROM cell) "
+        "SELECT o_orderpriority, l_returnflag, o AS observed, "
+        f"((N*o - ra*cb) * (N*o - ra*cb) * {q} "
+        "// (N * ra * cb))::BIGINT AS chi2_q FROM m"
+    )

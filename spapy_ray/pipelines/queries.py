@@ -3256,3 +3256,65 @@ def q_embed_quantize(sf_dir: str):
 
 
 QUERIES["embed_quantize"] = q_embed_quantize
+
+
+def q_view_purchase_overlap(sf_dir: str):
+    """INTERSECT ALL of the view-user and purchase-user multisets:
+    per user, min(n_views, n_purchases) — the matched-event balance
+    (relational.multiset_intersect)."""
+    from spapy_ray.stages.relational import multiset_intersect
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    a = ev.filter(expr="event_type == 'view'") \
+        .select_columns(["user_id"])
+    b = ev.filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id"])
+    return multiset_intersect(a, b, "user_id")
+
+
+QUERIES["view_purchase_overlap"] = q_view_purchase_overlap
+
+
+def q_user_last_event(sf_dir: str):
+    """Keep-latest compaction (CDC snapshot): each user's most recent
+    event row, deterministic under ts ties (max ts, then min
+    event_id) — grouped_topk k=1, combiner-first so only one row per
+    (user, block) reaches the shuffle."""
+    from spapy_ray.stages.relational import grouped_topk
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def us(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("ts"), "ts",
+            pc.cast(t.column("ts"), pa.int64()))
+
+    out = grouped_topk(ev.map_batches(us, batch_format="pyarrow"),
+                       "user_id", "ts", 1,
+                       tie_cols=["event_id"]).to_pandas()
+    out = out.drop(columns=["rank"]).sort_values("user_id") \
+        .reset_index(drop=True)
+    return out[["user_id", "event_id", "ts", "event_type"]]
+
+
+QUERIES["user_last_event"] = q_user_last_event
+
+
+def q_priority_flag_chi2(sf_dir: str):
+    """Chi-square association between order priority and return flag
+    (relational.chi2_assoc over the orderkey hash_join): exact
+    integer contingency + floor-quantized per-cell statistic."""
+    from spapy_ray.stages.relational import chi2_assoc, hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    out = chi2_assoc(j, "o_orderpriority", "l_returnflag")
+    return out.sort_values(["o_orderpriority", "l_returnflag"]) \
+        .reset_index(drop=True)
+
+
+QUERIES["priority_flag_chi2"] = q_priority_flag_chi2

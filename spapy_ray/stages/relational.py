@@ -1297,3 +1297,70 @@ def grouped_quartiles(ds, key: str, val: str, *,
 
     return bucketed_group_agg(ds.select_columns([key, val]), key,
                               local, buckets=buckets)
+
+
+def multiset_intersect(ds_a, ds_b, col: str, *,
+                       buckets: int | None = None, out: str = "n"):
+    """INTERSECT ALL as a streaming operator: per distinct value,
+    min(count_a, count_b) when both sides contain it (bag
+    intersection — multiset_except's complement). Sides are
+    count-collapsed per block with a side tag, ONE bucketed shuffle
+    folds per-side totals and takes the min."""
+    def tag(side):
+        def _f(t: pa.Table) -> pa.Table:
+            df = t.select([col]).to_pandas()
+            g = df.groupby(col, sort=False).size().reset_index(name="c")
+            g["c"] = g["c"].astype(np.int64)
+            g["ca"] = g["c"] if side == 0 else np.int64(0)
+            g["cb"] = g["c"] if side == 1 else np.int64(0)
+            return pa.Table.from_pandas(g[[col, "ca", "cb"]],
+                                        preserve_index=False)
+        return _f
+
+    u = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1), batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(col, sort=False)[["ca", "cb"]].sum()
+        s[out] = np.minimum(s["ca"], s["cb"]).astype(np.int64)
+        s = s[s[out] > 0].reset_index()
+        return s[[col, out]]
+
+    return bucketed_group_agg(u, col, fold, buckets=buckets)
+
+
+def chi2_assoc(ds, col_a: str, col_b: str, *, q: int = 1_000_000):
+    """EXACT chi-square association table between two categorical
+    columns, in overflow-free integer arithmetic: the contingency
+    table comes from ONE combiner-folded shuffle
+    (pre_aggregated_sums pattern — O(cells x blocks) exchange), and
+    each cell's contribution is reported floor-quantized,
+
+        chi2_q(a, b) = ((N*o - ra*cb)^2 * q) // (N * ra * cb)
+
+    computed in arbitrary-precision Python int on the tiny folded
+    table (cells x 1 rows) — bit-identical to a HUGEINT SQL twin; the
+    statistic is sum(chi2_q)/q up to per-cell floor error (< cells/q).
+    Returns pandas (col_a, col_b, observed, chi2_q)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([col_a, col_b]).to_pandas()
+        g = df.groupby([col_a, col_b], sort=False).size() \
+            .reset_index(name="o")
+        g["o"] = g["o"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([col_a, col_b]).aggregate(Sum("o", alias_name="o")) \
+        .to_pandas()
+    N = int(cells["o"].sum())
+    ra = cells.groupby(col_a)["o"].transform("sum").astype(np.int64)
+    cb = cells.groupby(col_b)["o"].transform("sum").astype(np.int64)
+    chi = []
+    for o, r, c in zip(cells["o"], ra, cb):
+        d = N * int(o) - int(r) * int(c)
+        chi.append((d * d * q) // (N * int(r) * int(c)))
+    cells["observed"] = cells["o"].astype(np.int64)
+    cells["chi2_q"] = np.asarray(chi, dtype=np.int64)
+    return cells[[col_a, col_b, "observed", "chi2_q"]]

@@ -363,3 +363,50 @@ def test_quantize_int8_stats_reconstruction(ray_session):
     rec = lo + (codes + 0.5) * span / 255.0
     err = np.abs(rec - mm)[:, span > 0]
     assert err.max() <= (span.max() / 255.0)
+
+
+def test_multiset_intersect_vs_counter(ray_session):
+    import ray.data as rd
+    from collections import Counter
+
+    from spapy_ray.stages.relational import multiset_intersect
+
+    rng = np.random.default_rng(14)
+    a = rng.integers(0, 30, 500).astype(np.int64)
+    b = rng.integers(10, 40, 400).astype(np.int64)
+    out = multiset_intersect(
+        rd.from_pandas(pd.DataFrame({"v": a})),
+        rd.from_pandas(pd.DataFrame({"v": b})), "v") \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    inter = Counter(a.tolist()) & Counter(b.tolist())
+    truth = pd.DataFrame(
+        {"v": sorted(inter), "n": [inter[k] for k in sorted(inter)]}) \
+        .astype(np.int64)
+    pd.testing.assert_frame_equal(out, truth)
+
+
+def test_chi2_assoc_exact(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import chi2_assoc
+
+    rng = np.random.default_rng(15)
+    n = 2000
+    df = pd.DataFrame({
+        "a": rng.choice(["p", "q", "r"], n),
+        "b": rng.choice(["x", "y"], n, p=[0.3, 0.7]),
+    })
+    out = chi2_assoc(rd.from_pandas(df), "a", "b")
+    ct = pd.crosstab(df["a"], df["b"])
+    N = n
+    tot = 0.0
+    for _, r in out.iterrows():
+        o = ct.loc[r["a"], r["b"]]
+        assert r["observed"] == o
+        ra, cb = int(ct.loc[r["a"]].sum()), int(ct[r["b"]].sum())
+        d = N * int(o) - ra * cb
+        assert r["chi2_q"] == (d * d * 1_000_000) // (N * ra * cb)
+        e = ra * cb / N
+        tot += (o - e) ** 2 / e
+    # quantized total tracks the float chi-square statistic
+    assert abs(out["chi2_q"].sum() / 1e6 - tot) < 1e-4
