@@ -53,7 +53,12 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # round-4 session-5 additions
                  "ngram_overlap", "tfidf_terms", "graph_pagerank",
                  "watershed", "flow_accumulation", "docs_surprisal",
-                 "zonal_majority"]
+                 "zonal_majority",
+                 # round-4 session-7 additions (SymSpell fuzzy join,
+                 # xor anti-entropy checksum, Markov transitions, CUBE,
+                 # integer-exact corr, keep-latest compaction)
+                 "fuzzy_names", "table_checksum", "events_transitions",
+                 "nation_year_cube", "lineitem_corr", "user_last_event"]
 
 
 def _consume(res) -> int:

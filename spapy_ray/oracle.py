@@ -2523,3 +2523,17 @@ def q_priority_flag_chi2(q: int = 1_000_000) -> str:
         f"((N*o - ra*cb) * (N*o - ra*cb) * {q} "
         "// (N * ra * cb))::BIGINT AS chi2_q FROM m"
     )
+
+
+def q_part_skyline() -> str:
+    """Twin of relational.skyline2: the NOT EXISTS dominance
+    definition (<= / >= with one strict)."""
+    return (
+        "SELECT p_partkey, p_retailprice, p_size FROM part a "
+        "WHERE NOT EXISTS (SELECT 1 FROM part b WHERE "
+        "b.p_retailprice <= a.p_retailprice "
+        "AND b.p_size >= a.p_size "
+        "AND (b.p_retailprice < a.p_retailprice "
+        "OR b.p_size > a.p_size)) "
+        "ORDER BY p_partkey"
+    )

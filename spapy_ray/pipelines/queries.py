@@ -3318,3 +3318,18 @@ def q_priority_flag_chi2(sf_dir: str):
 
 
 QUERIES["priority_flag_chi2"] = q_priority_flag_chi2
+
+
+def q_part_skyline(sf_dir: str):
+    """Pareto frontier of parts (minimize retail price, maximize
+    size): relational.skyline2 — per-block frontier combiner + one
+    driver fold of the tiny frontiers."""
+    from spapy_ray.stages.relational import skyline2
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_retailprice", "p_size"])
+    out = skyline2(part, "p_retailprice", "p_size")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+QUERIES["part_skyline"] = q_part_skyline

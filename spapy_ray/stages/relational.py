@@ -1364,3 +1364,37 @@ def chi2_assoc(ds, col_a: str, col_b: str, *, q: int = 1_000_000):
     cells["observed"] = cells["o"].astype(np.int64)
     cells["chi2_q"] = np.asarray(chi, dtype=np.int64)
     return cells[[col_a, col_b, "observed", "chi2_q"]]
+
+
+def skyline2(ds, min_col: str, max_col: str):
+    """2-D skyline (Pareto frontier: minimize ``min_col``, maximize
+    ``max_col``): a row survives iff no other row is <= on min_col,
+    >= on max_col, and strictly better on one. Incomparable ties
+    (equal on both) all survive, matching the SQL NOT EXISTS twin.
+
+    Distribution is the textbook combiner: the skyline of a union is
+    the skyline of the skylines, so every block collapses to its
+    local frontier (vectorized sort + running-max sweep) and ONE
+    final fold over the tiny concatenated frontiers finishes — the
+    exchange carries O(frontier x blocks) rows, never the table."""
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values([min_col, max_col],
+                            ascending=[True, False], kind="mergesort")
+        v = df[max_col].to_numpy(dtype=np.float64)
+        p = df[min_col].to_numpy()
+        first = np.r_[True, p[1:] != p[:-1]]    # min_col class starts
+        cls = np.cumsum(first) - 1              # class index per row
+        ctop = v[first]                         # class max (sorted desc)
+        run = np.maximum.accumulate(ctop)
+        prev_best = np.r_[-np.inf, run[:-1]]    # best among cheaper
+        keep = (v == ctop[cls]) & (ctop[cls] > prev_best[cls])
+        return df[keep]
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(local(t.to_pandas()),
+                                    preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return local(parts.to_pandas())

@@ -410,3 +410,34 @@ def test_chi2_assoc_exact(ray_session):
         tot += (o - e) ** 2 / e
     # quantized total tracks the float chi-square statistic
     assert abs(out["chi2_q"].sum() / 1e6 - tot) < 1e-4
+
+
+def test_skyline2_vs_brute(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import skyline2
+
+    rng = np.random.default_rng(17)
+    n = 400
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "price": rng.integers(0, 60, n).astype(np.int64),
+        "size": rng.integers(0, 60, n).astype(np.int64),
+    })
+    out = skyline2(rd.from_pandas(df).repartition(7), "price", "size")
+    got = set(out["id"])
+    p = df["price"].to_numpy()
+    s = df["size"].to_numpy()
+    truth = set()
+    for i in range(n):
+        dom = ((p <= p[i]) & (s >= s[i]) &
+               ((p < p[i]) | (s > s[i]))).any()
+        if not dom:
+            truth.add(i)
+    assert got == truth
+    # duplicated frontier points both survive
+    df2 = pd.concat([df, df[df["id"].isin(list(truth)[:1])]],
+                    ignore_index=True)
+    out2 = skyline2(rd.from_pandas(df2), "price", "size")
+    first = list(truth)[:1][0]
+    assert (out2["id"] == first).sum() == 2
