@@ -2537,3 +2537,16 @@ def q_part_skyline() -> str:
         "OR b.p_size > a.p_size)) "
         "ORDER BY p_partkey"
     )
+
+
+def q_price_deciles() -> str:
+    """Twin of quantiles.exact_global_ranks at the 11 decile ranks:
+    row_number pick of the identical element."""
+    return (
+        "WITH r AS (SELECT l_extendedprice AS v, "
+        "row_number() OVER (ORDER BY l_extendedprice) - 1 AS rn, "
+        "count(*) OVER () AS n FROM lineitem) "
+        "SELECT i::BIGINT AS decile, max(v) AS value "
+        "FROM r JOIN range(0, 11) t(i) ON rn = (i * (n - 1)) // 10 "
+        "GROUP BY i"
+    )

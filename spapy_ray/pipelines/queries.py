@@ -3333,3 +3333,25 @@ def q_part_skyline(sf_dir: str):
 
 
 QUERIES["part_skyline"] = q_part_skyline
+
+
+def q_price_deciles(sf_dir: str):
+    """Exact global price deciles WITHOUT a sort: distributed radix
+    selection (quantiles.exact_global_ranks — 4 rounds of per-block
+    histogram folds; the equi-depth range-partition planner). Decile
+    i picks rank (i*(n-1))//10, bit-identical to the SQL
+    row_number twin."""
+    from spapy_ray.stages.quantiles import exact_global_ranks
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    n = li.count()
+    ranks = {i: (i * (n - 1)) // 10 for i in range(11)}
+    sel = exact_global_ranks(li, "l_extendedprice",
+                             list(ranks.values()))
+    lookup = dict(zip(sel["rank"], sel["value"]))
+    return pd.DataFrame({
+        "decile": np.arange(11, dtype=np.int64),
+        "value": np.array([lookup[ranks[i]] for i in range(11)])})
+
+
+QUERIES["price_deciles"] = q_price_deciles

@@ -312,3 +312,99 @@ def quantile_sketch(ds, col: str, qs: list[float], *,
     return s.repartition(1) \
         .map_batches(merge, batch_format="pyarrow", batch_size=None) \
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def _f64_sortable_u64(v: np.ndarray) -> np.ndarray:
+    """Order-preserving float64 -> uint64 bijection (flip sign bit on
+    positives, all bits on negatives) — the standard radix-sort key
+    trick; NaN sorts above +inf and is the caller's problem."""
+    b = np.ascontiguousarray(v, dtype=np.float64).view(np.uint64)
+    neg = (b >> np.uint64(63)) == 1
+    out = b.copy()
+    out[neg] = ~b[neg]
+    out[~neg] = b[~neg] | np.uint64(1) << np.uint64(63)
+    return out
+
+
+def exact_global_ranks(ds, col: str, ranks: list[int], *,
+                       digit_bits: int = 16):
+    """EXACT order statistics at arbitrary 0-based global ranks
+    WITHOUT a global sort: distributed radix selection. Four rounds
+    (64 / digit_bits) of per-block masked bincount histograms; each
+    round pins ``digit_bits`` more high bits of every target's value,
+    and the exchange carries only (blocks x active-prefixes x 2^bits)
+    int64 counts — never a row. The per-round fold is a plain
+    integer sum, so the result is deterministic at any scale and
+    bit-identical to the SQL FILTER-by-rank twin. This is the
+    equi-depth range-partition planner (exact splitters for
+    repartition-by-range) and the exact complement of the KLL sketch.
+
+    Values are float64 (mapped through the order-preserving uint64
+    bijection) — int64 columns pass through exactly (2^53 caveat:
+    ints beyond float64 precision need a dedicated int path).
+    Returns pandas (rank, value) sorted by rank.
+    """
+    targets = sorted(set(int(r) for r in ranks))
+    if not targets:
+        return pd.DataFrame({"rank": [], "value": []})
+    rounds = 64 // digit_bits
+    mask_digit = (1 << digit_bits) - 1
+
+    # state per target: known prefix (uint64) and the residual rank
+    # within the rows matching that prefix
+    prefixes = {t: (np.uint64(0), t) for t in targets}
+
+    for rnd in range(rounds):
+        shift = np.uint64(64 - digit_bits * (rnd + 1))
+        pmask = (~np.uint64(0)) << np.uint64(64 - digit_bits * rnd) \
+            if rnd else np.uint64(0)
+        uniq = sorted(set(p for p, _ in prefixes.values()))
+        pidx = {p: i for i, p in enumerate(uniq)}
+
+        def hist(t: pa.Table, _uniq=tuple(uniq), _pmask=pmask,
+                 _shift=shift) -> pa.Table:
+            u = _f64_sortable_u64(
+                t.column(col).to_numpy(zero_copy_only=False)
+                .astype(np.float64))
+            out = np.zeros((len(_uniq), 1 << digit_bits),
+                           dtype=np.int64)
+            hp = u & _pmask
+            dig = ((u >> _shift) & np.uint64(mask_digit)) \
+                .astype(np.int64)
+            for i, p in enumerate(_uniq):
+                m = hp == p
+                if m.any():
+                    out[i] = np.bincount(dig[m],
+                                         minlength=1 << digit_bits)
+            return pa.table({
+                "pi": pa.array(np.repeat(
+                    np.arange(len(_uniq), dtype=np.int64),
+                    1 << digit_bits)),
+                "d": pa.array(np.tile(
+                    np.arange(1 << digit_bits, dtype=np.int64),
+                    len(_uniq))),
+                "c": pa.array(out.ravel())})
+
+        folded = ds.select_columns([col]) \
+            .map_batches(hist, batch_format="pyarrow").to_pandas()
+        h = np.zeros((len(uniq), 1 << digit_bits), dtype=np.int64)
+        np.add.at(h, (folded["pi"].to_numpy(),
+                      folded["d"].to_numpy()),
+                  folded["c"].to_numpy())
+        cum = np.cumsum(h, axis=1)
+
+        nxt = {}
+        for t, (p, r) in prefixes.items():
+            row = pidx[p]
+            d = int(np.searchsorted(cum[row], r, side="right"))
+            below = int(cum[row][d - 1]) if d else 0
+            nxt[t] = (p | (np.uint64(d) << shift), r - below)
+        prefixes = nxt
+
+    sign = np.uint64(1) << np.uint64(63)
+    u = np.array([prefixes[t][0] for t in targets], dtype=np.uint64)
+    was_neg = (u >> np.uint64(63)) == 0
+    bits = np.where(was_neg, ~u, u & ~sign)
+    vals = bits.view(np.float64)
+    return pd.DataFrame({"rank": np.array(targets, dtype=np.int64),
+                         "value": vals})

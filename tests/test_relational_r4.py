@@ -441,3 +441,25 @@ def test_skyline2_vs_brute(ray_session):
     out2 = skyline2(rd.from_pandas(df2), "price", "size")
     first = list(truth)[:1][0]
     assert (out2["id"] == first).sum() == 2
+
+
+def test_exact_global_ranks_vs_sort(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.quantiles import exact_global_ranks
+
+    rng = np.random.default_rng(19)
+    v = np.concatenate([rng.normal(size=3000),
+                        -rng.exponential(size=1500),
+                        rng.integers(-3, 3, 500).astype(float),
+                        [0.0, -0.0, 1e300, -1e300, 1e-320]])
+    n = len(v)
+    ranks = [0, 1, n // 7, n // 2, n - 2, n - 1]
+    out = exact_global_ranks(
+        rd.from_pandas(pd.DataFrame({"x": v})).repartition(11),
+        "x", ranks)
+    s = np.sort(v)
+    assert (out["rank"].to_numpy() == np.array(sorted(set(ranks)))).all()
+    got = out.set_index("rank")["value"]
+    for r in ranks:
+        assert got[r] == s[r], (r, got[r], s[r])
