@@ -624,15 +624,32 @@ def _lev1_verify(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     ok = np.zeros(n, dtype=bool)
     if n == 0:
         return ok
-    la = np.fromiter((len(s) for s in a), np.int64, n)
-    lb = np.fromiter((len(s) for s in b), np.int64, n)
-    L = int(max(la.max(), lb.max())) + 1
-    A = np.zeros((n, L), dtype=np.uint8)
-    B = np.zeros((n, L), dtype=np.uint8)
-    for i in range(n):  # bounded by candidate volume, not corpus
-        ba, bb = a[i].encode(), b[i].encode()
-        A[i, :len(ba)] = np.frombuffer(ba, np.uint8)
-        B[i, :len(bb)] = np.frombuffer(bb, np.uint8)
+    # vectorized byte matrices: S-dtype view, zero Python loops
+    # (edit distance is over BYTES — the SQL twin agrees on ASCII;
+    # multi-byte text diverges from character-level levenshtein).
+    # numpy's unicode->S cast is ASCII-only; fall back to the
+    # per-string UTF-8 encode loop when the vocab isn't ASCII.
+    try:
+        As = np.asarray(a, dtype=bytes)
+        Bs = np.asarray(b, dtype=bytes)
+        wa, wb = As.dtype.itemsize, Bs.dtype.itemsize
+        L = max(wa, wb) + 1
+        A = np.zeros((n, L), dtype=np.uint8)
+        B = np.zeros((n, L), dtype=np.uint8)
+        A[:, :wa] = As.view(np.uint8).reshape(n, wa)
+        B[:, :wb] = Bs.view(np.uint8).reshape(n, wb)
+        la = (A != 0).sum(axis=1).astype(np.int64)
+        lb = (B != 0).sum(axis=1).astype(np.int64)
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        la = np.fromiter((len(s.encode()) for s in a), np.int64, n)
+        lb = np.fromiter((len(s.encode()) for s in b), np.int64, n)
+        L = int(max(la.max(), lb.max())) + 1
+        A = np.zeros((n, L), dtype=np.uint8)
+        B = np.zeros((n, L), dtype=np.uint8)
+        for i in range(n):
+            ba, bb = a[i].encode(), b[i].encode()
+            A[i, :len(ba)] = np.frombuffer(ba, np.uint8)
+            B[i, :len(bb)] = np.frombuffer(bb, np.uint8)
     eq = la == lb
     if eq.any():
         ok[eq] = (A[eq] != B[eq]).sum(axis=1) == 1

@@ -463,3 +463,20 @@ def test_exact_global_ranks_vs_sort(ray_session):
     got = out.set_index("rank")["value"]
     for r in ranks:
         assert got[r] == s[r], (r, got[r], s[r])
+
+
+def test_lev1_verify_non_ascii_fallback():
+    from spapy_ray.stages.text import _lev1_verify
+
+    # byte-level distance: 'é' is 2 UTF-8 bytes, so 'cafe' vs 'café'
+    # differs by byte insertion+substitution (distance 2) -> False;
+    # 'caf\xc3' vs 'caf' IS one byte apart via the loop path
+    a = np.array(["café", "naïve", "abc"], dtype=object)
+    b = np.array(["cafë", "naive", "abé"], dtype=object)
+    out = _lev1_verify(a, b)
+    # café/cafë share the 0xC3 lead byte, differ in one continuation
+    # byte -> byte-distance 1
+    assert out[0] == True  # noqa: E712
+    assert out[1] == False  # noqa: E712  (2-byte é vs 1-byte e)
+    # 'abc' vs 'abé': c (1B) vs é (2B) -> distance 2 bytes
+    assert out[2] == False  # noqa: E712
