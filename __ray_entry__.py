@@ -45,7 +45,7 @@ _FRONT = [
     "nation_year_cube", "events_pivot", "part_flag_balance",
     "lineitem_corr", "events_iqr", "fuzzy_names", "cust_triangles",
     "embed_quantize", "view_purchase_overlap", "user_last_event",
-    "priority_flag_chi2", "part_skyline", "price_deciles",
+    "priority_flag_chi2", "part_skyline", "price_deciles", "price_qty_grid",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
@@ -242,4 +242,5 @@ def oracle_sql() -> dict[str, str]:
         "priority_flag_chi2": o.q_priority_flag_chi2(),
         "part_skyline": o.q_part_skyline(),
         "price_deciles": o.q_price_deciles(),
+        "price_qty_grid": o.q_price_qty_grid(),
     }

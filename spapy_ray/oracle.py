@@ -2550,3 +2550,29 @@ def q_price_deciles() -> str:
         "FROM r JOIN range(0, 11) t(i) ON rn = (i * (n - 1)) // 10 "
         "GROUP BY i"
     )
+
+
+def q_price_qty_grid() -> str:
+    """Twin of the 2-D equi-depth grid: identical quartile cut ranks
+    via row_number picks, identical right-closed binning (count of
+    cuts <= v)."""
+    def cuts(col):
+        return (
+            f"(SELECT list(v ORDER BY r) FROM (SELECT v, rn AS r "
+            f"FROM (SELECT {col} AS v, row_number() OVER "
+            f"(ORDER BY {col}) - 1 AS rn, count(*) OVER () AS n "
+            f"FROM lineitem) WHERE rn = (1 * (n - 1)) // 4 "
+            f"OR rn = (2 * (n - 1)) // 4 OR rn = (3 * (n - 1)) // 4))"
+        )
+    return (
+        f"WITH px AS (SELECT {cuts('l_extendedprice')} AS c), "
+        f"py AS (SELECT {cuts('l_quantity')} AS c) "
+        "SELECT ((l_extendedprice >= px.c[1])::BIGINT + "
+        "(l_extendedprice >= px.c[2])::BIGINT + "
+        "(l_extendedprice >= px.c[3])::BIGINT) AS cx, "
+        "((l_quantity >= py.c[1])::BIGINT + "
+        "(l_quantity >= py.c[2])::BIGINT + "
+        "(l_quantity >= py.c[3])::BIGINT) AS cy, "
+        "count(*)::BIGINT AS n "
+        "FROM lineitem, px, py GROUP BY 1, 2"
+    )

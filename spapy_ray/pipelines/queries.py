@@ -3355,3 +3355,43 @@ def q_price_deciles(sf_dir: str):
 
 
 QUERIES["price_deciles"] = q_price_deciles
+
+
+def q_price_qty_grid(sf_dir: str):
+    """2-D equi-depth tiling planner: 4x4 grid over
+    (l_extendedprice, l_quantity) with per-cell counts. Cutpoints are
+    EXACT global quartile ranks from the radix selector (two
+    histogram-fold passes, no sort), broadcast into one combiner
+    count pass — the composition that plans a balanced
+    repartition-by-range in 2-D."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.quantiles import exact_global_ranks
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_quantity"])
+    n = li.count()
+    ranks = [(i * (n - 1)) // 4 for i in (1, 2, 3)]
+    cx = exact_global_ranks(li, "l_extendedprice", ranks)["value"] \
+        .to_numpy()
+    cy = exact_global_ranks(li, "l_quantity", ranks)["value"] \
+        .to_numpy()
+
+    def cellify(t: pa.Table) -> pa.Table:
+        x = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        y = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        ci = np.searchsorted(cx, x, side="right").astype(np.int64)
+        cj = np.searchsorted(cy, y, side="right").astype(np.int64)
+        k = ci * 4 + cj
+        u, c = np.unique(k, return_counts=True)
+        return pa.table({"cx": pa.array(u // 4), "cy": pa.array(u % 4),
+                         "n": pa.array(c.astype(np.int64))})
+
+    out = li.map_batches(cellify, batch_format="pyarrow") \
+        .groupby(["cx", "cy"]).aggregate(Sum("n", alias_name="n"))
+    df = out.to_pandas().sort_values(["cx", "cy"]).reset_index(drop=True)
+    df["n"] = df["n"].astype(np.int64)
+    return df
+
+
+QUERIES["price_qty_grid"] = q_price_qty_grid
