@@ -2576,3 +2576,37 @@ def q_price_qty_grid() -> str:
         "count(*)::BIGINT AS n "
         "FROM lineitem, px, py GROUP BY 1, 2"
     )
+
+
+def q_events_ohlc(period_us: int = 3_600_000_000) -> str:
+    """Twin of sessions.ohlc_bars: row_number picks for open/close
+    under the same (ts, event_id) total order."""
+    return (
+        "WITH e AS (SELECT event_type AS k, epoch_us(ts) AS tsu, "
+        "event_id, value FROM events), "
+        f"b AS (SELECT k, tsu // {period_us} AS bar, value, "
+        "row_number() OVER (PARTITION BY k, tsu // "
+        f"{period_us} ORDER BY tsu, event_id) AS rn_a, "
+        "row_number() OVER (PARTITION BY k, tsu // "
+        f"{period_us} ORDER BY tsu DESC, event_id DESC) AS rn_d "
+        "FROM e) "
+        "SELECT k, bar::BIGINT AS bar, "
+        "max(value) FILTER (rn_a = 1) AS open, "
+        "max(value) AS high, min(value) AS low, "
+        "max(value) FILTER (rn_d = 1) AS close, "
+        "count(*)::BIGINT AS n FROM b GROUP BY k, bar"
+    )
+
+
+def q_rolling_users(window_days: int = 7) -> str:
+    """Twin of sessions.rolling_active_users: DISTINCT (user, day)
+    x window expansion, windows past the last day dropped."""
+    return (
+        "WITH ud AS (SELECT DISTINCT user_id AS u, "
+        "epoch_us(ts) // 86400000000 AS d FROM events), "
+        "ex AS (SELECT DISTINCT u, d + i AS w FROM ud, "
+        f"range(0, {window_days}) t(i) "
+        "WHERE d + i <= (SELECT max(d) FROM ud)) "
+        "SELECT w::BIGINT AS w, count(*)::BIGINT AS n_users "
+        "FROM ex GROUP BY w"
+    )

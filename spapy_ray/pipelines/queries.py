@@ -3395,3 +3395,33 @@ def q_price_qty_grid(sf_dir: str):
 
 
 QUERIES["price_qty_grid"] = q_price_qty_grid
+
+
+def q_events_ohlc(sf_dir: str):
+    """Hourly OHLC bars per event type (sessions.ohlc_bars —
+    mergeable per-block bar partials, one bucketed fold;
+    deterministic open/close picks)."""
+    from spapy_ray.stages.sessions import ohlc_bars
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "event_type", "value"])
+    out = ohlc_bars(ev).to_pandas().sort_values(["k", "bar"]) \
+        .reset_index(drop=True)
+    return out[["k", "bar", "open", "high", "low", "close", "n"]]
+
+
+QUERIES["events_ohlc"] = q_events_ohlc
+
+
+def q_rolling_users(sf_dir: str):
+    """Trailing-7-day distinct active users per day
+    (sessions.rolling_active_users — exact distributed distinct via
+    (user, day) dedup + window expansion; exchange is
+    O(7 x active-user-days))."""
+    from spapy_ray.stages.sessions import rolling_active_users
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return rolling_active_users(ev)
+
+
+QUERIES["rolling_users"] = q_rolling_users

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def sessionize(ds, gap_us: int = 1800_000_000, user_col: str = "user_id",
@@ -482,3 +483,122 @@ def transition_counts(ds, *, user_col: str = "user_id", ts_col: str = "ts",
         .groupby("bkt__").map_groups(per_bucket, batch_format="pandas")
     return parts.groupby(["prev_type", "next_type"]).aggregate(
         Sum("n", alias_name="n"))
+
+
+def ohlc_bars(ds, *, key_col: str = "event_type", ts_col: str = "ts",
+              val_col: str = "value", id_col: str = "event_id",
+              period_us: int = 3_600_000_000,
+              buckets: int | None = None):
+    """Time-series downsample to OHLC bars: per (key, period bucket)
+    the open/high/low/close of ``val_col`` with deterministic
+    open/close picks (min/max of (ts, id) — id breaks ts ties).
+    Open/close are EXACT element picks and high/low are exact
+    extrema, so float values hash-match the SQL row_number twin.
+
+    Per-batch partials carry one row per (key, bar) seen — each holds
+    the block's own (o_ts, o_id, open, c_ts, c_id, close, hi, lo, n)
+    — and ONE bucketed shuffle folds them with lexicographic
+    min/max merges: the classic mergeable-summary shape, so the
+    exchange is O(bars x blocks), never the event stream."""
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t.column(key_col).to_pandas(),
+            "ts": t.column(ts_col).to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64),
+            "id": t.column(id_col).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "v": t.column(val_col).to_numpy(zero_copy_only=False)
+            .astype(np.float64)})
+        df["bar"] = df["ts"] // period_us
+        df = df.sort_values(["k", "bar", "ts", "id"], kind="mergesort")
+        g = df.groupby(["k", "bar"], sort=False)
+        out = g.agg(o_ts=("ts", "first"), o_id=("id", "first"),
+                    open=("v", "first"), c_ts=("ts", "last"),
+                    c_id=("id", "last"), close=("v", "last"),
+                    high=("v", "max"), low=("v", "min"),
+                    n=("v", "size")).reset_index()
+        out["gk"] = out["k"].astype(str) + "|" + out["bar"].astype(str)
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for gk, gg in g.groupby("gk", sort=False):
+            oi = np.lexsort((gg["o_id"].to_numpy(),
+                             gg["o_ts"].to_numpy()))[0]
+            ci = np.lexsort((-gg["c_id"].to_numpy(),
+                             -gg["c_ts"].to_numpy()))[0]
+            rows.append((gg["k"].iloc[0], int(gg["bar"].iloc[0]),
+                         gg["open"].iloc[oi], gg["high"].max(),
+                         gg["low"].min(), gg["close"].iloc[ci],
+                         int(gg["n"].sum())))
+        return pd.DataFrame(rows, columns=[
+            "k", "bar", "open", "high", "low", "close", "n"]) \
+            .astype({"bar": np.int64, "n": np.int64})
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), "gk", fold,
+        buckets=buckets)
+
+
+def rolling_active_users(ds, *, user_col: str = "user_id",
+                         ts_col: str = "ts", window_days: int = 7,
+                         buckets: int | None = None):
+    """Rolling distinct active users: for each day d, the count of
+    users active at least once in the trailing ``window_days`` window
+    ending at d. Exact distributed distinct via set-membership
+    expansion: one bucketed (user, day) dedup, a x window_days
+    flat expansion to (window_end, user), a second bucketed dedup,
+    then tiny per-window count folds — exchange is
+    O(window_days x active-user-days), never the event stream.
+    Windows past the last observed day are dropped (both sides).
+    Returns Dataset(day, n_users)."""
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    DAY = 86_400_000_000
+
+    def ud_partial(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = (t.column(ts_col).to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64)) // DAY
+        df = pd.DataFrame({"u": u, "d": d}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def ud_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    ud = bucketed_group_agg(
+        ds.select_columns([user_col, ts_col]).map_batches(
+            ud_partial, batch_format="pyarrow"), "u", ud_fold,
+        buckets=buckets).materialize()
+    max_day = int(pa.concat_tables(
+        [b for b in ud.select_columns(["d"])
+         .iter_batches(batch_format="pyarrow", batch_size=None)],
+        promote_options="default").column("d").to_numpy().max())
+
+    def expand(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        w = (d[:, None] + np.arange(window_days)[None, :]).ravel()
+        uu = np.repeat(u, window_days)
+        keep = w <= max_day
+        df = pd.DataFrame({"u": uu[keep], "w": w[keep]}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def count_fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.drop_duplicates().groupby("w", sort=False).size() \
+            .reset_index(name="c")
+        s["c"] = s["c"].astype(np.int64)
+        return s
+
+    parts = bucketed_group_agg(
+        ud.map_batches(expand, batch_format="pyarrow"), "u",
+        count_fold, buckets=buckets)
+
+    from ray.data.aggregate import Sum
+
+    return parts.groupby("w").aggregate(Sum("c", alias_name="n_users"))

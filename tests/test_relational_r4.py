@@ -480,3 +480,57 @@ def test_lev1_verify_non_ascii_fallback():
     assert out[1] == False  # noqa: E712  (2-byte é vs 1-byte e)
     # 'abc' vs 'abé': c (1B) vs é (2B) -> distance 2 bytes
     assert out[2] == False  # noqa: E712
+
+
+def test_ohlc_bars_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.sessions import ohlc_bars
+
+    df = _events(n=1200, n_users=40, seed=23)
+    df["value"] = np.random.default_rng(24).normal(size=len(df))
+    out = ohlc_bars(rd.from_pandas(df).repartition(9),
+                    period_us=600_000_000).to_pandas() \
+        .sort_values(["k", "bar"]).reset_index(drop=True)
+
+    g = df.assign(tsu=df["ts"].astype("int64"))
+    g["bar"] = g["tsu"] // 600_000_000
+    g = g.sort_values(["event_type", "bar", "tsu", "event_id"],
+                      kind="mergesort")
+    truth = g.groupby(["event_type", "bar"], sort=False).agg(
+        open=("value", "first"), high=("value", "max"),
+        low=("value", "min"), close=("value", "last"),
+        n=("value", "size")).reset_index() \
+        .rename(columns={"event_type": "k"}) \
+        .sort_values(["k", "bar"]).reset_index(drop=True)
+    truth["n"] = truth["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(
+        out[["k", "bar", "open", "high", "low", "close", "n"]],
+        truth[["k", "bar", "open", "high", "low", "close", "n"]])
+
+
+def test_rolling_active_users_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.sessions import rolling_active_users
+
+    df = _events(n=900, n_users=25, seed=26)
+    out = rolling_active_users(rd.from_pandas(df), window_days=3) \
+        .to_pandas().sort_values("w").reset_index(drop=True)
+
+    ud = pd.DataFrame({
+        "u": df["user_id"],
+        "d": df["ts"].astype("int64") // 86_400_000_000,
+    }).drop_duplicates()
+    md = ud["d"].max()
+    truth = {}
+    for _, r in ud.iterrows():
+        for i in range(3):
+            w = r["d"] + i
+            if w <= md:
+                truth.setdefault(w, set()).add(r["u"])
+    tdf = pd.DataFrame({
+        "w": sorted(truth),
+        "n_users": [len(truth[w]) for w in sorted(truth)]}) \
+        .astype(np.int64)
+    pd.testing.assert_frame_equal(out, tdf, check_dtype=False)
