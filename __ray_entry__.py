@@ -46,7 +46,7 @@ _FRONT = [
     "lineitem_corr", "events_iqr", "fuzzy_names", "cust_triangles",
     "embed_quantize", "view_purchase_overlap", "user_last_event",
     "priority_flag_chi2", "part_skyline", "price_deciles", "price_qty_grid",
-    "events_ohlc", "rolling_users",
+    "events_ohlc", "rolling_users", "purchase_attribution",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
@@ -246,4 +246,5 @@ def oracle_sql() -> dict[str, str]:
         "price_qty_grid": o.q_price_qty_grid(),
         "events_ohlc": o.q_events_ohlc(),
         "rolling_users": o.q_rolling_users(),
+        "purchase_attribution": o.q_purchase_attribution(),
     }

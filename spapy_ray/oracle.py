@@ -2610,3 +2610,31 @@ def q_rolling_users(window_days: int = 7) -> str:
         "SELECT w::BIGINT AS w, count(*)::BIGINT AS n_users "
         "FROM ex GROUP BY w"
     )
+
+
+def q_purchase_attribution(gap_us: int = 1800_000_000) -> str:
+    """Twin of the interval_attach attribution chain: session CTE
+    (lag-gap sessionize over the full log), BETWEEN containment
+    join, per-session fold."""
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us "
+        "FROM events), "
+        "flagged AS (SELECT user_id, us, CASE WHEN us - lag(us) "
+        "OVER (PARTITION BY user_id ORDER BY us) > "
+        f"{gap_us} OR lag(us) OVER (PARTITION BY user_id "
+        "ORDER BY us) IS NULL THEN 1 ELSE 0 END AS ns FROM e), "
+        "sess0 AS (SELECT user_id, us, sum(ns) OVER "
+        "(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED "
+        "PRECEDING) AS sid FROM flagged), "
+        "sess AS (SELECT user_id, min(us)::BIGINT AS "
+        "session_start_us, max(us)::BIGINT AS session_end_us "
+        "FROM sess0 GROUP BY user_id, sid) "
+        "SELECT s.user_id, s.session_start_us, s.session_end_us, "
+        "count(*)::BIGINT AS n_purchases, "
+        "min(epoch_us(p.ts))::BIGINT AS first_purchase_us "
+        "FROM sess s JOIN events p ON p.user_id = s.user_id "
+        "AND p.event_type = 'purchase' "
+        "AND epoch_us(p.ts) BETWEEN s.session_start_us "
+        "AND s.session_end_us "
+        "GROUP BY s.user_id, s.session_start_us, s.session_end_us"
+    )

@@ -3425,3 +3425,49 @@ def q_rolling_users(sf_dir: str):
 
 
 QUERIES["rolling_users"] = q_rolling_users
+
+
+def q_purchase_attribution(sf_dir: str):
+    """Purchase-to-session attribution: gap-30min sessions over the
+    full event log, purchases joined into the containing session via
+    the two-sided keyed interval join (sessions.interval_attach —
+    one user co-partition, per-bucket merge_asof + containment
+    filter), then a per-session fold."""
+    from ray.data.aggregate import Count, Min
+
+    from spapy_ray.stages.sessions import interval_attach, sessionize
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    sess = sessionize(ev) \
+        .select_columns(["user_id", "session_start_us",
+                         "session_end_us"])
+
+    def us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64())})
+
+    pur = ev.filter(expr="event_type == 'purchase'") \
+        .map_batches(us, batch_format="pyarrow")
+    j = interval_attach(pur, sess, key="user_id", ts_col="ts_us",
+                        lo_col="session_start_us",
+                        hi_col="session_end_us")
+    out = j.groupby(["user_id", "session_start_us",
+                     "session_end_us"]).aggregate(
+        Count(alias_name="n_purchases"),
+        Min("ts_us", alias_name="first_purchase_us")).to_pandas()
+    cols = ["user_id", "session_start_us", "session_end_us",
+            "n_purchases", "first_purchase_us"]
+    if not len(out):  # empty to_pandas drops columns (NOTES_r2)
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    out["n_purchases"] = out["n_purchases"].astype(np.int64)
+    out["first_purchase_us"] = out["first_purchase_us"] \
+        .astype(np.int64)
+    return out.sort_values(["user_id", "session_start_us"]) \
+        .reset_index(drop=True)
+
+
+QUERIES["purchase_attribution"] = q_purchase_attribution

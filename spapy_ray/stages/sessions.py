@@ -602,3 +602,76 @@ def rolling_active_users(ds, *, user_col: str = "user_id",
     from ray.data.aggregate import Sum
 
     return parts.groupby("w").aggregate(Sum("c", alias_name="n_users"))
+
+
+def interval_attach(points, intervals, *, key: str = "user_id",
+                    ts_col: str = "ts_us", lo_col: str = "lo",
+                    hi_col: str = "hi", buckets: int | None = None):
+    """Two-sided keyed interval join (both sides Datasets): attach to
+    each point the containing interval of the SAME key, for interval
+    sets that are NON-OVERLAPPING per key (sessions, windows, SCD
+    validity ranges — the common case; overlapping sets need the
+    broadcast relational.interval_join instead).
+
+    ONE hash shuffle on the key co-locates both sides (side-tagged
+    union with typed null-filled schemas); inside a bucket a single
+    pandas merge_asof(by=key, direction='backward') finds the last
+    interval starting at-or-before each point and the containment
+    filter ts <= hi keeps true hits — O(n log n) Cython per bucket,
+    one Python call per bucket, never per key. All ts columns are
+    int64 microseconds. Returns points' columns + (lo, hi), inner.
+    """
+    from spapy_ray.stages.relational import _bucket_column
+    from spapy_ray.util import cluster_cpus
+
+    nbuckets = buckets or max(64, cluster_cpus() * 4)
+    pcols = [c for c in points.schema().names]
+    icols = [c for c in intervals.schema().names]
+
+    def tag(side, other_fill):
+        def _f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {c: t.column(c) for c in t.column_names}
+            for c, typ in other_fill:
+                cols[c] = pa.nulls(n, type=typ)
+            cols["side__"] = pa.array(
+                np.full(n, side, dtype=np.int8))
+            out = pa.table(cols)
+            return out.append_column(
+                "bkt__", _bucket_column(out, key, nbuckets))
+        return _f
+
+    ifill = [(c, pa.int64()) for c in (lo_col, hi_col)]
+    pfill = [(c, pa.int64()) for c in pcols if c not in (key,)]
+    u = points.map_batches(tag(0, ifill), batch_format="pyarrow") \
+        .union(intervals.map_batches(tag(1, pfill),
+                                     batch_format="pyarrow"))
+
+    out_cols = pcols + [lo_col, hi_col]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side__"] == 0]
+        iv = g[g["side__"] == 1]
+        empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                              for c in out_cols})
+        if not len(p) or not len(iv):
+            return empty
+        p = p[pcols].copy()
+        for c in pcols:
+            if c != key:
+                p[c] = p[c].astype(np.int64)
+        iv = iv[[key, lo_col, hi_col]].copy()
+        iv[lo_col] = iv[lo_col].astype(np.int64)
+        iv[hi_col] = iv[hi_col].astype(np.int64)
+        p = p.sort_values(ts_col, kind="mergesort")
+        iv = iv.sort_values(lo_col, kind="mergesort")
+        m = pd.merge_asof(p, iv, left_on=ts_col, right_on=lo_col,
+                          by=key, direction="backward")
+        m = m[m[hi_col].notna()]
+        m = m[m[ts_col] <= m[hi_col].astype(np.int64)]
+        m[lo_col] = m[lo_col].astype(np.int64)
+        m[hi_col] = m[hi_col].astype(np.int64)
+        return m[out_cols]
+
+    return u.groupby("bkt__").map_groups(per_bucket,
+                                         batch_format="pandas")

@@ -534,3 +534,39 @@ def test_rolling_active_users_vs_pandas(ray_session):
         "n_users": [len(truth[w]) for w in sorted(truth)]}) \
         .astype(np.int64)
     pd.testing.assert_frame_equal(out, tdf, check_dtype=False)
+
+
+def test_interval_attach_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.sessions import interval_attach
+
+    rng = np.random.default_rng(31)
+    n_keys = 12
+    ivs = []
+    for k in range(n_keys):
+        t = 0
+        for _ in range(rng.integers(1, 6)):
+            lo = t + int(rng.integers(1, 50))
+            hi = lo + int(rng.integers(0, 30))
+            ivs.append((k, lo, hi))
+            t = hi + 1  # non-overlapping per key
+    iv = pd.DataFrame(ivs, columns=["k", "lo", "hi"]).astype(np.int64)
+    pts = pd.DataFrame({
+        "k": rng.integers(0, n_keys, 300).astype(np.int64),
+        "pid": np.arange(300, dtype=np.int64),
+        "t": rng.integers(0, 250, 300).astype(np.int64)})
+
+    out = interval_attach(
+        rd.from_pandas(pts).repartition(5),
+        rd.from_pandas(iv).repartition(3),
+        key="k", ts_col="t").to_pandas()
+    got = set(zip(out["pid"], out["lo"]))
+    truth = set()
+    for _, p in pts.iterrows():
+        m = iv[(iv["k"] == p["k"]) & (iv["lo"] <= p["t"]) &
+               (p["t"] <= iv["hi"])]
+        for _, r in m.iterrows():
+            truth.add((p["pid"], r["lo"]))
+    assert got == truth
+    assert len(out) == len(truth)
