@@ -47,6 +47,7 @@ _FRONT = [
     "embed_quantize", "view_purchase_overlap", "user_last_event",
     "priority_flag_chi2", "part_skyline", "price_deciles", "price_qty_grid",
     "events_ohlc", "rolling_users", "purchase_attribution",
+    "nation_revenue_share", "source_mode_lang",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
@@ -247,4 +248,6 @@ def oracle_sql() -> dict[str, str]:
         "events_ohlc": o.q_events_ohlc(),
         "rolling_users": o.q_rolling_users(),
         "purchase_attribution": o.q_purchase_attribution(),
+        "nation_revenue_share": o.q_nation_revenue_share(),
+        "source_mode_lang": o.q_source_mode_lang(),
     }

@@ -2638,3 +2638,33 @@ def q_purchase_attribution(gap_us: int = 1800_000_000) -> str:
         "AND s.session_end_us "
         "GROUP BY s.user_id, s.session_start_us, s.session_end_us"
     )
+
+
+def q_nation_revenue_share(q: int = 1_000_000) -> str:
+    """Twin of the integer revenue share: cents sums in BIGINT,
+    share floor-quantized in HUGEINT."""
+    return (
+        "WITH r AS (SELECT n.n_name, "
+        "sum(round(l.l_extendedprice * 100)::BIGINT)::BIGINT "
+        "AS rev_cents "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name) "
+        "SELECT n_name, rev_cents, "
+        f"((rev_cents::HUGEINT * {q}) // "
+        "(SELECT sum(rev_cents)::HUGEINT FROM r))::BIGINT AS share_q "
+        "FROM r"
+    )
+
+
+def q_source_mode_lang() -> str:
+    """Twin of the grouped mode: row_number over
+    (count DESC, lang ASC)."""
+    return (
+        "WITH c AS (SELECT source, lang, count(*)::BIGINT AS n "
+        "FROM documents GROUP BY 1, 2), "
+        "r AS (SELECT source, lang, n, row_number() OVER "
+        "(PARTITION BY source ORDER BY n DESC, lang) AS rn FROM c) "
+        "SELECT source, lang, n FROM r WHERE rn = 1"
+    )

@@ -3471,3 +3471,85 @@ def q_purchase_attribution(sf_dir: str):
 
 
 QUERIES["purchase_attribution"] = q_purchase_attribution
+
+
+def q_nation_revenue_share(sf_dir: str):
+    """Percent-of-total in exact integers: per-nation revenue in
+    CENTS (2-dp money x100 is exact int64) plus the floor-quantized
+    share share_q = (rev_cents * 1e6) // total_cents — no float
+    division on either side. Reuses the revenue_by_nation join
+    chain; the share fold runs on the tiny folded table."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.relational import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"])
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust = pa.table({
+        "c_custkey": pc.cast(cust.column("c_custkey"), pa.int64()),
+        "c_nationkey": pc.cast(cust.column("c_nationkey"), pa.int64())})
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nat = pa.table({
+        "n_nationkey": pc.cast(nat.column("n_nationkey"), pa.int64()),
+        "n_name": nat.column("n_name")})
+    j = broadcast_join(j, cust, key="o_custkey",
+                       small_key="c_custkey")
+    j = broadcast_join(j, nat, key="c_nationkey",
+                       small_key="n_nationkey")
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column("l_extendedprice")
+                    .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"n_name": t.column("n_name"),
+                         "cents": pa.array(c)})
+
+    out = j.map_batches(cents, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(
+            Sum("cents", alias_name="rev_cents")).to_pandas()
+    total = int(out["rev_cents"].sum())
+    out["rev_cents"] = out["rev_cents"].astype(np.int64)
+    out["share_q"] = np.asarray(
+        [(int(c) * 1_000_000) // total for c in out["rev_cents"]],
+        dtype=np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+QUERIES["nation_revenue_share"] = q_nation_revenue_share
+
+
+def q_source_mode_lang(sf_dir: str):
+    """Grouped mode with deterministic ties: per document source the
+    most frequent lang (count desc, lang asc). Combiner-folded
+    (source, lang) counts; the argmax runs on the tiny folded
+    table."""
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    docs = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    counts = pre_aggregated_sums(
+        docs.map_batches(one, batch_format="pyarrow"),
+        ["source", "lang"], ["one"], count_alias="n").to_pandas()
+    counts = counts.sort_values(["source", "n", "lang"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+    out = counts.groupby("source", sort=True).head(1) \
+        .reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["source", "lang", "n"]]
+
+
+QUERIES["source_mode_lang"] = q_source_mode_lang
