@@ -3553,3 +3553,40 @@ def q_source_mode_lang(sf_dir: str):
 
 
 QUERIES["source_mode_lang"] = q_source_mode_lang
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL ingest path (the LLM-corpus interchange format):
+    documents -> partitioned JSONL under /tmp -> ray.data.read_json
+    -> bucketed XOR fingerprint. Hash-equality with the parquet-side
+    SQL twin proves the round-trip is byte-lossless; the write is
+    partitioned (one file per block) so a resumable run can skip
+    finished shards."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from spapy_ray.stages.relational import xor_fingerprint
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tmp = tempfile.mkdtemp(prefix="spapy_jsonl_")
+    try:
+        docs.write_json(tmp)
+        back = ray.data.read_json(tmp)
+
+        def rowstr(t: pa.Table) -> pa.Table:
+            s = pc.binary_join_element_wise(
+                pc.cast(t.column("doc_id"), pa.string()),
+                t.column("text"), ":")
+            return pa.table({"row": s})
+
+        return xor_fingerprint(
+            back.map_batches(rowstr, batch_format="pyarrow"),
+            "row").to_pandas().sort_values("bucket") \
+            .reset_index(drop=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["jsonl_roundtrip"] = q_jsonl_roundtrip
