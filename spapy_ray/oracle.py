@@ -2668,3 +2668,15 @@ def q_source_mode_lang() -> str:
         "(PARTITION BY source ORDER BY n DESC, lang) AS rn FROM c) "
         "SELECT source, lang, n FROM r WHERE rn = 1"
     )
+
+
+def q_embed_dim_stats(scale: int = 10_000_000) -> str:
+    """Twin of ann.embed_dim_stats (cast ::DOUBLE before round —
+    FLOAT list arithmetic diverges; 1-based subscripts shifted)."""
+    return (
+        "WITH x AS (SELECT generate_subscripts(embedding, 1) - 1 "
+        "AS dim, unnest(embedding)::DOUBLE AS v FROM embeddings) "
+        "SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n, "
+        f"sum(round(v * {scale})::BIGINT)::BIGINT AS sum_q, "
+        "min(v) AS mn, max(v) AS mx FROM x GROUP BY dim"
+    )

@@ -3590,3 +3590,15 @@ def q_jsonl_roundtrip(sf_dir: str):
 
 
 QUERIES["jsonl_roundtrip"] = q_jsonl_roundtrip
+
+
+def q_embed_dim_stats(sf_dir: str):
+    """Per-dimension embedding profile (ann.embed_dim_stats:
+    one streaming pass, d-row block partials, integer-exact sums)."""
+    from spapy_ray.stages.ann import embed_dim_stats
+
+    emb = _read(sf_dir, "embeddings", columns=["embedding"])
+    return embed_dim_stats(emb)
+
+
+QUERIES["embed_dim_stats"] = q_embed_dim_stats

@@ -911,3 +911,35 @@ def quantize_int8_stats(ds, *, vec_col: str = "embedding",
 
     return ds.select_columns([key_col, vec_col]).map_batches(
         quant, batch_format="pyarrow")
+
+
+def embed_dim_stats(ds, *, vec_col: str = "embedding",
+                    scale: int = 10_000_000):
+    """Per-dimension embedding statistics for normalization planning:
+    (dim, n, sum_q, min, max) where sum_q folds round(v * scale) in
+    int64 — integer partials are order-independent, so the
+    distributed sum is exact and SQL-twin-able (a float64 sum has no
+    deterministic distributed order). min/max are exact doubles.
+    One streaming pass; each block collapses to d rows."""
+    def partial(t: pa.Table) -> pa.Table:
+        m = _stack_embeddings(t.column(vec_col))
+        q = np.rint(m * scale).astype(np.int64)
+        d = m.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "n": pa.array(np.full(d, len(m), dtype=np.int64)),
+            "sum_q": pa.array(q.sum(axis=0)),
+            "mn": pa.array(m.min(axis=0)),
+            "mx": pa.array(m.max(axis=0))})
+
+    parts = ds.select_columns([vec_col]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("dim", sort=True)
+    out = pd.DataFrame({
+        "dim": np.asarray(sorted(parts["dim"].unique()),
+                          dtype=np.int64),
+        "n": g["n"].sum().to_numpy(dtype=np.int64),
+        "sum_q": g["sum_q"].sum().to_numpy(dtype=np.int64),
+        "mn": g["mn"].min().to_numpy(dtype=np.float64),
+        "mx": g["mx"].max().to_numpy(dtype=np.float64)})
+    return out
