@@ -2677,6 +2677,6 @@ def q_embed_dim_stats(scale: int = 10_000_000) -> str:
         "WITH x AS (SELECT generate_subscripts(embedding, 1) - 1 "
         "AS dim, unnest(embedding)::DOUBLE AS v FROM embeddings) "
         "SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n, "
-        f"sum(round(v * {scale})::BIGINT)::BIGINT AS sum_q, "
+        f"sum(trunc(v * {scale})::BIGINT)::BIGINT AS sum_q, "
         "min(v) AS mn, max(v) AS mx FROM x GROUP BY dim"
     )

@@ -916,14 +916,15 @@ def quantize_int8_stats(ds, *, vec_col: str = "embedding",
 def embed_dim_stats(ds, *, vec_col: str = "embedding",
                     scale: int = 10_000_000):
     """Per-dimension embedding statistics for normalization planning:
-    (dim, n, sum_q, min, max) where sum_q folds round(v * scale) in
-    int64 — integer partials are order-independent, so the
+    (dim, n, sum_q, min, max) where sum_q folds trunc(v * scale) in
+    int64 (truncation, not rounding — round-half ties differ between
+    numpy's half-even and SQL's half-away; trunc has no ties) — integer partials are order-independent, so the
     distributed sum is exact and SQL-twin-able (a float64 sum has no
     deterministic distributed order). min/max are exact doubles.
     One streaming pass; each block collapses to d rows."""
     def partial(t: pa.Table) -> pa.Table:
         m = _stack_embeddings(t.column(vec_col))
-        q = np.rint(m * scale).astype(np.int64)
+        q = np.trunc(m * scale).astype(np.int64)
         d = m.shape[1]
         return pa.table({
             "dim": pa.array(np.arange(d, dtype=np.int64)),
