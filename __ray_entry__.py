@@ -47,7 +47,7 @@ _FRONT = [
     "embed_quantize", "view_purchase_overlap", "user_last_event",
     "priority_flag_chi2", "part_skyline", "price_deciles", "price_qty_grid",
     "events_ohlc", "rolling_users", "purchase_attribution",
-    "nation_revenue_share", "source_mode_lang", "jsonl_roundtrip", "embed_dim_stats",
+    "nation_revenue_share", "source_mode_lang", "jsonl_roundtrip", "embed_dim_stats", "lineitem_profile",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
@@ -254,4 +254,5 @@ def oracle_sql() -> dict[str, str]:
         # parquet-side checksum twin
         "jsonl_roundtrip": o.q_table_checksum(),
         "embed_dim_stats": o.q_embed_dim_stats(),
+        "lineitem_profile": o.q_lineitem_profile(),
     }

@@ -2680,3 +2680,17 @@ def q_embed_dim_stats(scale: int = 10_000_000) -> str:
         f"sum(trunc(v * {scale})::BIGINT)::BIGINT AS sum_q, "
         "min(v) AS mn, max(v) AS mx FROM x GROUP BY dim"
     )
+
+
+def q_lineitem_profile() -> str:
+    """Twin of the per-column profiler: UNION ALL of exact
+    count/distinct/null triples."""
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+            "l_linestatus"]
+    parts = [
+        (f"SELECT '{c}' AS column, count(*)::BIGINT AS n_rows, "
+         f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT "
+         f"AS n_null, count(DISTINCT {c})::BIGINT AS n_distinct "
+         "FROM lineitem")
+        for c in cols]
+    return " UNION ALL ".join(parts)

@@ -3602,3 +3602,26 @@ def q_embed_dim_stats(sf_dir: str):
 
 
 QUERIES["embed_dim_stats"] = q_embed_dim_stats
+
+
+def q_lineitem_profile(sf_dir: str):
+    """Data-quality profiler: per column exact (n_rows, n_null,
+    n_distinct) via relational.global_distinct_count — one
+    column-pruned streaming pass per column; blocks ship only their
+    local unique values."""
+    from spapy_ray.stages.relational import global_distinct_count
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+            "l_linestatus"]
+    rows = []
+    for c in cols:
+        ds = _read(sf_dir, "lineitem", columns=[c])
+        n, nn, nd = global_distinct_count(ds, c)
+        rows.append((c, n, nn, nd))
+    return pd.DataFrame(rows, columns=["column", "n_rows", "n_null",
+                                       "n_distinct"]) \
+        .astype({"n_rows": np.int64, "n_null": np.int64,
+                 "n_distinct": np.int64})
+
+
+QUERIES["lineitem_profile"] = q_lineitem_profile

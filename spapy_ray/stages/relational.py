@@ -1398,3 +1398,46 @@ def skyline2(ds, min_col: str, max_col: str):
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return local(parts.to_pandas())
+
+
+def global_distinct_count(ds, col: str, *, buckets: int | None = None,
+                          count_nulls: bool = True):
+    """Exact global COUNT(DISTINCT col) plus row/null counts in one
+    streaming pass: each block emits its local unique values (the
+    combiner — a block never ships duplicates), ONE bucketed shuffle
+    dedups across blocks, and per-bucket distinct subtotals fold on
+    the driver. Returns (n_rows, n_null, n_distinct) ints; nulls are
+    excluded from the distinct count (SQL semantics)."""
+    import ray.data
+
+    meta = {"rows": 0, "nulls": 0}
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        nn = pc.drop_null(c)
+        u = pc.unique(nn)
+        if len(u) == 0 and t.num_rows:
+            # all-null block: one null carrier row keeps the counts
+            # (pandas nunique drops NaN, so distinct is unaffected)
+            u = pa.nulls(1, type=c.type)
+        k = len(u)
+        rows = np.zeros(k, np.int64)
+        nulls = np.zeros(k, np.int64)
+        if k:
+            rows[0] = t.num_rows
+            nulls[0] = t.num_rows - len(nn)
+        return pa.table({col: u, "rows__": pa.array(rows),
+                         "null__": pa.array(nulls)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "nd": np.array([g[col].nunique()], dtype=np.int64),
+            "rows__": np.array([g["rows__"].sum()], dtype=np.int64),
+            "null__": np.array([g["null__"].sum()], dtype=np.int64)})
+
+    parts = bucketed_group_agg(
+        ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow"), col, fold,
+        buckets=buckets).to_pandas()
+    return (int(parts["rows__"].sum()), int(parts["null__"].sum()),
+            int(parts["nd"].sum()))

@@ -570,3 +570,26 @@ def test_interval_attach_vs_bruteforce(ray_session):
             truth.add((p["pid"], r["lo"]))
     assert got == truth
     assert len(out) == len(truth)
+
+
+def test_global_distinct_count_with_nulls(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import global_distinct_count
+
+    rng = np.random.default_rng(33)
+    v = rng.integers(0, 40, 500).astype(np.float64)
+    v[rng.choice(500, 60, replace=False)] = np.nan
+    df = pd.DataFrame({"c": pd.array(
+        [None if np.isnan(x) else int(x) for x in v],
+        dtype="Int64")})
+    n, nn, nd = global_distinct_count(
+        rd.from_pandas(df).repartition(7), "c")
+    assert n == 500
+    assert nn == 60
+    assert nd == df["c"].nunique()
+
+    # all-null dataset keeps its counts
+    df2 = pd.DataFrame({"c": pd.array([None] * 20, dtype="Int64")})
+    n, nn, nd = global_distinct_count(rd.from_pandas(df2), "c")
+    assert (n, nn, nd) == (20, 20, 0)
