@@ -158,9 +158,16 @@ def _bucket_column(t: pa.Table, key: str, buckets: int) -> pa.Array:
     from spapy_ray.kernels.hashing import fnv1a64
 
     col = t.column(key)
+    if pa.types.is_null(col.type):
+        # untyped all-null column: single bucket
+        return pa.array(np.zeros(len(col), dtype=np.int32))
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         h = fnv1a64(col)
     else:
+        if col.null_count:
+            # null keys bucket as 0 — placement is free, any bucket
+            # works as long as all nulls co-locate
+            col = pc.fill_null(col, 0)
         v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
             h = v * np.uint64(0x9E3779B97F4A7C15)
