@@ -2694,3 +2694,15 @@ def q_lineitem_profile() -> str:
          "FROM lineitem")
         for c in cols]
     return " UNION ALL ".join(parts)
+
+
+def q_orderkey_islands() -> str:
+    """Twin of relational.value_islands: the classic
+    v - row_number() islands grouping."""
+    return (
+        "WITH v AS (SELECT DISTINCT l_orderkey AS v FROM lineitem WHERE l_returnflag = 'R'), "
+        "g AS (SELECT v, v - row_number() OVER (ORDER BY v) AS grp "
+        "FROM v) "
+        "SELECT min(v)::BIGINT AS start, max(v)::BIGINT AS \"end\", "
+        "count(*)::BIGINT AS n_values FROM g GROUP BY grp"
+    )

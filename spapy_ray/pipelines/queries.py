@@ -3625,3 +3625,22 @@ def q_lineitem_profile(sf_dir: str):
 
 
 QUERIES["lineitem_profile"] = q_lineitem_profile
+
+
+def q_orderkey_islands(sf_dir: str):
+    """Key-continuity audit: maximal consecutive runs among the
+    orderkeys having returned items — a scattered subset, so the
+    island structure is real (relational.value_islands — 1-D
+    dissolve: windows resolve interior islands final, only edge
+    islands stitch on the driver)."""
+    from spapy_ray.stages.relational import value_islands
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag"]) \
+        .filter(expr="l_returnflag == 'R'") \
+        .select_columns(["l_orderkey"])
+    out = value_islands(li, "l_orderkey").to_pandas()
+    return out.sort_values("start").reset_index(drop=True)
+
+
+QUERIES["orderkey_islands"] = q_orderkey_islands

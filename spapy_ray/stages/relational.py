@@ -1448,3 +1448,75 @@ def global_distinct_count(ds, col: str, *, buckets: int | None = None,
         buckets=buckets).to_pandas()
     return (int(parts["rows__"].sum()), int(parts["null__"].sum()),
             int(parts["nd"].sum()))
+
+
+def value_islands(ds, col: str, *, window: int = 4096):
+    """Gaps-and-islands over an integer key column: maximal runs of
+    consecutive DISTINCT values, the continuity audit behind
+    "which orderkey ranges exist" / missing-shard detection.
+
+    Distribution is a 1-D dissolve: values co-partition by
+    fixed-width windows (v // window — ONE shuffle), each window
+    resolves its interior islands vectorized and FINAL, and only the
+    <= 2 edge islands per window go to the driver, which stitches
+    cross-window chains (s == prev_end + 1) in one linear pass —
+    O(windows) driver rows; interior islands STAY a Dataset (on
+    sparse keys the island list is itself big). Returns
+    Dataset(start, end, n_values), n_values == end-start+1 by
+    construction."""
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"v": pa.array(v),
+                         "w": pa.array(v // window)})
+
+    def per_window(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.unique(g["v"].to_numpy())
+        w0 = int(g["w"].iloc[0])
+        brk = np.nonzero(np.diff(v) > 1)[0]
+        starts = np.r_[0, brk + 1]
+        ends = np.r_[brk, len(v) - 1]
+        s, e = v[starts], v[ends]
+        # an island can only continue across the window boundary if
+        # it touches it — everything else is final where it stands
+        edge = (s == w0 * window) | (e == w0 * window + window - 1)
+        return pd.DataFrame({"start": s, "end": e,
+                             "edge": edge.astype(np.int64)})
+
+    parts = ds.select_columns([col]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("w").map_groups(per_window, batch_format="pandas") \
+        .materialize()
+    interior = parts.filter(expr="edge == 0") \
+        .select_columns(["start", "end"])
+    edges = parts.filter(expr="edge == 1") \
+        .select_columns(["start", "end"]).to_pandas()
+    if len(edges):  # empty to_pandas drops columns (NOTES_r2)
+        edges = edges.sort_values("start").reset_index(drop=True)
+        s = edges["start"].to_numpy()
+        e = edges["end"].to_numpy()
+        gid = np.cumsum(np.r_[True, s[1:] != e[:-1] + 1]) - 1
+        st = pd.DataFrame({"start": s, "end": e, "g": gid}) \
+            .groupby("g").agg(start=("start", "min"),
+                              end=("end", "max")) \
+            .reset_index(drop=True)
+    else:
+        st = pd.DataFrame({"start": pd.Series([], dtype=np.int64),
+                           "end": pd.Series([], dtype=np.int64)})
+
+    import ray.data
+
+    def finish(t: pa.Table) -> pa.Table:
+        s2 = t.column("start").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        e2 = t.column("end").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"start": pa.array(s2), "end": pa.array(e2),
+                         "n_values": pa.array(e2 - s2 + 1)})
+
+    stitched = ray.data.from_pandas(
+        st.astype({"start": np.int64, "end": np.int64})) \
+        if len(st) else None
+    out = interior.union(stitched) if stitched is not None \
+        else interior
+    return out.map_batches(finish, batch_format="pyarrow")

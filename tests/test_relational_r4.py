@@ -593,3 +593,33 @@ def test_global_distinct_count_with_nulls(ray_session):
     df2 = pd.DataFrame({"c": pd.array([None] * 20, dtype="Int64")})
     n, nn, nd = global_distinct_count(rd.from_pandas(df2), "c")
     assert (n, nn, nd) == (20, 20, 0)
+
+
+def test_value_islands_vs_rownumber_trick(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import value_islands
+
+    rng = np.random.default_rng(37)
+    # values straddling several windows, with duplicates
+    v = np.unique(rng.integers(0, 3000, 900))
+    vals = np.concatenate([v, v[:50]])  # dupes
+    out = value_islands(
+        rd.from_pandas(pd.DataFrame({"x": vals})).repartition(6),
+        "x", window=256).to_pandas().sort_values("start") \
+        .reset_index(drop=True)
+
+    brk = np.nonzero(np.diff(v) > 1)[0]
+    starts = v[np.r_[0, brk + 1]]
+    ends = v[np.r_[brk, len(v) - 1]]
+    truth = pd.DataFrame({
+        "start": starts, "end": ends,
+        "n_values": (ends - starts + 1)}).astype(np.int64)
+    pd.testing.assert_frame_equal(out, truth)
+    # single contiguous run collapses to one island
+    one = value_islands(
+        rd.from_pandas(pd.DataFrame(
+            {"x": np.arange(500, 1500, dtype=np.int64)})),
+        "x", window=128).to_pandas()
+    assert len(one) == 1
+    assert one["start"].iloc[0] == 500 and one["end"].iloc[0] == 1499
