@@ -2706,3 +2706,30 @@ def q_orderkey_islands() -> str:
         "SELECT min(v)::BIGINT AS start, max(v)::BIGINT AS \"end\", "
         "count(*)::BIGINT AS n_values FROM g GROUP BY grp"
     )
+
+
+def q_user_twap() -> str:
+    """Twin of the TWAP fold: lead() under the same (ts, id) order,
+    trunc-quantized value, exact integer sums."""
+    return (
+        "WITH o AS (SELECT user_id, value, epoch_us(ts) AS us, "
+        "lead(epoch_us(ts)) OVER (PARTITION BY user_id "
+        "ORDER BY epoch_us(ts), event_id) AS nxt FROM events) "
+        "SELECT user_id, "
+        "sum(trunc(value * 100)::BIGINT * (nxt - us))::BIGINT "
+        "AS twap_num, sum(nxt - us)::BIGINT AS twap_den "
+        "FROM o WHERE nxt IS NOT NULL GROUP BY user_id"
+    )
+
+
+def q_event_gap_hist() -> str:
+    """Twin of the inter-arrival histogram (minute buckets capped
+    at 1440)."""
+    return (
+        "WITH o AS (SELECT epoch_us(ts) AS us, "
+        "lead(epoch_us(ts)) OVER (PARTITION BY user_id "
+        "ORDER BY epoch_us(ts), event_id) AS nxt FROM events) "
+        "SELECT least((nxt - us) // 60000000, 1440)::BIGINT "
+        "AS gap_min, count(*)::BIGINT AS n "
+        "FROM o WHERE nxt IS NOT NULL GROUP BY 1"
+    )

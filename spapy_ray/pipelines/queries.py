@@ -3644,3 +3644,72 @@ def q_orderkey_islands(sf_dir: str):
 
 
 QUERIES["orderkey_islands"] = q_orderkey_islands
+
+
+def q_user_twap(sf_dir: str):
+    """Time-weighted value per user: TWAP numerator
+    sum(trunc(value*100) * dt_us) and denominator sum(dt_us) in
+    exact int64 (trunc dodges rounding-tie divergence), over the
+    lead-attached event stream (sessions.with_next_ts)."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.sessions import with_next_ts
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    led = with_next_ts(ev)
+
+    def w(t: pa.Table) -> pa.Table:
+        nxt = t.column("next_us").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        keep = nxt >= 0
+        dt = (nxt - ts)[keep]
+        vq = np.trunc(t.column("value").to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(t.column("user_id")
+                                .to_numpy(zero_copy_only=False)[keep]),
+            "num": pa.array(vq * dt),
+            "den": pa.array(dt.astype(np.int64))})
+
+    out = led.map_batches(w, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Sum("num", alias_name="twap_num"),
+            Sum("den", alias_name="twap_den")).to_pandas()
+    out["twap_num"] = out["twap_num"].astype(np.int64)
+    out["twap_den"] = out["twap_den"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["user_twap"] = q_user_twap
+
+
+def q_event_gap_hist(sf_dir: str):
+    """Inter-arrival distribution: histogram of per-user event gaps
+    in minute buckets capped at one day (sessions.with_next_ts +
+    one combiner-folded count shuffle)."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.sessions import with_next_ts
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    led = with_next_ts(ev)
+
+    def h(t: pa.Table) -> pa.Table:
+        nxt = t.column("next_us").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        keep = nxt >= 0
+        gap_min = np.minimum((nxt - ts)[keep] // 60_000_000, 1440)
+        u, c = np.unique(gap_min, return_counts=True)
+        return pa.table({"gap_min": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    out = led.map_batches(h, batch_format="pyarrow") \
+        .groupby("gap_min").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("gap_min").reset_index(drop=True)
+
+
+QUERIES["event_gap_hist"] = q_event_gap_hist

@@ -675,3 +675,50 @@ def interval_attach(points, intervals, *, key: str = "user_id",
 
     return u.groupby("bkt__").map_groups(per_bucket,
                                          batch_format="pandas")
+
+
+def with_next_ts(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+                 id_col: str = "event_id",
+                 val_col: str | None = "value",
+                 buckets: int | None = None):
+    """Attach each event's successor timestamp within its user
+    sequence (lead(ts) over (user ORDER BY ts, id)) — the primitive
+    under time-weighted averages, inter-arrival histograms and dwell
+    times. ONE user shuffle; per-bucket one vectorized sort + shift
+    (never per user). Last event of a user gets next_us = -1.
+    Returns Dataset(user, ts_us, next_us[, value])."""
+    from spapy_ray.stages.relational import _bucket_column
+    from spapy_ray.util import cluster_cpus
+
+    nbuckets = buckets or max(64, cluster_cpus() * 4)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bkt__", _bucket_column(t, user_col, nbuckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {user_col: pd.Series([], dtype=np.int64),
+                "ts_us": pd.Series([], dtype=np.int64),
+                "next_us": pd.Series([], dtype=np.int64)}
+        if val_col:
+            cols[val_col] = pd.Series([], dtype=np.float64)
+        if not len(g):
+            return pd.DataFrame(cols)
+        col = g[ts_col]
+        if np.issubdtype(col.dtype, np.datetime64):
+            col = pd.to_datetime(col).astype("datetime64[us]")
+        g = g.assign(_us=col.astype("int64")) \
+            .sort_values([user_col, "_us", id_col], kind="stable")
+        u = g[user_col].to_numpy()
+        ts = g["_us"].to_numpy()
+        nxt = np.r_[ts[1:], -1]
+        nxt[np.r_[u[1:] != u[:-1], True]] = -1
+        out = {user_col: u, "ts_us": ts.astype(np.int64),
+               "next_us": nxt.astype(np.int64)}
+        if val_col:
+            out[val_col] = g[val_col].to_numpy(dtype=np.float64)
+        return pd.DataFrame(out)
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bkt__").map_groups(per_bucket,
+                                     batch_format="pandas")
