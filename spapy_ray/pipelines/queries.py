@@ -26,10 +26,18 @@ from spapy_ray.stages.relational import broadcast_join
 from spapy_ray.stages.text import token_stats
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, predicate=None):
+    """Column-pruned parquet read; ``predicate`` is a
+    pyarrow.dataset expression pushed into the fragment scanner
+    (row-group + page pruning — rows never leave storage), the
+    prune-at-the-read form of a leading filter()."""
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    kwargs = {}
+    if predicate is not None:
+        kwargs["filter"] = predicate
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet",
+                           columns=columns, **kwargs)
 
 
 def _geo(sf_dir: str):
@@ -3015,11 +3023,12 @@ def q_returned_customers(sf_dir: str, k: int = 20):
 
     from spapy_ray.stages.relational import hash_join, select_where
 
-    li = select_where(
-        _read(sf_dir, "lineitem",
-              columns=["l_orderkey", "l_extendedprice", "l_discount",
-                       "l_returnflag"]),
-        "l_returnflag", "==", "R")
+    import pyarrow.dataset as pds
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice",
+                        "l_discount"],
+               predicate=pds.field("l_returnflag") == "R")
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
     def rev(t: pa.Table) -> pa.Table:
@@ -3165,12 +3174,12 @@ def q_part_flag_balance(sf_dir: str):
     localize step of replica reconciliation)."""
     from spapy_ray.stages.relational import multiset_except
 
-    li = _read(sf_dir, "lineitem",
-               columns=["l_partkey", "l_returnflag"])
-    a = li.filter(expr="l_returnflag == 'R'") \
-        .select_columns(["l_partkey"])
-    b = li.filter(expr="l_returnflag == 'A'") \
-        .select_columns(["l_partkey"])
+    import pyarrow.dataset as pds
+
+    a = _read(sf_dir, "lineitem", columns=["l_partkey"],
+              predicate=pds.field("l_returnflag") == "R")
+    b = _read(sf_dir, "lineitem", columns=["l_partkey"],
+              predicate=pds.field("l_returnflag") == "A")
     return multiset_except(a, b, "l_partkey")
 
 
@@ -3264,11 +3273,12 @@ def q_view_purchase_overlap(sf_dir: str):
     (relational.multiset_intersect)."""
     from spapy_ray.stages.relational import multiset_intersect
 
-    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
-    a = ev.filter(expr="event_type == 'view'") \
-        .select_columns(["user_id"])
-    b = ev.filter(expr="event_type == 'purchase'") \
-        .select_columns(["user_id"])
+    import pyarrow.dataset as pds
+
+    a = _read(sf_dir, "events", columns=["user_id"],
+              predicate=pds.field("event_type") == "view")
+    b = _read(sf_dir, "events", columns=["user_id"],
+              predicate=pds.field("event_type") == "purchase")
     return multiset_intersect(a, b, "user_id")
 
 
@@ -3635,10 +3645,10 @@ def q_orderkey_islands(sf_dir: str):
     islands stitch on the driver)."""
     from spapy_ray.stages.relational import value_islands
 
-    li = _read(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_returnflag"]) \
-        .filter(expr="l_returnflag == 'R'") \
-        .select_columns(["l_orderkey"])
+    import pyarrow.dataset as pds
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"],
+               predicate=pds.field("l_returnflag") == "R")
     out = value_islands(li, "l_orderkey").to_pandas()
     return out.sort_values("start").reset_index(drop=True)
 
