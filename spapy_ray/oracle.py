@@ -2733,3 +2733,25 @@ def q_event_gap_hist() -> str:
         "AS gap_min, count(*)::BIGINT AS n "
         "FROM o WHERE nxt IS NOT NULL GROUP BY 1"
     )
+
+
+def q_copurchase_pairs(k: int = 20, min_count: int = 3,
+                       q: int = 1_000_000) -> str:
+    """Twin of the market-basket lift: identical chained floor,
+    (lift desc, pa, pb) order."""
+    return (
+        "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey "
+        "FROM lineitem), "
+        "pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb "
+        "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey), "
+        "s AS (SELECT pa, pb, count(*)::BIGINT AS c_ab FROM pr "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_count}), "
+        "u AS (SELECT l_partkey, count(*)::BIGINT AS c FROM op "
+        "GROUP BY 1) "
+        "SELECT pa, pb, c_ab, u1.c AS c_a, u2.c AS c_b, "
+        f"c_ab * {q} // u1.c * {q} // u2.c AS lift_q "
+        "FROM s JOIN u u1 ON u1.l_partkey = pa "
+        "JOIN u u2 ON u2.l_partkey = pb "
+        f"ORDER BY lift_q DESC, pa, pb LIMIT {k}"
+    )

@@ -3723,3 +3723,73 @@ def q_event_gap_hist(sf_dir: str):
 
 
 QUERIES["event_gap_hist"] = q_event_gap_hist
+
+
+def q_copurchase_pairs(sf_dir: str, k: int = 20, min_count: int = 3):
+    """Market-basket mining: top-20 co-purchased part pairs by
+    quantized lift ((c_ab*q)//c_a*q)//c_b — the overflow-free chained
+    floor of bigram_pmi applied to baskets. Pair generation is
+    within_group_pairs over the order (size-class-batched triu);
+    supports fold in one bucketed shuffle; per-part counts broadcast
+    once."""
+    import ray
+
+    from spapy_ray.stages.relational import (bucketed_group_agg,
+                                             within_group_pairs)
+
+    Q = 1_000_000
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey"])
+    pairs = within_group_pairs(li, "l_orderkey", "l_partkey",
+                               out_a="pa", out_b="pb")
+
+    def pack(t: pa.Table) -> pa.Table:
+        a = t.column("pa").to_numpy(zero_copy_only=False)
+        b = t.column("pb").to_numpy(zero_copy_only=False)
+        return pa.table({"pk": pa.array(a * (np.int64(1) << 32) + b)})
+
+    def cnt(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pk", sort=False).size().reset_index(name="c_ab")
+        s = s[s["c_ab"] >= min_count]
+        s["c_ab"] = s["c_ab"].astype(np.int64)
+        return s
+
+    sup = bucketed_group_agg(
+        pairs.map_batches(pack, batch_format="pyarrow"), "pk", cnt)
+
+    # per-part distinct-order counts (the part-count vector is the
+    # SMALL side): exact (order, part) dedup inside the order-keyed
+    # bucket pass, then a tiny driver fold
+    def od_fold(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates()
+        s = df.groupby("l_partkey", sort=False).size() \
+            .reset_index(name="c")
+        s["c"] = s["c"].astype(np.int64)
+        return s
+
+    pc_counts = bucketed_group_agg(li, "l_orderkey", od_fold) \
+        .to_pandas().groupby("l_partkey")["c"].sum()
+    cmap = ray.put(dict(pc_counts))
+
+    def score(t: pa.Table, _ref=cmap) -> pa.Table:
+        m = ray.get(_ref)
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        a = (pk >> np.int64(32)).astype(np.int64)
+        b = (pk & np.int64((1 << 32) - 1)).astype(np.int64)
+        cab = t.column("c_ab").to_numpy(zero_copy_only=False)
+        ca = pd.Series(a).map(m).to_numpy(dtype=np.int64)
+        cb = pd.Series(b).map(m).to_numpy(dtype=np.int64)
+        lift = (cab.astype(object) * Q // ca * Q // cb) \
+            .astype(np.int64)
+        return pa.table({"pa": pa.array(a), "pb": pa.array(b),
+                         "c_ab": pa.array(cab.astype(np.int64)),
+                         "c_a": pa.array(ca), "c_b": pa.array(cb),
+                         "lift_q": pa.array(lift)})
+
+    out = sup.map_batches(score, batch_format="pyarrow") \
+        .sort(["lift_q", "pa", "pb"],
+              descending=[True, False, False]).limit(k).to_pandas()
+    return out
+
+
+QUERIES["copurchase_pairs"] = q_copurchase_pairs
