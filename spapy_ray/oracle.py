@@ -2755,3 +2755,18 @@ def q_copurchase_pairs(k: int = 20, min_count: int = 3,
         "JOIN u u2 ON u2.l_partkey = pb "
         f"ORDER BY lift_q DESC, pa, pb LIMIT {k}"
     )
+
+
+def q_weighted_price_quartiles() -> str:
+    """Twin of the weighted radix selection: smallest value whose
+    cumulative weight (value-ascending) exceeds (i*(W-1))//4."""
+    return (
+        "WITH t AS (SELECT l_extendedprice AS v, "
+        "l_quantity::BIGINT AS w FROM lineitem), "
+        "tw AS (SELECT sum(w)::BIGINT AS tw FROM t), "
+        "c AS (SELECT v, sum(w) OVER (ORDER BY v "
+        "ROWS UNBOUNDED PRECEDING)::BIGINT AS cw FROM t) "
+        "SELECT i::BIGINT AS q_idx, min(v) AS value "
+        "FROM c, tw, range(0, 5) r(i) "
+        "WHERE c.cw > (i * (tw.tw - 1)) // 4 GROUP BY i"
+    )

@@ -3793,3 +3793,34 @@ def q_copurchase_pairs(sf_dir: str, k: int = 20, min_count: int = 3):
 
 
 QUERIES["copurchase_pairs"] = q_copurchase_pairs
+
+
+def q_weighted_price_quartiles(sf_dir: str):
+    """Quantity-weighted price quartiles: exact weighted order
+    statistics via the radix selector with weight-sum histograms
+    (quantiles.exact_global_ranks weight_col path) — no sort, no
+    row exchange."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.quantiles import exact_global_ranks
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_quantity"])
+
+    def wq(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": t.column("l_extendedprice"),
+            "w": pc.cast(t.column("l_quantity"), pa.int64())})
+
+    ds = li.map_batches(wq, batch_format="pyarrow")
+    W = ds.aggregate(Sum("w", alias_name="tw"))["tw"]
+    ranks = {i: (i * (W - 1)) // 4 for i in range(5)}
+    sel = exact_global_ranks(ds, "v", list(ranks.values()),
+                             weight_col="w")
+    lookup = dict(zip(sel["rank"], sel["value"]))
+    return pd.DataFrame({
+        "q_idx": np.arange(5, dtype=np.int64),
+        "value": np.array([lookup[ranks[i]] for i in range(5)])})
+
+
+QUERIES["weighted_price_quartiles"] = q_weighted_price_quartiles

@@ -327,6 +327,7 @@ def _f64_sortable_u64(v: np.ndarray) -> np.ndarray:
 
 
 def exact_global_ranks(ds, col: str, ranks: list[int], *,
+                       weight_col: str | None = None,
                        digit_bits: int = 16):
     """EXACT order statistics at arbitrary 0-based global ranks
     WITHOUT a global sort: distributed radix selection. Four rounds
@@ -343,6 +344,12 @@ def exact_global_ranks(ds, col: str, ranks: list[int], *,
     bijection) — int64 columns pass through exactly (2^53 caveat:
     ints beyond float64 precision need a dedicated int path).
     Returns pandas (rank, value) sorted by rank.
+
+    With ``weight_col`` (non-negative int64 weights), histograms fold
+    WEIGHT SUMS instead of counts and a rank r picks the smallest
+    value whose cumulative weight (value-ascending) EXCEEDS r —
+    weighted order statistics (weighted median at r = (W-1)//2, W =
+    total weight), same passes, same exchange shape.
     """
     targets = sorted(set(int(r) for r in ranks))
     if not targets:
@@ -366,6 +373,9 @@ def exact_global_ranks(ds, col: str, ranks: list[int], *,
             u = _f64_sortable_u64(
                 t.column(col).to_numpy(zero_copy_only=False)
                 .astype(np.float64))
+            wts = (t.column(weight_col)
+                   .to_numpy(zero_copy_only=False).astype(np.int64)
+                   if weight_col else None)
             out = np.zeros((len(_uniq), 1 << digit_bits),
                            dtype=np.int64)
             hp = u & _pmask
@@ -374,8 +384,10 @@ def exact_global_ranks(ds, col: str, ranks: list[int], *,
             for i, p in enumerate(_uniq):
                 m = hp == p
                 if m.any():
-                    out[i] = np.bincount(dig[m],
-                                         minlength=1 << digit_bits)
+                    out[i] = np.bincount(
+                        dig[m], minlength=1 << digit_bits,
+                        weights=wts[m] if wts is not None else None
+                    ).astype(np.int64)
             return pa.table({
                 "pi": pa.array(np.repeat(
                     np.arange(len(_uniq), dtype=np.int64),
@@ -385,7 +397,8 @@ def exact_global_ranks(ds, col: str, ranks: list[int], *,
                     len(_uniq))),
                 "c": pa.array(out.ravel())})
 
-        folded = ds.select_columns([col]) \
+        read_cols = [col] + ([weight_col] if weight_col else [])
+        folded = ds.select_columns(read_cols) \
             .map_batches(hist, batch_format="pyarrow").to_pandas()
         h = np.zeros((len(uniq), 1 << digit_bits), dtype=np.int64)
         np.add.at(h, (folded["pi"].to_numpy(),

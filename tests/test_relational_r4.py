@@ -623,3 +623,24 @@ def test_value_islands_vs_rownumber_trick(ray_session):
         "x", window=128).to_pandas()
     assert len(one) == 1
     assert one["start"].iloc[0] == 500 and one["end"].iloc[0] == 1499
+
+
+def test_exact_global_ranks_weighted(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.quantiles import exact_global_ranks
+
+    rng = np.random.default_rng(41)
+    v = rng.normal(size=2000)
+    w = rng.integers(1, 8, 2000).astype(np.int64)
+    W = int(w.sum())
+    ranks = [0, (W - 1) // 3, (W - 1) // 2, W - 1]
+    out = exact_global_ranks(
+        rd.from_pandas(pd.DataFrame({"x": v, "w": w})).repartition(5),
+        "x", ranks, weight_col="w")
+    order = np.argsort(v, kind="stable")
+    cv, cw = v[order], np.cumsum(w[order])
+    got = out.set_index("rank")["value"]
+    for r in set(ranks):
+        idx = np.searchsorted(cw, r, side="right")
+        assert got[r] == cv[idx]
