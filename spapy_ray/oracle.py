@@ -2770,3 +2770,26 @@ def q_weighted_price_quartiles() -> str:
         "FROM c, tw, range(0, 5) r(i) "
         "WHERE c.cw > (i * (tw.tw - 1)) // 4 GROUP BY i"
     )
+
+
+def q_snapshot_diff() -> str:
+    """Twin of the CDC diff: rebuild snapshot B with the same
+    deterministic edits, FULL OUTER JOIN, CASE status. Fingerprints
+    compare equal iff texts compare equal, so the twin compares
+    texts directly."""
+    return (
+        "WITH a AS (SELECT doc_id, text FROM documents), "
+        "b AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+        "THEN text || 'X' ELSE text END AS text FROM documents "
+        "WHERE doc_id % 13 <> 0 "
+        "UNION ALL SELECT doc_id + 1000000000, text FROM documents "
+        "WHERE doc_id % 11 = 0), "
+        "j AS (SELECT coalesce(a.doc_id, b.doc_id) AS k, "
+        "CASE WHEN a.doc_id IS NULL THEN 'added' "
+        "WHEN b.doc_id IS NULL THEN 'removed' "
+        "WHEN a.text = b.text THEN 'same' ELSE 'changed' END "
+        "AS status FROM a FULL OUTER JOIN b "
+        "ON a.doc_id = b.doc_id) "
+        "SELECT status, count(*)::BIGINT AS n_keys FROM j "
+        "GROUP BY status"
+    )

@@ -3824,3 +3824,53 @@ def q_weighted_price_quartiles(sf_dir: str):
 
 
 QUERIES["weighted_price_quartiles"] = q_weighted_price_quartiles
+
+
+def q_snapshot_diff(sf_dir: str):
+    """CDC change detection between two document snapshots
+    (relational.snapshot_diff). Snapshot B is derived
+    deterministically: doc_id % 13 == 0 rows removed,
+    doc_id % 7 == 0 texts edited, doc_id % 11 == 0 rows re-added
+    under key + 10^9; the SQL twin rebuilds the same B. Output:
+    per-status key counts."""
+    from ray.data.aggregate import Count
+
+    from spapy_ray.kernels.hashing import fnv1a64
+    from spapy_ray.stages.relational import snapshot_diff
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fpa(t: pa.Table) -> pa.Table:
+        h = fnv1a64(t.column("text")).view(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fp": pa.array(h)})
+
+    def fpb(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = t.column("text")
+        edited = pc.binary_join_element_wise(
+            txt, pa.scalar("X"), "")
+        use_edit = pa.array(did % 7 == 0)
+        newtxt = pc.if_else(use_edit, edited, txt)
+        keep = did % 13 != 0
+        base = pa.table({"doc_id": t.column("doc_id"),
+                         "text": newtxt}).filter(pa.array(keep))
+        extra_m = did % 11 == 0
+        extra = pa.table({
+            "doc_id": pa.array(did[extra_m] + 1_000_000_000),
+            "text": txt.filter(pa.array(extra_m))})
+        out = pa.concat_tables([base, extra])
+        h = fnv1a64(out.column("text")).view(np.int64)
+        return pa.table({"doc_id": out.column("doc_id"),
+                         "fp": pa.array(h)})
+
+    a = docs.map_batches(fpa, batch_format="pyarrow")
+    b = docs.map_batches(fpb, batch_format="pyarrow")
+    out = snapshot_diff(a, b, "doc_id", "fp") \
+        .groupby("status").aggregate(Count(alias_name="n_keys")) \
+        .to_pandas()
+    out["n_keys"] = out["n_keys"].astype(np.int64)
+    return out.sort_values("status").reset_index(drop=True)
+
+
+QUERIES["snapshot_diff"] = q_snapshot_diff

@@ -1520,3 +1520,53 @@ def value_islands(ds, col: str, *, window: int = 4096):
     out = interior.union(stitched) if stitched is not None \
         else interior
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def snapshot_diff(a, b, key: str, fp: str, *,
+                  buckets: int | None = None):
+    """Change detection between two snapshot Datasets keyed by a
+    unique ``key`` with a payload fingerprint ``fp`` (int64): per key
+    emit status 'added' (b only) / 'removed' (a only) / 'changed'
+    (fingerprints differ) / 'same'. Side-tagged union + ONE bucketed
+    shuffle; a bucket resolves its keys with one vectorized sort +
+    pairing pass. Pairs with xor_fingerprint: the checksum says a
+    replica diverged, snapshot_diff says which keys and how.
+    Returns Dataset(key, status)."""
+    def tag(side):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                key: t.column(key),
+                fp: pc.cast(t.column(fp), pa.int64()),
+                "side__": pa.array(
+                    np.full(t.num_rows, side, dtype=np.int8))})
+        return _f
+
+    u = a.map_batches(tag(0), batch_format="pyarrow").union(
+        b.map_batches(tag(1), batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy()
+        s = g["side__"].to_numpy()
+        f = g[fp].to_numpy()
+        order = np.lexsort((s, k))
+        k, s, f = k[order], s[order], f[order]
+        n = len(k)
+        first = np.r_[True, k[1:] != k[:-1]]
+        starts = np.nonzero(first)[0]
+        ends = np.r_[starts[1:], n]
+        span = ends - starts
+        if (span > 2).any():
+            raise ValueError("snapshot keys must be unique per side")
+        both = span == 2
+        status = np.empty(len(starts), dtype=object)
+        # singleton: side 0 -> removed, side 1 -> added
+        solo = ~both
+        status[solo] = np.where(s[starts[solo]] == 0,
+                                "removed", "added")
+        if both.any():
+            i0 = starts[both]
+            status[both] = np.where(f[i0] == f[i0 + 1],
+                                    "same", "changed")
+        return pd.DataFrame({key: k[starts], "status": status})
+
+    return bucketed_group_agg(u, key, fold, buckets=buckets)

@@ -644,3 +644,21 @@ def test_exact_global_ranks_weighted(ray_session):
     for r in set(ranks):
         idx = np.searchsorted(cw, r, side="right")
         assert got[r] == cv[idx]
+
+
+def test_snapshot_diff_statuses(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import snapshot_diff
+
+    a = pd.DataFrame({"k": np.array([1, 2, 3, 4], dtype=np.int64),
+                      "fp": np.array([10, 20, 30, 40],
+                                     dtype=np.int64)})
+    b = pd.DataFrame({"k": np.array([2, 3, 4, 5], dtype=np.int64),
+                      "fp": np.array([20, 31, 40, 50],
+                                     dtype=np.int64)})
+    out = snapshot_diff(rd.from_pandas(a), rd.from_pandas(b),
+                        "k", "fp").to_pandas() \
+        .set_index("k")["status"].to_dict()
+    assert out == {1: "removed", 2: "same", 3: "changed",
+                   4: "same", 5: "added"}
