@@ -2793,3 +2793,18 @@ def q_snapshot_diff() -> str:
         "SELECT status, count(*)::BIGINT AS n_keys FROM j "
         "GROUP BY status"
     )
+
+
+def q_top_paths(k: int = 10, k_steps: int = 8) -> str:
+    """Twin of the journey top-k: string_agg of the first k_steps
+    types under the same (ts, id) order, (n desc, path asc) ties."""
+    return (
+        "WITH r AS (SELECT user_id, event_type, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) "
+        "AS rn FROM events), "
+        "p AS (SELECT user_id, string_agg(event_type, '>' "
+        "ORDER BY rn) AS path FROM r "
+        f"WHERE rn <= {k_steps} GROUP BY user_id) "
+        "SELECT path, count(*)::BIGINT AS n_users FROM p "
+        f"GROUP BY path ORDER BY n_users DESC, path LIMIT {k}"
+    )

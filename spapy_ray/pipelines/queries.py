@@ -3874,3 +3874,34 @@ def q_snapshot_diff(sf_dir: str):
 
 
 QUERIES["snapshot_diff"] = q_snapshot_diff
+
+
+def q_top_paths(sf_dir: str, k: int = 10):
+    """Top user journeys: each user's first-8 event-type signature
+    (sessions.user_paths — cumcount prefix matrix, vectorized
+    np.char joins), then a combiner-folded path count and a
+    deterministic top-10."""
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    from spapy_ray.stages.sessions import user_paths
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    paths = user_paths(ev)
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({"path": t.column("path"),
+                         "one": pa.array(
+                             np.ones(t.num_rows, dtype=np.int64))})
+
+    counts = pre_aggregated_sums(
+        paths.map_batches(one, batch_format="pyarrow"),
+        ["path"], ["one"], count_alias="n_users").to_pandas()
+    counts = counts.sort_values(["n_users", "path"],
+                                ascending=[False, True],
+                                kind="mergesort").head(k)
+    counts["n_users"] = counts["n_users"].astype(np.int64)
+    return counts[["path", "n_users"]].reset_index(drop=True)
+
+
+QUERIES["top_paths"] = q_top_paths

@@ -722,3 +722,61 @@ def with_next_ts(ds, *, user_col: str = "user_id", ts_col: str = "ts",
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("bkt__").map_groups(per_bucket,
                                      batch_format="pandas")
+
+
+def user_paths(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+               type_col: str = "event_type", id_col: str = "event_id",
+               k_steps: int = 8, sep: str = ">",
+               buckets: int | None = None):
+    """Path / journey extraction: each user's first ``k_steps`` event
+    types in (ts, id) order joined into one signature string. ONE
+    user shuffle; inside a bucket the prefix matrix is built with a
+    cumcount mask and the join is ``k_steps`` vectorized np.char.add
+    passes — no per-user Python join. Returns
+    Dataset(user, path, n_steps)."""
+    from spapy_ray.stages.relational import _bucket_column
+    from spapy_ray.util import cluster_cpus
+
+    nbuckets = buckets or max(64, cluster_cpus() * 4)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bkt__", _bucket_column(t, user_col, nbuckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                user_col: pd.Series([], dtype=np.int64),
+                "path": pd.Series([], dtype=object),
+                "n_steps": pd.Series([], dtype=np.int64)})
+        col = g[ts_col]
+        if np.issubdtype(col.dtype, np.datetime64):
+            col = pd.to_datetime(col).astype("datetime64[us]")
+        g = g.assign(_us=col.astype("int64")) \
+            .sort_values([user_col, "_us", id_col], kind="stable")
+        step = g.groupby(user_col, sort=False).cumcount().to_numpy()
+        m = step < k_steps
+        u = g[user_col].to_numpy()[m]
+        et = g[type_col].to_numpy()[m].astype(str)
+        st = step[m]
+        uu, inv = np.unique(u, return_inverse=True)
+        width = int(et.dtype.itemsize // 4) if et.dtype.kind == "U" \
+            else 16
+        mat = np.full((len(uu), k_steps), "",
+                      dtype=f"<U{max(width, 1)}")
+        mat[inv, st] = et
+        path = mat[:, 0]
+        for j in range(1, k_steps):
+            has = mat[:, j] != ""
+            path = np.where(has,
+                            np.char.add(np.char.add(path, sep),
+                                        mat[:, j]),
+                            path)
+        n_steps = (mat != "").sum(axis=1).astype(np.int64)
+        return pd.DataFrame({user_col: uu,
+                             "path": path.astype(object),
+                             "n_steps": n_steps})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bkt__").map_groups(per_bucket,
+                                     batch_format="pandas")
