@@ -2808,3 +2808,31 @@ def q_top_paths(k: int = 10, k_steps: int = 8) -> str:
         "SELECT path, count(*)::BIGINT AS n_users FROM p "
         f"GROUP BY path ORDER BY n_users DESC, path LIMIT {k}"
     )
+
+
+def q_revenue_total_128() -> str:
+    """Twin of the 128-bit limb total (HUGEINT)."""
+    return (
+        "WITH t AS (SELECT sum(round(l_extendedprice * 100)"
+        "::BIGINT)::HUGEINT AS s, count(*)::BIGINT AS n "
+        "FROM lineitem) "
+        "SELECT (s // 4611686018427387904)::BIGINT AS hi, "
+        "(s % 4611686018427387904)::BIGINT AS lo, n FROM t"
+    )
+
+
+def q_events_trimmed_mean() -> str:
+    """Twin of the interquartile trimmed sum: trunc-quantized
+    values, rank-range FILTER, exact integer sums."""
+    return (
+        "WITH r AS (SELECT event_type, "
+        "trunc(value * 100)::BIGINT AS vq, "
+        "row_number() OVER (PARTITION BY event_type "
+        "ORDER BY trunc(value * 100)::BIGINT) - 1 AS rn, "
+        "count(*) OVER (PARTITION BY event_type) AS n FROM events) "
+        "SELECT event_type, max(n)::BIGINT AS n, "
+        "sum(vq) FILTER (rn >= (n-1)//4 AND rn <= n-1-(n-1)//4)"
+        "::BIGINT AS trimmed_sum_q, "
+        "count(*) FILTER (rn >= (n-1)//4 AND rn <= n-1-(n-1)//4)"
+        "::BIGINT AS n_kept FROM r GROUP BY event_type"
+    )

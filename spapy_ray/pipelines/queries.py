@@ -3905,3 +3905,61 @@ def q_top_paths(sf_dir: str, k: int = 10):
 
 
 QUERIES["top_paths"] = q_top_paths
+
+
+def q_revenue_total_128(sf_dir: str):
+    """Whole-table revenue in cents as a 128-bit (hi, lo) limb pair:
+    per-block int64 partials fold in arbitrary-precision Python on
+    the driver, so the total is exact even where a 100-TB sum
+    overflows int64 (the overflow-safety policy made visible).
+    lo = total % 2^62, hi = total // 2^62 (both sides)."""
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column("l_extendedprice")
+                    .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"s": pa.array([int(c.sum())]),
+                         "n": pa.array([np.int64(t.num_rows)])})
+
+    parts = li.map_batches(cents, batch_format="pyarrow").to_pandas()
+    total = sum(int(x) for x in parts["s"])
+    n = int(parts["n"].sum())
+    return pd.DataFrame({
+        "hi": np.array([total >> 62], dtype=np.int64),
+        "lo": np.array([total % (1 << 62)], dtype=np.int64),
+        "n": np.array([n], dtype=np.int64)})
+
+
+QUERIES["revenue_total_128"] = q_revenue_total_128
+
+
+def q_events_trimmed_mean(sf_dir: str):
+    """Robust per-type center: interquartile (trimmed) integer sum —
+    values trunc-quantized x100, ranks [(n-1)//4, n-1-(n-1)//4]
+    inclusive kept, summed ascending as exact int64. The
+    rank-range FILTER twin matches bit for bit."""
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, gg in g.groupby("event_type", sort=False):
+            v = np.sort(np.trunc(
+                gg["value"].to_numpy(dtype=np.float64) * 100.0)
+                .astype(np.int64))
+            n = len(v)
+            a = (n - 1) // 4
+            b = n - 1 - a
+            rows.append((k, n, int(v[a:b + 1].sum()),
+                         b - a + 1))
+        return pd.DataFrame(rows, columns=[
+            "event_type", "n", "trimmed_sum_q", "n_kept"]) \
+            .astype({"n": np.int64, "trimmed_sum_q": np.int64,
+                     "n_kept": np.int64})
+
+    return bucketed_group_agg(ev, "event_type", local)
+
+
+QUERIES["events_trimmed_mean"] = q_events_trimmed_mean
