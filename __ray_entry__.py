@@ -47,7 +47,8 @@ _FRONT = [
     "embed_quantize", "view_purchase_overlap", "user_last_event",
     "priority_flag_chi2", "part_skyline", "price_deciles", "price_qty_grid",
     "events_ohlc", "rolling_users", "purchase_attribution",
-    "nation_revenue_share", "source_mode_lang", "jsonl_roundtrip", "embed_dim_stats", "lineitem_profile", "orderkey_islands", "user_twap", "event_gap_hist", "copurchase_pairs", "weighted_price_quartiles", "snapshot_diff", "top_paths", "revenue_total_128", "events_trimmed_mean",
+    "nation_revenue_share", "source_mode_lang", "jsonl_roundtrip", "embed_dim_stats", "lineitem_profile", "orderkey_islands", "user_twap", "event_gap_hist", "copurchase_pairs", "weighted_price_quartiles", "snapshot_diff", "top_paths", "revenue_total_128", "events_trimmed_mean", "csv_roundtrip",
+    "hive_partition_roundtrip",
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
     "terrain_stats", "resample_nearest", "resample_match_diff",
@@ -264,4 +265,6 @@ def oracle_sql() -> dict[str, str]:
         "top_paths": o.q_top_paths(),
         "revenue_total_128": o.q_revenue_total_128(),
         "events_trimmed_mean": o.q_events_trimmed_mean(),
+        "csv_roundtrip": o.q_table_checksum(),
+        "hive_partition_roundtrip": o.q_hive_partition_roundtrip(),
     }

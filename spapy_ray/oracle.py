@@ -2836,3 +2836,18 @@ def q_events_trimmed_mean() -> str:
         "count(*) FILTER (rn >= (n-1)//4 AND rn <= n-1-(n-1)//4)"
         "::BIGINT AS n_kept FROM r GROUP BY event_type"
     )
+
+
+def q_hive_partition_roundtrip() -> str:
+    """Twin of the pruned hive-layout read: per-lang counts + XOR of
+    per-row text fnv for the two pruned languages."""
+    fnv = sql_fnv1a("text")
+    i64 = ("(CASE WHEN h >= 9223372036854775808::UBIGINT "
+           "THEN (h::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT "
+           "ELSE h::BIGINT END)")
+    return (
+        f"WITH t AS (SELECT lang, ({fnv}) AS h FROM documents "
+        "WHERE lang IN ('en', 'de')) "
+        f"SELECT lang, count(*)::BIGINT AS n, bit_xor({i64}) AS fp "
+        "FROM t GROUP BY lang"
+    )

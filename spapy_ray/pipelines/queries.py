@@ -3963,3 +3963,102 @@ def q_events_trimmed_mean(sf_dir: str):
 
 
 QUERIES["events_trimmed_mean"] = q_events_trimmed_mean
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV ingest/export path: documents -> partitioned CSV under
+    /tmp (quoted text survives embedded delimiters) -> read_csv ->
+    XOR fingerprint; hash-equality with the parquet-side twin proves
+    the transport lossless."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from spapy_ray.stages.relational import xor_fingerprint
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tmp = tempfile.mkdtemp(prefix="spapy_csv_")
+    try:
+        docs.write_csv(tmp)
+        back = ray.data.read_csv(tmp)
+
+        def rowstr(t: pa.Table) -> pa.Table:
+            s = pc.binary_join_element_wise(
+                pc.cast(t.column("doc_id"), pa.string()),
+                t.column("text"), ":")
+            return pa.table({"row": s})
+
+        return xor_fingerprint(
+            back.map_batches(rowstr, batch_format="pyarrow"),
+            "row").to_pandas().sort_values("bucket") \
+            .reset_index(drop=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["csv_roundtrip"] = q_csv_roundtrip
+
+
+def q_hive_partition_roundtrip(sf_dir: str):
+    """Hive-partitioned output layout: documents written
+    partition_cols=['lang'] (one directory per language — the
+    resumable / prunable layout), read back with a partition-pruned
+    read of two languages, per-lang counts + text-hash XOR so the
+    pruned read is value-checked."""
+    import shutil
+    import tempfile
+
+    import ray.data
+    from ray.data.datasource.partitioning import (Partitioning,
+                                                  PathPartitionFilter)
+
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang"])
+    tmp = tempfile.mkdtemp(prefix="spapy_hive_")
+    try:
+        docs.write_parquet(tmp, partition_cols=["lang"])
+        pf = PathPartitionFilter.of(
+            lambda kv: kv.get("lang") in ("en", "de"),
+            style="hive", base_dir=tmp)
+        back = ray.data.read_parquet(
+            tmp, partitioning=Partitioning("hive", base_dir=tmp),
+            partition_filter=pf)
+
+        def fold(t: pa.Table) -> pa.Table:
+            h = fnv1a64(t.column("text")).view(np.int64)
+            df = pd.DataFrame({
+                "lang": t.column("lang").to_pandas(),
+                "h": h})
+            g = df.groupby("lang", sort=False)["h"].agg(
+                n="size",
+                fp=lambda x: np.bitwise_xor.reduce(
+                    x.to_numpy().view(np.uint64)).view(np.int64)
+                if len(x) else np.int64(0)).reset_index()
+            g["n"] = g["n"].astype(np.int64)
+            g["fp"] = g["fp"].astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def final(g: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for k, gg in g.groupby("lang", sort=False):
+                x = np.bitwise_xor.reduce(
+                    gg["fp"].to_numpy().view(np.uint64))
+                out.append((k, int(gg["n"].sum()),
+                            int(np.int64(x.astype(np.int64)))))
+            return pd.DataFrame(out, columns=["lang", "n", "fp"]) \
+                .astype({"n": np.int64, "fp": np.int64})
+
+        from spapy_ray.stages.relational import bucketed_group_agg
+
+        out = bucketed_group_agg(
+            back.map_batches(fold, batch_format="pyarrow"), "lang",
+            final).to_pandas()
+        return out.sort_values("lang").reset_index(drop=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["hive_partition_roundtrip"] = q_hive_partition_roundtrip
