@@ -31,8 +31,10 @@ def entry() -> Any:
 # changed code paths first, then rows absent from
 # CORRECTNESS_r03.json (last driver-verified in r1/r2).
 _FRONT = [
-    # new this round (never driver-verified) + changed paths —
-    # must be driver-verified first
+    # --- driver window (first 50): never-driver-verified round-4
+    # operators, oldest first, PLUS the six VERDICT-r3-named raster
+    # changed-path queries (items 1-2 "done" criteria: hash-green
+    # through the super-block/stream paths needs a driver record)
     "ngram_overlap", "tfidf_terms", "graph_pagerank", "watershed",
     "flow_accumulation", "dissolve_area", "events_funnel",
     "events_retention", "join_counts", "docs_surprisal",
@@ -44,27 +46,38 @@ _FRONT = [
     "nation_year_rollup", "table_checksum",
     "nation_year_cube", "events_pivot", "part_flag_balance",
     "lineitem_corr", "events_iqr", "fuzzy_names", "cust_triangles",
-    "embed_quantize", "view_purchase_overlap", "user_last_event",
-    "priority_flag_chi2", "part_skyline", "price_deciles", "price_qty_grid",
-    "events_ohlc", "rolling_users", "purchase_attribution",
-    "nation_revenue_share", "source_mode_lang", "jsonl_roundtrip", "embed_dim_stats", "lineitem_profile", "orderkey_islands", "user_twap", "event_gap_hist", "copurchase_pairs", "weighted_price_quartiles", "snapshot_diff", "top_paths", "revenue_total_128", "events_trimmed_mean", "csv_roundtrip",
-    "hive_partition_roundtrip",
-    "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
-    "voronoi_sites", "kde_heatmap", "flow_direction", "focal_majority",
+    "embed_quantize", "view_purchase_overlap",
+    "priority_flag_chi2", "part_skyline", "price_deciles",
+    "purchase_attribution", "orderkey_islands", "user_twap",
+    # (user_last_event deferred: grouped_topk k=1, machinery
+    # r3-verified via zone_top_pages/domain_caps)
+    "copurchase_pairs", "snapshot_diff", "top_paths",
     "terrain_stats", "resample_nearest", "resample_match_diff",
-    "rasterize_points", "contour_lines", "dbscan_clusters",
-    "idw_raster", "proximity_grid",
-    # stale since r1/r2 (absent from CORRECTNESS_r03.json). Displaced
-    # into the round-5 rotation (all green in this session's local
-    # sweeps — full 117-query sf0.001 + front-50 sf0.01): events_props,
-    # hull_areas, relate_flags, simplify_areas, warp_equirect,
-    # docs_rolling_fp, media_probe, events_campaigns,
-    # raster_diff_stats, split_zones, events_hourly, reclassify_hist,
-    # raster_crop_minmax, minhash_sigs, simhash_docs, embed_top_pairs,
-    # near_dup_docs, events_sessions, docs_lang_guess, zone_centroids,
-    # project_equirect. fnv-hash-path rows (geocode, cell_index,
-    # pip_join, dedup_pages, docs_dedup_text, docs_token_stats) stay
-    # FRONT because the FNV kernel was rewritten this session.
+    "rasterize_points", "warp_equirect", "contour_lines",
+    # --- beyond the window: round-5 rotation queue. First the
+    # remaining never-driver-verified round-4 queries whose CORE
+    # MACHINERY a window query already exercises (deferral
+    # rationale in parentheses), then the r4-session never-verified
+    # block, then stale r1/r2 rows.
+    "price_qty_grid",          # radix cuts (price_deciles) + combiner
+    "events_ohlc",             # bucketed mergeable fold (pytest-strong)
+    "rolling_users",           # expansion dedup (events_retention)
+    "nation_revenue_share",    # broadcast-join cents (returned_customers)
+    "source_mode_lang",        # pre_aggregated_sums (events_pivot)
+    "jsonl_roundtrip",         # xor_fingerprint (table_checksum)
+    "csv_roundtrip",           # xor_fingerprint (table_checksum)
+    "hive_partition_roundtrip",  # fingerprint + partitioned write
+    "embed_dim_stats",         # _stack/min-max pass (embed_quantize)
+    "lineitem_profile",        # bucketed dedup counts
+    "event_gap_hist",          # with_next_ts (user_twap)
+    "weighted_price_quartiles",  # radix weight path (price_deciles)
+    "revenue_total_128",       # trivial partial-sum fold
+    "user_last_event",         # grouped_topk k=1 (zone_top_pages)
+    "events_trimmed_mean",     # rank-range conventions (events_iqr)
+    "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
+    "voronoi_sites", "kde_heatmap", "flow_direction",
+    "focal_majority", "dbscan_clusters", "idw_raster",
+    "proximity_grid",
     "domain_caps", "pages", "geocode", "cell_index", "pip_join",
     "zone_page_counts", "top_zones", "tile_counts", "dedup_pages",
     "knn_zones", "zone_bounds_area", "select_zones",
