@@ -74,6 +74,8 @@ _FRONT = [
     "revenue_total_128",       # trivial partial-sum fold
     "user_last_event",         # grouped_topk k=1 (zone_top_pages)
     "events_trimmed_mean",     # rank-range conventions (events_iqr)
+    "events_dow_hour",         # calendar fold (combiner machinery)
+    "shipping_delay_iqr",      # grouped_quartiles (events_iqr)
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction",
     "focal_majority", "dbscan_clusters", "idw_raster",
@@ -278,6 +280,8 @@ def oracle_sql() -> dict[str, str]:
         "top_paths": o.q_top_paths(),
         "revenue_total_128": o.q_revenue_total_128(),
         "events_trimmed_mean": o.q_events_trimmed_mean(),
+        "events_dow_hour": o.q_events_dow_hour(),
+        "shipping_delay_iqr": o.q_shipping_delay_iqr(),
         "csv_roundtrip": o.q_table_checksum(),
         "hive_partition_roundtrip": o.q_hive_partition_roundtrip(),
     }

@@ -2851,3 +2851,37 @@ def q_hive_partition_roundtrip() -> str:
         f"SELECT lang, count(*)::BIGINT AS n, bit_xor({i64}) AS fp "
         "FROM t GROUP BY lang"
     )
+
+
+def q_events_dow_hour() -> str:
+    """Twin of the seasonal profile (dayofweek 0=Sunday; integer
+    epoch arithmetic on both sides)."""
+    return (
+        "SELECT ((epoch_us(ts) // 86400000000 + 4) % 7)::BIGINT "
+        "AS dow, "
+        "((epoch_us(ts) % 86400000000) // 3600000000)::BIGINT "
+        "AS hour, count(*)::BIGINT AS n FROM events GROUP BY 1, 2"
+    )
+
+
+def q_shipping_delay_iqr() -> str:
+    """Twin of the delay-dispersion composition: integer-day delays,
+    FILTER-by-rank quartile picks (x2 convention)."""
+    q1 = ("(sum(d) FILTER (rn = (n-1)//4) + "
+          "sum(d) FILTER (rn = n//4))")
+    q3 = ("(sum(d) FILTER (rn = n-1-n//4) + "
+          "sum(d) FILTER (rn = n-1-(n-1)//4))")
+    return (
+        "WITH j AS (SELECT o.o_orderpriority, "
+        "(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) "
+        "// 86400000000 AS d "
+        "FROM lineitem l JOIN orders o "
+        "ON l.l_orderkey = o.o_orderkey), "
+        "r AS (SELECT o_orderpriority, d, row_number() OVER "
+        "(PARTITION BY o_orderpriority ORDER BY d) - 1 AS rn, "
+        "count(*) OVER (PARTITION BY o_orderpriority) AS n FROM j) "
+        "SELECT o_orderpriority, max(n)::BIGINT AS n, "
+        f"{q1}::BIGINT AS q1_x2, {q3}::BIGINT AS q3_x2, "
+        f"({q3} - {q1})::BIGINT AS iqr_x2 "
+        "FROM r GROUP BY o_orderpriority"
+    )

@@ -4062,3 +4062,68 @@ def q_hive_partition_roundtrip(sf_dir: str):
 
 
 QUERIES["hive_partition_roundtrip"] = q_hive_partition_roundtrip
+
+
+def q_events_dow_hour(sf_dir: str):
+    """Seasonal activity profile: counts per (day-of-week, hour) —
+    integer epoch arithmetic (1970-01-01 is a Thursday; DuckDB
+    dayofweek 0=Sunday convention matched), one combiner shuffle."""
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    ev = _read(sf_dir, "events", columns=["ts"])
+
+    def cal(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        dow = (day + 4) % 7
+        hour = (us % 86_400_000_000) // 3_600_000_000
+        return pa.table({"dow": pa.array(dow.astype(np.int64)),
+                         "hour": pa.array(hour.astype(np.int64)),
+                         "one": pa.array(
+                             np.ones(len(us), dtype=np.int64))})
+
+    out = pre_aggregated_sums(ev.map_batches(cal,
+                                             batch_format="pyarrow"),
+                              ["dow", "hour"], ["one"],
+                              count_alias="n").to_pandas()
+    out = out[["dow", "hour", "n"]].astype(np.int64)
+    return out.sort_values(["dow", "hour"]).reset_index(drop=True)
+
+
+QUERIES["events_dow_hour"] = q_events_dow_hour
+
+
+def q_shipping_delay_iqr(sf_dir: str):
+    """Fulfilment-latency dispersion per order priority: exact
+    quartiles/IQR of (shipdate - orderdate) in integer days through
+    the x2 rank-pair convention (hash_join + grouped_quartiles
+    composition)."""
+    from spapy_ray.stages.relational import (grouped_quartiles,
+                                             hash_join)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"])
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def delay(t: pa.Table) -> pa.Table:
+        d = (pc.cast(t.column("l_shipdate"), pa.int64())
+             .to_numpy(zero_copy_only=False)
+             - pc.cast(t.column("o_orderdate"), pa.int64())
+             .to_numpy(zero_copy_only=False)) // 86_400_000_000
+        return pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "delay_days": pa.array(d.astype(np.float64))})
+
+    out = grouped_quartiles(
+        j.map_batches(delay, batch_format="pyarrow"),
+        "o_orderpriority", "delay_days").to_pandas()
+    for c in ("q1_x2", "q3_x2", "iqr_x2"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+QUERIES["shipping_delay_iqr"] = q_shipping_delay_iqr
