@@ -76,6 +76,7 @@ _FRONT = [
     "events_trimmed_mean",     # rank-range conventions (events_iqr)
     "events_dow_hour",         # calendar fold (combiner machinery)
     "shipping_delay_iqr",      # grouped_quartiles (events_iqr)
+    "text_freq_of_freqs",      # two-level count fold (dedup family)
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction",
     "focal_majority", "dbscan_clusters", "idw_raster",
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trimmed_mean": o.q_events_trimmed_mean(),
         "events_dow_hour": o.q_events_dow_hour(),
         "shipping_delay_iqr": o.q_shipping_delay_iqr(),
+        "text_freq_of_freqs": o.q_text_freq_of_freqs(),
         "csv_roundtrip": o.q_table_checksum(),
         "hive_partition_roundtrip": o.q_hive_partition_roundtrip(),
     }

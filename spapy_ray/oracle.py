@@ -2885,3 +2885,12 @@ def q_shipping_delay_iqr() -> str:
         f"({q3} - {q1})::BIGINT AS iqr_x2 "
         "FROM r GROUP BY o_orderpriority"
     )
+
+
+def q_text_freq_of_freqs() -> str:
+    """Twin of the Good-Turing frequency-of-frequencies fold."""
+    return (
+        "SELECT c::BIGINT AS multiplicity, count(*)::BIGINT "
+        "AS n_texts FROM (SELECT count(*) AS c FROM documents "
+        "GROUP BY text) GROUP BY c"
+    )

@@ -4127,3 +4127,39 @@ def q_shipping_delay_iqr(sf_dir: str):
 
 
 QUERIES["shipping_delay_iqr"] = q_shipping_delay_iqr
+
+
+def q_text_freq_of_freqs(sf_dir: str):
+    """Frequency-of-frequencies over document texts (the Good-Turing
+    smoothing input / duplicate-multiplicity distribution): bucketed
+    per-text counts (blocks ship local uniques), then a tiny second
+    fold over the counts."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        # block-local collapse: ship (text, local count) partials
+        df = t.to_pandas().groupby("text", sort=False).size() \
+            .reset_index(name="c")
+        df["c"] = df["c"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold2(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("text", sort=False)["c"].sum().to_numpy()
+        u, n = np.unique(c, return_counts=True)
+        return pd.DataFrame({
+            "multiplicity": u.astype(np.int64),
+            "n_texts": n.astype(np.int64)})
+
+    parts = bucketed_group_agg(
+        docs.map_batches(pre, batch_format="pyarrow"), "text", fold2)
+    out = parts.groupby("multiplicity").aggregate(
+        Sum("n_texts", alias_name="n_texts")).to_pandas()
+    out["n_texts"] = out["n_texts"].astype(np.int64)
+    return out.sort_values("multiplicity").reset_index(drop=True)
+
+
+QUERIES["text_freq_of_freqs"] = q_text_freq_of_freqs
