@@ -77,6 +77,8 @@ _FRONT = [
     "events_dow_hour",         # calendar fold (combiner machinery)
     "shipping_delay_iqr",      # grouped_quartiles (events_iqr)
     "text_freq_of_freqs",      # two-level count fold (dedup family)
+    "user_type_hhi",           # integer-share fold (surprisal trick)
+    "bounce_rate",             # sessionize composition
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction",
     "focal_majority", "dbscan_clusters", "idw_raster",
@@ -284,6 +286,8 @@ def oracle_sql() -> dict[str, str]:
         "events_dow_hour": o.q_events_dow_hour(),
         "shipping_delay_iqr": o.q_shipping_delay_iqr(),
         "text_freq_of_freqs": o.q_text_freq_of_freqs(),
+        "user_type_hhi": o.q_user_type_hhi(),
+        "bounce_rate": o.q_bounce_rate(),
         "csv_roundtrip": o.q_table_checksum(),
         "hive_partition_roundtrip": o.q_hive_partition_roundtrip(),
     }

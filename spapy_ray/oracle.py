@@ -2894,3 +2894,34 @@ def q_text_freq_of_freqs() -> str:
         "AS n_texts FROM (SELECT count(*) AS c FROM documents "
         "GROUP BY text) GROUP BY c"
     )
+
+
+def q_user_type_hhi(q: int = 1_000_000) -> str:
+    """Twin of the integer Herfindahl fold (HUGEINT floor)."""
+    return (
+        "WITH c AS (SELECT user_id, event_type, count(*)::BIGINT "
+        "AS c FROM events GROUP BY 1, 2), "
+        "s AS (SELECT user_id, sum(c)::BIGINT AS n, "
+        "sum(c::HUGEINT * c)::HUGEINT AS ss FROM c GROUP BY 1) "
+        f"SELECT user_id, n, ((ss * {q}) // "
+        "(n::HUGEINT * n))::BIGINT AS hhi_q FROM s"
+    )
+
+
+def q_bounce_rate(gap_us: int = 1800_000_000) -> str:
+    """Twin of the bounce fold over the sessionize CTE."""
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+        "flagged AS (SELECT user_id, us, CASE WHEN us - lag(us) "
+        "OVER (PARTITION BY user_id ORDER BY us) > "
+        f"{gap_us} OR lag(us) OVER (PARTITION BY user_id "
+        "ORDER BY us) IS NULL THEN 1 ELSE 0 END AS ns FROM e), "
+        "sess0 AS (SELECT user_id, us, sum(ns) OVER "
+        "(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED "
+        "PRECEDING) AS sid FROM flagged), "
+        "sess AS (SELECT user_id, sid, count(*)::BIGINT AS ne "
+        "FROM sess0 GROUP BY 1, 2) "
+        "SELECT user_id, count(*)::BIGINT AS n_sessions, "
+        "sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END)::BIGINT "
+        "AS n_bounces FROM sess GROUP BY user_id"
+    )

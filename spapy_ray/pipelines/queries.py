@@ -4163,3 +4163,67 @@ def q_text_freq_of_freqs(sf_dir: str):
 
 
 QUERIES["text_freq_of_freqs"] = q_text_freq_of_freqs
+
+
+def q_user_type_hhi(sf_dir: str):
+    """Per-user event-type concentration: exact integer Herfindahl
+    index hhi_q = (sum c_i^2) * 1e6 // n^2 (log-free diversity
+    metric, the docs_surprisal integer trick applied to shares).
+    One combiner shuffle for the (user, type) counts; the HHI fold
+    runs on the tiny folded table."""
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_type": t.column("event_type"),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    counts = pre_aggregated_sums(
+        ev.map_batches(one, batch_format="pyarrow"),
+        ["user_id", "event_type"], ["one"], count_alias="c") \
+        .to_pandas()
+    g = counts.groupby("user_id")
+    n = g["c"].sum()
+    ss = g["c"].apply(lambda x: int((x.astype(object) ** 2).sum()))
+    out = pd.DataFrame({
+        "user_id": n.index.to_numpy(),
+        "n": n.to_numpy(dtype=np.int64),
+        "hhi_q": np.asarray(
+            [(int(s) * 1_000_000) // (int(m) * int(m))
+             for s, m in zip(ss, n)], dtype=np.int64)})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["user_type_hhi"] = q_user_type_hhi
+
+
+def q_bounce_rate(sf_dir: str):
+    """Per-user bounce profile: session count and single-event
+    (bounce) session count from the sessionize operator — a
+    composition fold over its output."""
+    from ray.data.aggregate import Count, Sum
+
+    from spapy_ray.stages.sessions import sessionize
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    sess = sessionize(ev)
+
+    def flag(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.equal(t.column("n_events"), pa.scalar(1)),
+                    pa.int64())
+        return pa.table({"user_id": t.column("user_id"),
+                         "b": b})
+
+    out = sess.map_batches(flag, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Count(alias_name="n_sessions"),
+            Sum("b", alias_name="n_bounces")).to_pandas()
+    out["n_sessions"] = out["n_sessions"].astype(np.int64)
+    out["n_bounces"] = out["n_bounces"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["bounce_rate"] = q_bounce_rate
