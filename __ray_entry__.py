@@ -79,6 +79,8 @@ _FRONT = [
     "text_freq_of_freqs",      # two-level count fold (dedup family)
     "user_type_hhi",           # integer-share fold (surprisal trick)
     "bounce_rate",             # sessionize composition
+    "nation_year_flag_rollup",  # k=3 rollup path (nation_year_rollup)
+    "events_centered",         # broadcast-back centering (grouped_median)
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction",
     "focal_majority", "dbscan_clusters", "idw_raster",
@@ -288,6 +290,8 @@ def oracle_sql() -> dict[str, str]:
         "text_freq_of_freqs": o.q_text_freq_of_freqs(),
         "user_type_hhi": o.q_user_type_hhi(),
         "bounce_rate": o.q_bounce_rate(),
+        "nation_year_flag_rollup": o.q_nation_year_flag_rollup(),
+        "events_centered": o.q_events_centered(),
         "csv_roundtrip": o.q_table_checksum(),
         "hive_partition_roundtrip": o.q_hive_partition_roundtrip(),
     }

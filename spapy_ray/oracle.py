@@ -2925,3 +2925,35 @@ def q_bounce_rate(gap_us: int = 1800_000_000) -> str:
         "sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END)::BIGINT "
         "AS n_bounces FROM sess GROUP BY user_id"
     )
+
+
+def q_nation_year_flag_rollup() -> str:
+    """Twin of the k=3 rollup (native GROUP BY ROLLUP, typed
+    sentinels)."""
+    return (
+        "SELECT coalesce(n.n_name, 'ALL') AS n_name, "
+        "coalesce(year(o.o_orderdate), -1)::BIGINT AS year, "
+        "coalesce(l.l_returnflag, 'ALL') AS flag, "
+        "sum(l.l_quantity)::BIGINT AS sum_qty, "
+        "count(*)::BIGINT AS n_items "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "GROUP BY ROLLUP (n.n_name, year(o.o_orderdate), "
+        "l.l_returnflag)"
+    )
+
+
+def q_events_centered() -> str:
+    """Twin of the median-centering map: the same median_x2 from the
+    FILTER-by-rank CTE, the same 2v - m2 subtraction."""
+    return (
+        "WITH r AS (SELECT event_type, value, row_number() OVER "
+        "(PARTITION BY event_type ORDER BY value) - 1 AS rn, "
+        "count(*) OVER (PARTITION BY event_type) AS n FROM events), "
+        "m AS (SELECT event_type, (sum(value) FILTER "
+        "(rn = (n-1)//2) + sum(value) FILTER (rn = n//2)) AS m2 "
+        "FROM r GROUP BY event_type) "
+        "SELECT e.event_id, 2 * e.value - m.m2 AS c2 "
+        "FROM events e JOIN m ON e.event_type = m.event_type"
+    )

@@ -4227,3 +4227,84 @@ def q_bounce_rate(sf_dir: str):
 
 
 QUERIES["bounce_rate"] = q_bounce_rate
+
+
+def q_nation_year_flag_rollup(sf_dir: str):
+    """Three-dimension ROLLUP (nation, year, returnflag): the k=3
+    prefix-level path of relational.grouped_rollup — still ONE
+    combiner shuffle, three derived super-levels."""
+    from spapy_ray.stages.relational import grouped_rollup, hash_join
+
+    import pyarrow.parquet as pq
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_quantity",
+                        "l_returnflag"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"])
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = pa.table({
+        "s_suppkey": pc.cast(sup.column("s_suppkey"), pa.int64()),
+        "s_nationkey": pc.cast(sup.column("s_nationkey"),
+                               pa.int64())})
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nat = pa.table({
+        "n_nationkey": pc.cast(nat.column("n_nationkey"), pa.int64()),
+        "n_name": nat.column("n_name")})
+    j = broadcast_join(j, sup, key="l_suppkey", small_key="s_suppkey")
+    j = broadcast_join(j, nat, key="s_nationkey",
+                       small_key="n_nationkey")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t.column("n_name"),
+            "year": pc.year(t.column("o_orderdate")),
+            "flag": t.column("l_returnflag"),
+            "l_quantity": t.column("l_quantity")})
+
+    out = grouped_rollup(j.map_batches(proj, batch_format="pyarrow"),
+                         ["n_name", "year", "flag"], "l_quantity",
+                         sentinels={"n_name": "ALL", "year": -1,
+                                    "flag": "ALL"},
+                         count_alias="n_items")
+    out["sum_qty"] = out["l_quantity"].round().astype(np.int64)
+    out["year"] = out["year"].astype(np.int64)
+    return out[["n_name", "year", "flag", "sum_qty", "n_items"]]
+
+
+QUERIES["nation_year_flag_rollup"] = q_nation_year_flag_rollup
+
+
+def q_events_centered(sf_dir: str):
+    """Median-centered values (robust normalization, the broadcast-
+    back pattern): per event, c2 = 2*value - median_x2(type) — the
+    per-type exact median table is the SMALL side, ray.put once,
+    subtracted per batch. Exact float convention (one subtraction of
+    the same two doubles both sides)."""
+    import ray
+
+    from spapy_ray.stages.relational import grouped_median
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+    med = grouped_median(ev, "event_type", "value").to_pandas()
+    m2 = dict(zip(med["event_type"], med["median_x2"]))
+    ref = ray.put(m2)
+
+    def center(t: pa.Table, _ref=ref) -> pa.Table:
+        mm = ray.get(_ref)
+        v = t.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        keys = t.column("event_type").to_pandas()
+        m = keys.map(mm).to_numpy(dtype=np.float64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "c2": pa.array(2.0 * v - m)})
+
+    return ev.map_batches(center, batch_format="pyarrow")
+
+
+QUERIES["events_centered"] = q_events_centered
