@@ -81,6 +81,7 @@ _FRONT = [
     "bounce_rate",             # sessionize composition
     "nation_year_flag_rollup",  # k=3 rollup path (nation_year_rollup)
     "events_centered",         # broadcast-back centering (grouped_median)
+    "value_drift",             # exact two-sample KS (windowed CDF)
     "jaccard_pairs", "embed_near_dup", "embed_near_dup_lsh",
     "voronoi_sites", "kde_heatmap", "flow_direction",
     "focal_majority", "dbscan_clusters", "idw_raster",
@@ -292,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "bounce_rate": o.q_bounce_rate(),
         "nation_year_flag_rollup": o.q_nation_year_flag_rollup(),
         "events_centered": o.q_events_centered(),
+        "value_drift": o.q_value_drift(),
         "csv_roundtrip": o.q_table_checksum(),
         "hive_partition_roundtrip": o.q_hive_partition_roundtrip(),
     }

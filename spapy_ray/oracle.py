@@ -2957,3 +2957,23 @@ def q_events_centered() -> str:
         "SELECT e.event_id, 2 * e.value - m.m2 AS c2 "
         "FROM events e JOIN m ON e.event_type = m.event_type"
     )
+
+
+def q_value_drift() -> str:
+    """Twin of the exact KS numerator: integer cumulative counts
+    cross-multiplied, max over distinct values."""
+    return (
+        "WITH x AS (SELECT trunc(value * 100)::BIGINT AS v, "
+        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa "
+        "FROM events WHERE event_type IN ('click', 'view')), "
+        "t AS (SELECT v, sum(isa)::BIGINT AS ca, "
+        "sum(1 - isa)::BIGINT AS cb FROM x GROUP BY v), "
+        "c AS (SELECT v, sum(ca) OVER (ORDER BY v "
+        "ROWS UNBOUNDED PRECEDING)::HUGEINT AS cca, "
+        "sum(cb) OVER (ORDER BY v "
+        "ROWS UNBOUNDED PRECEDING)::HUGEINT AS ccb FROM t), "
+        "n AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb "
+        "FROM t) "
+        "SELECT na, nb, max(abs(cca * nb - ccb * na))::BIGINT "
+        "AS d_num FROM c, n GROUP BY na, nb"
+    )

@@ -4308,3 +4308,30 @@ def q_events_centered(sf_dir: str):
 
 
 QUERIES["events_centered"] = q_events_centered
+
+
+def q_value_drift(sf_dir: str):
+    """Distribution drift between click and view event values: exact
+    integer two-sample KS numerator (relational.two_sample_ks —
+    window co-partition, per-window offsets broadcast, local maxima
+    fold). D = d_num / (na*nb)."""
+    import pyarrow.dataset as pds
+
+    from spapy_ray.stages.relational import two_sample_ks
+
+    def q(label):
+        ds = _read(sf_dir, "events", columns=["value"],
+                   predicate=pds.field("event_type") == label)
+
+        def qz(t: pa.Table) -> pa.Table:
+            v = np.trunc(t.column("value")
+                         .to_numpy(zero_copy_only=False) * 100.0) \
+                .astype(np.int64)
+            return pa.table({"vq": pa.array(v)})
+
+        return ds.map_batches(qz, batch_format="pyarrow")
+
+    return two_sample_ks(q("click"), q("view"), "vq")
+
+
+QUERIES["value_drift"] = q_value_drift

@@ -1570,3 +1570,102 @@ def snapshot_diff(a, b, key: str, fp: str, *,
         return pd.DataFrame({key: k[starts], "status": status})
 
     return bucketed_group_agg(u, key, fold, buckets=buckets)
+
+
+def two_sample_ks(ds_a, ds_b, col: str, *, window: int = 4096,
+                  buckets: int | None = None):
+    """Two-sample Kolmogorov–Smirnov distance in EXACT integers (the
+    data-drift monitor): over int64 values, returns one row
+    (na, nb, d_num) with
+
+        d_num = max over v of |cdf_a(v)*nb - cdf_b(v)*na|
+
+    so D = d_num / (na*nb) exactly — no float CDFs anywhere.
+
+    Distribution: side-tagged union co-partitions by value window
+    (v // window, ONE shuffle). Phase 1 folds per-window side totals
+    (tiny); the driver prefix-sums them into per-window CDF offsets;
+    phase 2 broadcasts the offsets and each window computes its local
+    maximum gap FINAL — the exchange carries per-window summaries,
+    never the samples. The tagged table materializes once and feeds
+    both phases."""
+    import ray
+
+    def tag(side):
+        def _f(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({
+                "v": pa.array(v),
+                "w": pa.array(v // window),
+                "s": pa.array(np.full(len(v), side, dtype=np.int8))})
+        return _f
+
+    u = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1), batch_format="pyarrow")) \
+        .materialize()
+
+    def totals(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "w": t.column("w").to_numpy(zero_copy_only=False),
+            "s": t.column("s").to_numpy(zero_copy_only=False)})
+        g = df.groupby(["w", "s"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    tot = u.map_batches(totals, batch_format="pyarrow") \
+        .groupby(["w", "s"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+    piv = tot.pivot_table(index="w", columns="s", values="c",
+                          fill_value=0, aggfunc="sum").sort_index()
+    wa = piv[0].to_numpy(dtype=np.int64) if 0 in piv else \
+        np.zeros(len(piv), dtype=np.int64)
+    wb = piv[1].to_numpy(dtype=np.int64) if 1 in piv else \
+        np.zeros(len(piv), dtype=np.int64)
+    na, nb = int(wa.sum()), int(wb.sum())
+    off_a = np.r_[0, np.cumsum(wa)[:-1]]
+    off_b = np.r_[0, np.cumsum(wb)[:-1]]
+    offs = {int(w): (int(oa), int(ob)) for w, oa, ob in
+            zip(piv.index.to_numpy(), off_a, off_b)}
+    ref = ray.put((offs, na, nb))
+
+    def gap(g: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        # a hash bucket holds many windows — resolve each window's
+        # local maximum in one vectorized sweep over the sorted frame
+        offs_, na_, nb_ = ray.get(_ref)
+        if not len(g):
+            return pd.DataFrame({"d": pd.Series([], dtype=object)})
+        w = g["w"].to_numpy()
+        v = g["v"].to_numpy()
+        s = g["s"].to_numpy()
+        order = np.lexsort((v, w))
+        w, v, s = w[order], v[order], s[order]
+        first = np.r_[True, w[1:] != w[:-1]]
+        gid = np.cumsum(first) - 1
+        # per-window cumulative side counts: global cumsum minus the
+        # window's starting cumsum
+        ca_g = np.cumsum(s == 0).astype(np.int64)
+        cb_g = np.cumsum(s == 1).astype(np.int64)
+        start_a = np.r_[0, ca_g[:-1]][first][gid]
+        start_b = np.r_[0, cb_g[:-1]][first][gid]
+        ca = ca_g - start_a
+        cb = cb_g - start_b
+        oa = np.array([offs_[int(x)][0] for x in w[first]],
+                      dtype=np.int64)[gid]
+        ob = np.array([offs_[int(x)][1] for x in w[first]],
+                      dtype=np.int64)[gid]
+        last = np.r_[(v[1:] != v[:-1]) | (w[1:] != w[:-1]), True]
+        d = np.abs((oa[last] + ca[last]).astype(object) * nb_
+                   - (ob[last] + cb[last]).astype(object) * na_)
+        return pd.DataFrame({"d": [int(max(d))]})
+
+    parts = bucketed_group_agg(u, "w", gap, buckets=buckets) \
+        .to_pandas()
+    d_num = int(parts["d"].astype(object).max()) if len(parts) else 0
+    return pd.DataFrame({
+        "na": np.array([na], dtype=np.int64),
+        "nb": np.array([nb], dtype=np.int64),
+        "d_num": np.array([d_num], dtype=np.int64)})

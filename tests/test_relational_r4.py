@@ -662,3 +662,30 @@ def test_snapshot_diff_statuses(ray_session):
         .set_index("k")["status"].to_dict()
     assert out == {1: "removed", 2: "same", 3: "changed",
                    4: "same", 5: "added"}
+
+
+def test_two_sample_ks_vs_scipy_style(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import two_sample_ks
+
+    rng = np.random.default_rng(43)
+    a = rng.integers(0, 10_000, 3000).astype(np.int64)
+    b = (rng.integers(0, 10_000, 2500) + 500).astype(np.int64)
+    out = two_sample_ks(
+        rd.from_pandas(pd.DataFrame({"v": a})).repartition(5),
+        rd.from_pandas(pd.DataFrame({"v": b})).repartition(4),
+        "v", window=512)
+    na, nb = len(a), len(b)
+    vs = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(np.sort(a), vs, side="right")
+    cb = np.searchsorted(np.sort(b), vs, side="right")
+    d_num = int(np.abs(ca.astype(object) * nb
+                       - cb.astype(object) * na).max())
+    assert out["na"].iloc[0] == na
+    assert out["nb"].iloc[0] == nb
+    assert out["d_num"].iloc[0] == d_num
+    # sanity: D matches the float KS statistic
+    D = d_num / (na * nb)
+    Df = np.abs(ca / na - cb / nb).max()
+    assert abs(D - Df) < 1e-12
