@@ -4181,19 +4181,33 @@ def q_user_type_hhi(sf_dir: str):
             "event_type": t.column("event_type"),
             "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
 
+    from ray.data.aggregate import Sum
+
     counts = pre_aggregated_sums(
         ev.map_batches(one, batch_format="pyarrow"),
-        ["user_id", "event_type"], ["one"], count_alias="c") \
-        .to_pandas()
-    g = counts.groupby("user_id")
-    n = g["c"].sum()
-    ss = g["c"].apply(lambda x: int((x.astype(object) ** 2).sum()))
-    out = pd.DataFrame({
-        "user_id": n.index.to_numpy(),
-        "n": n.to_numpy(dtype=np.int64),
-        "hhi_q": np.asarray(
-            [(int(s) * 1_000_000) // (int(m) * int(m))
-             for s, m in zip(ss, n)], dtype=np.int64)})
+        ["user_id", "event_type"], ["one"], count_alias="c")
+
+    def sq(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"user_id": t.column("user_id"),
+                         "n": pa.array(c), "ss": pa.array(c * c)})
+
+    folded = counts.map_batches(sq, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Sum("n", alias_name="n"), Sum("ss", alias_name="ss"))
+
+    def hhi(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ss = t.column("ss").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = (ss.astype(object) * 1_000_000 // (n.astype(object) * n)) \
+            .astype(np.int64)
+        return pa.table({"user_id": t.column("user_id"),
+                         "n": pa.array(n), "hhi_q": pa.array(h)})
+
+    out = folded.map_batches(hhi, batch_format="pyarrow").to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
