@@ -296,4 +296,6 @@ def oracle_sql() -> dict[str, str]:
         "value_drift": o.q_value_drift(),
         "csv_roundtrip": o.q_table_checksum(),
         "hive_partition_roundtrip": o.q_hive_partition_roundtrip(),
+        "raster_moran": o.q_raster_moran(),
+        "seq_packing": o.q_seq_packing(),
     }

@@ -2977,3 +2977,58 @@ def q_value_drift() -> str:
         "SELECT na, nb, max(abs(cca * nb - ccb * na))::BIGINT "
         "AS d_num FROM c, n GROUP BY na, nb"
     )
+
+
+def q_raster_moran(q: int = 10 ** 6) -> str:
+    """Twin of stages.spatialstats.moran_i over the int DEM: rook
+    neighbor values come from the closed form (no self-join), the
+    Moran ratio is HUGEINT arithmetic; DuckDB's ``//`` truncates
+    toward zero, which is the documented moran_q convention."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    z = sql_dem_int("gx", "gy", 0)
+    ze = sql_dem_int("(gx + 1)", "gy", 0)
+    zs = sql_dem_int("gx", "(gy + 1)", 0)
+    w_dir = 2 * (511 * 512 + 512 * 511)
+    return (
+        "WITH px AS (SELECT p % 512 AS gx, p // 512 AS gy "
+        "FROM range(262144) t(p)), "
+        f"v AS (SELECT gx, gy, ({z})::HUGEINT AS zz, "
+        f"(CASE WHEN gx < 511 THEN ({z})::HUGEINT * ({ze}) "
+        "ELSE 0 END) AS pxe, "
+        f"(CASE WHEN gy < 511 THEN ({z})::HUGEINT * ({zs}) "
+        "ELSE 0 END) AS pxs, "
+        "((gx > 0)::INT + (gx < 511)::INT + (gy > 0)::INT "
+        "+ (gy < 511)::INT) AS deg FROM px), "
+        "agg AS (SELECT count(*)::HUGEINT AS n, sum(zz) AS s, "
+        "sum(zz * zz) AS ss, sum(pxe + pxs) AS p, "
+        "sum(deg * zz) AS d FROM v) "
+        "SELECT n::BIGINT AS n_pix, "
+        f"{w_dir}::BIGINT AS w_dir, s::BIGINT AS s_sum, "
+        "ss::BIGINT AS ss_sum, p::BIGINT AS p_und, "
+        "d::BIGINT AS d_deg, "
+        f"(({q}::HUGEINT * n * (n * n * 2 * p - 2 * n * s * d "
+        f"+ s * s * {w_dir})) // ({w_dir}::HUGEINT * n * "
+        "(n * ss - s * s)))::BIGINT AS moran_q "
+        "FROM agg"
+    )
+
+
+def q_seq_packing(chunk_tokens: int = 2048) -> str:
+    """Twin of stages.packing.pack_chunks over documents: window
+    running total -> per-doc chunk span via generate_series unnest."""
+    c = chunk_tokens
+    return (
+        "WITH d AS (SELECT doc_id, len(string_split(text, ' '))"
+        "::BIGINT AS tok FROM documents), "
+        "r AS (SELECT doc_id, tok, sum(tok) OVER (ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING)::BIGINT - tok AS cb FROM d), "
+        f"s AS (SELECT doc_id, tok, cb, unnest(generate_series("
+        f"cb // {c}, (cb + tok - 1) // {c})) AS k FROM r), "
+        f"t AS (SELECT doc_id, cb, k, least(cb + tok, (k + 1) * {c}) "
+        f"- greatest(cb, k * {c}) AS tk FROM s) "
+        "SELECT k::BIGINT AS chunk_id, sum(tk)::BIGINT AS n_tokens, "
+        "count(*)::BIGINT AS n_docs, "
+        f"sum((cb // {c} = k)::INT)::BIGINT AS n_starts, "
+        "sum(doc_id * tk)::BIGINT AS ck FROM t GROUP BY k"
+    )

@@ -4349,3 +4349,41 @@ def q_value_drift(sf_dir: str):
 
 
 QUERIES["value_drift"] = q_value_drift
+
+
+def q_raster_moran(sf_dir: str):
+    """Global Moran's I of the int DEM under rook adjacency —
+    exact integer spatial-autocorrelation (one halo exchange, one
+    tiny partial per super-block, constant driver fold).
+    moran_q = trunc(1e6 * I); components are int64-exact."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.spatialstats import moran_i
+
+    return moran_i(synth_dem_dataset(DEM_META, kind="int"), DEM_META,
+                   dtype="int32")
+
+
+QUERIES["raster_moran"] = q_raster_moran
+
+
+def q_seq_packing(sf_dir: str, chunk_tokens: int = 2048):
+    """LLM sequence packing (concat-and-chunk) over documents in
+    doc_id order: distributed ordered prefix sum of token counts →
+    per-chunk doc/start counts + layout checksum. Token convention =
+    literal-space split (len(string_split(text,' ')) in the twin)."""
+    from spapy_ray.stages.packing import pack_chunks
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t.column("text"), " "),
+                   pa.scalar(1))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "tok": pc.cast(n, pa.int64())})
+
+    return pack_chunks(docs.map_batches(tok, batch_format="pyarrow"),
+                       id_col="doc_id", weight_col="tok",
+                       chunk_size=chunk_tokens)
+
+
+QUERIES["seq_packing"] = q_seq_packing

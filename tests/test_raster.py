@@ -1055,3 +1055,61 @@ def test_stretch_stats_bruteforce(ray_session):
         .sort_values(["ty", "tx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"),
                                   exp.astype("int64"))
+
+
+def _moran_brute(z: np.ndarray, q: int = 10 ** 6):
+    z = z.astype(object)  # python ints: exact big-int arithmetic
+    h, w = z.shape
+    n = h * w
+    s = int(z.sum())
+    ss = int((z * z).sum())
+    p_und = int((z[:, :-1] * z[:, 1:]).sum()) \
+        + int((z[:-1, :] * z[1:, :]).sum())
+    deg = np.full((h, w), 4, dtype=object)
+    deg[0, :] -= 1
+    deg[-1, :] -= 1
+    deg[:, 0] -= 1
+    deg[:, -1] -= 1
+    d = int((deg * z).sum())
+    w_dir = 2 * ((w - 1) * h + w * (h - 1))
+    num = n * n * 2 * p_und - 2 * n * s * d + s * s * w_dir
+    den = n * (n * ss - s * s)
+    aa, bb = q * n * num, w_dir * den
+    mq = (1 if aa >= 0 else -1) * (abs(aa) // bb)
+    return dict(n_pix=n, w_dir=w_dir, s_sum=s, ss_sum=ss,
+                p_und=p_und, d_deg=d, moran_q=mq)
+
+
+def test_moran_i_bruteforce(ray_session):
+    from spapy_ray.stages.spatialstats import moran_i
+
+    meta = SMALL
+    got = moran_i(synth_dem_dataset(meta, kind="int"), meta,
+                  dtype="int32").iloc[0].to_dict()
+    exp = _moran_brute(_full_int(meta).astype(np.int64))
+    assert got == exp
+
+
+def test_moran_i_checkerboard_negative(ray_session):
+    # perfect checkerboard = maximal negative autocorrelation; also
+    # exercises block=1 (every tile its own bucket) and the
+    # sign/truncation convention on a negative statistic
+    import ray.data as rd
+
+    from spapy_ray.stages.spatialstats import moran_i
+
+    meta = RasterMeta(width=64, height=64, tile_size=16, x_min=0.0,
+                      y_max=0.0, pixel_w=1.0, pixel_h=-1.0)
+    gx, gy = np.meshgrid(np.arange(64), np.arange(64))
+    full = ((gx + gy) % 2).astype(np.int32)
+    rows = []
+    for ty in range(4):
+        for tx in range(4):
+            a = full[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+            rows.append({"tx": tx, "ty": ty, "band": 0,
+                         "data": np.ascontiguousarray(a).tobytes()})
+    got = moran_i(rd.from_items(rows), meta, dtype="int32",
+                  block=1).iloc[0].to_dict()
+    exp = _moran_brute(full.astype(np.int64))
+    assert got == exp
+    assert got["moran_q"] < -990_000  # ~ -1 for a checkerboard

@@ -689,3 +689,44 @@ def test_two_sample_ks_vs_scipy_style(ray_session):
     D = d_num / (na * nb)
     Df = np.abs(ca / na - cb / nb).max()
     assert abs(D - Df) < 1e-12
+
+
+def test_pack_chunks_bruteforce_multiwindow(ray_session):
+    # ids deliberately sparse + shuffled; window tiny so offsets
+    # cross many windows; weights straddle chunk boundaries and one
+    # weight (37) spans several 16-token chunks (peel loop > 2 iters)
+    import ray.data as rd
+
+    from spapy_ray.stages.packing import pack_chunks
+
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(np.arange(0, 500, 3))
+    wt = rng.integers(1, 38, size=len(ids))
+    ds = rd.from_pandas(pd.DataFrame({"id": ids, "wt": wt}),
+                        override_num_blocks=7)
+    got = pack_chunks(ds, id_col="id", weight_col="wt",
+                      chunk_size=16, window=32).to_pandas() \
+        .sort_values("chunk_id").reset_index(drop=True)
+
+    order = np.argsort(ids)
+    sid, swt = ids[order].astype(int), wt[order].astype(int)
+    rows = {}
+    cur = 0
+    for i, w in zip(sid, swt):
+        first = True
+        while w:
+            k = cur // 16
+            take = min(w, 16 - cur % 16)
+            r = rows.setdefault(k, [0, 0, 0, 0])
+            r[0] += take
+            r[1] += 1
+            r[2] += int(first)
+            r[3] += i * take
+            cur += take
+            w -= take
+            first = False
+    exp = pd.DataFrame(
+        [(k, *v) for k, v in sorted(rows.items())],
+        columns=["chunk_id", "n_tokens", "n_docs", "n_starts", "ck"])
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  exp.astype("int64"))
