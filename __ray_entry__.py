@@ -298,4 +298,7 @@ def oracle_sql() -> dict[str, str]:
         "hive_partition_roundtrip": o.q_hive_partition_roundtrip(),
         "raster_moran": o.q_raster_moran(),
         "seq_packing": o.q_seq_packing(),
+        "vocab_ids": o.q_vocab_ids(),
+        "docs_stop_strip": o.q_docs_stop_strip(),
+        "lineitem_regr": o.q_lineitem_regr(),
     }

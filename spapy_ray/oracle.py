@@ -3032,3 +3032,58 @@ def q_seq_packing(chunk_tokens: int = 2048) -> str:
         f"sum((cb // {c} = k)::INT)::BIGINT AS n_starts, "
         "sum(doc_id * tk)::BIGINT AS ck FROM t GROUP BY k"
     )
+
+
+def q_vocab_ids(v: int = 200) -> str:
+    """Twin of the vocabulary builder."""
+    return (
+        "WITH w AS (SELECT unnest(string_split(text, ' ')) AS token "
+        "FROM documents), "
+        "c AS (SELECT token, count(*)::BIGINT AS cnt FROM w "
+        "GROUP BY token) "
+        "SELECT token, cnt, row_number() OVER "
+        "(ORDER BY cnt DESC, token)::BIGINT AS tok_id FROM c "
+        f"ORDER BY cnt DESC, token LIMIT {v}"
+    )
+
+
+def q_docs_stop_strip() -> str:
+    """Twin of stages.text.stopword_strip_fp: same blank-join-collapse
+    construction, FNV over the stripped text, int64 view."""
+    from spapy_ray.stages.text import STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stripped = (
+        "trim(regexp_replace(array_to_string(list_transform("
+        f"string_split(text, ' '), t -> CASE WHEN t IN ({sw}) "
+        "THEN '' ELSE t END), ' '), ' +', ' ', 'g'), ' ')"
+    )
+    fnv = sql_fnv1a("st")
+    i64 = (f"(CASE WHEN {fnv} >= 9223372036854775808::UBIGINT "
+           f"THEN ({fnv}::HUGEINT - 18446744073709551616::HUGEINT)"
+           f"::BIGINT ELSE {fnv}::BIGINT END)")
+    return (
+        f"WITH s AS (SELECT doc_id, text, {stripped} AS st "
+        "FROM documents) "
+        "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok, "
+        "len(list_filter(string_split(text, ' '), t -> t NOT IN "
+        f"({sw})))::BIGINT AS n_kept, {i64} AS fp FROM s"
+    )
+
+
+def q_lineitem_regr(q: int = 10 ** 6) -> str:
+    """Twin of the grouped OLS fold — HUGEINT moments, DuckDB //
+    truncation == the engine's sign*(abs//abs) convention."""
+    return (
+        "WITH b AS (SELECT l_returnflag, l_linestatus, "
+        "round(l_quantity)::HUGEINT AS x, "
+        "round(l_extendedprice * 100)::HUGEINT AS y FROM lineitem), "
+        "s AS (SELECT l_returnflag, l_linestatus, "
+        "count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy, "
+        "sum(x * y) AS sxy, sum(x * x) AS sxx FROM b GROUP BY 1, 2) "
+        "SELECT l_returnflag, l_linestatus, n::BIGINT AS n, "
+        f"(({q}::HUGEINT * (n * sxy - sx * sy)) // "
+        "(n * sxx - sx * sx))::BIGINT AS slope_q, "
+        f"(({q}::HUGEINT * (sy * sxx - sx * sxy)) // "
+        "(n * sxx - sx * sx))::BIGINT AS icept_q FROM s"
+    )

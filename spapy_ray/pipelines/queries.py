@@ -4387,3 +4387,98 @@ def q_seq_packing(sf_dir: str, chunk_tokens: int = 2048):
 
 
 QUERIES["seq_packing"] = q_seq_packing
+
+
+def q_vocab_ids(sf_dir: str, v: int = 200):
+    """Vocabulary building (the tokenizer-training step of an LLM
+    corpus pipeline): global token counts via per-batch partials,
+    then distributed top-V by (count desc, token asc) and
+    rank-contiguous ids. Only the V-row head ever reaches the
+    driver."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern(t.column("text"), " "))
+        vc = pd.Series(flat.to_pandas()).value_counts()
+        return pa.table({
+            "token": pa.array(vc.index.astype(str)),
+            "cnt": pa.array(vc.to_numpy().astype(np.int64))})
+
+    top = docs.map_batches(counts, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("cnt", alias_name="cnt")) \
+        .sort(["cnt", "token"], descending=[True, False]) \
+        .limit(v).to_pandas()
+    top["cnt"] = top["cnt"].astype(np.int64)
+    top["tok_id"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top
+
+
+QUERIES["vocab_ids"] = q_vocab_ids
+
+
+def q_docs_stop_strip(sf_dir: str):
+    """Stopword-stripped text fingerprints per document (vectorized
+    list rebuild; see stages.text.stopword_strip_fp)."""
+    from spapy_ray.stages.text import STOPWORDS, stopword_strip_fp
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return stopword_strip_fp(docs, stopwords=STOPWORDS)
+
+
+QUERIES["docs_stop_strip"] = q_docs_stop_strip
+
+
+def q_lineitem_regr(sf_dir: str, q: int = 10 ** 6):
+    """Per-(returnflag, linestatus) OLS regression of price cents on
+    quantity — exact integer moment sums (ONE combiner shuffle), the
+    closed-form slope/intercept folded in Python big ints on the
+    4-row moment table; trunc-toward-zero quantization (DuckDB //).
+    At 10^12 rows the int64 partials would switch to the (hi, lo)
+    limb fold of revenue_total_128."""
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        x = np.rint(t.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        y = np.rint(t.column("l_extendedprice")
+                    .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "x": pa.array(x), "y": pa.array(y),
+            "xy": pa.array(x * y), "xx": pa.array(x * x)})
+
+    s = pre_aggregated_sums(li.map_batches(pre, batch_format="pyarrow"),
+                            ["l_returnflag", "l_linestatus"],
+                            ["x", "y", "xy", "xx"], count_alias="n")
+    df = s.to_pandas()
+
+    def tq(a: int, b: int) -> int:
+        return (1 if (a >= 0) == (b >= 0) else -1) \
+            * (abs(a) // abs(b))
+
+    rows = []
+    for r in df.itertuples(index=False):
+        n, sx, sy = int(r.n), int(r.x), int(r.y)
+        sxy, sxx = int(r.xy), int(r.xx)
+        d = n * sxx - sx * sx
+        rows.append((r.l_returnflag, r.l_linestatus, n,
+                     tq(q * (n * sxy - sx * sy), d),
+                     tq(q * (sy * sxx - sx * sxy), d)))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "l_linestatus",
+                                      "n", "slope_q", "icept_q"])
+    for c in ("n", "slope_q", "icept_q"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+
+
+QUERIES["lineitem_regr"] = q_lineitem_regr

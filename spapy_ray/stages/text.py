@@ -768,3 +768,49 @@ def fuzzy_vocab_pairs(ds, *, column: str = "text", min_count: int = 1,
         return g.drop_duplicates("pk").drop(columns=["pk"])
 
     return bucketed_group_agg(pairs, "pk", dedup, buckets=buckets)
+
+
+def stopword_strip_fp(ds, *, column: str = "text",
+                      stopwords: tuple[str, ...] = ("the", "a"),
+                      id_col: str = "doc_id"):
+    """Stopword removal with a byte-exact fingerprint of the result —
+    the normalization step of a dedup-after-cleaning pipeline, kept
+    fully vectorized: stopword tokens are BLANKED in the flat token
+    array (pc.if_else over one is_in mask), the list is rebuilt on
+    the original offsets and space-joined, and the double spaces are
+    collapsed by one RE2 pass — identical construction to the SQL
+    twin, so the FNV of the stripped text is comparable bit-for-bit.
+    No per-row Python; the only loop-shaped thing is a segmented
+    reduction over list offsets."""
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    def strip(batch: pa.Table) -> pa.Table:
+        text = batch.column(column)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        mask = pc.is_in(flat, value_set=pa.array(stopwords))
+        blanked = pc.if_else(mask, pa.scalar(""), flat)
+        # list_flatten compacts values, so rebase offsets to 0 before
+        # rebuilding (a sliced ListArray's offsets need not start at 0)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off0 = off - off[0]
+        rebuilt = pa.ListArray.from_arrays(
+            pa.array(off0, type=pa.int32()), blanked)
+        joined = pc.binary_join(
+            rebuilt, pa.scalar(" ", type=pa.string()))
+        stripped = pc.utf8_trim(
+            pc.replace_substring_regex(joined, pattern=" +",
+                                       replacement=" "), " ")
+        kept = (~mask.to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(kept)])
+        n_kept = csum[off0[1:]] - csum[off0[:-1]]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tok": pc.cast(pc.list_value_length(toks), pa.int64()),
+            "n_kept": pa.array(n_kept),
+            "fp": pa.array(fnv1a64(stripped).view(np.int64))})
+
+    return ds.map_batches(strip, batch_format="pyarrow")

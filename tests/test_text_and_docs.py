@@ -140,3 +140,63 @@ def test_bigram_pmi_brute_force(ray_session):
         got.reset_index(drop=True).astype({"score": "int64"}),
         exp.astype({"score": "int64"}), check_dtype=False)
     assert got.iloc[0]["gram"] in ("qq zz", "zz qq")
+
+
+def test_stopword_strip_fp_adversarial(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.kernels.hashing import fnv1a64_scalar
+    from spapy_ray.stages.text import stopword_strip_fp
+
+    texts = [
+        "the quick a fox",          # interior stopwords
+        "the the the",              # all stopwords -> empty
+        "a",                        # single stopword
+        "naïve café the señor",     # non-ASCII survives byte-exact
+        "x  y the  z",              # pre-existing double spaces
+        "keep these words",         # no stopwords
+        "",                         # empty text
+    ]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64),
+         "text": texts}), override_num_blocks=3)
+    got = stopword_strip_fp(ds, stopwords=("the", "a")) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    import re
+
+    def ref(t):
+        toks = t.split(" ")
+        blank = ["" if x in ("the", "a") else x for x in toks]
+        st = re.sub(" +", " ", " ".join(blank)).strip(" ")
+        kept = sum(1 for x in toks if x not in ("the", "a"))
+        h = fnv1a64_scalar(st)
+        return (len(toks), kept,
+                h - (1 << 64) if h >= (1 << 63) else h)
+
+    exp = pd.DataFrame([ref(t) for t in texts],
+                       columns=["n_tok", "n_kept", "fp"])
+    exp.insert(0, "doc_id", np.arange(len(texts), dtype=np.int64))
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  exp.astype("int64"))
+
+
+def test_lineitem_regr_closed_form(ray_session):
+    # exact known line: y = 3x + 5 -> slope_q = 3e6, icept_q = 5e6
+    import numpy as np
+    import pandas as pd
+
+    x = np.arange(1, 50)
+    df = pd.DataFrame({
+        "l_returnflag": ["A"] * len(x), "l_linestatus": ["O"] * len(x),
+        "l_quantity": x.astype(float),
+        "l_extendedprice": (3 * x + 5) / 100.0})
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.to_parquet(os.path.join(d, "lineitem.parquet"))
+    from spapy_ray.pipelines.queries import q_lineitem_regr
+    out = q_lineitem_regr(d)
+    assert out.iloc[0]["slope_q"] == 3_000_000
+    assert out.iloc[0]["icept_q"] == 5_000_000
