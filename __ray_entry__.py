@@ -301,4 +301,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_ids": o.q_vocab_ids(),
         "docs_stop_strip": o.q_docs_stop_strip(),
         "lineitem_regr": o.q_lineitem_regr(),
+        "raster_variogram": o.q_raster_variogram(),
     }

@@ -3087,3 +3087,27 @@ def q_lineitem_regr(q: int = 10 ** 6) -> str:
         f"(({q}::HUGEINT * (sy * sxx - sx * sxy)) // "
         "(n * sxx - sx * sx))::BIGINT AS icept_q FROM s"
     )
+
+
+def q_raster_variogram(lags: int = 8, q: int = 10 ** 6) -> str:
+    """Twin of directional_variogram over the int DEM: per-lag pair
+    sums with closed-form (parenthesized) neighbor values."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    z = sql_dem_int("gx", "gy", 0)
+    ze = sql_dem_int("(gx + h)", "gy", 0)
+    zs = sql_dem_int("gx", "(gy + h)", 0)
+    return (
+        "WITH px AS (SELECT p % 512 AS gx, p // 512 AS gy "
+        "FROM range(262144) t(p)), "
+        f"lag AS (SELECT unnest(generate_series(1, {lags})) AS h), "
+        "dx AS (SELECT 'x' AS dir, h, count(*)::BIGINT AS n_pairs, "
+        f"sum((({ze}) - ({z})) * (({ze}) - ({z})))::BIGINT AS ssd "
+        "FROM px, lag WHERE gx + h < 512 GROUP BY h), "
+        "dy AS (SELECT 'y' AS dir, h, count(*)::BIGINT AS n_pairs, "
+        f"sum((({zs}) - ({z})) * (({zs}) - ({z})))::BIGINT AS ssd "
+        "FROM px, lag WHERE gy + h < 512 GROUP BY h) "
+        "SELECT dir, h::BIGINT AS h, n_pairs, ssd, "
+        f"(({q} * ssd) // (2 * n_pairs))::BIGINT AS gamma_q "
+        "FROM (SELECT * FROM dx UNION ALL SELECT * FROM dy)"
+    )

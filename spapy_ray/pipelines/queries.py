@@ -4482,3 +4482,18 @@ def q_lineitem_regr(sf_dir: str, q: int = 10 ** 6):
 
 
 QUERIES["lineitem_regr"] = q_lineitem_regr
+
+
+def q_raster_variogram(sf_dir: str):
+    """Directional empirical semivariogram of the int DEM, lags 1-8
+    (stages.spatialstats.directional_variogram): width-8 strip halo,
+    2·8 exact integer partials per super-block."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.spatialstats import directional_variogram
+
+    return directional_variogram(
+        synth_dem_dataset(DEM_META, kind="int"), DEM_META,
+        lags=8, dtype="int32")
+
+
+QUERIES["raster_variogram"] = q_raster_variogram

@@ -193,3 +193,128 @@ def moran_i(ds, meta, *, dtype: str = "int32", q: int = 10 ** 6,
         "n_pix": [n], "w_dir": [w_dir], "s_sum": [s], "ss_sum": [ss],
         "p_und": [p_und], "d_deg": [d_deg],
         "moran_q": [moran_q]}).astype(np.int64)
+
+
+def directional_variogram(ds, meta, *, lags: int = 8,
+                          dtype: str = "int32", q: int = 10 ** 6,
+                          block: int | None = None):
+    """Empirical directional semivariogram (Matheron 1963) of an
+    integer raster: for each lag h = 1..lags and axis x / y,
+
+        gamma(h) = sum (z(p + h·e) - z(p))² / (2 · n_pairs)
+
+    over every in-raster pixel pair at offset h along the axis.
+    Integer ssd / counts are exact; ``gamma_q`` = trunc(q·ssd/(2n)).
+
+    Distributed shape — the moran/stencil halo generalized to width
+    ``lags``: pairs at offset +h only ever look EAST or SOUTH, so a
+    tile on a super-block's west/north boundary ships its first
+    ``lags`` columns (rows) to the neighboring block — strips only,
+    no corners, ONE shuffle. Each bucket mosaics its tiles plus the
+    two aprons and folds all ``2·lags`` partials vectorized (one
+    whole-mosaic subtract per lag); the exchange is O(perimeter ·
+    lags), the output 2·lags rows.
+    """
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.raster import _auto_block, decode_tile
+
+    T = meta.tile_size
+    if meta.width % T or meta.height % T:
+        raise ValueError("directional_variogram requires tile-aligned "
+                         "rasters")
+    if lags > T:
+        raise ValueError("lags must be <= tile_size (one-ring strips)")
+    block = block or _auto_block(meta)
+    L = lags
+
+    def tag(t: pa.Table) -> pa.Table:
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        out = {"bk__": [], "tx": [], "ty": [], "kind": [], "data": []}
+        for i, buf in enumerate(t.column("data").to_pylist()):
+            tx, ty = int(txs[i]), int(tys[i])
+            own = ((tx // block) << 32) | (ty // block)
+            out["bk__"].append(own)
+            out["tx"].append(tx)
+            out["ty"].append(ty)
+            out["kind"].append(0)
+            out["data"].append(buf)
+            a = None
+            if tx % block == 0 and tx > 0:      # west strip -> west block
+                a = decode_tile(buf, dtype, T)
+                out["bk__"].append((((tx - 1) // block) << 32)
+                                   | (ty // block))
+                out["tx"].append(tx)
+                out["ty"].append(ty)
+                out["kind"].append(1)
+                out["data"].append(
+                    np.ascontiguousarray(a[:, :L]).tobytes())
+            if ty % block == 0 and ty > 0:      # north strip -> north block
+                if a is None:
+                    a = decode_tile(buf, dtype, T)
+                out["bk__"].append(((tx // block) << 32)
+                                   | (((ty - 1) // block)))
+                out["tx"].append(tx)
+                out["ty"].append(ty)
+                out["kind"].append(2)
+                out["data"].append(
+                    np.ascontiguousarray(a[:L, :]).tobytes())
+        return pa.table({
+            "bk__": pa.array(out["bk__"], type=pa.int64()),
+            "tx": pa.array(out["tx"], type=pa.int32()),
+            "ty": pa.array(out["ty"], type=pa.int32()),
+            "kind": pa.array(out["kind"], type=pa.int8()),
+            "data": pa.array(out["data"], type=pa.binary())})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        txs = g["tx"].to_numpy()
+        tys = g["ty"].to_numpy()
+        kinds = g["kind"].to_numpy()
+        datas = g["data"].to_numpy()
+        core = kinds == 0
+        bx = int(txs[core][0]) // block
+        by = int(tys[core][0]) // block
+        tx0, ty0 = bx * block, by * block
+        nx = min(block, meta.tiles_x - tx0)
+        ny = min(block, meta.tiles_y - ty0)
+        dt = np.dtype(dtype).newbyteorder("<")
+        z = np.zeros((ny * T + L, nx * T + L), dtype=np.int64)
+        has_e = tx0 + nx < meta.tiles_x
+        has_s = ty0 + ny < meta.tiles_y
+        for k in range(len(g)):
+            tx, ty, kind = int(txs[k]), int(tys[k]), int(kinds[k])
+            if kind == 0:
+                a = np.frombuffer(datas[k], dtype=dt).reshape(T, T)
+                z[(ty - ty0) * T:(ty - ty0) * T + T,
+                  (tx - tx0) * T:(tx - tx0) * T + T] = a
+            elif kind == 1:                     # east apron strip
+                a = np.frombuffer(datas[k], dtype=dt).reshape(T, L)
+                z[(ty - ty0) * T:(ty - ty0) * T + T,
+                  nx * T:nx * T + L] = a
+            else:                               # south apron strip
+                a = np.frombuffer(datas[k], dtype=dt).reshape(L, T)
+                z[ny * T:ny * T + L,
+                  (tx - tx0) * T:(tx - tx0) * T + T] = a
+        rows = []
+        cw, ch = nx * T, ny * T                 # core extent in pixels
+        for h in range(1, L + 1):
+            xmax = cw if has_e else cw - h
+            d = z[:ch, h:h + xmax] - z[:ch, :xmax]
+            rows.append(("x", h, ch * xmax, int((d * d).sum())))
+            ymax = ch if has_s else ch - h
+            d = z[h:h + ymax, :cw] - z[:ymax, :cw]
+            rows.append(("y", h, ymax * cw, int((d * d).sum())))
+        return pd.DataFrame(rows, columns=["dir", "h", "n", "ssd"])
+
+    parts = tagged.groupby("bk__").map_groups(per_bucket,
+                                              batch_format="pandas")
+    out = parts.groupby(["dir", "h"]).aggregate(
+        Sum("n", alias_name="n_pairs"), Sum("ssd", alias_name="ssd")) \
+        .to_pandas()
+    out["gamma_q"] = (q * out["ssd"]) // (2 * out["n_pairs"])
+    for c in ("h", "n_pairs", "ssd", "gamma_q"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["dir", "h"]).reset_index(drop=True)

@@ -1113,3 +1113,30 @@ def test_moran_i_checkerboard_negative(ray_session):
     exp = _moran_brute(full.astype(np.int64))
     assert got == exp
     assert got["moran_q"] < -990_000  # ~ -1 for a checkerboard
+
+
+def test_variogram_bruteforce_blocks(ray_session):
+    from spapy_ray.stages.spatialstats import directional_variogram
+
+    meta = SMALL
+    full = _full_int(meta).astype(np.int64)
+    L, q = 7, 10 ** 6
+    exp_rows = []
+    for h in range(1, L + 1):
+        d = full[:, h:] - full[:, :-h]
+        exp_rows.append(("x", h, d.size, int((d * d).sum())))
+        d = full[h:, :] - full[:-h, :]
+        exp_rows.append(("y", h, d.size, int((d * d).sum())))
+    import pandas as pd
+    exp = pd.DataFrame(exp_rows, columns=["dir", "h", "n_pairs", "ssd"])
+    exp["gamma_q"] = (q * exp["ssd"]) // (2 * exp["n_pairs"])
+    exp = exp.sort_values(["dir", "h"]).reset_index(drop=True)
+    for blk in (1, 2, 4):  # 4x4 tiles: single-bucket and cross-block
+        got = directional_variogram(
+            synth_dem_dataset(meta, kind="int"), meta, lags=L,
+            dtype="int32", block=blk).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({c: "int64" for c in
+                        ["h", "n_pairs", "ssd", "gamma_q"]}),
+            exp.astype({c: "int64" for c in
+                        ["h", "n_pairs", "ssd", "gamma_q"]}))
