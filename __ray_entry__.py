@@ -302,4 +302,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_stop_strip": o.q_docs_stop_strip(),
         "lineitem_regr": o.q_lineitem_regr(),
         "raster_variogram": o.q_raster_variogram(),
+        "areal_interp": o.q_areal_interp(),
     }

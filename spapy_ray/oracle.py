@@ -3111,3 +3111,49 @@ def q_raster_variogram(lags: int = 8, q: int = 10 ** 6) -> str:
         f"(({q} * ssd) // (2 * n_pairs))::BIGINT AS gamma_q "
         "FROM (SELECT * FROM dx UNION ALL SELECT * FROM dy)"
     )
+
+
+def q_areal_interp() -> str:
+    """Twin of stages.overlay.areal_transfer over the pip-join zone
+    counts: disjoint 1-2 rect decomposition per zone shape, exact
+    integer intersection areas, floor allocation."""
+    za = ("(CASE WHEN shape IN (0, 1) THEN w * h "
+          "WHEN shape = 2 THEN w * h2 + w2 * (h - h2) "
+          "ELSE w2 * h2 + (w - w2 - 5000) * (h - h2 - 5000) END)")
+
+    def rect(n: int) -> str:
+        if n == 1:
+            return ("SELECT zone_id, "
+                    "x0 AS a0, y0 AS b0, "
+                    "x0 + (CASE WHEN shape = 3 THEN w2 ELSE w END) AS a1, "
+                    "y0 + (CASE WHEN shape IN (0, 1) THEN h "
+                    "WHEN shape = 2 THEN h2 ELSE h2 END) AS b1 "
+                    "FROM zc")
+        return ("SELECT zone_id, "
+                "x0 + (CASE WHEN shape = 2 THEN 0 ELSE w2 + 5000 END) AS a0, "
+                "y0 + h2 + (CASE WHEN shape = 2 THEN 0 ELSE 5000 END) AS b0, "
+                "x0 + (CASE WHEN shape = 2 THEN w2 ELSE w END) AS a1, "
+                "y0 + h AS b1 FROM zc WHERE shape IN (2, 3)")
+
+    return (
+        f"WITH {join_cte()}, "
+        "cnt AS (SELECT zone_id, count(*)::BIGINT AS c FROM joined "
+        "GROUP BY zone_id), "
+        f"zc AS (SELECT z.*, coalesce(cnt.c, 0) AS c, {za} AS za "
+        "FROM zones z LEFT JOIN cnt USING (zone_id)), "
+        f"rects AS ({rect(1)} UNION ALL {rect(2)}), "
+        "cells AS (SELECT (p % 360)::BIGINT AS gx, "
+        "(p // 360)::BIGINT AS gy, "
+        "-1800000 + (p % 360) * 10000 AS cx0, "
+        "-850000 + (p // 360) * 10000 AS cy0 FROM range(61200) t(p)), "
+        "iz AS (SELECT gx, gy, r.zone_id, "
+        "sum(greatest(0, least(a1, cx0 + 10000) - greatest(a0, cx0)) "
+        "* greatest(0, least(b1, cy0 + 10000) - greatest(b0, cy0)))"
+        "::BIGINT AS inter FROM cells, rects r "
+        "WHERE a0 < cx0 + 10000 AND a1 > cx0 "
+        "AND b0 < cy0 + 10000 AND b1 > cy0 GROUP BY 1, 2, 3), "
+        "al AS (SELECT gx, gy, "
+        "sum((zc.c * iz.inter) // zc.za)::BIGINT AS alloc "
+        "FROM iz JOIN zc USING (zone_id) GROUP BY 1, 2) "
+        "SELECT gx, gy, alloc FROM al WHERE alloc > 0"
+    )

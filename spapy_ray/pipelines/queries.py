@@ -4497,3 +4497,28 @@ def q_raster_variogram(sf_dir: str):
 
 
 QUERIES["raster_variogram"] = q_raster_variogram
+
+
+def q_areal_interp(sf_dir: str):
+    """Dasymetric re-basing of the spatial-join result: per-zone page
+    counts (pip_join + combiner) allocated onto the 1-degree grid by
+    exact zone-cell intersection-area weights
+    (stages.overlay.areal_transfer — zones broadcast once, the grid
+    streams, no shuffle)."""
+    from spapy_ray.stages.overlay import areal_transfer
+    from spapy_ray.stages.relational import pre_aggregated_count
+
+    cnt = pre_aggregated_count(_join(sf_dir), "zone_id",
+                               alias="n_pages").to_pandas()
+    weights = dict(zip(cnt["zone_id"].astype(int),
+                       cnt["n_pages"].astype(int)))
+    out = areal_transfer(zones_table(), weights)
+
+    def typed(t: pa.Table) -> pa.Table:
+        return pa.table({c: pc.cast(t.column(c), pa.int64())
+                         for c in t.column_names})
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
+QUERIES["areal_interp"] = q_areal_interp

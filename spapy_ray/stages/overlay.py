@@ -291,3 +291,75 @@ def dissolve_union_area(ds, key_col: str,
     return bucketed_group_agg(
         ds.map_batches(rect_rows, batch_format="pyarrow"), "key",
         per_key, buckets=buckets)
+
+
+def areal_transfer(zones: pa.Table, weights: dict, *,
+                   nx: int = 360, ny: int = 170,
+                   x_min_u: int = -1_800_000, y_min_u: int = -850_000,
+                   step_u: int = 10_000, geom_col: str = "geom_wkb",
+                   id_col: str = "zone_id"):
+    """Areal interpolation (dasymetric transfer): allocate each
+    zone's integer weight onto a regular grid proportionally to the
+    EXACT zone∩cell intersection area —
+
+        alloc(z, c) = weight_z * area(z ∩ c) // area(z)
+
+    (floor on non-negative ints, so DuckDB-// compatible). The GIS
+    classic for re-basing counts from polygons onto rasters; the
+    reference has no overlay-weighted transfer.
+
+    Distributed shape: the zone layer is the SMALL side — decoded
+    once into an exact disjoint-rectangle decomposition
+    (kernels.rectilinear.multipolygon_to_rects), fixed-point int64,
+    and broadcast via ray.put; the GRID is the big side, streamed as
+    a range Dataset, each batch folding cells x rects vectorized
+    (one [B, R] intersection, one reduceat to [B, Z]). No shuffle at
+    all. Output: (gx, gy, alloc) for cells with alloc > 0. At 10^12
+    weights the int64 product weight*area would move to (hi, lo)
+    limbs (revenue_total_128)."""
+    import ray
+    import ray.data as rd
+
+    from spapy_ray.kernels.rectilinear import multipolygon_to_rects
+    from spapy_ray.kernels.wkb import as_multipolygon
+
+    U = 10_000  # fixed-point units per degree (zones convention)
+    rx0, ry0, rx1, ry1 = [], [], [], []
+    seg, cnts, zareas = [0], [], []
+    zids = zones.column(id_col).to_pylist()
+    for zid, buf in zip(zids, zones.column(geom_col).to_pylist()):
+        rects = multipolygon_to_rects(as_multipolygon(bytes(buf)))
+        r = np.rint(np.asarray(rects, np.float64) * U).astype(np.int64)
+        rx0.append(r[:, 0]); ry0.append(r[:, 1])
+        rx1.append(r[:, 2]); ry1.append(r[:, 3])
+        seg.append(seg[-1] + len(r))
+        cnts.append(int(weights.get(zid, 0)))
+        zareas.append(int(((r[:, 2] - r[:, 0])
+                           * (r[:, 3] - r[:, 1])).sum()))
+    pack = (np.concatenate(rx0), np.concatenate(ry0),
+            np.concatenate(rx1), np.concatenate(ry1),
+            np.asarray(seg[:-1], np.int64),
+            np.asarray(cnts, np.int64), np.asarray(zareas, np.int64))
+    ref = ray.put(pack)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ax0, ay0, ax1, ay1, starts, cnt, za = ray.get(ref)
+        p = t.column("id").to_numpy().astype(np.int64)
+        gx, gy = p % nx, p // nx
+        cx0 = x_min_u + gx * step_u
+        cy0 = y_min_u + gy * step_u
+        ix = (np.minimum(ax1[None, :], (cx0 + step_u)[:, None])
+              - np.maximum(ax0[None, :], cx0[:, None])).clip(min=0)
+        iy = (np.minimum(ay1[None, :], (cy0 + step_u)[:, None])
+              - np.maximum(ay0[None, :], cy0[:, None])).clip(min=0)
+        inter = np.add.reduceat(ix * iy, starts, axis=1)
+        alloc = (cnt[None, :] * inter) // za[None, :]
+        tot = alloc.sum(axis=1)
+        keep = tot > 0
+        return pa.table({"gx": pa.array(gx[keep]),
+                         "gy": pa.array(gy[keep]),
+                         "alloc": pa.array(tot[keep])})
+
+    return rd.range(nx * ny).map_batches(per_batch,
+                                         batch_format="pyarrow",
+                                         batch_size=2048)

@@ -154,3 +154,35 @@ def test_dissolve_union_area_matches_mask_union(ray_session):
         row = got[got["labelrank"] == k].iloc[0]
         assert row["n_feats"] == len(sets)
         assert abs(row["area_u"] / 1e8 - area) < 1e-6
+
+
+def test_areal_transfer_conservation_and_exactness(ray_session):
+    # weights fully allocated when a zone lies inside the grid:
+    # sum over cells of per-zone alloc == weight - (floor remainders),
+    # and a zone covering exactly one cell allocates everything there
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from spapy_ray.kernels import wkb
+    from spapy_ray.stages.overlay import areal_transfer
+
+    U = 10000
+
+    def rectz(zid, x0, y0, x1, y1):
+        r = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
+                     float) / U
+        return {"zone_id": zid, "geom_wkb": wkb.encode_polygon([r])}
+
+    # zone 1: exactly cell (182, 87) in fixed point; zone 2: straddles
+    # two cells horizontally 30%/70%
+    z1 = rectz(1, -1800000 + 182 * 10000, -850000 + 87 * 10000,
+               -1800000 + 183 * 10000, -850000 + 88 * 10000)
+    z2 = rectz(2, -1800000 + 10 * 10000 + 7000, -850000 + 5 * 10000,
+               -1800000 + 11 * 10000 + 7000, -850000 + 6 * 10000)
+    zones = pa.Table.from_pylist([z1, z2])
+    out = areal_transfer(zones, {1: 1000, 2: 10}).to_pandas()
+    got = {(r.gx, r.gy): r.alloc for r in out.itertuples()}
+    assert got[(182, 87)] == 1000
+    assert got[(10, 5)] == 3 and got[(11, 5)] == 7
+    assert len(got) == 3
