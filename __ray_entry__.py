@@ -303,4 +303,5 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_regr": o.q_lineitem_regr(),
         "raster_variogram": o.q_raster_variogram(),
         "areal_interp": o.q_areal_interp(),
+        "events_interp": o.q_events_interp(),
     }

@@ -3157,3 +3157,32 @@ def q_areal_interp() -> str:
         "FROM iz JOIN zc USING (zone_id) GROUP BY 1, 2) "
         "SELECT gx, gy, alloc FROM al WHERE alloc > 0"
     )
+
+
+def q_events_interp() -> str:
+    """Twin of stages.sessions.interp_attach: backward bracket via
+    native ASOF JOIN, forward via the row_number formulation (DuckDB
+    ASOF is backward-only), floor interpolation on non-negative
+    integers."""
+    return (
+        "WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us, "
+        "event_type, round(value * 100)::BIGINT AS c FROM events), "
+        "v AS (SELECT event_id, user_id, ts, us FROM e "
+        "WHERE event_type = 'view'), "
+        "p AS (SELECT user_id, ts, us, c FROM e "
+        "WHERE event_type = 'purchase'), "
+        "b AS (SELECT v.event_id, v.user_id, v.us, p.us AS us0, "
+        "p.c AS c0 FROM v ASOF LEFT JOIN p "
+        "ON v.user_id = p.user_id AND p.ts <= v.ts), "
+        "fm AS (SELECT v.event_id, p.us AS us1, p.c AS c1, "
+        "row_number() OVER (PARTITION BY v.event_id "
+        "ORDER BY p.ts) AS rn "
+        "FROM v JOIN p ON p.user_id = v.user_id AND p.ts >= v.ts), "
+        "f AS (SELECT event_id, us1, c1 FROM fm WHERE rn = 1) "
+        "SELECT b.user_id, b.event_id AS view_event_id, "
+        "(CASE WHEN b.us0 IS NULL OR f.us1 IS NULL THEN -1 "
+        "WHEN f.us1 = b.us0 THEN b.c0 "
+        "ELSE (b.c0 * (f.us1 - b.us) + f.c1 * (b.us - b.us0)) "
+        "// (f.us1 - b.us0) END)::BIGINT AS interp_c "
+        "FROM b LEFT JOIN f USING (event_id)"
+    )

@@ -4522,3 +4522,18 @@ def q_areal_interp(sf_dir: str):
 
 
 QUERIES["areal_interp"] = q_areal_interp
+
+
+def q_events_interp(sf_dir: str):
+    """Linear interpolation of purchase value at each view timestamp
+    (two-sided as-of + exact integer interpolation, one scan + one
+    shuffle; stages.sessions.interp_attach)."""
+    from spapy_ray.stages.sessions import interp_attach
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type",
+                        "value"])
+    return interp_attach(ds)
+
+
+QUERIES["events_interp"] = q_events_interp

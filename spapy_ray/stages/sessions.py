@@ -780,3 +780,103 @@ def user_paths(ds, *, user_col: str = "user_id", ts_col: str = "ts",
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("bkt__").map_groups(per_bucket,
                                      batch_format="pandas")
+
+
+def interp_attach(ds, *, by: str = "user_id", on: str = "ts",
+                  side_col: str = "event_type",
+                  left_value="view", right_value="purchase",
+                  id_col: str = "event_id", value_col: str = "value"):
+    """Linear interpolation attach: for every LEFT row, bracket it
+    with the nearest RIGHT rows on both sides (two-sided as-of) and
+    linearly interpolate the right value at the left timestamp —
+    the gap-filling / sensor-alignment primitive. Exact integer
+    convention: value in cents (round(v*100)), time in microseconds,
+
+        interp_c = (c0·(t1-t) + c1·(t-t0)) // (t1-t0)
+
+    (floor of a non-negative rational == DuckDB //); -1 when either
+    bracket is missing; c0 when the brackets coincide.
+
+    ONE source scan (side-tagged unified-schema union) and ONE hash
+    bucket shuffle; both merge_asof directions run inside the same
+    per-bucket pandas pass, so the corpus is never read or shuffled
+    twice (contrast: composing two asof_join_split calls would scan
+    the source twice and shuffle twice)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def tag_both(t: pa.Table) -> pa.Table:
+        lt = t.filter(pc.equal(t.column(side_col), left_value))
+        rt = t.filter(pc.equal(t.column(side_col), right_value))
+        cents = np.rint(rt.column(value_col)
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        lout = pa.table({
+            by: lt.column(by), on: lt.column(on),
+            "id__": lt.column(id_col),
+            "c__": pa.nulls(len(lt), type=pa.int64()),
+            "side__": pa.array(np.zeros(len(lt), dtype=np.int8))})
+        rout = pa.table({
+            by: rt.column(by), on: rt.column(on),
+            "id__": pa.nulls(len(rt), type=pa.int64()),
+            "c__": pa.array(cents),
+            "side__": pa.array(np.ones(len(rt), dtype=np.int8))})
+        return pa.concat_tables([lout, rout])
+
+    from spapy_ray.stages.relational import _bucket_column
+    from spapy_ray.util import cluster_cpus
+
+    nbuckets = max(64, cluster_cpus() * 4)
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bkt__",
+                               _bucket_column(t, by, nbuckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["side__"] == 0][[by, on, "id__"]] \
+            .sort_values(on, kind="stable")
+        rt = g[g["side__"] == 1][[by, on, "c__"]] \
+            .sort_values(on, kind="stable")
+        empty = pd.DataFrame({
+            by: pd.Series([], dtype=np.int64),
+            "view_event_id": pd.Series([], dtype=np.int64),
+            "interp_c": pd.Series([], dtype=np.int64)})
+        if len(lf) == 0:
+            return empty
+        t_us = lf[on].to_numpy().astype("datetime64[us]") \
+            .view(np.int64)
+        if len(rt) == 0:
+            return pd.DataFrame({
+                by: lf[by].to_numpy().astype(np.int64),
+                "view_event_id": lf["id__"].to_numpy()
+                .astype(np.int64),
+                "interp_c": np.full(len(lf), -1, dtype=np.int64)})
+        rb = rt.rename(columns={"c__": "c0"})
+        rb["t0"] = rb[on].to_numpy()
+        b = pd.merge_asof(lf, rb, on=on, by=by, direction="backward")
+        rf = rt.rename(columns={"c__": "c1"})
+        rf["t1"] = rf[on].to_numpy()
+        f = pd.merge_asof(lf, rf, on=on, by=by, direction="forward")
+        ok = b["t0"].notna().to_numpy() & f["t1"].notna().to_numpy()
+        out = np.full(len(lf), -1, dtype=np.int64)
+        if ok.any():
+            t0 = b["t0"].to_numpy()[ok].astype("datetime64[us]") \
+                .view(np.int64)
+            t1 = f["t1"].to_numpy()[ok].astype("datetime64[us]") \
+                .view(np.int64)
+            c0 = b["c0"].to_numpy()[ok].astype(np.int64)
+            c1 = f["c1"].to_numpy()[ok].astype(np.int64)
+            t = t_us[ok]
+            dt = t1 - t0
+            num = c0 * (t1 - t) + c1 * (t - t0)
+            out[ok] = np.where(dt == 0, c0,
+                               num // np.maximum(dt, 1))
+        return pd.DataFrame({
+            by: lf[by].to_numpy().astype(np.int64),
+            "view_event_id": lf["id__"].to_numpy().astype(np.int64),
+            "interp_c": out})
+
+    return ds.map_batches(tag_both, batch_format="pyarrow") \
+        .map_batches(tag_bucket, batch_format="pyarrow") \
+        .groupby("bkt__").map_groups(per_bucket,
+                                     batch_format="pandas")

@@ -548,3 +548,48 @@ def test_knn_join_embeddings_empty_sides(ray_session):
         # assert schema on the Dataset (to_pandas drops columns of an
         # empty Dataset — the known trap)
         assert list(out.schema().names) == ["qid", "vec_id", "rank"]
+
+
+def test_interp_attach_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.sessions import interp_attach
+
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": rng.choice(np.arange(0, 10 ** 7, 13), n, replace=False)
+        .astype("datetime64[us]"),
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "event_type": rng.choice(["view", "purchase", "click"], n,
+                                 p=[0.5, 0.2, 0.3]),
+        "value": np.round(rng.uniform(0.01, 400), 2)})
+    got = interp_attach(rd.from_pandas(df, override_num_blocks=5)) \
+        .to_pandas().sort_values("view_event_id") \
+        .reset_index(drop=True)
+
+    rows = []
+    for r in df[df.event_type == "view"].itertuples():
+        p = df[(df.event_type == "purchase")
+               & (df.user_id == r.user_id)]
+        prev = p[p.ts <= r.ts].sort_values("ts").tail(1)
+        nxt = p[p.ts >= r.ts].sort_values("ts").head(1)
+        if len(prev) == 0 or len(nxt) == 0:
+            ic = -1
+        else:
+            t0 = prev.ts.iloc[0].value
+            t1 = nxt.ts.iloc[0].value
+            c0 = int(np.rint(prev.value.iloc[0] * 100))
+            c1 = int(np.rint(nxt.value.iloc[0] * 100))
+            t = r.ts.value
+            ic = c0 if t1 == t0 else \
+                (c0 * (t1 - t) + c1 * (t - t0)) // (t1 - t0)
+        rows.append((r.user_id, r.event_id, ic))
+    exp = pd.DataFrame(rows, columns=["user_id", "view_event_id",
+                                      "interp_c"]) \
+        .sort_values("view_event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  exp.astype("int64"))
