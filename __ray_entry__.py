@@ -304,4 +304,5 @@ def oracle_sql() -> dict[str, str]:
         "raster_variogram": o.q_raster_variogram(),
         "areal_interp": o.q_areal_interp(),
         "events_interp": o.q_events_interp(),
+        "resample_bilinear": o.q_resample_bilinear(),
     }

@@ -3186,3 +3186,40 @@ def q_events_interp() -> str:
         "// (f.us1 - b.us0) END)::BIGINT AS interp_c "
         "FROM b LEFT JOIN f USING (event_id)"
     )
+
+
+def q_resample_bilinear(q: int = 1 << 20) -> str:
+    """Twin of queries.q_resample_bilinear — every dst pixel's
+    bilinear sample recomputed with the engine's exact float op
+    order and parenthesization (edge-clamped corners)."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    W, H, T = 200, 200, 64
+    lon = "(-179.984375 + (px + 0.5) * 1.7578125)"
+    lat = "(84.96875 + (py + 0.5) * -0.830078125)"
+    xs = f"(({lon} - (-180.0)) / 0.703125 - 0.5)"
+    ys = f"(({lat} - 85.0) / (-0.33203125) - 0.5)"
+    z00 = sql_dem_int("x0", "y0", 0)
+    z01 = sql_dem_int("x1", "y0", 0)
+    z10 = sql_dem_int("x0", "y1", 0)
+    z11 = sql_dem_int("x1", "y1", 0)
+    v = (f"((1.0 - fy) * ((1.0 - fx) * ({z00}) + fx * ({z01})) "
+         f"+ fy * ((1.0 - fx) * ({z10}) + fx * ({z11})))")
+    return (
+        f"WITH px AS (SELECT p % {W} AS px, p // {W} AS py "
+        f"FROM range({W * H}) t(p)), "
+        f"m AS (SELECT px, py, {xs} AS xs, {ys} AS ys FROM px), "
+        "c AS (SELECT px, py, xs, ys, "
+        "GREATEST(0, LEAST(511, floor(xs)::BIGINT)) AS x0, "
+        "GREATEST(0, LEAST(511, floor(ys)::BIGINT)) AS y0 FROM m), "
+        "f AS (SELECT px, py, x0, y0, "
+        "LEAST(x0 + 1, 511) AS x1, LEAST(y0 + 1, 511) AS y1, "
+        "LEAST(GREATEST(xs - x0, 0.0), 1.0) AS fx, "
+        "LEAST(GREATEST(ys - y0, 0.0), 1.0) AS fy FROM c), "
+        f"v AS (SELECT px // {T} AS tx, py // {T} AS ty, "
+        f"trunc({v} * {float(q)})::BIGINT AS vq FROM f) "
+        "SELECT tx::BIGINT AS tx, ty::BIGINT AS ty, "
+        "sum(vq)::BIGINT AS sum_q, min(vq)::BIGINT AS min_q, "
+        "max(vq)::BIGINT AS max_q, count(*)::BIGINT AS n_px "
+        "FROM v GROUP BY tx, ty"
+    )

@@ -4537,3 +4537,46 @@ def q_events_interp(sf_dir: str):
 
 
 QUERIES["events_interp"] = q_events_interp
+
+
+def q_resample_bilinear(sf_dir: str):
+    """Bilinear resample of the int DEM onto the offset 2.5x grid
+    (gdalwarp -r bilinear parity; the reference only has the nearest
+    pixel loop). Per-pixel values are quantized trunc(v * 2^20) —
+    exact: the mosaic-relative float subtractions are ulp-multiple
+    exact, so the engine's sample arithmetic is bit-identical to the
+    twin's global-coordinate form; per-tile int64 sums/min/max."""
+    from spapy_ray.sources.rasters import DEM_META, RasterMeta, \
+        synth_dem_dataset
+    from spapy_ray.stages.raster import decode_tile, resample_to_grid
+
+    dst = RasterMeta(**RESAMPLE_DST)
+    out = resample_to_grid(synth_dem_dataset(DEM_META, kind="int"),
+                           DEM_META, dst, dtype="int32",
+                           method="bilinear", out_dtype="float64")
+    Q = 1 << 20
+
+    def stats(t: pa.Table) -> pa.Table:
+        txs = t.column("tx").to_pylist()
+        tys = t.column("ty").to_pylist()
+        sums, mins, maxs, counts = [], [], [], []
+        for i, b in enumerate(t.column("data").to_pylist()):
+            h = min(dst.tile_size, dst.height - tys[i] * dst.tile_size)
+            w = min(dst.tile_size, dst.width - txs[i] * dst.tile_size)
+            a = decode_tile(b, "float64", dst.tile_size, h, w)
+            q = np.trunc(a * float(Q)).astype(np.int64)
+            sums.append(int(q.sum()))
+            mins.append(int(q.min()))
+            maxs.append(int(q.max()))
+            counts.append(int(q.size))
+        return pa.table({"tx": pc.cast(t.column("tx"), pa.int64()),
+                         "ty": pc.cast(t.column("ty"), pa.int64()),
+                         "sum_q": pa.array(sums, type=pa.int64()),
+                         "min_q": pa.array(mins, type=pa.int64()),
+                         "max_q": pa.array(maxs, type=pa.int64()),
+                         "n_px": pa.array(counts, type=pa.int64())})
+
+    return out.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["resample_bilinear"] = q_resample_bilinear
