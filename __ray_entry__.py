@@ -305,4 +305,6 @@ def oracle_sql() -> dict[str, str]:
         "areal_interp": o.q_areal_interp(),
         "events_interp": o.q_events_interp(),
         "resample_bilinear": o.q_resample_bilinear(),
+        "events_percent_rank": o.q_events_percent_rank(),
+        "cust_assortativity": o.q_cust_assortativity(),
     }

@@ -3223,3 +3223,43 @@ def q_resample_bilinear(q: int = 1 << 20) -> str:
         "max(vq)::BIGINT AS max_q, count(*)::BIGINT AS n_px "
         "FROM v GROUP BY tx, ty"
     )
+
+
+def q_events_percent_rank(q: int = 10 ** 6) -> str:
+    """Twin of the rank-normalized window query (integer form of
+    percent_rank / cume_dist; (user, ts, event_id) ordering is
+    unique, so rank == row_number)."""
+    return (
+        "WITH r AS (SELECT user_id, event_id, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id)::BIGINT AS rn, "
+        "count(*) OVER (PARTITION BY user_id)::BIGINT AS n "
+        "FROM events) "
+        "SELECT user_id, event_id, "
+        f"(CASE WHEN n = 1 THEN 0 ELSE ({q} * (rn - 1)) "
+        "// (n - 1) END)::BIGINT AS pct_q, "
+        f"(({q} * rn) // n)::BIGINT AS cd_q FROM r"
+    )
+
+
+def q_cust_assortativity(q: int = 10 ** 6) -> str:
+    """Twin of graph.degree_assortativity on the co-order graph."""
+    return (
+        "WITH e AS (SELECT DISTINCT a.o_custkey AS lo, "
+        "b.o_custkey AS hi FROM orders a JOIN orders b "
+        "ON a.o_orderdate = b.o_orderdate "
+        "AND a.o_custkey < b.o_custkey), "
+        "d AS (SELECT v, count(*)::BIGINT AS deg FROM "
+        "(SELECT lo AS v FROM e UNION ALL SELECT hi FROM e) "
+        "GROUP BY v), "
+        "x AS (SELECT da.deg::HUGEINT AS dx, db.deg::HUGEINT AS dy "
+        "FROM e JOIN d da ON da.v = e.lo JOIN d db ON db.v = e.hi), "
+        "s AS (SELECT 2 * count(*)::HUGEINT AS n, sum(dx + dy) AS sx, "
+        "sum(2 * dx * dy) AS sxy, sum(dx * dx + dy * dy) AS sxx "
+        "FROM x) "
+        "SELECT (SELECT count(*) FROM d)::BIGINT AS n_vertices, "
+        "(n // 2)::BIGINT AS n_edges, sx::BIGINT AS sx, "
+        "sxy::BIGINT AS sxy, sxx::BIGINT AS sxx, "
+        f"(({q} * (n * sxy - sx * sx)) // "
+        "(n * sxx - sx * sx))::BIGINT AS assort_q FROM s"
+    )

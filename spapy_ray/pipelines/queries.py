@@ -4580,3 +4580,53 @@ def q_resample_bilinear(sf_dir: str):
 
 
 QUERIES["resample_bilinear"] = q_resample_bilinear
+
+
+def q_events_percent_rank(sf_dir: str, q: int = 10 ** 6):
+    """Rank-normalized position of every event within its user's
+    timeline: pct_q = (q*(rn-1))//(n-1) (percent_rank) and cd_q =
+    (q*rn)//n (cume_dist), integer-exact — row_number + the
+    group_size window kind in ONE bucket shuffle (no second
+    count aggregate)."""
+    from spapy_ray.stages.window import window_over
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id"])
+    w = window_over(ev, key_col="user_id",
+                    order_cols=["ts", "event_id"],
+                    ops=[("rn", "row_number", None),
+                         ("n", "group_size", None)],
+                    keep_cols=["event_id"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        rn = t.column("rn").to_numpy().astype(np.int64)
+        n = t.column("n").to_numpy().astype(np.int64)
+        pct = np.where(n == 1, 0,
+                       (q * (rn - 1)) // np.maximum(n - 1, 1))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "pct_q": pa.array(pct.astype(np.int64)),
+            "cd_q": pa.array(((q * rn) // n).astype(np.int64))})
+
+    return w.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["events_percent_rank"] = q_events_percent_rank
+
+
+def q_cust_assortativity(sf_dir: str):
+    """Degree assortativity of the same-day co-order customer graph
+    (graph.degree_assortativity — sqrt-free exact Pearson over the
+    symmetric directed edge list)."""
+    from spapy_ray.stages.graph import degree_assortativity
+    from spapy_ray.stages.relational import within_group_pairs
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderdate", "o_custkey"])
+    pairs = within_group_pairs(orders, "o_orderdate", "o_custkey",
+                               out_a="a", out_b="b")
+    return degree_assortativity(pairs)
+
+
+QUERIES["cust_assortativity"] = q_cust_assortativity

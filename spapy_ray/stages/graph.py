@@ -403,3 +403,97 @@ def triangle_stats(pairs, *, a_col: str = "a", b_col: str = "b",
         "n_edges": np.array([n_edges], dtype=np.int64),
         "n_wedges": np.array([n_wedges], dtype=np.int64),
         "n_triangles": np.array([n_triangles], dtype=np.int64)})
+
+
+def degree_assortativity(pairs, *, a_col: str = "a", b_col: str = "b",
+                         q: int = 10 ** 6, buckets: int | None = None):
+    """Degree assortativity (Newman 2002): Pearson correlation of the
+    endpoint degrees over every DIRECTED edge. Because the directed
+    list is symmetric, sx == sy and sxx == syy, so the correlation
+    needs NO square root —
+
+        r = (n·sxy − sx²) / (n·sxx − sx²)
+
+    an exact ratio of big integers; ``assort_q`` = trunc(q·r)
+    (sign·(abs//abs) == DuckDB //).
+
+    Same distributed shape as triangle_stats' front half: canonical
+    edge dedup (one ck-bucket shuffle), degree fold (one v-bucket
+    shuffle), degrees broadcast once (ray.put; at web-graph node
+    counts swap for a co-partitioned join), then ONE streaming pass
+    over edges folding five integer moments — driver state is a
+    handful of ints. Returns a single-row DataFrame.
+    """
+    import ray
+
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    SHIFT = np.int64(1) << np.int64(32)
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t.column(b_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        if len(lo) and (lo.min() < 0 or hi.max() >= (1 << 31)):
+            raise ValueError("vertex ids must be in [0, 2^31)")
+        return pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
+                         "ck": pa.array(lo * SHIFT + hi)})
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("ck")
+
+    edges = bucketed_group_agg(
+        pairs.map_batches(canon, batch_format="pyarrow"), "ck",
+        dedup, buckets=buckets).materialize()
+    n_edges = edges.count()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate([
+            t.column("lo").to_numpy(zero_copy_only=False),
+            t.column("hi").to_numpy(zero_copy_only=False)])
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def deg_fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("v", sort=False)["c"].sum().reset_index(
+            name="deg")
+        s["deg"] = s["deg"].astype(np.int64)
+        return s
+
+    degs = bucketed_group_agg(
+        edges.map_batches(deg_partial, batch_format="pyarrow"), "v",
+        deg_fold, buckets=buckets).to_pandas().sort_values("v")
+    nodes = degs["v"].to_numpy(dtype=np.int64)
+    deg = degs["deg"].to_numpy(dtype=np.int64)
+    dref = ray.put((nodes, deg))
+
+    def moments(t: pa.Table, _ref=dref) -> pa.Table:
+        nd, dg = ray.get(_ref)
+        lo = t.column("lo").to_numpy(zero_copy_only=False)
+        hi = t.column("hi").to_numpy(zero_copy_only=False)
+        dx = dg[np.searchsorted(nd, lo)]
+        dy = dg[np.searchsorted(nd, hi)]
+        return pa.table({
+            "sx": pa.array([int((dx + dy).sum())]),
+            "sxy": pa.array([2 * int((dx * dy).sum())]),
+            "sxx": pa.array([int((dx * dx).sum())
+                             + int((dy * dy).sum())])})
+
+    m = edges.map_batches(moments, batch_format="pyarrow") \
+        .to_pandas().sum()
+    n = 2 * n_edges
+    sx, sxy, sxx = int(m["sx"]), int(m["sxy"]), int(m["sxx"])
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    aq = 0 if den == 0 else \
+        (1 if (num >= 0) == (den >= 0) else -1) \
+        * (abs(num) * q // abs(den))
+    return pd.DataFrame({
+        "n_vertices": [len(nodes)], "n_edges": [n_edges],
+        "sx": [sx], "sxy": [sxy], "sxx": [sxx],
+        "assort_q": [aq]}).astype(np.int64)

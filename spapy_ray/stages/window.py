@@ -28,7 +28,7 @@ import pandas as pd
 # rolling sum is spelled "rolling_sum:<width>" (ROWS width-1 PRECEDING
 # AND CURRENT ROW)
 KINDS = ("row_number", "lag", "lead", "cumsum", "cummax", "cummin",
-         "delta", "rolling_sum")
+         "delta", "rolling_sum", "group_size")
 
 
 def window_over(ds, *, key_col: str, order_cols: list[str],
@@ -86,6 +86,12 @@ def window_over(ds, *, key_col: str, order_cols: list[str],
         for name, kind, src in ops:
             if kind == "row_number":
                 out[name] = gb.cumcount().to_numpy() + 1
+            elif kind == "group_size":
+                # COUNT(*) OVER (PARTITION BY key) — a Cython
+                # transform, feeds rank-normalized stats
+                # (percent_rank/cume_dist) without a second shuffle
+                out[name] = gb[key_col].transform("size").to_numpy() \
+                    .astype(np.int64)
             elif kind == "lag":
                 out[name] = gb[src].shift(1).to_numpy()
             elif kind == "lead":

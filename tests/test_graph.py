@@ -55,3 +55,38 @@ def test_pagerank_rank_mass_sensible(ray_session):
     und = undirected_edges(rd.from_pandas(pairs), a_col="a", b_col="b")
     pr = pagerank(und, iterations=4).to_pandas().set_index("node")["pr"]
     assert pr.loc[0] > pr.drop(0).max()
+
+
+def test_degree_assortativity_star_vs_path(ray_session):
+    # star graph: maximally disassortative (r < 0); known closed
+    # forms cross-checked against numpy Pearson on directed endpoints
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.graph import degree_assortativity
+
+    def brute(edges):
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        xs, ys = [], []
+        for a, b in edges:
+            xs += [deg[a], deg[b]]
+            ys += [deg[b], deg[a]]
+        x, y = np.array(xs, float), np.array(ys, float)
+        n = len(x)
+        num = n * (x * y).sum() - x.sum() * y.sum()
+        den = n * (x * x).sum() - x.sum() ** 2
+        return num / den
+
+    for edges in ([(0, i) for i in range(1, 8)],           # star
+                  [(i, i + 1) for i in range(9)],          # path
+                  [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]):
+        ds = rd.from_pandas(pd.DataFrame(edges, columns=["a", "b"]),
+                            override_num_blocks=2)
+        got = degree_assortativity(ds).iloc[0]
+        exp = brute(edges)
+        assert got["n_edges"] == len(edges)
+        assert abs(got["assort_q"] / 1e6 - exp) < 2e-6
