@@ -307,4 +307,5 @@ def oracle_sql() -> dict[str, str]:
         "resample_bilinear": o.q_resample_bilinear(),
         "events_percent_rank": o.q_events_percent_rank(),
         "cust_assortativity": o.q_cust_assortativity(),
+        "domain_cm": o.q_domain_cm(),
     }

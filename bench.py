@@ -58,7 +58,13 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # xor anti-entropy checksum, Markov transitions, CUBE,
                  # integer-exact corr, keep-latest compaction)
                  "fuzzy_names", "table_checksum", "events_transitions",
-                 "nation_year_cube", "lineitem_corr", "user_last_event"]
+                 "nation_year_cube", "lineitem_corr", "user_last_event",
+                 # round-4 session-8 additions (rook Moran, width-L
+                 # strip variogram, ordered-prefix-sum packing,
+                 # dasymetric transfer, two-sided as-of interp,
+                 # degree assortativity)
+                 "raster_moran", "raster_variogram", "seq_packing",
+                 "areal_interp", "events_interp", "cust_assortativity"]
 
 
 def _consume(res) -> int:

@@ -3263,3 +3263,35 @@ def q_cust_assortativity(q: int = 10 ** 6) -> str:
         f"(({q} * (n * sxy - sx * sx)) // "
         "(n * sxx - sx * sx))::BIGINT AS assort_q FROM s"
     )
+
+
+def q_domain_cm(width: int = 2048, depth: int = 4) -> str:
+    """Twin of relational.count_min over page hosts: the whole
+    sketch — including collisions — reproduced in SQL (same fnv,
+    same mix/add wraparound, same cells), so estimates are
+    value-exact even where they overestimate."""
+    import re
+
+    from spapy_ray.stages.relational import CM_ADD, CM_MIX
+    from spapy_ray.stages.text import URL_PATTERN
+
+    anon = re.sub(r"\?P<[a-z]+>", "", URL_PATTERN)
+    fnv = sql_fnv1a("key")
+    mix = "[" + ", ".join(f"{m}::HUGEINT" for m in CM_MIX) + "]"
+    add = "[" + ", ".join(str(a) for a in CM_ADD) + "]"
+    m64 = "18446744073709551616"
+    pos = (f"((((({fnv})::HUGEINT * ({mix})[d + 1]) % {m64}) "
+           f"+ ({add})[d + 1]) % {m64}) % {width}")
+    return (
+        f"WITH {pages_cte()}, "
+        f"hosts AS (SELECT regexp_extract(url, '{anon}', 2) AS key "
+        "FROM pages), "
+        "k AS (SELECT key, count(*)::BIGINT AS c FROM hosts "
+        "GROUP BY key), "
+        f"hh AS (SELECT key, c, d, {pos} AS pos "
+        f"FROM k CROSS JOIN range({depth}) t(d)), "
+        "cells AS (SELECT d, pos, sum(c)::BIGINT AS cell FROM hh "
+        "GROUP BY 1, 2) "
+        "SELECT key, min(cell)::BIGINT AS c_est "
+        "FROM hh JOIN cells USING (d, pos) GROUP BY key"
+    )

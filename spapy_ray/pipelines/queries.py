@@ -4630,3 +4630,20 @@ def q_cust_assortativity(sf_dir: str):
 
 
 QUERIES["cust_assortativity"] = q_cust_assortativity
+
+
+def q_domain_cm(sf_dir: str):
+    """Count-Min sketch frequency estimates for every page host
+    (relational.count_min): mergeable (depth x width) partials, one
+    scan, exact-including-collisions vs the SQL twin."""
+    from spapy_ray.stages.relational import count_min
+    from spapy_ray.stages.text import url_parse_batch
+
+    ds = pages_dataset(sf_dir, include_html=False)
+    hosts = ds.map_batches(
+        lambda t: url_parse_batch(t.select(["url"])).select(["host"]),
+        batch_format="pyarrow")
+    return count_min(hosts, "host")
+
+
+QUERIES["domain_cm"] = q_domain_cm

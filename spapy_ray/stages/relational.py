@@ -1669,3 +1669,92 @@ def two_sample_ks(ds_a, ds_b, col: str, *, window: int = 4096,
         "na": np.array([na], dtype=np.int64),
         "nb": np.array([nb], dtype=np.int64),
         "d_num": np.array([d_num], dtype=np.int64)})
+
+
+# ---- Count-Min sketch (Cormode & Muthukrishnan 2005) ----------------
+
+# mix multipliers are odd and < 2^40 so the SQL twin's HUGEINT
+# product fnv(2^64) * mix stays < 2^104 (the sql_fnv1a headroom rule)
+CM_MIX = (0x9E3779B97F, 0xC2B2AE3D27, 0x165667B19F, 0x27D4EB2F17)
+CM_ADD = (0x1B873593, 0xCC9E2D51, 0x85EBCA6B, 0xE6546B64)
+_M64 = 1 << 64
+
+
+def count_min(ds, col: str, *, width: int = 2048, depth: int = 4):
+    """Count-Min sketch of a string column plus point estimates for
+    every distinct key: cell(d, j) = sum of counts of keys with
+    h_d(key) == j, estimate = min_d cell(d, h_d(key)) — the classic
+    biased-up frequency sketch, O(depth·width) memory regardless of
+    cardinality. h_d = (fnv1a64(key)·MIX_d + ADD_d) mod 2^64 mod w,
+    all wraparound arithmetic, so the WHOLE sketch (collisions
+    included) is reproducible in SQL — the twin hashes the key set
+    the same way and reproduces every cell, making even the
+    overestimates value-exact.
+
+    Distributed shape: one pass folds per-block (depth, width) int64
+    partials (np.add.at over the block's distinct keys) — sketches
+    are mergeable by elementwise add; the per-block distinct
+    (key, count) partials ride the SAME pass into the existing
+    bucketed distinct fold, so estimates come out in one source
+    scan + one small shuffle + one O(d·w) driver add.
+
+    Returns Dataset(key, c_est). At true corpus scale you would skip
+    the distinct fold and query the sketch directly; the distinct
+    join here is what makes the output an oracle-checkable table.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t.column(col).value_counts()
+        keys = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        f = fnv1a64(keys)
+        sk = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            h = ((f * np.uint64(CM_MIX[d])) + np.uint64(CM_ADD[d])) \
+                % np.uint64(width)
+            np.add.at(sk[d], h.astype(np.int64), cnts)
+        kt = pa.table({
+            "key": pc.cast(keys, pa.string()),
+            "c": pa.array(cnts),
+            "sk": pa.nulls(len(keys), type=pa.binary()),
+            "is_sk": pa.array(np.zeros(len(keys), dtype=np.int8))})
+        st = pa.table({
+            "key": pa.array([""], type=pa.string()),
+            "c": pa.array([0], type=pa.int64()),
+            "sk": pa.array([sk.tobytes()], type=pa.binary()),
+            "is_sk": pa.array(np.ones(1, dtype=np.int8))})
+        return pa.concat_tables([kt, st])
+
+    both = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow").materialize()
+
+    # O(blocks) sketch rows fold on the driver (elementwise add)
+    skp = both.filter(expr="is_sk == 1").select_columns(["sk"]) \
+        .to_pandas()
+    sk = np.zeros((depth, width), dtype=np.int64)
+    if len(skp):
+        for b in skp["sk"]:
+            sk += np.frombuffer(b, dtype=np.int64) \
+                .reshape(depth, width)
+    ref = ray.put(sk)
+
+    keys = both.filter(expr="is_sk == 0") \
+        .groupby("key").aggregate(Sum("c", alias_name="c"))
+
+    def estimate(t: pa.Table, _ref=ref) -> pa.Table:
+        s = ray.get(_ref)
+        f = fnv1a64(t.column("key"))
+        est = np.full(len(t), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(depth):
+            h = ((f * np.uint64(CM_MIX[d])) + np.uint64(CM_ADD[d])) \
+                % np.uint64(width)
+            est = np.minimum(est, s[d][h.astype(np.int64)])
+        return pa.table({"key": t.column("key"),
+                         "c_est": pa.array(est)})
+
+    return keys.map_batches(estimate, batch_format="pyarrow")

@@ -730,3 +730,40 @@ def test_pack_chunks_bruteforce_multiwindow(ray_session):
         columns=["chunk_id", "n_tokens", "n_docs", "n_starts", "ck"])
     pd.testing.assert_frame_equal(got.astype("int64"),
                                   exp.astype("int64"))
+
+
+def test_count_min_envelope_and_exactness(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.kernels.hashing import fnv1a64
+    from spapy_ray.stages.relational import CM_ADD, CM_MIX, count_min
+
+    rng = np.random.default_rng(3)
+    keys = rng.choice([f"k{i}" for i in range(40)], size=5000)
+    ds = rd.from_pandas(pd.DataFrame({"k": keys}),
+                        override_num_blocks=6)
+    true = pd.Series(keys).value_counts()
+
+    def brute(width, depth=4):
+        sk = np.zeros((depth, width), dtype=np.int64)
+        f = fnv1a64(list(true.index))
+        for d in range(depth):
+            h = ((f * np.uint64(CM_MIX[d])) + np.uint64(CM_ADD[d])) \
+                % np.uint64(width)
+            np.add.at(sk[d], h.astype(np.int64),
+                      true.to_numpy().astype(np.int64))
+        est = np.full(len(true), np.iinfo(np.int64).max, np.int64)
+        for d in range(depth):
+            h = ((f * np.uint64(CM_MIX[d])) + np.uint64(CM_ADD[d])) \
+                % np.uint64(width)
+            est = np.minimum(est, sk[d][h.astype(np.int64)])
+        return dict(zip(true.index, est))
+
+    for width in (4, 4096):  # forced collisions vs collision-free
+        got = count_min(ds, "k", width=width).to_pandas()
+        gm = dict(zip(got["key"], got["c_est"]))
+        exp = brute(width)
+        assert gm == exp
+        assert all(gm[k] >= true[k] for k in true.index)
+    # wide sketch on 40 keys: whp exact
+    assert all(gm[k] == true[k] for k in true.index)
