@@ -308,4 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "events_percent_rank": o.q_events_percent_rank(),
         "cust_assortativity": o.q_cust_assortativity(),
         "domain_cm": o.q_domain_cm(),
+        "orders_gini": o.q_orders_gini(),
+        "price_wmedian": o.q_price_wmedian(),
+        "orders_benford": o.q_orders_benford(),
     }

@@ -3295,3 +3295,61 @@ def q_domain_cm(width: int = 2048, depth: int = 4) -> str:
         "SELECT key, min(cell)::BIGINT AS c_est "
         "FROM hh JOIN cells USING (d, pos) GROUP BY key"
     )
+
+
+def q_orders_gini(q: int = 10 ** 6) -> str:
+    """Twin of quantiles.gini_exact over order cents (rank sums are
+    tie-order invariant, so row_number ties don't matter)."""
+    return (
+        "WITH b AS (SELECT round(o_totalprice * 100)::BIGINT AS x "
+        "FROM orders), "
+        "r AS (SELECT x, row_number() OVER (ORDER BY x)::HUGEINT "
+        "AS rn FROM b), "
+        "s AS (SELECT count(*)::HUGEINT AS n, sum(x::HUGEINT) AS s, "
+        "sum(rn * x) AS s1 FROM r) "
+        "SELECT n::BIGINT AS n, s::BIGINT AS s_sum, "
+        "s1::BIGINT AS s1_sum, "
+        f"(({q} * (2 * s1 - (n + 1) * s)) // (n * s))::BIGINT "
+        "AS gini_q FROM s"
+    )
+
+
+def q_price_wmedian() -> str:
+    """Twin of the quantity-weighted exact median (expanded-rank
+    two-middle convention; the threshold crossing inside a tie block
+    picks that block's value, so ORDER BY c alone is sufficient)."""
+    return (
+        "WITH b AS (SELECT l_returnflag, "
+        "round(l_extendedprice * 100)::BIGINT AS c, "
+        "round(l_quantity)::BIGINT AS wt FROM lineitem), "
+        "t AS (SELECT l_returnflag, sum(wt)::BIGINT AS w FROM b "
+        "GROUP BY 1), "
+        "cw AS (SELECT l_returnflag, c, sum(wt) OVER "
+        "(PARTITION BY l_returnflag ORDER BY c "
+        "ROWS UNBOUNDED PRECEDING)::BIGINT AS cw FROM b) "
+        "SELECT cw.l_returnflag, max(t.w)::BIGINT AS w_total, "
+        "(min(c) FILTER (WHERE cw > (t.w - 1) // 2) "
+        "+ min(c) FILTER (WHERE cw > t.w // 2))::BIGINT "
+        "AS wmedian_x2 "
+        "FROM cw JOIN t USING (l_returnflag) GROUP BY 1"
+    )
+
+
+def q_orders_benford() -> str:
+    """Twin of the Benford first-digit audit (decimal-string first
+    char, shared per-mille constant table)."""
+    from spapy_ray.pipelines.queries import BENFORD_MILLI
+
+    lst = "[" + ", ".join(str(x) for x in BENFORD_MILLI) + "]"
+    return (
+        "WITH b AS (SELECT round(o_totalprice * 100)::BIGINT AS c "
+        "FROM orders), "
+        "d AS (SELECT substr(c::VARCHAR, 1, 1)::BIGINT AS digit "
+        "FROM b WHERE c > 0), "
+        "o AS (SELECT digit, count(*)::BIGINT AS n_obs FROM d "
+        "GROUP BY digit), "
+        "tot AS (SELECT sum(n_obs)::BIGINT AS n FROM o) "
+        f"SELECT digit, n_obs, ({lst})[digit]::BIGINT AS exp_milli, "
+        f"((1000 * n_obs) // n - ({lst})[digit])::BIGINT "
+        "AS delta_milli FROM o, tot"
+    )

@@ -4647,3 +4647,110 @@ def q_domain_cm(sf_dir: str):
 
 
 QUERIES["domain_cm"] = q_domain_cm
+
+
+def q_orders_gini(sf_dir: str):
+    """Exact Gini coefficient of order value cents
+    (quantiles.gini_exact: value-window co-partition, rank-offset
+    prefix on the driver, per-window rank-weighted dot products)."""
+    from spapy_ray.stages.quantiles import gini_exact
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"c": pa.array(c)})
+
+    return gini_exact(orders.map_batches(cents,
+                                         batch_format="pyarrow"), "c")
+
+
+QUERIES["orders_gini"] = q_orders_gini
+
+
+def q_price_wmedian(sf_dir: str):
+    """Quantity-weighted exact median of price cents per return
+    flag: per key sort + weight cumsum, values at expanded ranks
+    (W-1)//2 and W//2 (the two-middle-sum convention applied to the
+    weighted multiset)."""
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity",
+                        "l_extendedprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column("l_extendedprice")
+                    .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        w = np.rint(t.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "c": pa.array(c), "wt": pa.array(w)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, gg in g.groupby("l_returnflag", sort=False):
+            o = np.argsort(gg["c"].to_numpy(), kind="stable")
+            v = gg["c"].to_numpy()[o]
+            cw = np.cumsum(gg["wt"].to_numpy()[o])
+            W = int(cw[-1])
+            v1 = v[np.searchsorted(cw, (W - 1) // 2 + 1)]
+            v2 = v[np.searchsorted(cw, W // 2 + 1)]
+            rows.append((k, W, int(v1) + int(v2)))
+        return pd.DataFrame(rows, columns=["l_returnflag", "w_total",
+                                           "wmedian_x2"]) \
+            .astype({"w_total": np.int64, "wmedian_x2": np.int64})
+
+    out = bucketed_group_agg(
+        li.map_batches(pre, batch_format="pyarrow"), "l_returnflag",
+        fold).to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True) \
+        .astype({"w_total": np.int64, "wmedian_x2": np.int64})
+
+
+QUERIES["price_wmedian"] = q_price_wmedian
+
+
+# Benford expectation, per-mille (trunc(1000*log10(1+1/d))) — a fixed
+# public constant table shared verbatim with the SQL twin
+BENFORD_MILLI = (301, 176, 124, 96, 79, 66, 57, 51, 45)
+
+
+def q_orders_benford(sf_dir: str):
+    """Benford first-digit audit of order values (fraud-detection
+    classic): exact digit counts via the decimal-string first char
+    (no float log), per-digit observed-vs-expected per-mille delta."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digits(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        c = c[c > 0]
+        d = pc.utf8_slice_codeunits(
+            pc.cast(pa.array(c), pa.string()), 0, 1)
+        dd = pc.cast(d, pa.int64()).to_numpy(zero_copy_only=False)
+        u, n = np.unique(dd, return_counts=True)
+        return pa.table({"digit": pa.array(u.astype(np.int64)),
+                         "n_obs": pa.array(n.astype(np.int64))})
+
+    out = orders.map_batches(digits, batch_format="pyarrow") \
+        .groupby("digit").aggregate(Sum("n_obs", alias_name="n_obs")) \
+        .to_pandas().sort_values("digit").reset_index(drop=True)
+    out["n_obs"] = out["n_obs"].astype(np.int64)
+    n = int(out["n_obs"].sum())
+    exp = np.array([BENFORD_MILLI[int(d) - 1] for d in out["digit"]],
+                   dtype=np.int64)
+    out["exp_milli"] = exp
+    out["delta_milli"] = (1000 * out["n_obs"].astype(np.int64)) // n \
+        - exp
+    out["digit"] = out["digit"].astype(np.int64)
+    return out
+
+
+QUERIES["orders_benford"] = q_orders_benford

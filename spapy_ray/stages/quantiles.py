@@ -421,3 +421,81 @@ def exact_global_ranks(ds, col: str, ranks: list[int], *,
     vals = bits.view(np.float64)
     return pd.DataFrame({"rank": np.array(targets, dtype=np.int64),
                          "value": vals})
+
+
+def gini_exact(ds, col: str, *, window: int = 4096,
+               buckets: int | None = None):
+    """Exact Gini coefficient of a non-negative int64 column — the
+    inequality statistic, as a ratio of big integers:
+
+        G = (2*S1 - (n+1)*S) / (n*S),  S1 = sum_i rank_i * x_(i)
+
+    (1-based ranks over the sorted multiset; a tie block's rank SUM
+    is order-invariant, so S1 is well-defined without a tiebreak).
+
+    Distribution is the two_sample_ks value-window pattern: ONE
+    shuffle co-partitions values by v // window; per-window
+    (count, sum) partials prefix-sum on the driver into rank
+    offsets; each window then folds its LOCAL rank-weighted sum
+    (one sort + one dot product) and S1 = sum(off_w * S_w + local_w)
+    assembles in Python big ints. Exchange = per-window summaries.
+    Returns one row (n, s_sum, s1_sum, gini_q), gini_q =
+    trunc(1e6 * G).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"v": pa.array(v), "w": pa.array(v // window)})
+
+    u = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def totals(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"w": t.column("w").to_numpy()})
+        df["s"] = t.column("v").to_numpy()
+        g = df.groupby("w", sort=False).agg(c=("s", "size"),
+                                            s=("s", "sum")) \
+            .reset_index()
+        g["c"] = g["c"].astype(np.int64)
+        g["s"] = g["s"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tot = u.map_batches(totals, batch_format="pyarrow") \
+        .groupby("w").aggregate(Sum("c", alias_name="c"),
+                                Sum("s", alias_name="s")) \
+        .to_pandas().sort_values("w")
+    ws = tot["w"].to_numpy(dtype=np.int64)
+    cs = tot["c"].to_numpy(dtype=np.int64)
+    ss = tot["s"].to_numpy(dtype=np.int64)
+    n = int(cs.sum())
+    s = int(ss.sum())
+    offs = {int(w): int(o) for w, o in
+            zip(ws, np.r_[0, np.cumsum(cs)[:-1]])}
+    ref = ray.put(offs)
+
+    def local(g: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        offs_ = ray.get(_ref)
+        rows = []
+        for w, gg in g.groupby("w", sort=False):
+            v = np.sort(gg["v"].to_numpy())
+            j = np.arange(1, len(v) + 1, dtype=np.int64)
+            rows.append((int(offs_[int(w)]) * int(v.sum())
+                         + int(np.dot(j, v)),))
+        return pd.DataFrame(rows, columns=["s1"]).astype(object)
+
+    parts = bucketed_group_agg(u, "w", local, buckets=buckets) \
+        .to_pandas()
+    s1 = int(sum(int(x) for x in parts["s1"])) if len(parts) else 0
+    num = 2 * s1 - (n + 1) * s
+    den = n * s
+    q = 10 ** 6
+    gq = 0 if den == 0 else \
+        (1 if (num >= 0) == (den >= 0) else -1) \
+        * (abs(num) * q // abs(den))
+    return pd.DataFrame({
+        "n": [n], "s_sum": [s], "s1_sum": [s1],
+        "gini_q": [gq]}).astype(np.int64)

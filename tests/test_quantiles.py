@@ -178,3 +178,33 @@ def test_grouped_mad_outliers_planted(ray_session):
                > 3 * mad4).sum())
     assert got["n_outliers"] == exp
     assert got["median_x2"] == m2 and got["mad_x4"] == mad4
+
+
+def test_gini_exact_known_distributions(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.quantiles import gini_exact
+
+    # all-equal -> G = 0; one-holder -> G = (n-1)/n
+    eq = rd.from_pandas(pd.DataFrame(
+        {"c": np.full(1000, 7, np.int64)}), override_num_blocks=4)
+    assert gini_exact(eq, "c").iloc[0]["gini_q"] == 0
+    one = np.zeros(100, np.int64)
+    one[0] = 1_000_000
+    oh = rd.from_pandas(pd.DataFrame({"c": one}),
+                        override_num_blocks=3)
+    assert gini_exact(oh, "c").iloc[0]["gini_q"] == 990_000
+    # random vs brute force
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 10 ** 6, 5000)
+    ds = rd.from_pandas(pd.DataFrame({"c": v}),
+                        override_num_blocks=7)
+    got = gini_exact(ds, "c").iloc[0]
+    sv = np.sort(v).astype(object)
+    n, s = len(sv), int(sv.sum())
+    s1 = int((np.arange(1, n + 1, dtype=object) * sv).sum())
+    exp = (10 ** 6 * n * 0 + (2 * s1 - (n + 1) * s) * 10 ** 6) \
+        // (n * s)
+    assert got["gini_q"] == exp and got["s1_sum"] == s1
