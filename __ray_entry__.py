@@ -311,4 +311,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_gini": o.q_orders_gini(),
         "price_wmedian": o.q_price_wmedian(),
         "orders_benford": o.q_orders_benford(),
+        "events_mwu": o.q_events_mwu(),
     }

@@ -3353,3 +3353,21 @@ def q_orders_benford() -> str:
         f"((1000 * n_obs) // n - ({lst})[digit])::BIGINT "
         "AS delta_milli FROM o, tot"
     )
+
+
+def q_events_mwu() -> str:
+    """Twin of relational.mann_whitney_u: per-tie-block midrank-
+    doubled rank sums over the union, u2 = 2*sum(R_a) - na*(na+1)."""
+    return (
+        "WITH e AS (SELECT event_type, round(value * 100)::BIGINT "
+        "AS v FROM events WHERE event_type IN ('view', 'purchase')), "
+        "g AS (SELECT v, "
+        "sum((event_type = 'view')::INT)::BIGINT AS ca, "
+        "count(*)::BIGINT AS c FROM e GROUP BY v), "
+        "r AS (SELECT v, ca, c, (sum(c) OVER (ORDER BY v "
+        "ROWS UNBOUNDED PRECEDING) - c)::BIGINT AS cb FROM g), "
+        "s AS (SELECT sum(ca * (2 * cb + c + 1))::HUGEINT AS r2, "
+        "sum(ca)::HUGEINT AS na, sum(c - ca)::HUGEINT AS nb FROM r) "
+        "SELECT na::BIGINT AS na, nb::BIGINT AS nb, "
+        "(r2 - na * (na + 1))::BIGINT AS u2 FROM s"
+    )

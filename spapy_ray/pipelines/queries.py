@@ -4754,3 +4754,28 @@ def q_orders_benford(sf_dir: str):
 
 
 QUERIES["orders_benford"] = q_orders_benford
+
+
+def q_events_mwu(sf_dir: str):
+    """Mann-Whitney U (rank-sum, midrank-doubled) between view and
+    purchase value distributions (relational.mann_whitney_u — the
+    location-shift drift test next to the KS value_drift)."""
+    from spapy_ray.stages.relational import mann_whitney_u
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(kind):
+        def _f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t.column("event_type"), kind)
+            v = np.rint(t.filter(keep).column("value")
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+                .astype(np.int64)
+            return pa.table({"c": pa.array(v)})
+        return _f
+
+    a = ev.map_batches(cents("view"), batch_format="pyarrow")
+    b = ev.map_batches(cents("purchase"), batch_format="pyarrow")
+    return mann_whitney_u(a, b, "c")
+
+
+QUERIES["events_mwu"] = q_events_mwu

@@ -1758,3 +1758,95 @@ def count_min(ds, col: str, *, width: int = 2048, depth: int = 4):
                          "c_est": pa.array(est)})
 
     return keys.map_batches(estimate, batch_format="pyarrow")
+
+
+def mann_whitney_u(ds_a, ds_b, col: str, *, window: int = 4096,
+                   buckets: int | None = None):
+    """Exact Mann–Whitney U (Wilcoxon rank-sum) statistic between two
+    int64 samples — the nonparametric location-shift drift test that
+    complements two_sample_ks. Tie handling is the midrank
+    convention kept integral by doubling:
+
+        u2 = sum over distinct v of
+                 c_a(v) * (2*cum_before(v) + c(v) + 1)
+             - na*(na+1)            (== 2*U_a; u2_a + u2_b = 2*na*nb)
+
+    Same distributed shape as two_sample_ks: ONE value-window
+    co-partition, per-window side totals prefix-summed on the driver
+    into rank offsets, per-window vectorized tie-block folds, tiny
+    exchange. Returns one row (na, nb, u2)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def tag(side):
+        def _f(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({
+                "v": pa.array(v),
+                "w": pa.array(v // window),
+                "s": pa.array(np.full(len(v), side, dtype=np.int8))})
+        return _f
+
+    u = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1), batch_format="pyarrow")) \
+        .materialize()
+
+    def totals(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "w": t.column("w").to_numpy(zero_copy_only=False),
+            "s": t.column("s").to_numpy(zero_copy_only=False)})
+        g = df.groupby(["w", "s"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tot = u.map_batches(totals, batch_format="pyarrow") \
+        .groupby(["w", "s"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+    piv = tot.pivot_table(index="w", columns="s", values="c",
+                          fill_value=0, aggfunc="sum").sort_index()
+    wa = piv[0].to_numpy(dtype=np.int64) if 0 in piv else \
+        np.zeros(len(piv), dtype=np.int64)
+    wb = piv[1].to_numpy(dtype=np.int64) if 1 in piv else \
+        np.zeros(len(piv), dtype=np.int64)
+    na, nb = int(wa.sum()), int(wb.sum())
+    off = np.r_[0, np.cumsum(wa + wb)[:-1]]
+    offs = {int(w): int(o) for w, o in
+            zip(piv.index.to_numpy(), off)}
+    ref = ray.put(offs)
+
+    def fold(g: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        offs_ = ray.get(_ref)
+        if not len(g):
+            return pd.DataFrame({"r2": pd.Series([], dtype=object)})
+        w = g["w"].to_numpy()
+        v = g["v"].to_numpy()
+        s = g["s"].to_numpy()
+        order = np.lexsort((v, w))
+        w, v, s = w[order], v[order], s[order]
+        neww = np.r_[True, w[1:] != w[:-1]]
+        newv = neww | np.r_[True, v[1:] != v[:-1]]
+        gid = np.cumsum(newv) - 1                 # tie-block id
+        ca = np.bincount(gid, weights=(s == 0)).astype(np.int64)
+        c = np.bincount(gid).astype(np.int64)
+        # block's cum_before within its window + the window offset
+        blk_w = w[newv]
+        cum_in_w = np.concatenate([[0], np.cumsum(c)[:-1]])
+        w_start = cum_in_w[np.r_[True, blk_w[1:] != blk_w[:-1]]]
+        cum_before = cum_in_w - w_start[
+            np.cumsum(np.r_[True, blk_w[1:] != blk_w[:-1]]) - 1]
+        base = np.array([offs_[int(x)] for x in blk_w],
+                        dtype=np.int64)
+        r2 = (ca.astype(object)
+              * (2 * (base + cum_before) + c + 1)).sum()
+        return pd.DataFrame({"r2": [int(r2)]})
+
+    parts = bucketed_group_agg(u, "w", fold, buckets=buckets) \
+        .to_pandas()
+    r2 = int(sum(int(x) for x in parts["r2"])) if len(parts) else 0
+    u2 = r2 - na * (na + 1)
+    return pd.DataFrame({
+        "na": np.array([na], dtype=np.int64),
+        "nb": np.array([nb], dtype=np.int64),
+        "u2": np.array([u2], dtype=np.int64)})

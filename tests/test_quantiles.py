@@ -208,3 +208,26 @@ def test_gini_exact_known_distributions(ray_session):
     exp = (10 ** 6 * n * 0 + (2 * s1 - (n + 1) * s) * 10 ** 6) \
         // (n * s)
     assert got["gini_q"] == exp and got["s1_sum"] == s1
+
+
+def test_mann_whitney_u_scipy_free_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import mann_whitney_u
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 50, 700)          # heavy ties
+    b = rng.integers(10, 60, 400)
+    da = rd.from_pandas(pd.DataFrame({"c": a}), override_num_blocks=4)
+    db = rd.from_pandas(pd.DataFrame({"c": b}), override_num_blocks=3)
+    got = mann_whitney_u(da, db, "c", window=16).iloc[0]
+
+    # brute force: u2 = sum over a of (2*#{b<a} + #{b=a})
+    u2 = sum(2 * int((b < x).sum()) + int((b == x).sum()) for x in a)
+    assert got["na"] == 700 and got["nb"] == 400
+    assert got["u2"] == u2
+    # complement identity
+    got_b = mann_whitney_u(db, da, "c", window=16).iloc[0]
+    assert got["u2"] + got_b["u2"] == 2 * 700 * 400
