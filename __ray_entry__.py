@@ -91,6 +91,10 @@ _FRONT = [
     "knn_zones", "zone_bounds_area", "select_zones",
     "lineitem_pricing", "events_by_type",
 ]
+# Session-8 additions (raster_moran .. events_mwu) register after the
+# _FRONT list by construction and join the round-5 rotation queue —
+# each was value-hash-verified at sf0.001 AND sf0.01 via
+# tools/check_correctness.py in the session that added it.
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -312,4 +316,5 @@ def oracle_sql() -> dict[str, str]:
         "price_wmedian": o.q_price_wmedian(),
         "orders_benford": o.q_orders_benford(),
         "events_mwu": o.q_events_mwu(),
+        "docs_merge": o.q_docs_merge(),
     }

@@ -3371,3 +3371,32 @@ def q_events_mwu() -> str:
         "SELECT na::BIGINT AS na, nb::BIGINT AS nb, "
         "(r2 - na * (na + 1))::BIGINT AS u2 FROM s"
     )
+
+
+def q_docs_merge() -> str:
+    """Twin of the CDC merge: versioned union, row_number keep-latest,
+    delete filter, per-lang bit_xor of the row fingerprints."""
+    fnv = sql_fnv1a("doc_id::VARCHAR || ':' || text")
+    i64 = (f"(CASE WHEN {fnv} >= 9223372036854775808::UBIGINT "
+           f"THEN ({fnv}::HUGEINT - 18446744073709551616::HUGEINT)"
+           f"::BIGINT ELSE {fnv}::BIGINT END)")
+    return (
+        "WITH d AS (SELECT doc_id, text, lang FROM documents), "
+        "a AS ("
+        "SELECT doc_id, text, lang, 0 AS ver, 'U' AS op FROM d "
+        "UNION ALL SELECT doc_id, text || ' v2', lang, 1, 'U' "
+        "FROM d WHERE doc_id % 3 = 0 "
+        "UNION ALL SELECT doc_id, '', lang, 2, 'D' "
+        "FROM d WHERE doc_id % 7 = 0 "
+        "UNION ALL SELECT doc_id, text || ' v3', lang, 3, 'U' "
+        "FROM d WHERE doc_id % 9 = 0 "
+        "UNION ALL SELECT doc_id + 1000000000, "
+        "'new doc ' || doc_id::VARCHAR, lang, 1, 'U' "
+        "FROM d WHERE doc_id % 11 = 0), "
+        "last AS (SELECT *, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY ver DESC) AS rn FROM a), "
+        "m AS (SELECT doc_id, text, lang FROM last "
+        "WHERE rn = 1 AND op = 'U') "
+        f"SELECT lang, count(*)::BIGINT AS n_docs, "
+        f"bit_xor({i64})::BIGINT AS fp FROM m GROUP BY lang"
+    )

@@ -4779,3 +4779,89 @@ def q_events_mwu(sf_dir: str):
 
 
 QUERIES["events_mwu"] = q_events_mwu
+
+
+def q_docs_merge(sf_dir: str):
+    """CDC merge apply (Delta/Hudi-style upsert + delete semantics):
+    a deterministic changeset (updates v2, deletes, later v3
+    updates that resurrect deleted keys, inserts under new keys) is
+    applied to the documents snapshot as keep-latest-per-key over
+    the versioned union (grouped_topk k=1) minus deletes — ONE
+    bucket shuffle. Output: per-lang row count + XOR text
+    fingerprint of the merged table (any wrong/missing/stale row
+    breaks the hash)."""
+    from spapy_ray.kernels.hashing import fnv1a64
+    from spapy_ray.stages.relational import (bucketed_group_agg,
+                                             grouped_topk)
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang"])
+
+    def with_changes(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = t.column("text")
+        lang = t.column("lang")
+
+        def sub(mask, id_off, text_arr, ver, op):
+            m = pa.array(mask)
+            return pa.table({
+                "doc_id": pc.add(pc.filter(t.column("doc_id"), m),
+                                 pa.scalar(id_off, type=pa.int64())),
+                "text": pc.filter(text_arr, m),
+                "lang": pc.filter(lang, m),
+                "ver": pa.array(np.full(int(mask.sum()), ver,
+                                        dtype=np.int64)),
+                "op": pa.array([op] * int(mask.sum()))})
+
+        base = pa.table({
+            "doc_id": t.column("doc_id"), "text": txt, "lang": lang,
+            "ver": pa.array(np.zeros(len(t), dtype=np.int64)),
+            "op": pa.array(["U"] * len(t))})
+        v2 = pc.binary_join_element_wise(
+            txt, pa.scalar(" v2", type=pa.string()), "")
+        v3 = pc.binary_join_element_wise(
+            txt, pa.scalar(" v3", type=pa.string()), "")
+        newt = pc.binary_join_element_wise(
+            pa.scalar("new doc ", type=pa.string()),
+            pc.cast(t.column("doc_id"), pa.string()), "")
+        empty = pa.array([""] * len(t), type=pa.string())
+        return pa.concat_tables([
+            base,
+            sub(ids % 3 == 0, 0, v2, 1, "U"),
+            sub(ids % 7 == 0, 0, empty, 2, "D"),
+            sub(ids % 9 == 0, 0, v3, 3, "U"),
+            sub(ids % 11 == 0, 10 ** 9, newt, 1, "U")])
+
+    u = docs.map_batches(with_changes, batch_format="pyarrow")
+    last = grouped_topk(u, "doc_id", "ver", 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("op"), "U")
+        t = t.filter(keep)
+        s = pc.binary_join_element_wise(
+            pc.cast(t.column("doc_id"), pa.string()),
+            t.column("text"), ":")
+        f = fnv1a64(s).view(np.int64)
+        df = pd.DataFrame({"lang": t.column("lang").to_pandas(),
+                           "f": f})
+        g = df.groupby("lang", sort=False).agg(
+            n_docs=("f", "size"),
+            fp=("f", lambda x: int(np.bitwise_xor.reduce(
+                x.to_numpy())))).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("lang", sort=False).agg(
+            n_docs=("n_docs", "sum"),
+            fp=("fp", lambda x: int(np.bitwise_xor.reduce(
+                x.to_numpy())))).reset_index()
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["fp"] = out["fp"].astype(np.int64)
+        return out
+
+    return bucketed_group_agg(
+        last.map_batches(partial, batch_format="pyarrow"), "lang",
+        fold)
+
+
+QUERIES["docs_merge"] = q_docs_merge
