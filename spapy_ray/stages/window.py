@@ -53,7 +53,10 @@ def window_over(ds, *, key_col: str, order_cols: list[str],
       - ``rolling_sum:<w>``: framed sum over ROWS w-1 PRECEDING AND
         CURRENT ROW via a segmented cumsum-diff (typed-exact for
         integer srcs; float srcs inherit cumsum association — use an
-        integer quantization when mirroring SQL).
+        integer quantization when mirroring SQL);
+      - ``group_size``: COUNT(*) OVER (PARTITION BY key) (int64;
+        src ignored) — with row_number it yields integer
+        percent_rank/cume_dist in the same single shuffle.
 
     Returns a Dataset with ``[key_col, *order_cols, *keep_cols,
     *out_names]`` rows (row order unspecified — downstream must not
