@@ -317,4 +317,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_benford": o.q_orders_benford(),
         "events_mwu": o.q_events_mwu(),
         "docs_merge": o.q_docs_merge(),
+        "raster_lisa": o.q_raster_lisa(),
     }

@@ -3400,3 +3400,42 @@ def q_docs_merge() -> str:
         f"SELECT lang, count(*)::BIGINT AS n_docs, "
         f"bit_xor({i64})::BIGINT AS fp FROM m GROUP BY lang"
     )
+
+
+def q_raster_lisa(q: int = 10 ** 6) -> str:
+    """Twin of local_moran_tiles: per-pixel 4-neighbor sums from the
+    closed form (validity-gated, parenthesized substitutions),
+    per-tile integer components, HUGEINT LISA ratio."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    z = sql_dem_int("gx", "gy", 0)
+    ze = sql_dem_int("(gx + 1)", "gy", 0)
+    zw = sql_dem_int("(gx - 1)", "gy", 0)
+    zn = sql_dem_int("gx", "(gy - 1)", 0)
+    zs = sql_dem_int("gx", "(gy + 1)", 0)
+    nbr = (f"(CASE WHEN gx < 511 THEN ({ze}) ELSE 0 END "
+           f"+ CASE WHEN gx > 0 THEN ({zw}) ELSE 0 END "
+           f"+ CASE WHEN gy > 0 THEN ({zn}) ELSE 0 END "
+           f"+ CASE WHEN gy < 511 THEN ({zs}) ELSE 0 END)")
+    deg = ("((gx > 0)::INT + (gx < 511)::INT + (gy > 0)::INT "
+           "+ (gy < 511)::INT)")
+    return (
+        "WITH px AS (SELECT p % 512 AS gx, p // 512 AS gy "
+        "FROM range(262144) t(p)), "
+        f"v AS (SELECT gx // 64 AS tx, gy // 64 AS ty, "
+        f"({z})::BIGINT AS z, ({nbr})::BIGINT AS nbr, "
+        f"({deg})::BIGINT AS deg FROM px), "
+        "t AS (SELECT tx, ty, count(*)::BIGINT AS n_pix, "
+        "sum(z)::BIGINT AS s_sum, sum(z * z)::BIGINT AS ss_sum, "
+        "sum(z * nbr)::BIGINT AS p_dir, sum(nbr)::BIGINT AS nb_sum, "
+        "sum(deg * z)::BIGINT AS d_deg, sum(deg)::BIGINT AS g_deg "
+        "FROM v GROUP BY tx, ty), "
+        "g AS (SELECT sum(n_pix)::HUGEINT AS nn, "
+        "sum(s_sum)::HUGEINT AS s, sum(ss_sum)::HUGEINT AS ss "
+        "FROM t) "
+        "SELECT tx::BIGINT AS tx, ty::BIGINT AS ty, n_pix, s_sum, "
+        "ss_sum, p_dir, nb_sum, d_deg, g_deg, "
+        f"(({q} * (nn * nn * p_dir - nn * s * (d_deg + nb_sum) "
+        "+ s * s * g_deg)) // (nn * (nn * ss - s * s)))::BIGINT "
+        "AS lisa_q FROM t, g"
+    )

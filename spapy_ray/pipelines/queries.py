@@ -4865,3 +4865,17 @@ def q_docs_merge(sf_dir: str):
 
 
 QUERIES["docs_merge"] = q_docs_merge
+
+
+def q_raster_lisa(sf_dir: str):
+    """Tile-aggregated local Moran's I hotspot map over the int DEM
+    (stages.spatialstats.local_moran_tiles): per-tile exact integer
+    LISA components + quantized local statistic."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.spatialstats import local_moran_tiles
+
+    return local_moran_tiles(synth_dem_dataset(DEM_META, kind="int"),
+                             DEM_META, dtype="int32")
+
+
+QUERIES["raster_lisa"] = q_raster_lisa

@@ -1140,3 +1140,48 @@ def test_variogram_bruteforce_blocks(ray_session):
                         ["h", "n_pairs", "ssd", "gamma_q"]}),
             exp.astype({c: "int64" for c in
                         ["h", "n_pairs", "ssd", "gamma_q"]}))
+
+
+def test_local_moran_tiles_bruteforce(ray_session):
+    import pandas as pd
+
+    from spapy_ray.stages.spatialstats import local_moran_tiles
+
+    meta = SMALL
+    T = meta.tile_size
+    full = _full_int(meta).astype(np.int64)
+    got = local_moran_tiles(synth_dem_dataset(meta, kind="int"),
+                            meta, dtype="int32")
+
+    H, W = full.shape
+    e = np.zeros_like(full); e[:, :-1] = full[:, 1:]
+    w = np.zeros_like(full); w[:, 1:] = full[:, :-1]
+    n = np.zeros_like(full); n[1:, :] = full[:-1, :]
+    s = np.zeros_like(full); s[:-1, :] = full[1:, :]
+    nbr = e + w + n + s
+    deg = np.full_like(full, 4)
+    deg[0, :] -= 1; deg[-1, :] -= 1; deg[:, 0] -= 1; deg[:, -1] -= 1
+    N, S, SS = full.size, int(full.sum()), int((full * full).sum())
+    den = N * (N * SS - S * S)
+    rows = []
+    for ty in range(H // T):
+        for tx in range(W // T):
+            sl = np.s_[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            p = int((full[sl] * nbr[sl]).sum())
+            nb = int(nbr[sl].sum())
+            d = int((deg[sl] * full[sl]).sum())
+            g = int(deg[sl].sum())
+            num = N * N * p - N * S * (d + nb) + S * S * g
+            aa = 10 ** 6 * num
+            lq = (1 if (aa >= 0) == (den >= 0) else -1) \
+                * (abs(aa) // abs(den))
+            rows.append((tx, ty, T * T, int(full[sl].sum()),
+                         int((full[sl] ** 2).sum()), p, nb, d, g, lq))
+    exp = pd.DataFrame(rows, columns=list(got.columns)) \
+        .sort_values(["ty", "tx"]).reset_index(drop=True) \
+        .astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
+    # identity: sum of anchored directed products == 2 * undirected P
+    pe = int((full[:, :-1] * full[:, 1:]).sum())
+    ps = int((full[:-1] * full[1:]).sum())
+    assert int(exp["p_dir"].sum()) == 2 * (pe + ps)
