@@ -318,4 +318,5 @@ def oracle_sql() -> dict[str, str]:
         "events_mwu": o.q_events_mwu(),
         "docs_merge": o.q_docs_merge(),
         "raster_lisa": o.q_raster_lisa(),
+        "geohash_index": o.q_geohash_index(),
     }

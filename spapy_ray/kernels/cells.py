@@ -178,3 +178,37 @@ def sql_cell_expr(lon_expr: str, lat_expr: str, res: int) -> str:
     x = f"least(greatest(floor((({lon_expr}) + 180.0) / 360.0 * {n})::BIGINT, 0), {n - 1})"
     y = f"least(greatest(floor((({lat_expr}) + 90.0) / 180.0 * {n})::BIGINT, 0), {n - 1})"
     return (f"(({res}::UBIGINT << 59) | {spread(x)} | ({spread(y)} << 1))")
+
+
+# ---- geohash (Niemeyer 2008): the interoperable base32 cell id ----
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lon: np.ndarray, lat: np.ndarray,
+                   precision: int = 6) -> np.ndarray:
+    """Standard geohash strings (lon bit first, base32 alphabet) —
+    the interoperable sibling of the quadkey index, for EXPORT to
+    external geo systems. Supports even precisions (lon/lat get
+    equal bit counts — 5*p/2 each), which keeps the kernel one
+    Morton interleave: morton = (spread(gx) << 1) | spread(gy).
+    Pure integer ops after the two quantizations, so the SQL twin is
+    exact."""
+    if precision % 2:
+        raise ValueError("geohash_encode supports even precisions")
+    half = 5 * precision // 2
+    gx = np.floor((np.asarray(lon, np.float64) + 180.0) / 360.0
+                  * float(1 << half))
+    gy = np.floor((np.asarray(lat, np.float64) + 90.0) / 180.0
+                  * float(1 << half))
+    gx = np.clip(gx, 0, (1 << half) - 1).astype(np.uint64)
+    gy = np.clip(gy, 0, (1 << half) - 1).astype(np.uint64)
+    m = (_spread(gx) << np.uint64(1)) | _spread(gy)
+    chars = np.frombuffer(GEOHASH32.encode(), dtype="S1")
+    out = chars[(m >> np.uint64(5 * (precision - 1)))
+                & np.uint64(31)].astype("U1")
+    for k in range(1, precision):
+        idx = (m >> np.uint64(5 * (precision - 1 - k))) & np.uint64(31)
+        out = np.char.add(out, chars[idx.astype(np.int64)]
+                          .astype("U1"))
+    return out

@@ -3439,3 +3439,28 @@ def q_raster_lisa(q: int = 10 ** 6) -> str:
         "+ s * s * g_deg)) // (nn * (nn * ss - s * s)))::BIGINT "
         "AS lisa_q FROM t, g"
     )
+
+
+def q_geohash_index(precision: int = 6) -> str:
+    """Twin of kernels.cells.geohash_encode (p=6): same float
+    quantization op order, arithmetic Morton interleave, unrolled
+    base32 chars."""
+    half = 5 * precision // 2
+    gxe = (f"LEAST(GREATEST(floor((lon + 180.0) / 360.0 * "
+           f"{float(1 << half)})::BIGINT, 0), {(1 << half) - 1})")
+    gye = (f"LEAST(GREATEST(floor((lat + 90.0) / 180.0 * "
+           f"{float(1 << half)})::BIGINT, 0), {(1 << half) - 1})")
+    m = ("list_sum(list_transform(range(0, " + str(half) + "), jj -> "
+         "(((gx >> jj) & 1) << (2 * jj + 1)) "
+         "+ (((gy >> jj) & 1) << (2 * jj))))")
+    ch = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"((m >> {5 * (precision - 1 - k)}) & 31)::INT + 1, 1)"
+        for k in range(precision))
+    return (
+        f"WITH {geo_cte()}, "
+        f"g AS (SELECT url, warc_ts, {gxe} AS gx, {gye} AS gy "
+        "FROM geo), "
+        f"mm AS (SELECT url, warc_ts, {m} AS m FROM g) "
+        f"SELECT url, warc_ts, {ch} AS gh FROM mm"
+    )

@@ -4879,3 +4879,25 @@ def q_raster_lisa(sf_dir: str):
 
 
 QUERIES["raster_lisa"] = q_raster_lisa
+
+
+def q_geohash_index(sf_dir: str):
+    """Geohash-6 cell ids for every geocoded page — the
+    interoperable export twin of the internal quadkey index
+    (kernels.cells.geohash_encode; one Morton interleave, pure
+    integer ops after quantization)."""
+    from spapy_ray.kernels.cells import geohash_encode
+
+    geo = _geo(sf_dir)
+
+    def gh(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "url": t.column("url"), "warc_ts": t.column("warc_ts"),
+            "gh": pa.array(geohash_encode(lon, lat, 6))})
+
+    return geo.map_batches(gh, batch_format="pyarrow")
+
+
+QUERIES["geohash_index"] = q_geohash_index

@@ -158,3 +158,50 @@ def test_grid_join_counts_brute_force(ray_session):
     assert got["n_pairs"] == bb + bw + ww
     assert got["n_black"] == int(black.sum())
     assert (got["bb"], got["bw"], got["ww"]) == (bb, bw, ww)
+
+
+def test_geohash_matches_textbook_bisection():
+    import numpy as np
+
+    from spapy_ray.kernels.cells import geohash_encode
+
+    B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def ref(lat, lon, p=6):
+        latr, lonr = [-90.0, 90.0], [-180.0, 180.0]
+        bits = bit = 0
+        even, gh = True, ""
+        while len(gh) < p:
+            if even:
+                mid = (lonr[0] + lonr[1]) / 2
+                if lon >= mid:
+                    bits = (bits << 1) | 1
+                    lonr[0] = mid
+                else:
+                    bits <<= 1
+                    lonr[1] = mid
+            else:
+                mid = (latr[0] + latr[1]) / 2
+                if lat >= mid:
+                    bits = (bits << 1) | 1
+                    latr[0] = mid
+                else:
+                    bits <<= 1
+                    latr[1] = mid
+            even = not even
+            bit += 1
+            if bit == 5:
+                gh += B32[bits]
+                bits = bit = 0
+        return gh
+
+    rng = np.random.default_rng(2)
+    lon = rng.uniform(-179.9, 179.9, 300)
+    lat = rng.uniform(-89.9, 89.9, 300)
+    got = geohash_encode(lon, lat, 6)
+    assert all(g == ref(a, o) for o, a, g in zip(lon, lat, got))
+    # canonical vector (wikipedia): (57.64911, 10.40744) -> u4pruy
+    assert geohash_encode(np.array([10.40744]),
+                          np.array([57.64911]), 6)[0] == "u4pruy"
+    assert geohash_encode(np.array([10.40744]),
+                          np.array([57.64911]), 4)[0] == "u4pr"
