@@ -319,4 +319,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_merge": o.q_docs_merge(),
         "raster_lisa": o.q_raster_lisa(),
         "geohash_index": o.q_geohash_index(),
+        "corpus_overlap": o.q_corpus_overlap(),
     }

@@ -3464,3 +3464,22 @@ def q_geohash_index(precision: int = 6) -> str:
         f"mm AS (SELECT url, warc_ts, {m} AS m FROM g) "
         f"SELECT url, warc_ts, {ch} AS gh FROM mm"
     )
+
+
+def q_corpus_overlap(q: int = 10 ** 6) -> str:
+    """Twin of the EN/ES histogram intersection."""
+    return (
+        "WITH w AS (SELECT lang, unnest(string_split(text, ' ')) "
+        "AS token FROM documents WHERE lang IN ('en', 'es')), "
+        "c AS (SELECT token, "
+        "sum((lang = 'en')::INT)::BIGINT AS ca, "
+        "sum((lang = 'es')::INT)::BIGINT AS cb FROM w "
+        "GROUP BY token), "
+        "t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb "
+        "FROM c), "
+        "s AS (SELECT sum(LEAST(ca * t.nb, cb * t.na))::BIGINT "
+        "AS inter FROM c, t) "
+        "SELECT t.na, t.nb, s.inter AS inter_num, "
+        f"(({q} * s.inter) // (t.na * t.nb))::BIGINT AS overlap_q "
+        "FROM t, s"
+    )

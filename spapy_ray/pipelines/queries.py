@@ -4901,3 +4901,64 @@ def q_geohash_index(sf_dir: str):
 
 
 QUERIES["geohash_index"] = q_geohash_index
+
+
+def q_corpus_overlap(sf_dir: str, q: int = 10 ** 6):
+    """Histogram intersection between the EN and ES token
+    distributions — the exact corpus-similarity measure (overlap =
+    sum min(p_en, p_es)) with no floats: scale both sides by the
+    other's total, overlap_q = trunc(q * sum min(ca*nb, cb*na) /
+    (na*nb)). One combiner shuffle for (token, side) counts; side
+    totals ride the same fold."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("lang"),
+                        value_set=pa.array(["en", "es"]))
+        t = t.filter(keep)
+        toks = pc.split_pattern(t.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        nper = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        side = (t.column("lang").to_pandas() == "es") \
+            .to_numpy().astype(np.int8)
+        sides = np.repeat(side, nper)
+        df = pd.DataFrame({"token": flat.to_pandas(), "s": sides})
+        g = df.groupby(["token", "s"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnts = docs.map_batches(counts, batch_format="pyarrow") \
+        .groupby(["token", "s"]).aggregate(Sum("c", alias_name="c")) \
+        .materialize()
+
+    tot = cnts.groupby("s").aggregate(Sum("c", alias_name="n")) \
+        .to_pandas().set_index("s")["n"]
+    na = int(tot.get(0, 0))
+    nb = int(tot.get(1, 0))
+
+    def per_token(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.pivot_table(index="token", columns="s", values="c",
+                          fill_value=0, aggfunc="sum")
+        ca = p[0].to_numpy(np.int64) if 0 in p else \
+            np.zeros(len(p), np.int64)
+        cb = p[1].to_numpy(np.int64) if 1 in p else \
+            np.zeros(len(p), np.int64)
+        m = np.minimum(ca * nb, cb * na)
+        return pd.DataFrame({"m": [int(m.sum())]})
+
+    parts = bucketed_group_agg(cnts, "token", per_token).to_pandas()
+    inter = int(parts["m"].sum()) if len(parts) else 0
+    den = na * nb
+    oq = 0 if den == 0 else (q * inter) // den
+    return pd.DataFrame({"na": [na], "nb": [nb],
+                         "inter_num": [inter],
+                         "overlap_q": [oq]}).astype(np.int64)
+
+
+QUERIES["corpus_overlap"] = q_corpus_overlap
