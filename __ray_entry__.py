@@ -320,4 +320,5 @@ def oracle_sql() -> dict[str, str]:
         "raster_lisa": o.q_raster_lisa(),
         "geohash_index": o.q_geohash_index(),
         "corpus_overlap": o.q_corpus_overlap(),
+        "events_spearman": o.q_events_spearman(),
     }

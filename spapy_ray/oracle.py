@@ -3483,3 +3483,28 @@ def q_corpus_overlap(q: int = 10 ** 6) -> str:
         f"(({q} * s.inter) // (t.na * t.nb))::BIGINT AS overlap_q "
         "FROM t, s"
     )
+
+
+def q_events_spearman(q: int = 10 ** 6) -> str:
+    """Twin of relational.grouped_spearman: doubled midranks
+    (2*rank() + peer_count - 1), HUGEINT moments, signed-square."""
+    return (
+        "WITH e AS (SELECT event_type, epoch_us(ts) AS us, "
+        "round(value * 100)::BIGINT AS c FROM events), "
+        "r AS (SELECT event_type, "
+        "2 * rank() OVER (PARTITION BY event_type ORDER BY us) "
+        "+ count(*) OVER (PARTITION BY event_type, us) - 1 AS rx, "
+        "2 * rank() OVER (PARTITION BY event_type ORDER BY c) "
+        "+ count(*) OVER (PARTITION BY event_type, c) - 1 AS ry "
+        "FROM e), "
+        "s AS (SELECT event_type, count(*)::HUGEINT AS n, "
+        "sum(rx::HUGEINT) AS sx, sum(ry::HUGEINT) AS sy, "
+        "sum(rx::HUGEINT * ry) AS sxy, "
+        "sum(rx::HUGEINT * rx) AS sxx, "
+        "sum(ry::HUGEINT * ry) AS syy FROM r GROUP BY 1) "
+        "SELECT event_type, n::BIGINT AS n, "
+        "((CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END) "
+        f"* (({q}::HUGEINT * (n * sxy - sx * sy) "
+        "* (n * sxy - sx * sy)) // ((n * sxx - sx * sx) "
+        "* (n * syy - sy * sy))))::BIGINT AS rho2_q FROM s"
+    )

@@ -4962,3 +4962,29 @@ def q_corpus_overlap(sf_dir: str, q: int = 10 ** 6):
 
 
 QUERIES["corpus_overlap"] = q_corpus_overlap
+
+
+def q_events_spearman(sf_dir: str):
+    """Per-type Spearman rank correlation of value vs time (signed
+    squared, exact — relational.grouped_spearman): is a metric
+    drifting monotonically within each event type?"""
+    from spapy_ray.stages.relational import grouped_spearman
+
+    ev = _read(sf_dir, "events",
+               columns=["event_type", "ts", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "us": pc.cast(t.column("ts"), pa.int64()),
+            "c": pa.array(np.rint(t.column("value").to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64))})
+
+    out = grouped_spearman(
+        ev.map_batches(pre, batch_format="pyarrow"),
+        "event_type", "us", "c").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True) \
+        .astype({"n": np.int64, "rho2_q": np.int64})
+
+
+QUERIES["events_spearman"] = q_events_spearman

@@ -1850,3 +1850,43 @@ def mann_whitney_u(ds_a, ds_b, col: str, *, window: int = 4096,
         "na": np.array([na], dtype=np.int64),
         "nb": np.array([nb], dtype=np.int64),
         "u2": np.array([u2], dtype=np.int64)})
+
+
+def grouped_spearman(ds, key: str, x: str, y: str, *,
+                     q: int = 10 ** 6, buckets: int | None = None):
+    """Exact per-group Spearman rank correlation, reported as the
+    SIGNED SQUARE (sqrt-free): with doubled midranks rx, ry
+    (integers even under ties),
+
+        num = n·Σrxry − Σrx·Σry
+        rho2_q = sign(num) · trunc(q · num² / (dxx · dyy))
+
+    dxx = n·Σrx² − (Σrx)², dyy likewise — every quantity a big
+    integer, so the statistic is value-exact (a plain Spearman would
+    need a square root). One bucketed shuffle; ranks and moments are
+    group-local (the grouped_median scale contract: a key's rows fit
+    its bucket). Returns Dataset-(key, n, rho2_q) as pandas."""
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, gg in g.groupby(key, sort=False):
+            n = len(gg)
+            rx = (2.0 * gg[x].rank(method="average")).astype(np.int64)
+            ry = (2.0 * gg[y].rank(method="average")).astype(np.int64)
+            rxl = rx.to_numpy().astype(object)
+            ryl = ry.to_numpy().astype(object)
+            sx, sy = int(rxl.sum()), int(ryl.sum())
+            sxy = int((rxl * ryl).sum())
+            sxx = int((rxl * rxl).sum())
+            syy = int((ryl * ryl).sum())
+            num = n * sxy - sx * sy
+            dxx = n * sxx - sx * sx
+            dyy = n * syy - sy * sy
+            den = dxx * dyy
+            r = 0 if den == 0 else \
+                (1 if num >= 0 else -1) * (q * num * num // den)
+            rows.append((k, n, r))
+        return pd.DataFrame(rows, columns=[key, "n", "rho2_q"]) \
+            .astype({"n": np.int64, "rho2_q": np.int64})
+
+    return bucketed_group_agg(ds.select_columns([key, x, y]), key,
+                              fold, buckets=buckets)

@@ -231,3 +231,34 @@ def test_mann_whitney_u_scipy_free_bruteforce(ray_session):
     # complement identity
     got_b = mann_whitney_u(db, da, "c", window=16).iloc[0]
     assert got["u2"] + got_b["u2"] == 2 * 700 * 400
+
+
+def test_grouped_spearman_vs_scipy_free_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import grouped_spearman
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for k, (slope, noise) in enumerate([(3.0, 0.1), (-2.0, 5.0),
+                                        (0.0, 1.0)]):
+        x = rng.integers(0, 100, 400)
+        y = (slope * x + rng.normal(0, noise, 400) * 10) \
+            .astype(np.int64)
+        rows.append(pd.DataFrame({"k": k, "x": x, "y": y}))
+    df = pd.concat(rows, ignore_index=True)
+    got = grouped_spearman(
+        rd.from_pandas(df, override_num_blocks=5), "k", "x", "y") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+
+    for k in range(3):
+        g = df[df.k == k]
+        rx = pd.Series(g.x).rank(method="average").to_numpy()
+        ry = pd.Series(g.y).rank(method="average").to_numpy()
+        rho = np.corrcoef(rx, ry)[0, 1]
+        exp = np.sign(rho) * rho * rho * 1e6
+        assert abs(got.loc[k, "rho2_q"] - exp) < 3  # trunc vs float
+    assert got.loc[0, "rho2_q"] > 900_000   # strong positive
+    assert got.loc[1, "rho2_q"] < -500_000  # strong negative
