@@ -321,4 +321,5 @@ def oracle_sql() -> dict[str, str]:
         "geohash_index": o.q_geohash_index(),
         "corpus_overlap": o.q_corpus_overlap(),
         "events_spearman": o.q_events_spearman(),
+        "docs_shuffle_order": o.q_docs_shuffle_order(),
     }

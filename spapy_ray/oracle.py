@@ -3508,3 +3508,15 @@ def q_events_spearman(q: int = 10 ** 6) -> str:
         "* (n * sxy - sx * sy)) // ((n * sxx - sx * sx) "
         "* (n * syy - sy * sy))))::BIGINT AS rho2_q FROM s"
     )
+
+
+def q_docs_shuffle_order(seed: str = "epoch1") -> str:
+    """Twin of the deterministic epoch shuffle: row_number over the
+    unsigned FNV order (ties broken by doc_id; UBIGINT sorts
+    unsigned exactly like the engine's uint64 lexsort)."""
+    fnv = sql_fnv1a(f"'{seed}:' || doc_id::VARCHAR")
+    return (
+        f"WITH h AS (SELECT doc_id, {fnv} AS hh FROM documents) "
+        "SELECT doc_id, (row_number() OVER "
+        "(ORDER BY hh, doc_id) - 1)::BIGINT AS pos FROM h"
+    )

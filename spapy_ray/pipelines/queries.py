@@ -4988,3 +4988,34 @@ def q_events_spearman(sf_dir: str):
 
 
 QUERIES["events_spearman"] = q_events_spearman
+
+
+def q_docs_shuffle_order(sf_dir: str, seed: str = "epoch1"):
+    """Deterministic, verifiable training-epoch shuffle: every doc's
+    position under ORDER BY fnv(seed:doc_id) — an exact distributed
+    global sort via hash-top-bit range partitioning
+    (quantiles.global_rank_attach); reproducible from the seed
+    alone, no RNG state."""
+    from spapy_ray.kernels.hashing import fnv1a64
+    from spapy_ray.stages.quantiles import global_rank_attach
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def h(t: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pa.scalar(seed + ":", type=pa.string()),
+            pc.cast(t.column("doc_id"), pa.string()), "")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "h": pa.array(fnv1a64(s).view(np.int64))})
+
+    out = global_rank_attach(
+        docs.map_batches(h, batch_format="pyarrow"), "h", "doc_id")
+
+    def named(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("id"),
+                         "pos": pc.cast(t.column("pos"), pa.int64())})
+
+    return out.map_batches(named, batch_format="pyarrow")
+
+
+QUERIES["docs_shuffle_order"] = q_docs_shuffle_order

@@ -36,6 +36,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import Max, Min, Sum
 
@@ -499,3 +500,55 @@ def gini_exact(ds, col: str, *, window: int = 4096,
     return pd.DataFrame({
         "n": [n], "s_sum": [s], "s1_sum": [s1],
         "gini_q": [gq]}).astype(np.int64)
+
+
+def global_rank_attach(ds, val_col: str, id_col: str, *,
+                       shift: int = 48, buckets: int | None = None):
+    """Attach the EXACT global 0-based rank of (val, id) to every
+    row — a distributed global sort expressed as range partitioning:
+    rows co-partition by the value's top bits (uint64 values →
+    w = v >> shift, ONE shuffle that is already range-ordered), the
+    per-window counts prefix-sum on the driver into starting ranks,
+    and each window sorts locally. No all-to-all sort operator, no
+    driver materialization of rows.
+
+    With val = a salted hash this is the deterministic epoch-shuffle
+    order of a training pipeline (verifiable, seed-reproducible);
+    with val = any uint64-encoded sort key it is ORDER BY rank
+    attach. Returns Dataset(id, pos)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .view(np.uint64)
+        return pa.table({
+            "v": pa.array(v.view(np.int64)),
+            "id": pc.cast(t.column(id_col), pa.int64()),
+            "w": pa.array((v >> np.uint64(shift))
+                          .astype(np.int64))})
+
+    u = ds.map_batches(tag, batch_format="pyarrow").materialize()
+    tot = u.groupby("w").aggregate(Count(alias_name="c")) \
+        .to_pandas().sort_values("w")
+    ws = tot["w"].to_numpy(dtype=np.int64)
+    cs = tot["c"].to_numpy(dtype=np.int64)
+    offs = {int(w): int(o) for w, o in
+            zip(ws, np.r_[0, np.cumsum(cs)[:-1]])}
+    ref = ray.put(offs)
+
+    def local(g: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        offs_ = ray.get(_ref)
+        out = []
+        for w, gg in g.groupby("w", sort=False):
+            v = gg["v"].to_numpy().view(np.uint64)
+            ids = gg["id"].to_numpy()
+            order = np.lexsort((ids, v))
+            pos = int(offs_[int(w)]) + np.arange(len(v),
+                                                 dtype=np.int64)
+            out.append(pd.DataFrame({"id": ids[order], "pos": pos}))
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_agg(u, "w", local, buckets=buckets)
