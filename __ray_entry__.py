@@ -322,4 +322,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_overlap": o.q_corpus_overlap(),
         "events_spearman": o.q_events_spearman(),
         "docs_shuffle_order": o.q_docs_shuffle_order(),
+        "priority_gini": o.q_priority_gini(),
     }

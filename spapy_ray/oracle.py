@@ -3520,3 +3520,19 @@ def q_docs_shuffle_order(seed: str = "epoch1") -> str:
         "SELECT doc_id, (row_number() OVER "
         "(ORDER BY hh, doc_id) - 1)::BIGINT AS pos FROM h"
     )
+
+
+def q_priority_gini(q: int = 10 ** 6) -> str:
+    """Twin of quantiles.grouped_gini per order priority."""
+    return (
+        "WITH b AS (SELECT o_orderpriority AS k, "
+        "round(o_totalprice * 100)::BIGINT AS x FROM orders), "
+        "r AS (SELECT k, x, row_number() OVER "
+        "(PARTITION BY k ORDER BY x)::HUGEINT AS rn FROM b), "
+        "s AS (SELECT k, count(*)::HUGEINT AS n, "
+        "sum(x::HUGEINT) AS s, sum(rn * x) AS s1 FROM r GROUP BY k) "
+        "SELECT k AS o_orderpriority, n::BIGINT AS n, "
+        "s::BIGINT AS s_sum, "
+        f"(({q} * (2 * s1 - (n + 1) * s)) // (n * s))::BIGINT "
+        "AS gini_q FROM s"
+    )

@@ -5019,3 +5019,30 @@ def q_docs_shuffle_order(sf_dir: str, seed: str = "epoch1"):
 
 
 QUERIES["docs_shuffle_order"] = q_docs_shuffle_order
+
+
+def q_priority_gini(sf_dir: str):
+    """Within-segment inequality table: exact Gini of order value
+    cents per order priority (quantiles.grouped_gini)."""
+    from spapy_ray.stages.quantiles import grouped_gini
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"o_orderpriority":
+                         t.column("o_orderpriority"),
+                         "c": pa.array(c)})
+
+    out = grouped_gini(orders.map_batches(cents,
+                                          batch_format="pyarrow"),
+                       "o_orderpriority", "c").to_pandas()
+    return out.sort_values("o_orderpriority").reset_index(drop=True) \
+        .astype({"n": np.int64, "s_sum": np.int64,
+                 "gini_q": np.int64})
+
+
+QUERIES["priority_gini"] = q_priority_gini

@@ -552,3 +552,32 @@ def global_rank_attach(ds, val_col: str, id_col: str, *,
         return pd.concat(out, ignore_index=True)
 
     return bucketed_group_agg(u, "w", local, buckets=buckets)
+
+
+def grouped_gini(ds, key: str, val: str, *, q: int = 10 ** 6,
+                 buckets: int | None = None):
+    """Exact per-group Gini (the within-segment inequality table):
+    one bucketed shuffle, per-key sort + rank dot product, the same
+    big-integer ratio as :func:`gini_exact`. Group rows fit their
+    bucket (the grouped_median scale contract)."""
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, gg in g.groupby(key, sort=False):
+            v = np.sort(gg[val].to_numpy()).astype(object)
+            n, s = len(v), int(v.sum())
+            s1 = int((np.arange(1, n + 1, dtype=object) * v).sum())
+            num = 2 * s1 - (n + 1) * s
+            den = n * s
+            gq = 0 if den == 0 else \
+                (1 if (num >= 0) == (den >= 0) else -1) \
+                * (abs(num) * q // abs(den))
+            rows.append((k, n, s, gq))
+        return pd.DataFrame(rows, columns=[key, "n", "s_sum",
+                                           "gini_q"]) \
+            .astype({"n": np.int64, "s_sum": np.int64,
+                     "gini_q": np.int64})
+
+    return bucketed_group_agg(ds.select_columns([key, val]), key,
+                              fold, buckets=buckets)
