@@ -323,4 +323,5 @@ def oracle_sql() -> dict[str, str]:
         "events_spearman": o.q_events_spearman(),
         "docs_shuffle_order": o.q_docs_shuffle_order(),
         "priority_gini": o.q_priority_gini(),
+        "zonal_percentiles": o.q_zonal_percentiles(),
     }

@@ -3536,3 +3536,18 @@ def q_priority_gini(q: int = 10 ** 6) -> str:
         f"(({q} * (2 * s1 - (n + 1) * s)) // (n * s))::BIGINT "
         "AS gini_q FROM s"
     )
+
+
+def q_zonal_percentiles(num_zones: int = 200) -> str:
+    """Twin of raster.zonal_quantiles (DuckDB quantile_disc has the
+    same max(1, ceil(q*n)) rank convention)."""
+    return (
+        f"WITH {_pixel_grid_cte()}, "
+        f"zones AS ({sql_zones_cte(num_zones)}) "
+        "SELECT z.zone_id, count(*)::BIGINT AS n_pixels, "
+        "quantile_disc(g.z, 0.5)::BIGINT AS p50, "
+        "quantile_disc(g.z, 0.9)::BIGINT AS p90 "
+        "FROM grid g CROSS JOIN zones z "
+        f"WHERE {sql_pip_condition('g.lon', 'g.lat')} "
+        "GROUP BY z.zone_id"
+    )

@@ -5046,3 +5046,20 @@ def q_priority_gini(sf_dir: str):
 
 
 QUERIES["priority_gini"] = q_priority_gini
+
+
+def q_zonal_percentiles(sf_dir: str):
+    """Zonal p50/p90 elevation per zone (raster.zonal_quantiles:
+    value-count partials, one zone shuffle, cumulative-histogram
+    quantile_disc picks)."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.raster import zonal_quantiles
+
+    out = zonal_quantiles(synth_dem_dataset(DEM_META, kind="int"),
+                          zones_table(), DEM_META,
+                          qs=(0.5, 0.9), dtype="int32").to_pandas()
+    return out.sort_values("zone_id").reset_index(drop=True) \
+        .astype(np.int64)
+
+
+QUERIES["zonal_percentiles"] = q_zonal_percentiles

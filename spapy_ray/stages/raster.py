@@ -1774,3 +1774,78 @@ def flow_length_stats(ds, meta: RasterMeta, *,
             "len_max": t.column("len_max").cast(pa.int64())})
 
     return folded.map_batches(decode, batch_format="pyarrow")
+
+
+def zonal_quantiles(ds, zones: pa.Table, meta: RasterMeta, *,
+                    qs: tuple[float, ...] = (0.5, 0.9),
+                    dtype: str = "int32",
+                    buckets: int | None = None):
+    """Zonal PERCENTILES (ArcGIS ZonalStatistics PERCENTILE; the
+    reference's zonal family stops at count/sum/min/max): per-tile
+    per-zone VALUE-COUNT partials — for discrete rasters the
+    exchange is O(zones x distinct values), never the pixels — fold
+    through one hash(zone) shuffle; each zone's quantile_disc values
+    (rank max(1, ceil(q*n)), DuckDB convention) resolve locally from
+    the cumulative histogram. Zones broadcast once (ray.put),
+    membership via the shared STRtree + ray-cast PIP.
+
+    Returns Dataset(zone_id, n_pixels, p<q> ...), int64.
+    """
+    import math
+
+    import ray
+
+    from spapy_ray.sources.rasters import tile_pixels
+    from spapy_ray.stages.join import ZoneIndex
+    from spapy_ray.stages.relational import bucketed_group_agg
+    from spapy_ray.util import cached_state
+
+    box = (ray.put(zones),)
+    qnames = [f"p{int(round(q * 100))}" for q in qs]
+
+    def partial(t: pa.Table) -> pa.Table:
+        index = cached_state(box, ZoneIndex)
+        txs = t.column("tx").to_numpy()
+        tys = t.column("ty").to_numpy()
+        zid_out, val_out, n_out = [], [], []
+        for i, buf in enumerate(t.column("data").to_pylist()):
+            a = decode_tile(buf, dtype, meta.tile_size)
+            gx, gy = tile_pixels(meta, int(txs[i]), int(tys[i]))
+            lon, lat = meta.pixel_center_lonlat(gx.ravel(), gy.ravel())
+            pi, zi = index.query(lon, lat)
+            if len(pi) == 0:
+                continue
+            v = a.ravel()[pi].astype(np.int64)
+            zid = index.zone_ids[zi].astype(np.int64)
+            key = zid * 1_000_000 + v
+            u, c = np.unique(key, return_counts=True)
+            zid_out.append(u // 1_000_000)
+            val_out.append(u % 1_000_000)
+            n_out.append(c.astype(np.int64))
+        if not zid_out:
+            return pa.table({"zone_id": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"zone_id": pa.array(np.concatenate(zid_out)),
+                         "v": pa.array(np.concatenate(val_out)),
+                         "n": pa.array(np.concatenate(n_out))})
+
+    def per_zone(g: pd.DataFrame) -> pd.DataFrame:
+        cc = g.groupby(["zone_id", "v"], sort=False)["n"].sum() \
+            .reset_index().sort_values(["zone_id", "v"])
+        rows = []
+        for zid, gg in cc.groupby("zone_id", sort=True):
+            v = gg["v"].to_numpy()
+            cum = np.cumsum(gg["n"].to_numpy())
+            n = int(cum[-1])
+            picks = [int(v[np.searchsorted(
+                cum, max(1, math.ceil(q * n)))]) for q in qs]
+            rows.append((int(zid), n, *picks))
+        return pd.DataFrame(rows, columns=["zone_id", "n_pixels",
+                                           *qnames]) \
+            .astype(np.int64)
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=16), "zone_id", per_zone,
+        buckets=buckets)
