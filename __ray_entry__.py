@@ -324,4 +324,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_shuffle_order": o.q_docs_shuffle_order(),
         "priority_gini": o.q_priority_gini(),
         "zonal_percentiles": o.q_zonal_percentiles(),
+        "events_late": o.q_events_late(),
     }

@@ -3551,3 +3551,19 @@ def q_zonal_percentiles(num_zones: int = 200) -> str:
         f"WHERE {sql_pip_condition('g.lon', 'g.lat')} "
         "GROUP BY z.zone_id"
     )
+
+
+def q_events_late(allowed_us: int = 300_000_000,
+                  bucket_us: int = 3_600_000_000) -> str:
+    """Twin of sessions.late_event_counts: exclusive running max
+    over arrival order, strict lateness beyond the allowance."""
+    return (
+        "WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events), "
+        "w AS (SELECT us, max(us) OVER (ORDER BY event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm "
+        "FROM e) "
+        f"SELECT (us // {bucket_us})::BIGINT AS bucket, "
+        "count(*)::BIGINT AS n_events, "
+        f"sum((wm IS NOT NULL AND wm - us > {allowed_us})::INT)"
+        "::BIGINT AS n_late FROM w GROUP BY 1"
+    )

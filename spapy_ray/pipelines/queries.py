@@ -5063,3 +5063,17 @@ def q_zonal_percentiles(sf_dir: str):
 
 
 QUERIES["zonal_percentiles"] = q_zonal_percentiles
+
+
+def q_events_late(sf_dir: str):
+    """Watermark / allowed-lateness audit: events arriving (by
+    event_id order) more than 5 min behind the running max event
+    time, counted per event-time hour
+    (sessions.late_event_counts — distributed ordered cummax)."""
+    from spapy_ray.stages.sessions import late_event_counts
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+    return late_event_counts(ev)
+
+
+QUERIES["events_late"] = q_events_late

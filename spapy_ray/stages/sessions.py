@@ -880,3 +880,83 @@ def interp_attach(ds, *, by: str = "user_id", on: str = "ts",
         .map_batches(tag_bucket, batch_format="pyarrow") \
         .groupby("bkt__").map_groups(per_bucket,
                                      batch_format="pandas")
+
+
+def late_event_counts(ds, *, id_col: str = "event_id",
+                      ts_col: str = "ts",
+                      allowed_us: int = 300_000_000,
+                      bucket_us: int = 3_600_000_000,
+                      window: int = 4096):
+    """Watermark / late-data accounting (the streaming-ingestion
+    audit): process events in ARRIVAL order (``id_col``), keep the
+    running maximum event time seen so far (the watermark), and
+    count per event-time bucket how many events arrived more than
+    ``allowed_us`` behind it — exactly what a streaming engine's
+    allowed-lateness policy would have dropped.
+
+    The global ordered cummax distributes like the ordered prefix
+    sum (packing.pack_chunks): per-id-window max partials fold to
+    the driver (O(#windows)), an exclusive prefix max broadcasts
+    back, and each window resolves its local running max
+    independently. Returns Dataset(bucket, n_events, n_late)."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us = t.column(ts_col).to_numpy().astype("datetime64[us]") \
+            .view(np.int64)
+        return pa.table({"id": pa.array(ids), "us": pa.array(us),
+                         "w": pa.array(ids // window)})
+
+    u = ds.map_batches(tag, batch_format="pyarrow").materialize()
+    tot = u.groupby("w").aggregate(Max("us", alias_name="m")) \
+        .to_pandas().sort_values("w")
+    ws = tot["w"].to_numpy(dtype=np.int64)
+    ms = tot["m"].to_numpy(dtype=np.int64)
+    # exclusive prefix max over windows in id order
+    # sentinel -2^62 (not int64 min: wm - us must not underflow)
+    pre = np.r_[-(1 << 62), np.maximum.accumulate(ms)[:-1]]
+    offs = {int(w): int(p) for w, p in zip(ws, pre)}
+    ref = ray.put(offs)
+
+    def per_window(g: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        offs_ = ray.get(_ref)
+        out = []
+        for w, gg in g.groupby("w", sort=False):
+            order = np.argsort(gg["id"].to_numpy(), kind="stable")
+            us = gg["us"].to_numpy()[order]
+            run = np.maximum.accumulate(us)
+            wm = np.r_[-(1 << 62), run[:-1]]
+            wm = np.maximum(wm, int(offs_[int(w)]))
+            late = (wm - us) > allowed_us
+            b = us // bucket_us
+            df = pd.DataFrame({"bucket": b,
+                               "late": late.astype(np.int64)})
+            p = df.groupby("bucket", sort=False).agg(
+                n_events=("late", "size"),
+                n_late=("late", "sum")).reset_index()
+            out.append(p)
+        return pd.concat(out, ignore_index=True).astype(np.int64)
+
+    parts = bucketed_group_agg_sessions(u, "w", per_window)
+    out = parts.groupby("bucket").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_late", alias_name="n_late"))
+
+    def typed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table({c: _pc.cast(t.column(c), pa.int64())
+                         for c in t.column_names})
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
+def bucketed_group_agg_sessions(ds, key, fold, buckets=None):
+    """Thin alias to relational.bucketed_group_agg (import cycle
+    guard)."""
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    return bucketed_group_agg(ds, key, fold, buckets=buckets)

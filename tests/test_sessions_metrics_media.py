@@ -593,3 +593,30 @@ def test_interp_attach_bruteforce(ray_session):
         .sort_values("view_event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"),
                                   exp.astype("int64"))
+
+
+def test_late_event_counts_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.sessions import late_event_counts
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    us = rng.integers(0, 10 ** 10, n)
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64),
+                       "ts": us.astype("datetime64[us]")})
+    got = late_event_counts(
+        rd.from_pandas(df, override_num_blocks=6),
+        allowed_us=10 ** 9, bucket_us=10 ** 9, window=64) \
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+
+    wm = np.r_[-(1 << 62), np.maximum.accumulate(us)[:-1]]
+    late = (wm - us) > 10 ** 9
+    exp = pd.DataFrame({"bucket": us // 10 ** 9,
+                        "late": late.astype(np.int64)}) \
+        .groupby("bucket").agg(n_events=("late", "size"),
+                               n_late=("late", "sum")) \
+        .reset_index().astype(np.int64)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
