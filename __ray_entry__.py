@@ -325,4 +325,6 @@ def oracle_sql() -> dict[str, str]:
         "priority_gini": o.q_priority_gini(),
         "zonal_percentiles": o.q_zonal_percentiles(),
         "events_late": o.q_events_late(),
+        "quality_gate": o.q_quality_gate(),
+        "k_anonymity": o.q_k_anonymity(),
     }

@@ -3567,3 +3567,30 @@ def q_events_late(allowed_us: int = 300_000_000,
         f"sum((wm IS NOT NULL AND wm - us > {allowed_us})::INT)"
         "::BIGINT AS n_late FROM w GROUP BY 1"
     )
+
+
+def q_quality_gate() -> str:
+    """Twin of the data-contract gate."""
+    return (
+        "SELECT 'fk_orphan_lineitems' AS check, (SELECT count(*) "
+        "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_orderkey = l.l_orderkey))::BIGINT AS n "
+        "UNION ALL SELECT 'dup_order_keys', (SELECT count(*) FROM "
+        "(SELECT o_orderkey FROM orders GROUP BY o_orderkey "
+        "HAVING count(*) > 1))::BIGINT "
+        "UNION ALL SELECT 'lineitem_rows', "
+        "(SELECT count(*) FROM lineitem)::BIGINT"
+    )
+
+
+def q_k_anonymity(k: int = 5) -> str:
+    """Twin of the k-anonymity audit."""
+    return (
+        "WITH c AS (SELECT lang, source, count(*)::BIGINT AS n "
+        "FROM documents GROUP BY 1, 2) "
+        f"SELECT {k}::BIGINT AS k_threshold, "
+        "count(*)::BIGINT AS n_classes, "
+        "min(n)::BIGINT AS min_class, "
+        f"coalesce(sum(n) FILTER (WHERE n < {k}), 0)::BIGINT "
+        "AS n_rows_below_k FROM c"
+    )

@@ -5077,3 +5077,70 @@ def q_events_late(sf_dir: str):
 
 
 QUERIES["events_late"] = q_events_late
+
+
+def q_quality_gate(sf_dir: str):
+    """Data-contract gate in one result: FK orphans (lineitem ->
+    orders anti join), duplicate primary keys, and rows-per-check
+    totals — the CI check a warehouse runs before publishing a
+    snapshot. Composes hash_join(anti) + combiner counts."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.relational import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    orphans = hash_join(
+        li, orders.map_batches(
+            lambda t: t.rename_columns(["l_orderkey"]),
+            batch_format="pyarrow"),
+        on="l_orderkey", how="anti").count()
+
+    def pre(t: pa.Table) -> pa.Table:
+        vc = t.column("o_orderkey").value_counts()
+        return pa.table({
+            "k": vc.field("values"),
+            "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    keys = orders.map_batches(pre, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("c", alias_name="c"))
+    dup_rows = keys.filter(expr="c > 1")
+    n_dup_keys = dup_rows.count()
+    n_rows = li.count()
+    return pd.DataFrame({
+        "check": ["fk_orphan_lineitems", "dup_order_keys",
+                  "lineitem_rows"],
+        "n": np.array([orphans, n_dup_keys, n_rows],
+                      dtype=np.int64)})
+
+
+QUERIES["quality_gate"] = q_quality_gate
+
+
+def q_k_anonymity(sf_dir: str, k: int = 5):
+    """k-anonymity audit over the (lang, source) quasi-identifier:
+    equivalence-class sizes from one combiner shuffle; reports the
+    smallest class, class count, and rows living in classes below
+    k — the privacy gate of a release pipeline."""
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    docs = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(len(t), dtype=np.int64)))
+
+    cls = pre_aggregated_sums(
+        docs.map_batches(one, batch_format="pyarrow"),
+        ["lang", "source"], ["one"], count_alias="c").to_pandas()
+    sizes = cls["one"].to_numpy().astype(np.int64)
+    return pd.DataFrame({
+        "k_threshold": [k],
+        "n_classes": [len(sizes)],
+        "min_class": [int(sizes.min()) if len(sizes) else 0],
+        "n_rows_below_k": [int(sizes[sizes < k].sum())]}) \
+        .astype(np.int64)
+
+
+QUERIES["k_anonymity"] = q_k_anonymity
