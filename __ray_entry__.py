@@ -327,4 +327,6 @@ def oracle_sql() -> dict[str, str]:
         "events_late": o.q_events_late(),
         "quality_gate": o.q_quality_gate(),
         "k_anonymity": o.q_k_anonymity(),
+        "lang_confusion": o.q_lang_confusion(),
+        "trending_domains": o.q_trending_domains(),
     }

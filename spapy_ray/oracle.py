@@ -3594,3 +3594,35 @@ def q_k_anonymity(k: int = 5) -> str:
         f"coalesce(sum(n) FILTER (WHERE n < {k}), 0)::BIGINT "
         "AS n_rows_below_k FROM c"
     )
+
+
+def q_lang_confusion() -> str:
+    """Twin of the language-ID confusion matrix (reuses the guess
+    CASE from q_docs_lang_guess)."""
+    inner = q_docs_lang_guess()
+    return (
+        f"WITH g AS ({inner}) "
+        "SELECT d.lang, g.lang_guess, count(*)::BIGINT AS n "
+        "FROM documents d JOIN g USING (doc_id) GROUP BY 1, 2"
+    )
+
+
+def q_trending_domains(k: int = 3) -> str:
+    """Twin of the per-day top-k hosts (count desc, host asc)."""
+    import re
+
+    from spapy_ray.stages.text import URL_PATTERN
+
+    anon = re.sub(r"\?P<[a-z]+>", "", URL_PATTERN)
+    return (
+        f"WITH {pages_cte()}, "
+        "d AS (SELECT epoch_us(warc_ts) // 86400000000 AS day, "
+        f"regexp_extract(url, '{anon}', 2) AS host FROM pages), "
+        "c AS (SELECT day, host, count(*)::BIGINT AS n FROM d "
+        "GROUP BY 1, 2), "
+        "r AS (SELECT day, host, n, row_number() OVER "
+        "(PARTITION BY day ORDER BY n DESC, host)::BIGINT AS rank "
+        "FROM c) "
+        f"SELECT day::BIGINT AS day, host, n, rank FROM r "
+        f"WHERE rank <= {k}"
+    )

@@ -5144,3 +5144,69 @@ def q_k_anonymity(sf_dir: str, k: int = 5):
 
 
 QUERIES["k_anonymity"] = q_k_anonymity
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID evaluation: confusion matrix of the declared lang
+    vs the n-gram classifier's guess (the model-eval workflow over
+    the corpus — one combiner shuffle of (truth, guess) counts)."""
+    from spapy_ray.stages.relational import pre_aggregated_sums
+    from spapy_ray.stages.text import lang_guess_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text",
+                                               "lang"])
+    guessed = docs.map_batches(lang_guess_batch,
+                               batch_format="pyarrow")
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t.column("lang"),
+            "lang_guess": t.column("lang_guess"),
+            "one": pa.array(np.ones(len(t), dtype=np.int64))})
+
+    out = pre_aggregated_sums(
+        guessed.map_batches(one, batch_format="pyarrow"),
+        ["lang", "lang_guess"], ["one"], count_alias="c") \
+        .to_pandas()[["lang", "lang_guess", "one"]] \
+        .rename(columns={"one": "n"})
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["lang", "lang_guess"]) \
+        .reset_index(drop=True)
+
+
+QUERIES["lang_confusion"] = q_lang_confusion
+
+
+def q_trending_domains(sf_dir: str, k: int = 3):
+    """Trending hosts: top-k domains per crawl day by page count —
+    per-(day, host) combiner counts, then grouped_topk per day
+    (never a global sort)."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.relational import grouped_topk
+    from spapy_ray.stages.text import url_parse_batch
+
+    ds = pages_dataset(sf_dir, include_html=False)
+
+    def pre(t: pa.Table) -> pa.Table:
+        day = pc.cast(t.column("warc_ts"), pa.int64()).to_numpy() \
+            // 86_400_000_000
+        h = url_parse_batch(t.select(["url"])).column("host")
+        df = pd.DataFrame({"day": day, "host": h.to_pandas()})
+        g = df.groupby(["day", "host"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby(["day", "host"]).aggregate(Sum("c", alias_name="n"))
+
+    top = grouped_topk(counts, "day", "n", k,
+                       tie_cols=["host"]).to_pandas()
+    out = top[["day", "host", "n", "rank"]].copy()
+    for c in ("day", "n", "rank"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["day", "rank"]).reset_index(drop=True)
+
+
+QUERIES["trending_domains"] = q_trending_domains
