@@ -329,4 +329,5 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": o.q_k_anonymity(),
         "lang_confusion": o.q_lang_confusion(),
         "trending_domains": o.q_trending_domains(),
+        "stream_order": o.q_stream_order(),
     }

@@ -3626,3 +3626,69 @@ def q_trending_domains(k: int = 3) -> str:
         f"SELECT day::BIGINT AS day, host, n, rank FROM r "
         f"WHERE rank <= {k}"
     )
+
+
+def q_stream_order(rounds: int = 6) -> str:
+    """Twin of raster.strahler_stats: the D8 pointer CTE (same
+    construction as _sql_d8_walk) + ``rounds`` unrolled synchronous
+    Strahler iterations. Starting from all-ones, the iteration is
+    monotone from below and converges to the least fixpoint (the
+    true Strahler order) within max-path-length rounds — 3 on this
+    DEM, 6 for margin."""
+    from spapy_ray.sources.rasters import sql_dem_int
+    from spapy_ray.stages.raster import D8_OFFSETS
+
+    def cl(e: str) -> str:
+        return f"LEAST(GREATEST({e}, 0), 511)"
+
+    z = sql_dem_int("px", "py", 0)
+    wds = []
+    for (dy, dx, wt) in D8_OFFSETS:
+        nb = sql_dem_int(cl(f"px + {dx}"), cl(f"py + {dy}"), 0)
+        wds.append(f"(({z}) - ({nb})) * {wt}")
+    m = "GREATEST(" + ", ".join(f"wd{k + 1}" for k in range(8)) + ")"
+    case = "CASE WHEN " + m + " <= 0 THEN 0 " + " ".join(
+        f"WHEN wd{k + 1} = {m} THEN {k + 1}" for k in range(8)) \
+        + " END"
+    wd_cols = ", ".join(f"{e} AS wd{k + 1}"
+                        for k, e in enumerate(wds))
+    nxt = "CASE code " + " ".join(
+        f"WHEN {k + 1} THEN node + {dy * 512 + dx}"
+        for k, (dy, dx, _) in enumerate(D8_OFFSETS)) + " ELSE node END"
+    # every CTE is MATERIALIZED: without the hint DuckDB re-inlines
+    # ptr (and each round) into every consumer and the 6-round chain
+    # re-evaluates the closed-form DEM exponentially (measured DNF)
+    parts = [
+        "WITH px AS MATERIALIZED (SELECT p % 512 AS px, "
+        "p // 512 AS py FROM range(262144) t(p))",
+        f"wd AS MATERIALIZED (SELECT px, py, {wd_cols} FROM px)",
+        f"code AS MATERIALIZED (SELECT px, py, py * 512 + px "
+        f"AS node, {case} AS code FROM wd)",
+        f"ptr AS MATERIALIZED (SELECT node, {nxt} AS nxt FROM code)",
+        "o0 AS MATERIALIZED (SELECT node, 1::BIGINT AS ord "
+        "FROM ptr)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"j{i} AS MATERIALIZED (SELECT pt.nxt AS parent, o.ord "
+            f"FROM ptr pt JOIN o{i} o ON o.node = pt.node "
+            "WHERE pt.nxt <> pt.node)")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT parent, max(ord) AS m "
+            f"FROM j{i} GROUP BY parent)")
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT j.parent, a.m, "
+            f"count(*)::BIGINT AS c FROM j{i} j JOIN a{i} a "
+            "ON a.parent = j.parent AND j.ord = a.m GROUP BY 1, 2)")
+        parts.append(
+            f"o{i + 1} AS MATERIALIZED (SELECT p.node, "
+            "coalesce(CASE WHEN b.c >= 2 THEN b.m + 1 ELSE b.m "
+            f"END, 1)::BIGINT AS ord FROM ptr p "
+            f"LEFT JOIN b{i} b ON b.parent = p.node)")
+    return (
+        ", ".join(parts) + " "
+        f"SELECT ((node % 512) // 64)::BIGINT AS tx, "
+        "((node // 512) // 64)::BIGINT AS ty, ord, "
+        f"count(*)::BIGINT AS n_cells FROM o{rounds} "
+        "GROUP BY 1, 2, 3"
+    )

@@ -5210,3 +5210,20 @@ def q_trending_domains(sf_dir: str, k: int = 3):
 
 
 QUERIES["trending_domains"] = q_trending_domains
+
+
+def q_stream_order(sf_dir: str):
+    """Strahler stream order per tile over the int DEM's D8 forest
+    (raster.strahler_stats: basin co-partition + vectorized
+    topological peel) — completes the hydrology chain."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.raster import strahler_stats
+
+    out = strahler_stats(synth_dem_dataset(DEM_META, kind="int"),
+                         DEM_META, components_mode="distributed") \
+        .to_pandas()
+    return out.sort_values(["ty", "tx", "ord"]) \
+        .reset_index(drop=True).astype(np.int64)
+
+
+QUERIES["stream_order"] = q_stream_order

@@ -1849,3 +1849,110 @@ def zonal_quantiles(ds, zones: pa.Table, meta: RasterMeta, *,
         ds.map_batches(partial, batch_format="pyarrow",
                        batch_size=16), "zone_id", per_zone,
         buckets=buckets)
+
+
+def strahler_stats(ds, meta: RasterMeta, *,
+                   components_mode: str = "distributed",
+                   buckets: int | None = None):
+    """Strahler stream order of the D8 pointer forest (the stream-
+    classification capstone of the hydrology family: direction →
+    watershed → accumulation → length → ORDER). order(leaf) = 1;
+    order(v) = m + 1 if ≥ 2 children attain the children's max m,
+    else m.
+
+    Distributed shape: identical to flow_accumulation_stats —
+    basins co-partition by their hash_to_min label (one shuffle),
+    and each bucket peels its basins topologically: every round
+    resolves the whole frontier vectorized (pandas max/count-of-max
+    per parent), rounds = max path length in the bucket. Returns
+    Dataset(tx, ty, ord, n_cells)."""
+    from spapy_ray.stages.components import hash_to_min
+    from spapy_ray.stages.relational import bucketed_group_agg, \
+        hash_join
+
+    dirs = flow_direction(ds, meta)
+    T = meta.tile_size
+    W = meta.width
+    tiles_x = meta.tiles_x
+
+    edges = _d8_pointer_edges(dirs, meta).materialize()
+    labels = hash_to_min(edges, mode=components_mode,
+                         buckets=buckets or 64)
+    lab_edges = hash_join(edges, labels, on="a", right_on="v",
+                          buckets=buckets)
+
+    def strahler_local(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy(dtype=np.int64)
+        b = g["b"].to_numpy(dtype=np.int64)
+        o_sort = np.argsort(a, kind="stable")
+        ns = a[o_sort]
+        ptr = np.searchsorted(ns, b[o_sort])
+        n = len(ns)
+        if n and not (ns[np.minimum(ptr, n - 1)] == b[o_sort]).all():
+            raise AssertionError("strahler bucket is missing pointer "
+                                 "targets")
+        self_loop = ptr == np.arange(n)
+        indeg = np.bincount(ptr[~self_loop], minlength=n)
+        order = np.ones(n, dtype=np.int64)
+        maxo = np.zeros(n, dtype=np.int64)
+        cnt = np.zeros(n, dtype=np.int64)
+        rem = indeg.copy()
+        frontier = np.flatnonzero(rem == 0)
+        done = np.zeros(n, dtype=bool)
+        while frontier.size:
+            o = np.where(maxo[frontier] == 0, 1,
+                         np.where(cnt[frontier] >= 2,
+                                  maxo[frontier] + 1,
+                                  maxo[frontier]))
+            order[frontier] = o
+            done[frontier] = True
+            push = ~self_loop[frontier]
+            p = ptr[frontier[push]]
+            po = o[push]
+            if len(p):
+                df = pd.DataFrame({"p": p, "o": po})
+                gg = df.groupby("p", sort=False)["o"] \
+                    .agg(["max", "size"]).reset_index()
+                mx = gg["max"].to_numpy(dtype=np.int64)
+                # count of children attaining the batch max
+                cmx = df[df["o"].to_numpy()
+                         == gg.set_index("p")["max"]
+                         .reindex(df["p"]).to_numpy()] \
+                    .groupby("p", sort=False).size()
+                pu = gg["p"].to_numpy(dtype=np.int64)
+                cm = cmx.reindex(gg["p"]).to_numpy().astype(np.int64)
+                cur_m, cur_c = maxo[pu], cnt[pu]
+                new_m = np.maximum(cur_m, mx)
+                new_c = np.where(mx > cur_m, cm,
+                                 np.where(mx == cur_m, cur_c + cm,
+                                          cur_c))
+                maxo[pu], cnt[pu] = new_m, new_c
+                rem[pu] -= gg["size"].to_numpy(dtype=np.int64)
+            frontier = np.flatnonzero((rem == 0) & ~done)
+        px, py = ns % W, ns // W
+        tkey = (py // T) * tiles_x + (px // T)
+        df = pd.DataFrame({"tkey": tkey, "ord": order})
+        out = df.groupby(["tkey", "ord"], sort=False).size() \
+            .reset_index(name="n_cells")
+        out["n_cells"] = out["n_cells"].astype(np.int64)
+        return out
+
+    partials = bucketed_group_agg(lab_edges.select_columns(
+        ["a", "b", "lab"]), "lab", strahler_local, buckets=buckets)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["tkey", "ord"], sort=False)["n_cells"] \
+            .sum().reset_index()
+
+    folded = bucketed_group_agg(partials, "tkey", fold,
+                                buckets=buckets)
+
+    def decode(t: pa.Table) -> pa.Table:
+        tk = t.column("tkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tx": pa.array((tk % tiles_x).astype(np.int64)),
+            "ty": pa.array((tk // tiles_x).astype(np.int64)),
+            "ord": t.column("ord").cast(pa.int64()),
+            "n_cells": t.column("n_cells").cast(pa.int64())})
+
+    return folded.map_batches(decode, batch_format="pyarrow")

@@ -1185,3 +1185,63 @@ def test_local_moran_tiles_bruteforce(ray_session):
     pe = int((full[:, :-1] * full[:, 1:]).sum())
     ps = int((full[:-1] * full[1:]).sum())
     assert int(exp["p_dir"].sum()) == 2 * (pe + ps)
+
+
+def test_strahler_matches_topological_bruteforce(ray_session):
+    # end-to-end: engine stream orders over the real DEM equal an
+    # independent Kahn-style topological computation of Strahler
+    import pandas as pd
+
+    from spapy_ray.stages.raster import strahler_stats
+    from spapy_ray.sources.rasters import DEM_META, dem_int_value, \
+        synth_dem_dataset
+    got = strahler_stats(synth_dem_dataset(DEM_META, kind="int"),
+                         DEM_META, components_mode="driver") \
+        .to_pandas().sort_values(["ty", "tx", "ord"]) \
+        .reset_index(drop=True)
+
+    W = H = 512
+    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
+    z = dem_int_value(gx, gy).astype(np.int64)
+    from spapy_ray.stages.raster import D8_OFFSETS
+    bestwd = np.zeros((H, W), np.int64)
+    nxt = np.arange(H * W).reshape(H, W).copy()
+    for (dy, dx, wt) in D8_OFFSETS:
+        yy = np.clip(gy + dy, 0, H - 1)
+        xx = np.clip(gx + dx, 0, W - 1)
+        wd = (z - z[yy, xx]) * wt
+        m = wd > bestwd
+        bestwd = np.where(m, wd, bestwd)
+        nxt = np.where(m, yy * W + xx, nxt)
+    ptr = nxt.ravel()
+    n = H * W
+    indeg = np.bincount(ptr[ptr != np.arange(n)], minlength=n)
+    from collections import deque
+    qd = deque(np.flatnonzero(indeg == 0).tolist())
+    order = np.ones(n, np.int64)
+    maxo = np.zeros(n, np.int64)
+    cnt = np.zeros(n, np.int64)
+    rem = indeg.copy()
+    while qd:
+        v = qd.popleft()
+        o = 1 if maxo[v] == 0 else \
+            (maxo[v] + 1 if cnt[v] >= 2 else maxo[v])
+        order[v] = o
+        p = ptr[v]
+        if p != v:
+            if o > maxo[p]:
+                maxo[p], cnt[p] = o, 1
+            elif o == maxo[p]:
+                cnt[p] += 1
+            rem[p] -= 1
+            if rem[p] == 0:
+                qd.append(p)
+    df = pd.DataFrame({
+        "tx": (np.arange(n) % W) // 64, "ty": (np.arange(n) // W) // 64,
+        "ord": order})
+    exp = df.groupby(["tx", "ty", "ord"]).size() \
+        .reset_index(name="n_cells") \
+        .sort_values(["ty", "tx", "ord"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"),
+        exp[["tx", "ty", "ord", "n_cells"]].astype("int64"))
