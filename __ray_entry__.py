@@ -330,4 +330,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": o.q_lang_confusion(),
         "trending_domains": o.q_trending_domains(),
         "stream_order": o.q_stream_order(),
+        "events_rolling_slope": o.q_events_rolling_slope(),
     }

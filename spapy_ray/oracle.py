@@ -3692,3 +3692,32 @@ def q_stream_order(rounds: int = 6) -> str:
         f"count(*)::BIGINT AS n_cells FROM o{rounds} "
         "GROUP BY 1, 2, 3"
     )
+
+
+def q_events_rolling_slope(w: int = 8, q: int = 10 ** 6) -> str:
+    """Twin of the rolling OLS slope: framed windowed sums over the
+    per-user index, HUGEINT closed form, trunc toward zero (den = 0
+    for single-row windows -> slope 0)."""
+    frame = f"ROWS {w - 1} PRECEDING"
+    return (
+        "WITH e AS (SELECT event_id, ts, user_id, "
+        "round(value * 100)::BIGINT AS c FROM events), "
+        "r AS (SELECT *, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id)::BIGINT "
+        "AS rn FROM e), "
+        "s AS (SELECT user_id, event_id, "
+        f"count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        f"{frame})::HUGEINT AS n, "
+        f"sum(rn) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        f"{frame})::HUGEINT AS sx, "
+        f"sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        f"{frame})::HUGEINT AS sy, "
+        f"sum(rn * c) OVER (PARTITION BY user_id ORDER BY ts, "
+        f"event_id {frame})::HUGEINT AS sxy, "
+        f"sum(rn * rn) OVER (PARTITION BY user_id ORDER BY ts, "
+        f"event_id {frame})::HUGEINT AS sxx FROM r) "
+        "SELECT user_id, event_id, n::BIGINT AS n_w, "
+        "(CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE "
+        f"({q}::HUGEINT * (n * sxy - sx * sy)) "
+        "// (n * sxx - sx * sx) END)::BIGINT AS slope_q FROM s"
+    )

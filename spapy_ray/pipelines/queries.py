@@ -5227,3 +5227,72 @@ def q_stream_order(sf_dir: str):
 
 
 QUERIES["stream_order"] = q_stream_order
+
+
+def q_events_rolling_slope(sf_dir: str, w: int = 8, q: int = 10 ** 6):
+    """Per-user rolling OLS slope of value-cents against the event
+    index over the last w events (the streaming trend/momentum
+    feature): two window_over passes — row_number first, then framed
+    rolling sums of (1, rn, c, rn*c, rn*rn); the closed-form slope
+    folds per row, trunc-toward-zero. All moments integer-exact
+    (rn is the per-user index, so products stay small)."""
+    from spapy_ray.stages.window import window_over
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "ts": t.column("ts"),
+            "user_id": t.column("user_id"),
+            "c": pa.array(np.rint(t.column("value").to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64))})
+
+    rn = window_over(ev.map_batches(cents, batch_format="pyarrow"),
+                     key_col="user_id", order_cols=["ts", "event_id"],
+                     ops=[("rn", "row_number", None)],
+                     keep_cols=["event_id", "c"])
+
+    def prods(t: pa.Table) -> pa.Table:
+        r = t.column("rn").to_numpy().astype(np.int64)
+        c = t.column("c").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": t.column("user_id"), "ts": t.column("ts"),
+            "event_id": t.column("event_id"),
+            "rn": pa.array(r), "c": pa.array(c),
+            "one": pa.array(np.ones(len(r), dtype=np.int64)),
+            "xy": pa.array(r * c), "xx": pa.array(r * r)})
+
+    rolled = window_over(
+        rn.map_batches(prods, batch_format="pyarrow"),
+        key_col="user_id", order_cols=["ts", "event_id"],
+        ops=[("n_w", f"rolling_sum:{w}", "one"),
+             ("sx", f"rolling_sum:{w}", "rn"),
+             ("sy", f"rolling_sum:{w}", "c"),
+             ("sxy", f"rolling_sum:{w}", "xy"),
+             ("sxx", f"rolling_sum:{w}", "xx")],
+        keep_cols=["event_id"])
+
+    def slope(t: pa.Table) -> pa.Table:
+        n = t.column("n_w").to_numpy().astype(np.int64)
+        sx = t.column("sx").to_numpy().astype(np.int64)
+        sy = t.column("sy").to_numpy().astype(np.int64)
+        sxy = t.column("sxy").to_numpy().astype(np.int64)
+        sxx = t.column("sxx").to_numpy().astype(np.int64)
+        num = q * (n * sxy - sx * sy)
+        den = n * sxx - sx * sx
+        out = np.zeros(len(n), dtype=np.int64)
+        nz = den > 0
+        sgn = np.where(num >= 0, 1, -1)
+        out[nz] = (sgn[nz] * (np.abs(num[nz]) // den[nz]))
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_id": t.column("event_id"),
+                         "n_w": pa.array(n),
+                         "slope_q": pa.array(out)})
+
+    return rolled.map_batches(slope, batch_format="pyarrow")
+
+
+QUERIES["events_rolling_slope"] = q_events_rolling_slope
