@@ -331,4 +331,6 @@ def oracle_sql() -> dict[str, str]:
         "trending_domains": o.q_trending_domains(),
         "stream_order": o.q_stream_order(),
         "events_rolling_slope": o.q_events_rolling_slope(),
+        "label_separation": o.q_label_separation(),
+        "cell_smoothing": o.q_cell_smoothing(),
     }

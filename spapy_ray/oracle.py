@@ -3721,3 +3721,48 @@ def q_events_rolling_slope(w: int = 8, q: int = 10 ** 6) -> str:
         f"({q}::HUGEINT * (n * sxy - sx * sy)) "
         "// (n * sxx - sx * sx) END)::BIGINT AS slope_q FROM s"
     )
+
+
+def q_label_separation(scale: int = 1_000_000,
+                       q: int = 10 ** 6) -> str:
+    """Twin of the centroid-separation matrix (same quantization as
+    q_label_centroids; HUGEINT multiplied-out rational distance)."""
+    return (
+        "WITH e AS (SELECT label, "
+        "(generate_subscripts(embedding, 1) - 1)::BIGINT AS dim, "
+        f"CAST(floor(unnest(embedding)::DOUBLE * {scale} + 0.5) "
+        "AS BIGINT) AS qv FROM embeddings), "
+        "s AS (SELECT label, dim, sum(qv)::HUGEINT AS sq, "
+        "count(*)::HUGEINT AS n FROM e GROUP BY 1, 2), "
+        "p AS (SELECT a.label AS la, b.label AS lb, "
+        "max(a.n) AS n1, max(b.n) AS n2, "
+        "sum((a.sq * b.n - b.sq * a.n) "
+        "* (a.sq * b.n - b.sq * a.n)) AS num "
+        "FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label "
+        "GROUP BY 1, 2) "
+        "SELECT la::BIGINT AS la, lb::BIGINT AS lb, "
+        "n1::BIGINT AS n1, n2::BIGINT AS n2, "
+        f"(({q}::HUGEINT * num) // ((n1 * n2 * {scale}) "
+        f"* (n1 * n2 * {scale})))::BIGINT AS d2_q FROM p"
+    )
+
+
+def q_cell_smoothing() -> str:
+    """Twin of the sparse focal sum over the occupancy grid."""
+    return (
+        f"WITH {geo_cte()}, "
+        "pts AS (SELECT floor(lon + 180.0)::BIGINT AS gx, "
+        "floor(lat + 85.0)::BIGINT AS gy FROM geo), "
+        "c AS (SELECT gy * 360 + gx AS cell, gx, gy, "
+        "count(*)::BIGINT AS c FROM pts "
+        "WHERE gx BETWEEN 0 AND 359 AND gy BETWEEN 0 AND 169 "
+        "GROUP BY 1, 2, 3), "
+        "o AS (SELECT p % 3 - 1 AS dx, p // 3 - 1 AS dy "
+        "FROM range(9) t(p)), "
+        "sm AS (SELECT (c.gy + o.dy) * 360 + (c.gx + o.dx) AS cell, "
+        "sum(c.c)::BIGINT AS sm FROM c CROSS JOIN o "
+        "WHERE c.gx + o.dx BETWEEN 0 AND 359 "
+        "AND c.gy + o.dy BETWEEN 0 AND 169 GROUP BY 1) "
+        "SELECT c.cell::BIGINT AS cell, c.c AS n_pages, "
+        "sm.sm AS n_smooth FROM c JOIN sm USING (cell)"
+    )

@@ -5296,3 +5296,129 @@ def q_events_rolling_slope(sf_dir: str, w: int = 8, q: int = 10 ** 6):
 
 
 QUERIES["events_rolling_slope"] = q_events_rolling_slope
+
+
+def q_label_separation(sf_dir: str, scale: int = 1_000_000,
+                       q: int = 10 ** 6):
+    """Between-class centroid separation matrix (the cluster-quality
+    diagnostic): exact squared distance between every pair of label
+    centroids — rational centroids multiplied out so the numerator
+    sum((sq1*n2 - sq2*n1)^2) is a big integer; d2_q = trunc(q * num
+    / (n1*n2*scale)^2). One combiner shuffle for the per-(label,
+    dim) sums; the pairwise fold runs on the tiny centroid table."""
+    from ray.data.aggregate import Sum
+
+    emb = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.floor(col.flatten().to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * scale + 0.5) \
+            .astype(np.int64)
+        nper = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        labels = np.repeat(
+            t.column("label").to_numpy(zero_copy_only=False)
+            .astype(np.int64), nper)
+        if len(nper) and (nper == nper[0]).all():
+            dims = np.tile(np.arange(nper[0], dtype=np.int64),
+                           len(nper))
+        else:  # ragged fallback (never hit on fixed-dim embeddings)
+            dims = np.concatenate(
+                [np.arange(n, dtype=np.int64) for n in nper]) \
+                if len(nper) else np.array([], dtype=np.int64)
+        df = pd.DataFrame({"label": labels, "dim": dims, "s": flat})
+        g = df.groupby(["label", "dim"], sort=False).agg(
+            sq=("s", "sum"), n=("s", "size")).reset_index()
+        return pa.Table.from_pandas(g.astype(np.int64),
+                                    preserve_index=False)
+
+    sums = emb.map_batches(pre, batch_format="pyarrow") \
+        .groupby(["label", "dim"]).aggregate(
+            Sum("sq", alias_name="sq"), Sum("n", alias_name="n")) \
+        .to_pandas()
+    labels = sorted(sums["label"].unique())
+    piv_s = sums.pivot_table(index="dim", columns="label",
+                             values="sq", aggfunc="sum")
+    piv_n = sums.pivot_table(index="dim", columns="label",
+                             values="n", aggfunc="sum")
+    rows = []
+    for i, la in enumerate(labels):
+        for lb in labels[i + 1:]:
+            s1 = piv_s[la].to_numpy().astype(object)
+            s2 = piv_s[lb].to_numpy().astype(object)
+            n1 = int(piv_n[la].iloc[0])
+            n2 = int(piv_n[lb].iloc[0])
+            num = int(((s1 * n2 - s2 * n1) ** 2).sum())
+            den = (n1 * n2 * scale) ** 2
+            rows.append((int(la), int(lb), n1, n2,
+                         q * num // den))
+    return pd.DataFrame(rows, columns=["la", "lb", "n1", "n2",
+                                       "d2_q"]).astype(np.int64)
+
+
+QUERIES["label_separation"] = q_label_separation
+
+
+def q_cell_smoothing(sf_dir: str):
+    """Sparse focal sum over the occupancy grid: every occupied
+    1-degree cell's count plus its 8 neighbors' counts (spatial
+    smoothing of page density) — each cell's count emits to its 9
+    neighbor keys (a 9x fan-out of the COUNTS table, never the
+    points), one combiner shuffle, output restricted to occupied
+    cells."""
+    from ray.data.aggregate import Sum
+
+    geo = _geo(sf_dir)
+    NX, NY = 360, 170
+
+    def cells(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        gx = np.floor(lon + 180.0).astype(np.int64)
+        gy = np.floor(lat + 85.0).astype(np.int64)
+        ok = (gx >= 0) & (gx < NX) & (gy >= 0) & (gy < NY)
+        cell = gy[ok] * NX + gx[ok]
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    counts = geo.map_batches(cells, batch_format="pyarrow") \
+        .groupby("cell").aggregate(Sum("c", alias_name="c")) \
+        .materialize()
+
+    def fan(t: pa.Table) -> pa.Table:
+        cell = t.column("cell").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = t.column("c").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        gx, gy = cell % NX, cell // NX
+        outs, occ = [], []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                nx_, ny_ = gx + dx, gy + dy
+                ok = (nx_ >= 0) & (nx_ < NX) & (ny_ >= 0) & (ny_ < NY)
+                outs.append(pa.table({
+                    "cell": pa.array(ny_[ok] * NX + nx_[ok]),
+                    "sm": pa.array(c[ok]),
+                    "own": pa.array((c * (dx == 0 and dy == 0))[ok])}))
+        return pa.concat_tables(outs)
+
+    sm = counts.map_batches(fan, batch_format="pyarrow") \
+        .groupby("cell").aggregate(Sum("sm", alias_name="sm"),
+                                   Sum("own", alias_name="own"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t.column("own"), 0)
+        t = t.filter(keep)
+        return pa.table({
+            "cell": pc.cast(t.column("cell"), pa.int64()),
+            "n_pages": pc.cast(t.column("own"), pa.int64()),
+            "n_smooth": pc.cast(t.column("sm"), pa.int64())})
+
+    return sm.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["cell_smoothing"] = q_cell_smoothing
