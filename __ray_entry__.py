@@ -333,4 +333,6 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_slope": o.q_events_rolling_slope(),
         "label_separation": o.q_label_separation(),
         "cell_smoothing": o.q_cell_smoothing(),
+        "orders_mom_growth": o.q_orders_mom_growth(),
+        "user_survival": o.q_user_survival(),
     }

@@ -3766,3 +3766,32 @@ def q_cell_smoothing() -> str:
         "SELECT c.cell::BIGINT AS cell, c.c AS n_pages, "
         "sm.sm AS n_smooth FROM c JOIN sm USING (cell)"
     )
+
+
+def q_orders_mom_growth() -> str:
+    """Twin of the month-over-month growth (epoch-month arithmetic
+    matches numpy datetime64[M]: months since 1970-01)."""
+    return (
+        "WITH m AS (SELECT (date_part('year', o_orderdate) - 1970) "
+        "* 12 + date_part('month', o_orderdate) - 1 AS month, "
+        "count(*)::BIGINT AS c FROM orders GROUP BY 1), "
+        "g AS (SELECT month::BIGINT AS month, c, "
+        "lag(c) OVER (ORDER BY month) AS p FROM m) "
+        "SELECT month, c, (CASE WHEN p IS NULL OR p = 0 THEN 0 "
+        "ELSE (1000 * (c - p)) // p END)::BIGINT AS growth_pm "
+        "FROM g"
+    )
+
+
+def q_user_survival() -> str:
+    """Twin of the survival counts (window suffix sum)."""
+    return (
+        "WITH l AS (SELECT user_id, (epoch_us(max(ts)) "
+        "- epoch_us(min(ts))) // 86400000000 AS k FROM events "
+        "GROUP BY user_id), "
+        "h AS (SELECT k::BIGINT AS day_k, count(*)::BIGINT "
+        "AS n_lifetime FROM l GROUP BY k) "
+        "SELECT day_k, n_lifetime, sum(n_lifetime) OVER "
+        "(ORDER BY day_k DESC ROWS UNBOUNDED PRECEDING)::BIGINT "
+        "AS n_surviving FROM h"
+    )

@@ -5422,3 +5422,71 @@ def q_cell_smoothing(sf_dir: str):
 
 
 QUERIES["cell_smoothing"] = q_cell_smoothing
+
+
+def q_orders_mom_growth(sf_dir: str):
+    """Month-over-month order-count growth in integer per-mille:
+    monthly combiner counts (tiny), consecutive-month attach on the
+    driver table, growth_pm = (1000*(c - prev)) // prev (trunc both
+    sides; first month = 0 sentinel)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy()
+        d = (us // 86_400_000_000).astype("datetime64[D]")
+        m = d.astype("datetime64[M]").astype(np.int64)  # months
+        u, c = np.unique(m, return_counts=True)
+        return pa.table({"month": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    mc = orders.map_batches(pre, batch_format="pyarrow") \
+        .groupby("month").aggregate(Sum("c", alias_name="c")) \
+        .to_pandas().sort_values("month").reset_index(drop=True)
+    c = mc["c"].to_numpy().astype(np.int64)
+    prev = np.r_[0, c[:-1]]
+    g = np.zeros(len(c), dtype=np.int64)
+    nz = prev > 0
+    num = 1000 * (c[nz] - prev[nz])
+    g[nz] = np.where(num >= 0, num // prev[nz],
+                     -((-num) // prev[nz]))
+    mc["growth_pm"] = g
+    mc["c"] = mc["c"].astype(np.int64)
+    mc["month"] = mc["month"].astype(np.int64)
+    return mc
+
+
+QUERIES["orders_mom_growth"] = q_orders_mom_growth
+
+
+def q_user_survival(sf_dir: str):
+    """User survival curve (uncensored Kaplan-Meier counts): each
+    user's observed lifetime in whole days (max ts - min ts), then
+    n_surviving(day k) = users with lifetime >= k — per-user min/max
+    fold (one shuffle), lifetime histogram, suffix-sum on the tiny
+    day table."""
+    from ray.data.aggregate import Max, Min
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "us": pc.cast(t.column("ts"), pa.int64())})
+
+    mm = ev.map_batches(pre, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("us", alias_name="lo"),
+                                      Max("us", alias_name="hi")) \
+        .to_pandas()
+    life = ((mm["hi"].to_numpy() - mm["lo"].to_numpy())
+            // 86_400_000_000).astype(np.int64)
+    u, c = np.unique(life, return_counts=True)
+    # suffix sums: users surviving to at least day k
+    surv = np.cumsum(c[::-1])[::-1]
+    return pd.DataFrame({"day_k": u.astype(np.int64),
+                         "n_lifetime": c.astype(np.int64),
+                         "n_surviving": surv.astype(np.int64)})
+
+
+QUERIES["user_survival"] = q_user_survival
