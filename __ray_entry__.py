@@ -335,4 +335,6 @@ def oracle_sql() -> dict[str, str]:
         "cell_smoothing": o.q_cell_smoothing(),
         "orders_mom_growth": o.q_orders_mom_growth(),
         "user_survival": o.q_user_survival(),
+        "cust_components": o.q_cust_components(),
+        "events_zscore_outliers": o.q_events_zscore_outliers(),
     }

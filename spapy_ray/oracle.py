@@ -3795,3 +3795,38 @@ def q_user_survival() -> str:
         "(ORDER BY day_k DESC ROWS UNBOUNDED PRECEDING)::BIGINT "
         "AS n_surviving FROM h"
     )
+
+
+def q_cust_components() -> str:
+    """Twin of the (day, priority) co-order component histogram —
+    recursive reach closure, min-reachable representative."""
+    return (
+        "WITH RECURSIVE e0 AS (SELECT DISTINCT a.o_custkey AS u, "
+        "b.o_custkey AS v FROM orders a JOIN orders b "
+        "ON a.o_orderdate = b.o_orderdate "
+        "AND a.o_orderpriority = b.o_orderpriority "
+        "AND a.o_custkey < b.o_custkey), "
+        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), "
+        "reach(n, r) AS (SELECT u, u FROM e UNION "
+        "SELECT e.u, reach.r FROM e JOIN reach ON reach.n = e.v), "
+        "comp AS (SELECT n, min(r) AS rep FROM reach GROUP BY n), "
+        "sz AS (SELECT rep, count(*)::BIGINT AS size FROM comp "
+        "GROUP BY rep) "
+        "SELECT size, count(*)::BIGINT AS n_components FROM sz "
+        "GROUP BY size"
+    )
+
+
+def q_events_zscore_outliers(k: int = 3) -> str:
+    """Twin of the squared-form z-score gate (no sqrt; HUGEINT)."""
+    return (
+        "WITH e AS (SELECT event_type, "
+        "round(value * 100)::HUGEINT AS c FROM events), "
+        "m AS (SELECT event_type, count(*)::HUGEINT AS n, "
+        "sum(c) AS s, sum(c * c) AS ss FROM e GROUP BY 1) "
+        "SELECT e.event_type, max(m.n)::BIGINT AS n, "
+        "sum(((m.n * e.c - m.s) * (m.n * e.c - m.s) > "
+        f"{k * k} * (m.n * m.ss - m.s * m.s))::INT)::BIGINT "
+        "AS n_outliers "
+        "FROM e JOIN m USING (event_type) GROUP BY e.event_type"
+    )

@@ -5490,3 +5490,119 @@ def q_user_survival(sf_dir: str):
 
 
 QUERIES["user_survival"] = q_user_survival
+
+
+def q_cust_components(sf_dir: str):
+    """Connected components of the (same day, same priority)
+    co-order customer graph (hash_to_min reused on a second graph
+    family): component-size histogram — the community-structure
+    audit. The group key packs (epoch day, priority digit) into one
+    int so within_group_pairs stays a single-key shuffle."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.components import hash_to_min
+    from spapy_ray.stages.relational import within_group_pairs
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderdate", "o_custkey",
+                            "o_orderpriority"])
+
+    def key(t: pa.Table) -> pa.Table:
+        day = pc.cast(t.column("o_orderdate"), pa.int64())             .to_numpy() // 86_400_000_000
+        pr = pc.utf8_slice_codeunits(t.column("o_orderpriority"),
+                                     0, 1)
+        prd = pc.cast(pr, pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"grp": pa.array(day * 10 + prd),
+                         "o_custkey": t.column("o_custkey")})
+
+    pairs = within_group_pairs(
+        orders.map_batches(key, batch_format="pyarrow"), "grp",
+        "o_custkey", out_a="a", out_b="b")
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = a != b
+        return pa.table({"a": pa.array(a[keep]),
+                         "b": pa.array(b[keep])})
+
+    labels = hash_to_min(pairs.map_batches(canon,
+                                           batch_format="pyarrow"),
+                         mode="distributed")
+
+    def pre(t: pa.Table) -> pa.Table:
+        lab = t.column("lab").to_numpy(zero_copy_only=False)
+        u, c = np.unique(lab, return_counts=True)
+        return pa.table({"lab": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    sizes = labels.map_batches(pre, batch_format="pyarrow") \
+        .groupby("lab").aggregate(Sum("c", alias_name="size")) \
+        .to_pandas()
+    sz = sizes["size"].to_numpy().astype(np.int64)
+    u, c = np.unique(sz, return_counts=True)
+    return pd.DataFrame({"size": u.astype(np.int64),
+                         "n_components": c.astype(np.int64)})
+
+
+QUERIES["cust_components"] = q_cust_components
+
+
+def q_events_zscore_outliers(sf_dir: str, k: int = 3):
+    """Classical z-score outlier counts per event type, exact with
+    no square root: |v - mu| > k*sigma  <=>  (n*v - S)^2 >
+    k^2*(n*SS - S^2) — integer moment sums broadcast back, one count
+    pass (the mean/variance complement of the median/MAD gate)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column("value").to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        return pa.table({"event_type": t.column("event_type"),
+                         "c": pa.array(c), "cc": pa.array(c * c)})
+
+    m = pre_aggregated_sums(ev.map_batches(pre,
+                                           batch_format="pyarrow"),
+                            ["event_type"], ["c", "cc"],
+                            count_alias="n").to_pandas()
+    mom = {r.event_type: (int(r.n), int(r.c), int(r.cc))
+           for r in m.itertuples()}
+    ref = ray.put(mom)
+
+    def flag(t: pa.Table, _ref=ref) -> pa.Table:
+        mm = ray.get(_ref)
+        keys = t.column("event_type").to_pandas()
+        c = np.rint(t.column("value").to_numpy(zero_copy_only=False)
+                    * 100.0).astype(object)
+        n = keys.map({k_: v[0] for k_, v in mm.items()}) \
+            .to_numpy().astype(object)
+        s = keys.map({k_: v[1] for k_, v in mm.items()}) \
+            .to_numpy().astype(object)
+        ss = keys.map({k_: v[2] for k_, v in mm.items()}) \
+            .to_numpy().astype(object)
+        lhs = (n * c - s) ** 2
+        rhs = (k * k) * (n * ss - s * s)
+        out = (lhs > rhs).astype(np.int64)
+        return pa.table({"event_type": t.column("event_type"),
+                         "o": pa.array(out),
+                         "one": pa.array(np.ones(len(out),
+                                                 dtype=np.int64))})
+
+    cnt = ev.map_batches(flag, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("o", alias_name="n_outliers"),
+            Sum("one", alias_name="n")) \
+        .to_pandas()[["event_type", "n", "n_outliers"]]
+    for c2 in ("n", "n_outliers"):
+        cnt[c2] = cnt[c2].astype(np.int64)
+    return cnt.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["events_zscore_outliers"] = q_events_zscore_outliers
