@@ -337,4 +337,5 @@ def oracle_sql() -> dict[str, str]:
         "user_survival": o.q_user_survival(),
         "cust_components": o.q_cust_components(),
         "events_zscore_outliers": o.q_events_zscore_outliers(),
+        "vector_tiles": o.q_vector_tiles(),
     }

@@ -3830,3 +3830,35 @@ def q_events_zscore_outliers(k: int = 3) -> str:
         "AS n_outliers "
         "FROM e JOIN m USING (event_type) GROUP BY e.event_type"
     )
+
+
+def q_vector_tiles() -> str:
+    """Twin of the vector tile cutter: the areal_interp rect
+    decomposition against the 10x5 tile grid."""
+    def rect(n: int) -> str:
+        if n == 1:
+            return ("SELECT zone_id, x0 AS a0, y0 AS b0, "
+                    "x0 + (CASE WHEN shape = 3 THEN w2 ELSE w END) "
+                    "AS a1, y0 + (CASE WHEN shape IN (0, 1) THEN h "
+                    "ELSE h2 END) AS b1 FROM z")
+        return ("SELECT zone_id, "
+                "x0 + (CASE WHEN shape = 2 THEN 0 ELSE w2 + 5000 "
+                "END) AS a0, y0 + h2 + (CASE WHEN shape = 2 THEN 0 "
+                "ELSE 5000 END) AS b0, "
+                "x0 + (CASE WHEN shape = 2 THEN w2 ELSE w END) "
+                "AS a1, y0 + h AS b1 FROM z WHERE shape IN (2, 3)")
+
+    return (
+        f"WITH z AS ({sql_zones_cte()}), "
+        f"rects AS ({rect(1)} UNION ALL {rect(2)}), "
+        "tiles AS (SELECT p::BIGINT AS tile, "
+        "-1800000 + (p % 10) * 360000 AS cx0, "
+        "-850000 + (p // 10) * 340000 AS cy0 FROM range(50) t(p)), "
+        "iz AS (SELECT tile, r.zone_id, "
+        "sum(greatest(0, least(a1, cx0 + 360000) - greatest(a0, cx0)) "
+        "* greatest(0, least(b1, cy0 + 340000) - greatest(b0, cy0)))"
+        "::BIGINT AS area_u FROM tiles, rects r "
+        "WHERE a0 < cx0 + 360000 AND a1 > cx0 "
+        "AND b0 < cy0 + 340000 AND b1 > cy0 GROUP BY 1, 2) "
+        "SELECT tile, zone_id, area_u FROM iz WHERE area_u > 0"
+    )

@@ -5606,3 +5606,64 @@ def q_events_zscore_outliers(sf_dir: str, k: int = 3):
 
 
 QUERIES["events_zscore_outliers"] = q_events_zscore_outliers
+
+
+def q_vector_tiles(sf_dir: str):
+    """Vector tile cutting (the MVT pipeline step): every zone
+    clipped to a 10x5 grid of 36 x 34 degree tiles, reporting the
+    exact clipped area per (tile, zone) — zones decode once to
+    integer rects and broadcast; the tile grid streams; pure
+    box-intersection arithmetic (same decomposition as
+    areal_transfer, but emitting the per-pair rows a tile renderer
+    consumes)."""
+    import ray
+    import ray.data as rd
+
+    from spapy_ray.kernels.rectilinear import multipolygon_to_rects
+    from spapy_ray.kernels.wkb import as_multipolygon
+
+    U = 10_000
+    NX, NY = 10, 5
+    SX, SY = 360_000, 340_000           # 36 deg x 34 deg in units
+    X0, Y0 = -1_800_000, -850_000
+    zt = zones_table()
+    rx0, ry0, rx1, ry1 = [], [], [], []
+    seg, zid_l = [0], []
+    for zid, buf in zip(zt.column("zone_id").to_pylist(),
+                        zt.column("geom_wkb").to_pylist()):
+        r = np.rint(np.asarray(
+            multipolygon_to_rects(as_multipolygon(bytes(buf))),
+            np.float64) * U).astype(np.int64)
+        rx0.append(r[:, 0]); ry0.append(r[:, 1])
+        rx1.append(r[:, 2]); ry1.append(r[:, 3])
+        seg.append(seg[-1] + len(r))
+        zid_l.append(int(zid))
+    pack = (np.concatenate(rx0), np.concatenate(ry0),
+            np.concatenate(rx1), np.concatenate(ry1),
+            np.asarray(seg[:-1], np.int64),
+            np.asarray(zid_l, np.int64))
+    ref = ray.put(pack)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ax0, ay0, ax1, ay1, starts, zids = ray.get(ref)
+        p = t.column("id").to_numpy().astype(np.int64)
+        gx, gy = p % NX, p // NX
+        cx0 = X0 + gx * SX
+        cy0 = Y0 + gy * SY
+        ix = (np.minimum(ax1[None, :], (cx0 + SX)[:, None])
+              - np.maximum(ax0[None, :], cx0[:, None])).clip(min=0)
+        iy = (np.minimum(ay1[None, :], (cy0 + SY)[:, None])
+              - np.maximum(ay0[None, :], cy0[:, None])).clip(min=0)
+        inter = np.add.reduceat(ix * iy, starts, axis=1)
+        ti, zi = np.nonzero(inter)
+        return pa.table({
+            "tile": pa.array(p[ti]),
+            "zone_id": pa.array(zids[zi]),
+            "area_u": pa.array(inter[ti, zi])})
+
+    return rd.range(NX * NY).map_batches(per_batch,
+                                         batch_format="pyarrow",
+                                         batch_size=64)
+
+
+QUERIES["vector_tiles"] = q_vector_tiles
