@@ -336,6 +336,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_mom_growth": o.q_orders_mom_growth(),
         "user_survival": o.q_user_survival(),
         "cust_components": o.q_cust_components(),
+        "cust_kcore": o.q_cust_kcore(),
+        "cust_reach": o.q_cust_reach(),
         "events_zscore_outliers": o.q_events_zscore_outliers(),
         "vector_tiles": o.q_vector_tiles(),
     }

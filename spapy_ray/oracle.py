@@ -3862,3 +3862,56 @@ def q_vector_tiles() -> str:
         "AND b0 < cy0 + 340000 AND b1 > cy0 GROUP BY 1, 2) "
         "SELECT tile, zone_id, area_u FROM iz WHERE area_u > 0"
     )
+
+
+def q_cust_kcore(k: int = 2, rounds: int = 12) -> str:
+    """Twin of graph.k_core on the (day, priority) co-order graph:
+    ``rounds`` unrolled peel iterations (degree over survivors →
+    keep deg >= k). The peel is monotone, so any rounds >= the
+    convergence count yields the fixpoint (9 rounds at sf0.001,
+    2 at sf0.01; 12 for margin). Every CTE is MATERIALIZED — the
+    stream_order lesson: without the hint DuckDB re-inlines each
+    round into every consumer and the chain re-evaluates
+    exponentially."""
+    parts = [
+        "WITH e0 AS MATERIALIZED (SELECT DISTINCT a.o_custkey AS u, "
+        "b.o_custkey AS v FROM orders a JOIN orders b "
+        "ON a.o_orderdate = b.o_orderdate "
+        "AND a.o_orderpriority = b.o_orderpriority "
+        "AND a.o_custkey < b.o_custkey)",
+        "e AS MATERIALIZED (SELECT u, v FROM e0 "
+        "UNION ALL SELECT v, u FROM e0)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT u AS n FROM e)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT e.u AS n, "
+            f"count(*)::BIGINT AS deg FROM e "
+            f"JOIN a{i - 1} x ON e.u = x.n "
+            f"JOIN a{i - 1} y ON e.v = y.n GROUP BY e.u)")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT n FROM d{i} "
+            f"WHERE deg >= {k})")
+    return (", ".join(parts)
+            + f" SELECT n AS custkey, deg AS core_deg FROM d{rounds} "
+            f"WHERE deg >= {k}")
+
+
+def q_cust_reach(max_hops: int = 4) -> str:
+    """Twin of graph.bfs_hops: bounded recursive reach from the
+    nation-0 customer seed set (UNION dedups (n, d) states; d is
+    capped, so recursion terminates on the cyclic graph), then
+    min(d) per vertex = BFS hop distance."""
+    return (
+        "WITH RECURSIVE e0 AS (SELECT DISTINCT a.o_custkey AS u, "
+        "b.o_custkey AS v FROM orders a JOIN orders b "
+        "ON a.o_orderdate = b.o_orderdate "
+        "AND a.o_custkey < b.o_custkey), "
+        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), "
+        "reach(n, d) AS (SELECT c_custkey, 0 FROM customer "
+        "WHERE c_nationkey = 0 "
+        "UNION SELECT e.v, reach.d + 1 FROM e "
+        f"JOIN reach ON e.u = reach.n WHERE reach.d < {max_hops}) "
+        "SELECT n AS custkey, min(d)::BIGINT AS hops "
+        "FROM reach GROUP BY n"
+    )

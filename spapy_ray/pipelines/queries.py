@@ -5667,3 +5667,67 @@ def q_vector_tiles(sf_dir: str):
 
 
 QUERIES["vector_tiles"] = q_vector_tiles
+
+
+def q_cust_kcore(sf_dir: str, k: int = 2):
+    """k-core (k=2) of the (day, priority) co-order customer graph:
+    graph.k_core — the classic iterative degree peel run as one
+    broadcast-bitmask map pass per round over the materialized edge
+    Dataset (no per-round shuffle). Returns (custkey, core_deg) for
+    every vertex of the 2-core, core_deg measured WITHIN the core.
+    Same packed (epoch-day, priority-digit) group key as
+    cust_components, so the SQL twin's (date, priority) equi-join is
+    bijectively identical."""
+    from spapy_ray.stages.graph import k_core
+    from spapy_ray.stages.relational import within_group_pairs
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderdate", "o_custkey",
+                            "o_orderpriority"])
+
+    def key(t: pa.Table) -> pa.Table:
+        day = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy() // 86_400_000_000
+        pr = pc.utf8_slice_codeunits(t.column("o_orderpriority"),
+                                     0, 1)
+        prd = pc.cast(pr, pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"grp": pa.array(day * 10 + prd),
+                         "o_custkey": t.column("o_custkey")})
+
+    pairs = within_group_pairs(
+        orders.map_batches(key, batch_format="pyarrow"), "grp",
+        "o_custkey", out_a="a", out_b="b")
+    out = k_core(pairs, k=k)
+    return out.rename(columns={"node": "custkey"})
+
+
+QUERIES["cust_kcore"] = q_cust_kcore
+
+
+def q_cust_reach(sf_dir: str, max_hops: int = 4):
+    """Multi-source BFS hop distance on the same-day co-order
+    customer graph, sources = every nation-0 customer (including
+    order-less ones at hops 0): graph.bfs_hops — one broadcast
+    frontier pass per level over the materialized edge Dataset,
+    capped at 4 hops. Returns (custkey, hops) with MINIMUM hop
+    counts."""
+    import pyarrow.dataset as pds
+
+    from spapy_ray.stages.graph import bfs_hops
+    from spapy_ray.stages.relational import within_group_pairs
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderdate", "o_custkey"])
+    pairs = within_group_pairs(orders, "o_orderdate", "o_custkey",
+                               out_a="a", out_b="b")
+    cust = _read(sf_dir, "customer", columns=["c_custkey"],
+                 predicate=pds.field("c_nationkey") == 0)
+    batches = [b for b in cust.iter_batches(batch_format="pyarrow")]
+    src = (pa.concat_tables(batches).column("c_custkey")
+           .to_numpy(zero_copy_only=False).astype(np.int64)
+           if batches else np.empty(0, np.int64))
+    out = bfs_hops(pairs, src, max_hops=max_hops)
+    return out.rename(columns={"node": "custkey"})
+
+
+QUERIES["cust_reach"] = q_cust_reach

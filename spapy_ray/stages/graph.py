@@ -497,3 +497,176 @@ def degree_assortativity(pairs, *, a_col: str = "a", b_col: str = "b",
         "n_vertices": [len(nodes)], "n_edges": [n_edges],
         "sx": [sx], "sxy": [sxy], "sxx": [sxx],
         "assort_q": [aq]}).astype(np.int64)
+
+
+
+def _canon_pairs(pairs, a_col: str, b_col: str):
+    """Canonicalize an undirected pair Dataset to (a=lo < b=hi):
+    undirected_edges dedups EXACT (a, b) rows within one hash(a)
+    bucket, so a reversed duplicate (b, a) would survive and double
+    the edge — orient every pair before the dedup (self-loops
+    dropped), the same guard triangle_stats applies."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t.column(b_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table({"a": pa.array(np.minimum(a, b)),
+                         "b": pa.array(np.maximum(a, b))})
+
+    return pairs.map_batches(canon, batch_format="pyarrow")
+
+
+def k_core(pairs, *, k: int, a_col: str = "a", b_col: str = "b",
+           max_rounds: int = 64, buckets: int | None = None):
+    """k-core of the undirected graph induced by ``pairs``: the
+    maximal subgraph in which every vertex has degree >= k, found by
+    the classic iterative peel (drop deg<k vertices, recompute
+    degrees over the survivors, repeat to fixpoint — public
+    algorithm, Matula & Beck 1983).
+
+    Distributed shape (reference parity: SpaPy has no graph module;
+    this is a north-rule addition on the pagerank machinery):
+    the doubled distinct edge Dataset is materialized ONCE; each peel
+    round is one map over the edge blocks with the alive-vertex
+    BITMASK broadcast via ray.put (node-sized — the same small-side
+    bound pagerank's rank vector uses), emitting per-batch partial
+    degree counts that fold into a node-length vector on the driver.
+    No per-round shuffle; the peel is monotone (alive only shrinks),
+    so equal alive COUNTS mean a fixpoint.
+
+    Returns a pandas frame (node, core_deg) over the k-core —
+    core_deg is the vertex degree WITHIN the core (empty frame with
+    int64 dtypes when the core is empty).
+    """
+    import ray
+
+    und = undirected_edges(_canon_pairs(pairs, a_col, b_col),
+                           a_col="a", b_col="b",
+                           buckets=buckets).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        u, c = np.unique(src, return_counts=True)
+        return pa.table({"n": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    parts = pa.concat_tables(
+        [b for b in und.map_batches(deg_partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    nodes = np.unique(parts.column("n").to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(deg, np.searchsorted(
+        nodes, parts.column("n").to_numpy(zero_copy_only=False)),
+        parts.column("c").to_numpy(zero_copy_only=False).astype(np.int64))
+
+    nodes_ref = ray.put(nodes)
+    alive = deg >= k
+    prev, cur = len(nodes), int(alive.sum())
+    rounds = 1
+    while cur != prev:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(f"k_core did not converge in "
+                               f"{max_rounds} rounds")
+        prev = cur
+        alive_ref = ray.put(alive)
+
+        def step(t: pa.Table, _a=alive_ref, _n=nodes_ref) -> pa.Table:
+            al, nd = ray.get(_a), ray.get(_n)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            m = al[np.searchsorted(nd, src)] \
+                & al[np.searchsorted(nd, dst)]
+            u, c = np.unique(src[m], return_counts=True)
+            return pa.table({"n": pa.array(u.astype(np.int64)),
+                             "c": pa.array(c.astype(np.int64))})
+
+        got = [b for b in und.map_batches(step,
+                                          batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow")]
+        deg = np.zeros(len(nodes), dtype=np.int64)
+        if got:
+            parts = pa.concat_tables(got, promote_options="default")
+            np.add.at(deg, np.searchsorted(
+                nodes,
+                parts.column("n").to_numpy(zero_copy_only=False)),
+                parts.column("c").to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+        alive = deg >= k
+        cur = int(alive.sum())
+
+    return pd.DataFrame({"node": nodes[alive],
+                         "core_deg": deg[alive]}).astype(np.int64) \
+        .reset_index(drop=True)
+
+
+def bfs_hops(pairs, sources, *, max_hops: int, a_col: str = "a",
+             b_col: str = "b", buckets: int | None = None):
+    """Multi-source BFS hop distance over the undirected graph of
+    ``pairs``, capped at ``max_hops``: every vertex reachable from
+    any source within the cap gets its MINIMUM hop count (sources
+    themselves at 0, including isolated sources with no edges).
+
+    Distributed shape: edges materialized once; each BFS level is one
+    map over the edge blocks with the (frontier, known) vertex arrays
+    broadcast via ray.put, emitting the per-batch unique new
+    neighbours; the driver unions them into the next frontier. Level
+    count is bounded by ``max_hops``, so the total work is
+    O(levels x edge-pass) with no shuffle after the edge dedup.
+
+    Returns a pandas frame (node, hops), node-sorted.
+    """
+    import ray
+
+    und = undirected_edges(_canon_pairs(pairs, a_col, b_col),
+                           a_col="a", b_col="b",
+                           buckets=buckets).materialize()
+
+    frontier = np.unique(np.asarray(sources, dtype=np.int64))
+    known_nodes = frontier.copy()
+    known_hops = np.zeros(len(frontier), dtype=np.int64)
+
+    for d in range(1, max_hops + 1):
+        if not len(frontier):
+            break
+        ref = ray.put((frontier, known_nodes))
+
+        def step(t: pa.Table, _ref=ref) -> pa.Table:
+            fr, kn = ray.get(_ref)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(fr, src)
+            m = (pos < len(fr)) & (fr[np.minimum(pos, len(fr) - 1)]
+                                   == src)
+            cand = np.unique(dst[m])
+            pos2 = np.searchsorted(kn, cand)
+            seen = (pos2 < len(kn)) & (kn[np.minimum(
+                pos2, len(kn) - 1)] == cand)
+            return pa.table({"n": pa.array(cand[~seen])})
+
+        got = [b for b in und.map_batches(step,
+                                          batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow")]
+        if not got:                      # every block filtered empty
+            break
+        out = pa.concat_tables(got, promote_options="default")
+        new = np.unique(out.column("n").to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        if not len(new):
+            break
+        order = np.argsort(np.concatenate([known_nodes, new]),
+                           kind="stable")
+        known_hops = np.concatenate(
+            [known_hops, np.full(len(new), d, dtype=np.int64)])[order]
+        known_nodes = np.concatenate([known_nodes, new])[order]
+        frontier = new
+
+    return pd.DataFrame({"node": known_nodes,
+                         "hops": known_hops}).astype(np.int64) \
+        .reset_index(drop=True)

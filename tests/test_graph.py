@@ -90,3 +90,79 @@ def test_degree_assortativity_star_vs_path(ray_session):
         exp = brute(edges)
         assert got["n_edges"] == len(edges)
         assert abs(got["assort_q"] / 1e6 - exp) < 2e-6
+
+
+def _brute_kcore(pairs: pd.DataFrame, k: int) -> pd.DataFrame:
+    e = pairs.drop_duplicates()
+    e = e[e["a"] != e["b"]]
+    edges = set(map(tuple, np.sort(e[["a", "b"]].to_numpy(), axis=1)))
+    alive = {v for ab in edges for v in ab}
+    while True:
+        deg = {}
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        new = {v for v, d in deg.items() if d >= k}
+        if new == alive:
+            return pd.DataFrame(
+                sorted((v, deg[v]) for v in alive),
+                columns=["node", "core_deg"]).astype(np.int64)
+        alive = new
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_k_core_matches_brute_force(ray_session, k):
+    import ray.data as rd
+
+    from spapy_ray.stages.graph import k_core
+
+    rng = np.random.default_rng(7 + k)
+    pairs = _rand_pairs(rng, n_a=30, n_b=10, m=70)
+    got = k_core(rd.from_pandas(pairs), k=k, buckets=8) \
+        .sort_values("node").reset_index(drop=True)
+    want = _brute_kcore(pairs, k)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_k_core_empty_core(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.graph import k_core
+
+    # a path graph has an empty 2-core
+    pairs = pd.DataFrame({"a": [0, 1, 2, 3], "b": [1, 2, 3, 4]})
+    got = k_core(rd.from_pandas(pairs), k=2, buckets=4)
+    assert len(got) == 0
+    assert list(got.columns) == ["node", "core_deg"]
+
+
+def test_bfs_hops_levels_and_cap(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.graph import bfs_hops
+
+    # chain 0-1-2-3-4-5 plus a triangle 0-10-11 and isolated source 99
+    pairs = pd.DataFrame({
+        "a": [0, 1, 2, 3, 4, 0, 10, 0],
+        "b": [1, 2, 3, 4, 5, 10, 11, 11]})
+    got = bfs_hops(rd.from_pandas(pairs), [0, 99], max_hops=3,
+                   buckets=4)
+    want = pd.DataFrame({
+        "node": [0, 1, 2, 3, 10, 11, 99],
+        "hops": [0, 1, 2, 3, 1, 1, 0]}).astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bfs_hops_min_distance_multi_source(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.graph import bfs_hops
+
+    # two sources converging: node 2 reachable at 2 from 0, 1 from 5
+    pairs = pd.DataFrame({"a": [0, 1, 5], "b": [1, 2, 2]})
+    got = bfs_hops(rd.from_pandas(pairs), [0, 5], max_hops=4,
+                   buckets=4)
+    want = pd.DataFrame({"node": [0, 1, 2, 5],
+                         "hops": [0, 1, 1, 0]}).astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
