@@ -337,6 +337,7 @@ def oracle_sql() -> dict[str, str]:
         "user_survival": o.q_user_survival(),
         "cust_components": o.q_cust_components(),
         "cust_kcore": o.q_cust_kcore(),
+        "raster_geary": o.q_raster_geary(),
         "cust_reach": o.q_cust_reach(),
         "events_zscore_outliers": o.q_events_zscore_outliers(),
         "vector_tiles": o.q_vector_tiles(),

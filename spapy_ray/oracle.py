@@ -3915,3 +3915,32 @@ def q_cust_reach(max_hops: int = 4) -> str:
         "SELECT n AS custkey, min(d)::BIGINT AS hops "
         "FROM reach GROUP BY n"
     )
+
+
+def q_raster_geary(q: int = 10 ** 6) -> str:
+    """Twin of stages.spatialstats.geary_c over the int DEM: rook
+    east/south squared differences from the closed form, HUGEINT
+    ratio, trunc-toward-zero (DuckDB ``//``)."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    z = sql_dem_int("gx", "gy", 0)
+    ze = sql_dem_int("(gx + 1)", "gy", 0)
+    zs = sql_dem_int("gx", "(gy + 1)", 0)
+    w_dir = 2 * (511 * 512 + 512 * 511)
+    return (
+        "WITH px AS (SELECT p % 512 AS gx, p // 512 AS gy "
+        "FROM range(262144) t(p)), "
+        f"v AS (SELECT gx, gy, ({z})::HUGEINT AS zz, "
+        f"(CASE WHEN gx < 511 THEN (({z})::HUGEINT - ({ze})) "
+        f"* (({z})::HUGEINT - ({ze})) ELSE 0 END) AS sqe, "
+        f"(CASE WHEN gy < 511 THEN (({z})::HUGEINT - ({zs})) "
+        f"* (({z})::HUGEINT - ({zs})) ELSE 0 END) AS sqs FROM px), "
+        "agg AS (SELECT count(*)::HUGEINT AS n, sum(zz) AS s, "
+        "sum(zz * zz) AS ss, sum(sqe + sqs) AS psq FROM v) "
+        "SELECT n::BIGINT AS n_pix, "
+        f"{w_dir}::BIGINT AS w_dir, s::BIGINT AS s_sum, "
+        "ss::BIGINT AS ss_sum, psq::BIGINT AS p_sq, "
+        f"(({q}::HUGEINT * n * (n - 1) * psq) // "
+        f"({w_dir}::HUGEINT * (n * ss - s * s)))::BIGINT AS geary_q "
+        "FROM agg"
+    )

@@ -5731,3 +5731,18 @@ def q_cust_reach(sf_dir: str, max_hops: int = 4):
 
 
 QUERIES["cust_reach"] = q_cust_reach
+
+
+def q_raster_geary(sf_dir: str):
+    """Global Geary's C of the int DEM under rook adjacency —
+    the squared-difference sibling of raster_moran on the identical
+    halo machinery (one exchange, one 5-int partial per super-block,
+    constant driver fold). geary_q = trunc(1e6 * C)."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.spatialstats import geary_c
+
+    return geary_c(synth_dem_dataset(DEM_META, kind="int"), DEM_META,
+                   dtype="int32")
+
+
+QUERIES["raster_geary"] = q_raster_geary

@@ -1245,3 +1245,51 @@ def test_strahler_matches_topological_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         got.astype("int64"),
         exp[["tx", "ty", "ord", "n_cells"]].astype("int64"))
+
+
+def _geary_brute(z: np.ndarray, q: int = 10 ** 6):
+    z = z.astype(object)
+    h, w = z.shape
+    n = h * w
+    s = int(z.sum())
+    ss = int((z * z).sum())
+    psq = int(((z[:, :-1] - z[:, 1:]) ** 2).sum()) \
+        + int(((z[:-1, :] - z[1:, :]) ** 2).sum())
+    w_dir = 2 * ((w - 1) * h + w * (h - 1))
+    aa = q * n * (n - 1) * psq
+    bb = w_dir * (n * ss - s * s)
+    gq = (1 if aa >= 0 else -1) * (abs(aa) // bb)
+    return dict(n_pix=n, w_dir=w_dir, s_sum=s, ss_sum=ss, p_sq=psq,
+                geary_q=gq)
+
+
+def test_geary_c_bruteforce(ray_session):
+    from spapy_ray.stages.spatialstats import geary_c
+
+    meta = SMALL
+    got = geary_c(synth_dem_dataset(meta, kind="int"), meta,
+                  dtype="int32").iloc[0].to_dict()
+    exp = _geary_brute(_full_int(meta).astype(np.int64))
+    assert got == exp
+
+
+def test_geary_c_constant_surface_zero(ray_session):
+    # constant raster: p_sq = 0 and the variance denominator is 0 →
+    # the guard returns geary_q = 0 instead of dividing
+    import ray.data as rd
+
+    from spapy_ray.stages.spatialstats import geary_c
+
+    meta = RasterMeta(width=32, height=32, tile_size=16, x_min=0.0,
+                      y_max=0.0, pixel_w=1.0, pixel_h=-1.0)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            a = np.full((16, 16), 7, dtype=np.int32)
+            rows.append({"tx": tx, "ty": ty, "band": 0,
+                         "data": a.tobytes()})
+    import pandas as pd
+
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    got = geary_c(ds, meta, dtype="int32").iloc[0]
+    assert got["p_sq"] == 0 and got["geary_q"] == 0
