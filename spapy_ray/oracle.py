@@ -3944,3 +3944,35 @@ def q_raster_geary(q: int = 10 ** 6) -> str:
         f"({w_dir}::HUGEINT * (n * ss - s * s)))::BIGINT AS geary_q "
         "FROM agg"
     )
+
+
+def q_events_hll(p: int = 10) -> str:
+    """Twin of relational.hll_registers over event_id: identical
+    < 2^40-multiplier mix (HUGEINT products < 2^104), rho via
+    lpad(bin(rest)) first-'1' position, registers maxed per bucket,
+    harmonic estimate as one HUGEINT ratio."""
+    from spapy_ray.stages.relational import HLL_MIX_A, HLL_MIX_B
+
+    m = 1 << p
+    rb = 64 - p
+    m64 = "18446744073709551616"
+    return (
+        "WITH x AS (SELECT event_id::UBIGINT AS v FROM events), "
+        f"h1 AS (SELECT ((xor(v, v >> 33)::HUGEINT * {HLL_MIX_A}"
+        f"::HUGEINT) % {m64})::UBIGINT AS h FROM x), "
+        f"h2 AS (SELECT ((xor(h, h >> 29)::HUGEINT * {HLL_MIX_B}"
+        f"::HUGEINT) % {m64})::UBIGINT AS h FROM h1), "
+        "hf AS (SELECT xor(h, h >> 32) AS h FROM h2), "
+        f"r AS (SELECT (h >> {rb})::BIGINT AS reg, "
+        f"CASE WHEN (h % (1::UBIGINT << {rb})) = 0 THEN {rb + 1} "
+        f"ELSE strpos(lpad(bin(h % (1::UBIGINT << {rb})), {rb}, "
+        "'0'), '1') END::BIGINT AS rho FROM hf), "
+        "mx AS (SELECT reg, max(rho) AS rho FROM r GROUP BY reg), "
+        f"allr AS (SELECT p::BIGINT AS reg FROM range({m}) t(p)), "
+        "j AS (SELECT allr.reg, coalesce(mx.rho, 0)::BIGINT AS rho "
+        "FROM allr LEFT JOIN mx USING (reg)), "
+        f"d AS (SELECT sum(1::HUGEINT << ({rb + 1} - rho)) AS den "
+        "FROM j) "
+        f"SELECT j.reg, j.rho, (({m * m}::HUGEINT << {rb + 1}) "
+        "// d.den)::BIGINT AS est_q FROM j, d"
+    )

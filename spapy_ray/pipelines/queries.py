@@ -5746,3 +5746,19 @@ def q_raster_geary(sf_dir: str):
 
 
 QUERIES["raster_geary"] = q_raster_geary
+
+
+def q_events_hll(sf_dir: str):
+    """HyperLogLog distinct-event sketch over event_id: 1024
+    mergeable registers folded in one shuffle-free map pass
+    (relational.hll_registers) — the cardinality-estimation
+    primitive for corpus-scale dedup planning. Every register AND
+    the exact big-integer harmonic estimate are reproduced by the
+    SQL twin."""
+    from spapy_ray.stages.relational import hll_registers
+
+    ev = _read(sf_dir, "events", columns=["event_id"])
+    return hll_registers(ev, "event_id", p=10)
+
+
+QUERIES["events_hll"] = q_events_hll

@@ -1890,3 +1890,83 @@ def grouped_spearman(ds, key: str, x: str, y: str, *,
 
     return bucketed_group_agg(ds.select_columns([key, x, y]), key,
                               fold, buckets=buckets)
+
+
+# integer mix for hll_registers: Murmur3-finalizer shape with
+# multipliers < 2^40 so the SQL twin's HUGEINT products stay < 2^104
+# (the sql_fnv1a headroom rule — 64-bit constants overflow INT128)
+HLL_MIX_A = 0xFF51AFD7ED
+HLL_MIX_B = 0xC4CEB9FE1A
+
+
+def _hll_mix(x: np.ndarray) -> np.ndarray:
+    """Avalanche an int64/uint64 key column (wraparound uint64)."""
+    h = x.astype(np.uint64)
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(HLL_MIX_A)
+    h = h ^ (h >> np.uint64(29))
+    h = h * np.uint64(HLL_MIX_B)
+    return h ^ (h >> np.uint64(32))
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact bit length of uint64 values (no float round trip —
+    values above 2^53 are not float64-exact, so log2 is unsafe)."""
+    x = x.copy()
+    r = np.zeros(len(x), dtype=np.int64)
+    for sh in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(sh))
+        r[m] += sh
+        x[m] >>= np.uint64(sh)
+    r[x > 0] += 1
+    return r
+
+
+def hll_registers(ds, col: str, *, p: int = 10):
+    """HyperLogLog sketch (Flajolet et al. 2007) of an integer key
+    column: m = 2^p registers, register j = max over keys hashing to
+    bucket j of (leading zero count of the remaining 64-p bits + 1).
+    Registers are MERGEABLE by elementwise max, so the distributed
+    fold is one map pass emitting per-block (reg, rho) partials and
+    an O(m) driver max — no shuffle at all.
+
+    Returns a pandas frame of ALL m rows (reg, rho — 0 for untouched
+    registers) plus the constant raw-estimate column
+    est_q = m^2 * 2^(64-p+1) // sum_j 2^(64-p+1-rho_j), the
+    harmonic-mean HLL estimate as one exact big-integer ratio (no
+    alpha bias correction — that constant is a float; applying it is
+    a driver-side one-liner and pytest checks the corrected estimate
+    lands within the expected error envelope).
+    """
+    m = 1 << p
+    rest_bits = 64 - p
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = _hll_mix(x)
+        reg = (h >> np.uint64(rest_bits)).astype(np.int64)
+        rest = h & ((np.uint64(1) << np.uint64(rest_bits))
+                    - np.uint64(1))
+        rho = rest_bits + 1 - _bit_length_u64(rest)
+        best = np.zeros(m, dtype=np.int64)
+        np.maximum.at(best, reg, rho)
+        nz = np.nonzero(best)[0]
+        return pa.table({"reg": pa.array(nz.astype(np.int64)),
+                         "rho": pa.array(best[nz])})
+
+    parts = pa.concat_tables(
+        [b for b in ds.select_columns([col])
+         .map_batches(partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    regs = np.zeros(m, dtype=np.int64)
+    np.maximum.at(regs,
+                  parts.column("reg").to_numpy(zero_copy_only=False),
+                  parts.column("rho").to_numpy(zero_copy_only=False))
+    denom = sum(1 << (rest_bits + 1 - int(r)) for r in regs)
+    est_q = (m * m) * (1 << (rest_bits + 1)) // denom
+    return pd.DataFrame({
+        "reg": np.arange(m, dtype=np.int64),
+        "rho": regs,
+        "est_q": np.full(m, est_q, dtype=np.int64)})

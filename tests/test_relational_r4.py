@@ -767,3 +767,37 @@ def test_count_min_envelope_and_exactness(ray_session):
         assert all(gm[k] >= true[k] for k in true.index)
     # wide sketch on 40 keys: whp exact
     assert all(gm[k] == true[k] for k in true.index)
+
+
+def test_hll_registers_estimate_envelope(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import hll_registers
+
+    n = 50_000
+    ds = rd.from_pandas(pd.DataFrame({"k": np.arange(n, dtype=np.int64)}))
+    out = hll_registers(ds, "k", p=10)
+    assert len(out) == 1024
+    m = 1024
+    # apply the alpha bias correction driver-side and check the
+    # classic ~1.04/sqrt(m) error envelope (generous 4x margin)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    # est_q is m^2/Z exactly (the 2^55 scaling cancels in the ratio)
+    corrected = alpha * float(out["est_q"].iloc[0])
+    assert abs(corrected - n) / n < 4 * 1.04 / np.sqrt(m)
+
+
+def test_hll_registers_merge_equals_whole(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import hll_registers
+
+    ks = np.arange(9_999, dtype=np.int64) * 7
+    a = hll_registers(rd.from_pandas(pd.DataFrame({"k": ks[:4000]})),
+                      "k", p=10)
+    b = hll_registers(rd.from_pandas(pd.DataFrame({"k": ks[4000:]})),
+                      "k", p=10)
+    whole = hll_registers(rd.from_pandas(pd.DataFrame({"k": ks})),
+                          "k", p=10)
+    merged = np.maximum(a["rho"].to_numpy(), b["rho"].to_numpy())
+    assert np.array_equal(merged, whole["rho"].to_numpy())
