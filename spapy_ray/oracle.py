@@ -3976,3 +3976,22 @@ def q_events_hll(p: int = 10) -> str:
         f"SELECT j.reg, j.rho, (({m * m}::HUGEINT << {rb + 1}) "
         "// d.den)::BIGINT AS est_q FROM j, d"
     )
+
+
+def q_local_supplier_revenue() -> str:
+    """Twin of the TPC-H-Q5-shaped join chain: same integer
+    cents x (100 - discount_pct) revenue (round() half-away == np.rint
+    half-even here — 2-dp money x100 has no .5 ties)."""
+    return (
+        "SELECT n_name, sum(round(l_extendedprice * 100)::BIGINT * "
+        "(100 - round(l_discount * 100)::BIGINT))::BIGINT "
+        "AS revenue_u "
+        "FROM customer, orders, lineitem, supplier, nation, region "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "AND s_nationkey = n_nationkey "
+        "AND n_regionkey = r_regionkey AND r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY n_name"
+    )

@@ -5762,3 +5762,88 @@ def q_events_hll(sf_dir: str):
 
 
 QUERIES["events_hll"] = q_events_hll
+
+
+def q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 shape — local supplier volume: revenue from ASIA-
+    region lineitems where the ordering customer and the supplier
+    share a nation, orders from calendar-1996. Join plan is the
+    scale-canonical mix: DATE predicate pushed into the orders scan,
+    customer attached with one bucketed hash_join, the fact table
+    (lineitem) probes that result in the ONE big hash_join, supplier
+    + nation ride as broadcast lookups, and the revenue fold is a
+    per-batch combiner into a 5-row groupby. Revenue is exact integer
+    cents x (100 - discount_pct): revenue_u = sum(cents * (100 - d)).
+    """
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pds
+
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.relational import broadcast_join, hash_join
+
+    t0 = pd.Timestamp("1996-01-01")
+    t1 = pd.Timestamp("1997-01-01")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                   predicate=(pds.field("o_orderdate") >= t0)
+                   & (pds.field("o_orderdate") < t1))
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"])
+    oc = hash_join(orders, cust, on="o_custkey",
+                   right_on="c_custkey") \
+        .select_columns(["o_orderkey", "c_nationkey"])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+    j = hash_join(li, oc, on="l_orderkey", right_on="o_orderkey")
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = pa.table({"s_suppkey": pc.cast(sup.column("s_suppkey"),
+                                         pa.int64()),
+                    "s_nationkey": pc.cast(sup.column("s_nationkey"),
+                                           pa.int64())})
+    js = broadcast_join(j, sup, key="l_suppkey",
+                        small_key="s_suppkey")
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    asia = int(reg.filter(pc.equal(reg.column("r_name"),
+                                   "ASIA")).column("r_regionkey")[0]
+               .as_py())
+    nmap = {int(k): (str(n), int(r)) for k, n, r in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_name").to_pylist(),
+        nat.column("n_regionkey").to_pylist())}
+    keys = np.array(sorted(nmap), dtype=np.int64)
+    names = np.array([nmap[k][0] for k in keys])
+    in_asia = np.array([nmap[k][1] == asia for k in keys])
+
+    def fold(t: pa.Table) -> pa.Table:
+        cn = t.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sn = t.column("s_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(keys, sn)
+        m = (cn == sn) & in_asia[pos]
+        cents = np.rint(t.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False)[m] * 100) \
+            .astype(np.int64)
+        d = np.rint(t.column("l_discount")
+                    .to_numpy(zero_copy_only=False)[m] * 100) \
+            .astype(np.int64)
+        rev = cents * (100 - d)
+        u, inv = np.unique(sn[m], return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table({"n_name": pa.array(
+            names[np.searchsorted(keys, u)]),
+            "revenue_u": pa.array(s)})
+
+    return js.map_batches(fold, batch_format="pyarrow") \
+        .groupby("n_name") \
+        .aggregate(Sum("revenue_u", alias_name="revenue_u"))
+
+
+QUERIES["local_supplier_revenue"] = q_local_supplier_revenue
