@@ -340,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_geary": o.q_raster_geary(),
         "events_hll": o.q_events_hll(),
         "local_supplier_revenue": o.q_local_supplier_revenue(),
+        "ripley_pairs": o.q_ripley_pairs(),
         "cust_reach": o.q_cust_reach(),
         "events_zscore_outliers": o.q_events_zscore_outliers(),
         "vector_tiles": o.q_vector_tiles(),

@@ -3995,3 +3995,29 @@ def q_local_supplier_revenue() -> str:
         "AND o_orderdate < TIMESTAMP '1997-01-01' "
         "GROUP BY n_name"
     )
+
+
+def q_ripley_pairs() -> str:
+    """Twin of distjoin.pair_distance_histogram: IEJoin band at the
+    max radius, exact integer circle predicate, per-radius ordered
+    pair counts excluding self (row identity = (url, warc_ts))."""
+    r5s = [10000, 25000, 50000]
+    rmax = r5s[-1]
+    return (
+        f"WITH {geo_cte()}, "
+        "pts AS (SELECT url, warc_ts, "
+        "CAST(round(lat * 100000.0) AS BIGINT) AS lat5, "
+        "CAST(round(lon * 100000.0) AS BIGINT) AS lon5 FROM geo), "
+        "pairs AS (SELECT (a.lat5 - b.lat5) * (a.lat5 - b.lat5) "
+        "+ (a.lon5 - b.lon5) * (a.lon5 - b.lon5) AS d2 "
+        "FROM pts a JOIN pts b "
+        f"ON b.lat5 BETWEEN a.lat5 - {rmax} AND a.lat5 + {rmax} "
+        "AND (a.lat5 - b.lat5) * (a.lat5 - b.lat5) "
+        "+ (a.lon5 - b.lon5) * (a.lon5 - b.lon5) "
+        f"<= {rmax * rmax}::BIGINT "
+        "AND NOT (a.url = b.url AND a.warc_ts = b.warc_ts)), "
+        f"rad AS (SELECT unnest({r5s}) AS r5) "
+        "SELECT rad.r5::BIGINT AS r5, "
+        "sum((pairs.d2 <= rad.r5::BIGINT * rad.r5)::INT)::BIGINT "
+        "AS n_pairs FROM pairs, rad GROUP BY rad.r5"
+    )

@@ -5847,3 +5847,19 @@ def q_local_supplier_revenue(sf_dir: str):
 
 
 QUERIES["local_supplier_revenue"] = q_local_supplier_revenue
+
+
+def q_ripley_pairs(sf_dir: str):
+    """Ripley's-K pair counts of the geocoded corpus at radii
+    0.1/0.25/0.5 degrees: ONE range-join-shaped shuffle whose buckets
+    fold straight into a 3-row histogram (ordered pairs, self-matches
+    subtracted) — the point-pattern clustering summary
+    (stages/distjoin.pair_distance_histogram)."""
+    from spapy_ray.stages.distjoin import pair_distance_histogram
+
+    geo = _geo(sf_dir).select_columns(["url", "warc_ts", "lat",
+                                       "lon"])
+    return pair_distance_histogram(geo, radii_deg=[0.1, 0.25, 0.5])
+
+
+QUERIES["ripley_pairs"] = q_ripley_pairs

@@ -308,3 +308,118 @@ def within_distance_pairs_local(lat5: np.ndarray, lon5: np.ndarray,
     hit = dx * dx + dy * dy <= np.int64(r5) * np.int64(r5)
     np.fill_diagonal(hit, False)
     return np.nonzero(hit)
+
+
+def pair_distance_histogram(ds, *, radii_deg: list[float],
+                            key_cols: tuple[str, ...] = ("url",
+                                                         "warc_ts"),
+                            lat_col: str = "lat", lon_col: str = "lon",
+                            buckets: int | None = None,
+                            salt: int = 1):
+    """Ripley's-K pair counts: for each radius r in ``radii_deg``,
+    the number of ORDERED point pairs (i != j) within r of each other
+    (planar fixed-point predicate — K-hat(r) is this count divided by
+    n * lambda for whoever wants the normalized form).
+
+    Same grid co-partition as within_distance_count at cell width ==
+    max(radii): each bucket folds its pairs into ONE len(radii)-row
+    partial (no per-point output at all), so the exchange after the
+    single shuffle is a few integers per bucket — the whole-corpus
+    histogram costs the same shuffle as one range join. Self-matches
+    (every point's own candidate copy, distance 0) are subtracted as
+    one count per point per radius; duplicate coordinates compress to
+    weighted unique points on both matrix sides exactly as in the
+    range join.
+
+    Returns a Dataset(r5, n_pairs) — r5 = round(r * 1e5), int64.
+    """
+    from ray.data.aggregate import Sum
+
+    r5s = sorted(int(round(r * 1e5)) for r in radii_deg)
+    if not r5s or r5s[0] <= 0:
+        raise ValueError("radii_deg must be positive")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    rmax = r5s[-1]
+    rsq = np.array([r * r for r in r5s], dtype=np.int64)
+    b = buckets or max(64, cluster_cpus() * 4)
+
+    def expand(t: pa.Table) -> pa.Table:
+        lat5 = _fixed5(t.column(lat_col))
+        lon5 = _fixed5(t.column(lon_col))
+        n = len(lat5)
+        gx, gy = _grid(lat5, lon5, rmax)
+        home_cell = _cell_of(gx, gy)
+        parts = []
+        for s in range(salt):
+            sub = np.full(n, s, dtype=np.int64)
+            parts.append(pa.table({
+                "lat5": lat5, "lon5": lon5,
+                "_bucket": _bucket_of(home_cell, sub, salt, b),
+                "_cell": home_cell, "_sub": sub,
+                "_home": np.ones(n, dtype=bool)}))
+        csub = ((lat5.astype(np.uint64) * _MIX
+                 + lon5.astype(np.uint64))
+                % np.uint64(salt)).astype(np.int64)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                ncell = _cell_of(gx + dx, gy + dy)
+                parts.append(pa.table({
+                    "lat5": lat5, "lon5": lon5,
+                    "_bucket": _bucket_of(ncell, csub, salt, b),
+                    "_cell": ncell, "_sub": csub,
+                    "_home": np.zeros(n, dtype=bool)}))
+        return pa.concat_tables(parts)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cell = df["_cell"].to_numpy()
+        sub = df["_sub"].to_numpy()
+        order = np.lexsort((sub, cell))
+        cell, sub = cell[order], sub[order]
+        lat = df["lat5"].to_numpy()[order]
+        lon = df["lon5"].to_numpy()[order]
+        home = df["_home"].to_numpy()[order]
+        change = (np.diff(cell) != 0) | (np.diff(sub) != 0)
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        ends = np.concatenate((starts[1:], [len(cell)]))
+        tot = np.zeros(len(rsq), dtype=np.int64)
+        n_home = 0
+        for s, e in zip(starts, ends):
+            hm = home[s:e]
+            if not hm.any():
+                continue
+            n_home += int(hm.sum())
+            cd = ~hm
+            if not cd.any():
+                continue
+            pk = (lat[s:e] + np.int64(8_500_000)) * _STRIDE \
+                + (lon[s:e] + np.int64(18_000_000))
+            hu, hcnt = np.unique(pk[hm], return_counts=True)
+            ku, w = np.unique(pk[cd], return_counts=True)
+            hlat, hlon = hu >> np.int64(32), hu & np.int64(0xFFFFFFFF)
+            klat, klon = ku >> np.int64(32), ku & np.int64(0xFFFFFFFF)
+            step = max(1, 4_000_000 // len(ku))
+            for i in range(0, len(hu), step):
+                dx = hlon[i:i + step, None] - klon[None, :]
+                dy = hlat[i:i + step, None] - klat[None, :]
+                d2 = dx * dx + dy * dy
+                for ri, r2 in enumerate(rsq):
+                    tot[ri] += int((((d2 <= r2) * w[None, :])
+                                    .sum(axis=1)
+                                    * hcnt[i:i + step]).sum())
+        return pd.DataFrame({
+            "r5": np.concatenate([np.array(r5s, dtype=np.int64),
+                                  [-1]]),
+            "n_pairs": np.concatenate([tot, [n_home]])})
+
+    parts = ds.map_batches(expand, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket,
+                                       batch_format="pandas") \
+        .groupby("r5").aggregate(Sum("n_pairs", alias_name="n_pairs")) \
+        .to_pandas()
+    n_points = int(parts.loc[parts["r5"] == -1, "n_pairs"].sum()) \
+        // salt
+    out = parts[parts["r5"] != -1].sort_values("r5") \
+        .reset_index(drop=True)
+    out["n_pairs"] = out["n_pairs"].to_numpy() - n_points
+    return out.astype(np.int64)

@@ -94,3 +94,39 @@ def test_pairs_match_bruteforce(ray_session):
     gd = within_distance_pairs(rd.from_arrow(t), radius_deg=2.0,
                                key_col="pid", directed=True).to_pandas()
     assert set(zip(gd["key_a"], gd["key_b"])) == exp_dir
+
+
+def _hist_expected(t: pa.Table, radii):
+    lat5 = np.rint(t.column("lat").to_numpy() * 1e5).astype(np.int64)
+    lon5 = np.rint(t.column("lon").to_numpy() * 1e5).astype(np.int64)
+    d2 = (lat5[:, None] - lat5[None, :]) ** 2 \
+        + (lon5[:, None] - lon5[None, :]) ** 2
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    r5s = sorted(int(round(r * 1e5)) for r in radii)
+    return pd.DataFrame({
+        "r5": np.array(r5s, dtype=np.int64),
+        "n_pairs": np.array([(d2 <= r * r).sum() for r in r5s],
+                            dtype=np.int64)})
+
+
+@pytest.mark.parametrize("salt", [1, 3])
+def test_pair_distance_histogram_bruteforce(ray_session, salt):
+    import ray.data as rd
+
+    from spapy_ray.stages.distjoin import pair_distance_histogram
+
+    rng = np.random.default_rng(5)
+    # tight cluster so radii catch many pairs + duplicates
+    lat5 = rng.integers(-40_000, 40_000, 400) * 5
+    lon5 = rng.integers(-40_000, 40_000, 400) * 5
+    lat5[:40] = lat5[40:80]
+    lon5[:40] = lon5[40:80]
+    t = pa.table({"pid": np.arange(400, dtype=np.int64),
+                  "lat": lat5.astype(np.float64) / 1e5,
+                  "lon": lon5.astype(np.float64) / 1e5})
+    radii = [0.05, 0.2, 0.4]
+    got = pair_distance_histogram(
+        rd.from_arrow(t), radii_deg=radii, key_cols=("pid",),
+        buckets=8, salt=salt)
+    want = _hist_expected(t, radii)
+    pd.testing.assert_frame_equal(got, want)
