@@ -4021,3 +4021,26 @@ def q_ripley_pairs() -> str:
         "sum((pairs.d2 <= rad.r5::BIGINT * rad.r5)::INT)::BIGINT "
         "AS n_pairs FROM pairs, rad GROUP BY rad.r5"
     )
+
+
+def q_focal_median() -> str:
+    """Twin of the 3x3 focal median: list_sort of the 9 edge-clamped
+    closed-form neighbors, element 5 (1-based) == the engine's sorted
+    index 4; per-tile integer sum/min/max."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    def cl(e: str) -> str:
+        return f"LEAST(GREATEST({e}, 0), 511)"
+
+    window = ", ".join(
+        sql_dem_int(cl(f"px + {dx}"), cl(f"py + {dy}"), 0)
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"md AS (SELECT px, py, list_sort([{window}])[5]::BIGINT "
+        "AS med FROM px) "
+        "SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+        "sum(med)::BIGINT AS med_sum, min(med)::BIGINT AS med_min, "
+        "max(med)::BIGINT AS med_max FROM md GROUP BY 1, 2"
+    )

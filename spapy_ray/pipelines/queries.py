@@ -5863,3 +5863,50 @@ def q_ripley_pairs(sf_dir: str):
 
 
 QUERIES["ripley_pairs"] = q_ripley_pairs
+
+
+def q_focal_median(sf_dir: str):
+    """3x3 focal MEDIAN filter over the int DEM (salt-and-pepper
+    denoise; the rank-filter sibling of focal_majority) — 9 shifted
+    windows sorted per pixel, element 4 is exact int. One halo
+    exchange (stencil_op), reduced to per-tile integer
+    sum/min/max."""
+    from spapy_ray.stages.raster import decode_tile, stencil_op
+
+    ds, meta = _dem()
+    T = meta.tile_size
+
+    def med_kernel(pad: np.ndarray) -> np.ndarray:
+        z = pad.astype(np.int64)
+        h, w = pad.shape[0] - 2, pad.shape[1] - 2
+        stack = np.empty((9, h, w), dtype=np.int64)
+        i = 0
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                stack[i] = z[dy:dy + h, dx:dx + w]
+                i += 1
+        stack.sort(axis=0)
+        return stack[4].astype(np.int32)
+
+    fm = stencil_op(ds, meta, med_kernel, dtype="int32",
+                    out_dtype="int32")
+
+    def stats(t: pa.Table) -> pa.Table:
+        cols = {"tx": pc.cast(t.column("tx"), pa.int64()),
+                "ty": pc.cast(t.column("ty"), pa.int64())}
+        s = np.zeros(len(t), dtype=np.int64)
+        mn = np.zeros(len(t), dtype=np.int64)
+        mx = np.zeros(len(t), dtype=np.int64)
+        for i, b in enumerate(t.column("data").to_pylist()):
+            a = decode_tile(b, "int32", T).astype(np.int64)
+            s[i], mn[i], mx[i] = a.sum(), a.min(), a.max()
+        cols["med_sum"] = pa.array(s)
+        cols["med_min"] = pa.array(mn)
+        cols["med_max"] = pa.array(mx)
+        return pa.table(cols)
+
+    out = fm.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["tx", "ty"]).reset_index(drop=True)
+
+
+QUERIES["focal_median"] = q_focal_median
