@@ -342,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_revenue": o.q_local_supplier_revenue(),
         "ripley_pairs": o.q_ripley_pairs(),
         "focal_median": o.q_focal_median(),
+        "media_chunks": o.q_media_chunks(),
         "cust_reach": o.q_cust_reach(),
         "events_zscore_outliers": o.q_events_zscore_outliers(),
         "vector_tiles": o.q_vector_tiles(),

@@ -4044,3 +4044,25 @@ def q_focal_median() -> str:
         "sum(med)::BIGINT AS med_sum, min(med)::BIGINT AS med_min, "
         "max(med)::BIGINT AS med_max FROM md GROUP BY 1, 2"
     )
+
+
+def q_media_chunks(chunk: int = 256) -> str:
+    """Twin of the payload chunker: generate_series chunk ordinals
+    ((ln + 255) // 256 - 1 as the hi bound — DuckDB // truncates, so
+    the naive (ln-1)//256 would emit a ghost chunk for empty
+    payloads), substr pieces, same FNV mod signature."""
+    fnv = sql_fnv1a("piece")
+    return (
+        f"WITH {pages_cte()}, "
+        "d AS (SELECT url, warc_ts, html, length(html) AS ln "
+        "FROM pages), "
+        "c AS (SELECT url, warc_ts, html, "
+        f"unnest(generate_series(0, (ln + {chunk - 1}) // {chunk} "
+        "- 1)) AS chunk_id FROM d), "
+        "s AS (SELECT url, warc_ts, chunk_id, "
+        f"substr(html, chunk_id * {chunk} + 1, {chunk}) AS piece "
+        "FROM c) "
+        "SELECT url, warc_ts, chunk_id::BIGINT AS chunk_id, "
+        "length(piece)::BIGINT AS n_bytes, "
+        f"(({fnv}) % 1000000007)::BIGINT AS sig FROM s"
+    )

@@ -5910,3 +5910,61 @@ def q_focal_median(sf_dir: str):
 
 
 QUERIES["focal_median"] = q_focal_median
+
+
+def q_media_chunks(sf_dir: str, chunk: int = 256):
+    """Fixed-size payload chunking (the transfer/storage sharding
+    step a multimodal pipeline runs before shipping blobs): each
+    page's payload splits into 256-byte chunks, one row per chunk
+    with its exact length and FNV signature. Fully vectorized — one
+    utf8 slice + one batched FNV per chunk ORDINAL (max-chunks
+    passes over the whole batch, no per-row loop); payloads are
+    ASCII so codepoint slices == byte slices (the media_probe
+    contract)."""
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    ds = pages_dataset(sf_dir, include_html=True)
+
+    def chunks(t: pa.Table) -> pa.Table:
+        html = t.column("html")
+        if isinstance(html, pa.ChunkedArray):
+            html = html.combine_chunks()
+        # payload arrives as an opaque BINARY column; it is ASCII by
+        # the media_probe contract, so a utf8 view is zero-risk and
+        # codepoint slices == byte slices
+        html = pc.cast(html, pa.string())
+        ln = pc.utf8_length(html).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        parts = []
+        k = 0
+        while True:
+            m = ln > k * chunk
+            if not m.any():
+                break
+            mask = pa.array(m)
+            piece = pc.utf8_slice_codeunits(
+                html.filter(mask), k * chunk, (k + 1) * chunk)
+            h = fnv1a64(piece)
+            parts.append(pa.table({
+                "url": t.column("url").filter(mask),
+                "warc_ts": t.column("warc_ts").filter(mask),
+                "chunk_id": pa.array(
+                    np.full(int(m.sum()), k, dtype=np.int64)),
+                "n_bytes": pc.cast(pc.utf8_length(piece), pa.int64()),
+                "sig": pa.array(
+                    (h % np.uint64(1_000_000_007)).astype(np.int64)),
+            }))
+            k += 1
+        if not parts:
+            return pa.table({
+                "url": html.slice(0, 0),
+                "warc_ts": t.column("warc_ts").slice(0, 0),
+                "chunk_id": pa.array([], type=pa.int64()),
+                "n_bytes": pa.array([], type=pa.int64()),
+                "sig": pa.array([], type=pa.int64())})
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+QUERIES["media_chunks"] = q_media_chunks
