@@ -4066,3 +4066,24 @@ def q_media_chunks(chunk: int = 256) -> str:
         "length(piece)::BIGINT AS n_bytes, "
         f"(({fnv}) % 1000000007)::BIGINT AS sig FROM s"
     )
+
+
+def q_zone_compactness() -> str:
+    """Twin of the zone compactness audit: closed-form perimeter per
+    shape family (rect and L-ring both 2(w+h); the disjoint pair sums
+    both rects), closed-form area, integer quotient."""
+    from spapy_ray.sources.zones import sql_zones_cte
+
+    perim = ("(CASE WHEN shape IN (0, 1, 2) THEN 2 * (w + h) "
+             "ELSE 2 * (w2 + h2) "
+             "+ 2 * ((w - w2 - 5000) + (h - h2 - 5000)) END)")
+    area = ("(CASE WHEN shape IN (0, 1) THEN w * h "
+            "WHEN shape = 2 THEN w * h2 + w2 * (h - h2) "
+            "ELSE w2 * h2 + (w - w2 - 5000) * (h - h2 - 5000) END)")
+    return (
+        f"WITH zones AS ({sql_zones_cte()}) "
+        "SELECT zone_id, "
+        f"{perim}::BIGINT AS perim_u, {area}::BIGINT AS area_u2, "
+        f"(1000000 * ({area})::BIGINT) // (({perim})::BIGINT "
+        f"* ({perim})::BIGINT) AS compact_q FROM zones"
+    )

@@ -5968,3 +5968,42 @@ def q_media_chunks(sf_dir: str, chunk: int = 256):
 
 
 QUERIES["media_chunks"] = q_media_chunks
+
+
+def q_zone_compactness(sf_dir: str):
+    """Per-zone shape compactness audit: exact integer perimeter
+    (fixed_point_multipolygon_perimeter over the WKB rings) + the
+    doubled shoelace area, and the isoperimetric-style quotient
+    compact_q = 10^6 * area_u2 // perim_u^2 — all closed-form in the
+    twin (L-ring perimeter == bounding rect's 2(w+h); the two-rect
+    MultiPolygon sums both boxes)."""
+    from spapy_ray.kernels import wkb as kwkb
+    from spapy_ray.stages.measures import (
+        fixed_point_multipolygon_perimeter)
+
+    z = zones_table()
+    perim = np.empty(len(z), dtype=np.int64)
+    area2 = np.empty(len(z), dtype=np.int64)
+    for i, g in enumerate(z.column("geom_wkb").to_pylist()):
+        mp = kwkb.as_multipolygon(g)
+        perim[i] = fixed_point_multipolygon_perimeter(mp)
+        a2 = 0
+        for poly in mp:
+            for j, ring in enumerate(poly):
+                r = np.rint(np.asarray(ring, dtype=np.float64)
+                            * 10000).astype(np.int64)
+                if len(r) > 1 and (r[0] == r[-1]).all():
+                    r = r[:-1]
+                x, y = r[:, 0], r[:, 1]
+                s2 = abs(int(np.sum(x * np.roll(y, -1)
+                                    - np.roll(x, -1) * y)))
+                a2 += s2 if j == 0 else -s2
+        area2[i] = a2
+    return pd.DataFrame({
+        "zone_id": z.column("zone_id").to_numpy(),
+        "perim_u": perim,
+        "area_u2": area2 // 2,
+        "compact_q": 1_000_000 * (area2 // 2) // (perim * perim)})
+
+
+QUERIES["zone_compactness"] = q_zone_compactness

@@ -122,3 +122,22 @@ def dataset_convex_hull(ds, geom_col: str = "geom_wkb") -> np.ndarray:
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return geom.convex_hull(parts[["x", "y"]].to_numpy())
+
+
+def fixed_point_multipolygon_perimeter(mp, unit: int = U) -> int:
+    """Exact integer perimeter (in 1/unit units) for geometries whose
+    vertices lie on a 1/unit grid: per-edge hypot on quantized int
+    coordinates — exact for axis-parallel edges (hypot(d, 0) == |d|),
+    float for diagonals, then one rint. Sums ALL rings of every
+    polygon (GetFeatureLength semantics, SpaVectors.py:690-724:
+    holes add their boundary)."""
+    total = 0.0
+    for poly in mp:
+        for ring in poly:
+            r = np.rint(np.asarray(ring, dtype=np.float64) * unit) \
+                .astype(np.int64)
+            if len(r) > 1 and (r[0] == r[-1]).all():
+                r = r[:-1]
+            d = r - np.roll(r, -1, axis=0)
+            total += float(np.hypot(d[:, 0], d[:, 1]).sum())
+    return int(np.rint(total))
