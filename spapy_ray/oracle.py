@@ -4087,3 +4087,25 @@ def q_zone_compactness() -> str:
         f"(1000000 * ({area})::BIGINT) // (({perim})::BIGINT "
         f"* ({perim})::BIGINT) AS compact_q FROM zones"
     )
+
+
+def q_open_orders() -> str:
+    """Twin of the backlog curve: endpoint deltas netted per instant,
+    one global ordered window sum, per-month max at change points.
+    ym = months since epoch (integer calendar)."""
+    return (
+        "WITH mx AS (SELECT l_orderkey, max(l_shipdate) AS cl "
+        "FROM lineitem GROUP BY 1), "
+        "iv AS (SELECT epoch_us(o_orderdate) AS o, "
+        "epoch_us(cl) + 86400000000 AS c FROM orders "
+        "JOIN mx ON o_orderkey = l_orderkey), "
+        "ev AS (SELECT o AS t, 1 AS d FROM iv "
+        "UNION ALL SELECT c, -1 FROM iv), "
+        "net AS (SELECT t, sum(d)::BIGINT AS d FROM ev GROUP BY t), "
+        "run AS (SELECT t, (sum(d) OVER (ORDER BY t "
+        "ROWS UNBOUNDED PRECEDING))::BIGINT AS open FROM net), "
+        "m AS (SELECT (year(make_timestamp(t)) - 1970) * 12 "
+        "+ month(make_timestamp(t)) - 1 AS ym, open FROM run) "
+        "SELECT ym::BIGINT AS ym, max(open)::BIGINT AS max_open "
+        "FROM m GROUP BY ym"
+    )

@@ -6007,3 +6007,53 @@ def q_zone_compactness(sf_dir: str):
 
 
 QUERIES["zone_compactness"] = q_zone_compactness
+
+
+def q_open_orders(sf_dir: str):
+    """Order backlog curve: an order is open from o_orderdate until
+    its last lineitem ships (inclusive, day grain); the result is
+    the per-month MAXIMUM simultaneously-open order count — the
+    interval-concurrency primitive (sessions.interval_concurrency,
+    the ordered-global-prefix machinery on time windows) fed by a
+    combiner-first grouped max + one hash_join."""
+    from spapy_ray.stages.relational import (bucketed_group_agg,
+                                             hash_join)
+    from spapy_ray.stages.sessions import interval_concurrency
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = pc.cast(t.column("l_shipdate"), pa.int64()).to_numpy()
+        u, inv = np.unique(k, return_inverse=True)
+        m = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(m, inv, s)
+        return pa.table({"l_orderkey": pa.array(u),
+                         "cl": pa.array(m)})
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False,
+                         sort=False)["cl"].max()
+
+    mx = bucketed_group_agg(li.map_batches(pre,
+                                           batch_format="pyarrow"),
+                            "l_orderkey", local)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"])
+    j = hash_join(orders, mx, on="o_orderkey",
+                  right_on="l_orderkey")
+
+    def iv(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "t_open": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "t_close": pa.array(
+                t.column("cl").to_numpy(zero_copy_only=False)
+                .astype(np.int64) + 86_400_000_000)})
+
+    return interval_concurrency(
+        j.map_batches(iv, batch_format="pyarrow"))
+
+
+QUERIES["open_orders"] = q_open_orders

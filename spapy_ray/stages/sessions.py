@@ -960,3 +960,79 @@ def bucketed_group_agg_sessions(ds, key, fold, buckets=None):
     from spapy_ray.stages.relational import bucketed_group_agg
 
     return bucketed_group_agg(ds, key, fold, buckets=buckets)
+
+
+def interval_concurrency(ds, *, open_col: str = "t_open",
+                         close_col: str = "t_close",
+                         window_us: int = 7 * 86_400_000_000):
+    """Interval-concurrency curve (the backlog / occupancy metric):
+    each row holds an inclusive [open, close] microsecond interval;
+    the result is, per calendar month, the MAXIMUM number of
+    simultaneously-open intervals measured at change points (every
+    open/close instant — between change points the count is
+    constant, so this is the true maximum over each month that
+    contains at least one change point).
+
+    Distributed shape — the ordered-global-prefix-sum pattern
+    (packing.pack_chunks / late_event_counts) on TIME windows:
+    endpoint deltas (+1 at open, -1 at close + 1 us tick... close
+    boundary: the decrement lands at close + 1 day for date-grain
+    closes, supplied by the caller via close_col) fold to per-window
+    sums, the driver broadcasts the exclusive prefix, and each
+    window resolves its local running count independently. One
+    shuffle, O(#windows) driver state.
+
+    Returns pandas (ym, max_open) where ym = (year-1970)*12 +
+    month-1 (months since epoch — calendar-exact, pure integer).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        to = t.column(open_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tc = t.column(close_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = np.concatenate([to, tc])
+        d = np.concatenate([np.ones(len(to), dtype=np.int64),
+                            -np.ones(len(tc), dtype=np.int64)])
+        return pa.table({"t": pa.array(ts), "d": pa.array(d),
+                         "w": pa.array(ts // window_us)})
+
+    u = ds.map_batches(endpoints, batch_format="pyarrow") \
+        .materialize()
+    tot = u.groupby("w").aggregate(Sum("d", alias_name="s")) \
+        .to_pandas().sort_values("w")
+    ws = tot["w"].to_numpy(dtype=np.int64)
+    ss = tot["s"].to_numpy(dtype=np.int64)
+    pre = np.r_[0, np.cumsum(ss)[:-1]]
+    offs = {int(w): int(p) for w, p in zip(ws, pre)}
+    ref = ray.put(offs)
+
+    def per_window(g: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        offs_ = ray.get(_ref)
+        out = []
+        for w, gg in g.groupby("w", sort=False):
+            t = gg["t"].to_numpy()
+            d = gg["d"].to_numpy()
+            # net delta per distinct instant: the count is evaluated
+            # AFTER all deltas at that instant apply
+            ut, inv = np.unique(t, return_inverse=True)
+            nd = np.zeros(len(ut), dtype=np.int64)
+            np.add.at(nd, inv, d)
+            run = np.cumsum(nd) + int(offs_[int(w)])
+            ym = ut.astype("datetime64[us]").astype("datetime64[M]") \
+                .view(np.int64)
+            p = pd.DataFrame({"ym": ym, "open": run}) \
+                .groupby("ym", sort=False)["open"].max() \
+                .reset_index(name="max_open")
+            out.append(p)
+        return pd.concat(out, ignore_index=True).astype(np.int64)
+
+    parts = bucketed_group_agg_sessions(u, "w", per_window)
+    from ray.data.aggregate import Max
+
+    out = parts.groupby("ym").aggregate(
+        Max("max_open", alias_name="max_open")).to_pandas()
+    return out.sort_values("ym").reset_index(drop=True) \
+        .astype(np.int64)
