@@ -4109,3 +4109,20 @@ def q_open_orders() -> str:
         "SELECT ym::BIGINT AS ym, max(open)::BIGINT AS max_open "
         "FROM m GROUP BY ym"
     )
+
+
+def q_events_ntile(tiles: int = 4) -> str:
+    """Twin of the even-split value quartiles: same
+    ((rn-1)*t)//n + 1 formula over the (cents, event_id) order."""
+    return (
+        "WITH e AS (SELECT event_type, event_id, "
+        "round(value * 100)::BIGINT AS c FROM events), "
+        "w AS (SELECT event_type, c, row_number() OVER "
+        "(PARTITION BY event_type ORDER BY c, event_id) AS rn, "
+        "count(*) OVER (PARTITION BY event_type) AS n FROM e), "
+        f"t AS (SELECT event_type, ((rn - 1) * {tiles}) // n + 1 "
+        "AS tile, c FROM w) "
+        "SELECT event_type, tile::BIGINT AS tile, "
+        "count(*)::BIGINT AS n_rows, sum(c)::BIGINT AS sum_cents "
+        "FROM t GROUP BY 1, 2"
+    )

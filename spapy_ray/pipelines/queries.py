@@ -6057,3 +6057,58 @@ def q_open_orders(sf_dir: str):
 
 
 QUERIES["open_orders"] = q_open_orders
+
+
+def q_events_ntile(sf_dir: str, tiles: int = 4):
+    """Even-split quartile buckets of event value per event type:
+    tile = ((rn - 1) * 4) // n + 1 over the (cents, event_id)
+    order — row_number + group_size in ONE bucket shuffle
+    (stages/window.window_over), folded to per-(type, tile) row
+    counts and exact cent sums. (The formula is the even-split
+    bucket, shared verbatim with the twin — NOT SQL NTILE's
+    big-buckets-first convention.)"""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.window import window_over
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column("value").to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "c": pa.array(c)})
+
+    w = window_over(ev.map_batches(cents, batch_format="pyarrow"),
+                    key_col="event_type",
+                    order_cols=["c", "event_id"],
+                    ops=[("rn", "row_number", None),
+                         ("n", "group_size", None)],
+                    keep_cols=["c"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        rn = t.column("rn").to_numpy().astype(np.int64)
+        n = t.column("n").to_numpy().astype(np.int64)
+        c = t.column("c").to_numpy().astype(np.int64)
+        tile = ((rn - 1) * tiles) // n + 1
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "tile": tile, "c": c})
+        p = df.groupby(["event_type", "tile"], sort=False).agg(
+            n_rows=("c", "size"), sum_cents=("c", "sum")) \
+            .reset_index()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    out = w.map_batches(fold, batch_format="pyarrow") \
+        .groupby(["event_type", "tile"]).aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_cents", alias_name="sum_cents")).to_pandas()
+    out["tile"] = out["tile"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["sum_cents"] = out["sum_cents"].astype(np.int64)
+    return out.sort_values(["event_type", "tile"]) \
+        .reset_index(drop=True)
+
+
+QUERIES["events_ntile"] = q_events_ntile
