@@ -212,3 +212,65 @@ def geohash_encode(lon: np.ndarray, lat: np.ndarray,
         out = np.char.add(out, chars[idx.astype(np.int64)]
                           .astype("U1"))
     return out
+
+
+# ---- Hilbert curve (the locality-preserving partition key) ----
+
+def hilbert_d(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
+    """Hilbert-curve distance of integer grid cells (x, y) at the
+    given order (grid side 2^order) — the classic iterative
+    quadrant-rotate walk (Hilbert 1891; the bitwise form is the
+    public-domain Wikipedia xy2d). Pure int64 vector ops, one fixed
+    loop over ``order`` levels; better partition locality than the
+    Morton interleave for range scans (neighbors stay in one
+    contiguous key run through quadrant corners)."""
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros(len(x), dtype=np.int64)
+    n = np.int64(1) << np.int64(order)
+    s = n >> np.int64(1)
+    while s > 0:
+        rx = ((x // s) & 1).astype(np.int64)
+        ry = ((y // s) & 1).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # canonical rotation flips over the FULL grid (n-1-x), which
+        # keeps x, y in [0, n) forever — load-bearing for the SQL
+        # twin: a negative x under DuckDB's truncating // would break
+        # the (x // s) & 1 bit test
+        flip = (ry == 0) & (rx == 1)
+        xf = np.where(flip, n - 1 - x, x)
+        yf = np.where(flip, n - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, yf, xf), np.where(swap, xf, yf)
+        s >>= 1
+    return d
+
+
+def sql_hilbert_chain(x_expr: str, y_expr: str, order: int,
+                      src_cte: str, carry_cols: str) -> str:
+    """Chained-CTE SQL computing exactly ``hilbert_d`` for every row
+    of ``src_cte``: one MATERIALIZED round per level (the
+    stream_order lesson — un-hinted CTE chains re-inline
+    exponentially). ``carry_cols`` are passed through every round;
+    the final CTE is ``hil`` with columns carry_cols + hkey."""
+    parts = [f"hr0 AS MATERIALIZED (SELECT {carry_cols}, "
+             f"({x_expr})::BIGINT AS x, ({y_expr})::BIGINT AS y, "
+             f"0::BIGINT AS d FROM {src_cte})"]
+    for i in range(order):
+        s = 1 << (order - 1 - i)
+        rx = f"((x // {s}) & 1)"
+        ry = f"((y // {s}) & 1)"
+        dd = (f"d + {s * s}::BIGINT * (CASE {rx} * 2 + {ry} "
+              "WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 "
+              "ELSE 2 END)")
+        n = 1 << order
+        nx = (f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+              f"THEN {n - 1} - y ELSE y END) ELSE x END")
+        ny = (f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+              f"THEN {n - 1} - x ELSE x END) ELSE y END")
+        parts.append(
+            f"hr{i + 1} AS MATERIALIZED (SELECT {carry_cols}, "
+            f"{nx} AS x, {ny} AS y, {dd} AS d FROM hr{i})")
+    parts.append(f"hil AS (SELECT {carry_cols}, d AS hkey "
+                 f"FROM hr{order})")
+    return ", ".join(parts)

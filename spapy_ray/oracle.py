@@ -4126,3 +4126,19 @@ def q_events_ntile(tiles: int = 4) -> str:
         "count(*)::BIGINT AS n_rows, sum(c)::BIGINT AS sum_cents "
         "FROM t GROUP BY 1, 2"
     )
+
+
+def q_hilbert_index(order: int = 16) -> str:
+    """Twin of kernels.cells.hilbert_d over the geocoded pages: the
+    same float quantization op order as xy_for, then the 16-round
+    MATERIALIZED quadrant-rotate chain (sql_hilbert_chain)."""
+    from spapy_ray.kernels.cells import sql_hilbert_chain
+
+    n = 1 << order
+    gx = (f"LEAST(GREATEST(floor((lon + 180.0) / 360.0 * "
+          f"{float(n)})::BIGINT, 0), {n - 1})")
+    gy = (f"LEAST(GREATEST(floor((lat + 90.0) / 180.0 * "
+          f"{float(n)})::BIGINT, 0), {n - 1})")
+    chain = sql_hilbert_chain(gx, gy, order, "geo", "url, warc_ts")
+    return (f"WITH {geo_cte()}, {chain} "
+            "SELECT url, warc_ts, hkey FROM hil")

@@ -6112,3 +6112,28 @@ def q_events_ntile(sf_dir: str, tiles: int = 4):
 
 
 QUERIES["events_ntile"] = q_events_ntile
+
+
+def q_hilbert_index(sf_dir: str, order: int = 16):
+    """Hilbert-curve partition key for every geocoded page (order-16
+    grid): the locality-preserving alternative to the Morton quadkey
+    — consecutive key ranges stay spatially contiguous through
+    quadrant corners, so range-partitioning 100 TB by hkey gives
+    tighter per-shard bounding boxes than the interleave
+    (kernels.cells.hilbert_d, pure int64 vector walk)."""
+    from spapy_ray.kernels.cells import hilbert_d, xy_for
+
+    geo = _geo(sf_dir)
+
+    def hk(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        x, y = xy_for(lon, lat, order)
+        return pa.table({
+            "url": t.column("url"), "warc_ts": t.column("warc_ts"),
+            "hkey": pa.array(hilbert_d(x, y, order))})
+
+    return geo.map_batches(hk, batch_format="pyarrow")
+
+
+QUERIES["hilbert_index"] = q_hilbert_index

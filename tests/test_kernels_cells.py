@@ -205,3 +205,60 @@ def test_geohash_matches_textbook_bisection():
                           np.array([57.64911]), 6)[0] == "u4pruy"
     assert geohash_encode(np.array([10.40744]),
                           np.array([57.64911]), 4)[0] == "u4pr"
+
+
+def _hilbert_ref(order: int, x: int, y: int) -> int:
+    n = 1 << order
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_scalar_reference():
+    from spapy_ray.kernels.cells import hilbert_d
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1 << 16, 300)
+    y = rng.integers(0, 1 << 16, 300)
+    want = np.array([_hilbert_ref(16, int(a), int(b))
+                     for a, b in zip(x, y)])
+    assert np.array_equal(hilbert_d(x, y, 16), want)
+
+
+def test_hilbert_bijection_and_unit_step_locality():
+    from spapy_ray.kernels.cells import hilbert_d
+
+    o, n = 5, 1 << 5
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n))
+    d = hilbert_d(gx.ravel(), gy.ravel(), o)
+    assert sorted(d) == list(range(n * n))
+    pos = np.empty(n * n, dtype=np.int64)
+    pos[d] = np.arange(n * n)
+    xs, ys = gx.ravel()[pos], gy.ravel()[pos]
+    # consecutive curve positions are 4-neighbors — the locality
+    # property Morton lacks (quadrant-corner jumps)
+    assert (np.abs(np.diff(xs)) + np.abs(np.diff(ys)) == 1).all()
+
+
+def test_hilbert_sql_chain_parity():
+    import duckdb
+
+    from spapy_ray.kernels.cells import hilbert_d, sql_hilbert_chain
+
+    chain = sql_hilbert_chain("xx", "yy", 16, "src", "i")
+    q = (f"WITH src AS (SELECT p AS i, (p * 2654435761) % 65536 AS xx, "
+         f"(p * 2246822519) % 65536 AS yy FROM range(300) t(p)), "
+         f"{chain} SELECT hkey FROM hil ORDER BY i")
+    got = duckdb.sql(q).df()["hkey"].to_numpy()
+    p = np.arange(300, dtype=np.int64)
+    want = hilbert_d((p * 2654435761) % 65536,
+                     (p * 2246822519) % 65536, 16)
+    assert np.array_equal(got, want)
