@@ -347,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "open_orders": o.q_open_orders(),
         "events_ntile": o.q_events_ntile(),
         "hilbert_index": o.q_hilbert_index(),
+        "quadtree_leaves": o.q_quadtree_leaves(),
         "cust_reach": o.q_cust_reach(),
         "events_zscore_outliers": o.q_events_zscore_outliers(),
         "vector_tiles": o.q_vector_tiles(),

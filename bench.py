@@ -64,7 +64,14 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # dasymetric transfer, two-sided as-of interp,
                  # degree assortativity)
                  "raster_moran", "raster_variogram", "seq_packing",
-                 "areal_interp", "events_interp", "cust_assortativity"]
+                 "areal_interp", "events_interp", "cust_assortativity",
+                 # round-4 session-9 additions (k-core peel, multi-
+                 # source BFS, HLL registers, TPC-H Q5 join chain,
+                 # Ripley pair histogram, payload chunking, interval
+                 # concurrency, Hilbert partition key)
+                 "cust_kcore", "cust_reach", "events_hll",
+                 "local_supplier_revenue", "ripley_pairs",
+                 "media_chunks", "open_orders", "hilbert_index"]
 
 
 def _consume(res) -> int:

@@ -4142,3 +4142,30 @@ def q_hilbert_index(order: int = 16) -> str:
     chain = sql_hilbert_chain(gx, gy, order, "geo", "url, warc_ts")
     return (f"WITH {geo_cte()}, {chain} "
             "SELECT url, warc_ts, hkey FROM hil")
+
+
+def q_quadtree_leaves(max_res: int = 8, cap: int = 512) -> str:
+    """Twin of partition.quadtree_leaves: per-resolution ancestor
+    counts via window COUNT over shifted coords, leaf res = the
+    shallowest fitting resolution (ordered CASE chain)."""
+    n = 1 << max_res
+    gx = (f"LEAST(GREATEST(floor((lon + 180.0) / 360.0 * "
+          f"{float(n)})::BIGINT, 0), {n - 1})")
+    gy = (f"LEAST(GREATEST(floor((lat + 90.0) / 180.0 * "
+          f"{float(n)})::BIGINT, 0), {n - 1})")
+    ccols = ", ".join(
+        f"count(*) OVER (PARTITION BY gx >> {max_res - r}, "
+        f"gy >> {max_res - r})::BIGINT AS c{r}"
+        for r in range(max_res + 1))
+    case = ("CASE " + " ".join(
+        f"WHEN c{r} <= {cap} THEN {r}" for r in range(max_res + 1))
+        + f" ELSE {max_res} END")
+    return (
+        f"WITH {geo_cte()}, "
+        f"g AS (SELECT {gx} AS gx, {gy} AS gy FROM geo), "
+        f"cc AS (SELECT gx, gy, {ccols} FROM g), "
+        f"lf AS (SELECT ({case}) AS res, gx, gy FROM cc) "
+        f"SELECT res::BIGINT AS res, (gx >> ({max_res} - res))"
+        f"::BIGINT AS cx, (gy >> ({max_res} - res))::BIGINT AS cy, "
+        "count(*)::BIGINT AS n_points FROM lf GROUP BY 1, 2, 3"
+    )

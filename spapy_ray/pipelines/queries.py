@@ -6137,3 +6137,18 @@ def q_hilbert_index(sf_dir: str, order: int = 16):
 
 
 QUERIES["hilbert_index"] = q_hilbert_index
+
+
+def q_quadtree_leaves(sf_dir: str):
+    """Adaptive quadtree layout of the geocoded corpus (cap 512,
+    max res 8): the skew-adaptive partitioning primitive — the
+    fixture's 70%-hot antimeridian column splits to max depth while
+    empty ocean stays coarse (stages/partition.quadtree_leaves: one
+    bucketed count fold + numpy ancestor walk)."""
+    from spapy_ray.stages.partition import quadtree_leaves
+
+    geo = _geo(sf_dir).select_columns(["lat", "lon"])
+    return quadtree_leaves(geo, max_res=8, cap=512)
+
+
+QUERIES["quadtree_leaves"] = q_quadtree_leaves
