@@ -348,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ntile": o.q_events_ntile(),
         "hilbert_index": o.q_hilbert_index(),
         "quadtree_leaves": o.q_quadtree_leaves(),
+        "value_emd": o.q_value_emd(),
         "cust_reach": o.q_cust_reach(),
         "events_zscore_outliers": o.q_events_zscore_outliers(),
         "vector_tiles": o.q_vector_tiles(),

@@ -4169,3 +4169,29 @@ def q_quadtree_leaves(max_res: int = 8, cap: int = 512) -> str:
         f"::BIGINT AS cx, (gy >> ({max_res} - res))::BIGINT AS cy, "
         "count(*)::BIGINT AS n_points FROM lf GROUP BY 1, 2, 3"
     )
+
+
+def q_value_emd() -> str:
+    """Twin of the exact EMD numerator: cumulative cross products
+    times forward value gaps, HUGEINT sum, split into 2^62 limbs."""
+    lim = 1 << 62
+    return (
+        "WITH x AS (SELECT trunc(value * 100)::BIGINT AS v, "
+        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa "
+        "FROM events WHERE event_type IN ('click', 'view')), "
+        "t AS (SELECT v, sum(isa)::BIGINT AS ca, "
+        "sum(1 - isa)::BIGINT AS cb FROM x GROUP BY v), "
+        "c AS (SELECT v, sum(ca) OVER (ORDER BY v "
+        "ROWS UNBOUNDED PRECEDING)::HUGEINT AS cca, "
+        "sum(cb) OVER (ORDER BY v "
+        "ROWS UNBOUNDED PRECEDING)::HUGEINT AS ccb, "
+        "lead(v) OVER (ORDER BY v) AS nv FROM t), "
+        "n AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb "
+        "FROM t), "
+        "e AS (SELECT coalesce(sum(abs(cca * nb - ccb * na) "
+        "* (nv - v)::HUGEINT) FILTER (WHERE nv IS NOT NULL), 0) "
+        "AS emd FROM c, n) "
+        "SELECT na, nb, "
+        f"(emd // {lim})::BIGINT AS emd_hi, "
+        f"(emd % {lim})::BIGINT AS emd_lo FROM e, n"
+    )

@@ -6152,3 +6152,32 @@ def q_quadtree_leaves(sf_dir: str):
 
 
 QUERIES["quadtree_leaves"] = q_quadtree_leaves
+
+
+def q_value_emd(sf_dir: str):
+    """Exact 1-D Earth-Mover (Wasserstein-1) distance numerator
+    between click and view event values — the transport-cost drift
+    metric next to value_drift's KS max (relational.two_sample_emd:
+    same value-window co-partition, per-window integral partials in
+    two int64 limbs, python-int driver fold + inter-window boundary
+    terms). EMD = (emd_hi*2^62 + emd_lo) / (na*nb)."""
+    import pyarrow.dataset as pds
+
+    from spapy_ray.stages.relational import two_sample_emd
+
+    def q(label):
+        ds = _read(sf_dir, "events", columns=["value"],
+                   predicate=pds.field("event_type") == label)
+
+        def qz(t: pa.Table) -> pa.Table:
+            v = np.trunc(t.column("value")
+                         .to_numpy(zero_copy_only=False) * 100.0) \
+                .astype(np.int64)
+            return pa.table({"vq": pa.array(v)})
+
+        return ds.map_batches(qz, batch_format="pyarrow")
+
+    return two_sample_emd(q("click"), q("view"), "vq")
+
+
+QUERIES["value_emd"] = q_value_emd

@@ -801,3 +801,33 @@ def test_hll_registers_merge_equals_whole(ray_session):
                           "k", p=10)
     merged = np.maximum(a["rho"].to_numpy(), b["rho"].to_numpy())
     assert np.array_equal(merged, whole["rho"].to_numpy())
+
+
+def test_two_sample_emd_bruteforce(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import two_sample_emd
+
+    rng = np.random.default_rng(9)
+    # negatives + values spanning several 64-wide windows + gaps
+    a = rng.integers(-300, 300, 700) * rng.integers(1, 4, 700)
+    b = rng.integers(-250, 350, 500) * rng.integers(1, 4, 500)
+    got = two_sample_emd(
+        rd.from_pandas(pd.DataFrame({"v": a})),
+        rd.from_pandas(pd.DataFrame({"v": b})), "v",
+        window=64, buckets=8).iloc[0]
+    na, nb = len(a), len(b)
+    vals = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(np.sort(a), vals, side="right")
+    cb = np.searchsorted(np.sort(b), vals, side="right")
+    emd = int(np.sum(np.abs(ca[:-1].astype(object) * nb
+                            - cb[:-1].astype(object) * na)
+                     * np.diff(vals)))
+    assert (int(got["na"]), int(got["nb"])) == (na, nb)
+    assert int(got["emd_hi"]) * (1 << 62) + int(got["emd_lo"]) == emd
+    # identical samples -> zero transport
+    z = two_sample_emd(
+        rd.from_pandas(pd.DataFrame({"v": a})),
+        rd.from_pandas(pd.DataFrame({"v": a})), "v",
+        window=64, buckets=8).iloc[0]
+    assert int(z["emd_hi"]) == 0 and int(z["emd_lo"]) == 0
