@@ -4195,3 +4195,28 @@ def q_value_emd() -> str:
         f"(emd // {lim})::BIGINT AS emd_hi, "
         f"(emd % {lim})::BIGINT AS emd_lo FROM e, n"
     )
+
+
+def q_cross_ripley() -> str:
+    """Twin of the bivariate pair histogram: IEJoin band between the
+    two geo_src classes at the max radius, per-radius counts."""
+    r5s = [10000, 25000, 50000]
+    rmax = r5s[-1]
+    return (
+        f"WITH {geo_cte()}, "
+        "pts AS (SELECT geo_src, "
+        "CAST(round(lat * 100000.0) AS BIGINT) AS lat5, "
+        "CAST(round(lon * 100000.0) AS BIGINT) AS lon5 FROM geo), "
+        "pairs AS (SELECT (a.lat5 - b.lat5) * (a.lat5 - b.lat5) "
+        "+ (a.lon5 - b.lon5) * (a.lon5 - b.lon5) AS d2 "
+        "FROM pts a JOIN pts b "
+        "ON a.geo_src = 'text' AND b.geo_src = 'url' "
+        f"AND b.lat5 BETWEEN a.lat5 - {rmax} AND a.lat5 + {rmax} "
+        "AND (a.lat5 - b.lat5) * (a.lat5 - b.lat5) "
+        "+ (a.lon5 - b.lon5) * (a.lon5 - b.lon5) "
+        f"<= {rmax * rmax}::BIGINT), "
+        f"rad AS (SELECT unnest({r5s}) AS r5) "
+        "SELECT rad.r5::BIGINT AS r5, "
+        "sum((pairs.d2 <= rad.r5::BIGINT * rad.r5)::INT)::BIGINT "
+        "AS n_pairs FROM pairs, rad GROUP BY rad.r5"
+    )

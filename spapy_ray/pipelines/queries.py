@@ -6181,3 +6181,22 @@ def q_value_emd(sf_dir: str):
 
 
 QUERIES["value_emd"] = q_value_emd
+
+
+def q_cross_ripley(sf_dir: str):
+    """Bivariate Ripley's-K: pair counts between TEXT-geocoded pages
+    (the sparse precise class) and URL-geocoded pages (the dense
+    fallback class) at 0.1/0.25/0.5 degrees — do the two geocoding
+    sources co-locate? (distjoin.cross_pair_distance_histogram —
+    disjoint classes, no self term)."""
+    from spapy_ray.stages.distjoin import cross_pair_distance_histogram
+    from spapy_ray.stages.relational import select_where
+
+    geo = _geo(sf_dir).select_columns(["lat", "lon", "geo_src"])
+    a = select_where(geo, "geo_src", "==", "text")
+    b = select_where(geo, "geo_src", "==", "url")
+    return cross_pair_distance_histogram(
+        a, b, radii_deg=[0.1, 0.25, 0.5])
+
+
+QUERIES["cross_ripley"] = q_cross_ripley

@@ -423,3 +423,95 @@ def pair_distance_histogram(ds, *, radii_deg: list[float],
         .reset_index(drop=True)
     out["n_pairs"] = out["n_pairs"].to_numpy() - n_points
     return out.astype(np.int64)
+
+
+def cross_pair_distance_histogram(ds_a, ds_b, *,
+                                  radii_deg: list[float],
+                                  lat_col: str = "lat",
+                                  lon_col: str = "lon",
+                                  buckets: int | None = None):
+    """Bivariate (cross-type) Ripley's-K pair counts: for each radius
+    r, the number of (a in A, b in B) pairs within r — "are the A
+    points clustered around the B points?". Same grid co-partition
+    as pair_distance_histogram with A as home rows and B replicated
+    to the 3x3 candidate neighborhoods; disjoint sets, so there is
+    no self-match to subtract. Returns pandas (r5, n_pairs)."""
+    from ray.data.aggregate import Sum
+
+    r5s = sorted(int(round(r * 1e5)) for r in radii_deg)
+    if not r5s or r5s[0] <= 0:
+        raise ValueError("radii_deg must be positive")
+    rmax = r5s[-1]
+    rsq = np.array([r * r for r in r5s], dtype=np.int64)
+    b = buckets or max(64, cluster_cpus() * 4)
+
+    def expand(home: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            lat5 = _fixed5(t.column(lat_col))
+            lon5 = _fixed5(t.column(lon_col))
+            gx, gy = _grid(lat5, lon5, rmax)
+            sub = np.zeros(len(lat5), dtype=np.int64)
+            if home:
+                cell = _cell_of(gx, gy)
+                return pa.table({
+                    "lat5": lat5, "lon5": lon5,
+                    "_bucket": _bucket_of(cell, sub, 1, b),
+                    "_cell": cell, "_sub": sub,
+                    "_home": np.ones(len(lat5), dtype=bool)})
+            parts = []
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    ncell = _cell_of(gx + dx, gy + dy)
+                    parts.append(pa.table({
+                        "lat5": lat5, "lon5": lon5,
+                        "_bucket": _bucket_of(ncell, sub, 1, b),
+                        "_cell": ncell, "_sub": sub,
+                        "_home": np.zeros(len(lat5), dtype=bool)}))
+            return pa.concat_tables(parts)
+        return _f
+
+    u = ds_a.map_batches(expand(True), batch_format="pyarrow") \
+        .union(ds_b.map_batches(expand(False),
+                                batch_format="pyarrow"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cell = df["_cell"].to_numpy()
+        order = np.argsort(cell, kind="stable")
+        cell = cell[order]
+        lat = df["lat5"].to_numpy()[order]
+        lon = df["lon5"].to_numpy()[order]
+        home = df["_home"].to_numpy()[order]
+        change = np.diff(cell) != 0
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        ends = np.concatenate((starts[1:], [len(cell)]))
+        tot = np.zeros(len(rsq), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            hm = home[s:e]
+            if not hm.any() or hm.all():
+                continue
+            cd = ~hm
+            pk = (lat[s:e] + np.int64(8_500_000)) * _STRIDE \
+                + (lon[s:e] + np.int64(18_000_000))
+            hu, hcnt = np.unique(pk[hm], return_counts=True)
+            ku, w = np.unique(pk[cd], return_counts=True)
+            hlat, hlon = hu >> np.int64(32), hu & np.int64(0xFFFFFFFF)
+            klat, klon = ku >> np.int64(32), ku & np.int64(0xFFFFFFFF)
+            step = max(1, 4_000_000 // len(ku))
+            for i in range(0, len(hu), step):
+                dx = hlon[i:i + step, None] - klon[None, :]
+                dy = hlat[i:i + step, None] - klat[None, :]
+                d2 = dx * dx + dy * dy
+                for ri, r2 in enumerate(rsq):
+                    tot[ri] += int((((d2 <= r2) * w[None, :])
+                                    .sum(axis=1)
+                                    * hcnt[i:i + step]).sum())
+        return pd.DataFrame({"r5": np.array(r5s, dtype=np.int64),
+                             "n_pairs": tot})
+
+    out = u.groupby("_bucket").map_groups(per_bucket,
+                                          batch_format="pandas") \
+        .groupby("r5").aggregate(Sum("n_pairs",
+                                     alias_name="n_pairs")) \
+        .to_pandas()
+    return out.sort_values("r5").reset_index(drop=True) \
+        .astype(np.int64)
