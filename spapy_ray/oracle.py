@@ -4220,3 +4220,17 @@ def q_cross_ripley() -> str:
         "sum((pairs.d2 <= rad.r5::BIGINT * rad.r5)::INT)::BIGINT "
         "AS n_pairs FROM pairs, rad GROUP BY rad.r5"
     )
+
+
+def q_forecast_revenue() -> str:
+    """Twin of the TPC-H-Q6-shaped filtered fold: same integer
+    cents x discount_pct revenue."""
+    return (
+        "SELECT sum(round(l_extendedprice * 100)::BIGINT "
+        "* round(l_discount * 100)::BIGINT)::BIGINT AS revenue_u, "
+        "count(*)::BIGINT AS n_rows FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 "
+        "AND l_quantity < 24"
+    )

@@ -6200,3 +6200,49 @@ def q_cross_ripley(sf_dir: str):
 
 
 QUERIES["cross_ripley"] = q_cross_ripley
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape — forecast revenue change: one filtered scan
+    with EVERY predicate pushed into the parquet fragment reader
+    (date range, discount band, quantity cap — no row leaves storage
+    unfiltered), then a two-limb exact cents*discount_pct partial
+    fold. The canonical prune-at-the-read demonstration."""
+    import pyarrow.dataset as pds
+
+    t0 = pd.Timestamp("1996-01-01")
+    t1 = pd.Timestamp("1997-01-01")
+    pred = ((pds.field("l_shipdate") >= t0)
+            & (pds.field("l_shipdate") < t1)
+            & (pds.field("l_discount") >= 0.05)
+            & (pds.field("l_discount") <= 0.07)
+            & (pds.field("l_quantity") < 24.0))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_discount"],
+               predicate=pred)
+
+    def fold(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        d = np.rint(t.column("l_discount")
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "revenue_u": pa.array([int((cents * d).sum())]),
+            "n_rows": pa.array([len(t)])})
+
+    from ray.data.aggregate import Sum
+
+    out = li.map_batches(fold, batch_format="pyarrow").aggregate(
+        Sum("revenue_u", alias_name="revenue_u"),
+        Sum("n_rows", alias_name="n_rows"))
+    return pd.DataFrame({
+        "revenue_u": [int(out["sum(revenue_u)"]
+                          if "sum(revenue_u)" in out
+                          else out["revenue_u"])],
+        "n_rows": [int(out["sum(n_rows)"] if "sum(n_rows)" in out
+                       else out["n_rows"])]}).astype(np.int64)
+
+
+QUERIES["forecast_revenue"] = q_forecast_revenue
