@@ -351,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "value_emd": o.q_value_emd(),
         "cross_ripley": o.q_cross_ripley(),
         "forecast_revenue": o.q_forecast_revenue(),
+        "events_cusum": o.q_events_cusum(),
         "cust_reach": o.q_cust_reach(),
         "events_zscore_outliers": o.q_events_zscore_outliers(),
         "vector_tiles": o.q_vector_tiles(),

@@ -4234,3 +4234,22 @@ def q_forecast_revenue() -> str:
         "AND l_discount BETWEEN 0.05 AND 0.07 "
         "AND l_quantity < 24"
     )
+
+
+def q_events_cusum(target: int = 5000, threshold: int = 200_000) -> str:
+    """Twin of the CUSUM scan: prefix sum minus clamped running
+    minimum, per event type in event_id order."""
+    return (
+        "WITH e AS (SELECT event_type, event_id, "
+        f"round(value * 100)::BIGINT - {target} AS x FROM events), "
+        "p AS (SELECT event_type, event_id, sum(x) OVER "
+        "(PARTITION BY event_type ORDER BY event_id "
+        "ROWS UNBOUNDED PRECEDING)::BIGINT AS pf FROM e), "
+        "m AS (SELECT event_type, pf, least(0, min(pf) OVER "
+        "(PARTITION BY event_type ORDER BY event_id "
+        "ROWS UNBOUNDED PRECEDING))::BIGINT AS mn FROM p), "
+        "s AS (SELECT event_type, pf - mn AS s FROM m) "
+        f"SELECT event_type, sum((s > {threshold})::INT)::BIGINT "
+        "AS n_alarms, max(s)::BIGINT AS max_s FROM s "
+        "GROUP BY event_type"
+    )

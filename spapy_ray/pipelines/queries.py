@@ -6246,3 +6246,31 @@ def q_forecast_revenue(sf_dir: str):
 
 
 QUERIES["forecast_revenue"] = q_forecast_revenue
+
+
+def q_events_cusum(sf_dir: str, target: int = 5000,
+                   threshold: int = 200_000):
+    """Per-event-type CUSUM drift alarm over value cents (arrival
+    order): S_t = max(0, S_{t-1} + cents - target), alarms where
+    S > threshold — the classic changepoint monitor, distributed as
+    an associative (sum, min-prefix) scan
+    (sessions.grouped_cusum)."""
+    from spapy_ray.stages.sessions import grouped_cusum
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def x(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column("value").to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64) - target
+        return pa.table({"event_type": t.column("event_type"),
+                         "event_id": t.column("event_id"),
+                         "x": pa.array(c)})
+
+    out = grouped_cusum(ev.map_batches(x, batch_format="pyarrow"),
+                        key_col="event_type", id_col="event_id",
+                        x_col="x", threshold=threshold)
+    return out.rename(columns={"k": "event_type"})
+
+
+QUERIES["events_cusum"] = q_events_cusum

@@ -1036,3 +1036,88 @@ def interval_concurrency(ds, *, open_col: str = "t_open",
         Max("max_open", alias_name="max_open")).to_pandas()
     return out.sort_values("ym").reset_index(drop=True) \
         .astype(np.int64)
+
+
+def grouped_cusum(ds, *, key_col: str, id_col: str, x_col: str,
+                  threshold: int, window: int = 4096,
+                  buckets: int | None = None):
+    """Per-key CUSUM changepoint scan in arrival (``id_col``) order:
+    S_t = max(0, S_{t-1} + x_t) — the classic drift alarm. The
+    sequential recursion distributes because S_t = P_t - min(0,
+    min_{j<=t} P_j) with P the plain prefix sum: prefix sums AND
+    prefix minima are both associative scans, so the ordered-global-
+    prefix pattern (pack_chunks / late_event_counts) applies — per
+    (key, id-window) partials (window sum, window min-prefix) fold on
+    the driver into per-window incoming (sum, min) pairs, broadcast
+    back, and each window resolves its alarms locally. One shuffle,
+    two passes over the materialized tagged table.
+
+    Returns pandas (key, n_alarms, max_s) — alarms are rows with
+    S_t > threshold; everything int64-exact."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "k": t.column(key_col),
+            "i": pa.array(ids),
+            "x": pa.array(t.column(x_col)
+                          .to_numpy(zero_copy_only=False)
+                          .astype(np.int64)),
+            "w": pa.array(ids // window)})
+
+    u = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (k, w), gg in g.groupby(["k", "w"], sort=False):
+            x = gg["x"].to_numpy()[np.argsort(gg["i"].to_numpy(),
+                                              kind="stable")]
+            pf = np.cumsum(x)
+            out.append((k, w, int(pf[-1]), int(pf.min())))
+        return pd.DataFrame(out, columns=["k", "w", "s", "m"])
+
+    def kw_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "kw", pa.array(
+                t.column("w").to_numpy(zero_copy_only=False)))
+
+    parts = bucketed_group_agg_sessions(
+        u.map_batches(kw_key, batch_format="pyarrow"), "kw",
+        partial).to_pandas().sort_values(["k", "w"])
+
+    # per key, fold window partials in window order:
+    # incoming_sum and incoming_min (min over all prior prefixes & 0)
+    offs = {}
+    for k, gg in parts.groupby("k", sort=False):
+        inc_s, inc_m = 0, 0
+        for w, s, m in zip(gg["w"], gg["s"], gg["m"]):
+            offs[(str(k), int(w))] = (inc_s, inc_m)
+            inc_m = min(inc_m, inc_s + int(m))
+            inc_s += int(s)
+    ref = ray.put(offs)
+
+    def resolve(g: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        offs_ = ray.get(_ref)
+        out = []
+        for (k, w), gg in g.groupby(["k", "w"], sort=False):
+            x = gg["x"].to_numpy()[np.argsort(gg["i"].to_numpy(),
+                                              kind="stable")]
+            inc_s, inc_m = offs_[(str(k), int(w))]
+            pf = np.cumsum(x) + inc_s
+            mn = np.minimum(np.minimum.accumulate(pf), inc_m)
+            s_t = pf - mn
+            out.append((k, int((s_t > threshold).sum()),
+                        int(s_t.max())))
+        return pd.DataFrame(out, columns=["k", "n_alarms", "max_s"])
+
+    res = bucketed_group_agg_sessions(
+        u.map_batches(kw_key, batch_format="pyarrow"), "kw",
+        resolve).groupby("k").aggregate(
+            Sum("n_alarms", alias_name="n_alarms"),
+            Max("max_s", alias_name="max_s")).to_pandas()
+    res["n_alarms"] = res["n_alarms"].astype(np.int64)
+    res["max_s"] = res["max_s"].astype(np.int64)
+    return res.sort_values("k").reset_index(drop=True)

@@ -214,3 +214,33 @@ def test_asof_forward_direction_brute_force(ray_session):
     with pytest.raises(ValueError):
         asof_join(rd.from_pandas(left), rd.from_pandas(right),
                   by="user_id", on="ts", direction="nearest")
+
+
+def test_grouped_cusum_matches_sequential(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.sessions import grouped_cusum
+
+    rng = np.random.default_rng(4)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "i": rng.permutation(n).astype(np.int64),
+        "x": rng.integers(-80, 70, n).astype(np.int64)})
+    got = grouped_cusum(rd.from_pandas(df), key_col="k", id_col="i",
+                        x_col="x", threshold=300, window=128,
+                        buckets=8)
+    rows = []
+    for k, g in df.sort_values("i").groupby("k"):
+        s = 0
+        alarms = 0
+        mx = -1 << 62
+        for x in g["x"]:
+            s = max(0, s + int(x))
+            alarms += s > 300
+            mx = max(mx, s)
+        rows.append((k, alarms, mx))
+    want = pd.DataFrame(sorted(rows),
+                        columns=["k", "n_alarms", "max_s"]) \
+        .astype({"n_alarms": np.int64, "max_s": np.int64})
+    pd.testing.assert_frame_equal(got, want)
