@@ -4253,3 +4253,30 @@ def q_events_cusum(target: int = 5000, threshold: int = 200_000) -> str:
         "AS n_alarms, max(s)::BIGINT AS max_s FROM s "
         "GROUP BY event_type"
     )
+
+
+def q_url_bloom(m_bits: int = 1 << 20, depth: int = 4) -> str:
+    """Twin of relational.bloom_bits over page urls: same fnv + mix
+    positions, per-word bit_or on UBIGINT, 32-bit halves (a set bit
+    63 does not survive a BIGINT cast)."""
+    from spapy_ray.stages.relational import CM_ADD, CM_MIX
+
+    fnv = sql_fnv1a("url")
+    mix = "[" + ", ".join(f"{m}::HUGEINT" for m in CM_MIX) + "]"
+    add = "[" + ", ".join(str(a) for a in CM_ADD) + "]"
+    m64 = "18446744073709551616"
+    pos = (f"(((((f)::HUGEINT * ({mix})[d + 1]) % {m64}) "
+           f"+ ({add})[d + 1]) % {m64}) % {m_bits}")
+    return (
+        f"WITH {pages_cte()}, "
+        "k AS (SELECT DISTINCT url FROM pages), "
+        f"fv AS (SELECT {fnv} AS f FROM k), "
+        f"p AS (SELECT ({pos})::BIGINT AS pos FROM fv "
+        f"CROSS JOIN range({depth}) t(d)), "
+        "w AS (SELECT pos // 64 AS word, "
+        "bit_or(1::UBIGINT << (pos % 64)::INT) AS bits "
+        "FROM p GROUP BY 1) "
+        "SELECT word::BIGINT AS word, "
+        "(bits >> 32)::BIGINT AS hi, "
+        "(bits & 4294967295::UBIGINT)::BIGINT AS lo FROM w"
+    )

@@ -6274,3 +6274,19 @@ def q_events_cusum(sf_dir: str, target: int = 5000,
 
 
 QUERIES["events_cusum"] = q_events_cusum
+
+
+def q_url_bloom(sf_dir: str):
+    """Bloom filter of the corpus URL set as an exported artifact
+    (2^20 bits, 4 hashes from the count_min family): mergeable-by-OR
+    partials, shuffle-free fold — the membership sketch a crawler
+    ships to dedup against previous crawls. Every nonzero word is
+    reproduced by the twin (relational.bloom_bits)."""
+    from spapy_ray.stages.relational import bloom_bits
+
+    pages = pages_dataset(sf_dir, include_html=False) \
+        .select_columns(["url"])
+    return bloom_bits(pages, "url")
+
+
+QUERIES["url_bloom"] = q_url_bloom

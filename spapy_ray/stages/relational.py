@@ -2100,3 +2100,51 @@ def hll_registers(ds, col: str, *, p: int = 10):
         "reg": np.arange(m, dtype=np.int64),
         "rho": regs,
         "est_q": np.full(m, est_q, dtype=np.int64)})
+
+
+def bloom_bits(ds, col: str, *, m_bits: int = 1 << 20,
+               depth: int = 4):
+    """Bloom filter of a string column as an EXPORTED artifact: the
+    classic membership sketch (Bloom 1970) — k=depth positions per
+    key via the count_min hash family (fnv1a64 * MIX_d + ADD_d mod
+    2^64 mod m), OR-folded into an m-bit array. Registers are
+    mergeable by OR, so the distributed fold is one map pass of
+    per-block nonzero words + an O(m/64) driver OR — no shuffle.
+
+    Returns pandas (word, hi, lo) for every NONZERO 64-bit word —
+    hi/lo are the word's 32-bit halves (a raw uint64 word does not
+    survive the BIGINT twin cast once bit 63 is set).
+    """
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    n_words = m_bits >> 6
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t.column(col))
+        f = fnv1a64(keys)
+        arr = np.zeros(n_words, dtype=np.uint64)
+        for d in range(depth):
+            pos = ((f * np.uint64(CM_MIX[d]) + np.uint64(CM_ADD[d]))
+                   % np.uint64(m_bits)).astype(np.int64)
+            np.bitwise_or.at(arr, pos >> 6,
+                             np.uint64(1) << (pos & 63).astype(np.uint64))
+        nz = np.nonzero(arr)[0]
+        return pa.table({"word": pa.array(nz.astype(np.int64)),
+                         "bits": pa.array(arr[nz].view(np.int64))})
+
+    parts = pa.concat_tables(
+        [b for b in ds.select_columns([col])
+         .map_batches(partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    arr = np.zeros(n_words, dtype=np.uint64)
+    np.bitwise_or.at(
+        arr, parts.column("word").to_numpy(zero_copy_only=False),
+        parts.column("bits").to_numpy(zero_copy_only=False)
+        .view(np.uint64))
+    nz = np.nonzero(arr)[0]
+    w = arr[nz]
+    return pd.DataFrame({
+        "word": nz.astype(np.int64),
+        "hi": (w >> np.uint64(32)).astype(np.int64),
+        "lo": (w & np.uint64(0xFFFFFFFF)).astype(np.int64)})
