@@ -353,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_revenue": o.q_forecast_revenue(),
         "events_cusum": o.q_events_cusum(),
         "url_bloom": o.q_url_bloom(),
+        "orders_rfm": o.q_orders_rfm(),
         "cust_reach": o.q_cust_reach(),
         "events_zscore_outliers": o.q_events_zscore_outliers(),
         "vector_tiles": o.q_vector_tiles(),

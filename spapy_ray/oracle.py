@@ -4280,3 +4280,32 @@ def q_url_bloom(m_bits: int = 1 << 20, depth: int = 4) -> str:
         "(bits >> 32)::BIGINT AS hi, "
         "(bits & 4294967295::UBIGINT)::BIGINT AS lo FROM w"
     )
+
+
+def q_orders_rfm() -> str:
+    """Twin of the RFM census: quantile_disc value thresholds per
+    metric, 1 + count(thresholds strictly below)."""
+    def tile(col, pre):
+        return ("(1 + (" + " + ".join(
+            f"({col} > {pre}{i})::INT" for i in (1, 2, 3)) + "))")
+
+    return (
+        "WITH c AS (SELECT o_custkey, "
+        "epoch_us(max(o_orderdate)) // 86400000000 AS r_days, "
+        "count(*)::BIGINT AS f, "
+        "sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS m "
+        "FROM orders GROUP BY 1), "
+        "q AS (SELECT "
+        "quantile_disc(r_days, 0.25) AS r1, "
+        "quantile_disc(r_days, 0.5) AS r2, "
+        "quantile_disc(r_days, 0.75) AS r3, "
+        "quantile_disc(f, 0.25) AS f1, quantile_disc(f, 0.5) AS f2, "
+        "quantile_disc(f, 0.75) AS f3, "
+        "quantile_disc(m, 0.25) AS m1, quantile_disc(m, 0.5) AS m2, "
+        "quantile_disc(m, 0.75) AS m3 FROM c) "
+        f"SELECT {tile('r_days', 'r')}::BIGINT AS r_tile, "
+        f"{tile('f', 'f')}::BIGINT AS f_tile, "
+        f"{tile('m', 'm')}::BIGINT AS m_tile, "
+        "count(*)::BIGINT AS n_customers FROM c, q "
+        "GROUP BY 1, 2, 3"
+    )

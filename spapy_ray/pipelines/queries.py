@@ -6290,3 +6290,81 @@ def q_url_bloom(sf_dir: str):
 
 
 QUERIES["url_bloom"] = q_url_bloom
+
+
+def q_orders_rfm(sf_dir: str):
+    """RFM customer segmentation: per customer recency (epoch day of
+    last order), frequency (order count), monetary (total cents);
+    each metric quartiled by its exact quantile_disc thresholds
+    (value thresholds, NOT rank splits — tie-free and
+    scale-deterministic), 64-way segment census. Composition:
+    bucketed per-customer fold → 3 grouped_quantile threshold passes
+    → broadcast compare → tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.quantiles import grouped_quantile
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate",
+                            "o_totalprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        k = t.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy() \
+            // 86_400_000_000
+        c = np.rint(t.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        md = np.full(len(u), -1, dtype=np.int64)
+        np.maximum.at(md, inv, d)
+        f = np.zeros(len(u), dtype=np.int64)
+        np.add.at(f, inv, 1)
+        m = np.zeros(len(u), dtype=np.int64)
+        np.add.at(m, inv, c)
+        return pa.table({"cust": pa.array(u), "r_days": pa.array(md),
+                         "f": pa.array(f), "m": pa.array(m)})
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("cust", as_index=False, sort=False).agg(
+            r_days=("r_days", "max"), f=("f", "sum"), m=("m", "sum"))
+
+    cust = bucketed_group_agg(
+        orders.map_batches(pre, batch_format="pyarrow"), "cust",
+        local).materialize()
+
+    def const_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "k__", pa.array(np.zeros(len(t), dtype=np.int64)))
+
+    tagged = cust.map_batches(const_key, batch_format="pyarrow") \
+        .materialize()
+    qs = [0.25, 0.5, 0.75]
+    thr = {}
+    for col in ("r_days", "f", "m"):
+        out = grouped_quantile(tagged, "k__", col, qs)
+        thr[col] = out.sort_values("q")["value"].to_numpy()
+
+    def tiles(t: pa.Table) -> pa.Table:
+        def tile(col):
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            return (1 + sum((v > th).astype(np.int64)
+                            for th in thr[col]))
+        df = pd.DataFrame({"r_tile": tile("r_days"),
+                           "f_tile": tile("f"),
+                           "m_tile": tile("m")})
+        p = df.groupby(["r_tile", "f_tile", "m_tile"], sort=False) \
+            .size().reset_index(name="n_customers")
+        return pa.Table.from_pandas(p.astype(np.int64),
+                                    preserve_index=False)
+
+    out = cust.map_batches(tiles, batch_format="pyarrow") \
+        .groupby(["r_tile", "f_tile", "m_tile"]).aggregate(
+            Sum("n_customers", alias_name="n_customers")).to_pandas()
+    return out.sort_values(["r_tile", "f_tile", "m_tile"]) \
+        .reset_index(drop=True).astype(np.int64)
+
+
+QUERIES["orders_rfm"] = q_orders_rfm
