@@ -4309,3 +4309,18 @@ def q_orders_rfm() -> str:
         "count(*)::BIGINT AS n_customers FROM c, q "
         "GROUP BY 1, 2, 3"
     )
+
+
+def q_orders_pareto() -> str:
+    """Twin of the Pareto decile audit: row_number over (spend,
+    custkey), even-split decile formula."""
+    return (
+        "WITH c AS (SELECT o_custkey, "
+        "sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS m "
+        "FROM orders GROUP BY 1), "
+        "w AS (SELECT m, row_number() OVER (ORDER BY m, o_custkey) "
+        "AS rn, count(*) OVER () AS n FROM c) "
+        "SELECT (((rn - 1) * 10) // n + 1)::BIGINT AS decile, "
+        "count(*)::BIGINT AS n_customers, "
+        "sum(m)::BIGINT AS revenue_u FROM w GROUP BY 1"
+    )

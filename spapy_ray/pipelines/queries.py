@@ -6368,3 +6368,62 @@ def q_orders_rfm(sf_dir: str):
 
 
 QUERIES["orders_rfm"] = q_orders_rfm
+
+
+def q_orders_pareto(sf_dir: str):
+    """Revenue-concentration (Pareto) audit: customers ranked by
+    total spend (exact global rank via the range-partitioned window
+    machinery — no all-to-all sort), split into even-split deciles,
+    per decile the customer count and exact revenue share. The
+    80/20 check every marketplace runs."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.quantiles import global_rank_attach
+    from spapy_ray.stages.relational import (bucketed_group_agg,
+                                             hash_join)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        k = t.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = np.rint(t.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        m = np.zeros(len(u), dtype=np.int64)
+        np.add.at(m, inv, c)
+        return pa.table({"cust": pa.array(u), "m": pa.array(m)})
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("cust", as_index=False, sort=False)["m"] \
+            .sum()
+
+    cust = bucketed_group_agg(
+        orders.map_batches(pre, batch_format="pyarrow"), "cust",
+        local).materialize()
+    n = cust.count()
+    ranks = global_rank_attach(cust, "m", "cust", shift=20)
+    j = hash_join(cust, ranks, on="cust", right_on="id")
+
+    def fold(t: pa.Table) -> pa.Table:
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        dec = (pos * 10) // n + 1
+        df = pd.DataFrame({"decile": dec, "m": m})
+        p = df.groupby("decile", sort=False).agg(
+            n_customers=("m", "size"),
+            revenue_u=("m", "sum")).reset_index()
+        return pa.Table.from_pandas(p.astype(np.int64),
+                                    preserve_index=False)
+
+    out = j.map_batches(fold, batch_format="pyarrow") \
+        .groupby("decile").aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("revenue_u", alias_name="revenue_u")).to_pandas()
+    return out.sort_values("decile").reset_index(drop=True) \
+        .astype(np.int64)
+
+
+QUERIES["orders_pareto"] = q_orders_pareto
