@@ -4324,3 +4324,34 @@ def q_orders_pareto() -> str:
         "count(*)::BIGINT AS n_customers, "
         "sum(m)::BIGINT AS revenue_u FROM w GROUP BY 1"
     )
+
+
+def q_docs_winnow(winnow_w: int = 16) -> str:
+    """Twin of text.winnow_fingerprints: per-position window hashes
+    (same HUGEINT fold as q_docs_rolling_fp), list_min per winnow
+    window, list_distinct, count + xor fold in 32-bit halves."""
+    from spapy_ray.kernels.hashing import sql_utf8_bytes
+
+    fold = ("(h, c) -> ((h::HUGEINT * 1000003::HUGEINT + c::HUGEINT)"
+            " % 18446744073709551616::HUGEINT)::UBIGINT")
+    hs = (f"list_transform(range(1, len(bs) - 6), i -> "
+          f"list_reduce(list_prepend(0::UBIGINT, "
+          f"list_transform(bs[i:i+7], x -> x::UBIGINT)), {fold}))")
+    whole = (f"list_reduce(list_prepend(0::UBIGINT, "
+             f"list_transform(bs, x -> x::UBIGINT)), {fold})")
+    w = winnow_w
+    sel = (f"CASE WHEN len(hs) = 0 THEN [{whole}] "
+           f"WHEN len(hs) <= {w} THEN [list_min(hs)] "
+           f"ELSE list_transform(range(1, len(hs) - {w - 2}), "
+           f"j -> list_min(hs[j:j+{w - 1}])) END")
+    return (
+        "WITH b AS (SELECT doc_id, "
+        f"{sql_utf8_bytes('text')} AS bs FROM documents), "
+        f"h AS (SELECT doc_id, bs, {hs} AS hs FROM b), "
+        f"s AS (SELECT doc_id, list_distinct({sel}) AS fp FROM h) "
+        "SELECT doc_id, len(fp)::BIGINT AS n_fp, "
+        "(list_reduce(fp, (a, v) -> xor(a, v)) >> 32)::BIGINT "
+        "AS fp_hi, "
+        "(list_reduce(fp, (a, v) -> xor(a, v)) "
+        "& 4294967295::UBIGINT)::BIGINT AS fp_lo FROM s"
+    )

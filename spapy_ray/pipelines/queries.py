@@ -6427,3 +6427,19 @@ def q_orders_pareto(sf_dir: str):
 
 
 QUERIES["orders_pareto"] = q_orders_pareto
+
+
+def q_docs_winnow(sf_dir: str):
+    """MOSS winnowing fingerprints per document (8-byte Rabin-Karp
+    hashes, winnow window 16): distinct selected-minima set size +
+    XOR fold — the plagiarism/overlap detection primitive
+    (text.winnow_fingerprints, one vectorized pass, global sliding
+    min shared across the batch)."""
+    from spapy_ray.stages.text import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return winnow_fingerprints(ds) \
+        .select_columns(["doc_id", "n_fp", "fp_hi", "fp_lo"])
+
+
+QUERIES["docs_winnow"] = q_docs_winnow

@@ -814,3 +814,115 @@ def stopword_strip_fp(ds, *, column: str = "text",
             "fp": pa.array(fnv1a64(stripped).view(np.int64))})
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+def winnow_batch(batch: pa.Table, column: str = "text", *,
+                 window: int = ROLL_W, winnow_w: int = 16,
+                 base: int = int(ROLL_B)) -> pa.Table:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken 2003, the MOSS algorithm): over each document's sequence
+    of ``window``-byte Rabin-Karp hashes, select the MINIMUM of
+    every ``winnow_w``-wide hash window; the distinct selected
+    hashes are the document's fingerprint set (guaranteed to share a
+    fingerprint with any document overlapping >= w+k-1 bytes).
+
+    Vectorized: the modular-prefix trick gives every position hash in
+    one pass over the flat byte buffer; a single global
+    sliding_window_view min covers all LONG docs (per-doc valid
+    ranges gathered with one repeat/arange expansion — windows never
+    straddle a doc because starts are range-restricted); short docs
+    fall back to their single min (or the whole-text hash below one
+    window). Returns (doc keys..., n_fp, fp_hi, fp_lo) — the
+    fingerprint-set size and the XOR fold in 32-bit halves."""
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_large_string(col.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(col.type):
+        off_dtype = np.int32
+    else:
+        raise TypeError("winnow expects a string column")
+    buffers = col.buffers()
+    flat = np.frombuffer(buffers[2], dtype=np.uint8)
+    off = np.frombuffer(buffers[1], dtype=off_dtype)
+    starts = off[col.offset:col.offset + len(col)].astype(np.int64)
+    ends = off[col.offset + 1:col.offset + len(col) + 1] \
+        .astype(np.int64)
+    n = len(flat)
+    B = np.uint64(base)
+    Binv = pow(base, -1, 1 << 64)
+    docs = np.empty(0, dtype=np.int64)
+    fps = np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        powB = np.ones(n + 1, dtype=np.uint64)
+        np.multiply.accumulate(np.full(n, B), out=powB[1:])
+        powI = np.empty(n, dtype=np.uint64)
+        np.multiply.accumulate(np.full(n, np.uint64(Binv)), out=powI)
+        S = np.zeros(n + 1, dtype=np.uint64)
+        np.add.accumulate(flat.astype(np.uint64) * powI, out=S[1:])
+        P = powB * S
+        Bw = np.uint64(pow(base, window, 1 << 64))
+        lens = ends - starts
+        h_all = P[window:] - P[:-window] * Bw if n >= window \
+            else np.empty(0, dtype=np.uint64)
+        n_hash = np.maximum(lens - window + 1, 0)
+        # LONG docs: >= winnow_w hashes -> global sliding min gather
+        long = n_hash >= winnow_w
+        if long.any() and len(h_all) >= winnow_w:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            smin = sliding_window_view(h_all, winnow_w).min(axis=1)
+            st = starts[long]
+            ct = n_hash[long] - winnow_w + 1
+            tot = int(ct.sum())
+            di = np.repeat(np.nonzero(long)[0], ct)
+            base_idx = np.repeat(st, ct)
+            intra = np.arange(tot, dtype=np.int64) \
+                - np.repeat(np.cumsum(ct) - ct, ct)
+            docs = di
+            fps = smin[base_idx + intra]
+        # MID docs: at least one hash but fewer than winnow_w ->
+        # single fingerprint = min over all hashes (reduceat)
+        mid = (n_hash >= 1) & ~long
+        if mid.any():
+            st = starts[mid]
+            idx = np.empty(2 * len(st), dtype=np.int64)
+            idx[0::2] = st
+            idx[1::2] = st + n_hash[mid]
+            ix = idx[:-1] if idx[-1] >= len(h_all) else idx
+            m = np.minimum.reduceat(h_all, ix)[0::2]
+            docs = np.concatenate([docs, np.nonzero(mid)[0]])
+            fps = np.concatenate([fps, m])
+        # SHORT docs (< one window): whole-text hash
+        short = n_hash < 1
+        for i in np.nonzero(short)[0]:
+            s, e = int(starts[i]), int(ends[i])
+            docs = np.concatenate([docs, [i]])
+            fps = np.concatenate(
+                [fps, [P[e] - P[s] * np.uint64(pow(base, e - s,
+                                                   1 << 64))]])
+    # distinct (doc, fp) pairs, then per-doc count + xor fold
+    order = np.lexsort((fps, docs))
+    docs, fps = docs[order], fps[order]
+    keep = np.r_[True, (docs[1:] != docs[:-1]) | (fps[1:] != fps[:-1])]
+    docs, fps = docs[keep], fps[keep]
+    n_fp = np.zeros(len(col), dtype=np.int64)
+    np.add.at(n_fp, docs, 1)
+    x = np.zeros(len(col), dtype=np.uint64)
+    np.bitwise_xor.at(x, docs, fps)
+    out = batch.drop_columns([column])
+    out = out.append_column("n_fp", pa.array(n_fp))
+    out = out.append_column("fp_hi", pa.array(
+        (x >> np.uint64(32)).astype(np.int64)))
+    out = out.append_column("fp_lo", pa.array(
+        (x & np.uint64(0xFFFFFFFF)).astype(np.int64)))
+    return out
+
+
+def winnow_fingerprints(ds, column: str = "text",
+                        batch_size: int = 32768, **kw):
+    return ds.map_batches(
+        lambda t: winnow_batch(t, column, **kw),
+        batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)

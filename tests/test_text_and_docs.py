@@ -200,3 +200,53 @@ def test_lineitem_regr_closed_form(ray_session):
     out = q_lineitem_regr(d)
     assert out.iloc[0]["slope_q"] == 3_000_000
     assert out.iloc[0]["icept_q"] == 5_000_000
+
+
+def test_winnow_planted_overlap_shares_fingerprint(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from spapy_ray.stages.text import winnow_batch
+
+    rng = np.random.default_rng(2)
+
+    def rand_text(n):
+        return "".join(chr(c) for c in rng.integers(97, 123, n))
+
+    shared = rand_text(64)   # >= w + k - 1 = 8 + 16 - 1 guarantees
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [rand_text(200) + shared + rand_text(150),
+                 rand_text(90) + shared + rand_text(300),
+                 rand_text(250),
+                 "tiny"]})
+    t = winnow_batch(pa.Table.from_pandas(docs, preserve_index=False))
+    out = t.to_pandas()
+    # fingerprint SETS via a scalar reference
+    def ref_fps(s):
+        bs = s.encode()
+        if len(bs) < 8:
+            h = 0
+            for b in bs:
+                h = (h * 1000003 + b) % (1 << 64)
+            return {h}
+        hs = []
+        for i in range(len(bs) - 7):
+            h = 0
+            for b in bs[i:i + 8]:
+                h = (h * 1000003 + b) % (1 << 64)
+            hs.append(h)
+        if len(hs) <= 16:
+            return {min(hs)}
+        return {min(hs[j:j + 16]) for j in range(len(hs) - 15)}
+
+    sets = [ref_fps(s) for s in docs["text"]]
+    assert sets[0] & sets[1], "winnowing guarantee violated in ref"
+    for i in range(4):
+        x = 0
+        for f in sets[i]:
+            x ^= f
+        assert out["n_fp"].iloc[i] == len(sets[i])
+        assert out["fp_hi"].iloc[i] == x >> 32
+        assert out["fp_lo"].iloc[i] == x & 0xFFFFFFFF
