@@ -1001,10 +1001,26 @@ def interval_concurrency(ds, *, open_col: str = "t_open",
 
     u = ds.map_batches(endpoints, batch_format="pyarrow") \
         .materialize()
-    tot = u.groupby("w").aggregate(Sum("d", alias_name="s")) \
-        .to_pandas().sort_values("w")
-    ws = tot["w"].to_numpy(dtype=np.int64)
-    ss = tot["s"].to_numpy(dtype=np.int64)
+
+    # per-window sums: per-batch combiner partials + driver fold
+    # (the window table is tiny — a ray groupby sort here costs more
+    # than the whole stage; measured 5.5 s -> ~2 s at sf0.1)
+    def wsum(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        uw, inv = np.unique(w, return_inverse=True)
+        s = np.zeros(len(uw), dtype=np.int64)
+        np.add.at(s, inv, d)
+        return pa.table({"w": pa.array(uw), "s": pa.array(s)})
+
+    got = [b for b in u.map_batches(wsum, batch_format="pyarrow")
+           .iter_batches(batch_format="pyarrow")]
+    tp = pa.concat_tables(got, promote_options="default")
+    wv = tp.column("w").to_numpy(zero_copy_only=False)
+    sv = tp.column("s").to_numpy(zero_copy_only=False)
+    ws = np.unique(wv)
+    ss = np.zeros(len(ws), dtype=np.int64)
+    np.add.at(ss, np.searchsorted(ws, wv), sv)
     pre = np.r_[0, np.cumsum(ss)[:-1]]
     offs = {int(w): int(p) for w, p in zip(ws, pre)}
     ref = ray.put(offs)
@@ -1029,11 +1045,10 @@ def interval_concurrency(ds, *, open_col: str = "t_open",
             out.append(p)
         return pd.concat(out, ignore_index=True).astype(np.int64)
 
-    parts = bucketed_group_agg_sessions(u, "w", per_window)
-    from ray.data.aggregate import Max
-
-    out = parts.groupby("ym").aggregate(
-        Max("max_open", alias_name="max_open")).to_pandas()
+    parts = bucketed_group_agg_sessions(u, "w", per_window) \
+        .to_pandas()
+    # final (ym, max) fold on the driver — parts is O(#windows)
+    out = parts.groupby("ym", as_index=False)["max_open"].max()
     return out.sort_values("ym").reset_index(drop=True) \
         .astype(np.int64)
 
