@@ -4355,3 +4355,48 @@ def q_docs_winnow(winnow_w: int = 16) -> str:
         "(list_reduce(fp, (a, v) -> xor(a, v)) "
         "& 4294967295::UBIGINT)::BIGINT AS fp_lo FROM s"
     )
+
+
+def q_embed_kmeans(k: int = 8, iters: int = 3,
+                   scale: int = 1 << 20) -> str:
+    """Twin of ann.kmeans_int: trunc-quantized components, unrolled
+    MATERIALIZED Lloyd rounds (argmin ties to lowest j via
+    row_number; trunc-division centroid update; empty clusters keep
+    the previous centroid via LEFT JOIN + coalesce)."""
+    parts = [
+        "x AS MATERIALIZED (SELECT vec_id, "
+        "generate_subscripts(embedding, 1) AS gi, "
+        f"trunc(unnest(embedding)::DOUBLE * {scale})::BIGINT AS xq "
+        "FROM embeddings)",
+        f"c0 AS MATERIALIZED (SELECT vec_id AS j, gi, xq AS c "
+        f"FROM x WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT x.vec_id, c.j, "
+            f"sum((x.xq - c.c) * (x.xq - c.c)) AS dist "
+            f"FROM x JOIN c{i - 1} c ON x.gi = c.gi GROUP BY 1, 2)")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vec_id, j FROM "
+            f"(SELECT vec_id, j, row_number() OVER (PARTITION BY "
+            f"vec_id ORDER BY dist, j) AS rn FROM d{i}) WHERE rn = 1)")
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT a.j, x.gi, "
+            f"sum(x.xq)::BIGINT AS sm, count(*)::BIGINT AS cnt "
+            f"FROM x JOIN a{i} a USING (vec_id) GROUP BY 1, 2)")
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT p.j, p.gi, "
+            "coalesce(CASE WHEN s.sm >= 0 THEN s.sm // s.cnt "
+            "ELSE -((-s.sm) // s.cnt) END, p.c) AS c "
+            f"FROM c{i - 1} p LEFT JOIN s{i} s "
+            "ON p.j = s.j AND p.gi = s.gi)")
+    t = iters
+    return (
+        "WITH " + ", ".join(parts) + ", "
+        f"df AS (SELECT x.vec_id, c.j, sum((x.xq - c.c) "
+        f"* (x.xq - c.c)) AS dist FROM x JOIN c{t} c "
+        "ON x.gi = c.gi GROUP BY 1, 2) "
+        "SELECT vec_id, j::BIGINT AS cluster FROM "
+        "(SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY dist, j) AS rn FROM df) WHERE rn = 1"
+    )

@@ -6443,3 +6443,18 @@ def q_docs_winnow(sf_dir: str):
 
 
 QUERIES["docs_winnow"] = q_docs_winnow
+
+
+def q_embed_kmeans(sf_dir: str):
+    """Deterministic exact-integer k-means (k=8, 3 Lloyd rounds)
+    over the embedding table — assignment table after the final
+    round (ann.kmeans_int: pagerank-style broadcast iteration, one
+    map pass per round, k x dim integer partials)."""
+    from spapy_ray.stages.ann import kmeans_int
+
+    emb = _read(sf_dir, "embeddings",
+                columns=["vec_id", "embedding"])
+    return kmeans_int(emb, k=8, iters=3)
+
+
+QUERIES["embed_kmeans"] = q_embed_kmeans

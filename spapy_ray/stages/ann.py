@@ -944,3 +944,100 @@ def embed_dim_stats(ds, *, vec_col: str = "embedding",
         "mn": g["mn"].min().to_numpy(dtype=np.float64),
         "mx": g["mx"].max().to_numpy(dtype=np.float64)})
     return out
+
+
+def kmeans_int(ds, *, k: int = 8, iters: int = 3,
+               scale: int = 1 << 20, id_col: str = "vec_id",
+               emb_col: str = "embedding"):
+    """Deterministic EXACT-integer Lloyd k-means over an embedding
+    column: components quantize to trunc(v * scale) (trunc is
+    tie-free, the engine's float-quantization convention), centroids
+    init from the k smallest ids, squared-L2 assignment with ties to
+    the LOWEST cluster, centroid update by trunc-division of integer
+    sums (sign * (|num| // |den|) — DuckDB ``//`` truncates), empty
+    clusters keep their previous centroid. Everything is int64, so
+    the whole iteration unrolls into a bit-exact SQL twin.
+
+    Distributed shape — the pagerank pattern: centroids broadcast
+    via ray.put each iteration; one map pass folds per-batch
+    (cluster, dim) integer sums + counts (k x dim partials, tiny);
+    the driver updates centroids; a final pass emits assignments.
+    Returns Dataset(vec_id, cluster).
+    """
+    import ray
+
+    def quant(t: pa.Table) -> pa.Table:
+        x = np.trunc(_stack_embeddings(t.column(emb_col))
+                     .astype(np.float64) * scale).astype(np.int64)
+        return pa.table({
+            "vec_id": pc.cast(t.column(id_col), pa.int64()),
+            "xq": pa.array(list(x)),
+        })
+
+    q = ds.map_batches(quant, batch_format="pyarrow").materialize()
+
+    # init: the k smallest vec_ids (collected via a filtered pass —
+    # k rows, driver-small)
+    init = pa.concat_tables(
+        [b for b in q.filter(expr=f"vec_id < {k}")
+         .iter_batches(batch_format="pyarrow")],
+        promote_options="default").to_pandas().sort_values("vec_id")
+    if len(init) != k:
+        raise ValueError(f"need vec_ids 0..{k - 1} for init")
+    cents = np.stack([np.asarray(v, dtype=np.int64)
+                      for v in init["xq"]])
+
+    def assign(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # dist matrix [n, k]; argmin ties to lowest cluster index
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            x = np.stack([np.asarray(v, dtype=np.int64)
+                          for v in t.column("xq").to_pylist()])
+            a = assign(x, c)
+            dim = x.shape[1]
+            s = np.zeros((len(c), dim), dtype=np.int64)
+            np.add.at(s, a, x)
+            n = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pa.table({
+                "j": pa.array(np.arange(len(c), dtype=np.int64)),
+                "n": pa.array(n),
+                "s": pa.array(list(s))})
+
+        got = pa.concat_tables(
+            [b for b in q.map_batches(partial,
+                                      batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")],
+            promote_options="default")
+        js = got.column("j").to_numpy(zero_copy_only=False)
+        ns = got.column("n").to_numpy(zero_copy_only=False)
+        dim = cents.shape[1]
+        s = np.zeros((k, dim), dtype=np.int64)
+        n = np.zeros(k, dtype=np.int64)
+        for row, (j, cnt) in enumerate(zip(js, ns)):
+            s[j] += np.asarray(got.column("s")[row].as_py(),
+                               dtype=np.int64)
+            n[j] += cnt
+        new = cents.copy()
+        nz = n > 0
+        num = s[nz]
+        den = n[nz][:, None]
+        new[nz] = np.sign(num) * (np.abs(num) // den)
+        cents = new
+
+    ref = ray.put(cents)
+
+    def final(t: pa.Table, _ref=ref) -> pa.Table:
+        c = ray.get(_ref)
+        x = np.stack([np.asarray(v, dtype=np.int64)
+                      for v in t.column("xq").to_pylist()])
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "cluster": pa.array(assign(x, c).astype(np.int64))})
+
+    return q.map_batches(final, batch_format="pyarrow")
