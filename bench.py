@@ -71,7 +71,12 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # concurrency, Hilbert partition key)
                  "cust_kcore", "cust_reach", "events_hll",
                  "local_supplier_revenue", "ripley_pairs",
-                 "media_chunks", "open_orders", "hilbert_index"]
+                 "media_chunks", "open_orders", "hilbert_index",
+                 # session-9 late additions (EMD drift, CUSUM scan,
+                 # quadtree layout, winnowing, integer k-means,
+                 # bloom export)
+                 "value_emd", "events_cusum", "quadtree_leaves",
+                 "docs_winnow", "embed_kmeans", "url_bloom"]
 
 
 def _consume(res) -> int:
