@@ -357,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_pareto": o.q_orders_pareto(),
         "docs_winnow": o.q_docs_winnow(),
         "embed_kmeans": o.q_embed_kmeans(),
+        "cust_ktruss": o.q_cust_ktruss(),
         "cust_reach": o.q_cust_reach(),
         "events_zscore_outliers": o.q_events_zscore_outliers(),
         "vector_tiles": o.q_vector_tiles(),

@@ -4400,3 +4400,36 @@ def q_embed_kmeans(k: int = 8, iters: int = 3,
         "(SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id "
         "ORDER BY dist, j) AS rn FROM df) WHERE rn = 1"
     )
+
+
+def q_cust_ktruss(k: int = 3, rounds: int = 4) -> str:
+    """Twin of graph.k_truss on the (day, priority) co-order graph:
+    unrolled MATERIALIZED support-peel rounds (common-neighbor count
+    via the doubled-adjacency 2-hop join; support-0 edges drop out
+    of the join, which IS the k>=3 filter). Fixpoint in 2 rounds at
+    both scales; 4 for margin."""
+    s = k - 2
+    parts = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.o_custkey AS u, "
+        "b.o_custkey AS v FROM orders a JOIN orders b "
+        "ON a.o_orderdate = b.o_orderdate "
+        "AND a.o_orderpriority = b.o_orderpriority "
+        "AND a.o_custkey < b.o_custkey)",
+        "a0 AS MATERIALIZED (SELECT u, v FROM e0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"ad{i - 1} AS MATERIALIZED (SELECT u, v FROM a{i - 1} "
+            f"UNION ALL SELECT v, u FROM a{i - 1})")
+        parts.append(
+            f"sup{i} AS MATERIALIZED (SELECT e.u, e.v, "
+            f"count(*)::BIGINT AS c FROM a{i - 1} e "
+            f"JOIN ad{i - 1} x ON x.u = e.u "
+            f"JOIN ad{i - 1} y ON y.u = e.v AND y.v = x.v "
+            "GROUP BY 1, 2)")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT u, v FROM sup{i} "
+            f"WHERE c >= {s})")
+    return ("WITH " + ", ".join(parts)
+            + f" SELECT u AS lo, v AS hi, c AS support "
+            f"FROM sup{rounds} WHERE c >= {s}")

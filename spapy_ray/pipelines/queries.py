@@ -6458,3 +6458,35 @@ def q_embed_kmeans(sf_dir: str):
 
 
 QUERIES["embed_kmeans"] = q_embed_kmeans
+
+
+def q_cust_ktruss(sf_dir: str, k: int = 3):
+    """3-truss of the (day, priority) co-order customer graph: every
+    surviving edge sits in >= 1 triangle within the truss — the
+    edge-cohesion peel (graph.k_truss: per round ONE bucketed
+    oriented-wedge pass with the broadcast closing-key set, support
+    partials fold on the driver's alive-key array). Returns
+    (lo, hi, support) within the truss."""
+    from spapy_ray.stages.graph import k_truss
+    from spapy_ray.stages.relational import within_group_pairs
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderdate", "o_custkey",
+                            "o_orderpriority"])
+
+    def key(t: pa.Table) -> pa.Table:
+        day = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy() // 86_400_000_000
+        pr = pc.utf8_slice_codeunits(t.column("o_orderpriority"),
+                                     0, 1)
+        prd = pc.cast(pr, pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"grp": pa.array(day * 10 + prd),
+                         "o_custkey": t.column("o_custkey")})
+
+    pairs = within_group_pairs(
+        orders.map_batches(key, batch_format="pyarrow"), "grp",
+        "o_custkey", out_a="a", out_b="b")
+    return k_truss(pairs, k=k)
+
+
+QUERIES["cust_ktruss"] = q_cust_ktruss

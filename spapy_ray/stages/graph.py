@@ -670,3 +670,144 @@ def bfs_hops(pairs, sources, *, max_hops: int, a_col: str = "a",
     return pd.DataFrame({"node": known_nodes,
                          "hops": known_hops}).astype(np.int64) \
         .reset_index(drop=True)
+
+
+def k_truss(pairs, *, k: int, a_col: str = "a", b_col: str = "b",
+            max_rounds: int = 32, buckets: int | None = None):
+    """k-truss of the undirected graph of ``pairs``: the maximal
+    subgraph where every edge sits in >= k-2 triangles (Cohen 2008)
+    — the edge-cohesion sibling of k_core, found by the support peel
+    (drop low-support edges, recount, repeat to fixpoint).
+
+    Distributed shape: the heavy part of each round — wedge
+    generation + closing-edge membership — is ONE bucketed pass over
+    the degree-oriented alive edges (the triangle_stats broadcast
+    path, m^1.5-bounded); hits emit per-bucket (edge key, count)
+    partials that fold onto the driver's alive-key array (the same
+    8 B/edge driver bound the triangle broadcast documents). The
+    peel is monotone, so an unchanged alive count is the fixpoint.
+
+    Returns pandas (lo, hi, support) over the k-truss edges with
+    their support WITHIN the truss.
+    """
+    import ray
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import bucketed_group_agg
+    from spapy_ray.util import cluster_cpus
+
+    SHIFT = np.int64(1) << np.int64(32)
+    MASK = np.int64(0xFFFFFFFF)
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t.column(b_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        if len(lo) and (lo.min() < 0 or hi.max() >= (1 << 31)):
+            raise ValueError("vertex ids must be in [0, 2^31)")
+        return pa.table({"ck": pa.array(lo * SHIFT + hi)})
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("ck")
+
+    edges = bucketed_group_agg(
+        pairs.map_batches(canon, batch_format="pyarrow"), "ck",
+        dedup, buckets=buckets)
+    keys = np.sort(np.concatenate(
+        [b.column("ck").to_numpy(zero_copy_only=False)
+         for b in edges.iter_batches(batch_format="pyarrow")]
+        or [np.empty(0, dtype=np.int64)]))
+
+    support = np.empty(0, dtype=np.int64)
+    for _round in range(max_rounds + 1):
+        if not len(keys):
+            break
+        lo = keys >> np.int64(32)
+        hi = keys & MASK
+        nodes, deg = np.unique(np.concatenate([lo, hi]),
+                               return_counts=True)
+        dl = deg[np.searchsorted(nodes, lo)]
+        dh = deg[np.searchsorted(nodes, hi)]
+        lo_first = (dl < dh) | ((dl == dh) & (lo < hi))
+        src = np.where(lo_first, lo, hi)
+        dst = np.where(lo_first, hi, lo)
+        oriented = rd.from_arrow(pa.table({
+            "src": pa.array(src), "dst": pa.array(dst)})) \
+            .repartition(max(2, cluster_cpus()))
+        eref = ray.put(keys)
+
+        def count_bucket(g: pd.DataFrame, _ref=eref) -> pd.DataFrame:
+            ek = ray.get(_ref)
+            grp = g["src"].to_numpy()
+            kys = g["dst"].to_numpy()
+            order = np.lexsort((kys, grp))
+            grp, kys = grp[order], kys[order]
+            new = np.empty(len(grp), dtype=bool)
+            if len(grp):
+                new[0] = True
+                new[1:] = grp[1:] != grp[:-1]
+            starts = np.nonzero(new)[0]
+            lens = np.diff(np.append(starts, len(grp)))
+            acc_k: list[np.ndarray] = []
+            for kk in np.unique(lens):
+                if kk < 2:
+                    continue
+                iu0, iu1 = np.triu_indices(int(kk), 1)
+                s = starts[lens == kk]
+                step = max(1, 4_000_000 // max(1, len(iu0)))
+                for c0 in range(0, len(s), step):
+                    sc = s[c0:c0 + step]
+                    ctr = grp[np.repeat(sc, len(iu0))]
+                    wl = kys[(sc[:, None] + iu0[None, :]).ravel()]
+                    wh = kys[(sc[:, None] + iu1[None, :]).ravel()]
+                    cl = np.minimum(wl, wh)
+                    ch = np.maximum(wl, wh)
+                    ck = cl * SHIFT + ch
+                    pos = np.searchsorted(ek, ck)
+                    pos[pos >= len(ek)] = len(ek) - 1
+                    hit = ek[pos] == ck
+                    if not hit.any():
+                        continue
+                    u, v, w = ctr[hit], wl[hit], wh[hit]
+                    tri_keys = np.concatenate([
+                        np.minimum(u, v) * SHIFT + np.maximum(u, v),
+                        np.minimum(u, w) * SHIFT + np.maximum(u, w),
+                        ck[hit]])
+                    acc_k.append(tri_keys)
+            if not acc_k:
+                return pd.DataFrame({
+                    "ck": pd.Series([], dtype=np.int64),
+                    "c": pd.Series([], dtype=np.int64)})
+            allk = np.concatenate(acc_k)
+            u2, c = np.unique(allk, return_counts=True)
+            return pd.DataFrame({"ck": u2,
+                                 "c": c.astype(np.int64)})
+
+        parts = bucketed_group_agg(oriented, "src", count_bucket,
+                                   buckets=buckets)
+        support = np.zeros(len(keys), dtype=np.int64)
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            ckv = b.column("ck").to_numpy(zero_copy_only=False)
+            cv = b.column("c").to_numpy(zero_copy_only=False)
+            np.add.at(support, np.searchsorted(keys, ckv), cv)
+        alive = support >= (k - 2)
+        if alive.all():
+            break
+        keys = keys[alive]
+    else:
+        raise RuntimeError(f"k_truss did not converge in "
+                           f"{max_rounds} rounds")
+
+    if not len(keys):
+        return pd.DataFrame({"lo": pd.Series([], dtype=np.int64),
+                             "hi": pd.Series([], dtype=np.int64),
+                             "support": pd.Series([],
+                                                  dtype=np.int64)})
+    return pd.DataFrame({
+        "lo": (keys >> np.int64(32)).astype(np.int64),
+        "hi": (keys & MASK).astype(np.int64),
+        "support": support}).reset_index(drop=True)

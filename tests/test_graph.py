@@ -166,3 +166,51 @@ def test_bfs_hops_min_distance_multi_source(ray_session):
     want = pd.DataFrame({"node": [0, 1, 2, 5],
                          "hops": [0, 1, 1, 0]}).astype(np.int64)
     pd.testing.assert_frame_equal(got, want)
+
+
+def _brute_ktruss(pairs: pd.DataFrame, k: int) -> pd.DataFrame:
+    e = pairs.drop_duplicates()
+    e = e[e["a"] != e["b"]]
+    edges = set(map(tuple, np.sort(e[["a", "b"]].to_numpy(),
+                                   axis=1)))
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+        dead = {eb for eb, s in sup.items() if s < k - 2}
+        if not dead:
+            rows = sorted((a, b, sup[(a, b)]) for a, b in edges)
+            return pd.DataFrame(rows,
+                                columns=["lo", "hi", "support"]) \
+                .astype(np.int64)
+        edges -= dead
+
+
+@pytest.mark.parametrize("k", [3, 4])
+def test_k_truss_matches_brute_force(ray_session, k):
+    import ray.data as rd
+
+    from spapy_ray.stages.graph import k_truss
+
+    rng = np.random.default_rng(11 + k)
+    pairs = pd.DataFrame({"a": rng.integers(0, 24, 140),
+                          "b": rng.integers(0, 24, 140)})
+    pairs = pairs[pairs.a != pairs.b]
+    got = k_truss(rd.from_pandas(pairs), k=k, buckets=8) \
+        .sort_values(["lo", "hi"]).reset_index(drop=True)
+    want = _brute_ktruss(pairs, k)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_k_truss_empty(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.graph import k_truss
+
+    # a tree has no triangles: 3-truss is empty
+    pairs = pd.DataFrame({"a": [0, 0, 1, 1], "b": [1, 2, 3, 4]})
+    got = k_truss(rd.from_pandas(pairs), k=3, buckets=4)
+    assert len(got) == 0
+    assert list(got.columns) == ["lo", "hi", "support"]
