@@ -4433,3 +4433,15 @@ def q_cust_ktruss(k: int = 3, rounds: int = 4) -> str:
     return ("WITH " + ", ".join(parts)
             + f" SELECT u AS lo, v AS hi, c AS support "
             f"FROM sup{rounds} WHERE c >= {s}")
+
+
+def q_zone_coocc() -> str:
+    """Twin of the zone co-occurrence pairs: the PIP join CTE
+    self-paired per page row."""
+    return (
+        f"WITH {join_cte()} "
+        "SELECT a.zone_id AS za, b.zone_id AS zb, "
+        "count(*)::BIGINT AS n_pages FROM joined a JOIN joined b "
+        "ON a.url = b.url AND a.warc_ts = b.warc_ts "
+        "AND a.zone_id < b.zone_id GROUP BY 1, 2"
+    )

@@ -6490,3 +6490,50 @@ def q_cust_ktruss(sf_dir: str, k: int = 3):
 
 
 QUERIES["cust_ktruss"] = q_cust_ktruss
+
+
+def q_zone_coocc(sf_dir: str):
+    """Zone co-occurrence graph: pairs of zones hit by the SAME page
+    (the overlapping-zone multi-hit rows of the PIP join), with
+    shared-page counts — the spatial-overlap adjacency audit.
+    Composition: pip_join → within_group_pairs over the page key →
+    combiner pair counts."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.relational import within_group_pairs
+
+    j = _join(sf_dir).select_columns(["url", "warc_ts", "zone_id"])
+
+    def pk(t: pa.Table) -> pa.Table:
+        from spapy_ray.kernels.hashing import fnv1a64
+
+        # one int key per page row: fnv(url) xor ts (urls unique per
+        # warc_ts in the fixture; the pair group key just needs to be
+        # injective per page)
+        h = fnv1a64(t.column("url"))
+        ts = pc.cast(t.column("warc_ts"), pa.int64()).to_numpy()
+        return pa.table({
+            "pg": pa.array((h ^ ts.view(np.uint64)).view(np.int64)),
+            "zone_id": t.column("zone_id")})
+
+    pairs = within_group_pairs(
+        j.map_batches(pk, batch_format="pyarrow"), "pg", "zone_id",
+        out_a="za", out_b="zb")
+
+    def cnt(t: pa.Table) -> pa.Table:
+        za = t.column("za").to_numpy(zero_copy_only=False)
+        zb = t.column("zb").to_numpy(zero_copy_only=False)
+        k = za * np.int64(1 << 32) + zb
+        u, c = np.unique(k, return_counts=True)
+        return pa.table({
+            "za": pa.array((u >> np.int64(32)).astype(np.int64)),
+            "zb": pa.array((u & np.int64(0xFFFFFFFF))
+                           .astype(np.int64)),
+            "n_pages": pa.array(c.astype(np.int64))})
+
+    return pairs.map_batches(cnt, batch_format="pyarrow") \
+        .groupby(["za", "zb"]).aggregate(
+            Sum("n_pages", alias_name="n_pages"))
+
+
+QUERIES["zone_coocc"] = q_zone_coocc
