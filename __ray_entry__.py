@@ -359,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_kmeans": o.q_embed_kmeans(),
         "cust_ktruss": o.q_cust_ktruss(),
         "zone_coocc": o.q_zone_coocc(),
+        "events_pctl": o.q_events_pctl(),
         "cust_reach": o.q_cust_reach(),
         "events_zscore_outliers": o.q_events_zscore_outliers(),
         "vector_tiles": o.q_vector_tiles(),

@@ -4445,3 +4445,24 @@ def q_zone_coocc() -> str:
         "ON a.url = b.url AND a.warc_ts = b.warc_ts "
         "AND a.zone_id < b.zone_id GROUP BY 1, 2"
     )
+
+
+def q_events_pctl() -> str:
+    """Twin of the exact percentile_cont pair: rank-indexed element
+    weights (the doubled-median and the 10-scaled p90 lerp)."""
+    return (
+        "WITH e AS (SELECT event_type, round(value * 100)::BIGINT "
+        "AS c FROM events), "
+        "w AS (SELECT event_type, c, row_number() OVER "
+        "(PARTITION BY event_type ORDER BY c) - 1 AS i, "
+        "count(*) OVER (PARTITION BY event_type) AS n FROM e), "
+        "p AS (SELECT event_type, c, i, n, "
+        "(9 * (n - 1)) // 10 AS lo, (9 * (n - 1)) % 10 AS r, "
+        "least((9 * (n - 1)) // 10 + 1, n - 1) AS hi FROM w) "
+        "SELECT event_type, max(n)::BIGINT AS n, "
+        "sum(c * ((i = (n - 1) // 2)::INT + (i = n // 2)::INT))"
+        "::BIGINT AS p50_x2, "
+        "sum(c * (CASE WHEN i = lo THEN 10 - r ELSE 0 END "
+        "+ CASE WHEN i = hi THEN r ELSE 0 END))::BIGINT AS p90_x10 "
+        "FROM p GROUP BY event_type"
+    )

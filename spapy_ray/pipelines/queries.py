@@ -6537,3 +6537,45 @@ def q_zone_coocc(sf_dir: str):
 
 
 QUERIES["zone_coocc"] = q_zone_coocc
+
+
+def q_events_pctl(sf_dir: str):
+    """Interpolated percentile_cont, exact: per event type the p50
+    (two-middle x2 convention) and the p90 as p90_x10 =
+    v[lo]*(10-r) + v[hi]*r over cents, with pos = 0.9*(n-1) split
+    into lo = 9(n-1)//10 and r = 9(n-1)%10 — pure integers, no
+    interpolation-convention ambiguity (the percentile_cont
+    complement of the quantile_disc family)."""
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "c": pa.array(np.rint(
+                t.column("value").to_numpy(zero_copy_only=False)
+                * 100.0).astype(np.int64))})
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, gg in g.groupby("event_type", sort=False):
+            v = np.sort(gg["c"].to_numpy())
+            n = len(v)
+            p50x2 = int(v[(n - 1) // 2]) + int(v[n // 2])
+            num = 9 * (n - 1)
+            lo, r = num // 10, num % 10
+            hi = min(lo + 1, n - 1)
+            p90x10 = int(v[lo]) * (10 - r) + int(v[hi]) * r
+            rows.append((k, n, p50x2, p90x10))
+        return pd.DataFrame(rows, columns=["event_type", "n",
+                                           "p50_x2", "p90_x10"]) \
+            .astype({"n": np.int64, "p50_x2": np.int64,
+                     "p90_x10": np.int64})
+
+    return bucketed_group_agg(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "event_type", local)
+
+
+QUERIES["events_pctl"] = q_events_pctl
