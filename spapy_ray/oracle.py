@@ -4466,3 +4466,24 @@ def q_events_pctl() -> str:
         "+ CASE WHEN i = hi THEN r ELSE 0 END))::BIGINT AS p90_x10 "
         "FROM p GROUP BY event_type"
     )
+
+
+def q_cust_eccentricity(max_hops: int = 6) -> str:
+    """Twin of the per-source reach audit: one recursive closure
+    carrying the source id in the state (bounded depth terminates
+    the cyclic expansion), min hop per (src, vertex), then the
+    per-source fold."""
+    return (
+        "WITH RECURSIVE e0 AS (SELECT DISTINCT a.o_custkey AS u, "
+        "b.o_custkey AS v FROM orders a JOIN orders b "
+        "ON a.o_orderdate = b.o_orderdate "
+        "AND a.o_custkey < b.o_custkey), "
+        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), "
+        "reach(s, n, d) AS (SELECT src, src, 0 FROM "
+        "(SELECT unnest([1, 2, 3, 4]) AS src) "
+        "UNION SELECT reach.s, e.v, reach.d + 1 FROM e "
+        f"JOIN reach ON e.u = reach.n WHERE reach.d < {max_hops}), "
+        "m AS (SELECT s, n, min(d) AS d FROM reach GROUP BY 1, 2) "
+        "SELECT s::BIGINT AS src, count(*)::BIGINT AS n_reached, "
+        "max(d)::BIGINT AS ecc FROM m GROUP BY s"
+    )

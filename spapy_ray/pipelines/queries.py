@@ -6579,3 +6579,27 @@ def q_events_pctl(sf_dir: str):
 
 
 QUERIES["events_pctl"] = q_events_pctl
+
+
+def q_cust_eccentricity(sf_dir: str, max_hops: int = 6):
+    """Per-source reach audit on the same-day co-order graph: for
+    each probe customer (ids 1-4), the number of vertices reachable
+    within 6 hops and the capped eccentricity (max hop) — four
+    single-source bfs_hops sweeps (each: one edge dedup + <=6
+    broadcast-frontier passes)."""
+    from spapy_ray.stages.graph import bfs_hops
+    from spapy_ray.stages.relational import within_group_pairs
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderdate", "o_custkey"])
+    pairs = within_group_pairs(orders, "o_orderdate", "o_custkey",
+                               out_a="a", out_b="b")
+    rows = []
+    for s in (1, 2, 3, 4):
+        out = bfs_hops(pairs, [s], max_hops=max_hops)
+        rows.append((s, len(out), int(out["hops"].max())))
+    return pd.DataFrame(rows, columns=["src", "n_reached", "ecc"]) \
+        .astype(np.int64)
+
+
+QUERIES["cust_eccentricity"] = q_cust_eccentricity
