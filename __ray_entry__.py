@@ -361,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_coocc": o.q_zone_coocc(),
         "events_pctl": o.q_events_pctl(),
         "cust_eccentricity": o.q_cust_eccentricity(),
+        "decontam_audit": o.q_decontam_audit(),
         "cust_reach": o.q_cust_reach(),
         "events_zscore_outliers": o.q_events_zscore_outliers(),
         "vector_tiles": o.q_vector_tiles(),

@@ -4487,3 +4487,21 @@ def q_cust_eccentricity(max_hops: int = 6) -> str:
         "SELECT s::BIGINT AS src, count(*)::BIGINT AS n_reached, "
         "max(d)::BIGINT AS ecc FROM m GROUP BY s"
     )
+
+
+def q_decontam_audit(n: int = 8, eval_mod: int = 50) -> str:
+    """Twin of neardup.decontam_audit: distinct grams per doc (same
+    FNV), eval-present gram set, per-train-doc shared counts."""
+    gram = sql_fnv1a(f"array_to_string(w[gi:gi+{n - 1}], ' ')")
+    return (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w "
+        "FROM documents), "
+        f"grams AS (SELECT DISTINCT doc_id, {gram} AS h "
+        f"FROM toks, unnest(generate_series(1, len(w) - {n - 1})) "
+        "t(gi)), "
+        f"ev AS (SELECT DISTINCT h FROM grams "
+        f"WHERE doc_id % {eval_mod} = 0) "
+        "SELECT g.doc_id, count(*)::BIGINT AS n_shared_grams "
+        f"FROM grams g JOIN ev USING (h) "
+        f"WHERE g.doc_id % {eval_mod} <> 0 GROUP BY g.doc_id"
+    )

@@ -6603,3 +6603,18 @@ def q_cust_eccentricity(sf_dir: str, max_hops: int = 6):
 
 
 QUERIES["cust_eccentricity"] = q_cust_eccentricity
+
+
+def q_decontam_audit(sf_dir: str):
+    """Benchmark decontamination: train docs (doc_id % 50 != 0)
+    sharing any word 8-gram with the eval split (doc_id % 50 == 0),
+    with shared-distinct-gram counts — the quarantine table of the
+    n-gram decontam step (stages/neardup.decontam_audit)."""
+    from spapy_ray.stages.neardup import decontam_audit
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return decontam_audit(ds, key_col="doc_id", text_col="text",
+                          n=8, eval_mod=50)
+
+
+QUERIES["decontam_audit"] = q_decontam_audit

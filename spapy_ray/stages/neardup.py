@@ -564,3 +564,71 @@ def ngram_overlap_dups(ds, key_col: str = "doc_id",
         ds.map_batches(grams, batch_format="pyarrow"), "h", per_gram,
         buckets=buckets)
     return bucketed_group_agg(pairs, "key", per_doc, buckets=buckets)
+
+
+def decontam_audit(ds, key_col: str = "doc_id",
+                   text_col: str = "text", *, n: int = 8,
+                   eval_mod: int = 50,
+                   buckets: int | None = None):
+    """Benchmark decontamination audit (the Lee et al. 2021 /
+    GPT-3-appendix n-gram decontam step): partition the corpus into
+    an EVAL set (key % eval_mod == 0) and a TRAIN set, and flag every
+    train document sharing any distinct word n-gram with any eval
+    document. Same three-shuffle shape as ngram_overlap_dups — the
+    per-gram bucket just tests eval-presence instead of min-owner.
+
+    Returns Dataset(key_col, n_shared_grams) over CONTAMINATED train
+    docs (the survivors are the complement — this table is what a
+    pipeline quarantines and audits).
+    """
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    def grams(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sh_all, starts, sh_counts, _ = _shingle_array(text, n)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        total = int(sh_counts.sum())
+        if total == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64())})
+        h_all = fnv1a64(sh_all).view(np.int64)
+        docrep = np.repeat(np.arange(len(keys)), sh_counts)
+        seg0 = np.repeat(np.cumsum(sh_counts) - sh_counts, sh_counts)
+        flat = starts[docrep] + (np.arange(total) - seg0)
+        k = keys[docrep].astype(np.int64)
+        h = h_all[flat]
+        o = np.lexsort((h, k))
+        k, h = k[o], h[o]
+        keep = np.empty(total, dtype=bool)
+        keep[0] = True
+        keep[1:] = (k[1:] != k[:-1]) | (h[1:] != h[:-1])
+        return pa.table({"key": pa.array(k[keep]),
+                         "h": pa.array(h[keep])})
+
+    def per_gram(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        k = g["key"].to_numpy()
+        is_eval = (k % eval_mod) == 0
+        # eval-present grams, vectorized per bucket
+        eh = np.unique(h[is_eval])
+        tr = ~is_eval
+        pos = np.searchsorted(eh, h[tr])
+        hit = np.zeros(tr.sum(), dtype=bool)
+        if len(eh):
+            pos2 = np.minimum(pos, len(eh) - 1)
+            hit = eh[pos2] == h[tr]
+        return pd.DataFrame({"key": k[tr][hit]})
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("key", sort=False).size() \
+            .reset_index(name="n_shared_grams")
+        out["n_shared_grams"] = out["n_shared_grams"] \
+            .astype(np.int64)
+        return out.rename(columns={"key": key_col})
+
+    pairs = bucketed_group_agg(
+        ds.map_batches(grams, batch_format="pyarrow"), "h", per_gram,
+        buckets=buckets)
+    return bucketed_group_agg(pairs, "key", per_doc, buckets=buckets)
