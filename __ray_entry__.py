@@ -362,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pctl": o.q_events_pctl(),
         "cust_eccentricity": o.q_cust_eccentricity(),
         "decontam_audit": o.q_decontam_audit(),
+        "point_pyramid": o.q_point_pyramid(),
         "cust_reach": o.q_cust_reach(),
         "events_zscore_outliers": o.q_events_zscore_outliers(),
         "vector_tiles": o.q_vector_tiles(),

@@ -4505,3 +4505,21 @@ def q_decontam_audit(n: int = 8, eval_mod: int = 50) -> str:
         f"FROM grams g JOIN ev USING (h) "
         f"WHERE g.doc_id % {eval_mod} <> 0 GROUP BY g.doc_id"
     )
+
+
+def q_point_pyramid(max_res: int = 8) -> str:
+    """Twin of the point-count pyramid: one grouped count per
+    resolution, unioned."""
+    n = 1 << max_res
+    gx = (f"LEAST(GREATEST(floor((lon + 180.0) / 360.0 * "
+          f"{float(n)})::BIGINT, 0), {n - 1})")
+    gy = (f"LEAST(GREATEST(floor((lat + 90.0) / 180.0 * "
+          f"{float(n)})::BIGINT, 0), {n - 1})")
+    levels = " UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS res, (gx >> {max_res - r})::BIGINT "
+        f"AS cx, (gy >> {max_res - r})::BIGINT AS cy, "
+        "count(*)::BIGINT AS n_points FROM g GROUP BY 2, 3"
+        for r in range(max_res + 1))
+    return (f"WITH {geo_cte()}, "
+            f"g AS (SELECT {gx} AS gx, {gy} AS gy FROM geo) "
+            + levels)

@@ -6618,3 +6618,53 @@ def q_decontam_audit(sf_dir: str):
 
 
 QUERIES["decontam_audit"] = q_decontam_audit
+
+
+def q_point_pyramid(sf_dir: str, max_res: int = 8):
+    """Web-map point-count pyramid: occupied-cell page counts at
+    EVERY resolution 0..8 in one pass — finest-cell bucketed counts,
+    then pure numpy ancestor folds on the occupied set (the vector
+    sibling of raster_overviews; shares the quadtree machinery's
+    driver-small occupied-cell bound)."""
+    from spapy_ray.kernels.cells import xy_for
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    geo = _geo(sf_dir).select_columns(["lat", "lon"])
+    n = 1 << max_res
+
+    def partial(t: pa.Table) -> pa.Table:
+        x, y = xy_for(t.column("lon").to_numpy(zero_copy_only=False),
+                      t.column("lat").to_numpy(zero_copy_only=False),
+                      max_res)
+        cell = y * n + x
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("cell", as_index=False, sort=False)["c"] \
+            .sum()
+
+    fine = bucketed_group_agg(
+        geo.map_batches(partial, batch_format="pyarrow"), "cell",
+        local).to_pandas()
+    cells = fine["cell"].to_numpy(dtype=np.int64)
+    cnt = fine["c"].to_numpy(dtype=np.int64)
+    fx, fy = cells % n, cells // n
+    frames = []
+    for r in range(max_res + 1):
+        sh = max_res - r
+        key = (fy >> sh) * (1 << r) + (fx >> sh)
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, cnt)
+        frames.append(pd.DataFrame({
+            "res": np.full(len(u), r, dtype=np.int64),
+            "cx": u % (1 << r), "cy": u // (1 << r),
+            "n_points": s}))
+    return pd.concat(frames, ignore_index=True) \
+        .sort_values(["res", "cy", "cx"]).reset_index(drop=True) \
+        .astype(np.int64)
+
+
+QUERIES["point_pyramid"] = q_point_pyramid
