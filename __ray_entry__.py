@@ -363,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         "cust_eccentricity": o.q_cust_eccentricity(),
         "decontam_audit": o.q_decontam_audit(),
         "point_pyramid": o.q_point_pyramid(),
+        "weekend_drift": o.q_weekend_drift(),
         "cust_reach": o.q_cust_reach(),
         "events_zscore_outliers": o.q_events_zscore_outliers(),
         "vector_tiles": o.q_vector_tiles(),

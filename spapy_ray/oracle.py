@@ -4523,3 +4523,28 @@ def q_point_pyramid(max_res: int = 8) -> str:
     return (f"WITH {geo_cte()}, "
             f"g AS (SELECT {gx} AS gx, {gy} AS gy FROM geo) "
             + levels)
+
+
+def q_weekend_drift() -> str:
+    """Twin of the grouped KS: per-type cumulative cross products
+    over the cents order, weekday (s=0) vs weekend (s=1) sides."""
+    return (
+        "WITH e AS (SELECT event_type, round(value * 100)::BIGINT "
+        "AS c, ((epoch_us(ts) // 86400000000 + 4) % 7) AS dow "
+        "FROM events), "
+        "x AS (SELECT event_type, c, "
+        "(dow IN (0, 6))::INT AS s FROM e), "
+        "t AS (SELECT event_type, c, sum((s = 0)::INT)::BIGINT "
+        "AS ca, sum((s = 1)::INT)::BIGINT AS cb FROM x "
+        "GROUP BY 1, 2), "
+        "cw AS (SELECT event_type, "
+        "sum(ca) OVER (PARTITION BY event_type ORDER BY c "
+        "ROWS UNBOUNDED PRECEDING)::HUGEINT AS cca, "
+        "sum(cb) OVER (PARTITION BY event_type ORDER BY c "
+        "ROWS UNBOUNDED PRECEDING)::HUGEINT AS ccb FROM t), "
+        "n AS (SELECT event_type, sum(ca)::BIGINT AS na, "
+        "sum(cb)::BIGINT AS nb FROM t GROUP BY 1) "
+        "SELECT event_type, na, nb, "
+        "max(abs(cca * nb - ccb * na))::BIGINT AS d_num "
+        "FROM cw JOIN n USING (event_type) GROUP BY 1, 2, 3"
+    )

@@ -6668,3 +6668,33 @@ def q_point_pyramid(sf_dir: str, max_res: int = 8):
 
 
 QUERIES["point_pyramid"] = q_point_pyramid
+
+
+def q_weekend_drift(sf_dir: str):
+    """Per-event-type weekday-vs-weekend value drift: exact grouped
+    two-sample KS numerators in ONE value-window shuffle for every
+    segment (relational.grouped_two_sample_ks) — the segment-wise
+    drift monitor next to the global value_drift."""
+    from spapy_ray.stages.relational import grouped_two_sample_ks
+
+    ev = _read(sf_dir, "events",
+               columns=["event_type", "ts", "value"])
+
+    def side(weekend: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+            dow = (us // 86_400_000_000 + 4) % 7
+            m = np.isin(dow, (0, 6)) == weekend
+            c = np.rint(t.column("value")
+                        .to_numpy(zero_copy_only=False)[m] * 100.0) \
+                .astype(np.int64)
+            et = t.column("event_type").filter(pa.array(m))
+            return pa.table({"event_type": et, "c": pa.array(c)})
+        return _f
+
+    a = ev.map_batches(side(False), batch_format="pyarrow")
+    b = ev.map_batches(side(True), batch_format="pyarrow")
+    return grouped_two_sample_ks(a, b, "event_type", "c")
+
+
+QUERIES["weekend_drift"] = q_weekend_drift

@@ -2148,3 +2148,109 @@ def bloom_bits(ds, col: str, *, m_bits: int = 1 << 20,
         "word": nz.astype(np.int64),
         "hi": (w >> np.uint64(32)).astype(np.int64),
         "lo": (w & np.uint64(0xFFFFFFFF)).astype(np.int64)})
+
+
+def grouped_two_sample_ks(ds_a, ds_b, group_col: str, col: str, *,
+                          window: int = 4096,
+                          buckets: int | None = None):
+    """Per-GROUP exact two-sample KS numerator — the segment-wise
+    drift monitor (one row per group): same value-window machinery
+    as two_sample_ks with the group riding in the window key, so one
+    shuffle covers every segment. Per (group, window) side totals
+    fold to the driver, per-group prefix offsets broadcast back,
+    per-window local maxima fold to a per-group max.
+
+    Returns pandas (group_col, na, nb, d_num), group-sorted;
+    D_g = d_num / (na*nb) per group."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def tag(side):
+        def _f(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({
+                "g": t.column(group_col),
+                "v": pa.array(v),
+                "w": pa.array(v // window),
+                "s": pa.array(np.full(len(v), side, dtype=np.int8))})
+        return _f
+
+    u = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1), batch_format="pyarrow")) \
+        .materialize()
+
+    def totals(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t.column("g").to_numpy(zero_copy_only=False),
+            "w": t.column("w").to_numpy(zero_copy_only=False),
+            "s": t.column("s").to_numpy(zero_copy_only=False)})
+        out = df.groupby(["g", "w", "s"], sort=False).size() \
+            .reset_index(name="c")
+        out["c"] = out["c"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tot = u.map_batches(totals, batch_format="pyarrow") \
+        .groupby(["g", "w", "s"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+    piv = tot.pivot_table(index=["g", "w"], columns="s", values="c",
+                          fill_value=0, aggfunc="sum").sort_index()
+    wa = piv[0].to_numpy(dtype=np.int64) if 0 in piv else \
+        np.zeros(len(piv), dtype=np.int64)
+    wb = piv[1].to_numpy(dtype=np.int64) if 1 in piv else \
+        np.zeros(len(piv), dtype=np.int64)
+    gs = piv.index.get_level_values(0).to_numpy()
+    nsums = {}
+    offs = {}
+    # per-group exclusive prefixes in window order (index is sorted)
+    run_a = run_b = 0
+    prev_g = None
+    for i, (g, w) in enumerate(piv.index):
+        if g != prev_g:
+            run_a = run_b = 0
+            prev_g = g
+        offs[(g, int(w))] = (run_a, run_b)
+        run_a += int(wa[i])
+        run_b += int(wb[i])
+        nsums[g] = (run_a, run_b)
+    ref = ray.put((offs, nsums))
+
+    def gap(gdf: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        offs_, nsums_ = ray.get(_ref)
+        if not len(gdf):
+            return pd.DataFrame({
+                "g": pd.Series([], dtype=object),
+                "d": pd.Series([], dtype=np.int64)})
+        rows = []
+        for (g, w), gg in gdf.groupby(["g", "w"], sort=False):
+            v = gg["v"].to_numpy()
+            s = gg["s"].to_numpy()
+            order = np.argsort(v, kind="stable")
+            v, s = v[order], s[order]
+            ca = np.cumsum(s == 0).astype(np.int64)
+            cb = np.cumsum(s == 1).astype(np.int64)
+            oa, ob = offs_[(g, int(w))]
+            na, nb = nsums_[g]
+            last = np.r_[v[1:] != v[:-1], True]
+            d = np.abs((oa + ca[last]).astype(object) * nb
+                       - (ob + cb[last]).astype(object) * na)
+            rows.append((g, int(max(d))))
+        out = pd.DataFrame(rows, columns=["g", "d"])
+        return out.groupby("g", as_index=False)["d"].max()
+
+    def wkey(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "wk", t.column("w"))
+
+    parts = bucketed_group_agg(
+        u.map_batches(wkey, batch_format="pyarrow"), "wk", gap,
+        buckets=buckets).to_pandas()
+    agg = parts.groupby("g", as_index=False)["d"].max()
+    agg["na"] = [nsums[g][0] for g in agg["g"]]
+    agg["nb"] = [nsums[g][1] for g in agg["g"]]
+    out = agg.rename(columns={"g": group_col, "d": "d_num"})
+    out["d_num"] = out["d_num"].astype(np.int64)
+    out["na"] = out["na"].astype(np.int64)
+    out["nb"] = out["nb"].astype(np.int64)
+    return out[[group_col, "na", "nb", "d_num"]] \
+        .sort_values(group_col).reset_index(drop=True)
