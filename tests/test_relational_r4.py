@@ -831,3 +831,89 @@ def test_two_sample_emd_bruteforce(ray_session):
         rd.from_pandas(pd.DataFrame({"v": a})), "v",
         window=64, buckets=8).iloc[0]
     assert int(z["emd_hi"]) == 0 and int(z["emd_lo"]) == 0
+
+
+def test_grouped_two_sample_ks_matches_global(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.relational import (grouped_two_sample_ks,
+                                             two_sample_ks)
+
+    rng = np.random.default_rng(12)
+    ga = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], 900),
+        "v": rng.integers(-500, 500, 900)})
+    gb = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], 700),
+        "v": rng.integers(-400, 600, 700)})
+    got = grouped_two_sample_ks(
+        rd.from_pandas(ga), rd.from_pandas(gb), "g", "v",
+        window=64, buckets=8)
+    for g in ("x", "y", "z"):
+        ref = two_sample_ks(
+            rd.from_pandas(ga[ga.g == g][["v"]]),
+            rd.from_pandas(gb[gb.g == g][["v"]]), "v",
+            window=64, buckets=8).iloc[0]
+        row = got[got["g"] == g].iloc[0]
+        assert (row["na"], row["nb"], row["d_num"]) == \
+            (ref["na"], ref["nb"], ref["d_num"])
+
+
+def test_interval_concurrency_bruteforce(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.sessions import interval_concurrency
+
+    rng = np.random.default_rng(13)
+    day = 86_400_000_000
+    opens = rng.integers(0, 400, 300) * day
+    closes = opens + rng.integers(1, 90, 300) * day
+    df = pd.DataFrame({"t_open": opens, "t_close": closes})
+    got = interval_concurrency(rd.from_pandas(df),
+                               window_us=30 * day)
+    # brute: running count at every change point, max per month
+    ev = sorted([(int(t), 1) for t in opens]
+                + [(int(t), -1) for t in closes])
+    from collections import defaultdict
+    net = defaultdict(int)
+    for t, d in ev:
+        net[t] += d
+    run = 0
+    best = {}
+    for t in sorted(net):
+        run += net[t]
+        ym = int(np.datetime64(int(t), "us").astype("datetime64[M]")
+                 .astype(np.int64))
+        best[ym] = max(best.get(ym, -1 << 60), run)
+    want = pd.DataFrame(sorted(best.items()),
+                        columns=["ym", "max_open"]).astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_kmeans_int_matches_sequential_lloyd(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.stages.ann import kmeans_int
+
+    rng = np.random.default_rng(14)
+    n, dim, k, iters, scale = 120, 8, 4, 3, 1 << 20
+    emb = rng.normal(size=(n, dim)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(emb)}))
+    got = kmeans_int(ds, k=k, iters=iters, scale=scale) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    x = np.trunc(emb.astype(np.float64) * scale).astype(np.int64)
+    c = x[:k].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                s = x[m].sum(axis=0)
+                c[j] = np.sign(s) * (np.abs(s) // m.sum())
+    d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    want = d.argmin(axis=1).astype(np.int64)
+    assert np.array_equal(got["cluster"].to_numpy(), want)
