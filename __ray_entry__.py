@@ -184,6 +184,9 @@ def oracle_sql() -> dict[str, str]:
         "raster_overviews": o.q_raster_overviews(),
         "sample_stratified": o.q_sample_stratified(),
         "rasterize_points": o.q_rasterize_points(),
+        "raster_integral": o.q_raster_integral(),
+        "raster_dt": o.q_raster_dt(),
+        "raster_horizon": o.q_raster_horizon(),
         "domain_stats": o.q_domain_stats(),
         "bpe_tokens": o.q_bpe_tokens(),
         "docs_repetition": o.q_docs_repetition(),

@@ -4548,3 +4548,86 @@ def q_weekend_drift() -> str:
         "max(abs(cca * nb - ccb * na))::BIGINT AS d_num "
         "FROM cw JOIN n USING (event_type) GROUP BY 1, 2, 3"
     )
+
+
+# -------------------------------------------- session-10: raster scans
+
+def q_raster_integral() -> str:
+    """Twin of queries.q_raster_integral: SAT = cumsum along px per
+    row, then cumsum of that along py per column — exactly the
+    separable form the engine's block decomposition reassembles."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    z = sql_dem_int("px", "py", 0)
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"v AS (SELECT px, py, ({z})::BIGINT AS z FROM px), "
+        "w1 AS (SELECT px, py, sum(z) OVER "
+        "(PARTITION BY py ORDER BY px) AS s1 FROM v), "
+        "sat AS (SELECT px, py, sum(s1) OVER "
+        "(PARTITION BY px ORDER BY py) AS sat FROM w1) "
+        "SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+        "max(CASE WHEN px % 64 = 63 AND py % 64 = 63 THEN sat END)"
+        "::BIGINT AS sat_corner, sum(sat)::BIGINT AS sat_sum "
+        "FROM sat GROUP BY 1, 2"
+    )
+
+
+def q_raster_dt() -> str:
+    """Twin of queries.q_raster_dt: the same separable min-plus
+    passes as window functions — row pass via mark-position extrema,
+    column pass via min(g - py) / min(g + py) prefixes; saturation
+    sentinel 2^40 on both sides."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    z = sql_dem_int("px", "py", 0)
+    big = 1 << 40
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"v AS (SELECT px, py, ({z})::BIGINT AS z FROM px), "
+        "g1 AS (SELECT px, py, z, "
+        "max(CASE WHEN z = 0 THEN px END) OVER "
+        "(PARTITION BY py ORDER BY px) AS lmax, "
+        "min(CASE WHEN z = 0 THEN px END) OVER "
+        "(PARTITION BY py ORDER BY px DESC) AS rmin FROM v), "
+        f"g2 AS (SELECT px, py, LEAST(px - COALESCE(lmax, -{big}), "
+        f"COALESCE(rmin, {big}) - px, {big}) AS g FROM g1), "
+        "d1 AS (SELECT px, py, "
+        "py + min(g - py) OVER (PARTITION BY px ORDER BY py) AS da, "
+        "-py + min(g + py) OVER (PARTITION BY px ORDER BY py DESC) "
+        "AS db FROM g2), "
+        f"dd AS (SELECT px, py, LEAST(da, db, {big}) AS d FROM d1) "
+        "SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+        "sum(CASE WHEN d = 0 THEN 1 ELSE 0 END)::BIGINT AS n_marks, "
+        "sum(d)::BIGINT AS sum_d, max(d)::BIGINT AS max_d "
+        "FROM dd GROUP BY 1, 2"
+    )
+
+
+def q_raster_horizon() -> str:
+    """Twin of queries.q_raster_horizon: q = trunc((z - z0)·2^20 / px)
+    (DuckDB // truncates toward zero; the engine applies the same
+    sign-split), visible iff q >= the 1-PRECEDING running row max."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    z = sql_dem_int("px", "py", 0)
+    big = 1 << 40
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"v AS (SELECT px, py, ({z})::BIGINT AS z FROM px), "
+        "z0 AS (SELECT py, z AS z0 FROM v WHERE px = 0), "
+        "q AS (SELECT v.px, v.py, CASE WHEN v.z >= z0.z0 THEN "
+        "((v.z - z0.z0) * 1048576) // v.px ELSE "
+        "-(((z0.z0 - v.z) * 1048576) // v.px) END AS q "
+        "FROM v JOIN z0 USING (py) WHERE v.px >= 1), "
+        "w AS (SELECT px, py, q, COALESCE(max(q) OVER "
+        "(PARTITION BY py ORDER BY px ROWS BETWEEN UNBOUNDED "
+        f"PRECEDING AND 1 PRECEDING), -{big}) AS h FROM q) "
+        "SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+        "sum(CASE WHEN q >= h THEN 1 ELSE 0 END)::BIGINT AS n_visible, "
+        "sum(CASE WHEN q >= h THEN q ELSE 0 END)::BIGINT "
+        "AS sum_q_visible FROM w GROUP BY 1, 2"
+    )

@@ -6698,3 +6698,82 @@ def q_weekend_drift(sf_dir: str):
 
 
 QUERIES["weekend_drift"] = q_weekend_drift
+
+
+# -------------------------------------------- session-10: raster scans
+
+def q_raster_integral(sf_dir: str):
+    """Distributed summed-area table over the int DEM
+    (stages/rasterprefix.integral_image: within-tile 2-D prefix +
+    row-strip / col-strip / corner carries from two band scans),
+    reduced to per-tile (corner SAT, SAT sum) — exact int64. The SQL
+    twin is two chained window cumsums over the pixel CTE."""
+    from spapy_ray.stages.rasterprefix import integral_image
+
+    ds, meta = _dem()
+    sat, _ = integral_image(ds, meta, dtype="int32")
+    T = meta.tile_size
+
+    def stats(t: pa.Table) -> pa.Table:
+        cor, ss = [], []
+        for buf in t.column("data").to_pylist():
+            a = np.frombuffer(buf, dtype=np.int64).reshape(T, T)
+            cor.append(int(a[-1, -1]))
+            ss.append(int(a.sum()))
+        return pa.table({
+            "tx": pc.cast(t.column("tx"), pa.int64()),
+            "ty": pc.cast(t.column("ty"), pa.int64()),
+            "sat_corner": pa.array(cor, type=pa.int64()),
+            "sat_sum": pa.array(ss, type=pa.int64()),
+        })
+
+    return sat.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["raster_integral"] = q_raster_integral
+
+
+def q_raster_dt(sf_dir: str):
+    """Exact L1 distance transform (stages/rasterprefix
+    .distance_transform_l1 — separable min-plus passes, one int64
+    carry per tile row/column per pass), marks = DEM pixels == 0;
+    per-tile (n_marks, sum_d, max_d). Twin: four window scans."""
+    from spapy_ray.stages.rasterprefix import distance_transform_l1
+
+    ds, meta = _dem()
+    dt, _ = distance_transform_l1(ds, meta, mark_value=0, dtype="int32")
+    T = meta.tile_size
+
+    def stats(t: pa.Table) -> pa.Table:
+        nm, sd, mx = [], [], []
+        for buf in t.column("data").to_pylist():
+            a = np.frombuffer(buf, dtype=np.int64)
+            nm.append(int((a == 0).sum()))
+            sd.append(int(a.sum()))
+            mx.append(int(a.max()))
+        return pa.table({
+            "tx": pc.cast(t.column("tx"), pa.int64()),
+            "ty": pc.cast(t.column("ty"), pa.int64()),
+            "n_marks": pa.array(nm, type=pa.int64()),
+            "sum_d": pa.array(sd, type=pa.int64()),
+            "max_d": pa.array(mx, type=pa.int64()),
+        })
+
+    return dt.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["raster_dt"] = q_raster_dt
+
+
+def q_raster_horizon(sf_dir: str):
+    """Westward line-of-sight per DEM row (stages/rasterprefix
+    .horizon_visibility): quantized slope q = trunc((z - z0)·2^20 / x)
+    vs the running row max — per-tile visible-pixel count and visible
+    slope sum. Twin: one window max with a 1-PRECEDING frame."""
+    from spapy_ray.stages.rasterprefix import horizon_visibility
+
+    ds, meta = _dem()
+    return horizon_visibility(ds, meta, dtype="int32")
+
+
+QUERIES["raster_horizon"] = q_raster_horizon
