@@ -187,6 +187,12 @@ def oracle_sql() -> dict[str, str]:
         "raster_integral": o.q_raster_integral(),
         "raster_dt": o.q_raster_dt(),
         "raster_horizon": o.q_raster_horizon(),
+        "line_of_sight": o.q_line_of_sight(),
+        "events_ewma": o.q_events_ewma(),
+        "promo_revenue_share": o.q_promo_revenue_share(),
+        "large_orders": o.q_large_orders(),
+        "docs_cosine_pairs": o.q_docs_cosine_pairs(),
+        "docs_readability": o.q_docs_readability(),
         "domain_stats": o.q_domain_stats(),
         "bpe_tokens": o.q_bpe_tokens(),
         "docs_repetition": o.q_docs_repetition(),

@@ -4631,3 +4631,150 @@ def q_raster_horizon() -> str:
         "sum(CASE WHEN q >= h THEN q ELSE 0 END)::BIGINT "
         "AS sum_q_visible FROM w GROUP BY 1, 2"
     )
+
+
+def q_line_of_sight() -> str:
+    """Twin of queries.q_line_of_sight: same station grid, same
+    trunc-division sample coordinates (DuckDB // truncates toward
+    zero — the engine sign-splits to match), same cross-multiplied
+    chord test z_t*n > zi*n + (zj-zi)*t."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    zst = sql_dem_int("((37 * si + 11) % 512)", "((59 * si + 23) % 512)")
+    zpx = sql_dem_int("px", "py", 0)
+    return (
+        "WITH st AS (SELECT si, (37 * si + 11) % 512 AS x, "
+        f"(59 * si + 23) % 512 AS y, ({zst})::BIGINT AS z "
+        "FROM range(40) t(si)), "
+        "pr AS (SELECT a.si AS si, c.si AS sj, a.x AS x0, a.y AS y0, "
+        "c.x - a.x AS dx, c.y - a.y AS dy, a.z AS zi, c.z AS zj, "
+        "GREATEST(abs(c.x - a.x), abs(c.y - a.y)) AS n "
+        "FROM st a, st c WHERE a.si < c.si), "
+        "sm AS (SELECT pr.*, s.s AS tt FROM pr, range(1, 512) s(s) "
+        "WHERE s.s < pr.n), "
+        "co AS (SELECT si, sj, n, zi, zj, tt, "
+        "x0 + CASE WHEN dx * tt >= 0 THEN (dx * tt) // n "
+        "ELSE -((-(dx * tt)) // n) END AS px, "
+        "y0 + CASE WHEN dy * tt >= 0 THEN (dy * tt) // n "
+        "ELSE -((-(dy * tt)) // n) END AS py FROM sm), "
+        f"bl AS (SELECT si, sj, CASE WHEN ({zpx})::BIGINT * n > "
+        "zi * n + (zj - zi) * tt THEN 1 ELSE 0 END AS bb FROM co) "
+        "SELECT pr.si::BIGINT AS si, pr.sj::BIGINT AS sj, "
+        "(pr.n - 1)::BIGINT AS n_int, "
+        "COALESCE(sum(bl.bb), 0)::BIGINT AS n_blocked, "
+        "(CASE WHEN COALESCE(sum(bl.bb), 0) = 0 THEN 1 ELSE 0 END)"
+        "::BIGINT AS visible "
+        "FROM pr LEFT JOIN bl ON pr.si = bl.si AND pr.sj = bl.sj "
+        "GROUP BY pr.si, pr.sj, pr.n ORDER BY si, sj"
+    )
+
+
+def q_events_ewma(k: int = 16) -> str:
+    """Twin of queries.q_events_ewma: banded row_number self-join
+    with 1 << (K-1-lag) weights; den = 2^K - 2^(K-1-m); the ratio is
+    the truncating // (both numbers positive here, but the engine
+    truncates explicitly either way)."""
+    return (
+        "WITH e AS (SELECT event_id, user_id, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS rn FROM events), "
+        "j AS (SELECT a.event_id, a.user_id, "
+        f"sum(b.cents * (1::BIGINT << ({k} - 1 - (a.rn - b.rn))))"
+        "::BIGINT AS ewma_num, "
+        f"sum(1::BIGINT << ({k} - 1 - (a.rn - b.rn)))::BIGINT "
+        "AS ewma_den FROM e a JOIN e b ON a.user_id = b.user_id "
+        f"AND b.rn BETWEEN a.rn - {k - 1} AND a.rn "
+        "GROUP BY a.event_id, a.user_id) "
+        "SELECT event_id, user_id, ewma_num, ewma_den, "
+        "(CASE WHEN ewma_num >= 0 THEN ewma_num // ewma_den "
+        "ELSE -((-ewma_num) // ewma_den) END)::BIGINT AS ewma_x100 "
+        "FROM j"
+    )
+
+
+def q_promo_revenue_share() -> str:
+    """Twin of queries.q_promo_revenue_share (TPC-H Q14 shape):
+    month key = months since 1970-01, revenue_u = cents*(100-d_pct),
+    share_ppm = promo*10^6 // total (all positive, trunc == floor)."""
+    return (
+        "WITH j AS (SELECT (year(l_shipdate) - 1970) * 12 "
+        "+ month(l_shipdate) - 1 AS ym, "
+        "CAST(round(l_extendedprice * 100.0) AS BIGINT) "
+        "* (100 - CAST(round(l_discount * 100.0) AS BIGINT)) AS rev, "
+        "CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS isp "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey) "
+        "SELECT ym::BIGINT AS ym, "
+        "sum(rev * isp)::BIGINT AS promo_rev_u, "
+        "sum(rev)::BIGINT AS total_rev_u, "
+        "(sum(rev * isp) * 1000000 // sum(rev))::BIGINT AS share_ppm "
+        "FROM j GROUP BY ym ORDER BY ym"
+    )
+
+
+def q_large_orders() -> str:
+    """Twin of queries.q_large_orders (TPC-H Q18 shape): HAVING on
+    the x100-quantized per-order quantity sum, joined back to orders
+    and customer."""
+    return (
+        "WITH s AS (SELECT l_orderkey, "
+        "sum(CAST(round(l_quantity * 100.0) AS BIGINT))::BIGINT "
+        "AS sum_qty100 FROM lineitem GROUP BY l_orderkey "
+        "HAVING sum(CAST(round(l_quantity * 100.0) AS BIGINT)) "
+        "> 30000) "
+        "SELECT c_custkey::BIGINT AS c_custkey, c_name, "
+        "o_orderkey::BIGINT AS o_orderkey, "
+        "(epoch_us(o_orderdate) // 86400000000)::BIGINT "
+        "AS o_date_days, "
+        "CAST(round(o_totalprice * 100.0) AS BIGINT) "
+        "AS totalprice_cents, s.sum_qty100 "
+        "FROM s JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey"
+    )
+
+
+def q_docs_cosine_pairs(df_cap: int = 20, k: int = 50) -> str:
+    """Twin of queries.q_docs_cosine_pairs: token 3-gram shingles via
+    lead() over the space-split positions (empty split tokens count,
+    same as the engine's flat-buffer shifts), same df cap, shingle-tf
+    dot product per pair, same (sim desc, doc_a, doc_b) order."""
+    return (
+        "WITH w AS (SELECT doc_id, "
+        "generate_subscripts(string_split(text, ' '), 1) AS pos, "
+        "unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "sh AS (SELECT doc_id, tok || '_' "
+        "|| lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) "
+        "|| '_' "
+        "|| lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) "
+        "AS term FROM w), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM sh "
+        "WHERE term IS NOT NULL GROUP BY 1, 2), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf "
+        "GROUP BY 1), "
+        f"rare AS (SELECT term FROM df WHERE df BETWEEN 2 AND {df_cap}), "
+        "pr AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, "
+        "sum(a.tf * c.tf)::BIGINT AS sim "
+        "FROM tf a JOIN tf c USING (term) JOIN rare USING (term) "
+        "WHERE a.doc_id < c.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, sim, "
+        "row_number() OVER (ORDER BY sim DESC, doc_a, doc_b)::BIGINT "
+        f"AS rank FROM pr ORDER BY rank LIMIT {k}"
+    )
+
+
+def q_docs_readability() -> str:
+    """Twin of queries.q_docs_readability: the same three RE2 counts
+    via regexp_extract_all lengths and the same positive truncating
+    divisions."""
+    return (
+        "WITH c AS (SELECT doc_id, "
+        "len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS w, "
+        "len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS s, "
+        "len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT "
+        "AS y FROM documents) "
+        "SELECT doc_id, w AS n_words, s AS n_sentences, "
+        "y AS n_syllables, "
+        "(206835 - (1015000 * w) // GREATEST(s, 1) "
+        "- (84600 * y) // GREATEST(w, 1))::BIGINT AS flesch_x1000 "
+        "FROM c"
+    )

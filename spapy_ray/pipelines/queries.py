@@ -6777,3 +6777,287 @@ def q_raster_horizon(sf_dir: str):
 
 
 QUERIES["raster_horizon"] = q_raster_horizon
+
+
+def q_line_of_sight(sf_dir: str):
+    """DEM line-of-sight between 40 deterministic stations: each of
+    the 780 sight lines is sampled at N = max(|dx|,|dy|) integer
+    steps (coordinates via trunc-division, matching DuckDB //), the
+    samples gather their elevation through rasterize.sample_raster
+    (tile co-partition — no per-sample tile copies), and a pair is
+    visible iff no interior sample rises above the chord:
+    z_t * N > z_i * N + (z_j - z_i) * t, all int64-exact."""
+    from spapy_ray.sources.rasters import dem_int_value
+    from spapy_ray.stages.rasterize import sample_raster
+    from spapy_ray.stages.rasterprefix import _tdiv
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    ds, meta = _dem()
+    K = 40
+    si = np.arange(K, dtype=np.int64)
+    sx = (37 * si + 11) % 512
+    sy = (59 * si + 23) % 512
+    sz = dem_int_value(sx, sy).astype(np.int64)
+    a, b = np.triu_indices(K, k=1)
+    n = np.maximum(np.abs(sx[b] - sx[a]), np.abs(sy[b] - sy[a]))
+    pairs = pa.table({
+        "si": pa.array(si[a]), "sj": pa.array(si[b]),
+        "x0": pa.array(sx[a]), "y0": pa.array(sy[a]),
+        "dx": pa.array(sx[b] - sx[a]), "dy": pa.array(sy[b] - sy[a]),
+        "zi": pa.array(sz[a]), "zj": pa.array(sz[b]),
+        "n": pa.array(n),
+    })
+
+    def expand(t: pa.Table) -> pa.Table:
+        nn = t.column("n").to_numpy()
+        reps = np.maximum(nn - 1, 0)
+        idx = np.repeat(np.arange(len(t)), reps)
+        tt = np.concatenate([np.arange(1, v) for v in nn]) \
+            if len(t) else np.empty(0, np.int64)
+        g = {c: t.column(c).to_numpy()[idx] for c in t.column_names}
+        px = g["x0"] + _tdiv(g["dx"] * tt, g["n"])
+        py = g["y0"] + _tdiv(g["dy"] * tt, g["n"])
+        thr = g["zi"] * g["n"] + (g["zj"] - g["zi"]) * tt
+        return pa.table({
+            "si": pa.array(g["si"]), "sj": pa.array(g["sj"]),
+            "px": pa.array(px), "py": pa.array(py),
+            "thr": pa.array(thr), "n": pa.array(g["n"]),
+        })
+
+    import ray.data as rd
+    samples = rd.from_arrow(pairs).map_batches(
+        expand, batch_format="pyarrow")
+    with_z = sample_raster(samples, ds, meta, dtype="int32")
+
+    def blocked(t: pa.Table) -> pa.Table:
+        z = t.column("z").to_numpy(zero_copy_only=False)
+        nn = t.column("n").to_numpy(zero_copy_only=False)
+        thr = t.column("thr").to_numpy(zero_copy_only=False)
+        key = t.column("si").to_numpy(zero_copy_only=False) * 64 \
+            + t.column("sj").to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array(key),
+                         "b": pa.array((z * nn > thr).astype(np.int64))})
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("k", as_index=False, sort=False)["b"].sum()
+
+    got = bucketed_group_agg(
+        with_z.map_batches(blocked, batch_format="pyarrow"), "k", agg) \
+        .to_pandas()
+    out = pd.DataFrame({"k": si[a] * 64 + si[b], "si": si[a],
+                        "sj": si[b], "n_int": n - 1})
+    nb = dict(zip(got["k"], got["b"])) if len(got) else {}
+    out["n_blocked"] = out["k"].map(nb).fillna(0).astype(np.int64)
+    out["visible"] = (out["n_blocked"] == 0).astype(np.int64)
+    return out.drop(columns=["k"]).sort_values(["si", "sj"]) \
+        .reset_index(drop=True).astype(np.int64)
+
+
+QUERIES["line_of_sight"] = q_line_of_sight
+
+
+def q_events_ewma(sf_dir: str, k: int = 16):
+    """Exact exponentially-weighted moving average per user (half-life
+    one event, window K=16): dyadic weights 2^(K-1-j) make numerator
+    and denominator exact int64 window sums (stages/window.window_over
+    ewma_num/ewma_den kinds), and the reported ewma_x100 is the
+    truncating ratio — bit-exact vs a banded row_number self-join."""
+    from spapy_ray.stages.rasterprefix import _tdiv
+    from spapy_ray.stages.window import window_over
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t.column("value"), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "us": us, "cents": cents})
+
+    w = window_over(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id", order_cols=["us", "event_id"],
+        ops=[("ewma_num", f"ewma_num:{k}", "cents"),
+             ("ewma_den", f"ewma_den:{k}", "cents")])
+
+    def ratio(t: pa.Table) -> pa.Table:
+        num = t.column("ewma_num").to_numpy(zero_copy_only=False)
+        den = t.column("ewma_den").to_numpy(zero_copy_only=False)
+        return t.drop_columns(["us"]).append_column(
+            "ewma_x100", pa.array(_tdiv(num, den)))
+
+    return w.map_batches(ratio, batch_format="pyarrow")
+
+
+QUERIES["events_ewma"] = q_events_ewma
+
+
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape — promo revenue share per ship month: lineitem
+    probes the broadcast part dimension (p_type lookup, no shuffle),
+    revenue folds per-batch into (month, promo) integer partials, and
+    the share is the truncating ratio promo*10^6 // total. Exact
+    int64 end to end."""
+    import pyarrow.parquet as pq
+
+    from spapy_ray.stages.relational import broadcast_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    promo = pa.table({
+        "p_partkey": pc.cast(part.column("p_partkey"), pa.int64()),
+        "is_promo": pc.cast(pc.equal(part.column("p_type"),
+                                     pa.scalar("PROMO")), pa.int64()),
+    })
+    j = broadcast_join(li, promo, key="l_partkey",
+                       small_key="p_partkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("l_shipdate"), pa.int64()).to_numpy()
+        ym = (us // 86_400_000_000).astype("datetime64[D]") \
+            .astype("datetime64[M]")
+        ymk = ym.astype(np.int64)          # months since 1970-01
+        cents = np.rint(t.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        dpct = np.rint(t.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        rev = cents * (100 - dpct)
+        isp = t.column("is_promo").to_numpy(zero_copy_only=False)
+        key, inv = np.unique(ymk, return_inverse=True)
+        tot = np.zeros(len(key), dtype=np.int64)
+        pr = np.zeros(len(key), dtype=np.int64)
+        np.add.at(tot, inv, rev)
+        np.add.at(pr, inv, rev * isp)
+        return pa.table({"ym": pa.array(key),
+                         "promo_rev_u": pa.array(pr),
+                         "total_rev_u": pa.array(tot)})
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("ym").sum(["promo_rev_u", "total_rev_u"]) \
+        .to_pandas()
+    agg = agg.rename(columns={"sum(promo_rev_u)": "promo_rev_u",
+                              "sum(total_rev_u)": "total_rev_u"})
+    agg["share_ppm"] = (agg["promo_rev_u"] * 1_000_000
+                        // agg["total_rev_u"]).astype(np.int64)
+    return agg.sort_values("ym").reset_index(drop=True) \
+        .astype(np.int64)
+
+
+QUERIES["promo_revenue_share"] = q_promo_revenue_share
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape — customers with bulk orders: per-batch
+    combiner partials fold lineitem quantity per order, the >300
+    (x100-quantized) HAVING filter runs on the aggregate, survivors
+    hash-join back to orders + the broadcast customer dimension.
+    Quantity is exact cents-style x100 int64."""
+    import pyarrow.parquet as pq
+
+    from spapy_ray.stages.relational import (broadcast_join,
+                                             bucketed_group_agg,
+                                             hash_join)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def q100(t: pa.Table) -> pa.Table:
+        q = np.rint(t.column("l_quantity")
+                    .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"l_orderkey": pc.cast(t.column("l_orderkey"),
+                                               pa.int64()),
+                         "qty100": pa.array(q)})
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("l_orderkey", as_index=False,
+                         sort=False)["qty100"].sum()
+        out = out.rename(columns={"qty100": "sum_qty100"})
+        return out[out["sum_qty100"] > 30000]   # HAVING on partials
+
+    big = bucketed_group_agg(
+        li.map_batches(q100, batch_format="pyarrow"), "l_orderkey", agg)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+    j = hash_join(big, orders, on="l_orderkey", right_on="o_orderkey")
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    cust = pa.table({"c_custkey": pc.cast(cust.column("c_custkey"),
+                                          pa.int64()),
+                     "c_name": cust.column("c_name")})
+    out = broadcast_join(j, cust, key="o_custkey",
+                         small_key="c_custkey")
+
+    def shape(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), pa.scalar(100.0))), pa.int64())
+        days = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False) // 86_400_000_000
+        return pa.table({
+            "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "c_name": t.column("c_name"),
+            "o_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "o_date_days": pa.array(days.astype(np.int64)),
+            "totalprice_cents": cents,
+            "sum_qty100": pc.cast(t.column("sum_qty100"), pa.int64()),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+QUERIES["large_orders"] = q_large_orders
+
+
+def q_docs_cosine_pairs(sf_dir: str):
+    """Top-50 most similar document pairs by sparse term-count dot
+    product over an inverted index (stages/text.cosine_pair_scores):
+    rare-term posting lists (2 <= df <= 20) emit weighted pairs, a
+    pair-bucket groupby folds them — never an all-pairs matrix."""
+    from spapy_ray.stages.text import cosine_pair_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return cosine_pair_scores(ds, df_cap=20, k=50)
+
+
+QUERIES["docs_cosine_pairs"] = q_docs_cosine_pairs
+
+
+def q_docs_readability(sf_dir: str):
+    """Integer Flesch-style readability per document: words, sentence
+    runs, vowel-group 'syllables' — three vectorized RE2 counts
+    (pc.count_substring_regex) and the quantized score 206835 -
+    1015000*w//s - 84600*y//w, exact int64 (all terms positive)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        w = pc.count_substring_regex(txt, "[A-Za-z]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pc.count_substring_regex(txt, "[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.count_substring_regex(txt, "[aeiouyAEIOUY]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s1 = np.maximum(s, 1)
+        w1 = np.maximum(w, 1)
+        f = 206835 - (1015000 * w) // s1 - (84600 * y) // w1
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_words": pa.array(w), "n_sentences": pa.array(s),
+            "n_syllables": pa.array(y),
+            "flesch_x1000": pa.array(f),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+QUERIES["docs_readability"] = q_docs_readability

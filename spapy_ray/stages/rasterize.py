@@ -553,3 +553,86 @@ def kde_tile_stats(ds, meta: RasterMeta, *, radius_deg: float,
 
     return src.map_batches(tag, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def sample_raster(pts, tiles, meta: RasterMeta, *, dtype: str,
+                  px_col: str = "px", py_col: str = "py",
+                  out_col: str = "z", fill: float | None = None,
+                  buckets: int | None = None):
+    """Point-sample a tile-table raster: attach the pixel value under
+    each point's (px, py) to the point rows (the gather half of the
+    vector<->raster pair; rasterize_points is the scatter half).
+
+    Scale shape: points and tiles co-partition through ONE bucketed
+    union-groupby on hash(tile key) — each group decodes its tiles
+    ONCE and gathers all of its points with vectorized indexing, so
+    the tile payload never replicates per point (a row-level join
+    would copy tile_size^2 bytes onto every sample row).  Points in
+    tiles absent from a sparse raster get ``fill`` (raise if None).
+    """
+    from spapy_ray.stages.raster import decode_tile
+
+    T = meta.tile_size
+    b = buckets or max(64, cluster_cpus() * 4)
+    sch = pts.schema()
+    pnames = list(sch.names)
+    int_out = np.dtype(dtype).kind in "iu"
+    out_type = pa.int64() if int_out else pa.float64()
+
+    def p_rows(t: pa.Table) -> pa.Table:
+        px = t.column(px_col).to_numpy(zero_copy_only=False)
+        py = t.column(py_col).to_numpy(zero_copy_only=False)
+        tk = ((px // T) * np.int64(1 << 21) + (py // T)).astype(np.int64)
+        t = t.append_column("_tk", pa.array(tk))
+        t = t.append_column("_data", pa.nulls(len(t), type=pa.binary()))
+        h = ((tk.astype(np.uint64) * _MIX) >> np.uint64(33)) \
+            % np.uint64(b)
+        return t.append_column("_bkt", pa.array(h.astype(np.int32)))
+
+    def t_rows(t: pa.Table) -> pa.Table:
+        tx = t.column("tx").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = t.column("ty").to_numpy(zero_copy_only=False).astype(np.int64)
+        tk = tx * np.int64(1 << 21) + ty
+        cols = {c: pa.nulls(len(t), type=sch.types[i])
+                for i, c in enumerate(pnames)}
+        cols["_tk"] = pa.array(tk)
+        cols["_data"] = t.column("data")
+        h = ((tk.astype(np.uint64) * _MIX) >> np.uint64(33)) \
+            % np.uint64(b)
+        cols["_bkt"] = pa.array(h.astype(np.int32))
+        return pa.table(cols)
+
+    import pyarrow.compute as pc
+
+    def gather(g: pa.Table) -> pa.Table:
+        is_tile = pc.is_valid(g.column("_data"))
+        tl = g.filter(is_tile)
+        pt = g.filter(pc.invert(is_tile))
+        if len(pt) == 0:
+            return pt.select(pnames).append_column(
+                out_col, pa.array([], type=out_type))
+        arrs = {int(k): decode_tile(bf, dtype, T).ravel()
+                for k, bf in zip(tl.column("_tk").to_pylist(),
+                                 tl.column("_data").to_pylist())}
+        px = pt.column(px_col).to_numpy(zero_copy_only=False)
+        py = pt.column(py_col).to_numpy(zero_copy_only=False)
+        tk = ((px // T) * np.int64(1 << 21) + (py // T)).astype(np.int64)
+        pidx = ((py % T) * T + (px % T)).astype(np.int64)
+        out = np.full(len(pt), fill if fill is not None else 0,
+                      dtype=np.int64 if int_out else np.float64)
+        done = np.zeros(len(pt), dtype=bool)
+        for k in np.unique(tk):
+            m = tk == k
+            a = arrs.get(int(k))
+            if a is not None:
+                out[m] = a[pidx[m]]
+                done[m] = True
+        if fill is None and not done.all():
+            raise KeyError("sample_raster: point in a tile absent "
+                           "from the raster (pass fill= for sparse)")
+        return pt.select(pnames).append_column(
+            out_col, pa.array(out, type=out_type))
+
+    u = pts.map_batches(p_rows, batch_format="pyarrow").union(
+        tiles.map_batches(t_rows, batch_format="pyarrow"))
+    return u.groupby("_bkt").map_groups(gather, batch_format="pyarrow")

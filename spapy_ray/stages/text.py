@@ -926,3 +926,135 @@ def winnow_fingerprints(ds, column: str = "text",
         lambda t: winnow_batch(t, column, **kw),
         batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True)
+
+
+def cosine_pair_scores(ds, *, id_col: str = "doc_id",
+                       text_col: str = "text", ngram: int = 3,
+                       df_cap: int = 20, k: int = 50,
+                       buckets: int | None = None):
+    """Top-k most similar document pairs by sparse shingle-count dot
+    product through an INVERTED INDEX — the all-pairs-free similarity
+    shape (each posting list of a rare shingle emits its own pairs;
+    no doc x doc matrix ever exists).  Terms are token ``ngram``-
+    shingles (MOSS-style): unigrams over a web corpus are stopword-
+    dominated, and the df cap would prune them all anyway.
+
+    Pipeline: one corpus pass -> (term, doc, tf) postings; ONE
+    hash(term) bucket shuffle where each term's document-frequency is
+    bucket-local-exact — terms with 2 <= df <= ``df_cap`` emit
+    weighted pairs (tf_a * tf_b) batched by distinct posting-list
+    size (np.triu_indices per size, the within_group_pairs pattern);
+    a pair-key bucket groupby sums the per-term contributions;
+    per-block partial top-k bounds the final sort+limit to k rows per
+    block.  Common shingles (df > cap) are pruned exactly like
+    production near-dup indexes prune boilerplate — the SQL twin
+    applies the same cap, so results stay value-exact.
+
+    Returns the top-k (doc_a, doc_b, sim, rank) ordered by
+    (sim desc, doc_a, doc_b); integer-exact end to end.
+    """
+    import pandas as pd
+
+    from spapy_ray.stages.relational import (_bucket_column,
+                                             bucketed_group_agg)
+    from spapy_ray.util import cluster_cpus
+
+    nb = buckets or max(64, cluster_cpus() * 4)
+
+    def postings(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        counts = np.diff(np.asarray(toks.offsets))
+        flat = pd.Series(toks.values.to_numpy(zero_copy_only=False))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        # token n-gram shingles, vectorized over the flat buffer:
+        # join n shifted views, then mask out cross-document windows
+        # (within-doc position must leave room for n tokens)
+        if len(flat) < ngram:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "doc": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        sh = flat.iloc[:len(flat) - ngram + 1].reset_index(drop=True)
+        for j in range(1, ngram):
+            nxt = flat.iloc[j:len(flat) - ngram + 1 + j] \
+                .reset_index(drop=True)
+            sh = sh.str.cat(nxt, sep="_")
+        doc_of = np.repeat(ids, counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        within = np.arange(len(flat)) - np.repeat(starts, counts)
+        keep = (within <= np.repeat(counts, counts) - ngram)[
+            :len(flat) - ngram + 1]
+        df_ = pd.DataFrame({"term": sh[keep],
+                            "doc": doc_of[:len(flat) - ngram + 1][keep]})
+        tf = df_.groupby(["term", "doc"], sort=False).size() \
+            .reset_index(name="tf")
+        return pa.Table.from_pandas(tf, preserve_index=False)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("bkt__",
+                               _bucket_column(t, "term", nb))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        term = g["term"].to_numpy()
+        doc = g["doc"].to_numpy()
+        tf = g["tf"].to_numpy().astype(np.int64)
+        order = np.lexsort((doc, term))
+        term, doc, tf = term[order], doc[order], tf[order]
+        n = len(term)
+        empty = pd.DataFrame({"pk": np.empty(0, np.int64),
+                              "w": np.empty(0, np.int64)})
+        if n < 2:
+            return empty
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = term[1:] != term[:-1]
+        starts = np.nonzero(new)[0]
+        lens = np.diff(np.append(starts, n))
+        out_k, out_w = [], []
+        for m in np.unique(lens):
+            if m < 2 or m > df_cap:
+                continue
+            iu0, iu1 = np.triu_indices(int(m), 1)
+            s = starts[lens == m]
+            ia = (s[:, None] + iu0[None, :]).ravel()
+            ib = (s[:, None] + iu1[None, :]).ravel()
+            out_k.append(doc[ia] * np.int64(1 << 32) + doc[ib])
+            out_w.append(tf[ia] * tf[ib])
+        if not out_k:
+            return empty
+        return pd.DataFrame({"pk": np.concatenate(out_k),
+                             "w": np.concatenate(out_w)})
+
+    posted = ds.map_batches(postings, batch_format="pyarrow") \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bkt__").map_groups(pairs, batch_format="pandas")
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if "w" not in df.columns:          # empty upstream block
+            return pd.DataFrame({"pk": np.empty(0, np.int64),
+                                 "w": np.empty(0, np.int64)})
+        return df.groupby("pk", as_index=False, sort=False)["w"].sum()
+
+    sims = bucketed_group_agg(posted, "pk", agg)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        df = df.sort_values(["w", "pk"], ascending=[False, True]) \
+            .head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = sims.map_batches(partial_topk, batch_format="pyarrow") \
+        .to_pandas()
+    top = top.sort_values(["w", "pk"], ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "doc_a": (top["pk"].to_numpy() >> 32).astype(np.int64),
+        "doc_b": (top["pk"].to_numpy()
+                  & ((1 << 32) - 1)).astype(np.int64),
+        "sim": top["w"].to_numpy().astype(np.int64),
+        "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+    }).reset_index(drop=True)

@@ -28,7 +28,7 @@ import pandas as pd
 # rolling sum is spelled "rolling_sum:<width>" (ROWS width-1 PRECEDING
 # AND CURRENT ROW)
 KINDS = ("row_number", "lag", "lead", "cumsum", "cummax", "cummin",
-         "delta", "rolling_sum", "group_size")
+         "delta", "rolling_sum", "group_size", "ewma_num", "ewma_den")
 
 
 def window_over(ds, *, key_col: str, order_cols: list[str],
@@ -122,6 +122,32 @@ def window_over(ds, *, key_col: str, order_cols: list[str],
                 if v.dtype.kind in "iu":
                     rs = rs.astype(v.dtype)
                 out[name] = rs
+            elif kind.startswith("ewma_"):
+                # exact dyadic-weight EWMA over the last K rows:
+                # num = sum_j v[i-j] * 2^(K-1-j), den = 2^K -
+                # 2^(K-1-m) with m = available lags — both int64, so
+                # the SQL twin (a banded rn self-join with 1<<(...)
+                # weights) matches bit-for-bit; the ratio is the
+                # truncating num // den downstream
+                K = int(kind.split(":")[1])
+                keys_np = g[key_col].to_numpy()
+                seg_new = np.ones(len(keys_np), dtype=bool)
+                seg_new[1:] = keys_np[1:] != keys_np[:-1]
+                idx = np.arange(len(keys_np))
+                seg_start = np.maximum.accumulate(
+                    np.where(seg_new, idx, 0))
+                if kind.startswith("ewma_den"):
+                    m = np.minimum(idx - seg_start, K - 1)
+                    out[name] = (np.int64(1 << K)
+                                 - (np.int64(1) << (K - 1 - m)))
+                else:
+                    v = g[src].to_numpy().astype(np.int64)
+                    num = v * np.int64(1 << (K - 1))
+                    for j in range(1, K):
+                        w = np.int64(1 << (K - 1 - j))
+                        valid = idx[j:] - j >= seg_start[j:]
+                        num[j:] += np.where(valid, v[:-j] * w, 0)
+                    out[name] = num
             else:  # delta
                 base = g[src].to_numpy()
                 d = base - gb[src].shift(1).to_numpy()
