@@ -193,6 +193,9 @@ def oracle_sql() -> dict[str, str]:
         "large_orders": o.q_large_orders(),
         "docs_cosine_pairs": o.q_docs_cosine_pairs(),
         "docs_readability": o.q_docs_readability(),
+        "cust_shortest_paths": o.q_cust_shortest_paths(),
+        "events_autocorr": o.q_events_autocorr(),
+        "media_chunk_dedup": o.q_media_chunk_dedup(),
         "domain_stats": o.q_domain_stats(),
         "bpe_tokens": o.q_bpe_tokens(),
         "docs_repetition": o.q_docs_repetition(),

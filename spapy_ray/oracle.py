@@ -4778,3 +4778,80 @@ def q_docs_readability() -> str:
         "- (84600 * y) // GREATEST(w, 1))::BIGINT AS flesch_x1000 "
         "FROM c"
     )
+
+
+def q_cust_shortest_paths(rounds: int = 4, mod: int = 97) -> str:
+    """Twin of graph.sssp_minplus: unrolled MATERIALIZED min-plus
+    rounds (relaxation is monotone and stationary, so the unroll
+    count only needs to reach the engine's round cap)."""
+    parts = [
+        "WITH e0 AS MATERIALIZED (SELECT DISTINCT a.o_custkey AS u, "
+        "b.o_custkey AS v FROM orders a JOIN orders b "
+        "ON a.o_orderdate = b.o_orderdate "
+        "AND a.o_custkey < b.o_custkey), "
+        f"e AS MATERIALIZED (SELECT u, v, (u + v) % {mod} + 1 AS w "
+        f"FROM e0 UNION ALL SELECT v, u, (u + v) % {mod} + 1 FROM e0), "
+        "d0 AS MATERIALIZED (SELECT c_custkey AS n, 0::BIGINT AS d "
+        "FROM customer WHERE c_nationkey = 0)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT n, min(d)::BIGINT AS d "
+            f"FROM (SELECT n, d FROM d{r-1} UNION ALL "
+            f"SELECT e.v, d{r-1}.d + e.w FROM e "
+            f"JOIN d{r-1} ON e.u = d{r-1}.n) GROUP BY n)")
+    return (", ".join(parts)
+            + f" SELECT n AS custkey, d AS dist FROM d{rounds}")
+
+
+def q_events_autocorr(q: int = 1_000_000) -> str:
+    """Twin of queries.q_events_autocorr: lag-1 cents pairs per type,
+    then the HUGEINT sufficient-statistics corr (same floor-quantized
+    square as q_lineitem_corr)."""
+    num = "(n::HUGEINT*sxy - sx::HUGEINT*sy)"
+    varx = "(n::HUGEINT*sxx - sx::HUGEINT*sx)"
+    vary = "(n::HUGEINT*syy - sy::HUGEINT*sy)"
+    return (
+        "WITH e AS (SELECT event_type, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents, "
+        "lag(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER "
+        "(PARTITION BY event_type ORDER BY ts, event_id) AS prev "
+        "FROM events), "
+        "t AS (SELECT event_type, prev AS xi, cents AS yi FROM e "
+        "WHERE prev IS NOT NULL), "
+        "s AS (SELECT event_type, count(*)::BIGINT AS n, "
+        "sum(xi)::BIGINT AS sx, sum(yi)::BIGINT AS sy, "
+        "sum(xi*xi)::BIGINT AS sxx, sum(yi*yi)::BIGINT AS syy, "
+        "sum(xi*yi)::BIGINT AS sxy FROM t GROUP BY 1) "
+        "SELECT event_type, n, "
+        f"(CASE WHEN {num} > 0 THEN 1 WHEN {num} < 0 THEN -1 "
+        "ELSE 0 END)::BIGINT AS corr_sign, "
+        f"(CASE WHEN {varx} * {vary} > 0 THEN "
+        f"({num} * {num} * {q} // ({varx} * {vary}))::BIGINT "
+        "ELSE -1 END) AS corr2_q, "
+        "sx, sy, sxx, syy, sxy FROM s"
+    )
+
+
+def q_media_chunk_dedup(chunk: int = 256) -> str:
+    """Twin of queries.q_media_chunk_dedup: the q_media_chunks chunk
+    CTE deduped by (sig, length), histogrammed by copy count."""
+    fnv = sql_fnv1a("piece")
+    return (
+        f"WITH {pages_cte()}, "
+        "d AS (SELECT url, html, length(html) AS ln FROM pages), "
+        "c AS (SELECT url, html, "
+        f"unnest(generate_series(0, (ln + {chunk - 1}) // {chunk} "
+        "- 1)) AS chunk_id FROM d), "
+        "s AS (SELECT "
+        f"substr(html, chunk_id * {chunk} + 1, {chunk}) AS piece "
+        "FROM c), "
+        "g AS (SELECT length(piece)::BIGINT AS n_bytes, "
+        f"(({fnv}) % 1000000007)::BIGINT AS sig, "
+        "count(*)::BIGINT AS copies FROM s GROUP BY 1, 2) "
+        "SELECT copies, count(*)::BIGINT AS n_sigs, "
+        "(copies * count(*))::BIGINT AS n_chunks, "
+        "sum(n_bytes)::BIGINT AS bytes_stored, "
+        "(copies * sum(n_bytes))::BIGINT AS bytes_logical "
+        "FROM g GROUP BY copies ORDER BY copies"
+    )

@@ -7061,3 +7061,109 @@ def q_docs_readability(sf_dir: str):
 
 
 QUERIES["docs_readability"] = q_docs_readability
+
+
+def q_cust_shortest_paths(sf_dir: str, rounds: int = 4):
+    """Bounded weighted shortest paths (synchronous min-plus
+    Bellman–Ford, graph.sssp_minplus) on the same-day co-order
+    customer graph from the nation-0 seed set, edge weight
+    (u + v) % 97 + 1: the weighted sibling of cust_reach's BFS —
+    exact minimum path weight over <= 4 edges."""
+    import pyarrow.dataset as pds
+
+    from spapy_ray.stages.graph import sssp_minplus
+    from spapy_ray.stages.relational import within_group_pairs
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderdate", "o_custkey"])
+    pairs = within_group_pairs(orders, "o_orderdate", "o_custkey",
+                               out_a="a", out_b="b")
+    cust = _read(sf_dir, "customer", columns=["c_custkey"],
+                 predicate=pds.field("c_nationkey") == 0)
+    batches = [b for b in cust.iter_batches(batch_format="pyarrow")]
+    src = (pa.concat_tables(batches).column("c_custkey")
+           .to_numpy(zero_copy_only=False).astype(np.int64)
+           if batches else np.empty(0, np.int64))
+    out = sssp_minplus(pairs, src, rounds=rounds)
+    return out.rename(columns={"node": "custkey"})
+
+
+QUERIES["cust_shortest_paths"] = q_cust_shortest_paths
+
+
+def q_events_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of event values per type: one window
+    shuffle produces (prev, cur) cents pairs, then the exact integer
+    sufficient-statistics fold (relational.grouped_corr_int,
+    floor-quantized corr^2, HUGEINT-twin-exact)."""
+    from spapy_ray.stages.relational import grouped_corr_int
+    from spapy_ray.stages.window import window_over
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t.column("value"), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "us": us, "cents": cents})
+
+    w = window_over(ev.map_batches(prep, batch_format="pyarrow"),
+                    key_col="event_type", order_cols=["us", "event_id"],
+                    keep_cols=["cents"],
+                    ops=[("prev", "lag", "cents")])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("prev")))
+        return pa.table({"event_type": t.column("event_type"),
+                         "xi": pc.cast(t.column("prev"), pa.int64()),
+                         "yi": t.column("cents")})
+
+    return grouped_corr_int(w.map_batches(pairs, batch_format="pyarrow"),
+                            ["event_type"], "xi", "yi",
+                            scale_x=1, scale_y=1)
+
+
+QUERIES["events_autocorr"] = q_events_autocorr
+
+
+def q_media_chunk_dedup(sf_dir: str):
+    """Content-addressed chunk-store audit: the 256-byte payload
+    chunks (q_media_chunks) dedup by (signature, length) — the
+    copies histogram reports, per duplication count, how many
+    distinct chunks / physical vs logical bytes a content-addressed
+    store would hold. Two bucketed groupbys, final table tiny."""
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    chunks = q_media_chunks(sf_dir).select_columns(["sig", "n_bytes"])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["sig", "n_bytes"], sort=False).size() \
+            .reset_index(name="copies")
+        return g
+
+    sigs = bucketed_group_agg(chunks, "sig", local)
+
+    def hist(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if "copies" not in df.columns:
+            df = pd.DataFrame({"n_bytes": np.empty(0, np.int64),
+                               "copies": np.empty(0, np.int64)})
+        g = df.groupby("copies", sort=False).agg(
+            n_sigs=("copies", "size"),
+            bytes_stored=("n_bytes", "sum")).reset_index()
+        g["n_chunks"] = g["copies"] * g["n_sigs"]
+        g["bytes_logical"] = g["copies"] * g["bytes_stored"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = sigs.map_batches(hist, batch_format="pyarrow").to_pandas()
+    out = out.groupby("copies", as_index=False).sum()
+    return out[["copies", "n_sigs", "n_chunks", "bytes_stored",
+                "bytes_logical"]].sort_values("copies") \
+        .reset_index(drop=True).astype(np.int64)
+
+
+QUERIES["media_chunk_dedup"] = q_media_chunk_dedup

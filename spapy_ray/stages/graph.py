@@ -811,3 +811,79 @@ def k_truss(pairs, *, k: int, a_col: str = "a", b_col: str = "b",
         "lo": (keys >> np.int64(32)).astype(np.int64),
         "hi": (keys & MASK).astype(np.int64),
         "support": support}).reset_index(drop=True)
+
+
+def sssp_minplus(pairs, sources, *, rounds: int, mod: int = 97,
+                 a_col: str = "a", b_col: str = "b",
+                 buckets: int | None = None):
+    """Bounded Bellman–Ford (synchronous min-plus relaxation) over
+    the undirected graph of ``pairs`` with deterministic integer
+    edge weights w(u, v) = (u + v) % mod + 1: after ``rounds``
+    rounds every vertex holds the exact minimum path weight over
+    paths of <= ``rounds`` edges from any source (sources at 0).
+
+    Distributed shape (the bfs_hops / k-core iteration family):
+    edges materialize once; each round is ONE map over the edge
+    blocks with the (node, dist) frontier broadcast via ray.put —
+    blocks emit per-block per-dst minima (a vectorized pandas
+    groupby-min), the driver folds the bounded candidate table and
+    stops early at the fixpoint.  Relaxation is monotone, so equal
+    dist maps == convergence, exactly like the unrolled MATERIALIZED
+    rounds of the SQL twin.
+
+    Returns a pandas frame (node, dist), node-sorted.
+    """
+    import ray
+
+    und = undirected_edges(_canon_pairs(pairs, a_col, b_col),
+                           a_col="a", b_col="b",
+                           buckets=buckets).materialize()
+
+    nodes = np.unique(np.asarray(sources, dtype=np.int64))
+    dists = np.zeros(len(nodes), dtype=np.int64)
+
+    for _ in range(rounds):
+        ref = ray.put((nodes, dists))
+
+        def relax(t: pa.Table, _ref=ref) -> pa.Table:
+            nd, dd = ray.get(_ref)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(nd, src)
+            m = (pos < len(nd)) & (nd[np.minimum(pos, len(nd) - 1)]
+                                   == src)
+            if not m.any():
+                return pa.table({"n": pa.array([], pa.int64()),
+                                 "d": pa.array([], pa.int64())})
+            w = (src[m] + dst[m]) % mod + 1
+            cand = dd[pos[m]] + w
+            u, inv = np.unique(dst[m], return_inverse=True)
+            best = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(best, inv, cand)
+            return pa.table({"n": pa.array(u), "d": pa.array(best)})
+
+        got = [b for b in und.map_batches(relax,
+                                          batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow")]
+        if not got:
+            break
+        cat = pa.concat_tables(got, promote_options="default")
+        if cat.num_rows == 0:
+            break
+        cn = cat.column("n").to_numpy(zero_copy_only=False)
+        cd = cat.column("d").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(cn, return_inverse=True)
+        best = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(best, inv, cd)
+        # merge candidates into the dist map (min with existing)
+        alln = np.unique(np.concatenate([nodes, u]))
+        nd = np.full(len(alln), np.iinfo(np.int64).max, np.int64)
+        nd[np.searchsorted(alln, nodes)] = dists
+        pos = np.searchsorted(alln, u)
+        np.minimum.at(nd, pos, best)
+        if len(alln) == len(nodes) and (nd == dists).all():
+            break                        # fixpoint
+        nodes, dists = alln, nd
+
+    return pd.DataFrame({"node": nodes, "dist": dists}) \
+        .sort_values("node").reset_index(drop=True)
