@@ -196,6 +196,8 @@ def oracle_sql() -> dict[str, str]:
         "cust_shortest_paths": o.q_cust_shortest_paths(),
         "events_autocorr": o.q_events_autocorr(),
         "media_chunk_dedup": o.q_media_chunk_dedup(),
+        "zone_dispersion": o.q_zone_dispersion(),
+        "raster_mosaic": o.q_raster_mosaic(),
         "domain_stats": o.q_domain_stats(),
         "bpe_tokens": o.q_bpe_tokens(),
         "docs_repetition": o.q_docs_repetition(),

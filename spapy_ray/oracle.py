@@ -4855,3 +4855,48 @@ def q_media_chunk_dedup(chunk: int = 256) -> str:
         "(copies * sum(n_bytes))::BIGINT AS bytes_logical "
         "FROM g GROUP BY copies ORDER BY copies"
     )
+
+
+def q_zone_dispersion() -> str:
+    """Twin of queries.q_zone_dispersion: same PIP membership, same
+    1e-5 quantization and zone-anchor shift, HUGEINT sufficient
+    statistics, floor-quantized per-point variances."""
+    vx = "(n * sdxx - sdx * sdx)"
+    vy = "(n * sdyy - sdy * sdy)"
+    return (
+        f"WITH {geo_zones_cte()}, "
+        "j AS (SELECT z.zone_id, "
+        "CAST(round(g.lat * 100000.0) AS BIGINT) - 10 * z.y0 AS dy, "
+        "CAST(round(g.lon * 100000.0) AS BIGINT) - 10 * z.x0 AS dx "
+        "FROM geo g CROSS JOIN zones z "
+        f"WHERE {sql_pip_condition('g.lon', 'g.lat')}), "
+        "s AS (SELECT zone_id, count(*)::HUGEINT AS n, "
+        "sum(dx)::HUGEINT AS sdx, sum(dy)::HUGEINT AS sdy, "
+        "sum(dx::HUGEINT * dx)::HUGEINT AS sdxx, "
+        "sum(dy::HUGEINT * dy)::HUGEINT AS sdyy FROM j GROUP BY 1) "
+        "SELECT zone_id, n::BIGINT AS n_pages, sdx::BIGINT AS sdx, "
+        "sdy::BIGINT AS sdy, sdxx::BIGINT AS sdxx, "
+        "sdyy::BIGINT AS sdyy, "
+        f"({vx} // (n * n))::BIGINT AS varx_q, "
+        f"({vy} // (n * n))::BIGINT AS vary_q, "
+        f"(({vx} + {vy}) // (n * n))::BIGINT AS sd2_q FROM s"
+    )
+
+
+def q_raster_mosaic() -> str:
+    """Twin of queries.q_raster_mosaic: per pixel, the salt-1 surface
+    inside the patch tile window, salt-0 outside."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    z0 = sql_dem_int("px", "py", 0)
+    z1 = sql_dem_int("px", "py", 1)
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        "v AS (SELECT px, py, (CASE WHEN px // 64 BETWEEN 2 AND 5 "
+        f"AND py // 64 BETWEEN 2 AND 5 THEN ({z1}) ELSE ({z0}) END)"
+        "::BIGINT AS z FROM px) "
+        "SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+        "sum(z)::BIGINT AS sum_v, min(z)::BIGINT AS min_v, "
+        "max(z)::BIGINT AS max_v FROM v GROUP BY 1, 2"
+    )

@@ -7167,3 +7167,129 @@ def q_media_chunk_dedup(sf_dir: str):
 
 
 QUERIES["media_chunk_dedup"] = q_media_chunk_dedup
+
+
+def q_zone_dispersion(sf_dir: str):
+    """Standard-distance dispersion per zone (the classic centrographic
+    statistic): PIP-joined pages quantize to 1e-5-degree ints, shift
+    to their zone's x0/y0 anchor (zone_params arithmetic — variance is
+    shift-invariant, and anchored deltas keep int64 partials exact),
+    per-batch combiner partials fold the five sufficient statistics,
+    and n*sxx - sx^2 finalizes in Python ints on the 200-row table.
+    varx_q / vary_q / sd2_q are the floor-quantized per-point
+    variances (fit int64 by construction)."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.sources.zones import M32, MIX_A, U
+    from spapy_ray.stages.distjoin import _fixed5
+    from spapy_ray.stages.join import pip_join
+    from spapy_ray.sources.zones import zones_table
+
+    j = pip_join(_geo(sf_dir), zones_table(),
+                 left_columns=["lat", "lon"],
+                 zone_columns=["zone_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        z = t.column("zone_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lat5 = _fixed5(t.column("lat"))
+        lon5 = _fixed5(t.column("lon"))
+        col = z % 20
+        row = (z // 20) % 10
+        g = (z * MIX_A) % M32
+        x0 = (-180 * U + col * 18 * U) + g % 30000
+        y0 = (-85 * U + row * 17 * U) + (g // 30000) % 30000
+        dx = lon5 - 10 * x0
+        dy = lat5 - 10 * y0
+        u, inv = np.unique(z, return_inverse=True)
+        out = {"zone_id": u, "n": np.bincount(inv).astype(np.int64)}
+        for name, v in (("sdx", dx), ("sdy", dy),
+                        ("sdxx", dx * dx), ("sdyy", dy * dy)):
+            s = np.zeros(len(u), dtype=np.int64)
+            np.add.at(s, inv, v)
+            out[name] = s
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    cols = ["n", "sdx", "sdy", "sdxx", "sdyy"]
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("zone_id") \
+        .aggregate(*[Sum(c, alias_name=c) for c in cols]).to_pandas()
+
+    n = [int(v) for v in agg["n"]]
+    fin = {"varx_q": [], "vary_q": [], "sd2_q": []}
+    for i in range(len(agg)):
+        nn = n[i]
+        vx = nn * int(agg["sdxx"][i]) - int(agg["sdx"][i]) ** 2
+        vy = nn * int(agg["sdyy"][i]) - int(agg["sdy"][i]) ** 2
+        fin["varx_q"].append(vx // (nn * nn))
+        fin["vary_q"].append(vy // (nn * nn))
+        fin["sd2_q"].append((vx + vy) // (nn * nn))
+    out = agg.rename(columns={"n": "n_pages"})
+    for k, v in fin.items():
+        out[k] = np.asarray(v, dtype=np.int64)
+    return out.sort_values("zone_id").reset_index(drop=True)
+
+
+QUERIES["zone_dispersion"] = q_zone_dispersion
+
+
+def q_raster_mosaic(sf_dir: str):
+    """Mosaic two overlapping rasters with last-wins precedence (the
+    gdal_merge operator class): the full salt-0 DEM under a salt-1
+    patch covering tiles [2,5]x[2,5] — one bucketed tile-key dedup
+    (grouped_topk k=1 by precedence) merges the tile tables without
+    touching pixel payloads outside the winner; per-tile int stats."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.raster import decode_tile
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    base = synth_dem_dataset(DEM_META, kind="int", salt=0)
+    patch = synth_dem_dataset(DEM_META, kind="int", salt=1)
+
+    def tag(pri: int):
+        def _f(t: pa.Table) -> pa.Table:
+            tx = t.column("tx").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            ty = t.column("ty").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            keep = np.ones(len(t), dtype=bool) if pri == 0 else \
+                (tx >= 2) & (tx <= 5) & (ty >= 2) & (ty <= 5)
+            t = t.filter(pa.array(keep))
+            tx, ty = tx[keep], ty[keep]
+            return pa.table({
+                "tk": pa.array(tx * 512 + ty),
+                "pri": pa.array(np.full(len(tx), pri, np.int64)),
+                "tx": pa.array(tx), "ty": pa.array(ty),
+                "data": t.column("data"),
+            })
+        return _f
+
+    u = base.map_batches(tag(0), batch_format="pyarrow").union(
+        patch.map_batches(tag(1), batch_format="pyarrow"))
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["tk", "pri"], kind="mergesort")
+        return df.groupby("tk", sort=False).tail(1)   # max precedence
+
+    merged = bucketed_group_agg(u, "tk", local)
+    T = DEM_META.tile_size
+
+    def stats(t: pa.Table) -> pa.Table:
+        s, mn, mx = [], [], []
+        for buf in t.column("data").to_pylist():
+            a = decode_tile(buf, "int32", T).astype(np.int64)
+            s.append(int(a.sum()))
+            mn.append(int(a.min()))
+            mx.append(int(a.max()))
+        return pa.table({
+            "tx": pc.cast(t.column("tx"), pa.int64()),
+            "ty": pc.cast(t.column("ty"), pa.int64()),
+            "sum_v": pa.array(s, type=pa.int64()),
+            "min_v": pa.array(mn, type=pa.int64()),
+            "max_v": pa.array(mx, type=pa.int64()),
+        })
+
+    return merged.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["raster_mosaic"] = q_raster_mosaic
