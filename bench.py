@@ -76,7 +76,15 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # quadtree layout, winnowing, integer k-means,
                  # bloom export)
                  "value_emd", "events_cusum", "quadtree_leaves",
-                 "docs_winnow", "embed_kmeans", "url_bloom"]
+                 "docs_winnow", "embed_kmeans", "url_bloom",
+                 # session-10 additions (band-scan raster family:
+                 # summed-area table / L1 distance transform /
+                 # horizon; DEM sight lines over sample_raster;
+                 # dyadic EWMA windows; inverted-index shingle
+                 # similarity; bounded Bellman-Ford)
+                 "raster_integral", "raster_dt", "raster_horizon",
+                 "line_of_sight", "events_ewma", "docs_cosine_pairs",
+                 "cust_shortest_paths"]
 
 
 def _consume(res) -> int:
