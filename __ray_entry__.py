@@ -54,7 +54,9 @@ _FRONT = [
     "copurchase_pairs", "snapshot_diff", "top_paths",
     "terrain_stats", "resample_nearest", "resample_match_diff",
     "rasterize_points", "warp_equirect", "contour_lines",
-    # --- beyond the window: round-5 rotation queue. First the
+    # --- beyond the window: round-5 rotation queue. Session-8/9/10
+    # additions register after _FRONT in dict order (newest last) —
+    # consistent with the oldest-first discipline. First the
     # remaining never-driver-verified round-4 queries whose CORE
     # MACHINERY a window query already exercises (deferral
     # rationale in parentheses), then the r4-session never-verified
@@ -198,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "media_chunk_dedup": o.q_media_chunk_dedup(),
         "zone_dispersion": o.q_zone_dispersion(),
         "raster_mosaic": o.q_raster_mosaic(),
+        "rasterize_edges": o.q_rasterize_edges(),
         "domain_stats": o.q_domain_stats(),
         "bpe_tokens": o.q_bpe_tokens(),
         "docs_repetition": o.q_docs_repetition(),

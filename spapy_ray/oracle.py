@@ -4900,3 +4900,25 @@ def q_raster_mosaic() -> str:
         "sum(z)::BIGINT AS sum_v, min(z)::BIGINT AS min_v, "
         "max(z)::BIGINT AS max_v FROM v GROUP BY 1, 2"
     )
+
+
+def q_rasterize_edges() -> str:
+    """Twin of queries.q_rasterize_edges: the same zone-edge cell
+    ranges (floor arithmetic on the fixed-point bounds, north-up
+    rows), DISTINCT (zone, cell) burn, per-tile counts."""
+    from spapy_ray.sources.zones import sql_zones_cte
+
+    return (
+        f"WITH zones AS ({sql_zones_cte()}), "
+        "he AS (SELECT zone_id AS z, LEAST(GREATEST(((x0) + 1800000) * 512 // 3600000, 0), 511) AS cxa, LEAST(GREATEST(((x0 + w) + 1800000) * 512 // 3600000, 0), 511) AS cxb, (511 - LEAST(GREATEST(((y0) + 900000) * 512 // 1800000, 0), 511)) AS cyf FROM zones WHERE shape IN (0, 1) UNION ALL SELECT zone_id AS z, LEAST(GREATEST(((x0) + 1800000) * 512 // 3600000, 0), 511) AS cxa, LEAST(GREATEST(((x0 + w) + 1800000) * 512 // 3600000, 0), 511) AS cxb, (511 - LEAST(GREATEST(((y0 + h) + 900000) * 512 // 1800000, 0), 511)) AS cyf FROM zones WHERE shape IN (0, 1) UNION ALL SELECT zone_id AS z, LEAST(GREATEST(((x0) + 1800000) * 512 // 3600000, 0), 511) AS cxa, LEAST(GREATEST(((x0 + w) + 1800000) * 512 // 3600000, 0), 511) AS cxb, (511 - LEAST(GREATEST(((y0) + 900000) * 512 // 1800000, 0), 511)) AS cyf FROM zones WHERE shape = 2 UNION ALL SELECT zone_id AS z, LEAST(GREATEST(((x0 + w2) + 1800000) * 512 // 3600000, 0), 511) AS cxa, LEAST(GREATEST(((x0 + w) + 1800000) * 512 // 3600000, 0), 511) AS cxb, (511 - LEAST(GREATEST(((y0 + h2) + 900000) * 512 // 1800000, 0), 511)) AS cyf FROM zones WHERE shape = 2 UNION ALL SELECT zone_id AS z, LEAST(GREATEST(((x0) + 1800000) * 512 // 3600000, 0), 511) AS cxa, LEAST(GREATEST(((x0 + w2) + 1800000) * 512 // 3600000, 0), 511) AS cxb, (511 - LEAST(GREATEST(((y0 + h) + 900000) * 512 // 1800000, 0), 511)) AS cyf FROM zones WHERE shape = 2 UNION ALL SELECT zone_id AS z, LEAST(GREATEST(((x0) + 1800000) * 512 // 3600000, 0), 511) AS cxa, LEAST(GREATEST(((x0 + w2) + 1800000) * 512 // 3600000, 0), 511) AS cxb, (511 - LEAST(GREATEST(((y0) + 900000) * 512 // 1800000, 0), 511)) AS cyf FROM zones WHERE shape = 3 UNION ALL SELECT zone_id AS z, LEAST(GREATEST(((x0) + 1800000) * 512 // 3600000, 0), 511) AS cxa, LEAST(GREATEST(((x0 + w2) + 1800000) * 512 // 3600000, 0), 511) AS cxb, (511 - LEAST(GREATEST(((y0 + h2) + 900000) * 512 // 1800000, 0), 511)) AS cyf FROM zones WHERE shape = 3 UNION ALL SELECT zone_id AS z, LEAST(GREATEST(((x0 + w2 + 5000) + 1800000) * 512 // 3600000, 0), 511) AS cxa, LEAST(GREATEST(((x0 + w) + 1800000) * 512 // 3600000, 0), 511) AS cxb, (511 - LEAST(GREATEST(((y0 + h2 + 5000) + 900000) * 512 // 1800000, 0), 511)) AS cyf FROM zones WHERE shape = 3 UNION ALL SELECT zone_id AS z, LEAST(GREATEST(((x0 + w2 + 5000) + 1800000) * 512 // 3600000, 0), 511) AS cxa, LEAST(GREATEST(((x0 + w) + 1800000) * 512 // 3600000, 0), 511) AS cxb, (511 - LEAST(GREATEST(((y0 + h) + 900000) * 512 // 1800000, 0), 511)) AS cyf FROM zones WHERE shape = 3), "
+        "ve AS (SELECT zone_id AS z, LEAST(GREATEST(((x0) + 1800000) * 512 // 3600000, 0), 511) AS cxf, (511 - LEAST(GREATEST(((y0 + h) + 900000) * 512 // 1800000, 0), 511)) AS cya, (511 - LEAST(GREATEST(((y0) + 900000) * 512 // 1800000, 0), 511)) AS cyb FROM zones WHERE shape IN (0, 1) UNION ALL SELECT zone_id AS z, LEAST(GREATEST(((x0 + w) + 1800000) * 512 // 3600000, 0), 511) AS cxf, (511 - LEAST(GREATEST(((y0 + h) + 900000) * 512 // 1800000, 0), 511)) AS cya, (511 - LEAST(GREATEST(((y0) + 900000) * 512 // 1800000, 0), 511)) AS cyb FROM zones WHERE shape IN (0, 1) UNION ALL SELECT zone_id AS z, LEAST(GREATEST(((x0 + w) + 1800000) * 512 // 3600000, 0), 511) AS cxf, (511 - LEAST(GREATEST(((y0 + h2) + 900000) * 512 // 1800000, 0), 511)) AS cya, (511 - LEAST(GREATEST(((y0) + 900000) * 512 // 1800000, 0), 511)) AS cyb FROM zones WHERE shape = 2 UNION ALL SELECT zone_id AS z, LEAST(GREATEST(((x0 + w2) + 1800000) * 512 // 3600000, 0), 511) AS cxf, (511 - LEAST(GREATEST(((y0 + h) + 900000) * 512 // 1800000, 0), 511)) AS cya, (511 - LEAST(GREATEST(((y0 + h2) + 900000) * 512 // 1800000, 0), 511)) AS cyb FROM zones WHERE shape = 2 UNION ALL SELECT zone_id AS z, LEAST(GREATEST(((x0) + 1800000) * 512 // 3600000, 0), 511) AS cxf, (511 - LEAST(GREATEST(((y0 + h) + 900000) * 512 // 1800000, 0), 511)) AS cya, (511 - LEAST(GREATEST(((y0) + 900000) * 512 // 1800000, 0), 511)) AS cyb FROM zones WHERE shape = 2 UNION ALL SELECT zone_id AS z, LEAST(GREATEST(((x0) + 1800000) * 512 // 3600000, 0), 511) AS cxf, (511 - LEAST(GREATEST(((y0 + h2) + 900000) * 512 // 1800000, 0), 511)) AS cya, (511 - LEAST(GREATEST(((y0) + 900000) * 512 // 1800000, 0), 511)) AS cyb FROM zones WHERE shape = 3 UNION ALL SELECT zone_id AS z, LEAST(GREATEST(((x0 + w2) + 1800000) * 512 // 3600000, 0), 511) AS cxf, (511 - LEAST(GREATEST(((y0 + h2) + 900000) * 512 // 1800000, 0), 511)) AS cya, (511 - LEAST(GREATEST(((y0) + 900000) * 512 // 1800000, 0), 511)) AS cyb FROM zones WHERE shape = 3 UNION ALL SELECT zone_id AS z, LEAST(GREATEST(((x0 + w2 + 5000) + 1800000) * 512 // 3600000, 0), 511) AS cxf, (511 - LEAST(GREATEST(((y0 + h) + 900000) * 512 // 1800000, 0), 511)) AS cya, (511 - LEAST(GREATEST(((y0 + h2 + 5000) + 900000) * 512 // 1800000, 0), 511)) AS cyb FROM zones WHERE shape = 3 UNION ALL SELECT zone_id AS z, LEAST(GREATEST(((x0 + w) + 1800000) * 512 // 3600000, 0), 511) AS cxf, (511 - LEAST(GREATEST(((y0 + h) + 900000) * 512 // 1800000, 0), 511)) AS cya, (511 - LEAST(GREATEST(((y0 + h2 + 5000) + 900000) * 512 // 1800000, 0), 511)) AS cyb FROM zones WHERE shape = 3), "
+        "cells AS (SELECT z, unnest(generate_series(cxa, cxb)) AS cx, "
+        "cyf AS cy FROM he "
+        "UNION ALL SELECT z, cxf AS cx, "
+        "unnest(generate_series(cya, cyb)) AS cy FROM ve), "
+        "u AS (SELECT DISTINCT z, cx, cy FROM cells) "
+        "SELECT (cx // 64)::BIGINT AS tx, (cy // 64)::BIGINT AS ty, "
+        "count(*)::BIGINT AS n_burned, "
+        "count(DISTINCT z)::BIGINT AS n_gids FROM u GROUP BY 1, 2"
+    )
+

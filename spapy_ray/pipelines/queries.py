@@ -7293,3 +7293,63 @@ def q_raster_mosaic(sf_dir: str):
 
 
 QUERIES["raster_mosaic"] = q_raster_mosaic
+
+
+def q_rasterize_edges(sf_dir: str):
+    """Burn zone boundary LINES into the 512 world grid (the line
+    half of gdal_rasterize; rasterize_points covers points): zone
+    edges become integer cell-range segments (exact floor arithmetic
+    on the 1e-4 fixed-point bounds), stages/rasterize.burn_cells
+    expands + dedups + folds per tile. Output: per tile, distinct
+    burned (zone, cell) pairs and distinct zones touching it."""
+    import ray.data as rd
+
+    from spapy_ray.sources.zones import U, zone_params
+    from spapy_ray.stages.rasterize import burn_cells
+
+    n = 512
+
+    def cx(v: int) -> int:
+        return min(max((v + 180 * U) * n // (360 * U), 0), n - 1)
+
+    def cy(v: int) -> int:
+        return (n - 1) - min(max((v + 90 * U) * n // (180 * U), 0),
+                             n - 1)
+
+    rows = []
+    for z in range(200):
+        p = zone_params(z)
+        x0, y0, w, h = p["x0"], p["y0"], p["w"], p["h"]
+        w2, h2, shape = p["w2"], p["h2"], p["shape"]
+        if shape in (0, 1):
+            segs = [("h", y0, x0, x0 + w), ("h", y0 + h, x0, x0 + w),
+                    ("v", x0, y0, y0 + h), ("v", x0 + w, y0, y0 + h)]
+        elif shape == 2:
+            segs = [("h", y0, x0, x0 + w),
+                    ("v", x0 + w, y0, y0 + h2),
+                    ("h", y0 + h2, x0 + w2, x0 + w),
+                    ("v", x0 + w2, y0 + h2, y0 + h),
+                    ("h", y0 + h, x0, x0 + w2),
+                    ("v", x0, y0, y0 + h)]
+        else:
+            segs = []
+            for (a, b, c, d) in ((x0, y0, x0 + w2, y0 + h2),
+                                 (x0 + w2 + 5000, y0 + h2 + 5000,
+                                  x0 + w, y0 + h)):
+                segs += [("h", b, a, c), ("h", d, a, c),
+                         ("v", a, b, d), ("v", c, b, d)]
+        for kind, f, a0, a1 in segs:
+            if kind == "h":
+                rows.append((z, cx(a0), cx(a1), cy(f), cy(f)))
+            else:
+                rows.append((z, cx(f), cx(f), cy(a1), cy(a0)))
+
+    arr = np.asarray(rows, dtype=np.int64)
+    segments = rd.from_arrow(pa.table({
+        "gid": pa.array(arr[:, 0]), "cx0": pa.array(arr[:, 1]),
+        "cx1": pa.array(arr[:, 2]), "cy0": pa.array(arr[:, 3]),
+        "cy1": pa.array(arr[:, 4])}))
+    return burn_cells(segments, n=n, tile_size=64)
+
+
+QUERIES["rasterize_edges"] = q_rasterize_edges

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from spapy_ray.kernels import cells
 from spapy_ray.sources.rasters import RasterMeta
@@ -636,3 +637,84 @@ def sample_raster(pts, tiles, meta: RasterMeta, *, dtype: str,
     u = pts.map_batches(p_rows, batch_format="pyarrow").union(
         tiles.map_batches(t_rows, batch_format="pyarrow"))
     return u.groupby("_bkt").map_groups(gather, batch_format="pyarrow")
+
+
+def burn_cells(segments, *, n: int, tile_size: int,
+               buckets: int | None = None):
+    """Burn axis-aligned cell-space segments into the 2^res grid (the
+    line half of gdal_rasterize; rasterize_points is the point half).
+
+    ``segments`` rows: (gid, cx0, cx1, cy0, cy1) with inclusive cell
+    ranges (a segment is one cell wide in one axis; a filled box
+    works too).  Expansion is vectorized (repeat + arange over the
+    range lengths), duplicate (gid, cell) burns collapse in ONE
+    hash(gid) bucket groupby — a feature's overlapping edge corners
+    dedup locally because a gid lives in exactly one bucket — and the
+    per-tile counts fold through per-batch combiner partials.
+
+    Returns Dataset(tx, ty, n_burned, n_gids): distinct burned
+    (gid, cell) pairs and distinct gids touching each tile.
+    """
+    import pandas as pd
+
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    T = tile_size
+
+    def expand(t: pa.Table) -> pa.Table:
+        gid = t.column("gid").to_numpy(zero_copy_only=False)
+        cx0 = t.column("cx0").to_numpy(zero_copy_only=False)
+        cx1 = t.column("cx1").to_numpy(zero_copy_only=False)
+        cy0 = t.column("cy0").to_numpy(zero_copy_only=False)
+        cy1 = t.column("cy1").to_numpy(zero_copy_only=False)
+        nx = cx1 - cx0 + 1
+        ny = cy1 - cy0 + 1
+        reps = nx * ny
+        idx = np.repeat(np.arange(len(gid)), reps)
+        offs = np.concatenate([np.arange(v) for v in reps]) \
+            if len(gid) else np.empty(0, np.int64)
+        ox = offs % np.maximum(nx[idx], 1)
+        oy = offs // np.maximum(nx[idx], 1)
+        cell = (cy0[idx] + oy) * np.int64(n) + (cx0[idx] + ox)
+        return pa.table({
+            "gid": pa.array(gid[idx].astype(np.int64)),
+            "cell": pa.array(cell.astype(np.int64)),
+        })
+
+    cells = segments.map_batches(expand, batch_format="pyarrow")
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["gid", "cell"])
+
+    uniq = bucketed_group_agg(cells, "gid", local, buckets=buckets)
+
+    # tile stats from the deduped (gid, cell) rows: one more bucketed
+    # groupby keyed on the tile (n_gids is a per-tile DISTINCT, so it
+    # cannot fold from additive partials — the tile key must own all
+    # of its rows, which the bucket shuffle guarantees)
+    def tile_rows(t: pa.Table) -> pa.Table:
+        cell = t.column("cell").to_numpy(zero_copy_only=False)
+        gid = t.column("gid").to_numpy(zero_copy_only=False)
+        cx, cy = cell % n, cell // n
+        tk = (cx // T) * np.int64(n) + (cy // T)
+        return pa.table({"tk": pa.array(tk),
+                         "gid": pa.array(gid)})
+
+    def tile_agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("tk", as_index=False, sort=False).agg(
+            n_burned=("gid", "size"), n_gids=("gid", "nunique"))
+
+    tiles = bucketed_group_agg(
+        uniq.map_batches(tile_rows, batch_format="pyarrow"),
+        "tk", tile_agg)
+
+    def shape(t: pa.Table) -> pa.Table:
+        tk = t.column("tk").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tx": pa.array((tk // n).astype(np.int64)),
+            "ty": pa.array((tk % n).astype(np.int64)),
+            "n_burned": pc.cast(t.column("n_burned"), pa.int64()),
+            "n_gids": pc.cast(t.column("n_gids"), pa.int64()),
+        })
+
+    return tiles.map_batches(shape, batch_format="pyarrow")
