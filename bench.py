@@ -355,6 +355,44 @@ def run_stencil() -> dict:
             "tile_size": T, "num_cpus": NUM_CPUS}
 
 
+def run_scan() -> dict:
+    """Band-scan throughput on a large synthetic int raster: the
+    summed-area table (two array scans + carry joins, the heaviest
+    member of the rasterprefix family) over a GSxGS grid of 64-px
+    tiles, consumed with count(). Reports tiles/sec through the
+    whole scan pipeline — the scale datapoint for the session-10
+    prefix-scan machinery (carries are <=512 B/tile, so the number is
+    dominated by the two per-tile map passes, as it should be)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+
+    from spapy_ray.sources.rasters import RasterMeta, synth_dem_dataset
+    from spapy_ray.stages.rasterprefix import integral_image
+
+    GS = int(os.environ.get("GRAFT_SCAN_GRID", "64"))   # 64^2 = 4096 tiles
+    T = 64
+    meta = RasterMeta(width=GS * T, height=GS * T, tile_size=T,
+                      x_min=-180.0, y_max=90.0,
+                      pixel_w=360.0 / (GS * T), pixel_h=-180.0 / (GS * T))
+    ds = synth_dem_dataset(meta, kind="int")
+    t0 = time.time()
+    sat, _ = integral_image(ds, meta, dtype="int32")
+    n = sat.count()
+    dt = time.time() - t0
+    ray.shutdown()
+    return {"metric": "scan_tiles_per_sec",
+            "value": round(n / dt, 1), "unit": "tiles/sec",
+            "tiles": n, "sec": round(dt, 2), "grid": GS,
+            "tile_size": T, "num_cpus": NUM_CPUS}
+
+
 def run_scaling() -> dict:
     """Same job at N and 4N CPUs in fresh processes (sandbox substitute
     for the N vs 4N node criterion; see BASELINE.md for the protocol).
@@ -407,6 +445,8 @@ if __name__ == "__main__":
         print(json.dumps(run_raster_pairs()))
     elif "--stencil" in sys.argv:
         print(json.dumps(run_stencil()))
+    elif "--scan" in sys.argv:
+        print(json.dumps(run_scan()))
     else:
         result = run_scaling() if "--scaling" in sys.argv else run_bench()
         print(json.dumps(result))

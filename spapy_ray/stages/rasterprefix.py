@@ -29,6 +29,16 @@ whatever the raster payload is.
 
 All arithmetic is int64-exact (sentinels at +-2^40), so every
 operator carries a bit-exact DuckDB window-function twin.
+
+Input tiles are consumed TWICE per pass (once by the summary map,
+once by the carry join) — for a parquet-backed raster that is two
+streaming reads, the standard two-pass trade; nothing pins the pixel
+payload.  distance_transform_l1 materializes its row-pass result
+once (two downstream consumers — re-running the whole first pass per
+consumer costs more; graph.pagerank's edge-materialize trade).
+horizon_visibility broadcasts the observer column instead of
+scanning it: O(raster height) int64 via ray.put, the zones-broadcast
+pattern, so the op is ONE scan + ONE carry join.
 """
 
 from __future__ import annotations
@@ -162,6 +172,16 @@ def attach_carries(tiles, carries, *, buckets: int | None = None):
     return hash_join(left, right, on="_tk", buckets=buckets)
 
 
+def _auto_buckets(meta: RasterMeta) -> int:
+    """Bucket count sized to the KNOWN tile count: ~4 tiles per
+    bucket task, clamped to the usual cpu-scaled ceiling — 128
+    near-empty bucket tasks on a 64-tile fixture is pure scheduling
+    overhead (measured 2.4 s -> ~0.8 s per carry join), while a
+    10^7-tile raster still gets the full fan-out."""
+    n = meta.tiles_x * meta.tiles_y
+    return int(min(max(8, n // 4), max(64, cluster_cpus() * 4)))
+
+
 def _summaries(tiles, meta: RasterMeta, dtype: str, fn):
     """Map tiles -> narrow summary rows.  ``fn(arr, tx, ty) -> dict``
     of int64 scalars / int64-array bytes; (band, tx, ty) keys are
@@ -238,6 +258,7 @@ def integral_image(tiles, meta: RasterMeta, *, dtype: str = "int32",
     R and the x-prefix of tile totals come from one x band_scan,
     C and D from one y band_scan over its output."""
     T = meta.tile_size
+    buckets = buckets or _auto_buckets(meta)
 
     def summ(arr, tx, ty):
         return {"rs": _enc(arr.sum(axis=1).cumsum()),
@@ -306,6 +327,7 @@ def distance_transform_l1(tiles, meta: RasterMeta, *, mark_value: int = 0,
     so the shuffle volume is tile_size int64 per tile per pass.
     Distances saturate at SENT_MAX when no mark exists anywhere."""
     T = meta.tile_size
+    buckets = buckets or _auto_buckets(meta)
 
     def summ_row(arr, tx, ty):
         xs = np.arange(tx * T, tx * T + T, dtype=np.int64)
@@ -332,8 +354,11 @@ def distance_transform_l1(tiles, meta: RasterMeta, *, mark_value: int = 0,
         g = np.minimum(xs[None, :] - run_l, run_r - xs[None, :])
         return np.minimum(g, SENT_MAX)
 
+    # two consumers below (column summaries + the carry join) — pin
+    # the row-pass result once instead of re-running the whole first
+    # pass per consumer (same trade as horizon's slope tiles)
     g_tiles = _emit_tiles(attach_carries(tiles, c1, buckets=buckets),
-                          meta, dtype, fin_row)
+                          meta, dtype, fin_row).materialize()
 
     def summ_col(g, tx, ty):
         ys = np.arange(ty * T, ty * T + T, dtype=np.int64)
@@ -376,21 +401,40 @@ def horizon_visibility(tiles, meta: RasterMeta, *, dtype: str = "int32",
     q = trunc((z - z0) << 20 / x) reaches the running max over
     1..x-1 (empty max = -inf, so x = 1 is always visible).
 
-    Two chained band scans along x: a ``bcast0`` scan distributes the
-    observer column z0 down each band, a ``max`` scan distributes the
-    running slope horizon.  Emits int8 tiles (1 = visible, 0 = hidden,
-    column x = 0 fixed at 0 = the observer itself, excluded)."""
+    The observer column is O(raster height) int64 — it broadcasts
+    whole (one narrow filter pass over the tx == 0 tiles, ray.put,
+    read in every map task; the zones-broadcast pattern), so the only
+    shuffled state is the running-slope max: ONE band scan + ONE
+    carry join.  Returns per-tile (n_visible, sum_q_visible)."""
+    import ray
+
     T = meta.tile_size
+    buckets = buckets or _auto_buckets(meta)
 
-    def summ_z0(arr, tx, ty):
-        return {"z0": _enc(arr[:, 0])}
+    def z0_rows(t: pa.Table) -> pa.Table:
+        tx = t.column("tx").to_numpy(zero_copy_only=False)
+        keep = tx == 0
+        t = t.filter(pa.array(keep))
+        tys = t.column("ty").to_numpy(zero_copy_only=False)
+        bands = t.column("band").to_numpy(zero_copy_only=False)
+        cols = [decode_tile(b, dtype, T).astype(np.int64)[:, 0]
+                for b in t.column("data").to_pylist()]
+        return pa.table({
+            "band": pa.array(bands.astype(np.int64)),
+            "ty": pa.array(tys.astype(np.int64)),
+            "z0": pa.array([_enc(c) for c in cols], type=pa.binary()),
+        })
 
-    c_z0 = band_scan(_summaries(tiles, meta, dtype, summ_z0),
-                     band_col="_ty", pos_col="_tx",
-                     fields={"z0": ("bcast0", "fwd")}, buckets=buckets)
-    with_z0 = attach_carries(tiles, c_z0, buckets=buckets)
+    zt = {}
+    for b in tiles.map_batches(z0_rows, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for band, ty, buf in zip(b.column("band").to_pylist(),
+                                 b.column("ty").to_pylist(),
+                                 b.column("z0").to_pylist()):
+            zt[(band, ty)] = _dec(buf)
+    z0_ref = ray.put(zt)
 
-    def qslope(arr, z0, tx):
+    def qslope_tile(arr, z0, tx):
         xs = np.arange(tx * T, tx * T + T, dtype=np.int64)[None, :]
         d = (arr - z0[:, None]) << HORIZON_SHIFT
         q = _tdiv(d, np.maximum(xs, 1))
@@ -398,44 +442,40 @@ def horizon_visibility(tiles, meta: RasterMeta, *, dtype: str = "int32",
             q[:, 0] = SENT_MIN          # the observer never occludes
         return q
 
-    def q_and_summ(t: pa.Table) -> pa.Table:
+    def summ_q(t: pa.Table, _ref=z0_ref) -> pa.Table:
+        zmap = ray.get(_ref)
         txs = t.column("tx").to_numpy(zero_copy_only=False)
         tys = t.column("ty").to_numpy(zero_copy_only=False)
         bands = t.column("band").to_numpy(zero_copy_only=False)
-        z0s = t.column("z0").to_pylist()
-        qs, mx = [], []
+        mx = []
         for i, buf in enumerate(t.column("data").to_pylist()):
             arr = decode_tile(buf, dtype, T).astype(np.int64)
-            q = qslope(arr, _dec(z0s[i]), int(txs[i]))
-            qs.append(_enc(q))
+            q = qslope_tile(arr, zmap[(int(bands[i]), int(tys[i]))],
+                            int(txs[i]))
             mx.append(_enc(q.max(axis=1)))
         return pa.table({
-            "tx": pa.array(txs, type=pa.int32()),
-            "ty": pa.array(tys, type=pa.int32()),
-            "band": pa.array(bands, type=pa.int32()),
-            "data": pa.array(qs, type=pa.binary()),
             "_band": pa.array(bands.astype(np.int64)),
             "_tx": pa.array(txs.astype(np.int64)),
             "_ty": pa.array(tys.astype(np.int64)),
             "qmax": pa.array(mx, type=pa.binary()),
         })
 
-    q_tiles = with_z0.map_batches(
-        q_and_summ, batch_format="pyarrow").materialize()
-    summaries = q_tiles.select_columns(["_band", "_tx", "_ty", "qmax"])
+    summaries = tiles.map_batches(summ_q, batch_format="pyarrow")
     c_max = band_scan(summaries, band_col="_ty", pos_col="_tx",
                       fields={"qmax": ("max", "fwd")}, buckets=buckets)
-    joined = attach_carries(
-        q_tiles.select_columns(["tx", "ty", "band", "data"]), c_max,
-        buckets=buckets)
+    joined = attach_carries(tiles, c_max, buckets=buckets)
 
-    def fin_stats(t: pa.Table) -> pa.Table:
+    def fin_stats(t: pa.Table, _ref=z0_ref) -> pa.Table:
+        zmap = ray.get(_ref)
         txs = t.column("tx").to_numpy(zero_copy_only=False)
         tys = t.column("ty").to_numpy(zero_copy_only=False)
+        bands = t.column("band").to_numpy(zero_copy_only=False)
         carries = t.column("qmax").to_pylist()
         nvis, sq = [], []
         for i, buf in enumerate(t.column("data").to_pylist()):
-            q = _dec(buf).reshape(T, T)
+            arr = decode_tile(buf, dtype, T).astype(np.int64)
+            q = qslope_tile(arr, zmap[(int(bands[i]), int(tys[i]))],
+                            int(txs[i]))
             prev = np.empty_like(q)
             prev[:, 0] = _dec(carries[i])
             np.maximum.accumulate(q[:, :-1], axis=1, out=prev[:, 1:])
