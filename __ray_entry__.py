@@ -201,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_dispersion": o.q_zone_dispersion(),
         "raster_mosaic": o.q_raster_mosaic(),
         "rasterize_edges": o.q_rasterize_edges(),
+        "importance_sample": o.q_importance_sample(),
         "domain_stats": o.q_domain_stats(),
         "bpe_tokens": o.q_bpe_tokens(),
         "docs_repetition": o.q_docs_repetition(),

@@ -4922,3 +4922,20 @@ def q_rasterize_edges() -> str:
         "count(DISTINCT z)::BIGINT AS n_gids FROM u GROUP BY 1, 2"
     )
 
+
+
+def q_importance_sample() -> str:
+    """Twin of queries.q_importance_sample: same string-keyed FNV,
+    same p = qty100 * 20 / 100000 keep rule."""
+    h = sql_fnv1a("CAST(l_orderkey * 16 + l_linenumber AS VARCHAR)")
+    return (
+        "WITH t AS (SELECT l_returnflag, "
+        "CAST(round(l_quantity * 100.0) AS BIGINT) AS q, "
+        f"(CASE WHEN (({h}) % 100000) < "
+        "CAST(round(l_quantity * 100.0) AS BIGINT) * 20 "
+        "THEN 1 ELSE 0 END)::BIGINT AS k FROM lineitem) "
+        "SELECT l_returnflag, count(*)::BIGINT AS n_total, "
+        "sum(k)::BIGINT AS n_kept, sum(q)::BIGINT AS qty100_total, "
+        "sum(q * k)::BIGINT AS qty100_kept FROM t "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )

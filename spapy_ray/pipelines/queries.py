@@ -7353,3 +7353,49 @@ def q_rasterize_edges(sf_dir: str):
 
 
 QUERIES["rasterize_edges"] = q_rasterize_edges
+
+
+def q_importance_sample(sf_dir: str):
+    """Deterministic importance sampling (the data-mixing primitive:
+    keep a row with probability proportional to its weight, decided
+    by a hash — reproducible across runs and engines, no RNG state):
+    lineitem rows keep iff fnv(key) % 100000 < qty100 * 20 (p =
+    quantity/50). Per-returnflag audit of kept rows vs totals; the
+    expected-vs-actual ratio is the sampler's own bias check."""
+    ev = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from spapy_ray.kernels.hashing import fnv1a64
+
+        key = (t.column("l_orderkey").to_numpy(zero_copy_only=False)
+               .astype(np.int64) * 16
+               + t.column("l_linenumber").to_numpy(zero_copy_only=False))
+        h = fnv1a64(pa.array(key.astype(str)))
+        q100 = np.rint(t.column("l_quantity")
+                       .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        keep = (h % np.uint64(100000)).astype(np.int64) < q100 * 20
+        rf = t.column("l_returnflag").to_pandas()
+        df = pd.DataFrame({"l_returnflag": rf, "q": q100,
+                           "k": keep.astype(np.int64),
+                           "qk": np.where(keep, q100, 0)})
+        g = df.groupby("l_returnflag", sort=False).agg(
+            n_total=("k", "size"), n_kept=("k", "sum"),
+            qty100_total=("q", "sum"),
+            qty100_kept=("qk", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    cols = ["n_total", "n_kept", "qty100_total", "qty100_kept"]
+    out = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_returnflag") \
+        .aggregate(*[Sum(c, alias_name=c) for c in cols]).to_pandas()
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+QUERIES["importance_sample"] = q_importance_sample
