@@ -4939,3 +4939,25 @@ def q_importance_sample() -> str:
         "sum(q * k)::BIGINT AS qty100_kept FROM t "
         "GROUP BY l_returnflag ORDER BY l_returnflag"
     )
+
+
+def q_raster_trend(k: int = 4) -> str:
+    """Twin of queries.q_raster_trend: the same integer slope
+    numerator over the four salted surfaces per pixel."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    vs = [f"({sql_dem_int('px', 'py', s)})::BIGINT" for s in range(k)]
+    sv = " + ".join(vs)
+    stv = " + ".join(f"{t} * {v}" for t, v in enumerate(vs))
+    st = sum(range(k))
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"v AS (SELECT px, py, {k} * ({stv}) - {st} * ({sv}) "
+        "AS sn FROM px) "
+        "SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+        "sum(sn)::BIGINT AS sum_slope_num, "
+        "sum(CASE WHEN sn > 0 THEN 1 ELSE 0 END)::BIGINT AS n_rising, "
+        "sum(CASE WHEN sn < 0 THEN 1 ELSE 0 END)::BIGINT AS n_falling "
+        "FROM v GROUP BY 1, 2"
+    )

@@ -7399,3 +7399,46 @@ def q_importance_sample(sf_dir: str):
 
 
 QUERIES["importance_sample"] = q_importance_sample
+
+
+def q_raster_trend(sf_dir: str, k: int = 4):
+    """Per-pixel temporal trend over a 4-epoch raster stack (change
+    detection): slope numerator n*sum(t*v) - sum(t)*sum(v) per pixel,
+    exact int64 (denominator is the constant n*sum(t^2) - sum(t)^2 =
+    20) — raster.tile_stack_fold co-locates all epochs of a tile in
+    ONE bucketed shuffle. Per-tile sum / rising / falling counts."""
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.raster import decode_tile, tile_stack_fold
+
+    stack = [synth_dem_dataset(DEM_META, kind="int", salt=s)
+             for s in range(k)]
+    st = np.arange(k, dtype=np.int64).sum()
+
+    def slope_num(arrs):
+        sv = sum(arrs)
+        stv = sum(t * a for t, a in enumerate(arrs))
+        return k * stv - st * sv
+
+    tiles = tile_stack_fold(stack, k, slope_num, dtype="int32",
+                            tile_size=DEM_META.tile_size)
+    T = DEM_META.tile_size
+
+    def stats(t: pa.Table) -> pa.Table:
+        s, up, dn = [], [], []
+        for buf in t.column("data").to_pylist():
+            a = decode_tile(buf, "int64", T)
+            s.append(int(a.sum()))
+            up.append(int((a > 0).sum()))
+            dn.append(int((a < 0).sum()))
+        return pa.table({
+            "tx": pc.cast(t.column("tx"), pa.int64()),
+            "ty": pc.cast(t.column("ty"), pa.int64()),
+            "sum_slope_num": pa.array(s, type=pa.int64()),
+            "n_rising": pa.array(up, type=pa.int64()),
+            "n_falling": pa.array(dn, type=pa.int64()),
+        })
+
+    return tiles.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["raster_trend"] = q_raster_trend

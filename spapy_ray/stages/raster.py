@@ -1956,3 +1956,61 @@ def strahler_stats(ds, meta: RasterMeta, *,
             "n_cells": t.column("n_cells").cast(pa.int64())})
 
     return folded.map_batches(decode, batch_format="pyarrow")
+
+
+def tile_stack_fold(stack, k: int, fold_fn, *, dtype: str,
+                    tile_size: int, out_dtype: str = "int64",
+                    block: int = 8):
+    """Temporal/multi-source raster stack fold: ``stack`` is a list of
+    k co-gridded tile tables (epochs of a time series, sensors of a
+    collection); each (tx, ty, band) cell folds its k tiles through
+    ``fold_fn([arr_0..arr_{k-1}]) -> arr`` (epoch order preserved).
+
+    The k-way generalization of tile_binary_math's shuffle join:
+    every side tags epoch + the (tx//block, ty//block, band)
+    super-block key, ONE union + ONE bucketed groupby co-locates all
+    k epochs of a tile, and each group folds its <= k*block^2 rows in
+    one call — never a per-tile Python group (the near-singleton
+    anti-pattern)."""
+    def tag(epoch: int):
+        def _t(t: pa.Table) -> pa.Table:
+            tx = t.column("tx").to_numpy().astype(np.int64)
+            ty = t.column("ty").to_numpy().astype(np.int64)
+            band = t.column("band").to_numpy().astype(np.int64)
+            bk = (((tx // block) << np.int64(24))
+                  ^ ((ty // block) << np.int64(4)) ^ band)
+            t = t.select(["tx", "ty", "band", "data"])
+            t = t.append_column("bk__", pa.array(bk))
+            return t.append_column("ep__", pa.array(
+                np.full(len(t), epoch, dtype=np.int8)))
+        return _t
+
+    u = stack[0].map_batches(tag(0), batch_format="pyarrow")
+    for e in range(1, k):
+        u = u.union(stack[e].map_batches(tag(e), batch_format="pyarrow"))
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tx", "ty", "band", "ep__"], kind="stable")
+        n = len(g)
+        if n % k:
+            raise ValueError("stack fold expects exactly k tiles per "
+                             "(tx, ty, band) key")
+        keys = g[["tx", "ty", "band"]].to_numpy()
+        eps = g["ep__"].to_numpy()
+        if not (keys[0::k] == keys[k - 1::k]).all() \
+                or not (eps.reshape(-1, k)
+                        == np.arange(k, dtype=np.int8)).all():
+            raise ValueError("stack fold: missing or duplicate epoch "
+                             "for some tile")
+        data = g["data"].to_numpy()
+        out = []
+        for i in range(0, n, k):
+            arrs = [decode_tile(data[i + e], dtype, tile_size)
+                    .astype(np.int64) for e in range(k)]
+            out.append(np.ascontiguousarray(
+                fold_fn(arrs).astype(np.dtype(out_dtype))).tobytes())
+        return pd.DataFrame({"tx": keys[0::k, 0], "ty": keys[0::k, 1],
+                             "band": keys[0::k, 2], "data": out})
+
+    return u.groupby("bk__").map_groups(bucket_fold,
+                                        batch_format="pandas")
