@@ -203,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_edges": o.q_rasterize_edges(),
         "importance_sample": o.q_importance_sample(),
         "raster_trend": o.q_raster_trend(),
+        "events_dense_rank": o.q_events_dense_rank(),
         "domain_stats": o.q_domain_stats(),
         "bpe_tokens": o.q_bpe_tokens(),
         "docs_repetition": o.q_docs_repetition(),

@@ -4961,3 +4961,14 @@ def q_raster_trend(k: int = 4) -> str:
         "sum(CASE WHEN sn < 0 THEN 1 ELSE 0 END)::BIGINT AS n_falling "
         "FROM v GROUP BY 1, 2"
     )
+
+
+def q_events_dense_rank() -> str:
+    """Twin of queries.q_events_dense_rank."""
+    return (
+        "SELECT event_id, event_type, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents, "
+        "dense_rank() OVER (PARTITION BY event_type "
+        "ORDER BY CAST(floor(value * 100.0 + 0.5) AS BIGINT))"
+        "::BIGINT AS vrank FROM events"
+    )

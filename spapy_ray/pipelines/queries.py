@@ -7442,3 +7442,30 @@ def q_raster_trend(sf_dir: str, k: int = 4):
 
 
 QUERIES["raster_trend"] = q_raster_trend
+
+
+def q_events_dense_rank(sf_dir: str):
+    """DENSE_RANK of the value (cents) within each event type — the
+    remaining standard window function (rank by VALUE with shared
+    tie ranks, no gaps), one hash-bucket shuffle like every
+    window_over kind."""
+    from spapy_ray.stages.window import window_over
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t.column("value"), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "cents": cents})
+
+    return window_over(ev.map_batches(prep, batch_format="pyarrow"),
+                       key_col="event_type", order_cols=["event_id"],
+                       keep_cols=["cents"],
+                       ops=[("vrank", "dense_rank", "cents")])
+
+
+QUERIES["events_dense_rank"] = q_events_dense_rank

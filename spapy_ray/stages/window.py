@@ -28,7 +28,8 @@ import pandas as pd
 # rolling sum is spelled "rolling_sum:<width>" (ROWS width-1 PRECEDING
 # AND CURRENT ROW)
 KINDS = ("row_number", "lag", "lead", "cumsum", "cummax", "cummin",
-         "delta", "rolling_sum", "group_size", "ewma_num", "ewma_den")
+         "delta", "rolling_sum", "group_size", "ewma_num", "ewma_den",
+         "dense_rank")
 
 
 def window_over(ds, *, key_col: str, order_cols: list[str],
@@ -122,6 +123,13 @@ def window_over(ds, *, key_col: str, order_cols: list[str],
                 if v.dtype.kind in "iu":
                     rs = rs.astype(v.dtype)
                 out[name] = rs
+            elif kind == "dense_rank":
+                # rank by the src VALUE (ascending, ties share a
+                # rank, no gaps) — DENSE_RANK() OVER (PARTITION BY
+                # key ORDER BY src); value-determined, so it needs no
+                # unique ordering to be deterministic
+                out[name] = gb[src].rank(method="dense") \
+                    .to_numpy().astype(np.int64)
             elif kind.startswith("ewma_"):
                 # exact dyadic-weight EWMA over the last K rows:
                 # num = sum_j v[i-j] * 2^(K-1-j), den = 2^K -
