@@ -204,6 +204,8 @@ def oracle_sql() -> dict[str, str]:
         "importance_sample": o.q_importance_sample(),
         "raster_trend": o.q_raster_trend(),
         "events_dense_rank": o.q_events_dense_rank(),
+        "raster_morphology": o.q_raster_morphology(),
+        "cost_distance": o.q_cost_distance(),
         "domain_stats": o.q_domain_stats(),
         "bpe_tokens": o.q_bpe_tokens(),
         "docs_repetition": o.q_docs_repetition(),

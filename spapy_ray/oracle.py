@@ -4972,3 +4972,68 @@ def q_events_dense_rank() -> str:
         "ORDER BY CAST(floor(value * 100.0 + 0.5) AS BIGINT))"
         "::BIGINT AS vrank FROM events"
     )
+
+
+def q_raster_morphology() -> str:
+    """Twin of queries.q_raster_morphology: LEAST/GREATEST over the 9
+    edge-clamped neighbors (v >= 0, so erosion == window max = 0 and
+    dilation == window min = 0)."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    def cl(e: str) -> str:
+        return f"LEAST(GREATEST({e}, 0), 511)"
+
+    nine = [sql_dem_int(cl(f"px + {dx}"), cl(f"py + {dy}"), 0)
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    g9 = ", ".join(f"({v})" for v in nine)
+    c = sql_dem_int("px", "py", 0)
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"v AS (SELECT px, py, ({c}) AS c, GREATEST({g9}) AS mx, "
+        f"LEAST({g9}) AS mn FROM px) "
+        "SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+        "sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)::BIGINT AS n_marks, "
+        "sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END)::BIGINT AS n_eroded, "
+        "sum(CASE WHEN mn = 0 THEN 1 ELSE 0 END)::BIGINT AS n_dilated "
+        "FROM v GROUP BY 1, 2"
+    )
+
+
+def q_cost_distance(rounds: int = 8, sent: int = 1 << 40) -> str:
+    """Twin of queries.q_cost_distance: unrolled MATERIALIZED
+    min-plus rounds with window-lag neighbors (a missing neighbor
+    coalesces to self — the same no-op as the engine's
+    edge-replicated apron)."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    z = sql_dem_int("px", "py", 0)
+    parts = [
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"c0 AS MATERIALIZED (SELECT px, py, ({z})::BIGINT AS v, "
+        f"(CASE WHEN ({z}) = 0 THEN 0 ELSE {sent} END)::BIGINT AS c "
+        "FROM px)"
+    ]
+    for r in range(1, rounds + 1):
+        p = f"c{r-1}"
+        nb = [
+            f"COALESCE(lag(c) OVER (PARTITION BY py ORDER BY px), c)",
+            f"COALESCE(lead(c) OVER (PARTITION BY py ORDER BY px), c)",
+            f"COALESCE(lag(c) OVER (PARTITION BY px ORDER BY py), c)",
+            f"COALESCE(lead(c) OVER (PARTITION BY px ORDER BY py), c)",
+        ]
+        terms = ", ".join(f"{e} + v + 1" for e in nb)
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT px, py, v, "
+            f"LEAST(c, {terms})::BIGINT AS c FROM {p})")
+    return (
+        ", ".join(parts)
+        + f" SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+        f"sum(CASE WHEN c < {sent} THEN 1 ELSE 0 END)::BIGINT "
+        "AS n_reached, "
+        f"sum(CASE WHEN c < {sent} THEN c ELSE 0 END)::BIGINT "
+        "AS sum_cost, "
+        f"COALESCE(max(CASE WHEN c < {sent} THEN c END), -1)::BIGINT "
+        f"AS max_cost FROM c{rounds} GROUP BY 1, 2"
+    )

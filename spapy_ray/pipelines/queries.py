@@ -7469,3 +7469,88 @@ def q_events_dense_rank(sf_dir: str):
 
 
 QUERIES["events_dense_rank"] = q_events_dense_rank
+
+
+def q_raster_morphology(sf_dir: str):
+    """Binary morphology on the DEM's zero-mask (gdal sieve/morphology
+    operator class): with v >= 0, 3x3 erosion == (window max == 0)
+    and dilation == (window min == 0) — two pure min/max stencils off
+    ONE shared halo exchange (stencil_op_multi). Per-tile mark /
+    eroded / dilated counts; twin = LEAST/GREATEST over the 9
+    edge-clamped neighbors."""
+    from spapy_ray.stages.raster import decode_tile, stencil_op_multi
+
+    ds, meta = _dem()
+    T = meta.tile_size
+
+    def win_max(pad):
+        return np.max([pad[dy:dy + T, dx:dx + T]
+                       for dy in range(3) for dx in range(3)], axis=0)
+
+    def win_min(pad):
+        return np.min([pad[dy:dy + T, dx:dx + T]
+                       for dy in range(3) for dx in range(3)], axis=0)
+
+    multi = stencil_op_multi(ds, meta,
+                             {"wmax": win_max, "wmin": win_min,
+                              "c": lambda pad: pad[1:-1, 1:-1]},
+                             dtype="int32")
+
+    def stats(t: pa.Table) -> pa.Table:
+        nm, ne, nd = [], [], []
+        for i in range(t.num_rows):
+            mx = decode_tile(t.column("data_wmax")[i].as_py(),
+                             "float32", T)
+            mn = decode_tile(t.column("data_wmin")[i].as_py(),
+                             "float32", T)
+            c = decode_tile(t.column("data_c")[i].as_py(),
+                            "float32", T)
+            nm.append(int((c == 0).sum()))
+            ne.append(int((mx == 0).sum()))
+            nd.append(int((mn == 0).sum()))
+        return pa.table({
+            "tx": pc.cast(t.column("tx"), pa.int64()),
+            "ty": pc.cast(t.column("ty"), pa.int64()),
+            "n_marks": pa.array(nm, type=pa.int64()),
+            "n_eroded": pa.array(ne, type=pa.int64()),
+            "n_dilated": pa.array(nd, type=pa.int64()),
+        })
+
+    return multi.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["raster_morphology"] = q_raster_morphology
+
+
+def q_cost_distance(sf_dir: str, rounds: int = 8):
+    """Weighted cost-distance from the DEM's zero pixels, 8 min-plus
+    relaxation rounds (raster.cost_distance — one halo stencil per
+    round over the packed cost*512+value field). Per-tile reached
+    count, cost sum and max over reached pixels."""
+    from spapy_ray.stages.raster import cost_distance, decode_tile
+
+    ds, meta = _dem()
+    field = cost_distance(ds, meta, rounds=rounds, dtype="int32")
+    T = meta.tile_size
+    SENT = 1 << 40
+
+    def stats(t: pa.Table) -> pa.Table:
+        nr, sc, mc = [], [], []
+        for buf in t.column("data").to_pylist():
+            c = decode_tile(buf, "int64", T) // 512
+            r = c < SENT
+            nr.append(int(r.sum()))
+            sc.append(int(c[r].sum()))
+            mc.append(int(c[r].max()) if r.any() else -1)
+        return pa.table({
+            "tx": pc.cast(t.column("tx"), pa.int64()),
+            "ty": pc.cast(t.column("ty"), pa.int64()),
+            "n_reached": pa.array(nr, type=pa.int64()),
+            "sum_cost": pa.array(sc, type=pa.int64()),
+            "max_cost": pa.array(mc, type=pa.int64()),
+        })
+
+    return field.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["cost_distance"] = q_cost_distance

@@ -2014,3 +2014,50 @@ def tile_stack_fold(stack, k: int, fold_fn, *, dtype: str,
 
     return u.groupby("bk__").map_groups(bucket_fold,
                                         batch_format="pandas")
+
+
+def cost_distance(ds, meta: RasterMeta, *, rounds: int,
+                  mark_value: float = 0, dtype: str = "int32",
+                  sent: int = 1 << 40, block: int | None = None):
+    """Iterative 4-neighbor min-plus relaxation (the gdal
+    cost-distance operator class): sources are the ``mark_value``
+    pixels at cost 0; each round applies
+
+        c'(p) = min(c(p), min_{q in N4(p)} c(q) + value(p) + 1)
+
+    so after ``rounds`` rounds every pixel holds the EXACT minimum
+    accumulated cost over paths of <= rounds steps (unreached pixels
+    stay at the ``sent`` sentinel).  Each round is ONE halo stencil
+    (stencil_op) over a PACKED int64 field (cost * 512 + value, for
+    values in [0, 512)) — cost and terrain ride one exchange, and the
+    edge-replicated apron is a no-op for min-plus (clamped neighbor
+    == self, and the step weight is >= 1).  The iterative sibling of
+    rasterprefix.distance_transform_l1 (which solves the unweighted
+    case in exactly two passes)."""
+    T = meta.tile_size
+
+    def init(t: pa.Table) -> pa.Table:
+        bufs = []
+        for b in t.column("data").to_pylist():
+            v = decode_tile(b, dtype, T).astype(np.int64)
+            if (v < 0).any() or (v >= 512).any():
+                raise ValueError("cost_distance packs values in "
+                                 "[0, 512)")
+            c0 = np.where(v == mark_value, 0, sent)
+            bufs.append(np.ascontiguousarray(c0 * 512 + v).tobytes())
+        return t.set_column(t.schema.get_field_index("data"), "data",
+                            pa.array(bufs, type=pa.binary()))
+
+    def relax(pad):
+        c = pad // 512
+        w = pad[1:-1, 1:-1] % 512 + 1
+        m4 = np.minimum(np.minimum(c[:-2, 1:-1], c[2:, 1:-1]),
+                        np.minimum(c[1:-1, :-2], c[1:-1, 2:]))
+        nc = np.minimum(c[1:-1, 1:-1], m4 + w)
+        return nc * 512 + pad[1:-1, 1:-1] % 512
+
+    field = ds.map_batches(init, batch_format="pyarrow")
+    for _ in range(rounds):
+        field = stencil_op(field, meta, relax, dtype="int64",
+                           out_dtype="int64", block=block)
+    return field
