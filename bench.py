@@ -84,7 +84,10 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # similarity; bounded Bellman-Ford)
                  "raster_integral", "raster_dt", "raster_horizon",
                  "line_of_sight", "events_ewma", "docs_cosine_pairs",
-                 "cust_shortest_paths"]
+                 "cust_shortest_paths",
+                 # session-10 late additions (k-epoch stack fold,
+                 # iterative min-plus cost distance)
+                 "raster_trend", "cost_distance"]
 
 
 def _consume(res) -> int:
