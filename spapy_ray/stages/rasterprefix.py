@@ -130,6 +130,8 @@ def band_scan(summaries, *, band_col: str, pos_col: str,
     group_keys = [band_col] + (["_band"] if band_col != "_band" else [])
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:                     # empty bucket block
+            return g.drop(columns=["_bkt"])
         parts = []
         for _, sub in g.groupby(group_keys, sort=False):
             sub = sub.sort_values(pos_col, kind="mergesort")
@@ -192,6 +194,19 @@ def _summaries(tiles, meta: RasterMeta, dtype: str, fn):
         raise ValueError("prefix scans require tile-aligned rasters")
 
     def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # derive the field schema from a probe tile so empty
+            # blocks keep the full schema (schema-less empties make
+            # the executor re-derive schemas downstream)
+            probe = fn(np.zeros((T, T), dtype=np.int64), 0, 0)
+            out = {"_band": pa.array([], pa.int64()),
+                   "_tx": pa.array([], pa.int64()),
+                   "_ty": pa.array([], pa.int64())}
+            for k, v in probe.items():
+                out[k] = pa.array([], pa.binary()
+                                  if isinstance(v, bytes)
+                                  else pa.int64())
+            return pa.table(out)
         txs = t.column("tx").to_numpy(zero_copy_only=False)
         tys = t.column("ty").to_numpy(zero_copy_only=False)
         bands = t.column("band").to_numpy(zero_copy_only=False)
