@@ -841,6 +841,8 @@ def sssp_minplus(pairs, sources, *, rounds: int, mod: int = 97,
 
     nodes = np.unique(np.asarray(sources, dtype=np.int64))
     dists = np.zeros(len(nodes), dtype=np.int64)
+    if not len(nodes):                    # no sources: nothing reaches
+        return pd.DataFrame({"node": nodes, "dist": dists})
 
     for _ in range(rounds):
         ref = ray.put((nodes, dists))

@@ -612,9 +612,13 @@ def sample_raster(pts, tiles, meta: RasterMeta, *, dtype: str,
         if len(pt) == 0:
             return pt.select(pnames).append_column(
                 out_col, pa.array([], type=out_type))
+        tks = tl.column("_tk").to_pylist()
+        if len(set(tks)) != len(tks):
+            raise ValueError("sample_raster: duplicate tile key — "
+                             "multi-band rasters need a band filter "
+                             "before sampling (keys are (tx, ty))")
         arrs = {int(k): decode_tile(bf, dtype, T).ravel()
-                for k, bf in zip(tl.column("_tk").to_pylist(),
-                                 tl.column("_data").to_pylist())}
+                for k, bf in zip(tks, tl.column("_data").to_pylist())}
         px = pt.column(px_col).to_numpy(zero_copy_only=False)
         py = pt.column(py_col).to_numpy(zero_copy_only=False)
         tk = ((px // T) * np.int64(1 << 21) + (py // T)).astype(np.int64)
@@ -669,6 +673,11 @@ def burn_cells(segments, *, n: int, tile_size: int,
         cy1 = t.column("cy1").to_numpy(zero_copy_only=False)
         nx = cx1 - cx0 + 1
         ny = cy1 - cy0 + 1
+        if len(nx) and (min(nx.min(), ny.min()) < 1
+                        or cx0.min() < 0 or cy0.min() < 0
+                        or cx1.max() >= n or cy1.max() >= n):
+            raise ValueError("burn_cells: segment ranges must be "
+                             "ascending and inside the grid")
         reps = nx * ny
         idx = np.repeat(np.arange(len(gid)), reps)
         offs = np.concatenate([np.arange(v) for v in reps]) \
