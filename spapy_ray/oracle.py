@@ -5037,3 +5037,19 @@ def q_cost_distance(rounds: int = 8, sent: int = 1 << 40) -> str:
         f"COALESCE(max(CASE WHEN c < {sent} THEN c END), -1)::BIGINT "
         f"AS max_cost FROM c{rounds} GROUP BY 1, 2"
     )
+
+
+def q_zonal_argmax() -> str:
+    """Twin of queries.q_zonal_argmax: the same packed-key MIN over
+    the pixel-zone membership join."""
+    return (
+        f"WITH {_pixel_grid_cte()}, zones AS ({sql_zones_cte()}), "
+        "j AS (SELECT z.zone_id, (511 - g.z) * 4398046511104 "
+        "+ g.py * 2097152 + g.px AS k FROM grid g CROSS JOIN zones z "
+        f"WHERE {sql_pip_condition('g.lon', 'g.lat')}), "
+        "m AS (SELECT zone_id, min(k) AS k FROM j GROUP BY 1) "
+        "SELECT zone_id::BIGINT AS zone_id, "
+        "(511 - k // 4398046511104)::BIGINT AS max_z, "
+        "((k // 2097152) % 2097152)::BIGINT AS at_py, "
+        "(k % 2097152)::BIGINT AS at_px FROM m"
+    )

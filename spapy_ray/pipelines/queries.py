@@ -7554,3 +7554,67 @@ def q_cost_distance(sf_dir: str, rounds: int = 8):
 
 
 QUERIES["cost_distance"] = q_cost_distance
+
+
+def q_zonal_argmax(sf_dir: str):
+    """Zonal max-location (the 'zonal statistics as table' max +
+    its pixel coordinates): per zone, the highest DEM value and WHERE
+    it sits, ties to the smallest (py, px). One packed int64 key
+    (511 - v)*2^42 + py*2^21 + px makes argmax a plain mergeable MIN
+    — per-tile partials through the broadcast ZoneIndex, one tiny
+    groupby, no second pass to locate the winner."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from spapy_ray.sources.rasters import tile_pixels
+    from spapy_ray.sources.zones import zones_table
+    from spapy_ray.stages.join import ZoneIndex
+    from spapy_ray.stages.raster import decode_tile
+    from spapy_ray.util import cached_state
+
+    ds, meta = _dem()
+    box = (ray.put(zones_table()),)
+    T = meta.tile_size
+
+    def partial(t: pa.Table) -> pa.Table:
+        index = cached_state(box, ZoneIndex)
+        txs = t.column("tx").to_numpy(zero_copy_only=False)
+        tys = t.column("ty").to_numpy(zero_copy_only=False)
+        zid, best = [], []
+        for i, buf in enumerate(t.column("data").to_pylist()):
+            a = decode_tile(buf, "int32", T).astype(np.int64)
+            gx, gy = tile_pixels(meta, int(txs[i]), int(tys[i]))
+            lon, lat = meta.pixel_center_lonlat(gx.ravel(), gy.ravel())
+            pi, zi = index.query(lon, lat)
+            if len(pi) == 0:
+                continue
+            v = a.ravel()[pi]
+            key = ((511 - v) * np.int64(1 << 42)
+                   + gy.ravel()[pi] * np.int64(1 << 21)
+                   + gx.ravel()[pi])
+            order = np.argsort(zi, kind="stable")
+            zi, key = zi[order], key[order]
+            uz, starts = np.unique(zi, return_index=True)
+            mins = np.minimum.reduceat(key, starts)
+            zid.extend(int(index.zone_ids[u]) for u in uz)
+            best.extend(int(m) for m in mins)
+        return pa.table({"zone_id": pa.array(zid, type=pa.int64()),
+                         "k": pa.array(best, type=pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=16, zero_copy_batch=True) \
+        .groupby("zone_id").aggregate(Min("k", alias_name="k"))
+
+    def decode(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "zone_id": pc.cast(t.column("zone_id"), pa.int64()),
+            "max_z": pa.array(511 - (k >> 42)),
+            "at_py": pa.array((k >> 21) & ((1 << 21) - 1)),
+            "at_px": pa.array(k & ((1 << 21) - 1)),
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+QUERIES["zonal_argmax"] = q_zonal_argmax
