@@ -5053,3 +5053,23 @@ def q_zonal_argmax() -> str:
         "((k // 2097152) % 2097152)::BIGINT AS at_py, "
         "(k % 2097152)::BIGINT AS at_px FROM m"
     )
+
+
+def q_raster_nodata_stats(nodata: int = 255) -> str:
+    """Twin of queries.q_raster_nodata_stats (FILTER out nodata)."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    z = sql_dem_int("px", "py", 0)
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"v AS (SELECT px, py, ({z})::BIGINT AS z FROM px) "
+        "SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+        f"count(*) FILTER (z <> {nodata})::BIGINT AS n_valid, "
+        f"COALESCE(sum(z) FILTER (z <> {nodata}), 0)::BIGINT "
+        "AS sum_valid, "
+        f"COALESCE(min(z) FILTER (z <> {nodata}), -1)::BIGINT "
+        "AS min_valid, "
+        f"COALESCE(max(z) FILTER (z <> {nodata}), -1)::BIGINT "
+        "AS max_valid FROM v GROUP BY 1, 2"
+    )

@@ -7618,3 +7618,38 @@ def q_zonal_argmax(sf_dir: str):
 
 
 QUERIES["zonal_argmax"] = q_zonal_argmax
+
+
+def q_raster_nodata_stats(sf_dir: str, nodata: int = 255):
+    """NoData-aware per-tile statistics (the reference's nodata
+    contract, SpaRasters.py:113-116 geotransform + nodata field):
+    value 255 masks out of count/sum/min/max; an all-nodata tile
+    reports -1 sentinels. Exercises the masked-stats path end to
+    end with a FILTER twin."""
+    from spapy_ray.stages.raster import decode_tile
+
+    ds, meta = _dem()
+    T = meta.tile_size
+
+    def stats(t: pa.Table) -> pa.Table:
+        nv, sv, mn, mx = [], [], [], []
+        for buf in t.column("data").to_pylist():
+            a = decode_tile(buf, "int32", T).astype(np.int64)
+            m = a != nodata
+            nv.append(int(m.sum()))
+            sv.append(int(a[m].sum()))
+            mn.append(int(a[m].min()) if m.any() else -1)
+            mx.append(int(a[m].max()) if m.any() else -1)
+        return pa.table({
+            "tx": pc.cast(t.column("tx"), pa.int64()),
+            "ty": pc.cast(t.column("ty"), pa.int64()),
+            "n_valid": pa.array(nv, type=pa.int64()),
+            "sum_valid": pa.array(sv, type=pa.int64()),
+            "min_valid": pa.array(mn, type=pa.int64()),
+            "max_valid": pa.array(mx, type=pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["raster_nodata_stats"] = q_raster_nodata_stats
