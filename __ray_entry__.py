@@ -208,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "cost_distance": o.q_cost_distance(),
         "zonal_argmax": o.q_zonal_argmax(),
         "raster_nodata_stats": o.q_raster_nodata_stats(),
+        "user_overlap_sketch": o.q_user_overlap_sketch(),
         "domain_stats": o.q_domain_stats(),
         "bpe_tokens": o.q_bpe_tokens(),
         "docs_repetition": o.q_docs_repetition(),

@@ -5073,3 +5073,45 @@ def q_raster_nodata_stats(nodata: int = 255) -> str:
         f"COALESCE(max(z) FILTER (z <> {nodata}), -1)::BIGINT "
         "AS max_valid FROM v GROUP BY 1, 2"
     )
+
+
+def q_user_overlap_sketch(k: int = 64, m_mod: int = 1 << 62) -> str:
+    """Twin of relational.kmv_sketch_overlap over weekday/weekend
+    user sets: identical k-smallest-distinct-hash sketches (ORDER BY
+    LIMIT k), identical HUGEINT estimator arithmetic + clamps."""
+    h0 = sql_fnv1a("CAST(user_id AS VARCHAR)")
+    h = f"(({h0})::HUGEINT * 2654435761)"
+    M = m_mod
+    return (
+        "WITH e AS (SELECT user_id, ((epoch_us(ts) // 86400000000 "
+        "+ 4) % 7) IN (0, 6) AS wk FROM events), "
+        f"ha AS (SELECT DISTINCT (({h}) % {M})::BIGINT AS h FROM e "
+        "WHERE NOT wk), "
+        f"hb AS (SELECT DISTINCT (({h}) % {M})::BIGINT AS h FROM e "
+        "WHERE wk), "
+        f"ka AS (SELECT h FROM ha ORDER BY h LIMIT {k}), "
+        f"kb AS (SELECT h FROM hb ORDER BY h LIMIT {k}), "
+        "un AS (SELECT DISTINCT h FROM (SELECT h FROM ka "
+        f"UNION ALL SELECT h FROM kb) ORDER BY h LIMIT {k}), "
+        "st AS (SELECT (SELECT count(*) FROM ka) AS na, "
+        "(SELECT count(*) FROM kb) AS nb, "
+        "(SELECT max(h) FROM ka) AS ta, "
+        "(SELECT max(h) FROM kb) AS tb, "
+        "(SELECT count(*) FROM un) AS nu, "
+        "(SELECT max(h) FROM un) AS tu, "
+        "(SELECT count(*) FROM un WHERE h IN (SELECT h FROM ka) "
+        "AND h IN (SELECT h FROM kb)) AS m, "
+        "(SELECT count(*) FROM ha WHERE h IN (SELECT h FROM hb)) "
+        "AS exact_inter) "
+        f"SELECT {k}::BIGINT AS k, na::BIGINT AS n_sketch_a, "
+        "nb::BIGINT AS n_sketch_b, "
+        f"(CASE WHEN na < {k} THEN na ELSE LEAST("
+        f"({k - 1}::HUGEINT * {M}) // ta, {M}) END)::BIGINT AS est_a, "
+        f"(CASE WHEN nb < {k} THEN nb ELSE LEAST("
+        f"({k - 1}::HUGEINT * {M}) // tb, {M}) END)::BIGINT AS est_b, "
+        "m::BIGINT AS m_common, "
+        f"(CASE WHEN nu < {k} THEN m ELSE LEAST("
+        f"(m::HUGEINT * {k - 1} * {M}) // ({k}::HUGEINT * tu), {M}) "
+        "END)::BIGINT AS est_inter, "
+        "exact_inter::BIGINT AS exact_inter FROM st"
+    )

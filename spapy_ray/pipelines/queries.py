@@ -7653,3 +7653,31 @@ def q_raster_nodata_stats(sf_dir: str, nodata: int = 255):
 
 
 QUERIES["raster_nodata_stats"] = q_raster_nodata_stats
+
+
+def q_user_overlap_sketch(sf_dir: str, k: int = 64):
+    """KMV/theta distinct sketches of weekday vs weekend user sets +
+    their intersection estimate (relational.kmv_sketch_overlap) —
+    the sketch family member HLL cannot provide (register maxima
+    union but never intersect). Deterministic k-smallest-hash
+    semantics make every number SQL-twin-exact; the exact
+    intersection rides along as the calibration column."""
+    from spapy_ray.stages.relational import kmv_sketch_overlap
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def side(weekend: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+            dow = (us // 86_400_000_000 + 4) % 7
+            m = np.isin(dow, (0, 6)) == weekend
+            return pa.table({"user_id": t.column("user_id")
+                             .filter(pa.array(m))})
+        return _f
+
+    a = ev.map_batches(side(False), batch_format="pyarrow")
+    b = ev.map_batches(side(True), batch_format="pyarrow")
+    return kmv_sketch_overlap(a, b, "user_id", k=k)
+
+
+QUERIES["user_overlap_sketch"] = q_user_overlap_sketch

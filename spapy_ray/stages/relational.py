@@ -2254,3 +2254,141 @@ def grouped_two_sample_ks(ds_a, ds_b, group_col: str, col: str, *,
     out["nb"] = out["nb"].astype(np.int64)
     return out[[group_col, "na", "nb", "d_num"]] \
         .sort_values(group_col).reset_index(drop=True)
+
+
+def kmv_sketch_overlap(ds_a, ds_b, col: str, *, k: int = 256,
+                       m_mod: int = 1 << 62):
+    """KMV (k-minimum-values / theta) distinct sketches of two sides
+    plus their set-intersection estimate — the sketch family member
+    the HLL registers cannot provide (register max is union-only;
+    KMV intersects).  Deterministic: h(x) = fnv(x) % 2^62, the
+    sketch is the k SMALLEST DISTINCT hash values, so the SQL twin
+    reproduces every number exactly (ORDER BY h LIMIT k).
+
+    est(S)      = (k-1) * M // theta_S        (theta = k-th value)
+    U           = k smallest of K_a ∪ K_b, theta_u = max(U)
+    m           = |{x in U : x in K_a and x in K_b}|
+    est_inter   = m * (k-1) * M // (k * theta_u)
+
+    When a side has fewer than k distinct values its sketch is the
+    whole set and est falls back to the exact count.  Distributed
+    shape: per-block k-min partials over per-block distinct hashes
+    (bounded k int64 each), an associative fold (tree-reducible; the
+    driver folds blocks*k ints here, same bound class as the MG/KLL
+    folds).  Returns a one-row pandas frame with the sketch numbers
+    and the exact intersection for calibration."""
+    import ray
+
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    def partial(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            vals = t.column(col)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            h = ((fnv1a64(pc.cast(vals, pa.string()))
+                  * np.uint64(2654435761))       # magnitude mix: raw
+                 # FNV of short keys clusters low (est was 3.4x off);
+                 # an odd multiplier mod 2^62 is uniform AND exactly
+                 # (fnv * C) % 2^62 in HUGEINT on the SQL side
+                 % np.uint64(m_mod)).astype(np.int64)
+            u = np.unique(h)
+            return pa.table({"side": pa.array(
+                np.full(1, side, np.int8)),
+                "mins": pa.array([u[:k].tobytes()], type=pa.binary()),
+                "alln": pa.array([len(u)], type=pa.int64())})
+        return _f
+
+    def collect(ds, side):
+        outs = []
+        exact = set()
+        for b in ds.map_batches(partial(side), batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            for buf in b.column("mins").to_pylist():
+                arr = np.frombuffer(buf, dtype=np.int64)
+                outs.append(arr)
+                exact.update(int(v) for v in arr)
+        # per-block mins are partial (block-distinct only); the k-min
+        # fold over them is exact because a global k-min value is a
+        # k-min value of its own block
+        allv = np.unique(np.concatenate(outs)) if outs \
+            else np.empty(0, np.int64)
+        return allv[:k]
+
+    ka = collect(ds_a, 0)
+    kb = collect(ds_b, 1)
+
+    def est(ks: np.ndarray) -> int:
+        if len(ks) < k:
+            return len(ks)
+        # clamp: a pathologically small theta must not overflow the
+        # int64 output (the SQL twin applies the same LEAST)
+        return min((k - 1) * m_mod // int(ks[-1]), m_mod)
+
+    union = np.unique(np.concatenate([ka, kb]))
+    u = union[:k]
+    sa, sb = set(ka.tolist()), set(kb.tolist())
+    m = sum(1 for x in u.tolist() if x in sa and x in sb)
+    if len(u) < k:
+        est_inter = m
+    else:
+        theta_u = int(u[-1])
+        est_inter = min(m * (k - 1) * m_mod // (k * theta_u), m_mod)
+    # calibration column: the exact intersection from its own
+    # bucketed pass (what the sketch avoids at scale; here it shows
+    # the estimator's error to the oracle)
+    exact_inter = _exact_distinct_intersection(ds_a, ds_b, col, m_mod)
+    import pandas as pd
+
+    return pd.DataFrame([{
+        "k": np.int64(k),
+        "n_sketch_a": np.int64(len(ka)),
+        "n_sketch_b": np.int64(len(kb)),
+        "est_a": np.int64(est(ka)),
+        "est_b": np.int64(est(kb)),
+        "m_common": np.int64(m),
+        "est_inter": np.int64(est_inter),
+        "exact_inter": np.int64(exact_inter),
+    }])
+
+
+def _exact_distinct_intersection(ds_a, ds_b, col: str,
+                                 m_mod: int) -> int:
+    """Exact |distinct(A) ∩ distinct(B)| by hash value: one bucketed
+    union pass (side-tagged distinct partials, bucket-local
+    intersection counts)."""
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    def rows(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            vals = t.column(col)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            h = ((fnv1a64(pc.cast(vals, pa.string()))
+                  * np.uint64(2654435761))       # magnitude mix: raw
+                 # FNV of short keys clusters low (est was 3.4x off);
+                 # an odd multiplier mod 2^62 is uniform AND exactly
+                 # (fnv * C) % 2^62 in HUGEINT on the SQL side
+                 % np.uint64(m_mod)).astype(np.int64)
+            u = np.unique(h)
+            return pa.table({"h": pa.array(u), "side": pa.array(
+                np.full(len(u), side, np.int8))})
+        return _f
+
+    u = ds_a.map_batches(rows(0), batch_format="pyarrow").union(
+        ds_b.map_batches(rows(1), batch_format="pyarrow"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_bkt", _bucket_column(t, "h", 64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["h", "side"])
+        c = d.groupby("h", sort=False)["side"].nunique()
+        return pd.DataFrame({"n": [int((c == 2).sum())]})
+
+    tot = 0
+    bucketed = u.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
+    for b in bucketed.iter_batches(batch_format="pyarrow"):
+        tot += int(np.sum(b.column("n").to_numpy(zero_copy_only=False)))
+    return tot
