@@ -209,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_argmax": o.q_zonal_argmax(),
         "raster_nodata_stats": o.q_raster_nodata_stats(),
         "user_overlap_sketch": o.q_user_overlap_sketch(),
+        "corpus_prep": o.q_corpus_prep(),
         "domain_stats": o.q_domain_stats(),
         "bpe_tokens": o.q_bpe_tokens(),
         "docs_repetition": o.q_docs_repetition(),

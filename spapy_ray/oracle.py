@@ -5115,3 +5115,35 @@ def q_user_overlap_sketch(k: int = 64, m_mod: int = 1 << 62) -> str:
         "END)::BIGINT AS est_inter, "
         "exact_inter::BIGINT AS exact_inter FROM st"
     )
+
+
+def q_corpus_prep(chunk_tokens: int = 2048) -> str:
+    """Twin of queries.q_corpus_prep: median gate + punct cap, first
+    doc per distinct TEXT (the engine keys on a 64-bit text hash —
+    collision-free at corpus scale by the dedup family convention),
+    then the q_seq_packing window layout over the survivors."""
+    punct = r"[!-/:-@\[-`{-~]"
+    ratio = (f"((length(text) - length(regexp_replace(text, '{punct}', "
+             "'', 'g')))::DOUBLE / GREATEST(length(text), 1)::DOUBLE)")
+    c = chunk_tokens
+    return (
+        "WITH q AS (SELECT doc_id, text, length(text)::BIGINT AS nc, "
+        f"{ratio} AS pr FROM documents), "
+        "t AS (SELECT quantile_disc(nc, 0.5) AS thr FROM q), "
+        "s AS (SELECT doc_id, text, "
+        "len(string_split(text, ' '))::BIGINT AS tok FROM q, t "
+        "WHERE nc >= thr AND pr <= 0.2), "
+        "w AS (SELECT doc_id, tok FROM (SELECT doc_id, tok, "
+        "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn "
+        "FROM s) WHERE rn = 1), "
+        "r AS (SELECT doc_id, tok, sum(tok) OVER (ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING)::BIGINT - tok AS cb FROM w), "
+        f"u AS (SELECT doc_id, tok, cb, unnest(generate_series("
+        f"cb // {c}, (cb + tok - 1) // {c})) AS k FROM r), "
+        f"v AS (SELECT doc_id, cb, k, least(cb + tok, (k + 1) * {c}) "
+        f"- greatest(cb, k * {c}) AS tk FROM u) "
+        "SELECT k::BIGINT AS chunk_id, sum(tk)::BIGINT AS n_tokens, "
+        "count(*)::BIGINT AS n_docs, "
+        f"sum((cb // {c} = k)::INT)::BIGINT AS n_starts, "
+        "sum(doc_id * tk)::BIGINT AS ck FROM v GROUP BY k"
+    )

@@ -7681,3 +7681,56 @@ def q_user_overlap_sketch(sf_dir: str, k: int = 64):
 
 
 QUERIES["user_overlap_sketch"] = q_user_overlap_sketch
+
+
+def q_corpus_prep(sf_dir: str, chunk_tokens: int = 2048):
+    """END-TO-END training-corpus preparation — the composite
+    web-pipeline flagship: quality gate (length >= corpus median,
+    punct ratio <= 0.2) -> exact text dedup (keep lowest doc_id per
+    text hash) -> LLM sequence packing of the survivors. One stats
+    pass fixes the broadcast threshold, one corpus pass filters +
+    hashes + token-counts, one bucketed groupby picks dedup winners,
+    and pack_chunks lays out the chunks — every stage the same code
+    the standalone queries pin, chained."""
+    from spapy_ray.kernels.hashing import fnv1a64
+    from spapy_ray.stages.packing import pack_chunks
+    from spapy_ray.stages.quantiles import global_quantile
+    from spapy_ray.stages.relational import bucketed_group_agg
+    from spapy_ray.stages.text import quality_stats, quality_stats_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    stats = quality_stats(docs).select_columns(
+        ["doc_id", "n_chars", "punct_ratio"]).materialize()
+    thr = global_quantile(stats, "n_chars", [0.5])[0.5]
+
+    def survivors(t: pa.Table) -> pa.Table:
+        t = quality_stats_batch(t)
+        m = pc.and_(pc.greater_equal(t.column("n_chars"),
+                                     pa.scalar(thr, pa.float64())),
+                    pc.less_equal(t.column("punct_ratio"),
+                                  pa.scalar(0.2, pa.float64())))
+        t = t.filter(m)
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h = fnv1a64(text).view(np.int64)
+        tok = pc.cast(pc.add(pc.count_substring(text, " "),
+                             pa.scalar(1)), pa.int64())
+        return pa.table({"h": pa.array(h),
+                         "doc_id": pc.cast(t.column("doc_id"),
+                                           pa.int64()),
+                         "tok": tok})
+
+    surv = docs.map_batches(survivors, batch_format="pyarrow")
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "doc_id"], kind="mergesort")
+        return df.groupby("h", sort=False, as_index=False) \
+            .first()[["doc_id", "tok"]]
+
+    winners = bucketed_group_agg(surv, "h", local)
+    return pack_chunks(winners, id_col="doc_id", weight_col="tok",
+                       chunk_size=chunk_tokens)
+
+
+QUERIES["corpus_prep"] = q_corpus_prep
