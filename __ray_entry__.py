@@ -210,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_nodata_stats": o.q_raster_nodata_stats(),
         "user_overlap_sketch": o.q_user_overlap_sketch(),
         "corpus_prep": o.q_corpus_prep(),
+        "embed_gram": o.q_embed_gram(),
         "domain_stats": o.q_domain_stats(),
         "bpe_tokens": o.q_bpe_tokens(),
         "docs_repetition": o.q_docs_repetition(),

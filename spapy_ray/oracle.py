@@ -5147,3 +5147,20 @@ def q_corpus_prep(chunk_tokens: int = 2048) -> str:
         f"sum((cb // {c} = k)::INT)::BIGINT AS n_starts, "
         "sum(doc_id * tk)::BIGINT AS ck FROM v GROUP BY k"
     )
+
+
+def q_embed_gram(scale: int = 10_000) -> str:
+    """Twin of queries.q_embed_gram: unnest + subscript -> self-join
+    per vec_id on dim_i <= dim_j over the same trunc-quantized
+    DOUBLE values (FLOAT list elements multiply in FLOAT — cast
+    before quantizing, the established list-element rule)."""
+    return (
+        "WITH e AS (SELECT vec_id, "
+        "generate_subscripts(embedding, 1) - 1 AS d, "
+        f"trunc(unnest(embedding)::DOUBLE * {scale})::BIGINT AS q "
+        "FROM embeddings) "
+        "SELECT a.d::BIGINT AS dim_i, b.d::BIGINT AS dim_j, "
+        "sum(a.q * b.q)::BIGINT AS g "
+        "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d "
+        "GROUP BY 1, 2"
+    )

@@ -7734,3 +7734,42 @@ def q_corpus_prep(sf_dir: str, chunk_tokens: int = 2048):
 
 
 QUERIES["corpus_prep"] = q_corpus_prep
+
+
+def q_embed_gram(sf_dir: str, scale: int = 10_000):
+    """Distributed Gram matrix of the embedding corpus (the
+    whitening / PCA-prep statistic): per-batch integer GEMM partials
+    Q^T Q over trunc-quantized vectors fold through one tiny groupby
+    — d^2 numbers total, never a vector shuffle. Upper triangle
+    (dim_i <= dim_j), exact int64."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.ann import _stack_embeddings
+
+    emb = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _stack_embeddings(t.column("embedding")).astype(np.float64)
+        q = np.trunc(v * scale).astype(np.int64)
+        g = q.T @ q
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "k": pa.array((iu * d + ju).astype(np.int64)),
+            "g": pa.array(g[iu, ju]),
+        })
+
+    agg = emb.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("g", alias_name="g"))
+
+    def decode(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "dim_i": pa.array(k // 64), "dim_j": pa.array(k % 64),
+            "g": pc.cast(t.column("g"), pa.int64()),
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+QUERIES["embed_gram"] = q_embed_gram
