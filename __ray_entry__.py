@@ -211,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "user_overlap_sketch": o.q_user_overlap_sketch(),
         "corpus_prep": o.q_corpus_prep(),
         "embed_gram": o.q_embed_gram(),
+        "frequent_triples": o.q_frequent_triples(),
         "domain_stats": o.q_domain_stats(),
         "bpe_tokens": o.q_bpe_tokens(),
         "docs_repetition": o.q_docs_repetition(),

@@ -5164,3 +5164,21 @@ def q_embed_gram(scale: int = 10_000) -> str:
         "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d "
         "GROUP BY 1, 2"
     )
+
+
+def q_frequent_triples(min_support: int = 2, k: int = 30) -> str:
+    """Twin of relational.frequent_triples over lineitem baskets:
+    three-way self-join on the order with a < b < c."""
+    return (
+        "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        "FROM lineitem), "
+        "t AS (SELECT x.p AS a, y.p AS b, z.p AS c, "
+        "count(*)::BIGINT AS cnt "
+        "FROM b x JOIN b y ON x.o = y.o AND x.p < y.p "
+        "JOIN b z ON y.o = z.o AND y.p < z.p "
+        "GROUP BY 1, 2, 3 "
+        f"HAVING count(*) >= {min_support}) "
+        "SELECT a::BIGINT AS a, b::BIGINT AS b, c::BIGINT AS c, cnt, "
+        "row_number() OVER (ORDER BY cnt DESC, a, b, c)::BIGINT "
+        f"AS rank FROM t ORDER BY rank LIMIT {k}"
+    )

@@ -7773,3 +7773,25 @@ def q_embed_gram(sf_dir: str, scale: int = 10_000):
 
 
 QUERIES["embed_gram"] = q_embed_gram
+
+
+def q_frequent_triples(sf_dir: str):
+    """Market-basket 3-itemsets (the Apriori level above
+    copurchase_pairs): top-30 part triples co-ordered in one order,
+    support >= 2 — batched per-basket-size combination emission, one
+    basket shuffle + one smallest-member count shuffle
+    (relational.frequent_triples)."""
+    from spapy_ray.stages.relational import frequent_triples
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def ints(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "p": pc.cast(t.column("l_partkey"), pa.int64())})
+
+    return frequent_triples(li.map_batches(ints, batch_format="pyarrow"),
+                            "o", "p", min_support=2, k=30)
+
+
+QUERIES["frequent_triples"] = q_frequent_triples

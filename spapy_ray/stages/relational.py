@@ -2392,3 +2392,96 @@ def _exact_distinct_intersection(ds_a, ds_b, col: str,
     for b in bucketed.iter_batches(batch_format="pyarrow"):
         tot += int(np.sum(b.column("n").to_numpy(zero_copy_only=False)))
     return tot
+
+
+def frequent_triples(ds, group_col: str, key_col: str, *,
+                     min_support: int = 2, k: int = 30,
+                     max_group: int = 64, buckets: int | None = None):
+    """Top-k frequent 3-itemsets (the Apriori level the pair-count
+    queries stop short of): all sorted key triples within each
+    ``group_col`` basket, counted corpus-wide, support-filtered.
+
+    Same bucketed shape as within_group_pairs, generalized to
+    3-subsets: one hash(group) shuffle; per bucket a lexsort +
+    dedup + per-distinct-basket-size batched emission (ONE
+    combinations fancy-index per size, applied to every same-sized
+    basket at once); the (a, b, c) counts then co-locate on hash(a)
+    — every triple shares its smallest member, so bucket-local
+    counts are global — and per-block partial top-k bounds the
+    final fold.  Baskets larger than ``max_group`` raise (C(m,3)
+    emission is cubic; cap and pre-prune upstream for heavy-tailed
+    baskets)."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    from spapy_ray.util import cluster_cpus
+
+    nb = buckets or max(64, cluster_cpus() * 4)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("bkt__",
+                               _bucket_column(t, group_col, nb))
+
+    def triples(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g[group_col].to_numpy()
+        keys = g[key_col].to_numpy()
+        order = np.lexsort((keys, grp))
+        grp, keys = grp[order], keys[order]
+        empty = pd.DataFrame({"a": keys[:0], "b": keys[:0],
+                              "c": keys[:0]})
+        if len(grp) == 0:
+            return empty
+        keep = np.empty(len(grp), dtype=bool)
+        keep[0] = True
+        keep[1:] = (grp[1:] != grp[:-1]) | (keys[1:] != keys[:-1])
+        grp, keys = grp[keep], keys[keep]
+        new = np.empty(len(grp), dtype=bool)
+        new[0] = True
+        new[1:] = grp[1:] != grp[:-1]
+        starts = np.nonzero(new)[0]
+        lens = np.diff(np.append(starts, len(grp)))
+        if lens.max(initial=0) > max_group:
+            raise ValueError(f"basket larger than {max_group}")
+        outs = []
+        for m in np.unique(lens):
+            if m < 3:
+                continue
+            idx = np.asarray(list(combinations(range(int(m)), 3)))
+            s = starts[lens == m]
+            outs.append(pd.DataFrame({
+                "a": keys[(s[:, None] + idx[None, :, 0]).ravel()],
+                "b": keys[(s[:, None] + idx[None, :, 1]).ravel()],
+                "c": keys[(s[:, None] + idx[None, :, 2]).ravel()]}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    trip = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bkt__").map_groups(triples, batch_format="pandas")
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        if "a" not in df.columns:
+            return pd.DataFrame({"a": [], "b": [], "c": [], "cnt": []})
+        out = df.groupby(["a", "b", "c"], sort=False).size() \
+            .reset_index(name="cnt")
+        return out[out["cnt"] >= min_support]
+
+    counted = bucketed_group_agg(trip, "a", count)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("a", "b", "c", "cnt")})
+        df = t.to_pandas()
+        df = df.sort_values(["cnt", "a", "b", "c"],
+                            ascending=[False, True, True, True]) \
+            .head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = counted.map_batches(partial_topk, batch_format="pyarrow") \
+        .to_pandas()
+    if "cnt" not in top.columns:
+        top = pd.DataFrame({c: [] for c in ("a", "b", "c", "cnt")})
+    top = top.sort_values(["cnt", "a", "b", "c"],
+                          ascending=[False, True, True, True]).head(k)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top.reset_index(drop=True).astype(np.int64)
