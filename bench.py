@@ -86,8 +86,11 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  "line_of_sight", "events_ewma", "docs_cosine_pairs",
                  "cust_shortest_paths",
                  # session-10 late additions (k-epoch stack fold,
-                 # iterative min-plus cost distance)
-                 "raster_trend", "cost_distance"]
+                 # iterative min-plus cost distance, KMV sketch,
+                 # composite corpus prep, Gram partials, 3-itemsets)
+                 "raster_trend", "cost_distance",
+                 "user_overlap_sketch", "corpus_prep", "embed_gram",
+                 "frequent_triples"]
 
 
 def _consume(res) -> int:
