@@ -395,4 +395,11 @@ def oracle_sql() -> dict[str, str]:
         "cust_reach": o.q_cust_reach(),
         "events_zscore_outliers": o.q_events_zscore_outliers(),
         "vector_tiles": o.q_vector_tiles(),
+        "cust_order_histogram": o.q_cust_order_histogram(),
+        "small_qty_revenue": o.q_small_qty_revenue(),
+        "large_orders": o.q_large_orders(),
+        "idle_customers": o.q_idle_customers(),
+        "top_supplier": o.q_top_supplier(),
+        "promo_share": o.q_promo_share(),
+        "late_sole_suppliers": o.q_late_sole_suppliers(),
     }

@@ -5182,3 +5182,122 @@ def q_frequent_triples(min_support: int = 2, k: int = 30) -> str:
         "row_number() OVER (ORDER BY cnt DESC, a, b, c)::BIGINT "
         f"AS rank FROM t ORDER BY rank LIMIT {k}"
     )
+
+
+# --- TPC-H decision-support batch twins (session-11).
+
+
+def q_cust_order_histogram() -> str:
+    """Twin of queries.q_cust_order_histogram (TPC-H Q13 shape):
+    the LEFT JOIN the engine never materializes — zero-order
+    customers come from parquet row counts there."""
+    return (
+        "SELECT n_orders, count(*)::BIGINT AS n_custs FROM ("
+        "SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey) GROUP BY n_orders"
+    )
+
+
+def q_small_qty_revenue() -> str:
+    """Twin of queries.q_small_qty_revenue (TPC-H Q17 shape).
+    The avg-quantity predicate is the same exact integer cross-
+    multiplication on both sides: qty * 5 * cnt < sum_qty."""
+    return (
+        "SELECT coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), "
+        "0)::BIGINT AS revenue_cents, count(*)::BIGINT AS n_items "
+        "FROM lineitem JOIN ("
+        "SELECT l_partkey AS pk, sum(l_quantity)::BIGINT AS sq, "
+        "count(*)::BIGINT AS c FROM lineitem GROUP BY l_partkey) "
+        "ON l_partkey = pk "
+        "WHERE CAST(l_quantity AS BIGINT) * 5 * c < sq"
+    )
+
+
+def q_large_orders(min_qty: int = 300, k: int = 20) -> str:
+    """Twin of queries.q_large_orders (TPC-H Q18 shape); ordering
+    ties broken by orderkey."""
+    return (
+        "SELECT o_orderkey, sum_qty, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents "
+        "FROM orders JOIN ("
+        "SELECT l_orderkey, sum(l_quantity)::BIGINT AS sum_qty "
+        f"FROM lineitem GROUP BY l_orderkey HAVING sum_qty >= {min_qty}) "
+        "ON o_orderkey = l_orderkey "
+        f"ORDER BY sum_qty DESC, o_orderkey LIMIT {k}"
+    )
+
+
+def q_idle_customers() -> str:
+    """Twin of queries.q_idle_customers (TPC-H Q22 shape). The
+    above-average-positive-balance predicate is the exact integer
+    cross-multiplication cents * n_pos > sum_pos on both sides;
+    'recent' orders are 1999+."""
+    return (
+        "WITH stats AS (SELECT count(*)::BIGINT AS np, "
+        "sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS sp "
+        "FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0) "
+        "SELECT n_name, count(*)::BIGINT AS n_custs, "
+        "sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS bal_cents "
+        "FROM customer, stats JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE CAST(round(c_acctbal * 100) AS BIGINT) * np > sp "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderdate >= TIMESTAMP '1999-01-01') "
+        "GROUP BY n_name"
+    )
+
+
+def q_top_supplier() -> str:
+    """Twin of queries.q_top_supplier (TPC-H Q15 shape): 1996-H1
+    shipped revenue in exact integer units cents x (100 - disc_pct),
+    all max-ties kept."""
+    return (
+        "WITH r AS (SELECT l_suppkey AS s_suppkey, "
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT "
+        "AS revenue_u FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-07-01' GROUP BY l_suppkey) "
+        "SELECT r.s_suppkey, s_name, revenue_u "
+        "FROM r JOIN supplier ON r.s_suppkey = supplier.s_suppkey "
+        "WHERE revenue_u = (SELECT max(revenue_u) FROM r)"
+    )
+
+
+def q_promo_share() -> str:
+    """Twin of queries.q_promo_share (TPC-H Q14 shape); the share is
+    the same integer floor(promo_u * 1e6 / total_u) — DuckDB // on
+    non-negative BIGINTs is the same floor."""
+    return (
+        "WITH j AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev, "
+        "CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-03-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01') "
+        "SELECT sum(rev * is_promo)::BIGINT AS promo_revenue_u, "
+        "sum(rev)::BIGINT AS total_revenue_u, "
+        "(sum(rev * is_promo)::BIGINT * 1000000 // sum(rev)::BIGINT) "
+        "::BIGINT AS promo_ppm FROM j"
+    )
+
+
+def q_late_sole_suppliers(late_us: int = 120 * 86_400_000_000,
+                          k: int = 10) -> str:
+    """Twin of queries.q_late_sole_suppliers (TPC-H Q21 shape):
+    per-(order, supplier) any-late, orders with >= 2 suppliers and
+    exactly one late one blame that supplier; ties by suppkey."""
+    return (
+        "WITH ls AS (SELECT l_orderkey AS ok, l_suppkey AS sk, "
+        "max(CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate) "
+        f"> {late_us} THEN 1 ELSE 0 END) AS late "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY 1, 2), "
+        "per_ok AS (SELECT ok, count(*) AS ns, sum(late) AS nl, "
+        "sum(sk * late) AS skl FROM ls GROUP BY ok) "
+        "SELECT skl::BIGINT AS s_suppkey, any_value(s_name) AS s_name, "
+        "count(*)::BIGINT AS n_orders "
+        "FROM per_ok JOIN supplier ON skl = s_suppkey "
+        "WHERE nl = 1 AND ns >= 2 GROUP BY skl "
+        f"ORDER BY n_orders DESC, skl LIMIT {k}"
+    )

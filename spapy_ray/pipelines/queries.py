@@ -7795,3 +7795,373 @@ def q_frequent_triples(sf_dir: str):
 
 
 QUERIES["frequent_triples"] = q_frequent_triples
+
+
+# --- TPC-H decision-support batch (session-11): the remaining
+# classic query shapes over this schema, each through the engine's
+# scale-canonical machinery (combiner partials, bucketed two-stage
+# groupby, broadcast lookup joins, anti joins, predicate pushdown).
+
+
+def q_cust_order_histogram(sf_dir: str):
+    """TPC-H Q13 shape — customer order-count distribution including
+    the zero bucket: per-customer counts via the bucketed combiner,
+    histogram via a second tiny count fold; zero-order customers =
+    total customers (parquet metadata, no scan) minus distinct
+    ordering customers — the LEFT JOIN is never materialized."""
+    import pyarrow.parquet as pq
+
+    from spapy_ray.stages.relational import pre_aggregated_count
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    per_cust = pre_aggregated_count(orders, "o_custkey", alias="n_orders")
+    hist = pre_aggregated_count(per_cust, "n_orders", alias="n_custs") \
+        .to_pandas()
+    hist["n_orders"] = hist["n_orders"].astype(np.int64)
+    hist["n_custs"] = hist["n_custs"].astype(np.int64)
+    total = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    missing = int(total) - int(hist["n_custs"].sum())
+    if missing > 0:
+        hist = pd.concat([hist, pd.DataFrame(
+            {"n_orders": [np.int64(0)], "n_custs": [np.int64(missing)]})],
+            ignore_index=True)
+    return hist.sort_values("n_orders").reset_index(drop=True)
+
+
+QUERIES["cust_order_histogram"] = q_cust_order_histogram
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — revenue locked in small-quantity orders:
+    per-part (sum_qty, count) fold over the fact table, broadcast
+    back as a lookup join (part is the small dimension), and the
+    avg-quantity predicate kept exactly integral as
+    qty * 5 * cnt < sum_qty (l_quantity is integral by schema), so
+    no float average ever exists on either side."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.relational import broadcast_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_int(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "qty": pa.array(np.rint(q).astype(np.int64)),
+            "l_extendedprice": t.column("l_extendedprice")})
+
+    ints = li.map_batches(qty_int, batch_format="pyarrow")
+
+    def part_partial(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = t.column("qty").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(pk, return_inverse=True)
+        sq = np.zeros(len(u), dtype=np.int64)
+        np.add.at(sq, inv, q)
+        c = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table({"l_partkey": pa.array(u), "sq": pa.array(sq),
+                         "c": pa.array(c)})
+
+    per_part = ints.map_batches(part_partial, batch_format="pyarrow") \
+        .groupby("l_partkey") \
+        .aggregate(Sum("sq", alias_name="sq"), Sum("c", alias_name="c"))
+    small = pa.Table.from_pandas(per_part.to_pandas(), preserve_index=False)
+    small = pa.table({"l_partkey": pc.cast(small.column("l_partkey"),
+                                           pa.int64()),
+                      "sq": pc.cast(small.column("sq"), pa.int64()),
+                      "c": pc.cast(small.column("c"), pa.int64())})
+
+    joined = broadcast_join(ints, small, key="l_partkey")
+
+    def fold(t: pa.Table) -> pa.Table:
+        q = t.column("qty").to_numpy(zero_copy_only=False)
+        sq = t.column("sq").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        m = q * 5 * c < sq
+        cents = np.rint(t.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False)[m] * 100) \
+            .astype(np.int64)
+        return pa.table({"revenue_cents": pa.array([int(cents.sum())]),
+                         "n_items": pa.array([int(m.sum())])})
+
+    parts = joined.map_batches(fold, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue_cents": [np.int64(parts["revenue_cents"].sum())],
+        "n_items": [np.int64(parts["n_items"].sum())]})
+
+
+QUERIES["small_qty_revenue"] = q_small_qty_revenue
+
+
+def q_large_orders(sf_dir: str, min_qty: int = 300, k: int = 20):
+    """TPC-H Q18 shape — large-volume orders: per-order quantity sums
+    through the bucketed two-stage groupby (orderkey is
+    high-cardinality — a direct ray groupby would sort every key),
+    threshold filter, then the tiny winner set broadcast back into
+    the orders scan as a lookup join. Top-k by (sum_qty desc,
+    orderkey) is deterministic."""
+    from spapy_ray.stages.relational import (broadcast_join,
+                                             bucketed_group_agg)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def ints(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "qty": pa.array(np.rint(q).astype(np.int64))})
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", sort=False)["qty"].sum().reset_index()
+        g = g[g["qty"] >= min_qty]
+        return g.rename(columns={"qty": "sum_qty"})
+
+    big = bucketed_group_agg(li.map_batches(ints, batch_format="pyarrow"),
+                             "l_orderkey", local).to_pandas()
+    small = pa.table({
+        "l_orderkey": pa.array(big["l_orderkey"].to_numpy()
+                               .astype(np.int64)),
+        "sum_qty": pa.array(big["sum_qty"].to_numpy().astype(np.int64))})
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def okey(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "o_totalprice": t.column("o_totalprice")})
+
+    hit = broadcast_join(orders.map_batches(okey, batch_format="pyarrow"),
+                         small, key="o_orderkey",
+                         small_key="l_orderkey").to_pandas()
+    hit["totalprice_cents"] = np.rint(
+        hit["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    out = hit.sort_values(["sum_qty", "o_orderkey"],
+                          ascending=[False, True], kind="stable").head(k)
+    return out[["o_orderkey", "sum_qty", "totalprice_cents"]] \
+        .reset_index(drop=True)
+
+
+QUERIES["large_orders"] = q_large_orders
+
+
+def q_idle_customers(sf_dir: str):
+    """TPC-H Q22 shape — positive-balance customers with no recent
+    orders, by nation: global (n_pos, sum_pos) balance stats from one
+    combiner pass, the above-average predicate kept exact as
+    cents * n_pos > sum_pos_cents (no float average), recent ordering
+    customers distinct-folded behind a pushed-down date predicate,
+    anti hash_join, nation names attached on the driver (25-row
+    dimension)."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from spapy_ray.stages.relational import (hash_join,
+                                             pre_aggregated_count,
+                                             pre_aggregated_sums)
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def cents_tbl(t: pa.Table) -> pa.Table:
+        b = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+            "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            "cents": pa.array(np.rint(b * 100).astype(np.int64))})
+
+    cc = cust.map_batches(cents_tbl, batch_format="pyarrow")
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        p = c[c > 0]
+        return pa.table({"np_": pa.array([len(p)]),
+                         "sp": pa.array([int(p.sum())])})
+
+    stats = cc.map_batches(pos_partial, batch_format="pyarrow").to_pandas()
+    n_pos, s_pos = int(stats["np_"].sum()), int(stats["sp"].sum())
+
+    def rich(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(c * n_pos > s_pos))
+
+    t0 = pd.Timestamp("1999-01-01")
+    recent = pre_aggregated_count(
+        _read(sf_dir, "orders", columns=["o_custkey"],
+              predicate=pds.field("o_orderdate") >= t0),
+        "o_custkey").select_columns(["o_custkey"])
+
+    idle = hash_join(cc.map_batches(rich, batch_format="pyarrow"), recent,
+                     on="c_custkey", right_on="o_custkey", how="anti")
+    per_nat = pre_aggregated_sums(idle, ["c_nationkey"], ["cents"],
+                                  count_alias="n_custs").to_pandas()
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    out = per_nat.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    out["n_custs"] = out["n_custs"].astype(np.int64)
+    out["bal_cents"] = out["cents"].astype(np.int64)
+    return out[["n_name", "n_custs", "bal_cents"]] \
+        .sort_values("n_name").reset_index(drop=True)
+
+
+QUERIES["idle_customers"] = q_idle_customers
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — top supplier(s) by 1996-H1 shipped revenue,
+    ties kept: date predicate pushed into the scan, per-supplier
+    exact integer revenue_u = cents x (100 - disc_pct) combiner
+    partials, one tiny groupby (supplier is the small dimension),
+    global max + tie filter on the driver."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    t0, t1 = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-07-01")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"],
+               predicate=(pds.field("l_shipdate") >= t0)
+               & (pds.field("l_shipdate") < t1))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.rint(t.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        d = np.rint(t.column("l_discount")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        rev = cents * (100 - d)
+        u, inv = np.unique(sk, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table({"s_suppkey": pa.array(u), "revenue_u": pa.array(s)})
+
+    per_sup = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("s_suppkey") \
+        .aggregate(Sum("revenue_u", alias_name="revenue_u")).to_pandas()
+    per_sup["revenue_u"] = per_sup["revenue_u"].astype(np.int64)
+    best = per_sup[per_sup["revenue_u"] == per_sup["revenue_u"].max()]
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    sup["s_suppkey"] = sup["s_suppkey"].astype(np.int64)
+    best = best.copy()
+    best["s_suppkey"] = best["s_suppkey"].astype(np.int64)
+    out = best.merge(sup, on="s_suppkey")
+    return out[["s_suppkey", "s_name", "revenue_u"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
+
+
+QUERIES["top_supplier"] = q_top_supplier
+
+
+def q_promo_share(sf_dir: str):
+    """TPC-H Q14 shape — promo revenue share for 1996-03 shipments:
+    part is the broadcast dimension (is_promo flag only), revenue in
+    exact integer units, and the share reported as an integer
+    floor(promo_u * 1e6 / total_u) so the ratio needs no float on
+    either side."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from spapy_ray.stages.relational import broadcast_join
+
+    t0, t1 = pd.Timestamp("1996-03-01"), pd.Timestamp("1996-04-01")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"],
+               predicate=(pds.field("l_shipdate") >= t0)
+               & (pds.field("l_shipdate") < t1))
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    small = pa.table({
+        "p_partkey": pc.cast(part.column("p_partkey"), pa.int64()),
+        "is_promo": pc.cast(pc.equal(part.column("p_type"), "PROMO"),
+                            pa.int64())})
+
+    def pk_int(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("l_partkey"),
+                            "l_partkey",
+                            pc.cast(t.column("l_partkey"), pa.int64()))
+
+    j = broadcast_join(li.map_batches(pk_int, batch_format="pyarrow"),
+                       small, key="l_partkey", small_key="p_partkey")
+
+    def fold(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        d = np.rint(t.column("l_discount")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        rev = cents * (100 - d)
+        promo = t.column("is_promo").to_numpy(zero_copy_only=False)
+        return pa.table({"promo_u": pa.array([int(rev[promo == 1].sum())]),
+                         "total_u": pa.array([int(rev.sum())])})
+
+    parts = j.map_batches(fold, batch_format="pyarrow").to_pandas()
+    pu, tu = int(parts["promo_u"].sum()), int(parts["total_u"].sum())
+    return pd.DataFrame({"promo_revenue_u": [np.int64(pu)],
+                         "total_revenue_u": [np.int64(tu)],
+                         "promo_ppm": [np.int64(pu * 1_000_000 // tu)]})
+
+
+QUERIES["promo_share"] = q_promo_share
+
+
+def q_late_sole_suppliers(sf_dir: str, late_us: int = 120 * 86_400_000_000,
+                          k: int = 10):
+    """TPC-H Q21 shape — suppliers solely responsible for a late
+    multi-supplier order: ONE big hash_join (lineitem x orders), then
+    a single bucketed shuffle keyed on orderkey does BOTH fold levels
+    locally (per-(order, supplier) any-late, then the per-order
+    sole-blame test) because every row of an order co-locates in its
+    bucket; the per-supplier blame count is a second tiny fold."""
+    import pyarrow.parquet as pq
+
+    from spapy_ray.stages.relational import (bucketed_group_agg, hash_join,
+                                             pre_aggregated_count)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def flag(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t.column("l_shipdate"), pa.int64()).to_numpy()
+        ordr = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy()
+        return pa.table({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "late": pa.array((ship - ordr > late_us).astype(np.int64))})
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_orderkey", "l_suppkey"], sort=False)["late"] \
+            .max().reset_index()
+        g["skl"] = g["l_suppkey"] * g["late"]
+        per = g.groupby("l_orderkey", sort=False).agg(
+            ns=("l_suppkey", "size"), nl=("late", "sum"), skl=("skl", "sum"))
+        sel = per[(per["nl"] == 1) & (per["ns"] >= 2)]
+        return pd.DataFrame({"s_suppkey": sel["skl"].to_numpy()
+                             .astype(np.int64)})
+
+    blamed = bucketed_group_agg(j.map_batches(flag, batch_format="pyarrow"),
+                                "l_orderkey", local)
+    counts = pre_aggregated_count(blamed, "s_suppkey",
+                                  alias="n_orders").to_pandas()
+    counts["s_suppkey"] = counts["s_suppkey"].astype(np.int64)
+    counts["n_orders"] = counts["n_orders"].astype(np.int64)
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    sup["s_suppkey"] = sup["s_suppkey"].astype(np.int64)
+    out = counts.merge(sup, on="s_suppkey")
+    out = out.sort_values(["n_orders", "s_suppkey"],
+                          ascending=[False, True], kind="stable").head(k)
+    return out[["s_suppkey", "s_name", "n_orders"]].reset_index(drop=True)
+
+
+QUERIES["late_sole_suppliers"] = q_late_sole_suppliers
