@@ -402,4 +402,5 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier": o.q_top_supplier(),
         "promo_share": o.q_promo_share(),
         "late_sole_suppliers": o.q_late_sole_suppliers(),
+        "bpe_merges": o.q_bpe_merges(),
     }

@@ -5301,3 +5301,49 @@ def q_late_sole_suppliers(late_us: int = 120 * 86_400_000_000,
         "WHERE nl = 1 AND ns >= 2 GROUP BY skl "
         f"ORDER BY n_orders DESC, skl LIMIT {k}"
     )
+
+
+def _hex4_int(col: str) -> str:
+    """SQL expression: 4-char uppercase-hex string -> BIGINT."""
+    def d(i):
+        return f"(strpos('0123456789ABCDEF', substr({col}, {i}, 1)) - 1)"
+    return (f"((({d(1)} * 16 + {d(2)}) * 16 + {d(3)}) * 16 + {d(4)})"
+            "::BIGINT")
+
+
+def q_bpe_merges(rounds: int = 8) -> str:
+    """Twin of queries.q_bpe_merges — byte-level BPE merge training,
+    every round reproduced exactly. Words render as fixed-width hex
+    token strings '|0041|0042|' (prefix-free, so any byte — incl. a
+    literal '|' in a word — is safe), pair counts come from the
+    split token lists, the argmax tie order (cnt desc, a, b) on hex
+    strings equals the engine's numeric order, and replace() applies
+    the merge with BPE's exact leftmost-non-overlapping scan."""
+    parts = [
+        "WITH w0 AS MATERIALIZED (SELECT '|' || "
+        "regexp_replace(hex(word), '([0-9A-F]{2})', '00\\1|', 'g') AS s, "
+        "c FROM (SELECT word, count(*)::BIGINT AS c FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+        "WHERE word <> '' GROUP BY word))"]
+    for r in range(rounds):
+        new_hex = f"{256 + r:04X}"
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT tok[i] AS a, tok[i+1] AS b, "
+            "sum(c)::BIGINT AS cnt FROM (SELECT "
+            f"string_split(trim(s, '|'), '|') AS tok, c FROM w{r}) t, "
+            "unnest(generate_series(1, len(tok) - 1)) AS u(i) "
+            "GROUP BY 1, 2)")
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT a, b, cnt FROM p{r} "
+            "ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)")
+        if r + 1 < rounds:
+            parts.append(
+                f"w{r + 1} AS MATERIALIZED (SELECT replace(s, "
+                f"'|' || (SELECT a FROM b{r}) || '|' || "
+                f"(SELECT b FROM b{r}), '|{new_hex}') AS s, c FROM w{r})")
+    selects = [
+        f"SELECT {r}::BIGINT AS round, {_hex4_int('a')} AS tok_a, "
+        f"{_hex4_int('b')} AS tok_b, {256 + r}::BIGINT AS new_id, "
+        f"cnt FROM b{r}"
+        for r in range(rounds)]
+    return ", ".join(parts) + " " + " UNION ALL ".join(selects)

@@ -8165,3 +8165,19 @@ def q_late_sole_suppliers(sf_dir: str, late_us: int = 120 * 86_400_000_000,
 
 
 QUERIES["late_sole_suppliers"] = q_late_sole_suppliers
+
+
+def q_bpe_merges(sf_dir: str, rounds: int = 8):
+    """Byte-level BPE merge-table training over the document corpus
+    (stages/text.bpe_train_merges): ONE corpus pass folds the word
+    dictionary, then 8 merge rounds run over the compact word table
+    with bounded pair-count shuffles. The SQL twin reproduces every
+    round exactly via a fixed-width-hex token-string rendering where
+    replace() IS the leftmost-non-overlapping BPE merge."""
+    from spapy_ray.stages.text import bpe_train_merges
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return bpe_train_merges(docs, rounds=rounds)
+
+
+QUERIES["bpe_merges"] = q_bpe_merges

@@ -1058,3 +1058,132 @@ def cosine_pair_scores(ds, *, id_col: str = "doc_id",
         "sim": top["w"].to_numpy().astype(np.int64),
         "rank": np.arange(1, len(top) + 1, dtype=np.int64),
     }).reset_index(drop=True)
+
+
+def bpe_train_merges(ds, text_col: str = "text", rounds: int = 8):
+    """Distributed byte-level BPE merge training (the tokenizer-
+    training core of an LLM data pipeline; reference tokenizes via
+    host libs — this trains the merge table itself).
+
+    Plan (the real BPE training layout — Sennrich et al. 2016 train
+    over the WORD-COUNT dictionary, never the raw corpus):
+      1. ONE corpus pass folds distinct (word, count) through the
+         bucketed two-stage groupby — the corpus never re-enters.
+      2. Words become int32 byte-token lists zero-copy from the
+         Arrow string buffers (no per-word Python).
+      3. Each round: per-batch adjacent-pair bincount partials
+         (packed key a*4096+b, vocab <= 256+rounds so the pair space
+         is tiny and bounded) -> one small groupby -> driver argmax
+         with (count desc, pair asc) tie order -> vectorized
+         leftmost-non-overlapping merge apply (run-parity trick for
+         aa-chains) -> materialize the compact word table.
+
+    At 10^12 docs the word table is the compacted vocabulary —
+    orders of magnitude smaller than the corpus — so the k round
+    passes run over the small table while the corpus is read once.
+
+    Returns a pandas DataFrame (round, tok_a, tok_b, new_id, cnt).
+    """
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t.column(text_col), " "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "wc": pc.cast(vc.field("counts"), pa.int64())})
+
+    def local(df):
+        return df.groupby("word", sort=False)["wc"].sum().reset_index()
+
+    words = bucketed_group_agg(
+        ds.map_batches(word_partial, batch_format="pyarrow"), "word", local)
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        arr = pc.cast(t.column("word"), pa.large_string()).combine_chunks()
+        voff = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset:arr.offset + len(arr) + 1]
+        vbuf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        flat = vbuf[voff[0]:voff[-1]].astype(np.int32)
+        offs = (voff - voff[0]).astype(np.int64)
+        toks = pa.LargeListArray.from_arrays(offs, pa.array(flat))
+        return pa.table({"toks": toks,
+                         "wc": pc.cast(t.column("wc"), pa.int64())})
+
+    cur = words.map_batches(tokenize, batch_format="pyarrow").materialize()
+
+    def _flat_offs(t: pa.Table):
+        col = t.column("toks").combine_chunks()
+        offs_raw = col.offsets.to_numpy()
+        vals = col.values.to_numpy(zero_copy_only=False)[
+            offs_raw[0]:offs_raw[-1]]
+        return vals, (offs_raw - offs_raw[0]).astype(np.int64)
+
+    merges = []
+    for r in range(rounds):
+        def pair_partial(t: pa.Table) -> pa.Table:
+            flat, offs = _flat_offs(t)
+            n = len(flat)
+            if n < 2:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "w": pa.array([], pa.int64())})
+            wc = t.column("wc").to_numpy(zero_copy_only=False)
+            mask = np.ones(n - 1, dtype=bool)
+            interior = offs[1:-1]
+            interior = interior[(interior > 0) & (interior < n)]
+            mask[interior - 1] = False
+            w = np.repeat(wc, np.diff(offs))[:-1][mask]
+            key = flat[:-1][mask].astype(np.int64) * 4096 + \
+                flat[1:][mask].astype(np.int64)
+            u, inv = np.unique(key, return_inverse=True)
+            s = np.zeros(len(u), dtype=np.int64)
+            np.add.at(s, inv, w)
+            return pa.table({"k": pa.array(u), "w": pa.array(s)})
+
+        agg = cur.map_batches(pair_partial, batch_format="pyarrow") \
+            .groupby("k").aggregate(Sum("w", alias_name="w")).to_pandas()
+        if len(agg) == 0:          # empty to_pandas has no columns
+            break
+        mw = int(agg["w"].max())
+        k = int(agg.loc[agg["w"] == mw, "k"].min())
+        a, b = k // 4096, k % 4096
+        new_id = 256 + r
+        merges.append((r, a, b, new_id, mw))
+
+        def apply(t: pa.Table, a=a, b=b, new_id=new_id) -> pa.Table:
+            flat, offs = _flat_offs(t)
+            flat = flat.copy()
+            n = len(flat)
+            if n >= 2:
+                m = np.zeros(n, dtype=bool)
+                m[:-1] = (flat[:-1] == a) & (flat[1:] == b)
+                interior = offs[1:-1]
+                interior = interior[(interior > 0) & (interior < n)]
+                m[interior - 1] = False
+                idx = np.nonzero(m)[0]
+            else:
+                idx = np.array([], dtype=np.int64)
+            if len(idx):
+                run_start = np.ones(len(idx), dtype=bool)
+                run_start[1:] = idx[1:] != idx[:-1] + 1
+                run_first = idx[run_start]
+                run_id = np.cumsum(run_start) - 1
+                ki = idx[(idx - run_first[run_id]) % 2 == 0]
+                flat[ki] = new_id
+                dele = np.zeros(n, dtype=bool)
+                dele[ki + 1] = True
+                word_of = np.searchsorted(offs, ki + 1, side="right") - 1
+                rem = np.bincount(word_of, minlength=len(offs) - 1)
+                offs = np.concatenate(
+                    ([0], np.cumsum(np.diff(offs) - rem)))
+                flat = flat[~dele]
+            toks = pa.LargeListArray.from_arrays(offs, pa.array(flat))
+            return pa.table({"toks": toks, "wc": t.column("wc")})
+
+        cur = cur.map_batches(apply, batch_format="pyarrow").materialize()
+
+    return pd.DataFrame(
+        merges, columns=["round", "tok_a", "tok_b", "new_id", "cnt"]) \
+        .astype(np.int64)

@@ -250,3 +250,57 @@ def test_winnow_planted_overlap_shares_fingerprint(ray_session):
         assert out["n_fp"].iloc[i] == len(sets[i])
         assert out["fp_hi"].iloc[i] == x >> 32
         assert out["fp_lo"].iloc[i] == x & 0xFFFFFFFF
+
+
+def test_bpe_train_merges_matches_sequential_reference(ray_session):
+    """Distributed BPE == sequential reference (Sennrich-style):
+    overlapping pair counts, (cnt desc, pair asc) argmax, leftmost
+    non-overlapping apply — incl. aa-chains where the run-parity
+    trick matters."""
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.text import bpe_train_merges
+
+    docs = pd.DataFrame({"text": [
+        "aaaa aaa ab abab bb aa",
+        "banana bandana ananas",
+        "aaaa aaaa banana",
+        "",
+        "  double  spaces  collapse ",
+    ]})
+
+    def seq_bpe(texts, rounds):
+        from collections import Counter
+        wc = Counter(w for t in texts for w in t.split(" ") if w != "")
+        words = {w: list(w.encode()) for w in wc}
+        merges = []
+        for r in range(rounds):
+            pc_ = Counter()
+            for w, toks in words.items():
+                for i in range(len(toks) - 1):
+                    pc_[(toks[i], toks[i + 1])] += wc[w]
+            if not pc_:
+                break
+            best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), cnt = best
+            new_id = 256 + r
+            merges.append((r, a, b, new_id, cnt))
+            for w, toks in words.items():
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and \
+                            toks[i + 1] == b:
+                        out.append(new_id)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                words[w] = out
+        return pd.DataFrame(merges, columns=["round", "tok_a", "tok_b",
+                                             "new_id", "cnt"])
+
+    got = bpe_train_merges(rd.from_pandas(docs), rounds=6)
+    want = seq_bpe(docs["text"].tolist(), 6)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"))
