@@ -403,4 +403,6 @@ def oracle_sql() -> dict[str, str]:
         "promo_share": o.q_promo_share(),
         "late_sole_suppliers": o.q_late_sole_suppliers(),
         "bpe_merges": o.q_bpe_merges(),
+        "cust_hits": o.q_cust_hits(),
+        "session_overlap_pairs": o.q_session_overlap_pairs(),
     }

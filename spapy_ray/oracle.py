@@ -5347,3 +5347,64 @@ def q_bpe_merges(rounds: int = 8) -> str:
         f"cnt FROM b{r}"
         for r in range(rounds)]
     return ", ".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+def q_cust_hits(iterations: int = 4, r0: int = 1_000_000) -> str:
+    """Twin of queries.q_cust_hits — HITS with integer
+    max-normalization, every half-iteration a chained CTE (sum over
+    the distinct bipartite edges, then v * r0 // max(v))."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, "
+        "l_suppkey AS s FROM orders JOIN lineitem "
+        "ON o_orderkey = l_orderkey)"]
+    prev_h = None
+    for i in range(iterations):
+        if prev_h is None:
+            parts.append(
+                f"a{i}r AS MATERIALIZED (SELECT s, "
+                f"(count(*) * {r0})::BIGINT AS v FROM e GROUP BY s)")
+        else:
+            parts.append(
+                f"a{i}r AS MATERIALIZED (SELECT s, sum({prev_h}.v)"
+                f"::BIGINT AS v FROM e JOIN {prev_h} USING (c) "
+                "GROUP BY s)")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT s, (v * {r0} // "
+            f"(SELECT max(v) FROM a{i}r))::BIGINT AS v FROM a{i}r)")
+        parts.append(
+            f"h{i}r AS MATERIALIZED (SELECT c, sum(a{i}.v)::BIGINT "
+            f"AS v FROM e JOIN a{i} USING (s) GROUP BY c)")
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT c, (v * {r0} // "
+            f"(SELECT max(v) FROM h{i}r))::BIGINT AS v FROM h{i}r)")
+        prev_h = f"h{i}"
+    last = iterations - 1
+    return (
+        ", ".join(parts) +
+        f" SELECT 'hub' AS side, c::BIGINT AS node, v AS score "
+        f"FROM h{last} UNION ALL "
+        f"SELECT 'auth' AS side, s::BIGINT AS node, v AS score "
+        f"FROM a{last}")
+
+
+def q_session_overlap_pairs() -> str:
+    """Twin of queries.q_session_overlap_pairs: sessions via the
+    sessionize twin, then the same rank-sum identity expressed as an
+    ordered window cumsum (at equal timestamps starts sort before
+    ends, matching searchsorted side='right')."""
+    from spapy_ray.stages.sessions import sql_sessionize
+
+    sess = sql_sessionize()
+    # sql_sessionize is a full statement "WITH ... SELECT ..."; wrap
+    # it as a subquery source.
+    return (
+        f"WITH sess AS MATERIALIZED ({sess}), "
+        "u AS (SELECT session_start_us AS v, 1 AS ist FROM sess "
+        "UNION ALL SELECT session_end_us, 0 FROM sess), "
+        "o AS (SELECT ist, sum(ist) OVER (ORDER BY v ASC, ist DESC "
+        "ROWS UNBOUNDED PRECEDING) AS sle FROM u) "
+        "SELECT (SELECT count(*) FROM sess)::BIGINT AS n_intervals, "
+        "(sum(CASE WHEN ist = 0 THEN sle ELSE 0 END) - "
+        "(SELECT count(*)::BIGINT * (count(*) + 1) // 2 FROM sess))"
+        "::BIGINT AS overlap_pairs FROM o"
+    )

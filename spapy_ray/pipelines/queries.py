@@ -8181,3 +8181,51 @@ def q_bpe_merges(sf_dir: str, rounds: int = 8):
 
 
 QUERIES["bpe_merges"] = q_bpe_merges
+
+
+def q_cust_hits(sf_dir: str, iterations: int = 4):
+    """Fixed-point HITS hubs/authorities over the distinct
+    customer->supplier bipartite graph (stages/graph.hits): the edge
+    table co-partitions ONCE per aggregation side; every
+    half-iteration is one map with the score vector broadcast —
+    no per-iteration shuffle. Integer max-normalization keeps every
+    value in [0, r0] and bit-equal to the chained-CTE twin."""
+    from spapy_ray.stages.graph import hits
+    from spapy_ray.stages.relational import bucketed_group_agg, hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    ol = hash_join(orders, li, on="o_orderkey", right_on="l_orderkey")
+
+    def ids(t: pa.Table) -> pa.Table:
+        return pa.table({"src": pc.cast(t.column("o_custkey"), pa.int64()),
+                         "dst": pc.cast(t.column("l_suppkey"), pa.int64())})
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    e = bucketed_group_agg(ol.map_batches(ids, batch_format="pyarrow"),
+                           "src", dedup)
+    return hits(e, iterations=iterations)
+
+
+QUERIES["cust_hits"] = q_cust_hits
+
+
+def q_session_overlap_pairs(sf_dir: str):
+    """Concurrent-session pair count: gap-sessionize the events log,
+    then count overlapping session pairs WITHOUT the quadratic self
+    join (stages/sessions.interval_overlap_pairs — rank-sum identity
+    over one value-window co-partition)."""
+    import ray.data as rd
+
+    from spapy_ray.stages.sessions import interval_overlap_pairs, \
+        sessionize
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    sess = sessionize(ev)
+    return interval_overlap_pairs(sess, "session_start_us",
+                                  "session_end_us")
+
+
+QUERIES["session_overlap_pairs"] = q_session_overlap_pairs

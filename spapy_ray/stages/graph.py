@@ -889,3 +889,103 @@ def sssp_minplus(pairs, sources, *, rounds: int, mod: int = 97,
 
     return pd.DataFrame({"node": nodes, "dist": dists}) \
         .sort_values("node").reset_index(drop=True)
+
+
+def hits(edges, *, src_col: str = "src", dst_col: str = "dst",
+         iterations: int = 4, r0: int = 1_000_000,
+         buckets: int | None = None):
+    """Fixed-point HITS (Kleinberg 1999, hubs & authorities) over a
+    DISTINCT directed edge Dataset — the second classic link-graph
+    quality signal next to pagerank().
+
+        h_0(u)   = r0
+        a'_t(v)  = sum over (u, v) of h_t(u);  a_t = a' * r0 // max a'
+        h'_t(u)  = sum over (u, v) of a_t(v);  h_{t+1} = h' * r0 // max h'
+
+    Max-normalization in integer floor arithmetic replaces the float
+    L2 norm — every value stays in [0, r0], partial sums are
+    order-independent, and the chained-CTE SQL twin matches bit for
+    bit. Overflow bound: max degree < 2^63 / r0^2 (9.2e6 at the
+    default r0).
+
+    Distribution mirrors pagerank mode="broadcast": the edge table is
+    hash-partitioned ONCE by each aggregation side (dst for the
+    authority step, src for the hub step, both materialized); each
+    half-iteration is a single map over the co-partitioned blocks
+    with the node→score vector broadcast via ray.put — per-block
+    sums are final for their key by construction, so no
+    per-iteration shuffle. Score vectors are the documented small
+    side (node-sized).
+
+    Returns a pandas DataFrame (side in {'hub','auth'}, node, score).
+    """
+    import ray
+
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column(src_col).cast(pa.int64()),
+                         "dst": t.column(dst_col).cast(pa.int64())})
+
+    def ident(g: pd.DataFrame) -> pd.DataFrame:
+        return g
+
+    e = edges.map_batches(project, batch_format="pyarrow")
+    by_dst = bucketed_group_agg(e, "dst", ident,
+                                buckets=buckets).materialize()
+    by_src = bucketed_group_agg(e, "src", ident,
+                                buckets=buckets).materialize()
+
+    def _uniq(ds, col):
+        def part(t: pa.Table) -> pa.Table:
+            return pa.table({col: pa.array(np.unique(
+                t.column(col).to_numpy(zero_copy_only=False)))})
+        out = pa.concat_tables(
+            [b for b in ds.map_batches(part, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")],
+            promote_options="default")
+        return np.unique(out.column(col).to_numpy(zero_copy_only=False))
+
+    hubs = _uniq(by_src, "src")
+    auths = _uniq(by_dst, "dst")
+
+    def _half(part_ds, group_col, lookup_col, state_ref, out_len,
+              out_keys):
+        # one map over key-partitioned blocks; per-block sums final.
+        # (keys, vector) ride ONE ray.put — read per task, never
+        # re-shipped in the closure.
+        def step(t: pa.Table) -> pa.Table:
+            import ray as _r
+            keys, vec = _r.get(state_ref)
+            look = t.column(lookup_col).to_numpy(zero_copy_only=False)
+            grp = t.column(group_col).to_numpy(zero_copy_only=False)
+            contrib = vec[np.searchsorted(keys, look)]
+            u, inv = np.unique(grp, return_inverse=True)
+            s = np.zeros(len(u), dtype=np.int64)
+            np.add.at(s, inv, contrib)
+            return pa.table({"node": pa.array(u), "v": pa.array(s)})
+
+        out = pa.concat_tables(
+            [b for b in part_ds.map_batches(
+                step, batch_format="pyarrow", batch_size=None)
+             .iter_batches(batch_format="pyarrow")],
+            promote_options="default")
+        raw = np.zeros(out_len, dtype=np.int64)
+        raw[np.searchsorted(
+            out_keys, out.column("node").to_numpy(zero_copy_only=False))] \
+            = out.column("v").to_numpy(zero_copy_only=False)
+        return raw * r0 // max(int(raw.max()), 1)
+
+    h = np.full(len(hubs), r0, dtype=np.int64)
+    a = np.zeros(len(auths), dtype=np.int64)
+    for _ in range(iterations):
+        a = _half(by_dst, "dst", "src", ray.put((hubs, h)), len(auths),
+                  auths)
+        h = _half(by_src, "src", "dst", ray.put((auths, a)), len(hubs),
+                  hubs)
+
+    return pd.DataFrame({
+        "side": np.concatenate([np.full(len(hubs), "hub"),
+                                np.full(len(auths), "auth")]),
+        "node": np.concatenate([hubs, auths]).astype(np.int64),
+        "score": np.concatenate([h, a]).astype(np.int64)})

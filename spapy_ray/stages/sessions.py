@@ -1136,3 +1136,92 @@ def grouped_cusum(ds, *, key_col: str, id_col: str, x_col: str,
     res["n_alarms"] = res["n_alarms"].astype(np.int64)
     res["max_s"] = res["max_s"].astype(np.int64)
     return res.sort_values("k").reset_index(drop=True)
+
+
+def interval_overlap_pairs(ds, start_col: str, end_col: str, *,
+                           window: int = 3600_000_000,
+                           buckets: int | None = None):
+    """Count unordered pairs of CLOSED intervals [start, end] that
+    overlap (start_a <= end_b AND start_b <= end_a) — the interval
+    self-join cardinality, without materializing a single pair.
+
+    Identity: a disjoint ordered pair is exactly one with
+    start_j > end_i (closed intervals make the double-count case
+    impossible), so with S = sum over ends of #{starts <= end}:
+
+        pairs = S - n*(n+1)//2
+
+    Distribution is the two_sample_ks shape: starts (side 0) and
+    ends (side 1) ride ONE side-tagged union co-partitioned by value
+    window; phase 1 folds per-window start counts (tiny) into driver
+    prefix offsets; phase 2 computes each window's local
+    searchsorted rank sum FINAL — the exchange carries window
+    summaries, never pairs. Exact int64 throughout.
+
+    Returns a one-row pandas DataFrame (n_intervals, overlap_pairs).
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = t.column(start_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        e = t.column(end_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = np.concatenate([s, e])
+        side = np.concatenate([np.zeros(len(s), dtype=np.int8),
+                               np.ones(len(e), dtype=np.int8)])
+        return pa.table({"v": pa.array(v), "w": pa.array(v // window),
+                         "s": pa.array(side)})
+
+    u = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def totals(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        sd = t.column("s").to_numpy(zero_copy_only=False)
+        ws = w[sd == 0]
+        uw, cnt = np.unique(ws, return_counts=True)
+        return pa.table({"w": pa.array(uw),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    tot = u.map_batches(totals, batch_format="pyarrow") \
+        .groupby("w").aggregate(Sum("c", alias_name="c")).to_pandas()
+    if len(tot) == 0:
+        return pd.DataFrame({"n_intervals": [np.int64(0)],
+                             "overlap_pairs": [np.int64(0)]})
+    tot = tot.sort_values("w")
+    wk = tot["w"].to_numpy().astype(np.int64)
+    wc = tot["c"].to_numpy().astype(np.int64)
+    n = int(wc.sum())
+    # offset for ANY window w = starts in all windows < w (an
+    # end-only window still sees every earlier start)
+    cum = np.r_[0, np.cumsum(wc)]
+    ref = ray.put((wk, cum))
+
+    def rank_sum(g: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        wk_, cum_ = ray.get(_ref)
+        if not len(g):
+            return pd.DataFrame({"rs": pd.Series([], dtype=np.int64)})
+        total = 0
+        for w, gw in g.groupby("w", sort=False):
+            v = gw["v"].to_numpy()
+            sd = gw["s"].to_numpy()
+            starts = np.sort(v[sd == 0])
+            ends = v[sd == 1]
+            if len(ends) == 0:
+                continue
+            local = int(np.searchsorted(starts, ends,
+                                        side="right").sum())
+            off = int(cum_[np.searchsorted(wk_, int(w), side="left")])
+            total += local + off * len(ends)
+        return pd.DataFrame({"rs": [np.int64(total)]})
+
+    parts = bucketed_group_agg(u, "w", rank_sum,
+                               buckets=buckets).to_pandas()
+    s_sum = int(parts["rs"].sum()) if len(parts) else 0
+    return pd.DataFrame({
+        "n_intervals": [np.int64(n)],
+        "overlap_pairs": [np.int64(s_sum - n * (n + 1) // 2)]})

@@ -214,3 +214,39 @@ def test_k_truss_empty(ray_session):
     got = k_truss(rd.from_pandas(pairs), k=3, buckets=4)
     assert len(got) == 0
     assert list(got.columns) == ["lo", "hi", "support"]
+
+
+def test_hits_matches_sequential_reference(ray_session):
+    """Distributed HITS == the sequential integer iteration."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.graph import hits
+
+    rng = np.random.default_rng(11)
+    e = pd.DataFrame({"src": rng.integers(0, 20, 200),
+                      "dst": rng.integers(100, 115, 200)}) \
+        .drop_duplicates().reset_index(drop=True)
+    r0 = 1_000_000
+    got = hits(rd.from_pandas(e), iterations=4, r0=r0, buckets=8)
+
+    hubs = np.sort(e["src"].unique())
+    auths = np.sort(e["dst"].unique())
+    hi = np.searchsorted(hubs, e["src"].to_numpy())
+    ai = np.searchsorted(auths, e["dst"].to_numpy())
+    h = np.full(len(hubs), r0, dtype=np.int64)
+    for _ in range(4):
+        a = np.zeros(len(auths), dtype=np.int64)
+        np.add.at(a, ai, h[hi])
+        a = a * r0 // a.max()
+        h = np.zeros(len(hubs), dtype=np.int64)
+        np.add.at(h, hi, a[ai])
+        h = h * r0 // h.max()
+
+    gh = got[got["side"] == "hub"].sort_values("node")
+    ga = got[got["side"] == "auth"].sort_values("node")
+    assert np.array_equal(gh["node"].to_numpy(), hubs)
+    assert np.array_equal(gh["score"].to_numpy(), h)
+    assert np.array_equal(ga["node"].to_numpy(), auths)
+    assert np.array_equal(ga["score"].to_numpy(), a)

@@ -620,3 +620,26 @@ def test_late_event_counts_bruteforce(ray_session):
                                n_late=("late", "sum")) \
         .reset_index().astype(np.int64)
     pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+def test_interval_overlap_pairs_brute_parity(ray_session):
+    """Rank-sum overlap count == quadratic brute force, across
+    window widths (incl. one window per point and one global)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.sessions import interval_overlap_pairs
+
+    rng = np.random.default_rng(9)
+    n = 800
+    s = rng.integers(0, 10 ** 6, n)
+    e = s + rng.integers(0, 8000, n)
+    df = pd.DataFrame({"a": s, "b": e})
+    brute = (sum(int(((s <= e[i]) & (s[i] <= e)).sum())
+                 for i in range(n)) - n) // 2
+    for w in (1, 777, 50_000, 10 ** 9):
+        out = interval_overlap_pairs(rd.from_pandas(df), "a", "b",
+                                     window=w, buckets=16)
+        assert int(out["n_intervals"][0]) == n
+        assert int(out["overlap_pairs"][0]) == brute, f"window={w}"
