@@ -405,4 +405,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": o.q_bpe_merges(),
         "cust_hits": o.q_cust_hits(),
         "session_overlap_pairs": o.q_session_overlap_pairs(),
+        "domain_trajectories": o.q_domain_trajectories(),
     }

@@ -5408,3 +5408,43 @@ def q_session_overlap_pairs() -> str:
         "(SELECT count(*)::BIGINT * (count(*) + 1) // 2 FROM sess))"
         "::BIGINT AS overlap_pairs FROM o"
     )
+
+
+def q_domain_trajectories() -> str:
+    """Twin of queries.q_domain_trajectories: same host regex, same
+    1e-5 quantization; warc_ts is unique by construction so the
+    ORDER BY us equals the engine's (us, url, lat5, lon5) tie
+    order; HUGEINT moments, floor gyr."""
+    import re
+
+    from spapy_ray.stages.text import URL_PATTERN
+
+    anon = re.sub(r"\?P<[a-z]+>", "", URL_PATTERN)
+    return (
+        f"WITH {geo_cte()}, "
+        f"pts AS (SELECT regexp_extract(url, '{anon}', 2) AS host, "
+        "epoch_us(warc_ts) AS us, "
+        "CAST(round(lat * 100000.0) AS BIGINT) AS lat5, "
+        "CAST(round(lon * 100000.0) AS BIGINT) AS lon5 FROM geo), "
+        "w AS (SELECT host, lat5, lon5, "
+        "lag(lat5) OVER o AS plat, lag(lon5) OVER o AS plon, "
+        "first_value(lat5) OVER o AS flat, "
+        "first_value(lon5) OVER o AS flon "
+        "FROM pts WINDOW o AS (PARTITION BY host ORDER BY us)), "
+        "agg AS (SELECT host, count(*)::HUGEINT AS n, "
+        "sum(CASE WHEN plat IS NULL THEN 0 "
+        "ELSE abs(lon5 - plon) + abs(lat5 - plat) END)::BIGINT "
+        "AS l1_path, "
+        "sum((lon5 - flon)::HUGEINT) AS sdx, "
+        "sum((lat5 - flat)::HUGEINT) AS sdy, "
+        "sum((lon5 - flon)::HUGEINT * (lon5 - flon) + "
+        "(lat5 - flat)::HUGEINT * (lat5 - flat)) AS stot, "
+        "any_value(flon) AS flon, any_value(flat) AS flat "
+        "FROM w GROUP BY host), "
+        "lastp AS (SELECT host, arg_max(lon5, us) AS llon, "
+        "arg_max(lat5, us) AS llat FROM pts GROUP BY host) "
+        "SELECT a.host, n::BIGINT AS n_points, l1_path, "
+        "(abs(llon - flon) + abs(llat - flat))::BIGINT AS net_l1, "
+        "((n * stot - sdx * sdx - sdy * sdy) // (n * n))::BIGINT "
+        "AS gyr_q FROM agg a JOIN lastp USING (host)"
+    )

@@ -8229,3 +8229,32 @@ def q_session_overlap_pairs(sf_dir: str):
 
 
 QUERIES["session_overlap_pairs"] = q_session_overlap_pairs
+
+
+def q_domain_trajectories(sf_dir: str):
+    """Per-domain trajectory mining over the geocoded corpus: order
+    each host's pages by crawl time, then exact-integer L1 path
+    length, net displacement and radius of gyration
+    (stages/spatialstats.trajectory_stats) — the moving-object view
+    of a web crawl, one host shuffle."""
+    from spapy_ray.stages.distjoin import _fixed5
+    from spapy_ray.stages.spatialstats import trajectory_stats
+    from spapy_ray.stages.text import url_parse_batch
+
+    geo = _geo(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        h = url_parse_batch(t.select(["url"]))
+        return pa.table({
+            "host": h.column("host"),
+            "us": pc.cast(t.column("warc_ts"), pa.int64()),
+            "url": t.column("url"),
+            "lat5": pa.array(_fixed5(t.column("lat"))),
+            "lon5": pa.array(_fixed5(t.column("lon")))})
+
+    pts = geo.map_batches(project, batch_format="pyarrow")
+    return trajectory_stats(pts, "host",
+                            ["us", "url", "lat5", "lon5"])
+
+
+QUERIES["domain_trajectories"] = q_domain_trajectories

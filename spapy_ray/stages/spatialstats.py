@@ -484,3 +484,72 @@ def geary_c(ds, meta, *, dtype: str = "int32", q: int = 10 ** 6,
     return pd.DataFrame({
         "n_pix": [n], "w_dir": [w_dir], "s_sum": [s], "ss_sum": [ss],
         "p_sq": [p_sq], "geary_q": [geary_q]}).astype(np.int64)
+
+
+def trajectory_stats(ds, key_col: str, order_cols: list[str],
+                     x_col: str = "lon5", y_col: str = "lat5",
+                     buckets: int | None = None):
+    """Per-key trajectory statistics over ordered integer points —
+    the centrography of MOTION (trajectory mining: path length, net
+    displacement, radius of gyration), exact to the last bit:
+
+      l1_path  = sum of |dx| + |dy| over consecutive points
+      net_l1   = |last - first| (L1)
+      gyr_q    = floor[(n*S2 - Sx^2 - Sy^2) / n^2], the per-point
+                 variance about the centroid (shift-invariant, so
+                 points anchor to the key's FIRST point; the squared
+                 anchored deltas accumulate in (hi, lo) 2^31 limbs so
+                 int64 never overflows, and the final fold runs in
+                 vectorized Python bigints on the per-key table).
+
+    ONE hash shuffle on key; each bucket resolves all of its keys in
+    one lexsorted vectorized pass (no per-key Python).
+    """
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    sort_cols = [key_col] + order_cols
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key_col: [], "n_points": [],
+                                 "l1_path": [], "net_l1": [],
+                                 "gyr_q": []})
+        df = df.sort_values(sort_cols, kind="stable")
+        k = df[key_col].to_numpy()
+        x = df[x_col].to_numpy().astype(np.int64)
+        y = df[y_col].to_numpy().astype(np.int64)
+        first = np.r_[True, k[1:] != k[:-1]]
+        gid = np.cumsum(first) - 1
+        nh = int(gid[-1]) + 1
+        fi = np.nonzero(first)[0]
+        li = np.r_[fi[1:] - 1, len(k) - 1]
+        n = np.diff(np.r_[fi, len(k)]).astype(np.int64)
+
+        valid = ~first[1:]
+        step = (np.abs(np.diff(x)) + np.abs(np.diff(y)))[valid]
+        path = np.zeros(nh, dtype=np.int64)
+        np.add.at(path, gid[1:][valid], step)
+
+        net = np.abs(x[li] - x[fi]) + np.abs(y[li] - y[fi])
+
+        ax = x - x[fi][gid]
+        ay = y - y[fi][gid]
+        sdx = np.zeros(nh, dtype=np.int64)
+        sdy = np.zeros(nh, dtype=np.int64)
+        np.add.at(sdx, gid, ax)
+        np.add.at(sdy, gid, ay)
+        s2 = ax * ax + ay * ay          # <= 2.6e15 per element
+        shi = np.zeros(nh, dtype=np.int64)
+        slo = np.zeros(nh, dtype=np.int64)
+        np.add.at(shi, gid, s2 >> 31)
+        np.add.at(slo, gid, s2 & ((1 << 31) - 1))
+        stot = shi.astype(object) * (1 << 31) + slo
+        num = n.astype(object) * stot \
+            - sdx.astype(object) ** 2 - sdy.astype(object) ** 2
+        gyr = (num // (n.astype(object) * n)).astype(np.int64)
+
+        return pd.DataFrame({key_col: k[fi], "n_points": n,
+                             "l1_path": path, "net_l1": net,
+                             "gyr_q": gyr})
+
+    return bucketed_group_agg(ds, key_col, local, buckets=buckets)

@@ -150,3 +150,45 @@ def test_lzw_runs_compress_and_roundtrip(rep, byte, n):
     enc = lzw_encode(data)
     assert lzw_decode(enc) == data
     assert len(enc) < len(data) + 8
+
+
+def test_trajectory_stats_brute_parity(ray_session):
+    """trajectory_stats == per-key sequential bigint reference."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from spapy_ray.stages.spatialstats import trajectory_stats
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    df = pd.DataFrame({
+        "host": rng.integers(0, 40, n).astype(str),
+        "us": rng.permutation(n).astype(np.int64),
+        "url": [f"u{i}" for i in range(n)],
+        "lon5": rng.integers(-18_000_000, 18_000_000, n),
+        "lat5": rng.integers(-8_500_000, 8_500_000, n)})
+
+    got = trajectory_stats(rd.from_pandas(df), "host",
+                           ["us", "url", "lat5", "lon5"], buckets=8) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+
+    rows = []
+    for h, g in df.sort_values(["host", "us"]).groupby("host"):
+        x = [int(v) for v in g["lon5"]]
+        y = [int(v) for v in g["lat5"]]
+        m = len(x)
+        path = sum(abs(x[i] - x[i - 1]) + abs(y[i] - y[i - 1])
+                   for i in range(1, m))
+        net = abs(x[-1] - x[0]) + abs(y[-1] - y[0])
+        ax = [v - x[0] for v in x]
+        ay = [v - y[0] for v in y]
+        num = m * sum(a * a + b * b for a, b in zip(ax, ay)) \
+            - sum(ax) ** 2 - sum(ay) ** 2
+        rows.append((h, m, path, net, num // (m * m)))
+    want = pd.DataFrame(rows, columns=["host", "n_points", "l1_path",
+                                       "net_l1", "gyr_q"]) \
+        .sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in want.columns[1:]}),
+        want.astype({c: "int64" for c in want.columns[1:]}))
