@@ -90,7 +90,13 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # composite corpus prep, Gram partials, 3-itemsets)
                  "raster_trend", "cost_distance",
                  "user_overlap_sketch", "corpus_prep", "embed_gram",
-                 "frequent_triples"]
+                 "frequent_triples",
+                 # session-11 additions (distributed BPE training,
+                 # HITS broadcast iteration, Q21 two-level bucket
+                 # fold, interval-overlap rank sum, per-domain
+                 # trajectory moments)
+                 "bpe_merges", "cust_hits", "late_sole_suppliers",
+                 "session_overlap_pairs", "domain_trajectories"]
 
 
 def _consume(res) -> int:
