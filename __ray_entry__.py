@@ -406,4 +406,14 @@ def oracle_sql() -> dict[str, str]:
         "cust_hits": o.q_cust_hits(),
         "session_overlap_pairs": o.q_session_overlap_pairs(),
         "domain_trajectories": o.q_domain_trajectories(),
+        "shipping_priority": o.q_shipping_priority(),
+        "late_order_priority": o.q_late_order_priority(),
+        "nation_pair_trade": o.q_nation_pair_trade(),
+        "market_share": o.q_market_share(),
+        "product_profit": o.q_product_profit(),
+        "brand_discount_revenue": o.q_brand_discount_revenue(),
+        "min_cost_supplier": o.q_min_cost_supplier(),
+        "important_parts": o.q_important_parts(),
+        "supplier_part_counts": o.q_supplier_part_counts(),
+        "promo_suppliers": o.q_promo_suppliers(),
     }

@@ -5448,3 +5448,191 @@ def q_domain_trajectories() -> str:
         "((n * stot - sdx * sdx - sdy * sdy) // (n * n))::BIGINT "
         "AS gyr_q FROM agg a JOIN lastp USING (host)"
     )
+
+
+# --- TPC-H completion batch (session-12) twins. Money convention
+# everywhere: round(x*100)::BIGINT == np.rint on 2-dp values (no .5
+# ties possible at 2 decimals x100).
+
+_REV = ("round(l_extendedprice * 100)::BIGINT * "
+        "(100 - round(l_discount * 100)::BIGINT)")
+
+
+def q_shipping_priority(k: int = 10) -> str:
+    """Twin of queries.q_shipping_priority (Q3 shape): order keys are
+    unique per group so (revenue_u DESC, l_orderkey) is a total
+    order."""
+    return (
+        "SELECT l_orderkey, epoch_us(o_orderdate) AS odate_us, "
+        f"sum({_REV})::BIGINT AS revenue_u "
+        "FROM customer, orders, lineitem "
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+        "AND l_orderkey = o_orderkey "
+        "AND o_orderdate < TIMESTAMP '1998-06-01' "
+        "AND l_shipdate > TIMESTAMP '1998-06-01' "
+        "GROUP BY 1, 2 "
+        f"ORDER BY revenue_u DESC, l_orderkey LIMIT {k}"
+    )
+
+
+def q_late_order_priority() -> str:
+    """Twin of queries.q_late_order_priority (Q4 shape, adapted:
+    EXISTS lineitem shipped > 90 days after the order date)."""
+    return (
+        "SELECT o_orderpriority, count(*)::BIGINT AS n_orders "
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01' "
+        "AND o_orderdate < TIMESTAMP '1997-10-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem "
+        "WHERE l_orderkey = o_orderkey "
+        "AND l_shipdate > o_orderdate + INTERVAL 90 DAY) "
+        "GROUP BY 1"
+    )
+
+
+def q_nation_pair_trade() -> str:
+    """Twin of queries.q_nation_pair_trade (Q7 shape)."""
+    return (
+        "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+        "year(l_shipdate)::BIGINT AS l_year, "
+        f"sum({_REV})::BIGINT AS revenue_u "
+        "FROM supplier, lineitem, orders, customer, "
+        "nation ns, nation nc "
+        "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey "
+        "AND c_custkey = o_custkey AND s_nationkey = ns.n_nationkey "
+        "AND c_nationkey = nc.n_nationkey "
+        "AND ((ns.n_nationkey = 3 AND nc.n_nationkey = 8) "
+        "OR (ns.n_nationkey = 8 AND nc.n_nationkey = 3)) "
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY 1, 2, 3"
+    )
+
+
+def q_market_share() -> str:
+    """Twin of queries.q_market_share (Q8 shape): exact ppm trunc
+    ratio (both sums positive, so // is floor == trunc)."""
+    return (
+        "WITH base AS (SELECT year(o_orderdate)::BIGINT AS o_year, "
+        f"{_REV} AS rev, s_nationkey "
+        "FROM part, lineitem, supplier, orders, customer, "
+        "nation nc, region "
+        "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
+        "AND l_orderkey = o_orderkey AND o_custkey = c_custkey "
+        "AND c_nationkey = nc.n_nationkey "
+        "AND nc.n_regionkey = r_regionkey AND r_name = 'AMERICA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "AND p_type = 'ECONOMY') "
+        "SELECT o_year, sum(rev)::BIGINT AS rev_all_u, "
+        "sum(CASE WHEN s_nationkey = 3 THEN rev ELSE 0 END)::BIGINT "
+        "AS rev_nation_u, "
+        "(sum(CASE WHEN s_nationkey = 3 THEN rev ELSE 0 END) "
+        "* 1000000 // sum(rev))::BIGINT AS share_ppm "
+        "FROM base GROUP BY 1"
+    )
+
+
+def q_product_profit() -> str:
+    """Twin of queries.q_product_profit (Q9 shape, adapted: unit cost
+    = half the retail price, exact in cents x100 scale)."""
+    return (
+        "SELECT n_name, year(o_orderdate)::BIGINT AS o_year, "
+        f"sum({_REV} - round(l_quantity)::BIGINT * "
+        "round(p_retailprice * 100)::BIGINT * 50)::BIGINT AS profit_u "
+        "FROM part, lineitem, supplier, orders, nation "
+        "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
+        "AND l_orderkey = o_orderkey "
+        "AND s_nationkey = n_nationkey "
+        "AND p_name LIKE '%gear%' "
+        "GROUP BY 1, 2"
+    )
+
+
+def q_brand_discount_revenue() -> str:
+    """Twin of queries.q_brand_discount_revenue (Q19 shape)."""
+    return (
+        f"SELECT coalesce(sum({_REV}), 0)::BIGINT AS revenue_u, "
+        "count(*)::BIGINT AS n_items "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 "
+        "AND p_size BETWEEN 1 AND 5) "
+        "OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 "
+        "AND p_size BETWEEN 1 AND 10) "
+        "OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 "
+        "AND p_size BETWEEN 1 AND 15)"
+    )
+
+
+def q_min_cost_supplier() -> str:
+    """Twin of queries.q_min_cost_supplier (Q2 shape, adapted: offers
+    derived from lineitem, unit_cents = cents // qty exact trunc on
+    positives; argmin tie -> min suppkey)."""
+    return (
+        "WITH eu AS (SELECT s_suppkey FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'EUROPE'), "
+        "pk AS (SELECT p_partkey FROM part WHERE p_type = 'SMALL'), "
+        "offers AS (SELECT l_partkey, l_suppkey, "
+        "round(l_extendedprice * 100)::BIGINT "
+        "// round(l_quantity)::BIGINT AS uc "
+        "FROM lineitem JOIN eu ON l_suppkey = s_suppkey "
+        "JOIN pk ON l_partkey = p_partkey), "
+        "best AS (SELECT l_partkey, min(uc) AS uc FROM offers "
+        "GROUP BY 1) "
+        "SELECT o.l_partkey AS p_partkey, "
+        "min(o.l_suppkey)::BIGINT AS s_suppkey, "
+        "b.uc::BIGINT AS unit_cents "
+        "FROM offers o JOIN best b "
+        "ON o.l_partkey = b.l_partkey AND o.uc = b.uc "
+        "GROUP BY 1, 3"
+    )
+
+
+def q_important_parts() -> str:
+    """Twin of queries.q_important_parts (Q11 shape, adapted: value =
+    extended-price cents over NATION_0 suppliers; keep
+    value_u * 1000 > total)."""
+    return (
+        "WITH v AS (SELECT l_partkey, "
+        "sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS value_u "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE s_nationkey = 3 GROUP BY 1) "
+        "SELECT l_partkey, value_u FROM v "
+        "WHERE value_u * 1000 > (SELECT sum(value_u) FROM v)"
+    )
+
+
+def q_supplier_part_counts() -> str:
+    """Twin of queries.q_supplier_part_counts (Q16 shape, adapted:
+    the part-supplier relation is distinct lineitem pairs; negative
+    balance stands in for complaints)."""
+    return (
+        "SELECT p_brand, p_type, p_size::BIGINT AS p_size, "
+        "count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "WHERE s_acctbal >= 0 AND p_brand <> 'Brand#9' "
+        "AND p_type <> 'PROMO' "
+        "GROUP BY 1, 2, 3"
+    )
+
+
+def q_promo_suppliers() -> str:
+    """Twin of queries.q_promo_suppliers (Q20 shape, adapted: 1996
+    red-part shipments dominate the pair's all-time quantity)."""
+    return (
+        "WITH agg AS (SELECT l_suppkey, l_partkey, "
+        "sum(round(l_quantity)::BIGINT) AS qa, "
+        "sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "THEN round(l_quantity)::BIGINT ELSE 0 END) AS q96 "
+        "FROM lineitem "
+        "JOIN part ON p_partkey = l_partkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "WHERE p_name LIKE 'red %' AND s_nationkey = 8 "
+        "GROUP BY 1, 2) "
+        "SELECT DISTINCT s_suppkey, s_name "
+        "FROM agg JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE q96 * 2 > qa AND q96 > 0"
+    )

@@ -8258,3 +8258,638 @@ def q_domain_trajectories(sf_dir: str):
 
 
 QUERIES["domain_trajectories"] = q_domain_trajectories
+
+
+# --- TPC-H completion batch (session-12): the ten remaining classic
+# decision-support shapes over this schema. With these, all 22 TPC-H
+# query shapes have an engine pipeline + SQL twin:
+#   Q1 lineitem_pricing        Q12 late_shipments
+#   Q2 min_cost_supplier       Q13 cust_order_histogram
+#   Q3 shipping_priority       Q14 promo_share / promo_revenue_share
+#   Q4 late_order_priority     Q15 top_supplier
+#   Q5 local_supplier_revenue  Q16 supplier_part_counts
+#   Q6 forecast_revenue        Q17 small_qty_revenue
+#   Q7 nation_pair_trade       Q18 large_orders
+#   Q8 market_share            Q19 brand_discount_revenue
+#   Q9 product_profit          Q20 promo_suppliers
+#   Q10 returned_customers     Q21 late_sole_suppliers
+#   Q11 important_parts        Q22 idle_customers
+# partsupp does not exist in this schema, so Q2/Q11/Q16/Q20 derive
+# the supplier-part relation from lineitem instead (noted per query);
+# commit/receipt dates do not exist, so Q4's EXISTS predicate is
+# "shipped > 90 days after the order date". All money stays integer:
+# cents = rint(price*100), disc_pct = rint(disc*100),
+# revenue_u = cents * (100 - disc_pct).
+
+
+def _cents(col) -> np.ndarray:
+    return np.rint(col.to_numpy(zero_copy_only=False) * 100) \
+        .astype(np.int64)
+
+
+def _qty_i(col) -> np.ndarray:
+    return np.rint(col.to_numpy(zero_copy_only=False)).astype(np.int64)
+
+
+def _year_of_us(us: np.ndarray) -> np.ndarray:
+    return (us.astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64) + 1970)
+
+
+def q_shipping_priority(sf_dir: str, k: int = 10):
+    """TPC-H Q3 shape — unshipped-order revenue by order: BUILDING
+    customers semi-filter orders (one bucketed hash_join, date
+    predicate pushed into the orders scan), the fact table probes
+    that result, per-order revenue folds through the bucketed
+    two-stage groupby, and the global top-10 is a sort+limit on the
+    per-order aggregate (never the raw fact rows)."""
+    import pyarrow.dataset as pds
+
+    from spapy_ray.stages.relational import bucketed_group_agg, hash_join
+
+    d = pd.Timestamp("1998-06-01")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   predicate=pds.field("o_orderdate") < d)
+    cust = _read(sf_dir, "customer", columns=["c_custkey"],
+                 predicate=pds.field("c_mktsegment") == "BUILDING")
+    o2 = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                   how="semi").map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"],
+               predicate=pds.field("l_shipdate") > d)
+    j = hash_join(li, o2, on="l_orderkey", right_on="o_orderkey")
+
+    def proj(t: pa.Table) -> pa.Table:
+        rev = _cents(t.column("l_extendedprice")) * \
+            (100 - _cents(t.column("l_discount")))
+        return pa.table({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "odate_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "rev": pa.array(rev)})
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_orderkey", "odate_us"], sort=False)["rev"] \
+            .sum().reset_index()
+        return g.rename(columns={"rev": "revenue_u"})
+
+    per_order = bucketed_group_agg(
+        j.map_batches(proj, batch_format="pyarrow"), "l_orderkey", local)
+    return per_order.sort(["revenue_u", "l_orderkey"],
+                          descending=[True, False]).limit(k)
+
+
+QUERIES["shipping_priority"] = q_shipping_priority
+
+
+def q_late_order_priority(sf_dir: str):
+    """TPC-H Q4 shape — order-priority check: orders from one quarter
+    counted per priority when ANY lineitem shipped > 90 days after
+    the order date (the schema has no commit/receipt dates). The
+    EXISTS is one bucketed hash_join + vectorized late mask +
+    bucketed per-order dedup; the final count is a combiner fold
+    over the 5-row priority domain."""
+    import pyarrow.dataset as pds
+
+    from spapy_ray.stages.relational import (bucketed_group_agg,
+                                             hash_join,
+                                             pre_aggregated_count)
+
+    t0 = pd.Timestamp("1997-07-01")
+    t1 = pd.Timestamp("1997-10-01")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"],
+                   predicate=(pds.field("o_orderdate") >= t0)
+                   & (pds.field("o_orderdate") < t1))
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    late_us = 90 * 86_400_000_000
+
+    def late_pairs(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        od = t.column("o_orderdate").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = ship > od + late_us
+        sub = t.filter(pa.array(m))
+        df = pd.DataFrame({
+            "l_orderkey": sub.column("l_orderkey")
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+            "o_orderpriority": sub.column("o_orderpriority")
+            .to_pandas()}).drop_duplicates("l_orderkey")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = j.map_batches(late_pairs, batch_format="pyarrow")
+    dedup = bucketed_group_agg(
+        pairs, "l_orderkey",
+        lambda df: df.drop_duplicates("l_orderkey"))
+    out = pre_aggregated_count(dedup, "o_orderpriority",
+                               alias="n_orders").to_pandas()
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out
+
+
+QUERIES["late_order_priority"] = q_late_order_priority
+
+
+def q_nation_pair_trade(sf_dir: str):
+    """TPC-H Q7 shape — volume shipping between NATION_3 and
+    NATION_8 by ship year: the Q5 join plan (customer hash_join,
+    fact probe, supplier broadcast) with the cross-nation mask and
+    (supp_nation, cust_nation, year) combiner fold."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.relational import broadcast_join, hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"],
+                 predicate=pds.field("c_nationkey").isin([3, 8]))
+    # map_batches select, not select_columns: Ray's static Project
+    # schema over a map_groups result can over-report columns, which
+    # breaks the downstream hash_join's schema-driven unify
+    oc = hash_join(orders, cust, on="o_custkey", right_on="c_custkey") \
+        .map_batches(lambda t: t.select(["o_orderkey", "c_nationkey"]),
+                     batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount", "l_shipdate"],
+               predicate=(pds.field("l_shipdate")
+                          >= pd.Timestamp("1996-01-01"))
+               & (pds.field("l_shipdate") < pd.Timestamp("1998-01-01")))
+    j = hash_join(li, oc, on="l_orderkey", right_on="o_orderkey")
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = sup.filter(pc.is_in(sup.column("s_nationkey"),
+                              value_set=pa.array([3, 8], pa.int32())))
+    sup = pa.table({"s_suppkey": pc.cast(sup.column("s_suppkey"),
+                                         pa.int64()),
+                    "s_nationkey": pc.cast(sup.column("s_nationkey"),
+                                           pa.int64())})
+    js = broadcast_join(j, sup, key="l_suppkey", small_key="s_suppkey")
+
+    def fold(t: pa.Table) -> pa.Table:
+        cn = t.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sn = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        m = cn != sn
+        sub = t.filter(pa.array(m))
+        rev = _cents(sub.column("l_extendedprice")) * \
+            (100 - _cents(sub.column("l_discount")))
+        yr = _year_of_us(sub.column("l_shipdate").cast(pa.int64())
+                         .to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "supp_nation": np.where(sn[m] == 3, "NATION_3", "NATION_8"),
+            "cust_nation": np.where(cn[m] == 3, "NATION_3", "NATION_8"),
+            "l_year": yr, "rev": rev})
+        g = df.groupby(["supp_nation", "cust_nation", "l_year"],
+                       sort=False)["rev"].sum().reset_index()
+        return pa.Table.from_pandas(
+            g.rename(columns={"rev": "revenue_u"}), preserve_index=False)
+
+    return js.map_batches(fold, batch_format="pyarrow") \
+        .groupby(["supp_nation", "cust_nation", "l_year"]) \
+        .aggregate(Sum("revenue_u", alias_name="revenue_u"))
+
+
+QUERIES["nation_pair_trade"] = q_nation_pair_trade
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 shape — NATION_3's market share of ECONOMY-part
+    revenue among AMERICA-region customers, per order year: part
+    keys broadcast-semi into the fact scan, region customers via one
+    hash_join, supplier nation broadcast, and the share computed as
+    an exact ppm trunc ratio on the 2-row year fold."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.relational import broadcast_join, hash_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    amer = int(reg.filter(pc.equal(reg.column("r_name"), "AMERICA"))
+               .column("r_regionkey")[0].as_py())
+    amer_nations = [int(k) for k, r in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_regionkey").to_pylist()) if int(r) == amer]
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   predicate=(pds.field("o_orderdate")
+                              >= pd.Timestamp("1996-01-01"))
+                   & (pds.field("o_orderdate")
+                      < pd.Timestamp("1998-01-01")))
+    cust = _read(sf_dir, "customer", columns=["c_custkey"],
+                 predicate=pds.field("c_nationkey").isin(amer_nations))
+    o2 = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                   how="semi").map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow")
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    econ = pa.table({"p_partkey": pc.cast(
+        part.filter(pc.equal(part.column("p_type"), "ECONOMY"))
+        .column("p_partkey"), pa.int64())})
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+    lf = broadcast_join(li, econ, key="l_partkey", small_key="p_partkey")
+    j = hash_join(lf, o2, on="l_orderkey", right_on="o_orderkey")
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = pa.table({"s_suppkey": pc.cast(sup.column("s_suppkey"),
+                                         pa.int64()),
+                    "s_nationkey": pc.cast(sup.column("s_nationkey"),
+                                           pa.int64())})
+    js = broadcast_join(j, sup, key="l_suppkey", small_key="s_suppkey")
+
+    def fold(t: pa.Table) -> pa.Table:
+        rev = _cents(t.column("l_extendedprice")) * \
+            (100 - _cents(t.column("l_discount")))
+        yr = _year_of_us(t.column("o_orderdate").cast(pa.int64())
+                         .to_numpy(zero_copy_only=False))
+        sn = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"o_year": yr, "rev_all_u": rev,
+                           "rev_nation_u": np.where(sn == 3, rev, 0)})
+        g = df.groupby("o_year", sort=False)[
+            ["rev_all_u", "rev_nation_u"]].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = js.map_batches(fold, batch_format="pyarrow") \
+        .groupby("o_year") \
+        .aggregate(Sum("rev_all_u", alias_name="rev_all_u"),
+                   Sum("rev_nation_u", alias_name="rev_nation_u")) \
+        .to_pandas()
+    out["o_year"] = out["o_year"].astype(np.int64)
+    out["rev_all_u"] = out["rev_all_u"].astype(np.int64)
+    out["rev_nation_u"] = out["rev_nation_u"].astype(np.int64)
+    out["share_ppm"] = (out["rev_nation_u"] * 1_000_000
+                        // out["rev_all_u"]).astype(np.int64)
+    return out
+
+
+QUERIES["market_share"] = q_market_share
+
+
+def q_product_profit(sf_dir: str):
+    """TPC-H Q9 shape — profit on 'gear' product lines by supplier
+    nation and order year. No partsupp: unit cost is half the part's
+    retail price, so profit_u = cents*(100-disc_pct) -
+    qty*retail_cents*50, exact in int64. Parts and suppliers ride as
+    broadcast lookups; orders attach through the one bucketed
+    hash_join; the (nation, year) fold is a combiner."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.relational import broadcast_join, hash_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name",
+                                  "p_retailprice"])
+    gear = part.filter(pc.match_substring(part.column("p_name"),
+                                          "gear"))
+    gear = pa.table({
+        "p_partkey": pc.cast(gear.column("p_partkey"), pa.int64()),
+        "retail_cents": pa.array(_cents(gear.column("p_retailprice")))})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_quantity", "l_extendedprice", "l_discount"])
+    lf = broadcast_join(li, gear, key="l_partkey", small_key="p_partkey")
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nmap = {int(k): str(n) for k, n in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_name").to_pylist())}
+    sup = pa.table({
+        "s_suppkey": pc.cast(sup.column("s_suppkey"), pa.int64()),
+        "n_name": pa.array([nmap[int(k)] for k in
+                            sup.column("s_nationkey").to_pylist()])})
+    ls = broadcast_join(lf, sup, key="l_suppkey", small_key="s_suppkey")
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey",
+                                              "o_orderdate"])
+    j = hash_join(ls, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def fold(t: pa.Table) -> pa.Table:
+        rev = _cents(t.column("l_extendedprice")) * \
+            (100 - _cents(t.column("l_discount")))
+        cost = _qty_i(t.column("l_quantity")) * \
+            t.column("retail_cents").to_numpy(zero_copy_only=False) * 50
+        yr = _year_of_us(t.column("o_orderdate").cast(pa.int64())
+                         .to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"n_name": t.column("n_name").to_pandas(),
+                           "o_year": yr, "profit_u": rev - cost})
+        g = df.groupby(["n_name", "o_year"], sort=False)["profit_u"] \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return j.map_batches(fold, batch_format="pyarrow") \
+        .groupby(["n_name", "o_year"]) \
+        .aggregate(Sum("profit_u", alias_name="profit_u"))
+
+
+QUERIES["product_profit"] = q_product_profit
+
+
+def q_brand_discount_revenue(sf_dir: str):
+    """TPC-H Q19 shape — OR-of-ANDs predicate revenue: three
+    (brand, quantity-range, size-range) disjuncts evaluated as one
+    vectorized compound mask against broadcast part attributes; the
+    result is a single-row scalar fold."""
+    import pyarrow.parquet as pq
+
+    from spapy_ray.stages.relational import broadcast_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    small = pa.table({
+        "p_partkey": pc.cast(part.column("p_partkey"), pa.int64()),
+        "p_brand": part.column("p_brand"),
+        "p_size": pc.cast(part.column("p_size"), pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+    j = broadcast_join(li, small, key="l_partkey", small_key="p_partkey")
+
+    def fold(t: pa.Table) -> pa.Table:
+        qty = _qty_i(t.column("l_quantity"))
+        size = t.column("p_size").to_numpy(zero_copy_only=False)
+        brand = np.asarray(t.column("p_brand").to_pylist())
+        m = (((brand == "Brand#1") & (qty >= 1) & (qty <= 11)
+              & (size >= 1) & (size <= 5))
+             | ((brand == "Brand#2") & (qty >= 10) & (qty <= 20)
+                & (size >= 1) & (size <= 10))
+             | ((brand == "Brand#3") & (qty >= 20) & (qty <= 30)
+                & (size >= 1) & (size <= 15)))
+        sub = t.filter(pa.array(m))
+        rev = _cents(sub.column("l_extendedprice")) * \
+            (100 - _cents(sub.column("l_discount")))
+        return pa.table({"revenue_u": pa.array([int(rev.sum())]),
+                         "n_items": pa.array([int(m.sum())])})
+
+    parts = j.map_batches(fold, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue_u": [np.int64(parts["revenue_u"].sum())],
+        "n_items": [np.int64(parts["n_items"].sum())]})
+
+
+QUERIES["brand_discount_revenue"] = q_brand_discount_revenue
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape — minimum-unit-cost supplier per SMALL-type
+    part among EUROPE-region suppliers. No partsupp: the offer
+    relation is derived from lineitem with
+    unit_cents = cents // qty (qty is integral >= 1, so the division
+    is exact trunc on positives). Part keys and the EUROPE supplier
+    set broadcast-semi into the fact scan; the per-part argmin
+    (unit_cents asc, suppkey asc) folds in one bucketed groupby."""
+    import pyarrow.parquet as pq
+
+    from spapy_ray.stages.relational import (broadcast_join,
+                                             bucketed_group_agg)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    eur = int(reg.filter(pc.equal(reg.column("r_name"), "EUROPE"))
+              .column("r_regionkey")[0].as_py())
+    eur_nations = {int(k) for k, r in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_regionkey").to_pylist()) if int(r) == eur}
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    eu_sup = pa.table({"s_suppkey": pc.cast(
+        sup.filter(pa.array([int(n) in eur_nations for n in
+                             sup.column("s_nationkey").to_pylist()]))
+        .column("s_suppkey"), pa.int64())})
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = pa.table({"p_partkey": pc.cast(
+        part.filter(pc.equal(part.column("p_type"), "SMALL"))
+        .column("p_partkey"), pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_extendedprice"])
+    lf = broadcast_join(li, pk, key="l_partkey", small_key="p_partkey")
+    lf = broadcast_join(lf, eu_sup, key="l_suppkey",
+                        small_key="s_suppkey")
+
+    def proj(t: pa.Table) -> pa.Table:
+        uc = _cents(t.column("l_extendedprice")) // \
+            _qty_i(t.column("l_quantity"))
+        return pa.table({
+            "p_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "s_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "uc": pa.array(uc)})
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("p_partkey", sort=False)["uc"].transform("min")
+        best = df[df["uc"] == m]
+        g = best.groupby("p_partkey", sort=False).agg(
+            s_suppkey=("s_suppkey", "min"),
+            unit_cents=("uc", "min")).reset_index()
+        return g
+
+    return bucketed_group_agg(
+        lf.map_batches(proj, batch_format="pyarrow"), "p_partkey", local)
+
+
+QUERIES["min_cost_supplier"] = q_min_cost_supplier
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape — important inventory: per-part extended-price
+    value over NATION_3 suppliers' lineitems, keeping parts whose
+    value exceeds 0.1% of the total (value_u * 1000 > total_u — the
+    fraction predicate stays integral). Supplier set broadcast-semi;
+    per-part sums via the combiner; the global total folds from the
+    per-part aggregate, never a second corpus pass."""
+    import pyarrow.parquet as pq
+
+    from spapy_ray.stages.relational import (broadcast_join,
+                                             pre_aggregated_sums)
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    n0 = pa.table({"s_suppkey": pc.cast(
+        sup.filter(pc.equal(sup.column("s_nationkey"),
+                            pa.scalar(3, pa.int32())))
+        .column("s_suppkey"), pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    lf = broadcast_join(li, n0, key="l_suppkey", small_key="s_suppkey")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "value_u": pa.array(_cents(t.column("l_extendedprice")))})
+
+    per_part = pre_aggregated_sums(
+        lf.map_batches(proj, batch_format="pyarrow"),
+        ["l_partkey"], ["value_u"]).to_pandas()
+    total = int(per_part["value_u"].sum())
+    out = per_part[per_part["value_u"] * 1000 > total]
+    return pd.DataFrame({
+        "l_partkey": out["l_partkey"].to_numpy().astype(np.int64),
+        "value_u": out["value_u"].to_numpy().astype(np.int64)})
+
+
+QUERIES["important_parts"] = q_important_parts
+
+
+def q_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16 shape — supplier counts per part attribute triple:
+    distinct (part, supplier) pairs from lineitem (per-batch distinct
+    + one bucketed dedup), negative-balance suppliers and
+    Brand#9 / PROMO parts excluded via broadcast lookups, then the
+    distinct-supplier count per (brand, type, size) through a second
+    bucketed dedup on (triple, supplier) and a combiner count."""
+    import pyarrow.parquet as pq
+
+    from spapy_ray.stages.relational import (broadcast_join,
+                                             bucketed_group_agg,
+                                             pre_aggregated_sums)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    keep = part.filter(pc.and_(
+        pc.not_equal(part.column("p_brand"), "Brand#9"),
+        pc.not_equal(part.column("p_type"), "PROMO")))
+    attrs = pa.table({
+        "p_partkey": pc.cast(keep.column("p_partkey"), pa.int64()),
+        "p_brand": keep.column("p_brand"),
+        "p_type": keep.column("p_type"),
+        "p_size": pc.cast(keep.column("p_size"), pa.int64())})
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"])
+    ok_sup = pa.table({"s_suppkey": pc.cast(
+        sup.filter(pc.greater_equal(sup.column("s_acctbal"), 0.0))
+        .column("s_suppkey"), pa.int64())})
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_partkey": t.column("l_partkey")
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+            "l_suppkey": t.column("l_suppkey")
+            .to_numpy(zero_copy_only=False).astype(np.int64)}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dd = bucketed_group_agg(
+        li.map_batches(pairs, batch_format="pyarrow"), "l_partkey",
+        lambda df: df.drop_duplicates())
+    dd = broadcast_join(dd, attrs, key="l_partkey",
+                        small_key="p_partkey")
+    dd = broadcast_join(dd, ok_sup, key="l_suppkey",
+                        small_key="s_suppkey")
+
+    # distinct (brand, type, size, suppkey): a supplier shipping two
+    # parts of the same triple must count once
+    def quads(t: pa.Table) -> pa.Table:
+        df = t.select(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+            .to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dq = bucketed_group_agg(
+        dd.map_batches(quads, batch_format="pyarrow"), "l_suppkey",
+        lambda df: df.drop_duplicates())
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(len(t), dtype=np.int64)))
+
+    out = pre_aggregated_sums(
+        dq.map_batches(ones, batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size"], ["one"]).to_pandas()
+    return pd.DataFrame({
+        "p_brand": out["p_brand"], "p_type": out["p_type"],
+        "p_size": out["p_size"].astype(np.int64),
+        "supplier_cnt": out["one"].astype(np.int64)})
+
+
+QUERIES["supplier_part_counts"] = q_supplier_part_counts
+
+
+def q_promo_suppliers(sf_dir: str):
+    """TPC-H Q20 shape — suppliers in NATION_8 whose 1996 shipments
+    of red parts dominate: per (supplier, part) total and 1996
+    quantity sums in one combiner pass (the conditional year sum
+    rides the same fold), keep pairs with q96 * 2 > q_total, distinct
+    suppliers, names attached from the broadcast dimension."""
+    import pyarrow.parquet as pq
+
+    from spapy_ray.stages.relational import (broadcast_join,
+                                             pre_aggregated_sums)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    red = pa.table({"p_partkey": pc.cast(
+        part.filter(pc.starts_with(part.column("p_name"), "red "))
+        .column("p_partkey"), pa.int64())})
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name", "s_nationkey"])
+    sup2 = sup.filter(pc.equal(sup.column("s_nationkey"),
+                               pa.scalar(8, pa.int32())))
+    n2 = pa.table({"s_suppkey": pc.cast(sup2.column("s_suppkey"),
+                                        pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_shipdate"])
+    lf = broadcast_join(li, red, key="l_partkey", small_key="p_partkey")
+    lf = broadcast_join(lf, n2, key="l_suppkey", small_key="s_suppkey")
+
+    t0 = pd.Timestamp("1996-01-01").value // 1000
+    t1 = pd.Timestamp("1997-01-01").value // 1000
+
+    def proj(t: pa.Table) -> pa.Table:
+        qty = _qty_i(t.column("l_quantity"))
+        us = t.column("l_shipdate").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        in96 = (us >= t0) & (us < t1)
+        return pa.table({
+            "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "qa": pa.array(qty),
+            "q96": pa.array(np.where(in96, qty, 0))})
+
+    agg = pre_aggregated_sums(
+        lf.map_batches(proj, batch_format="pyarrow"),
+        ["l_suppkey", "l_partkey"], ["qa", "q96"]).to_pandas()
+    win = agg[(agg["q96"] * 2 > agg["qa"]) & (agg["q96"] > 0)]
+    sk = np.unique(win["l_suppkey"].to_numpy().astype(np.int64))
+    names = {int(k): str(n) for k, n in zip(
+        sup2.column("s_suppkey").to_pylist(),
+        sup2.column("s_name").to_pylist())}
+    return pd.DataFrame({
+        "s_suppkey": sk,
+        "s_name": np.array([names[int(k)] for k in sk], dtype=object)})
+
+
+QUERIES["promo_suppliers"] = q_promo_suppliers

@@ -47,6 +47,14 @@ class BroadcastHashJoin:
         self.order = order
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self.sorted_keys) == 0:
+            # empty build side (e.g. a dimension filter selected no
+            # rows at this scale): inner lookup join yields no rows
+            out = batch.slice(0, 0)
+            empty = self.small.slice(0, 0)
+            for name in empty.column_names:
+                out = out.append_column(name, empty.column(name))
+            return out
         bk = batch.column(self.key).to_numpy(zero_copy_only=False)
         pos = np.searchsorted(self.sorted_keys, bk)
         pos = np.clip(pos, 0, len(self.sorted_keys) - 1)
