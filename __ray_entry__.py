@@ -416,4 +416,10 @@ def oracle_sql() -> dict[str, str]:
         "important_parts": o.q_important_parts(),
         "supplier_part_counts": o.q_supplier_part_counts(),
         "promo_suppliers": o.q_promo_suppliers(),
+        "best_split": o.q_best_split(),
+        "lineitem_moments": o.q_lineitem_moments(),
+        "index_search": o.q_index_search(),
+        "stay_points": o.q_stay_points(),
+        "raster_blur5": o.q_raster_blur5(),
+        "l_diversity": o.q_l_diversity(),
     }

@@ -96,7 +96,12 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # fold, interval-overlap rank sum, per-domain
                  # trajectory moments)
                  "bpe_merges", "cust_hits", "late_sole_suppliers",
-                 "session_overlap_pairs", "domain_trajectories"]
+                 "session_overlap_pairs", "domain_trajectories",
+                 # session-12 additions (histogram decision stump,
+                 # stay-point segmentation, chained-stencil blur,
+                 # ranked boolean retrieval)
+                 "best_split", "stay_points", "raster_blur5",
+                 "index_search"]
 
 
 def _consume(res) -> int:

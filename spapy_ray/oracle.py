@@ -5636,3 +5636,149 @@ def q_promo_suppliers() -> str:
         "FROM agg JOIN supplier ON l_suppkey = s_suppkey "
         "WHERE q96 * 2 > qa AND q96 > 0"
     )
+
+
+# --- Session-12 twins.
+
+
+def q_best_split() -> str:
+    """Twin of the Gini decision stump: per-quantity counts, window
+    cumsums, the common-denominator score as HUGEINT::DOUBLE /
+    HUGEINT::DOUBLE (num fits int64, so the IEEE double equals the
+    engine's int64 ratio), argmin with ties to the smallest
+    threshold."""
+    return (
+        "WITH c AS (SELECT round(l_quantity)::BIGINT AS q, "
+        "count(*)::BIGINT AS n, sum(CASE WHEN l_returnflag = 'R' "
+        "THEN 1 ELSE 0 END)::BIGINT AS pos FROM lineitem GROUP BY 1), "
+        "w AS (SELECT q, sum(n) OVER (ORDER BY q)::BIGINT AS nl, "
+        "sum(pos) OVER (ORDER BY q)::BIGINT AS posl FROM c), "
+        "t AS (SELECT sum(n)::BIGINT AS nt, sum(pos)::BIGINT AS pt "
+        "FROM c), "
+        "s AS (SELECT q, nl, posl, nt - nl AS nr, pt - posl AS posr "
+        "FROM w, t WHERE nl < nt) "
+        "SELECT q AS split_at, nl AS n_left, posl AS pos_left, "
+        "nr AS n_right, posr AS pos_right, "
+        "((nl * nl - posl * posl - (nl - posl) * (nl - posl))::HUGEINT"
+        " * nr + (nr * nr - posr * posr - (nr - posr) * (nr - posr))"
+        "::HUGEINT * nl)::DOUBLE / ((nl::HUGEINT * nr)::DOUBLE) "
+        "AS score FROM s ORDER BY score, split_at LIMIT 1"
+    )
+
+
+def q_lineitem_moments() -> str:
+    """Twin of the grouped moment numerators: HUGEINT power sums,
+    exact 128-bit numerator arithmetic, ::DOUBLE cast (same
+    round-to-nearest as Python float(int))."""
+    return (
+        "WITH p AS (SELECT l_returnflag AS flag, "
+        "round(l_quantity)::BIGINT AS q FROM lineitem), "
+        "a AS (SELECT flag, count(*)::HUGEINT AS n, "
+        "sum(q)::HUGEINT AS s1, sum(q * q)::HUGEINT AS s2, "
+        "sum(q * q * q)::HUGEINT AS s3, "
+        "sum(q * q * q * q)::HUGEINT AS s4 FROM p GROUP BY 1) "
+        "SELECT flag, n::BIGINT AS n, s1::BIGINT AS s1, "
+        "s2::BIGINT AS s2, "
+        "(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)::DOUBLE "
+        "AS m3_num, "
+        "(n * n * n * s4 - 4 * n * n * s1 * s3 "
+        "+ 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)::DOUBLE "
+        "AS m4_num FROM a"
+    )
+
+
+def q_index_search(k: int = 20) -> str:
+    """Twin of ranked boolean retrieval: \\b-bounded regex counts ==
+    whitespace-token equality counts on the space-separated corpus;
+    same (score DESC, doc_id) top-k."""
+    tf = ", ".join(
+        f"length(regexp_extract_all(text, '\\b{t}\\b'))::BIGINT "
+        f"AS tf_{t}" for t in ("hash", "join", "filter"))
+    return (
+        f"WITH d AS (SELECT doc_id, {tf} FROM documents) "
+        "SELECT doc_id, tf_hash, tf_join, tf_filter, "
+        "(tf_hash + tf_join + tf_filter)::BIGINT AS score FROM d "
+        "WHERE tf_hash > 0 AND tf_join > 0 AND tf_filter > 0 "
+        f"ORDER BY score DESC, doc_id LIMIT {k}"
+    )
+
+
+def q_stay_points(radius: int = 20_000_000, min_pts: int = 2) -> str:
+    """Twin of stay-point detection: lag window break flags, running
+    sum = per-host segment ordinal (counting dropped segments, like
+    the engine), GROUP BY segment HAVING n >= min_pts. warc_ts is
+    unique so ORDER BY us is total."""
+    import re
+
+    from spapy_ray.stages.text import URL_PATTERN
+
+    anon = re.sub(r"\?P<[a-z]+>", "", URL_PATTERN)
+    return (
+        f"WITH {geo_cte()}, "
+        f"pts AS (SELECT regexp_extract(url, '{anon}', 2) AS host, "
+        "epoch_us(warc_ts) AS us, "
+        "CAST(round(lat * 100000.0) AS BIGINT) AS lat5, "
+        "CAST(round(lon * 100000.0) AS BIGINT) AS lon5 FROM geo), "
+        "w AS (SELECT host, us, lat5, lon5, "
+        "lag(lat5) OVER o AS plat, lag(lon5) OVER o AS plon "
+        "FROM pts WINDOW o AS (PARTITION BY host ORDER BY us)), "
+        "b AS (SELECT host, us, lat5, lon5, "
+        "CASE WHEN plat IS NULL OR abs(lat5 - plat) + "
+        f"abs(lon5 - plon) > {radius} THEN 1 ELSE 0 END AS brk "
+        "FROM w), "
+        "s AS (SELECT host, us, lat5, lon5, sum(brk) OVER "
+        "(PARTITION BY host ORDER BY us) AS seg FROM b) "
+        "SELECT host, seg::BIGINT AS seg_id, count(*)::BIGINT AS "
+        "n_points, (max(us) - min(us))::BIGINT AS dwell_us, "
+        "sum(lon5)::BIGINT AS sum_x, sum(lat5)::BIGINT AS sum_y "
+        f"FROM s GROUP BY host, seg HAVING count(*) >= {min_pts}"
+    )
+
+
+def q_raster_blur5() -> str:
+    """Twin of the chained binomial blur: pass 1 is closed-form
+    (9 clamped sql_dem_int terms), pass 2 joins the MATERIALIZED
+    pass-1 table to a 9-row offset VALUES list with the same
+    LEAST/GREATEST edge clamp (== np.pad mode='edge'); per-tile
+    sum/min/max of the undivided x256 response."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    def cl(e: str) -> str:
+        return f"LEAST(GREATEST({e}, 0), 511)"
+
+    W = {(-1, -1): 1, (0, -1): 2, (1, -1): 1,
+         (-1, 0): 2, (0, 0): 4, (1, 0): 2,
+         (-1, 1): 1, (0, 1): 2, (1, 1): 1}
+    p1 = " + ".join(
+        f"{w} * ({sql_dem_int(cl(f'px + {dx}'), cl(f'py + {dy}'), 0)})"
+        for (dx, dy), w in W.items())
+    offs = ", ".join(f"({dx}, {dy}, {w})" for (dx, dy), w in W.items())
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"p1 AS MATERIALIZED (SELECT px, py, ({p1})::BIGINT AS v "
+        "FROM px), "
+        f"o(dx, dy, w) AS (SELECT * FROM (VALUES {offs})), "
+        "p2 AS (SELECT c.px, c.py, sum(n.v * o.w)::BIGINT AS v "
+        "FROM px c CROSS JOIN o JOIN p1 n "
+        "ON n.px = LEAST(GREATEST(c.px + o.dx, 0), 511) "
+        "AND n.py = LEAST(GREATEST(c.py + o.dy, 0), 511) "
+        "GROUP BY 1, 2) "
+        "SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+        "sum(v)::BIGINT AS blur_sum, min(v)::BIGINT AS blur_min, "
+        "max(v)::BIGINT AS blur_max FROM p2 GROUP BY 1, 2"
+    )
+
+
+def q_l_diversity(l_min: int = 3) -> str:
+    """Twin of the l-diversity audit: plain join + COUNT(DISTINCT)."""
+    return (
+        "WITH j AS (SELECT c.c_nationkey AS nat, "
+        "c.c_mktsegment AS seg, o.o_orderpriority AS pri "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) "
+        "SELECT nat::BIGINT AS c_nationkey, seg AS c_mktsegment, "
+        "count(*)::BIGINT AS n_orders, "
+        "count(DISTINCT pri)::BIGINT AS l_div, "
+        f"(CASE WHEN count(DISTINCT pri) >= {l_min} THEN 1 ELSE 0 "
+        "END)::BIGINT AS safe FROM j GROUP BY 1, 2"
+    )

@@ -8893,3 +8893,200 @@ def q_promo_suppliers(sf_dir: str):
 
 
 QUERIES["promo_suppliers"] = q_promo_suppliers
+
+
+# --- Session-12 batch: supervised split finding, grouped higher
+# moments, ranked boolean retrieval, stay-point detection, a 5x5
+# separable blur through chained halo stencils, and an l-diversity
+# privacy audit. Every value stays integer (or an IEEE-identical
+# double of exact integers), twins in oracle.py.
+
+
+def q_best_split(sf_dir: str):
+    """Exact histogram-based decision-stump training (the inner loop
+    of distributed GBDT): best Gini split of l_quantity predicting
+    l_returnflag = 'R'. Combiner partials per distinct quantity, one
+    tiny groupby, driver argmin over <= 50 thresholds."""
+    from spapy_ray.stages.ml import best_split_gini
+
+    lf = _read(sf_dir, "lineitem", columns=["l_quantity", "l_returnflag"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        q = np.rint(t.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        y = (t.column("l_returnflag").to_numpy(zero_copy_only=False)
+             == "R").astype(np.int64)
+        return pa.table({"q": pa.array(q), "y": pa.array(y)})
+
+    return best_split_gini(lf.map_batches(proj, batch_format="pyarrow"),
+                           "q", "y")
+
+
+QUERIES["best_split"] = q_best_split
+
+
+def q_lineitem_moments(sf_dir: str):
+    """Grouped skewness/kurtosis numerators from exact integer power
+    sums (one mergeable pass; Python-bigint fold on the tiny per-flag
+    table): the distribution-shape statistics a data-quality monitor
+    tracks per partition."""
+    from spapy_ray.stages.ml import grouped_moments
+
+    lf = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        q = np.rint(t.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        return pa.table({"flag": t.column("l_returnflag"),
+                         "q": pa.array(q)})
+
+    return grouped_moments(lf.map_batches(proj, batch_format="pyarrow"),
+                           "flag", "q")
+
+
+QUERIES["lineitem_moments"] = q_lineitem_moments
+
+
+_SEARCH_TERMS = ("hash", "join", "filter")
+
+
+def q_index_search(sf_dir: str, k: int = 20):
+    """Ranked boolean retrieval (AND of three terms, score = summed
+    term frequency, top-k by score desc / doc_id asc): per-batch
+    token-equality bincounts — the postings are never shuffled; only
+    the matching (doc, tf) rows reach the global top-k sort."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), " ")
+        flat = toks.combine_chunks().flatten() \
+            if isinstance(toks, pa.ChunkedArray) else toks.flatten()
+        parent = pc.list_parent_indices(
+            toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+            else toks).to_numpy(zero_copy_only=False)
+        cols = {"doc_id": pc.cast(t.column("doc_id"), pa.int64())}
+        total = np.zeros(len(t), dtype=np.int64)
+        present = np.ones(len(t), dtype=bool)
+        for term in _SEARCH_TERMS:
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parent[m], minlength=len(t)) \
+                .astype(np.int64)
+            cols[f"tf_{term}"] = pa.array(tf)
+            total += tf
+            present &= tf > 0
+        cols["score"] = pa.array(total)
+        return pa.table(cols).filter(pa.array(present))
+
+    return docs.map_batches(score, batch_format="pyarrow") \
+        .sort(["score", "doc_id"], descending=[True, False]).limit(k)
+
+
+QUERIES["index_search"] = q_index_search
+
+
+def q_stay_points(sf_dir: str, radius: int = 20_000_000,
+                  min_pts: int = 2):
+    """Stay-point detection over the geocoded corpus (each host's
+    pages as a trajectory): segments of consecutive crawl positions
+    within an L1 radius, with dwell time and exact centroid
+    numerators — stages/spatialstats.stay_points, one host shuffle."""
+    from spapy_ray.stages.distjoin import _fixed5
+    from spapy_ray.stages.spatialstats import stay_points
+    from spapy_ray.stages.text import url_parse_batch
+
+    geo = _geo(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        h = url_parse_batch(t.select(["url"]))
+        return pa.table({
+            "host": h.column("host"),
+            "us": pc.cast(t.column("warc_ts"), pa.int64()),
+            "lat5": pa.array(_fixed5(t.column("lat"))),
+            "lon5": pa.array(_fixed5(t.column("lon")))})
+
+    pts = geo.map_batches(project, batch_format="pyarrow")
+    return stay_points(pts, "host", ["us"], "lon5", "lat5",
+                       radius=radius, min_pts=min_pts)
+
+
+QUERIES["stay_points"] = q_stay_points
+
+
+def q_raster_blur5(sf_dir: str):
+    """5x5 binomial blur as two chained 3x3 stencil passes (kernel
+    composition: [1,2,1]⊗[1,2,1] twice == the 5x5 binomial with
+    edge-replicated borders composing exactly) — two block-mosaic
+    halo exchanges, undivided integer response (x256), per-tile
+    sum/min/max."""
+    from spapy_ray.stages.raster import decode_tile, stencil_op
+
+    ds, meta = _dem()
+    T = meta.tile_size
+    W = ((1, 2, 1), (2, 4, 2), (1, 2, 1))
+
+    def binom(pad: np.ndarray) -> np.ndarray:
+        z = pad.astype(np.int64)
+        h, w = pad.shape[0] - 2, pad.shape[1] - 2
+        out = np.zeros((h, w), dtype=np.int64)
+        for dy in range(3):
+            for dx in range(3):
+                out += W[dy][dx] * z[dy:dy + h, dx:dx + w]
+        return out.astype(np.int32)
+
+    p1 = stencil_op(ds, meta, binom, dtype="int32", out_dtype="int32")
+    p2 = stencil_op(p1, meta, binom, dtype="int32", out_dtype="int32")
+
+    def stats(t: pa.Table) -> pa.Table:
+        n = len(t)
+        s = np.zeros(n, dtype=np.int64)
+        mn = np.zeros(n, dtype=np.int64)
+        mx = np.zeros(n, dtype=np.int64)
+        for i, b in enumerate(t.column("data").to_pylist()):
+            a = decode_tile(b, "int32", T).astype(np.int64)
+            s[i], mn[i], mx[i] = a.sum(), a.min(), a.max()
+        return pa.table({
+            "tx": pc.cast(t.column("tx"), pa.int64()),
+            "ty": pc.cast(t.column("ty"), pa.int64()),
+            "blur_sum": pa.array(s), "blur_min": pa.array(mn),
+            "blur_max": pa.array(mx)})
+
+    return p2.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["raster_blur5"] = q_raster_blur5
+
+
+def q_l_diversity(sf_dir: str, l_min: int = 3):
+    """l-diversity privacy audit (k_anonymity's sibling): per
+    quasi-identifier group (c_nationkey, c_mktsegment), the count of
+    DISTINCT sensitive values (o_orderpriority) over the customer's
+    orders. Customer attrs broadcast once; distinct via the tiny
+    triple-count fold."""
+    from spapy_ray.stages.relational import (broadcast_join,
+                                             pre_aggregated_sums)
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_mktsegment"]) \
+        .to_arrow_refs()
+    import ray
+    cust_t = pa.concat_tables(ray.get(cust))
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"])
+    j = broadcast_join(orders, cust_t, key="o_custkey",
+                       small_key="c_custkey")
+    triple = pre_aggregated_sums(
+        j.map_batches(lambda t: pa.table({
+            "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            "c_mktsegment": t.column("c_mktsegment"),
+            "pri": t.column("o_orderpriority")}),
+            batch_format="pyarrow"),
+        ["c_nationkey", "c_mktsegment", "pri"], [],
+        count_alias="n").to_pandas()
+    g = triple.groupby(["c_nationkey", "c_mktsegment"], sort=False) \
+        .agg(n_orders=("n", "sum"), l_div=("pri", "size")).reset_index()
+    g["safe"] = (g["l_div"] >= l_min).astype(np.int64)
+    return g.astype({"c_nationkey": np.int64, "n_orders": np.int64,
+                     "l_div": np.int64})
+
+
+QUERIES["l_diversity"] = q_l_diversity

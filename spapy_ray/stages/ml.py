@@ -1,0 +1,114 @@
+"""Histogram-based supervised primitives.
+
+The reference has no learning ops; these are the training-data-engine
+additions (round-4 brief): the split-finding histogram is the core of
+every distributed gradient-boosting / decision-tree system (XGBoost's
+approx mode, LightGBM's feature histograms) and maps 1:1 onto the
+combiner pattern — per-batch (feature_value → n, n_pos) partials, one
+tiny groupby, and a driver fold over the distinct-value table.
+
+Exactness: all counts are int64; the weighted-Gini objective is
+reported as an exact integer (num, den) pair plus their float64 ratio.
+Both engine and SQL twin compute ratio = double(num)/double(den) from
+the same int64s, so the IEEE result is bit-identical and the argmin is
+hash-stable. (int64 holds num for n up to ~1e6 rows per side at the
+test scales; the partials themselves never overflow — a 100 TB run
+would lift the fold to Python ints, which the driver-side fold already
+is in spirit: it sees only distinct feature values.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def best_split_gini(ds, feature_col: str, label_col: str) -> pa.Table:
+    """Exact decision-stump split on an integer feature vs a 0/1
+    label: minimize weighted Gini impurity over thresholds
+    ``feature <= v``.
+
+    score(v) = [(nl² - posl² - negl²)·nr + (nr² - posr² - negr²)·nl]
+               / (nl·nr)
+    which is nl·nr times ... /: the usual nl·gini_l + nr·gini_r scaled
+    by the common denominator, so the argmin is unchanged. Ties break
+    to the smallest feature value.
+
+    Returns a ONE-ROW pa.Table:
+      (split_at, n_left, pos_left, n_right, pos_right, score).
+    """
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    agg = pre_aggregated_sums(ds.select_columns([feature_col, label_col]),
+                              [feature_col], [label_col],
+                              count_alias="__n")
+    df = agg.to_pandas().sort_values(feature_col, kind="stable")
+    v = df[feature_col].to_numpy().astype(np.int64)
+    n = df["__n"].to_numpy().astype(np.int64)
+    pos = df[label_col].to_numpy().astype(np.int64)
+    if len(v) < 2:
+        raise ValueError("best_split_gini needs >= 2 distinct "
+                         f"{feature_col!r} values")
+    nl = np.cumsum(n)[:-1]
+    posl = np.cumsum(pos)[:-1]
+    nt, pt = int(n.sum()), int(pos.sum())
+    nr = nt - nl
+    posr = pt - posl
+    negl = nl - posl
+    negr = nr - posr
+    num = ((nl * nl - posl * posl - negl * negl) * nr
+           + (nr * nr - posr * posr - negr * negr) * nl)
+    den = nl * nr
+    score = num.astype(np.float64) / den.astype(np.float64)
+    i = int(np.lexsort((v[:-1], score))[0])
+    return pa.table({
+        "split_at": pa.array([int(v[i])], type=pa.int64()),
+        "n_left": pa.array([int(nl[i])], type=pa.int64()),
+        "pos_left": pa.array([int(posl[i])], type=pa.int64()),
+        "n_right": pa.array([int(nr[i])], type=pa.int64()),
+        "pos_right": pa.array([int(posr[i])], type=pa.int64()),
+        "score": pa.array([float(score[i])], type=pa.float64()),
+    })
+
+
+def grouped_moments(ds, key: str, val: str) -> pd.DataFrame:
+    """Per-group skewness/kurtosis NUMERATORS from exact integer power
+    sums (the one-pass mergeable form): partials ship (Σv, Σv², Σv³,
+    Σv⁴) per key through the combiner, the tiny per-key fold runs in
+    Python bigints, and the (huge) central-moment numerators
+
+      m3_num = n²·S3 − 3n·S1·S2 + 2·S1³
+      m4_num = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴
+
+    are reported as float64 of the exact integer — identical to the
+    SQL twin's HUGEINT→DOUBLE cast (both round-to-nearest from the
+    same integer). ``val`` must be small ints (v⁴ sums must fit
+    int64 per partial: |v| ≤ ~5e3 at 1e6-row batches).
+
+    Returns DataFrame(key, n, s1, s2, m3_num, m4_num).
+    """
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    def powers(t: pa.Table) -> pa.Table:
+        x = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({key: t.column(key), "s1": pa.array(x),
+                         "s2": pa.array(x * x), "s3": pa.array(x ** 3),
+                         "s4": pa.array(x ** 4)})
+
+    agg = pre_aggregated_sums(
+        ds.select_columns([key, val]).map_batches(
+            powers, batch_format="pyarrow"),
+        [key], ["s1", "s2", "s3", "s4"], count_alias="n").to_pandas()
+    rows = []
+    for r in agg.itertuples(index=False):
+        k = getattr(r, key)
+        n, s1, s2, s3, s4 = (int(r.n), int(r.s1), int(r.s2),
+                             int(r.s3), int(r.s4))
+        m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        m4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        rows.append((k, n, s1, s2, float(m3), float(m4)))
+    out = pd.DataFrame(rows, columns=[key, "n", "s1", "s2",
+                                      "m3_num", "m4_num"])
+    return out.astype({"n": np.int64, "s1": np.int64, "s2": np.int64})

@@ -553,3 +553,70 @@ def trajectory_stats(ds, key_col: str, order_cols: list[str],
                              "gyr_q": gyr})
 
     return bucketed_group_agg(ds, key_col, local, buckets=buckets)
+
+
+def stay_points(ds, key_col: str, order_cols: list[str],
+                x_col: str = "lon5", y_col: str = "lat5", *,
+                radius: int, min_pts: int = 2, ts_col: str | None = None,
+                buckets: int | None = None):
+    """Stay-point detection over ordered integer trajectories (Li et
+    al. 2008's GPS stay points, recast for the crawl-as-trajectory
+    view): walk each key's points in ``order_cols`` order and start a
+    new segment whenever the L1 step from the previous point exceeds
+    ``radius`` (fixed-point units, integer-exact predicate); segments
+    with >= ``min_pts`` points are stays.
+
+    seg_id is the 1-based ordinal of the segment within its key
+    COUNTING dropped (short) segments — the same running sum of break
+    flags a SQL window computes, so the twin needs no re-ranking after
+    its HAVING.
+
+    ONE hash shuffle on key (bucketed_group_agg); each bucket resolves
+    all of its keys in one lexsorted vectorized pass: break flags →
+    cumsum segment labels → np.add.reduceat folds per segment. Returns
+    Dataset(key, seg_id, n_points, dwell_us, sum_x, sum_y) where
+    dwell_us = last - first of ``ts_col`` (default: order_cols[0]) and
+    sum_x/sum_y are exact integer centroid numerators.
+    """
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    sort_cols = [key_col] + order_cols
+    tcol = ts_col or order_cols[0]
+    out_cols = [key_col, "seg_id", "n_points", "dwell_us",
+                "sum_x", "sum_y"]
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in out_cols}) \
+                .astype({c: np.int64 for c in out_cols[1:]})
+        df = df.sort_values(sort_cols, kind="stable")
+        k = df[key_col].to_numpy()
+        ts = df[tcol].to_numpy().astype(np.int64)
+        x = df[x_col].to_numpy().astype(np.int64)
+        y = df[y_col].to_numpy().astype(np.int64)
+        newkey = np.r_[True, k[1:] != k[:-1]]
+        step = np.r_[np.int64(0),
+                     np.abs(np.diff(x)) + np.abs(np.diff(y))]
+        brk = newkey | (step > radius)
+        seg = np.cumsum(brk) - 1              # bucket-global label
+        si = np.nonzero(brk)[0]               # first row per segment
+        sl = np.r_[si[1:] - 1, len(k) - 1]    # last row per segment
+        n = np.diff(np.r_[si, len(k)]).astype(np.int64)
+        sum_x = np.add.reduceat(x, si)
+        sum_y = np.add.reduceat(y, si)
+        dwell = ts[sl] - ts[si]
+        # per-key 1-based ordinal over the segment table
+        knew = newkey[si]                     # segment starts new key
+        kfi = np.nonzero(knew)[0]
+        seg_id = np.arange(len(si), dtype=np.int64) \
+            - kfi[np.cumsum(knew) - 1] + 1
+        keep = n >= min_pts
+        return pd.DataFrame({
+            key_col: k[si][keep], "seg_id": seg_id[keep],
+            "n_points": n[keep], "dwell_us": dwell[keep],
+            "sum_x": sum_x[keep], "sum_y": sum_y[keep]})
+
+    proj = list(dict.fromkeys(
+        [key_col, *order_cols, tcol, x_col, y_col]))
+    return bucketed_group_agg(ds.select_columns(proj), key_col, local,
+                              buckets=buckets)

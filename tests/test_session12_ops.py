@@ -1,0 +1,119 @@
+"""Session-12 stage parity: stay_points vs a sequential walk,
+best_split_gini vs exhaustive threshold search, grouped_moments vs
+direct numpy central-moment numerators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
+def test_stay_points_matches_sequential(ray_session):
+    from spapy_ray.stages.spatialstats import stay_points
+
+    rng = np.random.default_rng(5)
+    n, radius, min_pts = 4000, 40, 2
+    keys = rng.integers(0, 37, n)
+    ts = np.arange(n, dtype=np.int64) * 1000
+    # random walk with occasional jumps so both stays and breaks occur
+    x = np.cumsum(rng.integers(-12, 13, n)).astype(np.int64)
+    y = np.cumsum(rng.integers(-12, 13, n)).astype(np.int64)
+    jump = rng.random(n) < 0.15
+    x[jump] += rng.integers(100, 500, int(jump.sum()))
+    t = pa.table({"k": pa.array(keys), "us": pa.array(ts),
+                  "x": pa.array(x), "y": pa.array(y)})
+
+    got = stay_points(_ds(t), "k", ["us"], "x", "y",
+                      radius=radius, min_pts=min_pts).to_pandas()
+    got = got.sort_values(["k", "seg_id"]).reset_index(drop=True)
+
+    # sequential oracle
+    df = pd.DataFrame({"k": keys, "us": ts, "x": x, "y": y}) \
+        .sort_values(["k", "us"], kind="stable")
+    rows = []
+    for k, g in df.groupby("k", sort=True):
+        seg, buf = 0, []
+        prev = None
+        for r in g.itertuples(index=False):
+            brk = prev is None or \
+                abs(r.x - prev.x) + abs(r.y - prev.y) > radius
+            if brk:
+                if len(buf) >= min_pts:
+                    rows.append((k, seg, len(buf),
+                                 buf[-1].us - buf[0].us,
+                                 sum(b.x for b in buf),
+                                 sum(b.y for b in buf)))
+                seg += 1
+                buf = []
+            buf.append(r)
+            prev = r
+        if len(buf) >= min_pts:
+            rows.append((k, seg, len(buf), buf[-1].us - buf[0].us,
+                         sum(b.x for b in buf), sum(b.y for b in buf)))
+    want = pd.DataFrame(rows, columns=["k", "seg_id", "n_points",
+                                       "dwell_us", "sum_x", "sum_y"]) \
+        .sort_values(["k", "seg_id"]).reset_index(drop=True)
+    assert len(got) == len(want) and len(want) > 10
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_best_split_matches_exhaustive(ray_session):
+    from spapy_ray.stages.ml import best_split_gini
+
+    rng = np.random.default_rng(11)
+    f = rng.integers(0, 30, 20000).astype(np.int64)
+    # label correlated with the feature so the split is non-trivial
+    y = ((f + rng.integers(0, 12, 20000)) > 20).astype(np.int64)
+    got = best_split_gini(
+        _ds(pa.table({"f": pa.array(f), "y": pa.array(y)})),
+        "f", "y").to_pandas().iloc[0]
+
+    vals = np.unique(f)
+    best = None
+    for v in vals[:-1]:
+        L, R = y[f <= v], y[f > v]
+        nl, nr = len(L), len(R)
+        pl, pr = int(L.sum()), int(R.sum())
+        num = ((nl * nl - pl * pl - (nl - pl) ** 2) * nr
+               + (nr * nr - pr * pr - (nr - pr) ** 2) * nl)
+        score = num / (nl * nr)
+        if best is None or score < best[1]:
+            best = (int(v), score, nl, pl, nr, pr)
+    assert int(got["split_at"]) == best[0]
+    assert float(got["score"]) == pytest.approx(best[1], abs=0)
+    assert (int(got["n_left"]), int(got["pos_left"]),
+            int(got["n_right"]), int(got["pos_right"])) == best[2:]
+
+
+def test_grouped_moments_exact(ray_session):
+    from spapy_ray.stages.ml import grouped_moments
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 4, 5000)
+    v = rng.integers(1, 51, 5000).astype(np.int64)
+    got = grouped_moments(
+        _ds(pa.table({"g": pa.array(g), "v": pa.array(v)})),
+        "g", "v").sort_values("g").reset_index(drop=True)
+    for i, key in enumerate(sorted(set(g.tolist()))):
+        x = [int(t) for t in v[g == key]]
+        n = len(x)
+        s1, s2 = sum(x), sum(t * t for t in x)
+        s3, s4 = sum(t ** 3 for t in x), sum(t ** 4 for t in x)
+        m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        m4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        r = got.iloc[i]
+        assert (int(r["n"]), int(r["s1"]), int(r["s2"])) == (n, s1, s2)
+        assert float(r["m3_num"]) == float(m3)
+        assert float(r["m4_num"]) == float(m4)
+        # cross-check: m3_num sign == direct central-moment sign
+        mu = s1 / n
+        direct = sum((t - mu) ** 3 for t in x)
+        assert (m3 > 0) == (direct > 0) or abs(direct) < 1e-6
