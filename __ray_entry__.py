@@ -422,4 +422,8 @@ def oracle_sql() -> dict[str, str]:
         "stay_points": o.q_stay_points(),
         "raster_blur5": o.q_raster_blur5(),
         "l_diversity": o.q_l_diversity(),
+        "price_exact_median": o.q_price_exact_median(),
+        "domain_mix": o.q_domain_mix(),
+        "ngram_diversity": o.q_ngram_diversity(),
+        "cust_cohort_ltv": o.q_cust_cohort_ltv(),
     }

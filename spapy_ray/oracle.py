@@ -5782,3 +5782,81 @@ def q_l_diversity(l_min: int = 3) -> str:
         f"(CASE WHEN count(DISTINCT pri) >= {l_min} THEN 1 ELSE 0 "
         "END)::BIGINT AS safe FROM j GROUP BY 1, 2"
     )
+
+
+def q_price_exact_median() -> str:
+    """Twin of the radix-selection median: two-middle ranks via one
+    ordered window (the oracle may sort; the engine may not)."""
+    return (
+        "WITH c AS (SELECT round(l_extendedprice * 100)::BIGINT AS v "
+        "FROM lineitem), "
+        "s AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r, "
+        "count(*) OVER () AS n FROM c) "
+        "SELECT max(n)::BIGINT AS n, "
+        "(sum(CASE WHEN r = (n - 1) // 2 THEN v ELSE 0 END) "
+        "+ sum(CASE WHEN r = n // 2 THEN v ELSE 0 END))::BIGINT "
+        "AS median_x2 FROM s"
+    )
+
+
+def q_domain_mix() -> str:
+    """Twin of temperature mixing: floor(sqrt(n::DOUBLE)) == isqrt(n)
+    for n < 2^52 (correctly-rounded sqrt of n < (k+1)^2 sits below
+    k+1 by >= 1/(2(k+1)) >> half an ulp), same fnv hash order, same
+    integer quota."""
+    h = sql_fnv1a("doc_id::VARCHAR")
+    return (
+        "WITH c AS (SELECT source, count(*)::BIGINT AS n_d "
+        "FROM documents GROUP BY 1), "
+        "w AS (SELECT source, floor(sqrt(n_d::DOUBLE))::BIGINT AS w_d "
+        "FROM c), "
+        "tot AS (SELECT sum(w_d)::BIGINT AS ws, "
+        "(SELECT count(*) // 4 FROM documents)::BIGINT AS nt FROM w), "
+        "k AS (SELECT source, (nt * w_d) // ws AS k_d FROM w, tot), "
+        f"hh AS (SELECT source, doc_id, {h} AS hv FROM documents), "
+        "r AS (SELECT source, doc_id, row_number() OVER "
+        "(PARTITION BY source ORDER BY hv, doc_id) AS rn FROM hh) "
+        "SELECT r.source, r.doc_id, rn::BIGINT AS rn "
+        "FROM r JOIN k USING (source) WHERE rn <= k_d"
+    )
+
+
+def q_ngram_diversity() -> str:
+    """Twin of per-source shingle diversity: lead()-built 3-grams
+    (same window as the cosine-pairs twin), COUNT(DISTINCT term) and
+    COUNT(*) per source, integer ppm."""
+    return (
+        "WITH w AS (SELECT source, doc_id, "
+        "generate_subscripts(string_split(text, ' '), 1) AS pos, "
+        "unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "sh AS (SELECT source, tok || '_' "
+        "|| lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) "
+        "|| '_' "
+        "|| lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) "
+        "AS term FROM w), "
+        "f AS (SELECT source, term FROM sh WHERE term IS NOT NULL) "
+        "SELECT source, count(DISTINCT term)::BIGINT AS n_distinct, "
+        "count(*)::BIGINT AS n_total, "
+        "(1000000 * count(DISTINCT term)) // count(*) AS div_ppm "
+        "FROM f GROUP BY 1"
+    )
+
+
+def q_cust_cohort_ltv() -> str:
+    """Twin of the cohort LTV curves: months-since-epoch calendar
+    (== numpy datetime64[M]), min-month cohorts, window cumsum."""
+    return (
+        "WITH o AS (SELECT o_custkey AS c, "
+        "(year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 "
+        "AS ym, round(o_totalprice * 100)::BIGINT AS cents "
+        "FROM orders), "
+        "f AS (SELECT c, min(ym) AS coh FROM o GROUP BY 1), "
+        "nc AS (SELECT coh, count(*)::BIGINT AS n_custs FROM f "
+        "GROUP BY 1), "
+        "r AS (SELECT coh, (ym - coh) AS k, sum(cents)::BIGINT AS "
+        "rev FROM o JOIN f USING (c) GROUP BY 1, 2) "
+        "SELECT coh::BIGINT AS cohort_ym, k::BIGINT AS k, n_custs, "
+        "rev AS rev_cents, "
+        "sum(rev) OVER (PARTITION BY coh ORDER BY k)::BIGINT AS "
+        "cum_cents FROM r JOIN nc USING (coh)"
+    )

@@ -9090,3 +9090,203 @@ def q_l_diversity(sf_dir: str, l_min: int = 3):
 
 
 QUERIES["l_diversity"] = q_l_diversity
+
+
+def q_price_exact_median(sf_dir: str):
+    """Exact global median of lineitem price cents WITHOUT a global
+    sort: two-pass distributed radix selection
+    (relational.radix_exact_ranks) — bucket histogram, driver rank
+    location, filtered re-scan of one bucket. median_x2 = v[(n-1)//2]
+    + v[n//2], the engine-wide two-middle convention."""
+    from spapy_ray.stages.relational import radix_exact_ranks
+
+    lf = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"cents": pa.array(_cents(
+            t.column("l_extendedprice")))})
+
+    vals, total = radix_exact_ranks(
+        lf.map_batches(proj, batch_format="pyarrow"), "cents",
+        lambda n: [(n - 1) // 2, n // 2])
+    return pa.table({
+        "n": pa.array([total], type=pa.int64()),
+        "median_x2": pa.array([vals[0] + vals[1]], type=pa.int64())})
+
+
+QUERIES["price_exact_median"] = q_price_exact_median
+
+
+def q_domain_mix(sf_dir: str):
+    """Temperature-resampled domain mixing (the LLM data-mixing
+    sampler, alpha = 0.5): per-source quotas k_d = N/4 · isqrt(n_d) /
+    Σ isqrt(n_d) flatten the source distribution, selection is the
+    first k_d docs per source by deterministic hash order (fnv of the
+    doc id — a seedless shuffle both sides can replay). One window
+    shuffle; quotas from a tiny count fold. isqrt == floor(sqrt(
+    ::DOUBLE)) for all n < 2^52 (proof sketch in the twin)."""
+    import math
+
+    from spapy_ray.kernels.hashing import fnv1a64
+    from spapy_ray.stages.relational import pre_aggregated_count
+    from spapy_ray.stages.window import window_over
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    counts = pre_aggregated_count(
+        docs.select_columns(["source"]), "source", alias="n_d") \
+        .to_pandas()
+    total = int(counts["n_d"].sum())
+    w = {s: math.isqrt(int(n))
+         for s, n in zip(counts["source"], counts["n_d"])}
+    W = sum(w.values())
+    n_target = total // 4
+    k_d = {s: (n_target * wd) // W for s, wd in w.items()}
+
+    def hashed(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("doc_id"), pa.string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        h = fnv1a64(s)
+        return pa.table({"source": t.column("source"),
+                         "doc_id": pc.cast(t.column("doc_id"),
+                                           pa.int64()),
+                         "hv": pa.array(h.astype(np.uint64))})
+
+    ranked = window_over(docs.map_batches(hashed,
+                                          batch_format="pyarrow"),
+                         key_col="source", order_cols=["hv", "doc_id"],
+                         ops=[("rn", "row_number", None)])
+
+    def keep(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_pylist()
+        rn = t.column("rn").to_numpy(zero_copy_only=False)
+        lim = np.array([k_d.get(s, 0) for s in src], dtype=np.int64)
+        m = pa.array(rn <= lim)
+        return t.filter(m).select(["source", "doc_id", "rn"])
+
+    return ranked.map_batches(keep, batch_format="pyarrow")
+
+
+QUERIES["domain_mix"] = q_domain_mix
+
+
+def q_ngram_diversity(sf_dir: str, ngram: int = 3):
+    """Per-source n-gram diversity (distinct token 3-grams / total
+    3-grams — the self-repetition metric a data-curation pass tracks
+    per slice): shingles from the flat-token-buffer shifted joins,
+    distinct via the bucketed (source, term) dedup, ppm ratio in
+    integer arithmetic. At corpus scale the dedup key would be a
+    shingle hash; strings keep the twin trivially exact here."""
+    from spapy_ray.stages.relational import (bucketed_group_agg,
+                                             pre_aggregated_sums)
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def shingles(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        counts = np.diff(np.asarray(toks.offsets))
+        flat = pd.Series(toks.values.to_pandas())
+        srcs = t.column("source").to_numpy(zero_copy_only=False)
+        if len(flat) < ngram:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        sh = flat.iloc[:len(flat) - ngram + 1].reset_index(drop=True)
+        for j in range(1, ngram):
+            nxt = flat.iloc[j:len(flat) - ngram + 1 + j] \
+                .reset_index(drop=True)
+            sh = sh.str.cat(nxt, sep="_")
+        src_of = np.repeat(srcs, counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        within = np.arange(len(flat)) - np.repeat(starts, counts)
+        keep = (within <= np.repeat(counts, counts) - ngram)[
+            :len(flat) - ngram + 1]
+        df_ = pd.DataFrame({"source": src_of[:len(flat) - ngram + 1][keep],
+                            "term": sh[keep]})
+        tf = df_.groupby(["source", "term"], sort=False).size() \
+            .reset_index(name="tf")
+        return pa.Table.from_pandas(tf, preserve_index=False)
+
+    per_pair = pre_aggregated_sums(
+        docs.map_batches(shingles, batch_format="pyarrow"),
+        ["source", "term"], ["tf"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("source", sort=False).agg(
+            n_distinct=("term", "size"), n_total=("tf", "sum")) \
+            .reset_index()
+        return out.astype({"n_distinct": np.int64, "n_total": np.int64})
+
+    agg = bucketed_group_agg(per_pair, "source", fold).to_pandas()
+    g = agg.groupby("source", sort=False).sum().reset_index()
+    g["div_ppm"] = (1_000_000 * g["n_distinct"]) // g["n_total"]
+    return g.astype({c: np.int64 for c in
+                     ("n_distinct", "n_total", "div_ppm")})
+
+
+QUERIES["ngram_diversity"] = q_ngram_diversity
+
+
+def q_cust_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value curves: cohort = month of first order,
+    k = months since cohort, cumulative revenue per cohort over k.
+    First-month per customer via a min-combiner, cohort map broadcast
+    once (ray.put), (cohort, k) revenue through the sum combiner, the
+    tiny cohort×k table cumsums on the driver."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        ym = d.astype("datetime64[M]").astype(np.int64)
+        return pa.table({
+            "c": pc.cast(t.column("o_custkey"), pa.int64()),
+            "ym": pa.array(ym),
+            "cents": pa.array(_cents(t.column("o_totalprice")))})
+
+    o = orders.map_batches(proj, batch_format="pyarrow")
+
+    def pmin(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("c", sort=False)["ym"].min().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    first = o.select_columns(["c", "ym"]) \
+        .map_batches(pmin, batch_format="pyarrow") \
+        .groupby("c").aggregate(Min("ym", alias_name="coh")) \
+        .to_pandas()
+    coh_map = dict(zip(first["c"].astype(np.int64),
+                       first["coh"].astype(np.int64)))
+    nc = first.groupby("coh").size().to_dict()
+    ref = ray.put(coh_map)
+
+    def att(t: pa.Table, _ref=ref) -> pa.Table:
+        mm = ray.get(_ref)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        coh = pd.Series(c).map(mm).to_numpy(dtype=np.int64)
+        ym = t.column("ym").to_numpy(zero_copy_only=False)
+        return pa.table({"cohort_ym": pa.array(coh),
+                         "k": pa.array(ym - coh),
+                         "cents": t.column("cents")})
+
+    rev = pre_aggregated_sums(
+        o.map_batches(att, batch_format="pyarrow"),
+        ["cohort_ym", "k"], ["cents"]).to_pandas() \
+        .sort_values(["cohort_ym", "k"], kind="stable")
+    rev["rev_cents"] = rev["cents"].astype(np.int64)
+    rev["cum_cents"] = rev.groupby("cohort_ym")["rev_cents"].cumsum()
+    rev["n_custs"] = rev["cohort_ym"].map(nc).astype(np.int64)
+    out = rev[["cohort_ym", "k", "n_custs", "rev_cents", "cum_cents"]]
+    return out.reset_index(drop=True).astype(
+        {"cohort_ym": np.int64, "k": np.int64, "cum_cents": np.int64})
+
+
+QUERIES["cust_cohort_ltv"] = q_cust_cohort_ltv

@@ -2493,3 +2493,69 @@ def frequent_triples(ds, group_col: str, key_col: str, *,
                           ascending=[False, True, True, True]).head(k)
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top.reset_index(drop=True).astype(np.int64)
+
+
+def radix_exact_ranks(ds, col: str, ranks_fn, *, shift: int = 12):
+    """Exact global order statistics of an integer column in TWO
+    streaming passes (distributed radix selection — the scalable
+    alternative to a full sort for a handful of ranks):
+
+      pass 1: per-batch bincount of ``value >> shift`` partials →
+              tiny bucket-histogram groupby → the driver locates,
+              from cumulative counts, which radix bucket holds each
+              requested rank;
+      pass 2: a filtered re-scan collects ONLY the rows of the
+              needed buckets (≈ total/2^shift rows for a uniform
+              column), sorts them locally, and indexes the exact
+              offsets.
+
+    ``ranks_fn(total_rows) -> list[int]`` (0-based ranks) lets the
+    caller derive ranks from the count pass-1 already produced (e.g.
+    the two middle ranks of a median). Returns ``(values, total)``
+    where values[i] is the exact value at ranks[i].
+
+    At 100 TB the second pass can recurse (re-shift within a still-
+    too-big bucket); one level suffices for any realistic ``shift``.
+    The input Dataset is executed twice (lineage re-read) — pass it
+    a column-pruned read.
+    """
+    from ray.data.aggregate import Sum
+
+    def hist(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, c = np.unique(x >> shift, return_counts=True)
+        return pa.table({"b": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    agg = ds.map_batches(hist, batch_format="pyarrow") \
+        .groupby("b").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas().sort_values("b")
+    b = agg["b"].to_numpy().astype(np.int64)
+    n = agg["n"].to_numpy().astype(np.int64)
+    cum = np.cumsum(n)
+    total = int(cum[-1]) if len(cum) else 0
+    ranks = list(ranks_fn(total))
+    need: dict[int, list[tuple[int, int]]] = {}
+    for r in ranks:
+        if not (0 <= r < total):
+            raise IndexError(f"rank {r} out of range 0..{total - 1}")
+        i = int(np.searchsorted(cum, r + 1))
+        base = int(cum[i - 1]) if i else 0
+        need.setdefault(int(b[i]), []).append((r, r - base))
+    want = np.array(sorted(need), dtype=np.int64)
+
+    def pick(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = np.isin(x >> shift, want)
+        return pa.table({col: pa.array(x[m])})
+
+    vals = ds.map_batches(pick, batch_format="pyarrow") \
+        .to_pandas()[col].to_numpy().astype(np.int64)
+    out = {}
+    for bk, lst in need.items():
+        v = np.sort(vals[(vals >> shift) == bk])
+        for r, off in lst:
+            out[r] = int(v[off])
+    return [out[r] for r in ranks], total

@@ -117,3 +117,26 @@ def test_grouped_moments_exact(ray_session):
         mu = s1 / n
         direct = sum((t - mu) ** 3 for t in x)
         assert (m3 > 0) == (direct > 0) or abs(direct) < 1e-6
+
+
+def test_radix_exact_ranks_matches_sort(ray_session):
+    from spapy_ray.stages.relational import radix_exact_ranks
+
+    rng = np.random.default_rng(9)
+    # lognormal-ish skewed ints + heavy ties
+    x = np.concatenate([
+        rng.integers(0, 1 << 20, 30000),
+        np.full(5000, 77777, dtype=np.int64),
+        rng.integers(0, 200, 5000)]).astype(np.int64)
+    t = pa.table({"v": pa.array(x)})
+    want = np.sort(x)
+    ranks = [0, 1, len(x) // 3, (len(x) - 1) // 2, len(x) // 2,
+             len(x) - 1]
+    vals, total = radix_exact_ranks(_ds(t), "v",
+                                    lambda n: ranks, shift=10)
+    assert total == len(x)
+    assert vals == [int(want[r]) for r in ranks]
+
+    # out-of-range rank raises
+    with pytest.raises(IndexError):
+        radix_exact_ranks(_ds(t), "v", lambda n: [n], shift=10)
