@@ -426,4 +426,6 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix": o.q_domain_mix(),
         "ngram_diversity": o.q_ngram_diversity(),
         "cust_cohort_ltv": o.q_cust_cohort_ltv(),
+        "raster_hist_match": o.q_raster_hist_match(),
+        "events_sax": o.q_events_sax(),
     }

@@ -5860,3 +5860,52 @@ def q_cust_cohort_ltv() -> str:
         "sum(rev) OVER (PARTITION BY coh ORDER BY k)::BIGINT AS "
         "cum_cents FROM r JOIN nc USING (coh)"
     )
+
+
+def q_raster_hist_match() -> str:
+    """Twin of histogram matching: closed-form surfaces A (salt 0)
+    and B (salt 1), windowed CDFs over occupied bins, LUT = min
+    existing B value whose CDF covers A's (== dense searchsorted:
+    the landing bin is always occupied), per-tile stats."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    va = sql_dem_int("px", "py", 0)
+    vb = sql_dem_int("px", "py", 1)
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"a AS (SELECT px, py, ({va})::BIGINT AS v FROM px), "
+        f"b AS (SELECT ({vb})::BIGINT AS v FROM px), "
+        "ca AS (SELECT v, sum(n) OVER (ORDER BY v)::BIGINT AS c FROM "
+        "(SELECT v, count(*) AS n FROM a GROUP BY 1)), "
+        "cb AS (SELECT v, sum(n) OVER (ORDER BY v)::BIGINT AS c FROM "
+        "(SELECT v, count(*) AS n FROM b GROUP BY 1)), "
+        "lut AS (SELECT ca.v AS va, min(cb.v) AS m FROM ca "
+        "JOIN cb ON cb.c >= ca.c GROUP BY 1), "
+        "mp AS (SELECT a.px, a.py, lut.m FROM a "
+        "JOIN lut ON lut.va = a.v) "
+        "SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+        "sum(m)::BIGINT AS m_sum, min(m)::BIGINT AS m_min, "
+        "max(m)::BIGINT AS m_max FROM mp GROUP BY 1, 2"
+    )
+
+
+def q_events_sax(w: int = 8) -> str:
+    """Twin of SAX symbolization: same rank order (ts unique per
+    user; event_id tie guard anyway), integer cross-multiplied
+    thresholds, string_agg ORDER BY seg."""
+    return (
+        "WITH e AS (SELECT user_id::BIGINT AS user_id, "
+        "round(value * 100)::BIGINT AS cents, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS rn FROM events), "
+        f"s AS (SELECT user_id, (rn - 1) // {w} AS seg, "
+        "sum(cents)::BIGINT AS sm, count(*)::BIGINT AS n FROM e "
+        "GROUP BY 1, 2), "
+        "y AS (SELECT user_id, seg, "
+        "CASE WHEN sm < 1500 * n THEN 'a' "
+        "WHEN sm < 3600 * n THEN 'b' "
+        "WHEN sm < 7200 * n THEN 'c' ELSE 'd' END AS sym FROM s) "
+        "SELECT user_id, count(*)::BIGINT AS n_segs, "
+        "string_agg(sym, '' ORDER BY seg) AS sax FROM y GROUP BY 1"
+    )

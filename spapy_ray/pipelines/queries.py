@@ -9290,3 +9290,122 @@ def q_cust_cohort_ltv(sf_dir: str):
 
 
 QUERIES["cust_cohort_ltv"] = q_cust_cohort_ltv
+
+
+def q_raster_hist_match(sf_dir: str):
+    """Histogram matching (radiometric normalization across scenes —
+    the classic mosaicking preprocess): remap surface A's values so
+    its CDF matches surface B's. Two 256-bin histogram passes (tiny
+    bincount partials), the LUT lut[v] = min{u: cdfB(u) >= cdfA(v)}
+    built once on the driver (dense searchsorted always lands on an
+    occupied bin: cdf strictly rises at the landing index), broadcast
+    into a per-tile LUT-apply + integer stats."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.sources.rasters import DEM_META, synth_dem_dataset
+    from spapy_ray.stages.raster import decode_tile
+
+    T = DEM_META.tile_size
+    a = synth_dem_dataset(DEM_META, kind="int", salt=0)
+    b = synth_dem_dataset(DEM_META, kind="int", salt=1)
+
+    def hist(ds):
+        def partial(t: pa.Table) -> pa.Table:
+            acc = np.zeros(256, dtype=np.int64)
+            for buf in t.column("data").to_pylist():
+                arr = decode_tile(buf, "int32", T)
+                acc += np.bincount(arr.ravel(), minlength=256)
+            v = np.nonzero(acc)[0]
+            return pa.table({"v": pa.array(v.astype(np.int64)),
+                             "n": pa.array(acc[v])})
+
+        h = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("v").aggregate(Sum("n", alias_name="n")) \
+            .to_pandas()
+        out = np.zeros(256, dtype=np.int64)
+        out[h["v"].to_numpy().astype(np.int64)] = \
+            h["n"].to_numpy().astype(np.int64)
+        return np.cumsum(out)
+
+    cdf_a, cdf_b = hist(a), hist(b)
+    lut = np.searchsorted(cdf_b, cdf_a, side="left").astype(np.int64)
+
+    def apply_stats(t: pa.Table) -> pa.Table:
+        n = len(t)
+        s = np.zeros(n, dtype=np.int64)
+        mn = np.zeros(n, dtype=np.int64)
+        mx = np.zeros(n, dtype=np.int64)
+        for i, buf in enumerate(t.column("data").to_pylist()):
+            m = lut[decode_tile(buf, "int32", T)]
+            s[i], mn[i], mx[i] = m.sum(), m.min(), m.max()
+        return pa.table({
+            "tx": pc.cast(t.column("tx"), pa.int64()),
+            "ty": pc.cast(t.column("ty"), pa.int64()),
+            "m_sum": pa.array(s), "m_min": pa.array(mn),
+            "m_max": pa.array(mx)})
+
+    return a.map_batches(apply_stats, batch_format="pyarrow")
+
+
+QUERIES["raster_hist_match"] = q_raster_hist_match
+
+
+def q_events_sax(sf_dir: str, w: int = 8):
+    """SAX symbolization of each user's value series (the
+    time-series-mining index form): PAA segments of w events, symbol
+    by integer cross-multiplied mean thresholds (sum < B·n, no
+    division), per-user ordered symbol string. One window shuffle for
+    ranks, one (user, seg) sum combiner, one bucketed ordered-concat
+    fold."""
+    from spapy_ray.stages.relational import (bucketed_group_agg,
+                                             pre_aggregated_sums)
+    from spapy_ray.stages.window import window_over
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "cents": pa.array(cents)})
+
+    ranked = window_over(ev.map_batches(proj, batch_format="pyarrow"),
+                         key_col="user_id",
+                         order_cols=["us", "event_id"],
+                         ops=[("rn", "row_number", None)],
+                         keep_cols=["cents"])
+
+    def seg(t: pa.Table) -> pa.Table:
+        rn = t.column("rn").to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t.column("user_id"),
+                         "seg": pa.array((rn - 1) // w),
+                         "cents": t.column("cents")})
+
+    sums = pre_aggregated_sums(
+        ranked.map_batches(seg, batch_format="pyarrow"),
+        ["user_id", "seg"], ["cents"], count_alias="n")
+
+    B1, B2, B3 = 1500, 3600, 7200
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["cents"].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        sym = np.where(s < B1 * n, "a",
+                       np.where(s < B2 * n, "b",
+                                np.where(s < B3 * n, "c", "d")))
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                           "seg": g["seg"].to_numpy(), "sym": sym}) \
+            .sort_values(["user_id", "seg"], kind="stable")
+        out = df.groupby("user_id", sort=False)["sym"] \
+            .agg(["size", "".join]).reset_index()
+        out.columns = ["user_id", "n_segs", "sax"]
+        return out.astype({"n_segs": np.int64})
+
+    return bucketed_group_agg(sums, "user_id", fold)
+
+
+QUERIES["events_sax"] = q_events_sax
