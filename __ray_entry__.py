@@ -428,4 +428,5 @@ def oracle_sql() -> dict[str, str]:
         "cust_cohort_ltv": o.q_cust_cohort_ltv(),
         "raster_hist_match": o.q_raster_hist_match(),
         "events_sax": o.q_events_sax(),
+        "hotspot_cube": o.q_hotspot_cube(),
     }

@@ -5909,3 +5909,32 @@ def q_events_sax(w: int = 8) -> str:
         "SELECT user_id, count(*)::BIGINT AS n_segs, "
         "string_agg(sym, '' ORDER BY seg) AS sax FROM y GROUP BY 1"
     )
+
+
+def q_hotspot_cube() -> str:
+    """Twin of the space-time hot-spot cube: same nonneg integer
+    voxel bins (floor == trunc after the +offset shift), 27-offset
+    CROSS JOIN scatter, occupied-voxel join, integer hot test."""
+    offs = ", ".join(f"({dx}, {dy}, {dt})" for dx in (-1, 0, 1)
+                     for dy in (-1, 0, 1) for dt in (-1, 0, 1))
+    return (
+        f"WITH {geo_cte()}, "
+        "p AS (SELECT ((CAST(round(lon * 100000.0) AS BIGINT) "
+        "+ 18000000) // 100000) AS hx, "
+        "((CAST(round(lat * 100000.0) AS BIGINT) + 8500000) "
+        "// 100000) AS hy, "
+        "(epoch_us(warc_ts) // 3600000000) AS hr FROM geo), "
+        "c AS (SELECT hx, hy, hr, count(*)::BIGINT AS n FROM p "
+        "GROUP BY 1, 2, 3), "
+        "t AS (SELECT sum(n)::BIGINT AS nn, count(*)::BIGINT AS cc "
+        "FROM c), "
+        f"o(dx, dy, dt) AS (SELECT * FROM (VALUES {offs})), "
+        "s AS (SELECT c.hx + dx AS hx, c.hy + dy AS hy, "
+        "c.hr + dt AS hr, sum(n)::BIGINT AS s27 "
+        "FROM c CROSS JOIN o GROUP BY 1, 2, 3) "
+        "SELECT c.hx::BIGINT AS hx, c.hy::BIGINT AS hy, "
+        "c.hr::BIGINT AS hr, c.n, s.s27, "
+        "(CASE WHEN s.s27 * t.cc > 54 * t.nn THEN 1 ELSE 0 END)"
+        "::BIGINT AS hot "
+        "FROM c JOIN s USING (hx, hy, hr), t"
+    )
