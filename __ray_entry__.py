@@ -429,4 +429,6 @@ def oracle_sql() -> dict[str, str]:
         "raster_hist_match": o.q_raster_hist_match(),
         "events_sax": o.q_events_sax(),
         "hotspot_cube": o.q_hotspot_cube(),
+        "best_feature": o.q_best_feature(),
+        "heading_rose": o.q_heading_rose(),
     }

@@ -101,7 +101,11 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # stay-point segmentation, chained-stencil blur,
                  # ranked boolean retrieval)
                  "best_split", "stay_points", "raster_blur5",
-                 "index_search"]
+                 "index_search",
+                 # session-12 wave 2-4 (radix selection, shingle
+                 # diversity, sparse space-time stencil)
+                 "price_exact_median", "ngram_diversity",
+                 "hotspot_cube"]
 
 
 def _consume(res) -> int:

@@ -5938,3 +5938,67 @@ def q_hotspot_cube() -> str:
         "::BIGINT AS hot "
         "FROM c JOIN s USING (hx, hy, hr), t"
     )
+
+
+def q_best_feature() -> str:
+    """Twin of root-node feature selection: one histogram CTE per
+    feature, identical Gini formula, UNION ALL, global (score,
+    feature, split_at) argmin."""
+    def branch(expr: str, name: str) -> str:
+        return (
+            f"SELECT '{name}' AS feature, {expr} AS v, "
+            "count(*)::BIGINT AS n, sum(CASE WHEN l_returnflag = 'R' "
+            "THEN 1 ELSE 0 END)::BIGINT AS pos FROM lineitem "
+            "GROUP BY 2")
+
+    u = " UNION ALL ".join([
+        branch("round(l_quantity)::BIGINT", "qty"),
+        branch("round(l_discount * 100)::BIGINT", "disc"),
+        branch("round(l_tax * 100)::BIGINT", "tax")])
+    return (
+        f"WITH c AS ({u}), "
+        "w AS (SELECT feature, v, "
+        "sum(n) OVER (PARTITION BY feature ORDER BY v)::BIGINT AS nl, "
+        "sum(pos) OVER (PARTITION BY feature ORDER BY v)::BIGINT "
+        "AS posl, sum(n) OVER (PARTITION BY feature)::BIGINT AS nt, "
+        "sum(pos) OVER (PARTITION BY feature)::BIGINT AS pt FROM c), "
+        "s AS (SELECT feature, v, nl, posl, nt - nl AS nr, "
+        "pt - posl AS posr FROM w WHERE nl < nt) "
+        "SELECT feature, v AS split_at, nl AS n_left, "
+        "posl AS pos_left, nr AS n_right, posr AS pos_right, "
+        "((nl * nl - posl * posl - (nl - posl) * (nl - posl))::HUGEINT"
+        " * nr + (nr * nr - posr * posr - (nr - posr) * (nr - posr))"
+        "::HUGEINT * nl)::DOUBLE / ((nl::HUGEINT * nr)::DOUBLE) "
+        "AS score FROM s ORDER BY score, feature, split_at LIMIT 1"
+    )
+
+
+def q_heading_rose() -> str:
+    """Twin of the compass rose: lag window steps, the same exact
+    sign/abs sector CASE."""
+    import re
+
+    from spapy_ray.stages.text import URL_PATTERN
+
+    anon = re.sub(r"\?P<[a-z]+>", "", URL_PATTERN)
+    return (
+        f"WITH {geo_cte()}, "
+        f"pts AS (SELECT regexp_extract(url, '{anon}', 2) AS host, "
+        "epoch_us(warc_ts) AS us, "
+        "CAST(round(lat * 100000.0) AS BIGINT) AS lat5, "
+        "CAST(round(lon * 100000.0) AS BIGINT) AS lon5 FROM geo), "
+        "w AS (SELECT host, lon5 - lag(lon5) OVER o AS dx, "
+        "lat5 - lag(lat5) OVER o AS dy, "
+        "(lag(lon5) OVER o IS NULL) AS first "
+        "FROM pts WINDOW o AS (PARTITION BY host ORDER BY us)), "
+        "d AS (SELECT host, CASE "
+        "WHEN dx = 0 AND dy = 0 THEN 'O' "
+        "WHEN abs(dx) > abs(dy) THEN "
+        "(CASE WHEN dx > 0 THEN 'E' ELSE 'W' END) "
+        "WHEN abs(dy) > abs(dx) THEN "
+        "(CASE WHEN dy > 0 THEN 'N' ELSE 'S' END) "
+        "WHEN dy > 0 THEN (CASE WHEN dx > 0 THEN 'NE' ELSE 'NW' END) "
+        "ELSE (CASE WHEN dx > 0 THEN 'SE' ELSE 'SW' END) END AS dir "
+        "FROM w WHERE NOT first) "
+        "SELECT host, dir, count(*)::BIGINT AS n FROM d GROUP BY 1, 2"
+    )

@@ -9503,3 +9503,89 @@ def q_hotspot_cube(sf_dir: str):
 
 
 QUERIES["hotspot_cube"] = q_hotspot_cube
+
+
+def q_best_feature(sf_dir: str):
+    """Root-node feature selection across three lineitem features in
+    ONE melted histogram pass (ml.best_feature_gini) — the level-0
+    step of distributed tree growing: every feature's (value, n,
+    n_pos) histogram rides the same combiner, the driver folds each
+    and argmins globally."""
+    from spapy_ray.stages.ml import best_feature_gini
+
+    lf = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_discount", "l_tax",
+                        "l_returnflag"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        def ri(c, s):
+            return np.rint(t.column(c).to_numpy(
+                zero_copy_only=False) * s).astype(np.int64)
+        y = (t.column("l_returnflag").to_numpy(zero_copy_only=False)
+             == "R").astype(np.int64)
+        return pa.table({"qty": pa.array(ri("l_quantity", 1)),
+                         "disc": pa.array(ri("l_discount", 100)),
+                         "tax": pa.array(ri("l_tax", 100)),
+                         "y": pa.array(y)})
+
+    return best_feature_gini(
+        lf.map_batches(proj, batch_format="pyarrow"),
+        ["qty", "disc", "tax"], "y")
+
+
+QUERIES["best_feature"] = q_best_feature
+
+
+def q_heading_rose(sf_dir: str):
+    """Per-host compass rose of crawl-trajectory headings: each
+    consecutive step classified into the 8 exact 45°-boundary sectors
+    (cardinal when |dx| vs |dy| strictly dominates, inter-cardinal on
+    the exact diagonal, 'O' for zero steps — all integer sign/abs
+    comparisons, no trig), counted per (host, dir). One host-bucketed
+    shuffle, vectorized diff + classify per bucket."""
+    from spapy_ray.stages.distjoin import _fixed5
+    from spapy_ray.stages.relational import bucketed_group_agg
+    from spapy_ray.stages.text import url_parse_batch
+
+    geo = _geo(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        h = url_parse_batch(t.select(["url"]))
+        return pa.table({
+            "host": h.column("host"),
+            "us": pc.cast(t.column("warc_ts"), pa.int64()),
+            "lat5": pa.array(_fixed5(t.column("lat"))),
+            "lon5": pa.array(_fixed5(t.column("lon")))})
+
+    pts = geo.map_batches(project, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"host": [], "dir": [],
+                                 "n": pd.array([], dtype=np.int64)})
+        df = df.sort_values(["host", "us"], kind="stable")
+        k = df["host"].to_numpy()
+        x = df["lon5"].to_numpy().astype(np.int64)
+        y = df["lat5"].to_numpy().astype(np.int64)
+        newkey = np.r_[True, k[1:] != k[:-1]]
+        dx = np.r_[np.int64(0), np.diff(x)]
+        dy = np.r_[np.int64(0), np.diff(y)]
+        ax, ay = np.abs(dx), np.abs(dy)
+        d = np.where(
+            (dx == 0) & (dy == 0), "O",
+            np.where(ax > ay, np.where(dx > 0, "E", "W"),
+                     np.where(ay > ax, np.where(dy > 0, "N", "S"),
+                              np.where(dy > 0,
+                                       np.where(dx > 0, "NE", "NW"),
+                                       np.where(dx > 0, "SE",
+                                                "SW")))))
+        keep = ~newkey
+        out = pd.DataFrame({"host": k[keep], "dir": d[keep]}) \
+            .groupby(["host", "dir"], sort=False).size() \
+            .reset_index(name="n")
+        return out.astype({"n": np.int64})
+
+    return bucketed_group_agg(pts, "host", fold)
+
+
+QUERIES["heading_rose"] = q_heading_rose

@@ -24,6 +24,25 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _gini_fold(v: np.ndarray, n: np.ndarray, pos: np.ndarray):
+    """Shared threshold fold over one feature's (value, n, n_pos)
+    histogram (rows sorted by value): returns the per-threshold
+    (values, nl, posl, nr, posr, score) arrays. score is the common-
+    denominator weighted Gini as float64 of exact int64s."""
+    nl = np.cumsum(n)[:-1]
+    posl = np.cumsum(pos)[:-1]
+    nt, pt = int(n.sum()), int(pos.sum())
+    nr = nt - nl
+    posr = pt - posl
+    negl = nl - posl
+    negr = nr - posr
+    num = ((nl * nl - posl * posl - negl * negl) * nr
+           + (nr * nr - posr * posr - negr * negr) * nl)
+    den = nl * nr
+    score = num.astype(np.float64) / den.astype(np.float64)
+    return v[:-1], nl, posl, nr, posr, score
+
+
 def best_split_gini(ds, feature_col: str, label_col: str) -> pa.Table:
     """Exact decision-stump split on an integer feature vs a 0/1
     label: minimize weighted Gini impurity over thresholds
@@ -50,25 +69,77 @@ def best_split_gini(ds, feature_col: str, label_col: str) -> pa.Table:
     if len(v) < 2:
         raise ValueError("best_split_gini needs >= 2 distinct "
                          f"{feature_col!r} values")
-    nl = np.cumsum(n)[:-1]
-    posl = np.cumsum(pos)[:-1]
-    nt, pt = int(n.sum()), int(pos.sum())
-    nr = nt - nl
-    posr = pt - posl
-    negl = nl - posl
-    negr = nr - posr
-    num = ((nl * nl - posl * posl - negl * negl) * nr
-           + (nr * nr - posr * posr - negr * negr) * nl)
-    den = nl * nr
-    score = num.astype(np.float64) / den.astype(np.float64)
-    i = int(np.lexsort((v[:-1], score))[0])
+    vv, nl, posl, nr, posr, score = _gini_fold(v, n, pos)
+    i = int(np.lexsort((vv, score))[0])
     return pa.table({
-        "split_at": pa.array([int(v[i])], type=pa.int64()),
+        "split_at": pa.array([int(vv[i])], type=pa.int64()),
         "n_left": pa.array([int(nl[i])], type=pa.int64()),
         "pos_left": pa.array([int(posl[i])], type=pa.int64()),
         "n_right": pa.array([int(nr[i])], type=pa.int64()),
         "pos_right": pa.array([int(posr[i])], type=pa.int64()),
         "score": pa.array([float(score[i])], type=pa.float64()),
+    })
+
+
+def best_feature_gini(ds, feature_cols: list[str],
+                      label_col: str) -> pa.Table:
+    """Root-node FEATURE SELECTION across several integer features in
+    ONE pass (the level-0 step of distributed tree growing): each
+    batch melts to (feature, value, n, n_pos) partials for every
+    feature at once, a single tiny groupby folds all histograms, and
+    the driver runs the threshold fold per feature and takes the
+    global argmin (ties: score, then feature name, then value).
+
+    Returns a ONE-ROW pa.Table: (feature, split_at, n_left, pos_left,
+    n_right, pos_right, score).
+    """
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    def melt(t: pa.Table) -> pa.Table:
+        y = t.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        fs, vs, ys = [], [], []
+        for f in feature_cols:
+            x = t.column(f).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            fs.append(np.full(len(x), f, dtype=object))
+            vs.append(x)
+            ys.append(y)
+        return pa.table({
+            "feature": pa.array(np.concatenate(fs), type=pa.string()),
+            "v": pa.array(np.concatenate(vs)),
+            "y": pa.array(np.concatenate(ys))})
+
+    agg = pre_aggregated_sums(
+        ds.select_columns(list(feature_cols) + [label_col])
+        .map_batches(melt, batch_format="pyarrow"),
+        ["feature", "v"], ["y"], count_alias="__n").to_pandas() \
+        .sort_values(["feature", "v"], kind="stable")
+    best = None
+    for f in sorted(feature_cols):
+        g = agg[agg["feature"] == f]
+        v = g["v"].to_numpy().astype(np.int64)
+        if len(v) < 2:
+            continue
+        vv, nl, posl, nr, posr, score = _gini_fold(
+            v, g["__n"].to_numpy().astype(np.int64),
+            g["y"].to_numpy().astype(np.int64))
+        i = int(np.lexsort((vv, score))[0])
+        cand = (float(score[i]), f, int(vv[i]), int(nl[i]),
+                int(posl[i]), int(nr[i]), int(posr[i]))
+        if best is None or cand < best:
+            best = cand
+    if best is None:
+        raise ValueError("no feature has >= 2 distinct values")
+    sc, f, v, nl, pl, nr, pr = best
+    return pa.table({
+        "feature": pa.array([f], type=pa.string()),
+        "split_at": pa.array([v], type=pa.int64()),
+        "n_left": pa.array([nl], type=pa.int64()),
+        "pos_left": pa.array([pl], type=pa.int64()),
+        "n_right": pa.array([nr], type=pa.int64()),
+        "pos_right": pa.array([pr], type=pa.int64()),
+        "score": pa.array([sc], type=pa.float64()),
     })
 
 
