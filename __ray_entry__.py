@@ -431,4 +431,6 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_cube": o.q_hotspot_cube(),
         "best_feature": o.q_best_feature(),
         "heading_rose": o.q_heading_rose(),
+        "zone_lang_mix": o.q_zone_lang_mix(),
+        "events_cume_dist": o.q_events_cume_dist(),
     }

@@ -6002,3 +6002,36 @@ def q_heading_rose() -> str:
         "FROM w WHERE NOT first) "
         "SELECT host, dir, count(*)::BIGINT AS n FROM d GROUP BY 1, 2"
     )
+
+
+def q_zone_lang_mix() -> str:
+    """Twin of the zone language mix: PIP join CTE, per-(zone, lang)
+    counts, row_number majority with the same tie order."""
+    return (
+        f"WITH {join_cte()}, "
+        "c AS (SELECT zone_id, lang, count(*)::BIGINT AS n "
+        "FROM joined GROUP BY 1, 2), "
+        "r AS (SELECT zone_id, lang, n, row_number() OVER "
+        "(PARTITION BY zone_id ORDER BY n DESC, lang) AS rn FROM c), "
+        "t AS (SELECT zone_id, lang AS top_lang, n AS top_n FROM r "
+        "WHERE rn = 1), "
+        "a AS (SELECT zone_id, sum(n)::BIGINT AS n_pages, "
+        "count(*)::BIGINT AS n_langs FROM c GROUP BY 1) "
+        "SELECT a.zone_id::BIGINT AS zone_id, n_pages, n_langs, "
+        "top_lang, top_n FROM a JOIN t USING (zone_id)"
+    )
+
+
+def q_events_cume_dist() -> str:
+    """Twin of integer cume_dist: the RANGE frame count includes
+    peers, exactly the engine's last-of-run index."""
+    return (
+        "WITH e AS (SELECT user_id::BIGINT AS user_id, "
+        "event_id::BIGINT AS event_id, "
+        "round(value * 100)::BIGINT AS cents FROM events) "
+        "SELECT user_id, event_id, cents, "
+        "count(*) OVER (PARTITION BY user_id ORDER BY cents "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT "
+        "AS cume_n, "
+        "count(*) OVER (PARTITION BY user_id)::BIGINT AS n FROM e"
+    )

@@ -9589,3 +9589,85 @@ def q_heading_rose(sf_dir: str):
 
 
 QUERIES["heading_rose"] = q_heading_rose
+
+
+def q_zone_lang_mix(sf_dir: str):
+    """Per-zone language mix over the spatial join (the
+    geo-stratified corpus composition report): PIP join → (zone,
+    lang) count combiner → majority language per zone on the tiny
+    fold (ties: count desc, lang asc)."""
+    from spapy_ray.sources.zones import zones_table
+    from spapy_ray.stages.join import pip_join
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    joined = pip_join(_geo(sf_dir), zones_table(200),
+                      left_columns=["url", "lang", "lon", "lat"])
+    c = pre_aggregated_sums(
+        joined.map_batches(
+            lambda t: t.select(["zone_id", "lang"]),
+            batch_format="pyarrow"),
+        ["zone_id", "lang"], [], count_alias="n").to_pandas()
+    c["n"] = c["n"].astype(np.int64)
+    c["zone_id"] = c["zone_id"].astype(np.int64)
+    c = c.sort_values(["zone_id", "n", "lang"],
+                      ascending=[True, False, True], kind="stable")
+    agg = c.groupby("zone_id", sort=True).agg(
+        n_pages=("n", "sum"), n_langs=("lang", "size"),
+        top_lang=("lang", "first"), top_n=("n", "first")) \
+        .reset_index()
+    return agg.astype({"n_pages": np.int64, "n_langs": np.int64,
+                       "top_n": np.int64})
+
+
+QUERIES["zone_lang_mix"] = q_zone_lang_mix
+
+
+def q_events_cume_dist(sf_dir: str):
+    """cume_dist as exact integers (the last of the SQL window-rank
+    family: row_number / dense_rank / percent_rank / ntile are
+    elsewhere): per user, cume_n = #rows with value <= v (peers
+    INCLUDED — a searchsorted over the bucket-sorted values, not a
+    row_number), n = group size. One bucketed shuffle."""
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "value"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "cents": pa.array(cents)})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.array([], dtype=np.int64)
+                                 for c in ("user_id", "event_id",
+                                           "cents", "cume_n", "n")})
+        df = df.sort_values(["user_id", "cents"], kind="stable")
+        u = df["user_id"].to_numpy()
+        v = df["cents"].to_numpy()
+        first = np.r_[True, u[1:] != u[:-1]]
+        gid = np.cumsum(first) - 1
+        # within each sorted group, cume_n(v) = index of the LAST
+        # occurrence of v (peers included) + 1 - group start
+        starts = np.nonzero(first)[0]
+        idx = np.arange(len(v))
+        run_start = np.r_[True, (v[1:] != v[:-1]) | first[1:]]
+        rid = np.cumsum(run_start) - 1
+        run_end = np.zeros(rid[-1] + 1, dtype=np.int64)
+        np.maximum.at(run_end, rid, idx)
+        cume = run_end[rid] + 1 - starts[gid]
+        n = np.diff(np.r_[starts, len(v)])[gid]
+        return pd.DataFrame({
+            "user_id": u, "event_id": df["event_id"].to_numpy(),
+            "cents": v, "cume_n": cume, "n": n}).astype(
+                {c: np.int64 for c in ("cume_n", "n")})
+
+    return bucketed_group_agg(
+        ev.map_batches(proj, batch_format="pyarrow"), "user_id", fold)
+
+
+QUERIES["events_cume_dist"] = q_events_cume_dist
