@@ -433,4 +433,5 @@ def oracle_sql() -> dict[str, str]:
         "heading_rose": o.q_heading_rose(),
         "zone_lang_mix": o.q_zone_lang_mix(),
         "events_cume_dist": o.q_events_cume_dist(),
+        "cms_hosts": o.q_cms_hosts(),
     }

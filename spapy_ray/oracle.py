@@ -6035,3 +6035,37 @@ def q_events_cume_dist() -> str:
         "AS cume_n, "
         "count(*) OVER (PARTITION BY user_id)::BIGINT AS n FROM e"
     )
+
+
+def q_cms_hosts(k: int = 20) -> str:
+    """Twin of the CMS audit: the sketch is deterministic, so SQL
+    rebuilds the same matrix — per-host fnv, HUGEINT row hashes mod
+    2^62 mod 256 (== the engine's mod-2^64 wrap; 256 | 2^62 | 2^64),
+    cell sums, min-over-rows estimates for the same top-k."""
+    import re
+
+    from spapy_ray.stages.text import URL_PATTERN
+
+    anon = re.sub(r"\?P<[a-z]+>", "", URL_PATTERN)
+    fnv = sql_fnv1a("host")
+    M62 = 1 << 62
+    mults = ", ".join(f"({r}, {m})" for r, m in enumerate(
+        (2654435761, 2246822519, 3266489917, 668265263)))
+    return (
+        f"WITH {pages_cte()}, "
+        f"hl AS (SELECT regexp_extract(url, '{anon}', 2) AS host "
+        "FROM pages), "
+        f"hh AS (SELECT host, count(*)::BIGINT AS n, ({fnv}) AS f "
+        "FROM hl GROUP BY host), "
+        f"m(r, mult) AS (SELECT * FROM (VALUES {mults})), "
+        "cm AS (SELECT r, ((f::HUGEINT * mult) % "
+        f"{M62}) % 256 AS c, sum(n)::BIGINT AS cnt "
+        "FROM hh CROSS JOIN m GROUP BY 1, 2), "
+        "top AS (SELECT host, n, f FROM hh "
+        f"ORDER BY n DESC, host LIMIT {k}) "
+        "SELECT t.host, t.n AS true_n, min(cm.cnt)::BIGINT AS est_n "
+        "FROM top t CROSS JOIN m "
+        "JOIN cm ON cm.r = m.r AND cm.c = "
+        f"((t.f::HUGEINT * m.mult) % {M62}) % 256 "
+        "GROUP BY 1, 2"
+    )

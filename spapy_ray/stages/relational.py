@@ -2559,3 +2559,67 @@ def radix_exact_ranks(ds, col: str, ranks_fn, *, shift: int = 12):
         for r, off in lst:
             out[r] = int(v[off])
     return [out[r] for r in ranks], total
+
+
+# xxhash-style odd multipliers (< 2^32, so the HUGEINT twin product
+# stays < 2^94); row hash r = (fnv1a64(key) * mult_r) % width. The
+# engine wraps mod 2^64 and the twin reduces mod 2^62 — both equal
+# the true product mod width because width | 2^62 | 2^64.
+CMS_MULTS = (2654435761, 2246822519, 3266489917, 668265263)
+
+
+def count_min_sketch(ds, key_col: str, *, width: int = 256,
+                     mults: tuple = CMS_MULTS) -> np.ndarray:
+    """Count-min sketch of a key column (Cormode–Muthukrishnan): the
+    mergeable d×w counter matrix every streaming frequency monitor
+    carries. Per-batch partials scatter into a local matrix and ship
+    only NONZERO (cell, n) pairs; one tiny groupby folds them; the
+    driver assembles the d×w matrix (point query = min over rows —
+    always an overestimate, never under).
+
+    width must be a power of two <= 2^62 (the mod-composition proof
+    in CMS_MULTS' comment relies on it).
+    """
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    if width & (width - 1):
+        raise ValueError("width must be a power of two")
+    d = len(mults)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        h = fnv1a64(keys)
+        mat = np.zeros((d, width), dtype=np.int64)
+        for r, m in enumerate(mults):
+            c = ((h * np.uint64(m)) % np.uint64(width)) \
+                .astype(np.int64)
+            np.add.at(mat[r], c, 1)
+        rr, cc = np.nonzero(mat)
+        return pa.table({"cell": pa.array(rr * width + cc),
+                         "n": pa.array(mat[rr, cc])})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("cell").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    mat = np.zeros((d, width), dtype=np.int64)
+    cell = agg["cell"].to_numpy().astype(np.int64)
+    mat[cell // width, cell % width] = agg["n"].to_numpy()
+    return mat
+
+
+def cms_point_query(mat: np.ndarray, keys, *,
+                    mults: tuple = CMS_MULTS) -> np.ndarray:
+    """Point-frequency estimates (min over rows) for string keys."""
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    width = mat.shape[1]
+    h = fnv1a64(list(keys))
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for r, m in enumerate(mults):
+        c = ((h * np.uint64(m)) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, mat[r, c])
+    return est

@@ -140,3 +140,31 @@ def test_radix_exact_ranks_matches_sort(ray_session):
     # out-of-range rank raises
     with pytest.raises(IndexError):
         radix_exact_ranks(_ds(t), "v", lambda n: [n], shift=10)
+
+
+def test_cms_never_underestimates(ray_session):
+    from spapy_ray.stages.relational import (cms_point_query,
+                                             count_min_sketch)
+
+    rng = np.random.default_rng(21)
+    keys = [f"k{int(i)}" for i in rng.integers(0, 900, 25000)]
+    got = count_min_sketch(
+        _ds(pa.table({"k": pa.array(keys)})), "k", width=128)
+    assert got.shape == (4, 128)
+    # every row of the matrix sums to the total count (mergeable,
+    # no drops)
+    assert (got.sum(axis=1) == len(keys)).all()
+    import collections
+
+    true = collections.Counter(keys)
+    uniq = sorted(true)
+    est = cms_point_query(got, uniq)
+    tv = np.array([true[u] for u in uniq])
+    assert (est >= tv).all()              # CMS guarantee
+    # width=128 on 900 keys: estimates stay within the classic
+    # eps*N envelope with huge margin
+    assert (est - tv).max() <= 4 * len(keys) // 128
+
+    with pytest.raises(ValueError):
+        count_min_sketch(_ds(pa.table({"k": pa.array(keys)})), "k",
+                         width=100)
