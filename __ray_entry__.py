@@ -434,4 +434,5 @@ def oracle_sql() -> dict[str, str]:
         "zone_lang_mix": o.q_zone_lang_mix(),
         "events_cume_dist": o.q_events_cume_dist(),
         "cms_hosts": o.q_cms_hosts(),
+        "knn_label_vote": o.q_knn_label_vote(),
     }

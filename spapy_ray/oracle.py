@@ -6069,3 +6069,26 @@ def q_cms_hosts(k: int = 20) -> str:
         f"((t.f::HUGEINT * m.mult) % {M62}) % 256 "
         "GROUP BY 1, 2"
     )
+
+
+def q_knn_label_vote(k: int = 5) -> str:
+    """Twin of the kNN label vote: exact cosine ranks with self
+    excluded, the same (count desc, label asc) vote, confusion
+    counts."""
+    sim = ("list_cosine_similarity("
+           "list_transform(q.embedding, x -> x::DOUBLE), "
+           "list_transform(e.embedding, x -> x::DOUBLE))")
+    return (
+        "WITH r AS (SELECT q.vec_id AS qid, e.label AS nlab, "
+        f"row_number() OVER (PARTITION BY q.vec_id ORDER BY {sim} "
+        "DESC, e.vec_id) AS rank "
+        "FROM embeddings q CROSS JOIN embeddings e "
+        f"WHERE q.vec_id <> e.vec_id QUALIFY rank <= {k}), "
+        "v AS (SELECT qid, nlab, count(*) AS c FROM r GROUP BY 1, 2), "
+        "p AS (SELECT qid, nlab, row_number() OVER (PARTITION BY qid "
+        "ORDER BY c DESC, nlab) AS rn FROM v) "
+        "SELECT q.label::BIGINT AS true_label, p.nlab::BIGINT AS "
+        "pred_label, count(*)::BIGINT AS n "
+        "FROM p JOIN embeddings q ON p.qid = q.vec_id "
+        "WHERE p.rn = 1 GROUP BY 1, 2"
+    )

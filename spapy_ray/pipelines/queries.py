@@ -9701,3 +9701,58 @@ def q_cms_hosts(sf_dir: str, k: int = 20):
 
 
 QUERIES["cms_hosts"] = q_cms_hosts
+
+
+def q_knn_label_vote(sf_dir: str, k: int = 5):
+    """Embedding kNN label-vote classifier eval (the leave-one-out
+    sanity check a curated-embedding pipeline runs): each vector's
+    k=5 nearest OTHER vectors (exact block-pair GEMM, k+1 retrieved
+    and self dropped — top-(k+1) overall ⊇ top-k excluding self)
+    vote on its label (ties: count desc, label asc); output is the
+    confusion matrix (true_label, pred_label, n)."""
+    import ray
+
+    from spapy_ray.stages.ann import knn_join_embeddings
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    emb = _read(sf_dir, "embeddings",
+                columns=["vec_id", "embedding", "label"])
+    lab = emb.select_columns(["vec_id", "label"]).to_pandas()
+    lab_map = dict(zip(lab["vec_id"].astype(np.int64),
+                       lab["label"].astype(np.int64)))
+    ref = ray.put(lab_map)
+
+    knn = knn_join_embeddings(emb, emb, k=k + 1)
+    noself = knn.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("qid"),
+                                        t.column("vec_id"))),
+        batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        mm = ray.get(_ref)
+        if len(df) == 0:
+            return pd.DataFrame({
+                "true_label": pd.array([], dtype=np.int64),
+                "pred_label": pd.array([], dtype=np.int64),
+                "n": pd.array([], dtype=np.int64)})
+        df = df.sort_values(["qid", "rank"], kind="stable")
+        df = df.groupby("qid", sort=False).head(k)
+        df["nlab"] = df["vec_id"].map(mm).astype(np.int64)
+        votes = df.groupby(["qid", "nlab"], sort=False).size() \
+            .reset_index(name="c") \
+            .sort_values(["qid", "c", "nlab"],
+                         ascending=[True, False, True], kind="stable")
+        pred = votes.groupby("qid", sort=False).first().reset_index()
+        pred["true_label"] = pred["qid"].map(mm).astype(np.int64)
+        conf = pred.groupby(["true_label", "nlab"], sort=False) \
+            .size().reset_index(name="n")
+        conf.columns = ["true_label", "pred_label", "n"]
+        return conf.astype(np.int64)
+
+    parts = bucketed_group_agg(noself, "qid", fold).to_pandas()
+    out = parts.groupby(["true_label", "pred_label"], sort=True) \
+        .agg(n=("n", "sum")).reset_index()
+    return out.astype(np.int64)
+
+
+QUERIES["knn_label_vote"] = q_knn_label_vote
