@@ -105,7 +105,8 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # session-12 wave 2-4 (radix selection, shingle
                  # diversity, sparse space-time stencil)
                  "price_exact_median", "ngram_diversity",
-                 "hotspot_cube"]
+                 "hotspot_cube", "knn_label_vote", "cms_hosts",
+                 "heading_rose"]
 
 
 def _consume(res) -> int:
