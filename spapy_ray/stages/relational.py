@@ -2495,7 +2495,8 @@ def frequent_triples(ds, group_col: str, key_col: str, *,
     return top.reset_index(drop=True).astype(np.int64)
 
 
-def radix_exact_ranks(ds, col: str, ranks_fn, *, shift: int = 12):
+def radix_exact_ranks(ds, col: str, ranks_fn, *, shift: int = 12,
+                      max_scan_rows: int = 10_000_000):
     """Exact global order statistics of an integer column in TWO
     streaming passes (distributed radix selection — the scalable
     alternative to a full sort for a handful of ranks):
@@ -2514,10 +2515,13 @@ def radix_exact_ranks(ds, col: str, ranks_fn, *, shift: int = 12):
     the two middle ranks of a median). Returns ``(values, total)``
     where values[i] is the exact value at ranks[i].
 
-    At 100 TB the second pass can recurse (re-shift within a still-
-    too-big bucket); one level suffices for any realistic ``shift``.
-    The input Dataset is executed twice (lineage re-read) — pass it
-    a column-pruned read.
+    If the needed buckets together hold more than ``max_scan_rows``
+    rows (heavy skew, or a shift too coarse for the data volume), the
+    collection step RECURSES: the scan is narrowed to those buckets
+    and re-histogrammed at ``shift - 8`` until the residue fits — the
+    100 TB path, exercised by a unit test with a tiny cap. The input
+    Dataset is executed twice per level (lineage re-read) — pass it a
+    column-pruned read.
     """
     from ray.data.aggregate import Sum
 
@@ -2544,6 +2548,33 @@ def radix_exact_ranks(ds, col: str, ranks_fn, *, shift: int = 12):
         base = int(cum[i - 1]) if i else 0
         need.setdefault(int(b[i]), []).append((r, r - base))
     want = np.array(sorted(need), dtype=np.int64)
+    residue = int(sum(n[np.isin(b, want)]))
+
+    if residue > max_scan_rows and shift > 0:
+        # recurse: narrow the scan to the rank-holding buckets and
+        # re-select at a finer shift. Ranks re-express as offsets
+        # into the CONCATENATION of the kept buckets (bucket order ==
+        # value order, so local offsets accumulate in bucket order).
+        prior = 0
+        flat = []                      # (orig_rank, residue_rank)
+        for bk in sorted(need):
+            for r, off in sorted(need[bk], key=lambda t: t[1]):
+                flat.append((r, prior + off))
+            prior += int(n[b == bk][0])
+
+        def narrow(t: pa.Table) -> pa.Table:
+            x = t.column(col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({col: pa.array(x[np.isin(x >> shift,
+                                                     want)])})
+
+        sub = ds.map_batches(narrow, batch_format="pyarrow")
+        sub_ranks = [fr for _orig, fr in flat]
+        vals_sub, _ = radix_exact_ranks(
+            sub, col, lambda _n: sub_ranks,
+            shift=max(0, shift - 8), max_scan_rows=max_scan_rows)
+        got = {orig: v for (orig, _fr), v in zip(flat, vals_sub)}
+        return [got[r] for r in ranks], total
 
     def pick(t: pa.Table) -> pa.Table:
         x = t.column(col).to_numpy(zero_copy_only=False) \

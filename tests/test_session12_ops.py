@@ -168,3 +168,21 @@ def test_cms_never_underestimates(ray_session):
     with pytest.raises(ValueError):
         count_min_sketch(_ds(pa.table({"k": pa.array(keys)})), "k",
                          width=100)
+
+
+def test_radix_exact_ranks_recursive_path(ray_session):
+    from spapy_ray.stages.relational import radix_exact_ranks
+
+    rng = np.random.default_rng(31)
+    # one hot bucket at shift=10 (values 0..1023) holding 60% of rows
+    x = np.concatenate([
+        rng.integers(0, 1024, 24000),
+        rng.integers(0, 1 << 18, 16000)]).astype(np.int64)
+    t = pa.table({"v": pa.array(x)})
+    want = np.sort(x)
+    ranks = [100, len(x) // 2, len(x) - 7]
+    # cap forces recursion: the hot bucket alone exceeds 2000 rows
+    vals, total = radix_exact_ranks(_ds(t), "v", lambda n: ranks,
+                                    shift=10, max_scan_rows=2000)
+    assert total == len(x)
+    assert vals == [int(want[r]) for r in ranks]
