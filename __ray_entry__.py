@@ -435,4 +435,5 @@ def oracle_sql() -> dict[str, str]:
         "events_cume_dist": o.q_events_cume_dist(),
         "cms_hosts": o.q_cms_hosts(),
         "knn_label_vote": o.q_knn_label_vote(),
+        "vocab_drift": o.q_vocab_drift(),
     }

@@ -6092,3 +6092,21 @@ def q_knn_label_vote(k: int = 5) -> str:
         "FROM p JOIN embeddings q ON p.qid = q.vec_id "
         "WHERE p.rn = 1 GROUP BY 1, 2"
     )
+
+
+def q_vocab_drift(k: int = 15) -> str:
+    """Twin of vocabulary drift: unnest token counts per half, same
+    signed cross-product, same (|dnum| desc, term) top-k."""
+    return (
+        "WITH w AS (SELECT doc_id % 2 AS side, "
+        "unnest(string_split(text, ' ')) AS term FROM documents), "
+        "c AS (SELECT term, "
+        "sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS a, "
+        "sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS b "
+        "FROM w GROUP BY 1), "
+        "t AS (SELECT sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb "
+        "FROM c) "
+        "SELECT term, a, b, (a * tb - b * ta)::BIGINT AS dnum "
+        "FROM c, t "
+        f"ORDER BY abs(a * tb - b * ta) DESC, term LIMIT {k}"
+    )

@@ -9756,3 +9756,52 @@ def q_knn_label_vote(sf_dir: str, k: int = 5):
 
 
 QUERIES["knn_label_vote"] = q_knn_label_vote
+
+
+def q_vocab_drift(sf_dir: str, k: int = 15):
+    """Train/eval vocabulary drift: token counts in the even-doc_id
+    half vs the odd half, per-term signed cross-product deviation
+    dnum = a·B − b·A (exact integer — the χ² numerator's directional
+    core; zero ⟺ identical rates). Top-k by |dnum| desc, term asc.
+    One flat-token combiner pass, driver fold on the tiny vocab."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        ntok = np.diff(np.asarray(toks.offsets))
+        side = (t.column("doc_id").to_numpy(zero_copy_only=False)
+                % 2).astype(np.int64)
+        df = pd.DataFrame({
+            "term": toks.values.to_pandas(),
+            "side": np.repeat(side, ntok)})
+        g = df.groupby(["term", "side"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    agg = pre_aggregated_sums(
+        docs.map_batches(counts, batch_format="pyarrow"),
+        ["term", "side"], ["n"]).to_pandas()
+    agg["n"] = agg["n"].astype(np.int64)
+    piv = agg.pivot_table(index="term", columns="side", values="n",
+                          aggfunc="sum", fill_value=0)
+    a = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(
+        dtype=np.int64)
+    b = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(
+        dtype=np.int64)
+    A, B = int(a.sum()), int(b.sum())
+    dnum = a * B - b * A
+    out = pd.DataFrame({"term": piv.index.to_numpy(), "a": a, "b": b,
+                        "dnum": dnum})
+    out["absd"] = np.abs(out["dnum"])
+    out = out.sort_values(["absd", "term"],
+                          ascending=[False, True]).head(k)
+    return out[["term", "a", "b", "dnum"]].reset_index(drop=True) \
+        .astype({"a": np.int64, "b": np.int64, "dnum": np.int64})
+
+
+QUERIES["vocab_drift"] = q_vocab_drift
