@@ -436,4 +436,5 @@ def oracle_sql() -> dict[str, str]:
         "cms_hosts": o.q_cms_hosts(),
         "knn_label_vote": o.q_knn_label_vote(),
         "vocab_drift": o.q_vocab_drift(),
+        "duplicate_orders": o.q_duplicate_orders(),
     }

@@ -6110,3 +6110,22 @@ def q_vocab_drift(k: int = 15) -> str:
         "FROM c, t "
         f"ORDER BY abs(a * tb - b * ta) DESC, term LIMIT {k}"
     )
+
+
+def q_duplicate_orders(max_gap_days: int = 30) -> str:
+    """Twin of the rapid-reorder audit: lag window per customer
+    ordered by (day, orderkey), same gap filter."""
+    return (
+        "WITH o AS (SELECT o_custkey AS c, "
+        "round(o_totalprice * 100)::BIGINT AS cents, "
+        "(epoch_us(o_orderdate) // 86400000000) AS day, "
+        "o_orderkey AS ok FROM orders), "
+        "w AS (SELECT c, cents, day, ok, "
+        "lag(day) OVER p AS pday, lag(ok) OVER p AS pok, "
+        "lag(cents) OVER p AS pcents "
+        "FROM o WINDOW p AS (PARTITION BY c ORDER BY day, ok)) "
+        "SELECT c::BIGINT AS o_custkey, pok::BIGINT AS ok1, "
+        "ok::BIGINT AS ok2, (day - pday)::BIGINT AS gap_days, "
+        "abs(cents - pcents)::BIGINT AS diff_cents FROM w "
+        f"WHERE pday IS NOT NULL AND day - pday <= {max_gap_days}"
+    )

@@ -9805,3 +9805,51 @@ def q_vocab_drift(sf_dir: str, k: int = 15):
 
 
 QUERIES["vocab_drift"] = q_vocab_drift
+
+
+def q_duplicate_orders(sf_dir: str, max_gap_days: int = 30):
+    """Rapid-reorder audit: consecutive orders by the same customer
+    within 30 days (the double-charge / accidental-resubmit check a
+    billing pipeline runs — amounts attached so downstream can score
+    similarity). One customer-bucketed shuffle; adjacent-pair
+    emission inside a vectorized sorted walk."""
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c": pc.cast(t.column("o_custkey"), pa.int64()),
+            "cents": pa.array(_cents(t.column("o_totalprice"))),
+            "day": pa.array(d.astype("datetime64[D]")
+                            .astype(np.int64)),
+            "ok": pc.cast(t.column("o_orderkey"), pa.int64())})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["o_custkey", "ok1", "ok2", "gap_days", "diff_cents"]
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.array([], dtype=np.int64)
+                                 for c in cols})
+        df = df.sort_values(["c", "day", "ok"], kind="stable")
+        c = df["c"].to_numpy()
+        ce = df["cents"].to_numpy()
+        day = df["day"].to_numpy()
+        ok = df["ok"].to_numpy()
+        same = c[1:] == c[:-1]
+        gap = day[1:] - day[:-1]
+        m = same & (gap <= max_gap_days)
+        return pd.DataFrame({
+            "o_custkey": c[1:][m],
+            "ok1": ok[:-1][m], "ok2": ok[1:][m],
+            "gap_days": gap[m],
+            "diff_cents": np.abs(ce[1:][m] - ce[:-1][m])}) \
+            .astype(np.int64)
+
+    return bucketed_group_agg(
+        orders.map_batches(proj, batch_format="pyarrow"), "c", fold)
+
+
+QUERIES["duplicate_orders"] = q_duplicate_orders
