@@ -590,3 +590,33 @@ def FlowLength(r: Raster, **kw):
     from spapy_ray.stages.raster import flow_length_stats
 
     return flow_length_stats(r.ds, r.meta, **kw)
+
+
+def BestSplit(ds, feature_col, label_col):
+    from spapy_ray.stages.ml import best_split_gini
+
+    return best_split_gini(ds, feature_col, label_col)
+
+
+def StayPoints(ds, key_col, order_cols, **kw):
+    from spapy_ray.stages.spatialstats import stay_points
+
+    return stay_points(ds, key_col, order_cols, **kw)
+
+
+def ExactRanks(ds, col, ranks_fn, **kw):
+    from spapy_ray.stages.relational import radix_exact_ranks
+
+    return radix_exact_ranks(ds, col, ranks_fn, **kw)
+
+
+def CountMinSketch(ds, key_col, **kw):
+    from spapy_ray.stages.relational import count_min_sketch
+
+    return count_min_sketch(ds, key_col, **kw)
+
+
+def KnnJoinEmbeddings(left, right, **kw):
+    from spapy_ray.stages.ann import knn_join_embeddings
+
+    return knn_join_embeddings(left, right, **kw)
