@@ -9177,8 +9177,7 @@ def q_ngram_diversity(sf_dir: str, ngram: int = 3):
     distinct via the bucketed (source, term) dedup, ppm ratio in
     integer arithmetic. At corpus scale the dedup key would be a
     shingle hash; strings keep the twin trivially exact here."""
-    from spapy_ray.stages.relational import (bucketed_group_agg,
-                                             pre_aggregated_sums)
+    from spapy_ray.stages.relational import bucketed_group_agg
 
     docs = _read(sf_dir, "documents", columns=["source", "text"])
 
@@ -9210,9 +9209,22 @@ def q_ngram_diversity(sf_dir: str, ngram: int = 3):
             .reset_index(name="tf")
         return pa.Table.from_pandas(tf, preserve_index=False)
 
-    per_pair = pre_aggregated_sums(
-        docs.map_batches(shingles, batch_format="pyarrow"),
-        ["source", "term"], ["tf"])
+    # (source, term) fold rides ONE bucketed shuffle on the joined
+    # key — the ray 2-key groupby on 260k near-unique partials cost
+    # 3.4 s at sf0.1 vs 0.6 s bucketed
+    def pairkey(t: pa.Table) -> pa.Table:
+        return t.append_column("st__", pc.binary_join_element_wise(
+            t.column("source"), t.column("term"), "|"))
+
+    def pfold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["source", "term"], sort=False)["tf"].sum() \
+            .reset_index()
+        return out.astype({"tf": np.int64})
+
+    per_pair = bucketed_group_agg(
+        docs.map_batches(shingles, batch_format="pyarrow")
+        .map_batches(pairkey, batch_format="pyarrow"),
+        "st__", lambda g: pfold(g.drop(columns=["st__"])))
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("source", sort=False).agg(
