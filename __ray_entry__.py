@@ -437,4 +437,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_vote": o.q_knn_label_vote(),
         "vocab_drift": o.q_vocab_drift(),
         "duplicate_orders": o.q_duplicate_orders(),
+        "raster_log5": o.q_raster_log5(),
     }

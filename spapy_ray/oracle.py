@@ -6129,3 +6129,32 @@ def q_duplicate_orders(max_gap_days: int = 30) -> str:
         "abs(cents - pcents)::BIGINT AS diff_cents FROM w "
         f"WHERE pday IS NOT NULL AND day - pday <= {max_gap_days}"
     )
+
+
+def q_raster_log5() -> str:
+    """Twin of the 5×5 LoG: 21 nonzero closed-form terms with the
+    same 2-px edge clamp, per-tile stats."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    W5 = ((0, 0, -1, 0, 0),
+          (0, -1, -2, -1, 0),
+          (-1, -2, 16, -2, -1),
+          (0, -1, -2, -1, 0),
+          (0, 0, -1, 0, 0))
+
+    def cl(e: str) -> str:
+        return f"LEAST(GREATEST({e}, 0), 511)"
+
+    terms = " + ".join(
+        f"{W5[dy + 2][dx + 2]} * "
+        f"({sql_dem_int(cl(f'px + {dx}'), cl(f'py + {dy}'), 0)})"
+        for dy in range(-2, 3) for dx in range(-2, 3)
+        if W5[dy + 2][dx + 2])
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"r AS (SELECT px, py, ({terms})::BIGINT AS v FROM px) "
+        "SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+        "sum(v)::BIGINT AS log_sum, min(v)::BIGINT AS log_min, "
+        "max(v)::BIGINT AS log_max FROM r GROUP BY 1, 2"
+    )

@@ -9870,3 +9870,55 @@ def q_duplicate_orders(sf_dir: str, max_gap_days: int = 30):
 
 
 QUERIES["duplicate_orders"] = q_duplicate_orders
+
+
+_LOG5 = ((0, 0, -1, 0, 0),
+         (0, -1, -2, -1, 0),
+         (-1, -2, 16, -2, -1),
+         (0, -1, -2, -1, 0),
+         (0, 0, -1, 0, 0))
+
+
+def q_raster_log5(sf_dir: str):
+    """True 5×5 Laplacian-of-Gaussian edge response — a
+    NON-separable kernel, so unlike raster_blur5 it cannot chain two
+    3×3 passes: this runs the generalized halo-2 block-mosaic
+    exchange (stencil_op(halo=2): 2-px strips, (T+4)² pad views) in
+    ONE pass. Integer kernel, zero-sum; per-tile sum/min/max."""
+    from spapy_ray.stages.raster import decode_tile, stencil_op
+
+    ds, meta = _dem()
+    T = meta.tile_size
+
+    def log5(pad: np.ndarray) -> np.ndarray:
+        z = pad.astype(np.int64)
+        h, w = pad.shape[0] - 4, pad.shape[1] - 4
+        out = np.zeros((h, w), dtype=np.int64)
+        for dy in range(5):
+            for dx in range(5):
+                wgt = _LOG5[dy][dx]
+                if wgt:
+                    out += wgt * z[dy:dy + h, dx:dx + w]
+        return out.astype(np.int32)
+
+    resp = stencil_op(ds, meta, log5, dtype="int32",
+                      out_dtype="int32", halo=2)
+
+    def stats(t: pa.Table) -> pa.Table:
+        n = len(t)
+        s = np.zeros(n, dtype=np.int64)
+        mn = np.zeros(n, dtype=np.int64)
+        mx = np.zeros(n, dtype=np.int64)
+        for i, b in enumerate(t.column("data").to_pylist()):
+            a = decode_tile(b, "int32", T).astype(np.int64)
+            s[i], mn[i], mx[i] = a.sum(), a.min(), a.max()
+        return pa.table({
+            "tx": pc.cast(t.column("tx"), pa.int64()),
+            "ty": pc.cast(t.column("ty"), pa.int64()),
+            "log_sum": pa.array(s), "log_min": pa.array(mn),
+            "log_max": pa.array(mx)})
+
+    return resp.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["raster_log5"] = q_raster_log5

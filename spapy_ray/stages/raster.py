@@ -460,9 +460,12 @@ def hillshade_kernel(pad: np.ndarray, cellsize_x: float, cellsize_y: float,
 # kernel its tile's pad as a zero-copy VIEW of the mosaic.
 
 def _halo_block_rows(t: pa.Table, meta: RasterMeta, dtype: str,
-                     block: int) -> pa.Table:
+                     block: int, halo: int = 1) -> pa.Table:
     """Tile batch → core rows + cross-block halo strips, tagged with
-    the destination super-block key ``bk__``."""
+    the destination super-block key ``bk__``. ``halo`` is the strip
+    width in pixels (1 for the 3×3 kernels; up to tile_size for wider
+    windows — the strip payload scales linearly, the row count does
+    not)."""
     txs = t.column("tx").to_numpy()
     tys = t.column("ty").to_numpy()
     out_bk, out_tx, out_ty, out_dx, out_dy, out_data = \
@@ -491,9 +494,11 @@ def _halo_block_rows(t: pa.Table, meta: RasterMeta, dtype: str,
                 if a is None:
                     a = decode_tile(buf, dtype, meta.tile_size)
                 sl_x = slice(None) if dx == 0 else \
-                    (slice(-1, None) if dx == 1 else slice(0, 1))
+                    (slice(-halo, None) if dx == 1
+                     else slice(0, halo))
                 sl_y = slice(None) if dy == 0 else \
-                    (slice(-1, None) if dy == 1 else slice(0, 1))
+                    (slice(-halo, None) if dy == 1
+                     else slice(0, halo))
                 out_bk.append(nbk)
                 out_tx.append(tx)
                 out_ty.append(ty)
@@ -512,14 +517,15 @@ def _halo_block_rows(t: pa.Table, meta: RasterMeta, dtype: str,
 
 
 def _block_mosaic_tiles(g: pd.DataFrame, meta: RasterMeta, dtype: str,
-                        block: int):
-    """One bucket's rows → (mosaic with 1-px apron, tx0, ty0,
-    [(tx, ty), ...] core tiles). Each tile's padded array is
-    ``mosaic[(ty-ty0)*T:(ty-ty0)*T+T+2, (tx-tx0)*T:(tx-tx0)*T+T+2]``
+                        block: int, halo: int = 1):
+    """One bucket's rows → (mosaic with an ``halo``-px apron, tx0,
+    ty0, [(tx, ty), ...] core tiles). Each tile's padded array is
+    ``mosaic[(ty-ty0)*T:(ty-ty0)*T+T+2h, (tx-tx0)*T:(tx-tx0)*T+T+2h]``
     — a view, no copy. Raster-exterior apron cells are edge-
     replicated, columns first then rows (the np.pad(mode='edge')
     convention — Horn kernel boundary)."""
     T = meta.tile_size
+    hp = halo
     txs = g["tx"].to_numpy()
     tys = g["ty"].to_numpy()
     dxs = g["dx"].to_numpy()
@@ -532,34 +538,34 @@ def _block_mosaic_tiles(g: pd.DataFrame, meta: RasterMeta, dtype: str,
     nx = min(block, meta.tiles_x - tx0)
     ny = min(block, meta.tiles_y - ty0)
     dt = np.dtype(dtype)
-    mosaic = np.zeros((ny * T + 2, nx * T + 2), dtype=dt)
+    mosaic = np.zeros((ny * T + 2 * hp, nx * T + 2 * hp), dtype=dt)
     le = dt.newbyteorder("<")
     for k in np.flatnonzero(core):
         a = np.frombuffer(datas[k], dtype=le).reshape(T, T)
-        oy = (int(tys[k]) - ty0) * T + 1
-        ox = (int(txs[k]) - tx0) * T + 1
+        oy = (int(tys[k]) - ty0) * T + hp
+        ox = (int(txs[k]) - tx0) * T + hp
         mosaic[oy:oy + T, ox:ox + T] = a
     # incoming cross-block strips land at their global pixel coords
     for k in np.flatnonzero(~core):
         tx, ty = int(txs[k]), int(tys[k])
         dx, dy = int(dxs[k]), int(dys[k])
-        gx0 = tx * T + (T - 1 if dx == 1 else 0)
-        gy0 = ty * T + (T - 1 if dy == 1 else 0)
-        w = 1 if dx != 0 else T
-        h = 1 if dy != 0 else T
+        gx0 = tx * T + (T - hp if dx == 1 else 0)
+        gy0 = ty * T + (T - hp if dy == 1 else 0)
+        w = hp if dx != 0 else T
+        h = hp if dy != 0 else T
         frag = np.frombuffer(datas[k], dtype=le).reshape(h, w)
-        oy = gy0 - ty0 * T + 1
-        ox = gx0 - tx0 * T + 1
+        oy = gy0 - ty0 * T + hp
+        ox = gx0 - tx0 * T + hp
         mosaic[oy:oy + h, ox:ox + w] = frag
     # raster-exterior apron: edge replication, columns then rows
     if tx0 == 0:
-        mosaic[:, 0] = mosaic[:, 1]
+        mosaic[:, :hp] = mosaic[:, hp:hp + 1]
     if tx0 + nx == meta.tiles_x:
-        mosaic[:, -1] = mosaic[:, -2]
+        mosaic[:, -hp:] = mosaic[:, -hp - 1:-hp]
     if ty0 == 0:
-        mosaic[0, :] = mosaic[1, :]
+        mosaic[:hp, :] = mosaic[hp:hp + 1, :]
     if ty0 + ny == meta.tiles_y:
-        mosaic[-1, :] = mosaic[-2, :]
+        mosaic[-hp:, :] = mosaic[-hp - 1:-hp, :]
     order = np.lexsort((cty, ctx))
     tiles = [(int(ctx[j]), int(cty[j])) for j in order]
     return mosaic, tx0, ty0, tiles
@@ -567,29 +573,32 @@ def _block_mosaic_tiles(g: pd.DataFrame, meta: RasterMeta, dtype: str,
 
 def _stencil_bucketed(ds, meta: RasterMeta, named_kernels: dict, *,
                       dtype: str, out_dtype: str,
-                      block: int | None = None):
-    """Shared engine for the 1-px halo stencils: block-mosaic halo
+                      block: int | None = None, halo: int = 1):
+    """Shared engine for the halo stencils: block-mosaic halo
     exchange → one mosaic per bucket → kernel(s) over per-tile pad
-    VIEWS.
+    VIEWS. ``halo`` is the apron width: 1 for 3×3 kernels, 2 for
+    5×5, etc. (each kernel receives a (T+2·halo)² view).
 
     Each output column ``name`` in ``named_kernels`` receives
     ``kernel(padded_array)`` cast to ``out_dtype``; one row per tile."""
     block = block or _auto_block(meta)
     T = meta.tile_size
+    if not (1 <= halo <= T):
+        raise ValueError(f"halo must be in [1, tile_size]; got {halo}")
     tagged = ds.map_batches(
-        lambda t: _halo_block_rows(t, meta, dtype, block),
+        lambda t: _halo_block_rows(t, meta, dtype, block, halo),
         batch_format="pyarrow")
     names = list(named_kernels)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         mosaic, tx0, ty0, tiles = _block_mosaic_tiles(g, meta, dtype,
-                                                      block)
+                                                      block, halo)
         cols = {n: [] for n in names}
         o_tx = np.empty(len(tiles), dtype=np.int32)
         o_ty = np.empty(len(tiles), dtype=np.int32)
         for j, (tx, ty) in enumerate(tiles):
             oy, ox = (ty - ty0) * T, (tx - tx0) * T
-            pad = mosaic[oy:oy + T + 2, ox:ox + T + 2]
+            pad = mosaic[oy:oy + T + 2 * halo, ox:ox + T + 2 * halo]
             o_tx[j], o_ty[j] = tx, ty
             for n in names:
                 cols[n].append(np.ascontiguousarray(
@@ -605,14 +614,17 @@ def _stencil_bucketed(ds, meta: RasterMeta, named_kernels: dict, *,
 
 
 def stencil_op(ds, meta: RasterMeta, kernel, *, dtype: str = "float32",
-               out_dtype: str = "float32", block: int | None = None):
-    """Generic 1-px halo stencil: fragments → groupby(super-block) →
-    vectorized per-tile walk → kernel.
+               out_dtype: str = "float32", block: int | None = None,
+               halo: int = 1):
+    """Generic halo stencil: fragments → groupby(super-block) →
+    vectorized per-tile walk → kernel. ``halo`` widens the apron for
+    (2·halo+1)² windows (halo=2 → true non-separable 5×5 kernels).
 
     kernel(padded_array) -> core-sized array.
     """
     return _stencil_bucketed(ds, meta, {"data": kernel}, dtype=dtype,
-                             out_dtype=out_dtype, block=block)
+                             out_dtype=out_dtype, block=block,
+                             halo=halo)
 
 
 def hillshade(ds, meta: RasterMeta, *, dtype: str = "float32",

@@ -186,3 +186,54 @@ def test_radix_exact_ranks_recursive_path(ray_session):
                                     shift=10, max_scan_rows=2000)
     assert total == len(x)
     assert vals == [int(want[r]) for r in ranks]
+
+
+def test_stencil_halo2_matches_whole_array(ray_session):
+    """halo=2 block-mosaic exchange == np.pad(mode='edge') on the
+    whole raster, including a non-square tile grid and block
+    boundaries."""
+    from spapy_ray.sources.rasters import RasterMeta
+    from spapy_ray.stages.raster import decode_tile, stencil_op
+
+    rng = np.random.default_rng(13)
+    T, nx, ny = 16, 5, 3
+    meta = RasterMeta(width=nx * T, height=ny * T, tile_size=T,
+                      x_min=0.0, y_max=float(ny * T),
+                      pixel_w=1.0, pixel_h=-1.0)
+    full = rng.integers(0, 256, (ny * T, nx * T)).astype(np.int32)
+
+    rows = []
+    for ty in range(ny):
+        for tx in range(nx):
+            a = full[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            rows.append({"tx": tx, "ty": ty,
+                         "data": np.ascontiguousarray(a).tobytes()})
+    import ray.data as rd
+
+    ds = rd.from_items(rows)
+
+    def k5(pad):
+        z = pad.astype(np.int64)
+        h, w = pad.shape[0] - 4, pad.shape[1] - 4
+        out = np.zeros((h, w), dtype=np.int64)
+        for dy in range(5):
+            for dx in range(5):
+                out += (dy * 5 + dx + 1) * z[dy:dy + h, dx:dx + w]
+        return out.astype(np.int32)
+
+    got = stencil_op(ds, meta, k5, dtype="int32", out_dtype="int32",
+                     halo=2, block=2).to_pandas()
+    pf = np.pad(full.astype(np.int64), 2, mode="edge")
+    want = np.zeros((ny * T, nx * T), dtype=np.int64)
+    for dy in range(5):
+        for dx in range(5):
+            want += (dy * 5 + dx + 1) * pf[dy:dy + ny * T,
+                                           dx:dx + nx * T]
+    for r in got.itertuples(index=False):
+        a = decode_tile(r.data, "int32", T)
+        w = want[r.ty * T:(r.ty + 1) * T, r.tx * T:(r.tx + 1) * T]
+        assert (a == w.astype(np.int32)).all(), (r.tx, r.ty)
+    assert len(got) == nx * ny
+
+    with pytest.raises(ValueError):
+        stencil_op(ds, meta, k5, dtype="int32", halo=0)
