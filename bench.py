@@ -106,7 +106,11 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # diversity, sparse space-time stencil)
                  "price_exact_median", "ngram_diversity",
                  "hotspot_cube", "knn_label_vote", "cms_hosts",
-                 "heading_rose"]
+                 "heading_rose",
+                 # session-12 late additions (halo-2 stencil, drift,
+                 # reorder audit, cume_dist, zone mix)
+                 "raster_log5", "vocab_drift", "duplicate_orders",
+                 "events_cume_dist", "zone_lang_mix"]
 
 
 def _consume(res) -> int:
