@@ -438,4 +438,6 @@ def oracle_sql() -> dict[str, str]:
         "vocab_drift": o.q_vocab_drift(),
         "duplicate_orders": o.q_duplicate_orders(),
         "raster_log5": o.q_raster_log5(),
+        "raster_texture5": o.q_raster_texture5(),
+        "geo_corpus_prep": o.q_geo_corpus_prep(),
     }

@@ -6158,3 +6158,46 @@ def q_raster_log5() -> str:
         "sum(v)::BIGINT AS log_sum, min(v)::BIGINT AS log_min, "
         "max(v)::BIGINT AS log_max FROM r GROUP BY 1, 2"
     )
+
+
+def q_raster_texture5() -> str:
+    """Twin of 5×5 texture: Σx and Σx² as 25 clamped closed-form
+    terms each, 25·s2 − s1²."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    def cl(e: str) -> str:
+        return f"LEAST(GREATEST({e}, 0), 511)"
+
+    cells = [sql_dem_int(cl(f"px + {dx}"), cl(f"py + {dy}"), 0)
+             for dy in range(-2, 3) for dx in range(-2, 3)]
+    s1 = " + ".join(f"({c})" for c in cells)
+    s2 = " + ".join(f"({c}) * ({c})" for c in cells)
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"r AS (SELECT px, py, (25 * ({s2}) - ({s1}) * ({s1}))"
+        "::BIGINT AS v FROM px) "
+        "SELECT (px // 64)::BIGINT AS tx, (py // 64)::BIGINT AS ty, "
+        "sum(v)::BIGINT AS tex_sum, min(v)::BIGINT AS tex_min, "
+        "max(v)::BIGINT AS tex_max FROM r GROUP BY 1, 2"
+    )
+
+
+def q_geo_corpus_prep(min_tokens: int = 8, cap: int = 50) -> str:
+    """Twin of geo corpus prep: PIP join carrying text inline (a
+    re-join on url would duplicate rows — urls repeat in the page
+    synthesis when i wraps the key modulus), token-length gate, the
+    same (fnv(url), url) per-zone cap via QUALIFY."""
+    h = sql_fnv1a("url")
+    return (
+        f"WITH {geo_zones_cte()}, "
+        "j AS (SELECT g.url, g.text, z.zone_id "
+        "FROM geo g CROSS JOIN zones z "
+        f"WHERE {sql_pip_condition('g.lon', 'g.lat')}), "
+        f"g2 AS (SELECT zone_id, url, {h} AS hv FROM j "
+        f"WHERE length(string_split(text, ' ')) >= {min_tokens}) "
+        "SELECT zone_id::BIGINT AS zone_id, url, "
+        "row_number() OVER (PARTITION BY zone_id "
+        "ORDER BY hv, url)::BIGINT AS rank FROM g2 "
+        f"QUALIFY rank <= {cap}"
+    )

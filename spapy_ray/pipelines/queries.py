@@ -9922,3 +9922,89 @@ def q_raster_log5(sf_dir: str):
 
 
 QUERIES["raster_log5"] = q_raster_log5
+
+
+def q_raster_texture5(sf_dir: str):
+    """5×5 local texture (variance numerator 25·Σx² − (Σx)² — the
+    GLCM-free roughness feature): one halo-2 stencil pass, exact
+    integers (≤ 25·255²·25 < 2^33 per pixel), per-tile stats."""
+    from spapy_ray.stages.raster import decode_tile, stencil_op
+
+    ds, meta = _dem()
+    T = meta.tile_size
+
+    def tex(pad: np.ndarray) -> np.ndarray:
+        z = pad.astype(np.int64)
+        h, w = pad.shape[0] - 4, pad.shape[1] - 4
+        s1 = np.zeros((h, w), dtype=np.int64)
+        s2 = np.zeros((h, w), dtype=np.int64)
+        for dy in range(5):
+            for dx in range(5):
+                v = z[dy:dy + h, dx:dx + w]
+                s1 += v
+                s2 += v * v
+        return (25 * s2 - s1 * s1).astype(np.int64)
+
+    resp = stencil_op(ds, meta, tex, dtype="int32",
+                      out_dtype="int64", halo=2)
+
+    def stats(t: pa.Table) -> pa.Table:
+        n = len(t)
+        s = np.zeros(n, dtype=np.int64)
+        mn = np.zeros(n, dtype=np.int64)
+        mx = np.zeros(n, dtype=np.int64)
+        for i, b in enumerate(t.column("data").to_pylist()):
+            a = decode_tile(b, "int64", T)
+            s[i], mn[i], mx[i] = a.sum(), a.min(), a.max()
+        return pa.table({
+            "tx": pc.cast(t.column("tx"), pa.int64()),
+            "ty": pc.cast(t.column("ty"), pa.int64()),
+            "tex_sum": pa.array(s), "tex_min": pa.array(mn),
+            "tex_max": pa.array(mx)})
+
+    return resp.map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["raster_texture5"] = q_raster_texture5
+
+
+def q_geo_corpus_prep(sf_dir: str, min_tokens: int = 8, cap: int = 50):
+    """GEO-stratified corpus prep — the composite a spatial training
+    mix runs: geocode → PIP join (zones broadcast) → token-count
+    quality gate → per-zone cap of ``cap`` docs in deterministic
+    fnv(url) order (the seedless shuffle) via grouped_topk's
+    combiner. Output (zone_id, url, rank) — the manifest a packing
+    stage would consume."""
+    from spapy_ray.kernels.hashing import fnv1a64
+    from spapy_ray.sources.zones import zones_table
+    from spapy_ray.stages.join import pip_join
+    from spapy_ray.stages.relational import grouped_topk
+
+    joined = pip_join(_geo(sf_dir), zones_table(200),
+                      left_columns=["url", "text", "lon", "lat"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ntok = pc.cast(pc.list_value_length(
+            pc.split_pattern(txt, " ")), pa.int64())
+        url = t.column("url")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        hv = fnv1a64(url)
+        out = pa.table({
+            "zone_id": pc.cast(t.column("zone_id"), pa.int64()),
+            "url": url,
+            "hv": pa.array(hv.astype(np.uint64))})
+        return out.filter(pc.greater_equal(ntok, min_tokens))
+
+    gated = joined.map_batches(gate, batch_format="pyarrow")
+    top = grouped_topk(gated, "zone_id", "hv", cap,
+                       descending=False, tie_cols=["url"])
+    return top.map_batches(
+        lambda t: t.select(["zone_id", "url", "rank"]),
+        batch_format="pyarrow")
+
+
+QUERIES["geo_corpus_prep"] = q_geo_corpus_prep
