@@ -374,11 +374,30 @@ def run_stencil() -> dict:
     t0 = time.time()
     n = stencil_op_multi(ds, meta, kernels, dtype="float32").count()
     dt = time.time() - t0
+
+    # halo-2 leg: one non-separable 5x5 pass through the widened
+    # exchange (2-px strips, (T+4)^2 views)
+    from spapy_ray.stages.raster import stencil_op
+
+    def k5(pad):
+        z = pad.astype(np.float64)
+        h, w = pad.shape[0] - 4, pad.shape[1] - 4
+        out = np.zeros((h, w))
+        for dy in range(5):
+            for dx in range(5):
+                out += z[dy:dy + h, dx:dx + w]
+        return (out / 25.0).astype(np.float32)
+
+    t1 = time.time()
+    n2 = stencil_op(ds, meta, k5, dtype="float32", halo=2).count()
+    dt2 = time.time() - t1
     ray.shutdown()
     return {"metric": "stencil_tiles_per_sec",
             "value": round(n / dt, 1), "unit": "tiles/sec",
             "tiles": n, "kernels": 3, "sec": round(dt, 2), "grid": GT,
-            "tile_size": T, "num_cpus": NUM_CPUS}
+            "tile_size": T, "num_cpus": NUM_CPUS,
+            "halo2_tiles_per_sec": round(n2 / dt2, 1),
+            "halo2_sec": round(dt2, 2)}
 
 
 def run_scan() -> dict:
