@@ -440,4 +440,5 @@ def oracle_sql() -> dict[str, str]:
         "raster_log5": o.q_raster_log5(),
         "raster_texture5": o.q_raster_texture5(),
         "geo_corpus_prep": o.q_geo_corpus_prep(),
+        "events_seasonal_error": o.q_events_seasonal_error(),
     }

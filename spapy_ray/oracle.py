@@ -6201,3 +6201,32 @@ def q_geo_corpus_prep(min_tokens: int = 8, cap: int = 50) -> str:
         "ORDER BY hv, url)::BIGINT AS rank FROM g2 "
         f"QUALIFY rank <= {cap}"
     )
+
+
+def q_events_seasonal_error(season: int = 24) -> str:
+    """Twin of the forecast baselines: dense hour × type grid via
+    generate_series CROSS JOIN, zero-filled LEFT JOIN, lag windows."""
+    return (
+        "WITH e AS (SELECT event_type, "
+        "(epoch_us(ts) // 3600000000) AS hr FROM events), "
+        "b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM e), "
+        "hours AS (SELECT unnest(generate_series(h0, h1)) AS hr "
+        "FROM b), "
+        "types AS (SELECT DISTINCT event_type FROM e), "
+        "c AS (SELECT event_type, hr, count(*)::BIGINT AS n FROM e "
+        "GROUP BY 1, 2), "
+        "d AS (SELECT t.event_type, h.hr, coalesce(c.n, 0) AS n "
+        "FROM types t CROSS JOIN hours h "
+        "LEFT JOIN c ON c.event_type = t.event_type "
+        "AND c.hr = h.hr), "
+        "w AS (SELECT event_type, n, "
+        "lag(n, 1) OVER o AS p1, "
+        f"lag(n, {season}) OVER o AS ps "
+        "FROM d WINDOW o AS (PARTITION BY event_type ORDER BY hr)) "
+        "SELECT event_type, count(*)::BIGINT AS n_hours, "
+        "sum(n)::BIGINT AS n_events, "
+        "sum(CASE WHEN p1 IS NULL THEN 0 ELSE abs(n - p1) END)"
+        "::BIGINT AS naive_err, "
+        "sum(CASE WHEN ps IS NULL THEN 0 ELSE abs(n - ps) END)"
+        "::BIGINT AS seasonal_err FROM w GROUP BY 1"
+    )

@@ -10008,3 +10008,44 @@ def q_geo_corpus_prep(sf_dir: str, min_tokens: int = 8, cap: int = 50):
 
 
 QUERIES["geo_corpus_prep"] = q_geo_corpus_prep
+
+
+def q_events_seasonal_error(sf_dir: str, season: int = 24):
+    """Forecast-baseline evaluation (the MASE denominators): per
+    event type over the DENSE global hour range, naive error
+    Σ|c_t − c_{t−1}| and seasonal-naive error Σ|c_t − c_{t−24}| —
+    missing hours count as zero (a forecast still has to predict
+    them). Hour counts via the combiner; the dense ~720×types fold is
+    driver-side by design (bounded by the calendar, not the data)."""
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t.column("event_type"),
+                         "hr": pa.array(us // 3_600_000_000)})
+
+    c = pre_aggregated_sums(
+        ev.map_batches(proj, batch_format="pyarrow"),
+        ["event_type", "hr"], [], count_alias="n").to_pandas()
+    c["n"] = c["n"].astype(np.int64)
+    c["hr"] = c["hr"].astype(np.int64)
+    h0, h1 = int(c["hr"].min()), int(c["hr"].max())
+    span = h1 - h0 + 1
+    rows = []
+    for et, g in c.groupby("event_type", sort=True):
+        dense = np.zeros(span, dtype=np.int64)
+        dense[g["hr"].to_numpy() - h0] = g["n"].to_numpy()
+        naive = int(np.abs(np.diff(dense)).sum())
+        seas = int(np.abs(dense[season:] - dense[:-season]).sum()) \
+            if span > season else 0
+        rows.append((et, span, int(dense.sum()), naive, seas))
+    out = pd.DataFrame(rows, columns=["event_type", "n_hours",
+                                      "n_events", "naive_err",
+                                      "seasonal_err"])
+    return out.astype({c_: np.int64 for c_ in out.columns[1:]})
+
+
+QUERIES["events_seasonal_error"] = q_events_seasonal_error
