@@ -441,4 +441,5 @@ def oracle_sql() -> dict[str, str]:
         "raster_texture5": o.q_raster_texture5(),
         "geo_corpus_prep": o.q_geo_corpus_prep(),
         "events_seasonal_error": o.q_events_seasonal_error(),
+        "source_distinct_hll": o.q_source_distinct_hll(),
     }

@@ -6230,3 +6230,43 @@ def q_events_seasonal_error(season: int = 24) -> str:
         "sum(CASE WHEN ps IS NULL THEN 0 ELSE abs(n - ps) END)"
         "::BIGINT AS seasonal_err FROM w GROUP BY 1"
     )
+
+
+def q_source_distinct_hll(p: int = 8) -> str:
+    """Twin of grouped HLL: fnv(text) → the hll mix in HUGEINT →
+    per-(source, reg) max rho over the DENSE register range → exact
+    big-integer harmonic estimate per source; exact distinct rides
+    along."""
+    from spapy_ray.stages.relational import HLL_MIX_A, HLL_MIX_B
+
+    m = 1 << p
+    rb = 64 - p
+    m64 = "18446744073709551616"
+    fnv = sql_fnv1a("text")
+    return (
+        f"WITH x AS (SELECT source, ({fnv}) AS v FROM documents), "
+        f"h1 AS (SELECT source, ((xor(v, v >> 33)::HUGEINT * "
+        f"{HLL_MIX_A}::HUGEINT) % {m64})::UBIGINT AS h FROM x), "
+        f"h2 AS (SELECT source, ((xor(h, h >> 29)::HUGEINT * "
+        f"{HLL_MIX_B}::HUGEINT) % {m64})::UBIGINT AS h FROM h1), "
+        "hf AS (SELECT source, xor(h, h >> 32) AS h FROM h2), "
+        f"r AS (SELECT source, (h >> {rb})::BIGINT AS reg, "
+        f"CASE WHEN (h % (1::UBIGINT << {rb})) = 0 THEN {rb + 1} "
+        f"ELSE strpos(lpad(bin(h % (1::UBIGINT << {rb})), {rb}, "
+        "'0'), '1') END::BIGINT AS rho FROM hf), "
+        "mx AS (SELECT source, reg, max(rho) AS rho FROM r "
+        "GROUP BY 1, 2), "
+        "srcs AS (SELECT DISTINCT source FROM x), "
+        f"allr AS (SELECT source, pp::BIGINT AS reg FROM srcs "
+        f"CROSS JOIN range({m}) t(pp)), "
+        "j AS (SELECT allr.source, allr.reg, "
+        "coalesce(mx.rho, 0)::BIGINT AS rho FROM allr "
+        "LEFT JOIN mx USING (source, reg)), "
+        f"d AS (SELECT source, sum(1::HUGEINT << ({rb + 1} - rho)) "
+        "AS den FROM j GROUP BY 1), "
+        "ex AS (SELECT source, count(DISTINCT v)::BIGINT AS n_exact "
+        "FROM x GROUP BY 1) "
+        f"SELECT d.source, (({m * m}::HUGEINT << {rb + 1}) "
+        "// d.den)::BIGINT AS est_q, ex.n_exact "
+        "FROM d JOIN ex USING (source)"
+    )

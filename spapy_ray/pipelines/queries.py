@@ -10049,3 +10049,41 @@ def q_events_seasonal_error(sf_dir: str, season: int = 24):
 
 
 QUERIES["events_seasonal_error"] = q_events_seasonal_error
+
+
+def q_source_distinct_hll(sf_dir: str, p: int = 8):
+    """Per-source distinct-document estimates for dedup planning:
+    grouped HLL over fnv(text) (relational.grouped_hll_distinct — one
+    bucketed shuffle of register partials) joined with the EXACT
+    per-source distinct count as the calibration column. The twin
+    rebuilds every register in HUGEINT, so even the estimates are
+    value-hash-checked — not just bounded."""
+    from spapy_ray.kernels.hashing import fnv1a64
+    from spapy_ray.stages.relational import (bucketed_group_agg,
+                                             grouped_hll_distinct)
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def hv(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        return pa.table({"source": t.column("source"),
+                         "hv": pa.array(fnv1a64(txt))})
+
+    hashed = docs.map_batches(hv, batch_format="pyarrow")
+    est = grouped_hll_distinct(hashed, "source", "hv", p=p) \
+        .to_pandas()
+
+    def exact(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates().groupby("source", sort=False) \
+            .size().reset_index(name="n_exact")
+        return out.astype({"n_exact": np.int64})
+
+    ex = bucketed_group_agg(hashed, "source", exact).to_pandas()
+    out = est.merge(ex, on="source").sort_values("source")
+    return out.reset_index(drop=True).astype(
+        {"est_q": np.int64, "n_exact": np.int64})
+
+
+QUERIES["source_distinct_hll"] = q_source_distinct_hll

@@ -2654,3 +2654,50 @@ def cms_point_query(mat: np.ndarray, keys, *,
         c = ((h * np.uint64(m)) % np.uint64(width)).astype(np.int64)
         est = np.minimum(est, mat[r, c])
     return est
+
+
+def grouped_hll_distinct(ds, key_col: str, hash_col: str, *,
+                         p: int = 8, buckets: int | None = None):
+    """Per-KEY HyperLogLog distinct estimates (the grouped form of
+    hll_registers — dedup planning per corpus slice): each batch
+    collapses to (key, reg, rho-max) partials (≤ keys·2^p rows leave
+    a block), ONE bucketed shuffle co-locates each key's registers,
+    and the bucket fold computes the exact big-integer harmonic
+    estimate per key. ``hash_col`` must hold uint64/int64 values the
+    caller already hashed (fnv of the dedup key); the avalanche mix
+    on top is this module's _hll_mix, twin-replicable in HUGEINT.
+
+    Returns Dataset(key, est_q) — the same no-alpha raw estimate
+    convention as hll_registers.
+    """
+    m = 1 << p
+    rb = 64 - p
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(hash_col).to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = _hll_mix(x)
+        reg = (h >> np.uint64(rb)).astype(np.int64)
+        rest = h & ((np.uint64(1) << np.uint64(rb)) - np.uint64(1))
+        rho = rb + 1 - _bit_length_u64(rest)
+        df = pd.DataFrame({key_col: t.column(key_col).to_pandas(),
+                           "reg": reg, "rho": rho})
+        out = df.groupby([key_col, "reg"], sort=False)["rho"].max() \
+            .reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, gg in g.groupby(key_col, sort=False):
+            regs = np.zeros(m, dtype=np.int64)
+            np.maximum.at(regs, gg["reg"].to_numpy(),
+                          gg["rho"].to_numpy())
+            denom = sum(1 << (rb + 1 - int(r)) for r in regs)
+            rows.append((k, (m * m) * (1 << (rb + 1)) // denom))
+        return pd.DataFrame(rows, columns=[key_col, "est_q"]) \
+            .astype({"est_q": np.int64})
+
+    return bucketed_group_agg(
+        ds.select_columns([key_col, hash_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        key_col, fold, buckets=buckets)

@@ -237,3 +237,38 @@ def test_stencil_halo2_matches_whole_array(ray_session):
 
     with pytest.raises(ValueError):
         stencil_op(ds, meta, k5, dtype="int32", halo=0)
+
+
+def test_grouped_hll_estimate_envelope(ray_session):
+    """Grouped HLL estimates track true per-key cardinalities within
+    the classic ~1.04/sqrt(m) envelope (x4 slack) after the alpha
+    correction, and the grouped fold == the global hll_registers
+    estimate when there is one key."""
+    from spapy_ray.stages.relational import (grouped_hll_distinct,
+                                             hll_registers)
+
+    rng = np.random.default_rng(17)
+    # all above the 2.5·m small-range threshold — raw HLL (no
+    # linear-counting branch) is only calibrated there
+    sizes = {"a": 2000, "b": 20000, "c": 700}
+    keys, vals = [], []
+    for k, n in sizes.items():
+        v = rng.integers(0, 1 << 62, n * 2)[:n]  # distinct-ish
+        keys += [k] * (2 * n)                    # duplicate each val
+        vals += list(v) + list(v)
+    t = pa.table({"k": pa.array(keys),
+                  "hv": pa.array(np.array(vals, dtype=np.uint64))})
+    got = grouped_hll_distinct(_ds(t), "k", "hv", p=8).to_pandas()
+    got = dict(zip(got["k"], got["est_q"]))
+    alpha = 0.7182725932495458  # alpha_256 * m correction factor
+    for k, n in sizes.items():
+        est = alpha * float(got[k])
+        assert abs(est - n) / n < 4 * 1.04 / np.sqrt(256), (k, est, n)
+
+    one = pa.table({"k": pa.array(["x"] * 1000),
+                    "hv": pa.array(rng.integers(
+                        0, 1 << 62, 1000).astype(np.uint64))})
+    g1 = grouped_hll_distinct(_ds(one), "k", "hv", p=8).to_pandas()
+    glob = hll_registers(_ds(pa.table({"v": one.column("hv")})),
+                         "v", p=8)
+    assert int(g1["est_q"].iloc[0]) == int(glob["est_q"].iloc[0])
