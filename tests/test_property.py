@@ -192,3 +192,52 @@ def test_trajectory_stats_brute_parity(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({c: "int64" for c in want.columns[1:]}),
         want.astype({c: "int64" for c in want.columns[1:]}))
+
+
+# ---- session-12 pure-fold properties (no Ray: the folds are the
+# deterministic cores the distributed stages wrap)
+
+
+@SET
+@given(st.lists(st.integers(-1000, 1000), min_size=2, max_size=200),
+       st.integers(0, 30))
+def test_gini_fold_matches_bruteforce(vals, seed):
+    from spapy_ray.stages.ml import _gini_fold
+
+    rng = np.random.default_rng(seed)
+    f = np.array(vals, dtype=np.int64)
+    y = rng.integers(0, 2, len(f)).astype(np.int64)
+    uv, inv = np.unique(f, return_inverse=True)
+    if len(uv) < 2:
+        return
+    n = np.bincount(inv).astype(np.int64)
+    pos = np.bincount(inv, weights=y).astype(np.int64)
+    vv, nl, posl, nr, posr, score = _gini_fold(uv, n, pos)
+    # brute force each threshold
+    for i, v in enumerate(vv):
+        L, R = y[f <= v], y[f > v]
+        assert nl[i] == len(L) and nr[i] == len(R)
+        assert posl[i] == L.sum() and posr[i] == R.sum()
+        num = ((nl[i] ** 2 - posl[i] ** 2 - (nl[i] - posl[i]) ** 2)
+               * nr[i]
+               + (nr[i] ** 2 - posr[i] ** 2 - (nr[i] - posr[i]) ** 2)
+               * nl[i])
+        assert score[i] == num / (nl[i] * nr[i])
+
+
+@SET
+@given(st.lists(st.integers(0, (1 << 64) - 1), min_size=1,
+                max_size=200),
+       st.integers(1, 10))
+def test_cms_mod_composition(hashes, width_pow):
+    """The CMS twin-exactness identity: (h·M mod 2^64) mod w ==
+    ((h·M) mod 2^62) mod w == (h·M) mod w for power-of-two w — the
+    proof the engine's uint64 wrap and the HUGEINT twin rest on."""
+    from spapy_ray.stages.relational import CMS_MULTS
+
+    w = 1 << width_pow
+    h = np.array(hashes, dtype=np.uint64)
+    for mult in CMS_MULTS:
+        eng = (h * np.uint64(mult)) % np.uint64(w)
+        exact = [((int(x) * mult) % (1 << 62)) % w for x in hashes]
+        assert [int(e) for e in eng] == exact
