@@ -442,4 +442,5 @@ def oracle_sql() -> dict[str, str]:
         "geo_corpus_prep": o.q_geo_corpus_prep(),
         "events_seasonal_error": o.q_events_seasonal_error(),
         "source_distinct_hll": o.q_source_distinct_hll(),
+        "top_hosts_rescore": o.q_top_hosts_rescore(),
     }

@@ -6270,3 +6270,21 @@ def q_source_distinct_hll(p: int = 8) -> str:
         "// d.den)::BIGINT AS est_q, ex.n_exact "
         "FROM d JOIN ex USING (source)"
     )
+
+
+def q_top_hosts_rescore(k: int = 20) -> str:
+    """Twin of sketch-then-rescore top-k: the engine certifies
+    exactness, so the twin is the plain exact top-k."""
+    import re
+
+    from spapy_ray.stages.text import URL_PATTERN
+
+    anon = re.sub(r"\?P<[a-z]+>", "", URL_PATTERN)
+    return (
+        f"WITH {pages_cte()}, "
+        f"h AS (SELECT regexp_extract(url, '{anon}', 2) AS host "
+        "FROM pages), "
+        "c AS (SELECT host, count(*)::BIGINT AS n FROM h GROUP BY 1) "
+        "SELECT host, n, row_number() OVER (ORDER BY n DESC, host)"
+        f"::BIGINT AS rank FROM c ORDER BY rank LIMIT {k}"
+    )

@@ -10087,3 +10087,22 @@ def q_source_distinct_hll(sf_dir: str, p: int = 8):
 
 
 QUERIES["source_distinct_hll"] = q_source_distinct_hll
+
+
+def q_top_hosts_rescore(sf_dir: str, k: int = 20):
+    """EXACT top-20 hosts by page count through the sketch-then-
+    rescore pattern (relational.exact_topk_rescore): MG candidates,
+    filtered exact counts, certificate check with adaptive width —
+    on this near-uniform 1000-host corpus the first width's
+    certificate FAILS and the widening loop is genuinely exercised
+    before the result (which the plain GROUP BY twin then
+    hash-confirms is exact)."""
+    from spapy_ray.stages.relational import exact_topk_rescore
+    from spapy_ray.stages.text import url_parse
+
+    hosts = url_parse(pages_dataset(sf_dir, include_html=False)) \
+        .select_columns(["host"])
+    return exact_topk_rescore(hosts, "host", k)
+
+
+QUERIES["top_hosts_rescore"] = q_top_hosts_rescore

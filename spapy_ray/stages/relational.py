@@ -2701,3 +2701,60 @@ def grouped_hll_distinct(ds, key_col: str, hash_col: str, *,
         ds.select_columns([key_col, hash_col])
         .map_batches(partial, batch_format="pyarrow"),
         key_col, fold, buckets=buckets)
+
+
+def exact_topk_rescore(ds, col: str, k: int, *, capacity: int = 256,
+                       fan: int = 32, max_rounds: int = 4):
+    """EXACT top-k frequent items for ANY distribution via the
+    two-phase production pattern: a Misra-Gries sketch pass proposes
+    candidates, a filtered combiner pass counts ONLY those candidates
+    exactly, and the MG survival guarantee certifies the result —
+    every non-candidate has true count <= n/(capacity+1), so if the
+    k-th exact candidate count clears that bar, no non-candidate can
+    displace it. When the certificate fails (near-uniform keys), the
+    width quadruples and the sketch pass reruns — deterministic,
+    terminates in O(log(distinct/capacity)) rounds.
+
+    Rows shuffled per round: O(blocks x capacity) for the sketch +
+    O(candidates x blocks) for the rescore — never one row per input
+    row, never a full-distinct groupby.
+
+    Returns pandas (col, n, rank) — rank 1..k by (n desc, col asc).
+    """
+    n_total = ds.count()
+    cap = capacity
+    for _ in range(max_rounds):
+        cand = heavy_hitters(ds, col, capacity=cap, fan=fan) \
+            .to_pandas()
+        if len(cand) == 0 or col not in cand.columns:
+            # near-uniform keys can wipe an undersized MG sketch
+            # entirely (every decrement round hits every counter) —
+            # the certificate trivially fails; widen and retry
+            cap *= 4
+            continue
+        vs = pa.array(cand[col].to_numpy())
+
+        def flt(t: pa.Table, _vs=vs) -> pa.Table:
+            c = t.column(col)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            return t.filter(pc.is_in(c, value_set=_vs))
+
+        exact = pre_aggregated_count(
+            ds.map_batches(flt, batch_format="pyarrow"), col,
+            alias="n").to_pandas()
+        if len(exact) == 0 or "n" not in exact.columns:
+            cap *= 4
+            continue
+        exact["n"] = exact["n"].astype(np.int64)
+        top = exact.sort_values(["n", col],
+                                ascending=[False, True]).head(k)
+        if len(top) >= min(k, len(exact)) and len(top) and \
+                int(top["n"].min()) * (cap + 1) > n_total:
+            top = top.reset_index(drop=True)
+            top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+            return top
+        cap *= 4
+    raise RuntimeError(
+        f"top-{k} certificate not met at capacity {cap // 4} "
+        f"after {max_rounds} rounds")
