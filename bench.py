@@ -110,7 +110,12 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # session-12 late additions (halo-2 stencil, drift,
                  # reorder audit, cume_dist, zone mix)
                  "raster_log5", "vocab_drift", "duplicate_orders",
-                 "events_cume_dist", "zone_lang_mix"]
+                 "events_cume_dist", "zone_lang_mix",
+                 # session-12 final additions (grouped HLL, rescore
+                 # top-k, texture, geo corpus prep, forecast bases)
+                 "source_distinct_hll", "top_hosts_rescore",
+                 "raster_texture5", "geo_corpus_prep",
+                 "events_seasonal_error"]
 
 
 def _consume(res) -> int:
