@@ -6288,3 +6288,17 @@ def q_top_hosts_rescore(k: int = 20) -> str:
         "SELECT host, n, row_number() OVER (ORDER BY n DESC, host)"
         f"::BIGINT AS rank FROM c ORDER BY rank LIMIT {k}"
     )
+
+
+def q_weighted_doc_sample(k: int = 100) -> str:
+    """Twin of the deterministic weighted sample: same fnv >> 1 (into
+    int64 range), same integer quotient priority, same total order."""
+    h = sql_fnv1a("doc_id::VARCHAR")
+    return (
+        "WITH p AS (SELECT doc_id::BIGINT AS doc_id, "
+        "n_chars::BIGINT AS n_chars, "
+        f"(({h}) >> 1)::BIGINT // greatest(n_chars, 1) "
+        "AS priority_q FROM documents) "
+        "SELECT doc_id, n_chars, priority_q FROM p "
+        f"ORDER BY priority_q, doc_id LIMIT {k}"
+    )

@@ -10106,3 +10106,33 @@ def q_top_hosts_rescore(sf_dir: str, k: int = 20):
 
 
 QUERIES["top_hosts_rescore"] = q_top_hosts_rescore
+
+
+def q_weighted_doc_sample(sf_dir: str, k: int = 100):
+    """Deterministic weighted sampling without replacement (integer
+    A-ES variant): priority = fnv(doc_id) // n_chars — a longer doc
+    divides its hash harder, so the k smallest priorities favor
+    length exactly like exponential-key reservoir sampling, but
+    replayable on both sides with no RNG. Global top-k via
+    sort+limit on the tiny priority projection."""
+    from spapy_ray.kernels.hashing import fnv1a64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def pri(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.string())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = (fnv1a64(ids) >> np.uint64(1)).astype(np.int64)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_chars": pa.array(w),
+            "priority_q": pa.array(h // np.maximum(w, 1))})
+
+    return docs.map_batches(pri, batch_format="pyarrow") \
+        .sort(["priority_q", "doc_id"]).limit(k)
+
+
+QUERIES["weighted_doc_sample"] = q_weighted_doc_sample
