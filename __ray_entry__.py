@@ -444,4 +444,5 @@ def oracle_sql() -> dict[str, str]:
         "source_distinct_hll": o.q_source_distinct_hll(),
         "top_hosts_rescore": o.q_top_hosts_rescore(),
         "weighted_doc_sample": o.q_weighted_doc_sample(),
+        "events_seasonal_anomaly": o.q_events_seasonal_anomaly(),
     }

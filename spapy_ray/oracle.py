@@ -6302,3 +6302,50 @@ def q_weighted_doc_sample(k: int = 100) -> str:
         "SELECT doc_id, n_chars, priority_q FROM p "
         f"ORDER BY priority_q, doc_id LIMIT {k}"
     )
+
+
+def q_events_seasonal_anomaly(season: int = 24, k: int = 3) -> str:
+    """Twin of seasonal anomaly detection: dense grid + lag
+    residuals, two-middle median and MAD via per-type ranked windows,
+    the same cross-multiplied integer gate."""
+    return (
+        "WITH e AS (SELECT event_type, "
+        "(epoch_us(ts) // 3600000000) AS hr FROM events), "
+        "b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM e), "
+        "hours AS (SELECT unnest(generate_series(h0, h1)) AS hr "
+        "FROM b), "
+        "types AS (SELECT DISTINCT event_type FROM e), "
+        "c AS (SELECT event_type, hr, count(*)::BIGINT AS n FROM e "
+        "GROUP BY 1, 2), "
+        "d AS (SELECT t.event_type, h.hr, coalesce(c.n, 0) AS n "
+        "FROM types t CROSS JOIN hours h "
+        "LEFT JOIN c ON c.event_type = t.event_type "
+        "AND c.hr = h.hr), "
+        "w AS (SELECT event_type, n, "
+        f"lag(n, {season}) OVER (PARTITION BY event_type "
+        "ORDER BY hr) AS ps FROM d), "
+        "r AS (SELECT event_type, (n - ps)::BIGINT AS r FROM w "
+        "WHERE ps IS NOT NULL), "
+        "rk AS (SELECT event_type, r, row_number() OVER "
+        "(PARTITION BY event_type ORDER BY r) - 1 AS rn, "
+        "count(*) OVER (PARTITION BY event_type) AS cnt FROM r), "
+        "md AS (SELECT event_type, max(cnt)::BIGINT AS n_resid, "
+        "(sum(CASE WHEN rn = (cnt - 1) // 2 THEN r ELSE 0 END) + "
+        "sum(CASE WHEN rn = cnt // 2 THEN r ELSE 0 END))::BIGINT "
+        "AS med_x2 FROM rk GROUP BY 1), "
+        "dv AS (SELECT r.event_type, "
+        "abs(2 * r.r - md.med_x2)::BIGINT AS d "
+        "FROM r JOIN md USING (event_type)), "
+        "dk AS (SELECT event_type, d, row_number() OVER "
+        "(PARTITION BY event_type ORDER BY d) - 1 AS rn, "
+        "count(*) OVER (PARTITION BY event_type) AS cnt FROM dv), "
+        "mad AS (SELECT event_type, "
+        "(sum(CASE WHEN rn = (cnt - 1) // 2 THEN d ELSE 0 END) + "
+        "sum(CASE WHEN rn = cnt // 2 THEN d ELSE 0 END))::BIGINT "
+        "AS mad_x4 FROM dk GROUP BY 1) "
+        "SELECT md.event_type, md.n_resid, md.med_x2, mad.mad_x4, "
+        "(SELECT count(*) FROM dv WHERE dv.event_type = "
+        f"md.event_type AND 2 * dv.d > {k} * mad.mad_x4)::BIGINT "
+        "AS n_anom "
+        "FROM md JOIN mad USING (event_type)"
+    )

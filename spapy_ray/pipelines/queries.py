@@ -10136,3 +10136,51 @@ def q_weighted_doc_sample(sf_dir: str, k: int = 100):
 
 
 QUERIES["weighted_doc_sample"] = q_weighted_doc_sample
+
+
+def q_events_seasonal_anomaly(sf_dir: str, season: int = 24,
+                              k: int = 3):
+    """Seasonal anomaly detection — the composition a monitoring
+    pipeline runs: seasonal-naive residuals r_t = c_t − c_{t−24} over
+    the dense hourly grid, robust median/MAD gate per type in the
+    engine-wide x2/x4 integer convention (anomaly ⟺ 2·|2r − med_x2|
+    > k·mad_x4). Counts via the combiner; the calendar-bounded dense
+    fold is driver-side by design."""
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t.column("event_type"),
+                         "hr": pa.array(us // 3_600_000_000)})
+
+    c = pre_aggregated_sums(
+        ev.map_batches(proj, batch_format="pyarrow"),
+        ["event_type", "hr"], [], count_alias="n").to_pandas()
+    c["n"] = c["n"].astype(np.int64)
+    c["hr"] = c["hr"].astype(np.int64)
+    h0, h1 = int(c["hr"].min()), int(c["hr"].max())
+    span = h1 - h0 + 1
+    rows = []
+    for et, g in c.groupby("event_type", sort=True):
+        dense = np.zeros(span, dtype=np.int64)
+        dense[g["hr"].to_numpy() - h0] = g["n"].to_numpy()
+        if span <= season:
+            rows.append((et, 0, 0, 0, 0))
+            continue
+        r = dense[season:] - dense[:-season]
+        n = len(r)
+        s = np.sort(r)
+        med2 = int(s[(n - 1) // 2] + s[n // 2])
+        d = np.sort(np.abs(2 * r - med2))
+        mad4 = int(d[(n - 1) // 2] + d[n // 2])
+        anom = int((2 * np.abs(2 * r - med2) > k * mad4).sum())
+        rows.append((et, n, med2, mad4, anom))
+    out = pd.DataFrame(rows, columns=["event_type", "n_resid",
+                                      "med_x2", "mad_x4", "n_anom"])
+    return out.astype({c_: np.int64 for c_ in out.columns[1:]})
+
+
+QUERIES["events_seasonal_anomaly"] = q_events_seasonal_anomaly
