@@ -445,4 +445,5 @@ def oracle_sql() -> dict[str, str]:
         "top_hosts_rescore": o.q_top_hosts_rescore(),
         "weighted_doc_sample": o.q_weighted_doc_sample(),
         "events_seasonal_anomaly": o.q_events_seasonal_anomaly(),
+        "crawl_politeness": o.q_crawl_politeness(),
     }

@@ -6349,3 +6349,29 @@ def q_events_seasonal_anomaly(season: int = 24, k: int = 3) -> str:
         "AS n_anom "
         "FROM md JOIN mad USING (event_type)"
     )
+
+
+def q_crawl_politeness() -> str:
+    """Twin of the politeness audit: lag gaps per host, ranked
+    two-middle median."""
+    import re
+
+    from spapy_ray.stages.text import URL_PATTERN
+
+    anon = re.sub(r"\?P<[a-z]+>", "", URL_PATTERN)
+    return (
+        f"WITH {pages_cte()}, "
+        f"p AS (SELECT regexp_extract(url, '{anon}', 2) AS host, "
+        "epoch_us(warc_ts) AS us FROM pages), "
+        "w AS (SELECT host, us - lag(us) OVER "
+        "(PARTITION BY host ORDER BY us) AS gap FROM p), "
+        "g AS (SELECT host, gap FROM w WHERE gap IS NOT NULL), "
+        "rk AS (SELECT host, gap, row_number() OVER "
+        "(PARTITION BY host ORDER BY gap) - 1 AS rn, "
+        "count(*) OVER (PARTITION BY host) AS cnt FROM g) "
+        "SELECT host, max(cnt)::BIGINT AS n_gaps, "
+        "min(gap)::BIGINT AS min_gap_us, "
+        "(sum(CASE WHEN rn = (cnt - 1) // 2 THEN gap ELSE 0 END) + "
+        "sum(CASE WHEN rn = cnt // 2 THEN gap ELSE 0 END))::BIGINT "
+        "AS med_gap_x2 FROM rk GROUP BY 1"
+    )

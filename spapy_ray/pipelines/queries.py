@@ -10184,3 +10184,54 @@ def q_events_seasonal_anomaly(sf_dir: str, season: int = 24,
 
 
 QUERIES["events_seasonal_anomaly"] = q_events_seasonal_anomaly
+
+
+def q_crawl_politeness(sf_dir: str):
+    """Crawl-politeness audit: per-host inter-request gap statistics
+    (count, min gap, two-middle median gap — the rate-limiting
+    evidence a crawler operator reports). One host-bucketed shuffle;
+    gaps from a vectorized sorted diff, median in the engine-wide
+    x2 convention."""
+    from spapy_ray.stages.relational import bucketed_group_agg
+    from spapy_ray.stages.text import url_parse_batch
+
+    pages = pages_dataset(sf_dir, include_html=False)
+
+    def proj(t: pa.Table) -> pa.Table:
+        h = url_parse_batch(t.select(["url"]))
+        return pa.table({
+            "host": h.column("host"),
+            "us": pc.cast(t.column("warc_ts"), pa.int64())})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["host", "n_gaps", "min_gap_us", "med_gap_x2"]
+        if len(df) == 0:
+            return pd.DataFrame({"host": []}).assign(
+                **{c: pd.array([], dtype=np.int64)
+                   for c in cols[1:]})
+        df = df.sort_values(["host", "us"], kind="stable")
+        k = df["host"].to_numpy()
+        us = df["us"].to_numpy()
+        newkey = np.r_[True, k[1:] != k[:-1]]
+        gap = np.diff(us)
+        valid = ~newkey[1:]
+        rows = []
+        ki = np.nonzero(newkey)[0]
+        ends = np.r_[ki[1:], len(k)]
+        for s, e in zip(ki, ends):
+            g = np.sort(gap[s:e - 1][valid[s:e - 1]]) \
+                if e - s > 1 else np.array([], dtype=np.int64)
+            if len(g) == 0:
+                continue
+            n = len(g)
+            rows.append((k[s], n, int(g[0]),
+                         int(g[(n - 1) // 2] + g[n // 2])))
+        return pd.DataFrame(rows, columns=cols).astype(
+            {c: np.int64 for c in cols[1:]})
+
+    return bucketed_group_agg(
+        pages.map_batches(proj, batch_format="pyarrow"),
+        "host", fold)
+
+
+QUERIES["crawl_politeness"] = q_crawl_politeness
