@@ -10215,19 +10215,25 @@ def q_crawl_politeness(sf_dir: str):
         newkey = np.r_[True, k[1:] != k[:-1]]
         gap = np.diff(us)
         valid = ~newkey[1:]
-        rows = []
-        ki = np.nonzero(newkey)[0]
-        ends = np.r_[ki[1:], len(k)]
-        for s, e in zip(ki, ends):
-            g = np.sort(gap[s:e - 1][valid[s:e - 1]]) \
-                if e - s > 1 else np.array([], dtype=np.int64)
-            if len(g) == 0:
-                continue
-            n = len(g)
-            rows.append((k[s], n, int(g[0]),
-                         int(g[(n - 1) // 2] + g[n // 2])))
-        return pd.DataFrame(rows, columns=cols).astype(
-            {c: np.int64 for c in cols[1:]})
+        gk = k[1:][valid]
+        gv = gap[valid]
+        if len(gv) == 0:
+            return pd.DataFrame({"host": []}).assign(
+                **{c: pd.array([], dtype=np.int64)
+                   for c in cols[1:]})
+        # fully vectorized per-key fold: gaps sorted within key, then
+        # reduceat mins and two-middle medians by offset arithmetic
+        order = np.lexsort((gv, gk))
+        gk, gv = gk[order], gv[order]
+        first = np.r_[True, gk[1:] != gk[:-1]]
+        starts = np.nonzero(first)[0]
+        n = np.diff(np.r_[starts, len(gk)]).astype(np.int64)
+        med2 = gv[starts + (n - 1) // 2] + gv[starts + n // 2]
+        return pd.DataFrame({
+            "host": gk[starts], "n_gaps": n,
+            "min_gap_us": gv[starts],
+            "med_gap_x2": med2}).astype(
+                {c: np.int64 for c in cols[1:]})
 
     return bucketed_group_agg(
         pages.map_batches(proj, batch_format="pyarrow"),
