@@ -446,4 +446,6 @@ def oracle_sql() -> dict[str, str]:
         "weighted_doc_sample": o.q_weighted_doc_sample(),
         "events_seasonal_anomaly": o.q_events_seasonal_anomaly(),
         "crawl_politeness": o.q_crawl_politeness(),
+        "host_zone_affinity": o.q_host_zone_affinity(),
+        "events_runs_test": o.q_events_runs_test(),
     }

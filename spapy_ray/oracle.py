@@ -6375,3 +6375,53 @@ def q_crawl_politeness() -> str:
         "sum(CASE WHEN rn = cnt // 2 THEN gap ELSE 0 END))::BIGINT "
         "AS med_gap_x2 FROM rk GROUP BY 1"
     )
+
+
+def q_host_zone_affinity() -> str:
+    """Twin of host→zone affinity: PIP join CTE, plurality via
+    ranked window with the same tie order, integer ppm."""
+    import re
+
+    from spapy_ray.stages.text import URL_PATTERN
+
+    anon = re.sub(r"\?P<[a-z]+>", "", URL_PATTERN)
+    return (
+        f"WITH {join_cte()}, "
+        f"hz AS (SELECT regexp_extract(url, '{anon}', 2) AS host, "
+        "zone_id FROM joined), "
+        "c AS (SELECT host, zone_id, count(*)::BIGINT AS n FROM hz "
+        "GROUP BY 1, 2), "
+        "r AS (SELECT host, zone_id, n, row_number() OVER "
+        "(PARTITION BY host ORDER BY n DESC, zone_id) AS rn, "
+        "sum(n) OVER (PARTITION BY host) AS tot FROM c) "
+        "SELECT host, tot::BIGINT AS n_pages, "
+        "zone_id::BIGINT AS top_zone, n AS top_n, "
+        "(1000000 * n) // tot::BIGINT AS share_ppm "
+        "FROM r WHERE rn = 1"
+    )
+
+
+def q_events_runs_test() -> str:
+    """Twin of the runs test: ranked two-middle median per user,
+    above = 2v > med_x2, runs = 1 + lag transitions."""
+    return (
+        "WITH e AS (SELECT user_id::BIGINT AS user_id, "
+        "epoch_us(ts) AS us, event_id, "
+        "round(value * 100)::BIGINT AS v FROM events), "
+        "rk AS (SELECT user_id, v, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY v) - 1 AS rn, "
+        "count(*) OVER (PARTITION BY user_id) AS cnt FROM e), "
+        "md AS (SELECT user_id, "
+        "(sum(CASE WHEN rn = (cnt - 1) // 2 THEN v ELSE 0 END) + "
+        "sum(CASE WHEN rn = cnt // 2 THEN v ELSE 0 END))::BIGINT "
+        "AS med2 FROM rk GROUP BY 1), "
+        "s AS (SELECT e.user_id, e.us, e.event_id, "
+        "(2 * e.v > md.med2) AS above "
+        "FROM e JOIN md USING (user_id)), "
+        "w AS (SELECT user_id, above, lag(above) OVER "
+        "(PARTITION BY user_id ORDER BY us, event_id) AS pa FROM s) "
+        "SELECT user_id, count(*)::BIGINT AS n, "
+        "sum(CASE WHEN above THEN 1 ELSE 0 END)::BIGINT AS n_above, "
+        "(1 + sum(CASE WHEN pa IS NOT NULL AND above <> pa "
+        "THEN 1 ELSE 0 END))::BIGINT AS n_runs FROM w GROUP BY 1"
+    )

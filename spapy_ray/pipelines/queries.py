@@ -10241,3 +10241,101 @@ def q_crawl_politeness(sf_dir: str):
 
 
 QUERIES["crawl_politeness"] = q_crawl_politeness
+
+
+def q_host_zone_affinity(sf_dir: str):
+    """Host→zone affinity: the zone holding the plurality of each
+    host's geocoded pages, with the share in ppm (integer quotient) —
+    the per-publisher geography signal. PIP join → (host, zone) count
+    combiner → vectorized plurality fold (ties: count desc, zone
+    asc)."""
+    from spapy_ray.sources.zones import zones_table
+    from spapy_ray.stages.join import pip_join
+    from spapy_ray.stages.relational import pre_aggregated_sums
+    from spapy_ray.stages.text import url_parse_batch
+
+    joined = pip_join(_geo(sf_dir), zones_table(200),
+                      left_columns=["url", "lon", "lat"])
+
+    def hz(t: pa.Table) -> pa.Table:
+        h = url_parse_batch(t.select(["url"]))
+        return pa.table({"host": h.column("host"),
+                         "zone_id": pc.cast(t.column("zone_id"),
+                                            pa.int64())})
+
+    c = pre_aggregated_sums(
+        joined.map_batches(hz, batch_format="pyarrow"),
+        ["host", "zone_id"], [], count_alias="n").to_pandas()
+    c["n"] = c["n"].astype(np.int64)
+    c["zone_id"] = c["zone_id"].astype(np.int64)
+    c = c.sort_values(["host", "n", "zone_id"],
+                      ascending=[True, False, True], kind="stable")
+    g = c.groupby("host", sort=True)
+    out = g.agg(n_pages=("n", "sum"), top_zone=("zone_id", "first"),
+                top_n=("n", "first")).reset_index()
+    out["share_ppm"] = (1_000_000 * out["top_n"]) // out["n_pages"]
+    return out.astype({c_: np.int64 for c_ in
+                       ("n_pages", "top_zone", "top_n", "share_ppm")})
+
+
+QUERIES["host_zone_affinity"] = q_host_zone_affinity
+
+
+def q_events_runs_test(sf_dir: str):
+    """Wald–Wolfowitz runs statistic per user (the randomness audit
+    for metric streams): values split above/below the user median
+    (x2 convention, median-equal values count as 'below'), runs =
+    1 + sign transitions in time order. All integers; one bucketed
+    shuffle, vectorized fold."""
+    from spapy_ray.stages.relational import bucketed_group_agg
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "cents": pa.array(cents)})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n", "n_above", "n_runs"]
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.array([], dtype=np.int64)
+                                 for c in cols})
+        df = df.sort_values(["user_id", "us", "event_id"],
+                            kind="stable")
+        u = df["user_id"].to_numpy()
+        v = df["cents"].to_numpy()
+        first = np.r_[True, u[1:] != u[:-1]]
+        # per-user median_x2 via a value-sorted view
+        o = np.lexsort((v, u))
+        uv, vv = u[o], v[o]
+        f2 = np.r_[True, uv[1:] != uv[:-1]]
+        st = np.nonzero(f2)[0]
+        n = np.diff(np.r_[st, len(uv)]).astype(np.int64)
+        med2 = vv[st + (n - 1) // 2] + vv[st + n // 2]
+        med_of = dict(zip(uv[st], med2))
+        m = pd.Series(u).map(med_of).to_numpy(dtype=np.int64)
+        above = (2 * v > m)
+        trans = (~first[1:]) & (above[1:] != above[:-1])
+        gid = np.cumsum(first) - 1
+        runs = np.ones(int(gid[-1]) + 1, dtype=np.int64)
+        np.add.at(runs, gid[1:][trans], 1)
+        n_above = np.zeros(len(runs), dtype=np.int64)
+        np.add.at(n_above, gid, above.astype(np.int64))
+        cnt = np.zeros(len(runs), dtype=np.int64)
+        np.add.at(cnt, gid, 1)
+        return pd.DataFrame({
+            "user_id": u[first], "n": cnt, "n_above": n_above,
+            "n_runs": runs}).astype({c: np.int64 for c in cols[1:]})
+
+    return bucketed_group_agg(
+        ev.map_batches(proj, batch_format="pyarrow"),
+        "user_id", fold)
+
+
+QUERIES["events_runs_test"] = q_events_runs_test
