@@ -448,4 +448,6 @@ def oracle_sql() -> dict[str, str]:
         "crawl_politeness": o.q_crawl_politeness(),
         "host_zone_affinity": o.q_host_zone_affinity(),
         "events_runs_test": o.q_events_runs_test(),
+        "zone_recency": o.q_zone_recency(),
+        "delta_view_merge": o.q_delta_view_merge(),
     }

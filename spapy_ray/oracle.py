@@ -6425,3 +6425,24 @@ def q_events_runs_test() -> str:
         "(1 + sum(CASE WHEN pa IS NOT NULL AND above <> pa "
         "THEN 1 ELSE 0 END))::BIGINT AS n_runs FROM w GROUP BY 1"
     )
+
+
+def q_zone_recency() -> str:
+    """Twin of zone freshness: plain per-zone max/count over the PIP
+    join rows."""
+    return (
+        f"WITH {join_cte()} "
+        "SELECT zone_id::BIGINT AS zone_id, "
+        "max(epoch_us(warc_ts))::BIGINT AS last_us, "
+        "count(*)::BIGINT AS n_pages FROM joined GROUP BY 1"
+    )
+
+
+def q_delta_view_merge() -> str:
+    """Twin of the incremental-view check: the FULL recompute (the
+    invariant the base⊕delta merge must equal)."""
+    return (
+        "SELECT event_type, "
+        "sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents, "
+        "count(*)::BIGINT AS n_events FROM events GROUP BY 1"
+    )

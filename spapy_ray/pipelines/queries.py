@@ -10339,3 +10339,74 @@ def q_events_runs_test(sf_dir: str):
 
 
 QUERIES["events_runs_test"] = q_events_runs_test
+
+
+def q_zone_recency(sf_dir: str):
+    """Per-zone crawl freshness: page count and latest crawl
+    timestamp (the staleness report a regional recrawl scheduler
+    reads). Max/count partials per batch, tiny groupby fold."""
+    from ray.data.aggregate import Max, Sum
+
+    from spapy_ray.sources.zones import zones_table
+    from spapy_ray.stages.join import pip_join
+
+    joined = pip_join(_geo(sf_dir), zones_table(200),
+                      left_columns=["url", "warc_ts", "lon", "lat"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({
+            "zone_id": pc.cast(t.column("zone_id"), pa.int64()),
+            "us": pc.cast(t.column("warc_ts"), pa.int64())
+        }).to_pandas()
+        g = df.groupby("zone_id", sort=False)["us"] \
+            .agg(["max", "size"]).reset_index()
+        g.columns = ["zone_id", "last_us", "n_pages"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("zone_id") \
+        .aggregate(Max("last_us", alias_name="last_us"),
+                   Sum("n_pages", alias_name="n_pages")) \
+        .to_pandas().sort_values("zone_id")
+    return out.reset_index(drop=True).astype(np.int64)
+
+
+QUERIES["zone_recency"] = q_zone_recency
+
+
+def q_delta_view_merge(sf_dir: str, split_day: int = 20):
+    """Incremental view maintenance check: the per-type aggregate
+    maintained as BASE (days < 20) ⊕ DELTA (days >= 20) — two
+    independent combiner folds merged by addition — must equal the
+    full recompute, which is exactly what the twin computes. The
+    mergeability demo behind every incremental pipeline here."""
+    import pyarrow.dataset as pds
+
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    cut = pd.Timestamp("2024-01-01") + pd.Timedelta(days=split_day)
+
+    def agg(pred):
+        ev = _read(sf_dir, "events", columns=["event_type", "value"],
+                   predicate=pred)
+
+        def proj(t: pa.Table) -> pa.Table:
+            cents = np.rint(t.column("value").to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64)
+            return pa.table({"event_type": t.column("event_type"),
+                             "cents": pa.array(cents)})
+
+        out = pre_aggregated_sums(
+            ev.map_batches(proj, batch_format="pyarrow"),
+            ["event_type"], ["cents"], count_alias="n").to_pandas()
+        return out.astype({"cents": np.int64, "n": np.int64})
+
+    base = agg(pds.field("ts") < cut)
+    delta = agg(pds.field("ts") >= cut)
+    m = pd.concat([base, delta]).groupby("event_type", sort=True) \
+        .sum().reset_index()
+    m.columns = ["event_type", "sum_cents", "n_events"]
+    return m.astype({"sum_cents": np.int64, "n_events": np.int64})
+
+
+QUERIES["delta_view_merge"] = q_delta_view_merge
