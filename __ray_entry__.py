@@ -450,4 +450,5 @@ def oracle_sql() -> dict[str, str]:
         "events_runs_test": o.q_events_runs_test(),
         "zone_recency": o.q_zone_recency(),
         "delta_view_merge": o.q_delta_view_merge(),
+        "value_qq_table": o.q_value_qq_table(),
     }

@@ -6446,3 +6446,24 @@ def q_delta_view_merge() -> str:
         "sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents, "
         "count(*)::BIGINT AS n_events FROM events GROUP BY 1"
     )
+
+
+def q_value_qq_table(knots: int = 16) -> str:
+    """Twin of the QQ table: per-side ranked windows, order statistic
+    at (cnt−1)·i//16 for each knot. Weekend rule: ((day+4)%7) >= 5
+    (same epoch-day convention as the overlap sketch)."""
+    return (
+        "WITH e AS (SELECT round(value * 100)::BIGINT AS v, "
+        "(((epoch_us(ts) // 86400000000) + 4) % 7) >= 5 AS we "
+        "FROM events), "
+        "rk AS (SELECT v, we, row_number() OVER "
+        "(PARTITION BY we ORDER BY v) - 1 AS rn, "
+        "count(*) OVER (PARTITION BY we) AS cnt FROM e), "
+        f"k AS (SELECT unnest(generate_series(0, {knots})) AS knot), "
+        "wd AS (SELECT k.knot, rk.v FROM k JOIN rk "
+        f"ON NOT rk.we AND rk.rn = (rk.cnt - 1) * k.knot // {knots}), "
+        "wk AS (SELECT k.knot, rk.v FROM k JOIN rk "
+        f"ON rk.we AND rk.rn = (rk.cnt - 1) * k.knot // {knots}) "
+        "SELECT wd.knot::BIGINT AS knot, wd.v AS weekday_v, "
+        "wk.v AS weekend_v FROM wd JOIN wk USING (knot)"
+    )

@@ -10410,3 +10410,44 @@ def q_delta_view_merge(sf_dir: str, split_day: int = 20):
 
 
 QUERIES["delta_view_merge"] = q_delta_view_merge
+
+
+def q_value_qq_table(sf_dir: str, knots: int = 16):
+    """Quantile–quantile mapping table between the weekday and
+    weekend value distributions (the drift-diagnosis companion to
+    the KS tests): 17 exact order statistics PER SIDE at ranks
+    (n−1)·i//16, each side resolved by ONE radix-selection pair of
+    passes (relational.radix_exact_ranks fetching all 17 ranks
+    together) — no sort, no per-quantile scans."""
+    from spapy_ray.stages.relational import radix_exact_ranks
+
+    ev = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def proj(weekend: bool):
+        def f(t: pa.Table) -> pa.Table:
+            us = pc.cast(t.column("ts"), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            wk = ((us // 86_400_000_000 + 4) % 7) >= 5
+            cents = np.rint(t.column("value").to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64)
+            keep = wk if weekend else ~wk
+            return pa.table({"cents": pa.array(cents[keep])})
+        return f
+
+    def side(weekend: bool):
+        ds = ev.map_batches(proj(weekend), batch_format="pyarrow")
+        vals, n = radix_exact_ranks(
+            ds, "cents",
+            lambda m: [(m - 1) * i // knots
+                       for i in range(knots + 1)])
+        return vals, n
+
+    wd, n_wd = side(False)
+    we, n_we = side(True)
+    return pd.DataFrame({
+        "knot": np.arange(knots + 1, dtype=np.int64),
+        "weekday_v": np.array(wd, dtype=np.int64),
+        "weekend_v": np.array(we, dtype=np.int64)})
+
+
+QUERIES["value_qq_table"] = q_value_qq_table
