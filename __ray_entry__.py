@@ -451,4 +451,5 @@ def oracle_sql() -> dict[str, str]:
         "zone_recency": o.q_zone_recency(),
         "delta_view_merge": o.q_delta_view_merge(),
         "value_qq_table": o.q_value_qq_table(),
+        "terrain_rose": o.q_terrain_rose(),
     }

@@ -6467,3 +6467,37 @@ def q_value_qq_table(knots: int = 16) -> str:
         "SELECT wd.knot::BIGINT AS knot, wd.v AS weekday_v, "
         "wk.v AS weekend_v FROM wd JOIN wk USING (knot)"
     )
+
+
+def q_terrain_rose() -> str:
+    """Twin of the gradient rose: Horn integer derivatives from 8
+    clamped closed-form neighbors, the same octant CASE, global
+    counts."""
+    from spapy_ray.sources.rasters import sql_dem_int
+
+    def cl(e: str) -> str:
+        return f"LEAST(GREATEST({e}, 0), 511)"
+
+    def cell(dx: int, dy: int) -> str:
+        return f"({sql_dem_int(cl(f'px + {dx}'), cl(f'py + {dy}'), 0)})"
+
+    a, b, c = cell(-1, -1), cell(0, -1), cell(1, -1)
+    d, f = cell(-1, 0), cell(1, 0)
+    g, h, i = cell(-1, 1), cell(0, 1), cell(1, 1)
+    gx = f"(({c} + 2 * {f} + {i}) - ({a} + 2 * {d} + {g}))"
+    gy = f"(({g} + 2 * {h} + {i}) - ({a} + 2 * {b} + {c}))"
+    return (
+        "WITH px AS (SELECT p % 512 AS px, p // 512 AS py "
+        "FROM range(262144) t(p)), "
+        f"gr AS (SELECT {gx} AS gx, {gy} AS gy FROM px), "
+        "d AS (SELECT CASE "
+        "WHEN gx = 0 AND gy = 0 THEN 'O' "
+        "WHEN abs(gx) > abs(gy) THEN "
+        "(CASE WHEN gx > 0 THEN 'E' ELSE 'W' END) "
+        "WHEN abs(gy) > abs(gx) THEN "
+        "(CASE WHEN gy > 0 THEN 'N' ELSE 'S' END) "
+        "WHEN gy > 0 THEN (CASE WHEN gx > 0 THEN 'NE' ELSE 'NW' END) "
+        "ELSE (CASE WHEN gx > 0 THEN 'SE' ELSE 'SW' END) END AS dir "
+        "FROM gr) "
+        "SELECT dir, count(*)::BIGINT AS n_pix FROM d GROUP BY 1"
+    )

@@ -10451,3 +10451,58 @@ def q_value_qq_table(sf_dir: str, knots: int = 16):
 
 
 QUERIES["value_qq_table"] = q_value_qq_table
+
+
+def q_terrain_rose(sf_dir: str):
+    """Terrain gradient rose: Horn integer derivatives (gx = (c+2f+i)
+    − (a+2d+g), gy = (g+2h+i) − (a+2b+c)) classified into the same
+    exact 45°-boundary octants as the trajectory compass rose —
+    downhill direction census per raster. One halo exchange, global
+    per-direction pixel counts."""
+    from ray.data.aggregate import Sum
+
+    from spapy_ray.stages.raster import stencil_op
+
+    ds, meta = _dem()
+
+    DIRS = np.array(["O", "E", "W", "N", "S", "NE", "NW", "SE", "SW"])
+
+    def rose(pad: np.ndarray) -> np.ndarray:
+        z = pad.astype(np.int64)
+        a, b, c = z[:-2, :-2], z[:-2, 1:-1], z[:-2, 2:]
+        d, f = z[1:-1, :-2], z[1:-1, 2:]
+        g, h, i = z[2:, :-2], z[2:, 1:-1], z[2:, 2:]
+        gx = (c + 2 * f + i) - (a + 2 * d + g)
+        gy = (g + 2 * h + i) - (a + 2 * b + c)
+        ax, ay = np.abs(gx), np.abs(gy)
+        code = np.where(
+            (gx == 0) & (gy == 0), 0,
+            np.where(ax > ay, np.where(gx > 0, 1, 2),
+                     np.where(ay > ax, np.where(gy > 0, 3, 4),
+                              np.where(gy > 0,
+                                       np.where(gx > 0, 5, 6),
+                                       np.where(gx > 0, 7, 8)))))
+        return code.astype(np.int32)
+
+    coded = stencil_op(ds, meta, rose, dtype="int32",
+                       out_dtype="int32")
+
+    def counts(t: pa.Table) -> pa.Table:
+        from spapy_ray.stages.raster import decode_tile
+
+        acc = np.zeros(9, dtype=np.int64)
+        for buf in t.column("data").to_pylist():
+            arr = decode_tile(buf, "int32", meta.tile_size)
+            acc += np.bincount(arr.ravel(), minlength=9)
+        nz = np.nonzero(acc)[0]
+        return pa.table({"dir": pa.array(DIRS[nz]),
+                         "n_pix": pa.array(acc[nz])})
+
+    out = coded.map_batches(counts, batch_format="pyarrow") \
+        .groupby("dir").aggregate(Sum("n_pix", alias_name="n_pix")) \
+        .to_pandas().sort_values("dir")
+    out["n_pix"] = out["n_pix"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+QUERIES["terrain_rose"] = q_terrain_rose
