@@ -8201,12 +8201,11 @@ def q_cust_hits(sf_dir: str, iterations: int = 4):
         return pa.table({"src": pc.cast(t.column("o_custkey"), pa.int64()),
                          "dst": pc.cast(t.column("l_suppkey"), pa.int64())})
 
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates()
-
-    e = bucketed_group_agg(ol.map_batches(ids, batch_format="pyarrow"),
-                           "src", dedup)
-    return hits(e, iterations=iterations)
+    # duplicates dedup INSIDE hits' own partitionings (copies of an
+    # edge co-locate in both) — the standalone dedup shuffle was a
+    # whole third exchange of the edge table
+    e = ol.map_batches(ids, batch_format="pyarrow")
+    return hits(e, iterations=iterations, dedup=True)
 
 
 QUERIES["cust_hits"] = q_cust_hits

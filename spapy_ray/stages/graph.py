@@ -893,10 +893,14 @@ def sssp_minplus(pairs, sources, *, rounds: int, mod: int = 97,
 
 def hits(edges, *, src_col: str = "src", dst_col: str = "dst",
          iterations: int = 4, r0: int = 1_000_000,
-         buckets: int | None = None):
+         buckets: int | None = None, dedup: bool = False):
     """Fixed-point HITS (Kleinberg 1999, hubs & authorities) over a
     DISTINCT directed edge Dataset — the second classic link-graph
-    quality signal next to pagerank().
+    quality signal next to pagerank(). With ``dedup=True`` the input
+    may carry duplicate edges: every copy of an edge lands in the
+    same bucket of BOTH partitionings (keyed by its own src / dst),
+    so dropping duplicates inside each materialization is globally
+    correct and saves the caller a whole third shuffle.
 
         h_0(u)   = r0
         a'_t(v)  = sum over (u, v) of h_t(u);  a_t = a' * r0 // max a'
@@ -928,7 +932,7 @@ def hits(edges, *, src_col: str = "src", dst_col: str = "dst",
                          "dst": t.column(dst_col).cast(pa.int64())})
 
     def ident(g: pd.DataFrame) -> pd.DataFrame:
-        return g
+        return g.drop_duplicates() if dedup else g
 
     e = edges.map_batches(project, batch_format="pyarrow")
     by_dst = bucketed_group_agg(e, "dst", ident,
