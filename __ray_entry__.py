@@ -452,4 +452,6 @@ def oracle_sql() -> dict[str, str]:
         "delta_view_merge": o.q_delta_view_merge(),
         "value_qq_table": o.q_value_qq_table(),
         "terrain_rose": o.q_terrain_rose(),
+        "events_hour_hhi": o.q_events_hour_hhi(),
+        "zone_density": o.q_zone_density(),
     }

@@ -6501,3 +6501,36 @@ def q_terrain_rose() -> str:
         "FROM gr) "
         "SELECT dir, count(*)::BIGINT AS n_pix FROM d GROUP BY 1"
     )
+
+
+def q_events_hour_hhi() -> str:
+    """Twin of hour-of-day concentration: per-(type, hour) counts,
+    Σn² fold."""
+    return (
+        "WITH c AS (SELECT event_type, "
+        "(epoch_us(ts) // 3600000000) % 24 AS hod, "
+        "count(*)::BIGINT AS n FROM events GROUP BY 1, 2) "
+        "SELECT event_type, sum(n)::BIGINT AS n_events, "
+        "count(*)::BIGINT AS n_hours, "
+        "sum(n * n)::BIGINT AS hhi_num FROM c GROUP BY 1"
+    )
+
+
+def q_zone_density() -> str:
+    """Twin of zone density: PIP counts against the closed-form
+    shape-family area, same integer ppm quotient."""
+    from spapy_ray.sources.zones import U
+
+    area = ("(CASE WHEN shape IN (0, 1) THEN w * h "
+            "WHEN shape = 2 THEN w * h2 + w2 * (h - h2) "
+            "ELSE w2 * h2 + (w - w2 - 5000) * (h - h2 - 5000) END)")
+    return (
+        f"WITH {join_cte()}, "
+        "c AS (SELECT zone_id, count(*)::BIGINT AS n_pages "
+        "FROM joined GROUP BY 1) "
+        "SELECT c.zone_id::BIGINT AS zone_id, c.n_pages, "
+        f"{area}::BIGINT AS area_u2, "
+        f"(1000000 * c.n_pages * {U * U}) // {area}::BIGINT "
+        "AS density_ppm "
+        "FROM c JOIN zones USING (zone_id)"
+    )

@@ -10505,3 +10505,75 @@ def q_terrain_rose(sf_dir: str):
 
 
 QUERIES["terrain_rose"] = q_terrain_rose
+
+
+def q_events_hour_hhi(sf_dir: str):
+    """Temporal concentration per event type: Herfindahl numerator
+    Σ n_h² over the 24 hour-of-day bins (the log-free concentration
+    index, same trick as user_type_hhi) — flags types that burst in
+    narrow daily windows. One (type, hour) combiner, tiny fold."""
+    from spapy_ray.stages.relational import pre_aggregated_sums
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t.column("event_type"),
+                         "hod": pa.array((us // 3_600_000_000) % 24)})
+
+    c = pre_aggregated_sums(
+        ev.map_batches(proj, batch_format="pyarrow"),
+        ["event_type", "hod"], [], count_alias="n").to_pandas()
+    c["n"] = c["n"].astype(np.int64)
+    g = c.groupby("event_type", sort=True)
+    out = pd.DataFrame({
+        "event_type": [k for k, _ in g],
+        "n_events": [int(gg["n"].sum()) for _, gg in g],
+        "n_hours": [len(gg) for _, gg in g],
+        "hhi_num": [int((gg["n"].to_numpy() ** 2).sum())
+                    for _, gg in g]})
+    return out.astype({"n_events": np.int64, "n_hours": np.int64,
+                       "hhi_num": np.int64})
+
+
+QUERIES["events_hour_hhi"] = q_events_hour_hhi
+
+
+def q_zone_density(sf_dir: str):
+    """Per-zone page density (pages per square degree, integer ppm
+    quotient against the closed-form zone area) — the spatial
+    normalization a coverage report needs before comparing regions of
+    different sizes."""
+    from spapy_ray.sources.zones import U, zone_params, zones_table
+    from spapy_ray.stages.join import pip_join
+    from spapy_ray.stages.relational import pre_aggregated_count
+
+    joined = pip_join(_geo(sf_dir), zones_table(200),
+                      left_columns=["url", "lon", "lat"])
+    c = pre_aggregated_count(
+        joined.map_batches(lambda t: t.select(["zone_id"]),
+                           batch_format="pyarrow"),
+        "zone_id", alias="n_pages").to_pandas()
+    c["zone_id"] = c["zone_id"].astype(np.int64)
+    c["n_pages"] = c["n_pages"].astype(np.int64)
+
+    def area_u2(z: int) -> int:
+        p = zone_params(z)
+        w, h, w2, h2 = p["w"], p["h"], p["w2"], p["h2"]
+        s = p["shape"]
+        if s in (0, 1):
+            return w * h
+        if s == 2:
+            return w * h2 + w2 * (h - h2)
+        return w2 * h2 + (w - w2 - 5000) * (h - h2 - 5000)
+
+    c["area_u2"] = c["zone_id"].map(area_u2).astype(np.int64)
+    # pages per square degree, ppm: 1e6 * n * U^2 // area_u2
+    c["density_ppm"] = (1_000_000 * c["n_pages"] * (U * U)) \
+        // c["area_u2"]
+    return c.sort_values("zone_id").reset_index(drop=True) \
+        .astype({"density_ppm": np.int64})
+
+
+QUERIES["zone_density"] = q_zone_density
