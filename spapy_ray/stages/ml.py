@@ -163,6 +163,12 @@ def grouped_moments(ds, key: str, val: str) -> pd.DataFrame:
 
     def powers(t: pa.Table) -> pa.Table:
         x = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) and int(np.abs(x).max()) > 50_000:
+            # v^4 partial sums leave int64 territory fast — fail loud
+            # instead of silently wrapping (the docstring contract)
+            raise ValueError(
+                f"grouped_moments values must satisfy |v| <= 50000; "
+                f"got {int(np.abs(x).max())}")
         return pa.table({key: t.column(key), "s1": pa.array(x),
                          "s2": pa.array(x * x), "s3": pa.array(x ** 3),
                          "s4": pa.array(x ** 4)})

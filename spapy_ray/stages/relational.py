@@ -2648,7 +2648,10 @@ def cms_point_query(mat: np.ndarray, keys, *,
     from spapy_ray.kernels.hashing import fnv1a64
 
     width = mat.shape[1]
-    h = fnv1a64(list(keys))
+    keys = list(keys)
+    if not keys:
+        return np.array([], dtype=np.int64)
+    h = fnv1a64(keys)
     est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
     for r, m in enumerate(mults):
         c = ((h * np.uint64(m)) % np.uint64(width)).astype(np.int64)
