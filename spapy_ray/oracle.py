@@ -106,6 +106,14 @@ def q_pip_join() -> str:
             "SELECT url, warc_ts, zone_id, name, labelrank FROM joined")
 
 
+def q_pip_join_cells() -> str:
+    """Twin of the co-partitioned (cell + salt) spatial join — the
+    partitioning is an engine-side detail, so the oracle is simply
+    the PIP pair set."""
+    return (f"WITH {join_cte()} "
+            "SELECT url, zone_id FROM joined")
+
+
 def q_zone_page_counts() -> str:
     return (f"WITH {join_cte()} "
             "SELECT zone_id, count(*)::BIGINT AS n_pages FROM joined GROUP BY zone_id")

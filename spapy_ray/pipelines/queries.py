@@ -2653,9 +2653,13 @@ QUERIES["tfidf_terms"] = q_tfidf_terms
 def q_graph_pagerank(sf_dir: str, iterations: int = 4):
     """Fixed-point PageRank over the customer–supplier bipartite
     graph (distinct o_custkey—l_suppkey pairs, doubled undirected):
-    the web link-graph quality-signal op, every iteration one
-    hash_join + one bucketed groupby, ranks a Dataset end to end
-    (stages/graph.py)."""
+    the web link-graph quality-signal op. mode="join" is PINNED (the
+    components_mode="distributed" discipline): ranks stay a Dataset
+    end to end — the edge table is span-pinned by src-bucket once and
+    every iteration exchanges only node-sized rank rows + dst
+    partials, never edges and never a driver-resident rank vector
+    (stages/graph.py). The broadcast fast path stays available behind
+    pagerank's auto gate for small graphs."""
     from spapy_ray.stages.graph import pagerank, undirected_edges
     from spapy_ray.stages.relational import hash_join
 
@@ -2671,7 +2675,7 @@ def q_graph_pagerank(sf_dir: str, iterations: int = 4):
 
     und = undirected_edges(ol.map_batches(ids, batch_format="pyarrow"),
                            a_col="a", b_col="b")
-    pr = pagerank(und, iterations=iterations)
+    pr = pagerank(und, iterations=iterations, mode="join")
 
     def decode(t: pa.Table) -> pa.Table:
         node = t.column("node").to_numpy(zero_copy_only=False)
@@ -8185,11 +8189,14 @@ QUERIES["bpe_merges"] = q_bpe_merges
 
 def q_cust_hits(sf_dir: str, iterations: int = 4):
     """Fixed-point HITS hubs/authorities over the distinct
-    customer->supplier bipartite graph (stages/graph.hits): the edge
-    table co-partitions ONCE per aggregation side; every
-    half-iteration is one map with the score vector broadcast —
-    no per-iteration shuffle. Integer max-normalization keeps every
-    value in [0, r0] and bit-equal to the chained-CTE twin."""
+    customer->supplier bipartite graph (stages/graph.hits).
+    mode="join" is PINNED (the components_mode discipline): scores
+    stay Datasets end to end — the edge table is span-pinned once per
+    lookup side and every half-iteration exchanges only node-sized
+    score rows + per-bucket partials; the only driver-resident value
+    is the scalar normalization max. Integer max-normalization keeps
+    every value in [0, r0] and bit-equal to the chained-CTE twin;
+    the broadcast fast path stays behind hits' auto gate."""
     from spapy_ray.stages.graph import hits
     from spapy_ray.stages.relational import bucketed_group_agg, hash_join
 
@@ -8205,7 +8212,7 @@ def q_cust_hits(sf_dir: str, iterations: int = 4):
     # edge co-locate in both) — the standalone dedup shuffle was a
     # whole third exchange of the edge table
     e = ol.map_batches(ids, batch_format="pyarrow")
-    return hits(e, iterations=iterations, dedup=True)
+    return hits(e, iterations=iterations, dedup=True, mode="join")
 
 
 QUERIES["cust_hits"] = q_cust_hits
@@ -10577,3 +10584,28 @@ def q_zone_density(sf_dir: str):
 
 
 QUERIES["zone_density"] = q_zone_density
+
+
+def q_pip_join_cells(sf_dir: str):
+    """The north rule's LARGE x LARGE spatial join under the value
+    hash: both sides co-partitioned on quadkey cell (groupby-on-cell
+    with salt=4 PINNED — the hot-cell skew treatment the north rule
+    names), per-(cell, salt) local STRtree build + ray-cast; the
+    polygon side is never broadcast (stages/join.py pip_join_cells;
+    broadcast-parity pytest in tests/test_neardup_relate.py). Twin:
+    the q_pip_join join condition restricted to (url, zone_id)."""
+    import ray.data as rd
+
+    from spapy_ray.stages.join import pip_join_cells
+
+    zones = rd.from_arrow(zones_table())
+    j = pip_join_cells(_geo(sf_dir), zones, salt=4)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t.column("pkey"),
+                         "zone_id": t.column("zkey")})
+
+    return j.map_batches(rename, batch_format="pyarrow")
+
+
+QUERIES["pip_join_cells"] = q_pip_join_cells

@@ -21,9 +21,14 @@ per dst by construction, so no per-iteration shuffle at all. The rank
 vector is the SMALL side (hosts, domains: ~1e8 nodes ≈ 1.6 GB for a
 1e11-edge web graph) — the same broadcast-once bound the engine's
 zone/centroid tables use. For node sets beyond memory,
-mode="join" keeps ranks a Dataset and runs each iteration as one
-hash_join + one bucketed groupby (2 shuffles/iteration, no driver
-state); both modes are bit-identical (pytest parity).
+mode="join" keeps ranks a Dataset end to end: the degree-fused edge
+table is hash(src)-bucketed ONCE into object-store spans (the driver
+holds O(B) block refs + offsets, never rows or node vectors); each
+iteration shuffles only the NODE-sized rank rows to their bucket,
+joins them locally against the pinned edge slices, and folds the
+per-bucket dst partials — O(nodes) exchange per iteration, never
+O(edges). Both modes are bit-identical (pytest parity); mode="auto"
+gates between them on node count.
 """
 
 from __future__ import annotations
@@ -55,6 +60,76 @@ def undirected_edges(pairs, *, a_col: str, b_col: str,
     return bucketed_group_agg(pairs.map_batches(project,
                                                 batch_format="pyarrow"),
                               "a", local, buckets=buckets)
+
+
+def _bucket_spans(ds, key: str, b: int, *, local=None):
+    """Shuffle ``ds`` ONCE into hash(key)-bucket runs pinned in the
+    object store and return ``(spans, pinned)`` where ``spans`` maps
+    bucket -> list of (block_ref, offset, length) and ``pinned`` is
+    the MaterializedDataset that owns the blocks (the caller must
+    keep it referenced while using the spans).
+
+    This is the static side of a co-partitioned iteration: the driver
+    holds only O(B) refs and offsets — never rows — and later
+    iterations read each bucket's rows as zero-copy Arrow slices.
+    ``local(df) -> df`` optionally rewrites each bucket's rows during
+    the one shuffle (e.g. drop_duplicates).
+
+    A map_groups group lands contiguously in its output block, but a
+    very large group may be SPLIT across blocks — the per-block probe
+    handles both, so a bucket may own several spans."""
+    import ray
+
+    from spapy_ray.stages.relational import _bucket_column
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", _bucket_column(t, key, b))
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        if local is not None:
+            bk = g["_bucket"].iat[0]
+            g = local(g.drop(columns=["_bucket"])).copy()
+            g["_bucket"] = bk
+        return g
+
+    mat = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bucket") \
+        .map_groups(keep, batch_format="pandas").materialize()
+    refs = [r for bundle in mat.iter_internal_ref_bundles()
+            for r in bundle.block_refs]
+
+    @ray.remote
+    def probe(blk):
+        t = blk if isinstance(blk, pa.Table) \
+            else pa.Table.from_pandas(blk, preserve_index=False)
+        # empty output blocks carry an empty schema
+        if len(t) == 0 or "_bucket" not in t.column_names:
+            return []
+        bk = t.column("_bucket").to_numpy(zero_copy_only=False)
+        cut = np.flatnonzero(np.diff(bk) != 0) + 1
+        starts = np.concatenate([[0], cut]).astype(np.int64)
+        ends = np.concatenate([cut, [len(bk)]]).astype(np.int64)
+        return [(int(bk[s]), int(s), int(e - s))
+                for s, e in zip(starts, ends)]
+
+    spans: dict[int, list] = {}
+    for ref, runs in zip(refs, ray.get([probe.remote(r)
+                                        for r in refs])):
+        for bkt, off, ln in runs:
+            spans.setdefault(bkt, []).append((ref, off, ln))
+    return spans, mat
+
+
+def _span_tables(spans_entry):
+    """Yield the Arrow tables for one bucket's spans (zero-copy
+    slices of pinned blocks), fetched inside the worker."""
+    import ray
+
+    for ref, off, ln in spans_entry:
+        blk = ray.get(ref)
+        t = blk if isinstance(blk, pa.Table) \
+            else pa.Table.from_pandas(blk, preserve_index=False)
+        yield t.slice(off, ln)
 
 
 def _ranks_broadcast(eddeg_by_dst, nodes: np.ndarray, deg: np.ndarray,
@@ -106,7 +181,8 @@ def _ranks_broadcast(eddeg_by_dst, nodes: np.ndarray, deg: np.ndarray,
 def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
              iterations: int = 4, damping_num: int = 85,
              damping_den: int = 100, r0: int = 1_000_000,
-             mode: str = "broadcast", buckets: int | None = None):
+             mode: str = "auto", buckets: int | None = None,
+             broadcast_max_nodes: int = 50_000_000):
     """Fixed-point PageRank over a directed edge Dataset where every
     node has out-degree >= 1 (an undirected/doubled graph always
     does; a dangling node would silently keep no rank row — use the
@@ -120,12 +196,20 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
     order-independent, so the distributed fold is exact and the
     chained-CTE SQL twin matches bit for bit.
 
+    mode="auto" (default) gates on node count: "broadcast" holds the
+    node-sized rank vector on the driver (fast, one map/iteration, no
+    per-iteration shuffle — fine up to ``broadcast_max_nodes``, ~0.8
+    GB of int64 at the default); beyond that it picks "join", where
+    ranks stay a Dataset end to end and each iteration moves only
+    node-sized data against span-pinned edge buckets (see the mode ==
+    "join" block). Both modes are bit-identical (pytest parity).
+
     Returns Dataset(node, pr) — nodes with at least one out-edge.
     """
     from spapy_ray.stages.relational import bucketed_group_agg, \
         hash_join
 
-    if mode not in ("broadcast", "join"):
+    if mode not in ("auto", "broadcast", "join"):
         raise ValueError(f"unknown mode {mode!r}")
 
     def project(t: pa.Table) -> pa.Table:
@@ -141,6 +225,11 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
     deg = bucketed_group_agg(e.select_columns(["src"]), "src",
                              deg_local, buckets=buckets)
     base = r0 * (damping_den - damping_num) // damping_den
+
+    if mode == "auto":
+        deg = deg.materialize()
+        mode = "broadcast" if deg.count() <= broadcast_max_nodes \
+            else "join"
 
     if mode == "broadcast":
         # degree vector to the driver (node-sized — the documented
@@ -173,8 +262,23 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
         return rd.from_arrow(pa.table({"node": pa.array(nodes),
                                        "pr": pa.array(r)}))
 
-    # mode == "join": ranks stay a Dataset; 2 shuffles per iteration
-    eddeg = hash_join(e, deg, on="src", buckets=buckets).materialize()
+    # mode == "join": ranks stay a Dataset end to end. The degree-
+    # fused edge table is hash(src)-bucketed ONCE into object-store
+    # spans (_bucket_spans — driver holds O(B) refs, never rows);
+    # each iteration then moves only NODE-sized data: one shuffle of
+    # the rank rows to their src-bucket (bucket-local searchsorted
+    # join + per-dst partial sums against the pinned edge slices),
+    # one bucketed fold of the per-bucket dst partials. Per-iteration
+    # exchange volume is O(nodes + sum_b distinct_dst(b)), never
+    # O(edges) — the cluster-shaped path for beyond-memory node sets.
+    import ray
+    from spapy_ray.stages.relational import _bucket_column
+    from spapy_ray.util import cluster_cpus
+
+    b = buckets or max(64, cluster_cpus() * 4)
+    eddeg = hash_join(e, deg, on="src", buckets=b) \
+        .select_columns(["src", "dst", "deg"])
+    spans, pinned = _bucket_spans(eddeg, "src", b)
 
     def init_ranks(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -184,28 +288,61 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
     ranks = deg.map_batches(init_ranks, batch_format="pyarrow") \
         .materialize()
 
+    def tag_node(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket",
+                               _bucket_column(t, "node", b))
+
+    def step(g: pd.DataFrame) -> pd.DataFrame:
+        bkt = int(g["_bucket"].iat[0])
+        sp = spans.get(bkt)
+        if not sp:
+            return pd.DataFrame({"dst": np.array([], np.int64),
+                                 "s": np.array([], np.int64)})
+        nodes = g["node"].to_numpy(dtype=np.int64)
+        r = g["r"].to_numpy(dtype=np.int64)
+        o = np.argsort(nodes, kind="stable")
+        nodes, r = nodes[o], r[o]
+        acc_d, acc_s = [], []
+        for t in _span_tables(sp):
+            src = t.column("src").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            dst = t.column("dst").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            dg = t.column("deg").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pos = np.searchsorted(nodes, src)
+            ok = (pos < len(nodes)) & \
+                (nodes[np.minimum(pos, len(nodes) - 1)] == src)
+            contrib = r[pos[ok]] // dg[ok]
+            u, inv = np.unique(dst[ok], return_inverse=True)
+            s = np.zeros(len(u), dtype=np.int64)
+            np.add.at(s, inv, contrib)
+            acc_d.append(u)
+            acc_s.append(s)
+        d = np.concatenate(acc_d)
+        sv = np.concatenate(acc_s)
+        if len(acc_d) > 1:
+            u, inv = np.unique(d, return_inverse=True)
+            tot = np.zeros(len(u), dtype=np.int64)
+            np.add.at(tot, inv, sv)
+            d, sv = u, tot
+        return pd.DataFrame({"dst": d, "s": sv})
+
     def fold_local(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby("dst", sort=False)["contrib"].sum() \
+        s = g.groupby("dst", sort=False)["s"].sum() \
             .reset_index(name="s")
         r_new = base + damping_num * s["s"].to_numpy(dtype=np.int64) \
             // damping_den
         return pd.DataFrame({"node": s["dst"].to_numpy(dtype=np.int64),
                              "r": r_new})
 
-    def contrib(t: pa.Table) -> pa.Table:
-        r = t.column("r").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        d = t.column("deg").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        return pa.table({"dst": t.column("dst"),
-                         "contrib": pa.array(r // d)})
-
     for _ in range(iterations):
-        j = hash_join(eddeg, ranks, on="src", right_on="node",
-                      buckets=buckets)
-        ranks = bucketed_group_agg(
-            j.map_batches(contrib, batch_format="pyarrow"), "dst",
-            fold_local, buckets=buckets).materialize()
+        partials = ranks.map_batches(tag_node,
+                                     batch_format="pyarrow") \
+            .groupby("_bucket").map_groups(step, batch_format="pandas")
+        ranks = bucketed_group_agg(partials, "dst", fold_local,
+                                   buckets=b).materialize()
+    del pinned  # spans no longer needed once the final fold is real
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("node"),
@@ -891,9 +1028,130 @@ def sssp_minplus(pairs, sources, *, rounds: int, mod: int = 97,
         .sort_values("node").reset_index(drop=True)
 
 
+def _hits_join(e, *, iterations: int, r0: int,
+               buckets: int | None, dedup: bool):
+    """HITS with scores as Datasets end to end (see hits() docstring,
+    mode="join"). The edge table is span-pinned once per LOOKUP side:
+    the authority step looks scores up by src, so it reads the
+    src-bucketed spans and folds per dst; the hub step is symmetric.
+    Per half-iteration exchange volume is O(nodes + partials), never
+    O(edges); the only driver-resident value is the scalar max used
+    for integer normalization."""
+    import ray
+
+    from spapy_ray.stages.relational import _bucket_column, \
+        bucketed_group_agg
+    from spapy_ray.util import cluster_cpus
+
+    b = buckets or max(64, cluster_cpus() * 4)
+    local = (lambda g: g.drop_duplicates()) if dedup else None
+    src_spans, pin_s = _bucket_spans(e, "src", b, local=local)
+    dst_spans, pin_d = _bucket_spans(e, "dst", b, local=local)
+
+    def distinct_nodes(col: str):
+        def local_d(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": np.unique(g[col].to_numpy(dtype=np.int64))})
+
+        return bucketed_group_agg(e.select_columns([col]), col,
+                                  local_d, buckets=b)
+
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "v": pa.array(np.full(len(t), r0, dtype=np.int64))})
+
+    hubs = distinct_nodes("src")
+    h = hubs.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def tag_node(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket",
+                               _bucket_column(t, "node", b))
+
+    def make_step(spans, lookup_col: str, group_col: str):
+        def step(g: pd.DataFrame) -> pd.DataFrame:
+            bkt = int(g["_bucket"].iat[0])
+            sp = spans.get(bkt)
+            if not sp:
+                return pd.DataFrame({"node": np.array([], np.int64),
+                                     "s": np.array([], np.int64)})
+            nodes = g["node"].to_numpy(dtype=np.int64)
+            v = g["v"].to_numpy(dtype=np.int64)
+            o = np.argsort(nodes, kind="stable")
+            nodes, v = nodes[o], v[o]
+            acc_n, acc_s = [], []
+            for t in _span_tables(sp):
+                look = t.column(lookup_col) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                grp = t.column(group_col) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                pos = np.searchsorted(nodes, look)
+                ok = (pos < len(nodes)) & \
+                    (nodes[np.minimum(pos, len(nodes) - 1)] == look)
+                u, inv = np.unique(grp[ok], return_inverse=True)
+                s = np.zeros(len(u), dtype=np.int64)
+                np.add.at(s, inv, v[pos[ok]])
+                acc_n.append(u)
+                acc_s.append(s)
+            n = np.concatenate(acc_n)
+            sv = np.concatenate(acc_s)
+            if len(acc_n) > 1:
+                u, inv = np.unique(n, return_inverse=True)
+                tot = np.zeros(len(u), dtype=np.int64)
+                np.add.at(tot, inv, sv)
+                n, sv = u, tot
+            return pd.DataFrame({"node": n, "s": sv})
+
+        return step
+
+    def fold_local(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("node", sort=False)["s"].sum() \
+            .reset_index(name="v")
+        return s
+
+    def half(scores, spans, lookup_col: str, group_col: str):
+        partials = scores.map_batches(tag_node,
+                                      batch_format="pyarrow") \
+            .groupby("_bucket") \
+            .map_groups(make_step(spans, lookup_col, group_col),
+                        batch_format="pandas")
+        raw = bucketed_group_agg(partials, "node", fold_local,
+                                 buckets=b).materialize()
+        mx = max(int(raw.max("v") or 0), 1)
+
+        def norm(t: pa.Table) -> pa.Table:
+            v = t.column("v").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({"node": t.column("node"),
+                             "v": pa.array(v * r0 // mx)})
+
+        return raw.map_batches(norm, batch_format="pyarrow")
+
+    a = None
+    for _ in range(iterations):
+        a = half(h, src_spans, "src", "dst")
+        h = half(a, dst_spans, "dst", "src")
+
+    def label(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "side": pa.array(np.full(len(t), side)),
+                "node": t.column("node"),
+                "score": t.column("v")})
+
+        return f
+
+    out = h.map_batches(label("hub"), batch_format="pyarrow").union(
+        a.map_batches(label("auth"), batch_format="pyarrow")) \
+        .materialize()
+    del pin_s, pin_d
+    return out
+
+
 def hits(edges, *, src_col: str = "src", dst_col: str = "dst",
          iterations: int = 4, r0: int = 1_000_000,
-         buckets: int | None = None, dedup: bool = False):
+         buckets: int | None = None, dedup: bool = False,
+         mode: str = "auto", broadcast_max_nodes: int = 50_000_000):
     """Fixed-point HITS (Kleinberg 1999, hubs & authorities) over a
     DISTINCT directed edge Dataset — the second classic link-graph
     quality signal next to pagerank(). With ``dedup=True`` the input
@@ -912,20 +1170,31 @@ def hits(edges, *, src_col: str = "src", dst_col: str = "dst",
     bit. Overflow bound: max degree < 2^63 / r0^2 (9.2e6 at the
     default r0).
 
-    Distribution mirrors pagerank mode="broadcast": the edge table is
-    hash-partitioned ONCE by each aggregation side (dst for the
-    authority step, src for the hub step, both materialized); each
-    half-iteration is a single map over the co-partitioned blocks
-    with the node→score vector broadcast via ray.put — per-block
-    sums are final for their key by construction, so no
-    per-iteration shuffle. Score vectors are the documented small
-    side (node-sized).
+    Distribution, mode="broadcast": mirrors pagerank's broadcast —
+    the edge table is hash-partitioned ONCE by each aggregation side
+    (dst for the authority step, src for the hub step, both
+    materialized); each half-iteration is a single map over the
+    co-partitioned blocks with the node→score vector broadcast via
+    ray.put — per-block sums are final for their key by
+    construction, so no per-iteration shuffle. Score vectors are the
+    documented small side (node-sized); returns a pandas DataFrame.
 
-    Returns a pandas DataFrame (side in {'hub','auth'}, node, score).
+    mode="join": scores stay Datasets end to end — the edge table is
+    span-pinned ONCE per lookup side (_bucket_spans: the driver
+    holds O(B) block refs, never rows or node vectors); each
+    half-iteration shuffles only the node-sized score rows to their
+    bucket, joins them locally against the pinned edge slices, folds
+    the per-bucket partials, and normalizes by a scalar Dataset.max.
+    Returns Dataset(side, node, score), bit-identical to broadcast
+    (pytest parity). mode="auto" (default) gates on distinct-node
+    count, like pagerank.
     """
     import ray
 
     from spapy_ray.stages.relational import bucketed_group_agg
+
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown mode {mode!r}")
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({"src": t.column(src_col).cast(pa.int64()),
@@ -935,6 +1204,24 @@ def hits(edges, *, src_col: str = "src", dst_col: str = "dst",
         return g.drop_duplicates() if dedup else g
 
     e = edges.map_batches(project, batch_format="pyarrow")
+
+    if mode == "auto":
+        # distinct-endpoint count via one bucketed fold (node-sized
+        # output, no driver vector)
+        def nuniq(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "n": [g["src"].nunique() + g["dst"].nunique()]})
+
+        # per-src-bucket dst nunique overcounts dsts shared across
+        # buckets — an UPPER bound, which is all the gate needs
+        cnt = bucketed_group_agg(e, "src", nuniq, buckets=buckets) \
+            .sum("n")
+        mode = "broadcast" if cnt <= broadcast_max_nodes else "join"
+
+    if mode == "join":
+        return _hits_join(e, iterations=iterations, r0=r0,
+                          buckets=buckets, dedup=dedup)
+
     by_dst = bucketed_group_agg(e, "dst", ident,
                                 buckets=buckets).materialize()
     by_src = bucketed_group_agg(e, "src", ident,

@@ -28,7 +28,13 @@ def _gini_fold(v: np.ndarray, n: np.ndarray, pos: np.ndarray):
     """Shared threshold fold over one feature's (value, n, n_pos)
     histogram (rows sorted by value): returns the per-threshold
     (values, nl, posl, nr, posr, score) arrays. score is the common-
-    denominator weighted Gini as float64 of exact int64s."""
+    denominator weighted Gini as float64 of exact integers.
+
+    num is O(n³): the int64 fast path is provably safe only while
+    2·nt³ < 2^63 (nt ≤ ~1.66e6 rows); beyond that the fold switches
+    to Python-bigint (object-dtype) arithmetic — exact at any nt,
+    with the same double(num)/double(den) rounding as the HUGEINT
+    SQL twin (cast each exact integer to float64, then divide)."""
     nl = np.cumsum(n)[:-1]
     posl = np.cumsum(pos)[:-1]
     nt, pt = int(n.sum()), int(pos.sum())
@@ -36,10 +42,20 @@ def _gini_fold(v: np.ndarray, n: np.ndarray, pos: np.ndarray):
     posr = pt - posl
     negl = nl - posl
     negr = nr - posr
-    num = ((nl * nl - posl * posl - negl * negl) * nr
-           + (nr * nr - posr * posr - negr * negr) * nl)
-    den = nl * nr
-    score = num.astype(np.float64) / den.astype(np.float64)
+    if 2 * nt ** 3 < 2 ** 63:
+        num = ((nl * nl - posl * posl - negl * negl) * nr
+               + (nr * nr - posr * posr - negr * negr) * nl)
+        den = nl * nr
+        score = num.astype(np.float64) / den.astype(np.float64)
+        return v[:-1], nl, posl, nr, posr, score
+    onl, oposl = nl.astype(object), posl.astype(object)
+    onr, oposr = nr.astype(object), posr.astype(object)
+    onegl, onegr = negl.astype(object), negr.astype(object)
+    num = ((onl * onl - oposl * oposl - onegl * onegl) * onr
+           + (onr * onr - oposr * oposr - onegr * onegr) * onl)
+    den = onl * onr
+    score = (np.array([float(x) for x in num], dtype=np.float64)
+             / np.array([float(x) for x in den], dtype=np.float64))
     return v[:-1], nl, posl, nr, posr, score
 
 
@@ -154,8 +170,17 @@ def grouped_moments(ds, key: str, val: str) -> pd.DataFrame:
 
     are reported as float64 of the exact integer — identical to the
     SQL twin's HUGEINT→DOUBLE cast (both round-to-nearest from the
-    same integer). ``val`` must be small ints (v⁴ sums must fit
-    int64 per partial: |v| ≤ ~5e3 at 1e6-row batches).
+    same integer).
+
+    Overflow contract (fail-loud, never silent): per ELEMENT
+    |v| ≤ 50000 so a single v⁴ fits int64, and per KEY the whole
+    power-sum Σ|v|⁴ must stay below 2^62 — enforced with an
+    order-independent float64 upper tracker shipped alongside the
+    int64 partials (any int64 wrap in a batch partial or the global
+    fold implies the per-key total tripped the tracker, because every
+    partial is bounded by its key's total; Σ|v|⁴+n also upper-bounds
+    every lower power since |v|^k ≤ v⁴+1 for k ≤ 4). The 2x margin to
+    2^63 absorbs float summation error.
 
     Returns DataFrame(key, n, s1, s2, m3_num, m4_num).
     """
@@ -164,24 +189,34 @@ def grouped_moments(ds, key: str, val: str) -> pd.DataFrame:
     def powers(t: pa.Table) -> pa.Table:
         x = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
         if len(x) and int(np.abs(x).max()) > 50_000:
-            # v^4 partial sums leave int64 territory fast — fail loud
-            # instead of silently wrapping (the docstring contract)
+            # a single v^4 must fit int64 — fail loud instead of
+            # silently wrapping (the docstring contract)
             raise ValueError(
                 f"grouped_moments values must satisfy |v| <= 50000; "
                 f"got {int(np.abs(x).max())}")
+        x4 = x ** 4
         return pa.table({key: t.column(key), "s1": pa.array(x),
                          "s2": pa.array(x * x), "s3": pa.array(x ** 3),
-                         "s4": pa.array(x ** 4)})
+                         "s4": pa.array(x4),
+                         "b4": pa.array(np.abs(x4).astype(np.float64))})
 
     agg = pre_aggregated_sums(
         ds.select_columns([key, val]).map_batches(
             powers, batch_format="pyarrow"),
-        [key], ["s1", "s2", "s3", "s4"], count_alias="n").to_pandas()
+        [key], ["s1", "s2", "s3", "s4", "b4"],
+        count_alias="n").to_pandas()
     rows = []
     for r in agg.itertuples(index=False):
         k = getattr(r, key)
         n, s1, s2, s3, s4 = (int(r.n), int(r.s1), int(r.s2),
                              int(r.s3), int(r.s4))
+        if float(r.b4) + n >= float(2 ** 62):
+            # the int64 power sums for this key are no longer provably
+            # un-wrapped — fail loud (sum bound, not element bound)
+            raise ValueError(
+                f"grouped_moments per-key power sums overflow: key "
+                f"{k!r} has sum(|v|^4) ~ {float(r.b4):.3e} >= 2^62; "
+                "reduce value magnitude or pre-scale")
         m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
         m4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
               + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)

@@ -575,8 +575,11 @@ def stay_points(ds, key_col: str, order_cols: list[str],
     all of its keys in one lexsorted vectorized pass: break flags →
     cumsum segment labels → np.add.reduceat folds per segment. Returns
     Dataset(key, seg_id, n_points, dwell_us, sum_x, sum_y) where
-    dwell_us = last - first of ``ts_col`` (default: order_cols[0]) and
-    sum_x/sum_y are exact integer centroid numerators.
+    dwell_us = max - min of ``ts_col`` within the segment (default
+    ts_col: order_cols[0]; the reduceat max/min form matches the SQL
+    twin's max(us)-min(us) even for a ts_col that is not monotone in
+    the sort order, and can never go negative) and sum_x/sum_y are
+    exact integer centroid numerators.
     """
     from spapy_ray.stages.relational import bucketed_group_agg
 
@@ -600,11 +603,12 @@ def stay_points(ds, key_col: str, order_cols: list[str],
         brk = newkey | (step > radius)
         seg = np.cumsum(brk) - 1              # bucket-global label
         si = np.nonzero(brk)[0]               # first row per segment
-        sl = np.r_[si[1:] - 1, len(k) - 1]    # last row per segment
         n = np.diff(np.r_[si, len(k)]).astype(np.int64)
         sum_x = np.add.reduceat(x, si)
         sum_y = np.add.reduceat(y, si)
-        dwell = ts[sl] - ts[si]
+        # max-min per segment (not last-first in sort order): exact
+        # for a non-monotone ts_col too, like the twin's max-min
+        dwell = np.maximum.reduceat(ts, si) - np.minimum.reduceat(ts, si)
         # per-key 1-based ordinal over the segment table
         knew = newkey[si]                     # segment starts new key
         kfi = np.nonzero(knew)[0]

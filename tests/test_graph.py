@@ -216,8 +216,10 @@ def test_k_truss_empty(ray_session):
     assert list(got.columns) == ["lo", "hi", "support"]
 
 
-def test_hits_matches_sequential_reference(ray_session):
-    """Distributed HITS == the sequential integer iteration."""
+@pytest.mark.parametrize("mode", ["broadcast", "join"])
+def test_hits_matches_sequential_reference(ray_session, mode):
+    """Distributed HITS == the sequential integer iteration, in both
+    the broadcast and the scores-as-Dataset join mode."""
     import numpy as np
     import pandas as pd
     import ray.data as rd
@@ -229,7 +231,10 @@ def test_hits_matches_sequential_reference(ray_session):
                       "dst": rng.integers(100, 115, 200)}) \
         .drop_duplicates().reset_index(drop=True)
     r0 = 1_000_000
-    got = hits(rd.from_pandas(e), iterations=4, r0=r0, buckets=8)
+    got = hits(rd.from_pandas(e), iterations=4, r0=r0, buckets=8,
+               mode=mode)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
 
     hubs = np.sort(e["src"].unique())
     auths = np.sort(e["dst"].unique())
