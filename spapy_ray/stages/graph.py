@@ -222,10 +222,11 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
         return g.groupby("src", sort=False).size() \
             .reset_index(name="deg")
 
-    deg = bucketed_group_agg(e.select_columns(["src"]), "src",
-                             deg_local, buckets=buckets)
     base = r0 * (damping_den - damping_num) // damping_den
 
+    if mode in ("auto", "broadcast"):
+        deg = bucketed_group_agg(e.select_columns(["src"]), "src",
+                                 deg_local, buckets=buckets)
     if mode == "auto":
         deg = deg.materialize()
         mode = "broadcast" if deg.count() <= broadcast_max_nodes \
@@ -265,60 +266,71 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
     # mode == "join": ranks stay a Dataset end to end. The degree-
     # fused edge table is hash(src)-bucketed ONCE into object-store
     # spans (_bucket_spans — driver holds O(B) refs, never rows);
-    # each iteration then moves only NODE-sized data: one shuffle of
-    # the rank rows to their src-bucket (bucket-local searchsorted
-    # join + per-dst partial sums against the pinned edge slices),
-    # one bucketed fold of the per-bucket dst partials. Per-iteration
-    # exchange volume is O(nodes + sum_b distinct_dst(b)), never
-    # O(edges) — the cluster-shaped path for beyond-memory node sets.
-    import ray
+    # each iteration then moves only NODE-sized data and costs ONE
+    # shuffle: a plain map over the rank blocks joins each row
+    # against its bucket's pinned edge slices and emits pre-summed
+    # per-dst partials (additive across batches, so NO contiguity or
+    # co-location assumption — a split bucket just yields two
+    # partials), and one bucketed groupby folds them into the next
+    # ranks. Exchange volume is O(nodes + sum_b distinct_dst(b)) per
+    # iteration, never O(edges) — the cluster-shaped path for
+    # beyond-memory node sets. The fold's map_groups output comes
+    # back naturally clustered by bucket, so the next map touches
+    # few spans per block.
     from spapy_ray.stages.relational import _bucket_column
     from spapy_ray.util import cluster_cpus
 
-    b = buckets or max(64, cluster_cpus() * 4)
-    eddeg = hash_join(e, deg, on="src", buckets=b) \
-        .select_columns(["src", "dst", "deg"])
-    spans, pinned = _bucket_spans(eddeg, "src", b)
+    # node-sized rows per shuffle: fewer, larger buckets beat the
+    # big-data default (sort-shuffle task count grows with blocks)
+    b = buckets or max(16, cluster_cpus())
 
-    def init_ranks(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "node": t.column("src"),
-            "r": pa.array(np.full(len(t), r0, dtype=np.int64))})
+    # ALL of a src's edges land in its bucket, so out-degree is
+    # computable inside the one span-building shuffle — no separate
+    # deg fold and no deg join (two whole edge exchanges saved)
+    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["src", "dst"]].copy()
+        g["deg"] = g.groupby("src", sort=False)["src"] \
+            .transform("size").astype(np.int64)
+        return g
 
-    ranks = deg.map_batches(init_ranks, batch_format="pyarrow") \
-        .materialize()
+    spans, pinned = _bucket_spans(e, "src", b, local=attach_deg)
 
-    def tag_node(t: pa.Table) -> pa.Table:
-        return t.append_column("_bucket",
-                               _bucket_column(t, "node", b))
-
-    def step(g: pd.DataFrame) -> pd.DataFrame:
-        bkt = int(g["_bucket"].iat[0])
-        sp = spans.get(bkt)
-        if not sp:
-            return pd.DataFrame({"dst": np.array([], np.int64),
-                                 "s": np.array([], np.int64)})
-        nodes = g["node"].to_numpy(dtype=np.int64)
-        r = g["r"].to_numpy(dtype=np.int64)
-        o = np.argsort(nodes, kind="stable")
-        nodes, r = nodes[o], r[o]
+    def step(t: pa.Table) -> pa.Table:
+        nodes = t.column("node").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        r = t.column("r").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bk = _bucket_column(t, "node", b).to_numpy() \
+            .astype(np.int64)
+        o = np.lexsort((nodes, bk))
+        nodes, r, bk = nodes[o], r[o], bk[o]
+        cut = np.r_[0, np.flatnonzero(np.diff(bk) != 0) + 1, len(bk)]
         acc_d, acc_s = [], []
-        for t in _span_tables(sp):
-            src = t.column("src").to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            dst = t.column("dst").to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            dg = t.column("deg").to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            pos = np.searchsorted(nodes, src)
-            ok = (pos < len(nodes)) & \
-                (nodes[np.minimum(pos, len(nodes) - 1)] == src)
-            contrib = r[pos[ok]] // dg[ok]
-            u, inv = np.unique(dst[ok], return_inverse=True)
-            s = np.zeros(len(u), dtype=np.int64)
-            np.add.at(s, inv, contrib)
-            acc_d.append(u)
-            acc_s.append(s)
+        for i in range(len(cut) - 1):
+            lo, hi = cut[i], cut[i + 1]
+            sp = spans.get(int(bk[lo]))
+            if not sp:
+                continue
+            nn, rr = nodes[lo:hi], r[lo:hi]
+            for tt in _span_tables(sp):
+                src = tt.column("src").to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                dst = tt.column("dst").to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                dg = tt.column("deg").to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                pos = np.searchsorted(nn, src)
+                ok = (pos < len(nn)) & \
+                    (nn[np.minimum(pos, len(nn) - 1)] == src)
+                contrib = rr[pos[ok]] // dg[ok]
+                u, inv = np.unique(dst[ok], return_inverse=True)
+                s = np.zeros(len(u), dtype=np.int64)
+                np.add.at(s, inv, contrib)
+                acc_d.append(u)
+                acc_s.append(s)
+        if not acc_d:
+            return pa.table({"dst": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
         d = np.concatenate(acc_d)
         sv = np.concatenate(acc_s)
         if len(acc_d) > 1:
@@ -326,7 +338,7 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
             tot = np.zeros(len(u), dtype=np.int64)
             np.add.at(tot, inv, sv)
             d, sv = u, tot
-        return pd.DataFrame({"dst": d, "s": sv})
+        return pa.table({"dst": pa.array(d), "s": pa.array(sv)})
 
     def fold_local(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby("dst", sort=False)["s"].sum() \
@@ -336,12 +348,40 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
         return pd.DataFrame({"node": s["dst"].to_numpy(dtype=np.int64),
                              "r": r_new})
 
-    for _ in range(iterations):
-        partials = ranks.map_batches(tag_node,
-                                     batch_format="pyarrow") \
-            .groupby("_bucket").map_groups(step, batch_format="pandas")
+    def step0(t: pa.Table) -> pa.Table:
+        # iteration 1: every rank is r0, so the partials come straight
+        # off the pinned edge blocks — no rank dataset, no lookup
+        if len(t) == 0 or "dst" not in t.column_names:
+            return pa.table({"dst": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
+        dst = t.column("dst").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dg = t.column("deg").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        contrib = r0 // dg
+        u, inv = np.unique(dst, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, contrib)
+        return pa.table({"dst": pa.array(u), "s": pa.array(s)})
+
+    if iterations < 1:
+        def distinct_src(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": np.unique(g["src"].to_numpy(dtype=np.int64)),
+            }).assign(r=np.int64(r0))
+
+        ranks = bucketed_group_agg(e.select_columns(["src"]), "src",
+                                   distinct_src, buckets=b)
+    else:
+        partials = pinned.map_batches(step0, batch_format="pyarrow",
+                                      batch_size=None)
         ranks = bucketed_group_agg(partials, "dst", fold_local,
                                    buckets=b).materialize()
+        for _ in range(iterations - 1):
+            partials = ranks.map_batches(step, batch_format="pyarrow",
+                                         batch_size=None)
+            ranks = bucketed_group_agg(partials, "dst", fold_local,
+                                       buckets=b).materialize()
     del pinned  # spans no longer needed once the final fold is real
 
     def rename(t: pa.Table) -> pa.Table:
@@ -1037,62 +1077,75 @@ def _hits_join(e, *, iterations: int, r0: int,
     Per half-iteration exchange volume is O(nodes + partials), never
     O(edges); the only driver-resident value is the scalar max used
     for integer normalization."""
-    import ray
-
     from spapy_ray.stages.relational import _bucket_column, \
         bucketed_group_agg
     from spapy_ray.util import cluster_cpus
 
-    b = buckets or max(64, cluster_cpus() * 4)
+    b = buckets or max(16, cluster_cpus())
     local = (lambda g: g.drop_duplicates()) if dedup else None
+    # both span builds consume e — materialize once or the upstream
+    # pipeline (reads, joins) executes twice
+    e = e.materialize()
     src_spans, pin_s = _bucket_spans(e, "src", b, local=local)
     dst_spans, pin_d = _bucket_spans(e, "dst", b, local=local)
 
-    def distinct_nodes(col: str):
-        def local_d(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "node": np.unique(g[col].to_numpy(dtype=np.int64))})
+    def fold_local(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=False)["s"].sum() \
+            .reset_index(name="v")
 
-        return bucketed_group_agg(e.select_columns([col]), col,
-                                  local_d, buckets=b)
+    def first_partials(t: pa.Table) -> pa.Table:
+        # first authority half: every hub score is r0, so the
+        # partials come straight off the src-pinned edge blocks
+        if len(t) == 0 or "dst" not in t.column_names:
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
+        dst = t.column("dst").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, cnt = np.unique(dst, return_counts=True)
+        return pa.table({"node": pa.array(u),
+                         "s": pa.array(cnt.astype(np.int64) * r0)})
 
-    def seed(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "node": t.column("node"),
-            "v": pa.array(np.full(len(t), r0, dtype=np.int64))})
-
-    hubs = distinct_nodes("src")
-    h = hubs.map_batches(seed, batch_format="pyarrow").materialize()
-
-    def tag_node(t: pa.Table) -> pa.Table:
-        return t.append_column("_bucket",
-                               _bucket_column(t, "node", b))
-
-    def make_step(spans, lookup_col: str, group_col: str):
-        def step(g: pd.DataFrame) -> pd.DataFrame:
-            bkt = int(g["_bucket"].iat[0])
-            sp = spans.get(bkt)
-            if not sp:
-                return pd.DataFrame({"node": np.array([], np.int64),
-                                     "s": np.array([], np.int64)})
-            nodes = g["node"].to_numpy(dtype=np.int64)
-            v = g["v"].to_numpy(dtype=np.int64)
-            o = np.argsort(nodes, kind="stable")
-            nodes, v = nodes[o], v[o]
+    def make_step(spans, mx: int, lookup_col: str, group_col: str):
+        # phaseA of a half: normalize the incoming RAW scores by the
+        # scalar mx inline, then join each row against its bucket's
+        # pinned edge slices; per-group partial sums are additive
+        # across batches, so no contiguity assumption
+        def step(t: pa.Table) -> pa.Table:
+            nodes = t.column("node").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            v = t.column("v").to_numpy(zero_copy_only=False) \
+                .astype(np.int64) * r0 // mx
+            bk = _bucket_column(t, "node", b).to_numpy() \
+                .astype(np.int64)
+            o = np.lexsort((nodes, bk))
+            nodes, v, bk = nodes[o], v[o], bk[o]
+            cut = np.r_[0, np.flatnonzero(np.diff(bk) != 0) + 1,
+                        len(bk)]
             acc_n, acc_s = [], []
-            for t in _span_tables(sp):
-                look = t.column(lookup_col) \
-                    .to_numpy(zero_copy_only=False).astype(np.int64)
-                grp = t.column(group_col) \
-                    .to_numpy(zero_copy_only=False).astype(np.int64)
-                pos = np.searchsorted(nodes, look)
-                ok = (pos < len(nodes)) & \
-                    (nodes[np.minimum(pos, len(nodes) - 1)] == look)
-                u, inv = np.unique(grp[ok], return_inverse=True)
-                s = np.zeros(len(u), dtype=np.int64)
-                np.add.at(s, inv, v[pos[ok]])
-                acc_n.append(u)
-                acc_s.append(s)
+            for i in range(len(cut) - 1):
+                lo, hi = cut[i], cut[i + 1]
+                sp = spans.get(int(bk[lo]))
+                if not sp:
+                    continue
+                nn, vv = nodes[lo:hi], v[lo:hi]
+                for tt in _span_tables(sp):
+                    look = tt.column(lookup_col) \
+                        .to_numpy(zero_copy_only=False) \
+                        .astype(np.int64)
+                    grp = tt.column(group_col) \
+                        .to_numpy(zero_copy_only=False) \
+                        .astype(np.int64)
+                    pos = np.searchsorted(nn, look)
+                    ok = (pos < len(nn)) & \
+                        (nn[np.minimum(pos, len(nn) - 1)] == look)
+                    u, inv = np.unique(grp[ok], return_inverse=True)
+                    s = np.zeros(len(u), dtype=np.int64)
+                    np.add.at(s, inv, vv[pos[ok]])
+                    acc_n.append(u)
+                    acc_s.append(s)
+            if not acc_n:
+                return pa.table({"node": pa.array([], type=pa.int64()),
+                                 "s": pa.array([], type=pa.int64())})
             n = np.concatenate(acc_n)
             sv = np.concatenate(acc_s)
             if len(acc_n) > 1:
@@ -1100,50 +1153,45 @@ def _hits_join(e, *, iterations: int, r0: int,
                 tot = np.zeros(len(u), dtype=np.int64)
                 np.add.at(tot, inv, sv)
                 n, sv = u, tot
-            return pd.DataFrame({"node": n, "s": sv})
+            return pa.table({"node": pa.array(n), "s": pa.array(sv)})
 
         return step
 
-    def fold_local(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby("node", sort=False)["s"].sum() \
-            .reset_index(name="v")
-        return s
-
-    def half(scores, spans, lookup_col: str, group_col: str):
-        partials = scores.map_batches(tag_node,
-                                      batch_format="pyarrow") \
-            .groupby("_bucket") \
-            .map_groups(make_step(spans, lookup_col, group_col),
-                        batch_format="pandas")
+    def fold(partials):
         raw = bucketed_group_agg(partials, "node", fold_local,
                                  buckets=b).materialize()
-        mx = max(int(raw.max("v") or 0), 1)
+        return raw, max(int(raw.max("v") or 0), 1)
 
-        def norm(t: pa.Table) -> pa.Table:
+    a_raw = amax = h_raw = hmax = None
+    for it in range(iterations):
+        if it == 0:
+            parts = pin_s.map_batches(first_partials,
+                                      batch_format="pyarrow",
+                                      batch_size=None)
+        else:
+            parts = h_raw.map_batches(
+                make_step(src_spans, hmax, "src", "dst"),
+                batch_format="pyarrow", batch_size=None)
+        a_raw, amax = fold(parts)
+        h_raw, hmax = fold(a_raw.map_batches(
+            make_step(dst_spans, amax, "dst", "src"),
+            batch_format="pyarrow", batch_size=None))
+
+    def label(side: str, mx: int):
+        def f(t: pa.Table) -> pa.Table:
             v = t.column("v").to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
-            return pa.table({"node": t.column("node"),
-                             "v": pa.array(v * r0 // mx)})
-
-        return raw.map_batches(norm, batch_format="pyarrow")
-
-    a = None
-    for _ in range(iterations):
-        a = half(h, src_spans, "src", "dst")
-        h = half(a, dst_spans, "dst", "src")
-
-    def label(side: str):
-        def f(t: pa.Table) -> pa.Table:
             return pa.table({
                 "side": pa.array(np.full(len(t), side)),
                 "node": t.column("node"),
-                "score": t.column("v")})
+                "score": pa.array(v * r0 // mx)})
 
         return f
 
-    out = h.map_batches(label("hub"), batch_format="pyarrow").union(
-        a.map_batches(label("auth"), batch_format="pyarrow")) \
-        .materialize()
+    out = h_raw.map_batches(label("hub", hmax),
+                            batch_format="pyarrow").union(
+        a_raw.map_batches(label("auth", amax),
+                          batch_format="pyarrow")).materialize()
     del pin_s, pin_d
     return out
 
