@@ -117,6 +117,8 @@ def oracle_sql() -> dict[str, str]:
         "cell_index": o.q_cell_index(),
         "pip_join": o.q_pip_join(),
         "pip_join_cells": o.q_pip_join_cells(),
+        "media_decode": o.q_media_decode(),
+        "media_resize": o.q_media_resize(),
         "zone_page_counts": o.q_zone_page_counts(),
         "top_zones": o.q_top_zones(),
         "tile_counts": o.q_tile_counts(),

@@ -106,6 +106,41 @@ def q_pip_join() -> str:
             "SELECT url, warc_ts, zone_id, name, labelrank FROM joined")
 
 
+def q_media_decode() -> str:
+    """Twin of the real PNG decode: pixel aggregates from the
+    closed-form pixel spec (sources/media.py). The payload bytes are
+    zlib-dependent and never hashed."""
+    from spapy_ray.sources.media import sql_media_cte
+
+    return (
+        f"WITH {sql_media_cte()} "
+        "SELECT d.media_id, d.w::BIGINT AS width, "
+        "d.h::BIGINT AS height, sum(p.px)::BIGINT AS px_sum, "
+        "min(p.px)::BIGINT AS px_min, max(p.px)::BIGINT AS px_max "
+        "FROM media_dims d JOIN media_px p USING (media_id) "
+        "GROUP BY d.media_id, d.w, d.h")
+
+
+def q_media_resize(width: int = 24, height: int = 20) -> str:
+    """Twin of decode → nearest-neighbor resize → re-encode →
+    decode: target pixel (y', x') samples source index
+    floor(t * src // dst) of the closed-form image."""
+    from spapy_ray.sources.media import sql_media_dims_cte
+
+    return (
+        f"WITH {sql_media_dims_cte()}, "
+        "tgt AS (SELECT d.media_id, "
+        f"((x.x * d.w // {width}) * 3 + (y.y * d.h // {height}) * 5 "
+        "+ d.media_id * 7) % 251 AS px "
+        "FROM media_dims d, "
+        f"LATERAL (SELECT unnest(range({width})) AS x) x, "
+        f"LATERAL (SELECT unnest(range({height})) AS y) y) "
+        f"SELECT media_id, {width}::BIGINT AS width, "
+        f"{height}::BIGINT AS height, sum(px)::BIGINT AS px_sum, "
+        "min(px)::BIGINT AS px_min, max(px)::BIGINT AS px_max "
+        "FROM tgt GROUP BY media_id")
+
+
 def q_pip_join_cells() -> str:
     """Twin of the co-partitioned (cell + salt) spatial join — the
     partitioning is an engine-side detail, so the oracle is simply

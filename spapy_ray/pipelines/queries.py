@@ -10609,3 +10609,46 @@ def q_pip_join_cells(sf_dir: str):
 
 
 QUERIES["pip_join_cells"] = q_pip_join_cells
+
+
+def q_media_decode(sf_dir: str):
+    """REAL image decode under the value hash: the synthetic media
+    table is actual PNG bytes (sources/media.py — zlib stream, CRC
+    chunks, a different scanline filter per row), decoded by the
+    pure-stdlib codec (kernels/png.py) in an actor-pool stage
+    (multimodal.decode_media_stats); the output is exact integer
+    pixel aggregates whose twin DuckDB reconstructs from the closed-
+    form pixel spec — the payload bytes are never hashed."""
+    from spapy_ray.sources.media import media_dataset
+    from spapy_ray.stages.multimodal import RealPngCodec, \
+        decode_media_stats
+
+    return decode_media_stats(media_dataset(sf_dir), "png",
+                              codec=RealPngCodec())
+
+
+QUERIES["media_decode"] = q_media_decode
+
+
+def q_media_resize(sf_dir: str, width: int = 24, height: int = 20):
+    """Decode -> nearest-neighbor resize -> re-encode -> decode
+    again, all through the real PNG codec: the resized image's pixel
+    aggregates equal the twin's closed form over source indices
+    floor(target * src // dst) — pinning the whole decode/resize/
+    encode loop, not just the probe."""
+    from spapy_ray.sources.media import media_dataset
+    from spapy_ray.stages.multimodal import RealPngCodec, \
+        decode_media_stats, resize_media
+    from spapy_ray.util import chained_pools
+
+    # two actor-pool stages share one pipeline: split the cluster or
+    # their pre-started minimums starve the read (util.chained_pools)
+    r = resize_media(media_dataset(sf_dir), payload_col="png",
+                     codec=RealPngCodec(), width=width, height=height,
+                     concurrency=chained_pools(2))
+    return decode_media_stats(r, "resized", codec=RealPngCodec(),
+                              keep=["media_id"],
+                              concurrency=chained_pools(2))
+
+
+QUERIES["media_resize"] = q_media_resize

@@ -1,0 +1,91 @@
+"""Deterministic synthetic media payloads — REAL PNGs — plus the
+closed-form integer spec their SQL twins reconstruct.
+
+The media table for a testdata tier is derived from the tier's page
+count (sources/pages.py convention): n_media = max(64, min(2000,
+pages // 300)). Image ``i`` is an 8-bit grayscale PNG with
+
+    width  w(i) = 16 + (i * 31) % 40
+    height h(i) = 16 + (i * 17) % 24
+    pixel (y, x) = (x * 3 + y * 5 + i * 7) % 251
+    scanline r encoded with PNG filter (r + i) % 5
+
+so every decode exercises all five de-filter paths, while the decoded
+width/height/pixel aggregates have exact integer twins DuckDB computes
+from generate_series — the trick that puts a REAL codec under the
+value hash (the payload bytes themselves are zlib-dependent and are
+never hashed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from spapy_ray.kernels.png import encode_png
+from spapy_ray.sources.pages import page_count
+
+
+def media_count(n_pages: int) -> int:
+    return max(64, min(2000, n_pages // 300))
+
+
+def media_params(i: np.ndarray):
+    i = np.asarray(i, dtype=np.int64)
+    return 16 + (i * 31) % 40, 16 + (i * 17) % 24
+
+
+def gen_media_table(idx: np.ndarray) -> pa.Table:
+    """media_id + png payload for the given image indices."""
+    idx = np.asarray(idx, dtype=np.int64)
+    ws, hs = media_params(idx)
+    payloads = []
+    for i, w, h in zip(idx.tolist(), ws.tolist(), hs.tolist()):
+        y, x = np.mgrid[0:h, 0:w]
+        arr = ((x * 3 + y * 5 + i * 7) % 251).astype(np.uint8)
+        payloads.append(encode_png(
+            arr, filters=[(r + i) % 5 for r in range(h)]))
+    return pa.table({
+        "media_id": pa.array(idx),
+        "png": pa.array(payloads, type=pa.binary())})
+
+
+def media_dataset(sf_dir: str):
+    """Distributed synth: a range Dataset mapped through the PNG
+    encoder (batch-local, no driver payloads)."""
+    import ray.data as rd
+
+    n = media_count(page_count(sf_dir))
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return gen_media_table(
+            batch.column("id").to_numpy(zero_copy_only=False))
+
+    return rd.range(n).map_batches(gen, batch_format="pyarrow",
+                                   batch_size=256)
+
+
+def sql_media_dims_cte() -> str:
+    """CTE ``media_dims(media_id, w, h)`` from the same integer spec
+    (media count derived the engine's way from the lineitem view)."""
+    n = ("greatest(64, least(2000, (SELECT count(*) FROM lineitem) "
+         "// 300))")
+    return (
+        f"media_ids AS (SELECT i FROM (SELECT row_number() OVER () - 1 "
+        f"AS i FROM lineitem) t WHERE i < {n}), "
+        "media_dims AS (SELECT i AS media_id, "
+        "16 + (i * 31) % 40 AS w, 16 + (i * 17) % 24 AS h "
+        "FROM media_ids)"
+    )
+
+
+def sql_media_cte() -> str:
+    """…plus ``media_px(media_id, x, y, px)`` — one row per pixel."""
+    return (
+        f"{sql_media_dims_cte()}, "
+        "media_px AS (SELECT media_id, x.x, y.y, "
+        "(x.x * 3 + y.y * 5 + media_id * 7) % 251 AS px "
+        "FROM media_dims, "
+        "LATERAL (SELECT unnest(range(w)) AS x) x, "
+        "LATERAL (SELECT unnest(range(h)) AS y) y)"
+    )

@@ -104,16 +104,102 @@ class DeterministicFakeCodec:
         return np.column_stack(cols)
 
 
+class RealPngCodec:
+    """REAL pixels behind the media stages: pure-stdlib PNG decode/
+    encode (kernels/png.py — zlib stream, CRC-verified chunks, all
+    five scanline filters). Stills only: n_frames is 1 and
+    extract_frames serves frame 0 as the payload itself. Swap in a
+    compiled decoder behind the same four methods for JPEG/video."""
+
+    feature_dim = 16
+
+    def decode_meta(self, payloads: list[bytes]) -> dict[str, np.ndarray]:
+        from spapy_ray.kernels.png import parse_ihdr
+
+        payloads = _as_bytes(payloads)
+        n = len(payloads)
+        width = np.empty(n, dtype=np.int32)
+        height = np.empty(n, dtype=np.int32)
+        for i, p in enumerate(payloads):
+            m = parse_ihdr(p)
+            width[i], height[i] = m["width"], m["height"]
+        return {"width": width, "height": height,
+                "n_frames": np.ones(n, dtype=np.int32),
+                "n_bytes": np.array([len(p) for p in payloads],
+                                    dtype=np.int64)}
+
+    def decode_stats(self, payloads: list[bytes]) -> dict[str, np.ndarray]:
+        """Full decode → exact integer pixel aggregates (the oracle
+        surface: sums/extremes over REAL decoded pixels)."""
+        from spapy_ray.kernels.png import decode_png
+
+        payloads = _as_bytes(payloads)
+        n = len(payloads)
+        out = {k: np.empty(n, dtype=np.int64)
+               for k in ("width", "height", "px_sum", "px_min",
+                         "px_max")}
+        for i, p in enumerate(payloads):
+            a = decode_png(p).astype(np.int64)
+            out["height"][i], out["width"][i] = a.shape[:2]
+            out["px_sum"][i] = int(a.sum())
+            out["px_min"][i] = int(a.min())
+            out["px_max"][i] = int(a.max())
+        return out
+
+    def features(self, payloads: list[bytes]) -> np.ndarray:
+        from spapy_ray.kernels.png import decode_png
+
+        payloads = _as_bytes(payloads)
+        feats = np.empty((len(payloads), self.feature_dim),
+                         dtype=np.float32)
+        for i, p in enumerate(payloads):
+            a = decode_png(p)
+            gray = a if a.ndim == 2 else a.mean(axis=2)
+            hist = np.bincount((gray.astype(np.int64) // 22)
+                               .ravel().clip(0, 11), minlength=12)
+            feats[i, :4] = (gray.mean() / 255.0, gray.std() / 255.0,
+                            gray.min() / 255.0, gray.max() / 255.0)
+            feats[i, 4:] = hist / gray.size
+        return feats
+
+    def resize(self, payloads: list[bytes], width: int,
+               height: int) -> list[bytes]:
+        from spapy_ray.kernels.png import decode_png, encode_png
+
+        payloads = _as_bytes(payloads)
+        out = []
+        for p in payloads:
+            a = decode_png(p)
+            h, w = a.shape[:2]
+            # nearest-neighbor: source index floor(target * src / dst)
+            yi = (np.arange(height, dtype=np.int64) * h) // height
+            xi = (np.arange(width, dtype=np.int64) * w) // width
+            out.append(encode_png(a[yi][:, xi]))
+        return out
+
+    def extract_frames(self, payload: bytes,
+                       frame_idx: np.ndarray) -> list[bytes]:
+        payload, = _as_bytes([payload])
+        out = []
+        for i in frame_idx:
+            if int(i) != 0:
+                raise ValueError("PNG stills have a single frame")
+            out.append(payload)
+        return out
+
+
 class RealCodecStub:
-    """The integration point for a real decoder."""
+    """The integration point for decoders beyond PNG (JPEG, audio,
+    video). PNG is REAL — see RealPngCodec."""
 
     feature_dim = 16
 
     def decode_meta(self, payloads):
         raise NotImplementedError(
-            "real image/audio decode needs PIL / ffmpeg, not present in "
-            "this environment; plug a codec with decode_meta/features/"
-            "resize/extract_frames here")
+            "JPEG/audio/video decode needs PIL / ffmpeg, not present "
+            "in this environment; plug a codec with decode_meta/"
+            "features/resize/extract_frames here (PNG already has a "
+            "real pure-stdlib codec: RealPngCodec)")
 
     features = decode_meta
     resize = decode_meta
@@ -208,6 +294,41 @@ class FrameSampler:
                                 pa.array(frame_idx, type=pa.int32()))
         return out.append_column("frame",
                                  pa.array(frames, type=pa.binary()))
+
+
+class MediaDecodeStats:
+    """Actor: payload column → exact integer pixel aggregates from a
+    REAL decode (width, height, px_sum, px_min, px_max)."""
+
+    def __init__(self, codec=None, payload_col: str = "png",
+                 keep: list[str] | None = None):
+        self.codec = codec or RealPngCodec()
+        self.payload_col = payload_col
+        self.keep = keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        stats = self.codec.decode_stats(payloads)
+        keep = self.keep if self.keep is not None else \
+            [c for c in batch.column_names if c != self.payload_col]
+        out = batch.select(keep)
+        for name, arr in stats.items():
+            out = out.append_column(name, pa.array(arr))
+        return out
+
+
+def decode_media_stats(ds, payload_col: str = "png", codec=None,
+                       keep: list[str] | None = None,
+                       batch_size: int = 128, concurrency=None):
+    """Real-decode stage (actor pool; decode is the per-row hot cost,
+    batches stay small because payloads are fat)."""
+    return ds.map_batches(
+        MediaDecodeStats,
+        fn_constructor_kwargs={"codec": codec,
+                               "payload_col": payload_col,
+                               "keep": keep},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or default_pool())
 
 
 def probe_media(ds, payload_col: str = "html", codec=None,

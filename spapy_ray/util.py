@@ -34,6 +34,17 @@ def default_pool() -> int:
     return (max(2, n // 2), n)
 
 
+def chained_pools(k: int) -> tuple[int, int]:
+    """Pool spec for ONE of ``k`` actor-pool stages chained in a
+    single pipeline. Two default_pool() stages back to back deadlock:
+    their pre-started minimums (N/2 each) claim every CPU and the
+    upstream task operator (the read) gets nothing — measured hang on
+    chained media stages. Splitting the cluster k ways keeps all
+    stages runnable and leaves slack for task operators."""
+    n = max(4, cluster_cpus())
+    return (max(1, n // (2 * k)), max(2, n // k))
+
+
 _STATE_CACHE: dict = {}
 
 
