@@ -236,6 +236,9 @@ def oracle_sql() -> dict[str, str]:
         "raster_math_stats": o.q_raster_math_stats(),
         "asc_roundtrip": o.q_asc_roundtrip(),
         "tif_roundtrip": o.q_tif_roundtrip(),
+        # same DEM/grid as tif_roundtrip — the .img container is the
+        # engine-side difference, the pixel twin is identical
+        "img_roundtrip": o.q_tif_roundtrip(),
         "dedup_clusters": o.q_dedup_clusters(),
         # the streaming .shx-indexed reader and the LZW codec are
         # lossless paths over the same payloads — they share the

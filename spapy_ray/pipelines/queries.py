@@ -10652,3 +10652,41 @@ def q_media_resize(sf_dir: str, width: int = 24, height: int = 20):
 
 
 QUERIES["media_resize"] = q_media_resize
+
+
+def q_img_roundtrip(sf_dir: str):
+    """Native Erdas HFA (.img) Save/Load (sources/hfa.py; reference
+    routes .img through gdal's HFA driver, SpaRasters.py:776-787)
+    under the value-hash gate: same ragged 500x420 int DEM as
+    q_tif_roundtrip so edge-block padding, crop-on-read and the
+    Eprj_MapInfo pixel-center georeferencing all sit inside the hash
+    (write -> distributed seek-read -> per-tile stats vs the
+    closed-form pixel twin)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spapy_ray.sources.hfa import read_hfa, write_hfa
+    from spapy_ray.sources.rasters import RasterMeta, synth_dem_dataset
+
+    meta = RasterMeta(width=500, height=420, tile_size=64,
+                      x_min=-10.0, y_max=55.0, pixel_w=0.125,
+                      pixel_h=-0.125)
+    d = tempfile.mkdtemp(prefix="spapy_img_")
+    try:
+        path = os.path.join(d, "dem.img")
+        write_hfa(synth_dem_dataset(meta, kind="int"), meta, path,
+                  dtype="int32")
+        back, bmeta, _ = read_hfa(path)
+        assert bmeta.width == meta.width and bmeta.height == meta.height
+        assert abs(bmeta.x_min - meta.x_min) < 1e-9
+        assert abs(bmeta.pixel_w - meta.pixel_w) < 1e-12
+        # the distributed block fetch seeks into the file lazily —
+        # materialize the decoded stats before the temp dir goes away
+        out = _tile_int_stats(back, "int32", 64).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+QUERIES["img_roundtrip"] = q_img_roundtrip

@@ -62,8 +62,13 @@ def write_aaigrid(ds, meta: RasterMeta, path: str, *, dtype: str,
         return pa.table({"ty": pa.array([ty], type=pa.int64()),
                          "text": pa.array([lines])})
 
-    strips = ds.groupby("ty").map_groups(strip_text, batch_format="pyarrow") \
-        .to_pandas().sort_values("ty")
+    # strips STREAM to the driver in ty order (sort shuffle + batch
+    # iteration): driver memory is one batch of strip texts, never
+    # the whole raster's text (the prior full to_pandas concatenated
+    # every strip driver-side)
+    strips = ds.groupby("ty").map_groups(strip_text,
+                                         batch_format="pyarrow") \
+        .sort("ty")
 
     with open(path, "w") as f:
         f.write(f"ncols {meta.width}\n")
@@ -74,9 +79,17 @@ def write_aaigrid(ds, meta: RasterMeta, path: str, *, dtype: str,
         f.write(f"cellsize {meta.pixel_w!r}\n")
         if nodata is not None:
             f.write(f"NODATA_value {nodata!r}\n")
-        for _, r in strips.iterrows():
-            f.write(r["text"])
-            f.write("\n")
+        expect = 0
+        for b in strips.iter_batches(batch_format="pyarrow"):
+            for ty, text in zip(b.column("ty").to_pylist(),
+                                b.column("text").to_pylist()):
+                if ty != expect:
+                    raise ValueError(
+                        f"strip order broke: got ty={ty}, "
+                        f"expected {expect}")
+                expect += 1
+                f.write(text)
+                f.write("\n")
 
 
 def read_aaigrid(path: str, *, tile_size: int = 256,

@@ -115,8 +115,9 @@ def get_input(source):
         ds, meta, _nodata = read_geotiff(path)
         return ds, meta
     if ext == ".img":
-        raise NotImplementedError(
-            ".img (Erdas HFA) needs GDAL, which this environment "
-            "excludes; convert to GeoTIFF (.tif), AAIGrid (.asc) or a "
-            "parquet raster tile dir")
+        # native minimal Erdas HFA parser — no GDAL (sources/hfa.py)
+        from spapy_ray.sources.hfa import read_hfa
+
+        ds, meta, _nodata = read_hfa(path)
+        return ds, meta
     raise ValueError(f"unrecognized input extension {ext!r} for {path!r}")
