@@ -115,7 +115,13 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # top-k, texture, geo corpus prep, forecast bases)
                  "source_distinct_hll", "top_hosts_rescore",
                  "raster_texture5", "geo_corpus_prep",
-                 "events_seasonal_error"]
+                 "events_seasonal_error",
+                 # round-5 additions (co-partitioned spatial join,
+                 # real-PNG decode/resize, native HFA round-trip;
+                 # graph_pagerank/cust_hits above now run the pinned
+                 # join modes)
+                 "pip_join_cells", "media_decode", "media_resize",
+                 "img_roundtrip"]
 
 
 def _consume(res) -> int:

@@ -1,0 +1,76 @@
+"""Media oracle twins (split from oracle.py)."""
+
+from spapy_ray.oracles.common import *  # noqa: F401,F403
+
+
+def q_media_decode() -> str:
+    """Twin of the real PNG decode: pixel aggregates from the
+    closed-form pixel spec (sources/media.py). The payload bytes are
+    zlib-dependent and never hashed."""
+    from spapy_ray.sources.media import sql_media_cte
+
+    return (
+        f"WITH {sql_media_cte()} "
+        "SELECT d.media_id, d.w::BIGINT AS width, "
+        "d.h::BIGINT AS height, sum(p.px)::BIGINT AS px_sum, "
+        "min(p.px)::BIGINT AS px_min, max(p.px)::BIGINT AS px_max "
+        "FROM media_dims d JOIN media_px p USING (media_id) "
+        "GROUP BY d.media_id, d.w, d.h")
+
+
+def q_media_resize(width: int = 24, height: int = 20) -> str:
+    """Twin of decode → nearest-neighbor resize → re-encode →
+    decode: target pixel (y', x') samples source index
+    floor(t * src // dst) of the closed-form image."""
+    from spapy_ray.sources.media import sql_media_dims_cte
+
+    return (
+        f"WITH {sql_media_dims_cte()}, "
+        "tgt AS (SELECT d.media_id, "
+        f"((x.x * d.w // {width}) * 3 + (y.y * d.h // {height}) * 5 "
+        "+ d.media_id * 7) % 251 AS px "
+        "FROM media_dims d, "
+        f"LATERAL (SELECT unnest(range({width})) AS x) x, "
+        f"LATERAL (SELECT unnest(range({height})) AS y) y) "
+        f"SELECT media_id, {width}::BIGINT AS width, "
+        f"{height}::BIGINT AS height, sum(px)::BIGINT AS px_sum, "
+        "min(px)::BIGINT AS px_min, max(px)::BIGINT AS px_max "
+        "FROM tgt GROUP BY media_id")
+
+
+def q_media_probe() -> str:
+    """Twin of the actor-pool media probe with the deterministic fake
+    codec: pseudo metadata = FNV arithmetic over the payload bytes
+    (html is ASCII, so character ops == byte ops)."""
+    h = sql_fnv1a("html")
+    return (
+        f"WITH {pages_cte()}, "
+        f"probe AS (SELECT url, warc_ts, {h} AS h, length(html) AS nb FROM pages) "
+        "SELECT url, warc_ts, "
+        "(h % 1920 + 16)::BIGINT AS width, "
+        "((h // 65536) % 1080 + 16)::BIGINT AS height, "
+        "((h // 4294967296) % 240 + 1)::BIGINT AS n_frames, "
+        "nb::BIGINT AS n_bytes FROM probe"
+    )
+
+
+def q_media_chunks(chunk: int = 256) -> str:
+    """Twin of the payload chunker: generate_series chunk ordinals
+    ((ln + 255) // 256 - 1 as the hi bound — DuckDB // truncates, so
+    the naive (ln-1)//256 would emit a ghost chunk for empty
+    payloads), substr pieces, same FNV mod signature."""
+    fnv = sql_fnv1a("piece")
+    return (
+        f"WITH {pages_cte()}, "
+        "d AS (SELECT url, warc_ts, html, length(html) AS ln "
+        "FROM pages), "
+        "c AS (SELECT url, warc_ts, html, "
+        f"unnest(generate_series(0, (ln + {chunk - 1}) // {chunk} "
+        "- 1)) AS chunk_id FROM d), "
+        "s AS (SELECT url, warc_ts, chunk_id, "
+        f"substr(html, chunk_id * {chunk} + 1, {chunk}) AS piece "
+        "FROM c) "
+        "SELECT url, warc_ts, chunk_id::BIGINT AS chunk_id, "
+        "length(piece)::BIGINT AS n_bytes, "
+        f"(({fnv}) % 1000000007)::BIGINT AS sig FROM s"
+    )

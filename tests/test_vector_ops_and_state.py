@@ -344,11 +344,11 @@ def test_get_input_dispatch(ray_session, tmp_path):
     # file is a plain file error, not an unsupported format
     with _pytest.raises(FileNotFoundError):
         get_input("/x/y.shp")
-    # .tif is now a native reader (sources/geotiff.py) — a missing
-    # file is a plain file error; .img (HFA) stays env-blocked
+    # .tif and .img are native readers (sources/geotiff.py,
+    # sources/hfa.py) — a missing file is a plain file error
     with _pytest.raises(FileNotFoundError):
         get_input("/x/y.tif")
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(FileNotFoundError):
         get_input("/x/y.img")
     with _pytest.raises(ValueError):
         get_input("/x/y.xyz")
