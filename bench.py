@@ -121,7 +121,7 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # graph_pagerank/cust_hits above now run the pinned
                  # join modes)
                  "pip_join_cells", "media_decode", "media_resize",
-                 "img_roundtrip"]
+                 "img_roundtrip", "audio_decode", "audio_decimate"]
 
 
 def _consume(res) -> int:

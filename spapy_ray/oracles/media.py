@@ -74,3 +74,46 @@ def q_media_chunks(chunk: int = 256) -> str:
         "length(piece)::BIGINT AS n_bytes, "
         f"(({fnv}) % 1000000007)::BIGINT AS sig FROM s"
     )
+
+
+def q_audio_decode() -> str:
+    """Twin of the real WAV decode: sample aggregates from the
+    closed-form spec (sources/media.py sql_audio_cte)."""
+    from spapy_ray.sources.media import sql_audio_cte
+
+    return (
+        f"WITH {sql_audio_cte()} "
+        "SELECT d.media_id, d.rate::BIGINT AS rate, "
+        "1::BIGINT AS channels, d.n::BIGINT AS n_samples, "
+        "sum(a.s)::BIGINT AS amp_sum, min(a.s)::BIGINT AS amp_min, "
+        "max(a.s)::BIGINT AS amp_max "
+        "FROM audio_dims d JOIN audio_smp a USING (media_id) "
+        "GROUP BY d.media_id, d.rate, d.n")
+
+
+def q_audio_decimate(stride: int = 4) -> str:
+    """Twin of decode → decimate(stride) → re-encode → decode:
+    surviving sample t' reads source index stride*t', and the
+    re-encoded rate is rate // stride."""
+    n = ("greatest(64, least(2000, (SELECT count(*) FROM lineitem) "
+         "// 300))")
+    src = f"({stride} * t.t)"
+    return (
+        "WITH audio_ids AS (SELECT i FROM (SELECT row_number() "
+        f"OVER () - 1 AS i FROM lineitem) t WHERE i < {n}), "
+        "audio_dims AS (SELECT i AS media_id, "
+        "8000 + 1000 * (i % 3) AS rate, 400 + (i * 37) % 300 AS n "
+        "FROM audio_ids), "
+        "dec AS (SELECT media_id, rate, "
+        f"({src} * {src} + 3 * {src} + 11 * media_id) "
+        "% 2001 - 1000 AS s "
+        "FROM audio_dims, "
+        f"LATERAL (SELECT unnest(range((n + {stride} - 1) // "
+        f"{stride})) AS t) t) "
+        f"SELECT d.media_id, (d.rate // {stride})::BIGINT AS rate, "
+        "1::BIGINT AS channels, "
+        f"((d.n + {stride} - 1) // {stride})::BIGINT AS n_samples, "
+        "sum(c.s)::BIGINT AS amp_sum, min(c.s)::BIGINT AS amp_min, "
+        "max(c.s)::BIGINT AS amp_max "
+        "FROM audio_dims d JOIN dec c USING (media_id) "
+        "GROUP BY d.media_id, d.rate, d.n")

@@ -117,3 +117,33 @@ def q_media_resize(sf_dir: str, width: int = 24, height: int = 20):
     return decode_media_stats(r, "resized", codec=RealPngCodec(),
                               keep=["media_id"],
                               concurrency=chained_pools(2))
+
+
+def q_audio_decode(sf_dir: str):
+    """REAL audio decode under the value hash: synthetic clips are
+    actual RIFF/WAVE PCM bytes (sources/media.py gen_audio_table),
+    decoded by the pure-stdlib codec (kernels/wav.py) in an
+    actor-pool stage; output is exact integer sample aggregates whose
+    twin DuckDB reconstructs from the closed-form sample spec."""
+    from spapy_ray.sources.media import audio_dataset
+    from spapy_ray.stages.multimodal import audio_stats
+
+    return audio_stats(audio_dataset(sf_dir), "wav",
+                       keep=["media_id"])
+
+
+def q_audio_decimate(sf_dir: str, stride: int = 4):
+    """Decode → integer decimation (every stride-th frame) →
+    re-encode → decode again, all through the real WAV codec: the
+    decimated clip's aggregates equal the twin's closed form over
+    sample indices stride*t — pinning the decode/resample/encode
+    loop (two chained actor pools → util.chained_pools)."""
+    from spapy_ray.sources.media import audio_dataset
+    from spapy_ray.stages.multimodal import audio_stats, \
+        decimate_audio
+    from spapy_ray.util import chained_pools
+
+    d = decimate_audio(audio_dataset(sf_dir), "wav", stride=stride,
+                       concurrency=chained_pools(2))
+    return audio_stats(d, "decimated", keep=["media_id"],
+                       concurrency=chained_pools(2))

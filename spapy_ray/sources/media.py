@@ -89,3 +89,59 @@ def sql_media_cte() -> str:
         "LATERAL (SELECT unnest(range(w)) AS x) x, "
         "LATERAL (SELECT unnest(range(h)) AS y) y)"
     )
+
+
+def audio_params(i: np.ndarray):
+    i = np.asarray(i, dtype=np.int64)
+    return 8000 + 1000 * (i % 3), 400 + (i * 37) % 300
+
+
+def gen_audio_table(idx: np.ndarray) -> pa.Table:
+    """media_id + REAL 16-bit PCM WAV payload for the given indices:
+    mono, rate r(i) = 8000 + 1000*(i%3), n(i) = 400 + (i*37)%300
+    samples, sample[t] = ((t*t + 3t + 11i) % 2001) - 1000 — the same
+    closed-form-twin trick as the PNG table (sample values are exact
+    SQL arithmetic; the RIFF container bytes are never hashed)."""
+    from spapy_ray.kernels.wav import encode_wav
+
+    idx = np.asarray(idx, dtype=np.int64)
+    rates, ns = audio_params(idx)
+    payloads = []
+    for i, r, n in zip(idx.tolist(), rates.tolist(), ns.tolist()):
+        t = np.arange(n, dtype=np.int64)
+        s = ((t * t + 3 * t + 11 * i) % 2001 - 1000).astype(np.int16)
+        payloads.append(encode_wav(s, int(r)))
+    return pa.table({
+        "media_id": pa.array(idx),
+        "wav": pa.array(payloads, type=pa.binary())})
+
+
+def audio_dataset(sf_dir: str):
+    import ray.data as rd
+
+    n = media_count(page_count(sf_dir))
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return gen_audio_table(
+            batch.column("id").to_numpy(zero_copy_only=False))
+
+    return rd.range(n).map_batches(gen, batch_format="pyarrow",
+                                   batch_size=256)
+
+
+def sql_audio_cte() -> str:
+    """CTE ``audio_smp(media_id, rate, t, s)`` — one row per sample
+    of every synthetic clip."""
+    n = ("greatest(64, least(2000, (SELECT count(*) FROM lineitem) "
+         "// 300))")
+    return (
+        f"audio_ids AS (SELECT i FROM (SELECT row_number() OVER () - 1 "
+        f"AS i FROM lineitem) t WHERE i < {n}), "
+        "audio_dims AS (SELECT i AS media_id, "
+        "8000 + 1000 * (i % 3) AS rate, 400 + (i * 37) % 300 AS n "
+        "FROM audio_ids), "
+        "audio_smp AS (SELECT media_id, rate, t.t, "
+        "(t.t * t.t + 3 * t.t + 11 * media_id) % 2001 - 1000 AS s "
+        "FROM audio_dims, "
+        "LATERAL (SELECT unnest(range(n)) AS t) t)"
+    )

@@ -188,18 +188,102 @@ class RealPngCodec:
         return out
 
 
+class AudioDecodeStats:
+    """Actor: WAV payload column → exact integer sample aggregates
+    from a REAL decode (rate, channels, n_samples, amp_sum, amp_min,
+    amp_max) — the audio twin of MediaDecodeStats."""
+
+    def __init__(self, payload_col: str = "wav",
+                 keep: list[str] | None = None):
+        self.payload_col = payload_col
+        self.keep = keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from spapy_ray.kernels.wav import decode_wav
+
+        payloads = _as_bytes(batch.column(self.payload_col).to_pylist())
+        n = len(payloads)
+        out_cols = {k: np.empty(n, dtype=np.int64)
+                    for k in ("rate", "channels", "n_samples",
+                              "amp_sum", "amp_min", "amp_max")}
+        for i, p in enumerate(payloads):
+            s, rate = decode_wav(p)
+            ch = 1 if s.ndim == 1 else s.shape[1]
+            a = s.astype(np.int64)
+            out_cols["rate"][i] = rate
+            out_cols["channels"][i] = ch
+            out_cols["n_samples"][i] = s.shape[0]
+            out_cols["amp_sum"][i] = int(a.sum())
+            out_cols["amp_min"][i] = int(a.min())
+            out_cols["amp_max"][i] = int(a.max())
+        keep = self.keep if self.keep is not None else \
+            [c for c in batch.column_names if c != self.payload_col]
+        out = batch.select(keep)
+        for name, arr in out_cols.items():
+            out = out.append_column(name, pa.array(arr))
+        return out
+
+
+class AudioDecimate:
+    """Actor: decode → keep every ``stride``-th sample frame →
+    re-encode. The integer-decimation resample (a real resampler's
+    polyphase core with the filter taps left to a compiled codec)."""
+
+    def __init__(self, payload_col: str = "wav",
+                 out_col: str = "decimated", stride: int = 4):
+        self.payload_col = payload_col
+        self.out_col = out_col
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from spapy_ray.kernels.wav import decode_wav, encode_wav
+
+        payloads = _as_bytes(batch.column(self.payload_col).to_pylist())
+        out = []
+        for p in payloads:
+            s, rate = decode_wav(p)
+            out.append(encode_wav(s[::self.stride],
+                                  max(1, rate // self.stride)))
+        return batch.append_column(self.out_col,
+                                   pa.array(out, type=pa.binary()))
+
+
+def audio_stats(ds, payload_col: str = "wav",
+                keep: list[str] | None = None,
+                batch_size: int = 256, concurrency=None):
+    return ds.map_batches(
+        AudioDecodeStats,
+        fn_constructor_kwargs={"payload_col": payload_col,
+                               "keep": keep},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or default_pool())
+
+
+def decimate_audio(ds, payload_col: str = "wav",
+                   out_col: str = "decimated", stride: int = 4,
+                   batch_size: int = 256, concurrency=None):
+    return ds.map_batches(
+        AudioDecimate,
+        fn_constructor_kwargs={"payload_col": payload_col,
+                               "out_col": out_col, "stride": stride},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or default_pool())
+
+
 class RealCodecStub:
-    """The integration point for decoders beyond PNG (JPEG, audio,
-    video). PNG is REAL — see RealPngCodec."""
+    """The integration point for decoders beyond PNG and WAV (JPEG,
+    compressed audio, video). PNG is REAL (RealPngCodec /
+    kernels/png.py); WAV PCM is REAL (AudioDecodeStats /
+    kernels/wav.py)."""
 
     feature_dim = 16
 
     def decode_meta(self, payloads):
         raise NotImplementedError(
-            "JPEG/audio/video decode needs PIL / ffmpeg, not present "
-            "in this environment; plug a codec with decode_meta/"
-            "features/resize/extract_frames here (PNG already has a "
-            "real pure-stdlib codec: RealPngCodec)")
+            "JPEG / compressed-audio / video decode needs PIL / "
+            "ffmpeg, not present in this environment; plug a codec "
+            "with decode_meta/features/resize/extract_frames here "
+            "(PNG and WAV PCM already have real pure-stdlib codecs)")
 
     features = decode_meta
     resize = decode_meta

@@ -113,3 +113,72 @@ def test_real_codec_resize_nearest(ray_session):
     feats = c.features([p])
     assert feats.shape == (1, 16)
     assert abs(feats[0, 0] - src.mean() / 255.0) < 1e-6
+
+
+@pytest.mark.parametrize("shape", [(100,), (33, 2), (7, 5)])
+def test_wav_roundtrip(shape):
+    from spapy_ray.kernels.wav import decode_wav, encode_wav, \
+        parse_fmt
+
+    rng = np.random.default_rng(sum(shape))
+    s = rng.integers(-32768, 32768, size=shape).astype(np.int16)
+    b = encode_wav(s, 8000)
+    m = parse_fmt(b)
+    assert m["n_samples"] == shape[0]
+    assert m["channels"] == (shape[1] if len(shape) > 1 else 1)
+    got, rate = decode_wav(b)
+    assert rate == 8000
+    assert got.shape == s.shape and (got == s).all()
+
+
+def test_wav_decode_handbuilt_spec_bytes():
+    """RIFF bytes assembled by hand from the spec, not our encoder."""
+    import struct
+
+    from spapy_ray.kernels.wav import decode_wav
+
+    data = struct.pack("<4h", 1, -2, 300, -32768)
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 8) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    s, rate = decode_wav(wav)
+    assert rate == 44100
+    assert s.tolist() == [1, -2, 300, -32768]
+
+
+def test_wav_fails_loud():
+    import struct
+
+    from spapy_ray.kernels.wav import decode_wav, encode_wav, \
+        parse_fmt
+
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_fmt(b"NOT A WAVE FILE!")
+    # 8-bit and non-PCM rejected
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="bit depth"):
+        parse_fmt(b"RIFF" + struct.pack("<I", len(body)) + body)
+    with pytest.raises(ValueError):
+        encode_wav(np.zeros((2, 2, 2), np.int16), 8000)
+    # truncated data chunk
+    good = encode_wav(np.arange(50, dtype=np.int16), 8000)
+    with pytest.raises(ValueError):
+        decode_wav(good[:-10])
+
+
+def test_audio_table_is_real_wav(ray_session):
+    from spapy_ray.kernels.wav import decode_wav
+    from spapy_ray.sources.media import audio_params, gen_audio_table
+
+    t = gen_audio_table(np.array([0, 5, 17]))
+    for i, payload in zip(t.column("media_id").to_pylist(),
+                          t.column("wav").to_pylist()):
+        s, rate = decode_wav(payload)
+        r, n = audio_params(np.array([i]))
+        assert rate == int(r[0]) and len(s) == int(n[0])
+        tt = np.arange(len(s), dtype=np.int64)
+        want = (tt * tt + 3 * tt + 11 * i) % 2001 - 1000
+        assert (s.astype(np.int64) == want).all()
