@@ -121,7 +121,8 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  # graph_pagerank/cust_hits above now run the pinned
                  # join modes)
                  "pip_join_cells", "media_decode", "media_resize",
-                 "img_roundtrip", "audio_decode", "audio_decimate"]
+                 "img_roundtrip", "audio_decode", "audio_decimate",
+                 "video_frames"]
 
 
 def _consume(res) -> int:

@@ -200,3 +200,115 @@ def decode_png(buf: bytes) -> np.ndarray:
     if ch == 1:
         return pix.reshape(h, w)
     return pix.reshape(h, w, ch)
+
+
+# ------------------------------------------------------------------
+# APNG (animated PNG, public spec: acTL/fcTL/fdAT chunks) — the real
+# VIDEO container for the multimodal stages. Profile: full-size
+# frames, dispose_op 0 (none), blend_op 0 (source), 8-bit color
+# types as above.
+
+def encode_apng(frames: list[np.ndarray], delay_num: int = 1,
+                delay_den: int = 10, level: int = 6) -> bytes:
+    """List of same-shape uint8 frames → APNG bytes. The first frame
+    is the IDAT (part of the animation); later frames are fdAT with
+    running sequence numbers, per the spec."""
+    if not frames:
+        raise ValueError("APNG needs at least one frame")
+    shape = frames[0].shape
+    singles = []
+    for fr in frames:
+        if fr.shape != shape:
+            raise ValueError("APNG frames must share one shape")
+        singles.append(encode_png(fr, level=level))
+    # take IHDR + raw IDAT payloads from the single-frame encodings
+    def idat_of(buf: bytes) -> bytes:
+        return b"".join(d for t, d in _iter_chunks(buf)
+                        if t == b"IDAT")
+
+    ihdr = next(d for t, d in _iter_chunks(singles[0])
+                if t == b"IHDR")
+    h, w = shape[0], shape[1]
+    out = [_SIG, _chunk(b"IHDR", ihdr),
+           _chunk(b"acTL", struct.pack(">II", len(frames), 0))]
+    seq = 0
+    for i, s in enumerate(singles):
+        fctl = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0,
+                           delay_num, delay_den, 0, 0)
+        out.append(_chunk(b"fcTL", fctl))
+        seq += 1
+        data = idat_of(s)
+        if i == 0:
+            out.append(_chunk(b"IDAT", data))
+        else:
+            out.append(_chunk(b"fdAT",
+                              struct.pack(">I", seq) + data))
+            seq += 1
+    out.append(_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def parse_actl(buf: bytes) -> dict:
+    """Header-only probe: IHDR dims + acTL frame count (1 for a
+    plain PNG)."""
+    meta = parse_ihdr(buf)
+    n = 1
+    for tag, data in _iter_chunks(buf):
+        if tag == b"acTL":
+            n = struct.unpack_from(">I", data, 0)[0]
+            break
+        if tag == b"IDAT":
+            break
+    meta["n_frames"] = int(n)
+    return meta
+
+
+def decode_apng(buf: bytes) -> list[np.ndarray]:
+    """APNG bytes → list of full-size frames (each decoded exactly
+    like a standalone PNG; a plain PNG yields one frame). Verifies
+    fcTL full-frame geometry and sequence-number ordering."""
+    ihdr = None
+    frames: list[bytes] = []
+    cur: list[bytes] | None = None
+    seqs: list[int] = []
+    saw_actl = False
+    for tag, data in _iter_chunks(buf):
+        if tag == b"IHDR":
+            ihdr = data
+            w, h = struct.unpack_from(">II", data, 0)
+        elif tag == b"acTL":
+            saw_actl = True
+        elif tag == b"fcTL":
+            seq, fw, fh, xo, yo = struct.unpack_from(">IIIII",
+                                                     data, 0)
+            if (fw, fh, xo, yo) != (w, h, 0, 0):
+                raise ValueError(
+                    "only full-frame APNG is supported")
+            if data[24] != 0 or data[25] != 0:
+                raise ValueError(
+                    "only dispose none / blend source supported")
+            seqs.append(seq)
+            if cur is not None:
+                frames.append(b"".join(cur))
+            cur = []
+        elif tag == b"IDAT":
+            if cur is None:
+                cur = []       # plain PNG (no fcTL yet)
+            cur.append(data)
+        elif tag == b"fdAT":
+            seqs.append(struct.unpack_from(">I", data, 0)[0])
+            if cur is None:
+                raise ValueError("fdAT before any fcTL")
+            cur.append(data[4:])
+    if cur:
+        frames.append(b"".join(cur))
+    if saw_actl and seqs != sorted(seqs):
+        raise ValueError("APNG sequence numbers out of order")
+    if ihdr is None or not frames:
+        raise ValueError("APNG missing IHDR or frame data")
+    out = []
+    for data in frames:
+        single = (_SIG + _chunk(b"IHDR", ihdr)
+                  + _chunk(b"IDAT", data) + _chunk(b"IEND", b""))
+        out.append(decode_png(single))
+    return out

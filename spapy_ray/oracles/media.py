@@ -117,3 +117,31 @@ def q_audio_decimate(stride: int = 4) -> str:
         "max(c.s)::BIGINT AS amp_max "
         "FROM audio_dims d JOIN dec c USING (media_id) "
         "GROUP BY d.media_id, d.rate, d.n")
+
+
+def q_video_frames(stride: int = 2, max_frames: int = 4) -> str:
+    """Twin of the real APNG frame sampling: sampled frame f =
+    stride*k, k < min(ceil(nf/stride), max_frames); per-frame pixel
+    aggregates from the closed-form spec."""
+    n = ("greatest(64, least(2000, (SELECT count(*) FROM lineitem) "
+         "// 300))")
+    return (
+        "WITH video_ids AS (SELECT i FROM (SELECT row_number() "
+        f"OVER () - 1 AS i FROM lineitem) t WHERE i < {n}), "
+        "video_dims AS (SELECT i AS media_id, "
+        "12 + (i * 7) % 20 AS w, 10 + (i * 5) % 14 AS h, "
+        "2 + i % 5 AS nf FROM video_ids), "
+        "fr AS (SELECT media_id, w, h, "
+        f"{stride} * k.k AS f FROM video_dims, "
+        "LATERAL (SELECT unnest(range(least("
+        f"(nf + {stride} - 1) // {stride}, {max_frames}))) AS k) k), "
+        "px AS (SELECT media_id, f, w, h, "
+        "(x.x * 3 + y.y * 5 + media_id * 7 + f * 13) % 251 AS px "
+        "FROM fr, "
+        "LATERAL (SELECT unnest(range(w)) AS x) x, "
+        "LATERAL (SELECT unnest(range(h)) AS y) y) "
+        "SELECT media_id, f::INTEGER AS frame_idx, "
+        "w::BIGINT AS width, h::BIGINT AS height, "
+        "sum(px)::BIGINT AS px_sum, min(px)::BIGINT AS px_min, "
+        "max(px)::BIGINT AS px_max "
+        "FROM px GROUP BY media_id, f, w, h")

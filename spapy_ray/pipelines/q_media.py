@@ -147,3 +147,29 @@ def q_audio_decimate(sf_dir: str, stride: int = 4):
                        concurrency=chained_pools(2))
     return audio_stats(d, "decimated", keep=["media_id"],
                        concurrency=chained_pools(2))
+
+
+def q_video_frames(sf_dir: str, stride: int = 2, max_frames: int = 4):
+    """REAL video frame sampling under the value hash: synthetic
+    clips are actual APNG bytes (acTL/fcTL/fdAT per the public spec),
+    FrameSampler reads n_frames from the header-only acTL probe and
+    extracts every stride-th frame through the real codec
+    (RealApngCodec), and each sampled frame's pixel aggregates come
+    from a second real PNG decode — two chained actor pools
+    (util.chained_pools). Twin: closed-form per-frame pixel spec."""
+    from spapy_ray.sources.media import video_dataset
+    from spapy_ray.stages.multimodal import MediaDecodeStats, \
+        RealApngCodec, RealPngCodec, sample_frames
+    from spapy_ray.util import chained_pools
+
+    fr = sample_frames(video_dataset(sf_dir), payload_col="apng",
+                       codec=RealApngCodec(), stride=stride,
+                       max_frames=max_frames,
+                       concurrency=chained_pools(2))
+    return fr.map_batches(
+        MediaDecodeStats,
+        fn_constructor_kwargs={"codec": RealPngCodec(),
+                               "payload_col": "frame",
+                               "keep": ["media_id", "frame_idx"]},
+        batch_format="pyarrow", batch_size=128,
+        concurrency=chained_pools(2))

@@ -145,3 +145,41 @@ def sql_audio_cte() -> str:
         "FROM audio_dims, "
         "LATERAL (SELECT unnest(range(n)) AS t) t)"
     )
+
+
+def video_params(i: np.ndarray):
+    i = np.asarray(i, dtype=np.int64)
+    return 12 + (i * 7) % 20, 10 + (i * 5) % 14, 2 + i % 5
+
+
+def gen_video_table(idx: np.ndarray) -> pa.Table:
+    """media_id + REAL APNG clip: w(i)=12+(7i)%20, h(i)=10+(5i)%14,
+    nf(i)=2+i%5 full-size gray frames, frame f pixel (y,x) =
+    (3x + 5y + 7i + 13f) % 251 — closed-form per-frame twins."""
+    from spapy_ray.kernels.png import encode_apng
+
+    idx = np.asarray(idx, dtype=np.int64)
+    ws, hs, nfs = video_params(idx)
+    payloads = []
+    for i, w, h, nf in zip(idx.tolist(), ws.tolist(), hs.tolist(),
+                           nfs.tolist()):
+        y, x = np.mgrid[0:h, 0:w]
+        frames = [((x * 3 + y * 5 + i * 7 + f * 13) % 251)
+                  .astype(np.uint8) for f in range(nf)]
+        payloads.append(encode_apng(frames))
+    return pa.table({
+        "media_id": pa.array(idx),
+        "apng": pa.array(payloads, type=pa.binary())})
+
+
+def video_dataset(sf_dir: str):
+    import ray.data as rd
+
+    n = media_count(page_count(sf_dir))
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return gen_video_table(
+            batch.column("id").to_numpy(zero_copy_only=False))
+
+    return rd.range(n).map_batches(gen, batch_format="pyarrow",
+                                   batch_size=256)

@@ -188,6 +188,74 @@ class RealPngCodec:
         return out
 
 
+class RealApngCodec:
+    """REAL video-shaped codec: APNG clips (kernels/png.py
+    encode_apng/decode_apng — acTL/fcTL/fdAT chunks per the public
+    spec, full-size frames). n_frames comes from the header-only
+    acTL probe; extract_frames re-encodes each requested frame as a
+    standalone PNG, so downstream per-frame stages run the real
+    single-image codec."""
+
+    feature_dim = 16
+
+    def decode_meta(self, payloads: list[bytes]) -> dict[str, np.ndarray]:
+        from spapy_ray.kernels.png import parse_actl
+
+        payloads = _as_bytes(payloads)
+        n = len(payloads)
+        width = np.empty(n, dtype=np.int32)
+        height = np.empty(n, dtype=np.int32)
+        n_frames = np.empty(n, dtype=np.int32)
+        for i, p in enumerate(payloads):
+            m = parse_actl(p)
+            width[i], height[i] = m["width"], m["height"]
+            n_frames[i] = m["n_frames"]
+        return {"width": width, "height": height,
+                "n_frames": n_frames,
+                "n_bytes": np.array([len(p) for p in payloads],
+                                    dtype=np.int64)}
+
+    def extract_frames(self, payload: bytes,
+                       frame_idx: np.ndarray) -> list[bytes]:
+        from spapy_ray.kernels.png import decode_apng, encode_png
+
+        payload, = _as_bytes([payload])
+        frames = decode_apng(payload)
+        return [encode_png(frames[int(i)]) for i in frame_idx]
+
+    def features(self, payloads: list[bytes]) -> np.ndarray:
+        from spapy_ray.kernels.png import decode_apng
+
+        payloads = _as_bytes(payloads)
+        feats = np.empty((len(payloads), self.feature_dim),
+                         dtype=np.float32)
+        for i, p in enumerate(payloads):
+            stack = np.stack([f if f.ndim == 2 else f.mean(axis=2)
+                              for f in decode_apng(p)])
+            hist = np.bincount((stack.astype(np.int64) // 22)
+                               .ravel().clip(0, 11), minlength=12)
+            feats[i, :4] = (stack.mean() / 255.0, stack.std() / 255.0,
+                            stack.min() / 255.0, stack.max() / 255.0)
+            feats[i, 4:] = hist / stack.size
+        return feats
+
+    def resize(self, payloads: list[bytes], width: int,
+               height: int) -> list[bytes]:
+        from spapy_ray.kernels.png import decode_apng, encode_apng
+
+        out = []
+        for p in _as_bytes(payloads):
+            frames = decode_apng(p)
+            rs = []
+            for a in frames:
+                h, w = a.shape[:2]
+                yi = (np.arange(height, dtype=np.int64) * h) // height
+                xi = (np.arange(width, dtype=np.int64) * w) // width
+                rs.append(a[yi][:, xi])
+            out.append(encode_apng(rs))
+        return out
+
+
 class AudioDecodeStats:
     """Actor: WAV payload column → exact integer sample aggregates
     from a REAL decode (rate, channels, n_samples, amp_sum, amp_min,

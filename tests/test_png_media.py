@@ -182,3 +182,52 @@ def test_audio_table_is_real_wav(ray_session):
         tt = np.arange(len(s), dtype=np.int64)
         want = (tt * tt + 3 * tt + 11 * i) % 2001 - 1000
         assert (s.astype(np.int64) == want).all()
+
+
+def test_apng_roundtrip_and_probe():
+    from spapy_ray.kernels.png import decode_apng, encode_apng, \
+        encode_png, parse_actl
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, size=(9, 13)).astype(np.uint8)
+              for _ in range(4)]
+    b = encode_apng(frames)
+    m = parse_actl(b)
+    assert (m["width"], m["height"], m["n_frames"]) == (13, 9, 4)
+    got = decode_apng(b)
+    assert len(got) == 4
+    assert all((g == f).all() for g, f in zip(got, frames))
+    # a plain PNG is a one-frame clip
+    p = encode_png(frames[0])
+    assert parse_actl(p)["n_frames"] == 1
+    assert (decode_apng(p)[0] == frames[0]).all()
+    with pytest.raises(ValueError):
+        encode_apng([])
+    with pytest.raises(ValueError):
+        encode_apng([frames[0], frames[0][:4]])
+
+
+def test_real_apng_codec_frame_sampling(ray_session):
+    import ray.data as rd
+
+    from spapy_ray.kernels.png import decode_png
+    from spapy_ray.sources.media import gen_video_table, video_params
+    from spapy_ray.stages.multimodal import RealApngCodec, \
+        sample_frames
+
+    t = gen_video_table(np.array([3, 8]))
+    out = sample_frames(rd.from_arrow(t), payload_col="apng",
+                        codec=RealApngCodec(), stride=2,
+                        max_frames=4, concurrency=2).to_pandas()
+    for mid in (3, 8):
+        w, h, nf = (int(v[0]) for v in video_params(np.array([mid])))
+        rows = out[out["media_id"] == mid].sort_values("frame_idx")
+        want_idx = list(range(0, nf, 2))
+        assert rows["frame_idx"].tolist() == want_idx
+        for _, r in rows.iterrows():
+            a = decode_png(r["frame"])
+            assert a.shape == (h, w)
+            y, x = np.mgrid[0:h, 0:w]
+            want = (x * 3 + y * 5 + mid * 7
+                    + int(r["frame_idx"]) * 13) % 251
+            assert (a == want).all()
