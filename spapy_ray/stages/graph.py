@@ -1084,16 +1084,10 @@ def _hits_join(e, *, iterations: int, r0: int,
     b = buckets or max(16, cluster_cpus())
     local = (lambda g: g.drop_duplicates()) if dedup else None
     # both span builds consume e — materialize once or the upstream
-    # pipeline (reads, joins) executes twice; the two builds are
-    # independent shuffles, so overlap them on two driver threads
-    import concurrent.futures as _cf
-
+    # pipeline (reads, joins) executes twice
     e = e.materialize()
-    with _cf.ThreadPoolExecutor(2) as ex:
-        f_src = ex.submit(_bucket_spans, e, "src", b, local=local)
-        f_dst = ex.submit(_bucket_spans, e, "dst", b, local=local)
-        src_spans, pin_s = f_src.result()
-        dst_spans, pin_d = f_dst.result()
+    src_spans, pin_s = _bucket_spans(e, "src", b, local=local)
+    dst_spans, pin_d = _bucket_spans(e, "dst", b, local=local)
 
     def fold_local(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("node", sort=False)["s"].sum() \

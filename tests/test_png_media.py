@@ -231,3 +231,15 @@ def test_real_apng_codec_frame_sampling(ray_session):
             want = (x * 3 + y * 5 + mid * 7
                     + int(r["frame_idx"]) * 13) % 251
             assert (a == want).all()
+
+
+def test_chained_pools_split_cluster(ray_session):
+    from spapy_ray.util import chained_pools, cluster_cpus
+
+    n = max(4, cluster_cpus())
+    lo, hi = chained_pools(2)
+    assert lo >= 1 and hi >= 2
+    # two chained pools' minimums must leave CPUs for task operators
+    assert 2 * lo < n
+    lo3, hi3 = chained_pools(3)
+    assert 3 * lo3 <= n
