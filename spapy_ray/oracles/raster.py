@@ -1412,3 +1412,19 @@ def q_terrain_rose() -> str:
         "FROM gr) "
         "SELECT dir, count(*)::BIGINT AS n_pix FROM d GROUP BY 1"
     )
+
+
+def q_tif_rgb_roundtrip(W: int = 210, H: int = 130, T: int = 64) -> str:
+    """Twin of the chunky RGB GeoTIFF round-trip: per-(tile, band)
+    pixel aggregates of the closed-form image
+    px(X, Y, b) = (3X + 5Y + 17b) % 251."""
+    return (
+        "WITH px AS (SELECT x.x AS X, y.y AS Y, b.b AS band, "
+        "(x.x * 3 + y.y * 5 + b.b * 17) % 251 AS px "
+        f"FROM (SELECT unnest(range({W})) AS x) x, "
+        f"(SELECT unnest(range({H})) AS y) y, "
+        "(SELECT unnest(range(3)) AS b) b) "
+        f"SELECT (X // {T})::BIGINT AS tx, (Y // {T})::BIGINT AS ty, "
+        "band::BIGINT AS band, sum(px)::BIGINT AS px_sum, "
+        "min(px)::BIGINT AS px_min, max(px)::BIGINT AS px_max "
+        f"FROM px GROUP BY X // {T}, Y // {T}, band")

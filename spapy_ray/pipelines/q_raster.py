@@ -1711,3 +1711,89 @@ def q_img_roundtrip(sf_dir: str):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+def q_tif_rgb_roundtrip(sf_dir: str):
+    """Multi-sample (RGB) GeoTIFF Save/Load under the value hash
+    (sources/geotiff.py bands=3 — chunky PlanarConfiguration=1, LZW,
+    photometric RGB; the reference reads N-band files through gdal,
+    SpaRasters.py:826-871): band rows synthesize distributed,
+    co-locate per tile through one bucketed shuffle into a
+    sample-interleaved payload, and the read path de-interleaves each
+    fetched tile back into band rows. Ragged 210x130 grid on
+    64-pixel tiles keeps edge padding + crop inside the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from spapy_ray.sources.geotiff import read_geotiff, write_geotiff
+    from spapy_ray.sources.rasters import RasterMeta
+    from spapy_ray.stages.raster import decode_tile
+
+    W, H, T = 210, 130, 64
+    meta = RasterMeta(width=W, height=H, tile_size=T, x_min=-5.0,
+                      y_max=13.0, pixel_w=0.1, pixel_h=-0.1,
+                      dtype="uint8")
+    ntx, nty = meta.tiles_x, meta.tiles_y
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b.column("id").to_numpy()
+        txs, tys, bands, hs, ws, bufs = [], [], [], [], [], []
+        for i in ids.tolist():
+            band = i % 3
+            tx = (i // 3) % ntx
+            ty = i // (3 * ntx)
+            h = min(T, H - ty * T)
+            w = min(T, W - tx * T)
+            y, x = np.mgrid[0:h, 0:w]
+            a = (((tx * T + x) * 3 + (ty * T + y) * 5 + band * 17)
+                 % 251).astype(np.uint8)
+            txs.append(tx)
+            tys.append(ty)
+            bands.append(band)
+            hs.append(h)
+            ws.append(w)
+            bufs.append(np.ascontiguousarray(a).tobytes())
+        return pa.table({
+            "tx": pa.array(txs, type=pa.int64()),
+            "ty": pa.array(tys, type=pa.int64()),
+            "band": pa.array(bands, type=pa.int64()),
+            "h": pa.array(hs, type=pa.int64()),
+            "w": pa.array(ws, type=pa.int64()),
+            "data": pa.array(bufs, type=pa.binary())})
+
+    tiles = rd.range(ntx * nty * 3).map_batches(
+        gen, batch_format="pyarrow")
+    d = tempfile.mkdtemp(prefix="spapy_rgb_")
+    try:
+        path = os.path.join(d, "rgb.tif")
+        write_geotiff(tiles, meta, path, dtype="uint8",
+                      compression="lzw", bands=3)
+        back, bmeta, _ = read_geotiff(path)
+        assert bmeta.width == W and bmeta.height == H
+
+        def stats(t: pa.Table) -> pa.Table:
+            hs = t.column("h").to_numpy()
+            ws = t.column("w").to_numpy()
+            sums, mins, maxs = [], [], []
+            for i, buf in enumerate(t.column("data").to_pylist()):
+                a = decode_tile(buf, "uint8", T, int(hs[i]),
+                                int(ws[i])).astype(np.int64)
+                sums.append(int(a.sum()))
+                mins.append(int(a.min()))
+                maxs.append(int(a.max()))
+            return pa.table({
+                "tx": t.column("tx").cast(pa.int64()),
+                "ty": t.column("ty").cast(pa.int64()),
+                "band": t.column("band").cast(pa.int64()),
+                "px_sum": pa.array(sums, type=pa.int64()),
+                "px_min": pa.array(mins, type=pa.int64()),
+                "px_max": pa.array(maxs, type=pa.int64())})
+
+        out = back.map_batches(stats,
+                               batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out

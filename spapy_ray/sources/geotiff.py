@@ -19,9 +19,12 @@ offset/bytecount pair. That makes both directions scale-shaped:
   map_batches over an (tx, ty, offset, count) index table.
 
 Supported: classic TIFF (not BigTIFF), both byte orders, single-band
-(SamplesPerPixel=1), BitsPerSample 8/16/32/64, SampleFormat
-uint/int/float, Compression none(1)/deflate(8 or 32946), tiled or
-stripped layout. Stripped files are an interchange path: strips are
+AND chunky multi-sample (PlanarConfiguration=1 — each sample
+de-interleaves to its own band row of the tile table; the writer's
+``bands`` co-locates band rows per tile through one bucketed
+shuffle), BitsPerSample 8/16/32/64, SampleFormat uint/int/float,
+Compression none(1)/deflate(8 or 32946)/LZW(5) with predictor 2,
+tiled or stripped layout. Stripped files are an interchange path: strips are
 parsed on the driver and re-tiled (same boundary as read_aaigrid).
 GeoTIFF georeferencing via ModelPixelScale + ModelTiepoint;
 GDAL_NODATA honored both ways.
@@ -122,13 +125,20 @@ class _IFDWriter:
 
 def write_geotiff(ds, meta: RasterMeta, path: str, *, dtype: str,
                   nodata: float | None = None,
-                  compression: str = "deflate") -> None:
-    """Tile Dataset + RasterMeta → single-band tiled GeoTIFF.
+                  compression: str = "deflate",
+                  bands: int = 1) -> None:
+    """Tile Dataset + RasterMeta → tiled GeoTIFF.
 
     Per-tile encode (pad edge tiles to the full T×T square, optional
     deflate) runs distributed; the driver makes ONE sequential pass
     over the resulting (tile_idx, payload) stream, so peak driver
     memory is the offsets table plus one payload batch.
+
+    ``bands > 1`` writes a CHUNKY multi-sample file
+    (PlanarConfiguration=1, photometric RGB for 3×uint8): the band
+    rows of each (tx, ty) tile co-locate through one bucketed
+    shuffle on the packed tile key and interleave into a single
+    sample-interleaved payload.
     """
     from spapy_ray.stages.raster import decode_tile
 
@@ -142,34 +152,82 @@ def write_geotiff(ds, meta: RasterMeta, path: str, *, dtype: str,
     pack = {"deflate": zlib.compress, "lzw": lzw_encode,
             "none": lambda raw: raw}[compression]
 
-    def encode(t: pa.Table) -> pa.Table:
-        txs = t.column("tx").to_numpy()
-        tys = t.column("ty").to_numpy()
-        has_hw = "h" in t.schema.names and "w" in t.schema.names
-        hs = t.column("h").to_numpy() if has_hw else None
-        ws = t.column("w").to_numpy() if has_hw else None
-        idxs, payloads = [], []
-        for i, buf in enumerate(t.column("data").to_pylist()):
-            # derive the tile's true (h, w) from the grid when the
-            # table doesn't carry them — a ragged-WIDTH edge tile
-            # decoded shape-blind would silently transpose
-            h = int(hs[i]) if has_hw \
-                else min(T, meta.height - int(tys[i]) * T)
-            w = int(ws[i]) if has_hw \
-                else min(T, meta.width - int(txs[i]) * T)
-            a = decode_tile(buf, dtype, T, h, w)
-            if a.shape != (T, T):                        # edge tile → pad
-                full = np.full((T, T), pad, dtype=np.dtype(dtype))
-                full[:a.shape[0], :a.shape[1]] = a
-                a = full
-            raw = np.ascontiguousarray(
-                a.astype(np.dtype(dtype).newbyteorder("<"))).tobytes()
-            payloads.append(pack(raw))
-            idxs.append(int(tys[i]) * ntx + int(txs[i]))
-        return pa.table({"tile_idx": pa.array(idxs, type=pa.int64()),
-                         "payload": pa.array(payloads, type=pa.binary())})
+    def tile_hw(tx: int, ty: int, hs, ws, i, has_hw):
+        # derive the tile's true (h, w) from the grid when the
+        # table doesn't carry them — a ragged-WIDTH edge tile
+        # decoded shape-blind would silently transpose
+        h = int(hs[i]) if has_hw else min(T, meta.height - ty * T)
+        w = int(ws[i]) if has_hw else min(T, meta.width - tx * T)
+        return h, w
 
-    encoded = ds.map_batches(encode, batch_format="pyarrow")
+    def pad_full(a: np.ndarray) -> np.ndarray:
+        if a.shape != (T, T):                            # edge tile → pad
+            full = np.full((T, T), pad, dtype=np.dtype(dtype))
+            full[:a.shape[0], :a.shape[1]] = a
+            a = full
+        return a
+
+    if bands == 1:
+        def encode(t: pa.Table) -> pa.Table:
+            txs = t.column("tx").to_numpy()
+            tys = t.column("ty").to_numpy()
+            has_hw = "h" in t.schema.names and "w" in t.schema.names
+            hs = t.column("h").to_numpy() if has_hw else None
+            ws = t.column("w").to_numpy() if has_hw else None
+            idxs, payloads = [], []
+            for i, buf in enumerate(t.column("data").to_pylist()):
+                h, w = tile_hw(int(txs[i]), int(tys[i]), hs, ws, i,
+                               has_hw)
+                a = pad_full(decode_tile(buf, dtype, T, h, w))
+                raw = np.ascontiguousarray(
+                    a.astype(np.dtype(dtype).newbyteorder("<"))) \
+                    .tobytes()
+                payloads.append(pack(raw))
+                idxs.append(int(tys[i]) * ntx + int(txs[i]))
+            return pa.table({
+                "tile_idx": pa.array(idxs, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary())})
+
+        encoded = ds.map_batches(encode, batch_format="pyarrow")
+    else:
+        from spapy_ray.stages.relational import bucketed_group_agg
+
+        def key_tag(t: pa.Table) -> pa.Table:
+            txs = t.column("tx").to_numpy().astype(np.int64)
+            tys = t.column("ty").to_numpy().astype(np.int64)
+            return t.append_column(
+                "_tkey", pa.array(tys * ntx + txs))
+
+        def interleave(g):
+            import pandas as pd
+
+            idxs, payloads = [], []
+            has_hw = "h" in g.columns and "w" in g.columns
+            for tkey, rows in g.groupby("_tkey", sort=False):
+                if sorted(rows["band"].tolist()) != list(range(bands)):
+                    raise ValueError(
+                        f"tile {int(tkey)} needs bands 0..{bands - 1},"
+                        f" got {sorted(rows['band'].tolist())}")
+                rows = rows.sort_values("band")
+                planes = []
+                for i, r in enumerate(rows.itertuples(index=False)):
+                    h = int(r.h) if has_hw else \
+                        min(T, meta.height - int(r.ty) * T)
+                    w = int(r.w) if has_hw else \
+                        min(T, meta.width - int(r.tx) * T)
+                    planes.append(pad_full(
+                        decode_tile(r.data, dtype, T, h, w)))
+                chunky = np.stack(planes, axis=-1).astype(
+                    np.dtype(dtype).newbyteorder("<"))
+                payloads.append(pack(
+                    np.ascontiguousarray(chunky).tobytes()))
+                idxs.append(int(tkey))
+            return pd.DataFrame({"tile_idx": idxs,
+                                 "payload": payloads})
+
+        encoded = bucketed_group_agg(
+            ds.map_batches(key_tag, batch_format="pyarrow"),
+            "_tkey", interleave)
 
     offsets = np.zeros(n_tiles, dtype=np.int64)
     counts = np.zeros(n_tiles, dtype=np.int64)
@@ -193,16 +251,21 @@ def write_geotiff(ds, meta: RasterMeta, path: str, *, dtype: str,
         ifd = _IFDWriter()
         ifd.add(T_WIDTH, 4, meta.width)
         ifd.add(T_HEIGHT, 4, meta.height)
-        ifd.add(T_BITS, 3, bits)
+        # BitsPerSample/SampleFormat counts must equal SamplesPerPixel
+        ifd.add(T_BITS, 3, [bits] * bands if bands > 1 else bits)
         ifd.add(T_COMPRESSION, 3,
                 {"deflate": 8, "lzw": 5, "none": 1}[compression])
-        ifd.add(T_PHOTOMETRIC, 3, 1)                     # BlackIsZero
-        ifd.add(T_SAMPLES_PER_PX, 3, 1)
+        ifd.add(T_PHOTOMETRIC, 3,
+                2 if bands == 3 and dtype == "uint8" else 1)
+        ifd.add(T_SAMPLES_PER_PX, 3, bands)
+        if bands > 1:
+            ifd.add(T_PLANAR, 3, 1)                      # chunky
         ifd.add(T_TILE_W, 3, T)
         ifd.add(T_TILE_H, 3, T)
         ifd.add(T_TILE_OFFSETS, 4, [int(v) for v in offsets])
         ifd.add(T_TILE_COUNTS, 4, [int(v) for v in counts])
-        ifd.add(T_SAMPLE_FORMAT, 3, sfmt)
+        ifd.add(T_SAMPLE_FORMAT, 3,
+                [sfmt] * bands if bands > 1 else sfmt)
         ifd.add(T_MODEL_PIXEL_SCALE, 12,
                 [meta.pixel_w, -meta.pixel_h, 0.0])
         ifd.add(T_MODEL_TIEPOINT, 12,
@@ -375,9 +438,12 @@ def _decompress(buf: bytes, compression: int) -> bytes:
 
 
 def _unpredict(a: np.ndarray, predictor: int) -> np.ndarray:
-    """Undo TIFF predictor 2 (per-row horizontal differencing; spp==1
-    so one sample per pixel). ufunc.accumulate keeps the array dtype,
-    i.e. modular wrap — exactly the predictor's inverse."""
+    """Undo TIFF predictor 2 (per-row horizontal differencing,
+    per SAMPLE: with chunky multi-sample data each sample diffs
+    against the SAME channel of the previous pixel, which is exactly
+    axis-1 accumulation of a (rows, width, spp) view).
+    ufunc.accumulate keeps the array dtype, i.e. modular wrap —
+    exactly the predictor's inverse."""
     if predictor == 1:
         return a
     if predictor == 2:
@@ -421,14 +487,14 @@ def read_geotiff(path: str, *, tile_size: int | None = None):
     spp = _tag1(tags, T_SAMPLES_PER_PX, 1)
     planar = _tag1(tags, T_PLANAR, 1)
     predictor = _tag1(tags, T_PREDICTOR, 1)
-    if spp != 1:
-        raise NotImplementedError("multi-sample TIFF not supported "
-                                  "(engine rasters are one band per row)")
+    if spp != 1 and planar != 1:
+        raise NotImplementedError(
+            "multi-sample TIFF only in chunky layout "
+            "(PlanarConfiguration=1)")
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
     if compression not in (1, 5, 8, 32946):
         raise NotImplementedError(f"TIFF compression {compression}")
-    del planar                                           # spp==1: irrelevant
 
     scale = tags.get(T_MODEL_PIXEL_SCALE, (None, [1.0, 1.0, 0.0]))[1]
     tiepoint = tags.get(T_MODEL_TIEPOINT,
@@ -465,26 +531,30 @@ def read_geotiff(path: str, *, tile_size: int | None = None):
             tys = t.column("ty").to_numpy()
             offsets = t.column("offset").to_numpy()
             counts = t.column("count").to_numpy()
-            hs, ws, bufs = [], [], []
+            o_tx, o_ty, o_b, hs, ws, bufs = [], [], [], [], [], []
             with open(path, "rb") as fh:
                 for i in range(len(t)):
                     fh.seek(int(offsets[i]))
                     raw = _decompress(fh.read(int(counts[i])), compression)
                     a = _unpredict(
-                        np.frombuffer(raw, dtype=src_dt).reshape(T, T),
-                        predictor)
+                        np.frombuffer(raw, dtype=src_dt)
+                        .reshape(T, T, spp), predictor)
                     h = min(T, height - int(tys[i]) * T)
                     w = min(T, width - int(txs[i]) * T)
                     a = a[:h, :w]                        # crop edge padding
-                    a = np.ascontiguousarray(
-                        a.astype(src_dt.newbyteorder("<")))
-                    hs.append(h)
-                    ws.append(w)
-                    bufs.append(a.tobytes())
+                    for b in range(spp):                 # chunky → band rows
+                        band = np.ascontiguousarray(
+                            a[:, :, b].astype(src_dt.newbyteorder("<")))
+                        o_tx.append(int(txs[i]))
+                        o_ty.append(int(tys[i]))
+                        o_b.append(b)
+                        hs.append(h)
+                        ws.append(w)
+                        bufs.append(band.tobytes())
             return pa.table({
-                "tx": pa.array(txs, type=pa.int64()),
-                "ty": pa.array(tys, type=pa.int64()),
-                "band": pa.array(np.zeros(len(t), np.int64)),
+                "tx": pa.array(o_tx, type=pa.int64()),
+                "ty": pa.array(o_ty, type=pa.int64()),
+                "band": pa.array(o_b, type=pa.int64()),
                 "h": pa.array(hs, type=pa.int64()),
                 "w": pa.array(ws, type=pa.int64()),
                 "data": pa.array(bufs, type=pa.binary())})
@@ -501,7 +571,7 @@ def read_geotiff(path: str, *, tile_size: int | None = None):
     rps = _tag1(tags, T_ROWS_PER_STRIP, height)
     offs = tags[T_STRIP_OFFSETS][1]
     cnts = tags[T_STRIP_COUNTS][1]
-    arr = np.empty((height, width), dtype=src_dt)
+    arr = np.empty((height, width, spp), dtype=src_dt)
     with open(path, "rb") as fh:
         for s, (off, cnt) in enumerate(zip(offs, cnts)):
             fh.seek(int(off))
@@ -509,16 +579,19 @@ def read_geotiff(path: str, *, tile_size: int | None = None):
             r0 = s * rps
             nrows = min(rps, height - r0)
             arr[r0:r0 + nrows] = _unpredict(np.frombuffer(
-                raw, dtype=src_dt, count=nrows * width).reshape(nrows, width),
-                predictor)
+                raw, dtype=src_dt, count=nrows * width * spp)
+                .reshape(nrows, width, spp), predictor)
     rows = []
     for ty in range(-(-height // T)):
         for tx in range(-(-width // T)):
-            tile = arr[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
-            tile = np.ascontiguousarray(tile.astype(src_dt.newbyteorder("<")))
-            rows.append({"tx": tx, "ty": ty, "band": 0,
-                         "h": tile.shape[0], "w": tile.shape[1],
-                         "data": tile.tobytes()})
+            for b in range(spp):
+                tile = arr[ty * T:(ty + 1) * T,
+                           tx * T:(tx + 1) * T, b]
+                tile = np.ascontiguousarray(
+                    tile.astype(src_dt.newbyteorder("<")))
+                rows.append({"tx": tx, "ty": ty, "band": b,
+                             "h": tile.shape[0], "w": tile.shape[1],
+                             "data": tile.tobytes()})
     meta = RasterMeta(width=width, height=height, tile_size=T,
                       x_min=x_min, y_max=y_max,
                       pixel_w=scale[0], pixel_h=-scale[1],

@@ -273,3 +273,59 @@ def test_geotiff_stripped_lzw_predictor2(ray_session, tmp_path):
     assert (meta.width, meta.height) == (W, H)
     got = _assemble(ds, meta, "uint8")
     assert (got == arr).all()
+
+
+@pytest.mark.parametrize("comp", ["deflate", "lzw", "none"])
+def test_rgb_chunky_roundtrip(ray_session, tmp_path, comp):
+    """Multi-sample chunky TIFF: 3 uint8 bands interleave on write
+    and de-interleave on read, bit-exact, all compressions."""
+    import ray.data as rd
+
+    from spapy_ray.sources.geotiff import read_geotiff, write_geotiff
+    from spapy_ray.sources.rasters import RasterMeta
+    from spapy_ray.stages.raster import decode_tile
+
+    rng = np.random.default_rng(hash(comp) % 2 ** 31)
+    H, W, T = 70, 90, 32
+    rgb = rng.integers(0, 256, size=(H, W, 3)).astype(np.uint8)
+    rows = []
+    for ty in range(-(-H // T)):
+        for tx in range(-(-W // T)):
+            for b in range(3):
+                tile = rgb[ty * T:(ty + 1) * T,
+                           tx * T:(tx + 1) * T, b]
+                rows.append({
+                    "tx": tx, "ty": ty, "band": b,
+                    "h": tile.shape[0], "w": tile.shape[1],
+                    "data": np.ascontiguousarray(tile).tobytes()})
+    meta = RasterMeta(width=W, height=H, tile_size=T, x_min=0.0,
+                      y_max=70.0, pixel_w=1.0, pixel_h=-1.0,
+                      dtype="uint8")
+    p = str(tmp_path / "rgb.tif")
+    write_geotiff(rd.from_arrow(pa.Table.from_pylist(rows)), meta, p,
+                  dtype="uint8", compression=comp, bands=3)
+    back, bmeta, _ = read_geotiff(p)
+    got = np.zeros_like(rgb)
+    for r in back.to_pandas().itertuples(index=False):
+        a = decode_tile(r.data, "uint8", T, int(r.h), int(r.w))
+        got[r.ty * T:r.ty * T + int(r.h),
+            r.tx * T:r.tx * T + int(r.w), int(r.band)] = a
+    assert (got == rgb).all()
+
+
+def test_rgb_write_missing_band_fails_loud(ray_session, tmp_path):
+    import ray.data as rd
+
+    from spapy_ray.sources.geotiff import write_geotiff
+    from spapy_ray.sources.rasters import RasterMeta
+
+    rows = [{"tx": 0, "ty": 0, "band": b, "h": 8, "w": 8,
+             "data": np.zeros((8, 8), np.uint8).tobytes()}
+            for b in (0, 2)]          # band 1 missing
+    meta = RasterMeta(width=8, height=8, tile_size=8, x_min=0.0,
+                      y_max=8.0, pixel_w=1.0, pixel_h=-1.0,
+                      dtype="uint8")
+    with pytest.raises(Exception, match="needs bands"):
+        write_geotiff(rd.from_arrow(pa.Table.from_pylist(rows)),
+                      meta, str(tmp_path / "x.tif"), dtype="uint8",
+                      bands=3)
