@@ -1797,3 +1797,32 @@ def q_tif_rgb_roundtrip(sf_dir: str):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+def q_tif_big_roundtrip(sf_dir: str):
+    """BigTIFF (TIFF version 43, 8-byte offsets, LONG8 tile
+    addresses) Save/Load under the value hash — same ragged 500x420
+    int DEM and pixel twin as q_tif_roundtrip; the 64-bit container
+    is the engine-side difference. Clears the last TIFF-profile
+    NotImplementedError (sources/geotiff.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spapy_ray.sources.geotiff import read_geotiff, write_geotiff
+    from spapy_ray.sources.rasters import RasterMeta, synth_dem_dataset
+
+    meta = RasterMeta(width=500, height=420, tile_size=64,
+                      x_min=-10.0, y_max=55.0, pixel_w=0.125,
+                      pixel_h=-0.125)
+    d = tempfile.mkdtemp(prefix="spapy_bigtif_")
+    try:
+        path = os.path.join(d, "dem.tif")
+        write_geotiff(synth_dem_dataset(meta, kind="int"), meta, path,
+                      dtype="int32", nodata=-9999, bigtiff=True)
+        back, bmeta, nodata = read_geotiff(path)
+        assert bmeta.width == meta.width and nodata == -9999
+        out = _tile_int_stats(back, "int32", 64).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -57,7 +57,9 @@ T_GDAL_NODATA = 42113
 
 # TIFF field types: id -> (struct char, byte size)
 _FIELD = {1: ("B", 1), 2: ("s", 1), 3: ("H", 2), 4: ("I", 4),
-          11: ("f", 4), 12: ("d", 8)}
+          11: ("f", 4), 12: ("d", 8),
+          # BigTIFF 64-bit types: LONG8 / SLONG8 / IFD8
+          16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8)}
 
 _SF_UINT, _SF_INT, _SF_FLOAT = 1, 2, 3
 
@@ -88,7 +90,8 @@ class _IFDWriter:
     """Accumulates IFD entries; values >4 bytes land in an external
     data area laid out at a known base offset."""
 
-    def __init__(self):
+    def __init__(self, big: bool = False):
+        self.big = big
         self.entries: list[tuple[int, int, int, bytes]] = []
 
     def add(self, tag: int, ftype: int, values) -> None:
@@ -106,6 +109,21 @@ class _IFDWriter:
         """→ bytes of (IFD + external data), placed at ifd_offset."""
         self.entries.sort()                              # spec: ascending tags
         n = len(self.entries)
+        if self.big:
+            # BigTIFF IFD: u64 count, 20-byte entries (u64 value
+            # counts, 8-byte inline slots), u64 next pointer
+            ext_base = ifd_offset + 8 + n * 20 + 8
+            body, ext = b"", b""
+            for tag, ftype, count, data in self.entries:
+                if len(data) <= 8:
+                    body += struct.pack("<HHQ", tag, ftype, count) \
+                        + data.ljust(8, b"\x00")
+                else:
+                    body += struct.pack("<HHQQ", tag, ftype, count,
+                                        ext_base + len(ext))
+                    ext += data + (b"\x00" if len(data) % 2 else b"")
+            return struct.pack("<Q", n) + body \
+                + struct.pack("<Q", 0) + ext
         ext_base = ifd_offset + 2 + n * 12 + 4
         body, ext = b"", b""
         for tag, ftype, count, data in self.entries:
@@ -126,7 +144,7 @@ class _IFDWriter:
 def write_geotiff(ds, meta: RasterMeta, path: str, *, dtype: str,
                   nodata: float | None = None,
                   compression: str = "deflate",
-                  bands: int = 1) -> None:
+                  bands: int = 1, bigtiff: bool = False) -> None:
     """Tile Dataset + RasterMeta → tiled GeoTIFF.
 
     Per-tile encode (pad edge tiles to the full T×T square, optional
@@ -232,7 +250,10 @@ def write_geotiff(ds, meta: RasterMeta, path: str, *, dtype: str,
     offsets = np.zeros(n_tiles, dtype=np.int64)
     counts = np.zeros(n_tiles, dtype=np.int64)
     with open(path, "wb") as f:
-        f.write(_II + struct.pack("<HI", 42, 0))         # IFD ptr patched below
+        # classic: II 42 + u32 IFD ptr; BigTIFF: II 43, offset size
+        # 8, zero, u64 IFD ptr — both pointers patched below
+        f.write(_II + (struct.pack("<HHHQ", 43, 8, 0, 0) if bigtiff
+                       else struct.pack("<HI", 42, 0)))
         for batch in encoded.iter_batches(batch_format="pyarrow"):
             idxs = batch.column("tile_idx").to_numpy()
             for j, payload in enumerate(batch.column("payload").to_pylist()):
@@ -248,7 +269,7 @@ def write_geotiff(ds, meta: RasterMeta, path: str, *, dtype: str,
             raise ValueError(f"tile table is missing {missing} of "
                              f"{n_tiles} tiles; GeoTIFF needs full coverage")
 
-        ifd = _IFDWriter()
+        ifd = _IFDWriter(big=bigtiff)
         ifd.add(T_WIDTH, 4, meta.width)
         ifd.add(T_HEIGHT, 4, meta.height)
         # BitsPerSample/SampleFormat counts must equal SamplesPerPixel
@@ -262,8 +283,11 @@ def write_geotiff(ds, meta: RasterMeta, path: str, *, dtype: str,
             ifd.add(T_PLANAR, 3, 1)                      # chunky
         ifd.add(T_TILE_W, 3, T)
         ifd.add(T_TILE_H, 3, T)
-        ifd.add(T_TILE_OFFSETS, 4, [int(v) for v in offsets])
-        ifd.add(T_TILE_COUNTS, 4, [int(v) for v in counts])
+        # BigTIFF: tile addresses as LONG8 (they may exceed 4 GiB)
+        ifd.add(T_TILE_OFFSETS, 16 if bigtiff else 4,
+                [int(v) for v in offsets])
+        ifd.add(T_TILE_COUNTS, 16 if bigtiff else 4,
+                [int(v) for v in counts])
         ifd.add(T_SAMPLE_FORMAT, 3,
                 [sfmt] * bands if bands > 1 else sfmt)
         ifd.add(T_MODEL_PIXEL_SCALE, 12,
@@ -285,28 +309,45 @@ def write_geotiff(ds, meta: RasterMeta, path: str, *, dtype: str,
             f.write(b"\x00")
             pos += 1
         f.write(ifd.render(pos))
-        f.seek(4)
-        f.write(struct.pack("<I", pos))
+        if bigtiff:
+            f.seek(8)
+            f.write(struct.pack("<Q", pos))
+        else:
+            f.seek(4)
+            f.write(struct.pack("<I", pos))
 
 
 # ------------------------------------------------------------- reader
 
-def _read_ifd(f, bo: str) -> dict[int, tuple[int, list]]:
-    """First IFD → {tag: (ftype, values)} with external values fetched."""
-    (ifd_off,) = struct.unpack(bo + "I", f.read(4))
-    f.seek(ifd_off)
-    (n,) = struct.unpack(bo + "H", f.read(2))
-    raw = [struct.unpack(bo + "HHI4s", f.read(12)) for _ in range(n)]
+def _read_ifd(f, bo: str, big: bool = False) -> dict[int, tuple[int, list]]:
+    """First IFD → {tag: (ftype, values)} with external values
+    fetched. ``big`` reads the BigTIFF layout (u64 IFD pointer/count,
+    20-byte entries, 8-byte inline slots)."""
+    if big:
+        (ifd_off,) = struct.unpack(bo + "Q", f.read(8))
+        f.seek(ifd_off)
+        (n,) = struct.unpack(bo + "Q", f.read(8))
+        raw = [struct.unpack(bo + "HHQ8s", f.read(20))
+               for _ in range(n)]
+        inline_max, off_fmt = 8, "Q"
+    else:
+        (ifd_off,) = struct.unpack(bo + "I", f.read(4))
+        f.seek(ifd_off)
+        (n,) = struct.unpack(bo + "H", f.read(2))
+        raw = [struct.unpack(bo + "HHI4s", f.read(12))
+               for _ in range(n)]
+        inline_max, off_fmt = 4, "I"
     tags: dict[int, tuple[int, list]] = {}
     for tag, ftype, count, inline in raw:
         if ftype not in _FIELD:
             continue                                     # unknown type: skip
         ch, size = _FIELD[ftype]
         nbytes = size * count
-        if nbytes <= 4:
+        if nbytes <= inline_max:
             data = inline[:nbytes]
         else:
-            (off,) = struct.unpack(bo + "I", inline)
+            (off,) = struct.unpack(bo + off_fmt,
+                                   inline[:struct.calcsize(off_fmt)])
             here = f.tell()
             f.seek(off)
             data = f.read(nbytes)
@@ -473,11 +514,16 @@ def read_geotiff(path: str, *, tile_size: int | None = None):
         else:
             raise ValueError(f"{path!r} is not a TIFF file")
         (version,) = struct.unpack(bo + "H", f.read(2))
-        if version == 43:
-            raise NotImplementedError("BigTIFF not supported")
-        if version != 42:
+        if version == 43:                                # BigTIFF
+            offsize, zero = struct.unpack(bo + "HH", f.read(4))
+            if offsize != 8 or zero != 0:
+                raise ValueError(
+                    f"bad BigTIFF offset size {offsize}/{zero}")
+            tags = _read_ifd(f, bo, big=True)
+        elif version == 42:
+            tags = _read_ifd(f, bo)
+        else:
             raise ValueError(f"bad TIFF version {version}")
-        tags = _read_ifd(f, bo)
 
     width = _tag1(tags, T_WIDTH)
     height = _tag1(tags, T_HEIGHT)

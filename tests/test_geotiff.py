@@ -138,11 +138,12 @@ def test_geotiff_reader_stripped_bigendian(ray_session, tmp_path):
     assert (got == arr.astype("=u2")).all()
 
 
-def test_geotiff_rejects_bigtiff_and_bad_magic(tmp_path):
+def test_geotiff_rejects_bad_offsize_and_bad_magic(tmp_path):
     p = str(tmp_path / "big.tif")
+    # BigTIFF is supported now — but only the spec's 8-byte offsets
     with open(p, "wb") as f:
-        f.write(b"II" + struct.pack("<H", 43) + b"\x00" * 12)
-    with pytest.raises(NotImplementedError, match="BigTIFF"):
+        f.write(b"II" + struct.pack("<HHH", 43, 4, 0) + b"\x00" * 8)
+    with pytest.raises(ValueError, match="offset size"):
         read_geotiff(p)
     with open(p, "wb") as f:
         f.write(b"PK\x03\x04junk")
@@ -329,3 +330,43 @@ def test_rgb_write_missing_band_fails_loud(ray_session, tmp_path):
         write_geotiff(rd.from_arrow(pa.Table.from_pylist(rows)),
                       meta, str(tmp_path / "x.tif"), dtype="uint8",
                       bands=3)
+
+
+@pytest.mark.parametrize("comp", ["deflate", "lzw", "none"])
+def test_bigtiff_roundtrip(ray_session, tmp_path, comp):
+    """TIFF version 43 (8-byte offsets, LONG8 tile addresses)
+    round-trips bit-exact, incl. georeferencing and nodata."""
+    import ray.data as rd
+
+    from spapy_ray.sources.geotiff import read_geotiff, write_geotiff
+    from spapy_ray.sources.rasters import RasterMeta
+    from spapy_ray.stages.raster import decode_tile
+
+    rng = np.random.default_rng(hash(comp) % 2 ** 31)
+    H, W, T = 70, 90, 32
+    arr = rng.integers(-500, 500, size=(H, W)).astype(np.int32)
+    rows = []
+    for ty in range(-(-H // T)):
+        for tx in range(-(-W // T)):
+            tile = arr[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            rows.append({"tx": tx, "ty": ty, "band": 0,
+                         "h": tile.shape[0], "w": tile.shape[1],
+                         "data": np.ascontiguousarray(tile).tobytes()})
+    meta = RasterMeta(width=W, height=H, tile_size=T, x_min=1.5,
+                      y_max=70.0, pixel_w=0.5, pixel_h=-0.5,
+                      dtype="int32")
+    p = str(tmp_path / "big.tif")
+    write_geotiff(rd.from_arrow(pa.Table.from_pylist(rows)), meta, p,
+                  dtype="int32", compression=comp, nodata=-9999,
+                  bigtiff=True)
+    with open(p, "rb") as fh:
+        assert fh.read(4)[2:4] == b"\x2b\x00"      # version 43
+    back, bmeta, nodata = read_geotiff(p)
+    assert nodata == -9999
+    assert bmeta.x_min == 1.5 and bmeta.pixel_w == 0.5
+    got = np.zeros_like(arr)
+    for r in back.to_pandas().itertuples(index=False):
+        a = decode_tile(r.data, "int32", T, int(r.h), int(r.w))
+        got[r.ty * T:r.ty * T + int(r.h),
+            r.tx * T:r.tx * T + int(r.w)] = a
+    assert (got == arr).all()
