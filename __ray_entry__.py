@@ -42,6 +42,7 @@ _FRONT = [
     "video_frames",        # NEW: real APNG frame sampling
     "tif_rgb_roundtrip",   # NEW: chunky multi-sample TIFF
     "tif_big_roundtrip",   # NEW: BigTIFF container
+    "gpkg_roundtrip",      # NEW: OGC GeoPackage container
     "img_roundtrip",       # NEW: native Erdas HFA round-trip
     "graph_pagerank",      # CHANGED: mode="join" pinned (span-pinned)
     "cust_hits",           # CHANGED: scores-as-Dataset join mode
@@ -102,6 +103,8 @@ def oracle_sql() -> dict[str, str]:
         "tif_rgb_roundtrip": o.q_tif_rgb_roundtrip(),
         # 64-bit container, same DEM pixel twin
         "tif_big_roundtrip": o.q_tif_roundtrip(),
+        # gpkg blob wraps WKB byte-exactly: same twin as shp
+        "gpkg_roundtrip": o.q_zone_bounds_area(),
         "zone_page_counts": o.q_zone_page_counts(),
         "top_zones": o.q_top_zones(),
         "tile_counts": o.q_tile_counts(),

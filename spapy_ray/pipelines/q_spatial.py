@@ -2781,3 +2781,31 @@ def q_zone_density(sf_dir: str):
         // c["area_u2"]
     return c.sort_values("zone_id").reset_index(drop=True) \
         .astype({"density_ppm": np.int64})
+
+
+def q_gpkg_roundtrip(sf_dir: str):
+    """Native OGC GeoPackage I/O (sources/gpkg.py — sqlite3 stdlib
+    container, GeoPackageBinary geometry blobs wrapping the repo's
+    own WKB; the reference reads .gpkg transparently through
+    fiona/GDAL) pushed through the value-hash gate: the zone layer is
+    written to .gpkg, read back, and measured. WKB passes through the
+    blob header byte-exactly and int64/float/string attributes
+    round-trip typed through SQLite, so bounds + fixed-point area of
+    the reloaded layer are BIT-IDENTICAL to computing them on the
+    original table (oracle: q_zone_bounds_area, like shp/geojson)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spapy_ray.sources.gpkg import read_gpkg, write_gpkg
+    from spapy_ray.stages.measures import measure_wkb_table
+
+    d = tempfile.mkdtemp(prefix="spapy_gpkg_")
+    try:
+        path = os.path.join(d, "zones.gpkg")
+        write_gpkg(zones_table(), path)
+        back = read_gpkg(path)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return measure_wkb_table(back).select(
+        ["zone_id", "name", "minx", "miny", "maxx", "maxy", "area"])

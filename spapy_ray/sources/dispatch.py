@@ -85,6 +85,12 @@ def get_input(source):
 
         tbl, _meta = read_geojson(path)
         return rd.from_arrow(tbl)
+    if ext == ".gpkg":
+        # native OGC GeoPackage parser — sqlite3 stdlib, no GDAL
+        # (sources/gpkg.py)
+        from spapy_ray.sources.gpkg import read_gpkg
+
+        return rd.from_arrow(read_gpkg(path))
     if ext == ".shp":
         # native spec parser — no fiona (sources/shapefile.py).
         # Layers with a .shx companion above the cutoff stream

@@ -1,0 +1,86 @@
+"""Native OGC GeoPackage container (sources/gpkg.py)."""
+
+import sqlite3
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_gpkg_roundtrip_bit_exact(tmp_path):
+    from spapy_ray.sources.gpkg import read_gpkg, write_gpkg
+    from spapy_ray.sources.zones import zones_table
+
+    t = zones_table()
+    p = str(tmp_path / "z.gpkg")
+    write_gpkg(t, p)
+    back = read_gpkg(p)
+    assert back.column("geom_wkb").to_pylist() == \
+        t.column("geom_wkb").to_pylist()
+    for c in ("zone_id", "name", "labelrank", "area_class"):
+        assert back.column(c).to_pylist() == t.column(c).to_pylist()
+
+
+def test_gpkg_container_is_valid_sqlite_with_spec_tables(tmp_path):
+    from spapy_ray.sources.gpkg import write_gpkg
+    from spapy_ray.sources.zones import zones_table
+
+    p = str(tmp_path / "z.gpkg")
+    write_gpkg(zones_table(), p)
+    con = sqlite3.connect(p)
+    assert con.execute("PRAGMA application_id").fetchone()[0] == \
+        0x47504B47
+    (tn, dt, srs) = con.execute(
+        "SELECT table_name, data_type, srs_id FROM gpkg_contents"
+    ).fetchone()
+    assert (tn, dt, srs) == ("zones", "features", -1)
+    assert con.execute(
+        "SELECT geometry_type_name FROM gpkg_geometry_columns"
+    ).fetchone()[0] == "MULTIPOLYGON"
+    # geometry blobs carry the spec header: GP magic, version 0,
+    # little-endian flags with XY envelope indicator
+    blob = con.execute("SELECT geom FROM zones LIMIT 1").fetchone()[0]
+    assert blob[:2] == b"GP" and blob[2] == 0
+    assert (blob[3] >> 1) & 0b111 == 1 and blob[3] & 1 == 1
+    # envelope really is the geometry's bbox
+    minx, maxx, miny, maxy = struct.unpack_from("<dddd", blob, 8)
+    assert minx <= maxx and miny <= maxy
+
+
+def test_gpkg_decode_handbuilt_blob():
+    """A spec-assembled blob (not our encoder) decodes to its WKB."""
+    from spapy_ray.kernels import wkb as wkbmod
+    from spapy_ray.sources.gpkg import _gpb_decode
+
+    ring = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 0.0]])
+    w = wkbmod.encode_multipolygon([[ring]])
+    # envelope indicator 0 (no envelope): header is just 8 bytes
+    blob = b"GP" + bytes([0, 0b0000_0001]) + struct.pack("<i", 0) + w
+    assert _gpb_decode(blob) == w
+
+
+def test_gpkg_fails_loud(tmp_path):
+    from spapy_ray.sources.gpkg import _gpb_decode, read_gpkg
+
+    p = str(tmp_path / "fake.gpkg")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE x (a int)")
+    con.commit()
+    con.close()
+    with pytest.raises(ValueError, match="application_id"):
+        read_gpkg(p)
+    with pytest.raises(ValueError, match="magic"):
+        _gpb_decode(b"XXnot a blob")
+
+
+def test_gpkg_get_input_routes(ray_session, tmp_path):
+    from spapy_ray.sources.dispatch import get_input
+    from spapy_ray.sources.gpkg import write_gpkg
+    from spapy_ray.sources.zones import zones_table
+
+    p = str(tmp_path / "z.gpkg")
+    write_gpkg(zones_table(), p)
+    ds = get_input(p)
+    assert ds.count() == 200
+    assert "geom_wkb" in ds.schema().names
