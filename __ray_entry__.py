@@ -43,6 +43,7 @@ _FRONT = [
     "tif_rgb_roundtrip",   # NEW: chunky multi-sample TIFF
     "tif_big_roundtrip",   # NEW: BigTIFF container
     "gpkg_roundtrip",      # NEW: OGC GeoPackage container
+    "gpkg_tiles_roundtrip",  # NEW: gpkg TILES pyramid
     "img_roundtrip",       # NEW: native Erdas HFA round-trip
     "graph_pagerank",      # CHANGED: mode="join" pinned (span-pinned)
     "cust_hits",           # CHANGED: scores-as-Dataset join mode
@@ -105,6 +106,9 @@ def oracle_sql() -> dict[str, str]:
         "tif_big_roundtrip": o.q_tif_roundtrip(),
         # gpkg blob wraps WKB byte-exactly: same twin as shp
         "gpkg_roundtrip": o.q_zone_bounds_area(),
+        # PNG-decode of the container blobs re-derives the
+        # render channel sums: same CASE twin
+        "gpkg_tiles_roundtrip": o.q_render_tiles(),
         "zone_page_counts": o.q_zone_page_counts(),
         "top_zones": o.q_top_zones(),
         "tile_counts": o.q_tile_counts(),

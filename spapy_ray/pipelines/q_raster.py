@@ -1826,3 +1826,46 @@ def q_tif_big_roundtrip(sf_dir: str):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+def q_gpkg_tiles_roundtrip(sf_dir: str):
+    """GeoPackage TILES pyramid round-trip under the value hash —
+    three native codecs composed: the DEM renders to real PNG tiles
+    (stages/render.py -> kernels/png.py), the tiles stream into the
+    standard gpkg tile container (gpkg_tile_matrix_set/_matrix +
+    zoom/column/row/blob table, sources/gpkg.py), and the read-back
+    blobs are PNG-DECODED to per-tile channel sums — same twin as
+    q_render_tiles (the CASE color-classification oracle)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spapy_ray.kernels.png import decode_png
+    from spapy_ray.sources.gpkg import read_gpkg_tiles, \
+        write_gpkg_tiles
+    from spapy_ray.stages.render import render_tiles
+
+    ds, meta = _dem()
+    rendered = render_tiles(ds, dtype="int32",
+                            tile_size=meta.tile_size,
+                            include_png=True) \
+        .select_columns(["tx", "ty", "png"])
+    d = tempfile.mkdtemp(prefix="spapy_gpkgt_")
+    try:
+        path = os.path.join(d, "dem_tiles.gpkg")
+        write_gpkg_tiles(rendered, meta, path)
+        back = read_gpkg_tiles(path)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    txs = back.column("tile_column").to_numpy()
+    tys = back.column("tile_row").to_numpy()
+    sums = np.zeros((len(back), 3), dtype=np.int64)
+    for i, blob in enumerate(back.column("tile_data").to_pylist()):
+        rgb = decode_png(blob).astype(np.int64)
+        sums[i] = rgb.reshape(-1, 3).sum(axis=0)
+    return pa.table({
+        "tx": pa.array(txs.astype(np.int64)),
+        "ty": pa.array(tys.astype(np.int64)),
+        "r_sum": pa.array(sums[:, 0]),
+        "g_sum": pa.array(sums[:, 1]),
+        "b_sum": pa.array(sums[:, 2])})

@@ -194,3 +194,125 @@ def read_gpkg(path: str, layer: str | None = None,
         out[c] = pa.array(cols[c])
     out[geom_col] = pa.array(wkbs, type=pa.binary())
     return pa.table(out)
+
+
+def write_gpkg_tiles(ds, meta, path: str, *, layer: str = "tiles",
+                     png_col: str = "png", zoom: int = 0,
+                     srs_id: int = -1) -> None:
+    """Rendered tile Dataset (tx, ty, png) + RasterMeta → a
+    GeoPackage TILES layer (the standard tile-pyramid container:
+    gpkg_tile_matrix_set + gpkg_tile_matrix + a zoom/column/row/blob
+    user table). Tiles stream batch-at-a-time into the insert — the
+    driver never holds the pyramid."""
+    T = meta.tile_size
+    con = sqlite3.connect(path)
+    try:
+        con.execute(f"PRAGMA application_id = {_GPKG_APP_ID}")
+        con.execute("PRAGMA user_version = 10300")
+        con.execute(
+            "CREATE TABLE gpkg_spatial_ref_sys ("
+            "srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, "
+            "organization TEXT NOT NULL, "
+            "organization_coordsys_id INTEGER NOT NULL, "
+            "definition TEXT NOT NULL, description TEXT)")
+        con.executemany(
+            "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+            [("Undefined cartesian SRS", -1, "NONE", -1, "undefined",
+              None),
+             ("Undefined geographic SRS", 0, "NONE", 0, "undefined",
+              None),
+             ("WGS 84 geodetic", 4326, "EPSG", 4326,
+              "GEOGCS[\"WGS 84\"]", None)])
+        min_x = meta.x_min
+        max_x = meta.x_min + meta.pixel_w * meta.width
+        max_y = meta.y_max
+        min_y = meta.y_max + meta.pixel_h * meta.height
+        con.execute(
+            "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL "
+            "PRIMARY KEY, data_type TEXT NOT NULL, identifier TEXT "
+            "UNIQUE, description TEXT DEFAULT '', last_change "
+            "DATETIME NOT NULL DEFAULT "
+            "(strftime('%Y-%m-%dT%H:%M:%fZ','now')), min_x DOUBLE, "
+            "min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, "
+            "srs_id INTEGER)")
+        con.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, "
+            "identifier, min_x, min_y, max_x, max_y, srs_id) "
+            "VALUES (?, 'tiles', ?, ?, ?, ?, ?, ?)",
+            (layer, layer, min_x, min_y, max_x, max_y, srs_id))
+        con.execute(
+            "CREATE TABLE gpkg_tile_matrix_set (table_name TEXT NOT "
+            "NULL PRIMARY KEY, srs_id INTEGER NOT NULL, min_x DOUBLE "
+            "NOT NULL, min_y DOUBLE NOT NULL, max_x DOUBLE NOT NULL, "
+            "max_y DOUBLE NOT NULL)")
+        con.execute(
+            "INSERT INTO gpkg_tile_matrix_set VALUES (?,?,?,?,?,?)",
+            (layer, srs_id, min_x, min_y, max_x, max_y))
+        con.execute(
+            "CREATE TABLE gpkg_tile_matrix (table_name TEXT NOT "
+            "NULL, zoom_level INTEGER NOT NULL, matrix_width INTEGER "
+            "NOT NULL, matrix_height INTEGER NOT NULL, tile_width "
+            "INTEGER NOT NULL, tile_height INTEGER NOT NULL, "
+            "pixel_x_size DOUBLE NOT NULL, pixel_y_size DOUBLE NOT "
+            "NULL, CONSTRAINT pk_ttm PRIMARY KEY "
+            "(table_name, zoom_level))")
+        con.execute(
+            "INSERT INTO gpkg_tile_matrix VALUES (?,?,?,?,?,?,?,?)",
+            (layer, zoom, meta.tiles_x, meta.tiles_y, T, T,
+             meta.pixel_w, abs(meta.pixel_h)))
+        con.execute(
+            f'CREATE TABLE "{layer}" (id INTEGER PRIMARY KEY '
+            "AUTOINCREMENT, zoom_level INTEGER NOT NULL, "
+            "tile_column INTEGER NOT NULL, tile_row INTEGER NOT "
+            "NULL, tile_data BLOB NOT NULL, UNIQUE (zoom_level, "
+            "tile_column, tile_row))")
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            rows = list(zip(
+                [zoom] * len(b),
+                b.column("tx").to_pylist(),
+                b.column("ty").to_pylist(),
+                b.column(png_col).to_pylist()))
+            con.executemany(
+                f'INSERT INTO "{layer}" (zoom_level, tile_column, '
+                "tile_row, tile_data) VALUES (?,?,?,?)", rows)
+        con.commit()
+    finally:
+        con.close()
+
+
+def read_gpkg_tiles(path: str, layer: str | None = None) -> pa.Table:
+    """GeoPackage tiles layer → Arrow (zoom_level, tile_column,
+    tile_row, tile_data) plus the tile-matrix georeferencing checked
+    present."""
+    con = sqlite3.connect(path)
+    try:
+        (app_id,) = con.execute("PRAGMA application_id").fetchone()
+        if app_id != _GPKG_APP_ID:
+            raise ValueError(
+                f"not a GeoPackage (application_id {app_id:#x})")
+        reg = con.execute(
+            "SELECT table_name FROM gpkg_contents "
+            "WHERE data_type = 'tiles'").fetchall()
+        if not reg:
+            raise ValueError("GeoPackage has no tiles layers")
+        layer = layer or reg[0][0]
+        n_tm = con.execute(
+            "SELECT count(*) FROM gpkg_tile_matrix WHERE "
+            "table_name = ?", (layer,)).fetchone()[0]
+        if n_tm == 0:
+            raise ValueError(f"tiles layer {layer!r} has no "
+                             "gpkg_tile_matrix rows")
+        rows = con.execute(
+            f'SELECT zoom_level, tile_column, tile_row, tile_data '
+            f'FROM "{layer}" ORDER BY zoom_level, tile_row, '
+            "tile_column").fetchall()
+    finally:
+        con.close()
+    return pa.table({
+        "zoom_level": pa.array([r[0] for r in rows],
+                               type=pa.int64()),
+        "tile_column": pa.array([r[1] for r in rows],
+                                type=pa.int64()),
+        "tile_row": pa.array([r[2] for r in rows], type=pa.int64()),
+        "tile_data": pa.array([r[3] for r in rows],
+                              type=pa.binary())})

@@ -22,61 +22,35 @@ per-pixel vectorized except the final zlib.compress (C code).
 
 from __future__ import annotations
 
-import struct
-import zlib
-
 import numpy as np
 import pyarrow as pa
 
 from spapy_ray.stages.raster import decode_tile
 
-_PNG_SIG = b"\x89PNG\r\n\x1a\n"
-
-
-def _chunk(tag: bytes, payload: bytes) -> bytes:
-    return (struct.pack(">I", len(payload)) + tag + payload
-            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
-
+# PNG encode/decode now delegate to the full pure-stdlib codec
+# (kernels/png.py — all five scanline filters, gray/RGB/RGBA, CRC
+# verification); the round-3 filter-0-only encoder this module
+# carried is retired. Thin wrappers keep the historical render API
+# (uint8 (H, W, 3|4) in, same out).
 
 def encode_png(img: np.ndarray) -> bytes:
-    """uint8 array (H, W, 3|4) → PNG bytes (8-bit RGB/RGBA, filter 0)."""
+    """uint8 array (H, W, 3|4) → PNG bytes (kernels/png.py)."""
+    from spapy_ray.kernels.png import encode_png as _enc
+
     if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] not in (3, 4):
         raise ValueError("encode_png wants uint8 (H, W, 3|4)")
-    h, w, ch = img.shape
-    color_type = 2 if ch == 3 else 6
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    # one filter byte (0 = None) per row, then raw pixels
-    raw = np.empty((h, 1 + w * ch), dtype=np.uint8)
-    raw[:, 0] = 0
-    raw[:, 1:] = img.reshape(h, w * ch)
-    idat = zlib.compress(raw.tobytes(), 6)
-    return (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
-            + _chunk(b"IEND", b""))
+    return _enc(img)
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    """Inverse of encode_png (filter-0 8-bit RGB/RGBA only) — the
-    test-side parity decoder."""
-    if buf[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos, idat, w = 8, b"", 0
-    while pos < len(buf):
-        (ln,) = struct.unpack_from(">I", buf, pos)
-        tag = buf[pos + 4:pos + 8]
-        payload = buf[pos + 8:pos + 8 + ln]
-        if tag == b"IHDR":
-            w, h, depth, ct = struct.unpack_from(">IIBB", payload)
-            if depth != 8 or ct not in (2, 6):
-                raise ValueError("decode_png handles 8-bit RGB/RGBA only")
-            ch = 3 if ct == 2 else 4
-        elif tag == b"IDAT":
-            idat += payload
-        pos += 12 + ln
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    raw = raw.reshape(h, 1 + w * ch)
-    if raw[:, 0].any():
-        raise ValueError("decode_png handles filter 0 only")
-    return raw[:, 1:].reshape(h, w, ch).copy()
+    """Inverse of encode_png — the test-side parity decoder
+    (kernels/png.py, any supported filter/color type)."""
+    from spapy_ray.kernels.png import decode_png as _dec
+
+    a = _dec(buf)
+    if a.ndim != 3:
+        raise ValueError("decode_png expects an RGB/RGBA image")
+    return a
 
 
 # gdaldem-style discrete table: value < breaks[i] → colors[i];

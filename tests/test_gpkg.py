@@ -84,3 +84,55 @@ def test_gpkg_get_input_routes(ray_session, tmp_path):
     ds = get_input(p)
     assert ds.count() == 200
     assert "geom_wkb" in ds.schema().names
+
+
+def test_gpkg_tiles_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from spapy_ray.kernels.png import decode_png, encode_png
+    from spapy_ray.sources.gpkg import read_gpkg_tiles, \
+        write_gpkg_tiles
+    from spapy_ray.sources.rasters import RasterMeta
+
+    rng = np.random.default_rng(12)
+    tiles = []
+    imgs = {}
+    for ty in range(2):
+        for tx in range(3):
+            img = rng.integers(0, 256, size=(16, 16, 3)) \
+                .astype(np.uint8)
+            imgs[(tx, ty)] = img
+            tiles.append({"tx": tx, "ty": ty,
+                          "png": encode_png(img)})
+    meta = RasterMeta(width=48, height=32, tile_size=16, x_min=0.0,
+                      y_max=32.0, pixel_w=1.0, pixel_h=-1.0)
+    p = str(tmp_path / "t.gpkg")
+    write_gpkg_tiles(rd.from_arrow(pa.Table.from_pylist(tiles)),
+                     meta, p)
+    con = sqlite3.connect(p)
+    assert con.execute(
+        "SELECT data_type FROM gpkg_contents").fetchone()[0] == \
+        "tiles"
+    mw, mh, tw = con.execute(
+        "SELECT matrix_width, matrix_height, tile_width "
+        "FROM gpkg_tile_matrix").fetchone()
+    assert (mw, mh, tw) == (3, 2, 16)
+    con.close()
+    back = read_gpkg_tiles(p)
+    assert len(back) == 6
+    for i in range(len(back)):
+        tx = back.column("tile_column")[i].as_py()
+        ty = back.column("tile_row")[i].as_py()
+        a = decode_png(back.column("tile_data")[i].as_py())
+        assert (a == imgs[(tx, ty)]).all()
+
+
+def test_gpkg_tiles_fails_loud(tmp_path):
+    from spapy_ray.sources.gpkg import read_gpkg_tiles, write_gpkg
+    from spapy_ray.sources.zones import zones_table
+
+    # a features-only gpkg has no tiles layer
+    p = str(tmp_path / "z.gpkg")
+    write_gpkg(zones_table(), p)
+    with pytest.raises(ValueError, match="no tiles"):
+        read_gpkg_tiles(p)
