@@ -44,6 +44,7 @@ _FRONT = [
     "tif_big_roundtrip",   # NEW: BigTIFF container
     "gpkg_roundtrip",      # NEW: OGC GeoPackage container
     "gpkg_tiles_roundtrip",  # NEW: gpkg TILES pyramid
+    "geoparquet_roundtrip",  # NEW: GeoParquet metadata
     "img_roundtrip",       # NEW: native Erdas HFA round-trip
     "graph_pagerank",      # CHANGED: mode="join" pinned (span-pinned)
     "cust_hits",           # CHANGED: scores-as-Dataset join mode
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         # PNG-decode of the container blobs re-derives the
         # render channel sums: same CASE twin
         "gpkg_tiles_roundtrip": o.q_render_tiles(),
+        "geoparquet_roundtrip": o.q_zone_bounds_area(),
         "zone_page_counts": o.q_zone_page_counts(),
         "top_zones": o.q_top_zones(),
         "tile_counts": o.q_tile_counts(),

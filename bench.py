@@ -123,7 +123,8 @@ BENCH_QUERIES = ["pip_join", "zone_page_counts", "knn_zones", "tile_counts",
                  "pip_join_cells", "media_decode", "media_resize",
                  "img_roundtrip", "audio_decode", "audio_decimate",
                  "video_frames", "tif_rgb_roundtrip", "tif_big_roundtrip",
-                 "gpkg_roundtrip", "gpkg_tiles_roundtrip"]
+                 "gpkg_roundtrip", "gpkg_tiles_roundtrip",
+                 "geoparquet_roundtrip"]
 
 
 def _consume(res) -> int:

@@ -2809,3 +2809,31 @@ def q_gpkg_roundtrip(sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
     return measure_wkb_table(back).select(
         ["zone_id", "name", "minx", "miny", "maxx", "maxy", "area"])
+
+
+def q_geoparquet_roundtrip(sf_dir: str):
+    """GeoParquet interchange (public spec: file-level "geo" metadata
+    naming the WKB column, geometry types and bbox — the modern
+    parquet convention fiona/GDAL-era users migrate to): zones →
+    .parquet with geo metadata → read back (metadata validated) →
+    measured. WKB is stored verbatim, so the zone_bounds_area twin is
+    bit-exact, like shp/geojson/gpkg."""
+    import os
+    import shutil
+    import tempfile
+
+    from spapy_ray.sources.gpkg import read_geoparquet, \
+        write_geoparquet
+    from spapy_ray.stages.measures import measure_wkb_table
+
+    d = tempfile.mkdtemp(prefix="spapy_geopq_")
+    try:
+        path = os.path.join(d, "zones.parquet")
+        write_geoparquet(zones_table(), path)
+        back, geo = read_geoparquet(path)
+        assert geo["primary_column"] == "geom_wkb"
+        assert geo["columns"]["geom_wkb"]["encoding"] == "WKB"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return measure_wkb_table(back).select(
+        ["zone_id", "name", "minx", "miny", "maxx", "maxy", "area"])

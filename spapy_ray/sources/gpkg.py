@@ -316,3 +316,60 @@ def read_gpkg_tiles(path: str, layer: str | None = None) -> pa.Table:
         "tile_row": pa.array([r[2] for r in rows], type=pa.int64()),
         "tile_data": pa.array([r[3] for r in rows],
                               type=pa.binary())})
+
+
+# ------------------------------------------------------------------
+# GeoParquet (public spec: geoparquet.org 1.x) — the modern parquet
+# convention for vector layers: file-level "geo" metadata naming the
+# primary WKB column, its geometry types and bbox.
+
+def write_geoparquet(tbl: pa.Table, path: str, *,
+                     geom_col: str = "geom_wkb",
+                     geometry_types=("MultiPolygon",)) -> None:
+    """Arrow table with a WKB column → parquet with GeoParquet file
+    metadata (single file; the engine's partitioned writes go through
+    state/manifest — this is the interchange form)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    gminx = gminy = np.inf
+    gmaxx = gmaxy = -np.inf
+    for w in tbl.column(geom_col).to_pylist():
+        minx, miny, maxx, maxy = gkern.multipolygon_bbox(
+            wkbmod.as_multipolygon(w))
+        gminx, gminy = min(gminx, minx), min(gminy, miny)
+        gmaxx, gmaxy = max(gmaxx, maxx), max(gmaxy, maxy)
+    geo = {
+        "version": "1.1.0",
+        "primary_column": geom_col,
+        "columns": {geom_col: {
+            "encoding": "WKB",
+            "geometry_types": list(geometry_types),
+            "bbox": [float(gminx), float(gminy),
+                     float(gmaxx), float(gmaxy)],
+        }},
+    }
+    md = dict(tbl.schema.metadata or {})
+    md[b"geo"] = json.dumps(geo).encode()
+    pq.write_table(tbl.replace_schema_metadata(md), path)
+
+
+def read_geoparquet(path: str) -> tuple[pa.Table, dict]:
+    """GeoParquet → (table, parsed "geo" metadata). Raises when the
+    file carries no geo metadata or names a missing column."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    md = tbl.schema.metadata or {}
+    if b"geo" not in md:
+        raise ValueError("parquet file has no GeoParquet 'geo' "
+                         "metadata")
+    geo = json.loads(md[b"geo"])
+    col = geo.get("primary_column")
+    if col not in tbl.column_names:
+        raise ValueError(f"GeoParquet primary column {col!r} not in "
+                         "the table")
+    return tbl, geo

@@ -136,3 +136,31 @@ def test_gpkg_tiles_fails_loud(tmp_path):
     write_gpkg(zones_table(), p)
     with pytest.raises(ValueError, match="no tiles"):
         read_gpkg_tiles(p)
+
+
+def test_geoparquet_roundtrip_and_metadata(tmp_path):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from spapy_ray.sources.gpkg import read_geoparquet, \
+        write_geoparquet
+    from spapy_ray.sources.zones import zones_table
+
+    t = zones_table()
+    p = str(tmp_path / "z.parquet")
+    write_geoparquet(t, p)
+    # a generic parquet reader sees the spec's file metadata
+    md = pq.read_schema(p).metadata
+    geo = json.loads(md[b"geo"])
+    assert geo["primary_column"] == "geom_wkb"
+    assert geo["columns"]["geom_wkb"]["encoding"] == "WKB"
+    bbox = geo["columns"]["geom_wkb"]["bbox"]
+    assert bbox[0] <= bbox[2] and bbox[1] <= bbox[3]
+    back, _ = read_geoparquet(p)
+    assert back.column("geom_wkb").to_pylist() == \
+        t.column("geom_wkb").to_pylist()
+    # plain parquet without geo metadata fails loud
+    pq.write_table(t, p)
+    with pytest.raises(ValueError, match="geo"):
+        read_geoparquet(p)
